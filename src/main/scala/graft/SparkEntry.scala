@@ -9,7 +9,8 @@ object SparkEntry {
   /** All driver-checkable queries, grouped by area. */
   def queryDefs: Seq[QueryDef] =
     operators.Relational.all ++
-      operators.Functions.all
+      operators.Functions.all ++
+      operators.Pipeline.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,238 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Training-data pipeline operators (dedup, similarity search, text
+  * analysis, multimodal) wired to the driver tables.
+  *
+  * The near-dup queries plant deterministic duplicates (copies of
+  * driver-table documents with a perturbation) so the operator's output
+  * is non-empty and self-validating: every planted pair must be found.
+  */
+object Pipeline {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** documents ∪ perturbed copies (id + 1e6, one token appended). */
+  private def docsWithPlants(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select("doc_id", "text")
+    d.unionAll(d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" appended")).as("text")))
+  }
+
+  /** embeddings ∪ slightly-scaled copies (cosine with original ≈ 1). */
+  private def vecsWithPlants(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+    e.unionAll(e.filter(col("vec_id") % 25 === 0)
+      .select((col("vec_id") + 1000000).as("vec_id"),
+        transform(col("embedding"),
+          x => (x * lit(1.001f)).cast("float")).as("embedding")))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---- deduplication -------------------------------------------------
+    QueryDef("p01_dedup_exact",
+      """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
+        |  COUNT(*) AS dupes
+        |FROM documents GROUP BY 1""".stripMargin) { (s, dir) =>
+      Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
+    },
+
+    QueryDef.rowsOnly("p02_dedup_minhash") { (s, dir) =>
+      Dedup.minhashPairs(docsWithPlants(s, dir), "doc_id", "text",
+        k = 64, bands = 16, threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    },
+
+    QueryDef.rowsOnly("p03_dedup_simhash") { (s, dir) =>
+      Dedup.simhashPairs(docsWithPlants(s, dir), "doc_id", "text",
+        maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    },
+
+    QueryDef.rowsOnly("p04_dedup_ngram") { (s, dir) =>
+      Dedup.ngramJaccardPairs(docsWithPlants(s, dir), "doc_id", "text",
+        n = 4, threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    },
+
+    QueryDef.rowsOnly("p05_dedup_embed") { (s, dir) =>
+      Similarity.embeddingNearDupPairs(vecsWithPlants(s, dir),
+        threshold = 0.98, nPlanes = 8)
+        .orderBy("id_a", "id_b")
+    },
+
+    // ---- similarity search --------------------------------------------
+    QueryDef("p06_sim_brute",
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qvec
+        |           FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.qid, e.vec_id,
+        |    ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                 CAST(q.qvec AS DOUBLE[])), 6) AS score
+        |  FROM embeddings e CROSS JOIN q),
+        |ranked AS (
+        |  SELECT qid, vec_id, score,
+        |    ROW_NUMBER() OVER (PARTITION BY qid
+        |                       ORDER BY score DESC, vec_id) AS rank
+        |  FROM scored)
+        |SELECT qid, vec_id, score, CAST(rank AS BIGINT) AS rank
+        |FROM ranked WHERE rank <= 10""".stripMargin) { (s, dir) =>
+      val corpus = t(s, dir, "embeddings")
+      val queries = corpus.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.bruteForceTopK(corpus, queries, k = 10)
+        .withColumn("rank", col("rank").cast("long"))
+    },
+
+    QueryDef.rowsOnly("p07_sim_lsh") { (s, dir) =>
+      val corpus = t(s, dir, "embeddings")
+      val queries = corpus.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.lshTopK(corpus, queries, k = 10, nPlanes = 8)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("qid", "rank")
+    },
+
+    QueryDef.rowsOnly("p08_sim_ivf") { (s, dir) =>
+      val corpus = t(s, dir, "embeddings")
+      val queries = corpus.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.ivfTopK(corpus, queries, k = 10, nCells = 16, nProbe = 4)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("qid", "rank")
+    },
+
+    // ---- text analysis ------------------------------------------------
+    QueryDef("p09_text_tokens",
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)
+        |    AS n_tokens
+        |FROM documents""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+    },
+
+    QueryDef("p10_text_quality",
+      s"""WITH base AS (
+         |  SELECT doc_id, text,
+         |    CAST(length(text) AS BIGINT) AS n_chars,
+         |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         |         ELSE string_split_regex(trim(text), '\\s+') END AS toks,
+         |    CAST(length(text) -
+         |      length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS BIGINT)
+         |      AS n_punct
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, n_chars, n_punct,
+         |    CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_filter(toks, t -> list_contains(
+         |      [${TextAnalysis.stopwordsEn.map("'" + _ + "'").mkString(",")}],
+         |      t))) AS BIGINT) AS n_stopwords
+         |  FROM base)
+         |SELECT doc_id, n_chars, n_tokens, n_punct, n_stopwords,
+         |  CASE WHEN n_tokens = 0 THEN 0.0
+         |       ELSE (n_chars - (n_tokens - 1)) / n_tokens END AS avg_token_len,
+         |  CASE WHEN n_chars = 0 THEN 0.0
+         |       ELSE n_punct / n_chars END AS punct_ratio,
+         |  CASE WHEN n_tokens = 0 THEN 0.0
+         |       ELSE n_stopwords / n_tokens END AS stopword_ratio,
+         |  (least(n_tokens / 50.0, 1.0) +
+         |   CASE WHEN (CASE WHEN n_tokens = 0 THEN 0.0
+         |              ELSE (n_chars - (n_tokens - 1)) / n_tokens END)
+         |        BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END +
+         |   least((CASE WHEN n_tokens = 0 THEN 0.0
+         |          ELSE n_stopwords / n_tokens END) * 5.0, 1.0) +
+         |   (1.0 - least((CASE WHEN n_chars = 0 THEN 0.0
+         |            ELSE n_punct / n_chars END) * 10.0, 1.0))) / 4.0
+         |    AS quality_score
+         |FROM m""".stripMargin) { (s, dir) =>
+      TextAnalysis.withQuality(t(s, dir, "documents"))
+        .select("doc_id", "n_chars", "n_tokens", "n_punct", "n_stopwords",
+          "avg_token_len", "punct_ratio", "stopword_ratio", "quality_score")
+    },
+
+    QueryDef.rowsOnly("p11_text_langid") { (s, dir) =>
+      TextAnalysis.withLanguage(t(s, dir, "documents"))
+        .select("doc_id", "lang", "lang_pred")
+        .orderBy("doc_id")
+    },
+
+    QueryDef.rowsOnly("p12_text_fingerprint") { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id")
+    },
+
+    // ---- multimodal ---------------------------------------------------
+    QueryDef.rowsOnly("p13_mm_decode") { (s, dir) =>
+      val withMedia = t(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+      val decoded = Multimodal.withDecodedMeta(withMedia)
+      Multimodal.featureStub(
+        Multimodal.frameSample(decoded), dim = 8)
+        .select(col("doc_id"),
+          col("meta.format").as("format"),
+          col("meta.width").as("width"),
+          col("meta.height").as("height"),
+          col("meta.n_bytes").as("n_bytes"),
+          size(col("frames")).cast("long").as("n_frames"),
+          size(col("features")).cast("long").as("feat_dim"))
+        .orderBy("doc_id")
+    },
+
+    // ---- event-time analytics (batch form of the streaming ops) -------
+    QueryDef("p14_events_window",
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,3)")).cast("double")
+            .as("sum_value"))
+    },
+
+    QueryDef("p15_sessionize",
+      """WITH gaps AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+        |                                 ORDER BY ts, event_id)
+        |              > INTERVAL '30 minutes'
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING
+        |                        AND CURRENT ROW) AS sess_id
+        |  FROM gaps)
+        |SELECT user_id, sess_id, COUNT(*) AS n_events,
+        |  MIN(ts) AS sess_start, MAX(ts) AS sess_end
+        |FROM sess GROUP BY user_id, sess_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val byTime = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val running = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("new_sess",
+          when(col("ts") - lag("ts", 1).over(byTime) >
+            expr("INTERVAL '30' MINUTE"), 1).otherwise(0))
+        .withColumn("sess_id", sum("new_sess").over(running))
+        .groupBy("user_id", "sess_id")
+        .agg(count(lit(1)).as("n_events"),
+          min("ts").as("sess_start"), max("ts").as("sess_end"))
+    }
+  )
+}

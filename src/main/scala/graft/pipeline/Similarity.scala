@@ -1,0 +1,156 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`), built from native array expressions (zip_with /
+  * aggregate) so the inner products run inside codegen.
+  *
+  * Scale design: brute force is the exact baseline — a broadcast of the
+  * (small) query set against a partition-parallel scan of the corpus, no
+  * shuffle except the final per-query top-k (TakeOrderedAndProject-like
+  * window over queries). The LSH and IVF variants cut the scanned
+  * fraction: LSH by random-hyperplane bucket equality, IVF by routing
+  * each query to its nearest coarse centroids only.
+  */
+object Similarity {
+
+  /** dot(a, b) accumulated in double, sequential per row (deterministic). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Exact brute-force cosine top-k: corpus × broadcast(queries), ranked
+    * per query. Deterministic tiebreak on corpus id.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = corpus.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(queries.select(col(qidCol), col(qvecCol))))
+      .withColumn("score", round(cosine(col(vecCol), col(qvecCol)), 6))
+    val w = Window.partitionBy(qidCol)
+      .orderBy(col("score").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col(idCol), col("score"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * xxhash64 → uniform in [-1, 1]. No RNG, stable across runs/engines.
+    */
+  private def planeComponent(plane: Column, dim: Column): Column =
+    (xxhash64(plane, dim).cast("double") / lit(Long.MaxValue.toDouble))
+
+  /** `nPlanes`-bit random-hyperplane signature of a vector — equal-bucket
+    * candidates approximate high cosine similarity.
+    */
+  def hyperplaneSignature(vec: Column, nPlanes: Int = 16): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(nPlanes - 1)), p =>
+        when(aggregate(
+          zip_with(vec, sequence(lit(0), size(vec) - 1),
+            (x, i) => x.cast("double") * planeComponent(p, i)),
+          lit(0.0), (acc, x) => acc + x) > 0,
+          call_function("shiftleft", lit(1L), p)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+
+  /** LSH-bucketed ANN top-k: only corpus vectors sharing the query's
+    * hyperplane bucket are scored. Recall < 1, cost ≈ 1/2^planes of brute
+    * force per bucket. Multi-probe: `probes` sign-flip variants of each
+    * query signature widen recall.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nPlanes: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus.select(col(idCol), col(vecCol),
+      hyperplaneSignature(col(vecCol), nPlanes).as("bucket"))
+    // multi-probe: exact bucket + single-bit flips
+    val qSig = queries.select(col(qidCol), col(qvecCol),
+      hyperplaneSignature(col(qvecCol), nPlanes).as("sig"))
+    val qProbes = qSig.select(col(qidCol), col(qvecCol),
+        explode(concat(array(col("sig")),
+          transform(sequence(lit(0), lit(nPlanes - 1)),
+            p => col("sig").bitwiseXOR(call_function("shiftleft", lit(1L), p)))))
+          .as("bucket"))
+      .dropDuplicates(qidCol, "bucket")
+    val scored = c.join(broadcast(qProbes), Seq("bucket"))
+      .withColumn("score", round(cosine(col(vecCol), col(qvecCol)), 6))
+    val w = Window.partitionBy(qidCol)
+      .orderBy(col("score").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col(idCol), col("score"), col("rank"))
+  }
+
+  /** IVF-style ANN: coarse-quantize the corpus onto `nCells` centroids
+    * (deterministically seeded k-means on a sample), then score queries
+    * only against their `nProbe` nearest cells. The routing join is a
+    * broadcast of the tiny centroid table; the scan reads only the probed
+    * cells — at 100 TB the corpus would be written bucketed/partitioned
+    * by `cell` so the probe prunes file groups.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // Deterministic coarse centroids: the nCells corpus vectors with the
+    // smallest xxhash64(id) — a seeded pseudo-random sample, stable across
+    // runs. Collecting nCells rows to the driver is the broadcast-variable
+    // pattern: cell assignment then runs as a pure per-row expression with
+    // NO shuffle (k-means iterations would add cost, not determinism).
+    val centroids: Array[(Long, Seq[Float])] = corpus
+      .select(col(idCol).cast("long"), col(vecCol),
+        xxhash64(col(idCol)).as("h"))
+      .orderBy("h").limit(nCells).drop("h")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    def litVec(v: Seq[Float]): Column = array(v.map(lit): _*)
+    // nProbe nearest cells: sort a small literal struct array. (A naive
+    // when()-chained fold-argmax doubles the expression tree per centroid
+    // — 2^nCells nodes — and kills the driver; the array form is linear.)
+    def probeCells(vec: Column, n: Int): Column = slice(
+      array_sort(
+        array(centroids.map { case (cid, cv) =>
+          struct(round(cosine(vec, litVec(cv)), 6).as("d"), lit(cid).as("cid"))
+        }: _*),
+        (l, r) => when(l.getField("d") > r.getField("d"), -1)
+          .when(l.getField("d") < r.getField("d"), 1)
+          .when(l.getField("cid") < r.getField("cid"), -1).otherwise(1)),
+      1, n)
+    val corpusCells = corpus.withColumn("cell",
+      probeCells(col(vecCol), 1).getItem(0).getField("cid"))
+    val queryCells = queries.withColumn("cell",
+      explode(probeCells(col(qvecCol), nProbe).getField("cid")))
+    val scored = corpusCells.join(broadcast(queryCells), Seq("cell"))
+      .withColumn("score", round(cosine(col(vecCol), col(qvecCol)), 6))
+    val w = Window.partitionBy(qidCol)
+      .orderBy(col("score").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col(idCol), col("score"), col("rank"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs via shared LSH bucket. */
+  def embeddingNearDupPairs(df: DataFrame, threshold: Double = 0.95,
+      nPlanes: Int = 8, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val sig = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      hyperplaneSignature(col(vecCol), nPlanes).as("bucket"))
+    val a = sig.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = sig.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(cosine(col("v_a"), col("v_b")), 6))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+}

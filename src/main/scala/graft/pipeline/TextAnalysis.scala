@@ -1,0 +1,110 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language ID, document fingerprinting.
+  *
+  * Everything is built from native Catalyst expressions (split /
+  * higher-order array functions / xxhash64) — no UDFs, so the whole
+  * pipeline stays inside whole-stage codegen and scales linearly with
+  * input partitions: per-row narrow transforms, zero shuffles.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization; empty/blank text → empty array (not [""]). */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** ASCII-punctuation character count. */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))
+
+  // Tiny embedded stopword lists (public, standard closed-class words).
+  val stopwordsEn: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
+    "for", "on", "with", "as", "this", "was", "are", "be", "at", "by")
+  val stopwordsDe: Seq[String] = Seq(
+    "der", "die", "das", "und", "oder", "von", "zu", "im", "ist", "es",
+    "dass", "für", "auf", "mit", "als", "ein", "eine", "war", "sind", "bei")
+  val stopwordsFr: Seq[String] = Seq(
+    "le", "la", "les", "et", "ou", "de", "à", "dans", "est", "il",
+    "que", "pour", "sur", "avec", "comme", "un", "une", "était", "sont", "par")
+  val stopwordsEs: Seq[String] = Seq(
+    "el", "la", "los", "las", "y", "o", "de", "a", "en", "es",
+    "que", "para", "sobre", "con", "como", "un", "una", "era", "son", "por")
+
+  /** Count of tokens present in `words` (multiset: duplicates counted). */
+  def stopwordHits(toks: Column, words: Seq[String]): Column = {
+    val set = array(words.map(lit): _*)
+    size(filter(toks, t => array_contains(set, t)))
+  }
+
+  /** Quality metrics: lengths, ratios, and a composite score in [0,1].
+    * Pure per-row scalar math — deterministic across engines.
+    */
+  def withQuality(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val text = col(textCol)
+    df.withColumn("toks", tokens(text))
+      .withColumn("n_chars", length(text).cast("long"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_punct", punctCount(text).cast("long"))
+      .withColumn("n_stopwords",
+        stopwordHits(col("toks"), stopwordsEn).cast("long"))
+      .withColumn("avg_token_len",
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise((col("n_chars") - (col("n_tokens") - 1)).cast("double")
+            / col("n_tokens")))
+      .withColumn("punct_ratio",
+        when(col("n_chars") === 0, lit(0.0))
+          .otherwise(col("n_punct").cast("double") / col("n_chars")))
+      .withColumn("stopword_ratio",
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(col("n_stopwords").cast("double") / col("n_tokens")))
+      .withColumn("quality_score",
+        // heuristic: enough tokens, sane word length, some stopwords,
+        // not punctuation-soup — each clamped to [0,1], averaged.
+        (least(col("n_tokens").cast("double") / 50.0, lit(1.0)) +
+          when(col("avg_token_len").between(3.0, 10.0), 1.0).otherwise(0.0) +
+          least(col("stopword_ratio") * 5.0, lit(1.0)) +
+          (lit(1.0) - least(col("punct_ratio") * 10.0, lit(1.0)))) / 4.0)
+      .drop("toks")
+  }
+
+  /** n-gram-free heuristic language ID: stopword-hit voting over four
+    * Latin-script lists + CJK codepoint detection for zh. Deterministic
+    * tie-break by fixed language order (en,de,fr,es).
+    */
+  def withLanguage(df: DataFrame, textCol: String = "text",
+      outCol: String = "lang_pred"): DataFrame = {
+    val toks = tokens(lower(col(textCol)))
+    val cjk = size(split(col(textCol), "")) -
+      size(split(regexp_replace(col(textCol), "[\\x{4e00}-\\x{9fff}]", ""), ""))
+    val scores = Seq(
+      "en" -> stopwordHits(toks, stopwordsEn),
+      "de" -> stopwordHits(toks, stopwordsDe),
+      "fr" -> stopwordHits(toks, stopwordsFr),
+      "es" -> stopwordHits(toks, stopwordsEs))
+    // argmax with deterministic order: fold keeping (bestLang, bestScore)
+    val best = scores.tail.foldLeft(
+      struct(lit("en").as("l"), scores.head._2.as("s"))) { case (acc, (l, sc)) =>
+      when(sc > acc.getField("s"), struct(lit(l).as("l"), sc.as("s")))
+        .otherwise(acc)
+    }
+    df.withColumn(outCol,
+      when(cjk > 0, "zh")
+        .when(best.getField("s") === 0, "unknown")
+        .otherwise(best.getField("l")))
+  }
+
+  /** Rolling-hash fingerprint over the token stream: chained xxhash64
+    * (hash of previous state + next token). Order-sensitive — permuted
+    * documents get different prints — and overflow-free under ANSI mode.
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, t) => xxhash64(acc, t))
+}
