@@ -1,0 +1,179 @@
+package graft.dsq
+
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** CLI shell mirroring the reference's flag/env/error surface
+  * (main.go:341-432 getArgs, 436-461 HELP, §2.6 A7/A8).
+  */
+object Cli {
+
+  final case class Args(
+      files: Seq[String] = Nil,
+      query: Option[String] = None,
+      opts: DsqOptions = DsqOptions(),
+      mimes: Map[Int, String] = Map.empty)
+
+  val help: String =
+    """dsq - commandline SQL engine for data files (Spark edition)
+      |
+      |Usage: dsq [file...] $query
+      |       dsq $file [query]
+      |
+      |Flags:
+      |  -p, --pretty            Pretty print results
+      |  -s, --stdin TYPE        Read file from stdin with file type TYPE
+      |  -c, --schema            Print schema instead of data
+      |  -f, --file FILE         Read SQL from FILE
+      |  -C, --cache             Cache imported data
+      |  -D, --cache-file        Print the cache location and exit
+      |  -i, --interactive       Start an interactive REPL
+      |  -n, --convert-numbers   Detect and convert numeric-looking values
+      |  -v, --version           Print version and exit
+      |  -h, --help              Show this help
+      |      --verbose           Verbose logging
+      |      --no-sqlite-writer  (compat no-op)
+      |""".stripMargin
+
+  def parse(argv: Array[String]): Either[String, Args] = {
+    var a = Args()
+    var rest = List.empty[String]
+    var i = 0
+    val env = sys.env
+    var opts = DsqOptions(
+      cacheEnabled = env.get("DSQ_CACHE").contains("true"),
+      convertNumbers = env.get("DSQ_CONVERT_NUMBERS").contains("true"))
+    while (i < argv.length) {
+      argv(i) match {
+        case "-p" | "--pretty" => opts = opts.copy(pretty = true)
+        case "-c" | "--schema" => opts = opts.copy(schema = true)
+        case "-C" | "--cache" => opts = opts.copy(cacheEnabled = true)
+        case "-D" | "--cache-file" => opts = opts.copy(dumpCacheFile = true)
+        case "-i" | "--interactive" =>
+          opts = opts.copy(interactive = true, pretty = true,
+            cacheEnabled = true)
+        case "-n" | "--convert-numbers" => opts = opts.copy(convertNumbers = true)
+        case "--verbose" => opts = opts.copy(verbose = true)
+        case "--no-sqlite-writer" => // compat no-op
+        case "-v" | "--version" => return Left("dsq latest")
+        case "-h" | "--help" => return Left(help)
+        case "-s" | "--stdin" =>
+          if (i + 1 >= argv.length) return Left("Must specify stdin mimetype.")
+          opts = opts.copy(stdinType = Some(argv(i + 1))); i += 1
+        case "-f" | "--file" =>
+          if (i + 1 >= argv.length) return Left("Must specify a SQL file.")
+          opts = opts.copy(sqlFile = Some(argv(i + 1))); i += 1
+        case other => rest = other :: rest
+      }
+      i += 1
+    }
+    rest = rest.reverse
+    // query detection: last non-flag arg containing a space
+    // (reference main.go:501-508)
+    val (files, query) = rest.lastOption match {
+      case Some(last) if last.contains(" ") => (rest.init, Some(last))
+      case _ => (rest, None)
+    }
+    val sqlQuery = opts.sqlFile match {
+      case Some(f) =>
+        val content = new String(Files.readAllBytes(Paths.get(f)), "UTF-8")
+        if (content.trim.isEmpty) return Left("SQL file is empty.")
+        Some(content)
+      case None => query
+    }
+    Right(Args(files, sqlQuery, opts))
+  }
+
+  def buildSession(): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("DSQ_SPARK_MASTER", "local[*]"))
+      .appName("dsq")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("DSQ_SHUFFLE_PARTITIONS", "32"))
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark
+  }
+
+  def main(argv: Array[String]): Unit = {
+    parse(argv) match {
+      case Left(msg) =>
+        System.err.println(msg)
+        sys.exit(if (msg == help) 0 else if (msg == "dsq latest") 0 else 1)
+      case Right(args) => sys.exit(run(args))
+    }
+  }
+
+  def run(args: Args): Int = {
+    var files = args.files
+    var mimes: Seq[Option[String]] = files.map(_ => None)
+    try {
+      // stdin slurp (reference main.go:484-499)
+      args.opts.stdinType.foreach { t =>
+        val tmp = Files.createTempFile("dsq-stdin", s".$t")
+        Files.copy(System.in, tmp, StandardCopyOption.REPLACE_EXISTING)
+        files = tmp.toString +: files
+        mimes = Some(Readers.mimeOf(t).getOrElse(
+          throw DsqError(s"Unknown mimetype: $t."))) +: mimes
+      }
+      if (files.isEmpty) {
+        System.err.println("No input files.")
+        return 1
+      }
+      val engine = new Engine(buildSession())
+      if (args.opts.dumpCacheFile) {
+        val cache = new ContentHashCache(engine.spark, files, enabled = true)
+        println(cache.cacheDir.toString)
+        return 0
+      }
+      if (args.opts.interactive) return Repl.loop(engine, files, mimes, args.opts)
+      print(engine.run(files, mimes, args.query, args.opts))
+      println()
+      0
+    } catch {
+      case DsqError(msg) => System.err.println(msg); 1
+      case e: Exception => System.err.println(e.getMessage); 1
+    }
+  }
+}
+
+/** REPL (reference main.go:268-326): jline3 line reader, history at
+  * ~/dsq_history, keyword completion, `exit` → "bye".
+  */
+object Repl {
+  def loop(engine: Engine, files: Seq[String], mimes: Seq[Option[String]],
+      opts: DsqOptions): Int = {
+    import org.jline.reader.{LineReaderBuilder, EndOfFileException, UserInterruptException}
+    import org.jline.reader.impl.completer.StringsCompleter
+    val reader = LineReaderBuilder.builder()
+      .completer(new StringsCompleter(
+        "SELECT", "FROM", "WHERE", "AND", "OR", "IN", "JOIN"))
+      .variable(org.jline.reader.LineReader.HISTORY_FILE,
+        Paths.get(sys.props.getOrElse("user.home", "."), "dsq_history"))
+      .build()
+    while (true) {
+      val line =
+        try reader.readLine("dsq> ")
+        catch {
+          case _: EndOfFileException => return 0
+          case _: UserInterruptException => return 0
+        }
+      val q = if (line == null) "" else line.trim
+      if (q == "exit") { println("bye"); return 0 }
+      if (q.nonEmpty) {
+        try {
+          val df = engine.runQuery(files, mimes, q, opts)
+          val sb = new java.lang.StringBuilder
+          Output.prettyTable(df, sb)
+          print(sb)
+        } catch {
+          case DsqError(msg) => System.err.println(msg)
+          case e: Exception => System.err.println(e.getMessage)
+        }
+      }
+    }
+    0
+  }
+}

@@ -1,0 +1,234 @@
+package graft.dsq
+
+import scala.collection.mutable
+import scala.util.matching.Regex
+
+/** SQLite-dialect → Spark SQL translation (reference §4.2 item 1; the
+  * reference's own rewrite is main.go:54-88 plus SQLite's parser).
+  *
+  * Passes, in order:
+  *  1. table-ref macros `{}`/`{N}`/`{N,"path"}`/`{"path"}` → view names
+  *     `t_N` (+ captured object path);
+  *  2. double-quoted tokens: identifier if they name a known column
+  *     (SQLite resolves quoted identifiers first), else string literal;
+  *  3. `REGEXP` → `RLIKE`, `x -> y`/`x ->> y` → `get_json_object`;
+  *  4. output labels: SQLite names result columns by the verbatim select-
+  *     item text (reference test expects keys like "COUNT(*)").
+  */
+object Dialect {
+
+  final case class TableRef(index: Int, path: Option[String])
+
+  // {} | {N} | {N, "path"} | {"path"} — reference tableFileRe main.go:54-88
+  private val refRe: Regex =
+    """\{(\d*)\s*(?:,\s*)?(?:"([^"]*)"|'([^']*)')?\}""".r
+
+  /** Replace table macros with `t_N` view names; return refs in order. */
+  def extractTableRefs(q: String): (String, Seq[TableRef]) = {
+    val refs = mutable.LinkedHashSet[TableRef]()
+    val out = refRe.replaceAllIn(q, m => {
+      val idx = Option(m.group(1)).filter(_.nonEmpty).map(_.toInt).getOrElse(0)
+      val path = Option(m.group(2)).orElse(Option(m.group(3))).filter(_.nonEmpty)
+      refs += TableRef(idx, path)
+      Regex.quoteReplacement(viewName(TableRef(idx, path)))
+    })
+    (out, refs.toSeq)
+  }
+
+  def viewName(r: TableRef): String =
+    r.path match {
+      case None => s"t_${r.index}"
+      case Some(p) =>
+        s"t_${r.index}_p" + math.abs(p.hashCode).toString
+    }
+
+  /** Token-level translation with full quote awareness. `columns` is the
+    * union of column names across registered tables (for the
+    * identifier-vs-string-literal decision on double quotes).
+    */
+  def translate(q: String, columns: Set[String]): String = {
+    val sb = new StringBuilder
+    var i = 0
+    val n = q.length
+    while (i < n) {
+      q.charAt(i) match {
+        case '\'' => // string literal: copy verbatim (incl. '' escapes)
+          val j = endOfSingleQuoted(q, i)
+          sb.append(q.substring(i, j)); i = j
+        case '"' => // quoted token: identifier or (fallback) string
+          val j = endOfDoubleQuoted(q, i)
+          val content = q.substring(i + 1, j - 1).replace("\"\"", "\"")
+          if (columns.contains(content))
+            sb.append('`').append(content.replace("`", "``")).append('`')
+          else
+            sb.append('\'').append(content.replace("'", "''")).append('\'')
+          i = j
+        case '`' =>
+          val j = endOfBackQuoted(q, i)
+          sb.append(q.substring(i, j)); i = j
+        case '-' if i + 1 < n && q.charAt(i + 1) == '>' =>
+          // -> / ->> : rewritten later via arrowRewrite marker
+          val op = if (i + 2 < n && q.charAt(i + 2) == '>') { i += 3; "->>" }
+          else { i += 2; "->" }
+          sb.append(' ').append(op).append(' ')
+        case c if c.isLetter || c == '_' =>
+          val j = endOfWord(q, i)
+          val w = q.substring(i, j)
+          if (w.equalsIgnoreCase("REGEXP")) sb.append("RLIKE")
+          else sb.append(w)
+          i = j
+        case c => sb.append(c); i += 1
+      }
+    }
+    arrowRewrite(sb.toString)
+  }
+
+  /** `expr -> key` / `expr ->> key` → `get_json_object(expr, '$…')`.
+    * Operand forms: identifier/backticked column/closing-paren group on
+    * the left; integer or string literal on the right. NOTE: SQLite `->`
+    * returns a JSON fragment (strings stay quoted) while `->>` returns
+    * text; both map to get_json_object here — identical for numeric
+    * values (the reference's own regression surface, scripts/test
+    * .py:392-398), divergent for string-valued extractions.
+    */
+  private val arrowRe: Regex =
+    """(`[^`]+`|[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)?)\s*->>?\s*('(?:[^']|'')*'|\d+)""".r
+
+  private def arrowRewrite(q: String): String =
+    arrowRe.replaceAllIn(q, m => {
+      val target = m.group(1)
+      val key = m.group(2)
+      val jsonPath =
+        if (key.matches("\\d+")) s"'$$[$key]'"
+        else {
+          val content = key.substring(1, key.length - 1)
+          s"'$$.$content'"
+        }
+      Regex.quoteReplacement(s"get_json_object($target, $jsonPath)")
+    })
+
+  private def endOfSingleQuoted(q: String, start: Int): Int = {
+    var i = start + 1
+    while (i < q.length) {
+      if (q.charAt(i) == '\'') {
+        if (i + 1 < q.length && q.charAt(i + 1) == '\'') i += 2
+        else return i + 1
+      } else i += 1
+    }
+    q.length
+  }
+
+  private def endOfDoubleQuoted(q: String, start: Int): Int = {
+    var i = start + 1
+    while (i < q.length) {
+      if (q.charAt(i) == '"') {
+        if (i + 1 < q.length && q.charAt(i + 1) == '"') i += 2
+        else return i + 1
+      } else i += 1
+    }
+    q.length
+  }
+
+  private def endOfBackQuoted(q: String, start: Int): Int = {
+    var i = start + 1
+    while (i < q.length && q.charAt(i) != '`') i += 1
+    math.min(i + 1, q.length)
+  }
+
+  private def endOfWord(q: String, start: Int): Int = {
+    var i = start
+    while (i < q.length && (q.charAt(i).isLetterOrDigit || q.charAt(i) == '_')) i += 1
+    i
+  }
+
+  // --- output labels ----------------------------------------------------
+
+  /** SQLite-style result column labels from the ORIGINAL query text:
+    * explicit `AS x` → x; implicit trailing-identifier alias → it; bare
+    * (possibly qualified/quoted) column → unquoted last component;
+    * any other expression → its verbatim text. Returns None when the
+    * query isn't a single plain SELECT or contains `*` items.
+    */
+  def outputLabels(q: String): Option[Seq[String]] = {
+    val t = q.trim.stripSuffix(";")
+    val upper = t.toUpperCase
+    if (!upper.startsWith("SELECT")) return None
+    var i = "SELECT".length
+    if (upper.startsWith("SELECT DISTINCT")) i = "SELECT DISTINCT".length
+    // find top-level FROM
+    var depth = 0; var j = i; var fromAt = -1
+    while (j < t.length && fromAt < 0) {
+      t.charAt(j) match {
+        case '\'' => j = endOfSingleQuoted(t, j) - 1
+        case '"' => j = endOfDoubleQuoted(t, j) - 1
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case c if depth == 0 && (c == 'F' || c == 'f') &&
+          j + 4 <= t.length && t.substring(j, j + 4).equalsIgnoreCase("FROM") &&
+          (j == 0 || !t.charAt(j - 1).isLetterOrDigit) &&
+          (j + 4 == t.length || !t.charAt(j + 4).isLetterOrDigit) =>
+          fromAt = j
+        case _ =>
+      }
+      j += 1
+    }
+    val selectList = if (fromAt < 0) t.substring(i) else t.substring(i, fromAt)
+    val items = splitTopLevel(selectList)
+    if (items.isEmpty || items.exists(it => it.trim == "*" || it.trim.endsWith(".*")))
+      return None
+    Some(items.map(labelOf))
+  }
+
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = mutable.ArrayBuffer[String]()
+    var depth = 0; var start = 0; var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\'' => i = endOfSingleQuoted(s, i) - 1
+        case '"' => i = endOfDoubleQuoted(s, i) - 1
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 => out += s.substring(start, i); start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  private val keywords = Set("FROM", "WHERE", "GROUP", "ORDER", "HAVING",
+    "LIMIT", "AND", "OR", "NOT", "NULL", "TRUE", "FALSE", "END", "ASC", "DESC")
+
+  private def labelOf(item: String): String = {
+    val it = item.trim
+    // explicit AS
+    val asRe = """(?is)^(.*\S)\s+AS\s+("(?:[^"]|"")*"|`[^`]*`|[A-Za-z_][A-Za-z0-9_]*)\s*$""".r
+    it match {
+      case asRe(_, alias) => return unquoteIdent(alias)
+      case _ =>
+    }
+    // bare column reference: [tbl.]col, possibly quoted
+    val colRe = """(?s)^(?:[A-Za-z_][A-Za-z0-9_]*\.|"(?:[^"]|"")*"\.|`[^`]*`\.)?("(?:[^"]|"")*"|`[^`]*`|[A-Za-z_][A-Za-z0-9_]*)$""".r
+    it match {
+      case colRe(last) if !keywords.contains(last.toUpperCase) =>
+        return unquoteIdent(last)
+      case _ =>
+    }
+    // implicit alias: expression ending in ')' or quote, then identifier
+    val implicitRe = """(?s)^(.*(?:\)|'|"))\s+("(?:[^"]|"")*"|`[^`]*`|[A-Za-z_][A-Za-z0-9_]*)\s*$""".r
+    it match {
+      case implicitRe(_, alias) if !keywords.contains(alias.toUpperCase) =>
+        return unquoteIdent(alias)
+      case _ =>
+    }
+    it
+  }
+
+  private def unquoteIdent(s: String): String =
+    if (s.startsWith("\"") && s.endsWith("\""))
+      s.substring(1, s.length - 1).replace("\"\"", "\"")
+    else if (s.startsWith("`") && s.endsWith("`"))
+      s.substring(1, s.length - 1)
+    else s
+}

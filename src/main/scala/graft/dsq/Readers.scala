@@ -1,0 +1,242 @@
+package graft.dsq
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import scala.jdk.CollectionConverters._
+
+/** File-format readers (reference §2.1 S1–S17). Each returns the RAW
+  * parsed DataFrame (nested types intact) — `Flatten` then normalizes to
+  * the dsq table model. Columnar formats (parquet/orc) use Spark's
+  * vectorized readers; text formats are line-parallel; only the
+  * inherently-small formats (xlsx/ods/yaml/avro-without-plugin) parse on
+  * the driver, mirroring the single-file CLI workloads they serve.
+  */
+object Readers {
+
+  /** extension → MIME-ish type key (reference main.go:29-46, README
+    * format table). */
+  def mimeOf(ext: String): Option[String] = ext.toLowerCase match {
+    case "csv" => Some("csv")
+    case "tsv" | "tab" => Some("tsv")
+    case "json" => Some("json")
+    case "ndjson" | "jsonl" => Some("jsonl")
+    case "cjson" => Some("cjson")
+    case "parquet" => Some("parquet")
+    case "orc" => Some("orc")
+    case "avro" => Some("avro")
+    case "yaml" | "yml" => Some("yaml")
+    case "xlsx" | "xls" => Some("xlsx")
+    case "ods" => Some("ods")
+    case "logfmt" => Some("logfmt")
+    case "apache2error" => Some("apache2error")
+    case "apache2access" => Some("apache2access")
+    case "nginxaccess" => Some("nginxaccess")
+    case _ => None
+  }
+
+  def extensionOf(path: String): String = {
+    val name = new java.io.File(path).getName
+    val i = name.lastIndexOf('.')
+    if (i < 0) "" else name.substring(i + 1)
+  }
+
+  /** Read `path` as format `mime`. Throws DsqError for unknown formats. */
+  def read(spark: SparkSession, path: String, mime: String): DataFrame =
+    mime match {
+      case "csv" => csv(spark, path, sep = ",")
+      case "tsv" => csv(spark, path, sep = "\t")
+      case "json" => jsonArray(spark, path)
+      case "jsonl" => spark.read.json(path)
+      case "cjson" => cjson(spark, path)
+      case "parquet" => spark.read.parquet(path)
+      case "orc" => spark.read.orc(path)
+      case "avro" => avro(spark, path)
+      case "yaml" => yaml(spark, path)
+      case "xlsx" => Excel.readXlsx(spark, path, sheet = None)
+      case "ods" => Excel.readOds(spark, path, sheet = None)
+      case "logfmt" => logfmt(spark, path)
+      case "apache2error" => apacheError(spark, path)
+      case "apache2access" => accessLog(spark, path, combined = false)
+      case "nginxaccess" => accessLog(spark, path, combined = true)
+      case other => throw DsqError(s"Unknown mimetype: $other.")
+    }
+
+  /** All values strings (reference README.md:552-556); empty field = "",
+    * not null. */
+  def csv(spark: SparkSession, path: String, sep: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("inferSchema", "false")
+      .option("sep", sep)
+      // dsq CSV has no nulls: empty field = "" (taxi groups on ""). Point
+      // nullValue at an impossible sentinel so "" survives as "".
+      .option("nullValue", "\u0000")
+      .option("emptyValue", "")
+      .csv(path)
+
+  /** Whole-file JSON array of objects (reference main.go:252-259 rejects
+    * anything else with NotAnArrayOfObjectsError). */
+  def jsonArray(spark: SparkSession, path: String): DataFrame = {
+    requireTopLevelArray(path)
+    val df = spark.read.option("multiLine", "true").json(path)
+    if (df.schema.fieldNames.contains("_corrupt_record"))
+      throw DsqError(s"Input is not an array of objects: $path.")
+    df
+  }
+
+  /** Cheap structural check: first non-whitespace byte must be '['. */
+  private def requireTopLevelArray(path: String): Unit = {
+    val in = new java.io.FileInputStream(path)
+    try {
+      var b = in.read()
+      while (b != -1 && Character.isWhitespace(b)) b = in.read()
+      if (b != '[') throw DsqError(s"Input is not an array of objects: $path.")
+    } finally in.close()
+  }
+
+  /** `{N, "a.b"}` path addressing (reference README.md:245-302): the file
+    * is one top-level object; walk the dot path to an array of objects.
+    * Path traverses objects only, never arrays.
+    */
+  def jsonPath(spark: SparkSession, path: String, objPath: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val top = spark.read.option("multiLine", "true").json(path)
+    val target = objPath.split("\\.").foldLeft(null: org.apache.spark.sql.Column) {
+      (acc, seg) => if (acc == null) col("`" + seg + "`") else acc.getField(seg)
+    }
+    top.select(explode(target).as("row")).select("row.*")
+  }
+
+  /** Concatenated JSON values ({}{} or ][) — split with a quote-aware
+    * depth tokenizer, line-distributed per file via wholeTextFiles.
+    */
+  def cjson(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val values: Dataset[String] = spark.sparkContext.wholeTextFiles(path)
+      .flatMap { case (_, text) => splitConcatenatedJson(text) }.toDS()
+    spark.read.json(values)
+  }
+
+  private[dsq] def splitConcatenatedJson(text: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0; var inStr = false; var esc = false; var start = -1
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (inStr) {
+        if (esc) esc = false
+        else if (c == '\\') esc = true
+        else if (c == '"') inStr = false
+      } else c match {
+        case '"' => inStr = true
+        case '{' | '[' => if (depth == 0) start = i; depth += 1
+        case '}' | ']' =>
+          depth -= 1
+          if (depth == 0 && start >= 0) {
+            out += text.substring(start, i + 1); start = -1
+          }
+        case _ =>
+      }
+      i += 1
+    }
+    out.result()
+  }
+
+  /** Avro via the avro-core jar (no spark-avro plugin in this distro):
+    * GenericRecord.toString is plain JSON → spark.read.json. Driver-side
+    * decode, appropriate for CLI-sized files; a cluster deployment would
+    * add the spark-avro package and keep this signature.
+    */
+  def avro(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.avro.file.DataFileReader
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    val reader = new DataFileReader[GenericRecord](
+      new java.io.File(path), new GenericDatumReader[GenericRecord]())
+    val rows = try reader.iterator().asScala.map(_.toString).toVector
+    finally reader.close()
+    spark.read.json(spark.createDataset(rows))
+  }
+
+  /** YAML via SnakeYAML (ships in Spark's jars): parse → JSON rows. */
+  def yaml(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val y = new org.yaml.snakeyaml.Yaml()
+    val doc = y.load[Object](new java.io.FileInputStream(path))
+    val items = doc match {
+      case l: java.util.List[_] => l.asScala.toVector
+      case other => throw DsqError(s"Input is not an array of objects: $path.")
+    }
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val rows = items.map(mapper.writeValueAsString)
+    spark.read.json(spark.createDataset(rows))
+  }
+
+  /** logfmt (reference go-logfmt; test scripts/test.py:193-199): key=value
+    * tokens, quoted values unescaped, bare values typed (number/bool).
+    * Line-parallel parse → union of keys via the JSON reader.
+    */
+  def logfmt(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val lines = spark.read.textFile(path)
+    val jsonLines = lines.map(Logfmt.lineToJson _)
+    spark.read.json(jsonLines)
+  }
+
+  /** Apache error log (reference text/apache2error): regex-per-line. */
+  def apacheError(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val re = "^\\[([^\\]]*)\\] \\[([^\\]]*)\\] (?:\\[pid ([^\\]]*)\\] )?(?:\\[client ([^\\]]*)\\] )?(.*)$"
+    spark.read.text(path).select(
+      regexp_extract(col("value"), re, 1).as("time"),
+      regexp_extract(col("value"), re, 2).as("level"),
+      regexp_extract(col("value"), re, 3).as("pid"),
+      regexp_extract(col("value"), re, 4).as("client"),
+      regexp_extract(col("value"), re, 5).as("message"))
+  }
+
+  /** Apache/nginx access log, Common (+Combined for nginx) Log Format. */
+  def accessLog(spark: SparkSession, path: String, combined: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val base = "^(\\S+) (\\S+) (\\S+) \\[([^\\]]*)\\] \"([^\"]*)\" (\\S+) (\\S+)"
+    val re = if (combined) base + " \"([^\"]*)\" \"([^\"]*)\".*$" else base + ".*$"
+    val c = spark.read.text(path)
+    val common = Seq(
+      regexp_extract(col("value"), re, 1).as("remote_addr"),
+      regexp_extract(col("value"), re, 2).as("remote_ident"),
+      regexp_extract(col("value"), re, 3).as("remote_user"),
+      regexp_extract(col("value"), re, 4).as("time"),
+      regexp_extract(col("value"), re, 5).as("request"),
+      regexp_extract(col("value"), re, 6).as("status"),
+      regexp_extract(col("value"), re, 7).as("body_bytes"))
+    val extra = if (combined) Seq(
+      regexp_extract(col("value"), re, 8).as("referer"),
+      regexp_extract(col("value"), re, 9).as("user_agent")) else Nil
+    c.select(common ++ extra: _*)
+  }
+}
+
+/** Engine-level error with the reference's exact message strings. */
+final case class DsqError(message: String) extends RuntimeException(message)
+
+/** logfmt line parser shared by the distributed map. */
+object Logfmt extends Serializable {
+  private val token = "([A-Za-z0-9_.-]+)=(\"(?:[^\"\\\\]|\\\\.)*\"|\\S*)".r
+
+  def lineToJson(line: String): String = {
+    val sb = new StringBuilder("{")
+    var first = true
+    for (m <- token.findAllMatchIn(line)) {
+      val k = m.group(1)
+      val raw = m.group(2)
+      val v =
+        if (raw.startsWith("\"")) raw // already a JSON string with escapes
+        else if (raw == "true" || raw == "false") raw
+        else if (raw.matches("-?\\d+(\\.\\d+)?([eE][+-]?\\d+)?")) raw
+        else "\"" + raw.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      if (!first) sb.append(',')
+      sb.append('"').append(k.replace("\"", "\\\"")).append("\":").append(v)
+      first = false
+    }
+    sb.append('}').toString
+  }
+}
