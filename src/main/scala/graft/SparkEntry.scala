@@ -10,7 +10,9 @@ object SparkEntry {
   def queryDefs: Seq[QueryDef] =
     operators.Relational.all ++
       operators.Functions.all ++
-      operators.Pipeline.all
+      operators.Pipeline.all ++
+      operators.Formats.all ++
+      operators.Streaming.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.streaming.Streams
+
+/** Structured Streaming queries under the driver gate: each executes a
+  * real streaming job (AvailableNow → memory sink, complete mode) whose
+  * final state must equal the batch oracle.
+  */
+object Streaming {
+
+  val all: Seq[QueryDef] = Seq(
+
+    QueryDef("s01_stream_hourly",
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      Streams.runToMemory(s,
+        Streams.hourlyCounts(Streams.eventsStream(s, dir)),
+        "s01_hourly")
+    },
+
+    QueryDef("s02_stream_sessions",
+      """WITH gaps AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+        |                                 ORDER BY ts, event_id)
+        |              > INTERVAL '30 minutes'
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING
+        |                        AND CURRENT ROW) AS sess_id
+        |  FROM gaps)
+        |SELECT user_id, MIN(ts) AS sess_start,
+        |  MAX(ts) + INTERVAL '30 minutes' AS sess_end,
+        |  COUNT(*) AS n_events
+        |FROM sess GROUP BY user_id, sess_id""".stripMargin) { (s, dir) =>
+      Streams.runToMemory(s,
+        Streams.userSessions(Streams.eventsStream(s, dir)),
+        "s02_sessions")
+    }
+  )
+}
