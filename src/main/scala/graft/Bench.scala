@@ -1,24 +1,68 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): runs the headline queries on
+  * SPARK_GRAFT_SF_DIR at local[32] and prints ONE JSON line.
+  *
+  * Timing methodology: one untimed warmup executes the first query to
+  * absorb JVM/codegen/session warmup (the reference's own benchmark uses
+  * hyperfine `-w 2`); each timed query materializes fully through the
+  * noop sink (all columns, no collect bottleneck).
+  */
 object Bench {
+
+  /** Representative heavy queries across the operator areas. */
+  val headline: Seq[String] = Seq(
+    "q01_agg",            // scan + hash agg
+    "q02_filter_agg",     // pushdown-selective scan
+    "q03_join_topk",      // 3-way join + top-k
+    "q04_multijoin",      // 6-way join w/ broadcasts
+    "q12_window_rank",    // window
+    "q14_window_running", // running frame
+    "q19_left_join",      // outer join + agg
+    "p01_dedup_exact",    // digest groupBy
+    "p02_dedup_minhash",  // LSH dedup
+    "p06_sim_brute",      // ANN brute force
+    "p10_text_quality",   // text expressions
+    "p15_sessionize",     // window sessionization
+    "s01_stream_hourly")  // structured streaming
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.driver.maxResultSize", "2g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val qs = SparkEntry.queries
+    def materialize(name: String): Unit =
+      qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+
+    // untimed warmup (session + codegen + parquet footer cache)
+    try materialize("q01_agg") catch { case _: Throwable => () }
+
+    val results = headline.flatMap { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        materialize(name)
+        Some(name -> (System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          Some(name -> -1.0)
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qJson = results.map { case (k, v) => s""""$k":$v""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

