@@ -67,10 +67,10 @@ object Dialect {
           val j = endOfBackQuoted(q, i)
           sb.append(q.substring(i, j)); i = j
         case '-' if i + 1 < n && q.charAt(i + 1) == '>' =>
-          // -> / ->> : rewritten later via arrowRewrite marker
+          // -> / ->> copied verbatim; arrowRewrite handles them after
           val op = if (i + 2 < n && q.charAt(i + 2) == '>') { i += 3; "->>" }
           else { i += 2; "->" }
-          sb.append(' ').append(op).append(' ')
+          sb.append(op)
         case c if c.isLetter || c == '_' =>
           val j = endOfWord(q, i)
           val w = q.substring(i, j)

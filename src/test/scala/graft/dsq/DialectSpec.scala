@@ -1,0 +1,75 @@
+package graft.dsq
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit + property tests for the SQLite→Spark dialect translator. */
+class DialectSpec extends AnyFunSuite {
+
+  test("table ref macros") {
+    val (q, refs) = Dialect.extractTableRefs(
+      """select * from {} join {1} on a=b join {0, "x.y"} join {'p'}""")
+    assert(refs == Seq(
+      Dialect.TableRef(0, None), Dialect.TableRef(1, None),
+      Dialect.TableRef(0, Some("x.y")), Dialect.TableRef(0, Some("p"))))
+    assert(q.contains("from t_0 join t_1"))
+  }
+
+  test("double quotes: known column → backticks, unknown → string literal") {
+    val t = Dialect.translate("""SELECT "a b", "nope" FROM t_0""", Set("a b"))
+    assert(t == "SELECT `a b`, 'nope' FROM t_0")
+  }
+
+  test("REGEXP becomes RLIKE, only outside quotes") {
+    val t = Dialect.translate(
+      """SELECT 'x REGEXP y' FROM t_0 WHERE a REGEXP 'p'""", Set("a"))
+    assert(t == "SELECT 'x REGEXP y' FROM t_0 WHERE a RLIKE 'p'")
+  }
+
+  test("arrow operators become get_json_object") {
+    assert(Dialect.translate("SELECT c->1 FROM t_0", Set("c"))
+      == "SELECT get_json_object(c, '$[1]') FROM t_0")
+    assert(Dialect.translate("SELECT c->>'k' FROM t_0", Set("c"))
+      == "SELECT get_json_object(c, '$.k') FROM t_0")
+  }
+
+  test("output labels: SQLite naming rules") {
+    assert(Dialect.outputLabels("SELECT COUNT(*) FROM x")
+      == Some(Seq("COUNT(*)")))
+    assert(Dialect.outputLabels("SELECT COUNT(1) AS c FROM x")
+      == Some(Seq("c")))
+    assert(Dialect.outputLabels("SELECT url_host(r) host, count(1) count FROM x")
+      == Some(Seq("host", "count")))
+    assert(Dialect.outputLabels("""SELECT " Name " FROM x""")
+      == Some(Seq(" Name ")))
+    assert(Dialect.outputLabels("SELECT t.name, u.age FROM x")
+      == Some(Seq("name", "age")))
+    assert(Dialect.outputLabels("SELECT * FROM x") == None)
+    assert(Dialect.outputLabels(
+      "SELECT name, AVG(time) FROM x GROUP BY name")
+      == Some(Seq("name", "AVG(time)")))
+    // nested FROM in a subquery doesn't confuse the splitter
+    assert(Dialect.outputLabels(
+      "SELECT (SELECT max(y) FROM t2) m, a FROM t1")
+      == Some(Seq("m", "a")))
+  }
+
+  test("translate is idempotent (seeded fuzz over SQL-ish fragments)") {
+    val rnd = new scala.util.Random(42)
+    val atoms = Seq("SELECT", "a", "b", "\"a\"", "\"zz\"", "'str''x'",
+      "REGEXP", "->", "->>", "1", ",", "(", ")", "*", "FROM", "t_0",
+      "WHERE", "||", ">", "c->2", "c ->> 'k'")
+    (1 to 500).foreach { _ =>
+      val q = Seq.fill(rnd.nextInt(12) + 1)(atoms(rnd.nextInt(atoms.length)))
+        .mkString(" ")
+      val cols = Set("a", "c")
+      val once = Dialect.translate(q, cols)
+      val twice = Dialect.translate(once, cols)
+      assert(twice == once, s"not idempotent for: $q\nonce:  $once\ntwice: $twice")
+    }
+  }
+
+  test("string literals survive translation verbatim") {
+    val q = "SELECT 'it''s a ''test'' REGEXP \"x\"' FROM t_0"
+    assert(Dialect.translate(q, Set.empty) == q)
+  }
+}

@@ -1,0 +1,106 @@
+package graft.dsq
+
+import org.apache.spark.sql.functions._
+
+/** Unit tests for Flatten, convert-numbers, Output rendering and Shape. */
+class UnitSpec extends SparkSpec {
+
+  test("flatten: nested objects, arrays, booleans") {
+    import spark.implicits._
+    val df = spark.read.json(Seq(
+      """{"a": 1, "o": {"x": "s", "y": {"z": true}}, "arr": [1,2], "k.d": 5}""").toDS())
+    val flat = Flatten(df)
+    assert(flat.schema.fieldNames.toSet ==
+      Set("a", "o.x", "o.y.z", "arr", "k\\.d"))
+    val row = flat.collect()(0)
+    assert(row.getAs[String]("arr") == "[1,2]")
+    assert(row.getAs[Int]("o.y.z") == 1) // boolean → 0/1
+  }
+
+  test("convertNumbers: integral vs double vs mixed columns") {
+    import spark.implicits._
+    val df = Seq(("1", "1.5", "x", "+1"), ("02", "2", "2", "0003.5"))
+      .toDF("ints", "dbls", "mixed", "plus")
+    val out = Flatten.convertNumbers(df)
+    assert(out.schema("ints").dataType.typeName == "long")
+    assert(out.schema("dbls").dataType.typeName == "double")
+    assert(out.schema("mixed").dataType.typeName == "string")
+    assert(out.schema("plus").dataType.typeName == "double")
+    val r = out.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(r == Set((1L, 1.5), (2L, 2.0)))
+  }
+
+  test("json output: Go-style numbers, sorted keys, framing") {
+    import spark.implicits._
+    val df = Seq((1.0, 2.5, "x"), (3.0, -0.5, "y"))
+      .toDF("b_whole", "a_frac", "c_str")
+    val sb = new java.lang.StringBuilder
+    Output.json(df, sb)
+    assert(sb.toString ==
+      """[{"a_frac":2.5,"b_whole":1,"c_str":"x"},
+        |{"a_frac":-0.5,"b_whole":3,"c_str":"y"}]""".stripMargin)
+  }
+
+  test("json output escapes control characters") {
+    import spark.implicits._
+    val df = Seq(Tuple1("a\"b\\c\nd\te")).toDF("s")
+    val sb = new java.lang.StringBuilder
+    Output.json(df, sb)
+    assert(sb.toString == "[{\"s\":\"a\\\"b\\\\c\\nd\\te\"}]")
+  }
+
+  test("pretty table: 0 rows footer") {
+    import spark.implicits._
+    val df = Seq((1, "x")).toDF("n", "s").filter(col("n") > 99)
+    val sb = new java.lang.StringBuilder
+    Output.prettyTable(df, sb)
+    assert(sb.toString.endsWith("(0 rows)\n"))
+  }
+
+  test("shape: CSV is all strings; timestamps render as string") {
+    val csvShape = Shape.ofTable(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("a",
+          org.apache.spark.sql.types.StringType))))
+    assert(Shape.toPretty(csvShape) ==
+      "Array of\n  Object of\n    a of\n      string\n")
+  }
+
+  test("logfmt parser: quoted values, numbers, booleans") {
+    val json = Logfmt.lineToJson(
+      """time="2015-03-26T01:27:38-04:00" level=debug msg="a \"b\" c" n=8 neg=-4 f=1.5 b=true bare""")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(json)
+    assert(node.get("level").asText == "debug")
+    assert(node.get("msg").asText == "a \"b\" c")
+    assert(node.get("n").asInt == 8)
+    assert(node.get("neg").asInt == -4)
+    assert(node.get("f").asDouble == 1.5)
+    assert(node.get("b").asBoolean)
+  }
+
+  test("cjson splitter handles concatenated values with nested strings") {
+    val vals = Readers.splitConcatenatedJson(
+      """{"a": "}{"}[1,2]{"b": {"c": [3]}}""")
+    assert(vals == Seq("""{"a": "}{"}""", "[1,2]", """{"b": {"c": [3]}}"""))
+  }
+
+  test("content-hash cache: hit avoids re-ingest and is invalidated by change") {
+    val tmp = java.nio.file.Files.createTempFile("cachetest", ".csv")
+    // unique content per run — cache keys are content hashes, and a
+    // previous run's cache dir in $TMP would make the first call a hit
+    val salt = java.util.UUID.randomUUID().toString.take(8)
+    java.nio.file.Files.writeString(tmp, s"a,b\n1,$salt\n")
+    def mkCache() = new ContentHashCache(spark, Seq(tmp.toString), enabled = true)
+    var ingests = 0
+    def ingest() = { ingests += 1
+      Flatten(Readers.csv(spark, tmp.toString, ",")) }
+    val c1 = mkCache()
+    c1.getOrIngest("t_0", () => ingest()).collect()
+    c1.getOrIngest("t_0", () => ingest()).collect()
+    assert(ingests == 1) // second call hits parquet
+    val before = mkCache().cacheDir
+    java.nio.file.Files.writeString(tmp, s"a,b\n2,$salt\n")
+    assert(mkCache().cacheDir != before) // content change → new key
+  }
+}

@@ -1,0 +1,135 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import graft.dsq.SparkSpec
+
+/** Correctness specs for the training-data pipeline operators, on the
+  * driver's sf0.001 tables (real inputs, planted perturbations).
+  */
+class PipelineSpec extends SparkSpec {
+  val sf = "/root/testdata/sf0.001"
+
+  private def docs = spark.read.parquet(s"$sf/documents.parquet")
+    .select("doc_id", "text")
+  private def vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+    .select("vec_id", "embedding")
+
+  test("exact dedup finds planted exact duplicates") {
+    val planted = docs.unionAll(docs.limit(5)
+      .select((col("doc_id") + 9000).as("doc_id"), col("text")))
+    val out = Dedup.exact(planted, "doc_id", "text")
+    assert(out.count() == docs.count()) // 5 dup contents collapse
+    assert(out.filter(col("dupes") >= 2).count() >= 5)
+  }
+
+  test("minhash LSH finds planted near-duplicates") {
+    val plantedIds = docs.filter(col("doc_id") % 10 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val planted = docs.unionAll(docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" appended")).as("text")))
+    val pairs = Dedup.minhashPairs(planted, "doc_id", "text",
+      k = 64, bands = 16, threshold = 0.5)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every planted (x, x+1e6) pair must surface
+    val found = plantedIds.count(id => pairs.contains((id, id + 1000000)))
+    assert(found == plantedIds.size,
+      s"found only $found of ${plantedIds.size} planted pairs")
+  }
+
+  test("simhash hamming distance is computed correctly") {
+    val planted = docs.limit(20).unionAll(docs.limit(20)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+    // identical text → identical simhash → hamming 0
+    val pairs = Dedup.simhashPairs(planted, "doc_id", "text", maxHamming = 3)
+      .filter(col("id_b") === col("id_a") + 1000000)
+    assert(pairs.count() == 20)
+    assert(pairs.filter(col("hamming") === 0).count() == 20)
+  }
+
+  test("ngram jaccard of identical docs is 1") {
+    val planted = docs.limit(10).unionAll(docs.limit(10)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+    val pairs = Dedup.ngramJaccardPairs(planted, "doc_id", "text",
+      n = 4, threshold = 0.99)
+      .filter(col("id_b") === col("id_a") + 1000000)
+    assert(pairs.count() == 10)
+  }
+
+  test("LSH ANN recall vs brute force") {
+    val queries = vecs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val exact = Similarity.bruteForceTopK(vecs, queries, k = 5)
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(vecs, queries, k = 5, nPlanes = 8)
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    // random synthetic vectors have weak neighbor structure; the hard
+    // guarantee is the self-match below, recall is a soft floor
+    assert(recall >= 0.2, s"LSH recall $recall too low")
+    // self-match must always be found (query ∈ corpus, same bucket)
+    assert((0L until 10L).forall(q => approx.contains((q, q))))
+  }
+
+  test("IVF ANN self-match and determinism") {
+    val queries = vecs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val a = Similarity.ivfTopK(vecs, queries, k = 5).collect().toSeq
+    val b = Similarity.ivfTopK(vecs, queries, k = 5).collect().toSeq
+    assert(a == b) // deterministic across runs
+    val top1 = Similarity.ivfTopK(vecs, queries, k = 1)
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((0L until 5L).forall(q => top1.contains((q, q))))
+  }
+
+  test("quality metrics handle empty and blank text") {
+    import spark.implicits._
+    val df = Seq((1L, ""), (2L, "   "), (3L, "the quick brown fox")).toDF("doc_id", "text")
+    val out = TextAnalysis.withQuality(df).orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_tokens") == 0)
+    assert(out(1).getAs[Long]("n_tokens") == 0)
+    assert(out(0).getAs[Double]("stopword_ratio") == 0.0)
+    assert(out(2).getAs[Long]("n_tokens") == 4)
+    assert(out(2).getAs[Long]("n_stopwords") == 1)
+  }
+
+  test("language ID picks the stopword-dominant language") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat and the dog on the mat"),
+      (2L, "der hund und die katze auf dem dach ist"),
+      (3L, "le chat et le chien dans la maison est"),
+      (4L, "el perro y la casa para el gato es"),
+      (5L, "你好 世界"),
+      (6L, "zzz qqq xxx")).toDF("doc_id", "text")
+    val out = TextAnalysis.withLanguage(df).orderBy("doc_id")
+      .select("lang_pred").collect().map(_.getString(0)).toSeq
+    assert(out == Seq("en", "de", "fr", "es", "zh", "unknown"))
+  }
+
+  test("fingerprint is order-sensitive and deterministic") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c"), (2L, "c b a"), (3L, "a b c")).toDF("doc_id", "text")
+    val fp = df.select(TextAnalysis.fingerprint(col("text")).as("f"))
+      .collect().map(_.getLong(0))
+    assert(fp(0) == fp(2))
+    assert(fp(0) != fp(1))
+  }
+
+  test("multimodal decode stub: schema and determinism") {
+    val withMedia = docs.limit(10)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+    val out = Multimodal.withDecodedMeta(withMedia)
+    assert(out.schema("meta").dataType == Multimodal.metaSchema)
+    val a = out.select("doc_id", "meta").collect().toSeq
+    val b = Multimodal.withDecodedMeta(withMedia)
+      .select("doc_id", "meta").collect().toSeq
+    assert(a == b)
+    val widths = out.select("meta.width").collect().map(_.getInt(0))
+    assert(widths.forall(w => w >= 64 && w < 64 + 1920))
+  }
+}
