@@ -90,7 +90,76 @@ object Stdlib {
     // F2: julianday
     u.register("julianday", (s: String) =>
       bestEffortEpoch(s).map(e => e / 86400.0 + 2440587.5))
+    // F2: SQLite strftime with modifier subset. Spark's UDF registry is
+    // name-keyed (no overloads): the modifier arity gets its own name.
+    // (SQLite's bare date()/time()/datetime() names collide with Spark
+    // builtins and are not shadowed; strftime covers the family.)
+    u.register("strftime", (fmt: String, value: String) =>
+      strftime(fmt, value, Nil))
+    u.register("strftime_mod",
+      (fmt: String, value: String, m1: String) => strftime(fmt, value, Seq(m1)))
+  }
 
+  /** SQLite strftime subset: %Y %m %d %H %M %S %s %j %w %f %%; modifiers
+    * '+/-N days|hours|minutes|seconds|months|years', 'start of
+    * day|month|year', 'unixepoch'.
+    */
+  def strftime(fmt: String, value: String,
+      modifiers: Seq[String]): Option[String] = {
+    if (fmt == null || value == null) return None
+    val base =
+      if (value == "now")
+        Some(java.time.LocalDateTime.now(java.time.ZoneOffset.UTC))
+      else if (modifiers.exists(_.trim.equalsIgnoreCase("unixepoch")) &&
+        value.matches("-?\\d+"))
+        Some(java.time.LocalDateTime.ofEpochSecond(value.toLong, 0,
+          java.time.ZoneOffset.UTC))
+      else bestEffortParts(value)
+    base.map { dt0 =>
+      val modRe = "([+-])\\s*(\\d+)\\s*(day|hour|minute|second|month|year)s?".r
+      var dt = dt0
+      modifiers.map(_.trim.toLowerCase).foreach {
+        case "unixepoch" => ()
+        case "start of day" => dt = dt.toLocalDate.atStartOfDay
+        case "start of month" => dt = dt.withDayOfMonth(1).toLocalDate.atStartOfDay
+        case "start of year" => dt = dt.withDayOfYear(1).toLocalDate.atStartOfDay
+        case modRe(sign, n, unit) =>
+          val amt = if (sign == "-") -n.toLong else n.toLong
+          dt = unit match {
+            case "day" => dt.plusDays(amt)
+            case "hour" => dt.plusHours(amt)
+            case "minute" => dt.plusMinutes(amt)
+            case "second" => dt.plusSeconds(amt)
+            case "month" => dt.plusMonths(amt)
+            case "year" => dt.plusYears(amt)
+          }
+        case _ => ()
+      }
+      val sb = new StringBuilder
+      var i = 0
+      while (i < fmt.length) {
+        if (fmt.charAt(i) == '%' && i + 1 < fmt.length) {
+          fmt.charAt(i + 1) match {
+            case 'Y' => sb.append(f"${dt.getYear}%04d")
+            case 'm' => sb.append(f"${dt.getMonthValue}%02d")
+            case 'd' => sb.append(f"${dt.getDayOfMonth}%02d")
+            case 'H' => sb.append(f"${dt.getHour}%02d")
+            case 'M' => sb.append(f"${dt.getMinute}%02d")
+            case 'S' => sb.append(f"${dt.getSecond}%02d")
+            case 's' => sb.append(dt.toEpochSecond(java.time.ZoneOffset.UTC))
+            case 'j' => sb.append(f"${dt.getDayOfYear}%03d")
+            case 'w' => sb.append(dt.getDayOfWeek.getValue % 7)
+            case 'f' => sb.append(f"${dt.getSecond}%02d.${dt.getNano / 1000000}%03d")
+            case 'J' => sb.append(
+              dt.toEpochSecond(java.time.ZoneOffset.UTC) / 86400.0 + 2440587.5)
+            case '%' => sb.append('%')
+            case c => sb.append('%').append(c)
+          }
+          i += 2
+        } else { sb.append(fmt.charAt(i)); i += 1 }
+      }
+      sb.toString
+    }
   }
 
   private val patterns: Seq[java.time.format.DateTimeFormatter] = {

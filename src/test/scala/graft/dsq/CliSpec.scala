@@ -1,0 +1,77 @@
+package graft.dsq
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CLI flag/error surface (reference main.go:341-432, §2.6 A7/A8). */
+class CliSpec extends AnyFunSuite {
+
+  test("query detection: last arg with a space") {
+    val Right(a) = Cli.parse(Array("f.csv", "SELECT * FROM {}")): @unchecked
+    assert(a.files == Seq("f.csv"))
+    assert(a.query == Some("SELECT * FROM {}"))
+  }
+
+  test("no query: all args are files") {
+    val Right(a) = Cli.parse(Array("f.csv")): @unchecked
+    assert(a.files == Seq("f.csv") && a.query.isEmpty)
+  }
+
+  test("flags set options") {
+    val Right(a) = Cli.parse(Array("-p", "-n", "-C", "f.csv")): @unchecked
+    assert(a.opts.pretty && a.opts.convertNumbers && a.opts.cacheEnabled)
+  }
+
+  test("-i implies pretty + cache") {
+    val Right(a) = Cli.parse(Array("-i", "f.csv")): @unchecked
+    assert(a.opts.interactive && a.opts.pretty && a.opts.cacheEnabled)
+  }
+
+  test("-s without value errors") {
+    assert(Cli.parse(Array("f.csv", "-s")) == Left("Must specify stdin mimetype."))
+  }
+
+  test("-f without value errors") {
+    assert(Cli.parse(Array("f.csv", "-f")) == Left("Must specify a SQL file."))
+  }
+
+  test("-f with empty SQL file errors") {
+    assert(Cli.parse(Array("f.csv", "-f",
+      "/root/reference/testdata/sql/empty.sql")) == Left("SQL file is empty."))
+  }
+
+  test("-v prints version string") {
+    assert(Cli.parse(Array("-v")) == Left("dsq latest"))
+  }
+}
+
+/** strftime / date UDF logic. */
+class StdlibSpec extends AnyFunSuite {
+  test("strftime formats") {
+    assert(Stdlib.strftime("%Y-%m-%d %H:%M:%S", "2021-03-05T07:08:09", Nil)
+      == Some("2021-03-05 07:08:09"))
+    assert(Stdlib.strftime("%j", "2021-02-01", Nil) == Some("032"))
+    assert(Stdlib.strftime("%s", "1970-01-02", Nil) == Some("86400"))
+    assert(Stdlib.strftime("100%%", "1970-01-02", Nil) == Some("100%"))
+  }
+
+  test("strftime modifiers") {
+    assert(Stdlib.strftime("%Y-%m-%d", "2021-03-05", Seq("+2 days"))
+      == Some("2021-03-07"))
+    assert(Stdlib.strftime("%Y-%m-%d", "2021-03-05", Seq("start of month"))
+      == Some("2021-03-01"))
+    assert(Stdlib.strftime("%Y-%m-%d", "86400", Seq("unixepoch"))
+      == Some("1970-01-02"))
+  }
+
+  test("best-effort date parsing formats") {
+    def y(s: String) = Stdlib.bestEffortParts(s).map(_.getYear)
+    assert(y("2021-10-18T04:23:27.810Z") == Some(2021))
+    assert(y("2021-10-18 04:23:27") == Some(2021))
+    assert(y("10/18/2021") == Some(2021))
+    assert(y("Oct 18, 2021") == Some(2021))
+    assert(y("18 Oct 2021") == Some(2021))
+    assert(y("1634530000") == Some(2021)) // epoch seconds
+    assert(y("not a date") == None)
+    assert(y("") == None)
+  }
+}
