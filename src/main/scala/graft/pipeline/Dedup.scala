@@ -96,20 +96,8 @@ object Dedup {
   /** 64-bit SimHash signature of the token multiset: per-bit majority
     * vote of token hashes, built from pure array expressions.
     */
-  def simhash(text: Column): Column = {
-    val toks = TextAnalysis.tokens(text)
-    val votes = aggregate(toks,
-      transform(sequence(lit(0), lit(63)), _ => lit(0)),
-      (acc, t) => zip_with(acc,
-        transform(sequence(lit(0), lit(63)),
-          i => when(call_function("shiftright", xxhash64(t), i).bitwiseAND(1) === 1, 1)
-            .otherwise(-1)),
-        (x, y) => x + y))
-    aggregate(
-      zip_with(votes, sequence(lit(0), lit(63)),
-        (v, i) => when(v > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
-  }
+  def simhash(text: Column): Column =
+    org.apache.spark.sql.graft.VectorExpressions.simhash64(text)
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming, found via
     * chunk pigeonhole: split the 64-bit sig into (maxHamming+1) chunks; any

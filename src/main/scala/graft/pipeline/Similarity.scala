@@ -24,6 +24,12 @@ object Similarity {
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.VectorExpressions.cosineSim(a, b)
+
+  /** Composable-expression form (any numeric arrays); `cosine` uses the
+    * codegen'd native expression for the float-array hot path.
+    */
+  def cosineGeneric(a: Column, b: Column): Column =
     dot(a, b) / (l2norm(a) * l2norm(b))
 
   /** Exact brute-force cosine top-k: corpus × broadcast(queries), ranked

@@ -1,0 +1,136 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the similarity/dedup hot paths.
+  *
+  * The composable alternative (`zip_with` + `aggregate`) evaluates as
+  * interpreted HigherOrderFunction lambdas per row; these generate a
+  * tight Java loop inside whole-stage codegen instead — the preference
+  * ladder of SURVEY §7 rung (b). Semantics match the expression forms
+  * they replace: double accumulation in array order (deterministic,
+  * engine-portable).
+  */
+object VectorExpressions {
+
+  import org.apache.spark.sql.classic.ExpressionUtils.{column, expression}
+
+  /** cosine(a, b) over array<float> columns, accumulated in double. */
+  def cosineSim(a: Column, b: Column): Column =
+    column(CosineSimilarity(expression(a), expression(b)))
+
+  /** 64-bit SimHash of whitespace-tokenized text (xxhash64 token hashes,
+    * per-bit majority vote).
+    */
+  def simhash64(text: Column): Column =
+    column(SimHash64(expression(text)))
+}
+
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getFloat(i).toDouble
+      val yi = y.getFloat(i).toDouble
+      dot += xi * yi; nx += xi * xi; ny += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double x = (double) $a.getFloat($i);
+         |  double y = (double) $b.getFloat($i);
+         |  $dot += x * y; $nx += x * x; $ny += y * y;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** SimHash64(text): whitespace-tokenize, xxhash64 each token (seed 42,
+  * matching Spark's xxhash64), majority-vote each of the 64 bits.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    SimHash64.hash(s)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.SimHash64.hash($c.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  /** Deterministic 64-bit simhash; shared by eval and codegen. */
+  def hash(s: String): Long = {
+    val votes = new Array[Int](64)
+    val t = s.trim
+    var start = 0
+    var i = 0
+    val n = t.length
+    while (i <= n) {
+      if (i == n || Character.isWhitespace(t.charAt(i))) {
+        if (i > start) {
+          val tok = UTF8String.fromString(t.substring(start, i))
+          val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+            .hash(tok, org.apache.spark.sql.types.StringType, 42L)
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+            b += 1
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+}
