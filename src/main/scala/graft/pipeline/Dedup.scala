@@ -37,12 +37,11 @@ object Dedup {
         i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
   }
 
-  /** k minhash values of a shingle set (seeded hash family via xxhash64
-    * over (seed, shingle) — deterministic, no RNG).
+  /** k minhash values of a shingle set (seeded affine hash family; native
+    * expression — one string hash per shingle, k affine updates).
     */
   def minhashes(sh: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      seed => array_min(transform(sh, s => xxhash64(seed, s))))
+    org.apache.spark.sql.graft.VectorExpressions.minhashSignature(sh, k)
 
   /** MinHash + banded-LSH near-duplicate pairs with Jaccard verification.
     *

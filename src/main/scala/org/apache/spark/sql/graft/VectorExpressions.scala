@@ -29,6 +29,10 @@ object VectorExpressions {
     */
   def simhash64(text: Column): Column =
     column(SimHash64(expression(text)))
+
+  /** k-minhash signature of an array<string> of shingles. */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    column(MinHashSignature(expression(shingles), k))
 }
 
 case class CosineSimilarity(left: Expression, right: Expression)
@@ -133,4 +137,54 @@ object SimHash64 {
     }
     out
   }
+}
+
+/** MinHash signature: k affine-family minhashes over an array<string> of
+  * shingles in one pass — one xxhash64 per shingle plus k cheap affine
+  * updates in a JIT'd loop, instead of k full string hashes per shingle
+  * (the composable-expression form) or interpreted lambda overhead.
+  * Family: (a_i * h31 + b_i) mod (2^31-1), seeded deterministically.
+  */
+case class MinHashSignature(child: Expression, k: Int)
+    extends UnaryExpression with codegen.CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = arr.numElements()
+    val mins = Array.fill(k)(Long.MaxValue)
+    val as = MinHashSignature.as(k)
+    val bs = MinHashSignature.bs(k)
+    var j = 0
+    while (j < n) {
+      val s = arr.getUTF8String(j)
+      val h = XxHash64Function.hash(s, StringType, 42L) & 0x7FFFFFFFL
+      var i = 0
+      while (i < k) {
+        val v = (as(i) * h + bs(i)) % MinHashSignature.P
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashSignature {
+  val P: Long = 2147483647L // 2^31 - 1, prime
+  private val cache = new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+  private def params(k: Int): (Array[Long], Array[Long]) =
+    cache.computeIfAbsent(k, { kk =>
+      val rnd = new scala.util.Random(42)
+      (Array.fill(kk)(rnd.nextInt(Int.MaxValue - 2).toLong + 1L),
+        Array.fill(kk)(rnd.nextInt(Int.MaxValue).toLong))
+    })
+  def as(k: Int): Array[Long] = params(k)._1
+  def bs(k: Int): Array[Long] = params(k)._2
 }
