@@ -12,7 +12,8 @@ object SparkEntry {
       operators.Functions.all ++
       operators.Pipeline.all ++
       operators.Formats.all ++
-      operators.Streaming.all
+      operators.Streaming.all ++
+      operators.Scale.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

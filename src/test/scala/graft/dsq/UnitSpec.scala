@@ -85,6 +85,32 @@ class UnitSpec extends SparkSpec {
     assert(vals == Seq("""{"a": "}{"}""", "[1,2]", """{"b": {"c": [3]}}"""))
   }
 
+  test("apache/nginx access and error log readers") {
+    val d = java.nio.file.Files.createTempDirectory("logs")
+    val access = d.resolve("a.log")
+    java.nio.file.Files.writeString(access,
+      "1.2.3.4 - frank [10/Oct/2000:13:55:36 -0700] \"GET /x.gif HTTP/1.0\" 200 2326\n" +
+      "5.6.7.8 - - [10/Oct/2000:13:55:37 -0700] \"POST /y HTTP/1.1\" 404 -\n")
+    val a = Readers.accessLog(spark, access.toString, combined = false).collect()
+    assert(a(0).getAs[String]("remote_addr") == "1.2.3.4")
+    assert(a(0).getAs[String]("request") == "GET /x.gif HTTP/1.0")
+    assert(a(0).getAs[String]("status") == "200")
+    assert(a(1).getAs[String]("body_bytes") == "-")
+    val nginx = d.resolve("n.log")
+    java.nio.file.Files.writeString(nginx,
+      "9.9.9.9 - - [10/Oct/2000:13:55:36 -0700] \"GET / HTTP/1.1\" 200 512 \"http://ref\" \"curl/7.1\"\n")
+    val n = Readers.accessLog(spark, nginx.toString, combined = true).collect()
+    assert(n(0).getAs[String]("referer") == "http://ref")
+    assert(n(0).getAs[String]("user_agent") == "curl/7.1")
+    val err = d.resolve("e.log")
+    java.nio.file.Files.writeString(err,
+      "[Fri Sep 09 10:42:29.902022 2011] [core:error] [pid 35708] [client 72.15.99.187] File does not exist\n")
+    val e = Readers.apacheError(spark, err.toString).collect()
+    assert(e(0).getAs[String]("level") == "core:error")
+    assert(e(0).getAs[String]("pid") == "35708")
+    assert(e(0).getAs[String]("message") == "File does not exist")
+  }
+
   test("content-hash cache: hit avoids re-ingest and is invalidated by change") {
     val tmp = java.nio.file.Files.createTempFile("cachetest", ".csv")
     // unique content per run — cache keys are content hashes, and a
