@@ -53,15 +53,18 @@ object Dedup {
       k: Int = 64, bands: Int = 16, threshold: Double = 0.7,
       shingleN: Int = 3): DataFrame = {
     val r = k / bands
-    // Materialize the signature table: without the persist barrier,
-    // CollapseProject inlines the k-minhash expression into every band
-    // slice (k×bands recompute per row — measured 14× slower at sf0.1).
-    // At 100 TB the signature table is what you'd write to storage anyway:
-    // it's ~100 bytes/doc regardless of document size.
+    // Shingles live as hash arrays (native ShingleHashes — no per-window
+    // string building), and the Jaccard verification below intersects
+    // hash sets, not strings. Materialize the signature table: without
+    // the persist barrier, CollapseProject inlines the minhash expression
+    // into every band slice (k×bands recompute per row — measured 14×
+    // slower at sf0.1). At 100 TB the signature table is what you'd
+    // write to storage anyway: ~100 bytes/doc regardless of doc size.
+    import org.apache.spark.sql.graft.VectorExpressions
     val sigs = df
       .select(col(idCol).as("id"),
-        array_distinct(shingles(col(textCol), shingleN)).as("sh"))
-      .withColumn("mh", minhashes(col("sh"), k))
+        VectorExpressions.shingleHashes(col(textCol), shingleN).as("sh"))
+      .withColumn("mh", VectorExpressions.minhashFromHashes(col("sh"), k))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // band → bucket key. Only (id, band, bucket) shuffles — the shingle
     // arrays stay out of the explode and the bucket self-join (carrying

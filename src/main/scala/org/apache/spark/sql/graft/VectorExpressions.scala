@@ -33,6 +33,14 @@ object VectorExpressions {
   /** k-minhash signature of an array<string> of shingles. */
   def minhashSignature(shingles: Column, k: Int): Column =
     column(MinHashSignature(expression(shingles), k))
+
+  /** Rolling word-n-gram shingle hashes (sorted distinct array<long>). */
+  def shingleHashes(text: Column, n: Int): Column =
+    column(ShingleHashes(expression(text), n))
+
+  /** k-minhash signature from precomputed shingle hashes. */
+  def minhashFromHashes(hashes: Column, k: Int): Column =
+    column(MinHashFromHashes(expression(hashes), k))
 }
 
 case class CosineSimilarity(left: Expression, right: Expression)
@@ -187,4 +195,104 @@ object MinHashSignature {
     })
   def as(k: Int): Array[Long] = params(k)._1
   def bs(k: Int): Array[Long] = params(k)._2
+}
+
+/** Rolling word-n-gram shingle hashes of a text column: whitespace
+  * tokenize, xxhash64 each token, combine each n-window with a mix —
+  * no intermediate shingle strings (the concat-per-window form dominated
+  * minhash cost). Output sorted+distinct so downstream set ops
+  * (array_intersect Jaccard) are order-stable.
+  */
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with codegen.CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val toks = ShingleHashes.tokenHashes(s)
+    val m = if (toks.length < n) 1 else toks.length - n + 1
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var h = -7046029254386353131L // xxhash prime seed
+      var j = 0
+      val lim = math.min(n, toks.length)
+      while (j < lim) {
+        h = java.lang.Long.rotateLeft(h ^ toks(i + j), 27) * 0x9E3779B185EBCA87L
+        j += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    var uniq = 0
+    var k = 0
+    while (k < m) {
+      if (k == 0 || out(k) != out(k - 1)) { out(uniq) = out(k); uniq += 1 }
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(out, uniq))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShingleHashes {
+  def tokenHashes(s: String): Array[Long] = {
+    val t = s.trim
+    val buf = new scala.collection.mutable.ArrayBuffer[Long]()
+    var start = 0
+    var i = 0
+    val n = t.length
+    while (i <= n) {
+      if (i == n || Character.isWhitespace(t.charAt(i))) {
+        if (i > start) {
+          val tok = UTF8String.fromString(t.substring(start, i))
+          buf += XxHash64Function.hash(tok, StringType, 42L)
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    if (buf.isEmpty) Array(XxHash64Function.hash(
+      UTF8String.fromString(""), StringType, 42L))
+    else buf.toArray
+  }
+}
+
+/** MinHash signature over an array<long> of shingle hashes (cheap affine
+  * family — the heavy string hashing already happened in ShingleHashes).
+  */
+case class MinHashFromHashes(child: Expression, k: Int)
+    extends UnaryExpression with codegen.CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = arr.numElements()
+    val mins = Array.fill(k)(Long.MaxValue)
+    val as = MinHashSignature.as(k)
+    val bs = MinHashSignature.bs(k)
+    var j = 0
+    while (j < n) {
+      val h = arr.getLong(j) & 0x7FFFFFFFL
+      var i = 0
+      while (i < k) {
+        val v = (as(i) * h + bs(i)) % MinHashSignature.P
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
