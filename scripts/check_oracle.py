@@ -9,6 +9,7 @@ import json, math, sys
 import duckdb
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
+prefixes = sys.argv[3].split(",") if len(sys.argv) > 3 else None
 
 con = duckdb.connect()
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
@@ -26,6 +27,8 @@ def canon(v):
 
 n_pass = n_fail = 0
 for name, sql in sorted(oracle.items()):
+    if prefixes and not any(name.startswith(p) for p in prefixes):
+        continue
     try:
         got = duckdb.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'",
                          connection=con)

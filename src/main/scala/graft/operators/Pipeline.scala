@@ -68,6 +68,40 @@ object Pipeline {
         .orderBy("id_a", "id_b")
     },
 
+    // exact-dedup materialization: corpus with only the kept rows
+    QueryDef("p16_dedup_materialize",
+      """SELECT d.doc_id, d.lang, d.source FROM documents d
+        |JOIN (SELECT md5(text) AS h, MIN(doc_id) AS keep FROM documents
+        |      GROUP BY 1) k
+        |  ON d.doc_id = k.keep""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val keep = Dedup.exact(docs, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      docs.join(keep, Seq("doc_id"), "left_semi")
+        .select("doc_id", "lang", "source")
+    },
+
+    // sketch-based distinct counting (HLL++) — deterministic within
+    // Spark but engine-specific, so rows-only
+    QueryDef.rowsOnly("p17_approx_distinct") { (s, dir) =>
+      t(s, dir, "lineitem").agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_suppkey")).as("approx_supps"),
+        count_distinct(col("l_partkey")).as("exact_parts"))
+    },
+
+    // near-dup pipeline end-to-end: find pairs, drop dupes (rows-only;
+    // the planted copies must all be gone)
+    QueryDef.rowsOnly("p18_dedup_pipeline") { (s, dir) =>
+      val planted = docsWithPlants(s, dir)
+      val pairs = Dedup.minhashPairs(planted, "doc_id", "text",
+        k = 64, bands = 16, threshold = 0.5)
+      Dedup.applyPairs(planted, "doc_id", pairs)
+        .agg(count(lit(1)).as("n_docs_kept"),
+          sum(when(col("doc_id") >= 1000000, 1).otherwise(0))
+            .as("plants_surviving"))
+    },
+
     // ---- similarity search --------------------------------------------
     QueryDef("p06_sim_brute",
       """WITH q AS (SELECT vec_id AS qid, embedding AS qvec
@@ -172,6 +206,17 @@ object Pipeline {
         .select(col("doc_id"),
           TextAnalysis.fingerprint(col("text")).as("fingerprint"))
         .orderBy("doc_id")
+    },
+
+    QueryDef("p19_token_bpe",
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text,
+         |    '${graft.pipeline.TextAnalysis.bpeTokenPattern}')) AS BIGINT)
+         |    AS n_bpe_tokens
+         |FROM documents""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.bpeTokenCount(col("text")).cast("long")
+          .as("n_bpe_tokens"))
     },
 
     // ---- multimodal ---------------------------------------------------

@@ -128,6 +128,15 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Materialize a deduplicated corpus from near-dup pairs: drop the
+    * higher id of every pair (greedy, one pass — at 100 TB this is a
+    * broadcast/semi-join of the pair list against the corpus; full
+    * connected-components clustering would iterate this).
+    */
+  def applyPairs(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    df.join(pairs.select(col("id_b").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+
   /** Character n-gram Jaccard near-dup pairs (LSH-bucketed by a single
     * cheap minhash band to avoid the global cross product).
     */

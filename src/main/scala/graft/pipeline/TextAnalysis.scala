@@ -101,6 +101,16 @@ object TextAnalysis {
         .otherwise(best.getField("l")))
   }
 
+  /** BPE-ish subword-boundary token count: letter runs, digit runs, and
+    * punctuation runs each count as one token (GPT2-style pretokenizer
+    * simplified to the RE2∩Java-safe subset so a DuckDB oracle can
+    * recompute it).
+    */
+  val bpeTokenPattern: String = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"
+
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpeTokenPattern), lit(0)))
+
   /** Rolling-hash fingerprint over the token stream: chained xxhash64
     * (hash of previous state + next token). Order-sensitive — permuted
     * documents get different prints — and overflow-free under ANSI mode.

@@ -120,6 +120,25 @@ class PipelineSpec extends SparkSpec {
     assert(fp(0) != fp(1))
   }
 
+  test("applyPairs drops every planted duplicate") {
+    val planted = docs.unionAll(docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" appended")).as("text")))
+    val pairs = Dedup.minhashPairs(planted, "doc_id", "text",
+      k = 64, bands = 16, threshold = 0.5)
+    val kept = Dedup.applyPairs(planted, "doc_id", pairs)
+    assert(kept.filter(col("doc_id") >= 1000000).count() == 0)
+    assert(kept.count() > 0)
+  }
+
+  test("bpe-ish token count splits letter/digit/punct runs") {
+    import spark.implicits._
+    val df = Seq((1L, "hello world42 foo-bar!")).toDF("doc_id", "text")
+    val n = df.select(TextAnalysis.bpeTokenCount(col("text"))).collect()(0).getInt(0)
+    // hello | " world" | "42" | " foo" | "-" | "bar" | "!"
+    assert(n == 7)
+  }
+
   test("multimodal decode stub: schema and determinism") {
     val withMedia = docs.limit(10)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
