@@ -43,6 +43,18 @@ object Streaming {
       Streams.runToMemory(s,
         Streams.userSessions(Streams.eventsStream(s, dir)),
         "s02_sessions")
+    },
+
+    // custom arbitrary state: flatMapGroupsWithState running stats — the
+    // single AvailableNow batch's final state must equal the batch agg
+    QueryDef("s03_stream_custom_state",
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS sum_value,
+        |  MAX(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS max_value
+        |FROM events GROUP BY user_id""".stripMargin) { (s, dir) =>
+      Streams.runToMemory(s,
+        Streams.userRunningStats(Streams.eventsStream(s, dir)),
+        "s03_custom_state", outputMode = "append")
     }
   )
 }

@@ -3,6 +3,10 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+/** Mutable per-user state for the flatMapGroupsWithState operator
+  * (top-level so Spark can derive a Product encoder). */
+final case class UserState(n: Long, sumCents: Long, maxCents: Long)
+
 /** Structured Streaming operators over the events table (extension tier —
   * the reference has no streaming, SURVEY §2.5; this is the same operator
   * set exposed over readStream).
@@ -47,17 +51,55 @@ object Streams {
       .select(col("user_id"), col("w.start").as("sess_start"),
         col("w.end").as("sess_end"), col("n_events"))
 
+  /** Per-user running statistics via flatMapGroupsWithState — the custom
+    * arbitrary-state operator (GroupState survives across micro-batches;
+    * with AvailableNow's single batch the final state equals the batch
+    * aggregate, which is what the oracle checks).
+    */
+  def userRunningStats(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"),
+        // exact cents so state accumulation is order-independent
+        round(col("value") * 100).cast("long").as("cents"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[UserState, (Long, Long, Double, Double)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[(Long, Long)], state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, 0L, Long.MinValue))
+          var n = prev.n; var sum = prev.sumCents; var mx = prev.maxCents
+          rows.foreach { case (_, cents) =>
+            n += 1; sum += cents; if (cents > mx) mx = cents
+          }
+          state.update(UserState(n, sum, mx))
+          Iterator((uid, n, sum / 100.0, mx / 100.0))
+      }
+      .toDF("user_id", "n_events", "sum_value", "max_value")
+  }
+
   /** Execute a streaming pipeline to completion (AvailableNow) into a
     * memory sink and return the materialized result.
+    *
+    * State-store count = shuffle partitions; a 32-thread local session
+    * would spin up 32 stores per stateful operator, dominating small-SF
+    * runtime — bound it for the gate run and restore after.
     */
-  def runToMemory(spark: SparkSession, df: DataFrame, name: String): DataFrame = {
-    val q = df.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
+  def runToMemory(spark: SparkSession, df: DataFrame, name: String,
+      outputMode: String = "complete"): DataFrame = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = df.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(outputMode)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(name)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 }
