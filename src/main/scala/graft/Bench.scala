@@ -24,6 +24,7 @@ object Bench {
     "p01_dedup_exact",    // digest groupBy
     "p02_dedup_minhash",  // LSH dedup
     "p06_sim_brute",      // ANN brute force
+    "p08_sim_ivf",        // ANN IVF routing
     "p10_text_quality",   // text expressions
     "p15_sessionize",     // window sessionization
     "s01_stream_hourly")  // structured streaming

@@ -223,7 +223,8 @@ object Pipeline {
     QueryDef.rowsOnly("p13_mm_decode") { (s, dir) =>
       val withMedia = t(s, dir, "documents")
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
-      val decoded = Multimodal.withDecodedMeta(withMedia)
+      val decoded = Multimodal.resizeMeta(
+        Multimodal.withDecodedMeta(withMedia), maxDim = 512)
       Multimodal.featureStub(
         Multimodal.frameSample(decoded), dim = 8)
         .select(col("doc_id"),
@@ -231,6 +232,8 @@ object Pipeline {
           col("meta.width").as("width"),
           col("meta.height").as("height"),
           col("meta.n_bytes").as("n_bytes"),
+          col("resized.width").as("resized_w"),
+          col("resized.height").as("resized_h"),
           size(col("frames")).cast("long").as("n_frames"),
           size(col("features")).cast("long").as("feat_dim"))
         .orderBy("doc_id")

@@ -71,6 +71,22 @@ object Multimodal {
         i => col(binCol).substr(
           (i * chunkSize * stride + lit(1)).cast("int"), lit(chunkSize))))
 
+  /** Resize stub: scales the decoded dimensions to fit a bounding box,
+    * preserving aspect ratio — pure metadata math (a real impl would also
+    * transform the payload per partition batch like `withDecodedMeta`).
+    */
+  def resizeMeta(df: DataFrame, maxDim: Int = 512,
+      metaCol: String = "meta", outCol: String = "resized"): DataFrame = {
+    val w = col(s"$metaCol.width")
+    val h = col(s"$metaCol.height")
+    val scale = least(lit(1.0), lit(maxDim) / greatest(w, h).cast("double"))
+    df.withColumn(outCol, struct(
+      col(s"$metaCol.format").as("format"),
+      floor(w * scale).cast("int").as("width"),
+      floor(h * scale).cast("int").as("height"),
+      col(s"$metaCol.n_bytes").as("n_bytes")))
+  }
+
   /** Feature-extraction stub: fixed-width feature vector from the bytes
     * (xxhash64-seeded — deterministic). Real impl = model inference per
     * partition batch; the output schema (array<float>) is what downstream
