@@ -68,15 +68,18 @@ object Cli {
       i += 1
     }
     rest = rest.reverse
-    // query detection: last non-flag arg containing a space
-    // (reference main.go:501-508)
-    val (files, query) = rest.lastOption match {
-      case Some(last) if last.contains(" ") => (rest.init, Some(last))
-      case _ => (rest, None)
-    }
+    // query detection: last non-flag arg containing a space — only when
+    // no -f file is given and there is more than one arg, so a single
+    // space-containing file path stays a file (reference main.go:502-521)
+    val (files, query) =
+      if (opts.sqlFile.isEmpty && rest.length > 1 &&
+        rest.last.contains(" ")) (rest.init, Some(rest.last))
+      else (rest, None)
     val sqlQuery = opts.sqlFile match {
       case Some(f) =>
-        val content = new String(Files.readAllBytes(Paths.get(f)), "UTF-8")
+        val path = Paths.get(f)
+        if (!Files.exists(path)) return Left(s"SQL file does not exist: $f.")
+        val content = new String(Files.readAllBytes(path), "UTF-8")
         if (content.trim.isEmpty) return Left("SQL file is empty.")
         Some(content)
       case None => query

@@ -47,6 +47,10 @@ object Dialect {
     * identifier-vs-string-literal decision on double quotes).
     */
   def translate(q: String, columns: Set[String]): String = {
+    // SQLite resolves quoted identifiers case-insensitively; Spark's
+    // analyzer is case-insensitive too, so matching by lowercase and
+    // emitting the quoted text as-typed resolves correctly.
+    val columnsLower = columns.map(_.toLowerCase)
     val sb = new StringBuilder
     var i = 0
     val n = q.length
@@ -58,7 +62,7 @@ object Dialect {
         case '"' => // quoted token: identifier or (fallback) string
           val j = endOfDoubleQuoted(q, i)
           val content = q.substring(i + 1, j - 1).replace("\"\"", "\"")
-          if (columns.contains(content))
+          if (columnsLower.contains(content.toLowerCase))
             sb.append('`').append(content.replace("`", "``")).append('`')
           else
             sb.append('\'').append(content.replace("'", "''")).append('\'')
@@ -92,20 +96,58 @@ object Dialect {
     * .py:392-398), divergent for string-valued extractions.
     */
   private val arrowRe: Regex =
-    """(`[^`]+`|[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)?)\s*->>?\s*('(?:[^']|'')*'|\d+)""".r
+    """(get_json_object\([^()]*\)|`[^`]+`|[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)?)\s*->>?\s*('(?:[^']|'')*'|\d+)""".r
 
-  private def arrowRewrite(q: String): String =
-    arrowRe.replaceAllIn(q, m => {
-      val target = m.group(1)
-      val key = m.group(2)
-      val jsonPath =
-        if (key.matches("\\d+")) s"'$$[$key]'"
-        else {
-          val content = key.substring(1, key.length - 1)
-          s"'$$.$content'"
+  /** Quote-aware: string literals are copied verbatim; the arrow regex
+    * only runs on non-literal segments, iterated to a fixpoint so chained
+    * `a->'x'->'y'` rewrites left-to-right (the left alternative matches
+    * the get_json_object(...) produced by the previous pass).
+    */
+  private def arrowRewrite(q: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    var segStart = 0
+    def flushSegment(end: Int): Unit = {
+      var seg = q.substring(segStart, end)
+      var prev: String = null
+      var rounds = 0
+      while (seg != prev && rounds < 8) {
+        prev = seg
+        seg = arrowRe.replaceAllIn(seg, m => {
+          val target = m.group(1)
+          val key = m.group(2)
+          val jsonPath =
+            if (key.matches("\\d+")) s"'$$[$key]'"
+            else {
+              val content = key.substring(1, key.length - 1)
+              s"'$$.$content'"
+            }
+          Regex.quoteReplacement(s"get_json_object($target, $jsonPath)")
+        })
+        rounds += 1
+      }
+      out.append(seg)
+    }
+    while (i < q.length) {
+      if (q.charAt(i) == '\'') {
+        // a literal that is an arrow's key operand belongs IN the segment
+        // (c->>'k'); only a freestanding literal is protected
+        var p = i - 1
+        while (p >= 0 && q.charAt(p).isWhitespace) p -= 1
+        val isArrowKey = p >= 1 && q.charAt(p) == '>' &&
+          (q.charAt(p - 1) == '-' || q.charAt(p - 1) == '>')
+        val j = endOfSingleQuoted(q, i)
+        if (!isArrowKey) {
+          flushSegment(i)
+          out.append(q.substring(i, j))
+          segStart = j
         }
-      Regex.quoteReplacement(s"get_json_object($target, $jsonPath)")
-    })
+        i = j
+      } else i += 1
+    }
+    flushSegment(q.length)
+    out.toString
+  }
 
   private def endOfSingleQuoted(q: String, start: Int): Int = {
     var i = start + 1

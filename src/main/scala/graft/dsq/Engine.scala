@@ -49,7 +49,9 @@ final class Engine(val spark: SparkSession) {
   def runQuery(files: Seq[String], mimes: Seq[Option[String]],
       query: String, opts: DsqOptions): DataFrame = {
     val (macroReplaced, refs) = Dialect.extractTableRefs(query)
-    val cache = new ContentHashCache(spark, files, opts.cacheEnabled)
+    // option flags that change ingestion output are part of the cache key
+    val cache = new ContentHashCache(spark, files, opts.cacheEnabled,
+      optsKey = if (opts.convertNumbers) "n" else "")
 
     var allColumns = Set.empty[String]
     refs.foreach { r =>
@@ -74,7 +76,9 @@ final class Engine(val spark: SparkSession) {
         val raw = mime match {
           case Some("xlsx") => Excel.readXlsx(spark, file, sheet = r.path)
           case Some("ods") => Excel.readOds(spark, file, sheet = r.path)
-          case _ => Readers.jsonPath(spark, file, r.path.get)
+          case Some("json") | None => Readers.jsonPath(spark, file, r.path.get)
+          case Some(other) => throw DsqError(
+            s"Path addressing is not supported for $other files.")
         }
         val flat = Flatten(raw)
         if (opts.convertNumbers) Flatten.convertNumbers(flat) else flat
@@ -133,7 +137,7 @@ final class Engine(val spark: SparkSession) {
   * the same ~13× cold/warm gap the reference exploits, but columnar.
   */
 final class ContentHashCache(spark: SparkSession, files: Seq[String],
-    enabled: Boolean) {
+    enabled: Boolean, optsKey: String = "") {
 
   lazy val cacheDir: java.nio.file.Path = {
     val md = java.security.MessageDigest.getInstance("SHA-1")
@@ -146,8 +150,9 @@ final class ContentHashCache(spark: SparkSession, files: Seq[String],
       } finally in.close()
     }
     val hash = md.digest().map("%02x".format(_)).mkString
+    val suffix = if (optsKey.isEmpty) "" else s"-$optsKey"
     Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-      s"dsqspark-cache-$hash")
+      s"dsqspark-cache-$hash$suffix")
   }
 
   private var warnedInvalid = false

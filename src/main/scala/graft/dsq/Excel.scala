@@ -15,7 +15,12 @@ import scala.xml.XML
 object Excel {
 
   private def zipEntry(path: String, name: String): Option[Array[Byte]] = {
-    val zf = new java.util.zip.ZipFile(path)
+    val zf =
+      try new java.util.zip.ZipFile(path)
+      catch { case _: java.io.IOException =>
+        // e.g. legacy binary .xls — not a ZIP container
+        throw DsqError(s"Invalid spreadsheet file (not a ZIP): $path.")
+      }
     try {
       Option(zf.getEntry(name)).map { e =>
         val in = zf.getInputStream(e)
@@ -102,14 +107,6 @@ object Excel {
     toDf(spark, rows.head, rows.tail)
   }
 
-  def odsSheetNames(path: String): Seq[String] = {
-    val content = XML.loadString(new String(
-      zipEntry(path, "content.xml").getOrElse(
-        throw DsqError(s"Invalid ods file: $path.")), "UTF-8"))
-    (content \\ "table").filter(_.prefix == "table")
-      .map(t => t.attributes.asAttrMap.getOrElse("table:name", ""))
-  }
-
   def readOds(spark: SparkSession, path: String,
       sheet: Option[String]): DataFrame = {
     val content = XML.loadString(new String(
@@ -136,8 +133,10 @@ object Excel {
           case _ => fmtNum(attrs.getOrElse("office:value",
             (c \ "p").map(_.text).mkString))
         }
-        // cap absurd trailing repeats (ODS pads to 2^14 columns)
-        val n = if (text.isEmpty) math.min(repeat, 1) else repeat
+        // honor interior repeats (consecutive blank cells shift later
+        // columns otherwise); cap only the absurd 2^14-column padding,
+        // which the trailing-empty trim below removes anyway
+        val n = math.min(repeat, 1024)
         (0 until n).foreach(_ => cells += text)
       }
       while (cells.nonEmpty && cells.last.isEmpty) cells.remove(cells.length - 1)

@@ -27,6 +27,17 @@ object Output {
     case d: java.sql.Date => renderString(d.toString)
     case b: Array[Byte] =>
       renderString(java.util.Base64.getEncoder.encodeToString(b))
+    // non-flattened results (split(), collect_list, named_struct, maps)
+    // must still render as valid JSON
+    case seq: scala.collection.Seq[_] =>
+      seq.map(renderValue).mkString("[", ",", "]")
+    case m: scala.collection.Map[_, _] =>
+      m.map { case (k, v) => renderString(String.valueOf(k)) + ":" + renderValue(v) }
+        .mkString("{", ",", "}")
+    case r: org.apache.spark.sql.Row =>
+      r.schema.fieldNames.zipWithIndex.sortBy(_._1)
+        .map { case (f, i) => renderString(f) + ":" + renderValue(r.get(i)) }
+        .mkString("{", ",", "}")
     case other => other.toString
   }
 

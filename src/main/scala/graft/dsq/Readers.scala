@@ -231,7 +231,9 @@ object Logfmt extends Serializable {
       val v =
         if (raw.startsWith("\"")) raw // already a JSON string with escapes
         else if (raw == "true" || raw == "false") raw
-        else if (raw.matches("-?\\d+(\\.\\d+)?([eE][+-]?\\d+)?")) raw
+        // leading-zero integers ("007") are invalid JSON numbers and
+        // would corrupt the whole row — keep them strings like logfmt does
+        else if (raw.matches("-?(0|[1-9]\\d*)(\\.\\d+)?([eE][+-]?\\d+)?")) raw
         else "\"" + raw.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
       if (!first) sb.append(',')
       sb.append('"').append(k.replace("\"", "\\\"")).append("\":").append(v)

@@ -15,6 +15,7 @@ object Stdlib {
     // --- expression-backed alias names (stay inside codegen) -----------
     import org.apache.spark.sql.catalyst.expressions._
     import org.apache.spark.sql.catalyst.expressions.aggregate._
+    import org.apache.spark.sql.types.DoubleType
     val reg = spark.sessionState.functionRegistry
     def alias(name: String)(builder: Seq[Expression] => Expression): Unit =
       reg.createOrReplaceTempFunction(name, builder, "built-in")
@@ -26,8 +27,9 @@ object Stdlib {
     alias("charindex")(e => StringInstr(e(1), e(0)))
     alias("proper")(e => InitCap(e(0)))
     alias("stdev")(e => StddevSamp(e(0)).toAggregateExpression())
-    alias("perc")(e =>
-      new Percentile(e(0), e(1)).toAggregateExpression())
+    alias("perc")(e => // stdlib contract: percentage in 0-100
+      new Percentile(e(0),
+        Divide(Cast(e(1), DoubleType), Literal(100.0))).toAggregateExpression())
     Seq(25, 50, 75, 90, 95, 99).foreach { p =>
       alias(s"percentile_$p")(e =>
         new Percentile(e(0), Literal(p / 100.0)).toAggregateExpression())

@@ -11,6 +11,23 @@ class CliSpec extends AnyFunSuite {
     assert(a.query == Some("SELECT * FROM {}"))
   }
 
+  test("single space-containing arg stays a file (reference parity)") {
+    val Right(a) = Cli.parse(Array("my data.csv")): @unchecked
+    assert(a.files == Seq("my data.csv") && a.query.isEmpty)
+  }
+
+  test("-f disables query-vs-file heuristic") {
+    val Right(a) = Cli.parse(Array("-f",
+      "/root/reference/testdata/sql/simple.sql", "my data.csv")): @unchecked
+    assert(a.files == Seq("my data.csv"))
+    assert(a.query.exists(_.contains("SELECT")))
+  }
+
+  test("-f with missing file gives a clean error") {
+    assert(Cli.parse(Array("x.csv", "-f", "/nope.sql"))
+      == Left("SQL file does not exist: /nope.sql."))
+  }
+
   test("no query: all args are files") {
     val Right(a) = Cli.parse(Array("f.csv")): @unchecked
     assert(a.files == Seq("f.csv") && a.query.isEmpty)

@@ -68,6 +68,21 @@ class DialectSpec extends AnyFunSuite {
     }
   }
 
+  test("arrow inside a string literal is untouched") {
+    val q = "SELECT 'a->1' AS j FROM t_0"
+    assert(Dialect.translate(q, Set.empty) == q)
+  }
+
+  test("chained arrows rewrite left-to-right") {
+    assert(Dialect.translate("SELECT data->'a'->'b' FROM t_0", Set("data"))
+      == "SELECT get_json_object(get_json_object(data, '$.a'), '$.b') FROM t_0")
+  }
+
+  test("quoted identifiers resolve case-insensitively (SQLite semantics)") {
+    assert(Dialect.translate("""SELECT "Name" FROM t_0""", Set("name"))
+      == "SELECT `Name` FROM t_0")
+  }
+
   test("string literals survive translation verbatim") {
     val q = "SELECT 'it''s a ''test'' REGEXP \"x\"' FROM t_0"
     assert(Dialect.translate(q, Set.empty) == q)

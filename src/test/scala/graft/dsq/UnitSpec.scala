@@ -79,6 +79,24 @@ class UnitSpec extends SparkSpec {
     assert(node.get("b").asBoolean)
   }
 
+  test("logfmt leading-zero values stay strings (valid JSON)") {
+    val json = Logfmt.lineToJson("user=alice pid=007 ok=0 n=10")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(json)
+    assert(node.get("pid").asText == "007")
+    assert(node.get("pid").isTextual)
+    assert(node.get("ok").asInt == 0)
+    assert(node.get("n").asInt == 10)
+  }
+
+  test("json output renders arrays and structs as JSON") {
+    import spark.implicits._
+    val df = Seq((1, Seq("a", "b"))).toDF("n", "parts")
+    val sb = new java.lang.StringBuilder
+    Output.json(df, sb)
+    assert(sb.toString == """[{"n":1,"parts":["a","b"]}]""")
+  }
+
   test("cjson splitter handles concatenated values with nested strings") {
     val vals = Readers.splitConcatenatedJson(
       """{"a": "}{"}[1,2]{"b": {"c": [3]}}""")
