@@ -27,6 +27,7 @@ object Formats {
     */
   private def withDsqSession[T](s: SparkSession)(f: => T): T = {
     val prev = s.conf.get("spark.sql.ansi.enabled", "true")
+    s.conf.set("spark.sql.ansi.enabled", "false")
     try f finally s.conf.set("spark.sql.ansi.enabled", prev)
   }
 

@@ -160,8 +160,10 @@ object Pipeline {
       s"""WITH base AS (
          |  SELECT doc_id, text,
          |    CAST(length(text) AS BIGINT) AS n_chars,
-         |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-         |         ELSE string_split_regex(trim(text), '\\s+') END AS toks,
+         |    CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')) = 0
+         |         THEN CAST([] AS VARCHAR[])
+         |         ELSE string_split_regex(
+         |           regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') END AS toks,
          |    CAST(length(text) -
          |      length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS BIGINT)
          |      AS n_punct

@@ -27,7 +27,7 @@ object Streaming {
         |  SELECT user_id, event_id, ts,
         |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
         |                                 ORDER BY ts, event_id)
-        |              > INTERVAL '30 minutes'
+        |              >= INTERVAL '30 minutes'
         |         THEN 1 ELSE 0 END AS new_sess
         |  FROM events),
         |sess AS (

@@ -29,20 +29,6 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dupes"))
 
-  /** Word n-gram shingles of the token stream. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = TextAnalysis.tokens(text)
-    when(size(toks) < n, array(concat_ws(" ", toks)))
-      .otherwise(transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
-  }
-
-  /** k minhash values of a shingle set (seeded affine hash family; native
-    * expression — one string hash per shingle, k affine updates).
-    */
-  def minhashes(sh: Column, k: Int): Column =
-    org.apache.spark.sql.graft.VectorExpressions.minhashSignature(sh, k)
-
   /** MinHash + banded-LSH near-duplicate pairs with Jaccard verification.
     *
     * @param k     total minhashes (bands * rowsPerBand)
@@ -80,6 +66,10 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
+    // NOTE: `sigs` stays persisted for the life of the plan — the barrier
+    // is required (CollapseProject) and unpersisting before the caller's
+    // action would recompute; long-lived sessions should clear it via
+    // spark.catalog.clearCache() between corpus runs.
     // verify true n-gram Jaccard: join the shingle sets back by id (one
     // hash-join per side instead of per band)
     val sh = sigs.select(col("id"), col("sh"))
@@ -108,13 +98,20 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     val chunks = maxHamming + 1
-    val bitsPer = 64 / chunks
+    // chunk boundaries must cover ALL 64 bits (a pair's differing bits
+    // could otherwise hide in uncovered high bits and evade every chunk);
+    // sizes of ceil/floor(64/chunks), and masks computed without the
+    // (1L << 64) == 1 shift-mod-64 trap
+    val bounds = (0 to chunks).map(c => c * 64 / chunks)
     val sig = df.select(col(idCol).as("id"),
       simhash(col(textCol)).as("sig"))
+    val chunkCols = (0 until chunks).map { c =>
+      val lo = bounds(c); val width = bounds(c + 1) - lo
+      val mask = if (width >= 64) -1L else (1L << width) - 1
+      call_function("shiftright", col("sig"), lit(lo)).bitwiseAND(mask)
+    }
     val chunked = sig.select(col("id"), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(chunks - 1)),
-        c => call_function("shiftright", col("sig"), c * lit(bitsPer))
-          .bitwiseAND((1L << bitsPer) - 1))))
+      posexplode(array(chunkCols: _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ckey")
     val a = chunked.select(col("chunk"), col("ckey"),
       col("id").as("id_a"), col("sig").as("sig_a"))

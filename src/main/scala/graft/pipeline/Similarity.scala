@@ -115,11 +115,13 @@ object Similarity {
     // runs. Collecting nCells rows to the driver is the broadcast-variable
     // pattern: cell assignment then runs as a pure per-row expression with
     // NO shuffle (k-means iterations would add cost, not determinism).
+    // cells are labelled by centroid INDEX (0..nCells-1) — the id column
+    // only seeds the deterministic sample order, so any id type works
     val centroids: Array[(Long, Seq[Float])] = corpus
-      .select(col(idCol).cast("long"), col(vecCol),
-        xxhash64(col(idCol)).as("h"))
+      .select(col(vecCol), xxhash64(col(idCol)).as("h"))
       .orderBy("h").limit(nCells).drop("h")
-      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .collect().zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Float](0)) }
     def litVec(v: Seq[Float]): Column = array(v.map(lit): _*)
     // nProbe nearest cells: sort a small literal struct array. (A naive
     // when()-chained fold-argmax doubles the expression tree per centroid

@@ -13,10 +13,17 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** Strip ALL leading/trailing whitespace (Spark's trim removes only
+    * spaces — a trailing newline/tab would otherwise yield a phantom
+    * empty token from split's keep-trailing-empties behavior).
+    */
+  private def wstrim(text: Column): Column =
+    regexp_replace(text, "^\\s+|\\s+$", "")
+
   /** Whitespace tokenization; empty/blank text → empty array (not [""]). */
   def tokens(text: Column): Column =
-    when(length(trim(text)) === 0, array().cast("array<string>"))
-      .otherwise(split(trim(text), "\\s+"))
+    when(length(wstrim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(wstrim(text), "\\s+"))
 
   def tokenCount(text: Column): Column = size(tokens(text))
 

@@ -24,10 +24,14 @@ object Streams {
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    spark.readStream.schema(schema)
+    val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    // same dtype guard as Tables.load: only rewrite when the reader
+    // surfaced nanos-as-long (a regenerated micros file needs no rewrite)
+    if (schema("ts").dataType.typeName == "long")
+      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else raw
   }
 
   /** Tumbling event-time window aggregation with a watermark. */

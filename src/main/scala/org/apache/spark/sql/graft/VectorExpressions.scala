@@ -51,10 +51,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
 
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    // mismatched dimensionality = corrupt input -> null (like zip_with)
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
@@ -63,7 +67,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
       dot += xi * yi; nx += xi * xi; ny += yi * yi
       i += 1
     }
-    dot / (math.sqrt(nx) * math.sqrt(ny))
+    // zero-norm vectors have no direction: similarity 0, not NaN (NaN
+    // sorts FIRST under desc ordering and passes >= thresholds)
+    if (nx == 0.0 || ny == 0.0) 0.0
+    else dot / (math.sqrt(nx) * math.sqrt(ny))
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -74,14 +81,19 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val nx = ctx.freshName("nx")
       val ny = ctx.freshName("ny")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double x = (double) $a.getFloat($i);
-         |  double y = (double) $b.getFloat($i);
-         |  $dot += x * y; $nx += x * x; $ny += y * y;
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double x = (double) $a.getFloat($i);
+         |    double y = (double) $b.getFloat($i);
+         |    $dot += x * y; $nx += x * x; $ny += y * y;
+         |  }
+         |  ${ev.value} = ($nx == 0.0 || $ny == 0.0) ? 0.0
+         |    : $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
        """.stripMargin
     })
 

@@ -139,6 +139,20 @@ class PipelineSpec extends SparkSpec {
     assert(n == 7)
   }
 
+  test("zero-norm and mismatched vectors rank last, never first") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)),
+      (2L, Seq(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val bad = Seq((9L, Seq(1.0f))).toDF("vec_id", "embedding")
+    val queries = Seq((100L, Seq(1.0f, 0.0f))).toDF("qid", "qvec")
+    val top = Similarity.bruteForceTopK(corpus.unionAll(bad), queries, 4)
+      .orderBy("rank").collect()
+    assert(top.map(_.getLong(1)).toSeq == Seq(0L, 1L, 2L, 9L))
+    assert(top(2).getDouble(2) == 0.0) // zero-norm -> 0, not NaN
+    assert(top(3).isNullAt(2)) // dimension mismatch -> null
+  }
+
   test("multimodal decode stub: schema and determinism") {
     val withMedia = docs.limit(10)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
