@@ -143,13 +143,18 @@ object Functions {
           count(when(col("o_orderstatus") === "P", 1)).as("n_p"))
     },
 
-    // F3: statistics aggregates (rounded — parallel vs sequential ulps).
+    // F3: statistics aggregates. Percentiles interpolate over exact
+    // integer cents — quarter-fraction interpolation of integers is
+    // exact in IEEE double, so both engines agree bit-for-bit with NO
+    // rounding (rounding interpolated 2-decimal values hits .xx5 ties
+    // where engine FP paths differ — seen at sf0.1). stddev/var keep
+    // rounding (parallel vs sequential accumulation ulps).
     QueryDef("q29_stats",
       """SELECT c_nationkey,
         |  ROUND(STDDEV_SAMP(c_acctbal), 2) AS sd,
         |  ROUND(VAR_SAMP(c_acctbal), 1) AS var,
-        |  ROUND(MEDIAN(c_acctbal), 2) AS med,
-        |  ROUND(QUANTILE_CONT(c_acctbal, 0.75), 2) AS p75,
+        |  MEDIAN(CAST(ROUND(c_acctbal * 100) AS BIGINT)) / 100.0 AS med,
+        |  QUANTILE_CONT(CAST(ROUND(c_acctbal * 100) AS BIGINT), 0.75) / 100.0 AS p75,
         |  MIN(c_acctbal) AS mn, MAX(c_acctbal) AS mx,
         |  COUNT(*) AS n
         |FROM customer GROUP BY c_nationkey""".stripMargin) { (s, dir) =>
@@ -157,8 +162,10 @@ object Functions {
         .agg(
           round(stddev_samp(col("c_acctbal")), 2).as("sd"),
           round(var_samp(col("c_acctbal")), 1).as("var"),
-          round(expr("percentile(c_acctbal, 0.5)"), 2).as("med"),
-          round(expr("percentile(c_acctbal, 0.75)"), 2).as("p75"),
+          (expr("percentile(CAST(ROUND(c_acctbal * 100) AS BIGINT), 0.5)") / 100.0)
+            .as("med"),
+          (expr("percentile(CAST(ROUND(c_acctbal * 100) AS BIGINT), 0.75)") / 100.0)
+            .as("p75"),
           min("c_acctbal").as("mn"), max("c_acctbal").as("mx"),
           count(lit(1)).as("n"))
     },
