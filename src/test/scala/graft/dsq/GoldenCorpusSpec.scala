@@ -228,6 +228,15 @@ class GoldenCorpusSpec extends SparkSpec {
         |{"Name":"Fountainer","Score":100}]""".stripMargin))
   }
 
+  test("Concatenated JSON end-to-end (S5)") {
+    val f = java.nio.file.Files.createTempFile("cjson-test", ".cjson")
+    java.nio.file.Files.writeString(f,
+      """{"a": 1, "b": "x"}{"a": 2, "b": "y"}
+        |{"a": 3, "b": "z"}""".stripMargin)
+    val out = run(Seq(f.toString), "SELECT COUNT(1) AS n, SUM(a) AS s FROM {}")
+    assert(canonJson(out) == canonJson("""[{"n":3,"s":6}]"""))
+  }
+
   // regressions
   test("regr #36 arrow operator (test.py:392-394)") {
     val out = run(Seq(s"$td/regr/36.json"), "SELECT c->1 AS secondc FROM {}")
