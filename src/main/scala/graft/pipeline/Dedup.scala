@@ -13,12 +13,13 @@ import org.apache.spark.sql.functions._
   *              cross-product is per-bucket, never global.
   *  - simhash:  64-bit signature; hamming≤3 dedup via 4×16-bit chunk
   *              pigeonhole — again a pure equi-join, no similarity scan.
-  *  - ngram:    Jaccard verification joined back by doc id.
+  *  - ngram:    banded minhash LSH over char n-gram hashes, exact-string
+  *              Jaccard verification joined back by doc id.
   *  - embedding: random-hyperplane LSH buckets + in-bucket cosine.
   *
-  * Skew note: a degenerate band bucket (e.g. many empty documents) would
-  * explode the in-bucket pairing; AQE skew-join handles moderate skew and
-  * `maxBucket` caps the pathological case explicitly.
+  * Skew note: every bucket key is a whole LSH band (r independent
+  * min-hashes), so no single common shingle/gram can funnel the corpus
+  * into one bucket; residual moderate skew is AQE skew-join territory.
   */
 object Dedup {
 
@@ -28,6 +29,49 @@ object Dedup {
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dupes"))
+
+  /** Materialize a signature DataFrame to a temp-parquet barrier and read
+    * it back. Serves two purposes at once: it is the CollapseProject
+    * barrier (without it the minhash expression inlines into every band
+    * slice — k×bands recompute per row, measured 14× slower at sf0.1),
+    * and unlike a plan-lifetime `persist()` it leaks nothing into the
+    * session's block manager — `getPersistentRDDs` stays empty. At 100 TB
+    * the signature table (~100 bytes/doc regardless of doc size) is what
+    * you'd write to durable scratch storage anyway; swap the temp dir for
+    * a real path and the plan is unchanged.
+    */
+  private[pipeline] def materializeBarrier(df: DataFrame, tag: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft-$tag-")
+    val path = dir.toString
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir.toFile)
+    }
+    df.write.mode("overwrite").parquet(path)
+    df.sparkSession.read.parquet(path)
+  }
+
+  /** Banded-LSH candidate pairs from a (id, mh) signature table: explode
+    * to one (band, bucket) key per band — only (id, band, bucket) flows
+    * through the shuffle (carrying the signature arrays 16× through it
+    * was a 7× slowdown at sf0.1) — and self-join per key. Documents only
+    * meet when a whole band agrees, so the cross product is per-bucket.
+    */
+  private[pipeline] def bandedCandidates(sigs: DataFrame, bands: Int, r: Int): DataFrame = {
+    val banded = sigs.select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(b, concat_ws(",",
+            slice(col("mh"), b * r + lit(1), lit(r)).cast("array<string>"))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
 
   /** MinHash + banded-LSH near-duplicate pairs with Jaccard verification.
     *
@@ -41,35 +85,14 @@ object Dedup {
     val r = k / bands
     // Shingles live as hash arrays (native ShingleHashes — no per-window
     // string building), and the Jaccard verification below intersects
-    // hash sets, not strings. Materialize the signature table: without
-    // the persist barrier, CollapseProject inlines the minhash expression
-    // into every band slice (k×bands recompute per row — measured 14×
-    // slower at sf0.1). At 100 TB the signature table is what you'd
-    // write to storage anyway: ~100 bytes/doc regardless of doc size.
+    // hash sets, not strings.
     import org.apache.spark.sql.graft.VectorExpressions
-    val sigs = df
+    val sigs = materializeBarrier(df
       .select(col(idCol).as("id"),
         VectorExpressions.shingleHashes(col(textCol), shingleN).as("sh"))
-      .withColumn("mh", VectorExpressions.minhashFromHashes(col("sh"), k))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // band → bucket key. Only (id, band, bucket) shuffles — the shingle
-    // arrays stay out of the explode and the bucket self-join (carrying
-    // them 16× through the shuffle was a 7× slowdown at sf0.1).
-    val banded = sigs.select(col("id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(b, concat_ws(",",
-            slice(col("mh"), b * r + lit(1), lit(r)).cast("array<string>"))))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val cand = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
-      .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
-        Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
-    // NOTE: `sigs` stays persisted for the life of the plan — the barrier
-    // is required (CollapseProject) and unpersisting before the caller's
-    // action would recompute; long-lived sessions should clear it via
-    // spark.catalog.clearCache() between corpus runs.
+      .withColumn("mh", VectorExpressions.minhashFromHashes(col("sh"), k)),
+      "minhash-sigs")
+    val cand = bandedCandidates(sigs, bands, r)
     // verify true n-gram Jaccard: join the shingle sets back by id (one
     // hash-join per side instead of per band)
     val sh = sigs.select(col("id"), col("sh"))
@@ -134,22 +157,39 @@ object Dedup {
     df.join(pairs.select(col("id_b").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
 
-  /** Character n-gram Jaccard near-dup pairs (LSH-bucketed by a single
-    * cheap minhash band to avoid the global cross product).
+  /** Character n-gram Jaccard near-dup pairs, LSH-bucketed by bands×r
+    * minhash mini-signatures over the gram hashes — the same banded shape
+    * as [[minhashPairs]]. An earlier version bucketed on the single global
+    * min gram hash, which is a scale-killer: one common n-gram that hashes
+    * minimal ("the ") funnels a large fraction of the corpus into ONE
+    * bucket (quadratic in-bucket join that AQE cannot split away), and its
+    * recall is only j per pair (missed 27 of 81 true pairs at sf0.01).
+    * Banding fixes both: a bucket key needs r independent min-hashes to
+    * agree (no single hot gram dominates) and recall is 1-(1-j^r)^b
+    * (~1-6e-7 at j=0.9 with b=8, r=2).
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 4, threshold: Double = 0.5): DataFrame = {
-    val withGrams = df.select(col(idCol).as("id"), col(textCol).as("t"))
+      n: Int = 4, threshold: Double = 0.5,
+      bands: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    import org.apache.spark.sql.graft.VectorExpressions
+    val k = bands * rowsPerBand
+    // grams stay as strings for exact verification; the LSH runs on their
+    // hashes. Same temp-parquet barrier as minhashPairs (CollapseProject
+    // would otherwise inline gram construction into every band slice).
+    val sigs = materializeBarrier(df
+      .select(col(idCol).as("id"), col(textCol).as("t"))
       .withColumn("grams", array_distinct(expr(
         s"transform(sequence(1, greatest(length(t) - ${n - 1}, 1)), " +
           s"i -> substring(t, i, $n))")))
-      .withColumn("bucket",
-        array_min(transform(col("grams"), g => xxhash64(g))))
-    val a = withGrams.select(col("bucket"), col("id").as("id_a"),
-      col("grams").as("g_a"))
-    val b = withGrams.select(col("bucket"), col("id").as("id_b"),
-      col("grams").as("g_b"))
-    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .withColumn("mh", VectorExpressions.minhashFromHashes(
+        transform(col("grams"), g => xxhash64(g)), k))
+      .select("id", "grams", "mh"),
+      "ngram-sigs")
+    val cand = bandedCandidates(sigs, bands, rowsPerBand)
+    val g = sigs.select(col("id"), col("grams"))
+    cand
+      .join(g.select(col("id").as("id_a"), col("grams").as("g_a")), Seq("id_a"))
+      .join(g.select(col("id").as("id_b"), col("grams").as("g_b")), Seq("id_b"))
       .withColumn("jaccard",
         size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
           size(array_union(col("g_a"), col("g_b"))))

@@ -57,6 +57,69 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.count() == 10)
   }
 
+  test("ngram LSH finds every exhaustive above-threshold pair (perfect recall)") {
+    // the whole point of the banded rework: the single-min-gram bucket
+    // missed 27 of 81 true pairs at sf0.01; banding must miss none
+    val planted = docs.unionAll(docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" appended")).as("text")))
+    val lsh = Dedup.ngramJaccardPairs(planted, "doc_id", "text",
+      n = 4, threshold = 0.5)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exhaustive ground truth: all-pairs char-4-gram Jaccard
+    val grams = planted.select(col("doc_id"), array_distinct(expr(
+      "transform(sequence(1, greatest(length(text) - 3, 1)), " +
+        "i -> substring(text, i, 4))")).as("g"))
+    val exhaustive = grams.as("a").join(grams.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .withColumn("j",
+        size(array_intersect(col("a.g"), col("b.g"))).cast("double") /
+          size(array_union(col("a.g"), col("b.g"))))
+      .filter(col("j") >= 0.5)
+      .select(col("a.doc_id"), col("b.doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exhaustive.nonEmpty)
+    assert(lsh == exhaustive,
+      s"LSH missed ${(exhaustive -- lsh).size} of ${exhaustive.size} pairs")
+  }
+
+  test("banded buckets have no hot-gram magnet (skew bound)") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.VectorExpressions
+    // 200 mutually-dissimilar docs (long seeded-random bodies, pairwise
+    // gram Jaccard ~0.02) that ALL share a common tail ("the end"):
+    // bucketing on a single global min gram hash can funnel a corpus
+    // sharing one hot gram into one bucket (quadratic); banded
+    // mini-signatures must keep candidates near the true-match count
+    val n = 200
+    val df = (0 until n).map { i =>
+        val rnd = new scala.util.Random(i)
+        val body = Seq.fill(240)("0123456789abcdef"(rnd.nextInt(16))).mkString
+        (i.toLong, s"$body the end")
+      }
+      .toDF("id", "t")
+      .withColumn("grams", array_distinct(expr(
+        "transform(sequence(1, greatest(length(t) - 3, 1)), " +
+          "i -> substring(t, i, 4))")))
+      .withColumn("mh", VectorExpressions.minhashFromHashes(
+        transform(col("grams"), g => xxhash64(g)), 16))
+      .select("id", "grams", "mh")
+    val nCand = Dedup.bandedCandidates(df, bands = 8, r = 2).count()
+    // all-pairs would be n*(n-1)/2 = 19900; a hot bucket of even a third
+    // of the corpus would exceed 2000 pairs on its own
+    assert(nCand < n * 4, s"candidate blowup: $nCand pairs from $n docs")
+  }
+
+  test("minhash/ngram leave nothing persisted (temp-parquet barrier)") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+      k = 64, bands = 16, threshold = 0.5)
+    pairs.count() // materialize
+    Dedup.ngramJaccardPairs(docs.limit(50), "doc_id", "text").count()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "signature cache leaked into the block manager")
+  }
+
   test("LSH ANN recall vs brute force") {
     val queries = vecs.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
@@ -151,6 +214,27 @@ class PipelineSpec extends SparkSpec {
     assert(top.map(_.getLong(1)).toSeq == Seq(0L, 1L, 2L, 9L))
     assert(top(2).getDouble(2) == 0.0) // zero-norm -> 0, not NaN
     assert(top(3).isNullAt(2)) // dimension mismatch -> null
+  }
+
+  test("sessionize: exactly-30-min gap starts a new session, 1µs less does not") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val base = 1700000000000000L // epoch µs
+    def ts(us: Long) = {
+      val t = new Timestamp((us / 1000000L) * 1000L)
+      t.setNanos(((us % 1000000L) * 1000L).toInt)
+      t
+    }
+    val df = Seq(
+      (1L, 1L, ts(base)),
+      (1L, 2L, ts(base + 1800000000L)),      // gap == 30 min → NEW session
+      (2L, 3L, ts(base)),
+      (2L, 4L, ts(base + 1800000000L - 1L))  // gap == 30 min - 1µs → same
+    ).toDF("user_id", "event_id", "ts")
+    val out = graft.operators.Pipeline.sessionize(df)
+      .orderBy("user_id", "sess_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(2))).toSeq ==
+      Seq((1L, 1L), (1L, 1L), (2L, 2L)))
   }
 
   test("multimodal decode stub: schema and determinism") {
