@@ -70,9 +70,14 @@ object Cli {
     rest = rest.reverse
     // query detection: last non-flag arg containing a space — only when
     // no -f file is given and there is more than one arg, so a single
-    // space-containing file path stays a file (reference main.go:502-521)
+    // space-containing file path stays a file (reference main.go:502-521).
+    // The reference prepends the stdin temp file BEFORE this length
+    // check (main.go:484-506), so with `-s type` a single remaining arg
+    // is already the second file and stays query-eligible:
+    // `cat f.csv | dsq -s csv "SELECT …"` runs the query, not a dump.
+    val effectiveLen = rest.length + (if (opts.stdinType.isDefined) 1 else 0)
     val (files, query) =
-      if (opts.sqlFile.isEmpty && rest.length > 1 &&
+      if (opts.sqlFile.isEmpty && effectiveLen > 1 && rest.nonEmpty &&
         rest.last.contains(" ")) (rest.init, Some(rest.last))
       else (rest, None)
     val sqlQuery = opts.sqlFile match {

@@ -39,7 +39,12 @@ object Dialect {
     r.path match {
       case None => s"t_${r.index}"
       case Some(p) =>
-        s"t_${r.index}_p" + math.abs(p.hashCode).toString
+        // unsigned hex of a 64-bit FNV-1a — math.abs(hashCode) kept the
+        // sign for Int.MinValue (invalid identifier) and 32 bits invites
+        // path collisions silently binding one path's data to the other
+        var h = 0xcbf29ce484222325L
+        p.foreach { c => h ^= c; h *= 0x100000001b3L }
+        s"t_${r.index}_p" + java.lang.Long.toHexString(h)
     }
 
   /** Token-level translation with full quote awareness. `columns` is the
@@ -87,16 +92,17 @@ object Dialect {
     arrowRewrite(sb.toString)
   }
 
-  /** `expr -> key` / `expr ->> key` → `get_json_object(expr, '$…')`.
-    * Operand forms: identifier/backticked column/closing-paren group on
-    * the left; integer or string literal on the right. NOTE: SQLite `->`
-    * returns a JSON fragment (strings stay quoted) while `->>` returns
-    * text; both map to get_json_object here — identical for numeric
-    * values (the reference's own regression surface, scripts/test
-    * .py:392-398), divergent for string-valued extractions.
+  /** `expr -> key` / `expr ->> key`. SQLite semantics (reference
+    * README.md:389-403): `->` returns a JSON fragment — string values
+    * KEEP their quotes — while `->>` returns raw text. `->>` maps to
+    * Spark's codegen'd get_json_object (same raw-text contract); `->`
+    * maps to the dsq_json_frag UDF (Stdlib) which re-serializes the
+    * extracted node as JSON. Operand forms: identifier/backticked
+    * column/previous arrow result on the left; integer or string literal
+    * on the right.
     */
   private val arrowRe: Regex =
-    """(get_json_object\([^()]*\)|`[^`]+`|[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)?)\s*->>?\s*('(?:[^']|'')*'|\d+)""".r
+    """((?:get_json_object|dsq_json_frag)\([^()]*\)|`[^`]+`|[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)?)\s*(->>?)\s*('(?:[^']|'')*'|\d+)""".r
 
   /** Quote-aware: string literals are copied verbatim; the arrow regex
     * only runs on non-literal segments, iterated to a fixpoint so chained
@@ -115,14 +121,16 @@ object Dialect {
         prev = seg
         seg = arrowRe.replaceAllIn(seg, m => {
           val target = m.group(1)
-          val key = m.group(2)
+          val op = m.group(2)
+          val key = m.group(3)
           val jsonPath =
             if (key.matches("\\d+")) s"'$$[$key]'"
             else {
               val content = key.substring(1, key.length - 1)
               s"'$$.$content'"
             }
-          Regex.quoteReplacement(s"get_json_object($target, $jsonPath)")
+          val fn = if (op == "->>") "get_json_object" else "dsq_json_frag"
+          Regex.quoteReplacement(s"$fn($target, $jsonPath)")
         })
         rounds += 1
       }

@@ -103,8 +103,13 @@ final class Engine(val spark: SparkSession) {
   def dumpFile(file: String, mime: Option[String], opts: DsqOptions): String = {
     val sb = new java.lang.StringBuilder
     if (opts.schema) {
-      val raw = readRaw(file, mime)
-      val shape = Shape.ofTable(raw.schema)
+      val resolved = mime.orElse(Readers.mimeOf(Readers.extensionOf(file)))
+      // Avro carries a declared schema with unions; Spark's JSON-inference
+      // path erases them, so shape avro files from the container schema
+      // (renders "Varied of …" like the reference)
+      val shape =
+        if (resolved.contains("avro")) Shape.ofAvroFile(file)
+        else Shape.ofTable(readRaw(file, mime).schema)
       if (opts.pretty) sb.append(Shape.toPretty(shape))
       else sb.append(Shape.toJson(shape))
     } else {

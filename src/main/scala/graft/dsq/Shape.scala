@@ -11,6 +11,10 @@ object Shape {
   final case class Scalar(name: String) extends Shape
   final case class Arr(of: Shape) extends Shape
   final case class Obj(fields: Seq[(String, Shape)]) extends Shape
+  /** A value sampled/declared with more than one kind (Avro unions,
+    * mixed-type JSON columns) — reference README.md:445-490 "Varied of".
+    */
+  final case class Varied(of: Seq[Shape]) extends Shape
   case object Unknown extends Shape
 
   def ofDataType(dt: DataType): Shape = dt match {
@@ -29,6 +33,53 @@ object Shape {
 
   /** A file table is always an array of row objects. */
   def ofTable(schema: StructType): Shape = Arr(ofDataType(schema))
+
+  /** Shape straight from an Avro schema: unions become Varied. Spark's
+    * JSON-inference path erases unions (a null branch just makes the
+    * field nullable), so the avro reader derives the shape from the
+    * declared schema instead — matching the reference's rendering of
+    * testdata/avro/test_data.avro (README.md:453-490): each non-null
+    * union branch appears as the avro JSON encoding's single-key object
+    * ({"long": …}), the null branch renders last as Unknown, and record
+    * fields sort alphabetically like every other dsq object.
+    */
+  def ofAvro(schema: org.apache.avro.Schema): Shape = {
+    import org.apache.avro.Schema.Type._
+    import scala.jdk.CollectionConverters._
+    schema.getType match {
+      case RECORD =>
+        Obj(schema.getFields.asScala.toSeq.sortBy(_.name)
+          .map(f => f.name -> ofAvro(f.schema())))
+      case UNION =>
+        val branches = schema.getTypes.asScala.toSeq
+        val nonNull = branches.filter(_.getType != NULL)
+        nonNull match {
+          case Seq(only) if branches.length == 1 => ofAvro(only)
+          case _ =>
+            val shapes = nonNull.map(b =>
+              Obj(Seq(b.getName -> ofAvro(b)))) ++
+              (if (branches.exists(_.getType == NULL)) Seq(Unknown) else Nil)
+            if (shapes.length == 1) shapes.head else Varied(shapes)
+        }
+      case ARRAY => Arr(ofAvro(schema.getElementType))
+      case MAP => Obj(Nil)
+      case STRING | BYTES | FIXED | ENUM => Scalar("string")
+      case INT | LONG | FLOAT | DOUBLE => Scalar("number")
+      case BOOLEAN => Scalar("boolean")
+      case NULL => Scalar("null")
+      case _ => Unknown
+    }
+  }
+
+  /** Table shape of an Avro container file (array of records). */
+  def ofAvroFile(path: String): Shape = {
+    import org.apache.avro.file.DataFileReader
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    val reader = new DataFileReader[GenericRecord](
+      new java.io.File(path), new GenericDatumReader[GenericRecord]())
+    val schema = try reader.getSchema finally reader.close()
+    Arr(ofAvro(schema))
+  }
 
   private def esc(s: String): String =
     "\"" + s.flatMap {
@@ -54,6 +105,10 @@ object Shape {
         }.mkString(",\n")
         val body = if (fields.isEmpty) "{}" else s"{\n$inner\n$pad1}"
         s"{\n${pad1}\"kind\": \"object\",\n${pad1}\"object\": $body\n$pad}"
+      case Varied(of) =>
+        val inner = of.map(v => s"$pad1  ${toJson(v, indent + 2)}")
+          .mkString(",\n")
+        s"{\n${pad1}\"kind\": \"varied\",\n${pad1}\"varied\": [\n$inner\n$pad1]\n$pad}"
       case Unknown =>
         s"{\n${pad1}\"kind\": \"unknown\"\n$pad}"
     }
@@ -68,6 +123,13 @@ object Shape {
       case Obj(fields) =>
         s"${pad}Object of\n" + fields.map { case (k, v) =>
           s"$pad  $k of\n" + toPretty(v, indent + 2)
+        }.mkString
+      // alternatives joined by " or" on the last line of each non-final
+      // branch (README.md:458-487)
+      case Varied(of) =>
+        s"${pad}Varied of\n" + of.zipWithIndex.map { case (v, i) =>
+          val r = toPretty(v, indent + 1)
+          if (i < of.length - 1) r.stripSuffix("\n") + " or\n" else r
         }.mkString
       case Unknown => s"${pad}Unknown\n"
     }

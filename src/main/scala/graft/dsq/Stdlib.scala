@@ -52,6 +52,32 @@ object Stdlib {
           }
         }
       } catch { case _: Exception => null }
+    // SQLite `->`: extract a JSON node and re-serialize it as a JSON
+    // FRAGMENT — strings keep their quotes ("x"), objects/arrays their
+    // braces; missing path → null. (`->>`/raw text stays on the codegen'd
+    // get_json_object.) Path syntax is the same '$.k' / '$[i]' subset the
+    // dialect rewrite emits.
+    u.register("dsq_json_frag", (doc: String, path: String) => {
+      if (doc == null || path == null) null
+      else try {
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        var node = mapper.readTree(doc)
+        val p = path.stripPrefix("$")
+        val step = """\.([^.\[]+)|\[(\d+)\]""".r
+        var bad = false
+        step.findAllMatchIn(p).foreach { m =>
+          if (!bad && node != null) {
+            node =
+              if (m.group(1) != null) node.get(m.group(1))
+              else node.get(m.group(2).toInt)
+            if (node == null) bad = true
+          }
+        }
+        if (node == null || bad || node.isMissingNode ||
+          node.isNull) null
+        else mapper.writeValueAsString(node)
+      } catch { case _: Exception => null }
+    })
     u.register("url_scheme", parseUrlPart("scheme"))
     u.register("url_host", parseUrlPart("host"))
     u.register("url_port", parseUrlPart("port"))

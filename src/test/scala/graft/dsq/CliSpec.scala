@@ -61,6 +61,56 @@ class CliSpec extends AnyFunSuite {
   }
 }
 
+/** Driven pipe matrix (reference test.py:117-125 runs every format both
+  * as a file arg and as `cat f | dsq -s fmt`): stdin slurp + mimetype
+  * override + query-vs-file detection with the stdin file prepended
+  * (main.go:484-506 ordering — a single query arg after -s is a query).
+  */
+class CliPipeSpec extends SparkSpec {
+
+  private def runCli(argv: Array[String], stdinFile: String): (Int, String) = {
+    val oldIn = System.in
+    val outBuf = new java.io.ByteArrayOutputStream()
+    try {
+      System.setIn(new java.io.FileInputStream(stdinFile))
+      val code = Console.withOut(new java.io.PrintStream(outBuf, true, "UTF-8")) {
+        val Right(args) = Cli.parse(argv): @unchecked
+        Cli.run(args)
+      }
+      (code, outBuf.toString("UTF-8"))
+    } finally System.setIn(oldIn)
+  }
+
+  for (fmt <- Seq("csv", "tsv", "parquet", "json", "jsonl", "xlsx", "ods")) {
+    test(s"pipe: cat userdata.$fmt | dsq -s $fmt query") {
+      val (code, out) = runCli(
+        Array("-s", fmt, "SELECT COUNT(1) AS c FROM {}"),
+        s"$td/userdata.$fmt")
+      assert(code == 0, s"exit $code, out: $out")
+      assert(canonJson(out) == canonJson("""[{"c":1000}]"""))
+    }
+  }
+
+  test("pipe without query dumps the stdin table (S16)") {
+    val (code, out) = runCli(Array("-s", "csv"), s"$td/convert.csv")
+    assert(code == 0)
+    assert(canonJson(out) == canonJson(
+      """[{"test":"1"},{"test":"1.1"},{"test":"+1"},
+        |{"test":"01"},{"test":"001"},{"test":"0001.1"}]""".stripMargin))
+  }
+
+  test("bare piped data without -s errors No input files. (main.go:523)") {
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val oldErr = System.err
+    System.setErr(new java.io.PrintStream(errBuf, true, "UTF-8"))
+    try {
+      val (code, _) = runCli(Array[String](), s"$td/convert.csv")
+      assert(code == 1)
+      assert(errBuf.toString("UTF-8").contains("No input files."))
+    } finally System.setErr(oldErr)
+  }
+}
+
 /** strftime / date UDF logic. */
 class StdlibSpec extends AnyFunSuite {
   test("strftime formats") {

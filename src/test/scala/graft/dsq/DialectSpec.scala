@@ -25,9 +25,9 @@ class DialectSpec extends AnyFunSuite {
     assert(t == "SELECT 'x REGEXP y' FROM t_0 WHERE a RLIKE 'p'")
   }
 
-  test("arrow operators become get_json_object") {
+  test("arrow operators: -> fragment UDF, ->> raw get_json_object") {
     assert(Dialect.translate("SELECT c->1 FROM t_0", Set("c"))
-      == "SELECT get_json_object(c, '$[1]') FROM t_0")
+      == "SELECT dsq_json_frag(c, '$[1]') FROM t_0")
     assert(Dialect.translate("SELECT c->>'k' FROM t_0", Set("c"))
       == "SELECT get_json_object(c, '$.k') FROM t_0")
   }
@@ -75,7 +75,9 @@ class DialectSpec extends AnyFunSuite {
 
   test("chained arrows rewrite left-to-right") {
     assert(Dialect.translate("SELECT data->'a'->'b' FROM t_0", Set("data"))
-      == "SELECT get_json_object(get_json_object(data, '$.a'), '$.b') FROM t_0")
+      == "SELECT dsq_json_frag(dsq_json_frag(data, '$.a'), '$.b') FROM t_0")
+    assert(Dialect.translate("SELECT data->'a'->>'b' FROM t_0", Set("data"))
+      == "SELECT get_json_object(dsq_json_frag(data, '$.a'), '$.b') FROM t_0")
   }
 
   test("quoted identifiers resolve case-insensitively (SQLite semantics)") {

@@ -237,6 +237,98 @@ class GoldenCorpusSpec extends SparkSpec {
     assert(canonJson(out) == canonJson("""[{"n":3,"s":6}]"""))
   }
 
+  // test.py:289-325 — the cache block: cold import warns, warm run is
+  // correct+quiet+fast, content change re-imports
+  test("Caching: cold import, warm correctness+speed, re-import on change") {
+    val f = java.nio.file.Files.createTempFile("cache-golden", ".csv")
+    // unique content per run: the cache is content-hash keyed and
+    // persists in tmpdir, so reused content would make the cold run warm
+    val tag = java.lang.Long.toHexString(System.nanoTime())
+    java.nio.file.Files.writeString(f, s"a,b\n1,x$tag\n2,y\n3,z\n")
+    val q = "SELECT COUNT(1) AS n, SUM(a) AS s FROM {}"
+    val opts = DsqOptions(cacheEnabled = true, convertNumbers = true)
+    def runCaptured(): (String, String, Long) = {
+      val errBuf = new java.io.ByteArrayOutputStream()
+      val oldErr = System.err
+      System.setErr(new java.io.PrintStream(errBuf, true, "UTF-8"))
+      try {
+        val t0 = System.nanoTime()
+        val out = run(Seq(f.toString), q, opts)
+        (out, errBuf.toString("UTF-8"), (System.nanoTime() - t0) / 1000000)
+      } finally System.setErr(oldErr)
+    }
+    val (cold, coldErr, _) = runCaptured()
+    assert(coldErr.contains("Cache invalid, re-import required."),
+      s"first import did not warn: $coldErr")
+    val (warm, warmErr, warmMs) = runCaptured()
+    assert(canonJson(warm) == canonJson("""[{"n":3,"s":6}]"""))
+    assert(canonJson(cold) == canonJson(warm))
+    assert(!warmErr.contains("Cache invalid"),
+      s"warm run re-imported: $warmErr")
+    assert(warmMs < 5000, s"cached re-query took ${warmMs}ms (bound 5s)")
+    // change the file → content hash changes → re-import warning + new data
+    java.nio.file.Files.writeString(f, s"a,b\n1,x$tag\n2,y\n3,z\n4,w\n")
+    val (changed, changedErr, _) = runCaptured()
+    assert(canonJson(changed) == canonJson("""[{"n":4,"s":10}]"""))
+    assert(changedErr.contains("Cache invalid, re-import required."),
+      s"no re-import after content change: $changedErr")
+  }
+
+  // README.md:389-403 — `->` returns a JSON fragment (strings stay
+  // quoted), `->>` returns raw text
+  test("Arrow operator string fidelity: -> keeps quotes, ->> strips them") {
+    val f = java.nio.file.Files.createTempFile("arrow-golden", ".json")
+    java.nio.file.Files.writeString(f,
+      """[{"id": 1, "tags": ["alpha", "beta"]}]""")
+    val frag = run(Seq(f.toString), "SELECT tags->0 AS t FROM {}")
+    assert(canonJson(frag) == canonJson("""[{"t":"\"alpha\""}]"""))
+    val text = run(Seq(f.toString), "SELECT tags->>0 AS t FROM {}")
+    assert(canonJson(text) == canonJson("""[{"t":"alpha"}]"""))
+  }
+
+  // README.md:453-490 — Avro unions render as "Varied of", byte-exact
+  test("Avro union schema renders Varied of (README.md:453-490)") {
+    val out = engine.run(Seq(s"$td/avro/test_data.avro"), Seq(None), None,
+      DsqOptions(pretty = true, schema = true))
+    assert(out.trim ==
+      """Array of
+        |  Object of
+        |    birthdate of
+        |      string
+        |    cc of
+        |      Varied of
+        |        Object of
+        |          long of
+        |            number or
+        |        Unknown
+        |    comments of
+        |      string
+        |    country of
+        |      string
+        |    email of
+        |      string
+        |    first_name of
+        |      string
+        |    gender of
+        |      string
+        |    id of
+        |      number
+        |    ip_address of
+        |      string
+        |    last_name of
+        |      string
+        |    registration_dttm of
+        |      string
+        |    salary of
+        |      Varied of
+        |        Object of
+        |          double of
+        |            number or
+        |        Unknown
+        |    title of
+        |      string""".stripMargin)
+  }
+
   // regressions
   test("regr #36 arrow operator (test.py:392-394)") {
     val out = run(Seq(s"$td/regr/36.json"), "SELECT c->1 AS secondc FROM {}")
