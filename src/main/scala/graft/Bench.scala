@@ -23,6 +23,7 @@ object Bench {
     "q19_left_join",      // outer join + agg
     "p01_dedup_exact",    // digest groupBy
     "p02_dedup_minhash",  // LSH dedup
+    "p04_dedup_ngram",    // banded char-gram LSH
     "p06_sim_brute",      // ANN brute force
     "p08_sim_ivf",        // ANN IVF routing
     "p10_text_quality",   // text expressions

@@ -13,8 +13,8 @@ import org.apache.spark.sql.functions._
   *              cross-product is per-bucket, never global.
   *  - simhash:  64-bit signature; hamming≤3 dedup via 4×16-bit chunk
   *              pigeonhole — again a pure equi-join, no similarity scan.
-  *  - ngram:    banded minhash LSH over char n-gram hashes, exact-string
-  *              Jaccard verification joined back by doc id.
+  *  - ngram:    banded minhash LSH over char n-gram hashes, exact
+  *              hash-set Jaccard verification joined back by doc id.
   *  - embedding: random-hyperplane LSH buckets + in-bucket cosine.
   *
   * Skew note: every bucket key is a whole LSH band (r independent
@@ -95,15 +95,14 @@ object Dedup {
     val cand = bandedCandidates(sigs, bands, r)
     // verify true n-gram Jaccard: join the shingle sets back by id (one
     // hash-join per side instead of per band)
+    // ShingleHashes emits sorted distinct arrays → linear-merge Jaccard
+    // (no per-row boxed hash sets)
     val sh = sigs.select(col("id"), col("sh"))
     cand
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("inter",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
-      .withColumn("uni",
-        size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
-      .withColumn("jaccard", col("inter") / col("uni"))
+      .withColumn("jaccard",
+        VectorExpressions.sortedJaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
@@ -170,29 +169,36 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 4, threshold: Double = 0.5,
-      bands: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+      bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
     import org.apache.spark.sql.graft.VectorExpressions
     val k = bands * rowsPerBand
-    // grams stay as strings for exact verification; the LSH runs on their
-    // hashes. Same temp-parquet barrier as minhashPairs (CollapseProject
-    // would otherwise inline gram construction into every band slice).
+    // Parameter note (measured on the driver corpus): template-generated
+    // documents put 90%+ of ALL pairs at char-gram Jaccard 0.2-0.45 —
+    // just under the 0.5 threshold — while true near-dups sit >= 0.9.
+    // r=4 rows/band keeps the noise hump out (P(candidate|j=0.3) ~ 6e-2
+    // at r=2 was ~0.5 → a 58 s bench; at r=4 it is 8e-3/band) while a
+    // true pair at j=0.9 is missed with prob (1-0.9^4)^8 ~ 1e-4.
+    // Verification intersects the GRAM HASH sets (longs — the same
+    // hashes the minhash already consumed), not strings: set sizes are
+    // identical modulo a 2^-64 collision, and long compares are ~5×
+    // cheaper than 4-char string compares at ~1M candidate pairs.
     val sigs = materializeBarrier(df
       .select(col(idCol).as("id"), col(textCol).as("t"))
-      .withColumn("grams", array_distinct(expr(
-        s"transform(sequence(1, greatest(length(t) - ${n - 1}, 1)), " +
-          s"i -> substring(t, i, $n))")))
-      .withColumn("mh", VectorExpressions.minhashFromHashes(
-        transform(col("grams"), g => xxhash64(g)), k))
-      .select("id", "grams", "mh"),
+      .withColumn("gh", array_sort(transform(
+        array_distinct(expr(
+          s"transform(sequence(1, greatest(length(t) - ${n - 1}, 1)), " +
+            s"i -> substring(t, i, $n))")),
+        g => xxhash64(g))))
+      .withColumn("mh", VectorExpressions.minhashFromHashes(col("gh"), k))
+      .select("id", "gh", "mh"),
       "ngram-sigs")
     val cand = bandedCandidates(sigs, bands, rowsPerBand)
-    val g = sigs.select(col("id"), col("grams"))
+    val g = sigs.select(col("id"), col("gh"))
     cand
-      .join(g.select(col("id").as("id_a"), col("grams").as("g_a")), Seq("id_a"))
-      .join(g.select(col("id").as("id_b"), col("grams").as("g_b")), Seq("id_b"))
+      .join(g.select(col("id").as("id_a"), col("gh").as("g_a")), Seq("id_a"))
+      .join(g.select(col("id").as("id_b"), col("gh").as("g_b")), Seq("id_b"))
       .withColumn("jaccard",
-        size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
-          size(array_union(col("g_a"), col("g_b"))))
+        VectorExpressions.sortedJaccard(col("g_a"), col("g_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }

@@ -10,11 +10,13 @@ import org.apache.spark.sql.types._
   *
   * The Spark-side shape is real — schema, partition-parallel batched
   * decode via `mapPartitions` (the Scala analog of `mapInPandas`: one
-  * decoder init per partition, streamed rows, no driver collect) — but
-  * the actual codec is STUBBED: this container has no image/audio
-  * libraries, so `decodeStub` derives deterministic fake metadata from
-  * the bytes. Swapping in a real decoder changes only the body of
-  * `decodeStub`; every plan around it is production-shaped.
+  * decoder init per partition, streamed rows, no driver collect). Image
+  * metadata decode is REAL for formats the JDK ships readers for
+  * (PNG/JPEG/GIF/BMP via javax.imageio — header-only, no pixel decode);
+  * payloads no reader recognizes (and audio/video, which the container
+  * has no codecs for) fall back to `decodeStub`'s deterministic fake.
+  * Swapping in a full codec stack changes only `decode`; every plan
+  * around it is production-shaped.
   */
 object Multimodal {
 
@@ -24,8 +26,31 @@ object Multimodal {
     StructField("height", IntegerType),
     StructField("n_bytes", LongType)))
 
+  /** Decode image metadata from the codec header via the JDK's built-in
+    * ImageIO readers: format, width, height — without decoding pixels
+    * (ImageReader.getWidth reads the header only). Unrecognized payloads
+    * fall back to the deterministic stub.
+    */
+  private[pipeline] def decode(bytes: Array[Byte]): Row = {
+    val in = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      if (readers.hasNext) {
+        val r = readers.next()
+        try {
+          r.setInput(in)
+          Row(r.getFormatName.toLowerCase, r.getWidth(0), r.getHeight(0),
+            bytes.length.toLong)
+        } catch {
+          case _: Exception => decodeStub(bytes) // truncated/corrupt header
+        } finally r.dispose()
+      } else decodeStub(bytes)
+    } finally if (in != null) in.close()
+  }
+
   /** STUB decoder — deterministic fake: dimensions from a rolling hash of
-    * the payload. A real implementation would parse the codec header.
+    * the payload. Fallback for payloads without a JDK image reader.
     */
   private[pipeline] def decodeStub(bytes: Array[Byte]): Row = {
     var h = 1125899906842597L
@@ -52,7 +77,7 @@ object Multimodal {
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](binIdx)
         Row.fromSeq(r.toSeq :+
-          (if (bytes == null) null else decodeStub(bytes)))
+          (if (bytes == null) null else decode(bytes)))
       }
     }(RowEncoder.encoderFor(outSchema))
   }

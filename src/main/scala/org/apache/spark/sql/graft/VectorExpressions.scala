@@ -41,6 +41,56 @@ object VectorExpressions {
   /** k-minhash signature from precomputed shingle hashes. */
   def minhashFromHashes(hashes: Column, k: Int): Column =
     column(MinHashFromHashes(expression(hashes), k))
+
+  /** Jaccard of two SORTED distinct array<long> columns (linear merge). */
+  def sortedJaccard(a: Column, b: Column): Column =
+    column(SortedLongJaccard(expression(a), expression(b)))
+}
+
+/** Set Jaccard |A∩B|/|A∪B| of two pre-sorted distinct long arrays by
+  * linear merge. The builtin array_intersect/array_union pair builds a
+  * boxed OpenHashSet per row per side — at ~1M candidate pairs × ~300
+  * hashes that allocation dominated the dedup verify stage. Inputs MUST
+  * be sorted ascending and duplicate-free (ShingleHashes emits exactly
+  * that; char-gram paths wrap in array_sort).
+  */
+case class SortedLongJaccard(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SortedLongJaccard.jaccard(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"org.apache.spark.sql.graft.SortedLongJaccard.jaccard($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedLongJaccard {
+  /** Shared by eval and codegen: primitive merge, zero allocation. */
+  def jaccard(x: org.apache.spark.sql.catalyst.util.ArrayData,
+      y: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val n = x.numElements(); val m = y.numElements()
+    var i = 0; var j = 0; var inter = 0
+    while (i < n && j < m) {
+      val xi = x.getLong(i); val yj = y.getLong(j)
+      if (xi == yj) { inter += 1; i += 1; j += 1 }
+      else if (xi < yj) i += 1
+      else j += 1
+    }
+    val union = n + m - inter
+    if (union == 0) 1.0 else inter.toDouble / union
+  }
 }
 
 case class CosineSimilarity(left: Expression, right: Expression)

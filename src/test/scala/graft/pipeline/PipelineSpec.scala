@@ -237,6 +237,29 @@ class PipelineSpec extends SparkSpec {
       Seq((1L, 1L), (1L, 1L), (2L, 2L)))
   }
 
+  test("multimodal decode: real PNG/JPEG headers match ImageIO ground truth") {
+    import spark.implicits._
+    def imageBytes(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, out)
+      out.toByteArray
+    }
+    val png = imageBytes("png", 37, 21)
+    val jpg = imageBytes("jpg", 128, 64)
+    val df = Seq((1L, png), (2L, jpg)).toDF("doc_id", "media")
+    val out = Multimodal.withDecodedMeta(df).orderBy("doc_id")
+      .select("meta.format", "meta.width", "meta.height", "meta.n_bytes")
+      .collect()
+    assert(out(0).getString(0) == "png" &&
+      out(0).getInt(1) == 37 && out(0).getInt(2) == 21 &&
+      out(0).getLong(3) == png.length)
+    assert(out(1).getString(0) == "jpeg" &&
+      out(1).getInt(1) == 128 && out(1).getInt(2) == 64 &&
+      out(1).getLong(3) == jpg.length)
+  }
+
   test("multimodal decode stub: schema and determinism") {
     val withMedia = docs.limit(10)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
