@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Corpus, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators (dedup, similarity search, text
   * analysis, multimodal) wired to the driver tables.
@@ -370,6 +370,114 @@ object Pipeline {
       t(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.bpeTokenCount(col("text")).cast("long")
           .as("n_bpe_tokens"))
+    },
+
+    // ---- corpus preparation -------------------------------------------
+    // Deterministic PII plants (every 7th doc gets an email + phone) so
+    // redaction has non-trivial work; both engines build the same corpus.
+    QueryDef("p20_pii_redact",
+      s"""WITH c AS (
+         |  SELECT doc_id,
+         |    text || CASE WHEN doc_id % 7 = 0
+         |      THEN ' contact u' || doc_id || '@example.com or 555-123-4567'
+         |      ELSE '' END AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '${Corpus.emailPattern}')) AS BIGINT)
+         |    AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '${Corpus.phonePattern}')) AS BIGINT)
+         |    AS n_phones,
+         |  md5(regexp_replace(regexp_replace(text,
+         |    '${Corpus.emailPattern}', '<EMAIL>', 'g'),
+         |    '${Corpus.phonePattern}', '<PHONE>', 'g')) AS redacted_md5
+         |FROM c""".stripMargin) { (s, dir) =>
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), when(col("doc_id") % 7 === 0,
+          concat(lit(" contact u"), col("doc_id").cast("string"),
+            lit("@example.com or 555-123-4567"))).otherwise(lit("")))
+          .as("text"))
+      Corpus.withPiiRedacted(planted)
+        .select(col("doc_id"), col("n_emails"), col("n_phones"),
+          md5(col("redacted")).as("redacted_md5"))
+    },
+
+    QueryDef("p21_vocab_topk",
+      """WITH toks AS (
+        |  SELECT CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
+        |         THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(
+        |           lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+')
+        |    END AS tk
+        |  FROM documents)
+        |SELECT t.t AS token, CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT unnest(tk) AS t FROM toks) t
+        |GROUP BY 1 ORDER BY n DESC, token LIMIT 100""".stripMargin) { (s, dir) =>
+      Corpus.vocabTopK(t(s, dir, "documents"), k = 100)
+    },
+
+    // md5-hash split: both engines agree on md5 of the id's decimal text
+    QueryDef("p22_train_test_split",
+      """SELECT doc_id,
+        |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'd'
+        |       THEN 'train'
+        |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'f'
+        |       THEN 'val' ELSE 'test' END AS split
+        |FROM documents""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), Corpus.splitColumn(col("doc_id")).as("split"))
+        .orderBy("doc_id")
+    },
+
+    QueryDef("p23_pack_sequences",
+      """WITH n AS (
+        |  SELECT source, doc_id,
+        |    CAST(CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
+        |         THEN 0
+        |         ELSE len(string_split_regex(
+        |           regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'))
+        |    END AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, n_tok,
+        |    SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING
+        |                     AND CURRENT ROW) AS cum
+        |  FROM n)
+        |SELECT source, CAST((cum - n_tok) // 2048 AS BIGINT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        |FROM c GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      Corpus.packSequences(t(s, dir, "documents"), budget = 2048)
+    },
+
+    // benchmark = every 100th doc; a corpus doc is contaminated iff it
+    // shares a 13-token window with any benchmark doc
+    QueryDef("p24_contamination",
+      """WITH corpus AS (SELECT doc_id, text FROM documents),
+        |bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 100 = 0),
+        |toks AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
+        |         THEN ['']
+        |         ELSE string_split_regex(
+        |                regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')
+        |    END AS tk
+        |  FROM corpus),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(tk) < 13
+        |      THEN [array_to_string(tk, chr(31))]
+        |      ELSE [array_to_string(tk[i:i+12], chr(31))
+        |            for i in generate_series(1, len(tk)-12)]
+        |      END) AS s
+        |  FROM toks)
+        |SELECT c.doc_id,
+        |  EXISTS (SELECT 1 FROM sh b JOIN bench ON b.doc_id = bench.doc_id
+        |          WHERE len(list_intersect(c.s, b.s)) > 0) AS contaminated
+        |FROM sh c""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      Corpus.contaminated(docs, docs.filter(col("doc_id") % 100 === 0), n = 13)
+        .orderBy("doc_id")
     },
 
     // ---- multimodal ---------------------------------------------------

@@ -47,6 +47,19 @@ object Streaming {
 
     // custom arbitrary state: flatMapGroupsWithState running stats — the
     // single AvailableNow batch's final state must equal the batch agg
+    // streaming exact dedup: the stream unioned with itself (every event
+    // twice) must come out with exactly one row per event_id; the final
+    // per-type counts equal the batch COUNT(DISTINCT)
+    QueryDef("s04_stream_dedup",
+      """SELECT event_type, CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n
+        |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+      val doubled = Streams.eventsStream(s, dir)
+        .unionAll(Streams.eventsStream(s, dir))
+      Streams.runToMemory(s, Streams.dedupStream(doubled),
+        "s04_dedup", outputMode = "append")
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+    },
+
     QueryDef("s03_stream_custom_state",
       """SELECT user_id, COUNT(*) AS n_events,
         |  SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS sum_value,

@@ -84,6 +84,17 @@ object Streams {
       .toDF("user_id", "n_events", "sum_value", "max_value")
   }
 
+  /** Streaming exact dedup on event_id: duplicates arriving within the
+    * watermark horizon of the first occurrence are dropped and the
+    * dedup state for ids older than the watermark is evicted (plain
+    * dropDuplicates would keep every id forever — unbounded state on an
+    * unbounded stream).
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Execute a streaming pipeline to completion (AvailableNow) into a
     * memory sink and return the materialized result.
     *

@@ -237,6 +237,76 @@ class PipelineSpec extends SparkSpec {
       Seq((1L, 1L), (1L, 1L), (2L, 2L)))
   }
 
+  test("pii redaction counts and masks emails and phones") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "reach me at a.b+c@mail.example.org or 555-123-4567 today"),
+      (2L, "no pii here")).toDF("doc_id", "text")
+    val out = Corpus.withPiiRedacted(df).orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_emails") == 1)
+    assert(out(0).getAs[Long]("n_phones") == 1)
+    assert(out(0).getAs[String]("redacted") ==
+      "reach me at <EMAIL> or <PHONE> today")
+    assert(out(1).getAs[Long]("n_emails") == 0)
+    assert(out(1).getAs[String]("redacted") == "no pii here")
+  }
+
+  test("train/val/test split is deterministic with sane fractions") {
+    import spark.implicits._
+    val df = (0L until 1000L).toDF("id")
+      .select(col("id"), Corpus.splitColumn(col("id")).as("split"))
+    val counts = df.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // expected ~ 13/16, 2/16, 1/16
+    assert(counts("train") > 700 && counts("train") < 900, counts)
+    assert(counts("val") > 50 && counts("test") > 20, counts)
+    val again = (0L until 1000L).toDF("id")
+      .select(Corpus.splitColumn(col("id"))).collect().toSeq
+    assert(df.select("split").collect().toSeq == again)
+  }
+
+  test("sequence packing: bins are contiguous and respect the running budget") {
+    import spark.implicits._
+    val df = (1L to 20L).map(i => ("s", i, Seq.fill(600)("w").mkString(" ")))
+      .toDF("source", "doc_id", "text")
+    // 600 tokens/doc, budget 2048: doc offsets 0,600,1200,1800,2400… →
+    // bins 0,0,0,0,1,…: 2048/600 boundary puts docs 1-4 in bin 0
+    val out = Corpus.packSequences(df, budget = 2048)
+      .orderBy("bin").collect()
+    assert(out.head.getAs[Long]("bin") == 0 && out.head.getAs[Long]("n_docs") == 4)
+    val bins = out.map(_.getAs[Long]("bin")).toSeq
+    assert(bins == (0L until bins.length).toSeq) // contiguous
+  }
+
+  test("contamination flags a shared 13-gram, not disjoint docs") {
+    import spark.implicits._
+    val shared = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val corpus = Seq(
+      (1L, shared + " trailing extras here"),
+      (2L, (100 to 130).map(i => s"other$i").mkString(" "))).toDF("doc_id", "text")
+    val bench = Seq((9L, "prefix words " + shared)).toDF("doc_id", "text")
+    val out = Corpus.contaminated(corpus, bench).orderBy("doc_id").collect()
+    assert(out(0).getBoolean(1) === true)
+    assert(out(1).getBoolean(1) === false)
+  }
+
+  test("streaming dedup drops every duplicate within the watermark") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val rows = (1L to 50L).map(i =>
+      (i % 10, new Timestamp(1700000000000L + i * 1000), s"t${i % 3}"))
+    val df = rows.toDF("event_id", "ts", "event_type")
+    val dir = java.nio.file.Files.createTempDirectory("dedup-stream-spec").toString
+    df.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(df.schema).parquet(dir)
+    val deduped = graft.streaming.Streams.dedupStream(stream)
+    val q = deduped.writeStream.format("memory").queryName("spec_dedup")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("spec_dedup").count() == 10) // 50 rows, 10 distinct ids
+  }
+
   test("multimodal decode: real PNG/JPEG headers match ImageIO ground truth") {
     import spark.implicits._
     def imageBytes(fmt: String, w: Int, h: Int): Array[Byte] = {
