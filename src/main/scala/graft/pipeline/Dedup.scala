@@ -40,6 +40,20 @@ object Dedup {
     * you'd write to durable scratch storage anyway; swap the temp dir for
     * a real path and the plan is unchanged.
     */
+  /** Signature construction is CPU-bound (per-doc gram building +
+    * hashing + k minhash passes), so its parallelism must not be capped
+    * by the SOURCE layout — a corpus landing in few large files would
+    * otherwise run the heaviest narrow stage on a handful of cores.
+    * Repartition to the cluster's parallelism when the input has fewer
+    * partitions; one pass over the raw text is cheap relative to the
+    * signature work it unlocks, and a well-partitioned 100 TB input
+    * (maxPartitionBytes-sized splits) skips it entirely.
+    */
+  private def spreadForCpu(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   private[pipeline] def materializeBarrier(df: DataFrame, tag: String): DataFrame = {
     val dir = java.nio.file.Files.createTempDirectory(s"graft-$tag-")
     val path = dir.toString
@@ -87,7 +101,7 @@ object Dedup {
     // string building), and the Jaccard verification below intersects
     // hash sets, not strings.
     import org.apache.spark.sql.graft.VectorExpressions
-    val sigs = materializeBarrier(df
+    val sigs = materializeBarrier(spreadForCpu(df)
       .select(col(idCol).as("id"),
         VectorExpressions.shingleHashes(col(textCol), shingleN).as("sh"))
       .withColumn("mh", VectorExpressions.minhashFromHashes(col("sh"), k)),
@@ -182,7 +196,7 @@ object Dedup {
     // hashes the minhash already consumed), not strings: set sizes are
     // identical modulo a 2^-64 collision, and long compares are ~5×
     // cheaper than 4-char string compares at ~1M candidate pairs.
-    val sigs = materializeBarrier(df
+    val sigs = materializeBarrier(spreadForCpu(df)
       .select(col(idCol).as("id"), col(textCol).as("t"))
       .withColumn("gh", array_sort(transform(
         array_distinct(expr(
