@@ -52,7 +52,8 @@ object Bench {
     // n runs per query, report the per-query MIN (steady-state cost; the
     // reference's hyperfine methodology) — run-to-run noise at small SF is
     // dominated by GC/JIT, and min is the standard estimator for that.
-    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val nRuns = math.max(1, scala.util.Try(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt).getOrElse(3))
     val timings: Seq[(String, Seq[Double])] = headline.map { name =>
       name -> (1 to nRuns).map { _ =>
         val t0 = System.nanoTime()

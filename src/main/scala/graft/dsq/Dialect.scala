@@ -101,8 +101,18 @@ object Dialect {
     * column/previous arrow result on the left; integer or string literal
     * on the right.
     */
-  private val arrowRe: Regex =
-    """((?:get_json_object|dsq_json_frag)\([^()]*\)|`[^`]+`|[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)?)\s*(->>?)\s*('(?:[^']|'')*'|\d+)""".r
+  // The left operand may be the output of a previous rewrite round, which
+  // nests one paren level deeper per chain link — build a balanced-paren
+  // matcher to a fixed depth (3 levels ≙ arrow chains of depth 5, beyond
+  // any realistic query; SQLite itself encourages '$.a.b' paths instead).
+  private val arrowRe: Regex = {
+    val parens = (1 to 3).foldLeft("[^()]*") { (inner, _) =>
+      s"(?:[^()]|\\($inner\\))*"
+    }
+    (s"""((?:get_json_object|dsq_json_frag)\\($parens\\)|`[^`]+`|""" +
+      """[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)?)""" +
+      """\s*(->>?)\s*('(?:[^']|'')*'|\d+)""").r
+  }
 
   /** Quote-aware: string literals are copied verbatim; the arrow regex
     * only runs on non-literal segments, iterated to a fixpoint so chained

@@ -54,30 +54,10 @@ object Stdlib {
       } catch { case _: Exception => null }
     // SQLite `->`: extract a JSON node and re-serialize it as a JSON
     // FRAGMENT — strings keep their quotes ("x"), objects/arrays their
-    // braces; missing path → null. (`->>`/raw text stays on the codegen'd
-    // get_json_object.) Path syntax is the same '$.k' / '$[i]' subset the
-    // dialect rewrite emits.
-    u.register("dsq_json_frag", (doc: String, path: String) => {
-      if (doc == null || path == null) null
-      else try {
-        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-        var node = mapper.readTree(doc)
-        val p = path.stripPrefix("$")
-        val step = """\.([^.\[]+)|\[(\d+)\]""".r
-        var bad = false
-        step.findAllMatchIn(p).foreach { m =>
-          if (!bad && node != null) {
-            node =
-              if (m.group(1) != null) node.get(m.group(1))
-              else node.get(m.group(2).toInt)
-            if (node == null) bad = true
-          }
-        }
-        if (node == null || bad || node.isMissingNode ||
-          node.isNull) null
-        else mapper.writeValueAsString(node)
-      } catch { case _: Exception => null }
-    })
+    // braces; missing/invalid path → null. (`->>`/raw text stays on the
+    // codegen'd get_json_object.) Path syntax is the same '$.k' / '$[i]'
+    // subset the dialect rewrite emits.
+    u.register("dsq_json_frag", (doc: String, path: String) => Stdlib.jsonFrag(doc, path))
     u.register("url_scheme", parseUrlPart("scheme"))
     u.register("url_host", parseUrlPart("host"))
     u.register("url_port", parseUrlPart("port"))
@@ -126,6 +106,35 @@ object Stdlib {
       strftime(fmt, value, Nil))
     u.register("strftime_mod",
       (fmt: String, value: String, m1: String) => strftime(fmt, value, Seq(m1)))
+  }
+
+  // hoisted: an ObjectMapper per row would dominate a -> over a large
+  // column (both are thread-safe for this read-only use)
+  private val fragMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private val fragStep = """\.([^.\[]+)|\[(\d+)\]""".r
+
+  /** `->` implementation: walk the '$.k'/'$[i]' path, return the node
+    * re-serialized as a JSON fragment, or null when the node is missing
+    * OR the path is malformed (SQLite returns NULL for `c->''` — a path
+    * whose steps don't fully parse must not fall through to the root).
+    */
+  def jsonFrag(doc: String, path: String): String = {
+    if (doc == null || path == null) return null
+    try {
+      val p = path.stripPrefix("$")
+      val matches = fragStep.findAllMatchIn(p).toSeq
+      if (matches.map(_.matched.length).sum != p.length) return null
+      var node = fragMapper.readTree(doc)
+      matches.foreach { m =>
+        if (node != null) {
+          node =
+            if (m.group(1) != null) node.get(m.group(1))
+            else node.get(m.group(2).toInt)
+        }
+      }
+      if (node == null || node.isMissingNode || node.isNull) null
+      else fragMapper.writeValueAsString(node)
+    } catch { case _: Exception => null }
   }
 
   /** SQLite strftime subset: %Y %m %d %H %M %S %s %j %w %f %%; modifiers

@@ -45,8 +45,6 @@ object Streaming {
         "s02_sessions")
     },
 
-    // custom arbitrary state: flatMapGroupsWithState running stats — the
-    // single AvailableNow batch's final state must equal the batch agg
     // streaming exact dedup: the stream unioned with itself (every event
     // twice) must come out with exactly one row per event_id; the final
     // per-type counts equal the batch COUNT(DISTINCT)
@@ -60,6 +58,8 @@ object Streaming {
         .groupBy("event_type").agg(count(lit(1)).as("n"))
     },
 
+    // custom arbitrary state: flatMapGroupsWithState running stats — the
+    // single AvailableNow batch's final state must equal the batch agg
     QueryDef("s03_stream_custom_state",
       """SELECT user_id, COUNT(*) AS n_events,
         |  SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS sum_value,

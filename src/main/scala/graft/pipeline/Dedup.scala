@@ -54,17 +54,29 @@ object Dedup {
     if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
   }
 
-  private[pipeline] def materializeBarrier(df: DataFrame, tag: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory(s"graft-$tag-")
-    val path = dir.toString
+  // One registry + one shutdown hook for every barrier dir this JVM
+  // creates (a hook per call would accumulate hook threads). Dirs must
+  // outlive the call — the returned plan lazily re-reads them — so they
+  // are reclaimed at JVM exit; long-lived services would point barriers
+  // at managed scratch storage with its own retention instead.
+  private val barrierDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+  private lazy val barrierHook: Unit = {
     sys.addShutdownHook {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
       }
-      rm(dir.toFile)
+      barrierDirs.forEach(d => rm(d.toFile))
     }
-    df.write.mode("overwrite").parquet(path)
-    df.sparkSession.read.parquet(path)
+    ()
+  }
+
+  private[pipeline] def materializeBarrier(df: DataFrame, tag: String): DataFrame = {
+    barrierHook
+    val dir = java.nio.file.Files.createTempDirectory(s"graft-$tag-")
+    barrierDirs.add(dir)
+    df.write.mode("overwrite").parquet(dir.toString)
+    df.sparkSession.read.parquet(dir.toString)
   }
 
   /** Banded-LSH candidate pairs from a (id, mh) signature table: explode

@@ -32,7 +32,10 @@ object Multimodal {
     * fall back to the deterministic stub.
     */
   private[pipeline] def decode(bytes: Array[Byte]): Row = {
-    val in = javax.imageio.ImageIO.createImageInputStream(
+    // memory-backed stream, NOT ImageIO.createImageInputStream: the
+    // default factory spools through a temp FILE per call (per row, in
+    // the hot decode loop) and can return null on exotic JVMs
+    val in = new javax.imageio.stream.MemoryCacheImageInputStream(
       new java.io.ByteArrayInputStream(bytes))
     try {
       val readers = javax.imageio.ImageIO.getImageReaders(in)
@@ -40,13 +43,13 @@ object Multimodal {
         val r = readers.next()
         try {
           r.setInput(in)
-          Row(r.getFormatName.toLowerCase, r.getWidth(0), r.getHeight(0),
-            bytes.length.toLong)
+          Row(r.getFormatName.toLowerCase(java.util.Locale.ROOT),
+            r.getWidth(0), r.getHeight(0), bytes.length.toLong)
         } catch {
           case _: Exception => decodeStub(bytes) // truncated/corrupt header
         } finally r.dispose()
       } else decodeStub(bytes)
-    } finally if (in != null) in.close()
+    } finally in.close()
   }
 
   /** STUB decoder — deterministic fake: dimensions from a rolling hash of

@@ -130,6 +130,16 @@ class StdlibSpec extends AnyFunSuite {
       == Some("1970-01-02"))
   }
 
+  test("jsonFrag: fragments, arrays, malformed paths") {
+    assert(Stdlib.jsonFrag("""{"a":{"b":"x"}}""", "$.a.b") == "\"x\"")
+    assert(Stdlib.jsonFrag("""{"a":{"b":"x"}}""", "$.a") == """{"b":"x"}""")
+    assert(Stdlib.jsonFrag("[1,2]", "$[1]") == "2")
+    assert(Stdlib.jsonFrag("""{"a":1}""", "$.missing") == null)
+    // SQLite: c->'' is NULL, never the whole document
+    assert(Stdlib.jsonFrag("""{"a":1}""", "$.") == null)
+    assert(Stdlib.jsonFrag("not json", "$.a") == null)
+  }
+
   test("best-effort date parsing formats") {
     def y(s: String) = Stdlib.bestEffortParts(s).map(_.getYear)
     assert(y("2021-10-18T04:23:27.810Z") == Some(2021))

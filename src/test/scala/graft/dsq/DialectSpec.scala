@@ -78,6 +78,9 @@ class DialectSpec extends AnyFunSuite {
       == "SELECT dsq_json_frag(dsq_json_frag(data, '$.a'), '$.b') FROM t_0")
     assert(Dialect.translate("SELECT data->'a'->>'b' FROM t_0", Set("data"))
       == "SELECT get_json_object(dsq_json_frag(data, '$.a'), '$.b') FROM t_0")
+    // depth-3 chains need the balanced-paren left operand
+    assert(Dialect.translate("SELECT data->'a'->'b'->'c' FROM t_0", Set("data"))
+      == "SELECT dsq_json_frag(dsq_json_frag(dsq_json_frag(data, '$.a'), '$.b'), '$.c') FROM t_0")
   }
 
   test("quoted identifiers resolve case-insensitively (SQLite semantics)") {
