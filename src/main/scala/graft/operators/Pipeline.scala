@@ -372,6 +372,31 @@ object Pipeline {
           .as("n_bpe_tokens"))
     },
 
+    // duplicate-cluster ids via iterative min-label propagation; the
+    // oracle recomputes them from the exhaustive pair set with a
+    // recursive transitive-closure CTE (min reachable id = component)
+    QueryDef("p25_dedup_components",
+      s"""WITH RECURSIVE $corpusSql,
+         |$shingleSql,
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         |        len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
+         |edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+         |SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS comp
+         |FROM reach GROUP BY src""".stripMargin) { (s, dir) =>
+      val pairs = Dedup.minhashPairs(docsWithPlants(s, dir), "doc_id", "text",
+        k = 64, bands = 16, threshold = 0.5)
+      Dedup.components(pairs).orderBy("doc_id")
+    },
+
     // ---- corpus preparation -------------------------------------------
     // Deterministic PII plants (every 7th doc gets an email + phone) so
     // redaction has non-trivial work; both engines build the same corpus.

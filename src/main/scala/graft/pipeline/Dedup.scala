@@ -175,12 +175,54 @@ object Dedup {
 
   /** Materialize a deduplicated corpus from near-dup pairs: drop the
     * higher id of every pair (greedy, one pass — at 100 TB this is a
-    * broadcast/semi-join of the pair list against the corpus; full
-    * connected-components clustering would iterate this).
+    * broadcast/semi-join of the pair list against the corpus; for full
+    * duplicate-cluster semantics see [[components]]).
     */
   def applyPairs(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
     df.join(pairs.select(col("id_b").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
+
+  /** Connected components over the near-dup pair graph via iterative
+    * min-label propagation: every node adopts the smallest component id
+    * among itself and its neighbors until fixpoint (≤ diameter + 1
+    * rounds; near-dup clusters are shallow). Each round is one shuffle
+    * join + aggregate over the PAIR-NODE table only — far smaller than
+    * the corpus — with a storage barrier per round to truncate lineage
+    * (the standard iterative-algorithm checkpoint pattern; GraphX's CC
+    * is this same loop with graph-specific packing).
+    *
+    * Returns (`doc_id`, `comp`) where comp = min doc id in the cluster.
+    */
+  def components(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val edges = materializeBarrier(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+        .distinct(),
+      "cc-edges")
+    var comp = materializeBarrier(
+      edges.select(col("src").as("doc_id")).distinct()
+        .withColumn("comp", col("doc_id")),
+      "cc-init")
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIters) {
+      val viaNeighbor = edges
+        .join(comp.select(col("doc_id").as("dst"), col("comp")), Seq("dst"))
+        .select(col("src").as("doc_id"), col("comp"))
+      val proposed = comp.unionAll(viaNeighbor)
+        .groupBy("doc_id").agg(min("comp").as("newComp"))
+      val next = comp.join(proposed, Seq("doc_id"))
+      changed = next.filter(col("newComp") < col("comp")).count()
+      if (changed > 0) {
+        comp = materializeBarrier(
+          next.select(col("doc_id"), col("newComp").as("comp")),
+          s"cc-round$iter")
+        iter += 1
+      }
+    }
+    require(changed == 0, s"components did not converge in $maxIters rounds")
+    comp
+  }
 
   /** Character n-gram Jaccard near-dup pairs, LSH-bucketed by bands×r
     * minhash mini-signatures over the gram hashes — the same banded shape

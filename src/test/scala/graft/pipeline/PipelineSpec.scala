@@ -237,6 +237,15 @@ class PipelineSpec extends SparkSpec {
       Seq((1L, 1L), (1L, 1L), (2L, 2L)))
   }
 
+  test("connected components merge transitive near-dup chains") {
+    import spark.implicits._
+    // 1-2-3 only connect transitively (1 and 3 share no pair)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val comp = Dedup.components(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("pii redaction counts and masks emails and phones") {
     import spark.implicits._
     val df = Seq(
