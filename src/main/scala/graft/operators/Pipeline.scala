@@ -475,6 +475,21 @@ object Pipeline {
       Corpus.packSequences(t(s, dir, "documents"), budget = 2048)
     },
 
+    // deterministic hash sampling at 20%: per-language sampled counts
+    // must match the oracle's identical hex-threshold predicate exactly
+    QueryDef("p26_sample_stratified",
+      """SELECT lang,
+        |  CAST(COUNT(*) AS BIGINT) AS n_total,
+        |  CAST(COUNT(*) FILTER (
+        |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '33333333')
+        |    AS BIGINT) AS n_sampled
+        |FROM documents GROUP BY lang""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      docs.groupBy("lang").agg(
+        count(lit(1)).as("n_total"),
+        count(when(Corpus.sampleHash(col("doc_id"), 0.2), 1)).as("n_sampled"))
+    },
+
     // benchmark = every 100th doc; a corpus doc is contaminated iff it
     // shares a 13-token window with any benchmark doc
     QueryDef("p24_contamination",

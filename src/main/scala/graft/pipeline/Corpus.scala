@@ -55,6 +55,25 @@ object Corpus {
     when(h < "d", "train").when(h < "f", "val").otherwise("test")
   }
 
+  /** Deterministic hash-sampling predicate: keep a row iff the first 8
+    * hex digits of md5(id) fall under `rate`'s share of the hex space.
+    * Fixed-width lowercase hex compares lexicographically == numerically,
+    * so the same predicate is one string compare in any engine — no RNG
+    * state, stable under re-runs and repartitioning, and composable into
+    * per-stratum sampling by applying it within groups.
+    */
+  def sampleHash(idCol: Column, rate: Double): Column = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate $rate out of [0,1]")
+    val threshold = f"${(rate * 4294967296.0).toLong.min(4294967295L)}%08x"
+    substring(md5(idCol.cast("string")), 1, 8) < threshold
+  }
+
+  /** Deterministic sample of `rate` — uniform per id, hence
+    * proportionally stratified across any grouping column for free.
+    */
+  def sample(df: DataFrame, rate: Double, idCol: String = "doc_id"): DataFrame =
+    df.filter(sampleHash(col(idCol), rate))
+
   /** Greedy sequential sequence packing: within each `partCol` group,
     * docs in id order fill fixed token-budget bins; a doc starts in the
     * bin its cumulative token offset falls into. One shuffle on

@@ -105,7 +105,7 @@ object Streams {
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,
       outputMode: String = "complete"): DataFrame = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try {
       val q = df.writeStream
         .format("memory")
