@@ -72,6 +72,82 @@ object Scale {
       }
     },
 
+    // As-of join (time-series nearest-preceding match): for every click,
+    // the most recent prior-or-simultaneous purchase by the same user.
+    // Spark has no ASOF JOIN operator; the SURVEY §7 ladder rung (a)
+    // composition is the union trick — tag both sides, one window pass
+    // per user carrying the last right-side row forward — giving ONE
+    // shuffle on user_id and zero inequality-join cross products. The
+    // oracle runs DuckDB's NATIVE ASOF LEFT JOIN, so the composition is
+    // value-checked against a real engine implementation of the operator.
+    QueryDef("x03_asof_join",
+      """WITH r AS (
+        |  SELECT user_id, ts,
+        |    CAST(MAX(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS purchase_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |l AS (
+        |  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click')
+        |SELECT l.user_id, l.event_id, l.ts,
+        |  r.ts AS purchase_ts, r.purchase_value
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events")
+      // right side unique per (user_id, ts) so the as-of row is well
+      // defined even on tied timestamps
+      val r = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts")
+        .agg(max(col("value").cast("decimal(18,3)")).cast("double")
+          .as("purchase_value"))
+        .select(col("user_id"), col("ts"), lit(0).as("tag"),
+          lit(null).cast("long").as("event_id"),
+          col("ts").as("purchase_ts"), col("purchase_value"))
+      val l = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), lit(1).as("tag"), col("event_id"),
+          lit(null).cast("timestamp").as("purchase_ts"),
+          lit(null).cast("double").as("purchase_value"))
+      // right rows sort before left at equal ts (tag 0 < 1) → >= semantics
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("tag"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      r.unionAll(l)
+        .withColumn("asof_ts", last("purchase_ts", ignoreNulls = true).over(w))
+        .withColumn("asof_value",
+          last("purchase_value", ignoreNulls = true).over(w))
+        .filter(col("tag") === 1)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("asof_ts").as("purchase_ts"),
+          col("asof_value").as("purchase_value"))
+    },
+
+    // Range join (interval predicate): purchases within 5 minutes after a
+    // click by the same user. A naive theta-join is a per-user cross
+    // product; bucketizing time to the interval width turns it into an
+    // equi-join on (user_id, bucket) probed at two buckets per row, with
+    // the exact interval filter applied after — the standard
+    // bucketed-interval-join shape that survives 100 TB.
+    QueryDef("x04_range_join",
+      """SELECT a.user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND a.event_type = 'click' AND b.event_type = 'purchase'
+        | AND epoch_us(b.ts) - epoch_us(a.ts) BETWEEN 1 AND 300000000
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val width = 300000000L // 5 min in µs
+      val a = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("a_us"))
+        .withColumn("bucket", explode(array(
+          expr(s"a_us DIV $width"), expr(s"a_us DIV $width + 1"))))
+      val b = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("b_us"))
+        .withColumn("bucket", expr(s"b_us DIV $width"))
+      a.join(b, Seq("user_id", "bucket"))
+        .filter((col("b_us") - col("a_us")).between(1, width))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"))
+    },
+
     // Salted skew join: l_returnflag has 3 values (extreme skew for a
     // shuffle join). Salting the fact side N ways and exploding the dim
     // side N ways spreads each hot key over N shuffle partitions.
