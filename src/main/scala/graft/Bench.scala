@@ -78,11 +78,10 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"sf":"$sfDir","runs":$nRuns}"""
     // Belt and braces for the driver's parser: the line goes to raw stdout
     // (build.sbt routes forked output past sbt's logger) AND to a file.
-    sys.env.get("SPARK_GRAFT_BENCH_OUT").orElse(Some("bench_out.json"))
-      .foreach { p =>
-        try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n")
-        catch { case _: Throwable => () }
-      }
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outPath), line + "\n")
+    catch { case _: Throwable => () }
     println(line)
     spark.stop()
   }

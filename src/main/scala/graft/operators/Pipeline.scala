@@ -72,26 +72,29 @@ object Pipeline {
       |  SELECT doc_id + 1000000 AS doc_id, text || ' appended' AS text
       |  FROM documents WHERE doc_id % 10 = 0)""".stripMargin
 
-  /** Word-3-shingle sets per doc (mirrors ShingleHashes: whitespace
-    * tokens, n-token windows, whole-token-list when shorter, distinct).
+  /** Word-n-shingle sets per doc (mirrors ShingleHashes: whitespace
+    * tokens, n-token windows, whole-token-list when shorter, distinct)
+    * as `toks`/`sh` CTE bodies over a `corpus` CTE.
     */
-  private val shingleSql =
-    """toks AS (
-      |  SELECT doc_id,
-      |    CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
-      |         THEN ['']
-      |         ELSE string_split_regex(
-      |                regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')
-      |    END AS tk
-      |  FROM corpus),
-      |sh AS (
-      |  SELECT doc_id,
-      |    list_distinct(CASE WHEN len(tk) < 3
-      |      THEN [array_to_string(tk, chr(31))]
-      |      ELSE [array_to_string(tk[i:i+2], chr(31))
-      |            for i in generate_series(1, len(tk)-2)]
-      |      END) AS s
-      |  FROM toks)""".stripMargin
+  private def shingleCtes(n: Int): String =
+    s"""toks AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')) = 0
+       |         THEN ['']
+       |         ELSE string_split_regex(
+       |                regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+')
+       |    END AS tk
+       |  FROM corpus),
+       |sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(CASE WHEN len(tk) < $n
+       |      THEN [array_to_string(tk, chr(31))]
+       |      ELSE [array_to_string(tk[i:i+${n - 1}], chr(31))
+       |            for i in generate_series(1, len(tk)-${n - 1})]
+       |      END) AS s
+       |  FROM toks)""".stripMargin
+
+  private val shingleSql = shingleCtes(3)
 
   private val minhashPairsSql =
     s"""WITH $corpusSql,
@@ -493,28 +496,13 @@ object Pipeline {
     // benchmark = every 100th doc; a corpus doc is contaminated iff it
     // shares a 13-token window with any benchmark doc
     QueryDef("p24_contamination",
-      """WITH corpus AS (SELECT doc_id, text FROM documents),
-        |bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 100 = 0),
-        |toks AS (
-        |  SELECT doc_id,
-        |    CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
-        |         THEN ['']
-        |         ELSE string_split_regex(
-        |                regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')
-        |    END AS tk
-        |  FROM corpus),
-        |sh AS (
-        |  SELECT doc_id,
-        |    list_distinct(CASE WHEN len(tk) < 13
-        |      THEN [array_to_string(tk, chr(31))]
-        |      ELSE [array_to_string(tk[i:i+12], chr(31))
-        |            for i in generate_series(1, len(tk)-12)]
-        |      END) AS s
-        |  FROM toks)
-        |SELECT c.doc_id,
-        |  EXISTS (SELECT 1 FROM sh b JOIN bench ON b.doc_id = bench.doc_id
-        |          WHERE len(list_intersect(c.s, b.s)) > 0) AS contaminated
-        |FROM sh c""".stripMargin) { (s, dir) =>
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+         |bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 100 = 0),
+         |${shingleCtes(13)}
+         |SELECT c.doc_id,
+         |  EXISTS (SELECT 1 FROM sh b JOIN bench ON b.doc_id = bench.doc_id
+         |          WHERE len(list_intersect(c.s, b.s)) > 0) AS contaminated
+         |FROM sh c""".stripMargin) { (s, dir) =>
       val docs = t(s, dir, "documents")
       Corpus.contaminated(docs, docs.filter(col("doc_id") % 100 === 0), n = 13)
         .orderBy("doc_id")
