@@ -144,6 +144,12 @@ object Dialect {
         })
         rounds += 1
       }
+      // a residual -> in a non-literal segment means a chain deeper than
+      // the matcher's paren depth: fail loudly at translate time instead
+      // of handing Spark an unparseable '->'
+      if (seg.contains("->"))
+        throw DsqError("Unsupported JSON arrow chain depth (max 5); " +
+          "use a single '$.a.b.…' path instead.")
       out.append(seg)
     }
     while (i < q.length) {

@@ -95,29 +95,30 @@ object Scale {
       val ev = t(s, dir, "events")
       // right side unique per (user_id, ts) so the as-of row is well
       // defined even on tied timestamps
+      // the carried right-side columns travel as ONE struct so a single
+      // last(ignoreNulls) picks them from the SAME purchase row — two
+      // independent last() calls could mix rows when a value is null
       val r = ev.filter(col("event_type") === "purchase")
         .groupBy("user_id", "ts")
         .agg(max(col("value").cast("decimal(18,3)")).cast("double")
           .as("purchase_value"))
         .select(col("user_id"), col("ts"), lit(0).as("tag"),
           lit(null).cast("long").as("event_id"),
-          col("ts").as("purchase_ts"), col("purchase_value"))
+          struct(col("ts").as("purchase_ts"), col("purchase_value")).as("p"))
       val l = ev.filter(col("event_type") === "click")
         .select(col("user_id"), col("ts"), lit(1).as("tag"), col("event_id"),
-          lit(null).cast("timestamp").as("purchase_ts"),
-          lit(null).cast("double").as("purchase_value"))
+          lit(null).cast("struct<purchase_ts:timestamp,purchase_value:double>")
+            .as("p"))
       // right rows sort before left at equal ts (tag 0 < 1) → >= semantics
       val w = Window.partitionBy("user_id")
         .orderBy(col("ts"), col("tag"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       r.unionAll(l)
-        .withColumn("asof_ts", last("purchase_ts", ignoreNulls = true).over(w))
-        .withColumn("asof_value",
-          last("purchase_value", ignoreNulls = true).over(w))
+        .withColumn("asof", last("p", ignoreNulls = true).over(w))
         .filter(col("tag") === 1)
         .select(col("user_id"), col("event_id"), col("ts"),
-          col("asof_ts").as("purchase_ts"),
-          col("asof_value").as("purchase_value"))
+          col("asof.purchase_ts").as("purchase_ts"),
+          col("asof.purchase_value").as("purchase_value"))
     },
 
     // Range join (interval predicate): purchases within 5 minutes after a

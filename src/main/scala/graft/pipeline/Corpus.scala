@@ -64,8 +64,15 @@ object Corpus {
     */
   def sampleHash(idCol: Column, rate: Double): Column = {
     require(rate >= 0.0 && rate <= 1.0, s"rate $rate out of [0,1]")
-    val threshold = f"${(rate * 4294967296.0).toLong.min(4294967295L)}%08x"
-    substring(md5(idCol.cast("string")), 1, 8) < threshold
+    // rate 1.0 must keep EVERY row — a clamped "ffffffff" threshold with
+    // strict < would drop ids whose md5 starts with ffffffff (2^-32 of a
+    // large corpus); rate 0.0 symmetric
+    if (rate >= 1.0) lit(true)
+    else if (rate <= 0.0) lit(false)
+    else {
+      val threshold = f"${(rate * 4294967296.0).toLong}%08x"
+      substring(md5(idCol.cast("string")), 1, 8) < threshold
+    }
   }
 
   /** Deterministic sample of `rate` — uniform per id, hence

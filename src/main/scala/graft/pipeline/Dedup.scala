@@ -205,22 +205,27 @@ object Dedup {
       "cc-init")
     var iter = 0
     var changed = 1L
-    while (changed > 0 && iter < maxIters) {
+    while (changed > 0) {
+      // the round that DETECTS convergence doesn't count against the cap
+      // (a chain needing exactly maxIters improvements must not throw)
+      require(iter <= maxIters,
+        s"components did not converge in $maxIters rounds")
       val viaNeighbor = edges
         .join(comp.select(col("doc_id").as("dst"), col("comp")), Seq("dst"))
         .select(col("src").as("doc_id"), col("comp"))
       val proposed = comp.unionAll(viaNeighbor)
         .groupBy("doc_id").agg(min("comp").as("newComp"))
-      val next = comp.join(proposed, Seq("doc_id"))
-      changed = next.filter(col("newComp") < col("comp")).count()
-      if (changed > 0) {
-        comp = materializeBarrier(
-          next.select(col("doc_id"), col("newComp").as("comp")),
-          s"cc-round$iter")
-        iter += 1
-      }
+      // materialize FIRST, then count from the barrier — counting off the
+      // unmaterialized plan would execute the round's shuffle work twice
+      val staged = materializeBarrier(
+        comp.withColumnRenamed("comp", "prev")
+          .join(proposed, Seq("doc_id"))
+          .select(col("doc_id"), col("newComp").as("comp"), col("prev")),
+        s"cc-round$iter")
+      changed = staged.filter(col("comp") < col("prev")).count()
+      comp = staged.select("doc_id", "comp")
+      iter += 1
     }
-    require(changed == 0, s"components did not converge in $maxIters rounds")
     comp
   }
 
