@@ -109,6 +109,43 @@ class CliPipeSpec extends SparkSpec {
       assert(errBuf.toString("UTF-8").contains("No input files."))
     } finally System.setErr(oldErr)
   }
+
+  test("no arguments errors No input files. (test.py:128-131)") {
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val oldErr = System.err
+    System.setErr(new java.io.PrintStream(errBuf, true, "UTF-8"))
+    try {
+      val Right(args) = Cli.parse(Array[String]()): @unchecked
+      assert(Cli.run(args) == 1)
+      assert(errBuf.toString("UTF-8").contains("No input files."))
+    } finally System.setErr(oldErr)
+  }
+
+  // test.py:306-311 — the cache is CONTENT-hash keyed, so a warm import
+  // made from a file is a hit when the same bytes arrive via stdin
+  test("Caching from pipe after caching from file is a cache hit (test.py:306-311)") {
+    val f = java.nio.file.Files.createTempFile("cache-pipe", ".csv")
+    val tag = java.lang.Long.toHexString(System.nanoTime())
+    java.nio.file.Files.writeString(f, s"a,b\n1,p$tag\n2,q\n")
+    val q = "SELECT COUNT(1) AS n FROM {}"
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val oldErr = System.err
+    System.setErr(new java.io.PrintStream(errBuf, true, "UTF-8"))
+    try {
+      // cold import from the file argument
+      val Right(a1) = Cli.parse(Array("-C", f.toString, q)): @unchecked
+      Console.withOut(new java.io.PrintStream(
+        new java.io.ByteArrayOutputStream()))(Cli.run(a1))
+      assert(errBuf.toString("UTF-8").contains("Cache invalid"))
+      errBuf.reset()
+      // same bytes piped through stdin → content hash matches → warm
+      val (code, out) = runCli(Array("-C", "-s", "csv", q), f.toString)
+      assert(code == 0)
+      assert(canonJson(out) == canonJson("""[{"n":2}]"""))
+      assert(!errBuf.toString("UTF-8").contains("Cache invalid"),
+        s"pipe run re-imported: $errBuf")
+    } finally System.setErr(oldErr)
+  }
 }
 
 /** strftime / date UDF logic. */

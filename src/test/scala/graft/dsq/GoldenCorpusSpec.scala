@@ -213,6 +213,18 @@ class GoldenCorpusSpec extends SparkSpec {
         |{"test":"0001.1"}]""".stripMargin)
   }
 
+  test("Number conversion, no query (test.py:371-377)") {
+    val out = engine.run(Seq(s"$td/convert.csv"), Seq(None), None,
+      DsqOptions(convertNumbers = true))
+    assert(out ==
+      """[{"test":1},
+        |{"test":1.1},
+        |{"test":1},
+        |{"test":1},
+        |{"test":1},
+        |{"test":1.1}]""".stripMargin)
+  }
+
   test("No number conversion, does alphabet ordering (test.py:379-381)") {
     val out = run(Seq(s"$td/csv/numberconvert.csv"),
       """select * from {} where score > "90"""")
