@@ -1,6 +1,17 @@
 ThisBuild / scalaVersion := "2.13.17"
-ThisBuild / version := "0.1.0"
+ThisBuild / version := "0.3.0"
 name := "dsqspark"
+// Single source of truth for the `-v` version string: generate a tiny
+// BuildInfo object from the sbt version (the reference stamps its build
+// version via ldflags the same way — main.go:369-373).
+Compile / sourceGenerators += Def.task {
+  val f = (Compile / sourceManaged).value / "graft" / "dsq" / "BuildInfo.scala"
+  IO.write(f,
+    s"""package graft.dsq
+       |private[dsq] object BuildInfo { val version: String = "${version.value}" }
+       |""".stripMargin)
+  Seq(f)
+}.taskValue
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")
 // Test-only deps resolve from the pre-warmed coursier cache; anything

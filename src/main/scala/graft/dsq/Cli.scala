@@ -55,7 +55,7 @@ object Cli {
         case "-n" | "--convert-numbers" => opts = opts.copy(convertNumbers = true)
         case "--verbose" => opts = opts.copy(verbose = true)
         case "--no-sqlite-writer" => // compat no-op
-        case "-v" | "--version" => return Left("dsq latest")
+        case "-v" | "--version" => return Left(s"dsq ${BuildInfo.version}")
         case "-h" | "--help" => return Left(help)
         case "-s" | "--stdin" =>
           if (i + 1 >= argv.length) return Left("Must specify stdin mimetype.")

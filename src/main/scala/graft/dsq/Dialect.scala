@@ -109,10 +109,19 @@ object Dialect {
     val parens = (1 to 3).foldLeft("[^()]*") { (inner, _) =>
       s"(?:[^()]|\\($inner\\))*"
     }
-    (s"""((?:get_json_object|dsq_json_frag)\\($parens\\)|`[^`]+`|""" +
+    // left operand: ANY call with balanced parens (SQLite allows arbitrary
+    // expressions — upper(c)->'k' — and chains nest one call per link),
+    // a parenthesized expression, a backticked/bare column, or a previous
+    // rewrite's output; right operand: integer or string literal only
+    // (a non-literal right operand means Spark lambda syntax, not JSON).
+    (s"""((?:[A-Za-z_][A-Za-z0-9_]*)?\\($parens\\)|`[^`]+`|""" +
       """[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)?)""" +
       """\s*(->>?)\s*('(?:[^']|'')*'|\d+)""").r
   }
+
+  // residual arrow in the JSON-chain shape (literal right operand) after
+  // the fixpoint → the chain out-nested the matcher's paren depth
+  private val residualChainRe: Regex = """->>?\s*(?:'(?:[^']|'')*'|\d+)""".r
 
   /** Quote-aware: string literals are copied verbatim; the arrow regex
     * only runs on non-literal segments, iterated to a fixpoint so chained
@@ -144,10 +153,12 @@ object Dialect {
         })
         rounds += 1
       }
-      // a residual -> in a non-literal segment means a chain deeper than
-      // the matcher's paren depth: fail loudly at translate time instead
-      // of handing Spark an unparseable '->'
-      if (seg.contains("->"))
+      // a residual ->/->>  WITH a literal right operand is a JSON arrow
+      // chain deeper than the matcher's paren depth: fail loudly at
+      // translate time instead of handing Spark an unparseable '->'.
+      // Arrows with non-literal right operands are Spark higher-order
+      // lambdas (transform(a, x -> upper(x))) and pass through untouched.
+      if (residualChainRe.findFirstIn(seg).isDefined)
         throw DsqError("Unsupported JSON arrow chain depth (max 5); " +
           "use a single '$.a.b.…' path instead.")
       out.append(seg)

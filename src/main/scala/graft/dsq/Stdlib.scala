@@ -132,7 +132,9 @@ object Stdlib {
             else node.get(m.group(2).toInt)
         }
       }
-      if (node == null || node.isMissingNode || node.isNull) null
+      // a JSON null VALUE is a present node: SQLite's -> yields the
+      // fragment text 'null' for it; only a MISSING node maps to SQL NULL
+      if (node == null || node.isMissingNode) null
       else fragMapper.writeValueAsString(node)
     } catch { case _: Exception => null }
   }

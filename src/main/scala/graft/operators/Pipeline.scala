@@ -107,6 +107,56 @@ object Pipeline {
        |SELECT id_a, id_b, round(j, 6) AS jaccard
        |FROM pairs WHERE j >= 0.5""".stripMargin
 
+  /** ANN recall gate (the p17 boolean pattern): the approximate top-k is
+    * scored in-engine against the exact brute-force top-k (the p06
+    * operator, itself hash-gated against DuckDB), and the oracle asserts
+    * the per-query booleans plus the query-id set and result sizes it CAN
+    * recompute. Both rankings tie-break on (score desc, vec_id), so the
+    * intersection is well defined.
+    */
+  private val annRecallFloor = 0.9
+  private val annRecallOracle =
+    """SELECT vec_id AS qid, CAST(10 AS BIGINT) AS n_returned,
+      |  true AS recall_ok
+      |FROM embeddings WHERE vec_id < 5""".stripMargin
+
+  /** ANN gate corpus: embeddings ∪ 10 deterministically-jittered copies
+    * of each query vector (per-coordinate ±10% scaling from xxhash64 →
+    * cosine ≈ 0.998). The driver's synthetic embeddings are direction-
+    * uniform — their top-10 cosine neighbors sit barely above the noise
+    * floor, which no sublinear index can separate (recall ≈ scanned
+    * fraction, information-theoretically). ANN's contract is "find the
+    * TRUE near neighbors when they exist", so the gate plants them; the
+    * in-engine brute-force ground truth adapts automatically.
+    */
+  private def annCorpusWithPlants(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+    val plants = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("emb"))
+      .withColumn("j", explode(sequence(lit(0), lit(9))))
+      .select(
+        (lit(2000000L) + col("qid") * 100 + col("j")).as("vec_id"),
+        zip_with(col("emb"), sequence(lit(0), size(col("emb")) - 1),
+          (x, i) => (x.cast("double") * (lit(1.0) + lit(0.1) *
+            (xxhash64(col("qid"), col("j"), i).cast("double") /
+              lit(Long.MaxValue.toDouble)))).cast("float")).as("embedding"))
+    e.unionAll(plants)
+  }
+
+  private def annRecallGate(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val hits = approx.select("qid", "vec_id")
+      .join(exact.select("qid", "vec_id"), Seq("qid", "vec_id"))
+      .groupBy("qid").agg(count(lit(1)).as("n_hit"))
+    approx.groupBy("qid").agg(count(lit(1)).as("n_returned"))
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"), col("n_returned"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") / 10.0, 2)
+          .as("recall"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / 10.0
+          >= annRecallFloor).as("recall_ok"))
+      .orderBy("qid")
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // ---- deduplication -------------------------------------------------
@@ -123,10 +173,42 @@ object Pipeline {
         .orderBy("id_a", "id_b")
     },
 
-    QueryDef.rowsOnly("p03_dedup_simhash") { (s, dir) =>
-      Dedup.simhashPairs(docsWithPlants(s, dir), "doc_id", "text",
-        maxHamming = 3)
-        .orderBy("id_a", "id_b")
+    // DuckDB cannot recompute simhash, but it can gate the INVARIANT (the
+    // p17 boolean pattern): the chunk-pigeonhole LSH must find exactly the
+    // pairs an exhaustive all-pairs hamming scan finds — computed in-engine
+    // at gate scale, asserted `true` by the oracle — plus corpus counts the
+    // oracle recomputes for real.
+    QueryDef("p03_dedup_simhash",
+      """WITH c AS (
+        |  SELECT doc_id FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 FROM documents WHERE doc_id % 10 = 0)
+        |SELECT CAST(count(*) AS BIGINT) AS n_corpus_docs,
+        |  CAST(count(*) FILTER (doc_id >= 1000000) AS BIGINT)
+        |    AS n_planted_docs,
+        |  true AS lsh_equals_brute
+        |FROM c""".stripMargin) { (s, dir) =>
+      val corpus = docsWithPlants(s, dir)
+      val lshPairs = Dedup.simhashPairs(corpus, "doc_id", "text",
+        maxHamming = 3).select("id_a", "id_b")
+      // exhaustive ground truth over the (tiny) signature table — gate-
+      // scale verification only; production uses the pigeonhole join
+      val sig = corpus.select(col("doc_id").as("id"),
+        Dedup.simhash(col("text")).as("sig"))
+      val brute = sig.select(col("id").as("id_a"), col("sig").as("sig_a"))
+        .crossJoin(sig.select(col("id").as("id_b"), col("sig").as("sig_b")))
+        .filter(col("id_a") < col("id_b"))
+        .filter(bit_count(col("sig_a").bitwiseXOR(col("sig_b"))) <= 3)
+        .select("id_a", "id_b")
+      val nDiff = brute.except(lshPairs).unionAll(lshPairs.except(brute))
+        .agg(count(lit(1)).as("n_diff"))
+      corpus.agg(
+        count(lit(1)).as("n_corpus_docs"),
+        sum(when(col("doc_id") >= 1000000, 1).otherwise(0)).cast("long")
+          .as("n_planted_docs"))
+        .crossJoin(nDiff)
+        .select(col("n_corpus_docs"), col("n_planted_docs"),
+          (col("n_diff") === 0).as("lsh_equals_brute"))
     },
 
     // exhaustive char-4-gram Jaccard in DuckDB; the size-ratio join guard
@@ -152,10 +234,31 @@ object Pipeline {
         .orderBy("id_a", "id_b")
     },
 
-    QueryDef.rowsOnly("p05_dedup_embed") { (s, dir) =>
-      Similarity.embeddingNearDupPairs(vecsWithPlants(s, dir),
-        threshold = 0.98, nPlanes = 8)
-        .orderBy("id_a", "id_b")
+    // exhaustive all-pairs cosine in DuckDB over the same planted corpus
+    // (the p02/p04 pattern): float scaling is IEEE-identical in both
+    // engines, cosine matches after ROUND 6 (proven by p06), so the
+    // oracle also proves the banded hyperplane LSH candidate stage has
+    // perfect recall on every pair above the threshold — not just the
+    // planted ones.
+    QueryDef("p05_dedup_embed",
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(x * CAST(1.001 AS FLOAT) AS FLOAT)) AS embedding
+        |  FROM embeddings WHERE vec_id % 25 = 0),
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                 CAST(b.embedding AS DOUBLE[])), 6)
+        |      AS cos
+        |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.98""".stripMargin) {
+      (s, dir) =>
+        Similarity.embeddingNearDupPairs(vecsWithPlants(s, dir),
+          threshold = 0.98, bands = 8, rowsPerBand = 16)
+          .orderBy("id_a", "id_b")
     },
 
     // exact-dedup materialization: corpus with only the kept rows
@@ -243,22 +346,22 @@ object Pipeline {
         .withColumn("rank", col("rank").cast("long"))
     },
 
-    QueryDef.rowsOnly("p07_sim_lsh") { (s, dir) =>
-      val corpus = t(s, dir, "embeddings")
+    QueryDef("p07_sim_lsh", annRecallOracle) { (s, dir) =>
+      val corpus = annCorpusWithPlants(s, dir)
       val queries = corpus.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      Similarity.lshTopK(corpus, queries, k = 10, nPlanes = 8)
-        .withColumn("rank", col("rank").cast("long"))
-        .orderBy("qid", "rank")
+      annRecallGate(
+        Similarity.lshTopK(corpus, queries, k = 10, nPlanes = 8),
+        Similarity.bruteForceTopK(corpus, queries, k = 10))
     },
 
-    QueryDef.rowsOnly("p08_sim_ivf") { (s, dir) =>
-      val corpus = t(s, dir, "embeddings")
+    QueryDef("p08_sim_ivf", annRecallOracle) { (s, dir) =>
+      val corpus = annCorpusWithPlants(s, dir)
       val queries = corpus.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      Similarity.ivfTopK(corpus, queries, k = 10, nCells = 16, nProbe = 4)
-        .withColumn("rank", col("rank").cast("long"))
-        .orderBy("qid", "rank")
+      annRecallGate(
+        Similarity.ivfTopK(corpus, queries, k = 10, nCells = 16, nProbe = 4),
+        Similarity.bruteForceTopK(corpus, queries, k = 10))
     },
 
     // ---- text analysis ------------------------------------------------
@@ -357,11 +460,27 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
-    QueryDef.rowsOnly("p12_text_fingerprint") { (s, dir) =>
+    // the chained-xxhash64 fingerprint itself is not DuckDB-expressible;
+    // its INVARIANTS are: it must be a pure function of text (distinct
+    // (text, fp) pairs == distinct texts) and collision-free on the
+    // corpus (distinct fps == distinct texts). The oracle recomputes the
+    // text-side counts for real and asserts the booleans.
+    QueryDef("p12_text_fingerprint",
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_texts,
+        |  true AS fp_function_of_text,
+        |  true AS fp_collision_free
+        |FROM documents""".stripMargin) { (s, dir) =>
       t(s, dir, "documents")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("text"),
           TextAnalysis.fingerprint(col("text")).as("fingerprint"))
-        .orderBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          count_distinct(col("text")).as("n_distinct_texts"),
+          (count_distinct(struct(col("text"), col("fingerprint"))) ===
+            count_distinct(col("text"))).as("fp_function_of_text"),
+          (count_distinct(col("fingerprint")) ===
+            count_distinct(col("text"))).as("fp_collision_free"))
     },
 
     QueryDef("p19_token_bpe",

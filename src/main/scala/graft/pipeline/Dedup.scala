@@ -51,7 +51,11 @@ object Dedup {
     */
   private def spreadForCpu(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    // toRdd reads the partition count off the physical plan without the
+    // row-deserializing RDD conversion df.rdd would build (and probes the
+    // same plan the write below executes)
+    val parts = df.queryExecution.toRdd.getNumPartitions
+    if (parts >= target) df else df.repartition(target)
   }
 
   // One registry + one shutdown hook for every barrier dir this JVM
@@ -71,12 +75,34 @@ object Dedup {
     ()
   }
 
-  private[pipeline] def materializeBarrier(df: DataFrame, tag: String): DataFrame = {
+  private[pipeline] def materializeBarrier(df: DataFrame, tag: String): DataFrame =
+    materializeBarrierAt(df, tag)._1
+
+  private def materializeBarrierAt(
+      df: DataFrame, tag: String): (DataFrame, java.nio.file.Path) = {
     barrierHook
     val dir = java.nio.file.Files.createTempDirectory(s"graft-$tag-")
     barrierDirs.add(dir)
     df.write.mode("overwrite").parquet(dir.toString)
-    df.sparkSession.read.parquet(dir.toString)
+    (df.sparkSession.read.parquet(dir.toString), dir)
+  }
+
+  /** Eagerly reclaim a barrier dir whose data is no longer referenced —
+    * iterative algorithms cap scratch usage this way instead of letting
+    * every round's barrier pile up until JVM exit.
+    */
+  private def releaseBarrier(dir: java.nio.file.Path): Unit = {
+    barrierDirs.remove(dir)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(dir.toFile)
+  }
+
+  /** Test visibility: barrier dirs currently awaiting JVM-exit cleanup. */
+  private[graft] def liveBarrierDirs: Seq[java.nio.file.Path] = {
+    import scala.jdk.CollectionConverters._
+    barrierDirs.asScala.toSeq
   }
 
   /** Banded-LSH candidate pairs from a (id, mh) signature table: explode
@@ -199,7 +225,7 @@ object Dedup {
         .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
         .distinct(),
       "cc-edges")
-    var comp = materializeBarrier(
+    var (comp, compDir) = materializeBarrierAt(
       edges.select(col("src").as("doc_id")).distinct()
         .withColumn("comp", col("doc_id")),
       "cc-init")
@@ -217,13 +243,17 @@ object Dedup {
         .groupBy("doc_id").agg(min("comp").as("newComp"))
       // materialize FIRST, then count from the barrier — counting off the
       // unmaterialized plan would execute the round's shuffle work twice
-      val staged = materializeBarrier(
+      val (staged, stagedDir) = materializeBarrierAt(
         comp.withColumnRenamed("comp", "prev")
           .join(proposed, Seq("doc_id"))
           .select(col("doc_id"), col("newComp").as("comp"), col("prev")),
         s"cc-round$iter")
       changed = staged.filter(col("comp") < col("prev")).count()
       comp = staged.select("doc_id", "comp")
+      // round N is on disk and counted — round N-1's barrier is dead;
+      // reclaim it NOW so scratch usage stays at 2 round dirs, not O(rounds)
+      releaseBarrier(compDir)
+      compDir = stagedDir
       iter += 1
     }
     comp

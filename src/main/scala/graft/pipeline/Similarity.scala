@@ -148,15 +148,52 @@ object Similarity {
       .select(col(qidCol), col(idCol), col("score"), col("rank"))
   }
 
-  /** Embedding-cosine near-duplicate pairs via shared LSH bucket. */
+  /** `bands` independent `rowsPerBand`-plane signatures (OR-amplified
+    * banding): plane id = band*r+p keeps the hyperplane tables disjoint.
+    * Returns array<long> of length `bands`.
+    */
+  def bandedHyperplaneSignatures(vec: Column, bands: Int,
+      rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      aggregate(sequence(lit(0), lit(rowsPerBand - 1)), lit(0L), (acc, p) =>
+        acc.bitwiseOR(
+          when(aggregate(
+            zip_with(vec, sequence(lit(0), size(vec) - 1),
+              (x, i) => x.cast("double") *
+                planeComponent(b * rowsPerBand + p, i)),
+            lit(0.0), (a2, x) => a2 + x) > 0,
+            call_function("shiftleft", lit(1L), p)).otherwise(lit(0L)))))
+
+  /** Embedding-cosine near-duplicate pairs via banded hyperplane LSH.
+    *
+    * Scale shape (mirrors [[graft.pipeline.Dedup.minhashPairs]]): the
+    * candidate shuffle carries (band, bucket, id) ONLY — vectors are
+    * joined back by id for the cosine verification. An earlier version
+    * used one `nPlanes`-bit signature, which caps join-key cardinality at
+    * 2^nPlanes buckets total (256 at the default 8 — a parallelism
+    * ceiling and a quadratic in-bucket join at 100 TB) and shipped both
+    * full vectors through the shuffle. Banding gives 2^r keys PER band
+    * (65k at r=16) and OR-amplified recall: a pair is a candidate when
+    * ANY band agrees — for true near-dups (cosine → 1) per-plane
+    * agreement → 1, so recall stays ~1 while r controls how aggressively
+    * moderate-similarity noise is filtered out.
+    */
   def embeddingNearDupPairs(df: DataFrame, threshold: Double = 0.95,
-      nPlanes: Int = 8, idCol: String = "vec_id",
+      bands: Int = 8, rowsPerBand: Int = 16, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val sig = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      hyperplaneSignature(col(vecCol), nPlanes).as("bucket"))
-    val a = sig.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = sig.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
-    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val sig = base.select(col("id"),
+        posexplode(bandedHyperplaneSignatures(col("v"), bands, rowsPerBand)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val cand = sig.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(sig.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    cand
+      .join(base.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
       .withColumn("cos", round(cosine(col("v_a"), col("v_b")), 6))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")

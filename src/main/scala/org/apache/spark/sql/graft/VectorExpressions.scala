@@ -304,14 +304,21 @@ case class ShingleHashes(child: Expression, n: Int)
 }
 
 object ShingleHashes {
-  def tokenHashes(s: String): Array[Long] = {
-    val t = s.trim
+  // ASCII whitespace only (the Java/RE2 '\s' class): the DuckDB oracles
+  // tokenize with RE2 '\s+', so full-Unicode Character.isWhitespace would
+  // silently split on U+00A0/U+2028/CJK space where the oracle does not.
+  // (Residual divergence: Java \s includes \x0B, RE2's does not — neither
+  // appears in any corpus this tokenizer meets.)
+  private def isAsciiSpace(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  def tokenHashes(t: String): Array[Long] = {
     val buf = new scala.collection.mutable.ArrayBuffer[Long]()
     var start = 0
     var i = 0
     val n = t.length
     while (i <= n) {
-      if (i == n || Character.isWhitespace(t.charAt(i))) {
+      if (i == n || isAsciiSpace(t.charAt(i))) {
         if (i > start) {
           val tok = UTF8String.fromString(t.substring(start, i))
           buf += XxHash64Function.hash(tok, StringType, 42L)

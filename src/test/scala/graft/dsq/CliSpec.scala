@@ -57,7 +57,8 @@ class CliSpec extends AnyFunSuite {
   }
 
   test("-v prints version string") {
-    assert(Cli.parse(Array("-v")) == Left("dsq latest"))
+    assert(Cli.parse(Array("-v")) == Left(s"dsq ${BuildInfo.version}"))
+    assert(Cli.parse(Array("-v")).swap.exists(_.matches("dsq \\d+\\.\\d+\\.\\d+")))
   }
 }
 
@@ -172,6 +173,8 @@ class StdlibSpec extends AnyFunSuite {
     assert(Stdlib.jsonFrag("""{"a":{"b":"x"}}""", "$.a") == """{"b":"x"}""")
     assert(Stdlib.jsonFrag("[1,2]", "$[1]") == "2")
     assert(Stdlib.jsonFrag("""{"a":1}""", "$.missing") == null)
+    // SQLite: a present null-valued key yields the fragment text 'null'
+    assert(Stdlib.jsonFrag("""{"a":null}""", "$.a") == "null")
     // SQLite: c->'' is NULL, never the whole document
     assert(Stdlib.jsonFrag("""{"a":1}""", "$.") == null)
     assert(Stdlib.jsonFrag("not json", "$.a") == null)

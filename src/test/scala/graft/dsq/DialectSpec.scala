@@ -88,6 +88,27 @@ class DialectSpec extends AnyFunSuite {
       == "SELECT dsq_json_frag(dsq_json_frag(dsq_json_frag(data, '$.a'), '$.b'), '$.c') FROM t_0")
   }
 
+  test("Spark lambda arrows pass through untouched") {
+    // right operand is not a literal → higher-order lambda, not JSON
+    val q = "SELECT transform(a, x -> upper(x)) FROM t_0"
+    assert(Dialect.translate(q, Set("a")) == q)
+    val q2 = "SELECT aggregate(a, 0L, (acc, x) -> acc + x) FROM t_0"
+    assert(Dialect.translate(q2, Set("a")) == q2)
+  }
+
+  test("arbitrary call left operands rewrite (SQLite allows any expr)") {
+    assert(Dialect.translate("SELECT upper(c)->'k' FROM t_0", Set("c"))
+      == "SELECT dsq_json_frag(upper(c), '$.k') FROM t_0")
+    assert(Dialect.translate("SELECT (c)->>'k' FROM t_0", Set("c"))
+      == "SELECT get_json_object((c), '$.k') FROM t_0")
+  }
+
+  test("over-deep arrow chains with literal keys still fail loudly") {
+    // depth beyond the paren matcher; the residual '->' has a literal key
+    val deep = "SELECT data" + (1 to 9).map(i => s"->'k$i'").mkString + " FROM t_0"
+    assertThrows[DsqError](Dialect.translate(deep, Set("data")))
+  }
+
   test("quoted identifiers resolve case-insensitively (SQLite semantics)") {
     assert(Dialect.translate("""SELECT "Name" FROM t_0""", Set("name"))
       == "SELECT `Name` FROM t_0")

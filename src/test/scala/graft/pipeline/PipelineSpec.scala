@@ -120,6 +120,64 @@ class PipelineSpec extends SparkSpec {
       "signature cache leaked into the block manager")
   }
 
+  test("banded embedding LSH: perfect recall vs exhaustive, ids-only shuffle, no hot bucket") {
+    val planted = vecs.unionAll(vecs.filter(col("vec_id") % 25 === 0)
+      .select((col("vec_id") + 1000000).as("vec_id"),
+        transform(col("embedding"),
+          x => (x * lit(1.001f)).cast("float")).as("embedding")))
+    // 1) result == exhaustive brute-force pair set (perfect recall here)
+    val lshPairs = Similarity.embeddingNearDupPairs(planted,
+        threshold = 0.98, bands = 8, rowsPerBand = 16)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = planted.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = planted.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val brute = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(Similarity.cosine(col("va"), col("vb")), 6))
+      .filter(col("cos") >= 0.98)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "corpus lost its planted near-dup pairs")
+    assert(lshPairs == brute,
+      s"LSH missed ${(brute -- lshPairs).size}, invented ${(lshPairs -- brute).size}")
+    // 2) no (band, bucket) group collects a corpus-scale fraction: with
+    //    2^16 buckets per band the expected load is n/65536 ≪ 1; allow
+    //    planted collisions (by design) plus random ones
+    val maxBucket = planted
+      .select(posexplode(Similarity.bandedHyperplaneSignatures(
+        col("embedding"), 8, 16)))
+      .groupBy("pos", "col").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    assert(maxBucket <= 8, s"hot bucket of $maxBucket docs")
+    // 3) the candidate shuffle carries (band, bucket, id) only — every
+    //    exchange keyed by band+bucket has no vector column in its input
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    val bcWas = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // tiny test data broadcasts everything away — force the shuffle
+      // path (the 100 TB shape) so the exchange contents are assertable
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = Similarity.embeddingNearDupPairs(planted,
+        threshold = 0.98, bands = 8, rowsPerBand = 16)
+        .queryExecution.executedPlan
+      val candExchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if e.outputPartitioning.toString.contains("band") =>
+          e
+      }
+      assert(candExchanges.nonEmpty, s"no band-keyed exchange in:\n$plan")
+      candExchanges.foreach { e =>
+        val carried = e.child.output.map(_.name)
+        assert(!carried.exists(n => n == "v" || n.startsWith("embedding")),
+          s"vector column through the candidate shuffle: $carried")
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcWas)
+    }
+  }
+
   test("LSH ANN recall vs brute force") {
     val queries = vecs.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
@@ -244,6 +302,22 @@ class PipelineSpec extends SparkSpec {
     val comp = Dedup.components(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("components reclaims round barriers eagerly (scratch ≤ 1 round dir)") {
+    import spark.implicits._
+    def roundDirs = Dedup.liveBarrierDirs
+      .filter(_.getFileName.toString.startsWith("graft-cc-round")).toSet
+    val before = roundDirs
+    // a 6-node chain needs several propagation rounds to converge
+    val pairs = (1L until 6L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comp = Dedup.components(pairs)
+    assert(comp.collect().map(_.getLong(1)).toSet == Set(1L))
+    // only the FINAL round's dir (backing the returned plan) may remain
+    // live; every earlier round must have been reclaimed when superseded
+    val added = roundDirs -- before
+    assert(added.size <= 1,
+      s"round barriers piled up: ${added.mkString(", ")}")
   }
 
   test("pii redaction counts and masks emails and phones") {
