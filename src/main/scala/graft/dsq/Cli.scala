@@ -105,11 +105,17 @@ object Cli {
     spark
   }
 
+  /** help and version are successful exits (reference main.go:369-373);
+    * every other Left from parse is a usage error.
+    */
+  private[dsq] def exitCodeFor(msg: String): Int =
+    if (msg == help || msg == s"dsq ${BuildInfo.version}") 0 else 1
+
   def main(argv: Array[String]): Unit = {
     parse(argv) match {
       case Left(msg) =>
         System.err.println(msg)
-        sys.exit(if (msg == help) 0 else if (msg == "dsq latest") 0 else 1)
+        sys.exit(exitCodeFor(msg))
       case Right(args) => sys.exit(run(args))
     }
   }

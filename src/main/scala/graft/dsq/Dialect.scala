@@ -123,6 +123,87 @@ object Dialect {
   // the fixpoint → the chain out-nested the matcher's paren depth
   private val residualChainRe: Regex = """->>?\s*(?:'(?:[^']|'')*'|\d+)""".r
 
+  // Spark higher-order functions whose lambda parameters must NOT be
+  // json-arrow-rewritten even when the lambda body is a literal
+  // (`transform(a, x -> 0)`): the arrow there is lambda syntax.
+  private val hofNames = Set("transform", "filter", "exists", "forall",
+    "aggregate", "reduce", "zip_with", "map_filter", "map_zip_with",
+    "transform_keys", "transform_values", "array_sort")
+
+  private val paramTupleRe =
+    """\(\s*[A-Za-z_][A-Za-z0-9_]*(\s*,\s*[A-Za-z_][A-Za-z0-9_]*)+\s*\)"""
+
+  /** True iff the arrow whose LEFT operand spans [leftStart, …) sits in
+    * lambda-parameter position. Two cases: (a) the operand is a bare
+    * identifier tuple `(acc, x)` — never a valid scalar expression, so
+    * skipping the JSON rewrite is always safe; (b) a single identifier
+    * that is a direct argument of a known higher-order function
+    * (`transform(a, x -> 0)`). A lone `c ->> 'k'` or one nested in an
+    * ordinary call (`upper(c->>'k')`, `f(a, b->'x')`) stays a JSON arrow.
+    */
+  private def inLambdaPosition(seg: String, leftStart: Int,
+      leftOperand: String): Boolean = {
+    if (leftOperand.matches(paramTupleRe)) return true
+    if (!leftOperand.matches("[A-Za-z_][A-Za-z0-9_]*")) return false
+    var p = leftStart - 1
+    while (p >= 0 && seg.charAt(p).isWhitespace) p -= 1
+    if (p < 0 || (seg.charAt(p) != ',' && seg.charAt(p) != '(')) return false
+    // walk back to the '(' opening the argument list containing the operand,
+    // then read the callee identifier immediately before it
+    var depth = 0
+    while (p >= 0) {
+      val c = seg.charAt(p)
+      if (c == ')') depth += 1
+      else if (c == '(') {
+        if (depth == 0) {
+          var e = p - 1
+          while (e >= 0 && seg.charAt(e).isWhitespace) e -= 1
+          var s2 = e
+          while (s2 >= 0 && (seg.charAt(s2).isLetterOrDigit ||
+            seg.charAt(s2) == '_')) s2 -= 1
+          return hofNames.contains(
+            seg.substring(s2 + 1, e + 1).toLowerCase(java.util.Locale.ROOT))
+        }
+        depth -= 1
+      }
+      p -= 1
+    }
+    false
+  }
+
+  /** Locate the left operand of a residual arrow at `arrowStart` (walking
+    * back over a balanced-paren group or an identifier) and ask
+    * [[inLambdaPosition]] whether it is lambda syntax rather than an
+    * over-deep JSON chain.
+    */
+  private def residualIsLambda(seg: String, arrowStart: Int): Boolean = {
+    var p = arrowStart - 1
+    while (p >= 0 && seg.charAt(p).isWhitespace) p -= 1
+    if (p < 0) return false
+    val leftEnd = p + 1
+    var leftStart = 0
+    if (seg.charAt(p) == ')') {
+      var depth = 1
+      var j = p - 1
+      while (j >= 0 && depth > 0) {
+        val c = seg.charAt(j)
+        if (c == ')') depth += 1 else if (c == '(') depth -= 1
+        j -= 1
+      }
+      var s2 = j
+      while (s2 >= 0 && (seg.charAt(s2).isLetterOrDigit ||
+        seg.charAt(s2) == '_')) s2 -= 1
+      leftStart = s2 + 1
+    } else {
+      var s2 = p
+      while (s2 >= 0 && (seg.charAt(s2).isLetterOrDigit ||
+        seg.charAt(s2) == '_' || seg.charAt(s2) == '.' ||
+        seg.charAt(s2) == '`')) s2 -= 1
+      leftStart = s2 + 1
+    }
+    inLambdaPosition(seg, leftStart, seg.substring(leftStart, leftEnd))
+  }
+
   /** Quote-aware: string literals are copied verbatim; the arrow regex
     * only runs on non-literal segments, iterated to a fixpoint so chained
     * `a->'x'->'y'` rewrites left-to-right (the left alternative matches
@@ -138,18 +219,23 @@ object Dialect {
       var rounds = 0
       while (seg != prev && rounds < 8) {
         prev = seg
+        val segSnapshot = seg
         seg = arrowRe.replaceAllIn(seg, m => {
           val target = m.group(1)
-          val op = m.group(2)
-          val key = m.group(3)
-          val jsonPath =
-            if (key.matches("\\d+")) s"'$$[$key]'"
-            else {
-              val content = key.substring(1, key.length - 1)
-              s"'$$.$content'"
-            }
-          val fn = if (op == "->>") "get_json_object" else "dsq_json_frag"
-          Regex.quoteReplacement(s"$fn($target, $jsonPath)")
+          if (inLambdaPosition(segSnapshot, m.start, target))
+            Regex.quoteReplacement(m.matched) // Spark lambda, not JSON
+          else {
+            val op = m.group(2)
+            val key = m.group(3)
+            val jsonPath =
+              if (key.matches("\\d+")) s"'$$[$key]'"
+              else {
+                val content = key.substring(1, key.length - 1)
+                s"'$$.$content'"
+              }
+            val fn = if (op == "->>") "get_json_object" else "dsq_json_frag"
+            Regex.quoteReplacement(s"$fn($target, $jsonPath)")
+          }
         })
         rounds += 1
       }
@@ -158,7 +244,8 @@ object Dialect {
       // translate time instead of handing Spark an unparseable '->'.
       // Arrows with non-literal right operands are Spark higher-order
       // lambdas (transform(a, x -> upper(x))) and pass through untouched.
-      if (residualChainRe.findFirstIn(seg).isDefined)
+      if (residualChainRe.findAllMatchIn(seg)
+          .exists(m => !residualIsLambda(seg, m.start)))
         throw DsqError("Unsupported JSON arrow chain depth (max 5); " +
           "use a single '$.a.b.…' path instead.")
       out.append(seg)

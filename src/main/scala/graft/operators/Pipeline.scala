@@ -115,10 +115,15 @@ object Pipeline {
     * intersection is well defined.
     */
   private val annRecallFloor = 0.9
+  /** Single source of truth for the ANN gates' k: the operator calls, the
+    * gate's recall denominator, and the oracle's expected n_returned all
+    * derive from it, so changing k at one site cannot skew the others.
+    */
+  private val annK = 10
   private val annRecallOracle =
-    """SELECT vec_id AS qid, CAST(10 AS BIGINT) AS n_returned,
-      |  true AS recall_ok
-      |FROM embeddings WHERE vec_id < 5""".stripMargin
+    s"""SELECT vec_id AS qid, CAST($annK AS BIGINT) AS n_returned,
+       |  true AS recall_ok
+       |FROM embeddings WHERE vec_id < 5""".stripMargin
 
   /** ANN gate corpus: embeddings ∪ 10 deterministically-jittered copies
     * of each query vector (per-coordinate ±10% scaling from xxhash64 →
@@ -143,16 +148,15 @@ object Pipeline {
     e.unionAll(plants)
   }
 
-  private def annRecallGate(approx: DataFrame, exact: DataFrame): DataFrame = {
+  private def annRecallGate(approx: DataFrame, exact: DataFrame,
+      k: Int): DataFrame = {
     val hits = approx.select("qid", "vec_id")
       .join(exact.select("qid", "vec_id"), Seq("qid", "vec_id"))
       .groupBy("qid").agg(count(lit(1)).as("n_hit"))
     approx.groupBy("qid").agg(count(lit(1)).as("n_returned"))
       .join(hits, Seq("qid"), "left")
       .select(col("qid"), col("n_returned"),
-        round(coalesce(col("n_hit"), lit(0L)).cast("double") / 10.0, 2)
-          .as("recall"),
-        (coalesce(col("n_hit"), lit(0L)).cast("double") / 10.0
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / k.toDouble
           >= annRecallFloor).as("recall_ok"))
       .orderBy("qid")
   }
@@ -351,8 +355,8 @@ object Pipeline {
       val queries = corpus.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       annRecallGate(
-        Similarity.lshTopK(corpus, queries, k = 10, nPlanes = 8),
-        Similarity.bruteForceTopK(corpus, queries, k = 10))
+        Similarity.lshTopK(corpus, queries, k = annK, nPlanes = 8),
+        Similarity.bruteForceTopK(corpus, queries, k = annK), k = annK)
     },
 
     QueryDef("p08_sim_ivf", annRecallOracle) { (s, dir) =>
@@ -360,8 +364,8 @@ object Pipeline {
       val queries = corpus.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       annRecallGate(
-        Similarity.ivfTopK(corpus, queries, k = 10, nCells = 16, nProbe = 4),
-        Similarity.bruteForceTopK(corpus, queries, k = 10))
+        Similarity.ivfTopK(corpus, queries, k = annK, nCells = 16, nProbe = 4),
+        Similarity.bruteForceTopK(corpus, queries, k = annK), k = annK)
     },
 
     // ---- text analysis ------------------------------------------------
@@ -628,22 +632,56 @@ object Pipeline {
     },
 
     // ---- multimodal ---------------------------------------------------
-    QueryDef.rowsOnly("p13_mm_decode") { (s, dir) =>
-      val withMedia = t(s, dir, "documents")
-        .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+    // Real-decode oracle gate: 2/3 of the rows carry REAL PNG/JPEG payloads
+    // (encoded in-engine by ImageIO) whose dimensions are pure arithmetic in
+    // doc_id — so DuckDB predicts the decoded format/width/height (and the
+    // resize math) exactly, proving the ImageIO header-decode path end to
+    // end. The remaining 1/3 carry raw text bytes no image reader accepts;
+    // their stub fallback is asserted via range/byte-count invariants the
+    // oracle checks as a literal `true` (the p17 boolean pattern — the stub's
+    // 64-step rolling hash would overflow DuckDB's checked BIGINT).
+    QueryDef("p13_mm_decode",
+      """WITH m AS (
+        |  SELECT doc_id, doc_id % 3 AS kind,
+        |    16 + (doc_id * 7) % 97 AS ew,
+        |    16 + (doc_id * 13) % 71 AS eh
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN kind = 0 THEN 'png' WHEN kind = 1 THEN 'jpeg' END
+        |    AS format,
+        |  CASE WHEN kind < 2 THEN CAST(ew AS BIGINT) END AS width,
+        |  CASE WHEN kind < 2 THEN CAST(eh AS BIGINT) END AS height,
+        |  CASE WHEN kind < 2 THEN CAST(floor(ew * least(CAST(1.0 AS DOUBLE),
+        |    CAST(64.0 AS DOUBLE) / CAST(greatest(ew, eh) AS DOUBLE)))
+        |    AS BIGINT) END AS resized_w,
+        |  CASE WHEN kind < 2 THEN CAST(floor(eh * least(CAST(1.0 AS DOUBLE),
+        |    CAST(64.0 AS DOUBLE) / CAST(greatest(ew, eh) AS DOUBLE)))
+        |    AS BIGINT) END AS resized_h,
+        |  true AS decode_ok
+        |FROM m""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents").select("doc_id", "text")
       val decoded = Multimodal.resizeMeta(
-        Multimodal.withDecodedMeta(withMedia), maxDim = 512)
-      Multimodal.featureStub(
+        Multimodal.withDecodedMeta(Multimodal.withSyntheticMedia(docs)),
+        maxDim = 64)
+      val full = Multimodal.featureStub(
         Multimodal.frameSample(decoded), dim = 8)
-        .select(col("doc_id"),
-          col("meta.format").as("format"),
-          col("meta.width").as("width"),
-          col("meta.height").as("height"),
-          col("meta.n_bytes").as("n_bytes"),
-          col("resized.width").as("resized_w"),
-          col("resized.height").as("resized_h"),
-          size(col("frames")).cast("long").as("n_frames"),
-          size(col("features")).cast("long").as("feat_dim"))
+      val isImage = col("doc_id") % 3 < 2
+      full.select(
+        col("doc_id"),
+        when(isImage, col("meta.format")).as("format"),
+        when(isImage, col("meta.width").cast("long")).as("width"),
+        when(isImage, col("meta.height").cast("long")).as("height"),
+        when(isImage, col("resized.width").cast("long")).as("resized_w"),
+        when(isImage, col("resized.height").cast("long")).as("resized_h"),
+        when(isImage,
+          col("meta.n_bytes") > 8 && size(col("frames")) >= 1 &&
+            size(col("features")) === 8)
+          .otherwise(
+            col("meta.format").isin("png", "jpeg", "webp") &&
+              col("meta.width").between(64, 1983) &&
+              col("meta.height").between(64, 1143) &&
+              col("meta.n_bytes") === length(col("media")).cast("long"))
+          .as("decode_ok"))
         .orderBy("doc_id")
     },
 

@@ -67,6 +67,56 @@ object Multimodal {
     Row(fmt, w, ht, bytes.length.toLong)
   }
 
+  /** Deterministic REAL image payload: a w×h image with id-seeded pixels,
+    * encoded by the JDK's own PNG/JPEG writers. The exact bytes may vary
+    * across JDK encoder versions, but the decoded (format, width, height)
+    * is exactly (fmt, w, h) on any compliant decoder — which is what the
+    * oracle gate asserts.
+    */
+  private[graft] def syntheticImage(fmt: String, w: Int, h: Int,
+      seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, ((x * 31 + y * 7 + seed).toInt) & 0xFFFFFF)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, out)
+    out.toByteArray
+  }
+
+  /** Attach a deterministic synthetic `media` payload per row: real PNG
+    * (id%3==0) / JPEG (id%3==1) bytes with dimensions derived from the id
+    * (so an external oracle can predict the decoded header), and raw UTF-8
+    * text bytes (id%3==2) that no image reader recognizes — exercising the
+    * stub fallback. Same mapPartitions batch shape as the decoder.
+    */
+  def withSyntheticMedia(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", outCol: String = "media"): DataFrame = {
+    val outSchema = df.schema.add(outCol, BinaryType)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val textIdx = df.schema.fieldIndex(textCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val bytes = (id % 3) match {
+          case 2 => r.getString(textIdx).getBytes("UTF-8")
+          case k =>
+            val w = (16 + (id * 7) % 97).toInt
+            val h = (16 + (id * 13) % 71).toInt
+            syntheticImage(if (k == 0L) "png" else "jpg", w, h, id)
+        }
+        Row.fromSeq(r.toSeq :+ bytes)
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
   /** Attach decoded metadata to a binary column. Partition-parallel: the
     * decoder is initialized once per partition and streamed over rows —
     * the same batch shape a JNI/ffmpeg decoder needs at 100 TB.

@@ -60,6 +60,15 @@ class CliSpec extends AnyFunSuite {
     assert(Cli.parse(Array("-v")) == Left(s"dsq ${BuildInfo.version}"))
     assert(Cli.parse(Array("-v")).swap.exists(_.matches("dsq \\d+\\.\\d+\\.\\d+")))
   }
+
+  test("-v and -h exit 0; usage errors exit 1 (reference main.go:369-373)") {
+    val Left(versionMsg) = Cli.parse(Array("-v")): @unchecked
+    assert(Cli.exitCodeFor(versionMsg) == 0)
+    val Left(helpMsg) = Cli.parse(Array("-h")): @unchecked
+    assert(Cli.exitCodeFor(helpMsg) == 0)
+    val Left(errMsg) = Cli.parse(Array("f.csv", "-s")): @unchecked
+    assert(Cli.exitCodeFor(errMsg) == 1)
+  }
 }
 
 /** Driven pipe matrix (reference test.py:117-125 runs every format both
@@ -119,6 +128,21 @@ class CliPipeSpec extends SparkSpec {
       val Right(args) = Cli.parse(Array[String]()): @unchecked
       assert(Cli.run(args) == 1)
       assert(errBuf.toString("UTF-8").contains("No input files."))
+    } finally System.setErr(oldErr)
+  }
+
+  test("over-deep arrow chain fails with the exact DsqError on stderr") {
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val oldErr = System.err
+    System.setErr(new java.io.PrintStream(errBuf, true, "UTF-8"))
+    try {
+      val deep = "SELECT test" +
+        (1 to 9).map(i => s"->'k$i'").mkString + " FROM {}"
+      val Right(args) = Cli.parse(Array(s"$td/convert.csv", deep)): @unchecked
+      assert(Cli.run(args) == 1)
+      assert(errBuf.toString("UTF-8") ==
+        "Unsupported JSON arrow chain depth (max 5); " +
+          "use a single '$.a.b.…' path instead.\n")
     } finally System.setErr(oldErr)
   }
 

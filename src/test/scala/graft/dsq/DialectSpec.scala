@@ -96,6 +96,23 @@ class DialectSpec extends AnyFunSuite {
     assert(Dialect.translate(q2, Set("a")) == q2)
   }
 
+  test("lambda arrows with LITERAL bodies pass through untouched") {
+    // single param in a higher-order function's argument list
+    val q = "SELECT transform(a, x -> 0) FROM t_0"
+    assert(Dialect.translate(q, Set("a")) == q)
+    // parenthesized parameter tuple — never a valid scalar expression
+    val q2 = "SELECT aggregate(a, 0, (acc, x) -> 1) FROM t_0"
+    assert(Dialect.translate(q2, Set("a")) == q2)
+    val q3 = "SELECT filter(a, x -> 'y') FROM t_0"
+    assert(Dialect.translate(q3, Set("a")) == q3)
+    // …but a JSON arrow nested in an ORDINARY call still rewrites
+    assert(Dialect.translate("SELECT upper(c->>'k') FROM t_0", Set("c"))
+      == "SELECT upper(get_json_object(c, '$.k')) FROM t_0")
+    assert(Dialect.translate("SELECT coalesce(a, b->'x') FROM t_0",
+      Set("a", "b"))
+      == "SELECT coalesce(a, dsq_json_frag(b, '$.x')) FROM t_0")
+  }
+
   test("arbitrary call left operands rewrite (SQLite allows any expr)") {
     assert(Dialect.translate("SELECT upper(c)->'k' FROM t_0", Set("c"))
       == "SELECT dsq_json_frag(upper(c), '$.k') FROM t_0")
