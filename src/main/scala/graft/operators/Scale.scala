@@ -14,6 +14,44 @@ object Scale {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
+  /** Writes both join sides bucketed by the join key (same bucket count)
+    * and returns the bucket-aligned join+agg WITHOUT materializing it.
+    * Callers must disable broadcast before executing for the shuffle-free
+    * sort-merge join to survive planning — PlanSpec asserts exactly that
+    * property on this plan.
+    */
+  private[graft] def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    // drop catalog entries AND leftover warehouse dirs (the in-memory
+    // catalog forgets tables across JVMs; the directory persists and
+    // saveAsTable then fails with LOCATION_ALREADY_EXISTS)
+    Seq("x01_orders_b", "x01_lineitem_b").foreach { tb =>
+      s.sql(s"DROP TABLE IF EXISTS $tb")
+      val wh = java.net.URI.create(
+        s.conf.get("spark.sql.warehouse.dir")).getPath
+      val dirF = new java.io.File(wh, tb)
+      if (dirF.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(dirF)
+      }
+    }
+    t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("x01_orders_b")
+    t(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("x01_lineitem_b")
+    s.table("x01_orders_b")
+      .join(s.table("x01_lineitem_b"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("qty"))
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // Bucketed co-located join: both sides written bucketed by the join
@@ -27,36 +65,8 @@ object Scale {
         |GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
-      // drop catalog entries AND leftover warehouse dirs (the in-memory
-      // catalog forgets tables across JVMs; the directory persists and
-      // saveAsTable then fails with LOCATION_ALREADY_EXISTS)
-      Seq("x01_orders_b", "x01_lineitem_b").foreach { tb =>
-        s.sql(s"DROP TABLE IF EXISTS $tb")
-        val wh = java.net.URI.create(
-          s.conf.get("spark.sql.warehouse.dir")).getPath
-        val dirF = new java.io.File(wh, tb)
-        if (dirF.exists()) {
-          def rm(f: java.io.File): Unit = {
-            if (f.isDirectory) f.listFiles().foreach(rm)
-            f.delete()
-          }
-          rm(dirF)
-        }
-      }
       try {
-        t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
-          .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-          .mode("overwrite").saveAsTable("x01_orders_b")
-        t(s, dir, "lineitem").select("l_orderkey", "l_quantity")
-          .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-          .mode("overwrite").saveAsTable("x01_lineitem_b")
-        val joined = s.table("x01_orders_b")
-          .join(s.table("x01_lineitem_b"),
-            col("l_orderkey") === col("o_orderkey"))
-          .groupBy("o_orderpriority")
-          .agg(count(lit(1)).as("n"),
-            sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
-              .as("qty"))
+        val joined = bucketedJoin(s, dir)
         // materialize NOW, while the no-broadcast confs hold, so the
         // plan that runs is the bucket-aligned shuffle-free SMJ (a
         // caller-triggered action later would re-plan under restored

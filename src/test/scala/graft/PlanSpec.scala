@@ -61,4 +61,62 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("sortedlongjaccard"),
       s"native Jaccard expression missing from plan:\n$p")
   }
+
+  test("x01: bucketed join runs shuffle-free (no Exchange on the join key)") {
+    // same no-broadcast confs the gate query sets, so the SMJ materializes
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = graft.operators.Scale.bucketedJoin(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), s"bucketed join not SMJ:\n$p")
+      // the only legal Exchange is the final groupBy(o_orderpriority);
+      // any Exchange carrying the join key means bucketing was ignored
+      val keyExchanges = p.linesIterator.filter(l =>
+        l.contains("Exchange") && l.toLowerCase.contains("orderkey")).toSeq
+      assert(keyExchanges.isEmpty,
+        s"join-key shuffle under bucketing:\n${keyExchanges.mkString("\n")}")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("x03: as-of join = single user_id window shuffle, no nested-loop/cartesian") {
+    val p = executed("x03_asof_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"as-of composition fell back to a product join:\n$p")
+    // the asof itself is ONE shuffle: the window over user_id. The only
+    // other Exchange allowed is the purchase-side (user_id, ts) pre-agg.
+    // (AdaptiveSparkPlan.toString appends the pre-AQE "Initial Plan" —
+    // count only what actually ran.)
+    val pFinal = p.split("== Initial Plan ==")(0)
+    val windowShuffles = pFinal.linesIterator.filter(l =>
+      l.contains("Exchange") &&
+        l.matches(""".*hashpartitioning\(user_id#\d+L?, \d+\).*""")).toSeq
+    assert(windowShuffles.size == 1,
+      s"expected exactly one user_id shuffle:\n$pFinal")
+    val exchanges = pFinal.linesIterator.filter(_.contains("Exchange ")).toSeq
+    assert(exchanges.size <= 2,
+      s"as-of join shuffles more than (pre-agg + window):\n${exchanges.mkString("\n")}")
+  }
+
+  test("x04: range join is an equi-join on (user_id, bucket), not a theta join") {
+    val p = executed("x04_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"interval bucketing fell back to a product join:\n$p")
+    // the join must key on (user_id, bucket) — an equi form any of the
+    // three hash-based strategies can execute
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"no equi-join operator:\n$p")
+  }
+
+  test("p02: minhash pipeline uses the parquet barrier, not cache") {
+    val p = executed("p02_dedup_minhash")
+    assert(!p.contains("InMemoryRelation") && !p.contains("InMemoryTableScan"),
+      s"plan-lifetime cache found (persist leak):\n$p")
+  }
 }
