@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Benchmark main (driver contract): runs the headline queries on
   * SPARK_GRAFT_SF_DIR at local[32] and prints ONE JSON line.
@@ -25,10 +26,37 @@ object Bench {
     "p02_dedup_minhash",  // LSH dedup
     "p04_dedup_ngram",    // banded char-gram LSH
     "p06_sim_brute",      // ANN brute force
-    "p08_sim_ivf",        // ANN IVF routing
+    "p07_sim_lsh",        // ANN LSH multi-probe (raw operator, see below)
+    "p08_sim_ivf",        // ANN IVF routing (raw operator, see below)
     "p10_text_quality",   // text expressions
     "p15_sessionize",     // window sessionization
-    "s01_stream_hourly")  // structured streaming
+    "p25_dedup_components", // iterative label propagation
+    "s01_stream_hourly",  // structured streaming
+    "x03_asof_join",      // union+window as-of composition
+    "x04_range_join")     // bucketed interval join
+
+  /** Bench-local overrides: the CORRECTNESS gates for p07/p08 compose the
+    * approximate operator with an in-engine brute-force ground truth and a
+    * recall join — right for the oracle, wrong for a benchmark named after
+    * the operator. These time the RAW operators on the plain embeddings
+    * corpus (the round-2 bench shape, restoring r02 comparability).
+    */
+  private val rawOverrides: Map[String, (SparkSession, String) => DataFrame] =
+    Map(
+      "p07_sim_lsh" -> { (s, dir) =>
+        val corpus = Tables.load(s, dir, "embeddings")
+        val queries = corpus.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        graft.pipeline.Similarity.lshTopK(corpus, queries,
+          k = 10, nPlanes = 8)
+      },
+      "p08_sim_ivf" -> { (s, dir) =>
+        val corpus = Tables.load(s, dir, "embeddings")
+        val queries = corpus.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        graft.pipeline.Similarity.ivfTopK(corpus, queries,
+          k = 10, nCells = 16, nProbe = 4)
+      })
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -44,7 +72,8 @@ object Bench {
 
     val qs = SparkEntry.queries
     def materialize(name: String): Unit =
-      qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+      rawOverrides.getOrElse(name, qs(name))(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
 
     // untimed warmup (session + codegen + parquet footer cache)
     try materialize("q01_agg") catch { case _: Throwable => () }
