@@ -25,6 +25,7 @@ object Bench {
     "p01_dedup_exact",    // digest groupBy
     "p02_dedup_minhash",  // LSH dedup
     "p04_dedup_ngram",    // banded char-gram LSH
+    "p05_dedup_embed",    // banded hyperplane LSH (native signatures)
     "p06_sim_brute",      // ANN brute force
     "p07_sim_lsh",        // ANN LSH multi-probe (raw operator, see below)
     "p08_sim_ivf",        // ANN IVF routing (raw operator, see below)

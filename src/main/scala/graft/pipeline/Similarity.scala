@@ -56,9 +56,20 @@ object Similarity {
     (xxhash64(plane, dim).cast("double") / lit(Long.MaxValue.toDouble))
 
   /** `nPlanes`-bit random-hyperplane signature of a vector — equal-bucket
-    * candidates approximate high cosine similarity.
+    * candidates approximate high cosine similarity. Native codegen'd
+    * expression with a per-executor plane-component cache; the
+    * composable-lambda form it replaced (kept below for the equivalence
+    * spec) recomputed nPlanes×dim xxhashes per row interpreted.
     */
   def hyperplaneSignature(vec: Column, nPlanes: Int = 16): Column =
+    org.apache.spark.sql.graft.VectorExpressions
+      .hyperplaneSignatures(vec, 1, nPlanes).getItem(0)
+
+  /** Reference lambda implementation of [[hyperplaneSignature]] — the
+    * spec asserts the native expression reproduces it bit-for-bit.
+    */
+  private[pipeline] def hyperplaneSignatureLambda(vec: Column,
+      nPlanes: Int): Column =
     aggregate(
       transform(sequence(lit(0), lit(nPlanes - 1)), p =>
         when(aggregate(
@@ -150,10 +161,19 @@ object Similarity {
 
   /** `bands` independent `rowsPerBand`-plane signatures (OR-amplified
     * banding): plane id = band*r+p keeps the hyperplane tables disjoint.
-    * Returns array<long> of length `bands`.
+    * Returns array<long> of length `bands`. Native codegen'd expression
+    * (see [[hyperplaneSignature]]).
     */
   def bandedHyperplaneSignatures(vec: Column, bands: Int,
       rowsPerBand: Int): Column =
+    org.apache.spark.sql.graft.VectorExpressions
+      .hyperplaneSignatures(vec, bands, rowsPerBand)
+
+  /** Reference lambda implementation of [[bandedHyperplaneSignatures]] —
+    * the spec asserts the native expression reproduces it bit-for-bit.
+    */
+  private[pipeline] def bandedHyperplaneSignaturesLambda(vec: Column,
+      bands: Int, rowsPerBand: Int): Column =
     transform(sequence(lit(0), lit(bands - 1)), b =>
       aggregate(sequence(lit(0), lit(rowsPerBand - 1)), lit(0L), (acc, p) =>
         acc.bitwiseOR(

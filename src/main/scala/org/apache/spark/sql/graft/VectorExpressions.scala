@@ -45,6 +45,12 @@ object VectorExpressions {
   /** Jaccard of two SORTED distinct array<long> columns (linear merge). */
   def sortedJaccard(a: Column, b: Column): Column =
     column(SortedLongJaccard(expression(a), expression(b)))
+
+  /** `bands` random-hyperplane signatures (`rowsPerBand` bits each) of an
+    * array<float> vector; bands=1 gives the classic single signature.
+    */
+  def hyperplaneSignatures(vec: Column, bands: Int, rowsPerBand: Int): Column =
+    column(HyperplaneSignatures(expression(vec), bands, rowsPerBand))
 }
 
 /** Set Jaccard |A∩B|/|A∪B| of two pre-sorted distinct long arrays by
@@ -330,6 +336,96 @@ object ShingleHashes {
     if (buf.isEmpty) Array(XxHash64Function.hash(
       UTF8String.fromString(""), StringType, 42L))
     else buf.toArray
+  }
+}
+
+/** Banded random-hyperplane signatures of an array<float> vector: for
+  * plane id q = band*rowsPerBand+p, bit p of band's long is set iff
+  * Σ_i vec(i) · c(q, i) > 0, where c(q, i) = xxhash64(q, i) / Long.Max
+  * — EXACTLY the value the composable zip_with/aggregate form computes
+  * (same hash seeds, same double accumulation order), verified by
+  * SimilaritySpec equivalence tests.
+  *
+  * Two wins over the lambda form: the inner product runs as a primitive
+  * JIT'd loop instead of interpreted HigherOrderFunction closures, and
+  * the plane components — which depend only on (plane, dim), not the row
+  * — are computed once per executor and cached, so per-row cost drops
+  * from planes×dim xxhash evaluations to planes×dim multiply-adds. At
+  * 100 TB the signature pass is the dominant narrow stage of embedding
+  * dedup (p05); this is the same preference-ladder move minhash made.
+  */
+case class HyperplaneSignatures(child: Expression, bands: Int,
+    rowsPerBand: Int) extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  protected override def nullSafeEval(input: Any): Any =
+    HyperplaneSignatures.compute(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      bands, rowsPerBand)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.HyperplaneSignatures.compute(" +
+        s"$c, $bands, $rowsPerBand)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HyperplaneSignatures {
+  // (totalPlanes, dim) -> flat [plane*dim + i] component matrix. Bounded:
+  // one entry per distinct (LSH config, embedding dim) pair per executor
+  // (128 planes × 64 dims ≈ 64 KB).
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    (Int, Int), Array[Double]]()
+
+  private def components(totalPlanes: Int, dim: Int): Array[Double] =
+    cache.computeIfAbsent((totalPlanes, dim), { _ =>
+      val out = new Array[Double](totalPlanes * dim)
+      var q = 0
+      while (q < totalPlanes) {
+        // xxhash64(plane, i): ints fold left-to-right from seed 42,
+        // matching the Spark builtin the lambda form called
+        val seed = XxHash64Function.hash(q, IntegerType, 42L)
+        var i = 0
+        while (i < dim) {
+          out(q * dim + i) = XxHash64Function.hash(i, IntegerType, seed)
+            .toDouble / Long.MaxValue.toDouble
+          i += 1
+        }
+        q += 1
+      }
+      out
+    })
+
+  /** Shared by eval and codegen. */
+  def compute(vec: org.apache.spark.sql.catalyst.util.ArrayData,
+      bands: Int, rowsPerBand: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val dim = vec.numElements()
+    val comp = components(bands * rowsPerBand, dim)
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var sig = 0L
+      var p = 0
+      while (p < rowsPerBand) {
+        val base = (b * rowsPerBand + p) * dim
+        var dot = 0.0
+        var i = 0
+        while (i < dim) {
+          dot += vec.getFloat(i).toDouble * comp(base + i)
+          i += 1
+        }
+        if (dot > 0) sig |= (1L << p)
+        p += 1
+      }
+      out(b) = sig
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 }
 

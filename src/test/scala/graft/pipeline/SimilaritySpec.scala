@@ -1,0 +1,49 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import graft.dsq.SparkSpec
+
+/** The native HyperplaneSignatures expression must reproduce the
+  * composable zip_with/aggregate lambda form bit-for-bit — the LSH
+  * bucket assignments (p05 pairs, p07 ANN) are gated on those values.
+  */
+class SimilaritySpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+    .select("vec_id", "embedding")
+    // edge cases the corpus lacks: all-zero (every dot == 0 → sig 0),
+    // negated, and a tiny 2-dim vector (distinct dim hits its own
+    // component-cache entry)
+    .unionAll(spark.range(1).select(
+      lit(900001L).as("vec_id"),
+      expr("array_repeat(cast(0.0 as float), 64)").as("embedding")))
+    .unionAll(spark.range(1).select(
+      lit(900002L).as("vec_id"),
+      expr("array(cast(-1.5 as float), cast(2.25 as float))").as("embedding")))
+
+  test("native single signature == lambda form, all rows") {
+    val both = vecs.select(
+      Similarity.hyperplaneSignature(col("embedding"), 16).as("native"),
+      Similarity.hyperplaneSignatureLambda(col("embedding"), 16).as("ref"))
+    assert(both.filter(col("native") =!= col("ref")).count() == 0)
+  }
+
+  test("native banded signatures == lambda form, all rows") {
+    val both = vecs.select(
+      Similarity.bandedHyperplaneSignatures(col("embedding"), 8, 16)
+        .as("native"),
+      Similarity.bandedHyperplaneSignaturesLambda(col("embedding"), 8, 16)
+        .as("ref"))
+    assert(both.filter(to_json(col("native")) =!= to_json(col("ref")))
+      .count() == 0)
+  }
+
+  test("zero vector signs no plane (signature 0)") {
+    val z = spark.range(1).select(
+      expr("array_repeat(cast(0.0 as float), 8)").as("v"))
+    val sig = z.select(
+      Similarity.hyperplaneSignature(col("v"), 16).as("s")).head().getLong(0)
+    assert(sig == 0L)
+  }
+}
