@@ -285,13 +285,13 @@ object Dedup {
     // hashes the minhash already consumed), not strings: set sizes are
     // identical modulo a 2^-64 collision, and long compares are ~5×
     // cheaper than 4-char string compares at ~1M candidate pairs.
+    // gram hashing is a native one-pass byte-walk (CharGramHashes) — the
+    // expression-chain form (transform/substring/array_distinct/xxhash64)
+    // materialized every 4-char substring through interpreted lambdas and
+    // dominated the signature stage
     val sigs = materializeBarrier(spreadForCpu(df)
       .select(col(idCol).as("id"), col(textCol).as("t"))
-      .withColumn("gh", array_sort(transform(
-        array_distinct(expr(
-          s"transform(sequence(1, greatest(length(t) - ${n - 1}, 1)), " +
-            s"i -> substring(t, i, $n))")),
-        g => xxhash64(g))))
+      .withColumn("gh", VectorExpressions.charGramHashes(col("t"), n))
       .withColumn("mh", VectorExpressions.minhashFromHashes(col("gh"), k))
       .select("id", "gh", "mh"),
       "ngram-sigs")

@@ -51,6 +51,12 @@ object VectorExpressions {
     */
   def hyperplaneSignatures(vec: Column, bands: Int, rowsPerBand: Int): Column =
     column(HyperplaneSignatures(expression(vec), bands, rowsPerBand))
+
+  /** Sorted distinct xxhash64 values of the character n-grams of a text
+    * column (one zero-copy pass over the UTF-8 bytes).
+    */
+  def charGramHashes(text: Column, n: Int): Column =
+    column(CharGramHashes(expression(text), n))
 }
 
 /** Set Jaccard |A∩B|/|A∪B| of two pre-sorted distinct long arrays by
@@ -426,6 +432,76 @@ object HyperplaneSignatures {
       b += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Sorted distinct xxhash64 hashes of character n-grams, walking the
+  * text's UTF-8 bytes directly: code-point starts are marked in one scan,
+  * then each gram hashes the byte slice [start(i), start(i+n)) in place —
+  * no substring materialization, no string array, no boxed transform.
+  * Value-equivalent to the expression chain it replaces
+  * (`array_sort(transform(array_distinct(transform(sequence(...),
+  * i -> substring(t, i, n))), xxhash64))`): xxhash64 of a UTF8String is
+  * xxhash64 of its bytes with seed 42, substring slices whole code
+  * points, and distinct-on-strings equals distinct-on-hashes modulo the
+  * documented 2^-64 collision caveat. Texts shorter than n produce the
+  * single whole-text gram (sequence(1, greatest(len-n+1, 1)) semantics),
+  * including the empty string. Verified bit-for-bit by SimilaritySpec.
+  */
+case class CharGramHashes(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  protected override def nullSafeEval(input: Any): Any =
+    CharGramHashes.compute(input.asInstanceOf[UTF8String], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.CharGramHashes.compute($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CharGramHashes {
+  /** Shared by eval and codegen. */
+  def compute(s: UTF8String,
+      n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    // code-point start offsets (a UTF-8 continuation byte is 10xxxxxx)
+    val starts = new Array[Int](len + 1)
+    var nChars = 0
+    var i = 0
+    while (i < len) {
+      if ((bytes(i) & 0xC0) != 0x80) { starts(nChars) = i; nChars += 1 }
+      i += 1
+    }
+    starts(nChars) = len
+    val m = math.max(nChars - n + 1, 1)
+    val out = new Array[Long](m)
+    var g = 0
+    while (g < m) {
+      val from = if (nChars == 0) 0 else starts(g)
+      val until = if (g + n <= nChars) starts(g + n) else len
+      out(g) = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(bytes,
+          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + from,
+          until - from, 42L)
+      g += 1
+    }
+    java.util.Arrays.sort(out)
+    var uniq = 0
+    var k = 0
+    while (k < m) {
+      if (k == 0 || out(k) != out(k - 1)) { out(uniq) = out(k); uniq += 1 }
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(out, uniq))
   }
 }
 

@@ -39,6 +39,26 @@ class SimilaritySpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("native char-gram hashes == expression-chain form, all docs") {
+    val n = 4
+    val chain = expr(
+      s"array_sort(transform(array_distinct(transform(" +
+        s"sequence(1, greatest(length(t) - ${n - 1}, 1)), " +
+        s"i -> substring(t, i, $n))), g -> xxhash64(g)))")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("text").as("t"))
+      // edge cases: empty, shorter than n, exactly n, multi-byte UTF-8
+      .unionAll(spark.createDataFrame(Seq(
+        Tuple1(""), Tuple1("ab"), Tuple1("abcd"),
+        Tuple1("héllo wörld — ünïcode"))).toDF("t"))
+    val both = docs.select(
+      org.apache.spark.sql.graft.VectorExpressions
+        .charGramHashes(col("t"), n).as("native"),
+      chain.as("ref"))
+    assert(both.filter(to_json(col("native")) =!= to_json(col("ref")))
+      .count() == 0)
+  }
+
   test("zero vector signs no plane (signature 0)") {
     val z = spark.range(1).select(
       expr("array_repeat(cast(0.0 as float), 8)").as("v"))
