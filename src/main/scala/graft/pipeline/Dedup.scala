@@ -238,15 +238,20 @@ object Dedup {
         s"components did not converge in $maxIters rounds")
       val viaNeighbor = edges
         .join(comp.select(col("doc_id").as("dst"), col("comp")), Seq("dst"))
-        .select(col("src").as("doc_id"), col("comp"))
-      val proposed = comp.unionAll(viaNeighbor)
-        .groupBy("doc_id").agg(min("comp").as("newComp"))
+        .select(col("src").as("doc_id"), col("comp"),
+          lit(null).cast("long").as("self"))
+      // carry each node's own label through the SAME aggregate that takes
+      // the neighborhood min: `self` is non-null on exactly one row per
+      // doc_id, so min(self) recovers prev without the comp⋈proposed join
+      // an earlier version ran — one shuffle per round instead of two
+      val selfRows = comp.select(col("doc_id"), col("comp"),
+        col("comp").as("self"))
       // materialize FIRST, then count from the barrier — counting off the
       // unmaterialized plan would execute the round's shuffle work twice
       val (staged, stagedDir) = materializeBarrierAt(
-        comp.withColumnRenamed("comp", "prev")
-          .join(proposed, Seq("doc_id"))
-          .select(col("doc_id"), col("newComp").as("comp"), col("prev")),
+        selfRows.unionAll(viaNeighbor)
+          .groupBy("doc_id")
+          .agg(min("comp").as("comp"), min("self").as("prev")),
         s"cc-round$iter")
       changed = staged.filter(col("comp") < col("prev")).count()
       comp = staged.select("doc_id", "comp")
