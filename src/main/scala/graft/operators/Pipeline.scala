@@ -304,6 +304,41 @@ object Pipeline {
           within5pct(col("as_"), col("exact_supps")).as("approx_supps_ok"))
     },
 
+    // Mergeable quantile sketch vs exact percentiles (the p17 boolean
+    // pattern): approx_percentile is a partial-aggregatable GK sketch —
+    // the 100 TB story is sketch-merge across executors instead of a
+    // global sort. Exact percentiles run over integer cents so the
+    // quarter-fraction interpolation is identical IEEE math in Spark and
+    // DuckDB; the oracle recomputes those and asserts the sketch's 1%
+    // bound as a literal true.
+    QueryDef("p27_approx_quantiles",
+      """SELECT
+        |  CAST(quantile_cont(CAST(ROUND(l_extendedprice * 100) AS BIGINT),
+        |    0.5) / 100.0 AS DOUBLE) AS p50,
+        |  CAST(quantile_cont(CAST(ROUND(l_extendedprice * 100) AS BIGINT),
+        |    0.9) / 100.0 AS DOUBLE) AS p90,
+        |  CAST(quantile_cont(CAST(ROUND(l_extendedprice * 100) AS BIGINT),
+        |    0.99) / 100.0 AS DOUBLE) AS p99,
+        |  true AS approx_within_1pct
+        |FROM lineitem""".stripMargin) { (s, dir) =>
+      val cents = round(col("l_extendedprice") * 100).cast("bigint")
+      t(s, dir, "lineitem").select(cents.as("c"))
+        .agg(
+          expr("percentile(c, 0.5)").as("e50"),
+          expr("percentile(c, 0.9)").as("e90"),
+          expr("percentile(c, 0.99)").as("e99"),
+          expr("approx_percentile(c, array(0.5D, 0.9D, 0.99D), 10000)")
+            .as("ap"))
+        .select(
+          (col("e50") / 100.0).as("p50"),
+          (col("e90") / 100.0).as("p90"),
+          (col("e99") / 100.0).as("p99"),
+          (abs(col("ap").getItem(0) - col("e50")) <= col("e50") * 0.01 &&
+            abs(col("ap").getItem(1) - col("e90")) <= col("e90") * 0.01 &&
+            abs(col("ap").getItem(2) - col("e99")) <= col("e99") * 0.01)
+            .as("approx_within_1pct"))
+    },
+
     // near-dup pipeline end-to-end: find pairs, drop the higher id of
     // each. DuckDB recomputes the exhaustive pair list and the same
     // anti-join arithmetic — including that every planted copy is gone.

@@ -52,7 +52,41 @@ object Scale {
           .as("qty"))
   }
 
+  /** Writes the events table partitioned on disk by event_type (hive-style
+    * directory layout) and returns an aggregate over ONE partition value.
+    * The scan must show a PartitionFilter — the file listing is pruned to
+    * the matching directory before any data is read. At 100 TB this is the
+    * difference between scanning one event type and scanning the corpus;
+    * PlanSpec asserts the pruning on this exact plan.
+    */
+  private[graft] def partitionPrunedAgg(s: SparkSession,
+      dir: String): DataFrame = {
+    val out = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      "graft_fmt", "x05_events_parted").toString
+    t(s, dir, "events")
+      .select(col("event_type"), col("value"))
+      .write.partitionBy("event_type").mode("overwrite").parquet(out)
+    s.read.parquet(out)
+      .filter(col("event_type") === "purchase")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,3)")).cast("double")
+          .as("sum_value"))
+  }
+
   val all: Seq[QueryDef] = Seq(
+
+    // Partition-pruned scan over a hive-layout table: the storage-layout
+    // rung of the 100 TB ladder (partitionBy for coarse pruning; x01's
+    // bucketing for join co-location below it).
+    QueryDef("x05_partition_pruning",
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS sum_value
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY event_type""".stripMargin) { (s, dir) =>
+      partitionPrunedAgg(s, dir)
+    },
 
     // Bucketed co-located join: both sides written bucketed by the join
     // key with the same bucket count → the join reads bucket-aligned

@@ -114,6 +114,19 @@ class PlanSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"), s"no equi-join operator:\n$p")
   }
 
+  test("x05: scan reads only the filtered partition directory") {
+    val df = graft.operators.Scale.partitionPrunedAgg(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val pf = p.linesIterator.find(_.contains("PartitionFilters: ["))
+      .getOrElse(fail(s"no PartitionFilters in plan:\n$p"))
+    assert(pf.contains("event_type"),
+      s"partition filter not pushed to the listing:\n$pf")
+    // the pruned column never reaches the data scan
+    assert(!p.contains("PushedFilters: [IsNotNull(event_type)"),
+      s"partition column leaked into data filters:\n$p")
+  }
+
   test("p02: minhash pipeline uses the parquet barrier, not cache") {
     val p = executed("p02_dedup_minhash")
     assert(!p.contains("InMemoryRelation") && !p.contains("InMemoryTableScan"),
