@@ -58,6 +58,37 @@ object Streaming {
         .groupBy("event_type").agg(count(lit(1)).as("n"))
     },
 
+    // stream-stream interval join (watermark-bounded state both sides);
+    // the oracle is the exact batch interval join over the same events
+    QueryDef("s05_stream_interval_join",
+      """SELECT a.user_id, a.event_id AS click_id, b.event_id AS purchase_id
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND a.event_type = 'click' AND b.event_type = 'purchase'
+        | AND epoch_us(b.ts) - epoch_us(a.ts)
+        |     BETWEEN 1 AND 300000000""".stripMargin) { (s, dir) =>
+      Streams.runToMemory(s,
+        Streams.clickPurchaseJoin(Streams.eventsStream(s, dir)),
+        "s05_interval_join", outputMode = "append")
+    },
+
+    // stream-static broadcast enrichment (stateless; the static profile
+    // snapshot is broadcast per micro-batch)
+    QueryDef("s06_stream_static_enrich",
+      """WITH profile AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) / COUNT(*)
+        |      AS avg_value
+        |  FROM events GROUP BY user_id)
+        |SELECT e.user_id, e.event_id, CAST(e.value AS DOUBLE) AS value,
+        |  p.avg_value
+        |FROM events e JOIN profile p USING (user_id)""".stripMargin) { (s, dir) =>
+      val profile = Streams.userProfile(graft.Tables.load(s, dir, "events"))
+      Streams.runToMemory(s,
+        Streams.enrichWithUserProfile(Streams.eventsStream(s, dir), profile),
+        "s06_enrich", outputMode = "append")
+    },
+
     // custom arbitrary state: flatMapGroupsWithState running stats — the
     // single AvailableNow batch's final state must equal the batch agg
     QueryDef("s03_stream_custom_state",

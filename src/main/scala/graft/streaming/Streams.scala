@@ -95,6 +95,54 @@ object Streams {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval self-join: purchases within 5 minutes
+    * strictly after a click by the same user. Watermarks plus the
+    * time-range predicate let Spark bound the join state on BOTH sides
+    * (a buffered click is droppable once the purchase watermark passes
+    * click_ts + 5 min) — the unbounded-state hazard of stream joins
+    * handled the way production requires. Inner joins emit matches as
+    * both sides arrive, so the AvailableNow result equals the batch
+    * interval join (x04's bucketed shape is the batch analog).
+    */
+  def clickPurchaseJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("p_ts") > col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 5 MINUTES"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"))
+  }
+
+  /** Stream-static enrichment join: each streaming event is joined to a
+    * STATIC per-user profile (here: the user's all-time average event
+    * value, computed batch-side). Stream-static inner joins are
+    * stateless — the static side is broadcast to every micro-batch, no
+    * watermark required — which is the standard shape for dimension
+    * enrichment of a firehose at scale (the static side refreshes by
+    * swapping the snapshot, not by joining stream-to-stream).
+    */
+  def enrichWithUserProfile(events: DataFrame,
+      profile: DataFrame): DataFrame =
+    events
+      .select(col("event_id"), col("user_id"),
+        col("value").cast("double").as("value"))
+      .join(broadcast(profile), Seq("user_id"))
+
+  /** Batch-side per-user profile for [[enrichWithUserProfile]]: decimal
+    * sum / count so the double is engine-portable.
+    */
+  def userProfile(eventsBatch: DataFrame): DataFrame =
+    eventsBatch.groupBy("user_id")
+      .agg((sum(col("value").cast("decimal(18,3)")).cast("double") /
+        count(lit(1))).as("avg_value"))
+
   /** Execute a streaming pipeline to completion (AvailableNow) into a
     * memory sink and return the materialized result.
     *
