@@ -339,6 +339,51 @@ object Pipeline {
             .as("approx_within_1pct"))
     },
 
+    // Token-window chunking (context-window prep): each document splits
+    // into 64-token chunks with 16 tokens of overlap, stride 48. Integer
+    // chunk-count math (no FP ceil), the explode is the only row
+    // multiplier, and the oracle recomputes every chunk boundary, token
+    // count and the first/last token strings from DuckDB's own tokenizer.
+    QueryDef("p28_chunk_documents",
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    string_split_regex(
+        |      regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS tk
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, tk, len(tk) AS n,
+        |    (greatest(len(tk) - 16, 1) + 47) // 48 AS n_chunks
+        |  FROM b),
+        |e AS (
+        |  SELECT doc_id, tk, n,
+        |    unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+        |  FROM c)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  CAST(least(64, n - chunk_id * 48) AS BIGINT) AS n_tokens,
+        |  tk[chunk_id * 48 + 1] AS first_tok,
+        |  tk[least(chunk_id * 48 + 64, n)] AS last_tok
+        |FROM e""".stripMargin) { (s, dir) =>
+      val chunkSz = 64
+      val overlap = 16
+      val stride = chunkSz - overlap
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          split(regexp_replace(col("text"), "^\\s+|\\s+$", ""), "\\s+")
+            .as("tk"))
+        .withColumn("n", size(col("tk")).cast("long"))
+        .withColumn("chunk_id", explode(sequence(lit(0L),
+          expr(s"(greatest(n - $overlap, 1) + ${stride - 1}) DIV $stride")
+            - 1)))
+        .select(col("doc_id"), col("chunk_id"),
+          least(lit(chunkSz), col("n") - col("chunk_id") * stride)
+            .cast("long").as("n_tokens"),
+          element_at(col("tk"),
+            (col("chunk_id") * stride + 1).cast("int")).as("first_tok"),
+          element_at(col("tk"),
+            least(col("chunk_id") * stride + chunkSz, col("n")).cast("int"))
+            .as("last_tok"))
+    },
+
     // near-dup pipeline end-to-end: find pairs, drop the higher id of
     // each. DuckDB recomputes the exhaustive pair list and the same
     // anti-join arithmetic — including that every planted copy is gone.

@@ -59,6 +59,33 @@ class SimilaritySpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("char-gram hashes: seeded unicode fuzz vs expression chain") {
+    val n = 4
+    val rnd = new scala.util.Random(4242)
+    // ASCII, Latin-1, CJK (3-byte UTF-8), emoji (4-byte, surrogate pair
+    // in the JVM string) and whitespace — code-point counting must agree
+    // with Spark's substring for every mix
+    val alphabet: IndexedSeq[String] =
+      ('a' to 'z').map(_.toString) ++ Seq(" ", "é", "ß", "中", "文", "🙂", "🚀")
+    val samples = (0 until 300).map { _ =>
+      val len = rnd.nextInt(12)
+      Tuple1((0 until len).map(_ => alphabet(rnd.nextInt(alphabet.size)))
+        .mkString)
+    }
+    val chain = expr(
+      s"array_sort(transform(array_distinct(transform(" +
+        s"sequence(1, greatest(length(t) - ${n - 1}, 1)), " +
+        s"i -> substring(t, i, $n))), g -> xxhash64(g)))")
+    val both = spark.createDataFrame(samples).toDF("t").select(
+      col("t"),
+      org.apache.spark.sql.graft.VectorExpressions
+        .charGramHashes(col("t"), n).as("native"),
+      chain.as("ref"))
+    val bad = both.filter(to_json(col("native")) =!= to_json(col("ref")))
+    assert(bad.count() == 0,
+      s"divergent grams for: ${bad.select("t").collect().mkString(", ")}")
+  }
+
   test("zero vector signs no plane (signature 0)") {
     val z = spark.range(1).select(
       expr("array_repeat(cast(0.0 as float), 8)").as("v"))
