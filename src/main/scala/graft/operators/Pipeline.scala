@@ -384,6 +384,40 @@ object Pipeline {
             .as("last_tok"))
     },
 
+    // Gopher/C4-style line-structure quality rules; every signal AND the
+    // composite keep decision recomputed by the oracle. Per-row scalar
+    // doubles → ROUND 6 (the determinism rule for per-row math).
+    QueryDef("p30_quality_rules",
+      """WITH b AS (
+        |  SELECT doc_id, text,
+        |    string_split(text, chr(10)) AS ln,
+        |    CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
+        |         THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(
+        |           regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')
+        |    END AS tk
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(ln) AS BIGINT) AS n_lines,
+        |    round(CAST(len(ln) - len(list_distinct(ln)) AS DOUBLE)
+        |      / len(ln), 6) AS dup_line_frac,
+        |    round(CAST(len(list_filter(ln,
+        |      l -> regexp_matches(l, '^\s*[-*]'))) AS DOUBLE)
+        |      / len(ln), 6) AS bullet_frac,
+        |    CASE WHEN len(tk) = 0 THEN CAST(0.0 AS DOUBLE)
+        |         ELSE round(CAST(list_aggregate(list_transform(tk,
+        |           t -> length(t)), 'sum') AS DOUBLE) / len(tk), 6)
+        |    END AS mean_word_len,
+        |    regexp_matches(text, '[.!?"]\s*$') AS ends_terminal
+        |  FROM b)
+        |SELECT m.*,
+        |  (dup_line_frac <= 0.3 AND bullet_frac <= 0.9
+        |   AND mean_word_len BETWEEN 3 AND 10 AND ends_terminal) AS keep
+        |FROM m""".stripMargin) { (s, dir) =>
+      TextAnalysis.lineQualityRules(t(s, dir, "documents"))
+    },
+
     // near-dup pipeline end-to-end: find pairs, drop the higher id of
     // each. DuckDB recomputes the exhaustive pair list and the same
     // anti-join arithmetic — including that every planted copy is gone.

@@ -82,6 +82,38 @@ object TextAnalysis {
       .drop("toks")
   }
 
+  /** Gopher/C4-style line-structure quality rules: repetition and
+    * formatting signals a web-scale corpus filter keys on — duplicate-line
+    * fraction, bullet-line fraction, mean word length, terminal
+    * punctuation — plus the composite keep decision. All native array
+    * expressions over the line/token lists (per-row narrow transforms, no
+    * shuffle); every column is recomputable by an independent SQL engine.
+    */
+  def lineQualityRules(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val toks = tokens(col(textCol))
+    val nLines = size(lines).cast("long")
+    val nToks = size(toks)
+    val dupFrac = round((nLines - size(array_distinct(lines)))
+      .cast("double") / nLines, 6)
+    val bulletFrac = round(size(filter(lines,
+      l => l.rlike("^\\s*[-*]"))).cast("double") / nLines, 6)
+    val meanWordLen = when(nToks === 0, lit(0.0)).otherwise(round(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("long"))
+        .cast("double") / nToks, 6))
+    val endsTerminal = col(textCol).rlike("[.!?\"]\\s*$")
+    df.select(col(idCol),
+      nLines.as("n_lines"),
+      dupFrac.as("dup_line_frac"),
+      bulletFrac.as("bullet_frac"),
+      meanWordLen.as("mean_word_len"),
+      endsTerminal.as("ends_terminal"))
+      .withColumn("keep",
+        col("dup_line_frac") <= 0.3 && col("bullet_frac") <= 0.9 &&
+          col("mean_word_len").between(3.0, 10.0) && col("ends_terminal"))
+  }
+
   /** n-gram-free heuristic language ID: stopword-hit voting over four
     * Latin-script lists + CJK codepoint detection for zh. Deterministic
     * tie-break by fixed language order (en,de,fr,es).
