@@ -21,6 +21,10 @@ final case class DsqOptions(
   */
 final class Engine(val spark: SparkSession) {
   Stdlib.register(spark)
+  // the native pipeline expressions as SQL functions (graft_cosine,
+  // graft_simhash, …) — the CLI's SQL surface gets the same codegen'd
+  // hot paths the library API uses
+  org.apache.spark.sql.graft.GraftExtensions.registerAll(spark)
   // dsq runs the forgiving SQLite affinity model — ANSI off for this
   // session so string/number coercions behave dynamically (main driver
   // sessions keep their own setting).

@@ -1,0 +1,102 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Exposes graft's native Catalyst expressions as SQL functions, so a
+  * plain-SQL user gets the same codegen'd hot paths the DataFrame API
+  * uses:
+  *
+  * {{{
+  *   spark.sql("SELECT graft_cosine(a.embedding, b.embedding) FROM ...")
+  *   spark.sql("SELECT graft_simhash(text), graft_char_grams(text, 4) ...")
+  * }}}
+  *
+  * Two entry points, same registry:
+  *   - `spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions`
+  *     (cluster-wide, applied at session build — the standard
+  *     SparkSessionExtensions hook), or
+  *   - `GraftExtensions.registerAll(spark)` on an existing session (the
+  *     dsq engine and tests use this form).
+  *
+  * Int parameters (k, n, bands…) must be literals — they size per-row
+  * primitive loops at plan time, mirroring the Scala API.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def litInt(e: Expression, fn: String, arg: String): Int = {
+    require(e.foldable, s"$fn: $arg must be a literal integer")
+    e.eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case other =>
+        throw new IllegalArgumentException(
+          s"$fn: $arg must be an integer literal, got $other")
+    }
+  }
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  /** (identifier, info, builder) triples in SparkSessionExtensions'
+    * injectFunction shape.
+    */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_cosine"),
+      info("graft_cosine",
+        "graft_cosine(a, b) - cosine similarity of two float arrays " +
+          "(double accumulation; zero-norm vectors yield 0.0, not NaN)"),
+      (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))),
+    (FunctionIdentifier("graft_simhash"),
+      info("graft_simhash",
+        "graft_simhash(text) - 64-bit simhash of whitespace tokens"),
+      (es: Seq[Expression]) => SimHash64(es(0))),
+    (FunctionIdentifier("graft_char_grams"),
+      info("graft_char_grams",
+        "graft_char_grams(text, n) - sorted distinct xxhash64 of char " +
+          "n-grams"),
+      (es: Seq[Expression]) => CharGramHashes(es(0),
+        litInt(es(1), "graft_char_grams", "n"))),
+    (FunctionIdentifier("graft_shingles"),
+      info("graft_shingles",
+        "graft_shingles(text, n) - sorted distinct hashes of word " +
+          "n-gram shingles"),
+      (es: Seq[Expression]) => ShingleHashes(es(0),
+        litInt(es(1), "graft_shingles", "n"))),
+    (FunctionIdentifier("graft_minhash"),
+      info("graft_minhash",
+        "graft_minhash(hashes, k) - k-minhash signature of an " +
+          "array<bigint> of element hashes"),
+      (es: Seq[Expression]) => MinHashFromHashes(es(0),
+        litInt(es(1), "graft_minhash", "k"))),
+    (FunctionIdentifier("graft_jaccard_sorted"),
+      info("graft_jaccard_sorted",
+        "graft_jaccard_sorted(a, b) - Jaccard of two SORTED distinct " +
+          "bigint arrays (linear merge)"),
+      (es: Seq[Expression]) => SortedLongJaccard(es(0), es(1))),
+    (FunctionIdentifier("graft_hyperplane_sigs"),
+      info("graft_hyperplane_sigs",
+        "graft_hyperplane_sigs(vec, bands, rowsPerBand) - banded " +
+          "random-hyperplane LSH signatures of a float array"),
+      (es: Seq[Expression]) => HyperplaneSignatures(es(0),
+        litInt(es(1), "graft_hyperplane_sigs", "bands"),
+        litInt(es(2), "graft_hyperplane_sigs", "rowsPerBand"))))
+
+  /** Register every function on an already-built session (same triples
+    * the extension hook injects).
+    */
+  def registerAll(spark: SparkSession): Unit =
+    functions.foreach { case (ident, inf, builder) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(ident, inf, builder)
+    }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import graft.dsq.SparkSpec
+import org.apache.spark.sql.graft.{GraftExtensions, SimHash64}
+
+/** The SparkSessionExtensions function surface: every native expression
+  * must be reachable from plain SQL with the same semantics as the
+  * Column API.
+  */
+class ExtensionsSpec extends SparkSpec {
+
+  test("graft_* SQL functions register and evaluate") {
+    GraftExtensions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT
+        |  graft_cosine(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |               array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c,
+        |  graft_simhash('hello world hello') AS sh,
+        |  graft_char_grams('abcdef', 4) AS cg,
+        |  graft_jaccard_sorted(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS j,
+        |  graft_hyperplane_sigs(
+        |    array(CAST(0.5 AS FLOAT), CAST(-0.25 AS FLOAT)), 2, 4) AS hs,
+        |  graft_minhash(array(11L, 22L, 33L), 8) AS mh,
+        |  graft_shingles('a b c d', 2) AS sg
+        |""".stripMargin).head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(r.getLong(1) == SimHash64.hash("hello world hello"))
+    assert(r.getSeq[Long](2).length == 3) // abcd, bcde, cdef
+    assert(math.abs(r.getDouble(3) - 0.5) < 1e-12) // |{2,3}| / |{1,2,3,4}|
+    assert(r.getSeq[Long](4).length == 2)
+    assert(r.getSeq[Long](5).length == 8)
+    assert(r.getSeq[Long](6).length == 3) // "a b","b c","c d"
+  }
+
+  test("SQL function output matches the Column API bit-for-bit") {
+    GraftExtensions.registerAll(spark)
+    val sqlSig = spark.sql(
+      """SELECT graft_hyperplane_sigs(
+        |  array(CAST(0.7 AS FLOAT), CAST(0.1 AS FLOAT)), 8, 16) AS s
+        |""".stripMargin).head().getSeq[Long](0)
+    import org.apache.spark.sql.functions._
+    val apiSig = spark.range(1).select(
+      org.apache.spark.sql.graft.VectorExpressions.hyperplaneSignatures(
+        expr("array(CAST(0.7 AS FLOAT), CAST(0.1 AS FLOAT))"), 8, 16)
+        .as("s")).head().getSeq[Long](0)
+    assert(sqlSig == apiSig)
+  }
+
+  test("non-literal size argument fails loudly") {
+    GraftExtensions.registerAll(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_char_grams('ab', CAST(rand() * 4 AS INT))")
+        .collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("literal"))
+  }
+}
