@@ -384,6 +384,45 @@ object Pipeline {
             .as("last_tok"))
     },
 
+    // Int8 scalar quantization of the embedding column (4× storage cut
+    // for ANN serving): per-vector scale = max|x|/127, code =
+    // round(x/scale). float→double is exact and round() is half-away in
+    // BOTH engines, so the oracle recomputes the integer code sum and
+    // min/max code EXACTLY — any quantization drift reddens the hash.
+    QueryDef("p29_quantize_embeddings",
+      """WITH s AS (
+        |  SELECT vec_id,
+        |    list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))) / 127 AS sc,
+        |    embedding
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, sc,
+        |    CASE WHEN sc = 0 THEN list_transform(embedding, x -> 0)
+        |         ELSE list_transform(embedding,
+        |           x -> CAST(round(CAST(x AS DOUBLE) / sc) AS BIGINT))
+        |    END AS codes
+        |  FROM s)
+        |SELECT vec_id, round(sc, 6) AS scale,
+        |  CAST(list_aggregate(codes, 'sum') AS BIGINT) AS sum_codes,
+        |  CAST(list_aggregate(codes, 'min') AS BIGINT) AS min_code,
+        |  CAST(list_aggregate(codes, 'max') AS BIGINT) AS max_code
+        |FROM q""".stripMargin) { (s, dir) =>
+      val sc = array_max(transform(col("embedding"),
+        x => abs(x.cast("double")))) / 127
+      val codes = when(col("sc") === 0,
+        transform(col("embedding"), _ => lit(0L)))
+        .otherwise(transform(col("embedding"),
+          x => round(x.cast("double") / col("sc")).cast("long")))
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"), sc.as("sc"))
+        .withColumn("codes", codes)
+        .select(col("vec_id"), round(col("sc"), 6).as("scale"),
+          aggregate(col("codes"), lit(0L), (a, x) => a + x).as("sum_codes"),
+          array_min(col("codes")).as("min_code"),
+          array_max(col("codes")).as("max_code"))
+    },
+
     // Gopher/C4-style line-structure quality rules; every signal AND the
     // composite keep decision recomputed by the oracle. Per-row scalar
     // doubles → ROUND 6 (the determinism rule for per-row math).
