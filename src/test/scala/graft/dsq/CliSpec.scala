@@ -131,6 +131,16 @@ class CliPipeSpec extends SparkSpec {
     } finally System.setErr(oldErr)
   }
 
+  test("CLI SQL reaches the graft_* native functions through the dialect") {
+    val (code, out) = runCli(
+      Array("-s", "csv",
+        "SELECT graft_jaccard_sorted(array(1L, 2L, 3L), array(2L, 3L, 4L))" +
+          " AS j FROM {} LIMIT 1"),
+      s"$td/convert.csv")
+    assert(code == 0, s"exit $code, out: $out")
+    assert(canonJson(out) == canonJson("""[{"j":0.5}]"""))
+  }
+
   test("over-deep arrow chain fails with the exact DsqError on stderr") {
     val errBuf = new java.io.ByteArrayOutputStream()
     val oldErr = System.err
