@@ -153,8 +153,12 @@ object Dedup {
     cand
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      // threshold-pruned merge: sub-threshold candidates (the LSH noise
+      // hump) abort mid-scan with -1, which the >= filter drops; values
+      // for surviving pairs are identical to the plain merge
       .withColumn("jaccard",
-        VectorExpressions.sortedJaccard(col("sh_a"), col("sh_b")))
+        VectorExpressions.sortedJaccardAtLeast(
+          col("sh_a"), col("sh_b"), threshold))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
@@ -305,8 +309,11 @@ object Dedup {
     cand
       .join(g.select(col("id").as("id_a"), col("gh").as("g_a")), Seq("id_a"))
       .join(g.select(col("id").as("id_b"), col("gh").as("g_b")), Seq("id_b"))
+      // threshold-pruned merge (see minhashPairs): the 0.2-0.45 char-gram
+      // noise hump aborts roughly halfway through each scan
       .withColumn("jaccard",
-        VectorExpressions.sortedJaccard(col("g_a"), col("g_b")))
+        VectorExpressions.sortedJaccardAtLeast(
+          col("g_a"), col("g_b"), threshold))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }

@@ -46,6 +46,13 @@ object VectorExpressions {
   def sortedJaccard(a: Column, b: Column): Column =
     column(SortedLongJaccard(expression(a), expression(b)))
 
+  /** Like [[sortedJaccard]] but bails out with -1.0 the moment the merge
+    * can prove the Jaccard is below `threshold` — exact value for every
+    * pair at-or-above it.
+    */
+  def sortedJaccardAtLeast(a: Column, b: Column, threshold: Double): Column =
+    column(SortedLongJaccardAtLeast(expression(a), expression(b), threshold))
+
   /** `bands` random-hyperplane signatures (`rowsPerBand` bits each) of an
     * array<float> vector; bands=1 gives the classic single signature.
     */
@@ -103,6 +110,65 @@ object SortedLongJaccard {
     val union = n + m - inter
     if (union == 0) 1.0 else inter.toDouble / union
   }
+
+  /** Threshold-pruned merge: returns -1.0 as soon as the best achievable
+    * intersection (current + everything remaining on the shorter side)
+    * can no longer reach `t`; exact Jaccard otherwise. The bail test
+    * `maxInter * (1 + t) < t * (n + m)` is the cross-multiplied form of
+    * jaccard(maxInter) < t — small-int products are exact in double, and
+    * equality keeps merging, so a pair exactly AT the threshold is never
+    * pruned. On LSH candidate humps just under the threshold the merge
+    * stops roughly at the halfway point instead of scanning both sets.
+    */
+  def jaccardAtLeast(x: org.apache.spark.sql.catalyst.util.ArrayData,
+      y: org.apache.spark.sql.catalyst.util.ArrayData, t: Double): Double = {
+    val n = x.numElements(); val m = y.numElements()
+    val total = (n + m).toDouble * t
+    val onePlusT = 1.0 + t
+    var i = 0; var j = 0; var inter = 0
+    while (i < n && j < m) {
+      val rem = math.min(n - i, m - j)
+      // the 1e-9 slack makes the bail strictly conservative under FP
+      // rounding of non-dyadic thresholds (bail late, never early)
+      if ((inter + rem) * onePlusT < total - 1e-9) return -1.0
+      val xi = x.getLong(i); val yj = y.getLong(j)
+      if (xi == yj) { inter += 1; i += 1; j += 1 }
+      else if (xi < yj) i += 1
+      else j += 1
+    }
+    val union = n + m - inter
+    val jac = if (union == 0) 1.0 else inter.toDouble / union
+    if (jac >= t) jac else -1.0
+  }
+}
+
+/** [[SortedLongJaccard]] with in-merge threshold pruning — the verify
+  * stage of LSH dedup filters on `jaccard >= t`, so pairs the merge can
+  * prove below t return -1.0 without finishing the scan. Exact for every
+  * surviving pair (DedupSpec/oracles unchanged).
+  */
+case class SortedLongJaccardAtLeast(left: Expression, right: Expression,
+    threshold: Double) extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SortedLongJaccard.jaccardAtLeast(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      threshold)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"org.apache.spark.sql.graft.SortedLongJaccard.jaccardAtLeast(" +
+        s"$a, $b, $threshold)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 case class CosineSimilarity(left: Expression, right: Expression)

@@ -86,6 +86,34 @@ class SimilaritySpec extends SparkSpec {
       s"divergent grams for: ${bad.select("t").collect().mkString(", ")}")
   }
 
+  test("threshold-pruned Jaccard == plain merge + filter, all pairs") {
+    import org.apache.spark.sql.graft.VectorExpressions
+    val g = spark.read.parquet(s"$sf/documents.parquet").limit(60)
+      .select(col("doc_id"),
+        VectorExpressions.charGramHashes(col("text"), 4).as("gh"))
+    val a = g.select(col("doc_id").as("ia"), col("gh").as("ga"))
+    val b = g.select(col("doc_id").as("ib"), col("gh").as("gb"))
+    val both = a.crossJoin(b).filter(col("ia") < col("ib"))
+      .select(
+        VectorExpressions.sortedJaccard(col("ga"), col("gb")).as("full"),
+        VectorExpressions.sortedJaccardAtLeast(col("ga"), col("gb"), 0.5)
+          .as("pruned"))
+    val bad = both.filter(
+      (col("full") >= 0.5 && col("pruned") =!= col("full")) ||
+        (col("full") < 0.5 && col("pruned") =!= -1.0))
+    assert(bad.count() == 0)
+  }
+
+  test("pair exactly AT the threshold is never pruned") {
+    import org.apache.spark.sql.graft.VectorExpressions
+    // {1,2,3} vs {2,3,4}: inter 2, union 4 → exactly 0.5
+    val r = spark.range(1).select(
+      VectorExpressions.sortedJaccardAtLeast(
+        expr("array(1L, 2L, 3L)"), expr("array(2L, 3L, 4L)"), 0.5).as("j"))
+      .head()
+    assert(r.getDouble(0) == 0.5)
+  }
+
   test("zero vector signs no plane (signature 0)") {
     val z = spark.range(1).select(
       expr("array_repeat(cast(0.0 as float), 8)").as("v"))
