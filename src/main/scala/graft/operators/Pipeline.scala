@@ -384,6 +384,31 @@ object Pipeline {
             .as("last_tok"))
     },
 
+    // Gopher repetition rule: top-bigram share of each document's word
+    // bigrams; DuckDB recomputes counts, fraction and the keep boolean.
+    QueryDef("p31_repetition_signal",
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(tr) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(tr, '\s+') END AS tk
+        |  FROM (SELECT doc_id,
+        |          regexp_replace(text, '^\s+|\s+$', '', 'g') AS tr
+        |        FROM documents)),
+        |g AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(tk) - 1),
+        |      i -> tk[i] || ' ' || tk[i + 1])) AS gram
+        |  FROM b WHERE len(tk) >= 2),
+        |c AS (SELECT doc_id, gram, count(*) AS n FROM g GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(sum(n) AS BIGINT) AS n_bigrams,
+        |  CAST(count(*) AS BIGINT) AS n_distinct_bigrams,
+        |  round(CAST(max(n) AS DOUBLE) / sum(n), 6) AS top_bigram_frac,
+        |  round(CAST(max(n) AS DOUBLE) / sum(n), 6) <= 0.05 AS rep_ok
+        |FROM c GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.repetitionSignal(t(s, dir, "documents"))
+    },
+
     // Int8 scalar quantization of the embedding column (4× storage cut
     // for ANN serving): per-vector scale = max|x|/127, code =
     // round(x/scale). float→double is exact and round() is half-away in

@@ -114,6 +114,37 @@ object TextAnalysis {
           col("mean_word_len").between(3.0, 10.0) && col("ends_terminal"))
   }
 
+  /** Gopher-style repetition signal: the fraction of a document's word
+    * bigrams taken by its single most frequent bigram (plus bigram
+    * count/distinct count). High top-bigram share = looping/template
+    * text. Two hash aggregations on (doc_id[, gram]) — map-side partial
+    * combine keeps the shuffle proportional to DISTINCT grams. Documents
+    * with fewer than two tokens have no bigrams and produce no row (the
+    * oracle mirrors the same rule).
+    */
+  def repetitionSignal(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", maxTopFrac: Double = 0.05): DataFrame = {
+    val tk = tokens(col(textCol))
+    df.select(col(idCol), tk.as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col(idCol), explode(transform(
+        sequence(lit(0), size(col("tk")) - 2),
+        i => concat(element_at(col("tk"), i + 1), lit(" "),
+          element_at(col("tk"), i + 2)))).as("gram"))
+      .groupBy(idCol, "gram").agg(count(lit(1)).as("n"))
+      .groupBy(idCol).agg(
+        sum("n").as("n_bigrams"),
+        count(lit(1)).as("n_distinct_bigrams"),
+        max("n").as("mx"))
+      .select(col(idCol),
+        col("n_bigrams").cast("long").as("n_bigrams"),
+        col("n_distinct_bigrams"),
+        round(col("mx").cast("double") / col("n_bigrams"), 6)
+          .as("top_bigram_frac"),
+        (round(col("mx").cast("double") / col("n_bigrams"), 6)
+          <= maxTopFrac).as("rep_ok"))
+  }
+
   /** n-gram-free heuristic language ID: stopword-hit voting over four
     * Latin-script lists + CJK codepoint detection for zh. Deterministic
     * tie-break by fixed language order (en,de,fr,es).
