@@ -450,9 +450,20 @@ object Pipeline {
 
     // Gopher/C4-style line-structure quality rules; every signal AND the
     // composite keep decision recomputed by the oracle. Per-row scalar
-    // doubles → ROUND 6 (the determinism rule for per-row math).
+    // doubles → ROUND 6 (the determinism rule for per-row math). The
+    // driver corpus is single-line (n_lines = 1 everywhere), which would
+    // leave the duplicate-line and bullet signals untested — so the gate
+    // plants multi-line variants (2 duplicate lines + 2 bullet lines)
+    // for every 10th doc, exercising every branch of the rule set.
     QueryDef("p30_quality_rules",
-      """WITH b AS (
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id,
+        |    text || chr(10) || text || chr(10) ||
+        |      '- bullet item' || chr(10) || '- bullet item' AS text
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |b AS (
         |  SELECT doc_id, text,
         |    string_split(text, chr(10)) AS ln,
         |    CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
@@ -460,7 +471,7 @@ object Pipeline {
         |         ELSE string_split_regex(
         |           regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')
         |    END AS tk
-        |  FROM documents),
+        |  FROM corpus),
         |m AS (
         |  SELECT doc_id,
         |    CAST(len(ln) AS BIGINT) AS n_lines,
@@ -479,7 +490,12 @@ object Pipeline {
         |  (dup_line_frac <= 0.3 AND bullet_frac <= 0.9
         |   AND mean_word_len BETWEEN 3 AND 10 AND ends_terminal) AS keep
         |FROM m""".stripMargin) { (s, dir) =>
-      TextAnalysis.lineQualityRules(t(s, dir, "documents"))
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val planted = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit("\n"), col("text"),
+            lit("\n- bullet item\n- bullet item")).as("text"))
+      TextAnalysis.lineQualityRules(docs.unionAll(planted))
     },
 
     // near-dup pipeline end-to-end: find pairs, drop the higher id of
