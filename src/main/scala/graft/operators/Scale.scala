@@ -75,7 +75,78 @@ object Scale {
           .as("sum_value"))
   }
 
+  /** Funnel 90% of the events onto one hot key and join the stream to
+    * its purchase subset WITHOUT salting — then let AQE's runtime skew
+    * handling split the oversized partition into parallel sub-joins
+    * (OptimizeSkewedJoin marks the SMJ `skew=true`). Thresholds are
+    * scaled down to the test corpus; on a production cluster the 256 MB
+    * defaults apply.
+    *
+    * Two production caveats this gate encodes (both discovered the hard
+    * way against Spark 4.1):
+    *  1. AQE can only split a skewed REDUCE partition at MAP-task
+    *     boundaries. A single-row-group parquet file yields one
+    *     data-bearing mapper no matter what files.maxPartitionBytes
+    *     says, making the hot partition unsplittable — hence the
+    *     upstream repartition(8) here. At 100 TB the map side is
+    *     thousands of tasks and this is free; the lesson is that skew
+    *     handling degrades when map-side granularity is coarse.
+    *  2. When a downstream aggregate reuses the join's partitioning,
+    *     OptimizeSkewedJoin declines (the split would add a shuffle)
+    *     unless `forceOptimizeSkewedJoin` is on — the split +
+    *     re-shuffle is usually still the right trade for a hot key.
+    *
+    * The complementary MANUAL technique is x02's salting (needed when
+    * AQE can't help, e.g. skewed aggregations). Callers must disable
+    * broadcast so the join shuffles; PlanSpec asserts the skew split
+    * actually happened on this plan.
+    */
+  private[graft] def aqeSkewJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").repartition(8)
+    val hot = when(col("user_id") % 10 < 9, 0L).otherwise(col("user_id"))
+    val l = ev.select(hot.as("k"), col("value"))
+    val r = ev.filter(col("event_type") === "purchase")
+      .select(hot.as("k"), col("event_id"))
+    l.join(r, Seq("k"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,3)")).cast("double")
+          .as("sum_value"))
+  }
+
   val all: Seq[QueryDef] = Seq(
+
+    // AQE runtime skew-join split (the automatic half of the skew story;
+    // x02 below is the manual salting half).
+    QueryDef("x06_aqe_skew_join",
+      """WITH l AS (
+        |  SELECT CASE WHEN user_id % 10 < 9 THEN 0 ELSE user_id END AS k,
+        |    value
+        |  FROM events),
+        |r AS (
+        |  SELECT CASE WHEN user_id % 10 < 9 THEN 0 ELSE user_id END AS k,
+        |    event_id
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT l.k, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l.value AS DECIMAL(18,3))) AS DOUBLE) AS sum_value
+        |FROM l JOIN r ON l.k = r.k GROUP BY l.k""".stripMargin) { (s, dir) =>
+      val confs = Seq(
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true")
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        val out = java.nio.file.Paths.get(
+          sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+          "graft_fmt", "x06_result").toString
+        // materialize under the skew confs (same trick as x01)
+        aqeSkewJoin(s, dir).write.mode("overwrite").parquet(out)
+        s.read.parquet(out)
+      } finally confs.foreach { case (k, _) => s.conf.unset(k) }
+    },
 
     // Partition-pruned scan over a hive-layout table: the storage-layout
     // rung of the 100 TB ladder (partitionBy for coarse pruning; x01's

@@ -127,6 +127,27 @@ class PlanSpec extends SparkSpec {
       s"partition column leaked into data filters:\n$p")
   }
 
+  test("x06: AQE splits the skewed join partition (skew=true in the SMJ)") {
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true")
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // sf0.01: the hot key's partition must actually exceed the scaled
+      // threshold for OptimizeSkewedJoin to engage
+      val df = graft.operators.Scale.aqeSkewJoin(spark, "/root/testdata/sf0.01")
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(p.contains("skew=true"),
+        s"AQE did not split the skewed partition:\n$p")
+    } finally confs.foreach { case (k, _) => spark.conf.unset(k) }
+  }
+
   test("p02: minhash pipeline uses the parquet barrier, not cache") {
     val p = executed("p02_dedup_minhash")
     assert(!p.contains("InMemoryRelation") && !p.contains("InMemoryTableScan"),
