@@ -34,13 +34,49 @@ object Bench {
     "p25_dedup_components", // iterative label propagation
     "s01_stream_hourly",  // structured streaming
     "x03_asof_join",      // union+window as-of composition
-    "x04_range_join")     // bucketed interval join
+    "x04_range_join",     // bucketed interval join
+    "f07_csv_ingest_cold", // CSV parse + agg, no cache (dsq cold analog)
+    "f08_csv_ingest_warm") // cached-parquet + agg (dsq -C warm analog)
+
+  /** One-time bench fixtures for the ingest entries: lineitem re-exported
+    * as a headered CSV (the reference's taxi-benchmark shape — its
+    * published 15.0s-cold / 1.15s-warm split is ~92% CSV ingest), and the
+    * same data as parquet standing in for a warm content-hash cache hit
+    * (mechanically identical to what the dsq cache stores). Generated
+    * outside the timed region, reused across runs.
+    */
+  private def ensureIngestFixtures(spark: SparkSession,
+      sfDir: String): (String, String) = {
+    val base = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_bench").toString
+    val csv = s"$base/lineitem_csv"
+    val pq = s"$base/lineitem_cached_pq"
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag",
+        "l_quantity", "l_extendedprice", "l_discount", "l_shipdate")
+    if (!new java.io.File(csv, "_SUCCESS").exists())
+      li.write.mode("overwrite").option("header", "true").csv(csv)
+    if (!new java.io.File(pq, "_SUCCESS").exists())
+      spark.read.option("header", "true").csv(csv)
+        .write.mode("overwrite").parquet(pq)
+    (csv, pq)
+  }
+
+  private def ingestAgg(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{avg, count, lit}
+    df.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        avg(col("l_extendedprice").cast("double")).as("avg_price"))
+  }
 
   /** Bench-local overrides: the CORRECTNESS gates for p07/p08 compose the
     * approximate operator with an in-engine brute-force ground truth and a
     * recall join — right for the oracle, wrong for a benchmark named after
     * the operator. These time the RAW operators on the plain embeddings
     * corpus (the round-2 bench shape, restoring r02 comparability).
+    * f07/f08 time the dsq benchmark shape (group-by-agg over a wide CSV):
+    * f07 parses the CSV all-string every run (dsq's cold path), f08 reads
+    * the cached parquet (dsq's warm `-C` hit).
     */
   private val rawOverrides: Map[String, (SparkSession, String) => DataFrame] =
     Map(
@@ -57,6 +93,14 @@ object Bench {
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
         graft.pipeline.Similarity.ivfTopK(corpus, queries,
           k = 10, nCells = 16, nProbe = 4)
+      },
+      "f07_csv_ingest_cold" -> { (s, dir) =>
+        val (csv, _) = ensureIngestFixtures(s, dir)
+        ingestAgg(s.read.option("header", "true").csv(csv))
+      },
+      "f08_csv_ingest_warm" -> { (s, dir) =>
+        val (_, pq) = ensureIngestFixtures(s, dir)
+        ingestAgg(s.read.parquet(pq))
       })
 
   def main(args: Array[String]): Unit = {
