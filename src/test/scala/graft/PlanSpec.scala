@@ -148,6 +148,12 @@ class PlanSpec extends SparkSpec {
     } finally confs.foreach { case (k, _) => spark.conf.unset(k) }
   }
 
+  test("x02: salted join honors the shuffle_hash hint (no broadcast, no SMJ sort)") {
+    val p = executed("x02_salted_skew_join")
+    assert(p.contains("ShuffledHashJoin"),
+      s"salted join did not run as shuffled hash join:\n$p")
+  }
+
   test("p02: minhash pipeline uses the parquet barrier, not cache") {
     val p = executed("p02_dedup_minhash")
     assert(!p.contains("InMemoryRelation") && !p.contains("InMemoryTableScan"),
