@@ -130,21 +130,25 @@ object Dialect {
     "aggregate", "reduce", "zip_with", "map_filter", "map_zip_with",
     "transform_keys", "transform_values", "array_sort")
 
-  private val paramTupleRe =
+  private val multiParamTupleRe =
     """\(\s*[A-Za-z_][A-Za-z0-9_]*(\s*,\s*[A-Za-z_][A-Za-z0-9_]*)+\s*\)"""
+  private val singleParamTupleRe = """\(\s*[A-Za-z_][A-Za-z0-9_]*\s*\)"""
 
   /** True iff the arrow whose LEFT operand spans [leftStart, …) sits in
     * lambda-parameter position. Two cases: (a) the operand is a bare
     * identifier tuple `(acc, x)` — never a valid scalar expression, so
     * skipping the JSON rewrite is always safe; (b) a single identifier
-    * that is a direct argument of a known higher-order function
-    * (`transform(a, x -> 0)`). A lone `c ->> 'k'` or one nested in an
-    * ordinary call (`upper(c->>'k')`, `f(a, b->'x')`) stays a JSON arrow.
+    * (`transform(a, x -> 0)`) or single parenthesized parameter
+    * (`transform(a, (x) -> 0)`, valid Spark lambda syntax) that is a
+    * direct argument of a known higher-order function. A lone
+    * `c ->> 'k'` / `(c) -> 'k'` or one nested in an ordinary call
+    * (`upper(c->>'k')`, `f(a, b->'x')`) stays a JSON arrow.
     */
   private def inLambdaPosition(seg: String, leftStart: Int,
       leftOperand: String): Boolean = {
-    if (leftOperand.matches(paramTupleRe)) return true
-    if (!leftOperand.matches("[A-Za-z_][A-Za-z0-9_]*")) return false
+    if (leftOperand.matches(multiParamTupleRe)) return true
+    if (!leftOperand.matches("[A-Za-z_][A-Za-z0-9_]*") &&
+      !leftOperand.matches(singleParamTupleRe)) return false
     var p = leftStart - 1
     while (p >= 0 && seg.charAt(p).isWhitespace) p -= 1
     if (p < 0 || (seg.charAt(p) != ',' && seg.charAt(p) != '(')) return false
@@ -204,6 +208,27 @@ object Dialect {
     inLambdaPosition(seg, leftStart, seg.substring(leftStart, leftEnd))
   }
 
+  /** The already-flushed prefix with string-literal CONTENTS blanked to
+    * spaces (quotes kept): [[inLambdaPosition]]'s backward walk crosses
+    * segment boundaries through this, so a freestanding literal earlier
+    * in the argument list (`transform(split(t, ','), x -> 0)`) can't
+    * hide the enclosing higher-order callee, and unbalanced parens
+    * INSIDE literals (`split(t, '(')`) can't derail the depth count.
+    */
+  private def blankLiterals(s: String): String = {
+    val sb = new StringBuilder(s)
+    var i = 0
+    while (i < sb.length) {
+      if (sb.charAt(i) == '\'') {
+        val j = endOfSingleQuoted(s, i)
+        var p = i + 1
+        while (p < j - 1) { sb.setCharAt(p, ' '); p += 1 }
+        i = j
+      } else i += 1
+    }
+    sb.toString
+  }
+
   /** Quote-aware: string literals are copied verbatim; the arrow regex
     * only runs on non-literal segments, iterated to a fixpoint so chained
     * `a->'x'->'y'` rewrites left-to-right (the left alternative matches
@@ -215,6 +240,7 @@ object Dialect {
     var segStart = 0
     def flushSegment(end: Int): Unit = {
       var seg = q.substring(segStart, end)
+      val ctx = blankLiterals(out.toString)
       var prev: String = null
       var rounds = 0
       while (seg != prev && rounds < 8) {
@@ -222,7 +248,7 @@ object Dialect {
         val segSnapshot = seg
         seg = arrowRe.replaceAllIn(seg, m => {
           val target = m.group(1)
-          if (inLambdaPosition(segSnapshot, m.start, target))
+          if (inLambdaPosition(ctx + segSnapshot, ctx.length + m.start, target))
             Regex.quoteReplacement(m.matched) // Spark lambda, not JSON
           else {
             val op = m.group(2)
@@ -245,7 +271,7 @@ object Dialect {
       // Arrows with non-literal right operands are Spark higher-order
       // lambdas (transform(a, x -> upper(x))) and pass through untouched.
       if (residualChainRe.findAllMatchIn(seg)
-          .exists(m => !residualIsLambda(seg, m.start)))
+          .exists(m => !residualIsLambda(ctx + seg, ctx.length + m.start)))
         throw DsqError("Unsupported JSON arrow chain depth (max 5); " +
           "use a single '$.a.b.…' path instead.")
       out.append(seg)

@@ -46,6 +46,24 @@ object GraftExtensions {
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
+  /** Wraps a builder with an argument-count check so a wrong-arity SQL
+    * call surfaces as Spark's standard WRONG_NUM_ARGS analysis error
+    * instead of an IndexOutOfBoundsException from `es(1)`.
+    */
+  private def arity(fn: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    es => {
+      if (es.length != n)
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> s"`$fn`",
+            "expectedNum" -> n.toString,
+            "actualNum" -> es.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+      build(es)
+    }
+
   /** (identifier, info, builder) triples in SparkSessionExtensions'
     * injectFunction shape.
     */
@@ -55,41 +73,41 @@ object GraftExtensions {
       info("graft_cosine",
         "graft_cosine(a, b) - cosine similarity of two float arrays " +
           "(double accumulation; zero-norm vectors yield 0.0, not NaN)"),
-      (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))),
+      arity("graft_cosine", 2)(es => CosineSimilarity(es(0), es(1)))),
     (FunctionIdentifier("graft_simhash"),
       info("graft_simhash",
         "graft_simhash(text) - 64-bit simhash of whitespace tokens"),
-      (es: Seq[Expression]) => SimHash64(es(0))),
+      arity("graft_simhash", 1)(es => SimHash64(es(0)))),
     (FunctionIdentifier("graft_char_grams"),
       info("graft_char_grams",
         "graft_char_grams(text, n) - sorted distinct xxhash64 of char " +
           "n-grams"),
-      (es: Seq[Expression]) => CharGramHashes(es(0),
-        litInt(es(1), "graft_char_grams", "n"))),
+      arity("graft_char_grams", 2)(es => CharGramHashes(es(0),
+        litInt(es(1), "graft_char_grams", "n")))),
     (FunctionIdentifier("graft_shingles"),
       info("graft_shingles",
         "graft_shingles(text, n) - sorted distinct hashes of word " +
           "n-gram shingles"),
-      (es: Seq[Expression]) => ShingleHashes(es(0),
-        litInt(es(1), "graft_shingles", "n"))),
+      arity("graft_shingles", 2)(es => ShingleHashes(es(0),
+        litInt(es(1), "graft_shingles", "n")))),
     (FunctionIdentifier("graft_minhash"),
       info("graft_minhash",
         "graft_minhash(hashes, k) - k-minhash signature of an " +
           "array<bigint> of element hashes"),
-      (es: Seq[Expression]) => MinHashFromHashes(es(0),
-        litInt(es(1), "graft_minhash", "k"))),
+      arity("graft_minhash", 2)(es => MinHashFromHashes(es(0),
+        litInt(es(1), "graft_minhash", "k")))),
     (FunctionIdentifier("graft_jaccard_sorted"),
       info("graft_jaccard_sorted",
         "graft_jaccard_sorted(a, b) - Jaccard of two SORTED distinct " +
           "bigint arrays (linear merge)"),
-      (es: Seq[Expression]) => SortedLongJaccard(es(0), es(1))),
+      arity("graft_jaccard_sorted", 2)(es => SortedLongJaccard(es(0), es(1)))),
     (FunctionIdentifier("graft_hyperplane_sigs"),
       info("graft_hyperplane_sigs",
         "graft_hyperplane_sigs(vec, bands, rowsPerBand) - banded " +
           "random-hyperplane LSH signatures of a float array"),
-      (es: Seq[Expression]) => HyperplaneSignatures(es(0),
+      arity("graft_hyperplane_sigs", 3)(es => HyperplaneSignatures(es(0),
         litInt(es(1), "graft_hyperplane_sigs", "bands"),
-        litInt(es(2), "graft_hyperplane_sigs", "rowsPerBand"))))
+        litInt(es(2), "graft_hyperplane_sigs", "rowsPerBand")))))
 
   /** Register every function on an already-built session (same triples
     * the extension hook injects).

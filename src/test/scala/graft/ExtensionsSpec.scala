@@ -46,6 +46,20 @@ class ExtensionsSpec extends SparkSpec {
     assert(sqlSig == apiSig)
   }
 
+  test("wrong argument count is an analysis error, not an index crash") {
+    GraftExtensions.registerAll(spark)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_cosine(array(CAST(1.0 AS FLOAT)))").collect()
+    }
+    assert(e.getMessage.contains("graft_cosine"))
+    assert(e.getMessage.contains("2"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_hyperplane_sigs(array(CAST(1.0 AS FLOAT)), 8)")
+        .collect()
+    }
+    assert(e2.getMessage.contains("graft_hyperplane_sigs"))
+  }
+
   test("non-literal size argument fails loudly") {
     GraftExtensions.registerAll(spark)
     val e = intercept[Exception] {

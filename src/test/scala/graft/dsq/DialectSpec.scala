@@ -105,6 +105,16 @@ class DialectSpec extends AnyFunSuite {
     assert(Dialect.translate(q2, Set("a")) == q2)
     val q3 = "SELECT filter(a, x -> 'y') FROM t_0"
     assert(Dialect.translate(q3, Set("a")) == q3)
+    // an earlier argument containing a freestanding string literal must
+    // not hide the higher-order callee from the lambda detector (the
+    // literal splits the rewrite segment; the walk crosses the boundary)
+    val q4 = "SELECT transform(split(t, ','), x -> 0) FROM t_0"
+    assert(Dialect.translate(q4, Set("t")) == q4)
+    val q5 = "SELECT aggregate(split(t, ';'), 0, (acc, x) -> 1) FROM t_0"
+    assert(Dialect.translate(q5, Set("t")) == q5)
+    // a single parenthesized parameter is valid Spark lambda syntax
+    val q6 = "SELECT transform(a, (x) -> 0) FROM t_0"
+    assert(Dialect.translate(q6, Set("a")) == q6)
     // …but a JSON arrow nested in an ORDINARY call still rewrites
     assert(Dialect.translate("SELECT upper(c->>'k') FROM t_0", Set("c"))
       == "SELECT upper(get_json_object(c, '$.k')) FROM t_0")
