@@ -829,6 +829,51 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // cross-document paragraph dedup (boilerplate removal): the driver
+    // corpus is single-paragraph, so the gate plants a 100-doc boilerplate
+    // footer (removed at minDocs=3) and a 2-doc rare footer (kept — below
+    // threshold), exercising both sides of the cut; the oracle recomputes
+    // the full split/count/strip/reassemble and the md5 of every cleaned
+    // document
+    QueryDef("p32_paragraph_dedup",
+      """WITH corpus AS (
+        |  SELECT doc_id,
+        |    text ||
+        |    CASE WHEN doc_id % 5 = 0
+        |         THEN chr(10) || chr(10) || 'subscribe to our newsletter today'
+        |         ELSE '' END ||
+        |    CASE WHEN doc_id % 250 = 1
+        |         THEN chr(10) || chr(10) || 'rare footer appearing twice'
+        |         ELSE '' END AS text
+        |  FROM documents),
+        |b AS (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS ps
+        |      FROM corpus),
+        |e AS (SELECT doc_id, ps, unnest(generate_series(1, len(ps))) AS pos
+        |      FROM b),
+        |x AS (SELECT doc_id, pos, ps[pos] AS para FROM e),
+        |boiler AS (SELECT para FROM x
+        |           GROUP BY para HAVING count(DISTINCT doc_id) >= 3),
+        |k AS (SELECT doc_id, pos, para FROM x
+        |      WHERE para NOT IN (SELECT para FROM boiler)),
+        |r AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |        string_agg(para, chr(10) || chr(10) ORDER BY pos) AS cleaned
+        |      FROM k GROUP BY doc_id)
+        |SELECT b.doc_id,
+        |  CAST(len(b.ps) AS BIGINT) AS n_paras,
+        |  CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+        |  CAST(len(b.ps) - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed,
+        |  md5(coalesce(r.cleaned, '')) AS clean_md5
+        |FROM b LEFT JOIN r ON b.doc_id = r.doc_id""".stripMargin) { (s, dir) =>
+      val corpus = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 5 === 0,
+            lit("\n\nsubscribe to our newsletter today")).otherwise(lit("")),
+          when(col("doc_id") % 250 === 1,
+            lit("\n\nrare footer appearing twice")).otherwise(lit("")))
+          .as("text"))
+      Corpus.paragraphDedup(corpus, minDocs = 3).orderBy("doc_id")
+    },
+
     // ---- multimodal ---------------------------------------------------
     // Real-decode oracle gate: 2/3 of the rows carry REAL PNG/JPEG payloads
     // (encoded in-engine by ImageIO) whose dimensions are pure arithmetic in

@@ -98,6 +98,48 @@ object Corpus {
       .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
   }
 
+  /** Cross-document paragraph dedup (boilerplate removal): a paragraph
+    * appearing in >= `minDocs` DISTINCT documents is corpus-wide
+    * boilerplate (nav bars, cookie banners, license footers) and is
+    * stripped from every document; per-document content survives.
+    *
+    * Scale shape: the frequency count groups on the md5 digest (16-byte
+    * shuffle keys, partial-aggregated map-side), and the boilerplate set
+    * is tiny by definition — a paragraph must repeat across `minDocs`
+    * docs to qualify — so membership is a broadcast anti-join against
+    * digests, never a self-join of the corpus. Reassembly is the single
+    * doc_id shuffle (sort_array over collected (pos, para) structs keeps
+    * paragraph order without a window).
+    *
+    * Output per document: paragraph counts and md5 of the cleaned text —
+    * enough for an exact cross-engine oracle without shipping full text.
+    */
+  def paragraphDedup(docs: DataFrame, minDocs: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val sep = "\n\n"
+    val paras = docs.select(col(idCol),
+      posexplode(split(col(textCol), sep)).as(Seq("pos", "para")))
+    val boiler = paras
+      .groupBy(md5(col("para")).as("digest"))
+      .agg(countDistinct(col(idCol)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("digest")
+    val kept = paras.withColumn("digest", md5(col("para")))
+      .join(broadcast(boiler), Seq("digest"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("para")))),
+          _.getField("para")), sep).as("cleaned"))
+    docs.select(col(idCol),
+        size(split(col(textCol), sep)).cast("long").as("n_paras"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_paras") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        md5(coalesce(col("cleaned"), lit(""))).as("clean_md5"))
+  }
+
   /** Benchmark-contamination check: flag every corpus document sharing
     * at least one word n-gram with the (small) benchmark set. The
     * benchmark's shingle hashes broadcast; the corpus side is one

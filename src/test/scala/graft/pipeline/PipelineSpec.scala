@@ -361,6 +361,32 @@ class PipelineSpec extends SparkSpec {
     assert(bins == (0L until bins.length).toSeq) // contiguous
   }
 
+  test("paragraph dedup strips corpus-wide boilerplate, keeps rare paragraphs") {
+    import spark.implicits._
+    val boiler = "subscribe now"
+    val d = Seq(
+      (1L, s"alpha one\n\n$boiler"),
+      (2L, s"beta two\n\n$boiler"),
+      (3L, s"gamma three\n\n$boiler\n\nrare pair"),
+      (4L, s"delta four\n\nrare pair"),
+      (5L, boiler) // all-boilerplate doc: everything stripped
+    ).toDF("doc_id", "text")
+    val byId = Corpus.paragraphDedup(d, minDocs = 3).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // boiler is in 4 docs (>= 3) → removed; "rare pair" in 2 → kept
+    assert(byId(1L).getLong(1) == 2 && byId(1L).getLong(2) == 1 &&
+      byId(1L).getLong(3) == 1)
+    assert(byId(3L).getLong(1) == 3 && byId(3L).getLong(2) == 2)
+    assert(byId(5L).getLong(2) == 0 && byId(5L).getLong(3) == 1)
+    // reassembly preserves order and separator: doc 4 survives intact
+    val expect4 = java.security.MessageDigest.getInstance("MD5")
+      .digest("delta four\n\nrare pair".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(byId(4L).getString(4) == expect4)
+    // fully-stripped doc hashes the empty string
+    assert(byId(5L).getString(4) == "d41d8cd98f00b204e9800998ecf8427e")
+  }
+
   test("contamination flags a shared 13-gram, not disjoint docs") {
     import spark.implicits._
     val shared = (1 to 20).map(i => s"tok$i").mkString(" ")
