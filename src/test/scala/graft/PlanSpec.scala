@@ -62,6 +62,12 @@ class PlanSpec extends SparkSpec {
       s"native Jaccard expression missing from plan:\n$p")
   }
 
+  test("p32: boilerplate membership is a broadcast anti-join, not a shuffled one") {
+    val p = executed("p32_paragraph_dedup")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"boilerplate anti-join not broadcast:\n$p")
+  }
+
   test("x01: bucketed join runs shuffle-free (no Exchange on the join key)") {
     // same no-broadcast confs the gate query sets, so the SMJ materializes
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
