@@ -874,6 +874,61 @@ object Pipeline {
       Corpus.paragraphDedup(corpus, minDocs = 3).orderBy("doc_id")
     },
 
+    // mixture-weight data mixing: even-suffixed sources sampled at 25%,
+    // odd at 75% (thresholds 0x40000000 / 0xc0000000 are exact in both
+    // engines); the oracle recomputes the salted-hash predicate and the
+    // exact per-source sampled counts
+    QueryDef("p33_mix_sources",
+      """SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_total,
+        |  CAST(count(*) FILTER (
+        |    substring(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 8) <
+        |    CASE WHEN CAST(substring(source, 4) AS BIGINT) % 2 = 0
+        |         THEN '40000000' ELSE 'c0000000' END) AS BIGINT)
+        |    AS n_sampled
+        |FROM documents GROUP BY source""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      // the weight map is driver-side config in a real pipeline; built
+      // here from the (tiny, bounded) distinct source set
+      val weights = docs.select("source").distinct().collect()
+        .map(_.getString(0))
+        .map(s0 => s0 ->
+          (if (s0.drop(3).toLong % 2 == 0) 0.25 else 0.75)).toMap
+      val mixed = Corpus.mixSources(docs, weights)
+      docs.groupBy("source").agg(count(lit(1)).as("n_total"))
+        .join(mixed.groupBy("source").agg(count(lit(1)).as("n_sampled")),
+          Seq("source"), "left")
+        .select(col("source"), col("n_total"),
+          coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+        .orderBy("source")
+    },
+
+    // deterministic shard assignment (8 shards): the oracle recomputes
+    // shard = (high-32-bits-of-md5 × 8) >> 32 with exact integer
+    // arithmetic in both engines, plus per-shard counts and a per-shard
+    // balance bound (no shard above 2× the ideal share — md5 uniformity
+    // makes this hold deterministically on the fixed corpus)
+    QueryDef("p34_shard_assign",
+      """WITH s AS (
+        |  SELECT (CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |            AS BIGINT) * 8) // 4294967296 AS shard
+        |  FROM documents),
+        |c AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs
+        |      FROM s GROUP BY shard),
+        |t AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS total FROM c)
+        |SELECT shard, n_docs,
+        |  n_docs <= 2.0 * total / 8 AS balanced
+        |FROM c, t""".stripMargin) { (s, dir) =>
+      val sharded = Corpus.shardBy(t(s, dir, "documents"), nShards = 8)
+      val counts = sharded.groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"))
+      val total = counts.agg(sum("n_docs").cast("double").as("total"))
+      counts.crossJoin(total)
+        .select(col("shard"), col("n_docs"),
+          (col("n_docs") <= lit(2.0) * col("total") / 8).as("balanced"))
+        .orderBy("shard")
+    },
+
     // ---- multimodal ---------------------------------------------------
     // Real-decode oracle gate: 2/3 of the rows carry REAL PNG/JPEG payloads
     // (encoded in-engine by ImageIO) whose dimensions are pure arithmetic in

@@ -98,6 +98,53 @@ object Corpus {
       .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
   }
 
+  /** Mixture-weight corpus sampling (data mixing): keep each document
+    * with its source's target rate — the knob a training pipeline turns
+    * to reweight domains (upsample books, downsample web). Same
+    * hash-threshold determinism as [[sampleHash]], but the hash is
+    * salted with the source so the SAME id drawn under different
+    * sources decorrelates, and the rate is a per-row column resolved
+    * from the weight map (unknown sources fall back to `defaultRate`).
+    * Narrow codegen'd filter — no shuffle, no RNG state, reproducible
+    * under re-runs and repartitioning.
+    */
+  def mixSources(docs: DataFrame, weights: Map[String, Double],
+      defaultRate: Double = 1.0, idCol: String = "doc_id",
+      srcCol: String = "source"): DataFrame = {
+    require((weights.values ++ Seq(defaultRate)).forall(r =>
+      r >= 0.0 && r <= 1.0), "rates must be in [0,1]")
+    val rate = weights.foldLeft(lit(defaultRate)) { case (acc, (s0, r)) =>
+      when(col(srcCol) === s0, lit(r)).otherwise(acc)
+    }
+    val h = substring(
+      md5(concat_ws(":", col(srcCol), col(idCol).cast("string"))), 1, 8)
+    // fixed-width lowercase hex: string compare == numeric compare; the
+    // rate>=1 / <=0 branches dodge the 9-hex-digit 2^32 edge (lpad would
+    // truncate it)
+    val thr = lpad(lower(hex(floor(rate * 4294967296.0).cast("long"))),
+      8, "0")
+    docs.filter(when(rate >= 1.0, lit(true))
+      .when(rate <= 0.0, lit(false))
+      .otherwise(h < thr))
+  }
+
+  /** Deterministic shard assignment for training-output layout: shard =
+    * high 32 bits of md5(id) scaled to [0, nShards) — balanced in
+    * expectation, content-independent, and stable across runs and
+    * repartitionings (unlike pmod(hash) with engine-specific hashes,
+    * the md5-range definition is reproducible in ANY engine). At scale:
+    * `repartitionByRange(nShards, col("shard"))` + partitionBy writer →
+    * fixed shard count with one file each, the layout a training loader
+    * wants. shiftright keeps the arithmetic exact integer end to end.
+    */
+  def shardBy(docs: DataFrame, nShards: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(nShards > 0 && nShards <= (1 << 20), s"bad nShards $nShards")
+    val hexv = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    docs.withColumn("shard", shiftright(hexv * nShards, 32))
+  }
+
   /** Cross-document paragraph dedup (boilerplate removal): a paragraph
     * appearing in >= `minDocs` DISTINCT documents is corpus-wide
     * boilerplate (nav bars, cookie banners, license footers) and is

@@ -361,6 +361,50 @@ class PipelineSpec extends SparkSpec {
     assert(bins == (0L until bins.length).toSeq) // contiguous
   }
 
+  test("mixSources: rate-1 keeps all, rate-0 drops all, rates are per-source and deterministic") {
+    val d = docs.limit(100)
+      .withColumn("source",
+        when(col("doc_id") % 2 === 0, "keepall").otherwise("dropall"))
+    val keepDrop = Corpus.mixSources(d,
+      Map("keepall" -> 1.0, "dropall" -> 0.0))
+    assert(keepDrop.filter(col("source") === "dropall").count() == 0)
+    assert(keepDrop.count() == d.filter(col("source") === "keepall").count())
+    // unknown sources fall back to defaultRate
+    assert(Corpus.mixSources(d, Map.empty, defaultRate = 1.0).count()
+      == d.count())
+    // fractional rate: deterministic across runs, strictly between bounds
+    val half = Corpus.mixSources(d, Map.empty, defaultRate = 0.5)
+    assert(half.count() == Corpus.mixSources(d, Map.empty,
+      defaultRate = 0.5).count())
+    assert(half.count() > 0 && half.count() < d.count())
+    // salting: the kept-id set differs between two sources at rate 0.5
+    val bySrc = Corpus.mixSources(
+      d.withColumn("source", lit("a"))
+        .unionAll(d.withColumn("source", lit("b"))),
+      Map("a" -> 0.5, "b" -> 0.5))
+    val aIds = bySrc.filter(col("source") === "a")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val bIds = bySrc.filter(col("source") === "b")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(aIds != bIds)
+  }
+
+  test("shardBy: shards cover [0,n), are stable, and roughly balanced") {
+    val sharded = Corpus.shardBy(docs, nShards = 8)
+    val counts = sharded.groupBy("shard").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts.keySet.forall(s => s >= 0 && s < 8))
+    // md5 uniformity: every shard populated, none above 2x ideal share
+    val total = counts.values.sum
+    assert(counts.size == 8)
+    assert(counts.values.max <= 2 * total / 8)
+    // stability: identical assignment on recompute
+    val again = Corpus.shardBy(docs, nShards = 8)
+      .groupBy("shard").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == counts)
+  }
+
   test("paragraph dedup strips corpus-wide boilerplate, keeps rare paragraphs") {
     import spark.implicits._
     val boiler = "subscribe now"
