@@ -929,6 +929,32 @@ object Pipeline {
         .orderBy("shard")
     },
 
+    // char-entropy quality signal: entropy is a sequential fold over the
+    // char-sorted histogram in BOTH engines (binary collation on the sort,
+    // identical fold order), so the only divergence is libm log2 ulps —
+    // absorbed by ROUND 6 (the per-row scalar-math determinism rule)
+    QueryDef("p35_char_entropy",
+      """WITH ch AS (
+        |  SELECT doc_id, unnest([substring(text, i, 1)
+        |    for i in generate_series(1, length(text))]) AS c
+        |  FROM documents),
+        |h AS (SELECT doc_id, c, CAST(count(*) AS DOUBLE) AS cnt
+        |      FROM ch GROUP BY 1, 2),
+        |e AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_chars,
+        |        CAST(count(*) AS BIGINT) AS n_distinct_chars,
+        |        list(cnt ORDER BY c) AS counts
+        |      FROM h GROUP BY doc_id),
+        |s AS (SELECT doc_id, n_chars, n_distinct_chars,
+        |        round(-list_aggregate(list_transform(counts,
+        |          x -> x / n_chars * log2(x / n_chars)), 'sum'), 6)
+        |          AS entropy_bits
+        |      FROM e)
+        |SELECT doc_id, n_chars, n_distinct_chars, entropy_bits,
+        |  entropy_bits >= 2.0 AS entropy_ok
+        |FROM s""".stripMargin) { (s, dir) =>
+      TextAnalysis.charEntropy(t(s, dir, "documents")).orderBy("doc_id")
+    },
+
     // ---- multimodal ---------------------------------------------------
     // Real-decode oracle gate: 2/3 of the rows carry REAL PNG/JPEG payloads
     // (encoded in-engine by ImageIO) whose dimensions are pure arithmetic in

@@ -145,6 +145,34 @@ object TextAnalysis {
           <= maxTopFrac).as("rep_ok"))
   }
 
+  /** Char-level Shannon entropy (bits/char): low entropy flags
+    * degenerate/repetitive text (CCNet/Gopher-style quality signal) that
+    * length or punctuation ratios miss. One (id, char) shuffle for the
+    * histogram; the per-document entropy is a SEQUENTIAL fold over the
+    * char-sorted count list — a parallel double sum would be
+    * order-dependent and engine-divergent, the ordered fold plus ROUND 6
+    * is reproducible anywhere (the p10/p30 determinism rule).
+    */
+  def charEntropy(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", minBits: Double = 2.0): DataFrame = {
+    val chars = df.select(col(idCol), explode(transform(
+      sequence(lit(1), length(col(textCol))),
+      i => col(textCol).substr(i, lit(1)))).as("c"))
+    val hist = chars.groupBy(col(idCol), col("c"))
+      .agg(count(lit(1)).cast("double").as("cnt"))
+    hist.groupBy(col(idCol))
+      .agg(
+        sum("cnt").cast("long").as("n_chars"),
+        count(lit(1)).as("n_distinct_chars"),
+        array_sort(collect_list(struct(col("c"), col("cnt")))).as("h"))
+      .select(col(idCol), col("n_chars"), col("n_distinct_chars"),
+        round(-aggregate(col("h"), lit(0.0), (acc, x) => {
+          val p = x.getField("cnt") / col("n_chars").cast("double")
+          acc + p * log2(p)
+        }), 6).as("entropy_bits"))
+      .withColumn("entropy_ok", col("entropy_bits") >= minBits)
+  }
+
   /** n-gram-free heuristic language ID: stopword-hit voting over four
     * Latin-script lists + CJK codepoint detection for zh. Deterministic
     * tie-break by fixed language order (en,de,fr,es).

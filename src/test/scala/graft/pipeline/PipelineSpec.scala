@@ -405,6 +405,23 @@ class PipelineSpec extends SparkSpec {
     assert(again == counts)
   }
 
+  test("charEntropy: degenerate text scores low, varied text high, values exact") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "aaaaaaaa"),           // 1 symbol → 0 bits
+      (2L, "abababab"),           // 2 equiprobable symbols → 1 bit
+      (3L, "abcdefgh"),           // 8 equiprobable symbols → 3 bits
+      (4L, "the quick brown fox jumps over a lazy dog")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.charEntropy(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getDouble(3) == 0.0 && !out(1L).getBoolean(4))
+    assert(out(2L).getDouble(3) == 1.0)
+    assert(out(3L).getDouble(3) == 3.0 && out(3L).getBoolean(4))
+    assert(out(4L).getDouble(3) > 3.5) // natural text ≈ 4+ bits/char
+    assert(out(4L).getLong(1) == 41 && out(4L).getLong(2) > 20)
+  }
+
   test("paragraph dedup strips corpus-wide boilerplate, keeps rare paragraphs") {
     import spark.implicits._
     val boiler = "subscribe now"
