@@ -31,6 +31,8 @@ object Bench {
     "p08_sim_ivf",        // ANN IVF routing (raw operator, see below)
     "p10_text_quality",   // text expressions
     "p15_sessionize",     // window sessionization
+    "p32_paragraph_dedup", // explode + digest count + broadcast anti-join
+    "p35_char_entropy",   // char histogram + per-doc entropy fold
     "p25_dedup_components", // iterative label propagation
     "s01_stream_hourly",  // structured streaming
     "x03_asof_join",      // union+window as-of composition

@@ -101,6 +101,11 @@ object GraftExtensions {
         "graft_jaccard_sorted(a, b) - Jaccard of two SORTED distinct " +
           "bigint arrays (linear merge)"),
       arity("graft_jaccard_sorted", 2)(es => SortedLongJaccard(es(0), es(1)))),
+    (FunctionIdentifier("graft_char_entropy"),
+      info("graft_char_entropy",
+        "graft_char_entropy(text) - struct(n_chars, n_distinct_chars, " +
+          "entropy_bits): one-pass code-point histogram + Shannon entropy"),
+      arity("graft_char_entropy", 1)(es => CharEntropyStats(es(0)))),
     (FunctionIdentifier("graft_hyperplane_sigs"),
       info("graft_hyperplane_sigs",
         "graft_hyperplane_sigs(vec, bands, rowsPerBand) - banded " +

@@ -53,6 +53,12 @@ object VectorExpressions {
   def sortedJaccardAtLeast(a: Column, b: Column, threshold: Double): Column =
     column(SortedLongJaccardAtLeast(expression(a), expression(b), threshold))
 
+  /** struct(n_chars, n_distinct_chars, entropy_bits) of a text column:
+    * one-pass code-point histogram + ordered Shannon-entropy fold.
+    */
+  def charEntropyStats(text: Column): Column =
+    column(CharEntropyStats(expression(text)))
+
   /** `bands` random-hyperplane signatures (`rowsPerBand` bits each) of an
     * array<float> vector; bands=1 gives the classic single signature.
     */
@@ -602,4 +608,59 @@ case class MinHashFromHashes(child: Expression, k: Int)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** Per-row character-entropy statistics: one pass over the text counting
+  * code points (TreeMap → ascending code-point iteration, which equals
+  * UTF-8 binary order of the single-char strings), then the Shannon
+  * entropy fold in that fixed order — the exact term math and order the
+  * DuckDB oracle uses, so ROUND 6 on the result only absorbs libm log2
+  * ulps. Replaces an interpreted higher-order-function pipeline that was
+  * ~3.5× slower (HOF lambdas evaluate outside codegen), and the earlier
+  * explode+groupBy shape whose (id, char) shuffle amplified the corpus
+  * ~40× at scale. Returns struct(n_chars, n_distinct_chars, entropy_bits).
+  */
+case class CharEntropyStats(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_chars", LongType, nullable = false),
+    StructField("n_distinct_chars", LongType, nullable = false),
+    StructField("entropy_bits", DoubleType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+
+  protected override def nullSafeEval(input: Any): Any =
+    CharEntropyStats.stats(input.asInstanceOf[UTF8String].toString)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.CharEntropyStats.stats($c.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CharEntropyStats {
+  private val LN2 = StrictMath.log(2.0)
+
+  def stats(s: String): InternalRow = {
+    val counts = new java.util.TreeMap[Integer, java.lang.Long]()
+    var i = 0
+    var n = 0L
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val prev = counts.get(cp)
+      counts.put(cp, if (prev == null) 1L else prev + 1L)
+      n += 1
+      i += Character.charCount(cp)
+    }
+    var acc = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val p = it.next().toDouble / n
+      acc += p * (StrictMath.log(p) / LN2)
+    }
+    InternalRow(n, counts.size().toLong, if (n == 0L) 0.0 else -acc)
+  }
 }

@@ -46,6 +46,14 @@ class ExtensionsSpec extends SparkSpec {
     assert(sqlSig == apiSig)
   }
 
+  test("graft_char_entropy evaluates from SQL") {
+    GraftExtensions.registerAll(spark)
+    val r = spark.sql(
+      "SELECT graft_char_entropy('abababab') AS e").select("e.*").head()
+    assert(r.getLong(0) == 8 && r.getLong(1) == 2)
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
+  }
+
   test("wrong argument count is an analysis error, not an index crash") {
     GraftExtensions.registerAll(spark)
     val e = intercept[org.apache.spark.sql.AnalysisException] {

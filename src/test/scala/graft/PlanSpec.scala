@@ -68,6 +68,17 @@ class PlanSpec extends SparkSpec {
       s"boilerplate anti-join not broadcast:\n$p")
   }
 
+  test("p35: char entropy is a narrow per-row fold — zero Exchanges") {
+    // the raw operator, not the gate (whose orderBy adds a legitimate
+    // range-partition Exchange for presentation only)
+    val df = graft.pipeline.TextAnalysis.charEntropy(
+      spark.read.parquet(s"$sf/documents.parquet"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!p.contains("Exchange"), s"entropy plan shuffles:\n$p")
+  }
+
   test("x01: bucketed join runs shuffle-free (no Exchange on the join key)") {
     // same no-broadcast confs the gate query sets, so the SMJ materializes
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

@@ -420,6 +420,11 @@ class PipelineSpec extends SparkSpec {
     assert(out(3L).getDouble(3) == 3.0 && out(3L).getBoolean(4))
     assert(out(4L).getDouble(3) > 3.5) // natural text ≈ 4+ bits/char
     assert(out(4L).getLong(1) == 41 && out(4L).getLong(2) > 20)
+    // empty text: 0 chars, 0 bits, no crash from the descending-sequence edge
+    val empty = TextAnalysis.charEntropy(
+      Seq((9L, "")).toDF("doc_id", "text")).head()
+    assert(empty.getLong(1) == 0 && empty.getLong(2) == 0 &&
+      empty.getDouble(3) == 0.0)
   }
 
   test("paragraph dedup strips corpus-wide boilerplate, keeps rare paragraphs") {
