@@ -525,6 +525,31 @@ object Pipeline {
             .as("plants_surviving"))
     },
 
+    // Incremental (batch-vs-corpus) dedup: Bloom prefilter + exact
+    // verification (Dedup.incrementalDupFlags). Corpus = doc_id < 250;
+    // batch = the rest ∪ exact copies of every 10th corpus doc (the
+    // planted dups — the driver corpus has no natural cross-split
+    // duplicates). The prefilter cannot produce false negatives and the
+    // verify join kills false positives, so the per-row flags match the
+    // oracle's plain IN-subquery exactly.
+    QueryDef("p36_incremental_dedup",
+      """WITH corpus AS (
+        |  SELECT md5(text) AS h FROM documents WHERE doc_id < 250),
+        |batch AS (
+        |  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id >= 250
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, md5(text) AS h
+        |  FROM documents WHERE doc_id < 250 AND doc_id % 10 = 0)
+        |SELECT b.doc_id, (b.h IN (SELECT h FROM corpus)) AS is_dup
+        |FROM batch b""".stripMargin) { (s, dir) =>
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val corpus = d.filter(col("doc_id") < 250)
+      val batch = d.filter(col("doc_id") >= 250)
+        .unionAll(corpus.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      Dedup.incrementalDupFlags(batch, corpus, "doc_id", "text")
+    },
+
     // ---- similarity search --------------------------------------------
     QueryDef("p06_sim_brute",
       """WITH q AS (SELECT vec_id AS qid, embedding AS qvec

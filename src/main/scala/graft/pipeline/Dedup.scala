@@ -317,4 +317,56 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
+  /** Incremental exact dedup: flag each batch row whose content already
+    * exists in a (much larger) corpus — the every-ingest operation of a
+    * growing training corpus, where re-deduplicating the full corpus per
+    * batch is unaffordable.
+    *
+    * Scale shape (corpus >> batch):
+    *  1. Build a Bloom filter over the corpus' 16-byte content digests —
+    *     `DataFrameStatFunctions.bloomFilter` aggregates per-partition
+    *     sketches and OR-merges them (mergeable-sketch pattern, one
+    *     corpus pass, no raw hashes on the driver). 1e9 docs at 1% fpp
+    *     is ~1.4 GB — broadcastable; beyond that, shard the filter by
+    *     digest prefix.
+    *  2. Probe every batch row with a codegen'd zero-shuffle expression
+    *     ([[org.apache.spark.sql.graft.BloomMightContain]]).
+    *  3. Exactly verify ONLY the positives (true dups + ~fpp false
+    *     positives): stream the corpus digests past a BROADCAST of the
+    *     candidate digest set — the corpus is never shuffled, and false
+    *     positives die here. False negatives are impossible, so the
+    *     result is exact.
+    *
+    * In production the corpus side is the narrow content-hash index
+    * table (digest + keep-id, ~20 bytes/doc) maintained alongside the
+    * corpus, not a re-scan of the raw text; `expectedItems` then comes
+    * from table stats instead of the count job this helper runs when
+    * not told (-1).
+    *
+    * Returns one row per batch row: (idCol, is_dup).
+    */
+  def incrementalDupFlags(batch: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, fpp: Double = 0.01,
+      expectedItems: Long = -1L): DataFrame = {
+    import org.apache.spark.sql.graft.VectorExpressions
+    val corpusHashes = corpus.select(md5(col(textCol)).as("h"))
+    val expected = if (expectedItems > 0) expectedItems
+      else math.max(corpusHashes.count(), 1L)
+    val bf = corpusHashes.stat.bloomFilter("h", expected, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    val batchH = batch.select(col(idCol), md5(col(textCol)).as("h"))
+    val candHashes = batchH
+      .filter(VectorExpressions.bloomMightContain(col("h"), bytes))
+      .select("h").distinct()
+    val confirmed = corpusHashes
+      .join(broadcast(candHashes), Seq("h"), "left_semi").distinct()
+    batchH
+      .join(broadcast(confirmed.withColumn("is_dup", lit(true))),
+        Seq("h"), "left")
+      .select(col(idCol), coalesce(col("is_dup"), lit(false)).as("is_dup"))
+  }
 }

@@ -70,6 +70,12 @@ object VectorExpressions {
     */
   def charGramHashes(text: Column, n: Int): Column =
     column(CharGramHashes(expression(text), n))
+
+  /** Bloom-filter membership probe of a string column against a
+    * serialized `org.apache.spark.util.sketch.BloomFilter`.
+    */
+  def bloomMightContain(s: Column, filterBytes: Array[Byte]): Column =
+    column(BloomMightContain(expression(s), filterBytes))
 }
 
 /** Set Jaccard |A∩B|/|A∪B| of two pre-sorted distinct long arrays by
@@ -663,4 +669,55 @@ object CharEntropyStats {
     }
     InternalRow(n, counts.size().toLong, if (n == 0L) 0.0 else -acc)
   }
+}
+
+/** Membership probe of a pre-built corpus Bloom filter (the
+  * `org.apache.spark.util.sketch.BloomFilter` wire format): true iff the
+  * UTF-8 bytes of the input string might be in the filter. Probes match
+  * `putString` (both hash the UTF-8 byte encoding).
+  *
+  * This is the incremental-dedup pre-filter: the corpus' content-hash
+  * filter is built once (mergeable per-partition sketches), shipped to
+  * executors inside the codegen references array, and every batch row is
+  * probed with zero shuffle. Only the ~fpp false-positive fraction of
+  * the batch proceeds to the exact verification join, so the expensive
+  * corpus-side join touches a sliver of the data. False negatives are
+  * impossible, so prefilter + exact verify = exact result.
+  */
+case class BloomMightContain(child: Expression, filterBytes: Array[Byte])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+
+  protected override def nullSafeEval(input: Any): Any =
+    BloomMightContain.test(filterBytes, input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftBloomBytes", filterBytes, "byte[]")
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.BloomMightContain.test($ref, $c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BloomMightContain {
+  import org.apache.spark.util.sketch.BloomFilter
+
+  // Decoded-filter cache keyed by CONTENT (ByteBuffer.wrap equals/
+  // hashCode compare the bytes): one readFrom() per executor per
+  // distinct filter, no matter how many tasks probe it. Bounded: one
+  // entry per live incremental-dedup filter.
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    java.nio.ByteBuffer, BloomFilter]()
+
+  private def filterFor(bytes: Array[Byte]): BloomFilter =
+    cache.computeIfAbsent(java.nio.ByteBuffer.wrap(bytes),
+      _ => BloomFilter.readFrom(bytes))
+
+  def test(bytes: Array[Byte], s: UTF8String): Boolean =
+    filterFor(bytes).mightContainBinary(s.getBytes)
 }

@@ -320,6 +320,45 @@ class PipelineSpec extends SparkSpec {
       s"round barriers piled up: ${added.mkString(", ")}")
   }
 
+  test("incremental dedup: flags exactly the cross-split dups, bloom prunes the verify join") {
+    val d = docs
+    val corpus = d.filter(col("doc_id") < 250)
+    val batch = d.filter(col("doc_id") >= 250)
+      .unionAll(corpus.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+    val flags = Dedup.incrementalDupFlags(batch, corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(flags.size == batch.count())
+    // every planted copy (id >= 1e6) is a dup; no false negatives
+    val planted = flags.filter(_._1 >= 1000000)
+    assert(planted.nonEmpty && planted.values.forall(identity))
+    // natural batch rows whose text coincides with corpus text: recompute
+    // the expected flags with a driver-side set and compare exactly
+    val corpusTexts = corpus.select("text").collect().map(_.getString(0)).toSet
+    val expected = batch.collect()
+      .map(r => r.getLong(0) -> corpusTexts.contains(r.getString(1))).toMap
+    assert(flags == expected)
+  }
+
+  test("bloom prefilter passes every member and ~fpp of non-members") {
+    import org.apache.spark.sql.graft.VectorExpressions
+    val members = (0 until 2000).map(i => s"member-$i")
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(2000, 0.01)
+    members.foreach(bf.putString)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos); bos.toByteArray
+    }
+    import spark.implicits._
+    val probes = (members ++ (0 until 10000).map(i => s"other-$i")).toDF("s")
+      .withColumn("hit", VectorExpressions.bloomMightContain(col("s"), bytes))
+    val hits = probes.filter(col("hit")).select("s").collect()
+      .map(_.getString(0)).toSet
+    assert(members.forall(hits), "bloom filter dropped a member (false negative)")
+    val fp = hits.count(_.startsWith("other-"))
+    assert(fp <= 300, s"false-positive count $fp way above the 1% target")
+  }
+
   test("pii redaction counts and masks emails and phones") {
     import spark.implicits._
     val df = Seq(
