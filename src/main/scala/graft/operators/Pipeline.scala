@@ -980,6 +980,50 @@ object Pipeline {
       TextAnalysis.charEntropy(t(s, dir, "documents")).orderBy("doc_id")
     },
 
+    // One-pass column profiling (Corpus.profile) over an events
+    // projection with deterministic nulls planted (the driver tables
+    // are null-free, and a profiler gate that never sees a null proves
+    // nothing). Exact stats are recomputed by DuckDB; the HLL++
+    // estimate is gated by the p17 within-5% boolean pattern.
+    QueryDef("p37_profile_columns",
+      """WITH src AS (
+        |  SELECT event_id, user_id,
+        |    CASE WHEN value < 10 THEN NULL ELSE event_type END
+        |      AS event_type,
+        |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE user_id END
+        |      AS maybe_user
+        |  FROM events)
+        |SELECT 'event_type' AS "column",
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(*) - count(event_type) AS BIGINT) AS n_nulls,
+        |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_distinct,
+        |  CAST(min(event_type) AS VARCHAR) AS min_value,
+        |  CAST(max(event_type) AS VARCHAR) AS max_value,
+        |  true AS approx_distinct_ok
+        |FROM src
+        |UNION ALL
+        |SELECT 'maybe_user', CAST(count(*) AS BIGINT),
+        |  CAST(count(*) - count(maybe_user) AS BIGINT),
+        |  CAST(count(DISTINCT maybe_user) AS BIGINT),
+        |  CAST(min(maybe_user) AS VARCHAR),
+        |  CAST(max(maybe_user) AS VARCHAR), true
+        |FROM src
+        |UNION ALL
+        |SELECT 'user_id', CAST(count(*) AS BIGINT),
+        |  CAST(count(*) - count(user_id) AS BIGINT),
+        |  CAST(count(DISTINCT user_id) AS BIGINT),
+        |  CAST(min(user_id) AS VARCHAR),
+        |  CAST(max(user_id) AS VARCHAR), true
+        |FROM src""".stripMargin) { (s, dir) =>
+      val src = t(s, dir, "events").select(
+        col("event_id"), col("user_id"),
+        when(col("value") < 10, lit(null)).otherwise(col("event_type"))
+          .as("event_type"),
+        when(col("event_id") % 7 === 0, lit(null)).otherwise(col("user_id"))
+          .as("maybe_user"))
+      Corpus.profile(src, Seq("event_type", "maybe_user", "user_id"))
+    },
+
     // ---- multimodal ---------------------------------------------------
     // Real-decode oracle gate: 2/3 of the rows carry REAL PNG/JPEG payloads
     // (encoded in-engine by ImageIO) whose dimensions are pure arithmetic in

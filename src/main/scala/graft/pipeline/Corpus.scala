@@ -209,4 +209,41 @@ object Corpus {
       .select(col(idCol),
         coalesce(col("contaminated"), lit(false)).as("contaminated"))
   }
+  /** One-pass column profiling: per column, row/null counts, min/max
+    * (as strings, computed on the native type first), exact distinct
+    * count, and a boolean asserting the HLL++ estimate is within 5% of
+    * exact.
+    *
+    * Scale shape: every statistic except the exact distinct is a
+    * partial-aggregable single-pass aggregate (the production profiling
+    * path is approx-only — mergeable HLL sketches, one scan, one 1-row
+    * shuffle). The exact distinct counts exist to GATE the sketches the
+    * way p17 does; Catalyst plans the multi-column COUNT(DISTINCT) via
+    * Expand, which is the pay-once audit path, not the per-ingest one.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(col(c).isNull.cast("long")).as(s"${c}__nulls"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"),
+        count_distinct(col(c)).as(s"${c}__nd"),
+        approx_count_distinct(col(c)).as(s"${c}__and"))
+    }
+    val row = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val entries = array(cols.map { c =>
+      struct(
+        lit(c).as("column"),
+        col(s"${c}__nulls").as("n_nulls"),
+        col(s"${c}__nd").as("n_distinct"),
+        col(s"${c}__min").as("min_value"),
+        col(s"${c}__max").as("max_value"),
+        (abs(col(s"${c}__and").cast("double") - col(s"${c}__nd"))
+          <= col(s"${c}__nd") * 0.05).as("approx_distinct_ok"))
+    }: _*)
+    row.select(col("n_rows"), explode(entries).as("p"))
+      .select(col("p.column"), col("n_rows"), col("p.n_nulls"),
+        col("p.n_distinct"), col("p.min_value"), col("p.max_value"),
+        col("p.approx_distinct_ok"))
+  }
 }

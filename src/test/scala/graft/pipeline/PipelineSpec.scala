@@ -359,6 +359,22 @@ class PipelineSpec extends SparkSpec {
     assert(fp <= 300, s"false-positive count $fp way above the 1% target")
   }
 
+  test("column profile: exact counts, null handling, min/max, sketch gate") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("b"), Some(10L)), (2L, None, Some(20L)),
+      (3L, Some("a"), None), (4L, Some("a"), Some(20L))
+    ).toDF("id", "s", "v")
+    val p = Corpus.profile(df, Seq("s", "v")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val s = p("s"); val v = p("v")
+    assert(s.getLong(1) == 4 && s.getLong(2) == 1 && s.getLong(3) == 2)
+    assert(s.getString(4) == "a" && s.getString(5) == "b")
+    assert(v.getLong(2) == 1 && v.getLong(3) == 2)
+    assert(v.getString(4) == "10" && v.getString(5) == "20")
+    assert(s.getBoolean(6) && v.getBoolean(6))
+  }
+
   test("pii redaction counts and masks emails and phones") {
     import spark.implicits._
     val df = Seq(
