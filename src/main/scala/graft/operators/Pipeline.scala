@@ -746,6 +746,80 @@ object Pipeline {
       Dedup.components(pairs).orderBy("doc_id")
     },
 
+    // Quality-aware cluster representatives: p25's components + p10's
+    // quality score composed — per duplicate cluster keep the HIGHEST-
+    // quality member, not the smallest id. The oracle rebuilds clusters
+    // with the recursive closure CTE and the quality score with p10's
+    // exact arithmetic, then ranks with the same (score desc, id) window.
+    QueryDef("p38_cluster_reps",
+      s"""WITH RECURSIVE $corpusSql,
+         |$shingleSql,
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         |        len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
+         |edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+         |comp AS (
+         |  SELECT src AS doc_id, MIN(dst) AS comp FROM reach GROUP BY src),
+         |qbase AS (
+         |  SELECT doc_id,
+         |    CAST(length(text) AS BIGINT) AS n_chars,
+         |    CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')) = 0
+         |         THEN CAST([] AS VARCHAR[])
+         |         ELSE string_split_regex(
+         |           regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') END
+         |      AS toks,
+         |    CAST(length(text) -
+         |      length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS BIGINT)
+         |      AS n_punct
+         |  FROM corpus),
+         |qm AS (
+         |  SELECT doc_id, n_chars, n_punct,
+         |    CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_filter(toks, t -> list_contains(
+         |      [${TextAnalysis.stopwordsEn.map("'" + _ + "'").mkString(",")}],
+         |      t))) AS BIGINT) AS n_stopwords
+         |  FROM qbase),
+         |q AS (
+         |  SELECT doc_id,
+         |    (least(n_tokens / 50.0, 1.0) +
+         |     CASE WHEN (CASE WHEN n_tokens = 0 THEN 0.0
+         |                ELSE (n_chars - (n_tokens - 1)) / n_tokens END)
+         |          BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END +
+         |     least((CASE WHEN n_tokens = 0 THEN 0.0
+         |            ELSE n_stopwords / n_tokens END) * 5.0, 1.0) +
+         |     (1.0 - least((CASE WHEN n_chars = 0 THEN 0.0
+         |              ELSE n_punct / n_chars END) * 10.0, 1.0))) / 4.0
+         |      AS quality_score
+         |  FROM qm),
+         |ranked AS (
+         |  SELECT coalesce(k.comp, q.doc_id) AS comp, q.doc_id,
+         |    row_number() OVER (
+         |      PARTITION BY coalesce(k.comp, q.doc_id)
+         |      ORDER BY q.quality_score DESC, q.doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY coalesce(k.comp, q.doc_id))
+         |      AS n_members
+         |  FROM q LEFT JOIN comp k ON q.doc_id = k.doc_id)
+         |SELECT CAST(comp AS BIGINT) AS comp,
+         |  CAST(doc_id AS BIGINT) AS rep_id,
+         |  CAST(n_members AS BIGINT) AS n_members
+         |FROM ranked WHERE rn = 1""".stripMargin) { (s, dir) =>
+      val planted = docsWithPlants(s, dir)
+      val scored = TextAnalysis.withQuality(planted)
+        .select("doc_id", "quality_score")
+      val pairs = Dedup.minhashPairs(planted, "doc_id", "text",
+        k = 64, bands = 16, threshold = 0.5)
+      Dedup.representatives(scored, "doc_id", pairs, "quality_score")
+        .orderBy("comp")
+    },
+
     // ---- corpus preparation -------------------------------------------
     // Deterministic PII plants (every 7th doc gets an email + phone) so
     // redaction has non-trivial work; both engines build the same corpus.

@@ -369,4 +369,29 @@ object Dedup {
         Seq("h"), "left")
       .select(col(idCol), coalesce(col("is_dup"), lit(false)).as("is_dup"))
   }
+  /** Quality-aware duplicate-cluster representative selection: one row
+    * per cluster (comp, rep_id, n_members), where the representative is
+    * the member with the highest `scoreCol` (ties → smallest id). Docs
+    * in no pair are their own singleton cluster. This replaces the
+    * keep-smallest-id policy of [[applyPairs]] when a quality signal
+    * exists — at corpus scale you keep the BEST copy, not the first.
+    *
+    * Scale shape: components' label-propagation output joins the scored
+    * corpus on id, then a single shuffle on comp serves both window
+    * functions (rank + member count share the partitioning).
+    */
+  def representatives(scored: DataFrame, idCol: String, pairs: DataFrame,
+      scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comps = components(pairs).withColumnRenamed("doc_id", idCol)
+    val withComp = scored.join(comps, Seq(idCol), "left")
+      .withColumn("comp", coalesce(col("comp"), col(idCol)))
+    val byComp = Window.partitionBy("comp")
+    withComp
+      .withColumn("rn", row_number().over(
+        byComp.orderBy(col(scoreCol).desc, col(idCol))))
+      .withColumn("n_members", count(lit(1)).over(byComp))
+      .filter(col("rn") === 1)
+      .select(col("comp"), col(idCol).as("rep_id"), col("n_members"))
+  }
 }

@@ -375,6 +375,19 @@ class PipelineSpec extends SparkSpec {
     assert(s.getBoolean(6) && v.getBoolean(6))
   }
 
+  test("representatives keep the best-quality member per cluster, singletons survive") {
+    import spark.implicits._
+    val scored = Seq(
+      (1L, 0.2), (2L, 0.9), (3L, 0.5),   // cluster {1,2,3} via pairs
+      (7L, 0.1),                          // singleton
+      (8L, 0.4), (9L, 0.4)                // tie → smaller id wins
+    ).toDF("doc_id", "quality_score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (8L, 9L)).toDF("id_a", "id_b")
+    val reps = Dedup.representatives(scored, "doc_id", pairs, "quality_score")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(reps == Set((1L, 2L, 3L), (7L, 7L, 1L), (8L, 8L, 2L)))
+  }
+
   test("pii redaction counts and masks emails and phones") {
     import spark.implicits._
     val df = Seq(
