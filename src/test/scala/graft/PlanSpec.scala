@@ -176,4 +176,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("InMemoryRelation") && !p.contains("InMemoryTableScan"),
       s"plan-lifetime cache found (persist leak):\n$p")
   }
+
+  test("p36: bloom probe is codegen'd, verify joins broadcast, corpus never sort-merge-joined") {
+    val p = executed("p36_incremental_dedup")
+    assert(p.contains("BloomMightContain") ||
+      p.contains("bloommightcontain"),
+      s"bloom prefilter missing from the plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"verify join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus side shuffled into an SMJ:\n$p")
+  }
 }
