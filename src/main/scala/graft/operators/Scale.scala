@@ -75,6 +75,37 @@ object Scale {
           .as("sum_value"))
   }
 
+  /** Dynamic partition pruning: the fact side is partitioned by
+    * event_type, but the query's filter lives on the DIMENSION
+    * (category = 'conversion'), so static pruning can't fire. Catalyst's
+    * DPP injects the broadcast dimension's build-side keys as a runtime
+    * `dynamicpruningexpression` PartitionFilter on the fact scan — only
+    * the matching partition directories are listed and read. At 100 TB
+    * this is the star-schema workhorse: a date-dimension predicate
+    * prunes years of fact partitions without the query naming them.
+    * PlanSpec asserts the dynamic filter on this exact plan.
+    */
+  private[graft] def dppPrunedJoin(s: SparkSession,
+      dir: String): DataFrame = {
+    val out = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      "graft_fmt", "x07_events_parted").toString
+    t(s, dir, "events")
+      .select(col("event_type"), col("value"))
+      .write.partitionBy("event_type").mode("overwrite").parquet(out)
+    val fact = s.read.parquet(out)
+    val dim = t(s, dir, "events").select("event_type").distinct()
+      .withColumn("category",
+        when(col("event_type").isin("purchase", "signup"), "conversion")
+          .otherwise("engagement"))
+    fact.join(broadcast(dim.filter(col("category") === "conversion")),
+        Seq("event_type"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,3)")).cast("double")
+          .as("sum_value"))
+  }
+
   /** Funnel 90% of the events onto one hot key and join the stream to
     * its purchase subset WITHOUT salting — then let AQE's runtime skew
     * handling split the oversized partition into parallel sub-joins
@@ -157,6 +188,22 @@ object Scale {
         |FROM events WHERE event_type = 'purchase'
         |GROUP BY event_type""".stripMargin) { (s, dir) =>
       partitionPrunedAgg(s, dir)
+    },
+
+    // Dynamic partition pruning: dimension-side predicate prunes fact
+    // partitions at runtime (no partition value appears in the query).
+    QueryDef("x07_dynamic_pruning",
+      """WITH dim AS (
+        |  SELECT DISTINCT event_type,
+        |    CASE WHEN event_type IN ('purchase', 'signup')
+        |         THEN 'conversion' ELSE 'engagement' END AS category
+        |  FROM events)
+        |SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(18,3))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN dim d ON e.event_type = d.event_type
+        |WHERE d.category = 'conversion'
+        |GROUP BY e.event_type""".stripMargin) { (s, dir) =>
+      dppPrunedJoin(s, dir)
     },
 
     // Bucketed co-located join: both sides written bucketed by the join

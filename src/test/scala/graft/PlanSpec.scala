@@ -187,4 +187,10 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       s"corpus side shuffled into an SMJ:\n$p")
   }
+
+  test("x07: dimension predicate prunes fact partitions at runtime (DPP filter in the scan)") {
+    val p = executed("x07_dynamic_pruning")
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning filter on the fact scan:\n$p")
+  }
 }
