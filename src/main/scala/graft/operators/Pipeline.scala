@@ -746,6 +746,46 @@ object Pipeline {
       Dedup.components(pairs).orderBy("doc_id")
     },
 
+    // Exact-substring duplication signal (fixed-50-char window hashes):
+    // every 20th doc gets the same boilerplate sentence appended, so its
+    // interior windows repeat corpus-wide; natural exact dupes repeat
+    // wholesale. The oracle regenerates the windows with substr over
+    // generate_series — window-hash equality equals window-string
+    // equality barring a 2^-64 collision (the p04 argument).
+    QueryDef("p39_repeated_substrings",
+      """WITH c AS (
+        |  SELECT doc_id, text || CASE WHEN doc_id % 20 = 0
+        |    THEN ' Subscribe to our newsletter for updates and follow our page for more daily content.'
+        |    ELSE '' END AS text
+        |  FROM documents),
+        |w0 AS (
+        |  SELECT doc_id, unnest([substr(text, i, 50)
+        |    FOR i IN range(1, greatest(length(text) - 48, 2))]) AS wt
+        |  FROM c),
+        |w AS (SELECT DISTINCT doc_id, wt FROM w0),
+        |shared AS (
+        |  SELECT wt FROM w GROUP BY wt HAVING count(*) >= 2),
+        |rep AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_repeated
+        |  FROM w WHERE wt IN (SELECT wt FROM shared) GROUP BY doc_id),
+        |tot AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows
+        |  FROM w GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_windows,
+        |  coalesce(r.n_repeated, 0) AS n_repeated,
+        |  coalesce(r.n_repeated, 0) / CAST(t.n_windows AS DOUBLE)
+        |    AS repeated_frac
+        |FROM tot t LEFT JOIN rep r ON t.doc_id = r.doc_id""".stripMargin) {
+      (s, dir) =>
+      val boiler = " Subscribe to our newsletter for updates and follow" +
+        " our page for more daily content."
+      val c = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), when(col("doc_id") % 20 === 0, lit(boiler))
+          .otherwise(lit(""))).as("text"))
+      Dedup.repeatedWindowStats(c, "doc_id", "text", n = 50)
+        .orderBy("doc_id")
+    },
+
     // Quality-aware cluster representatives: p25's components + p10's
     // quality score composed — per duplicate cluster keep the HIGHEST-
     // quality member, not the smallest id. The oracle rebuilds clusters

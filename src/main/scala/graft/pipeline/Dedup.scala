@@ -394,4 +394,36 @@ object Dedup {
       .filter(col("rn") === 1)
       .select(col("comp"), col(idCol).as("rep_id"), col("n_members"))
   }
+  /** Exact-substring duplication signal (the Lee et al. "Deduplicating
+    * Training Data Makes Language Models Better" shape, re-expressed for
+    * Spark): for each doc, how many of its distinct `n`-char windows
+    * also occur in ANOTHER doc, and the duplicated fraction. Corpora
+    * use this to strip verbatim boilerplate/quotation before training.
+    *
+    * Scale shape: windows are 8-byte rolling hashes (one codegen'd pass
+    * per doc — [[org.apache.spark.sql.graft.VectorExpressions.charGramHashes]]),
+    * so the shuffle carries (hash, id) pairs, never substrings: ~16
+    * bytes per corpus character, all equi-joins. A suffix-array build
+    * (the paper's single-node approach) finds arbitrary-length repeats
+    * but does not distribute; fixed-n window hashing is the standard
+    * cluster-friendly approximation (any repeat >= n chars is caught by
+    * its interior windows).
+    */
+  def repeatedWindowStats(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 50): DataFrame = {
+    import org.apache.spark.sql.graft.VectorExpressions
+    val w = df.select(col(idCol),
+      explode(VectorExpressions.charGramHashes(col(textCol), n)).as("h"))
+    // hashes are distinct per doc, so count(*) counts docs per window
+    val shared = w.groupBy("h").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select("h")
+    val repeated = w.join(shared, Seq("h"), "left_semi")
+      .groupBy(idCol).agg(count(lit(1)).as("n_repeated"))
+    w.groupBy(idCol).agg(count(lit(1)).as("n_windows"))
+      .join(repeated, Seq(idCol), "left")
+      .select(col(idCol), col("n_windows"),
+        coalesce(col("n_repeated"), lit(0L)).as("n_repeated"),
+        (coalesce(col("n_repeated"), lit(0L)).cast("double")
+          / col("n_windows")).as("repeated_frac"))
+  }
 }

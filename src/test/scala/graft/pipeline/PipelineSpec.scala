@@ -388,6 +388,29 @@ class PipelineSpec extends SparkSpec {
     assert(reps == Set((1L, 2L, 3L), (7L, 7L, 1L), (8L, 8L, 2L)))
   }
 
+  test("repeated-window stats: exact dup pair fully repeated, unique doc untouched, shared suffix partial") {
+    import spark.implicits._
+    val base = "The quick brown fox jumps over the lazy dog while the band plays on in the warm evening air."
+    val other = "Completely different content that shares no fifty character window with anything else here at all."
+    val suffix = " SHARED-BOILERPLATE-SUFFIX is exactly the same across documents."
+    val df = Seq(
+      (1L, base), (2L, base),                       // exact dup pair
+      (3L, other),                                  // unique
+      (4L, "Alpha document body before the suffix." + suffix),
+      (5L, "A very different beta body before it." + suffix)
+    ).toDF("doc_id", "text")
+    val out = Dedup.repeatedWindowStats(df, "doc_id", "text", n = 50)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L)._3 == 1.0 && out(2L)._3 == 1.0)
+    assert(out(3L)._2 == 0L && out(3L)._3 == 0.0)
+    // docs 4/5 share only the suffix-interior windows: some but not all
+    assert(out(4L)._2 > 0 && out(4L)._3 < 1.0)
+    assert(out(5L)._2 > 0 && out(5L)._3 < 1.0)
+    // a repeated window count can never exceed the total
+    assert(out.values.forall { case (w, r, _) => r <= w })
+  }
+
   test("pii redaction counts and masks emails and phones") {
     import spark.implicits._
     val df = Seq(
