@@ -34,6 +34,8 @@ object Bench {
     "p32_paragraph_dedup", // explode + digest count + broadcast anti-join
     "p35_char_entropy",   // char histogram + per-doc entropy fold
     "p25_dedup_components", // iterative label propagation
+    "p36_incremental_dedup", // bloom prefilter + exact verify
+    "p39_repeated_substrings", // 50-char window hash repeats
     "s01_stream_hourly",  // structured streaming
     "x03_asof_join",      // union+window as-of composition
     "x04_range_join",     // bucketed interval join

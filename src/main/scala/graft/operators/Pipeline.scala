@@ -903,6 +903,30 @@ object Pipeline {
       Corpus.vocabTopK(t(s, dir, "documents"), k = 100)
     },
 
+    // Heavy hitters via Count-Min prefilter + exact verify
+    // (Corpus.heavyHitters): tokens at >= 0.2% of all occurrences. CMS
+    // only overestimates, so the prefilter drops no true heavy hitter
+    // and the exact count filter kills impostors — the oracle is the
+    // plain exact-count SQL with the same ceil'd threshold.
+    QueryDef("p40_heavy_hitters",
+      """WITH toks AS (
+        |  SELECT CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
+        |         THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(
+        |           lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+')
+        |    END AS tk
+        |  FROM documents),
+        |counts AS (
+        |  SELECT t.t AS token, CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT unnest(tk) AS t FROM toks) t GROUP BY 1),
+        |thr AS (
+        |  SELECT CAST(ceil(sum(n) * 0.002) AS BIGINT) AS v FROM counts)
+        |SELECT token, n FROM counts, thr WHERE n >= thr.v""".stripMargin) {
+      (s, dir) =>
+      Corpus.heavyHitters(t(s, dir, "documents"), minFraction = 0.002)
+        .orderBy("token")
+    },
+
     // md5-hash split: both engines agree on md5 of the id's decimal text
     QueryDef("p22_train_test_split",
       """SELECT doc_id,

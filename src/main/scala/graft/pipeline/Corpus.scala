@@ -246,4 +246,30 @@ object Corpus {
         col("p.n_distinct"), col("p.min_value"), col("p.max_value"),
         col("p.approx_distinct_ok"))
   }
+  /** Exact heavy hitters (tokens occurring in at least `minFraction` of
+    * all token occurrences) with a Count-Min prefilter: the sketch is
+    * built in one mergeable pass (`DataFrameStatFunctions
+    * .countMinSketch`), every token OCCURRENCE is probed by a codegen'd
+    * zero-shuffle expression, and only occurrences whose estimate
+    * reaches the threshold enter the exact groupBy. CMS never
+    * underestimates, so no true heavy hitter is dropped; the post-
+    * aggregation filter removes the overestimated impostors — exact
+    * result, but the shuffle carries the candidate sliver instead of
+    * the whole vocabulary (the point at 100 TB, where the full token
+    * shuffle is corpus-sized but the sketch is ~1 MB).
+    */
+  def heavyHitters(df: DataFrame, textCol: String = "text",
+      minFraction: Double = 0.002, eps: Double = 1e-4,
+      confidence: Double = 0.99): DataFrame = {
+    import org.apache.spark.sql.graft.VectorExpressions
+    val toks = df.select(
+      explode(TextAnalysis.tokens(lower(col(textCol)))).as("token"))
+    val cms = toks.stat.countMinSketch(col("token"), eps, confidence, 42)
+    val threshold = math.ceil(cms.totalCount * minFraction).toLong
+    val bytes = cms.toByteArray
+    toks.filter(
+        VectorExpressions.countMinEstimate(col("token"), bytes) >= threshold)
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= threshold)
+  }
 }

@@ -76,6 +76,12 @@ object VectorExpressions {
     */
   def bloomMightContain(s: Column, filterBytes: Array[Byte]): Column =
     column(BloomMightContain(expression(s), filterBytes))
+
+  /** Count-Min-sketch frequency estimate of a string column against a
+    * serialized `org.apache.spark.util.sketch.CountMinSketch`.
+    */
+  def countMinEstimate(s: Column, sketchBytes: Array[Byte]): Column =
+    column(CountMinEstimate(expression(s), sketchBytes))
 }
 
 /** Set Jaccard |A∩B|/|A∪B| of two pre-sorted distinct long arrays by
@@ -720,4 +726,50 @@ object BloomMightContain {
 
   def test(bytes: Array[Byte], s: UTF8String): Boolean =
     filterFor(bytes).mightContainBinary(s.getBytes)
+}
+
+/** Count-Min-sketch point estimate of a string's frequency (the
+  * `org.apache.spark.util.sketch.CountMinSketch` wire format).
+  *
+  * This is the heavy-hitter prefilter: the corpus' token sketch is
+  * built in one mergeable pass, shipped to executors in the codegen
+  * references array, and every token occurrence is probed with zero
+  * shuffle. CMS only OVERestimates, so filtering occurrences on
+  * `estimate >= threshold` before the exact count can drop no true
+  * heavy hitter — the exact aggregation then runs over the surviving
+  * sliver instead of the whole corpus vocabulary.
+  */
+case class CountMinEstimate(child: Expression, sketchBytes: Array[Byte])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  protected override def nullSafeEval(input: Any): Any =
+    CountMinEstimate.estimate(sketchBytes, input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftCmsBytes", sketchBytes, "byte[]")
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.CountMinEstimate.estimate($ref, $c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CountMinEstimate {
+  import org.apache.spark.util.sketch.CountMinSketch
+
+  // content-keyed decode cache, same pattern as BloomMightContain
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    java.nio.ByteBuffer, CountMinSketch]()
+
+  private def sketchFor(bytes: Array[Byte]): CountMinSketch =
+    cache.computeIfAbsent(java.nio.ByteBuffer.wrap(bytes),
+      _ => CountMinSketch.readFrom(bytes))
+
+  def estimate(bytes: Array[Byte], s: UTF8String): Long =
+    sketchFor(bytes).estimateCount(s.toString)
 }

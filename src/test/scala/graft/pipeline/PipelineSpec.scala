@@ -411,6 +411,23 @@ class PipelineSpec extends SparkSpec {
     assert(out.values.forall { case (w, r, _) => r <= w })
   }
 
+  test("heavy hitters: CMS estimates never undercount, result equals exact filter") {
+    val d = docs
+    val out = Corpus.heavyHitters(d, minFraction = 0.002)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // exact ground truth via the plain aggregation
+    val toks = d.select(explode(TextAnalysis.tokens(lower(col("text"))))
+      .as("token"))
+    val exact = toks.groupBy("token").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = exact.values.sum
+    val threshold = math.ceil(total * 0.002).toLong
+    val expected = exact.filter(_._2 >= threshold)
+    assert(out == expected,
+      s"heavy-hitter set mismatch: got ${out.size}, want ${expected.size}")
+    assert(out.nonEmpty)
+  }
+
   test("pii redaction counts and masks emails and phones") {
     import spark.implicits._
     val df = Seq(
