@@ -43,6 +43,17 @@ object GraftExtensions {
     }
   }
 
+  private def litBytes(e: Expression, fn: String,
+      arg: String): Array[Byte] = {
+    require(e.foldable, s"$fn: $arg must be a binary literal")
+    e.eval() match {
+      case b: Array[Byte] => b
+      case other =>
+        throw new IllegalArgumentException(
+          s"$fn: $arg must be a binary literal, got $other")
+    }
+  }
+
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
@@ -112,7 +123,21 @@ object GraftExtensions {
           "random-hyperplane LSH signatures of a float array"),
       arity("graft_hyperplane_sigs", 3)(es => HyperplaneSignatures(es(0),
         litInt(es(1), "graft_hyperplane_sigs", "bands"),
-        litInt(es(2), "graft_hyperplane_sigs", "rowsPerBand")))))
+        litInt(es(2), "graft_hyperplane_sigs", "rowsPerBand")))),
+    (FunctionIdentifier("graft_bloom_contains"),
+      info("graft_bloom_contains",
+        "graft_bloom_contains(s, filter) - membership probe of a " +
+          "serialized spark BloomFilter (binary literal, e.g. X'…'); " +
+          "matches putString semantics"),
+      arity("graft_bloom_contains", 2)(es => BloomMightContain(es(0),
+        litBytes(es(1), "graft_bloom_contains", "filter")))),
+    (FunctionIdentifier("graft_cms_estimate"),
+      info("graft_cms_estimate",
+        "graft_cms_estimate(s, sketch) - Count-Min frequency estimate " +
+          "from a serialized spark CountMinSketch (binary literal); " +
+          "never underestimates"),
+      arity("graft_cms_estimate", 2)(es => CountMinEstimate(es(0),
+        litBytes(es(1), "graft_cms_estimate", "sketch")))))
 
   /** Register every function on an already-built session (same triples
     * the extension hook injects).

@@ -54,6 +54,31 @@ class ExtensionsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
   }
 
+  test("graft_bloom_contains / graft_cms_estimate evaluate from SQL via hex literals") {
+    GraftExtensions.registerAll(spark)
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
+    bf.putString("present")
+    val bfBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos); bos.toByteArray
+    }
+    val cms = org.apache.spark.util.sketch.CountMinSketch.create(
+      0.001, 0.99, 42)
+    (1 to 7).foreach(_ => cms.addString("hot"))
+    def hex(b: Array[Byte]) = b.map("%02X".format(_)).mkString
+    val r = spark.sql(
+      s"""SELECT
+         |  graft_bloom_contains('present', X'${hex(bfBytes)}') AS hit,
+         |  graft_bloom_contains('absent-token', X'${hex(bfBytes)}') AS miss,
+         |  graft_cms_estimate('hot', X'${hex(cms.toByteArray)}') AS est,
+         |  graft_cms_estimate('cold', X'${hex(cms.toByteArray)}') AS cold
+         |""".stripMargin).head()
+    assert(r.getBoolean(0))
+    assert(!r.getBoolean(1))
+    assert(r.getLong(2) >= 7L) // CMS never underestimates
+    assert(r.getLong(3) <= 1L) // tiny sketch, no heavy collisions
+  }
+
   test("wrong argument count is an analysis error, not an index crash") {
     GraftExtensions.registerAll(spark)
     val e = intercept[org.apache.spark.sql.AnalysisException] {
