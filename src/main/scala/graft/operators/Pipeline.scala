@@ -903,6 +903,39 @@ object Pipeline {
       Corpus.vocabTopK(t(s, dir, "documents"), k = 100)
     },
 
+    // Per-doc keyword extraction by tf/df (TextAnalysis.keywords): the
+    // score is a single IEEE division (bit-identical across engines,
+    // unlike ln), so the oracle gates the exact top-3 ranks.
+    QueryDef("p41_keywords",
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
+        |         THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(
+        |           lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+')
+        |    END AS tk
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, t.t AS token, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(tk) AS t FROM toks) t
+        |  GROUP BY 1, 2),
+        |d AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS df_docs
+        |  FROM tf GROUP BY 1),
+        |r AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf, d.df_docs,
+        |    tf.tf / CAST(d.df_docs AS DOUBLE) AS s,
+        |    row_number() OVER (
+        |      PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf / CAST(d.df_docs AS DOUBLE) DESC, tf.token)
+        |      AS rank
+        |  FROM tf JOIN d ON tf.token = d.token)
+        |SELECT doc_id, token, tf, df_docs, round(s, 6) AS score, rank
+        |FROM r WHERE rank <= 3""".stripMargin) { (s, dir) =>
+      TextAnalysis.keywords(t(s, dir, "documents"), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rank")
+    },
+
     // Heavy hitters via Count-Min prefilter + exact verify
     // (Corpus.heavyHitters): tokens at >= 0.2% of all occurrences. CMS
     // only overestimates, so the prefilter drops no true heavy hitter

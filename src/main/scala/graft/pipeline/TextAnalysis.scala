@@ -212,4 +212,30 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column =
     aggregate(tokens(text), lit(0L), (acc, t) => xxhash64(acc, t))
+  /** Per-document keyword extraction by tf/df score: tokens frequent IN
+    * this doc but rare ACROSS docs rank first (TF-IDF's ordering with a
+    * rational score instead of a log — ln(x) is not bit-identical
+    * across engines' libm, tf/df's single IEEE division is, so the
+    * cross-engine oracle can gate the exact ranks).
+    *
+    * Scale shape: one token explode, two partial-aggregable counts
+    * (per-doc tf, then vocabulary df from the tf table — NOT a second
+    * corpus pass), a vocabulary-keyed join, one doc-keyed window.
+    */
+  def keywords(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol),
+      explode(tokens(lower(col(textCol)))).as("token"))
+    val tf = toks.groupBy(idCol, "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df_docs"))
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("score_raw").desc, col("token"))
+    tf.join(dfreq, Seq("token"))
+      .withColumn("score_raw", col("tf").cast("double") / col("df_docs"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("token"), col("tf"), col("df_docs"),
+        round(col("score_raw"), 6).as("score"), col("rank"))
+  }
 }

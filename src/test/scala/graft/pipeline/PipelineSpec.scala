@@ -428,6 +428,23 @@ class PipelineSpec extends SparkSpec {
     assert(out.nonEmpty)
   }
 
+  test("keywords: doc-unique token outranks corpus-wide token, ranks dense per doc") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "common common zebra zebra zebra"),
+      (2L, "common plain words here"),
+      (3L, "common plain other words")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.keywords(df, "doc_id", "text", k = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(5)) -> r.getString(1)).toMap
+    // zebra: tf=3, df=1 → score 3.0 beats common tf=2/df=3
+    assert(out((1L, 1)) == "zebra")
+    assert(out((1L, 2)) == "common")
+    // every doc emits exactly k ranks 1..2
+    assert(out.keys.groupBy(_._1).values.forall(_.toSet.map(
+      (x: (Long, Int)) => x._2) == Set(1, 2)))
+  }
+
   test("pii redaction counts and masks emails and phones") {
     import spark.implicits._
     val df = Seq(
