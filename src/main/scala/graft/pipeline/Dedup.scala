@@ -229,9 +229,16 @@ object Dedup {
         .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
         .distinct(),
       "cc-edges")
+    // fused init: comp = min(self, min(neighbors)) IS what a first
+    // propagation round over identity labels would produce, and the
+    // groupBy costs the same one shuffle the old distinct() init did —
+    // so every run is one full join-round (one shuffle + barrier)
+    // cheaper, at any scale
     var (comp, compDir) = materializeBarrierAt(
-      edges.select(col("src").as("doc_id")).distinct()
-        .withColumn("comp", col("doc_id")),
+      edges.groupBy(col("src"))
+        .agg(min(col("dst")).as("mn"))
+        .select(col("src").as("doc_id"),
+          least(col("src"), col("mn")).as("comp")),
       "cc-init")
     var iter = 0
     var changed = 1L
