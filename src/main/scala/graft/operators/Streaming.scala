@@ -89,6 +89,29 @@ object Streaming {
         "s06_enrich", outputMode = "append")
     },
 
+    // streaming incremental dedup vs a static history: stateless bloom
+    // prefilter + broadcast exact verify (the p36 shape under
+    // readStream; 344 of 5000 streamed events are true dups)
+    QueryDef("s07_stream_bloom_dedup",
+      """WITH hist AS (
+        |  SELECT DISTINCT md5(concat_ws('|', event_type,
+        |    CAST(user_id AS VARCHAR), props)) AS h
+        |  FROM events WHERE event_id < 5000),
+        |b AS (
+        |  SELECT event_id, md5(concat_ws('|', event_type,
+        |    CAST(user_id AS VARCHAR), props)) AS h
+        |  FROM events WHERE event_id >= 5000)
+        |SELECT b.event_id, (b.h IN (SELECT h FROM hist)) AS is_dup
+        |FROM b""".stripMargin) { (s, dir) =>
+      val (hashes, bytes) =
+        Streams.historyFixture(graft.Tables.load(s, dir, "events"), 5000L)
+      Streams.runToMemory(s,
+        Streams.dedupAgainstHistory(
+          Streams.eventsStream(s, dir).filter(col("event_id") >= 5000),
+          hashes, bytes),
+        "s07_bloom_dedup", outputMode = "append")
+    },
+
     // custom arbitrary state: flatMapGroupsWithState running stats — the
     // single AvailableNow batch's final state must equal the batch agg
     QueryDef("s03_stream_custom_state",

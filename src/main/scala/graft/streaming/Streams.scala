@@ -143,6 +143,51 @@ object Streams {
       .agg((sum(col("value").cast("decimal(18,3)")).cast("double") /
         count(lit(1))).as("avg_value"))
 
+  /** Streaming incremental dedup against a static history — the
+    * streaming form of `Dedup.incrementalDupFlags`, and entirely
+    * STATELESS: the history's content-hash Bloom filter (built batch-
+    * side, ~bytes per million rows) probes every streamed event in a
+    * codegen'd expression, bloom-negative rows short-circuit to
+    * is_dup=false with no join at all, and only the positive sliver
+    * takes the broadcast exact-verify join that kills false positives.
+    * No watermark, no state store — at firehose scale the per-event
+    * cost is one hash + one bit-probe, and the filter refreshes by
+    * swapping the broadcast snapshot (the s06 pattern).
+    */
+  def dedupAgainstHistory(events: DataFrame, historyHashes: DataFrame,
+      filterBytes: Array[Byte]): DataFrame = {
+    import org.apache.spark.sql.graft.VectorExpressions
+    val keyed = events.select(col("event_id"),
+      md5(concat_ws("|", col("event_type"),
+        col("user_id").cast("string"), col("props"))).as("h"))
+      .withColumn("bloom_hit",
+        VectorExpressions.bloomMightContain(col("h"), filterBytes))
+    val positives = keyed.filter(col("bloom_hit"))
+      .join(broadcast(historyHashes.withColumn("confirmed", lit(true))),
+        Seq("h"), "left")
+      .select(col("event_id"),
+        coalesce(col("confirmed"), lit(false)).as("is_dup"))
+    val negatives = keyed.filter(!col("bloom_hit"))
+      .select(col("event_id"), lit(false).as("is_dup"))
+    positives.unionAll(negatives)
+  }
+
+  /** Batch-side history fixture for [[dedupAgainstHistory]]: distinct
+    * content hashes of the events before `splitId`, plus the serialized
+    * Bloom filter over them.
+    */
+  def historyFixture(eventsBatch: DataFrame,
+      splitId: Long): (DataFrame, Array[Byte]) = {
+    val hashes = eventsBatch.filter(col("event_id") < splitId)
+      .select(md5(concat_ws("|", col("event_type"),
+        col("user_id").cast("string"), col("props"))).as("h"))
+      .distinct()
+    val bf = hashes.stat.bloomFilter("h", 100000, 0.01)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    (hashes, bos.toByteArray)
+  }
+
   /** Execute a streaming pipeline to completion (AvailableNow) into a
     * memory sink and return the materialized result.
     *

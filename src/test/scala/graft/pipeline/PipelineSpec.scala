@@ -590,6 +590,28 @@ class PipelineSpec extends SparkSpec {
     assert(out(1).getBoolean(1) === false)
   }
 
+  test("streaming bloom dedup vs static history matches the batch recompute") {
+    import graft.streaming.Streams
+    val dir = sf
+    val batch = graft.Tables.load(spark, dir, "events")
+    val (hashes, bytes) = Streams.historyFixture(batch, 500L)
+    val out = Streams.runToMemory(spark,
+      Streams.dedupAgainstHistory(
+        Streams.eventsStream(spark, dir).filter(col("event_id") >= 500),
+        hashes, bytes),
+      "spec_s07", outputMode = "append")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val expected = batch.filter(col("event_id") >= 500)
+      .select(col("event_id"),
+        md5(concat_ws("|", col("event_type"),
+          col("user_id").cast("string"), col("props"))).as("h"))
+      .join(hashes.withColumn("d", lit(true)), Seq("h"), "left")
+      .select(col("event_id"), coalesce(col("d"), lit(false)).as("is_dup"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out == expected)
+    assert(out.values.exists(identity) && out.values.exists(!_))
+  }
+
   test("streaming dedup drops every duplicate within the watermark") {
     import spark.implicits._
     import java.sql.Timestamp
