@@ -112,10 +112,13 @@ object Dedup {
     * meet when a whole band agrees, so the cross product is per-bucket.
     */
   private[pipeline] def bandedCandidates(sigs: DataFrame, bands: Int, r: Int): DataFrame = {
+    // band keys via the native BandHashes chain (same collision
+    // semantics as the former slice→string-concat→xxhash lambda, ~r×
+    // fewer ops and no interpreted HigherOrderFunctions on the
+    // every-document stage)
     val banded = sigs.select(col("id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(b, concat_ws(",",
-            slice(col("mh"), b * r + lit(1), lit(r)).cast("array<string>"))))))
+        posexplode(org.apache.spark.sql.graft.VectorExpressions
+          .bandHashes(col("mh"), bands, r)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     banded.select(col("band"), col("bucket"), col("id").as("id_a"))
       .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),

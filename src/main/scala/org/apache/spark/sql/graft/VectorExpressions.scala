@@ -82,6 +82,12 @@ object VectorExpressions {
     */
   def countMinEstimate(s: Column, sketchBytes: Array[Byte]): Column =
     column(CountMinEstimate(expression(s), sketchBytes))
+
+  /** Banded LSH bucket keys (`bands` xxhash64 chains of `r` signature
+    * longs each) from a k-minhash signature array.
+    */
+  def bandHashes(mh: Column, bands: Int, r: Int): Column =
+    column(BandHashes(expression(mh), bands, r))
 }
 
 /** Set Jaccard |A∩B|/|A∪B| of two pre-sorted distinct long arrays by
@@ -772,4 +778,55 @@ object CountMinEstimate {
 
   def estimate(bytes: Array[Byte], s: UTF8String): Long =
     sketchFor(bytes).estimateCount(s.toString)
+}
+
+/** Banded LSH bucket keys from a k-minhash signature: bucket b =
+  * xxhash64 chain over the band's `r` signature longs, seeded by the
+  * band index (bands stay independent). Collision semantics are
+  * identical to hashing the band's decimal-string concatenation — two
+  * docs share a bucket iff the band's r minhashes are all equal (modulo
+  * a 2^-64 hash collision) — but the per-row cost drops from bands ×
+  * (slice + long→string renders + concat + hash of the string) in
+  * interpreted HigherOrderFunction lambdas to bands × r primitive hash
+  * folds inside whole-stage codegen. Banding runs on every document of
+  * the corpus, so this is the widest narrow stage of LSH dedup.
+  */
+case class BandHashes(child: Expression, bands: Int, r: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  protected override def nullSafeEval(input: Any): Any =
+    BandHashes.compute(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      bands, r)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.BandHashes.compute($c, $bands, $r)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BandHashes {
+  def compute(mh: org.apache.spark.sql.catalyst.util.ArrayData,
+      bands: Int, r: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = XxHash64Function.hash(b, IntegerType, 42L)
+      var i = b * r
+      val end = i + r
+      while (i < end) {
+        h = XxHash64Function.hash(mh.getLong(i), LongType, h)
+        i += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
