@@ -124,6 +124,13 @@ object GraftExtensions {
       arity("graft_hyperplane_sigs", 3)(es => HyperplaneSignatures(es(0),
         litInt(es(1), "graft_hyperplane_sigs", "bands"),
         litInt(es(2), "graft_hyperplane_sigs", "rowsPerBand")))),
+    (FunctionIdentifier("graft_band_hashes"),
+      info("graft_band_hashes",
+        "graft_band_hashes(mh, bands, r) - banded LSH bucket keys from " +
+          "a k-minhash signature (bands xxhash64 chains of r longs)"),
+      arity("graft_band_hashes", 3)(es => BandHashes(es(0),
+        litInt(es(1), "graft_band_hashes", "bands"),
+        litInt(es(2), "graft_band_hashes", "r")))),
     (FunctionIdentifier("graft_bloom_contains"),
       info("graft_bloom_contains",
         "graft_bloom_contains(s, filter) - membership probe of a " +

@@ -21,7 +21,8 @@ class ExtensionsSpec extends SparkSpec {
         |  graft_hyperplane_sigs(
         |    array(CAST(0.5 AS FLOAT), CAST(-0.25 AS FLOAT)), 2, 4) AS hs,
         |  graft_minhash(array(11L, 22L, 33L), 8) AS mh,
-        |  graft_shingles('a b c d', 2) AS sg
+        |  graft_shingles('a b c d', 2) AS sg,
+        |  graft_band_hashes(array(1L, 2L, 3L, 4L), 2, 2) AS bh
         |""".stripMargin).head()
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
     assert(r.getLong(1) == SimHash64.hash("hello world hello"))
@@ -29,7 +30,8 @@ class ExtensionsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(3) - 0.5) < 1e-12) // |{2,3}| / |{1,2,3,4}|
     assert(r.getSeq[Long](4).length == 2)
     assert(r.getSeq[Long](5).length == 8)
-    assert(r.getSeq[Long](6).length == 3) // "a b","b c","c d"
+    assert(r.getSeq[Long](6).length == 3)
+    assert(r.getSeq[Long](7).length == 2) // "a b","b c","c d"
   }
 
   test("SQL function output matches the Column API bit-for-bit") {
