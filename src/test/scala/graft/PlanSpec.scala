@@ -193,4 +193,18 @@ class PlanSpec extends SparkSpec {
     assert(p.toLowerCase.contains("dynamicpruning"),
       s"no dynamic partition pruning filter on the fact scan:\n$p")
   }
+
+  test("p40: the Count-Min prefilter probes before the exact-count shuffle") {
+    val p = executed("p40_heavy_hitters")
+    val lower = p.toLowerCase
+    assert(lower.contains("countminestimate"),
+      s"CMS prefilter missing from the plan:\n$p")
+    // the probe must sit below (= execute before) the first aggregation
+    // exchange, so the shuffle only carries candidate occurrences
+    val probeIdx = lower.indexOf("countminestimate")
+    val exchangeIdx = lower.indexOf("exchange hashpartitioning(token")
+    assert(exchangeIdx == -1 || probeIdx > exchangeIdx,
+      "prefilter is above the token shuffle (plan prints top-down, " +
+        s"so the probe must appear AFTER the exchange line):\n$p")
+  }
 }
