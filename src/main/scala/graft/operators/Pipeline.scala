@@ -903,6 +903,33 @@ object Pipeline {
       Corpus.vocabTopK(t(s, dir, "documents"), k = 100)
     },
 
+    // Per-source dedup audit report: the data-governance rollup every
+    // corpus ingest publishes — how much of each source is exact-
+    // duplicate content. Composes p01's digest groupBy with a source
+    // rollup; dup = any doc whose text already exists under a smaller id.
+    QueryDef("p42_dedup_audit",
+      """WITH d AS (
+        |  SELECT doc_id, source, md5(text) AS h FROM documents),
+        |k AS (SELECT h, min(doc_id) AS keep FROM d GROUP BY h)
+        |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(*) FILTER (d.doc_id <> k.keep) AS BIGINT) AS n_dups,
+        |  round(count(*) FILTER (d.doc_id <> k.keep)
+        |    / CAST(count(*) AS DOUBLE), 6) AS dup_frac
+        |FROM d JOIN k ON d.h = k.h
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+      val k = d.groupBy("h").agg(min("doc_id").as("keep"))
+      d.join(k, Seq("h"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("doc_id") =!= col("keep"), 1L).otherwise(0L))
+            .as("n_dups"))
+        .select(col("source"), col("n_docs"), col("n_dups"),
+          round(col("n_dups").cast("double") / col("n_docs"), 6)
+            .as("dup_frac"))
+    },
+
     // Per-doc keyword extraction by tf/df (TextAnalysis.keywords): the
     // score is a single IEEE division (bit-identical across engines,
     // unlike ln), so the oracle gates the exact top-3 ranks.

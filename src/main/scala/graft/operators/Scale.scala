@@ -106,6 +106,65 @@ object Scale {
           .as("sum_value"))
   }
 
+  /** Schema evolution on a long-lived corpus: batch 0 was written
+    * before the `lang`/`source` columns existed, batch 1 after.
+    * `mergeSchema=true` unifies the footers at read time — old rows
+    * surface the new columns as null, no rewrite of historical data.
+    * At 100 TB this is how a corpus gains a column: evolve the schema,
+    * backfill lazily (or never), and every reader sees one table.
+    */
+  private[graft] def schemaEvolvedRead(s: SparkSession,
+      dir: String): DataFrame = {
+    val out = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      "graft_fmt", "x08_docs_evolved").toString
+    val d = t(s, dir, "documents")
+    d.filter(col("doc_id") < 250).select("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$out/batch=0")
+    d.filter(col("doc_id") >= 250)
+      .select("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$out/batch=1")
+    s.read.option("mergeSchema", "true").parquet(out)
+      .select(col("doc_id"), col("lang"), col("source"),
+        length(col("text")).cast("long").as("n_chars"))
+  }
+
+  /** Small-file compaction: a corpus fragmented into many tiny files
+    * (the streaming-ingest pathology) is rewritten into
+    * ceil(bytes/target)-sized outputs. Row fidelity is the gated
+    * invariant; the file-count bound is asserted as a boolean (the
+    * p17 pattern — DuckDB can't see the layout). At 100 TB compaction
+    * is a maintenance job that keeps scan task counts sane; the target
+    * partition count comes from the actual byte size, not a constant.
+    */
+  private[graft] def compactedStats(s: SparkSession,
+      dir: String): DataFrame = {
+    val base = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      "graft_fmt", "x09_compact").toString
+    val frag = s"$base/fragmented"
+    val comp = s"$base/compacted"
+    t(s, dir, "documents").repartition(64)
+      .write.mode("overwrite").parquet(frag)
+    val fragDf = s.read.parquet(frag)
+    val bytes = fragDf.queryExecution.optimizedPlan.stats.sizeInBytes
+    val targetBytes = 8L * 1024 * 1024
+    val nParts = math.max(1,
+      (bytes.toLong + targetBytes - 1) / targetBytes).toInt
+    fragDf.repartition(nParts).write.mode("overwrite").parquet(comp)
+    def dataFiles(p: String): Long =
+      new java.io.File(p).listFiles().count(f =>
+        f.getName.endsWith(".parquet"))
+    val nFrag = dataFiles(frag)
+    val nComp = dataFiles(comp)
+    s.read.parquet(comp)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("sum_chars"))
+      .select(col("n_docs"), col("sum_chars"),
+        lit(nComp < nFrag).as("compacted_fewer_files"),
+        lit(nComp <= 8).as("file_count_bounded"))
+  }
+
   /** Funnel 90% of the events onto one hot key and join the stream to
     * its purchase subset WITHOUT salting — then let AQE's runtime skew
     * handling split the oversized partition into parallel sub-joins
@@ -204,6 +263,27 @@ object Scale {
         |WHERE d.category = 'conversion'
         |GROUP BY e.event_type""".stripMargin) { (s, dir) =>
       dppPrunedJoin(s, dir)
+    },
+
+    // Schema evolution: mergeSchema read over batches written before and
+    // after the lang/source columns existed — old rows surface nulls.
+    QueryDef("x08_schema_evolution",
+      """SELECT doc_id,
+        |  CASE WHEN doc_id < 250 THEN NULL ELSE lang END AS lang,
+        |  CASE WHEN doc_id < 250 THEN NULL ELSE source END AS source,
+        |  CAST(length(text) AS BIGINT) AS n_chars
+        |FROM documents""".stripMargin) { (s, dir) =>
+      schemaEvolvedRead(s, dir)
+    },
+
+    // Small-file compaction: size-derived output partitioning; row
+    // fidelity exact, layout bounds as gated booleans.
+    QueryDef("x09_compaction",
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+        |  true AS compacted_fewer_files, true AS file_count_bounded
+        |FROM documents""".stripMargin) { (s, dir) =>
+      compactedStats(s, dir)
     },
 
     // Bucketed co-located join: both sides written bucketed by the join
