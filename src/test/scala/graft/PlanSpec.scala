@@ -207,4 +207,22 @@ class PlanSpec extends SparkSpec {
       "prefilter is above the token shuffle (plan prints top-down, " +
         s"so the probe must appear AFTER the exchange line):\n$p")
   }
+
+  test("x08: merged read keeps old-batch rows with null evolved columns") {
+    val df = SparkEntry.queries("x08_schema_evolution")(spark, sf)
+    val rows = df.collect()
+    val old = rows.filter(_.getLong(0) < 250)
+    val newer = rows.filter(_.getLong(0) >= 250)
+    assert(old.nonEmpty && old.forall(r => r.isNullAt(1) && r.isNullAt(2)))
+    assert(newer.nonEmpty && newer.forall(r => !r.isNullAt(1)))
+  }
+
+  test("x09: compaction preserves rows and actually shrinks the file count") {
+    val out = SparkEntry.queries("x09_compaction")(spark, sf).head()
+    assert(out.getBoolean(2), "compaction did not reduce file count")
+    assert(out.getBoolean(3), "compacted layout exceeds the file bound")
+    val expected = spark.read
+      .parquet(s"$sf/documents.parquet").count()
+    assert(out.getLong(0) == expected)
+  }
 }
