@@ -426,14 +426,18 @@ object Dedup {
       explode(VectorExpressions.charGramHashes(col(textCol), n)).as("h"))
     // hashes are distinct per doc, so count(*) counts docs per window
     val shared = w.groupBy("h").agg(count(lit(1)).as("nd"))
-      .filter(col("nd") >= 2).select("h")
-    val repeated = w.join(shared, Seq("h"), "left_semi")
-      .groupBy(idCol).agg(count(lit(1)).as("n_repeated"))
-    w.groupBy(idCol).agg(count(lit(1)).as("n_windows"))
-      .join(repeated, Seq(idCol), "left")
-      .select(col(idCol), col("n_windows"),
-        coalesce(col("n_repeated"), lit(0L)).as("n_repeated"),
-        (coalesce(col("n_repeated"), lit(0L)).cast("double")
-          / col("n_windows")).as("repeated_frac"))
+      .filter(col("nd") >= 2)
+      .select(col("h"), lit(true).as("rep"))
+    // one left join + one aggregation computes BOTH counts: the join on
+    // h reuses shared's hash partitioning, and the per-doc totals ride
+    // the same groupBy as the repeated counts (the naive shape scanned
+    // the window table three times and shuffled four)
+    w.join(shared, Seq("h"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_windows"),
+        count(col("rep")).as("n_repeated"))
+      .select(col(idCol), col("n_windows"), col("n_repeated"),
+        (col("n_repeated").cast("double") / col("n_windows"))
+          .as("repeated_frac"))
   }
 }
