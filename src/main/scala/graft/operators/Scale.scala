@@ -106,6 +106,24 @@ object Scale {
           .as("sum_value"))
   }
 
+  /** AQE shuffle coalescing: a selective filter leaves the aggregation
+    * shuffle tiny, and AQE merges the 32 static partitions into a
+    * handful of right-sized reducers at runtime (AQEShuffleRead
+    * `coalesced` in the executed plan). This is the other half of the
+    * shuffle-partition story: the static setting is a ceiling, the
+    * observed map output sizes pick the real width — the same mechanism
+    * that keeps a 100 TB job from drowning in micro-tasks after a
+    * selective stage. PlanSpec asserts the coalesce on this exact plan.
+    */
+  private[graft] def aqeCoalescedAgg(s: SparkSession,
+      dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_quantity") <= 2)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_price"))
+
   /** Schema evolution on a long-lived corpus: batch 0 was written
     * before the `lang`/`source` columns existed, batch 1 after.
     * `mergeSchema=true` unifies the footers at read time — old rows
@@ -284,6 +302,17 @@ object Scale {
         |  true AS compacted_fewer_files, true AS file_count_bounded
         |FROM documents""".stripMargin) { (s, dir) =>
       compactedStats(s, dir)
+    },
+
+    // AQE shuffle coalescing: runtime right-sizing of a tiny post-filter
+    // aggregation shuffle (static partitions are a ceiling, not a width).
+    QueryDef("x10_aqe_coalesce",
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM lineitem WHERE l_quantity <= 2
+        |GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+      aqeCoalescedAgg(s, dir)
     },
 
     // Bucketed co-located join: both sides written bucketed by the join

@@ -225,4 +225,10 @@ class PlanSpec extends SparkSpec {
       .parquet(s"$sf/documents.parquet").count()
     assert(out.getLong(0) == expected)
   }
+
+  test("x10: AQE coalesces the post-filter aggregation shuffle at runtime") {
+    val p = executed("x10_aqe_coalesce")
+    assert(p.contains("AQEShuffleRead") && p.contains("coalesced"),
+      s"no runtime shuffle coalesce in the executed plan:\n$p")
+  }
 }
