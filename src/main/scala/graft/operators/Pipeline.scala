@@ -903,6 +903,44 @@ object Pipeline {
       Corpus.vocabTopK(t(s, dir, "documents"), k = 100)
     },
 
+    // MinHash estimator accuracy: the sketch-quality gate for the dedup
+    // family (the p17 boolean pattern — HLL p17, quantiles p27, CMS
+    // p40). For every verified pair, the k=64 signature-agreement
+    // fraction must sit within 0.25 of the exact Jaccard (Hoeffding:
+    // P(|est−j| > 0.25) ≤ 2e^{-2·64·0.0625} ≈ 7e-4 per pair, and the
+    // seeded hashes make it deterministic). The oracle recomputes the
+    // exact pairs and asserts the bound literally.
+    QueryDef("p43_minhash_estimate",
+      s"""WITH $corpusSql,
+         |$shingleSql,
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         |      len(list_distinct(list_concat(a.s, b.s))) AS j
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, round(j, 6) AS jaccard, true AS est_ok
+         |FROM pairs WHERE j >= 0.5""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.graft.VectorExpressions
+      val k = 64
+      val planted = docsWithPlants(s, dir)
+      val sigs = planted.select(col("doc_id"),
+        VectorExpressions.minhashFromHashes(
+          VectorExpressions.shingleHashes(col("text"), 3), k).as("mh"))
+      Dedup.minhashPairs(planted, "doc_id", "text",
+          k = k, bands = 16, threshold = 0.5)
+        .join(sigs.select(col("doc_id").as("id_a"), col("mh").as("mh_a")),
+          Seq("id_a"))
+        .join(sigs.select(col("doc_id").as("id_b"), col("mh").as("mh_b")),
+          Seq("id_b"))
+        .withColumn("est",
+          aggregate(zip_with(col("mh_a"), col("mh_b"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+            lit(0), (acc, v) => acc + v).cast("double") / k)
+        .select(col("id_a"), col("id_b"), col("jaccard"),
+          (abs(col("est") - col("jaccard")) <= 0.25).as("est_ok"))
+        .orderBy("id_a", "id_b")
+    },
+
     // Per-source dedup audit report: the data-governance rollup every
     // corpus ingest publishes — how much of each source is exact-
     // duplicate content. Composes p01's digest groupBy with a source
