@@ -387,22 +387,26 @@ object Dedup {
     * exists — at corpus scale you keep the BEST copy, not the first.
     *
     * Scale shape: components' label-propagation output joins the scored
-    * corpus on id, then a single shuffle on comp serves both window
-    * functions (rank + member count share the partitioning).
+    * corpus on id, then ONE partial-aggregable groupBy picks the
+    * representative via max_by over (score, -id) — maximal score, then
+    * minimal id. A per-cluster window (the obvious row_number form)
+    * would SORT each cluster inside one reduce partition, so a
+    * corpus-wide boilerplate cluster with millions of members becomes a
+    * single hot task; max_by combines map-side and carries one row per
+    * cluster per partition through the shuffle, immune to cluster skew.
     */
   def representatives(scored: DataFrame, idCol: String, pairs: DataFrame,
       scoreCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val comps = components(pairs).withColumnRenamed("doc_id", idCol)
-    val withComp = scored.join(comps, Seq(idCol), "left")
+    scored.join(comps, Seq(idCol), "left")
       .withColumn("comp", coalesce(col("comp"), col(idCol)))
-    val byComp = Window.partitionBy("comp")
-    withComp
-      .withColumn("rn", row_number().over(
-        byComp.orderBy(col(scoreCol).desc, col(idCol))))
-      .withColumn("n_members", count(lit(1)).over(byComp))
-      .filter(col("rn") === 1)
-      .select(col("comp"), col(idCol).as("rep_id"), col("n_members"))
+      .groupBy("comp")
+      .agg(
+        max_by(col(idCol),
+          struct(col(scoreCol).as("s"), (-col(idCol)).as("nid")))
+          .as("rep_id"),
+        count(lit(1)).as("n_members"))
+      .select(col("comp"), col("rep_id"), col("n_members"))
   }
   /** Exact-substring duplication signal (the Lee et al. "Deduplicating
     * Training Data Makes Language Models Better" shape, re-expressed for
