@@ -445,6 +445,49 @@ class PipelineSpec extends SparkSpec {
       (x: (Long, Int)) => x._2) == Set(1, 2)))
   }
 
+  test("BandHashes property: band keys collide exactly when the band slices match") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.graft.BandHashes
+    val rnd = new scala.util.Random(42)
+    val bands = 8; val r = 4
+    (1 to 200).foreach { _ =>
+      val a = Array.fill(bands * r)(rnd.nextLong())
+      // b = a with one band mutated, other bands identical
+      val mutBand = rnd.nextInt(bands)
+      val b = a.clone()
+      b(mutBand * r + rnd.nextInt(r)) += 1
+      val ha = BandHashes.compute(new GenericArrayData(a), bands, r)
+      val hb = BandHashes.compute(new GenericArrayData(b), bands, r)
+      (0 until bands).foreach { band =>
+        if (band == mutBand)
+          assert(ha.getLong(band) != hb.getLong(band),
+            "mutated band produced a colliding key")
+        else
+          assert(ha.getLong(band) == hb.getLong(band),
+            "identical band produced a different key")
+      }
+    }
+  }
+
+  test("CountMinEstimate property: never underestimates any token's true count") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.graft.CountMinEstimate
+    val rnd = new scala.util.Random(7)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.create(
+      0.0001, 0.99, 42)
+    val counts = (0 until 500).map { i =>
+      val tok = s"tok-$i"
+      val n = 1 + rnd.nextInt(50)
+      (1 to n).foreach(_ => cms.addString(tok))
+      tok -> n.toLong
+    }
+    val bytes = cms.toByteArray
+    counts.foreach { case (tok, n) =>
+      val est = CountMinEstimate.estimate(bytes, UTF8String.fromString(tok))
+      assert(est >= n, s"$tok: estimate $est < true $n")
+    }
+  }
+
   test("pii redaction counts and masks emails and phones") {
     import spark.implicits._
     val df = Seq(
