@@ -903,6 +903,36 @@ object Pipeline {
       Corpus.vocabTopK(t(s, dir, "documents"), k = 100)
     },
 
+    // Text canonicalization before content hashing: NFC + lowercase +
+    // whitespace collapse (TextAnalysis.canonicalText). Every 5th doc
+    // gets a DECOMPOSED accent appended (e + U+0301) — NFC composes it,
+    // so its canonical digest differs from a naive lower/trim digest;
+    // both engines implement the same Unicode normalization, so the
+    // md5s agree exactly.
+    QueryDef("p44_canonicalize",
+      """WITH c AS (
+        |  SELECT doc_id, text || CASE WHEN doc_id % 5 = 0
+        |    THEN ' cafe' || chr(769) ELSE '' END AS text
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, text,
+        |    nfc_normalize(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+        |      AS norm
+        |  FROM c)
+        |SELECT doc_id, md5(norm) AS norm_md5,
+        |  (norm <> text) AS changed,
+        |  (doc_id % 5 = 0) AS composed
+        |FROM n""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), when(col("doc_id") % 5 === 0,
+          lit(" cafe\u0301")).otherwise(lit(""))).as("text"))
+      c.withColumn("norm", TextAnalysis.canonicalText(col("text")))
+        .select(col("doc_id"), md5(col("norm")).as("norm_md5"),
+          (col("norm") =!= col("text")).as("changed"),
+          (col("doc_id") % 5 === 0).as("composed"))
+        .orderBy("doc_id")
+    },
+
     // MinHash estimator accuracy: the sketch-quality gate for the dedup
     // family (the p17 boolean pattern — HLL p17, quantiles p27, CMS
     // p40). For every verified pair, the k=64 signature-agreement

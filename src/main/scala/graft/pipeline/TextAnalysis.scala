@@ -238,4 +238,16 @@ object TextAnalysis {
       .select(col(idCol), col("token"), col("tf"), col("df_docs"),
         round(col("score_raw"), 6).as("score"), col("rank"))
   }
+  /** Canonical text form for content hashing: NFC-normalize, lowercase,
+    * collapse whitespace runs, trim. Canonicalization BEFORE digesting
+    * is what lets exact dedup unify byte-different renderings of the
+    * same content (composed vs decomposed accents, case, ragged
+    * whitespace). Narrow codegen'd transform — the NFC pass
+    * short-circuits on already-normalized (e.g. pure-ASCII) text.
+    */
+  def canonicalText(text: Column): Column = {
+    import org.apache.spark.sql.graft.VectorExpressions
+    VectorExpressions.nfcNormalize(
+      lower(trim(regexp_replace(text, "\\s+", " "))))
+  }
 }

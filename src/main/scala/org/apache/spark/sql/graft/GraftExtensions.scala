@@ -131,6 +131,11 @@ object GraftExtensions {
       arity("graft_band_hashes", 3)(es => BandHashes(es(0),
         litInt(es(1), "graft_band_hashes", "bands"),
         litInt(es(2), "graft_band_hashes", "r")))),
+    (FunctionIdentifier("graft_nfc"),
+      info("graft_nfc",
+        "graft_nfc(s) - Unicode NFC canonicalization (matches DuckDB's " +
+          "nfc_normalize); short-circuits on already-normalized text"),
+      arity("graft_nfc", 1)(es => NfcNormalize(es(0)))),
     (FunctionIdentifier("graft_bloom_contains"),
       info("graft_bloom_contains",
         "graft_bloom_contains(s, filter) - membership probe of a " +

@@ -88,6 +88,10 @@ object VectorExpressions {
     */
   def bandHashes(mh: Column, bands: Int, r: Int): Column =
     column(BandHashes(expression(mh), bands, r))
+
+  /** Unicode NFC canonicalization (matches DuckDB's nfc_normalize). */
+  def nfcNormalize(s: Column): Column =
+    column(NfcNormalize(expression(s)))
 }
 
 /** Set Jaccard |A∩B|/|A∪B| of two pre-sorted distinct long arrays by
@@ -828,5 +832,44 @@ object BandHashes {
       b += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Unicode NFC canonicalization of a string (java.text.Normalizer —
+  * the same Unicode normalization DuckDB's nfc_normalize implements, so
+  * canonicalized digests agree across engines). Canonicalization
+  * BEFORE hashing is what makes exact dedup see "café" (composed) and
+  * "café" (e + combining acute) as the same document; skipping it
+  * silently halves dedup recall on mixed-encoder corpora. The fast
+  * path short-circuits: Normalizer.isNormalized is O(n) with no
+  * allocation, and pure-ASCII text (the overwhelming majority at
+  * corpus scale) returns the input UTF8String untouched.
+  */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+
+  protected override def nullSafeEval(input: Any): Any =
+    NfcNormalize.nfc(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.NfcNormalize.nfc($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NfcNormalize {
+  import java.text.Normalizer
+
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (Normalizer.isNormalized(str, Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      Normalizer.normalize(str, Normalizer.Form.NFC))
   }
 }

@@ -488,6 +488,19 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("canonicalText: composed and decomposed accents unify, whitespace collapses") {
+    import spark.implicits._
+    val composed = "Caf\u00e9  du   Monde"
+    val decomposed = "Cafe\u0301  du   Monde"
+    val out = Seq((1L, composed), (2L, decomposed), (3L, "plain ascii"))
+      .toDF("id", "text")
+      .select(col("id"), TextAnalysis.canonicalText(col("text")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == out(2L), "NFC did not unify accent encodings")
+    assert(out(1L) == "caf\u00e9 du monde")
+    assert(out(3L) == "plain ascii")
+  }
+
   test("pii redaction counts and masks emails and phones") {
     import spark.implicits._
     val df = Seq(
