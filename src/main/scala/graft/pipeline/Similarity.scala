@@ -32,21 +32,36 @@ object Similarity {
   def cosineGeneric(a: Column, b: Column): Column =
     dot(a, b) / (l2norm(a) * l2norm(b))
 
+  /** Per-query top-k finalization, two-stage: a bounded-heap aggregate
+    * ([[org.apache.spark.sql.graft.TopKPairs]]) whose map-side partial
+    * keeps ≤ k rows per query per partition, so the shuffle carries
+    * ≤ k × mapPartitions rows per query and the merge is O(k). The
+    * `row_number() OVER (PARTITION BY qid)` window this replaces sorted
+    * EVERY scored row for a query in one reduce partition — for brute
+    * force that partition is the whole corpus, a single hot task at
+    * 100 TB. Ordering semantics are identical (score desc, id asc).
+    */
+  private def rankTopK(scored: DataFrame, k: Int, qidCol: String,
+      idCol: String): DataFrame =
+    scored
+      .groupBy(col(qidCol))
+      .agg(org.apache.spark.sql.graft.VectorExpressions.topKByScore(
+        col(idCol).cast("long"), col("score"), k).as("top"))
+      .select(col(qidCol), posexplode(col("top")))
+      .select(col(qidCol), col("col").getField("id").as(idCol),
+        col("col").getField("score").as("score"),
+        (col("pos") + 1).as("rank"))
+
   /** Exact brute-force cosine top-k: corpus × broadcast(queries), ranked
     * per query. Deterministic tiebreak on corpus id.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val scored = corpus.select(col(idCol), col(vecCol))
       .crossJoin(broadcast(queries.select(col(qidCol), col(qvecCol))))
       .withColumn("score", round(cosine(col(vecCol), col(qvecCol)), 6))
-    val w = Window.partitionBy(qidCol)
-      .orderBy(col("score").desc, col(idCol))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(qidCol), col(idCol), col("score"), col("rank"))
+    rankTopK(scored, k, qidCol, idCol)
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
@@ -88,7 +103,6 @@ object Similarity {
       nPlanes: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding",
       qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val c = corpus.select(col(idCol), col(vecCol),
       hyperplaneSignature(col(vecCol), nPlanes).as("bucket"))
     // multi-probe: exact bucket + single-bit flips
@@ -102,11 +116,7 @@ object Similarity {
       .dropDuplicates(qidCol, "bucket")
     val scored = c.join(broadcast(qProbes), Seq("bucket"))
       .withColumn("score", round(cosine(col(vecCol), col(qvecCol)), 6))
-    val w = Window.partitionBy(qidCol)
-      .orderBy(col("score").desc, col(idCol))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(qidCol), col(idCol), col("score"), col("rank"))
+    rankTopK(scored, k, qidCol, idCol)
   }
 
   /** IVF-style ANN: coarse-quantize the corpus onto `nCells` centroids
@@ -120,7 +130,6 @@ object Similarity {
       nCells: Int = 16, nProbe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding",
       qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // Deterministic coarse centroids: the nCells corpus vectors with the
     // smallest xxhash64(id) — a seeded pseudo-random sample, stable across
     // runs. Collecting nCells rows to the driver is the broadcast-variable
@@ -152,11 +161,7 @@ object Similarity {
       explode(probeCells(col(qvecCol), nProbe).getField("cid")))
     val scored = corpusCells.join(broadcast(queryCells), Seq("cell"))
       .withColumn("score", round(cosine(col(vecCol), col(qvecCol)), 6))
-    val w = Window.partitionBy(qidCol)
-      .orderBy(col("score").desc, col(idCol))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(qidCol), col(idCol), col("score"), col("rank"))
+    rankTopK(scored, k, qidCol, idCol)
   }
 
   /** `bands` independent `rowsPerBand`-plane signatures (OR-amplified

@@ -92,6 +92,15 @@ object VectorExpressions {
   /** Unicode NFC canonicalization (matches DuckDB's nfc_normalize). */
   def nfcNormalize(s: Column): Column =
     column(NfcNormalize(expression(s)))
+
+  /** Bounded per-group top-k of (id, score): array<struct<id,score>>
+    * sorted score-desc / id-asc. Partial-aggregable (≤ k rows per group
+    * cross the shuffle per map partition) — the scale-safe form of the
+    * per-group rank window.
+    */
+  def topKByScore(id: Column, score: Column, k: Int): Column =
+    column(TopKPairs(expression(id), expression(score), k)
+      .toAggregateExpression())
 }
 
 /** Set Jaccard |A∩B|/|A∪B| of two pre-sorted distinct long arrays by
@@ -871,5 +880,160 @@ object NfcNormalize {
     if (Normalizer.isNormalized(str, Normalizer.Form.NFC)) s
     else UTF8String.fromString(
       Normalizer.normalize(str, Normalizer.Form.NFC))
+  }
+}
+
+/** Bounded per-group top-k aggregate over (id, score) pairs, the
+  * scale-safe replacement for `row_number() OVER (PARTITION BY qid
+  * ORDER BY score DESC)` in the ANN top-k family: the window form
+  * funnels EVERY scored row for a query into one reduce partition
+  * (for brute-force search that partition is the whole corpus — a
+  * single hot task at 100 TB), while this aggregate's map-side
+  * partial keeps at most k rows per group per partition, so the
+  * shuffle carries ≤ k × mapPartitions rows per query and the final
+  * merge is O(k) per input. Ordering matches the window it replaces:
+  * score descending, id ascending on ties (deterministic).
+  *
+  * Returns array<struct<id:long, score:double>> sorted best-first;
+  * `posexplode` recovers (rank-1, row).
+  */
+case class TopKPairs(
+    idExpr: Expression, scoreExpr: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate
+    .TypedImperativeAggregate[TopKHeap]
+  with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression]
+  with ExpectsInputTypes {
+
+  require(k >= 1, s"TopKPairs k must be >= 1, got $k")
+
+  override def left: Expression = idExpr
+  override def right: Expression = scoreExpr
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType, DoubleType)
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("score", DoubleType, nullable = true))),
+    containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): TopKHeap = new TopKHeap(k)
+
+  override def update(buf: TopKHeap, input: InternalRow): TopKHeap = {
+    val idV = idExpr.eval(input)
+    if (idV != null) {
+      val scV = scoreExpr.eval(input)
+      // null score ranks LAST but is still returned (the `ORDER BY score
+      // DESC` NULLS-LAST semantics of the window this replaces): encode
+      // as -Infinity in the heap — unreachable for genuine scores, which
+      // are cosines in [-1, 1] — and restore null at eval.
+      val sc = if (scV == null) Double.NegativeInfinity
+        else scV.asInstanceOf[Double]
+      buf.insert(idV.asInstanceOf[Long], sc)
+    }
+    buf
+  }
+
+  override def merge(b1: TopKHeap, b2: TopKHeap): TopKHeap = {
+    b1.mergeFrom(b2); b1
+  }
+
+  override def eval(buf: TopKHeap): Any = buf.toSortedArrayData
+
+  override def serialize(buf: TopKHeap): Array[Byte] = buf.serialized()
+  override def deserialize(bytes: Array[Byte]): TopKHeap =
+    TopKHeap.deserialize(k, bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKPairs =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKPairs =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TopKPairs =
+    copy(idExpr = newLeft, scoreExpr = newRight)
+}
+
+/** Fixed-capacity binary heap ordered worst-at-root, so a full heap
+  * evicts in O(log k) only when a better candidate arrives. "Worse" =
+  * lower score, tie-broken by HIGHER id (the inverse of the output
+  * order, which is score desc / id asc).
+  */
+final class TopKHeap(val k: Int) {
+  private[graft] var size: Int = 0
+  private val ids = new Array[Long](k)
+  private val scores = new Array[Double](k)
+
+  @inline private def worse(s1: Double, i1: Long,
+      s2: Double, i2: Long): Boolean =
+    s1 < s2 || (s1 == s2 && i1 > i2)
+
+  @inline private def swap(a: Int, b: Int): Unit = {
+    val ti = ids(a); ids(a) = ids(b); ids(b) = ti
+    val ts = scores(a); scores(a) = scores(b); scores(b) = ts
+  }
+
+  def insert(id: Long, score: Double): Unit = {
+    if (size < k) {
+      ids(size) = id; scores(size) = score; size += 1
+      var i = size - 1
+      while (i > 0 && worse(scores(i), ids(i),
+          scores((i - 1) >> 1), ids((i - 1) >> 1))) {
+        val p = (i - 1) >> 1; swap(i, p); i = p
+      }
+    } else if (worse(scores(0), ids(0), score, id)) {
+      scores(0) = score; ids(0) = id
+      var i = 0
+      var done = false
+      while (!done) {
+        val l = 2 * i + 1; val r = l + 1
+        var w = i
+        if (l < size && worse(scores(l), ids(l), scores(w), ids(w))) w = l
+        if (r < size && worse(scores(r), ids(r), scores(w), ids(w))) w = r
+        if (w == i) done = true else { swap(i, w); i = w }
+      }
+    }
+  }
+
+  def mergeFrom(other: TopKHeap): Unit = {
+    var j = 0
+    while (j < other.size) {
+      insert(other.ids(j), other.scores(j)); j += 1
+    }
+  }
+
+  def toSortedArrayData: org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val idx = Array.range(0, size).sortWith { (a, b) =>
+      scores(a) > scores(b) || (scores(a) == scores(b) && ids(a) < ids(b))
+    }
+    val out = new Array[Any](size)
+    var j = 0
+    while (j < size) {
+      val s = scores(idx(j))
+      out(j) = new GenericInternalRow(Array[Any](ids(idx(j)),
+        if (s == Double.NegativeInfinity) null else s))
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  def serialized(): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + size * 16)
+    bb.putInt(size)
+    var j = 0
+    while (j < size) { bb.putLong(ids(j)); bb.putDouble(scores(j)); j += 1 }
+    bb.array()
+  }
+}
+
+object TopKHeap {
+  def deserialize(k: Int, bytes: Array[Byte]): TopKHeap = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val h = new TopKHeap(k)
+    var j = 0
+    while (j < n) { h.insert(bb.getLong, bb.getDouble); j += 1 }
+    h
   }
 }

@@ -231,4 +231,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("AQEShuffleRead") && p.contains("coalesced"),
       s"no runtime shuffle coalesce in the executed plan:\n$p")
   }
+
+  test("p06: top-k is a partial-aggregable bounded heap, not a per-query window sort") {
+    val p = executed("p06_sim_brute")
+    // the row_number window form would show WindowExec + a Sort of every
+    // scored corpus row inside one reduce partition per query
+    assert(!p.contains("Window"), s"per-query window survived:\n$p")
+    assert(p.contains("topkpairs"), s"TopKPairs aggregate missing:\n$p")
+    // partial aggregation must happen below the qid shuffle: the
+    // ObjectHashAggregate pair (partial_topkpairs before the Exchange)
+    // is what bounds the shuffle to k rows per query per map partition
+    assert(p.contains("partial_topkpairs"),
+      s"no map-side partial top-k — every scored row crosses the shuffle:\n$p")
+  }
 }

@@ -121,4 +121,43 @@ class SimilaritySpec extends SparkSpec {
       Similarity.hyperplaneSignature(col("v"), 16).as("s")).head().getLong(0)
     assert(sig == 0L)
   }
+
+  test("bounded-heap top-k == row_number window, many partitions, ties, k>n") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graft.VectorExpressions
+    // seeded synthetic scores with heavy ties (score = hash % 7) across
+    // 32 input partitions, so map-side partials MUST merge correctly and
+    // tie-breaks (score desc, id asc) must survive the merge
+    val scored = spark.range(0, 5000, 1, 32).select(
+      (col("id") % 11).as("qid"), col("id"),
+      (xxhash64(col("id")) % 7).cast("double").as("score"))
+    for (k <- Seq(1, 5, 1000)) { // k>n exercises the under-filled heap
+      val viaAgg = scored.groupBy("qid")
+        .agg(VectorExpressions.topKByScore(col("id"), col("score"), k)
+          .as("top"))
+        .select(col("qid"), posexplode(col("top")))
+        .select(col("qid"), col("col.id").as("id"),
+          col("col.score").as("score"), (col("pos") + 1).as("rank"))
+      val w = Window.partitionBy("qid")
+        .orderBy(col("score").desc, col("id"))
+      val viaWindow = scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select("qid", "id", "score", "rank")
+      assert(viaAgg.exceptAll(viaWindow).isEmpty &&
+        viaWindow.exceptAll(viaAgg).isEmpty, s"mismatch at k=$k")
+    }
+  }
+
+  test("bounded-heap top-k: null scores rank last, still returned") {
+    import org.apache.spark.sql.graft.VectorExpressions
+    import spark.implicits._
+    val df = Seq((1L, 10L, Some(0.5)), (1L, 11L, None), (1L, 12L, Some(0.9)))
+      .toDF("qid", "id", "score")
+    val rows = df.groupBy("qid")
+      .agg(VectorExpressions.topKByScore(col("id"), col("score"), 3).as("t"))
+      .select(posexplode(col("t"))).select("col.id", "col.score")
+      .collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(12L, 10L, 11L))
+    assert(rows(2).isNullAt(1))
+  }
 }
