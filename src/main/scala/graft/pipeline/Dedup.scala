@@ -128,6 +128,110 @@ object Dedup {
       .distinct()
   }
 
+  /** Signature table for [[minhashPairs]]: (id, dg, sh, mh) where dg is
+    * the exact-content digest, sh the sorted shingle-hash set, mh the
+    * k-minhash signature. Shingles live as hash arrays (native
+    * ShingleHashes — no per-window string building); the Jaccard
+    * verification intersects hash sets, not strings.
+    */
+  private[graft] def minhashSigs(df: DataFrame, idCol: String,
+      textCol: String, k: Int, shingleN: Int): DataFrame = {
+    import org.apache.spark.sql.graft.VectorExpressions
+    spreadForCpu(df)
+      .select(col(idCol).as("id"), col(textCol).as("t"))
+      .withColumn("dg", md5(col("t")))
+      .withColumn("sh", VectorExpressions.shingleHashes(col("t"), shingleN))
+      .withColumn("mh", VectorExpressions.minhashFromHashes(col("sh"), k))
+      .select("id", "dg", "sh", "mh")
+  }
+
+  /** Banded candidates + threshold-pruned Jaccard verification over a
+    * signature table (id, `setCol`, mh). Sub-threshold candidates (the
+    * LSH noise hump) abort mid-merge with -1, which the >= filter
+    * drops; values for surviving pairs are identical to the plain merge.
+    */
+  private def verifiedPairs(sigs: DataFrame, setCol: String,
+      bands: Int, r: Int, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.graft.VectorExpressions
+    val g = sigs.select(col("id"), col(setCol))
+    bandedCandidates(sigs, bands, r)
+      .join(g.select(col("id").as("id_a"), col(setCol).as("s_a")), Seq("id_a"))
+      .join(g.select(col("id").as("id_b"), col(setCol).as("s_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        VectorExpressions.sortedJaccardAtLeast(
+          col("s_a"), col("s_b"), threshold))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Exact-duplicate pre-collapse around banded LSH: band only one
+    * representative per DISTINCT content, then expand verified
+    * representative pairs back to member pairs.
+    *
+    * Why: the per-(band,bucket) self-join in [[bandedCandidates]] is
+    * bounded for hot *shingles* (a bucket key is a whole band), but a
+    * cluster of N byte-identical documents — million-copy boilerplate is
+    * routine in web corpora — agrees on EVERY band and would emit N²/2
+    * candidate pairs per band before distinct(). Collapsing by content
+    * digest first bounds every in-bucket join by distinct-content
+    * counts; the (still quadratic) exact-duplicate pairs are emitted by
+    * construction without ever entering a bucket join.
+    *
+    * Output semantics are unchanged: members of a digest cluster share
+    * one signature, so candidate/verify decisions for cross-cluster
+    * pairs are identical to the uncollapsed plan, and intra-cluster
+    * pairs have Jaccard exactly 1.0 (identical shingle sets; the
+    * union==0 corner also yields 1.0 — see SortedLongJaccard).
+    *
+    * Adaptivity is plan-level, no driver-side branching: only the
+    * membership of MULTI-member clusters is materialized (one narrow
+    * groupBy over (id, dg) — the digest index a production corpus
+    * maintains anyway), so its parquet size stats drive every downstream
+    * join strategy. A dup-free or lightly-duplicated corpus yields a
+    * tiny (or empty) table → the anti-join that drops non-rep copies and
+    * both expansion joins plan as broadcasts and the signature table is
+    * never shuffled; a dup-heavy corpus exceeds the broadcast threshold
+    * and falls back to shuffle joins, which is then the right plan.
+    */
+  private[graft] def lshCollapsedPairs(sigs: DataFrame, setCol: String,
+      bands: Int, r: Int, threshold: Double): DataFrame = {
+    val clusters = sigs.groupBy("dg")
+      .agg(min(col("id")).as("rep"), count(lit(1)).as("n"))
+    val dupMembers = materializeBarrier(
+      sigs.select(col("id"), col("dg"))
+        .join(clusters.filter(col("n") >= 2).select("dg", "rep"), Seq("dg"))
+        .select(col("id"), col("rep")),
+      "lsh-dups")
+    val dupIds = dupMembers.filter(col("id") =!= col("rep")).select("id")
+    val repSigs = sigs.join(dupIds, Seq("id"), "left_anti")
+    val repPairs = verifiedPairs(repSigs, setCol, bands, r, threshold)
+    // cross-cluster: every member pair inherits its representatives'
+    // verified jaccard (identical sets ⇒ identical value). Left joins:
+    // a singleton rep is absent from dupMembers and keeps its own id.
+    // Clusters are disjoint so the expanded ids never collide and
+    // least/greatest restores id_a < id_b.
+    val cross = repPairs
+      .join(dupMembers.select(col("rep").as("id_a"), col("id").as("ma")),
+        Seq("id_a"), "left")
+      .join(dupMembers.select(col("rep").as("id_b"), col("id").as("mb")),
+        Seq("id_b"), "left")
+      .select(
+        least(coalesce(col("ma"), col("id_a")),
+          coalesce(col("mb"), col("id_b"))).as("id_a"),
+        greatest(coalesce(col("ma"), col("id_a")),
+          coalesce(col("mb"), col("id_b"))).as("id_b"),
+        col("jaccard"))
+    // intra-cluster: exact duplicates, jaccard 1.0 by construction (the
+    // uncollapsed plan always made these candidates — identical mh ⇒
+    // every band agrees — and verified them to exactly 1.0)
+    val intra = dupMembers.select(col("rep"), col("id").as("id_a"))
+      .join(dupMembers.select(col("rep"), col("id").as("id_b")), Seq("rep"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
+      .filter(lit(1.0) >= lit(threshold))
+    cross.unionAll(intra)
+  }
+
   /** MinHash + banded-LSH near-duplicate pairs with Jaccard verification.
     *
     * @param k     total minhashes (bands * rowsPerBand)
@@ -138,32 +242,9 @@ object Dedup {
       k: Int = 64, bands: Int = 16, threshold: Double = 0.7,
       shingleN: Int = 3): DataFrame = {
     val r = k / bands
-    // Shingles live as hash arrays (native ShingleHashes — no per-window
-    // string building), and the Jaccard verification below intersects
-    // hash sets, not strings.
-    import org.apache.spark.sql.graft.VectorExpressions
-    val sigs = materializeBarrier(spreadForCpu(df)
-      .select(col(idCol).as("id"),
-        VectorExpressions.shingleHashes(col(textCol), shingleN).as("sh"))
-      .withColumn("mh", VectorExpressions.minhashFromHashes(col("sh"), k)),
-      "minhash-sigs")
-    val cand = bandedCandidates(sigs, bands, r)
-    // verify true n-gram Jaccard: join the shingle sets back by id (one
-    // hash-join per side instead of per band)
-    // ShingleHashes emits sorted distinct arrays → linear-merge Jaccard
-    // (no per-row boxed hash sets)
-    val sh = sigs.select(col("id"), col("sh"))
-    cand
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      // threshold-pruned merge: sub-threshold candidates (the LSH noise
-      // hump) abort mid-scan with -1, which the >= filter drops; values
-      // for surviving pairs are identical to the plain merge
-      .withColumn("jaccard",
-        VectorExpressions.sortedJaccardAtLeast(
-          col("sh_a"), col("sh_b"), threshold))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    val sigs = materializeBarrier(
+      minhashSigs(df, idCol, textCol, k, shingleN), "minhash-sigs")
+    lshCollapsedPairs(sigs, "sh", bands, r, threshold)
   }
 
   /** 64-bit SimHash signature of the token multiset: per-bit majority
@@ -310,22 +391,12 @@ object Dedup {
     // dominated the signature stage
     val sigs = materializeBarrier(spreadForCpu(df)
       .select(col(idCol).as("id"), col(textCol).as("t"))
+      .withColumn("dg", md5(col("t")))
       .withColumn("gh", VectorExpressions.charGramHashes(col("t"), n))
       .withColumn("mh", VectorExpressions.minhashFromHashes(col("gh"), k))
-      .select("id", "gh", "mh"),
+      .select("id", "dg", "gh", "mh"),
       "ngram-sigs")
-    val cand = bandedCandidates(sigs, bands, rowsPerBand)
-    val g = sigs.select(col("id"), col("gh"))
-    cand
-      .join(g.select(col("id").as("id_a"), col("gh").as("g_a")), Seq("id_a"))
-      .join(g.select(col("id").as("id_b"), col("gh").as("g_b")), Seq("id_b"))
-      // threshold-pruned merge (see minhashPairs): the 0.2-0.45 char-gram
-      // noise hump aborts roughly halfway through each scan
-      .withColumn("jaccard",
-        VectorExpressions.sortedJaccardAtLeast(
-          col("g_a"), col("g_b"), threshold))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    lshCollapsedPairs(sigs, "gh", bands, rowsPerBand, threshold)
   }
   /** Incremental exact dedup: flag each batch row whose content already
     * exists in a (much larger) corpus — the every-ingest operation of a

@@ -111,6 +111,60 @@ class PipelineSpec extends SparkSpec {
     assert(nCand < n * 4, s"candidate blowup: $nCand pairs from $n docs")
   }
 
+  test("exact-dup pre-collapse bounds banded candidates by distinct contents") {
+    import org.apache.spark.sql.graft.VectorExpressions
+    // a 500-copy exact-duplicate cluster (boilerplate), 3 copies of a
+    // near-dup of it, and 30 distinct real docs
+    val byId = docs.orderBy("doc_id")
+    val boiler = byId.limit(1).select("text")
+    val copies = spark.range(500).crossJoin(boiler)
+      .select((col("id") + 100000).as("doc_id"), col("text"))
+    val nearDups = spark.range(3).crossJoin(
+        boiler.select(concat(col("text"), lit(" appended")).as("text")))
+      .select((col("id") + 200000).as("doc_id"), col("text"))
+    val distincts = byId.offset(1).limit(30)
+    val corpus = distincts.unionAll(copies).unionAll(nearDups)
+
+    // 1) the banded self-join is bounded by DISTINCT contents: the raw
+    //    signature table floods >= 500*499/2 candidate pairs from the
+    //    cluster alone; one-rep-per-digest keeps it under 34*33/2
+    val sigs = Dedup.minhashSigs(corpus, "doc_id", "text", 64, 3)
+    val candRaw = Dedup.bandedCandidates(sigs, bands = 16, r = 4).count()
+    val candCollapsed = Dedup.bandedCandidates(
+      sigs.dropDuplicates("dg"), bands = 16, r = 4).count()
+    assert(candRaw >= 500L * 499 / 2, s"raw candidates: $candRaw")
+    assert(candCollapsed <= 34L * 33 / 2,
+      s"collapsed candidates not bounded by distinct contents: $candCollapsed")
+
+    // 2) output semantics preserved: the production path emits the full
+    //    expanded pair set with the values the uncollapsed plan produces
+    val pairs = Dedup.minhashPairs(corpus, "doc_id", "text",
+      k = 64, bands = 16, threshold = 0.5)
+    val got = pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val intra = got.filter(p => p._1 >= 100000 && p._2 < 200000)
+    assert(intra.size == 500 * 499 / 2, s"intra pairs: ${intra.size}")
+    assert(intra.forall(_._3 == 1.0), "exact-dup pair with jaccard != 1.0")
+    val cross = got.filter(p => p._1 < 200000 && p._2 >= 200000)
+    assert(cross.size >= 500 * 3, s"cross pairs: ${cross.size}")
+    val crossJ = cross.filter(_._1 >= 100000).map(_._3)
+    assert(crossJ.size == 1 || crossJ.forall(j => j >= 0.5 && j < 1.0),
+      s"cross jaccards inconsistent: $crossJ")
+
+    // 3) pairwise-equal to the uncollapsed reference plan
+    val g = sigs.select(col("id"), col("sh"))
+    val ref = Dedup.bandedCandidates(sigs, bands = 16, r = 4)
+      .join(g.select(col("id").as("id_a"), col("sh").as("s_a")), Seq("id_a"))
+      .join(g.select(col("id").as("id_b"), col("sh").as("s_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        VectorExpressions.sortedJaccardAtLeast(col("s_a"), col("s_b"), 0.5))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == ref,
+      s"collapse changed the pair set: +${(got -- ref).take(3)} -${(ref -- got).take(3)}")
+  }
+
   test("minhash/ngram leave nothing persisted (temp-parquet barrier)") {
     val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
       k = 64, bands = 16, threshold = 0.5)
