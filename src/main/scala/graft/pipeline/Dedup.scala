@@ -403,48 +403,53 @@ object Dedup {
     * growing training corpus, where re-deduplicating the full corpus per
     * batch is unaffordable.
     *
-    * Scale shape (corpus >> batch):
-    *  1. Build a Bloom filter over the corpus' 16-byte content digests —
+    * Scale shape (corpus >> batch) — the Bloom filter is built over the
+    * SMALL side, so the huge side is touched exactly once:
+    *  1. Build a Bloom filter over the BATCH's 16-byte content digests —
     *     `DataFrameStatFunctions.bloomFilter` aggregates per-partition
-    *     sketches and OR-merges them (mergeable-sketch pattern, one
-    *     corpus pass, no raw hashes on the driver). 1e9 docs at 1% fpp
-    *     is ~1.4 GB — broadcastable; beyond that, shard the filter by
-    *     digest prefix.
-    *  2. Probe every batch row with a codegen'd zero-shuffle expression
-    *     ([[org.apache.spark.sql.graft.BloomMightContain]]).
-    *  3. Exactly verify ONLY the positives (true dups + ~fpp false
-    *     positives): stream the corpus digests past a BROADCAST of the
-    *     candidate digest set — the corpus is never shuffled, and false
-    *     positives die here. False negatives are impossible, so the
-    *     result is exact.
+    *     sketches and OR-merges them (mergeable-sketch pattern). Sizing
+    *     comes from a batch-side count (cheap by contract: the batch is
+    *     the small side), or from `expectedItems` when the caller knows
+    *     it. A 1M-row batch at 0.1% fpp is ~1.8 MB — trivially
+    *     broadcastable. An earlier version built the filter over the
+    *     CORPUS, which cost a corpus count job for sizing plus a second
+    *     full corpus pass for the build; at 100 TB those are the two
+    *     most expensive jobs in the pipeline, and both are gone.
+    *  2. Scan the corpus ONCE, probing each digest with a codegen'd
+    *     zero-shuffle expression
+    *     ([[org.apache.spark.sql.graft.BloomMightContain]]). Survivors
+    *     (true cross-split dups + ~fpp of the corpus) are a tiny digest
+    *     set; fpp trades filter size (batch-bound, so cheap) against
+    *     false-candidate volume (corpus-bound), hence the 1e-3 default.
+    *  3. Exactly verify the survivors against a BROADCAST of the batch
+    *     digest set — false positives die here, false negatives are
+    *     impossible, so the result is exact.
     *
     * In production the corpus side is the narrow content-hash index
     * table (digest + keep-id, ~20 bytes/doc) maintained alongside the
-    * corpus, not a re-scan of the raw text; `expectedItems` then comes
-    * from table stats instead of the count job this helper runs when
-    * not told (-1).
+    * corpus, not a re-scan of the raw text — the same single pass then
+    * reads ~20 B/doc instead of the document text.
     *
     * Returns one row per batch row: (idCol, is_dup).
     */
   def incrementalDupFlags(batch: DataFrame, corpus: DataFrame,
-      idCol: String, textCol: String, fpp: Double = 0.01,
+      idCol: String, textCol: String, fpp: Double = 0.001,
       expectedItems: Long = -1L): DataFrame = {
     import org.apache.spark.sql.graft.VectorExpressions
-    val corpusHashes = corpus.select(md5(col(textCol)).as("h"))
+    val batchH = batch.select(col(idCol), md5(col(textCol)).as("h"))
     val expected = if (expectedItems > 0) expectedItems
-      else math.max(corpusHashes.count(), 1L)
-    val bf = corpusHashes.stat.bloomFilter("h", expected, fpp)
+      else math.max(batchH.count(), 1L)
+    val bf = batchH.stat.bloomFilter("h", expected, fpp)
     val bytes = {
       val bos = new java.io.ByteArrayOutputStream()
       bf.writeTo(bos)
       bos.toByteArray
     }
-    val batchH = batch.select(col(idCol), md5(col(textCol)).as("h"))
-    val candHashes = batchH
+    val candDigests = corpus.select(md5(col(textCol)).as("h"))
       .filter(VectorExpressions.bloomMightContain(col("h"), bytes))
-      .select("h").distinct()
-    val confirmed = corpusHashes
-      .join(broadcast(candHashes), Seq("h"), "left_semi").distinct()
+      .distinct()
+    val confirmed = candDigests
+      .join(broadcast(batchH.select("h").distinct()), Seq("h"), "left_semi")
     batchH
       .join(broadcast(confirmed.withColumn("is_dup", lit(true))),
         Seq("h"), "left")

@@ -394,6 +394,21 @@ class PipelineSpec extends SparkSpec {
     assert(flags == expected)
   }
 
+  test("incremental dedup touches every corpus row exactly once") {
+    // the filter is sized and built from the BATCH side, so the corpus
+    // must be scanned exactly once (the probe pass) — an accumulator
+    // inside the corpus plan counts actual row evaluations
+    val acc = spark.sparkContext.longAccumulator("corpus-rows")
+    val touch = udf((s: String) => { acc.add(1); s }).asNondeterministic()
+    val corpus = docs.filter(col("doc_id") < 250)
+      .withColumn("text", touch(col("text")))
+    val batch = docs.filter(col("doc_id") >= 250)
+    Dedup.incrementalDupFlags(batch, corpus, "doc_id", "text").collect()
+    val n = docs.filter(col("doc_id") < 250).count()
+    assert(acc.value == n,
+      s"corpus scanned ${acc.value.toDouble / n}x (rows touched ${acc.value} of $n)")
+  }
+
   test("bloom prefilter passes every member and ~fpp of non-members") {
     import org.apache.spark.sql.graft.VectorExpressions
     val members = (0 until 2000).map(i => s"member-$i")
