@@ -31,11 +31,15 @@ object Bench {
     "p08_sim_ivf",        // ANN IVF routing (raw operator, see below)
     "p10_text_quality",   // text expressions
     "p15_sessionize",     // window sessionization
+    "p24_contamination",  // 13-gram broadcast semi-join vs benchmark set
+    "p28_chunk_documents", // integer chunk math + bounded explode
     "p32_paragraph_dedup", // explode + digest count + broadcast anti-join
     "p35_char_entropy",   // char histogram + per-doc entropy fold
     "p25_dedup_components", // iterative label propagation
     "p36_incremental_dedup", // bloom prefilter + exact verify
+    "p38_cluster_reps",   // components + partial-aggregable max_by reps
     "p39_repeated_substrings", // 50-char window hash repeats
+    "p44_canonicalize",   // native NFC normalization + digests
     "s01_stream_hourly",  // structured streaming
     "x03_asof_join",      // union+window as-of composition
     "x04_range_join",     // bucketed interval join

@@ -14,11 +14,32 @@ import scala.xml.XML
   */
 object Excel {
 
+  /** OLE2/CFB magic (D0 CF 11 E0 A1 B1 1A E1): legacy binary `.xls`
+    * (BIFF) is an OLE2 compound file, not a ZIP. The reference advertises
+    * `xls` (README.md:605) but delegates to excelize, which itself only
+    * parses OOXML — so a precise unsupported-format error is the honest
+    * behavior for both engines, and far better than a ZIP stack trace.
+    */
+  private val Ole2Magic = Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1)
+    .map(_.toByte)
+
+  private def sniffOle2(path: String): Boolean = {
+    val in = new java.io.FileInputStream(path)
+    try {
+      val head = in.readNBytes(8)
+      head.length == 8 && java.util.Arrays.equals(head, Ole2Magic)
+    } catch { case _: java.io.IOException => false }
+    finally in.close()
+  }
+
   private def zipEntry(path: String, name: String): Option[Array[Byte]] = {
     val zf =
       try new java.util.zip.ZipFile(path)
       catch { case _: java.io.IOException =>
-        // e.g. legacy binary .xls — not a ZIP container
+        if (sniffOle2(path))
+          throw DsqError(
+            s"Legacy binary .xls (OLE2/BIFF) is not supported: $path. " +
+              "Save the workbook as .xlsx and retry.")
         throw DsqError(s"Invalid spreadsheet file (not a ZIP): $path.")
       }
     try {

@@ -101,6 +101,74 @@ class CliPipeSpec extends SparkSpec {
     }
   }
 
+  // S12–S14 golden pipes (reference README.md: apache2error /
+  // apache2access / nginxaccess are stdin-only formats — no extension
+  // maps to them, so `-s` is the only way in, exactly how the reference
+  // ships them).
+  private def withFixture(content: String)(body: String => Unit): Unit = {
+    val f = java.nio.file.Files.createTempFile("graft_log", ".txt")
+    try {
+      java.nio.file.Files.writeString(f, content)
+      body(f.toString)
+    } finally java.nio.file.Files.deleteIfExists(f)
+  }
+
+  test("pipe: apache2error parses time/level/pid/client/message (S12)") {
+    withFixture(
+      "[Fri Sep 09 10:42:29.902022 2011] [core:error] " +
+        "[pid 35708:tid 4328636416] [client 72.15.99.187] " +
+        "File does not exist: /usr/local/apache2/htdocs/favicon.ico\n" +
+        "[Fri Sep 09 10:42:31.000000 2011] [mpm_event:notice] " +
+        "AH00489: Apache/2.4.52 configured\n") { path =>
+      val (code, out) = runCli(
+        Array("-s", "apache2error",
+          "SELECT level, client, message FROM {} WHERE level LIKE '%error%'"),
+        path)
+      assert(code == 0, s"exit $code, out: $out")
+      assert(canonJson(out) == canonJson(
+        """[{"client":"72.15.99.187","level":"core:error",
+          |"message":"File does not exist: /usr/local/apache2/htdocs/favicon.ico"}]"""
+          .stripMargin))
+    }
+  }
+
+  test("pipe: apache2access parses Common Log Format fields (S13)") {
+    withFixture(
+      "127.0.0.1 - frank [10/Oct/2000:13:55:36 -0700] " +
+        "\"GET /apache_pb.gif HTTP/1.0\" 200 2326\n" +
+        "10.0.0.2 - - [10/Oct/2000:13:55:38 -0700] " +
+        "\"POST /form HTTP/1.1\" 404 -\n") { path =>
+      val (code, out) = runCli(
+        Array("-s", "apache2access",
+          "SELECT remote_addr, remote_user, request, status, body_bytes " +
+            "FROM {} ORDER BY remote_addr"),
+        path)
+      assert(code == 0, s"exit $code, out: $out")
+      assert(canonJson(out) == canonJson(
+        """[{"body_bytes":"-","remote_addr":"10.0.0.2","remote_user":"-",
+          |"request":"POST /form HTTP/1.1","status":"404"},
+          |{"body_bytes":"2326","remote_addr":"127.0.0.1","remote_user":"frank",
+          |"request":"GET /apache_pb.gif HTTP/1.0","status":"200"}]""".stripMargin))
+    }
+  }
+
+  test("pipe: nginxaccess parses Combined Log Format incl. referer/UA (S14)") {
+    withFixture(
+      "127.0.0.1 - james [09/May/2018:16:00:39 +0000] " +
+        "\"GET /report HTTP/1.0\" 200 123 \"http://example.com/start\" " +
+        "\"Mozilla/5.0 (X11; Linux x86_64)\"\n") { path =>
+      val (code, out) = runCli(
+        Array("-s", "nginxaccess",
+          "SELECT remote_addr, request, status, referer, user_agent FROM {}"),
+        path)
+      assert(code == 0, s"exit $code, out: $out")
+      assert(canonJson(out) == canonJson(
+        """[{"referer":"http://example.com/start","remote_addr":"127.0.0.1",
+          |"request":"GET /report HTTP/1.0","status":"200",
+          |"user_agent":"Mozilla/5.0 (X11; Linux x86_64)"}]""".stripMargin))
+    }
+  }
+
   test("pipe without query dumps the stdin table (S16)") {
     val (code, out) = runCli(Array("-s", "csv"), s"$td/convert.csv")
     assert(code == 0)

@@ -364,4 +364,35 @@ class GoldenCorpusSpec extends SparkSpec {
     val out = run(Seq(s"$td/regr/74.csv"), "SELECT * FROM {}")
     assert(canonJson(out) == canonJson("""[{"a": "1", "a b": "2"}]"""))
   }
+
+  // Divergence golden: the reference advertises `xls` (README.md:605) but
+  // excelize only parses OOXML ZIP containers — a BIFF .xls is an OLE2
+  // compound file. We sniff the OLE2 magic and fail with a precise error
+  // instead of a ZIP stack trace.
+  test("legacy binary .xls (OLE2/BIFF) fails with a precise DsqError") {
+    val f = java.nio.file.Files.createTempFile("legacy", ".xls")
+    try {
+      // OLE2 magic + a little BIFF-ish padding
+      java.nio.file.Files.write(f,
+        Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1, 0x00, 0x00)
+          .map(_.toByte))
+      val e = intercept[DsqError] {
+        run(Seq(f.toString), "SELECT COUNT(1) AS c FROM {}")
+      }
+      assert(e.message ==
+        s"Legacy binary .xls (OLE2/BIFF) is not supported: ${f.toString}. " +
+          "Save the workbook as .xlsx and retry.")
+    } finally java.nio.file.Files.deleteIfExists(f)
+  }
+
+  test("non-ZIP non-OLE2 spreadsheet still fails with the generic error") {
+    val f = java.nio.file.Files.createTempFile("not_a_zip", ".xlsx")
+    try {
+      java.nio.file.Files.writeString(f, "this is not a spreadsheet")
+      val e = intercept[DsqError] {
+        run(Seq(f.toString), "SELECT COUNT(1) AS c FROM {}")
+      }
+      assert(e.message == s"Invalid spreadsheet file (not a ZIP): ${f.toString}.")
+    } finally java.nio.file.Files.deleteIfExists(f)
+  }
 }
