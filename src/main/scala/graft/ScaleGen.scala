@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** One-off 10× corpus generator for the sf1 validation story (VERDICT r4
+  * task 8): the driver ships sf0.1 as the largest scale factor, so the
+  * skew/barrier claims in the dedup family are validated on a generated
+  * 10× documents/embeddings corpus instead.
+  *
+  * Scaling is NOT plain replication — that would only create exact-dup
+  * clusters. Each of the 10 copies k:
+  *   - k == 0: the original rows, ids unchanged;
+  *   - k odd:  byte-exact copies under new ids → 10-copy exact-dup
+  *     clusters on half the corpus, the hot-bucket shape the exact-dup
+  *     pre-collapse exists for;
+  *   - k even (k>0): near-dup mutants — a per-copy marker token is
+  *     appended, so shingle Jaccard stays high (long docs) but content
+  *     digests differ → the LSH verify stage keeps real work.
+  * Embeddings replicate with a deterministic per-copy jitter on one
+  * coordinate (keeps cosine ≈ 1 → near-dup candidates survive banding)
+  * plus offset ids. All other sf0.1 tables are copied through unchanged
+  * so the full 30-entry bench runs against the output dir.
+  *
+  * Usage: runMain graft.ScaleGen [srcDir] [outDir] [factor]
+  */
+object ScaleGen {
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = args.lift(1).getOrElse("/tmp/graft_sf1")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = Tables.load(spark, src, "documents")
+    val nDocs = docs.count()
+    val docsScaled = (0 until factor).map { k =>
+      val shifted = docs
+        .withColumn("doc_id", col("doc_id") + lit(k * nDocs))
+      if (k == 0) docs
+      else if (k % 2 == 1) shifted // byte-exact copy: exact-dup cluster member
+      else shifted // near-dup mutant: marker keeps Jaccard high, digest differs
+        .withColumn("text", concat(col("text"), lit(s" copymark$k")))
+        .withColumn("n_chars", col("n_chars") + lit(s" copymark$k".length))
+    }.reduce(_ unionAll _)
+
+    val embs = Tables.load(spark, src, "embeddings")
+    val nEmbs = embs.count()
+    val embsScaled = (0 until factor).map { k =>
+      if (k == 0) embs
+      else embs
+        .withColumn("vec_id", col("vec_id") + lit(k * nEmbs))
+        // jitter coordinate 0 by k*1e-4: cosine vs the original stays
+        // ≈ 1, so scaled corpora keep genuine near-dup structure
+        .withColumn("embedding",
+          transform(col("embedding"), (x, i) =>
+            when(i === 0, x + lit(k * 1e-4f)).otherwise(x)))
+    }.reduce(_ unionAll _)
+
+    new java.io.File(out).mkdirs()
+    docsScaled.repartition(32)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    embsScaled.repartition(32)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    // pass the remaining tables through untouched (hard copy, not
+    // symlink: the bench keys its ingest fixtures on lineitem mtime)
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events")) {
+      val from = java.nio.file.Paths.get(src, s"$t.parquet")
+      val to = java.nio.file.Paths.get(out, s"$t.parquet")
+      if (java.nio.file.Files.exists(from) &&
+          !java.nio.file.Files.exists(to)) {
+        if (java.nio.file.Files.isDirectory(from)) {
+          java.nio.file.Files.walk(from).forEach { p =>
+            val dst = to.resolve(from.relativize(p))
+            if (java.nio.file.Files.isDirectory(p))
+              java.nio.file.Files.createDirectories(dst)
+            else java.nio.file.Files.copy(p, dst)
+          }
+        } else java.nio.file.Files.copy(from, to)
+      }
+    }
+    println(s"""{"scaled":"$out","factor":$factor,"docs":${nDocs * factor},"embs":${nEmbs * factor}}""")
+    spark.stop()
+  }
+}

@@ -933,6 +933,52 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // Sparse token-count cosine via an inverted index with df-pruning —
+    // the sparse-vector sibling of the dense LSH family (p05–p08); the
+    // df cap bounds every token's join bucket, the scale contract
+    // documented on the operator. All sums are exact int64 (order-
+    // independent) and the single float divide/sqrt is IEEE-identical
+    // in both engines, so the oracle is a full hash gate, not a
+    // rows-only check. The planted copies (one token appended) share
+    // virtually their whole token multiset → cosine ≈ 1 survives the
+    // threshold, proving the join path end-to-end.
+    QueryDef("p45_sparse_cosine",
+      s"""WITH $corpusSql,
+         |toks AS (
+         |  SELECT doc_id,
+         |    unnest(CASE WHEN length(
+         |        regexp_replace(text, '^\\s+|\\s+$$', '', 'g')) = 0
+         |      THEN CAST([] AS VARCHAR[])
+         |      ELSE string_split_regex(
+         |        lower(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')), '\\s+')
+         |    END) AS token
+         |  FROM corpus),
+         |tf AS (
+         |  SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |keep AS (
+         |  SELECT token FROM tf GROUP BY token HAVING count(*) <= 100),
+         |p AS (SELECT tf.* FROM tf JOIN keep USING (token)),
+         |norms AS (SELECT doc_id, sum(tf * tf) AS ss FROM p GROUP BY 1),
+         |dots AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    sum(a.tf * b.tf) AS num
+         |  FROM p a JOIN p b ON a.token = b.token AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT id_a, id_b,
+         |    CAST(num AS DOUBLE) /
+         |      sqrt(CAST(na.ss * nb.ss AS DOUBLE)) AS cosine
+         |  FROM dots
+         |  JOIN norms na ON na.doc_id = id_a
+         |  JOIN norms nb ON nb.doc_id = id_b)
+         |SELECT id_a, id_b, round(cosine, 6) AS cosine
+         |FROM scored WHERE cosine >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      Similarity.sparseCosinePairs(docsWithPlants(s, dir), "doc_id", "text",
+        threshold = 0.8, maxDf = 100)
+        .orderBy("id_a", "id_b")
+    },
+
     // MinHash estimator accuracy: the sketch-quality gate for the dedup
     // family (the p17 boolean pattern — HLL p17, quantiles p27, CMS
     // p40). For every verified pair, the k=64 signature-agreement

@@ -223,4 +223,61 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }
+
+  /** Sparse token-count cosine similarity through an inverted index —
+    * the complementary sparse-vector path to the dense hyperplane-LSH
+    * family above (tf-idf/BM25-style retrieval reduces to this join
+    * shape). Documents pair only through tokens they share:
+    *
+    *   1. (id, token, tf)   one narrow shuffle on id+token;
+    *   2. df-prune          tokens appearing in more than `maxDf` docs
+    *                        are dropped from the similarity space —
+    *                        norms AND numerators, so the measure stays a
+    *                        true cosine over the pruned space;
+    *   3. inverted join     self-join on token → per-pair dot products
+    *                        via a partial-aggregable sum.
+    *
+    * The df cap is the scale contract: a stop-word token in D docs would
+    * contribute D²/2 join rows (the corpus is quadratic through "the"),
+    * while after pruning every token contributes ≤ maxDf² — total work
+    * is bounded by (#distinct surviving tokens) × maxDf², linear in
+    * corpus size for fixed maxDf. This mirrors the hot-shingle banding
+    * argument in [[graft.pipeline.Dedup]] but for sparse vectors, where
+    * dropping ubiquitous tokens is also the semantically right call —
+    * their idf ≈ 0 weight carries no signal.
+    *
+    * Determinism across engines: tf, dot products, and squared norms
+    * are exact int64 sums (order-independent); the only float ops are
+    * one int64→double conversion, one sqrt, one divide — all IEEE
+    * correctly-rounded, so Spark and DuckDB produce bit-identical
+    * cosines from the same expression shape.
+    */
+  def sparseCosinePairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, maxDf: Long = 100): DataFrame = {
+    val tf = df.select(col(idCol).as("id"),
+        explode(TextAnalysis.tokens(lower(col(textCol)))).as("token"))
+      .groupBy("id", "token").agg(count(lit(1)).as("tf"))
+    val keep = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("token")
+    val pruned = tf.join(keep, Seq("token"))
+    val norms = pruned.groupBy("id")
+      .agg(sum(col("tf") * col("tf")).as("ss"))
+    val dots = pruned
+      .select(col("token"), col("id").as("id_a"), col("tf").as("tf_a"))
+      .join(pruned.select(col("token"), col("id").as("id_b"),
+        col("tf").as("tf_b")), Seq("token"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(sum(col("tf_a") * col("tf_b")).as("num"))
+    dots
+      .join(norms.select(col("id").as("id_a"), col("ss").as("ss_a")),
+        Seq("id_a"))
+      .join(norms.select(col("id").as("id_b"), col("ss").as("ss_b")),
+        Seq("id_b"))
+      .withColumn("cosine",
+        col("num").cast("double") / sqrt((col("ss_a") * col("ss_b"))
+          .cast("double")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
 }

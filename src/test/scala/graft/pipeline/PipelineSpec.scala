@@ -789,4 +789,48 @@ class PipelineSpec extends SparkSpec {
     val widths = out.select("meta.width").collect().map(_.getInt(0))
     assert(widths.forall(w => w >= 64 && w < 64 + 1920))
   }
+
+  test("sparse cosine: df-pruning drops stopword-only pairs, keeps real ones") {
+    import spark.implicits._
+    // docs 1/2 share ONLY the ubiquitous token "the" (df > maxDf after
+    // the fillers); docs 3/4 share five rare tokens. With maxDf = 5 the
+    // stopword leaves the similarity space entirely — so the (1,2) pair
+    // never even becomes a join candidate — while (3,4) survives with a
+    // cosine computable by hand over the pruned space.
+    val corpus = (Seq(
+      (1L, "the alpha beta gamma"),
+      (2L, "the delta epsilon zeta"),
+      (3L, "the shared sentence of words here"),
+      (4L, "the shared sentence of words here too")) ++
+      (5L to 30L).map(i => (i, s"the filler$i")))
+      .toDF("doc_id", "text")
+    val out = Similarity.sparseCosinePairs(corpus, "doc_id", "text",
+      threshold = 0.5, maxDf = 5)
+    val pairs = out.select("id_a", "id_b", "cosine").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(!pairs.contains((1L, 2L)),
+      "stopword-only pair leaked through the df cap")
+    // pruned space: doc 3 = 5 rare tokens, doc 4 = those 5 + "too";
+    // cosine = 5 / sqrt(5 * 6)
+    val expected = math.rint(5.0 / math.sqrt(30.0) * 1e6) / 1e6
+    assert(pairs.get((3L, 4L)).contains(expected),
+      s"expected (3,4) at $expected, got ${pairs.get((3L, 4L))}")
+    assert(pairs.keySet == Set((3L, 4L)), s"unexpected pairs: $pairs")
+  }
+
+  test("sparse cosine: join work is bounded by maxDf, not corpus size") {
+    import spark.implicits._
+    // 200 docs all containing a shared boilerplate token plus a unique
+    // token: with maxDf = 5 the boilerplate token is pruned, so the
+    // inverted-index join produces ZERO pair rows — the quadratic
+    // 200²/2 blowup through the hot token never happens. The bound is
+    // observable in the output: no pairs at all.
+    val corpus = (1L to 200L)
+      .map(i => (i, s"boilerplate unique$i"))
+      .toDF("doc_id", "text")
+    val out = Similarity.sparseCosinePairs(corpus, "doc_id", "text",
+      threshold = 0.0, maxDf = 5)
+    assert(out.count() == 0,
+      "hot-token pairs should be pruned from the similarity space")
+  }
 }
