@@ -40,6 +40,8 @@ object Bench {
     "p38_cluster_reps",   // components + partial-aggregable max_by reps
     "p39_repeated_substrings", // 50-char window hash repeats
     "p44_canonicalize",   // native NFC normalization + digests
+    "p45_sparse_cosine",  // df-pruned inverted-index token cosine
+    "p46_fuzzy_join",     // PassJoin segment-pigeonhole ed-join
     "s01_stream_hourly",  // structured streaming
     "x03_asof_join",      // union+window as-of composition
     "x04_range_join",     // bucketed interval join

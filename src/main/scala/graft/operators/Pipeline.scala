@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
-import graft.pipeline.{Corpus, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Corpus, Dedup, Fuzzy, Multimodal, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators (dedup, similarity search, text
   * analysis, multimodal) wired to the driver tables.
@@ -977,6 +977,44 @@ object Pipeline {
       Similarity.sparseCosinePairs(docsWithPlants(s, dir), "doc_id", "text",
         threshold = 0.8, maxDf = 100)
         .orderBy("id_a", "id_b")
+    },
+
+    // Edit-distance similarity join (PassJoin segment pigeonhole +
+    // exact levenshtein verify) over fixed-width 30-char document keys,
+    // with planted single-substitution typos. The oracle is the
+    // EXHAUSTIVE all-pairs levenshtein at gate scale, so — like
+    // p02/p04 — it proves the candidate stage has perfect recall here;
+    // unlike LSH, PassJoin's recall is a theorem, so this holds on any
+    // corpus, not just this one. dist is exact integer → full hash gate.
+    QueryDef("p46_fuzzy_join",
+      """WITH keys AS (
+        |  SELECT doc_id, substr(text, 1, 30) AS k FROM documents
+        |  WHERE length(substr(text, 1, 30)) = 30
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    substr(text, 1, 4) || 'q' || substr(text, 6, 25) AS k
+        |  FROM documents
+        |  WHERE doc_id % 10 = 0 AND length(substr(text, 1, 30)) = 30),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    levenshtein(a.k, b.k) AS dist
+        |  FROM keys a JOIN keys b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, CAST(dist AS BIGINT) AS dist
+        |FROM pairs WHERE dist <= 2 ORDER BY id_a, id_b""".stripMargin) {
+      (s, dir) =>
+        val src = t(s, dir, "documents")
+        val base = src
+          .select(col("doc_id"), substring(col("text"), 1, 30).as("k"))
+          .filter(length(col("k")) === 30)
+        val plants = src.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"),
+            concat(substring(col("text"), 1, 4), lit("q"),
+              substring(col("text"), 6, 25)).as("k"))
+          .filter(length(col("k")) === 30)
+        Fuzzy.editDistancePairs(base.unionAll(plants), "doc_id", "k",
+            maxDist = 2)
+          .withColumn("dist", col("dist").cast("long"))
+          .orderBy("id_a", "id_b")
     },
 
     // MinHash estimator accuracy: the sketch-quality gate for the dedup

@@ -790,6 +790,41 @@ class PipelineSpec extends SparkSpec {
     assert(widths.forall(w => w >= 64 && w < 64 + 1920))
   }
 
+  test("fuzzy join: PassJoin candidates find EXACTLY the brute-force pairs") {
+    // The pigeonhole is a theorem — candidate recall must be perfect on
+    // ANY corpus, so assert operator == exhaustive cross-join verify on
+    // real document prefixes with adversarial plants: substitutions at
+    // segment boundaries, a deletion, an insertion, and a 2-edit combo
+    // (each shifts segment alignments differently).
+    val base = docs.limit(120)
+      .select(col("doc_id"), substring(col("text"), 1, 24).as("k"))
+      .filter(length(col("k")) === 24)
+    val plants = base.limit(20).select((col("doc_id") + 5000).as("doc_id"),
+      concat(substring(col("k"), 1, 7), lit("X"),
+        substring(col("k"), 9, 7), lit("Y"),
+        substring(col("k"), 17, 8)).as("k")) // 2 subs in different segments
+      .unionAll(base.limit(10).select((col("doc_id") + 6000).as("doc_id"),
+        concat(substring(col("k"), 1, 11),
+          substring(col("k"), 13, 12)).as("k"))) // deletion (len 23)
+      .unionAll(base.limit(10).select((col("doc_id") + 7000).as("doc_id"),
+        concat(substring(col("k"), 1, 17), lit("zz"),
+          substring(col("k"), 18, 7)).as("k"))) // 2-char insertion (len 26)
+    val corpus = base.unionAll(plants)
+    val got = Fuzzy.editDistancePairs(corpus, "doc_id", "k", maxDist = 2)
+      .select("id_a", "id_b", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val a = corpus.select(col("doc_id").as("ia"), col("k").as("ka"))
+    val b = corpus.select(col("doc_id").as("ib"), col("k").as("kb"))
+    val brute = a.crossJoin(b).filter(col("ia") < col("ib"))
+      .withColumn("d", levenshtein(col("ka"), col("kb")))
+      .filter(col("d") <= 2)
+      .select("ia", "ib", "d").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(brute.nonEmpty, "plants produced no within-distance pairs")
+    assert(got == brute,
+      s"missing: ${(brute -- got).take(5)}; extra: ${(got -- brute).take(5)}")
+  }
+
   test("sparse cosine: df-pruning drops stopword-only pairs, keeps real ones") {
     import spark.implicits._
     // docs 1/2 share ONLY the ubiquitous token "the" (df > maxDf after
