@@ -44,54 +44,27 @@ object Fuzzy {
 
   /** All unordered pairs (id_a < id_b) with levenshtein(s_a, s_b) <=
     * maxDist, via PassJoin segment-pigeonhole candidates + exact verify.
+    *
+    * Key generation is the native codegen'd [[org.apache.spark.sql.graft
+    * .PassJoinKeys]] expression: each (partner_len, seg_idx, piece)
+    * 3-tuple is hashed to one long, so the candidate shuffle carries
+    * (id, long) only — a hash collision can only add a candidate, which
+    * the exact verify removes, so the output is unchanged.
     */
   def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
       maxDist: Int = 2): DataFrame = {
+    import org.apache.spark.sql.graft.VectorExpressions.passJoinKeys
     val d = maxDist
-    val nSeg = d + 1
-    val base = df.select(col(idCol).as("id"), col(strCol).as("s"),
-      length(col(strCol)).as("len"))
+    val base = df.select(col(idCol).as("id"), col(strCol).as("s"))
 
-    // segment bounds for a string of length l: segment i spans
-    // [floor(i*l/nSeg), floor((i+1)*l/nSeg)) — non-empty for l >= nSeg
-    def segStart(l: Column, i: Column): Column = floor(i * l / nSeg).cast("int")
+    val indexed = base.select(col("id").as("id_s"),
+      explode(passJoinKeys(col("s"), d, probe = false)).as("key"))
+    val probes = base.select(col("id").as("id_r"),
+      explode(passJoinKeys(col("s"), d, probe = true)).as("key"))
 
-    // index side: own segments, key = (len, seg_idx, segment text)
-    val segIdx = sequence(lit(0), lit(nSeg - 1))
-    val indexed = base.select(col("id"), col("s"), col("len"),
-        explode(transform(segIdx, i => struct(
-          i.as("seg"),
-          col("s").substr(segStart(col("len"), i) + 1,
-            segStart(col("len"), i + 1) - segStart(col("len"), i))
-            .as("piece")))).as("k"))
-      .select(col("id").as("id_s"), col("len").as("len_s"),
-        col("k.seg"), col("k.piece"))
-      .filter(length(col("piece")) > 0)
-
-    // probe side: for each candidate partner length l' in [len-d, len]
-    // and each segment of l', substrings at start positions within ±d
-    // of that segment's start (clamped to valid range). Nested arrays
-    // flattened then exploded — the fan-out is the constant
-    // nSeg · (d+1) · (2d+1), independent of corpus size.
-    val probes = base.select(col("id"), col("s"), col("len"),
-        explode(flatten(flatten(transform(
-          sequence(greatest(col("len") - d, lit(nSeg)), col("len")),
-          lp => transform(segIdx, i => {
-            val st = segStart(lp, i)
-            val ln = segStart(lp, i + 1) - st
-            transform(
-              sequence(greatest(st - d, lit(0)),
-                least(st + d, col("len") - ln)),
-              pos => struct(lp.as("len_s"), i.as("seg"),
-                col("s").substr(pos + 1, ln).as("piece")))
-          }))))).as("k"))
-      .select(col("id").as("id_r"), col("len").as("len_r"),
-        col("k.len_s").as("len_s"), col("k.seg"), col("k.piece"))
-      .filter(length(col("piece")) > 0)
-
-    // equi-join on the full key; orient shorter-indexed vs longer-probe
-    // (equal lengths pair both ways → distinct)
-    val cand = probes.join(indexed, Seq("len_s", "seg", "piece"))
+    // equi-join on the hashed key; orient shorter-indexed vs
+    // longer-probe (equal lengths pair both ways → distinct)
+    val cand = probes.join(indexed, Seq("key"))
       .filter(col("id_r") =!= col("id_s"))
       .select(least(col("id_r"), col("id_s")).as("id_a"),
         greatest(col("id_r"), col("id_s")).as("id_b"))

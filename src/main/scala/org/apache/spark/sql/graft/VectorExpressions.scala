@@ -101,6 +101,13 @@ object VectorExpressions {
   def topKByScore(id: Column, score: Column, k: Int): Column =
     column(TopKPairs(expression(id), expression(score), k)
       .toAggregateExpression())
+
+  /** PassJoin segment keys (index side: own segments; probe side:
+    * shifted substrings for every candidate partner length), hashed to
+    * array<long>. See [[PassJoinKeys]].
+    */
+  def passJoinKeys(s: Column, maxDist: Int, probe: Boolean): Column =
+    column(PassJoinKeys(expression(s), maxDist, probe))
 }
 
 /** Set Jaccard |A∩B|/|A∪B| of two pre-sorted distinct long arrays by
@@ -1035,5 +1042,98 @@ object TopKHeap {
     var j = 0
     while (j < n) { h.insert(bb.getLong, bb.getDouble); j += 1 }
     h
+  }
+}
+
+/** PassJoin segment keys for the edit-distance join (graft.pipeline
+  * .Fuzzy): each key is the xxhash64 chain of (partner length, segment
+  * index, segment text). Hashing the 3-tuple down to one long makes the
+  * candidate shuffle carry (id, long) instead of (id, int, int, string)
+  * — a 2^-64 per-pair collision can only ADD a candidate, and the exact
+  * levenshtein verify removes it, so recall and output are unaffected.
+  *
+  * Index side: the string's own d+1 segments, keyed by its own length.
+  * Probe side: for every candidate partner length l' in
+  * [max(len-d, d+1), len] and every segment of an l'-partition, the
+  * substrings starting within ±d of that segment's start — the loose
+  * PassJoin bound (each of ≤ d indels shifts alignment by ≤ 1, and some
+  * segment must be edit-free by pigeonhole). Arrays are sorted/deduped
+  * so repeated substrings don't multiply join rows.
+  *
+  * Both sides replace interpreted nested HigherOrderFunction transforms
+  * (3-deep lambda towers building struct arrays) with one primitive
+  * loop — the same preference-ladder move as BandHashes/ShingleHashes.
+  */
+case class PassJoinKeys(child: Expression, d: Int, probe: Boolean)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  protected override def nullSafeEval(input: Any): Any =
+    PassJoinKeys.compute(input.asInstanceOf[UTF8String], d, probe)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.PassJoinKeys.compute($c, $d, $probe)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PassJoinKeys {
+  private def segKey(lp: Int, seg: Int, piece: String): Long = {
+    var h = XxHash64Function.hash(lp, IntegerType, 42L)
+    h = XxHash64Function.hash(seg, IntegerType, h)
+    XxHash64Function.hash(UTF8String.fromString(piece), StringType, h)
+  }
+
+  def compute(input: UTF8String, d: Int,
+      probe: Boolean): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val s = input.toString
+    val len = s.length
+    val nSeg = d + 1
+    val buf = new scala.collection.mutable.ArrayBuffer[Long]()
+    if (!probe) {
+      // own segments, keyed by own length (degenerate strings shorter
+      // than d+1 chars emit nothing, mirroring the probe-side floor)
+      if (len >= nSeg) {
+        var i = 0
+        while (i < nSeg) {
+          val st = i * len / nSeg
+          val en = (i + 1) * len / nSeg
+          buf += segKey(len, i, s.substring(st, en))
+          i += 1
+        }
+      }
+    } else {
+      var lp = math.max(len - d, nSeg)
+      while (lp <= len) {
+        var i = 0
+        while (i < nSeg) {
+          val st = i * lp / nSeg
+          val ln = (i + 1) * lp / nSeg - st
+          var pos = math.max(st - d, 0)
+          val end = math.min(st + d, len - ln)
+          while (pos <= end) {
+            buf += segKey(lp, i, s.substring(pos, pos + ln))
+            pos += 1
+          }
+          i += 1
+        }
+        lp += 1
+      }
+    }
+    val arr = buf.toArray
+    java.util.Arrays.sort(arr)
+    var uniq = 0
+    var k = 0
+    while (k < arr.length) {
+      if (k == 0 || arr(k) != arr(k - 1)) { arr(uniq) = arr(k); uniq += 1 }
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(arr, uniq))
   }
 }
