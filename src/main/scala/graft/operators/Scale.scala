@@ -222,7 +222,61 @@ object Scale {
           .as("sum_value"))
   }
 
+  /** Join with a runtime-injected Bloom filter: the selective predicate
+    * on the dimension side builds a Bloom filter at runtime, and the
+    * FACT-side scan probes it BEFORE the shuffle — rows that cannot
+    * have a join partner never leave the map side. This is the runtime
+    * sibling of DPP (x07): DPP prunes whole partitions via the storage
+    * layout; the Bloom filter prunes row-by-row with no layout
+    * requirement. At 100 TB this is the difference between shuffling
+    * the full fact table and shuffling the ~matching fraction.
+    *
+    * Callers must disable broadcast (a broadcast join needs no runtime
+    * filter) and drop the application-side size floor so the gate-scale
+    * scan qualifies; production leaves the 10 GB floor in place so tiny
+    * scans skip the filter overhead. PlanSpec asserts
+    * `bloom_filter_might_contain` actually reached the fact scan.
+    */
+  private[graft] def bloomPrunedJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("qty"))
+  }
+
+  private[graft] val bloomJoinConfs = Seq(
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+    "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+
   val all: Seq[QueryDef] = Seq(
+
+    // Runtime Bloom-filter join pruning (the row-level runtime filter;
+    // x07's DPP is the partition-level one).
+    QueryDef("x11_bloom_join",
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+      bloomJoinConfs.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        val out = java.nio.file.Paths.get(
+          sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+          "graft_fmt", "x11_result").toString
+        // materialize under the confs (the x01/x06 trick) so the plan
+        // that runs carries the runtime filter
+        bloomPrunedJoin(s, dir).write.mode("overwrite").parquet(out)
+        s.read.parquet(out)
+      } finally bloomJoinConfs.foreach { case (k, _) => s.conf.unset(k) }
+    },
 
     // AQE runtime skew-join split (the automatic half of the skew story;
     // x02 below is the manual salting half).

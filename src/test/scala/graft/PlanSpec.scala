@@ -244,4 +244,46 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_topkpairs"),
       s"no map-side partial top-k — every scored row crosses the shuffle:\n$p")
   }
+
+  test("p45: tf and dot-product aggregations are map-side partial (sparse cosine)") {
+    val p = executed("p45_sparse_cosine")
+    // the inverted-index shape lives or dies on partial aggregation:
+    // per-(id,token) tf and per-(id_a,id_b) dot products must combine
+    // below their shuffles, or every token occurrence crosses the wire
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      s"no map-side partial aggregation:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"sparse cosine fell back to a cross product:\n$p")
+  }
+
+  test("x11: runtime Bloom filter probes the fact side before the shuffle") {
+    operators.Scale.bloomJoinConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val df = operators.Scale.bloomPrunedJoin(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      // creation side: bloom_filter_agg over the filtered dimension keys;
+      // application side: a might_contain probe sitting in the FACT
+      // scan's filter (on l_orderkey), i.e. before the join shuffle
+      assert(p.contains("bloom_filter_agg"),
+        s"runtime bloom filter not built:\n$p")
+      assert(p.linesIterator.exists(l =>
+          l.contains("might_contain") && l.contains("l_orderkey")),
+        s"bloom probe did not reach the fact side:\n$p")
+    } finally operators.Scale.bloomJoinConfs.foreach {
+      case (k, _) => spark.conf.unset(k)
+    }
+  }
+
+  test("p46: candidates equi-join on hashed segment keys, never a cross product") {
+    val p = executed("p46_fuzzy_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"ed-join fell back to a cross product:\n$p")
+    // the key generation must be the native expression (codegen'd one-
+    // pass loop), not an interpreted HigherOrderFunction tower
+    assert(p.contains("passjoinkeys") || p.contains("PassJoinKeys"),
+      s"native PassJoinKeys expression missing:\n$p")
+    assert(!p.contains("transform(transform"),
+      s"interpreted nested transforms survived:\n$p")
+  }
 }
