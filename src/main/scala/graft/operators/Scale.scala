@@ -250,6 +250,62 @@ object Scale {
           .as("qty"))
   }
 
+  /** Morton (Z-order) value of two non-negative int dimensions: bit i of
+    * x lands at position 2i, bit i of y at 2i+1. Statically unrolled
+    * bitwise expression — stays inside whole-stage codegen.
+    */
+  private[graft] def zOrderValue(x: org.apache.spark.sql.Column,
+      y: org.apache.spark.sql.Column, bits: Int): org.apache.spark.sql.Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(1), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(1), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+
+  /** Z-order layout demo: the multi-dimensional clustering rung of the
+    * storage-layout ladder (x05 hive partitions: coarse, one dim; x01
+    * buckets: join co-location; THIS: range queries over two dims at
+    * once). Events are written twice — round-robin (the naive layout)
+    * and range-partitioned on the Morton value of (user_id, day) — and
+    * a 2-dim box query counts how many FILES of each layout it touches
+    * via input_file_name(). Interleaving bits makes a contiguous
+    * (user, day) box map to a few contiguous z-runs, so the range
+    * layout confines it to a few files while round-robin smears it over
+    * all of them; at 100 TB that is the difference between listing a
+    * handful of parquet footers and scanning the fleet. The gate output
+    * is the p17 boolean pattern: the box row count (oracle-recomputed
+    * exactly) plus `skip_ok` = z-order touched at most half the files
+    * the naive layout touched (a deliberately loose bound — file
+    * boundaries come from range-partitioner sampling, so exact counts
+    * are not deterministic, but the locality win always clears 2×).
+    */
+  private[graft] def zorderSkipDemo(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), dayofmonth(col("ts")).as("day"))
+    val z = ev.withColumn("z",
+      zOrderValue(col("user_id"), col("day"), bits = 11))
+    val base = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_fmt").toString
+    val naiveDir = s"$base/x12_naive"
+    val zDir = s"$base/x12_zorder"
+    z.repartition(16).write.mode("overwrite").parquet(naiveDir)
+    z.repartitionByRange(16, col("z")).sortWithinPartitions("z")
+      .write.mode("overwrite").parquet(zDir)
+    def boxFiles(path: String): DataFrame =
+      s.read.parquet(path)
+        .filter(col("user_id").between(10, 29) && col("day").between(5, 9))
+        // input_file_name() is nondeterministic → must be projected
+        // before it can feed an aggregate
+        .select(input_file_name().as("f"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("f")).as("files"))
+    val n = boxFiles(naiveDir).select(col("n").as("n_match"),
+      col("files").as("f_naive"))
+    val zr = boxFiles(zDir).select(col("n").as("n_z"), col("files").as("f_z"))
+    n.crossJoin(zr)
+      .select(col("n_match"),
+        (col("n_match") === col("n_z") &&
+          col("f_z") * 2 <= col("f_naive")).as("skip_ok"))
+  }
+
   private[graft] val bloomJoinConfs = Seq(
     "spark.sql.autoBroadcastJoinThreshold" -> "-1",
     "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
@@ -276,6 +332,18 @@ object Scale {
         bloomPrunedJoin(s, dir).write.mode("overwrite").parquet(out)
         s.read.parquet(out)
       } finally bloomJoinConfs.foreach { case (k, _) => s.conf.unset(k) }
+    },
+
+    // Z-order (Morton) multi-dimensional clustering: 2-dim box queries
+    // touch a few files instead of all of them. Boolean-gate pattern
+    // (p17): the oracle recomputes the box count exactly and asserts
+    // the file-skipping invariant literally.
+    QueryDef("x12_zorder_layout",
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_match, true AS skip_ok
+        |FROM events
+        |WHERE user_id BETWEEN 10 AND 29
+        |  AND date_part('day', ts) BETWEEN 5 AND 9""".stripMargin) {
+      (s, dir) => zorderSkipDemo(s, dir)
     },
 
     // AQE runtime skew-join split (the automatic half of the skew story;

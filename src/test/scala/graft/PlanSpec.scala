@@ -256,6 +256,28 @@ class PlanSpec extends SparkSpec {
       s"sparse cosine fell back to a cross product:\n$p")
   }
 
+  test("x12: Morton interleave matches the reference bit math") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def ref(x: Int, y: Int, bits: Int): Long =
+      (0 until bits).map(i =>
+        (((x >> i) & 1).toLong << (2 * i)) |
+          (((y >> i) & 1).toLong << (2 * i + 1))).reduce(_ | _)
+    val pts = Seq((0, 0), (1, 0), (0, 1), (1, 1), (3, 3), (1500, 29),
+      (2047, 31), (7, 0), (0, 7)) ++
+      (0 until 50).map(i => (i * 37 % 2048, i * 13 % 32))
+    val got = pts.toDF("x", "y")
+      .select(col("x"), col("y"),
+        operators.Scale.zOrderValue(col("x").cast("long"),
+          col("y").cast("long"), 11).as("z"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    for ((x, y) <- pts)
+      assert(got((x, y)) == ref(x, y, 11), s"z($x, $y) mismatch")
+    // locality sanity: the canonical first quad ordering 0,1,2,3
+    assert(Seq(got((0, 0)), got((1, 0)), got((0, 1)), got((1, 1))) ==
+      Seq(0L, 1L, 2L, 3L))
+  }
+
   test("x11: runtime Bloom filter probes the fact side before the shuffle") {
     operators.Scale.bloomJoinConfs.foreach { case (k, v) => spark.conf.set(k, v) }
     try {
