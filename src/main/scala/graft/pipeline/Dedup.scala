@@ -197,11 +197,21 @@ object Dedup {
       bands: Int, r: Int, threshold: Double): DataFrame = {
     val clusters = sigs.groupBy("dg")
       .agg(min(col("id")).as("rep"), count(lit(1)).as("n"))
-    val dupMembers = materializeBarrier(
+    val (dupMembers, dupDir) = materializeBarrierAt(
       sigs.select(col("id"), col("dg"))
         .join(clusters.filter(col("n") >= 2).select("dg", "rep"), Seq("dg"))
         .select(col("id"), col("rep")),
       "lsh-dups")
+    // Dup-free corpus → the collapsed plan degenerates to the plain one
+    // (no ids to drop, nothing to expand), so skip the anti-join and
+    // both expansion joins outright. The emptiness probe is a bounded
+    // driver scalar off the just-materialized barrier (~a parquet
+    // footer read), NOT a second digest shuffle — dup-carrying corpora
+    // (any real web crawl) take the full path with no extra work.
+    if (dupMembers.isEmpty) {
+      releaseBarrier(dupDir)
+      return verifiedPairs(sigs, setCol, bands, r, threshold)
+    }
     val dupIds = dupMembers.filter(col("id") =!= col("rep")).select("id")
     val repSigs = sigs.join(dupIds, Seq("id"), "left_anti")
     val repPairs = verifiedPairs(repSigs, setCol, bands, r, threshold)
