@@ -43,6 +43,16 @@ object GraftExtensions {
     }
   }
 
+  private def litBool(e: Expression, fn: String, arg: String): Boolean = {
+    require(e.foldable, s"$fn: $arg must be a boolean literal")
+    e.eval() match {
+      case b: Boolean => b
+      case other =>
+        throw new IllegalArgumentException(
+          s"$fn: $arg must be a boolean literal, got $other")
+    }
+  }
+
   private def litBytes(e: Expression, fn: String,
       arg: String): Array[Byte] = {
     require(e.foldable, s"$fn: $arg must be a binary literal")
@@ -136,6 +146,14 @@ object GraftExtensions {
         "graft_nfc(s) - Unicode NFC canonicalization (matches DuckDB's " +
           "nfc_normalize); short-circuits on already-normalized text"),
       arity("graft_nfc", 1)(es => NfcNormalize(es(0)))),
+    (FunctionIdentifier("graft_passjoin_keys"),
+      info("graft_passjoin_keys",
+        "graft_passjoin_keys(s, d, probe) - PassJoin segment keys for " +
+          "edit-distance joins: index-side segments (probe=false) or " +
+          "probe-side shifted substrings (probe=true), hashed to bigint"),
+      arity("graft_passjoin_keys", 3)(es => PassJoinKeys(es(0),
+        litInt(es(1), "graft_passjoin_keys", "d"),
+        litBool(es(2), "graft_passjoin_keys", "probe")))),
     (FunctionIdentifier("graft_bloom_contains"),
       info("graft_bloom_contains",
         "graft_bloom_contains(s, filter) - membership probe of a " +

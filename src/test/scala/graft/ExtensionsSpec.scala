@@ -103,4 +103,24 @@ class ExtensionsSpec extends SparkSpec {
     }
     assert(e.getMessage.toLowerCase.contains("literal"))
   }
+
+  test("graft_passjoin_keys: SQL matches the Column API, index ⊆ probe at equal length") {
+    GraftExtensions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT graft_passjoin_keys('abcdefghij', 2, false) AS idx,
+        |       graft_passjoin_keys('abcdefghij', 2, true) AS prb
+        |""".stripMargin).head()
+    val idx = r.getSeq[Long](0)
+    val prb = r.getSeq[Long](1)
+    // d+1 = 3 segments, all distinct pieces
+    assert(idx.length == 3)
+    // a string's own segments appear among its probe keys (the l' = len,
+    // shift 0 case) — this is what makes equal strings always candidates
+    assert(idx.forall(prb.contains), s"idx $idx not within probe $prb")
+    import org.apache.spark.sql.functions._
+    val api = spark.range(1).select(
+      org.apache.spark.sql.graft.VectorExpressions.passJoinKeys(
+        lit("abcdefghij"), 2, probe = false).as("k")).head().getSeq[Long](0)
+    assert(idx == api)
+  }
 }
