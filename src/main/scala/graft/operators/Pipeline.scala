@@ -979,6 +979,36 @@ object Pipeline {
         .orderBy("id_a", "id_b")
     },
 
+    // Cross-source content-overlap matrix: planted re-crawl source
+    // ('replant' carries every 10th doc verbatim) must overlap every
+    // original source it drew from; natural exact dups across sources
+    // surface too. All counts exact integers → full hash gate.
+    QueryDef("p47_source_overlap",
+      """WITH c AS (
+        |  SELECT text, source FROM documents
+        |  UNION ALL
+        |  SELECT text, 'replant' AS source
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |d AS (SELECT DISTINCT md5(text) AS dg, source FROM c),
+        |ps AS (SELECT source, count(*) AS n FROM d GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.source AS src_a, b.source AS src_b,
+        |    count(*) AS shared_docs
+        |  FROM d a JOIN d b ON a.dg = b.dg AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, CAST(shared_docs AS BIGINT) AS shared_docs,
+        |  CAST(pa.n AS BIGINT) AS n_a, CAST(pb.n AS BIGINT) AS n_b
+        |FROM pairs
+        |JOIN ps pa ON pa.source = src_a
+        |JOIN ps pb ON pb.source = src_b
+        |ORDER BY src_a, src_b""".stripMargin) { (s, dir) =>
+      val src = t(s, dir, "documents")
+      val c = src.select(col("text"), col("source"))
+        .unionAll(src.filter(col("doc_id") % 7 === 0)
+          .select(col("text"), lit("replant").as("source")))
+      Corpus.sourceOverlap(c).orderBy("src_a", "src_b")
+    },
+
     // Edit-distance similarity join (PassJoin segment pigeonhole +
     // exact levenshtein verify) over fixed-width 30-char document keys,
     // with planted single-substitution typos. The oracle is the

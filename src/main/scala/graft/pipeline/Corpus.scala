@@ -272,4 +272,33 @@ object Corpus {
       .groupBy("token").agg(count(lit(1)).as("n"))
       .filter(col("n") >= threshold)
   }
+
+  /** Cross-source content-overlap matrix: for every pair of sources,
+    * how many DISTINCT document contents they share — the audit that
+    * tells a corpus owner which feeds are re-crawls of each other (and
+    * the cross-source face of p24's train-vs-benchmark contamination).
+    *
+    * Scale shape: one digest+source distinct (the digest index again),
+    * then a per-digest self-join whose fan-out is bounded by the number
+    * of SOURCES a content appears in, never by its copy count — a
+    * million-copy document in 3 feeds contributes 3 rows to the join,
+    * exactly like the exact-dup pre-collapse bounds banded LSH. Source
+    * counts join in for the denominators.
+    */
+  def sourceOverlap(df: DataFrame, textCol: String = "text",
+      srcCol: String = "source"): DataFrame = {
+    val d = df.select(md5(col(textCol)).as("dg"), col(srcCol).as("source"))
+      .distinct()
+    val perSource = d.groupBy("source").agg(count(lit(1)).as("n"))
+    d.select(col("dg"), col("source").as("src_a"))
+      .join(d.select(col("dg"), col("source").as("src_b")), Seq("dg"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("shared_docs"))
+      .join(perSource.select(col("source").as("src_a"), col("n").as("n_a")),
+        Seq("src_a"))
+      .join(perSource.select(col("source").as("src_b"), col("n").as("n_b")),
+        Seq("src_b"))
+      .select("src_a", "src_b", "shared_docs", "n_a", "n_b")
+  }
 }
