@@ -306,6 +306,56 @@ object Scale {
           col("f_z") * 2 <= col("f_naive")).as("skip_ok"))
   }
 
+  /** IVF-partitioned ANN storage: the at-rest layout p08's routing
+    * promises. The corpus is WRITTEN hive-partitioned by its IVF cell;
+    * the probe join (queries × their nProbe nearest cells, broadcast)
+    * then prunes the scan to the probed cells via Spark's own dynamic
+    * partition pruning — ANN routing literally becomes DPP (x07's
+    * mechanism pointed at an ANN index). At 100 TB the unprobed cells'
+    * files are never listed, let alone read. The gate compares the
+    * layout path's top-k against the flat ivfTopK (same centroids,
+    * same probes → identical results including tiebreaks); PlanSpec
+    * asserts the dynamicpruning filter actually reached the cell scan.
+    */
+  private[graft] def ivfLayoutTopK(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Similarity
+    val k = 10
+    val corpus = t(s, dir, "embeddings")
+    val queries = corpus.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val cents = Similarity.ivfCentroids(corpus, 16, "vec_id", "embedding")
+    val layoutDir = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      "graft_fmt", "x13_ivf_layout").toString
+    corpus.withColumn("cell",
+        Similarity.ivfProbeCells(cents, col("embedding"), 1)
+          .getItem(0).getField("cid"))
+      .write.partitionBy("cell").mode("overwrite").parquet(layoutDir)
+    // the partition column reads back int-typed (dir-name inference);
+    // cast the probe side to match so the join sits on the raw
+    // partition attribute and DPP can fire
+    val stored = s.read.parquet(layoutDir)
+    val qc = queries.withColumn("cell_l",
+        explode(Similarity.ivfProbeCells(cents, col("qvec"), 4)
+          .getField("cid")))
+      .withColumn("cell", col("cell_l").cast("int")).drop("cell_l")
+    val scored = stored.join(broadcast(qc), Seq("cell"))
+      .withColumn("score",
+        round(Similarity.cosine(col("embedding"), col("qvec")), 6))
+    val layoutTop = Similarity.rankTopK(scored, k, "qid", "vec_id")
+      .select("qid", "vec_id")
+    val flatTop = Similarity.ivfTopK(corpus, queries, k = k,
+      nCells = 16, nProbe = 4).select("qid", "vec_id")
+    val same = layoutTop.join(flatTop, Seq("qid", "vec_id"))
+      .groupBy("qid").agg(count(lit(1)).as("n_same"))
+    layoutTop.groupBy("qid").agg(count(lit(1)).as("n_returned"))
+      .join(same, Seq("qid"), "left")
+      .select(col("qid"), col("n_returned"),
+        (coalesce(col("n_same"), lit(0L)) === col("n_returned"))
+          .as("same_as_flat"))
+      .orderBy("qid")
+  }
+
   private[graft] val bloomJoinConfs = Seq(
     "spark.sql.autoBroadcastJoinThreshold" -> "-1",
     "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
@@ -332,6 +382,14 @@ object Scale {
         bloomPrunedJoin(s, dir).write.mode("overwrite").parquet(out)
         s.read.parquet(out)
       } finally bloomJoinConfs.foreach { case (k, _) => s.conf.unset(k) }
+    },
+
+    // IVF-partitioned ANN storage: routing as dynamic partition pruning.
+    QueryDef("x13_ivf_layout",
+      """SELECT vec_id AS qid, CAST(10 AS BIGINT) AS n_returned,
+        |  true AS same_as_flat
+        |FROM embeddings WHERE vec_id < 5 ORDER BY qid""".stripMargin) {
+      (s, dir) => ivfLayoutTopK(s, dir)
     },
 
     // Z-order (Morton) multi-dimensional clustering: 2-dim box queries

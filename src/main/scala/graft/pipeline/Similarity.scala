@@ -41,7 +41,7 @@ object Similarity {
     * force that partition is the whole corpus, a single hot task at
     * 100 TB. Ordering semantics are identical (score desc, id asc).
     */
-  private def rankTopK(scored: DataFrame, k: Int, qidCol: String,
+  private[graft] def rankTopK(scored: DataFrame, k: Int, qidCol: String,
       idCol: String): DataFrame =
     scored
       .groupBy(col(qidCol))
@@ -126,27 +126,30 @@ object Similarity {
     * cells — at 100 TB the corpus would be written bucketed/partitioned
     * by `cell` so the probe prunes file groups.
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nCells: Int = 16, nProbe: Int = 4,
-      idCol: String = "vec_id", vecCol: String = "embedding",
-      qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
-    // Deterministic coarse centroids: the nCells corpus vectors with the
-    // smallest xxhash64(id) — a seeded pseudo-random sample, stable across
-    // runs. Collecting nCells rows to the driver is the broadcast-variable
-    // pattern: cell assignment then runs as a pure per-row expression with
-    // NO shuffle (k-means iterations would add cost, not determinism).
-    // cells are labelled by centroid INDEX (0..nCells-1) — the id column
-    // only seeds the deterministic sample order, so any id type works
-    val centroids: Array[(Long, Seq[Float])] = corpus
-      .select(col(vecCol), xxhash64(col(idCol)).as("h"))
-      .orderBy("h").limit(nCells).drop("h")
-      .collect().zipWithIndex
-      .map { case (r, i) => (i.toLong, r.getSeq[Float](0)) }
+  /** Deterministic coarse centroids: the nCells corpus vectors with the
+    * smallest xxhash64(id) — a seeded pseudo-random sample, stable across
+    * runs. Collecting nCells rows to the driver is the broadcast-variable
+    * pattern: cell assignment then runs as a pure per-row expression with
+    * NO shuffle (k-means iterations would add cost, not determinism).
+    * Cells are labelled by centroid INDEX (0..nCells-1) — the id column
+    * only seeds the deterministic sample order, so any id type works.
+    */
+  private[graft] def ivfCentroids(corpus: DataFrame, nCells: Int,
+      idCol: String, vecCol: String): Array[(Long, Seq[Float])] = corpus
+    .select(col(vecCol), xxhash64(col(idCol)).as("h"))
+    .orderBy("h").limit(nCells).drop("h")
+    .collect().zipWithIndex
+    .map { case (r, i) => (i.toLong, r.getSeq[Float](0)) }
+
+  /** The `n` nearest cells of `vec` as array<struct<d,cid>>: sorts a
+    * small literal struct array. (A naive when()-chained fold-argmax
+    * doubles the expression tree per centroid — 2^nCells nodes — and
+    * kills the driver; the array form is linear.)
+    */
+  private[graft] def ivfProbeCells(centroids: Array[(Long, Seq[Float])],
+      vec: Column, n: Int): Column = {
     def litVec(v: Seq[Float]): Column = array(v.map(lit): _*)
-    // nProbe nearest cells: sort a small literal struct array. (A naive
-    // when()-chained fold-argmax doubles the expression tree per centroid
-    // — 2^nCells nodes — and kills the driver; the array form is linear.)
-    def probeCells(vec: Column, n: Int): Column = slice(
+    slice(
       array_sort(
         array(centroids.map { case (cid, cv) =>
           struct(round(cosine(vec, litVec(cv)), 6).as("d"), lit(cid).as("cid"))
@@ -155,10 +158,17 @@ object Similarity {
           .when(l.getField("d") < r.getField("d"), 1)
           .when(l.getField("cid") < r.getField("cid"), -1).otherwise(1)),
       1, n)
+  }
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    val centroids = ivfCentroids(corpus, nCells, idCol, vecCol)
     val corpusCells = corpus.withColumn("cell",
-      probeCells(col(vecCol), 1).getItem(0).getField("cid"))
+      ivfProbeCells(centroids, col(vecCol), 1).getItem(0).getField("cid"))
     val queryCells = queries.withColumn("cell",
-      explode(probeCells(col(qvecCol), nProbe).getField("cid")))
+      explode(ivfProbeCells(centroids, col(qvecCol), nProbe).getField("cid")))
     val scored = corpusCells.join(broadcast(queryCells), Seq("cell"))
       .withColumn("score", round(cosine(col(vecCol), col(qvecCol)), 6))
     rankTopK(scored, k, qidCol, idCol)

@@ -256,6 +256,19 @@ class PlanSpec extends SparkSpec {
       s"sparse cosine fell back to a cross product:\n$p")
   }
 
+  test("x13: IVF probe prunes the cell-partitioned scan via DPP") {
+    val df = operators.Scale.ivfLayoutTopK(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the layout-side scan must carry a dynamicpruning PartitionFilter
+    // on the cell column — ANN routing surfacing as partition pruning
+    val pruned = p.linesIterator.filter(l =>
+      l.contains("PartitionFilters") && l.contains("dynamicpruning")).toSeq
+    assert(pruned.nonEmpty, s"no DPP on the cell-partitioned scan:\n$p")
+    assert(pruned.exists(_.contains("cell")),
+      s"DPP filter not on the cell column:\n${pruned.mkString("\n")}")
+  }
+
   test("x12: Morton interleave matches the reference bit math") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
