@@ -87,6 +87,24 @@ object Dedup {
     (df.sparkSession.read.parquet(dir.toString), dir)
   }
 
+  /** Row count of a just-written barrier, read from the parquet FOOTERS
+    * on the driver — file metadata, no Spark job. Used for bounded
+    * plan-selection scalars (e.g. "any exact dups at all?") where even
+    * a count() job would be pure overhead.
+    */
+  private def barrierRowCount(dir: java.nio.file.Path): Long = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.toUri), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
+  }
+
   /** Eagerly reclaim a barrier dir whose data is no longer referenced —
     * iterative algorithms cap scratch usage this way instead of letting
     * every round's barrier pile up until JVM exit.
@@ -204,11 +222,11 @@ object Dedup {
       "lsh-dups")
     // Dup-free corpus → the collapsed plan degenerates to the plain one
     // (no ids to drop, nothing to expand), so skip the anti-join and
-    // both expansion joins outright. The emptiness probe is a bounded
-    // driver scalar off the just-materialized barrier (~a parquet
-    // footer read), NOT a second digest shuffle — dup-carrying corpora
-    // (any real web crawl) take the full path with no extra work.
-    if (dupMembers.isEmpty) {
+    // both expansion joins outright. The emptiness probe is a literal
+    // parquet-footer read on the driver (file metadata, zero Spark
+    // jobs) — dup-carrying corpora (any real web crawl) take the full
+    // path with no extra work at all.
+    if (barrierRowCount(dupDir) == 0) {
       releaseBarrier(dupDir)
       return verifiedPairs(sigs, setCol, bands, r, threshold)
     }
