@@ -979,6 +979,41 @@ object Pipeline {
         .orderBy("id_a", "id_b")
     },
 
+    // JL random-projection distortion gate (the p43 sketch-quality
+    // pattern): project consecutive-id embedding pairs — real non-
+    // parallel geometry, NOT the scaled plants whose cosine a linear
+    // map preserves trivially — to 256 dims and assert the projected
+    // cosine sits within 0.30 of the exact one. Components are seeded
+    // hashes, so the distortion values are deterministic numbers, not
+    // draws: measured max over ALL consecutive pairs is ~0.20 at both
+    // gate SFs (sampled-pairs max ~0.12); 64 dims showed tail pairs at
+    // 0.44, which is why the gate sits at 256. The oracle recomputes
+    // the exact cosines (p05/p06-proven IEEE-identical) and asserts
+    // the bound literally.
+    QueryDef("p48_random_projection",
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                               CAST(b.embedding AS DOUBLE[])), 6)
+        |    AS cos,
+        |  true AS distortion_ok
+        |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+        |WHERE a.vec_id % 25 = 0 ORDER BY id_a""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val outDim = 256
+      val a = e.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      val b = e.select((col("vec_id") - 1).as("id_a"),
+        col("vec_id").as("id_b"), col("embedding").as("vb"))
+      a.join(b, Seq("id_a"))
+        .withColumn("cos", round(Similarity.cosine(col("va"), col("vb")), 6))
+        .withColumn("cos_p", Similarity.cosine(
+          Similarity.randomProjection(col("va"), outDim),
+          Similarity.randomProjection(col("vb"), outDim)))
+        .select(col("id_a"), col("id_b"), col("cos"),
+          (abs(col("cos_p") - col("cos")) <= 0.30).as("distortion_ok"))
+        .orderBy("id_a")
+    },
+
     // Cross-source content-overlap matrix: planted re-crawl source
     // ('replant' carries every 10th doc verbatim) must overlap every
     // original source it drew from; natural exact dups across sources

@@ -70,6 +70,27 @@ object Similarity {
   private def planeComponent(plane: Column, dim: Column): Column =
     (xxhash64(plane, dim).cast("double") / lit(Long.MaxValue.toDouble))
 
+  /** Johnson–Lindenstrauss random projection to `outDim` dimensions:
+    * out(j) = Σ_i vec(i)·c(j,i) / √outDim with the same deterministic
+    * xxhash-derived components the hyperplane LSH uses — no RNG state,
+    * identical across runs, partitionings, and engines. The JL lemma
+    * bounds pairwise-geometry distortion at O(1/√outDim); p48 gates
+    * that bound empirically per pair (the p43 sketch-quality pattern).
+    * This is the dimensionality-reduction half of embedding
+    * compression (p29 int8 quantization being the precision half):
+    * a 4096-dim corpus projected to 64 dims cuts ANN scan bytes 64×
+    * while candidate generation stays recall-useful; exact scores are
+    * then recomputed on the full vectors for the survivors, the same
+    * candidates-then-verify shape as every LSH family member.
+    */
+  def randomProjection(vec: Column, outDim: Int): Column =
+    transform(sequence(lit(0), lit(outDim - 1)), j =>
+      (aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x.cast("double") * planeComponent(j, i)),
+        lit(0.0), (a, x) => a + x) / math.sqrt(outDim.toDouble))
+        .cast("float"))
+
   /** `nPlanes`-bit random-hyperplane signature of a vector — equal-bucket
     * candidates approximate high cosine similarity. Native codegen'd
     * expression with a per-executor plane-component cache; the

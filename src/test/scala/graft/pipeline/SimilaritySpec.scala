@@ -160,4 +160,34 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.map(_.getLong(0)).toSeq == Seq(12L, 10L, 11L))
     assert(rows(2).isNullAt(1))
   }
+
+  test("JL projection: linearity, determinism, and distortion margin") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding")
+    // linearity: proj(c·v) = c·proj(v) ⇒ scaled pairs keep cosine 1
+    // exactly — which is WHY the p48 gate uses consecutive-id pairs,
+    // not the scaled plants
+    val lin = e.limit(5)
+      .withColumn("p1", Similarity.randomProjection(col("embedding"), 32))
+      .withColumn("p2", Similarity.randomProjection(
+        transform(col("embedding"), x => (x * lit(2.0f)).cast("float")), 32))
+      .withColumn("c", Similarity.cosine(col("p1"), col("p2")))
+      .select("c").collect().map(_.getDouble(0))
+    assert(lin.forall(c => math.abs(c - 1.0) < 1e-9), lin.mkString(","))
+    // distortion on ALL consecutive pairs at this SF (the gate samples
+    // every 25th), at a margin STRICTER than the p48 gate's 0.30 — if
+    // geometry drift ever eats the margin, this fails before the gate
+    // does. Measured: 0.1996 at sf0.001 / 0.1991 at sf0.01 for dim
+    // 256; dim 64 had tail pairs at 0.44, hence the operator's 256.
+    val a = e.select(col("vec_id").as("k"), col("embedding").as("va"))
+    val b = e.select((col("vec_id") - 1).as("k"), col("embedding").as("vb"))
+    val d = a.join(b, Seq("k"))
+      .withColumn("cos", Similarity.cosine(col("va"), col("vb")))
+      .withColumn("cos_p", Similarity.cosine(
+        Similarity.randomProjection(col("va"), 256),
+        Similarity.randomProjection(col("vb"), 256)))
+      .select(abs(col("cos_p") - col("cos")).as("d"))
+      .agg(max("d")).head().getDouble(0)
+    assert(d <= 0.25, f"max distortion $d%.4f exceeds the 0.25 spec margin")
+  }
 }
