@@ -591,6 +591,19 @@ object Pipeline {
         Similarity.bruteForceTopK(corpus, queries, k = annK), k = annK)
     },
 
+    // Projected-space ANN (p48's JL projection as an actual search
+    // path): shortlist in the 256-dim projected space, exact rerank of
+    // the shortlist on full vectors — same recall gate as p07/p08.
+    QueryDef("p49_sim_projected", annRecallOracle) { (s, dir) =>
+      val corpus = annCorpusWithPlants(s, dir)
+      val queries = corpus.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      annRecallGate(
+        Similarity.projectedTopK(corpus, queries, k = annK,
+          outDim = 256, shortlistFactor = 4),
+        Similarity.bruteForceTopK(corpus, queries, k = annK), k = annK)
+    },
+
     // ---- text analysis ------------------------------------------------
     // Trim with a whitespace-class regexp, not trim(): DuckDB's trim strips
     // spaces only while the Spark side strips all leading/trailing whitespace.

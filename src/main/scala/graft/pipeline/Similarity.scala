@@ -91,6 +91,37 @@ object Similarity {
         lit(0.0), (a, x) => a + x) / math.sqrt(outDim.toDouble))
         .cast("float"))
 
+  /** ANN top-k through the projected space: brute-force cosine over the
+    * `outDim`-dim JL projections picks a per-query shortlist, then the
+    * exact cosine over the FULL vectors reranks the shortlist to the
+    * final k — candidates-then-verify again, with the scan reading
+    * outDim floats per row instead of the full dimension (the memory/
+    * bandwidth ratio is the whole point at 100 TB: a 4096→256
+    * projection cuts the scanned bytes 16× and the shortlist rerank
+    * touches full vectors for shortlist×queries rows only). The
+    * shortlist multiplier absorbs projected-space rank inversions; the
+    * p49 gate measures the resulting recall against exact brute force.
+    */
+  def projectedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      outDim: Int = 256, shortlistFactor: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    val pc = corpus.select(col(idCol), col(vecCol),
+      randomProjection(col(vecCol), outDim).as("pv"))
+    val pq = queries.select(col(qidCol), col(qvecCol),
+      randomProjection(col(qvecCol), outDim).as("pq"))
+    val shortlist = rankTopK(
+      pc.crossJoin(broadcast(pq))
+        .withColumn("score", round(cosine(col("pv"), col("pq")), 6)),
+      k * shortlistFactor, qidCol, idCol)
+      .select(col(qidCol), col(idCol))
+    val exact = shortlist
+      .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
+      .join(broadcast(queries.select(col(qidCol), col(qvecCol))), Seq(qidCol))
+      .withColumn("score", round(cosine(col(vecCol), col(qvecCol)), 6))
+    rankTopK(exact, k, qidCol, idCol)
+  }
+
   /** `nPlanes`-bit random-hyperplane signature of a vector — equal-bucket
     * candidates approximate high cosine similarity. Native codegen'd
     * expression with a per-executor plane-component cache; the
