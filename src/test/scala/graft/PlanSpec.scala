@@ -245,6 +245,13 @@ class PlanSpec extends SparkSpec {
       s"no map-side partial top-k — every scored row crosses the shuffle:\n$p")
   }
 
+  test("p49: both top-k stages are bounded heaps, no per-query window") {
+    val p = executed("p49_sim_projected")
+    assert(!p.contains("Window"), s"per-query window in projected ANN:\n$p")
+    assert(p.contains("partial_topkpairs"),
+      s"shortlist/rerank not partial-aggregable:\n$p")
+  }
+
   test("p45: tf and dot-product aggregations are map-side partial (sparse cosine)") {
     val p = executed("p45_sparse_cosine")
     // the inverted-index shape lives or dies on partial aggregation:
