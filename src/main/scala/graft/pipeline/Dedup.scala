@@ -78,7 +78,7 @@ object Dedup {
   private[pipeline] def materializeBarrier(df: DataFrame, tag: String): DataFrame =
     materializeBarrierAt(df, tag)._1
 
-  private def materializeBarrierAt(
+  private[pipeline] def materializeBarrierAt(
       df: DataFrame, tag: String): (DataFrame, java.nio.file.Path) = {
     barrierHook
     val dir = java.nio.file.Files.createTempDirectory(s"graft-$tag-")
@@ -92,7 +92,7 @@ object Dedup {
     * plan-selection scalars (e.g. "any exact dups at all?") where even
     * a count() job would be pure overhead.
     */
-  private def barrierRowCount(dir: java.nio.file.Path): Long = {
+  private[pipeline] def barrierRowCount(dir: java.nio.file.Path): Long = {
     val conf = new org.apache.hadoop.conf.Configuration()
     import scala.jdk.CollectionConverters._
     java.nio.file.Files.list(dir).iterator().asScala
@@ -109,7 +109,7 @@ object Dedup {
     * iterative algorithms cap scratch usage this way instead of letting
     * every round's barrier pile up until JVM exit.
     */
-  private def releaseBarrier(dir: java.nio.file.Path): Unit = {
+  private[pipeline] def releaseBarrier(dir: java.nio.file.Path): Unit = {
     barrierDirs.remove(dir)
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()

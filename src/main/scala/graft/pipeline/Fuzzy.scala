@@ -31,51 +31,103 @@ import org.apache.spark.sql.functions._
   * (the pigeonhole is a theorem, not a probability), which is why it is
   * the right tool at small d even though its key fan-out grows with d.
   *
-  * Scale notes: keys carry only (id, short segment), never the corpus
-  * text; the verify join fetches strings by id afterwards. Hot keys are
-  * clusters of identical short strings — byte-identical inputs collide
-  * on every segment exactly like exact-dup documents in banded LSH, and
-  * the same digest pre-collapse applies if a corpus needs it. Strings
+  * Scale notes: keys carry only (id, hashed segment), never the corpus
+  * text; the verify join fetches strings by id afterwards. Strings
   * must have at least d+1 characters for non-degenerate segments;
   * shorter strings are handled by the length-bucket guard (pairs with
-  * length gap > d are impossible and never generated).
+  * length gap > d are impossible and never generated). Byte-identical
+  * strings — the hot-key case, since equal strings collide on EVERY
+  * segment — are collapsed to one representative before keying and
+  * expanded afterwards, exactly like the exact-dup pre-collapse in
+  * [[Dedup]]: the in-bucket join is bounded by DISTINCT string counts,
+  * and a million-copy title cluster contributes one row to the
+  * candidate join instead of a million.
   */
 object Fuzzy {
 
-  /** All unordered pairs (id_a < id_b) with levenshtein(s_a, s_b) <=
-    * maxDist, via PassJoin segment-pigeonhole candidates + exact verify.
-    *
-    * Key generation is the native codegen'd [[org.apache.spark.sql.graft
-    * .PassJoinKeys]] expression: each (partner_len, seg_idx, piece)
-    * 3-tuple is hashed to one long, so the candidate shuffle carries
-    * (id, long) only — a hash collision can only add a candidate, which
-    * the exact verify removes, so the output is unchanged.
+  /** PassJoin candidates + exact verify over a (id, s) table that is
+    * assumed duplicate-light (the pre-collapsed representative set).
+    * Key generation is the native codegen'd [[org.apache.spark.sql
+    * .graft.PassJoinKeys]] expression: each (partner_len, seg_idx,
+    * piece) 3-tuple is hashed to one long, so the candidate shuffle
+    * carries (id, long) only — a hash collision can only add a
+    * candidate, which the exact verify removes.
     */
-  def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
-      maxDist: Int = 2): DataFrame = {
-    import org.apache.spark.sql.graft.VectorExpressions.passJoinKeys
-    val d = maxDist
-    val base = df.select(col(idCol).as("id"), col(strCol).as("s"))
-
-    val indexed = base.select(col("id").as("id_s"),
-      explode(passJoinKeys(col("s"), d, probe = false)).as("key"))
-    val probes = base.select(col("id").as("id_r"),
-      explode(passJoinKeys(col("s"), d, probe = true)).as("key"))
-
-    // equi-join on the hashed key; orient shorter-indexed vs
-    // longer-probe (equal lengths pair both ways → distinct)
-    val cand = probes.join(indexed, Seq("key"))
-      .filter(col("id_r") =!= col("id_s"))
-      .select(least(col("id_r"), col("id_s")).as("id_a"),
-        greatest(col("id_r"), col("id_s")).as("id_b"))
-      .distinct()
-
+  private[pipeline] def rawPairs(base: DataFrame, d: Int): DataFrame = {
     val strs = base.select(col("id"), col("s"))
-    cand
+    candidates(base, d)
       .join(strs.select(col("id").as("id_a"), col("s").as("s_a")), Seq("id_a"))
       .join(strs.select(col("id").as("id_b"), col("s").as("s_b")), Seq("id_b"))
       .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
       .filter(col("dist") <= d)
       .select("id_a", "id_b", "dist")
+  }
+
+  /** Candidate pairs only (no verify) — exposed for the boundedness
+    * spec, which counts these under a planted mega-cluster.
+    */
+  private[pipeline] def candidates(base: DataFrame, d: Int): DataFrame = {
+    import org.apache.spark.sql.graft.VectorExpressions.passJoinKeys
+    val indexed = base.select(col("id").as("id_s"),
+      explode(passJoinKeys(col("s"), d, probe = false)).as("key"))
+    val probes = base.select(col("id").as("id_r"),
+      explode(passJoinKeys(col("s"), d, probe = true)).as("key"))
+    // equi-join on the hashed key; orient shorter-indexed vs
+    // longer-probe (equal lengths pair both ways → distinct)
+    probes.join(indexed, Seq("key"))
+      .filter(col("id_r") =!= col("id_s"))
+      .select(least(col("id_r"), col("id_s")).as("id_a"),
+        greatest(col("id_r"), col("id_s")).as("id_b"))
+      .distinct()
+  }
+
+  /** All unordered pairs (id_a < id_b) with levenshtein(s_a, s_b) <=
+    * maxDist, via exact-dup pre-collapse around the PassJoin join.
+    *
+    * Semantics are identical to keying every copy: members of an
+    * identical-string cluster share every segment key, so candidate and
+    * verify decisions for cross-cluster pairs match the uncollapsed
+    * plan, and intra-cluster pairs have distance exactly 0. The dup
+    * index materializes through the same temp-parquet barrier as the
+    * LSH family so its size stats drive the expansion-join strategy,
+    * and a dup-free corpus skips the collapse machinery entirely via
+    * the footer-count probe.
+    */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int = 2): DataFrame = {
+    val d = maxDist
+    val base = df.select(col(idCol).as("id"), col(strCol).as("s"))
+    val clusters = base.groupBy("s")
+      .agg(min(col("id")).as("rep"), count(lit(1)).as("n"))
+    val (dupMembers, dupDir) = Dedup.materializeBarrierAt(
+      base.join(clusters.filter(col("n") >= 2).select("s", "rep"), Seq("s"))
+        .select(col("id"), col("rep")),
+      "fuzzy-dups")
+    if (Dedup.barrierRowCount(dupDir) == 0) {
+      Dedup.releaseBarrier(dupDir)
+      return rawPairs(base, d)
+    }
+    val dupIds = dupMembers.filter(col("id") =!= col("rep")).select("id")
+    val repPairs = rawPairs(base.join(dupIds, Seq("id"), "left_anti"), d)
+    // cross-cluster: expanded members inherit their representatives'
+    // verified distance (identical strings ⇒ identical value); a
+    // singleton rep is absent from dupMembers and keeps its own id
+    val cross = repPairs
+      .join(dupMembers.select(col("rep").as("id_a"), col("id").as("ma")),
+        Seq("id_a"), "left")
+      .join(dupMembers.select(col("rep").as("id_b"), col("id").as("mb")),
+        Seq("id_b"), "left")
+      .select(
+        least(coalesce(col("ma"), col("id_a")),
+          coalesce(col("mb"), col("id_b"))).as("id_a"),
+        greatest(coalesce(col("ma"), col("id_a")),
+          coalesce(col("mb"), col("id_b"))).as("id_b"),
+        col("dist"))
+    // intra-cluster: identical strings, distance 0 — always <= maxDist
+    val intra = dupMembers.select(col("rep"), col("id").as("id_a"))
+      .join(dupMembers.select(col("rep"), col("id").as("id_b")), Seq("rep"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(0).as("dist"))
+    cross.unionAll(intra)
   }
 }

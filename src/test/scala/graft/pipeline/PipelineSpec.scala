@@ -825,6 +825,33 @@ class PipelineSpec extends SparkSpec {
       s"missing: ${(brute -- got).take(5)}; extra: ${(got -- brute).take(5)}")
   }
 
+  test("fuzzy join: mega-cluster of identical strings is pre-collapsed") {
+    import spark.implicits._
+    // 300 byte-identical copies + a typo'd neighbor + unrelated strings:
+    // without the collapse, the copies collide on EVERY segment key and
+    // the candidate join emits ~300²/2 pairs; with it, candidates over
+    // the representative set are bounded by DISTINCT strings while the
+    // OUTPUT still contains all intra-cluster pairs (dist 0) and every
+    // copy pairs with the typo'd neighbor.
+    val copies = (1L to 300L).map(i => (i, "the exact same title here ok"))
+    val corpus = (copies ++ Seq(
+      (400L, "the exact same title here oX"), // dist 1 from the cluster
+      (500L, "completely different string !!"))).toDF("doc_id", "text")
+    val out = Fuzzy.editDistancePairs(corpus, "doc_id", "text", maxDist = 2)
+    val n = out.count()
+    // 300 choose 2 intra + 300 cross pairs with the typo
+    assert(n == 300L * 299 / 2 + 300, s"pair count $n")
+    assert(out.filter(col("dist") === 0).count() == 300L * 299 / 2)
+    assert(out.filter(col("id_b") === 400L).count() == 300)
+    // the candidate join over the pre-collapsed set sees DISTINCT
+    // strings only: 2 within-distance strings + 1 far one → at most
+    // (3 choose 2) candidates, not ~45k
+    val reps = corpus.groupBy("text").agg(min("doc_id").as("id"))
+      .select(col("id"), col("text").as("s"))
+    val cand = Fuzzy.candidates(reps, 2).count()
+    assert(cand <= 3, s"collapsed candidate count $cand")
+  }
+
   test("sparse cosine: df-pruning drops stopword-only pairs, keeps real ones") {
     import spark.implicits._
     // docs 1/2 share ONLY the ubiquitous token "the" (df > maxDf after
