@@ -201,23 +201,33 @@ object Dedup {
     * pairs have Jaccard exactly 1.0 (identical shingle sets; the
     * union==0 corner also yields 1.0 — see SortedLongJaccard).
     *
-    * Adaptivity is plan-level, no driver-side branching: only the
-    * membership of MULTI-member clusters is materialized (one narrow
-    * groupBy over (id, dg) — the digest index a production corpus
-    * maintains anyway), so its parquet size stats drive every downstream
-    * join strategy. A dup-free or lightly-duplicated corpus yields a
-    * tiny (or empty) table → the anti-join that drops non-rep copies and
-    * both expansion joins plan as broadcasts and the signature table is
-    * never shuffled; a dup-heavy corpus exceeds the broadcast threshold
-    * and falls back to shuffle joins, which is then the right plan.
+    * The collapse engages per cluster only at size ≥
+    * [[CollapseThreshold]]: a cluster below it contributes at most
+    * threshold²/2 in-bucket pairs — linear in corpus size for a fixed
+    * threshold, harmless — while its members' intra pairs flow through
+    * the ordinary band+verify path (identical signatures always meet,
+    * verify to exactly 1.0). Thresholding keeps the lightly-duplicated
+    * common case (a handful of 2-copy clusters) on the zero-overhead
+    * fast path below, while million-copy boilerplate still collapses.
+    *
+    * Adaptivity is plan-level beyond that, no driver-side branching:
+    * only the membership of AT-THRESHOLD clusters is materialized (one
+    * narrow groupBy over (id, dg) — the digest index a production
+    * corpus maintains anyway), so its parquet size stats drive every
+    * downstream join strategy; a dup-heavy corpus exceeds the broadcast
+    * threshold and falls back to shuffle joins, which is then the right
+    * plan.
     */
+  private[pipeline] val CollapseThreshold = 8
+
   private[graft] def lshCollapsedPairs(sigs: DataFrame, setCol: String,
       bands: Int, r: Int, threshold: Double): DataFrame = {
     val clusters = sigs.groupBy("dg")
       .agg(min(col("id")).as("rep"), count(lit(1)).as("n"))
     val (dupMembers, dupDir) = materializeBarrierAt(
       sigs.select(col("id"), col("dg"))
-        .join(clusters.filter(col("n") >= 2).select("dg", "rep"), Seq("dg"))
+        .join(clusters.filter(col("n") >= CollapseThreshold)
+          .select("dg", "rep"), Seq("dg"))
         .select(col("id"), col("rep")),
       "lsh-dups")
     // Dup-free corpus → the collapsed plan degenerates to the plain one

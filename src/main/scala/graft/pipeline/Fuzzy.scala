@@ -97,10 +97,15 @@ object Fuzzy {
       maxDist: Int = 2): DataFrame = {
     val d = maxDist
     val base = df.select(col(idCol).as("id"), col(strCol).as("s"))
+    // collapse engages per cluster only at Dedup.CollapseThreshold —
+    // small clusters self-join within the key buckets at ≤ threshold²/2
+    // pairs each (linear in corpus size), so the common lightly-
+    // duplicated corpus stays on the zero-overhead fast path
     val clusters = base.groupBy("s")
       .agg(min(col("id")).as("rep"), count(lit(1)).as("n"))
     val (dupMembers, dupDir) = Dedup.materializeBarrierAt(
-      base.join(clusters.filter(col("n") >= 2).select("s", "rep"), Seq("s"))
+      base.join(clusters.filter(col("n") >= Dedup.CollapseThreshold)
+        .select("s", "rep"), Seq("s"))
         .select(col("id"), col("rep")),
       "fuzzy-dups")
     if (Dedup.barrierRowCount(dupDir) == 0) {

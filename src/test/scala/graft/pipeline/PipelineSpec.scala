@@ -825,6 +825,26 @@ class PipelineSpec extends SparkSpec {
       s"missing: ${(brute -- got).take(5)}; extra: ${(got -- brute).take(5)}")
   }
 
+  test("sub-threshold exact-dup clusters still pair through the band path") {
+    // 3 identical copies sit BELOW CollapseThreshold (8): the collapse
+    // machinery must not engage, yet identical signatures always meet
+    // in every band, so all 3 intra pairs surface at jaccard 1.0 —
+    // the semantic half of the thresholding argument.
+    val base = docs.limit(30)
+    val copies = docs.limit(1).select(lit(8001L).as("doc_id"), col("text"))
+      .unionAll(docs.limit(1).select(lit(8002L).as("doc_id"), col("text")))
+    val corpus = base.unionAll(copies)
+    val origId = docs.limit(1).select("doc_id").head().getLong(0)
+    val pairs = Dedup.minhashPairs(corpus, "doc_id", "text",
+      k = 64, bands = 16, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val intra = pairs.filter { case (a, b, _) =>
+      Set(origId, 8001L, 8002L).contains(a) &&
+        Set(origId, 8001L, 8002L).contains(b) }
+    assert(intra.length == 3, s"expected 3 intra pairs, got ${intra.toSeq}")
+    assert(intra.forall(_._3 == 1.0), intra.toSeq.toString)
+  }
+
   test("fuzzy join: mega-cluster of identical strings is pre-collapsed") {
     import spark.implicits._
     // 300 byte-identical copies + a typo'd neighbor + unrelated strings:
