@@ -825,6 +825,48 @@ class PipelineSpec extends SparkSpec {
       s"missing: ${(brute -- got).take(5)}; extra: ${(got -- brute).take(5)}")
   }
 
+  test("PassJoin recall property: any ≤d-edit neighbor shares a key (seeded fuzz)") {
+    import org.apache.spark.sql.graft.PassJoinKeys
+    import org.apache.spark.unsafe.types.UTF8String
+    def keys(s: String, d: Int, probe: Boolean): Set[Long] = {
+      val a = PassJoinKeys.compute(UTF8String.fromString(s), d, probe)
+      (0 until a.numElements()).map(a.getLong).toSet
+    }
+    val rnd = new scala.util.Random(42) // fixed seed — deterministic
+    val alpha = "abcdefgh"
+    def randStr(n: Int) =
+      (1 to n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    var checked = 0
+    for (_ <- 1 to 300) {
+      val d = 2
+      val len = 3 + rnd.nextInt(38) // lengths 3..40 incl. the degenerate low end
+      val s = randStr(len)
+      // apply 1..d random edits
+      var t = s
+      for (_ <- 1 to 1 + rnd.nextInt(d)) {
+        val op = rnd.nextInt(3)
+        val pos = rnd.nextInt(math.max(t.length, 1))
+        t = op match {
+          case 0 if t.nonEmpty => // substitution
+            t.updated(pos, alpha(rnd.nextInt(alpha.length)))
+          case 1 if t.length > 1 => t.take(pos) + t.drop(pos + 1) // deletion
+          case _ => // insertion
+            t.take(pos) + alpha(rnd.nextInt(alpha.length)) + t.drop(pos)
+        }
+      }
+      // the operator's contract excludes strings shorter than d+1
+      if (t.length >= d + 1) {
+        val (shorter, longer) = if (s.length <= t.length) (s, t) else (t, s)
+        val shared = keys(longer, d, probe = true)
+          .intersect(keys(shorter, d, probe = false))
+        assert(shared.nonEmpty,
+          s"pigeonhole violated: '$s' vs '$t' share no key")
+        checked += 1
+      }
+    }
+    assert(checked > 250, s"only $checked cases exercised")
+  }
+
   test("sub-threshold exact-dup clusters still pair through the band path") {
     // 3 identical copies sit BELOW CollapseThreshold (8): the collapse
     // machinery must not engage, yet identical signatures always meet
