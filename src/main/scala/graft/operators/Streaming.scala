@@ -112,6 +112,36 @@ object Streaming {
         "s07_bloom_dedup", outputMode = "append")
     },
 
+    // Streaming trending top-k: the stream maintains the windowed
+    // counts (s01's watermarked aggregation — the only part that must
+    // be incremental); the top-k rank is a batch query over the
+    // AGGREGATED result, which is bounded by windows × event types, not
+    // by event volume — the production dashboard shape. Ties break on
+    // event_type for a deterministic hash gate.
+    QueryDef("s08_stream_trending",
+      """WITH c AS (
+        |  SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT hour, event_type, n,
+        |    ROW_NUMBER() OVER (PARTITION BY hour
+        |                       ORDER BY n DESC, event_type) AS rank
+        |  FROM c)
+        |SELECT hour, event_type, n, rank FROM r WHERE rank <= 3
+        |ORDER BY hour, rank""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val counts = Streams.runToMemory(s,
+        Streams.hourlyCounts(Streams.eventsStream(s, dir)),
+        "s08_trending")
+      counts
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("hour")
+            .orderBy(col("n").desc, col("event_type"))).cast("long"))
+        .filter(col("rank") <= 3)
+        .select("hour", "event_type", "n", "rank")
+        .orderBy("hour", "rank")
+    },
+
     // custom arbitrary state: flatMapGroupsWithState running stats — the
     // single AvailableNow batch's final state must equal the batch agg
     QueryDef("s03_stream_custom_state",
