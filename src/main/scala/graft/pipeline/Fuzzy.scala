@@ -97,10 +97,9 @@ object Fuzzy {
       maxDist: Int = 2): DataFrame = {
     val d = maxDist
     val base = df.select(col(idCol).as("id"), col(strCol).as("s"))
-    // collapse engages per cluster only at Dedup.CollapseThreshold —
-    // small clusters self-join within the key buckets at ≤ threshold²/2
-    // pairs each (linear in corpus size), so the common lightly-
-    // duplicated corpus stays on the zero-overhead fast path
+    // collapse engages for every multi-member cluster (see the measured
+    // rationale on Dedup.CollapseThreshold: verify cost scales with
+    // copies², so leaving small clusters to the key path loses at scale)
     val clusters = base.groupBy("s")
       .agg(min(col("id")).as("rep"), count(lit(1)).as("n"))
     val (dupMembers, dupDir) = Dedup.materializeBarrierAt(

@@ -867,11 +867,12 @@ class PipelineSpec extends SparkSpec {
     assert(checked > 250, s"only $checked cases exercised")
   }
 
-  test("sub-threshold exact-dup clusters still pair through the band path") {
-    // 3 identical copies sit BELOW CollapseThreshold (8): the collapse
-    // machinery must not engage, yet identical signatures always meet
-    // in every band, so all 3 intra pairs surface at jaccard 1.0 —
-    // the semantic half of the thresholding argument.
+  test("small exact-dup clusters yield all intra pairs at jaccard 1.0") {
+    // 3 identical copies: whether the collapse engages or the copies go
+    // through banding (identical signatures always meet in every band),
+    // the OUTPUT must contain all 3 intra pairs at exactly 1.0 — the
+    // path-independence invariant that let the collapse threshold be
+    // tuned on measurements alone.
     val base = docs.limit(30)
     val copies = docs.limit(1).select(lit(8001L).as("doc_id"), col("text"))
       .unionAll(docs.limit(1).select(lit(8002L).as("doc_id"), col("text")))
