@@ -1027,6 +1027,41 @@ object Pipeline {
         .orderBy("id_a")
     },
 
+    // Multimodal content dedup end-to-end: binary media → deterministic
+    // feature vectors (the featureStub standing in for model inference;
+    // identical bytes ⇒ identical features) → banded hyperplane LSH
+    // pairs. Every 20th doc's media is duplicated verbatim under a new
+    // id, and the gate asserts each planted copy pair is found at
+    // cosine ≈ 1 — the "find duplicate images by content" pipeline with
+    // the decode stub swapped for a real encoder at production. DuckDB
+    // cannot recompute hash-seeded features, so this is the p17 boolean
+    // pattern: the oracle recomputes the planted id set and asserts
+    // `found` literally.
+    QueryDef("p50_mm_dedup",
+      """SELECT doc_id, doc_id + 1000000 AS copy_id, true AS found
+        |FROM documents WHERE doc_id % 20 = 0 ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+        val media = Multimodal.withSyntheticMedia(
+          t(s, dir, "documents").select("doc_id", "text"))
+        val plants = media.filter(col("doc_id") % 20 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text"),
+            col("media"))
+        val corpus = media.unionAll(plants).select("doc_id", "media")
+        val feats = Multimodal.featureStub(corpus, dim = 16)
+        val pairs = Similarity.embeddingNearDupPairs(
+          feats.select(col("doc_id").as("vec_id"),
+            col("features").as("embedding")),
+          threshold = 0.9999, bands = 8, rowsPerBand = 16)
+        media.filter(col("doc_id") % 20 === 0)
+          .select(col("doc_id"), (col("doc_id") + 1000000).as("copy_id"))
+          .join(pairs.select(col("id_a").as("doc_id"),
+            col("id_b").as("copy_id"), col("cos")),
+            Seq("doc_id", "copy_id"), "left")
+          .select(col("doc_id"), col("copy_id"),
+            (coalesce(col("cos"), lit(0.0)) >= 0.9999).as("found"))
+          .orderBy("doc_id")
+    },
+
     // Cross-source content-overlap matrix: planted re-crawl source
     // ('replant' carries every 10th doc verbatim) must overlap every
     // original source it drew from; natural exact dups across sources
