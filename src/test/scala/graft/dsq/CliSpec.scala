@@ -101,6 +101,22 @@ class CliPipeSpec extends SparkSpec {
     }
   }
 
+  // the remaining -s types, each against its reference fixture (counts
+  // from the corresponding file-arg goldens) — with these, EVERY format
+  // the engine reads is also proven through the stdin path
+  for ((fmt, file, n) <- Seq(
+    ("orc", "orc/test_data.orc", 1000),
+    ("avro", "avro/test_data.avro", 1000),
+    ("yaml", "yaml/userdata.yaml", 5),
+    ("logfmt", "logfmt/log.logfmt", 5))) {
+    test(s"pipe: cat $file | dsq -s $fmt query") {
+      val (code, out) = runCli(
+        Array("-s", fmt, "SELECT COUNT(1) AS c FROM {}"), s"$td/$file")
+      assert(code == 0, s"exit $code, out: $out")
+      assert(canonJson(out) == canonJson(s"""[{"c":$n}]"""))
+    }
+  }
+
   // S12–S14 golden pipes (reference README.md: apache2error /
   // apache2access / nginxaccess are stdin-only formats — no extension
   // maps to them, so `-s` is the only way in, exactly how the reference
