@@ -117,6 +117,32 @@ class CliPipeSpec extends SparkSpec {
     }
   }
 
+  test("pipe: concatenated JSON via -s cjson") {
+    val f = java.nio.file.Files.createTempFile("pipe_cjson", ".cjson")
+    try {
+      java.nio.file.Files.writeString(f,
+        """{"a": 1}{"a": 2}
+          |{"a": 3}""".stripMargin)
+      val (code, out) = runCli(
+        Array("-s", "cjson", "SELECT COUNT(1) AS c FROM {}"), f.toString)
+      assert(code == 0, s"exit $code, out: $out")
+      assert(canonJson(out) == canonJson("""[{"c":3}]"""))
+    } finally java.nio.file.Files.deleteIfExists(f)
+  }
+
+  test("pipe: unknown -s mimetype fails with the exact error") {
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val oldErr = System.err
+    System.setErr(new java.io.PrintStream(errBuf, true, "UTF-8"))
+    try {
+      val (code, _) = runCli(
+        Array("-s", "nope", "SELECT COUNT(1) AS c FROM {}"),
+        s"$td/convert.csv")
+      assert(code == 1)
+      assert(errBuf.toString("UTF-8").contains("Unknown mimetype: nope."))
+    } finally System.setErr(oldErr)
+  }
+
   // S12–S14 golden pipes (reference README.md: apache2error /
   // apache2access / nginxaccess are stdin-only formats — no extension
   // maps to them, so `-s` is the only way in, exactly how the reference
