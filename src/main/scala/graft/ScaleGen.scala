@@ -68,10 +68,57 @@ object ScaleGen {
     embsScaled.repartition(32)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
+    // scale the transactional tables too, preserving join integrity:
+    // l_orderkey/o_orderkey shift together (lineitem→orders joins keep
+    // matching), event_id shifts (unique ids for window tiebreaks),
+    // customer/supplier/part/nation/region stay — dimensions don't grow
+    // 10× when facts do, which is exactly the broadcast-join story
+    def shifted(name: String, keyCol: String, quantum: Long): Unit = {
+      val src0 = Tables.load(spark, src, name)
+      val scaled = (0 until factor).map { k =>
+        src0.withColumn(keyCol, col(keyCol) + lit(k * quantum))
+      }.reduce(_ unionAll _)
+      scaled.repartition(32)
+        .write.mode("overwrite").parquet(s"$out/$name.parquet")
+    }
+    // ONE shift quantum shared by both sides of the orderkey join —
+    // independently-derived maxes could misalign the copies
+    val orderQuantum = Tables.load(spark, src, "orders")
+      .agg(max("o_orderkey")).head().getLong(0) + 1
+    shifted("lineitem", "l_orderkey", orderQuantum)
+    shifted("orders", "o_orderkey", orderQuantum)
+    // events must land as a single FILE named events.parquet — the
+    // streaming source globs for that exact file name, and a directory
+    // of part files would silently stream zero rows
+    val eventQuantum = Tables.load(spark, src, "events")
+      .agg(max("event_id")).head().getLong(0) + 1
+    val ev0 = Tables.load(spark, src, "events")
+    val evScaled = (0 until factor).map { k =>
+      ev0.withColumn("event_id", col("event_id") + lit(k * eventQuantum))
+    }.reduce(_ unionAll _)
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
+    }
+    val evTmp = s"$out/_events_tmp"
+    evScaled.coalesce(1).write.mode("overwrite").parquet(evTmp)
+    rmTree(new java.io.File(out, "events.parquet")) // stale file OR dir
+    val part = java.nio.file.Files.list(java.nio.file.Paths.get(evTmp))
+      .iterator()
+    var moved = false
+    while (part.hasNext && !moved) {
+      val f = part.next()
+      if (f.getFileName.toString.endsWith(".parquet")) {
+        java.nio.file.Files.move(f,
+          java.nio.file.Paths.get(out, "events.parquet"))
+        moved = true
+      }
+    }
+    require(moved, "no part file produced for events")
+    rmTree(new java.io.File(evTmp))
+
     // pass the remaining tables through untouched (hard copy, not
     // symlink: the bench keys its ingest fixtures on lineitem mtime)
-    for (t <- Seq("region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events")) {
+    for (t <- Seq("region", "nation", "customer", "supplier", "part")) {
       val from = java.nio.file.Paths.get(src, s"$t.parquet")
       val to = java.nio.file.Paths.get(out, s"$t.parquet")
       if (java.nio.file.Files.exists(from) &&
