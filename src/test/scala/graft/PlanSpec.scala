@@ -252,6 +252,14 @@ class PlanSpec extends SparkSpec {
       s"shortlist/rerank not partial-aggregable:\n$p")
   }
 
+  test("p47: source-overlap joins stay equi-join with partial aggregation") {
+    val p = executed("p47_source_overlap")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"overlap matrix fell back to a cross product:\n$p")
+    assert(p.contains("Partial") || p.contains("partial_count"),
+      s"no map-side partial aggregation:\n$p")
+  }
+
   test("p45: tf and dot-product aggregations are map-side partial (sparse cosine)") {
     val p = executed("p45_sparse_cosine")
     // the inverted-index shape lives or dies on partial aggregation:
