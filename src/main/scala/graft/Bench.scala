@@ -42,6 +42,10 @@ object Bench {
     "p44_canonicalize",   // native NFC normalization + digests
     "p45_sparse_cosine",  // df-pruned inverted-index token cosine
     "p46_fuzzy_join",     // PassJoin segment-pigeonhole ed-join
+    "p47_source_overlap", // per-digest source self-join matrix
+    "p49_sim_projected",  // JL shortlist + exact rerank (raw operator)
+    "p50_mm_dedup",       // media bytes -> features -> LSH pairs
+    "s08_stream_trending", // streaming windowed counts + bounded rank
     "s01_stream_hourly",  // structured streaming
     "x03_asof_join",      // union+window as-of composition
     "x04_range_join",     // bucketed interval join
@@ -109,6 +113,13 @@ object Bench {
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
         graft.pipeline.Similarity.ivfTopK(corpus, queries,
           k = 10, nCells = 16, nProbe = 4)
+      },
+      "p49_sim_projected" -> { (s, dir) =>
+        val corpus = Tables.load(s, dir, "embeddings")
+        val queries = corpus.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        graft.pipeline.Similarity.projectedTopK(corpus, queries,
+          k = 10, outDim = 256, shortlistFactor = 4)
       },
       "f07_csv_ingest_cold" -> { (s, dir) =>
         val (csv, _) = ensureIngestFixtures(s, dir)

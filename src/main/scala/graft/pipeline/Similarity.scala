@@ -84,6 +84,13 @@ object Similarity {
     * candidates-then-verify shape as every LSH family member.
     */
   def randomProjection(vec: Column, outDim: Int): Column =
+    org.apache.spark.sql.graft.VectorExpressions.randomProjection(vec, outDim)
+
+  /** Reference lambda implementation of [[randomProjection]] — the spec
+    * asserts the native expression reproduces it bit-for-bit.
+    */
+  private[pipeline] def randomProjectionLambda(vec: Column,
+      outDim: Int): Column =
     transform(sequence(lit(0), lit(outDim - 1)), j =>
       (aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),

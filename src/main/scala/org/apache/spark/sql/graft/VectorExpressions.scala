@@ -108,6 +108,12 @@ object VectorExpressions {
     */
   def passJoinKeys(s: Column, maxDist: Int, probe: Boolean): Column =
     column(PassJoinKeys(expression(s), maxDist, probe))
+
+  /** JL random projection to `outDim` dims (native loop, cached plane
+    * components). See [[RandomProjection]].
+    */
+  def randomProjection(vec: Column, outDim: Int): Column =
+    column(RandomProjection(expression(vec), outDim))
 }
 
 /** Set Jaccard |A∩B|/|A∪B| of two pre-sorted distinct long arrays by
@@ -498,7 +504,7 @@ object HyperplaneSignatures {
   private val cache = new java.util.concurrent.ConcurrentHashMap[
     (Int, Int), Array[Double]]()
 
-  private def components(totalPlanes: Int, dim: Int): Array[Double] =
+  private[graft] def components(totalPlanes: Int, dim: Int): Array[Double] =
     cache.computeIfAbsent((totalPlanes, dim), { _ =>
       val out = new Array[Double](totalPlanes * dim)
       var q = 0
@@ -540,6 +546,56 @@ object HyperplaneSignatures {
       }
       out(b) = sig
       b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Johnson–Lindenstrauss random projection to `outDim` dims: out(j) =
+  * Σ_i vec(i)·c(j,i) / √outDim with the SAME cached plane components as
+  * [[HyperplaneSignatures]] (identical xxhash chain), accumulated in
+  * double in array order — bit-identical to the zip_with/aggregate
+  * lambda form it replaces, proven by the SimilaritySpec equivalence
+  * test. The projection pass is corpus-wide in p49's shortlist stage,
+  * so it gets the same native-loop treatment as every signature stage.
+  */
+case class RandomProjection(child: Expression, outDim: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  protected override def nullSafeEval(input: Any): Any =
+    RandomProjection.compute(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], outDim)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.RandomProjection.compute($c, $outDim)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RandomProjection {
+  def compute(vec: org.apache.spark.sql.catalyst.util.ArrayData,
+      outDim: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val dim = vec.numElements()
+    val comp = HyperplaneSignatures.components(outDim, dim)
+    val scale = math.sqrt(outDim.toDouble)
+    val out = new Array[Float](outDim)
+    var j = 0
+    while (j < outDim) {
+      val base = j * dim
+      var acc = 0.0
+      var i = 0
+      while (i < dim) {
+        acc += vec.getFloat(i).toDouble * comp(base + i)
+        i += 1
+      }
+      out(j) = (acc / scale).toFloat
+      j += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }

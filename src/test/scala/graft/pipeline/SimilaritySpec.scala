@@ -161,6 +161,19 @@ class SimilaritySpec extends SparkSpec {
     assert(rows(2).isNullAt(1))
   }
 
+  test("JL projection: native expression == lambda form bit-for-bit") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").limit(50)
+    val both = e.select(
+      Similarity.randomProjection(col("embedding"), 64).as("n"),
+      Similarity.randomProjectionLambda(col("embedding"), 64).as("l"))
+      .collect()
+    for (r <- both) {
+      val n = r.getSeq[Float](0); val l = r.getSeq[Float](1)
+      assert(n == l, s"native/lambda diverge: ${n.take(3)} vs ${l.take(3)}")
+    }
+  }
+
   test("JL projection: linearity, determinism, and distortion margin") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
       .select("vec_id", "embedding")
