@@ -33,15 +33,24 @@ import org.apache.spark.sql.functions._
   *
   * Scale notes: keys carry only (id, hashed segment), never the corpus
   * text; the verify join fetches strings by id afterwards. Strings
-  * must have at least d+1 characters for non-degenerate segments;
-  * shorter strings are handled by the length-bucket guard (pairs with
-  * length gap > d are impossible and never generated). Byte-identical
-  * strings — the hot-key case, since equal strings collide on EVERY
-  * segment — are collapsed to one representative before keying and
-  * expanded afterwards, exactly like the exact-dup pre-collapse in
-  * [[Dedup]]: the in-bucket join is bounded by DISTINCT string counts,
-  * and a million-copy title cluster contributes one row to the
-  * candidate join instead of a million.
+  * with fewer than d+1 characters cannot carve d+1 non-empty segments
+  * and emit no PassJoin keys; their pairs are rescued by a direct
+  * length-bucketed join (see [[candidates]]) — a partner of a ≤d-char
+  * string is itself ≤2d chars, so after pre-collapse both length
+  * classes are bounded by the alphabet, never by the corpus.
+  * Byte-identical strings — the hot-key case, since equal strings
+  * collide on EVERY segment — are collapsed to one representative
+  * before keying and expanded afterwards, exactly like the exact-dup
+  * pre-collapse in [[Dedup]]: the in-bucket join is bounded by DISTINCT
+  * string counts, and a million-copy title cluster contributes one row
+  * to the candidate join instead of a million.
+  *
+  * Unicode contract: segment boundaries (native PassJoinKeys) measure
+  * UTF-16 code units while the exact verify counts code points, so a
+  * single astral-plane (non-BMP) edit can shift a string across the
+  * probed partner-length window and miss a true pair. Inputs are
+  * assumed BMP-only (every fixture and gate here is); segmenting by
+  * code points is the lift if that contract ever breaks.
   */
 object Fuzzy {
 
@@ -74,11 +83,29 @@ object Fuzzy {
       explode(passJoinKeys(col("s"), d, probe = true)).as("key"))
     // equi-join on the hashed key; orient shorter-indexed vs
     // longer-probe (equal lengths pair both ways → distinct)
-    probes.join(indexed, Seq("key"))
+    val segPairs = probes.join(indexed, Seq("key"))
       .filter(col("id_r") =!= col("id_s"))
       .select(least(col("id_r"), col("id_s")).as("id_a"),
         greatest(col("id_r"), col("id_s")).as("id_b"))
-      .distinct()
+    // Short-string rescue (ADVICE r5): a string with ≤ d chars cannot
+    // carve d+1 non-empty segments and emits no keys above, so ALL its
+    // pairs would be dropped. Any true partner differs by ≤ d chars of
+    // length, i.e. is ≤ 2d chars — both length classes are bounded by
+    // the alphabet (|Σ|^d resp. |Σ|^2d DISTINCT strings, and the caller
+    // pre-collapses exact copies), so a direct per-length-bucket join is
+    // constant-bounded at any corpus size. Shorts probe every partner
+    // length within ±d; partners index their own length.
+    val shortProbe = base.filter(length(col("s")) <= d)
+      .select(col("id").as("id_r"), explode(sequence(
+        greatest(length(col("s")) - d, lit(0)),
+        length(col("s")) + d)).as("lb"))
+    val shortIndex = base.filter(length(col("s")) <= 2 * d)
+      .select(col("id").as("id_s"), length(col("s")).as("lb"))
+    val shortPairs = shortProbe.join(shortIndex, Seq("lb"))
+      .filter(col("id_r") =!= col("id_s"))
+      .select(least(col("id_r"), col("id_s")).as("id_a"),
+        greatest(col("id_r"), col("id_s")).as("id_b"))
+    segPairs.unionAll(shortPairs).distinct()
   }
 
   /** All unordered pairs (id_a < id_b) with levenshtein(s_a, s_b) <=
@@ -99,20 +126,31 @@ object Fuzzy {
     val base = df.select(col(idCol).as("id"), col(strCol).as("s"))
     // collapse engages for every multi-member cluster (see the measured
     // rationale on Dedup.CollapseThreshold: verify cost scales with
-    // copies², so leaving small clusters to the key path loses at scale)
-    val clusters = base.groupBy("s")
-      .agg(min(col("id")).as("rep"), count(lit(1)).as("n"))
-    val (dupMembers, dupDir) = Dedup.materializeBarrierAt(
-      base.join(clusters.filter(col("n") >= Dedup.CollapseThreshold)
-        .select("s", "rep"), Seq("s"))
-        .select(col("id"), col("rep")),
+    // copies², so leaving small clusters to the key path loses at scale).
+    // Like Dedup.lshCollapsedPairs, only the tiny CLUSTER index (one row
+    // per multi-member string) is materialized — one aggregate job whose
+    // output IS the barrier write; membership is re-derived on demand as
+    // a join against it, planned from the index's parquet stats.
+    val (dupClusters, dupDir) = Dedup.materializeBarrierAt(
+      base.groupBy("s")
+        .agg(min(col("id")).as("rep"), count(lit(1)).as("n"))
+        .filter(col("n") >= Dedup.CollapseThreshold)
+        .select("s", "rep"),
       "fuzzy-dups")
     if (Dedup.barrierRowCount(dupDir) == 0) {
       Dedup.releaseBarrier(dupDir)
       return rawPairs(base, d)
     }
-    val dupIds = dupMembers.filter(col("id") =!= col("rep")).select("id")
-    val repPairs = rawPairs(base.join(dupIds, Seq("id"), "left_anti"), d)
+    val dupMembers = base.join(dupClusters, Seq("s"))
+      .select(col("id"), col("rep"))
+    // representatives: strings with no multi-member cluster, or the
+    // member that IS the representative — one left join, no anti-join
+    val repPairs = rawPairs(
+      base.join(dupClusters.withColumnRenamed("rep", "dup_rep"),
+          Seq("s"), "left")
+        .filter(col("dup_rep").isNull || col("id") === col("dup_rep"))
+        .drop("dup_rep"),
+      d)
     // cross-cluster: expanded members inherit their representatives'
     // verified distance (identical strings ⇒ identical value); a
     // singleton rep is absent from dupMembers and keeps its own id

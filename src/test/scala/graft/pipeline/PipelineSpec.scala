@@ -361,7 +361,7 @@ class PipelineSpec extends SparkSpec {
   test("components reclaims round barriers eagerly (scratch ≤ 1 round dir)") {
     import spark.implicits._
     def roundDirs = Dedup.liveBarrierDirs
-      .filter(_.getFileName.toString.startsWith("graft-cc-round")).toSet
+      .filter(_.getName.startsWith("graft-cc-round")).toSet
     val before = roundDirs
     // a 6-node chain needs several propagation rounds to converge
     val pairs = (1L until 6L).map(i => (i, i + 1)).toDF("id_a", "id_b")
@@ -913,6 +913,53 @@ class PipelineSpec extends SparkSpec {
       .select(col("id"), col("text").as("s"))
     val cand = Fuzzy.candidates(reps, 2).count()
     assert(cand <= 3, s"collapsed candidate count $cand")
+  }
+
+  test("fuzzy join: short strings (≤ maxDist chars) pair via the rescue bucket") {
+    import spark.implicits._
+    // strings too short to carve d+1 segments emit no PassJoin keys —
+    // before the rescue bucket, ('ab','ac') at d=2 was silently dropped
+    // while identical shorts still paired via the collapse path. Assert
+    // operator == brute force on a corpus mixing short, boundary-length
+    // (d+1, 2d, 2d+1) and long strings.
+    val corpus = Seq(
+      (1L, "ab"), (2L, "ac"), (3L, "a"), (4L, ""), (5L, "abcd"),
+      (6L, "abc"), (7L, "abcde"), (8L, "zzzz"), (9L, "ab"),
+      (10L, "a completely different long string")).toDF("doc_id", "s")
+    val got = Fuzzy.editDistancePairs(corpus, "doc_id", "s", maxDist = 2)
+      .select("id_a", "id_b", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val a = corpus.select(col("doc_id").as("ia"), col("s").as("sa"))
+    val b = corpus.select(col("doc_id").as("ib"), col("s").as("sb"))
+    val brute = a.crossJoin(b).filter(col("ia") < col("ib"))
+      .withColumn("d", levenshtein(col("sa"), col("sb")))
+      .filter(col("d") <= 2)
+      .select("ia", "ib", "d").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(brute.contains((1L, 2L, 1)), "sanity: ab/ac must be a true pair")
+    assert(got == brute,
+      s"missing: ${(brute -- got).take(8)}; extra: ${(got -- brute).take(8)}")
+  }
+
+  test("graft.barrier.dir routes barriers through the Hadoop FileSystem API") {
+    // point the barrier root at an explicit file:// URI (exercising the
+    // scheme-resolution path a cluster would use for hdfs://s3a) and
+    // assert (a) results are unchanged, (b) the barriers — including the
+    // collapse path's dup index, so barrierRowCount's listStatus footer
+    // probe ran against the configured FS — actually land under it
+    val root = java.nio.file.Files.createTempDirectory("graft-conf-root-")
+    spark.conf.set("graft.barrier.dir", root.toUri.toString)
+    try {
+      val planted = docs.limit(40).unionAll(docs.limit(5)
+        .select((col("doc_id") + 9000).as("doc_id"), col("text")))
+      val pairs = Dedup.minhashPairs(planted, "doc_id", "text",
+        k = 64, bands = 16, threshold = 0.5)
+      assert(pairs.filter(col("jaccard") === 1.0).count() >= 5)
+      val under = Dedup.liveBarrierDirs.filter(p =>
+        p.toUri.getPath.startsWith(root.toString))
+      assert(under.exists(_.getName.startsWith("graft-minhash-sigs-")))
+      assert(under.exists(_.getName.startsWith("graft-lsh-dups-")))
+    } finally spark.conf.unset("graft.barrier.dir")
   }
 
   test("sparse cosine: df-pruning drops stopword-only pairs, keeps real ones") {
