@@ -39,9 +39,13 @@ object ScaleGen {
 
     val docs = Tables.load(spark, src, "documents")
     val nDocs = docs.count()
+    // shift quantum = max(id)+1, matching the orderkey/event_id handling
+    // below — a row-count quantum would collide copies with originals if
+    // ids were ever sparse or non-zero-based (ADVICE r5)
+    val docQuantum = docs.agg(max("doc_id")).head().getLong(0) + 1
     val docsScaled = (0 until factor).map { k =>
       val shifted = docs
-        .withColumn("doc_id", col("doc_id") + lit(k * nDocs))
+        .withColumn("doc_id", col("doc_id") + lit(k * docQuantum))
       if (k == 0) docs
       else if (k % 2 == 1) shifted // byte-exact copy: exact-dup cluster member
       else shifted // near-dup mutant: marker keeps Jaccard high, digest differs
@@ -51,10 +55,11 @@ object ScaleGen {
 
     val embs = Tables.load(spark, src, "embeddings")
     val nEmbs = embs.count()
+    val embQuantum = embs.agg(max("vec_id")).head().getLong(0) + 1
     val embsScaled = (0 until factor).map { k =>
       if (k == 0) embs
       else embs
-        .withColumn("vec_id", col("vec_id") + lit(k * nEmbs))
+        .withColumn("vec_id", col("vec_id") + lit(k * embQuantum))
         // jitter coordinate 0 by k*1e-4: cosine vs the original stays
         // ≈ 1, so scaled corpora keep genuine near-dup structure
         .withColumn("embedding",
@@ -102,17 +107,19 @@ object ScaleGen {
     val evTmp = s"$out/_events_tmp"
     evScaled.coalesce(1).write.mode("overwrite").parquet(evTmp)
     rmTree(new java.io.File(out, "events.parquet")) // stale file OR dir
-    val part = java.nio.file.Files.list(java.nio.file.Paths.get(evTmp))
-      .iterator()
+    val partStream = java.nio.file.Files.list(java.nio.file.Paths.get(evTmp))
     var moved = false
-    while (part.hasNext && !moved) {
-      val f = part.next()
-      if (f.getFileName.toString.endsWith(".parquet")) {
-        java.nio.file.Files.move(f,
-          java.nio.file.Paths.get(out, "events.parquet"))
-        moved = true
+    try {
+      val part = partStream.iterator()
+      while (part.hasNext && !moved) {
+        val f = part.next()
+        if (f.getFileName.toString.endsWith(".parquet")) {
+          java.nio.file.Files.move(f,
+            java.nio.file.Paths.get(out, "events.parquet"))
+          moved = true
+        }
       }
-    }
+    } finally partStream.close()
     require(moved, "no part file produced for events")
     rmTree(new java.io.File(evTmp))
 

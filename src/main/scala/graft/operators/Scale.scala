@@ -273,10 +273,13 @@ object Scale {
     * all of them; at 100 TB that is the difference between listing a
     * handful of parquet footers and scanning the fleet. The gate output
     * is the p17 boolean pattern: the box row count (oracle-recomputed
-    * exactly) plus `skip_ok` = z-order touched at most half the files
-    * the naive layout touched (a deliberately loose bound — file
-    * boundaries come from range-partitioner sampling, so exact counts
-    * are not deterministic, but the locality win always clears 2×).
+    * exactly) plus `skip_ok` = z-order touched strictly FEWER files
+    * than the naive layout. The bound is deliberately the weakest
+    * monotone claim: file boundaries come from range-partitioner
+    * sampling and round-robin hashing, so the exact ratio is
+    * nondeterministic and a hard 2× assertion can flake at small scale
+    * factors (ADVICE r5); the typically-observed ~4-8× skip is recorded
+    * in PROGRESS, not asserted.
     */
   private[graft] def zorderSkipDemo(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
@@ -303,7 +306,7 @@ object Scale {
     n.crossJoin(zr)
       .select(col("n_match"),
         (col("n_match") === col("n_z") &&
-          col("f_z") * 2 <= col("f_naive")).as("skip_ok"))
+          col("f_z") < col("f_naive")).as("skip_ok"))
   }
 
   /** IVF-partitioned ANN storage: the at-rest layout p08's routing

@@ -126,6 +126,42 @@ object Dedup {
       }.sum
   }
 
+  /** Max value of an int64 column across a just-written barrier, from
+    * the parquet footer STATISTICS (zero Spark jobs) — None when any
+    * row group lacks stats for the column. Powers driver-side plan
+    * selection bounds, e.g. "membership ≤ clusters × max(n)".
+    */
+  private[pipeline] def barrierColumnMaxLong(
+      dir: org.apache.hadoop.fs.Path, column: String): Option[Long] = {
+    val fs = Option(barrierDirs.get(dir)).getOrElse(
+      dir.getFileSystem(new org.apache.hadoop.conf.Configuration()))
+    import scala.jdk.CollectionConverters._
+    val maxes = fs.listStatus(dir)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .flatMap { st =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromStatus(st, fs.getConf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          r.getFooter.getBlocks.asScala.flatMap { block =>
+            block.getColumns.asScala
+              .filter(_.getPath.toDotString == column)
+              .map { c =>
+                val s = c.getStatistics
+                if (s == null || s.isEmpty && block.getRowCount > 0) None
+                else if (!s.hasNonNullValue) Some(Long.MinValue) // all null
+                else s.genericGetMax match {
+                  case l: java.lang.Long => Some(l.longValue())
+                  case _ => None
+                }
+              }
+          }
+        } finally r.close()
+      }
+    if (maxes.isEmpty || maxes.contains(None)) None
+    else Some(maxes.flatten.max)
+  }
+
   /** Eagerly reclaim a barrier dir whose data is no longer referenced —
     * iterative algorithms cap scratch usage this way instead of letting
     * every round's barrier pile up until JVM exit.
@@ -240,51 +276,143 @@ object Dedup {
     */
   private[pipeline] val CollapseThreshold = 2
 
+  /** Membership-size bound (rows) under which the dup-cluster index and
+    * the derived membership view are broadcast-hinted: 1M (id, rep)
+    * rows ≈ 24 MB — comfortably broadcastable anywhere. Above it (a
+    * dup-heavy corpus or a mega-cluster) planning falls back to
+    * stats + AQE, i.e. shuffle joins, which is then the right plan.
+    */
+  private[pipeline] val MemberBroadcastBound = 1000000L
+
+  /** Materialize a (id, dg, …) signature table to its barrier with the
+    * exact dup-cluster sketch riding the SAME write as an observed
+    * metric. Returns the barrier read plus:
+    *  - Some(members): exact (id, rep) membership of every multi-member
+    *    digest cluster, collected driver-side under the sketch caps —
+    *    the pre-collapse index for free, zero extra jobs;
+    *  - None: sketch overflowed (huge corpus) — the caller runs the
+    *    distributed aggregate fallback.
+    */
+  private[graft] def materializeSigsWithDupIndex(
+      df: DataFrame, tag: String): (DataFrame, Option[Seq[(Long, Long)]]) = {
+    import org.apache.spark.sql.graft.VectorExpressions
+    val obs = org.apache.spark.sql.Observation(
+      s"$tag-dups-${java.util.UUID.randomUUID()}")
+    val read = materializeBarrier(
+      df.observe(obs,
+        VectorExpressions.dupClusterSketch(col("dg"), col("id"))
+          .as("dups")),
+      tag)
+    val members = Option(obs.get("dups")).map { v =>
+      v.asInstanceOf[scala.collection.Seq[org.apache.spark.sql.Row]]
+        .flatMap { r =>
+          val rep = r.getLong(1)
+          r.getSeq[Long](2).map(id => (id, rep))
+        }.toSeq
+    }
+    (read, members)
+  }
+
   private[graft] def lshCollapsedPairs(sigs: DataFrame, setCol: String,
+      bands: Int, r: Int, threshold: Double,
+      sketchMembers: Option[Seq[(Long, Long)]] = None): DataFrame = {
+    sketchMembers match {
+      case Some(members) if members.isEmpty =>
+        // dup-free corpus, known for FREE from the sketch: the collapsed
+        // plan degenerates to the plain one — no index, no barrier, no
+        // probe, nothing
+        verifiedPairs(sigs, setCol, bands, r, threshold)
+      case Some(members) =>
+        // exact membership known driver-side: a LocalRelation with exact
+        // stats, no barrier and no probe. Size is capped by the sketch
+        // (≤ idCap rows), so planning stays safe: under the broadcast
+        // bound the expansion joins broadcast, above it stats decide.
+        val spark = sigs.sparkSession
+        import spark.implicits._
+        val membersDf = members.toDF("id", "rep")
+        val small = members.size <= MemberBroadcastBound
+        def hinted(df: DataFrame): DataFrame =
+          if (small) broadcast(df) else df
+        val dupMembers = hinted(membersDf)
+        val dupIds = hinted(
+          membersDf.filter(col("id") =!= col("rep")).select("id"))
+        val repSigs = sigs.join(dupIds, Seq("id"), "left_anti")
+        expandCollapsed(
+          verifiedPairs(repSigs, setCol, bands, r, threshold),
+          dupMembers, threshold)
+      case None =>
+        lshCollapsedPairsAggregated(sigs, setCol, bands, r, threshold)
+    }
+  }
+
+  /** Distributed-aggregate fallback for corpora whose dup index
+    * overflows the sketch caps: ONE aggregate job writes the (tiny)
+    * dup-CLUSTER index straight to its barrier — one row per
+    * multi-member digest cluster. (The r5 shape materialized
+    * per-MEMBER rows: an extra join-back pass and a second full write,
+    * a ~0.7 s constant prologue that ran even on dup-free corpora.)
+    * Membership is re-derived on demand from the signature barrier,
+    * which already materializes `dg`: a 2-column pruned scan joined to
+    * this index.
+    */
+  private def lshCollapsedPairsAggregated(sigs: DataFrame, setCol: String,
       bands: Int, r: Int, threshold: Double): DataFrame = {
-    // ONE aggregate job writes the (tiny) dup-CLUSTER index straight to
-    // its barrier: one row per multi-member digest cluster. The r5 shape
-    // materialized per-MEMBER rows — an aggregate job, a join-back job,
-    // and a second full barrier write — a ~0.7 s constant prologue that
-    // ran even on dup-free corpora (VERDICT r5 finding 2). Membership is
-    // instead re-derived on demand below from the signature barrier,
-    // which already materializes `dg`: a 2-column pruned scan joined to
-    // this index, planned per use from the index's own parquet stats
-    // (broadcast when tiny; a dup-heavy corpus exceeds the threshold and
-    // falls back to shuffle joins, which is then the right plan).
-    val (dupClusters, dupDir) = materializeBarrierAt(
+    val (dupClustersRaw, dupDir) = materializeBarrierAt(
       sigs.groupBy("dg")
         .agg(min(col("id")).as("rep"), count(lit(1)).as("n"))
         .filter(col("n") >= CollapseThreshold)
-        .select("dg", "rep"),
+        .select("dg", "rep", "n"),
       "lsh-dups")
-    // Dup-free corpus → the collapsed plan degenerates to the plain one
-    // (no ids to drop, nothing to expand), so skip the anti-join and
-    // both expansion joins outright. The emptiness probe is a literal
-    // parquet-footer read on the driver (file metadata, zero Spark
-    // jobs) — dup-carrying corpora (any real web crawl) take the full
-    // path with no extra work at all.
-    if (barrierRowCount(dupDir) == 0) {
+    // Dup-free corpus → the collapsed plan degenerates to the plain
+    // one. The emptiness probe is a parquet-footer read on the driver
+    // (file metadata, zero Spark jobs).
+    val nClusters = barrierRowCount(dupDir)
+    if (nClusters == 0) {
       releaseBarrier(dupDir)
       return verifiedPairs(sigs, setCol, bands, r, threshold)
     }
-    val dupMembers = sigs.select(col("id"), col("dg"))
+    // Membership is a VIEW over the signature barrier (2-column pruned
+    // scan ⋈ this index), not a second materialized table. That loses
+    // Catalyst's exact size stats for the expansion joins — a derived
+    // join's estimate is a multiplicative guess, and the planner was
+    // measured falling back to shuffle joins on a 16-row membership —
+    // so the broadcast decision is made HERE from footer metadata:
+    // membership ≤ clusters × max(n), both read driver-side with zero
+    // jobs. The mega-cluster case (huge max n) exceeds the bound and
+    // keeps stats/AQE planning, which is then the right plan.
+    val maxN = barrierColumnMaxLong(dupDir, "n").getOrElse(Long.MaxValue)
+    val small = maxN > 0 && nClusters <= MemberBroadcastBound / maxN
+    def hinted(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    val dupClusters = hinted(dupClustersRaw.select("dg", "rep"))
+    val dupMembers = hinted(sigs.select(col("id"), col("dg"))
       .join(dupClusters, Seq("dg"))
-      .select(col("id"), col("rep"))
+      .select(col("id"), col("rep")))
     // representative signatures via ONE join against the cluster index:
     // keep rows whose digest has no multi-member cluster, or that ARE
-    // their cluster's representative (cheaper than the former
-    // dupIds-then-anti-join double pass over the membership table)
+    // their cluster's representative
     val repSigs = sigs.join(dupClusters.withColumnRenamed("rep", "dup_rep"),
         Seq("dg"), "left")
       .filter(col("dup_rep").isNull || col("id") === col("dup_rep"))
       .drop("dup_rep")
-    val repPairs = verifiedPairs(repSigs, setCol, bands, r, threshold)
-    // cross-cluster: every member pair inherits its representatives'
-    // verified jaccard (identical sets ⇒ identical value). Left joins:
-    // a singleton rep is absent from dupMembers and keeps its own id.
-    // Clusters are disjoint so the expanded ids never collide and
-    // least/greatest restores id_a < id_b.
+    expandCollapsed(
+      verifiedPairs(repSigs, setCol, bands, r, threshold),
+      dupMembers, threshold)
+  }
+
+  /** Expand verified representative pairs back to member pairs.
+    *
+    * cross-cluster: every member pair inherits its representatives'
+    * verified jaccard (identical sets ⇒ identical value). Left joins:
+    * a singleton rep is absent from dupMembers and keeps its own id.
+    * Clusters are disjoint so the expanded ids never collide and
+    * least/greatest restores id_a < id_b.
+    *
+    * intra-cluster: exact duplicates, jaccard 1.0 by construction (the
+    * uncollapsed plan always made these candidates — identical mh ⇒
+    * every band agrees — and verified them to exactly 1.0).
+    */
+  private def expandCollapsed(repPairs: DataFrame, dupMembers: DataFrame,
+      threshold: Double): DataFrame = {
     val cross = repPairs
       .join(dupMembers.select(col("rep").as("id_a"), col("id").as("ma")),
         Seq("id_a"), "left")
@@ -296,9 +424,6 @@ object Dedup {
         greatest(coalesce(col("ma"), col("id_a")),
           coalesce(col("mb"), col("id_b"))).as("id_b"),
         col("jaccard"))
-    // intra-cluster: exact duplicates, jaccard 1.0 by construction (the
-    // uncollapsed plan always made these candidates — identical mh ⇒
-    // every band agrees — and verified them to exactly 1.0)
     val intra = dupMembers.select(col("rep"), col("id").as("id_a"))
       .join(dupMembers.select(col("rep"), col("id").as("id_b")), Seq("rep"))
       .filter(col("id_a") < col("id_b"))
@@ -317,9 +442,9 @@ object Dedup {
       k: Int = 64, bands: Int = 16, threshold: Double = 0.7,
       shingleN: Int = 3): DataFrame = {
     val r = k / bands
-    val sigs = materializeBarrier(
+    val (sigs, sketch) = materializeSigsWithDupIndex(
       minhashSigs(df, idCol, textCol, k, shingleN), "minhash-sigs")
-    lshCollapsedPairs(sigs, "sh", bands, r, threshold)
+    lshCollapsedPairs(sigs, "sh", bands, r, threshold, sketch)
   }
 
   /** 64-bit SimHash signature of the token multiset: per-bit majority
@@ -471,14 +596,14 @@ object Dedup {
     // expression-chain form (transform/substring/array_distinct/xxhash64)
     // materialized every 4-char substring through interpreted lambdas and
     // dominated the signature stage
-    val sigs = materializeBarrier(spreadForCpu(df)
+    val (sigs, sketch) = materializeSigsWithDupIndex(spreadForCpu(df)
       .select(col(idCol).as("id"), col(textCol).as("t"))
       .withColumn("dg", md5(col("t")))
       .withColumn("gh", VectorExpressions.charGramHashes(col("t"), n))
       .withColumn("mh", VectorExpressions.minhashFromHashes(col("gh"), k))
       .select("id", "dg", "gh", "mh"),
       "ngram-sigs")
-    lshCollapsedPairs(sigs, "gh", bands, rowsPerBand, threshold)
+    lshCollapsedPairs(sigs, "gh", bands, rowsPerBand, threshold, sketch)
   }
   /** Incremental exact dedup: flag each batch row whose content already
     * exists in a (much larger) corpus — the every-ingest operation of a

@@ -131,18 +131,28 @@ object Fuzzy {
     // per multi-member string) is materialized — one aggregate job whose
     // output IS the barrier write; membership is re-derived on demand as
     // a join against it, planned from the index's parquet stats.
-    val (dupClusters, dupDir) = Dedup.materializeBarrierAt(
+    val (dupClustersRaw, dupDir) = Dedup.materializeBarrierAt(
       base.groupBy("s")
         .agg(min(col("id")).as("rep"), count(lit(1)).as("n"))
         .filter(col("n") >= Dedup.CollapseThreshold)
-        .select("s", "rep"),
+        .select("s", "rep", "n"),
       "fuzzy-dups")
-    if (Dedup.barrierRowCount(dupDir) == 0) {
+    val nClusters = Dedup.barrierRowCount(dupDir)
+    if (nClusters == 0) {
       Dedup.releaseBarrier(dupDir)
       return rawPairs(base, d)
     }
-    val dupMembers = base.join(dupClusters, Seq("s"))
-      .select(col("id"), col("rep"))
+    // broadcast-shape the membership view from footer metadata (see
+    // Dedup.lshCollapsedPairs: membership ≤ clusters × max(n), zero
+    // jobs; above the bound stats/AQE planning takes over)
+    val maxN = Dedup.barrierColumnMaxLong(dupDir, "n")
+      .getOrElse(Long.MaxValue)
+    val small = maxN > 0 &&
+      nClusters <= Dedup.MemberBroadcastBound / maxN
+    def hinted(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    val dupClusters = hinted(dupClustersRaw.select("s", "rep"))
+    val dupMembers = hinted(base.join(dupClusters, Seq("s"))
+      .select(col("id"), col("rep")))
     // representatives: strings with no multi-member cluster, or the
     // member that IS the representative — one left join, no anti-join
     val repPairs = rawPairs(

@@ -201,23 +201,59 @@ object Similarity {
     .map { case (r, i) => (i.toLong, r.getSeq[Float](0)) }
 
   /** The `n` nearest cells of `vec` as array<struct<d,cid>>: sorts a
-    * small literal struct array. (A naive when()-chained fold-argmax
-    * doubles the expression tree per centroid — 2^nCells nodes — and
-    * kills the driver; the array form is linear.)
+    * small struct array. (A naive when()-chained fold-argmax doubles
+    * the expression tree per centroid — 2^nCells nodes — and kills the
+    * driver; the array form is linear.)
+    *
+    * Two forms by centroid count:
+    *  - ≤ 64 cells: per-centroid literal vectors, fully codegen'd — the
+    *    right shape for coarse routing tables;
+    *  - > 64 cells: the whole centroid matrix travels as ONE 2-D array
+    *    literal (a single Literal node holding ArrayData — constant
+    *    expression-tree size regardless of nCells, the broadcast-value
+    *    pattern) and distances come from a `transform` over it. A
+    *    literal-per-centroid tree at realistic IVF sizes (nCells=4096)
+    *    would put 4096×dim nodes into codegen and blow the method-size
+    *    limits; the matrix form trades per-element lambda eval for a
+    *    plan whose size does not grow with the index.
     */
+  private[graft] val IvfLiteralMaxCells = 64
+
   private[graft] def ivfProbeCells(centroids: Array[(Long, Seq[Float])],
-      vec: Column, n: Int): Column = {
+      vec: Column, n: Int): Column =
+    if (centroids.length <= IvfLiteralMaxCells)
+      ivfProbeCellsLiteral(centroids, vec, n)
+    else ivfProbeCellsMatrix(centroids, vec, n)
+
+  private[graft] def ivfProbeCellsLiteral(
+      centroids: Array[(Long, Seq[Float])], vec: Column, n: Int): Column = {
     def litVec(v: Seq[Float]): Column = array(v.map(lit): _*)
+    sortAndSlice(
+      array(centroids.map { case (cid, cv) =>
+        struct(round(cosine(vec, litVec(cv)), 6).as("d"), lit(cid).as("cid"))
+      }: _*), n)
+  }
+
+  private[graft] def ivfProbeCellsMatrix(
+      centroids: Array[(Long, Seq[Float])], vec: Column, n: Int): Column = {
+    // cids are positional (ivfCentroids labels 0..nCells-1); the matrix
+    // is ordered by cid so the zip index IS the cid
+    require(centroids.zipWithIndex.forall { case ((cid, _), i) =>
+      cid == i.toLong }, "centroid ids must be positional")
+    val matrix = typedlit(centroids.map(_._2.toArray).toSeq)
+    sortAndSlice(
+      zip_with(matrix, sequence(lit(0L), lit(centroids.length - 1L)),
+        (cv, cid) => struct(round(cosine(vec, cv), 6).as("d"),
+          cid.as("cid"))), n)
+  }
+
+  private def sortAndSlice(scored: Column, n: Int): Column =
     slice(
-      array_sort(
-        array(centroids.map { case (cid, cv) =>
-          struct(round(cosine(vec, litVec(cv)), 6).as("d"), lit(cid).as("cid"))
-        }: _*),
+      array_sort(scored,
         (l, r) => when(l.getField("d") > r.getField("d"), -1)
           .when(l.getField("d") < r.getField("d"), 1)
           .when(l.getField("cid") < r.getField("cid"), -1).otherwise(1)),
       1, n)
-  }
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nCells: Int = 16, nProbe: Int = 4,

@@ -102,6 +102,23 @@ object VectorExpressions {
     column(TopKPairs(expression(id), expression(score), k)
       .toAggregateExpression())
 
+  /** Bounded exact dup-cluster sketch over (digest, id) — array of
+    * struct(dg, rep, ids) for every multi-member digest, or NULL on
+    * cap overflow. Designed for `Dataset.observe` so the exact-dup
+    * pre-collapse index rides an existing job. See [[DupClusterSketch]].
+    */
+  def dupClusterSketch(dg: Column, id: Column): Column =
+    column(DupClusterSketch(expression(dg), expression(id))
+      .toAggregateExpression())
+
+  /** Spec hook: [[dupClusterSketch]] with explicit caps, for overflow
+    * behavior tests.
+    */
+  def dupClusterSketchCapped(dg: Column, id: Column,
+      digestCap: Int, idCap: Int): Column =
+    column(DupClusterSketch(expression(dg), expression(id),
+      digestCap, idCap).toAggregateExpression())
+
   /** PassJoin segment keys (index side: own segments; probe side:
     * shifted substrings for every candidate partner length), hashed to
     * array<long>. See [[PassJoinKeys]].

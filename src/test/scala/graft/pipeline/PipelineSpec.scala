@@ -945,8 +945,8 @@ class PipelineSpec extends SparkSpec {
     // point the barrier root at an explicit file:// URI (exercising the
     // scheme-resolution path a cluster would use for hdfs://s3a) and
     // assert (a) results are unchanged, (b) the barriers — including the
-    // collapse path's dup index, so barrierRowCount's listStatus footer
-    // probe ran against the configured FS — actually land under it
+    // fuzzy collapse path's dup index, so barrierRowCount's listStatus
+    // footer probe ran against the configured FS — actually land under it
     val root = java.nio.file.Files.createTempDirectory("graft-conf-root-")
     spark.conf.set("graft.barrier.dir", root.toUri.toString)
     try {
@@ -955,11 +955,61 @@ class PipelineSpec extends SparkSpec {
       val pairs = Dedup.minhashPairs(planted, "doc_id", "text",
         k = 64, bands = 16, threshold = 0.5)
       assert(pairs.filter(col("jaccard") === 1.0).count() >= 5)
+      // fuzzy path materializes its dup index as a barrier and probes
+      // its footers (minhash rides the sketch instead — no dup barrier)
+      import spark.implicits._
+      val strs = Seq((1L, "alpha beta"), (2L, "alpha beta"),
+        (3L, "alpha betX"), (4L, "unrelated thing")).toDF("doc_id", "s")
+      val fz = Fuzzy.editDistancePairs(strs, "doc_id", "s", maxDist = 2)
+      assert(fz.filter(col("dist") === 0).count() == 1)
       val under = Dedup.liveBarrierDirs.filter(p =>
         p.toUri.getPath.startsWith(root.toString))
       assert(under.exists(_.getName.startsWith("graft-minhash-sigs-")))
-      assert(under.exists(_.getName.startsWith("graft-lsh-dups-")))
+      assert(under.exists(_.getName.startsWith("graft-fuzzy-dups-")))
     } finally spark.conf.unset("graft.barrier.dir")
+  }
+
+  test("dup-cluster sketch: exact below caps, null on overflow, null digests skipped") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.VectorExpressions
+    val df = Seq(
+      (1L, "a"), (2L, "a"), (3L, "b"), (4L, "c"), (5L, "a"), (6L, "c"))
+      .toDF("id", "dg")
+      .unionAll(Seq((7L, null.asInstanceOf[String])).toDF("id", "dg"))
+      .repartition(8) // several partial buffers force real merges
+    // exact: clusters a -> {1,2,5}, c -> {4,6}; b singleton dropped;
+    // null digest ignored
+    val got = df.agg(VectorExpressions
+        .dupClusterSketch(col("dg"), col("id")).as("s"))
+      .head().getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getString(0), r.getLong(1), r.getSeq[Long](2).toList))
+    assert(got == Seq(("a", 1L, List(1L, 2L, 5L)), ("c", 4L, List(4L, 6L))))
+    // overflow: caps exceeded anywhere -> null result ("don't know")
+    def capped(digestCap: Int, idCap: Int) =
+      df.coalesce(1).agg(VectorExpressions.dupClusterSketchCapped(
+        col("dg"), col("id"), digestCap, idCap).as("s")).head()
+    assert(capped(2, 1000).isNullAt(0), "digest-cap overflow must be null")
+    assert(capped(1000, 3).isNullAt(0), "id-cap overflow must be null")
+    // exactly at the caps: 3 digests, 6 ids -> still exact
+    assert(!capped(3, 6).isNullAt(0))
+  }
+
+  test("minhash pairs: sketch path == distributed-aggregate fallback, pair for pair") {
+    // the same planted corpus through both prologues must produce the
+    // identical pair set with identical jaccards — the sketch may only
+    // change WHERE the dup index is computed, never the result
+    val planted = docs.limit(60).unionAll(docs.limit(8)
+      .select((col("doc_id") + 9000).as("doc_id"), col("text")))
+    val viaSketch = Dedup.minhashPairs(planted, "doc_id", "text",
+      k = 64, bands = 16, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val (sigs, sketch) = Dedup.materializeSigsWithDupIndex(
+      Dedup.minhashSigs(planted, "doc_id", "text", 64, 3), "spec-sigs")
+    assert(sketch.isDefined && sketch.get.nonEmpty, "sketch must resolve")
+    val viaAgg = Dedup.lshCollapsedPairs(sigs, "sh", 16, 4, 0.5, None)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaSketch == viaAgg,
+      s"missing: ${(viaAgg -- viaSketch).take(5)}; extra: ${(viaSketch -- viaAgg).take(5)}")
   }
 
   test("sparse cosine: df-pruning drops stopword-only pairs, keeps real ones") {

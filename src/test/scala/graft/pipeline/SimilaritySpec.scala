@@ -203,4 +203,43 @@ class SimilaritySpec extends SparkSpec {
       .agg(max("d")).head().getDouble(0)
     assert(d <= 0.25, f"max distortion $d%.4f exceeds the 0.25 spec margin")
   }
+
+  test("ivfProbeCells: matrix form == literal form at nCells=256, constant-size tree") {
+    // realistic IVF indexes run thousands of coarse cells; above
+    // IvfLiteralMaxCells the routing expression must switch from
+    // per-centroid literal vectors (tree grows as nCells×dim) to ONE
+    // 2-D array literal probed via zip_with (tree size constant in
+    // nCells). Values must agree exactly — same rounding, same
+    // cid tiebreak.
+    val dim = 64
+    def comp(c: Int, j: Int): Float = (((c * 31 + j * 7) % 13) - 6) / 6.0f
+    val cents = Array.tabulate(256)(c =>
+      (c.toLong, Seq.tabulate(dim)(j => comp(c, j))))
+    val base = vecs.filter(size(col("embedding")) === dim)
+    val both = base.select(
+      Similarity.ivfProbeCellsMatrix(cents, col("embedding"), 4).as("m"),
+      Similarity.ivfProbeCellsLiteral(cents, col("embedding"), 4).as("l"))
+    assert(both.count() > 0)
+    assert(both.filter(to_json(col("m")) =!= to_json(col("l"))).count() == 0)
+    // dispatch: >64 cells must take the matrix form. Node counts come
+    // from the analyzed plan of a projection (Column.expr is not on the
+    // api Column type in Spark 4).
+    def nodes(c: org.apache.spark.sql.Column): Int = {
+      var n = 0
+      base.select(c).queryExecution.analyzed.expressions
+        .foreach(_.foreach(_ => n += 1))
+      n
+    }
+    val auto = nodes(Similarity.ivfProbeCells(cents, col("embedding"), 4))
+    val literal = nodes(
+      Similarity.ivfProbeCellsLiteral(cents, col("embedding"), 4))
+    val at16 = nodes(Similarity.ivfProbeCells(
+      cents.take(16), col("embedding"), 4))
+    // the auto form's tree is constant-sized: far below the literal
+    // form (≥ 256 struct+cosine+vector subtrees) and no bigger than
+    // the 16-cell literal plan
+    assert(literal > 256, s"literal tree unexpectedly small: $literal")
+    assert(auto < 100, s"matrix tree grew with nCells: $auto nodes")
+    assert(auto < at16, s"matrix ($auto) not smaller than 16-cell literal ($at16)")
+  }
 }
