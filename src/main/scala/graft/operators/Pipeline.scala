@@ -547,7 +547,18 @@ object Pipeline {
       val batch = d.filter(col("doc_id") >= 250)
         .unionAll(corpus.filter(col("doc_id") % 10 === 0)
           .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
-      Dedup.incrementalDupFlags(batch, corpus, "doc_id", "text")
+      // production shape (r5 task 6 closed): the corpus side is the
+      // content-hash INDEX maintained by DedupIndex (x14), so the
+      // single corpus-side pass reads ~36 B/doc of index instead of
+      // re-hashing the document text on every ingest
+      val idxDir = java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        "graft_fmt", "p36_index").toString
+      graft.pipeline.DedupIndex.drop(s, idxDir)
+      graft.pipeline.DedupIndex.append(s, idxDir, corpus, "doc_id", "text")
+      Dedup.incrementalDupFlagsAgainst(batch,
+        graft.pipeline.DedupIndex.read(s, idxDir).select("h"),
+        "doc_id", "text")
     },
 
     // ---- similarity search --------------------------------------------

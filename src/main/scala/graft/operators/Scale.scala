@@ -367,6 +367,47 @@ object Scale {
 
   val all: Seq[QueryDef] = Seq(
 
+    // Content-hash index maintenance (VERDICT r5 task 6): the narrow
+    // (digest, keep_id) table p36's doc promises production maintains
+    // alongside the corpus. Two ingest appends (the second carrying
+    // planted cross-batch dups that must NOT re-enter) + a compaction;
+    // the oracle recomputes first-seen-batch/min-id semantics from the
+    // raw documents, and the compaction file bound rides as a gated
+    // boolean (the p17/x09 pattern).
+    QueryDef("x14_dedup_index",
+      """WITH all_rows AS (
+        |  SELECT doc_id, md5(text) AS h, 1 AS b
+        |  FROM documents WHERE doc_id < 250
+        |  UNION ALL
+        |  SELECT doc_id, md5(text) AS h, 2 AS b
+        |  FROM documents WHERE doc_id >= 250
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, md5(text) AS h, 2 AS b
+        |  FROM documents WHERE doc_id < 250 AND doc_id % 10 = 0),
+        |fb AS (SELECT h, MIN(b) AS fb FROM all_rows GROUP BY 1)
+        |SELECT a.h, CAST(MIN(a.doc_id) AS BIGINT) AS keep_id,
+        |  true AS compacted_bounded
+        |FROM all_rows a JOIN fb f ON a.h = f.h AND a.b = f.fb
+        |GROUP BY a.h""".stripMargin) { (s, dir) =>
+      import graft.pipeline.DedupIndex
+      val idxDir = java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        "graft_fmt", "x14_index").toString
+      DedupIndex.drop(s, idxDir)
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val b1 = d.filter(col("doc_id") < 250)
+      val b2 = d.filter(col("doc_id") >= 250)
+        .unionAll(b1.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      DedupIndex.append(s, idxDir, b1, "doc_id", "text")
+      DedupIndex.append(s, idxDir, b2, "doc_id", "text")
+      val before = DedupIndex.fileCount(s, idxDir)
+      DedupIndex.compact(s, idxDir)
+      val after = DedupIndex.fileCount(s, idxDir)
+      DedupIndex.read(s, idxDir).select(col("h"), col("keep_id"),
+        lit(after <= before && after <= 8).as("compacted_bounded"))
+    },
+
     // Runtime Bloom-filter join pruning (the row-level runtime filter;
     // x07's DPP is the partition-level one).
     QueryDef("x11_bloom_join",

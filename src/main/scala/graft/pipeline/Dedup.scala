@@ -633,13 +633,27 @@ object Dedup {
     *     impossible, so the result is exact.
     *
     * In production the corpus side is the narrow content-hash index
-    * table (digest + keep-id, ~20 bytes/doc) maintained alongside the
-    * corpus, not a re-scan of the raw text — the same single pass then
-    * reads ~20 B/doc instead of the document text.
+    * table (digest + keep-id, ~36 bytes/doc) maintained alongside the
+    * corpus by [[DedupIndex]] (x14), not a re-scan of the raw text —
+    * [[incrementalDupFlagsAgainst]] takes that digest table directly
+    * and the same single pass reads index bytes instead of the
+    * document text.
     *
     * Returns one row per batch row: (idCol, is_dup).
     */
   def incrementalDupFlags(batch: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, fpp: Double = 0.001,
+      expectedItems: Long = -1L): DataFrame =
+    incrementalDupFlagsAgainst(batch,
+      corpus.select(md5(col(textCol)).as("h")),
+      idCol, textCol, fpp, expectedItems)
+
+  /** [[incrementalDupFlags]] probing an arbitrary DIGEST table (column
+    * `h`) — in production the content-hash index maintained by
+    * [[DedupIndex]] (~36 B/doc), so the single corpus-side pass reads
+    * index bytes instead of the document text.
+    */
+  def incrementalDupFlagsAgainst(batch: DataFrame, corpusDigests: DataFrame,
       idCol: String, textCol: String, fpp: Double = 0.001,
       expectedItems: Long = -1L): DataFrame = {
     import org.apache.spark.sql.graft.VectorExpressions
@@ -652,7 +666,7 @@ object Dedup {
       bf.writeTo(bos)
       bos.toByteArray
     }
-    val candDigests = corpus.select(md5(col(textCol)).as("h"))
+    val candDigests = corpusDigests.select(col("h"))
       .filter(VectorExpressions.bloomMightContain(col("h"), bytes))
       .distinct()
     val confirmed = candDigests

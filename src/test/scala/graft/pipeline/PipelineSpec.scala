@@ -1012,6 +1012,47 @@ class PipelineSpec extends SparkSpec {
       s"missing: ${(viaAgg -- viaSketch).take(5)}; extra: ${(viaSketch -- viaAgg).take(5)}")
   }
 
+  test("dedup index: appends only novel digests, keeps first-seen ids, compaction preserves content") {
+    import spark.implicits._
+    val dir = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      "graft_spec", "dedup_index").toString
+    DedupIndex.drop(spark, dir)
+    // batch 1: two contents, one duplicated within the batch (min wins)
+    val b1 = Seq((5L, "alpha"), (3L, "alpha"), (7L, "beta"))
+      .toDF("doc_id", "text")
+    assert(DedupIndex.append(spark, dir, b1, "doc_id", "text") == 2)
+    // batch 2: one known content (must NOT re-enter, even with a
+    // smaller id), one novel
+    val b2 = Seq((1L, "alpha"), (9L, "gamma")).toDF("doc_id", "text")
+    assert(DedupIndex.append(spark, dir, b2, "doc_id", "text") == 1)
+    def snapshot() = DedupIndex.read(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val before = snapshot()
+    val md5of = Map(
+      "alpha" -> "2c1743a391305fbf367df8e4f069f9f9",
+      "beta" -> "987bcab01b929eb2c07877b224215c92",
+      "gamma" -> "05b048d7242cb7b8b57cfa3b1d65ecea")
+    assert(before == Map(md5of("alpha") -> 3L, md5of("beta") -> 7L,
+      md5of("gamma") -> 9L))
+    // compaction: content identical, files bounded
+    val filesBefore = DedupIndex.fileCount(spark, dir)
+    DedupIndex.compact(spark, dir)
+    assert(snapshot() == before)
+    assert(DedupIndex.fileCount(spark, dir) <= filesBefore)
+    // the incremental probe against the index equals the text recompute
+    val batch = Seq((20L, "alpha"), (21L, "delta")).toDF("doc_id", "text")
+    val corpus = b1.unionAll(b2)
+    val viaIndex = Dedup.incrementalDupFlagsAgainst(batch,
+      DedupIndex.read(spark, dir).select("h"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val viaText = Dedup.incrementalDupFlags(batch, corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(viaIndex == Map(20L -> true, 21L -> false))
+    assert(viaIndex == viaText)
+    DedupIndex.drop(spark, dir)
+  }
+
   test("sparse cosine: df-pruning drops stopword-only pairs, keeps real ones") {
     import spark.implicits._
     // docs 1/2 share ONLY the ubiquitous token "the" (df > maxDf after
