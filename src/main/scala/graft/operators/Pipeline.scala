@@ -114,12 +114,12 @@ object Pipeline {
     * recompute. Both rankings tie-break on (score desc, vec_id), so the
     * intersection is well defined.
     */
-  private val annRecallFloor = 0.9
+  private[graft] val annRecallFloor = 0.9
   /** Single source of truth for the ANN gates' k: the operator calls, the
     * gate's recall denominator, and the oracle's expected n_returned all
     * derive from it, so changing k at one site cannot skew the others.
     */
-  private val annK = 10
+  private[graft] val annK = 10
   private val annRecallOracle =
     s"""SELECT vec_id AS qid, CAST($annK AS BIGINT) AS n_returned,
        |  true AS recall_ok
@@ -134,7 +134,7 @@ object Pipeline {
     * TRUE near neighbors when they exist", so the gate plants them; the
     * in-engine brute-force ground truth adapts automatically.
     */
-  private def annCorpusWithPlants(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def annCorpusWithPlants(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings").select("vec_id", "embedding")
     val plants = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("embedding").as("emb"))
@@ -148,7 +148,7 @@ object Pipeline {
     e.unionAll(plants)
   }
 
-  private def annRecallGate(approx: DataFrame, exact: DataFrame,
+  private[graft] def annRecallGate(approx: DataFrame, exact: DataFrame,
       k: Int): DataFrame = {
     val hits = approx.select("qid", "vec_id")
       .join(exact.select("qid", "vec_id"), Seq("qid", "vec_id"))
