@@ -770,6 +770,44 @@ object Pipeline {
       Dedup.components(pairs).orderBy("doc_id")
     },
 
+    // Leakage-safe train/val/test split: p22's md5 split rule keyed by
+    // the near-dup CLUSTER id, so near-copies can never straddle
+    // train and eval. The oracle recomputes the clusters with the p25
+    // transitive-closure CTE and applies the identical split CASE to
+    // the cluster key — full per-document assignment equality, which
+    // subsumes the no-straddle invariant.
+    QueryDef("p51_split_leakage_safe",
+      s"""WITH RECURSIVE $corpusSql,
+         |$shingleSql,
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         |        len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
+         |edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+         |comp AS (
+         |  SELECT src AS doc_id, MIN(dst) AS comp FROM reach GROUP BY src),
+         |keyed AS (
+         |  SELECT c.doc_id,
+         |    CAST(coalesce(k.comp, c.doc_id) AS VARCHAR) AS ck
+         |  FROM corpus c LEFT JOIN comp k ON c.doc_id = k.doc_id)
+         |SELECT doc_id,
+         |  CASE WHEN substring(md5(ck), 1, 1) < 'd' THEN 'train'
+         |       WHEN substring(md5(ck), 1, 1) < 'f' THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM keyed""".stripMargin) { (s, dir) =>
+      val corpus = docsWithPlants(s, dir)
+      val pairs = Dedup.minhashPairs(corpus, "doc_id", "text",
+        k = 64, bands = 16, threshold = 0.5)
+      Corpus.splitByCluster(corpus, "doc_id", pairs).orderBy("doc_id")
+    },
+
     // Exact-substring duplication signal (fixed-50-char window hashes):
     // every 20th doc gets the same boilerplate sentence appended, so its
     // interior windows repeat corpus-wide; natural exact dupes repeat

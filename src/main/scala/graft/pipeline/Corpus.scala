@@ -55,6 +55,29 @@ object Corpus {
     when(h < "d", "train").when(h < "f", "val").otherwise("test")
   }
 
+  /** Leakage-safe split: [[splitColumn]]'s md5 rule keyed by the
+    * near-dup CLUSTER id instead of the document id, so every member of
+    * a duplicate cluster lands in the SAME split. An id-hash split on
+    * an undeduplicated corpus puts near-copies of one document on both
+    * sides of the train/eval boundary — the classic data-leakage
+    * failure that inflates eval scores; keying the hash by the
+    * connected-component label makes straddling impossible by
+    * construction.
+    *
+    * Scale shape: [[Dedup.components]]' label propagation runs over the
+    * PAIR graph only; the corpus then takes one left join against those
+    * labels (broadcast for realistic dup fractions) — singleton docs
+    * keep their own id as the cluster key, so their assignment equals
+    * the plain [[splitColumn]] split.
+    */
+  def splitByCluster(df: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame = {
+    val comps = Dedup.components(pairs).withColumnRenamed("doc_id", idCol)
+    df.join(comps, Seq(idCol), "left")
+      .select(col(idCol),
+        splitColumn(coalesce(col("comp"), col(idCol))).as("split"))
+  }
+
   /** Deterministic hash-sampling predicate: keep a row iff the first 8
     * hex digits of md5(id) fall under `rate`'s share of the hex space.
     * Fixed-width lowercase hex compares lexicographically == numerically,

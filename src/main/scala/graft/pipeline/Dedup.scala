@@ -266,13 +266,19 @@ object Dedup {
     * data (49.5 s) vs 4.4× (14.7 s) with unconditional collapse. The
     * candidate count is not the binding cost; verification is.
     *
-    * Adaptivity is plan-level beyond that, no driver-side branching:
-    * only the membership of AT-THRESHOLD clusters is materialized (one
-    * narrow groupBy over (id, dg) — the digest index a production
-    * corpus maintains anyway), so its parquet size stats drive every
-    * downstream join strategy; a dup-heavy corpus exceeds the broadcast
-    * threshold and falls back to shuffle joins, which is then the right
-    * plan.
+    * WHERE the dup index comes from is tiered by corpus size, cheapest
+    * first (r6, replacing the always-on aggregate+join+write prologue
+    * that cost ~0.7 s even on dup-free corpora):
+    *  1. a bounded exact sketch ([[org.apache.spark.sql.graft
+    *     .DupClusterSketch]]) observed on the signature barrier write —
+    *     zero extra jobs; below its caps the full membership arrives
+    *     driver-side and becomes an exact-stats local relation;
+    *  2. above the caps, ONE distributed aggregate writes the tiny
+    *     per-CLUSTER index to a barrier, the emptiness probe reads its
+    *     footers, and membership is re-derived as a pruned-scan join
+    *     whose broadcast decision comes from footer statistics
+    *     (clusters × max(n)) — a mega-cluster exceeds the bound and
+    *     keeps stats/AQE shuffle planning, which is then the right plan.
     */
   private[pipeline] val CollapseThreshold = 2
 

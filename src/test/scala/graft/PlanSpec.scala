@@ -177,6 +177,29 @@ class PlanSpec extends SparkSpec {
       s"plan-lifetime cache found (persist leak):\n$p")
   }
 
+  test("minhash sketch path: dup membership is a local relation, no second barrier") {
+    // a dup-carrying corpus under the sketch caps must take the
+    // observed-sketch path: membership arrives driver-side with the
+    // signature write and plans as an exact-stats LocalTableScan —
+    // there is no aggregated dup barrier (graft-lsh-dups) to scan and
+    // the expansion joins broadcast it
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    val planted = docs.unionAll(docs.limit(5)
+      .select((col("doc_id") + 9000).as("doc_id"), col("text")))
+    val df = graft.pipeline.Dedup.minhashPairs(planted, "doc_id", "text",
+      k = 64, bands = 16, threshold = 0.5)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("graft-lsh-dups"),
+      s"aggregated dup barrier present — sketch did not resolve:\n$p")
+    assert(p.contains("LocalTableScan"),
+      s"no local membership relation in plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"expansion joins not broadcast:\n$p")
+  }
+
   test("p36: bloom probe is codegen'd, verify joins broadcast, corpus never sort-merge-joined") {
     val p = executed("p36_incremental_dedup")
     assert(p.contains("BloomMightContain") ||

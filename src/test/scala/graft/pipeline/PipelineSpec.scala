@@ -1053,6 +1053,31 @@ class PipelineSpec extends SparkSpec {
     DedupIndex.drop(spark, dir)
   }
 
+  test("splitByCluster: no pair straddles splits; singletons match the id split") {
+    val planted = docs.unionAll(docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" appended")).as("text")))
+    val pairs = Dedup.minhashPairs(planted, "doc_id", "text",
+      k = 64, bands = 16, threshold = 0.5)
+    val split = Corpus.splitByCluster(planted, "doc_id", pairs)
+    // leakage invariant: both ends of EVERY near-dup pair get one split
+    val straddle = pairs
+      .join(split.select(col("doc_id").as("id_a"), col("split").as("sa")),
+        Seq("id_a"))
+      .join(split.select(col("doc_id").as("id_b"), col("split").as("sb")),
+        Seq("id_b"))
+      .filter(col("sa") =!= col("sb"))
+    assert(straddle.count() == 0)
+    // docs in no pair keep the plain id-hash assignment
+    val lonely = split
+      .join(pairs.select(col("id_a").as("doc_id"))
+        .unionAll(pairs.select(col("id_b").as("doc_id"))).distinct(),
+        Seq("doc_id"), "left_anti")
+      .withColumn("plain", Corpus.splitColumn(col("doc_id")))
+    assert(lonely.count() > 0)
+    assert(lonely.filter(col("split") =!= col("plain")).count() == 0)
+  }
+
   test("sparse cosine: df-pruning drops stopword-only pairs, keeps real ones") {
     import spark.implicits._
     // docs 1/2 share ONLY the ubiquitous token "the" (df > maxDf after
