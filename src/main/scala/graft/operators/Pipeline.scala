@@ -1366,6 +1366,28 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // contamination as a thresholdable FRACTION (p24's boolean is this
+    // at "> 0"): share of each doc's distinct 13-gram windows that
+    // occur in the benchmark set — the decontamination-policy score.
+    // Hash-vs-string window equality is the p04 argument (2^-64).
+    QueryDef("p52_contamination_frac",
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+         |${shingleCtes(13)},
+         |bg AS (SELECT DISTINCT unnest(s) AS g FROM sh
+         |       WHERE doc_id % 100 = 0),
+         |bl AS (SELECT list(g) AS gs FROM bg)
+         |SELECT c.doc_id,
+         |  CAST(len(c.s) AS BIGINT) AS n_windows,
+         |  CAST(len(list_intersect(c.s, bl.gs)) AS BIGINT) AS n_hit,
+         |  round(len(list_intersect(c.s, bl.gs)) / len(c.s), 6)
+         |    AS contaminated_frac
+         |FROM sh c CROSS JOIN bl""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      Corpus.contaminationFraction(docs,
+        docs.filter(col("doc_id") % 100 === 0), n = 13)
+        .orderBy("doc_id")
+    },
+
     // cross-document paragraph dedup (boilerplate removal): the driver
     // corpus is single-paragraph, so the gate plants a 100-doc boilerplate
     // footer (removed at minDocs=3) and a 2-doc rare footer (kept — below

@@ -232,6 +232,34 @@ object Corpus {
       .select(col(idCol),
         coalesce(col("contaminated"), lit(false)).as("contaminated"))
   }
+  /** Benchmark-contamination FRACTION: per corpus document, the share
+    * of its distinct word n-gram windows that also occur anywhere in
+    * the benchmark set — the thresholdable contamination score behind
+    * decontamination policies ([[contaminated]]'s boolean is this at
+    * "> 0"). Same scale shape: benchmark grams broadcast, corpus side
+    * is one narrow scan + explode + ONE partial-aggregable groupBy —
+    * no corpus-side all-pairs, no shuffle of text.
+    */
+  def contaminationFraction(corpus: DataFrame, benchmark: DataFrame,
+      n: Int = 13, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.graft.VectorExpressions
+    val benchGrams = benchmark
+      .select(explode(VectorExpressions.shingleHashes(col(textCol), n)).as("h"))
+      .distinct()
+      .withColumn("hit", lit(true))
+    // shingleHashes is distinct-per-doc, so count(*) counts distinct
+    // windows and count(hit) the distinct windows found in the benchmark
+    corpus
+      .select(col(idCol),
+        explode(VectorExpressions.shingleHashes(col(textCol), n)).as("h"))
+      .join(broadcast(benchGrams), Seq("h"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_windows"), count(col("hit")).as("n_hit"))
+      .select(col(idCol), col("n_windows"), col("n_hit"),
+        round(col("n_hit") / col("n_windows"), 6).as("contaminated_frac"))
+  }
+
   /** One-pass column profiling: per column, row/null counts, min/max
     * (as strings, computed on the native type first), exact distinct
     * count, and a boolean asserting the HLL++ estimate is within 5% of

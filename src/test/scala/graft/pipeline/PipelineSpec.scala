@@ -1078,6 +1078,18 @@ class PipelineSpec extends SparkSpec {
     assert(lonely.filter(col("split") =!= col("plain")).count() == 0)
   }
 
+  test("contamination fraction: frac>0 iff boolean flag, benchmark members hit 1.0") {
+    val bench = docs.filter(col("doc_id") % 100 === 0)
+    val frac = Corpus.contaminationFraction(docs, bench, n = 13)
+    val flag = Corpus.contaminated(docs, bench, n = 13)
+    val joined = frac.join(flag, Seq("doc_id"))
+    assert(joined.filter(
+      (col("contaminated_frac") > 0) =!= col("contaminated")).count() == 0)
+    // a benchmark member shares every window with itself
+    assert(joined.join(bench.select("doc_id"), Seq("doc_id"), "left_semi")
+      .filter(col("contaminated_frac") =!= 1.0).count() == 0)
+  }
+
   test("sparse cosine: df-pruning drops stopword-only pairs, keeps real ones") {
     import spark.implicits._
     // docs 1/2 share ONLY the ubiquitous token "the" (df > maxDf after
