@@ -45,6 +45,8 @@ object Bench {
     "p47_source_overlap", // per-digest source self-join matrix
     "p49_sim_projected",  // JL shortlist + exact rerank (raw operator)
     "p50_mm_dedup",       // media bytes -> features -> LSH pairs
+    "p51_split_leakage_safe", // components + cluster-keyed md5 split
+    "p52_contamination_frac", // 13-gram broadcast overlap fraction
     "s08_stream_trending", // streaming windowed counts + bounded rank
     "s01_stream_hourly",  // structured streaming
     "x03_asof_join",      // union+window as-of composition

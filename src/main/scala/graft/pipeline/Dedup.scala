@@ -502,23 +502,54 @@ object Dedup {
     df.join(pairs.select(col("id_b").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
 
-  /** Connected components over the near-dup pair graph via iterative
-    * min-label propagation: every node adopts the smallest component id
-    * among itself and its neighbors until fixpoint (≤ diameter + 1
-    * rounds; near-dup clusters are shallow). Each round is one shuffle
-    * join + aggregate over the PAIR-NODE table only — far smaller than
-    * the corpus — with a storage barrier per round to truncate lineage
-    * (the standard iterative-algorithm checkpoint pattern; GraphX's CC
-    * is this same loop with graph-specific packing).
-    *
-    * Returns (`doc_id`, `comp`) where comp = min doc id in the cluster.
+  /** Edge-count bound under which the component closure finishes on the
+    * DRIVER via union-find instead of the distributed loop: 2M edge
+    * rows ≈ 32 MB collected — the broadcast-variable pattern, read off
+    * the edges barrier's parquet footers with zero jobs. Near-dup pair
+    * graphs are tiny relative to their corpora (pairs ∝ duplicates, not
+    * documents), so this is the common case; a graph above the bound —
+    * billions of edges at 100 TB — takes the iterative loop unchanged.
     */
-  def components(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
-    val edges = materializeBarrier(
+  private[pipeline] val LocalCcBound = 2000000L
+
+  /** Connected components over the near-dup pair graph.
+    *
+    * The edge list is materialized once (a barrier — also what caps
+    * re-execution of the pairs plan), and its footer row count picks
+    * the strategy with no extra jobs:
+    *  - ≤ [[LocalCcBound]] edges: collect the narrow (src, dst) table
+    *    and run union-find driver-side — one job, no rounds; labels
+    *    return as an exact-stats local relation, so downstream joins
+    *    broadcast.
+    *  - above the bound: iterative min-label propagation — every node
+    *    adopts the smallest component id among itself and its neighbors
+    *    until fixpoint (≤ diameter + 1 rounds; near-dup clusters are
+    *    shallow). Each round is one shuffle join + aggregate over the
+    *    PAIR-NODE table only, with a storage barrier per round to
+    *    truncate lineage and an observed metric for convergence (no
+    *    per-round count job). GraphX's CC is this same loop with
+    *    graph-specific packing.
+    *
+    * Both paths produce identical labels (a spec asserts it): comp =
+    * min doc id in the cluster, returned as (`doc_id`, `comp`).
+    */
+  def components(pairs: DataFrame, maxIters: Int = 50): DataFrame =
+    componentsBounded(pairs, maxIters, LocalCcBound)
+
+  private[graft] def componentsBounded(pairs: DataFrame, maxIters: Int,
+      localBound: Long): DataFrame = {
+    val (edges, edgesDir) = materializeBarrierAt(
       pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
         .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
         .distinct(),
       "cc-edges")
+    if (barrierRowCount(edgesDir) <= localBound) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val es = edges.select(col("src"), col("dst")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      return localComponents(es).toSeq.toDF("doc_id", "comp")
+    }
     // fused init: comp = min(self, min(neighbors)) IS what a first
     // propagation round over identity labels would produce, and the
     // groupBy costs the same one shuffle the old distinct() init did —
@@ -570,6 +601,33 @@ object Dedup {
       iter += 1
     }
     comp
+  }
+
+  /** Driver-side union-find (path compression + union by smaller root),
+    * relabelled so every node maps to the MIN id of its component —
+    * exactly the distributed loop's fixpoint.
+    */
+  private def localComponents(
+      edges: Array[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) {
+        val n = parent.getOrElse(c, c); parent(c) = r; c = n
+      }
+      r
+    }
+    for ((a, b) <- edges) {
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    parent.keysIterator.map(n => n -> find(n)).toMap
   }
 
   /** Character n-gram Jaccard near-dup pairs, LSH-bucketed by bands×r

@@ -363,15 +363,33 @@ class PipelineSpec extends SparkSpec {
     def roundDirs = Dedup.liveBarrierDirs
       .filter(_.getName.startsWith("graft-cc-round")).toSet
     val before = roundDirs
-    // a 6-node chain needs several propagation rounds to converge
+    // a 6-node chain needs several propagation rounds to converge;
+    // localBound = -1 forces the distributed loop this spec targets
     val pairs = (1L until 6L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val comp = Dedup.components(pairs)
+    val comp = Dedup.componentsBounded(pairs, 50, localBound = -1L)
     assert(comp.collect().map(_.getLong(1)).toSet == Set(1L))
     // only the FINAL round's dir (backing the returned plan) may remain
     // live; every earlier round must have been reclaimed when superseded
     val added = roundDirs -- before
     assert(added.size <= 1,
       s"round barriers piled up: ${added.mkString(", ")}")
+  }
+
+  test("components: driver-side union-find == distributed label propagation") {
+    import spark.implicits._
+    // chains (deep), a clique, overlapping unions in adversarial order,
+    // and disjoint singles — both strategies must produce identical
+    // (doc_id -> min member) labels
+    val pairs = (Seq((9L, 8L), (8L, 7L), (7L, 6L), (6L, 1L)) ++ // chain, desc
+      Seq((20L, 21L), (20L, 22L), (21L, 22L)) ++                // clique
+      Seq((31L, 40L), (40L, 35L), (30L, 31L)) ++                // late min
+      Seq((50L, 51L))).toDF("id_a", "id_b")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = toMap(Dedup.componentsBounded(pairs, 50, Long.MaxValue))
+    val dist = toMap(Dedup.componentsBounded(pairs, 50, -1L))
+    assert(local == dist, s"local $local vs distributed $dist")
+    assert(local(9L) == 1L && local(22L) == 20L && local(35L) == 30L)
   }
 
   test("incremental dedup: flags exactly the cross-split dups, bloom prunes the verify join") {
