@@ -142,6 +142,81 @@ object Streaming {
         .orderBy("hour", "rank")
     },
 
+    // Streaming content-hash index maintenance: each micro-batch
+    // appends its NOVEL digests to the x14 DedupIndex via foreachBatch
+    // — the streaming form of the ingest contract p36 probes. Two
+    // single-file batches (maxFilesPerTrigger=1 under AvailableNow)
+    // carry intra-batch planted dups, so batch-local dedup, the
+    // bloom+anti-join novelty check, and append accumulation across
+    // micro-batches are all exercised; dup resolution is intra-batch
+    // only, so the final index equals a global first-seen recompute
+    // regardless of batch order.
+    QueryDef("s09_stream_index_append",
+      """WITH all_rows AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id, text FROM documents
+        |  WHERE doc_id < 50 AND doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+        |  WHERE doc_id >= 250 AND doc_id < 300 AND doc_id % 10 = 0)
+        |SELECT md5(text) AS h, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+        |  true AS multi_batch
+        |FROM all_rows GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.pipeline.DedupIndex
+      val d = graft.Tables.load(s, dir, "documents").select("doc_id", "text")
+      val base = java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_fmt").toString
+      val srcDir = s"$base/s09_stream_src"
+      val idxDir = s"$base/s09_index"
+      DedupIndex.drop(s, srcDir)
+      DedupIndex.drop(s, idxDir)
+      new java.io.File(srcDir).mkdirs()
+      def rmTree(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
+      }
+      // the file-stream source consumes whole files, so each ingest
+      // batch lands as ONE parquet file in the watched dir
+      def writeSingle(df: org.apache.spark.sql.DataFrame,
+          name: String): Unit = {
+        val tmp = s"$srcDir/_$name"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(srcDir, s"$name.parquet"))
+        rmTree(new java.io.File(tmp))
+      }
+      writeSingle(d.filter(col("doc_id") < 250)
+        .unionAll(d.filter(col("doc_id") < 50 && col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 2000000).as("doc_id"), col("text"))),
+        "batch_a")
+      writeSingle(d.filter(col("doc_id") >= 250)
+        .unionAll(d.filter(col("doc_id") >= 250 && col("doc_id") < 300 &&
+            col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text"))),
+        "batch_b")
+      val schema = s.read.parquet(srcDir).schema
+      val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(srcDir)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          DedupIndex.append(batch.sparkSession, idxDir, batch,
+            "doc_id", "text")
+          nBatches.incrementAndGet()
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      DedupIndex.read(s, idxDir)
+        .select(col("h"), col("keep_id"),
+          lit(nBatches.get() >= 2).as("multi_batch"))
+    },
+
     // custom arbitrary state: flatMapGroupsWithState running stats — the
     // single AvailableNow batch's final state must equal the batch agg
     QueryDef("s03_stream_custom_state",
