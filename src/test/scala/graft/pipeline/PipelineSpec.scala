@@ -973,17 +973,17 @@ class PipelineSpec extends SparkSpec {
       val pairs = Dedup.minhashPairs(planted, "doc_id", "text",
         k = 64, bands = 16, threshold = 0.5)
       assert(pairs.filter(col("jaccard") === 1.0).count() >= 5)
-      // fuzzy path materializes its dup index as a barrier and probes
-      // its footers (minhash rides the sketch instead — no dup barrier)
-      import spark.implicits._
-      val strs = Seq((1L, "alpha beta"), (2L, "alpha beta"),
-        (3L, "alpha betX"), (4L, "unrelated thing")).toDF("doc_id", "s")
-      val fz = Fuzzy.editDistancePairs(strs, "doc_id", "s", maxDist = 2)
-      assert(fz.filter(col("dist") === 0).count() == 1)
+      // force the aggregated fallback (sketch disabled) so the dup
+      // barrier write AND barrierRowCount's listStatus footer probe run
+      // against the configured FS too
+      val sigs = Dedup.materializeBarrier(
+        Dedup.minhashSigs(planted, "doc_id", "text", 64, 3), "conf-sigs")
+      val agg = Dedup.lshCollapsedPairs(sigs, "sh", 16, 4, 0.5, None)
+      assert(agg.filter(col("jaccard") === 1.0).count() >= 5)
       val under = Dedup.liveBarrierDirs.filter(p =>
         p.toUri.getPath.startsWith(root.toString))
       assert(under.exists(_.getName.startsWith("graft-minhash-sigs-")))
-      assert(under.exists(_.getName.startsWith("graft-fuzzy-dups-")))
+      assert(under.exists(_.getName.startsWith("graft-lsh-dups-")))
     } finally spark.conf.unset("graft.barrier.dir")
   }
 
