@@ -1351,6 +1351,28 @@ object Pipeline {
         count(when(Corpus.sampleHash(col("doc_id"), 0.2), 1)).as("n_sampled"))
     },
 
+    // quality-weighted importance resampling (p26's hash sampling with a
+    // PER-ROW rate): keep probability derives from a quality signal
+    // (here length-based, capped at 1), the Dolma/FineWeb-style mixing
+    // knob. Both engines compute the identical hex-threshold compare,
+    // so per-row flags match exactly.
+    QueryDef("p53_importance_resample",
+      """SELECT doc_id,
+        |  round(least(1.0, n_chars / 3000.0), 6) AS rate,
+        |  CASE WHEN least(1.0, n_chars / 3000.0) >= 1.0 THEN true
+        |       WHEN least(1.0, n_chars / 3000.0) <= 0.0 THEN false
+        |       ELSE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+        |         lower(lpad(hex(CAST(floor(
+        |           least(1.0, n_chars / 3000.0) * 4294967296) AS BIGINT)),
+        |           8, '0'))
+        |  END AS kept
+        |FROM documents""".stripMargin) { (s, dir) =>
+      val rate = least(lit(1.0), col("n_chars") / 3000.0)
+      t(s, dir, "documents")
+        .select(col("doc_id"), round(rate, 6).as("rate"),
+          Corpus.importanceKeep(col("doc_id"), rate).as("kept"))
+    },
+
     // benchmark = every 100th doc; a corpus doc is contaminated iff it
     // shares a 13-token window with any benchmark doc
     QueryDef("p24_contamination",

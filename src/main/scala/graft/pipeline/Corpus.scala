@@ -232,6 +232,27 @@ object Corpus {
       .select(col(idCol),
         coalesce(col("contaminated"), lit(false)).as("contaminated"))
   }
+  /** Quality-weighted importance resampling predicate: keep a row iff
+    * the first 8 hex digits of md5(id) fall under the row's OWN keep
+    * rate — [[sampleHash]] generalized from a constant rate to a
+    * score-derived column, the mixing knob that up/down-weights corpus
+    * slices by quality instead of dropping them outright. The per-row
+    * threshold is the rate rendered as fixed-width lowercase hex
+    * (floor(rate·2³²)), so the comparison stays one string compare —
+    * no RNG state, stable across engines, runs, and partitionings, and
+    * E[kept | rate] = rate to 2⁻³² exactly like the constant-rate form.
+    * Rates ≥ 1 keep unconditionally; ≤ 0 drop (an 8-char lpad would
+    * otherwise truncate the 9-hex-digit 2³² threshold).
+    */
+  def importanceKeep(idCol: Column, rate: Column): Column = {
+    val frac = substring(md5(idCol.cast("string")), 1, 8)
+    val thr = lower(lpad(hex(floor(rate * 4294967296.0).cast("bigint")),
+      8, "0"))
+    when(rate >= 1.0, lit(true))
+      .when(rate <= 0.0, lit(false))
+      .otherwise(frac < thr)
+  }
+
   /** Benchmark-contamination FRACTION: per corpus document, the share
     * of its distinct word n-gram windows that also occur anywhere in
     * the benchmark set — the thresholdable contamination score behind

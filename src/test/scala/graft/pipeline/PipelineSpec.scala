@@ -1108,6 +1108,28 @@ class PipelineSpec extends SparkSpec {
       .filter(col("contaminated_frac") =!= 1.0).count() == 0)
   }
 
+  test("importanceKeep: rate edges exact, keep fraction tracks the rate, matches sampleHash") {
+    import spark.implicits._
+    val ids = spark.range(0, 20000).select(col("id").as("doc_id"))
+    // edges: 1 keeps all (incl. the 2^32 threshold that would truncate
+    // as 8-char hex), 0 drops all
+    assert(ids.filter(!Corpus.importanceKeep(col("doc_id"), lit(1.0)))
+      .count() == 0)
+    assert(ids.filter(Corpus.importanceKeep(col("doc_id"), lit(0.0)))
+      .count() == 0)
+    // a constant per-row rate must agree with sampleHash row for row
+    val viaVar = ids.filter(Corpus.importanceKeep(col("doc_id"), lit(0.2)))
+      .collect().map(_.getLong(0)).toSet
+    val viaConst = ids.filter(Corpus.sampleHash(col("doc_id"), 0.2))
+      .collect().map(_.getLong(0)).toSet
+    assert(viaVar == viaConst)
+    // variable rate: E[kept] = mean(rate) within sampling noise
+    val rate = (col("doc_id") % 10).cast("double") / 10.0 // mean 0.45
+    val kept = ids.filter(Corpus.importanceKeep(col("doc_id"), rate)).count()
+    assert(math.abs(kept / 20000.0 - 0.45) < 0.02,
+      s"keep fraction ${kept / 20000.0} far from 0.45")
+  }
+
   test("sparse cosine: df-pruning drops stopword-only pairs, keeps real ones") {
     import spark.implicits._
     // docs 1/2 share ONLY the ubiquitous token "the" (df > maxDf after
