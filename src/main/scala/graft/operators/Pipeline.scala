@@ -1672,6 +1672,110 @@ object Pipeline {
         |  MIN(ts) AS sess_start, MAX(ts) AS sess_end
         |FROM sess GROUP BY user_id, sess_id""".stripMargin) { (s, dir) =>
       sessionize(t(s, dir, "events"))
+    },
+
+    // Distributed Lloyd's k-means (k=10, 2 iterations, seeded from the 10
+    // smallest vec_ids) in EXACT int64 arithmetic over round(x*1000)
+    // quantized codes — assignment, floor-div centroid update, and final
+    // (cluster, dist) all hash-match the oracle's full re-derivation
+    // bit-for-bit (the p29/p45 exact-integer pattern). One aggregation
+    // job per iteration; the corpus never shuffles, only k×dim sufficient
+    // statistics do.
+    QueryDef("p54_kmeans_assign",
+      """WITH q AS (SELECT vec_id, list_transform(embedding,
+        |             x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT))
+        |             AS qv
+        |           FROM embeddings),
+        |u AS (SELECT vec_id, unnest(qv) AS v, unnest(range(len(qv))) AS i
+        |      FROM q),
+        |c0 AS (SELECT vec_id AS cid, i, v AS cv FROM u WHERE vec_id < 10),
+        |d1 AS (SELECT u.vec_id, c0.cid,
+        |         sum((u.v - c0.cv)*(u.v - c0.cv)) AS d
+        |       FROM u JOIN c0 USING (i) GROUP BY 1, 2),
+        |a1 AS (SELECT vec_id, cid FROM (
+        |         SELECT vec_id, cid,
+        |           ROW_NUMBER() OVER (PARTITION BY vec_id
+        |                              ORDER BY d, cid) AS rn
+        |         FROM d1) WHERE rn = 1),
+        |c1 AS (SELECT a1.cid, u.i,
+        |         CAST(floor(CAST(sum(u.v) AS DOUBLE)/count(*)) AS BIGINT)
+        |           AS cv
+        |       FROM a1 JOIN u USING (vec_id) GROUP BY 1, 2),
+        |d2 AS (SELECT u.vec_id, c1.cid,
+        |         sum((u.v - c1.cv)*(u.v - c1.cv)) AS d
+        |       FROM u JOIN c1 USING (i) GROUP BY 1, 2),
+        |a2 AS (SELECT vec_id, cid, d FROM (
+        |         SELECT vec_id, cid, d,
+        |           ROW_NUMBER() OVER (PARTITION BY vec_id
+        |                              ORDER BY d, cid) AS rn
+        |         FROM d2) WHERE rn = 1)
+        |SELECT vec_id, CAST(cid AS BIGINT) AS cluster,
+        |  CAST(d AS BIGINT) AS dist
+        |FROM a2""".stripMargin) { (s, dir) =>
+      graft.pipeline.Clustering.kmeansAssign(
+        t(s, dir, "embeddings"), k = 10, iters = 2)
+    },
+
+    // SemDeDup (Abbas et al. 2023): semantic near-dup pairs by cosine,
+    // computed ONLY within a p54 k-means cluster — the clustering caps
+    // the pairwise work (Σ n_c² with k scaling with the corpus), which
+    // is the whole trick at 100 TB. Cosine is exact-int64 dot products
+    // pushed through IEEE-deterministic double ops (cast/sqrt/divide),
+    // so the 0.95 threshold compare and round-6 output match the oracle
+    // bitwise; the oracle re-derives the clustering AND the pairs.
+    QueryDef("p55_semantic_dedup",
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(x * CAST(1.001 AS FLOAT) AS FLOAT)) AS embedding
+        |  FROM embeddings WHERE vec_id % 25 = 0),
+        |q AS (SELECT vec_id, list_transform(embedding,
+        |             x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT))
+        |             AS qv
+        |           FROM corpus),
+        |u AS (SELECT vec_id, unnest(qv) AS v, unnest(range(len(qv))) AS i
+        |      FROM q),
+        |c0 AS (SELECT vec_id AS cid, i, v AS cv FROM u WHERE vec_id < 10),
+        |d1 AS (SELECT u.vec_id, c0.cid,
+        |         sum((u.v - c0.cv)*(u.v - c0.cv)) AS d
+        |       FROM u JOIN c0 USING (i) GROUP BY 1, 2),
+        |a1 AS (SELECT vec_id, cid FROM (
+        |         SELECT vec_id, cid,
+        |           ROW_NUMBER() OVER (PARTITION BY vec_id
+        |                              ORDER BY d, cid) AS rn
+        |         FROM d1) WHERE rn = 1),
+        |c1 AS (SELECT a1.cid, u.i,
+        |         CAST(floor(CAST(sum(u.v) AS DOUBLE)/count(*)) AS BIGINT)
+        |           AS cv
+        |       FROM a1 JOIN u USING (vec_id) GROUP BY 1, 2),
+        |d2 AS (SELECT u.vec_id, c1.cid,
+        |         sum((u.v - c1.cv)*(u.v - c1.cv)) AS d
+        |       FROM u JOIN c1 USING (i) GROUP BY 1, 2),
+        |a2 AS (SELECT vec_id, cid FROM (
+        |         SELECT vec_id, cid,
+        |           ROW_NUMBER() OVER (PARTITION BY vec_id
+        |                              ORDER BY d, cid) AS rn
+        |         FROM d2) WHERE rn = 1),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cid
+        |      FROM a2 a JOIN a2 b ON a.cid = b.cid
+        |                         AND a.vec_id < b.vec_id),
+        |dots AS (SELECT p.id_a, p.id_b, p.cid, sum(ua.v * ub.v) AS num
+        |         FROM p JOIN u ua ON ua.vec_id = p.id_a
+        |                JOIN u ub ON ub.vec_id = p.id_b AND ub.i = ua.i
+        |         GROUP BY 1, 2, 3),
+        |ss AS (SELECT vec_id, sum(v*v) AS ss FROM u GROUP BY 1)
+        |SELECT CAST(d.cid AS BIGINT) AS cluster, d.id_a, d.id_b,
+        |  round(CAST(d.num AS DOUBLE) /
+        |        sqrt(CAST(sa.ss*sb.ss AS DOUBLE)), 6) AS cosine
+        |FROM dots d JOIN ss sa ON sa.vec_id = d.id_a
+        |            JOIN ss sb ON sb.vec_id = d.id_b
+        |WHERE CAST(d.num AS DOUBLE) /
+        |      sqrt(CAST(sa.ss*sb.ss AS DOUBLE)) >= 0.95""".stripMargin) {
+      (s, dir) =>
+      graft.pipeline.Clustering.semanticDedupPairs(
+        vecsWithPlants(s, dir), k = 10, iters = 2, threshold = 0.95)
     }
   )
 }

@@ -1,0 +1,158 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed Lloyd's k-means over the embedding column, and the
+  * SemDeDup-style semantic dedup built on top of it (cluster first, then
+  * pairwise-cosine only WITHIN a cluster — the clustering is what caps
+  * the pairwise work at scale; Abbas et al. 2023, arXiv:2303.09540).
+  *
+  * Determinism contract (the p29/p45 exact-integer pattern): vectors are
+  * quantized once to `round(x * 1000)` int64 codes — float→double is
+  * exact and `round()` is half-away-from-zero in both engines — and every
+  * distance/assignment below is EXACT int64 arithmetic, so cluster
+  * assignments hash-match a DuckDB mirror bit-for-bit. Centroid updates
+  * floor-divide exact integer sums (floor over a double quotient of
+  * exactly-representable int64s is exact: a/b is never within an ulp of
+  * an integer it doesn't equal for b ≤ 2^26 rows per cluster... see
+  * scaladoc on [[centroidUpdate]]).
+  *
+  * Scale design: one aggregation job per Lloyd iteration. Assignment is
+  * a narrow map over the corpus against a k×dim centroid LITERAL
+  * (driver-held — k·dim longs, a few KB even at k = 100k·dim = 64), so
+  * the only shuffle per iteration is the partial-aggregated
+  * groupBy(cluster, dim) for the centroid update, which carries ≤
+  * k×dim×partitions rows map-side-combined — independent of corpus row
+  * count. This is the standard scalable Lloyd's: the corpus never
+  * shuffles, only the tiny sufficient statistics do.
+  */
+object Clustering {
+
+  /** `round(x*1000)` int64 quantization of a float/double array column. */
+  def quantize(vec: Column, scale: Int = 1000): Column =
+    transform(vec, x => round(x.cast("double") * scale).cast("long"))
+
+  /** Exact int64 squared L2 distance between a quantized row vector and a
+    * centroid literal.
+    */
+  private def sqDist(qv: Column, cent: Array[Long]): Column =
+    aggregate(
+      zip_with(qv, array(cent.map(lit(_)): _*), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+
+  /** (cluster, dist) of the nearest centroid; ties break to the smaller
+    * centroid id via array_sort over (dist, cid) structs.
+    */
+  private def assignCols(qv: Column,
+      cents: Seq[(Long, Array[Long])]): Column = {
+    val scored = array(cents.map { case (cid, cv) =>
+      struct(sqDist(qv, cv).as("d"), lit(cid).as("cid"))
+    }: _*)
+    element_at(array_sort(scored), 1)
+  }
+
+  /** One centroid update: element-wise floor(sum/count) over the rows
+    * assigned to each cluster, computed as ONE partial-aggregated
+    * groupBy(cluster, dim) job; the k×dim result is collected to the
+    * driver (tiny) to become the next iteration's literal. Clusters that
+    * lost every row are dropped (they can never reacquire rows under
+    * exact re-assignment anyway — matches the oracle's inner join).
+    *
+    * floor(CAST(sum AS DOUBLE)/n) is exact while |sum| < 2^52: the true
+    * rational a/n is either an integer (double division exact for these
+    * magnitudes) or at least 1/n away from one — far beyond the ≤0.5 ulp
+    * division error — so the floor can't straddle.
+    */
+  private def centroidUpdate(assigned: DataFrame): Seq[(Long, Array[Long])] =
+    assigned
+      .select(col("cluster"), posexplode(col("qv")).as(Seq("i", "v")))
+      .groupBy("cluster", "i")
+      .agg(sum("v").as("s"), count(lit(1)).as("n"))
+      .select(col("cluster"),
+        col("i"),
+        floor(col("s").cast("double") / col("n")).cast("long").as("cv"))
+      .groupBy("cluster")
+      .agg(collect_list(struct(col("i"), col("cv"))).as("dims"))
+      .collect()
+      .map { r =>
+        val cid = r.getLong(0)
+        val dims = r.getSeq[org.apache.spark.sql.Row](1)
+          .map(d => (d.getInt(0), d.getLong(1))).sortBy(_._1)
+        cid -> dims.map(_._2).toArray
+      }
+      .sortBy(_._1)
+      .toSeq
+
+  /** Final centroids after `iters` Lloyd iterations from a deterministic
+    * seed (the k smallest ids' quantized vectors).
+    */
+  private[graft] def kmeansCentroids(df: DataFrame, k: Int, iters: Int,
+      idCol: String, vecCol: String): Seq[(Long, Array[Long])] = {
+    val q = df.select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"))
+    var cents = q.orderBy("id").limit(k).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).toSeq
+    for (_ <- 2 to iters) {
+      val assigned = q.withColumn("cluster",
+        assignCols(col("qv"), cents).getField("cid"))
+      cents = centroidUpdate(assigned)
+    }
+    cents
+  }
+
+  /** `iters` Lloyd iterations from a deterministic seed (the k smallest
+    * ids), returning (id, cluster, dist) with dist the EXACT int64
+    * squared distance in quantized space.
+    */
+  def kmeansAssign(df: DataFrame, k: Int, iters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = kmeansCentroids(df, k, iters, idCol, vecCol)
+    df.select(col(idCol), quantize(col(vecCol)).as("qv"))
+      .withColumn("best", assignCols(col("qv"), cents))
+      .select(col(idCol),
+        col("best").getField("cid").as("cluster"),
+        col("best").getField("d").as("dist"))
+  }
+
+  /** SemDeDup: near-duplicate pairs by exact-arithmetic cosine, computed
+    * ONLY within a k-means cluster. Output (cluster, id_a, id_b, cosine)
+    * with id_a < id_b and cosine ≥ threshold.
+    *
+    * cosine = CAST(num AS DOUBLE) / sqrt(CAST(ssa*ssb AS DOUBLE)) where
+    * num/ssa/ssb are exact int64 dot products of the quantized codes —
+    * every double op here (int64→double cast, multiply kept in int64,
+    * sqrt, divide) is IEEE-deterministic, so the threshold compare and
+    * the rounded output match the oracle bitwise. ssa·ssb stays under
+    * 2^63 for 64-dim codes ≤ |3000| (≤ 3.4e17).
+    *
+    * Scale: the self-join shuffles on `cluster` — pairwise work is
+    * Σ n_c², bounded because k grows with the corpus (SemDeDup's whole
+    * point); the quantized-code payload rides the same shuffle.
+    */
+  def semanticDedupPairs(df: DataFrame, k: Int, iters: Int = 2,
+      threshold: Double = 0.92, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val assign = kmeansAssign(df, k, iters, idCol, vecCol)
+      .select(col(idCol).as("id"), col("cluster"))
+    val q = df.select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"))
+      .withColumn("ss",
+        aggregate(zip_with(col("qv"), col("qv"), (x, y) => x * y),
+          lit(0L), (acc, v) => acc + v))
+      .join(assign, "id")
+    val a = q.select(col("cluster"), col("id").as("id_a"),
+      col("qv").as("qv_a"), col("ss").as("ss_a"))
+    val b = q.select(col("cluster"), col("id").as("id_b"),
+      col("qv").as("qv_b"), col("ss").as("ss_b"))
+    val num = aggregate(
+      zip_with(col("qv_a"), col("qv_b"), (x, y) => x * y),
+      lit(0L), (acc, v) => acc + v)
+    val cosine = col("num").cast("double") /
+      sqrt((col("ss_a") * col("ss_b")).cast("double"))
+    a.join(b, Seq("cluster")).filter(col("id_a") < col("id_b"))
+      .withColumn("num", num)
+      .withColumn("cosine", cosine)
+      .filter(col("cosine") >= threshold)
+      .select(col("cluster"), col("id_a"), col("id_b"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+}
