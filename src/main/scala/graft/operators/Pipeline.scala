@@ -1776,6 +1776,48 @@ object Pipeline {
       (s, dir) =>
       graft.pipeline.Clustering.semanticDedupPairs(
         vecsWithPlants(s, dir), k = 10, iters = 2, threshold = 0.95)
+    },
+
+    // Token-budget corpus selection ("best B tokens"): quality-ranked
+    // (n_chars proxy, doc_id tiebreak) running token total, kept while
+    // ≤ 15000 — roughly half the ~27k-token corpus, so both branches of
+    // `selected` are exercised at every SF. The oracle's windowed SUM is
+    // the semantics; the Spark side computes the same totals with the
+    // scalable two-phase prefix sum (range partition + barrier + driver
+    // offsets), NOT a single-partition window.
+    QueryDef("p56_token_budget",
+      """WITH tk AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(CASE WHEN length(w) = 0 THEN 0
+        |         ELSE len(string_split_regex(w, '\s+')) END AS BIGINT)
+        |      AS n_tokens
+        |  FROM (SELECT doc_id, n_chars,
+        |          regexp_replace(text, '^\s+|\s+$', '', 'g') AS w
+        |        FROM documents)),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    SUM(n_tokens) OVER (ORDER BY n_chars DESC, doc_id
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING
+        |                        AND CURRENT ROW) AS cum
+        |  FROM tk)
+        |SELECT doc_id, n_tokens, CAST(cum AS BIGINT) AS cum_tokens,
+        |  cum <= 15000 AS selected
+        |FROM c""".stripMargin) { (s, dir) =>
+      Corpus.tokenBudgetSelect(t(s, dir, "documents"), budget = 15000L)
+    },
+
+    // Deterministic global training-order shuffle: position = rank under
+    // ORDER BY md5('shuf42:' || doc_id) — an RNG-free permutation any
+    // engine and any re-run agrees on. Same two-phase prefix machinery
+    // as p56 (value = 1), so the "global sort" never serializes through
+    // one task.
+    QueryDef("p59_shuffle_order",
+      """SELECT doc_id,
+        |  CAST(ROW_NUMBER() OVER (
+        |    ORDER BY md5('shuf42:' || CAST(doc_id AS VARCHAR)), doc_id)
+        |    AS BIGINT) AS pos
+        |FROM documents""".stripMargin) { (s, dir) =>
+      Corpus.shuffleOrder(t(s, dir, "documents"))
     }
   )
 }

@@ -373,4 +373,79 @@ object Corpus {
         Seq("src_b"))
       .select("src_a", "src_b", "shared_docs", "n_a", "n_b")
   }
+
+  /** Global cumulative sum + global position over a total order WITHOUT a
+    * single-partition window (the thing that would serialize 100 TB
+    * through one task): range-partition on the sort key, materialize the
+    * partitioning through a parquet barrier so partition ids become DATA
+    * (re-planning can't move rows between pids afterwards), lift the
+    * per-partition (sum, count) totals to the driver — nParts rows, tiny
+    * — and finish with a per-pid window plus broadcast running offsets.
+    * Every stage is partition-parallel; the only driver state is the
+    * offsets array.
+    *
+    * The result is independent of WHERE the range boundaries land (they
+    * come from sampling): `sortCols` must be a total order (include a
+    * unique id), so each row's set of predecessors — and therefore its
+    * cum/pos — is the same under any boundary placement.
+    */
+  private[graft] def withGlobalOrder(df: DataFrame, sortCols: Seq[Column],
+      value: Column, nParts: Int = 32): DataFrame = {
+    val staged = Dedup.materializeBarrier(
+      df.withColumn("_v", value)
+        .repartitionByRange(nParts, sortCols: _*)
+        .withColumn("_pid", spark_partition_id()),
+      "globalorder")
+    val parts = staged.groupBy("_pid")
+      .agg(sum("_v").as("t"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    var vOff = 0L
+    var rOff = 0L
+    val offRows = parts.toSeq.map { case (pid, t, n) =>
+      val row = (pid, vOff, rOff)
+      vOff += t
+      rOff += n
+      row
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offs = broadcast(offRows.toDF("_pid", "_voff", "_roff"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_pid").orderBy(sortCols: _*)
+    staged.join(offs, "_pid")
+      .withColumn("cum", col("_voff") + sum(col("_v")).over(w))
+      .withColumn("pos", col("_roff") + row_number().over(w).cast("long"))
+      .drop("_pid", "_voff", "_roff", "_v")
+  }
+
+  /** Token-budget corpus selection: rank documents quality-first (here
+    * the n_chars proxy, unique-tiebroken on id) and keep documents while
+    * the running token total stays within `budget` — the "best B tokens"
+    * curation step. Exact int64 arithmetic end to end; the global
+    * running total uses [[withGlobalOrder]], so no single-partition
+    * window at any scale.
+    */
+  def tokenBudgetSelect(df: DataFrame, budget: Long,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    withGlobalOrder(
+      df.select(col(idCol), col("n_chars"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens")),
+      Seq(col("n_chars").desc, col(idCol)), col("n_tokens"))
+      .select(col(idCol), col("n_tokens"),
+        col("cum").cast("long").as("cum_tokens"),
+        (col("cum") <= budget).as("selected"))
+
+  /** Deterministic global training-order shuffle: position = rank under
+    * ORDER BY md5(seed || id) — an RNG-free permutation both engines (and
+    * any re-run) agree on. Built on [[withGlobalOrder]]: range partition
+    * on the hash, no single-partition sort.
+    */
+  def shuffleOrder(df: DataFrame, seed: String = "shuf42",
+      idCol: String = "doc_id"): DataFrame =
+    withGlobalOrder(
+      df.select(col(idCol),
+        md5(concat(lit(s"$seed:"), col(idCol).cast("string"))).as("_h")),
+      Seq(col("_h"), col(idCol)), lit(1L))
+      .select(col(idCol), col("pos"))
 }
