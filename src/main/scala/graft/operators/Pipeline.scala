@@ -1818,6 +1818,49 @@ object Pipeline {
         |    AS BIGINT) AS pos
         |FROM documents""".stripMargin) { (s, dir) =>
       Corpus.shuffleOrder(t(s, dir, "documents"))
+    },
+
+    // Unigram LM quality proxy (KenLM-perplexity stand-in): mean log
+    // document-frequency of each doc's tokens. Corpus DF and the
+    // per-doc mean are both fully re-derived by the oracle; ln/avg are
+    // the only floats → ROUND 6.
+    QueryDef("p57_lm_score",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(w, '\s+')) AS token
+        |  FROM (SELECT doc_id,
+        |          regexp_replace(text, '^\s+|\s+$', '', 'g') AS w
+        |        FROM documents)
+        |  WHERE length(w) > 0),
+        |dfq AS (SELECT token, count(DISTINCT doc_id) AS tdf
+        |        FROM tok GROUP BY 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  round(avg(ln(tdf)), 6) AS lm_score
+        |FROM tok JOIN dfq USING (token)
+        |GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.lmScore(t(s, dir, "documents"))
+    },
+
+    // Asymmetric containment dedup: ordered pairs where ≥ 80% of a's
+    // distinct 5-token shingles occur in b — catches quoted-inside /
+    // superset dupes that symmetric Jaccard misses. The planted copies
+    // ("text || ' appended'") are exact containment cases: orig-in-copy
+    // = 1.0 and copy-in-orig = (W-4)/(W-3). Exhaustive oracle over the
+    // same corpus; 64-bit shingle-hash equality = string equality at
+    // 2⁻⁶⁴ (the p04 argument).
+    QueryDef("p58_containment",
+      s"""WITH $corpusSql,
+         |${shingleCtes(5)},
+         |e AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         |p AS (SELECT ea.doc_id AS id_a, eb.doc_id AS id_b,
+         |        CAST(count(*) AS BIGINT) AS n_shared
+         |      FROM e ea JOIN e eb USING (g)
+         |      WHERE ea.doc_id != eb.doc_id GROUP BY 1, 2),
+         |nc AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n_sh FROM sh)
+         |SELECT p.id_a, p.id_b, p.n_shared,
+         |  round(p.n_shared / nc.n_sh, 6) AS containment
+         |FROM p JOIN nc ON nc.doc_id = p.id_a
+         |WHERE p.n_shared / nc.n_sh >= 0.8""".stripMargin) { (s, dir) =>
+      Dedup.containmentPairs(docsWithPlants(s, dir), n = 5, threshold = 0.8)
     }
   )
 }

@@ -805,4 +805,38 @@ object Dedup {
         (col("n_repeated").cast("double") / col("n_windows"))
           .as("repeated_frac"))
   }
+
+  /** ASYMMETRIC containment pairs: for ordered (a, b),
+    * |shingles(a) ∩ shingles(b)| / |shingles(a)| ≥ threshold — catches
+    * "a is quoted inside b" dupes that symmetric Jaccard misses (a tiny
+    * doc fully contained in a huge one has low Jaccard but containment
+    * 1.0). Exact set arithmetic over 64-bit word-shingle hashes
+    * (hash-equality = string-equality at 2⁻⁶⁴, the p04 argument).
+    *
+    * Shape: inverted index on shingle hash → pair-count groupBy — both
+    * shuffles keyed, counts partial-aggregated. Pair blowup is bounded
+    * by shingle document frequency; at 100 TB the production guard is a
+    * PPJoin-style prefix filter or a df cap on boilerplate shingles
+    * (p45's maxDf pattern) — not applied here so the oracle stays an
+    * exact mirror.
+    */
+  def containmentPairs(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 5,
+      threshold: Double = 0.8): DataFrame = {
+    import org.apache.spark.sql.graft.VectorExpressions
+    val sh = df.select(col(idCol).as("id"),
+      explode(VectorExpressions.shingleHashes(col(textCol), n)).as("g"))
+    val counts = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    sh.select(col("g"), col("id").as("id_a"))
+      .join(sh.select(col("g"), col("id").as("id_b")), Seq("g"))
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .join(counts.select(col("id").as("id_a"), col("n_sh")), Seq("id_a"))
+      .withColumn("containment",
+        col("n_shared").cast("double") / col("n_sh"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        round(col("containment"), 6).as("containment"))
+  }
 }

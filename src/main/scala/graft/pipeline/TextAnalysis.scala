@@ -250,4 +250,24 @@ object TextAnalysis {
     VectorExpressions.nfcNormalize(
       lower(trim(regexp_replace(text, "\\s+", " "))))
   }
+
+  /** Unigram language-model quality proxy: per document, the mean
+    * log(document frequency) of its tokens — the cheap stand-in for a
+    * KenLM-style perplexity filter (rare-token-heavy documents score
+    * low, boilerplate scores high). Corpus DF is a partial-aggregable
+    * count-distinct; the token→df join shuffles on token with map-side
+    * combined tf rows, never full text. Per-doc mean of ≤ thousands of
+    * doubles → ROUND 6 (the per-row-math determinism rule).
+    */
+  def lmScore(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val tok = df.select(col(idCol).as("id"),
+      explode(tokens(col(textCol))).as("token"))
+    val dfreq = tok.groupBy("token").agg(countDistinct("id").as("tdf"))
+    tok.join(dfreq, Seq("token"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(log(col("tdf"))), 6).as("lm_score"))
+      .select(col("id").as(idCol), col("n_tokens"), col("lm_score"))
+  }
 }

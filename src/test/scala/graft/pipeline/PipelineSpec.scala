@@ -22,6 +22,45 @@ class PipelineSpec extends SparkSpec {
     assert(out.filter(col("dupes") >= 2).count() >= 5)
   }
 
+  test("lmScore: hand-computed corpus DF means") {
+    import spark.implicits._
+    val d = Seq((1L, "a b"), (2L, "a c")).toDF("doc_id", "text")
+    val out = TextAnalysis.lmScore(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // df: a=2, b=1, c=1 → both docs score (ln 2 + ln 1)/2
+    val want = BigDecimal(math.log(2) / 2)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) == ((2L, want)))
+    assert(out(2L) == ((2L, want)))
+  }
+
+  test("containment catches a full-quote subset pair Jaccard misses") {
+    import spark.implicits._
+    val small = "alpha beta gamma delta epsilon zeta"
+    val filler = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val d = Seq((1L, small), (2L, s"$filler $small")).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(d, n = 5, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    // small doc (2 shingles) fully contained in big → containment 1.0
+    assert(pairs.toSeq == Seq((1L, 2L, 1.0)))
+    // symmetric Jaccard on the same shingles is far below the threshold
+    val j = Dedup.ngramJaccardPairs(d, "doc_id", "text", n = 4,
+      threshold = 0.8)
+    assert(j.count() == 0)
+  }
+
+  test("containment recalls every planted superset copy") {
+    val planted = docs.unionAll(docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" appended")).as("text")))
+    val got = Dedup.containmentPairs(planted, n = 5, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    docs.filter(col("doc_id") % 10 === 0).select("doc_id").collect()
+      .map(_.getLong(0)).foreach { id =>
+        assert(got.contains((id, id + 1000000)), s"orig-in-copy $id missed")
+      }
+  }
+
   test("minhash LSH finds planted near-duplicates") {
     val plantedIds = docs.filter(col("doc_id") % 10 === 0)
       .select("doc_id").collect().map(_.getLong(0)).toSet
