@@ -359,6 +359,31 @@ object Scale {
       .orderBy("qid")
   }
 
+  /** Static broadcast OFF, runtime broadcast ON: the static planner must
+    * commit to a sort-merge join (it can't know the dimension side
+    * shrinks to ~20% post-filter), and AQE re-plans it to a broadcast
+    * hash join from the ACTUAL shuffle-stage size. This is the
+    * "estimate was wrong, runtime fixes it" story that matters at
+    * 100 TB, where pre-join selectivities are routinely misestimated.
+    */
+  private[graft] val aqeBroadcastConfs = Seq(
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "4MB")
+
+  private[graft] def aqeBroadcastPromotedJoin(s: SparkSession,
+      dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+      .select("l_orderkey", "l_linestatus", "l_quantity")
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "2-HIGH")
+      .select("o_orderkey")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("qty"))
+  }
+
   private[graft] val bloomJoinConfs = Seq(
     "spark.sql.autoBroadcastJoinThreshold" -> "-1",
     "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
@@ -406,6 +431,27 @@ object Scale {
       val after = DedupIndex.fileCount(s, idxDir)
       DedupIndex.read(s, idxDir).select(col("h"), col("keep_id"),
         lit(after <= before && after <= 8).as("compacted_bounded"))
+    },
+
+    // AQE runtime broadcast promotion: statically-planned SMJ re-planned
+    // to BHJ from actual post-filter shuffle sizes (PlanSpec asserts
+    // SMJ-in-initial / BHJ-in-final).
+    QueryDef("x15_aqe_broadcast",
+      """SELECT l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '2-HIGH'
+        |GROUP BY l_linestatus""".stripMargin) { (s, dir) =>
+      aqeBroadcastConfs.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        val out = java.nio.file.Paths.get(
+          sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+          "graft_fmt", "x15_result").toString
+        // materialize under the confs (the x01/x06 trick) so the plan
+        // that runs is the one AQE promoted
+        aqeBroadcastPromotedJoin(s, dir).write.mode("overwrite").parquet(out)
+        s.read.parquet(out)
+      } finally aqeBroadcastConfs.foreach { case (k, _) => s.conf.unset(k) }
     },
 
     // Runtime Bloom-filter join pruning (the row-level runtime filter;

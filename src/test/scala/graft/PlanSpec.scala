@@ -165,6 +165,26 @@ class PlanSpec extends SparkSpec {
     } finally confs.foreach { case (k, _) => spark.conf.unset(k) }
   }
 
+  test("x15: AQE promotes the statically-planned SMJ to a broadcast join") {
+    graft.operators.Scale.aqeBroadcastConfs.foreach {
+      case (k, v) => spark.conf.set(k, v)
+    }
+    try {
+      val df = graft.operators.Scale.aqeBroadcastPromotedJoin(
+        spark, "/root/testdata/sf0.001")
+      df.collect()
+      val parts = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")
+      assert(parts(0).contains("BroadcastHashJoin"),
+        s"final plan not promoted to broadcast:\n${parts(0)}")
+      assert(parts.length > 1 && parts(1).contains("SortMergeJoin"),
+        "initial plan was already a broadcast join — nothing was promoted" +
+          s":\n${parts.lift(1).getOrElse("")}")
+    } finally graft.operators.Scale.aqeBroadcastConfs.foreach {
+      case (k, _) => spark.conf.unset(k)
+    }
+  }
+
   test("x02: salted join honors the shuffle_hash hint (no broadcast, no SMJ sort)") {
     val p = executed("x02_salted_skew_join")
     assert(p.contains("ShuffledHashJoin"),
