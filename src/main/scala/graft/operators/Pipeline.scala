@@ -96,7 +96,7 @@ object Pipeline {
 
   private val shingleSql = shingleCtes(3)
 
-  private val minhashPairsSql =
+  private[operators] val minhashPairsSql =
     s"""WITH $corpusSql,
        |$shingleSql,
        |pairs AS (

@@ -10,6 +10,24 @@ import graft.streaming.Streams
   */
 object Streaming {
 
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
+  }
+
+  /** The file-stream source consumes whole files, so each staged ingest
+    * batch must land as ONE parquet file in the watched dir.
+    */
+  private def writeSingle(df: org.apache.spark.sql.DataFrame,
+      srcDir: String, name: String): Unit = {
+    val tmp = s"$srcDir/_$name"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(srcDir, s"$name.parquet"))
+    rmTree(new java.io.File(tmp))
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     QueryDef("s01_stream_hourly",
@@ -172,30 +190,15 @@ object Streaming {
       DedupIndex.drop(s, srcDir)
       DedupIndex.drop(s, idxDir)
       new java.io.File(srcDir).mkdirs()
-      def rmTree(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
-      }
-      // the file-stream source consumes whole files, so each ingest
-      // batch lands as ONE parquet file in the watched dir
-      def writeSingle(df: org.apache.spark.sql.DataFrame,
-          name: String): Unit = {
-        val tmp = s"$srcDir/_$name"
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        java.nio.file.Files.move(part.toPath,
-          java.nio.file.Paths.get(srcDir, s"$name.parquet"))
-        rmTree(new java.io.File(tmp))
-      }
       writeSingle(d.filter(col("doc_id") < 250)
         .unionAll(d.filter(col("doc_id") < 50 && col("doc_id") % 10 === 0)
           .select((col("doc_id") + 2000000).as("doc_id"), col("text"))),
-        "batch_a")
+        srcDir, "batch_a")
       writeSingle(d.filter(col("doc_id") >= 250)
         .unionAll(d.filter(col("doc_id") >= 250 && col("doc_id") < 300 &&
             col("doc_id") % 10 === 0)
           .select((col("doc_id") + 1000000).as("doc_id"), col("text"))),
-        "batch_b")
+        srcDir, "batch_b")
       val schema = s.read.parquet(srcDir).schema
       val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
       val q = s.readStream.schema(schema)
@@ -215,6 +218,57 @@ object Streaming {
       DedupIndex.read(s, idxDir)
         .select(col("h"), col("keep_id"),
           lit(nBatches.get() >= 2).as("multi_batch"))
+    },
+
+    // Streaming LSH signature maintenance: each micro-batch computes its
+    // docs' minhash signatures ONCE and appends them to a signature
+    // store; near-dup pair discovery then runs over the ACCUMULATED
+    // store — the incremental form of p02, where a new batch's text is
+    // scanned once ever and cross-batch candidates fall out of the
+    // banded join against history. The plants (originals in batch A,
+    // perturbed copies in batch B) are discoverable ONLY via the
+    // accumulated store, and the oracle is p02's exhaustive-Jaccard SQL
+    // over the same union — streaming accumulation must cost zero
+    // recall vs the batch recompute.
+    QueryDef("s10_stream_lsh_sigs",
+      s"""SELECT id_a, id_b, jaccard, true AS multi_batch
+         |FROM (${Pipeline.minhashPairsSql}) q""".stripMargin) { (s, dir) =>
+      import graft.pipeline.Dedup
+      val d = graft.Tables.load(s, dir, "documents").select("doc_id", "text")
+      val base = java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_fmt").toString
+      val srcDir = s"$base/s10_stream_src"
+      val sigDir = s"$base/s10_sigs"
+      rmTree(new java.io.File(srcDir))
+      rmTree(new java.io.File(sigDir))
+      new java.io.File(srcDir).mkdirs()
+      writeSingle(d.filter(col("doc_id") < 250), srcDir, "batch_a")
+      writeSingle(d.filter(col("doc_id") >= 250)
+        .unionAll(d.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"),
+            concat(col("text"), lit(" appended")).as("text"))),
+        srcDir, "batch_b")
+      val schema = s.read.parquet(srcDir).schema
+      val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(srcDir)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          Dedup.minhashSigs(batch, "doc_id", "text", k = 64, shingleN = 3)
+            .write.mode("append").parquet(sigDir)
+          nBatches.incrementAndGet()
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val sigs = s.read.parquet(sigDir)
+      Dedup.lshCollapsedPairs(sigs, "sh", bands = 16, r = 4,
+        threshold = 0.5)
+        .withColumn("multi_batch", lit(nBatches.get() >= 2))
+        .orderBy("id_a", "id_b")
     },
 
     // custom arbitrary state: flatMapGroupsWithState running stats — the
