@@ -47,6 +47,10 @@ object Bench {
     "p50_mm_dedup",       // media bytes -> features -> LSH pairs
     "p51_split_leakage_safe", // components + cluster-keyed md5 split
     "p52_contamination_frac", // 13-gram broadcast overlap fraction
+    "p54_kmeans_assign",  // exact-int Lloyd: 2 agg jobs + literal assign
+    "p55_semantic_dedup", // cluster-scoped pairwise exact cosine
+    "p56_token_budget",   // two-phase global prefix sum
+    "p58_containment",    // shingle inverted-index containment join
     "s08_stream_trending", // streaming windowed counts + bounded rank
     "s01_stream_hourly",  // structured streaming
     "x03_asof_join",      // union+window as-of composition

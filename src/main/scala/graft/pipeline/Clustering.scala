@@ -33,21 +33,29 @@ object Clustering {
   def quantize(vec: Column, scale: Int = 1000): Column =
     transform(vec, x => round(x.cast("double") * scale).cast("long"))
 
-  /** Exact int64 squared L2 distance between a quantized row vector and a
-    * centroid literal.
+  private def longDot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.VectorExpressions.longDot(a, b)
+
+  /** Composable-lambda dot (the value-equivalence reference for the
+    * native [[org.apache.spark.sql.graft.LongDot]], asserted in
+    * ClusteringSpec).
     */
-  private def sqDist(qv: Column, cent: Array[Long]): Column =
-    aggregate(
-      zip_with(qv, array(cent.map(lit(_)): _*), (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, v) => acc + v)
+  private[pipeline] def longDotLambda(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
   /** (cluster, dist) of the nearest centroid; ties break to the smaller
-    * centroid id via array_sort over (dist, cid) structs.
+    * centroid id via array_sort over (dist, cid) structs. Distance is
+    * exact int64 |q|² − 2q·c + |c|²: `qq` is the per-row |q|² computed
+    * ONCE (not once per centroid), q·c is the native codegen'd
+    * [[longDot]], and |c|² folds to a driver-side literal.
     */
-  private def assignCols(qv: Column,
+  private def assignCols(qv: Column, qq: Column,
       cents: Seq[(Long, Array[Long])]): Column = {
     val scored = array(cents.map { case (cid, cv) =>
-      struct(sqDist(qv, cv).as("d"), lit(cid).as("cid"))
+      val centCol = array(cv.map(lit(_)): _*)
+      val centSq = cv.map(c => c * c).sum
+      struct((qq - lit(2L) * longDot(qv, centCol) + lit(centSq)).as("d"),
+        lit(cid).as("cid"))
     }: _*)
     element_at(array_sort(scored), 1)
   }
@@ -90,11 +98,12 @@ object Clustering {
   private[graft] def kmeansCentroids(df: DataFrame, k: Int, iters: Int,
       idCol: String, vecCol: String): Seq[(Long, Array[Long])] = {
     val q = df.select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"))
+      .withColumn("qq", longDot(col("qv"), col("qv")))
     var cents = q.orderBy("id").limit(k).collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).toSeq
     for (_ <- 2 to iters) {
       val assigned = q.withColumn("cluster",
-        assignCols(col("qv"), cents).getField("cid"))
+        assignCols(col("qv"), col("qq"), cents).getField("cid"))
       cents = centroidUpdate(assigned)
     }
     cents
@@ -108,7 +117,8 @@ object Clustering {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val cents = kmeansCentroids(df, k, iters, idCol, vecCol)
     df.select(col(idCol), quantize(col(vecCol)).as("qv"))
-      .withColumn("best", assignCols(col("qv"), cents))
+      .withColumn("qq", longDot(col("qv"), col("qv")))
+      .withColumn("best", assignCols(col("qv"), col("qq"), cents))
       .select(col(idCol),
         col("best").getField("cid").as("cluster"),
         col("best").getField("d").as("dist"))
@@ -135,17 +145,13 @@ object Clustering {
     val assign = kmeansAssign(df, k, iters, idCol, vecCol)
       .select(col(idCol).as("id"), col("cluster"))
     val q = df.select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"))
-      .withColumn("ss",
-        aggregate(zip_with(col("qv"), col("qv"), (x, y) => x * y),
-          lit(0L), (acc, v) => acc + v))
+      .withColumn("ss", longDot(col("qv"), col("qv")))
       .join(assign, "id")
     val a = q.select(col("cluster"), col("id").as("id_a"),
       col("qv").as("qv_a"), col("ss").as("ss_a"))
     val b = q.select(col("cluster"), col("id").as("id_b"),
       col("qv").as("qv_b"), col("ss").as("ss_b"))
-    val num = aggregate(
-      zip_with(col("qv_a"), col("qv_b"), (x, y) => x * y),
-      lit(0L), (acc, v) => acc + v)
+    val num = longDot(col("qv_a"), col("qv_b"))
     val cosine = col("num").cast("double") /
       sqrt((col("ss_a") * col("ss_b")).cast("double"))
     a.join(b, Seq("cluster")).filter(col("id_a") < col("id_b"))

@@ -95,6 +95,11 @@ object GraftExtensions {
         "graft_cosine(a, b) - cosine similarity of two float arrays " +
           "(double accumulation; zero-norm vectors yield 0.0, not NaN)"),
       arity("graft_cosine", 2)(es => CosineSimilarity(es(0), es(1)))),
+    (FunctionIdentifier("graft_long_dot"),
+      info("graft_long_dot",
+        "graft_long_dot(a, b) - exact int64 dot product of two bigint " +
+          "arrays (caller owns overflow bounds)"),
+      arity("graft_long_dot", 2)(es => LongDot(es(0), es(1)))),
     (FunctionIdentifier("graft_simhash"),
       info("graft_simhash",
         "graft_simhash(text) - 64-bit simhash of whitespace tokens"),

@@ -24,6 +24,10 @@ object VectorExpressions {
   def cosineSim(a: Column, b: Column): Column =
     column(CosineSimilarity(expression(a), expression(b)))
 
+  /** Exact int64 dot product of two array<bigint> columns. */
+  def longDot(a: Column, b: Column): Column =
+    column(LongDot(expression(a), expression(b)))
+
   /** 64-bit SimHash of whitespace-tokenized text (xxhash64 token hashes,
     * per-bit majority vote).
     */
@@ -288,6 +292,63 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  }
          |  ${ev.value} = ($nx == 0.0 || $ny == 0.0) ? 0.0
          |    : $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Exact int64 dot product of two array<bigint> columns — the codegen'd
+  * hot path for quantized-vector arithmetic (p54 k-means distances ride
+  * assignment literals; p55 SemDeDup pair cosines are LongDot(a,b) over
+  * LongDot(a,a)·LongDot(b,b)). Value-identical to the composable
+  * aggregate(zip_with(a, b, _*_), 0L, _+_) form it replaces (proven in
+  * ClusteringSpec); callers own overflow bounds (64-dim codes ≤ |3000|
+  * keep every product far under 2⁶³). Mismatched lengths → null, like
+  * zip_with on ragged input.
+  */
+case class LongDot(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
+    var dot = 0L
+    var i = 0
+    while (i < n) {
+      dot += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    dot
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  long $dot = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += $a.getLong($i) * $b.getLong($i);
+         |  }
+         |  ${ev.value} = $dot;
          |}
        """.stripMargin
     })

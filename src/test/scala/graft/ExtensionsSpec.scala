@@ -22,7 +22,8 @@ class ExtensionsSpec extends SparkSpec {
         |    array(CAST(0.5 AS FLOAT), CAST(-0.25 AS FLOAT)), 2, 4) AS hs,
         |  graft_minhash(array(11L, 22L, 33L), 8) AS mh,
         |  graft_shingles('a b c d', 2) AS sg,
-        |  graft_band_hashes(array(1L, 2L, 3L, 4L), 2, 2) AS bh
+        |  graft_band_hashes(array(1L, 2L, 3L, 4L), 2, 2) AS bh,
+        |  graft_long_dot(array(2L, 3L), array(4L, 5L)) AS ld
         |""".stripMargin).head()
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
     assert(r.getLong(1) == SimHash64.hash("hello world hello"))
@@ -32,6 +33,7 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getSeq[Long](5).length == 8)
     assert(r.getSeq[Long](6).length == 3)
     assert(r.getSeq[Long](7).length == 2) // "a b","b c","c d"
+    assert(r.getLong(8) == 23L) // 2*4 + 3*5
   }
 
   test("SQL function output matches the Column API bit-for-bit") {

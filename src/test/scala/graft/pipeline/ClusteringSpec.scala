@@ -12,6 +12,16 @@ class ClusteringSpec extends SparkSpec {
   private def vecs = spark.read.parquet(s"$sf/embeddings.parquet")
     .select("vec_id", "embedding")
 
+  test("native LongDot == composable lambda form, all rows") {
+    val q = vecs.select(Clustering.quantize(col("embedding")).as("qv"))
+    val shifted = reverse(col("qv")) // a second distinct operand
+    val both = q.select(
+      org.apache.spark.sql.graft.VectorExpressions
+        .longDot(col("qv"), shifted).as("native"),
+      Clustering.longDotLambda(col("qv"), shifted).as("ref"))
+    assert(both.filter(col("native") =!= col("ref")).count() == 0)
+  }
+
   test("every row is assigned its exact nearest final centroid") {
     val cents = Clustering.kmeansCentroids(vecs, k = 10, iters = 2,
       "vec_id", "embedding")
