@@ -185,6 +185,35 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("p54: final k-means assignment is a narrow map — zero exchanges") {
+    val p = executed("p54_kmeans_assign")
+    assert(!p.contains("Exchange"),
+      s"assignment against the centroid literal should not shuffle:\n$p")
+  }
+
+  test("p55: SemDeDup pair join is cluster-keyed, never a cross product") {
+    val p = executed("p55_semantic_dedup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"pairwise stage fell back to an all-pairs join:\n$p")
+  }
+
+  test("p56: global prefix sum avoids the single-partition window") {
+    val p = executed("p56_token_budget")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"global cumsum serialized through one partition:\n$p")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+      s"no window stage found:\n$p")
+  }
+
+  test("p58: containment pair counts are partially aggregated") {
+    val p = executed("p58_containment")
+    assert(p.contains("partial_count"),
+      s"pair-count groupBy is not map-side combined:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"containment join fell back to a cross product:\n$p")
+  }
+
   test("x02: salted join honors the shuffle_hash hint (no broadcast, no SMJ sort)") {
     val p = executed("x02_salted_skew_join")
     assert(p.contains("ShuffledHashJoin"),
