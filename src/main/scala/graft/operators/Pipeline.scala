@@ -96,6 +96,42 @@ object Pipeline {
 
   private val shingleSql = shingleCtes(3)
 
+  /** Full 2-iteration exact-int64 Lloyd re-derivation (p54's oracle;
+    * s11 routes a STREAM against the same centroids, so it shares the
+    * oracle — streaming routing must equal the batch assignment).
+    */
+  private[operators] val kmeansAssignSql: String =
+    """WITH q AS (SELECT vec_id, list_transform(embedding,
+      |             x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT))
+      |             AS qv
+      |           FROM embeddings),
+      |u AS (SELECT vec_id, unnest(qv) AS v, unnest(range(len(qv))) AS i
+      |      FROM q),
+      |c0 AS (SELECT vec_id AS cid, i, v AS cv FROM u WHERE vec_id < 10),
+      |d1 AS (SELECT u.vec_id, c0.cid,
+      |         sum((u.v - c0.cv)*(u.v - c0.cv)) AS d
+      |       FROM u JOIN c0 USING (i) GROUP BY 1, 2),
+      |a1 AS (SELECT vec_id, cid FROM (
+      |         SELECT vec_id, cid,
+      |           ROW_NUMBER() OVER (PARTITION BY vec_id
+      |                              ORDER BY d, cid) AS rn
+      |         FROM d1) WHERE rn = 1),
+      |c1 AS (SELECT a1.cid, u.i,
+      |         CAST(floor(CAST(sum(u.v) AS DOUBLE)/count(*)) AS BIGINT)
+      |           AS cv
+      |       FROM a1 JOIN u USING (vec_id) GROUP BY 1, 2),
+      |d2 AS (SELECT u.vec_id, c1.cid,
+      |         sum((u.v - c1.cv)*(u.v - c1.cv)) AS d
+      |       FROM u JOIN c1 USING (i) GROUP BY 1, 2),
+      |a2 AS (SELECT vec_id, cid, d FROM (
+      |         SELECT vec_id, cid, d,
+      |           ROW_NUMBER() OVER (PARTITION BY vec_id
+      |                              ORDER BY d, cid) AS rn
+      |         FROM d2) WHERE rn = 1)
+      |SELECT vec_id, CAST(cid AS BIGINT) AS cluster,
+      |  CAST(d AS BIGINT) AS dist
+      |FROM a2""".stripMargin
+
   private[operators] val minhashPairsSql =
     s"""WITH $corpusSql,
        |$shingleSql,
@@ -1681,37 +1717,7 @@ object Pipeline {
     // bit-for-bit (the p29/p45 exact-integer pattern). One aggregation
     // job per iteration; the corpus never shuffles, only k×dim sufficient
     // statistics do.
-    QueryDef("p54_kmeans_assign",
-      """WITH q AS (SELECT vec_id, list_transform(embedding,
-        |             x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT))
-        |             AS qv
-        |           FROM embeddings),
-        |u AS (SELECT vec_id, unnest(qv) AS v, unnest(range(len(qv))) AS i
-        |      FROM q),
-        |c0 AS (SELECT vec_id AS cid, i, v AS cv FROM u WHERE vec_id < 10),
-        |d1 AS (SELECT u.vec_id, c0.cid,
-        |         sum((u.v - c0.cv)*(u.v - c0.cv)) AS d
-        |       FROM u JOIN c0 USING (i) GROUP BY 1, 2),
-        |a1 AS (SELECT vec_id, cid FROM (
-        |         SELECT vec_id, cid,
-        |           ROW_NUMBER() OVER (PARTITION BY vec_id
-        |                              ORDER BY d, cid) AS rn
-        |         FROM d1) WHERE rn = 1),
-        |c1 AS (SELECT a1.cid, u.i,
-        |         CAST(floor(CAST(sum(u.v) AS DOUBLE)/count(*)) AS BIGINT)
-        |           AS cv
-        |       FROM a1 JOIN u USING (vec_id) GROUP BY 1, 2),
-        |d2 AS (SELECT u.vec_id, c1.cid,
-        |         sum((u.v - c1.cv)*(u.v - c1.cv)) AS d
-        |       FROM u JOIN c1 USING (i) GROUP BY 1, 2),
-        |a2 AS (SELECT vec_id, cid, d FROM (
-        |         SELECT vec_id, cid, d,
-        |           ROW_NUMBER() OVER (PARTITION BY vec_id
-        |                              ORDER BY d, cid) AS rn
-        |         FROM d2) WHERE rn = 1)
-        |SELECT vec_id, CAST(cid AS BIGINT) AS cluster,
-        |  CAST(d AS BIGINT) AS dist
-        |FROM a2""".stripMargin) { (s, dir) =>
+    QueryDef("p54_kmeans_assign", kmeansAssignSql) { (s, dir) =>
       graft.pipeline.Clustering.kmeansAssign(
         t(s, dir, "embeddings"), k = 10, iters = 2)
     },

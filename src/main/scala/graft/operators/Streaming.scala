@@ -271,6 +271,35 @@ object Streaming {
         .orderBy("id_a", "id_b")
     },
 
+    // Streaming semantic routing: k-means centroids trained OFFLINE on
+    // the static corpus (p54's training job), each streamed vector
+    // routed to its nearest centroid as a stateless narrow map — the
+    // online-inference half of clustering (ingest-time cluster tagging
+    // for SemDeDup / IVF placement). The routed stream must equal the
+    // batch assignment bit-for-bit, so it shares p54's oracle.
+    QueryDef("s11_stream_cluster_route", Pipeline.kmeansAssignSql) {
+      (s, dir) =>
+      import graft.pipeline.Clustering
+      val e = graft.Tables.load(s, dir, "embeddings")
+        .select("vec_id", "embedding")
+      val cents = Clustering.kmeansCentroids(e, k = 10, iters = 2,
+        "vec_id", "embedding")
+      val base = java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_fmt").toString
+      val srcDir = s"$base/s11_stream_src"
+      rmTree(new java.io.File(srcDir))
+      new java.io.File(srcDir).mkdirs()
+      writeSingle(e.filter(col("vec_id") < 250), srcDir, "batch_a")
+      writeSingle(e.filter(col("vec_id") >= 250), srcDir, "batch_b")
+      val schema = s.read.parquet(srcDir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(srcDir)
+      Streams.runToMemory(s, Clustering.assignWith(stream, cents),
+        "s11_route", outputMode = "append")
+    },
+
     // custom arbitrary state: flatMapGroupsWithState running stats — the
     // single AvailableNow batch's final state must equal the batch agg
     QueryDef("s03_stream_custom_state",

@@ -114,15 +114,23 @@ object Clustering {
     * squared distance in quantized space.
     */
   def kmeansAssign(df: DataFrame, k: Int, iters: Int = 2,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cents = kmeansCentroids(df, k, iters, idCol, vecCol)
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    assignWith(df, kmeansCentroids(df, k, iters, idCol, vecCol),
+      idCol, vecCol)
+
+  /** Nearest-centroid routing against ALREADY-TRAINED centroids — the
+    * online-inference half of k-means (train offline on the corpus,
+    * route each new/streamed vector with a narrow, shuffle-free map).
+    * Works unchanged on a streaming DataFrame: no state, no shuffle.
+    */
+  def assignWith(df: DataFrame, cents: Seq[(Long, Array[Long])],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     df.select(col(idCol), quantize(col(vecCol)).as("qv"))
       .withColumn("qq", longDot(col("qv"), col("qv")))
       .withColumn("best", assignCols(col("qv"), col("qq"), cents))
       .select(col(idCol),
         col("best").getField("cid").as("cluster"),
         col("best").getField("d").as("dist"))
-  }
 
   /** SemDeDup: near-duplicate pairs by exact-arithmetic cosine, computed
     * ONLY within a k-means cluster. Output (cluster, id_a, id_b, cosine)
