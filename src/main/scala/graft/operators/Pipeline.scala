@@ -1867,6 +1867,52 @@ object Pipeline {
          |FROM p JOIN nc ON nc.doc_id = p.id_a
          |WHERE p.n_shared / nc.n_sh >= 0.8""".stripMargin) { (s, dir) =>
       Dedup.containmentPairs(docsWithPlants(s, dir), n = 5, threshold = 0.8)
+    },
+
+    // Mutual-kNN semantic components (k-means-free clustering): exact
+    // all-pairs quantized cosine (bit-identical doubles from exact int64
+    // inputs, so per-vector rank order matches the oracle EXACTLY),
+    // k=5 neighbors, mutual-edge symmetrization, transitive closure.
+    // Oracle re-derives the whole chain incl. a recursive-CTE closure;
+    // singletons resolve to their own id on both sides.
+    QueryDef("p60_mutual_knn",
+      """WITH RECURSIVE q AS (SELECT vec_id, list_transform(embedding,
+        |             x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT))
+        |             AS qv
+        |           FROM embeddings),
+        |u AS (SELECT vec_id, unnest(qv) AS v, unnest(range(len(qv))) AS i
+        |      FROM q),
+        |ss AS (SELECT vec_id, sum(v*v) AS ss FROM u GROUP BY 1),
+        |dots AS (SELECT ua.vec_id AS id_a, ub.vec_id AS id_b,
+        |           sum(ua.v * ub.v) AS num
+        |         FROM u ua JOIN u ub USING (i)
+        |         WHERE ua.vec_id != ub.vec_id GROUP BY 1, 2),
+        |sc AS (SELECT d.id_a, d.id_b,
+        |         CAST(d.num AS DOUBLE) /
+        |           sqrt(CAST(sa.ss*sb.ss AS DOUBLE)) AS score
+        |       FROM dots d JOIN ss sa ON sa.vec_id = d.id_a
+        |                   JOIN ss sb ON sb.vec_id = d.id_b),
+        |kn AS (SELECT id_a, id_b FROM (
+        |         SELECT id_a, id_b,
+        |           ROW_NUMBER() OVER (PARTITION BY id_a
+        |                              ORDER BY score DESC, id_b) AS rn
+        |         FROM sc) WHERE rn <= 5),
+        |me AS (SELECT a.id_a AS a, a.id_b AS b
+        |       FROM kn a JOIN kn b ON a.id_a = b.id_b AND a.id_b = b.id_a
+        |       WHERE a.id_a < a.id_b),
+        |edges AS (SELECT a, b FROM me UNION ALL SELECT b, a FROM me),
+        |reach(src, dst) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+        |cmp AS (SELECT src AS vec_id, MIN(dst) AS comp
+        |        FROM reach GROUP BY src)
+        |SELECT q.vec_id,
+        |  CAST(coalesce(cmp.comp, q.vec_id) AS BIGINT) AS comp
+        |FROM q LEFT JOIN cmp ON cmp.vec_id = q.vec_id""".stripMargin) {
+      (s, dir) =>
+      graft.pipeline.Clustering.mutualKnnComponents(
+        t(s, dir, "embeddings"), k = 5)
     }
   )
 }

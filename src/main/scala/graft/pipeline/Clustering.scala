@@ -132,6 +132,49 @@ object Clustering {
         col("best").getField("cid").as("cluster"),
         col("best").getField("d").as("dist"))
 
+  /** Mutual-kNN semantic components: each vector's k nearest neighbors
+    * by exact-arithmetic cosine (the p55 determinism trick — bit-identical
+    * scores from exact int64 dot products, so cross-engine rank order is
+    * EXACT), symmetrized to mutual edges (a ∈ knn(b) ∧ b ∈ knn(a)), and
+    * connected-componented into clusters; vectors with no mutual edge
+    * are their own singleton component. This is the k-means-free
+    * clustering used for semantic dedup/diversity balancing.
+    *
+    * The scoring stage here is the exact all-pairs baseline (right for
+    * the oracle); at 100 TB the candidate stage is LSH/IVF-pruned
+    * (p07/p08) feeding the same bounded-heap top-k — per-vector top-k
+    * runs as [[org.apache.spark.sql.graft.TopKPairs]], never a global
+    * sort, and the component pass is the p25 machinery (driver
+    * union-find under a footer-counted edge bound, label propagation
+    * above it).
+    */
+  def mutualKnnComponents(df: DataFrame, k: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = df.select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"))
+      .withColumn("ss", longDot(col("qv"), col("qv")))
+    val a = q.select(col("id").as("qid"), col("qv").as("qv_a"),
+      col("ss").as("ss_a"))
+    val b = q.select(col("id").as("nid"), col("qv").as("qv_b"),
+      col("ss").as("ss_b"))
+    val scored = a.join(b, col("qid") =!= col("nid"))
+      .withColumn("score",
+        longDot(col("qv_a"), col("qv_b")).cast("double") /
+          sqrt((col("ss_a") * col("ss_b")).cast("double")))
+      .select(col("qid"), col("nid"), col("score"))
+    val knn = Similarity.rankTopK(scored, k, "qid", "nid")
+      .select(col("qid").as("x"), col("nid").as("y"))
+    val mutual = knn
+      .intersect(knn.select(col("y").as("x"), col("x").as("y")))
+      .filter(col("x") < col("y"))
+    val comps = Dedup.components(
+      mutual.select(col("x").as("id_a"), col("y").as("id_b")))
+      .withColumnRenamed("doc_id", "id")
+    q.select(col("id"))
+      .join(comps, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("comp"), col("id")).as("comp"))
+  }
+
   /** SemDeDup: near-duplicate pairs by exact-arithmetic cosine, computed
     * ONLY within a k-means cluster. Output (cluster, id_a, id_b, cosine)
     * with id_a < id_b and cosine ≥ threshold.

@@ -56,6 +56,27 @@ class ClusteringSpec extends SparkSpec {
     assert(total(2) <= total(1))
   }
 
+  test("mutualKnnComponents: total cover, min-labels, planted co-membership") {
+    val planted = vecs.unionAll(vecs.filter(col("vec_id") % 50 === 0)
+      .select((col("vec_id") + 1000000).as("vec_id"),
+        transform(col("embedding"),
+          x => (x * lit(1.001f)).cast("float")).as("embedding")))
+    val out = Clustering.mutualKnnComponents(planted, k = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == planted.count())
+    // component label is the minimum member id
+    out.groupBy(_._2).foreach { case (comp, members) =>
+      assert(members.keys.min == comp,
+        s"component $comp labeled above its min member ${members.keys.min}")
+    }
+    // a near-identical copy is mutually nearest its original → same comp
+    vecs.filter(col("vec_id") % 50 === 0).select("vec_id").collect()
+      .map(_.getLong(0)).foreach { id =>
+        assert(out(id) == out(id + 1000000),
+          s"planted copy of $id landed in a different component")
+      }
+  }
+
   test("semanticDedupPairs recalls every planted near-identical copy") {
     val planted = vecs.unionAll(vecs.filter(col("vec_id") % 10 === 0)
       .select((col("vec_id") + 1000000).as("vec_id"),
