@@ -1913,6 +1913,44 @@ object Pipeline {
       (s, dir) =>
       graft.pipeline.Clustering.mutualKnnComponents(
         t(s, dir, "embeddings"), k = 5)
+    },
+
+    // Per-domain corpus stats (domain blocklists / crawl budgeting):
+    // URLs planted on every 7th doc across 5 domains, host extraction
+    // and all three aggregates re-derived by the oracle. The regex
+    // subset (classes + bounded repetition) evaluates identically in
+    // Java regex and RE2; avg over int64 n_chars is exact-rational →
+    // ROUND 6 matches.
+    QueryDef("p61_url_domains",
+      """WITH corpus AS (
+        |  SELECT doc_id,
+        |    text || CASE WHEN doc_id % 7 = 0
+        |      THEN ' see https://site' || CAST(doc_id % 5 AS VARCHAR) ||
+        |           '.example.com/p' || CAST(doc_id AS VARCHAR)
+        |      ELSE '' END AS text
+        |  FROM documents),
+        |c2 AS (SELECT doc_id, text, length(text) AS n_chars FROM corpus),
+        |e AS (SELECT doc_id, n_chars,
+        |        unnest(regexp_extract_all(text,
+        |          'https?://[A-Za-z0-9.-]+', 0)) AS url
+        |      FROM c2),
+        |d AS (SELECT doc_id, n_chars,
+        |        regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1)
+        |          AS domain
+        |      FROM e)
+        |SELECT domain, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_urls,
+        |  round(avg(n_chars), 6) AS avg_chars
+        |FROM d GROUP BY domain""".stripMargin) { (s, dir) =>
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" see https://site"),
+              (col("doc_id") % 5).cast("string"),
+              lit(".example.com/p"), col("doc_id").cast("string")))
+            .otherwise(lit(""))).as("text"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+      Corpus.domainStats(planted)
     }
   )
 }

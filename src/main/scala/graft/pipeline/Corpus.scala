@@ -436,6 +436,29 @@ object Corpus {
         col("cum").cast("long").as("cum_tokens"),
         (col("cum") <= budget).as("selected"))
 
+  /** Per-domain corpus statistics: extract http(s) URLs from document
+    * text, reduce to registrable host, and aggregate document/URL counts
+    * plus a mean-length quality proxy per domain — the input table for
+    * domain-level filtering (blocklists, spam-domain down-weighting,
+    * crawl budgeting). One narrow extract + explode and ONE
+    * partial-aggregable groupBy; the pattern subset (classes + bounded
+    * repetition, no lookaround) behaves identically in Java regex and
+    * RE2, like [[emailPattern]].
+    */
+  def domainStats(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val hostPattern = "https?://([A-Za-z0-9.-]+)"
+    val urls = df.select(col(idCol).as("id"), col("n_chars"),
+        explode(expr(
+          s"regexp_extract_all($textCol, 'https?://[A-Za-z0-9.-]+', 0)"))
+          .as("url"))
+      .withColumn("domain", regexp_extract(col("url"), hostPattern, 1))
+    urls.groupBy("domain")
+      .agg(countDistinct("id").as("n_docs"),
+        count(lit(1)).as("n_urls"),
+        round(avg(col("n_chars")), 6).as("avg_chars"))
+  }
+
   /** Deterministic global training-order shuffle: position = rank under
     * ORDER BY md5(seed || id) — an RNG-free permutation both engines (and
     * any re-run) agree on. Built on [[withGlobalOrder]]: range partition
