@@ -1951,6 +1951,141 @@ object Pipeline {
             .otherwise(lit(""))).as("text"))
         .withColumn("n_chars", length(col("text")).cast("long"))
       Corpus.domainStats(planted)
+    },
+
+    // PMI-style collocation mining: every count (pair, unigram, corpus
+    // total) is exact int64 and the lift is ONE double division of
+    // exact integers + ROUND 6, so the oracle re-derives the full
+    // output including scores. The DuckDB bigram mirror zips two list
+    // slices via parallel unnest — positionally identical to the Spark
+    // zip_with over the same slices.
+    QueryDef("p62_collocations",
+      """WITH toks AS (
+        |  SELECT CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
+        |         THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(
+        |           lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+')
+        |    END AS tk
+        |  FROM documents),
+        |uni AS (SELECT t AS w, count(*) AS n_w
+        |        FROM (SELECT unnest(tk) AS t FROM toks) GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_w) AS BIGINT) AS n_total FROM uni),
+        |bg AS (SELECT
+        |    unnest(CASE WHEN len(tk) < 2 THEN CAST([] AS VARCHAR[])
+        |           ELSE tk[1:len(tk)-1] END) AS w1,
+        |    unnest(CASE WHEN len(tk) < 2 THEN CAST([] AS VARCHAR[])
+        |           ELSE tk[2:len(tk)] END) AS w2
+        |  FROM toks),
+        |pc AS (SELECT w1, w2, count(*) AS n_pair FROM bg
+        |       GROUP BY 1, 2 HAVING count(*) >= 25)
+        |SELECT p.w1, p.w2, CAST(p.n_pair AS BIGINT) AS n_pair,
+        |  CAST(u1.n_w AS BIGINT) AS n_w1, CAST(u2.n_w AS BIGINT) AS n_w2,
+        |  round(CAST(p.n_pair * t.n_total AS DOUBLE) /
+        |        CAST(u1.n_w * u2.n_w AS DOUBLE), 6) AS lift
+        |FROM pc p JOIN uni u1 ON u1.w = p.w1
+        |JOIN uni u2 ON u2.w = p.w2, tot t""".stripMargin) { (s, dir) =>
+      TextAnalysis.collocations(t(s, dir, "documents"), minCount = 25)
+    },
+
+    // Per-source percentile normalization: rank_in_source is re-derived
+    // by the oracle's per-source ROW_NUMBER — proving the global-order
+    // machinery (range partition + per-source offsets) produces exactly
+    // the per-source window result without the per-source sort.
+    QueryDef("p63_source_percentile",
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |                       ORDER BY n_chars, doc_id) - 1 AS rk,
+        |    COUNT(*) OVER (PARTITION BY source) AS n
+        |  FROM documents)
+        |SELECT doc_id, source, CAST(rk AS BIGINT) AS rank_in_source,
+        |  CASE WHEN n = 1 THEN 0.0
+        |       ELSE round(CAST(rk AS DOUBLE) / (n - 1), 6) END AS pct
+        |FROM r""".stripMargin) { (s, dir) =>
+      Corpus.perSourcePercentile(t(s, dir, "documents"), col("n_chars"))
+    },
+
+    // Domain-authority PageRank over the co-citation graph. Every 3rd
+    // doc is planted with TWO domain mentions so co-citation edges
+    // exist; the oracle replays all 3 power iterations in exact-int64
+    // (integer div, order-independent sums) — bit-identical ranks.
+    QueryDef("p64_domain_pagerank",
+      """WITH corpus AS (
+        |  SELECT doc_id, text || CASE WHEN doc_id % 3 = 0
+        |    THEN ' https://site' || CAST(doc_id % 5 AS VARCHAR) ||
+        |         '.example.com/a https://site' ||
+        |         CAST((doc_id % 7) % 5 AS VARCHAR) || '.example.com/b'
+        |    ELSE '' END AS text
+        |  FROM documents),
+        |m AS (SELECT DISTINCT doc_id AS id,
+        |        regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1)
+        |          AS domain
+        |      FROM (SELECT doc_id, unnest(regexp_extract_all(text,
+        |              'https?://[A-Za-z0-9.-]+', 0)) AS url
+        |            FROM corpus)),
+        |e AS (SELECT a.domain AS src, b.domain AS dst,
+        |        CAST(count(*) AS BIGINT) AS w
+        |      FROM m a JOIN m b ON a.id = b.id AND a.domain <> b.domain
+        |      GROUP BY 1, 2),
+        |ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM e GROUP BY 1),
+        |n AS (SELECT DISTINCT domain FROM m),
+        |r0 AS (SELECT domain, CAST(1000000 AS BIGINT) AS r FROM n),
+        |c1 AS (SELECT e.dst AS domain,
+        |         CAST(sum(r0.r * e.w // ow.ow) AS BIGINT) AS cs
+        |       FROM r0 JOIN e ON r0.domain = e.src
+        |       JOIN ow ON e.src = ow.src GROUP BY 1),
+        |r1 AS (SELECT n.domain,
+        |         CAST(150000 + coalesce(c1.cs, 0) * 85 // 100 AS BIGINT)
+        |           AS r
+        |       FROM n LEFT JOIN c1 USING (domain)),
+        |c2 AS (SELECT e.dst AS domain,
+        |         CAST(sum(r1.r * e.w // ow.ow) AS BIGINT) AS cs
+        |       FROM r1 JOIN e ON r1.domain = e.src
+        |       JOIN ow ON e.src = ow.src GROUP BY 1),
+        |r2 AS (SELECT n.domain,
+        |         CAST(150000 + coalesce(c2.cs, 0) * 85 // 100 AS BIGINT)
+        |           AS r
+        |       FROM n LEFT JOIN c2 USING (domain)),
+        |c3 AS (SELECT e.dst AS domain,
+        |         CAST(sum(r2.r * e.w // ow.ow) AS BIGINT) AS cs
+        |       FROM r2 JOIN e ON r2.domain = e.src
+        |       JOIN ow ON e.src = ow.src GROUP BY 1),
+        |r3 AS (SELECT n.domain,
+        |         CAST(150000 + coalesce(c3.cs, 0) * 85 // 100 AS BIGINT)
+        |           AS r
+        |       FROM n LEFT JOIN c3 USING (domain))
+        |SELECT domain, r AS rank_micros FROM r3""".stripMargin) {
+      (s, dir) =>
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" https://site"), (col("doc_id") % 5).cast("string"),
+              lit(".example.com/a https://site"),
+              ((col("doc_id") % 7) % 5).cast("string"),
+              lit(".example.com/b")))
+            .otherwise(lit(""))).as("text"))
+      Corpus.domainRank(planted, iterations = 3)
+    },
+
+    // Tokenizer fertility by language: all three sums exact int64, the
+    // ratio one double division + ROUND 6.
+    QueryDef("p65_lang_fertility",
+      """WITH t AS (
+        |  SELECT lang,
+        |    CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
+        |         THEN 0
+        |         ELSE len(string_split_regex(
+        |           regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'))
+        |    END AS nt,
+        |    length(text) AS nc
+        |  FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+        |  CAST(sum(nc) AS BIGINT) AS n_chars,
+        |  round(CAST(sum(nc) AS DOUBLE) / CAST(sum(nt) AS DOUBLE), 6)
+        |    AS chars_per_token
+        |FROM t GROUP BY lang""".stripMargin) { (s, dir) =>
+      TextAnalysis.fertilityByLang(t(s, dir, "documents"))
     }
   )
 }

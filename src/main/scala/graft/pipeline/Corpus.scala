@@ -471,4 +471,77 @@ object Corpus {
         md5(concat(lit(s"$seed:"), col(idCol).cast("string"))).as("_h")),
       Seq(col("_h"), col(idCol)), lit(1L))
       .select(col(idCol), col("pos"))
+
+  /** Per-source score normalization: each document's percentile rank of
+    * `scoreCol` WITHIN its source — the calibration step before mixing
+    * heterogeneous sources on a shared quality threshold (a raw score
+    * that means "good" in src3 may be mediocre in src7; percentiles
+    * compare like with like). NOT a per-source window sort: that puts
+    * one source = one task, and a dominant crawl source becomes a
+    * single-executor sort at scale. Instead ONE [[withGlobalOrder]]
+    * range-partitioned rank over (source, score, id) — parallel across
+    * AND within sources — then per-source offsets (count + min global
+    * pos; #sources rows, broadcast back) turn global positions into
+    * in-source ranks. pct = rank/(n−1) is a double division of exact
+    * int64s + ROUND 6.
+    */
+  def perSourcePercentile(df: DataFrame, scoreCol: Column,
+      idCol: String = "doc_id",
+      sourceCol: String = "source"): DataFrame = {
+    val ordered = withGlobalOrder(
+      df.select(col(idCol), col(sourceCol), scoreCol.as("_s")),
+      Seq(col(sourceCol), col("_s"), col(idCol)), lit(1L))
+    val offs = ordered.groupBy(sourceCol)
+      .agg(min("pos").as("_p0"), count(lit(1)).as("_n"))
+    ordered.join(broadcast(offs), Seq(sourceCol))
+      .select(col(idCol), col(sourceCol),
+        (col("pos") - col("_p0")).as("rank_in_source"),
+        when(col("_n") === 1, lit(0.0))
+          .otherwise(round((col("pos") - col("_p0")).cast("double") /
+            (col("_n") - 1).cast("double"), 6)).as("pct"))
+  }
+
+  /** Domain authority via PageRank over the co-citation graph: domains
+    * mentioned together in a document are mutually endorsing; the
+    * stationary weight ranks domains for crawl prioritization and
+    * boilerplate-farm down-weighting. Classic iterative-join Spark:
+    * each round is (rank ⋈ edges) → partial-aggregable groupBy — the
+    * rank table is #domains rows, orders of magnitude below the corpus,
+    * and the edge table is the one big shuffle, built once. Exact-int64
+    * arithmetic throughout (rank mass in millionths, contributions via
+    * integer `div`): integer sums are order-independent, so results are
+    * bit-identical across partitionings, engines, and re-runs — the
+    * p54 exact-Lloyd rule applied to power iteration.
+    */
+  def domainRank(df: DataFrame, iterations: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val mentions = df.select(col(idCol).as("id"),
+        explode(expr(
+          s"regexp_extract_all($textCol, 'https?://[A-Za-z0-9.-]+', 0)"))
+          .as("url"))
+      .select(col("id"),
+        regexp_extract(col("url"), "https?://([A-Za-z0-9.-]+)", 1)
+          .as("domain"))
+      .distinct()
+    val edges = mentions.as("a")
+      .join(mentions.as("b"), Seq("id"))
+      .filter(col("a.domain") =!= col("b.domain"))
+      .groupBy(col("a.domain").as("src"), col("b.domain").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val outW = edges.groupBy("src").agg(sum("w").as("ow"))
+    val nodes = mentions.select(col("domain")).distinct()
+    var rank = nodes.withColumn("r", lit(1000000L))
+    for (_ <- 1 to iterations) {
+      val contrib = rank.join(edges, rank("domain") === edges("src"))
+        .join(outW, "src")
+        .select(col("dst").as("domain"),
+          expr("r * w div ow").as("c"))
+        .groupBy("domain").agg(sum("c").as("cs"))
+      rank = nodes.join(contrib, Seq("domain"), "left")
+        .select(col("domain"),
+          expr("150000 + coalesce(cs, CAST(0 AS BIGINT)) * 85 div 100")
+            .cast("long").as("r"))
+    }
+    rank.select(col("domain"), col("r").as("rank_micros"))
+  }
 }

@@ -270,4 +270,64 @@ object TextAnalysis {
         round(avg(log(col("tdf"))), 6).as("lm_score"))
       .select(col("id").as(idCol), col("n_tokens"), col("lm_score"))
   }
+
+  /** PMI-style collocation extraction: adjacent lowercase token bigrams
+    * whose co-occurrence count clears `minCount`, scored by pointwise
+    * lift = P(w1 w2) / (P(w1)·P(w2)) = n_pair·N / (n_w1·n_w2) — the
+    * standard phrase-mining signal (multi-word expressions score high,
+    * chance adjacencies score ~1). Distributed shape: one explode →
+    * partial-aggregable pair count, minCount-pruned BEFORE the two
+    * unigram joins (the pair table collapses from O(tokens) to the rare
+    * survivors, so both joins ship only survivor keys); unigram counts
+    * are a second partial agg over the same tokenization. The scalar
+    * corpus size N rides a one-row broadcast crossJoin — no collect.
+    * All counts are exact int64; lift is one double division of exact
+    * integers + ROUND 6, engine-portable. Bigrams come from a
+    * zip_with over two array slices — narrow, codegen'd, no
+    * posexplode self-join.
+    */
+  def collocations(df: DataFrame, minCount: Long = 5,
+      textCol: String = "text"): DataFrame = {
+    val toks = df.select(tokens(lower(col(textCol))).as("tk"))
+    val uni = toks.select(explode(col("tk")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n_w"))
+    val total = uni.agg(sum("n_w").as("n_total"))
+    val pairs = toks
+      .select(explode(when(size(col("tk")) < 2,
+        array().cast("array<struct<w1:string,w2:string>>"))
+        .otherwise(zip_with(
+          slice(col("tk"), lit(1), size(col("tk")) - 1),
+          slice(col("tk"), lit(2), size(col("tk")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2"))))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    pairs
+      .join(uni.select(col("w").as("w1"), col("n_w").as("n_w1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("n_w").as("n_w2")), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("n_pair"), col("n_w1"),
+        col("n_w2"),
+        round((col("n_pair") * col("n_total")).cast("double") /
+          (col("n_w1") * col("n_w2")).cast("double"), 6).as("lift"))
+  }
+
+  /** Tokenizer fertility per language: chars-per-token by lang bucket —
+    * the table a tokenizer audit reads to spot languages the vocabulary
+    * serves poorly (high chars/token = heavy fragmentation for BPE, or
+    * here the whitespace proxy of it). ONE partial-aggregable groupBy
+    * over per-row token/char counts; the ratio is a double division of
+    * exact int64 sums + ROUND 6.
+    */
+  def fertilityByLang(df: DataFrame, langCol: String = "lang",
+      textCol: String = "text"): DataFrame =
+    df.select(col(langCol),
+      tokenCount(col(textCol)).cast("long").as("nt"),
+      length(col(textCol)).cast("long").as("nc"))
+      .groupBy(langCol)
+      .agg(count(lit(1)).as("n_docs"),
+        sum("nt").as("n_tokens"),
+        sum("nc").as("n_chars"),
+        round(sum("nc").cast("double") / sum("nt").cast("double"), 6)
+          .as("chars_per_token"))
 }

@@ -1212,4 +1212,67 @@ class PipelineSpec extends SparkSpec {
     assert(out.count() == 0,
       "hot-token pairs should be pruned from the similarity space")
   }
+
+  test("collocations: hand-computed lift, empty/singleton docs safe") {
+    import spark.implicits._
+    val d = Seq("new york new york", "in new york", "", "solo")
+      .toDF("text")
+    val out = TextAnalysis.collocations(d, minCount = 2).collect()
+    // pairs: (new,york)=3, (york,new)=1, (in,new)=1 → only (new,york)
+    // survives; unigrams new=3 york=3, N=8 ("" → 0 tokens, solo → 1)
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getString(0), r.getString(1)) == (("new", "york")))
+    assert(r.getLong(2) == 3L && r.getLong(3) == 3L && r.getLong(4) == 3L)
+    val want = BigDecimal(3.0 * 8 / 9)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(5) == want)
+  }
+
+  test("perSourcePercentile: in-source ranks; singleton source pct 0") {
+    import spark.implicits._
+    val d = Seq((1L, "a", 10L), (2L, "a", 30L), (3L, "a", 20L),
+      (4L, "b", 99L))
+      .toDF("doc_id", "source", "n_chars")
+    val out = Corpus.perSourcePercentile(d, col("n_chars")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((0L, 0.0)))
+    assert(out(3L) == ((1L, 0.5)))
+    assert(out(2L) == ((2L, 1.0)))
+    assert(out(4L) == ((0L, 0.0))) // n=1 → defined as 0, not 0/0
+  }
+
+  test("domainRank: one exact-int64 power iteration by hand") {
+    import spark.implicits._
+    // doc1+doc2 co-cite {A,B}, doc3 co-cites {A,C} →
+    // edges A→B w2, B→A w2, A→C w1, C→A w1; outW A=3 B=2 C=1.
+    // contribs: A←B 1e6·2 div 2 + A←C 1e6·1 div 1 = 2e6;
+    // B←A 1e6·2 div 3 = 666666; C←A 1e6·1 div 3 = 333333.
+    val d = Seq(
+      (1L, "x https://a.com/p https://b.com/q"),
+      (2L, "y https://a.com/r https://b.com/s"),
+      (3L, "z https://a.com/t https://c.com/u"))
+      .toDF("doc_id", "text")
+    val r1 = Corpus.domainRank(d, iterations = 1).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(r1 == Map(
+      "a.com" -> (150000L + 2000000L * 85 / 100),
+      "b.com" -> (150000L + 666666L * 85 / 100),
+      "c.com" -> (150000L + 333333L * 85 / 100)))
+    // the ordering A > B > C is stable through further iterations
+    val r3 = Corpus.domainRank(d, iterations = 3).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(r3("a.com") > r3("b.com") && r3("b.com") > r3("c.com"))
+  }
+
+  test("fertilityByLang: exact sums and ratio") {
+    import spark.implicits._
+    val d = Seq(("en", "ab cd"), ("en", "x"), ("de", "aaa"))
+      .toDF("lang", "text")
+    val out = TextAnalysis.fertilityByLang(d).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out("en") == ((2L, 3L, 6L, 2.0)))
+    assert(out("de") == ((1L, 1L, 3L, 3.0)))
+  }
 }
