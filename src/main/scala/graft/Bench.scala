@@ -51,6 +51,11 @@ object Bench {
     "p55_semantic_dedup", // cluster-scoped pairwise exact cosine
     "p56_token_budget",   // two-phase global prefix sum
     "p58_containment",    // shingle inverted-index containment join
+    "p62_collocations",   // bigram explode + minCount-pruned unigram joins
+    "p63_source_percentile", // global-order rank + per-source offsets
+    "p64_domain_pagerank", // iterative exact-int64 rank-join-aggregate
+    "p65_lang_fertility", // one partial-aggregable groupBy
+    "p66_cdc_dedup",      // native gear-hash CDC chunking + digest share
     "s08_stream_trending", // streaming windowed counts + bounded rank
     "s01_stream_hourly",  // structured streaming
     "x03_asof_join",      // union+window as-of composition

@@ -2067,6 +2067,58 @@ object Pipeline {
       Corpus.domainRank(planted, iterations = 3)
     },
 
+    // Content-defined chunk dedup (CDC): boundaries from the native
+    // gear-hash expression, so DuckDB cannot re-derive them — the gate
+    // follows the p50 pattern: Spark computes INVARIANT BOOLEANS that
+    // must hold (every planted doc shares an interior chunk of the
+    // planted passage despite a different preceding prefix in every
+    // doc — the alignment-immunity CDC exists for; no unplanted doc
+    // does; chunks reassemble to the exact text), and the oracle
+    // re-derives the counts and asserts the booleans literally.
+    QueryDef("p66_cdc_dedup",
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(*) FILTER (doc_id % 4 = 0) AS BIGINT) AS n_planted,
+        |  true AS planted_all_hit, true AS others_none_hit,
+        |  true AS reassembly_ok
+        |FROM documents""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.graft.VectorExpressions
+      val boiler = (0 until 80)
+        .map(i => s"boilerseg$i chunkmark$i").mkString(" ")
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 4 === 0, lit(" " + boiler))
+            .otherwise(lit(""))).as("text"))
+      val ch = Dedup.cdcChunkTable(planted)
+      // interior chunks of the standalone passage (first/last depend on
+      // the splice context; interior ones are the alignment-proof core)
+      val bch = s.range(1).select(posexplode(
+        VectorExpressions.cdcChunks(lit(boiler), 32, 6))
+        .as(Seq("i", "c")))
+      val interior = bch
+        .crossJoin(broadcast(bch.agg(max("i").as("mx"))))
+        .filter(col("i") > 0 && col("i") < col("mx")).select("c")
+      val hits = ch.join(broadcast(interior), ch("chunk") === col("c"),
+          "left_semi")
+        .select("doc_id").distinct().withColumn("hit", lit(true))
+      val perDoc = planted.select("doc_id")
+        .join(hits, Seq("doc_id"), "left")
+        .select((col("doc_id") % 4 === 0).as("p"),
+          coalesce(col("hit"), lit(false)).as("hit"))
+      val reOk = ch.groupBy("doc_id")
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
+          x => x("chunk")), "").as("re"))
+        .join(planted, Seq("doc_id"))
+        .agg(bool_and(col("re") === col("text")).as("reassembly_ok"))
+      perDoc.agg(count(lit(1)).as("n_docs"),
+          count(when(col("p"), 1)).as("n_planted"),
+          bool_and(!col("p") || col("hit")).as("planted_all_hit"),
+          bool_and(col("p") || !col("hit")).as("others_none_hit"))
+        .crossJoin(broadcast(reOk))
+        .select(col("n_docs"), col("n_planted"), col("planted_all_hit"),
+          col("others_none_hit"), col("reassembly_ok"))
+    },
+
     // Tokenizer fertility by language: all three sums exact int64, the
     // ratio one double division + ROUND 6.
     QueryDef("p65_lang_fertility",

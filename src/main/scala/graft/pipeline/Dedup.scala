@@ -839,4 +839,25 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("n_shared"),
         round(col("containment"), 6).as("containment"))
   }
+
+  /** Content-defined chunk table: one row per (id, chunk_idx, chunk),
+    * boundaries from the gear rolling hash (native codegen'd
+    * [[org.apache.spark.sql.graft.CdcChunks]]). Chunk-level dedup is
+    * the alignment-proof middle ground between document dedup (p01) and
+    * paragraph dedup (p32): a shared passage produces IDENTICAL chunks
+    * in every document that contains it regardless of what surrounds
+    * it, because boundaries depend only on the trailing ~64-byte
+    * window. Downstream the chunk table behaves exactly like the
+    * paragraph table: digest groupBy for sharing stats, broadcast
+    * anti-join to drop boilerplate chunks, x14-style index maintenance
+    * — all shuffles keyed by chunk digest, never full text.
+    */
+  def cdcChunkTable(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", minLen: Int = 32,
+      maskBits: Int = 6): DataFrame = {
+    import org.apache.spark.sql.graft.VectorExpressions
+    df.select(col(idCol),
+      posexplode(VectorExpressions.cdcChunks(col(textCol), minLen, maskBits))
+        .as(Seq("chunk_idx", "chunk")))
+  }
 }

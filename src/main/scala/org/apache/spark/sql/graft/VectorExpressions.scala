@@ -75,6 +75,12 @@ object VectorExpressions {
   def charGramHashes(text: Column, n: Int): Column =
     column(CharGramHashes(expression(text), n))
 
+  /** Content-defined chunks of a text column (gear rolling hash,
+    * boundaries on code-point ends; see [[CdcChunks]]).
+    */
+  def cdcChunks(text: Column, minLen: Int = 32, maskBits: Int = 6): Column =
+    column(CdcChunks(expression(text), minLen, maskBits))
+
   /** Bloom-filter membership probe of a string column against a
     * serialized `org.apache.spark.util.sketch.BloomFilter`.
     */
@@ -1269,5 +1275,85 @@ object PassJoinKeys {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       java.util.Arrays.copyOf(arr, uniq))
+  }
+}
+
+/** Content-defined chunking via a gear rolling hash: split text at
+  * positions where the TOP `maskBits` bits of the gear register are all
+  * zero (expected chunk length ≈ minLen + 2^maskBits bytes). The gear
+  * register `h = (h << 1) + gear(byte)` forgets a byte after 64 shifts
+  * and its top k bits depend only on the trailing ~64-byte window — so
+  * boundaries are a function of LOCAL content, which is the whole point
+  * of CDC: insert or delete a prefix and the chunk boundaries downstream
+  * of the edit land in the same places, so shared content yields shared
+  * chunks under any alignment (fixed-size chunking loses all of them).
+  * Boundaries are only declared on code-point ends, so every chunk is a
+  * valid UTF-8 string and `concat(chunks) == text` exactly. `minLen`
+  * (bytes) suppresses boundaries inside a fresh chunk, bounding the
+  * chunk-table blowup at `len/minLen` rows per doc.
+  *
+  * Reference inspiration: the dedup literature's gear/FastCDC family
+  * (public algorithms); implementation is original. Hot path is one
+  * branchy byte loop — codegen'd like the other native expressions here.
+  */
+case class CdcChunks(child: Expression, minLen: Int, maskBits: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  protected override def nullSafeEval(input: Any): Any =
+    CdcChunks.compute(input.asInstanceOf[UTF8String], minLen, maskBits)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.CdcChunks.compute($c, $minLen, $maskBits)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CdcChunks {
+  /** Deterministic gear table (splitmix64 of the byte value) — no RNG
+    * state, identical across JVMs and runs.
+    */
+  private val gear: Array[Long] = {
+    val t = new Array[Long](256)
+    var i = 0
+    while (i < 256) {
+      var x = i * 0x9E3779B97F4A7C15L + 0x9E3779B97F4A7C15L
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      t(i) = x ^ (x >>> 31)
+      i += 1
+    }
+    t
+  }
+
+  def compute(s: UTF8String, minLen: Int,
+      maskBits: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    val out = new scala.collection.mutable.ArrayBuffer[AnyRef]()
+    var start = 0
+    var h = 0L
+    var i = 0
+    while (i < len) {
+      h = (h << 1) + gear(bytes(i) & 0xFF)
+      // boundary only where the NEXT byte starts a code point (or EOS)
+      val cpEnd = i + 1 >= len || (bytes(i + 1) & 0xC0) != 0x80
+      if (cpEnd && i + 1 - start >= minLen && (h >>> (64 - maskBits)) == 0L) {
+        out += UTF8String.fromBytes(
+          java.util.Arrays.copyOfRange(bytes, start, i + 1))
+        start = i + 1
+        h = 0L
+      }
+      i += 1
+    }
+    if (start < len || len == 0)
+      out += UTF8String.fromBytes(
+        java.util.Arrays.copyOfRange(bytes, start, len))
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }
 }

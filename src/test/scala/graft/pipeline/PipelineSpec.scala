@@ -1265,6 +1265,54 @@ class PipelineSpec extends SparkSpec {
     assert(r3("a.com") > r3("b.com") && r3("b.com") > r3("c.com"))
   }
 
+  test("cdcChunks: reassembly, minLen, unicode boundaries, determinism") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.VectorExpressions
+    val texts = Seq(
+      "",
+      "short",
+      ("lorem ipsum dolor sit amet " * 40).trim,
+      // astral-plane + combining chars: boundaries must not split a
+      // code point (each chunk stays valid UTF-8 / valid String)
+      ("café 😀 naïve 🍕 " * 60).trim)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val ch = df.select(col("doc_id"), col("text"),
+      VectorExpressions.cdcChunks(col("text"), 32, 6).as("chunks"))
+    val rows = ch.collect()
+    rows.foreach { r =>
+      val text = r.getString(1)
+      val chunks = r.getSeq[String](2)
+      assert(chunks.mkString("") == text, s"reassembly failed for doc ${r.getLong(0)}")
+      // every chunk but the last clears minLen (in UTF-8 bytes)
+      chunks.dropRight(1).foreach { c =>
+        assert(c.getBytes("UTF-8").length >= 32, s"short chunk '$c'")
+      }
+      // no chunk starts with an orphaned low surrogate (split code point)
+      chunks.filter(_.nonEmpty).foreach { c =>
+        assert(!Character.isLowSurrogate(c.charAt(0)), "split surrogate pair")
+      }
+    }
+    val again = ch.collect().map(_.getSeq[String](2))
+    assert(rows.map(_.getSeq[String](2)).toSeq == again.toSeq)
+  }
+
+  test("cdcChunks: shared passage yields shared chunks under any prefix") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.VectorExpressions
+    val passage = (0 until 80).map(i => s"boilerseg$i chunkmark$i")
+      .mkString(" ")
+    val d = Seq((1L, s"x $passage"),
+      (2L, s"a completely different and much longer leading context $passage"))
+      .toDF("doc_id", "text")
+    val ch = Dedup.cdcChunkTable(d)
+    val shared = ch.groupBy("chunk")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") === 2).count()
+    assert(shared >= 3,
+      s"expected several alignment-immune shared chunks, got $shared")
+  }
+
   test("fertilityByLang: exact sums and ratio") {
     import spark.implicits._
     val d = Seq(("en", "ab cd"), ("en", "x"), ("de", "aaa"))
