@@ -2119,6 +2119,20 @@ object Pipeline {
           col("others_none_hit"), col("reassembly_ok"))
     },
 
+    // Quality cascade with reason attribution: every branch is live on
+    // this corpus (too_short from the nt<15 tail, repetitive_lines from
+    // the planted line-doubled docs, too_long from the nc>500 tail,
+    // low_alpha from the alpha tail, lang_filtered from zh docs) and
+    // the oracle re-derives signals, cascade order, and rounded values.
+    QueryDef("p67_quality_cascade", Pipeline.qualityCascadeSql) { (s, dir) =>
+      val docs = t(s, dir, "documents").select("doc_id", "text", "lang")
+      val planted = docs.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(col("text"), lit("\n"), col("text")).as("text"),
+          col("lang"))
+      TextAnalysis.qualityCascade(docs.unionAll(planted))
+    },
+
     // Tokenizer fertility by language: all three sums exact int64, the
     // ratio one double division + ROUND 6.
     QueryDef("p65_lang_fertility",
@@ -2140,4 +2154,46 @@ object Pipeline {
       TextAnalysis.fertilityByLang(t(s, dir, "documents"))
     }
   )
+
+  /** p67's oracle, shared with the streaming ingest filter (s12): the
+    * stream is a stateless narrow map, so its accumulated output must
+    * equal the batch cascade exactly.
+    */
+  // lazy: referenced from `all` above (and Streaming.all), which would
+  // otherwise read this slot before its initializer runs
+  private[operators] lazy val qualityCascadeSql: String =
+      """WITH corpus AS (
+        |  SELECT doc_id, text, lang FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 3000000 AS doc_id,
+        |    text || chr(10) || text AS text, lang
+        |  FROM documents WHERE doc_id % 9 = 0),
+        |b AS (
+        |  SELECT doc_id, lang, length(text) AS nc,
+        |    CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
+        |         THEN 0
+        |         ELSE len(string_split_regex(
+        |           regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'))
+        |    END AS nt,
+        |    length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS nonalpha,
+        |    string_split(text, chr(10)) AS ln
+        |  FROM corpus),
+        |m AS (
+        |  SELECT doc_id, lang, nt, nc,
+        |    CASE WHEN nc = 0 THEN 0.0
+        |         ELSE (nc - nonalpha) * 1.0 / nc END AS alpha,
+        |    CAST(len(ln) - len(list_distinct(ln)) AS DOUBLE) / len(ln)
+        |      AS dlf
+        |  FROM b)
+        |SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
+        |  CAST(nc AS BIGINT) AS n_chars,
+        |  round(alpha, 6) AS alpha_frac, round(dlf, 6) AS dup_line_frac,
+        |  CASE WHEN nt < 15 THEN 'too_short'
+        |       WHEN dlf > 0.3 THEN 'repetitive_lines'
+        |       WHEN nc > 500 THEN 'too_long'
+        |       WHEN alpha < 0.81 THEN 'low_alpha'
+        |       WHEN lang NOT IN ('en', 'de', 'fr', 'es')
+        |         THEN 'lang_filtered'
+        |       ELSE 'keep' END AS reason
+        |FROM m""".stripMargin
 }

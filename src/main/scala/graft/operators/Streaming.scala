@@ -300,6 +300,37 @@ object Streaming {
         "s11_route", outputMode = "append")
     },
 
+    // streaming quality filter at ingest: the p67 cascade applied to a
+    // file stream micro-batch by micro-batch — a stateless narrow map,
+    // so the accumulated stream output must equal the batch cascade
+    // row-for-row (shared oracle). This is the filter-at-the-door
+    // deployment: documents are tagged (and droppable) as they land,
+    // before any batch job sees them.
+    QueryDef("s12_stream_quality_gate", Pipeline.qualityCascadeSql) {
+      (s, dir) =>
+      import graft.pipeline.TextAnalysis
+      val docs = graft.Tables.load(s, dir, "documents")
+        .select("doc_id", "text", "lang")
+      val planted = docs.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(col("text"), lit("\n"), col("text")).as("text"),
+          col("lang"))
+      val base = java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_fmt").toString
+      val srcDir = s"$base/s12_stream_src"
+      rmTree(new java.io.File(srcDir))
+      new java.io.File(srcDir).mkdirs()
+      writeSingle(docs, srcDir, "batch_a")
+      writeSingle(planted, srcDir, "batch_b")
+      val schema = s.read.parquet(srcDir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(srcDir)
+      Streams.runToMemory(s, TextAnalysis.qualityCascade(stream),
+        "s12_quality_gate", outputMode = "append")
+    },
+
     // custom arbitrary state: flatMapGroupsWithState running stats — the
     // single AvailableNow batch's final state must equal the batch agg
     QueryDef("s03_stream_custom_state",

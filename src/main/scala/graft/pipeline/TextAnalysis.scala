@@ -312,6 +312,42 @@ object TextAnalysis {
           (col("n_w1") * col("n_w2")).cast("double"), 6).as("lift"))
   }
 
+  /** Quality-filter cascade with REASON ATTRIBUTION: evaluate the
+    * ordered rule list and tag each document with the FIRST rule it
+    * fails (or `keep`) — the Dolma/RedPajama-style shape where the
+    * output of filtering is not just a keep bit but an auditable
+    * reason histogram (which rule is doing the cutting, per source, is
+    * the first question a curation review asks). All signals are
+    * narrow per-row expressions (token count, char count, alpha
+    * fraction, duplicate-line fraction) — one codegen'd projection, no
+    * shuffle at all; the reason histogram downstream is one
+    * partial-aggregable groupBy. Comparisons run on the raw doubles
+    * (single divisions of exact ints — engine-portable); outputs are
+    * rounded for display.
+    */
+  def qualityCascade(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", langCol: String = "lang",
+      allowedLangs: Seq[String] = Seq("en", "de", "fr", "es")): DataFrame = {
+    val nt = tokenCount(col(textCol)).cast("long")
+    val nc = length(col(textCol)).cast("long")
+    val alpha = when(nc === 0, lit(0.0)).otherwise(
+      (nc - length(regexp_replace(col(textCol), "[A-Za-z]", "")))
+        .cast("double") / nc)
+    val ln = split(col(textCol), "\n")
+    val dlf = (size(ln) - size(array_distinct(ln))).cast("double") / size(ln)
+    df.select(col(idCol), col(langCol), nt.as("nt"), nc.as("nc"),
+        alpha.as("alpha"), dlf.as("dlf"))
+      .select(col(idCol), col("nt").as("n_tokens"), col("nc").as("n_chars"),
+        round(col("alpha"), 6).as("alpha_frac"),
+        round(col("dlf"), 6).as("dup_line_frac"),
+        when(col("nt") < 15, "too_short")
+          .when(col("dlf") > 0.3, "repetitive_lines")
+          .when(col("nc") > 500, "too_long")
+          .when(col("alpha") < 0.81, "low_alpha")
+          .when(!col(langCol).isin(allowedLangs: _*), "lang_filtered")
+          .otherwise("keep").as("reason"))
+  }
+
   /** Tokenizer fertility per language: chars-per-token by lang bucket —
     * the table a tokenizer audit reads to spot languages the vocabulary
     * serves poorly (high chars/token = heavy fragmentation for BPE, or
