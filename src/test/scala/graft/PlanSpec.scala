@@ -408,4 +408,43 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("transform(transform"),
       s"interpreted nested transforms survived:\n$p")
   }
+
+  test("p67: quality cascade is a narrow projection — zero Exchanges") {
+    val df = graft.pipeline.TextAnalysis.qualityCascade(
+      spark.read.parquet(s"$sf/documents.parquet"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!p.contains("Exchange"), s"cascade plan shuffles:\n$p")
+  }
+
+  test("p62: pair counts partially aggregate BEFORE the unigram joins") {
+    val p = executed("p62_collocations")
+    // the ONE BroadcastNestedLoopJoin is the designed 1-row scalar-total
+    // broadcast; anything beyond it (or any unbroadcast cartesian)
+    // means a real cross product crept in
+    assert(!p.contains("CartesianProduct"),
+      s"collocations fell back to a cross product:\n$p")
+    val finalPlan = p.split("== Initial Plan ==")(0)
+    assert(finalPlan.sliding("BroadcastNestedLoopJoin".length)
+      .count(_ == "BroadcastNestedLoopJoin") <= 1,
+      s"more than the scalar-total broadcast cross:\n$finalPlan")
+    // minCount prune must run on the partial-aggregated pair table
+    assert(p.linesIterator.exists(_.contains("partial_count")),
+      s"pair counting is not map-side partial:\n$p")
+  }
+
+  test("p64: PageRank rounds are equi-joins over the edge table, no cross product") {
+    val p = executed("p64_domain_pagerank")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"PageRank iteration fell back to a cross product:\n$p")
+  }
+
+  test("p66: chunk table is explode + partial-aggregated digest count") {
+    val p = executed("p66_cdc_dedup")
+    assert(p.toLowerCase.contains("cdcchunks"),
+      s"native CdcChunks expression missing from plan:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"chunk stats fell back to a cross product:\n$p")
+  }
 }
