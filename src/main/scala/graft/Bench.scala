@@ -57,6 +57,7 @@ object Bench {
     "p65_lang_fertility", // one partial-aggregable groupBy
     "p66_cdc_dedup",      // native gear-hash CDC chunking + digest share
     "p67_quality_cascade", // zero-shuffle rule cascade projection
+    "p68_snapshot_diff",  // full-outer digest diff (text never shuffles)
     "s08_stream_trending", // streaming windowed counts + bounded rank
     "s01_stream_hourly",  // structured streaming
     "x03_asof_join",      // union+window as-of composition

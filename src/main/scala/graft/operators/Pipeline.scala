@@ -2124,6 +2124,39 @@ object Pipeline {
     // the planted line-doubled docs, too_long from the nc>500 tail,
     // low_alpha from the alpha tail, lang_filtered from zh docs) and
     // the oracle re-derives signals, cascade order, and rounded values.
+    // Snapshot diff (release deltas): v2 removes every 11th doc, edits
+    // every 7th survivor, adds a copy of every 13th — all four statuses
+    // live; the oracle replays the construction and the digest compare
+    // (DuckDB md5 == Spark md5).
+    QueryDef("p68_snapshot_diff",
+      """WITH v1 AS (SELECT doc_id, text FROM documents),
+        |v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END
+        |      AS text
+        |  FROM documents WHERE doc_id % 11 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 5000000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 13 = 0),
+        |a AS (SELECT doc_id, md5(text) AS dga FROM v1),
+        |b AS (SELECT doc_id, md5(text) AS dgb FROM v2)
+        |SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+        |  CASE WHEN b.doc_id IS NULL THEN 'removed'
+        |       WHEN a.doc_id IS NULL THEN 'added'
+        |       WHEN dga <> dgb THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id""".stripMargin) {
+      (s, dir) =>
+      val v1 = t(s, dir, "documents").select("doc_id", "text")
+      val kept = v1.filter(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+      val added = v1.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+      Corpus.snapshotDiff(v1, kept.unionAll(added))
+    },
+
     QueryDef("p67_quality_cascade", Pipeline.qualityCascadeSql) { (s, dir) =>
       val docs = t(s, dir, "documents").select("doc_id", "text", "lang")
       val planted = docs.filter(col("doc_id") % 9 === 0)

@@ -183,6 +183,68 @@ object Scale {
         lit(nComp <= 8).as("file_count_bounded"))
   }
 
+  /** Parquet bloom-filter layout: write with a per-column bloom filter
+    * (`parquet.bloom.filter.enabled#col`) so point lookups on a
+    * high-cardinality NON-sort column can skip row groups the value
+    * cannot be in — the layout complement to min/max stats (useless for
+    * uncorrelated keys) and to Z-order (x12, which needs the sort).
+    * At 100 TB this is the difference between a point lookup scanning
+    * every row group of every file and touching only the blooms
+    * (~KB/row-group). The gate asserts the footer contract the reader
+    * skip depends on: every row group of every file carries a bloom for
+    * the REQUESTED column and none for the others (blooms cost write
+    * time + footer bytes — opting in per column is the point), plus the
+    * point-lookup result vs the oracle. The footer probe goes through
+    * the Hadoop FileSystem API (scheme-agnostic, the barrier rule).
+    */
+  private[graft] def parquetBloomStats(s: SparkSession,
+      dir: String): DataFrame = {
+    val base = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      "graft_fmt", "x16_bloom").toString
+    t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+      .repartition(4)
+      .write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#o_custkey", "true")
+      .option("parquet.bloom.filter.expected.ndv#o_custkey", "100000")
+      // parquet-mr drops the bloom when a chunk ends fully
+      // dictionary-encoded (the dictionary is already an exact filter).
+      // At bench SF the key fits a dictionary, so force plain encoding
+      // to emulate the 100 TB regime where cardinality overflows the
+      // dictionary and the bloom is the only row-group skip.
+      .option("parquet.enable.dictionary#o_custkey", "false")
+      .parquet(base)
+    val conf = s.sessionState.newHadoopConf()
+    val dirPath = new org.apache.hadoop.fs.Path(base)
+    val fs = dirPath.getFileSystem(conf)
+    var bloomOnKey = true
+    var bloomElsewhere = false
+    var chunksChecked = 0
+    fs.listStatus(dirPath)
+      .filter(_.getPath.getName.endsWith(".parquet")).foreach { st =>
+      val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+      try rdr.getFooter.getBlocks.forEach { bg =>
+        bg.getColumns.forEach { cc =>
+          val hasBloom = cc.getBloomFilterOffset >= 0
+          if (cc.getPath.toDotString == "o_custkey") {
+            chunksChecked += 1
+            if (!hasBloom) bloomOnKey = false
+          } else if (hasBloom) bloomElsewhere = true
+        }
+      } finally rdr.close()
+    }
+    val df = s.read.parquet(base)
+    // bounded 1-value driver agg picks the probe key (broadcast-variable
+    // pattern, like the IVF centroids)
+    val k = df.agg(min("o_custkey")).head().getLong(0)
+    df.filter(col("o_custkey") === k)
+      .agg(count(lit(1)).as("n_match"))
+      .select(col("n_match"),
+        lit(bloomOnKey && chunksChecked > 0).as("bloom_on_requested_col"),
+        lit(!bloomElsewhere).as("no_bloom_on_other_cols"))
+  }
+
   /** Funnel 90% of the events onto one hot key and join the stream to
     * its purchase subset WITHOUT salting — then let AQE's runtime skew
     * handling split the oversized partition into parallel sub-joins
@@ -572,6 +634,15 @@ object Scale {
         |  true AS compacted_fewer_files, true AS file_count_bounded
         |FROM documents""".stripMargin) { (s, dir) =>
       compactedStats(s, dir)
+    },
+
+    QueryDef("x16_parquet_bloom",
+      """SELECT CAST(count(*) AS BIGINT) AS n_match,
+        |  true AS bloom_on_requested_col, true AS no_bloom_on_other_cols
+        |FROM orders
+        |WHERE o_custkey = (SELECT min(o_custkey) FROM orders)"""
+        .stripMargin) { (s, dir) =>
+      parquetBloomStats(s, dir)
     },
 
     // AQE shuffle coalescing: runtime right-sizing of a tiny post-filter

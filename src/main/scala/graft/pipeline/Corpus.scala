@@ -501,6 +501,28 @@ object Corpus {
             (col("_n") - 1).cast("double"), 6)).as("pct"))
   }
 
+  /** Snapshot diff between two corpus versions: per id, whether the
+    * document was `added`, `removed`, `changed` (same id, different
+    * content digest), or `unchanged` — the release-delta table an
+    * incremental pipeline reads to decide what to reprocess (changed ∪
+    * added) and what to tombstone (removed). ONE full-outer equi-join
+    * on the id over narrow (id, digest) projections — full text never
+    * shuffles; at 100 TB both sides are digest tables a fraction the
+    * corpus size, and identical bucketing on id makes the join
+    * shuffle-free (x01 pattern).
+    */
+  def snapshotDiff(v1: DataFrame, v2: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val a = v1.select(col(idCol), md5(col(textCol)).as("_dga"))
+    val b = v2.select(col(idCol), md5(col(textCol)).as("_dgb"))
+    a.join(b, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("_dgb").isNull, "removed")
+          .when(col("_dga").isNull, "added")
+          .when(col("_dga") =!= col("_dgb"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
   /** Domain authority via PageRank over the co-citation graph: domains
     * mentioned together in a document are mutually endorsing; the
     * stationary weight ranks domains for crawl prioritization and

@@ -447,4 +447,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       s"chunk stats fell back to a cross product:\n$p")
   }
+
+  test("p68: snapshot diff is an id equi-join over digest projections") {
+    val df = SparkEntry.queries("p68_snapshot_diff")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("FullOuter"), s"expected a full-outer join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"diff fell back to a non-equi join:\n$p")
+    // the join consumes md5 digests computed BELOW the exchange — the
+    // projection that shuffles carries (id, 16-byte digest), not text
+    assert(p.contains("md5"), s"digest projection missing:\n$p")
+  }
+
+  test("x16: blooms land on the requested column only, point lookup matches") {
+    val row = SparkEntry.queries("x16_parquet_bloom")(spark, sf).head()
+    assert(row.getBoolean(1), "o_custkey chunk missing its bloom filter")
+    assert(row.getBoolean(2), "bloom written on a column that did not opt in")
+    assert(row.getLong(0) > 0, "point lookup returned no rows")
+  }
 }

@@ -1313,6 +1313,16 @@ class PipelineSpec extends SparkSpec {
       s"expected several alignment-immune shared chunks, got $shared")
   }
 
+  test("snapshotDiff: all four statuses from a hand-built delta") {
+    import spark.implicits._
+    val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val v2 = Seq((1L, "a"), (2L, "B!"), (4L, "d")).toDF("doc_id", "text")
+    val out = Corpus.snapshotDiff(v1, v2).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+  }
+
   test("fertilityByLang: exact sums and ratio") {
     import spark.implicits._
     val d = Seq(("en", "ab cd"), ("en", "x"), ("de", "aaa"))
