@@ -245,6 +245,84 @@ object Scale {
         lit(!bloomElsewhere).as("no_bloom_on_other_cols"))
   }
 
+  /** Parquet column-index layout: page-level min/max skipping is the
+    * finest granularity in the stack (x05 prunes directories, x12 files,
+    * x16 row groups) — but the column index only helps when the layout
+    * makes page ranges disjoint, i.e. the file is SORTED on the probe
+    * key. The gate writes the same rows twice (hash-scattered vs
+    * range-partitioned + sorted), decodes the o_orderkey column index
+    * from every footer, and counts pages whose [min,max] intersect a
+    * fixed 5%-of-keyspace probe range: the sorted layout must touch at
+    * most half the pages the scattered one does (monotone bound, x12
+    * ADVICE rule), the index must exist in every chunk, and the range
+    * count must match the oracle. Small page-row limit stands in for the
+    * 100 TB regime where a chunk holds many pages.
+    */
+  private[graft] def columnIndexStats(s: SparkSession,
+      dir: String): DataFrame = {
+    val root = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_fmt").toString
+    val naiveP = s"$root/x17_naive"
+    val sortedP = s"$root/x17_sorted"
+    val orders = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+    def write(df: DataFrame, path: String): Unit =
+      df.write.mode("overwrite")
+        .option("parquet.page.row.count.limit", "200")
+        .parquet(path)
+    write(orders.repartition(4), naiveP)
+    write(orders.repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey"), sortedP)
+    // bounded 2-value driver agg fixes the probe range (middle 5% of the
+    // keyspace) — the broadcast-variable pattern, like the IVF centroids
+    val mm = orders.agg(min("o_orderkey"), max("o_orderkey")).head()
+    val (lo0, hi0) = (mm.getLong(0), mm.getLong(1))
+    val lo = lo0 + (hi0 - lo0) * 45 / 100
+    val hi = lo0 + (hi0 - lo0) * 50 / 100
+    val conf = s.sessionState.newHadoopConf()
+    // (pages touched by [lo,hi], total pages, index present in all chunks)
+    def probe(path: String): (Int, Int, Boolean) = {
+      val dp = new org.apache.hadoop.fs.Path(path)
+      val fs = dp.getFileSystem(conf)
+      var touched = 0; var total = 0; var present = true
+      fs.listStatus(dp)
+        .filter(_.getPath.getName.endsWith(".parquet")).foreach { st =>
+        val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+        try rdr.getFooter.getBlocks.forEach { bg =>
+          bg.getColumns.forEach { cc =>
+            if (cc.getPath.toDotString == "o_orderkey") {
+              val ci = rdr.readColumnIndex(cc)
+              if (ci == null) present = false
+              else {
+                val mins = ci.getMinValues; val maxs = ci.getMaxValues
+                val nullPages = ci.getNullPages
+                (0 until mins.size()).foreach { i =>
+                  if (!nullPages.get(i)) {
+                    // INT64 min/max are plain-encoded little-endian
+                    def long(b: java.nio.ByteBuffer): Long = b.duplicate()
+                      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+                    total += 1
+                    if (long(mins.get(i)) <= hi && long(maxs.get(i)) >= lo)
+                      touched += 1
+                  }
+                }
+              }
+            }
+          }
+        } finally rdr.close()
+      }
+      (touched, total, present)
+    }
+    val (tSorted, _, pSorted) = probe(sortedP)
+    val (tNaive, nNaive, pNaive) = probe(naiveP)
+    s.read.parquet(sortedP)
+      .filter(col("o_orderkey").between(lo, hi))
+      .agg(count(lit(1)).as("n_match"))
+      .select(col("n_match"),
+        lit(pSorted && pNaive && nNaive > 0).as("column_index_present"),
+        lit(tSorted * 2 <= tNaive).as("page_skip_ok"))
+  }
+
   /** Funnel 90% of the events onto one hot key and join the stream to
     * its purchase subset WITHOUT salting — then let AQE's runtime skew
     * handling split the oversized partition into parallel sub-joins
@@ -634,6 +712,17 @@ object Scale {
         |  true AS compacted_fewer_files, true AS file_count_bounded
         |FROM documents""".stripMargin) { (s, dir) =>
       compactedStats(s, dir)
+    },
+
+    QueryDef("x17_column_index",
+      """WITH b AS (SELECT min(o_orderkey) AS lo0, max(o_orderkey) AS hi0
+        |  FROM orders)
+        |SELECT CAST(count(*) AS BIGINT) AS n_match,
+        |  true AS column_index_present, true AS page_skip_ok
+        |FROM orders, b
+        |WHERE o_orderkey BETWEEN lo0 + (hi0 - lo0) * 45 // 100
+        |  AND lo0 + (hi0 - lo0) * 50 // 100""".stripMargin) { (s, dir) =>
+      columnIndexStats(s, dir)
     },
 
     QueryDef("x16_parquet_bloom",

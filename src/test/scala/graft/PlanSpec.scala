@@ -466,4 +466,12 @@ class PlanSpec extends SparkSpec {
     assert(row.getBoolean(2), "bloom written on a column that did not opt in")
     assert(row.getLong(0) > 0, "point lookup returned no rows")
   }
+
+  test("x17: sorted layout makes the column index prune pages") {
+    val row = SparkEntry.queries("x17_column_index")(spark, sf).head()
+    assert(row.getBoolean(1), "column index absent from some chunk")
+    assert(row.getBoolean(2),
+      "sorted layout touched more than half the pages the scattered one did")
+    assert(row.getLong(0) > 0, "range probe returned no rows")
+  }
 }
