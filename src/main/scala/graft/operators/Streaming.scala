@@ -331,6 +331,76 @@ object Streaming {
         "s12_quality_gate", outputMode = "append")
     },
 
+    // Streaming CDC apply: the p68 release deltas consumed as a stream,
+    // each micro-batch merged into a materialized corpus store by
+    // copy-on-write (anti-join out the touched ids, append the new
+    // versions, write the next store generation — the parquet-native
+    // MERGE a table format would journal). The final store must equal
+    // the v2 corpus digest-for-digest. At 100 TB the merge is one
+    // id-keyed anti-join per batch (broadcastable — a delta is tiny
+    // next to the corpus) + an append; generations become partition
+    // overwrites on a real table layout.
+    QueryDef("s13_stream_cdc_apply",
+      """WITH v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END
+        |      AS text
+        |  FROM documents WHERE doc_id % 11 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 5000000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 13 = 0)
+        |SELECT doc_id, md5(text) AS dg FROM v2""".stripMargin) {
+      (s, dir) =>
+      import graft.pipeline.Corpus
+      val v1 = graft.Tables.load(s, dir, "documents")
+        .select("doc_id", "text")
+      val kept = v1.filter(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+      val added = v1.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+      val v2 = kept.unionAll(added)
+      // delta table = p68 statuses + the new text for upserts; unchanged
+      // rows never enter the stream (that's the point of the diff)
+      val delta = Corpus.snapshotDiff(v1, v2)
+        .filter(col("status") =!= "unchanged")
+        .join(v2, Seq("doc_id"), "left")
+      val base = java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_fmt").toString
+      val srcDir = s"$base/s13_stream_src"
+      val storeRoot = s"$base/s13_store"
+      rmTree(new java.io.File(srcDir)); rmTree(new java.io.File(storeRoot))
+      new java.io.File(srcDir).mkdirs()
+      writeSingle(delta.filter(col("doc_id") % 2 === 0), srcDir, "batch_a")
+      writeSingle(delta.filter(col("doc_id") % 2 === 1), srcDir, "batch_b")
+      v1.write.mode("overwrite").parquet(s"$storeRoot/v0")
+      val gen = new java.util.concurrent.atomic.AtomicInteger(0)
+      val schema = s.read.parquet(srcDir).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(srcDir)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val cur = s.read.parquet(s"$storeRoot/v${gen.get()}")
+          val next = cur
+            .join(batch.select("doc_id"), Seq("doc_id"), "left_anti")
+            .unionByName(batch
+              .filter(col("status").isin("added", "changed"))
+              .select("doc_id", "text"))
+          next.write.mode("overwrite")
+            .parquet(s"$storeRoot/v${gen.incrementAndGet()}")
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$storeRoot/v${gen.get()}")
+        .select(col("doc_id"), md5(col("text")).as("dg"))
+        .orderBy("doc_id")
+    },
+
     // custom arbitrary state: flatMapGroupsWithState running stats — the
     // single AvailableNow batch's final state must equal the batch agg
     QueryDef("s03_stream_custom_state",
