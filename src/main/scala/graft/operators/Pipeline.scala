@@ -2124,6 +2124,51 @@ object Pipeline {
     // the planted line-doubled docs, too_long from the nc>500 tail,
     // low_alpha from the alpha tail, lang_filtered from zh docs) and
     // the oracle re-derives signals, cascade order, and rounded values.
+    // C4 line-level cleaning: planted docs make every rule branch live
+    // (a javascript line that passes the punctuation+words test but is
+    // name-blocked, a lorem-ipsum page, a curly-brace page); the oracle
+    // replays line split, filter, and page gates in DuckDB list lambdas.
+    QueryDef("p69_c4_clean",
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 7000000 AS doc_id,
+        |    text || chr(10) || 'check the javascript widget now.' AS text
+        |  FROM documents WHERE doc_id % 17 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 8000000 AS doc_id, text || ' lorem ipsum'
+        |    AS text
+        |  FROM documents WHERE doc_id % 19 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 9000000 AS doc_id, text || ' {' AS text
+        |  FROM documents WHERE doc_id % 23 = 0),
+        |d AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls
+        |  FROM corpus),
+        |k AS (SELECT doc_id, text, len(ls) AS n_lines,
+        |  list_filter(ls, l -> right(rtrim(l), 1) IN ('.', '!', '?', '"')
+        |    AND len(list_filter(string_split(l, ' '), w -> w <> '')) >= 4
+        |    AND NOT contains(lower(l), 'javascript')) AS kept
+        |  FROM d)
+        |SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
+        |  (len(kept) >= 3 AND NOT contains(lower(text), 'lorem ipsum')
+        |    AND NOT contains(text, '{')) AS keep,
+        |  CAST(coalesce(length(array_to_string(kept, chr(10))), 0)
+        |    AS BIGINT) AS clean_len
+        |FROM k""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      def planted(mod: Long, shift: Long, suffix: Column) =
+        docs.filter(col("doc_id") % mod === 0)
+          .select((col("doc_id") + shift).as("doc_id"),
+            concat(col("text"), suffix).as("text"))
+      val corpus = docs
+        .unionAll(planted(17, 7000000L,
+          lit("\ncheck the javascript widget now.")))
+        .unionAll(planted(19, 8000000L, lit(" lorem ipsum")))
+        .unionAll(planted(23, 9000000L, lit(" {")))
+      TextAnalysis.c4Clean(corpus)
+    },
+
     // Snapshot diff (release deltas): v2 removes every 11th doc, edits
     // every 7th survivor, adds a copy of every 13th — all four statuses
     // live; the oracle replays the construction and the digest compare

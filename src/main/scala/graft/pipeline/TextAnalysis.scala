@@ -114,6 +114,34 @@ object TextAnalysis {
           col("mean_word_len").between(3.0, 10.0) && col("ends_terminal"))
   }
 
+  /** C4-style line-level cleaning (Raffel et al. 2020, the public C4
+    * recipe): keep only lines that end in terminal punctuation, carry at
+    * least four words, and don't mention javascript; then gate the
+    * document on ≥3 surviving lines and the page-level lorem-ipsum /
+    * curly-brace blocklist. Returns per-doc counts, the keep decision,
+    * and the cleaned length — a pure narrow projection (split → filter
+    * → rejoin inside one codegen'd expression tree), zero shuffles at
+    * any scale.
+    */
+  def c4Clean(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val keptLines = filter(lines, l => {
+      val t = rtrim(l)
+      substring(t, -1, 1).isin(".", "!", "?", "\"") &&
+        size(filter(split(l, " "), w => w =!= "")) >= 4 &&
+        !contains(lower(l), lit("javascript"))
+    })
+    val nKept = size(keptLines).cast("long")
+    df.select(col(idCol),
+      size(lines).cast("long").as("n_lines"),
+      nKept.as("n_kept"),
+      (nKept >= 3 &&
+        !contains(lower(col(textCol)), lit("lorem ipsum")) &&
+        !contains(col(textCol), lit("{"))).as("keep"),
+      length(array_join(keptLines, "\n")).cast("long").as("clean_len"))
+  }
+
   /** Gopher-style repetition signal: the fraction of a document's word
     * bigrams taken by its single most frequent bigram (plus bigram
     * count/distinct count). High top-bigram share = looping/template

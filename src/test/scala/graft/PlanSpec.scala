@@ -467,6 +467,13 @@ class PlanSpec extends SparkSpec {
     assert(row.getLong(0) > 0, "point lookup returned no rows")
   }
 
+  test("p69: C4 cleaning is a narrow projection — zero Exchanges") {
+    val df = SparkEntry.queries("p69_c4_clean")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"C4 cleaning shuffled:\n$p")
+  }
+
   test("x17: sorted layout makes the column index prune pages") {
     val row = SparkEntry.queries("x17_column_index")(spark, sf).head()
     assert(row.getBoolean(1), "column index absent from some chunk")

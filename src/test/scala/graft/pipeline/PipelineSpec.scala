@@ -1313,6 +1313,25 @@ class PipelineSpec extends SparkSpec {
       s"expected several alignment-immune shared chunks, got $shared")
   }
 
+  test("c4Clean: every rule branch on a hand-built page") {
+    import spark.implicits._
+    val good = "this line has enough words here."
+    val d = Seq(
+      // 3 good lines + one short, one unterminated, one javascript
+      (1L, s"$good\n$good\n$good\nshort line.\nno terminal punct here\nuse the javascript widget today."),
+      (2L, s"$good\n$good"),                   // only 2 kept → dropped
+      (3L, s"$good\n$good\n$good lorem IPSUM."), // page blocklist
+      (4L, s"$good\n$good\n$good {x}.")          // brace blocklist
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.c4Clean(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getLong(4)))).toMap
+    assert(out(1L) == ((6L, 3L, true, 3L * good.length + 2)))
+    assert(out(2L)._3 == false && out(2L)._2 == 2L)
+    assert(out(3L)._3 == false && out(3L)._2 == 3L) // lines fine, page blocked
+    assert(out(4L)._3 == false)
+  }
+
   test("snapshotDiff: all four statuses from a hand-built delta") {
     import spark.implicits._
     val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
