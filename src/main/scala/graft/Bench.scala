@@ -58,6 +58,8 @@ object Bench {
     "p66_cdc_dedup",      // native gear-hash CDC chunking + digest share
     "p67_quality_cascade", // zero-shuffle rule cascade projection
     "p68_snapshot_diff",  // full-outer digest diff (text never shuffles)
+    "p69_c4_clean",       // C4 line rules: zero-shuffle narrow projection
+    "p70_source_divergence", // per-source KL: token-count shuffles only
     "s08_stream_trending", // streaming windowed counts + bounded rank
     "s01_stream_hourly",  // structured streaming
     "x03_asof_join",      // union+window as-of composition

@@ -2169,6 +2169,30 @@ object Pipeline {
       TextAnalysis.c4Clean(corpus)
     },
 
+    // Per-source KL drift: p/q ratios over exact counts, one rounded
+    // Σ per source; the oracle mirrors the expression shape exactly
+    // (same division order) so the round-6 doubles agree.
+    QueryDef("p70_source_divergence",
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split_regex(w, '\s+')) AS token
+        |  FROM (SELECT source,
+        |          regexp_replace(text, '^\s+|\s+$', '', 'g') AS w
+        |        FROM documents)
+        |  WHERE length(w) > 0),
+        |st AS (SELECT source, token, count(*) AS c_st
+        |       FROM tok GROUP BY 1, 2),
+        |s AS (SELECT source, sum(c_st) AS n_s FROM st GROUP BY 1),
+        |t AS (SELECT token, sum(c_st) AS c_t FROM st GROUP BY 1),
+        |n AS (SELECT sum(n_s) AS big_n FROM s)
+        |SELECT st.source, CAST(sum(c_st) AS BIGINT) AS n_tokens,
+        |  round(sum((c_st / n_s) * ln((c_st / n_s) / (c_t / big_n))), 6)
+        |    AS kl
+        |FROM st JOIN s USING (source) JOIN t USING (token) CROSS JOIN n
+        |GROUP BY st.source""".stripMargin) { (s, dir) =>
+      Corpus.sourceDivergence(
+        t(s, dir, "documents").select("source", "text"))
+    },
+
     // Snapshot diff (release deltas): v2 removes every 11th doc, edits
     // every 7th survivor, adds a copy of every 13th — all four statuses
     // live; the oracle replays the construction and the digest compare

@@ -501,6 +501,43 @@ object Corpus {
             (col("_n") - 1).cast("double"), 6)).as("pct"))
   }
 
+  /** Per-source unigram KL divergence vs the whole-corpus distribution:
+    * KL(source ‖ corpus) = Σ_t p_t·ln(p_t/q_t) over the source's token
+    * support (q_t ≥ p_t·n_s/N > 0 always, since every source token is a
+    * corpus token — no smoothing needed). The drift diagnostic a mixing
+    * pipeline watches per ingest source: a source whose distribution
+    * runs hot against the corpus is boilerplate, spam, or another
+    * language. The marginals n_s and c_t are WINDOW sums over the one
+    * (source, token) count table — self-joining that table back on
+    * itself looks natural but defeats exchange reuse (branch predicate
+    * pushdown differs), so the corpus would be re-tokenized once per
+    * marginal; windows keep it one linear plan, one explode. The corpus
+    * total is a separate narrow no-explode aggregate (Σ of per-doc token
+    * counts), broadcast as one row. Every shuffle carries (source,
+    * token) COUNTS, never text. Σ over ≤vocab-size doubles → ROUND 6
+    * (the per-row-math determinism rule, same as lmScore).
+    */
+  def sourceDivergence(df: DataFrame, srcCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = df.select(col(srcCol).as("src"),
+      explode(TextAnalysis.tokens(col(textCol))).as("token"))
+    val st = tok.groupBy("src", "token").agg(count(lit(1)).as("c_st"))
+      .withColumn("n_s", sum("c_st").over(Window.partitionBy("src")))
+      .withColumn("c_t", sum("c_st").over(Window.partitionBy("token")))
+    val total = df.agg(
+      sum(size(TextAnalysis.tokens(col(textCol))).cast("long"))
+        .as("big_n"))
+    st.crossJoin(broadcast(total))
+      .select(col("src"), col("c_st"),
+        ((col("c_st") / col("n_s")) *
+          log((col("c_st") / col("n_s")) / (col("c_t") / col("big_n"))))
+          .as("_term"))
+      .groupBy("src")
+      .agg(sum("c_st").as("n_tokens"), round(sum("_term"), 6).as("kl"))
+      .select(col("src").as(srcCol), col("n_tokens"), col("kl"))
+  }
+
   /** Snapshot diff between two corpus versions: per id, whether the
     * document was `added`, `removed`, `changed` (same id, different
     * content digest), or `unchanged` — the release-delta table an

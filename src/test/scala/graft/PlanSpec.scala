@@ -474,6 +474,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"C4 cleaning shuffled:\n$p")
   }
 
+  test("p70: marginals are windows over ONE tokenize — corpus scanned twice, not 4x") {
+    val df = SparkEntry.queries("p70_source_divergence")(spark, sf)
+    df.collect()
+    // AQE's toString repeats the tree under "== Initial Plan ==" —
+    // count only the final plan
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans <= 2, s"expected <=2 document scans, got $scans:\n$p")
+    val explodes = p.linesIterator.count(_.contains("Generate explode"))
+    assert(explodes == 1, s"expected exactly 1 tokenize explode, got $explodes:\n$p")
+  }
+
   test("x17: sorted layout makes the column index prune pages") {
     val row = SparkEntry.queries("x17_column_index")(spark, sf).head()
     assert(row.getBoolean(1), "column index absent from some chunk")
