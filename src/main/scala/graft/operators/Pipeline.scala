@@ -2193,6 +2193,40 @@ object Pipeline {
         t(s, dir, "documents").select("source", "text"))
     },
 
+    // Release drift (PSI over length bins): same v1/v2 construction as
+    // p68; digit-count bins are exact in both engines, so the only
+    // doubles are the smoothed ratios inside the rounded term.
+    QueryDef("p71_snapshot_drift",
+      """WITH v2 AS (
+        |  SELECT CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+        |    ELSE text END AS text
+        |  FROM documents WHERE doc_id % 11 <> 0
+        |  UNION ALL
+        |  SELECT text FROM documents WHERE doc_id % 13 = 0),
+        |h1 AS (SELECT length(CAST(length(text) AS VARCHAR)) AS bin,
+        |         count(*) AS c1 FROM documents GROUP BY 1),
+        |h2 AS (SELECT length(CAST(length(text) AS VARCHAR)) AS bin,
+        |         count(*) AS c2 FROM v2 GROUP BY 1),
+        |j AS (SELECT coalesce(h1.bin, h2.bin) AS bin,
+        |        coalesce(c1, 0) AS c1, coalesce(c2, 0) AS c2
+        |      FROM h1 FULL OUTER JOIN h2 ON h1.bin = h2.bin),
+        |t AS (SELECT sum(c1) AS n1, sum(c2) AS n2, count(*) AS nb
+        |      FROM j)
+        |SELECT CAST(bin AS BIGINT) AS bin, CAST(c1 AS BIGINT) AS c1,
+        |  CAST(c2 AS BIGINT) AS c2,
+        |  round(((c1 + 1) / (n1 + nb) - (c2 + 1) / (n2 + nb)) *
+        |    ln(((c1 + 1) / (n1 + nb)) / ((c2 + 1) / (n2 + nb))), 6)
+        |    AS psi_term
+        |FROM j CROSS JOIN t""".stripMargin) { (s, dir) =>
+      val v1 = t(s, dir, "documents").select("doc_id", "text")
+      val kept = v1.filter(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+      val added = v1.filter(col("doc_id") % 13 === 0)
+      Corpus.snapshotDrift(v1, kept.unionAll(added))
+    },
+
     // Snapshot diff (release deltas): v2 removes every 11th doc, edits
     // every 7th survivor, adds a copy of every 13th — all four statuses
     // live; the oracle replays the construction and the digest compare

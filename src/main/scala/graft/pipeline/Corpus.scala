@@ -538,6 +538,41 @@ object Corpus {
       .select(col("src").as(srcCol), col("n_tokens"), col("kl"))
   }
 
+  /** Release-over-release distribution drift (population stability
+    * index) between two corpus versions, over document-length bins:
+    * term_b = (p_b − q_b)·ln(p_b/q_b), Laplace-smoothed so a bin
+    * present in only one version stays finite. The release-gate metric
+    * a pipeline alarms on AFTER [[snapshotDiff]] says what changed —
+    * PSI says whether the corpus SHAPE moved (a length-distribution
+    * shift is the classic symptom of a broken extractor upstream).
+    * Bins are decimal digit counts of the length — exact integer
+    * binning in both engines, no float-boundary flakes. Each side is
+    * one narrow groupBy to ≤ #bins rows; the totals window runs on that
+    * bin table (single-partition but bounded by ~6 rows, documented).
+    */
+  def snapshotDrift(v1: DataFrame, v2: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def hist(df: DataFrame, cName: String) =
+      df.select(length(length(col(textCol)).cast("string"))
+          .cast("long").as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as(cName))
+    val j = hist(v1, "c1").join(hist(v2, "c2"), Seq("bin"), "full_outer")
+      .select(col("bin"), coalesce(col("c1"), lit(0L)).as("c1"),
+        coalesce(col("c2"), lit(0L)).as("c2"))
+    val w = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    j.withColumn("_n1", sum("c1").over(w))
+      .withColumn("_n2", sum("c2").over(w))
+      .withColumn("_nb", count(lit(1)).over(w))
+      .select(col("bin"), col("c1"), col("c2"),
+        round((((col("c1") + 1) / (col("_n1") + col("_nb"))) -
+          ((col("c2") + 1) / (col("_n2") + col("_nb")))) *
+          log(((col("c1") + 1) / (col("_n1") + col("_nb"))) /
+            ((col("c2") + 1) / (col("_n2") + col("_nb")))), 6)
+          .as("psi_term"))
+  }
+
   /** Snapshot diff between two corpus versions: per id, whether the
     * document was `added`, `removed`, `changed` (same id, different
     * content digest), or `unchanged` — the release-delta table an

@@ -1332,6 +1332,18 @@ class PipelineSpec extends SparkSpec {
     assert(out(4L)._3 == false)
   }
 
+  test("snapshotDrift: hand-computed PSI terms incl. a bin missing from v2") {
+    import spark.implicits._
+    val v1 = Seq("aaaaa", "bbbbb", "c" * 50).toDF("text") // bins {1:2, 2:1}
+    val v2 = Seq("ddddd").toDF("text")                    // bins {1:1}
+    val out = Corpus.snapshotDrift(v1, v2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    // nb=2, n1=3, n2=1; smoothed p/q per bin, term=(p-q)*ln(p/q)
+    assert(out(1L) == ((2L, 1L, 0.007024)))
+    assert(out(2L) == ((1L, 0L, 0.012155))) // v2-absent bin stays finite
+  }
+
   test("snapshotDiff: all four statuses from a hand-built delta") {
     import spark.implicits._
     val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
