@@ -401,6 +401,67 @@ object Streaming {
         .orderBy("doc_id")
     },
 
+    // Streaming drift monitor: p71's PSI computed per ingest micro-batch
+    // against the static corpus baseline — the at-the-door alarm that
+    // catches a broken upstream extractor the batch it lands, not at
+    // the next release. Batches are parity groups of the corpus, so the
+    // group label is derivable from the data (min id % 2 — bounded
+    // 1-row driver agg) and the oracle can replay each batch's
+    // histogram + smoothed PSI in SQL. Per batch: one narrow hist agg
+    // to ≤ #bins rows, the tiny drift join, one appended (grp, psi)
+    // row. Summed terms are round-6 doubles re-rounded — mirrored
+    // exactly in the oracle.
+    QueryDef("s14_stream_drift_monitor",
+      """WITH base AS (
+        |  SELECT length(CAST(length(text) AS VARCHAR)) AS bin,
+        |    count(*) AS c1 FROM documents GROUP BY 1),
+        |grps AS (SELECT DISTINCT doc_id % 2 AS grp FROM documents),
+        |g AS (SELECT doc_id % 2 AS grp,
+        |    length(CAST(length(text) AS VARCHAR)) AS bin, count(*) AS c2
+        |  FROM documents GROUP BY 1, 2),
+        |j AS (SELECT grps.grp, base.bin, base.c1,
+        |    coalesce(g.c2, 0) AS c2
+        |  FROM base CROSS JOIN grps
+        |  LEFT JOIN g ON g.grp = grps.grp AND g.bin = base.bin),
+        |t AS (SELECT grp, sum(c1) AS n1, sum(c2) AS n2, count(*) AS nb
+        |  FROM j GROUP BY 1)
+        |SELECT j.grp, round(sum(round(
+        |    ((c1 + 1) / (n1 + nb) - (c2 + 1) / (n2 + nb)) *
+        |    ln(((c1 + 1) / (n1 + nb)) / ((c2 + 1) / (n2 + nb))), 6)), 6)
+        |    AS psi
+        |FROM j JOIN t USING (grp) GROUP BY j.grp""".stripMargin) {
+      (s, dir) =>
+      import graft.pipeline.Corpus
+      val docs = graft.Tables.load(s, dir, "documents")
+        .select("doc_id", "text")
+      val base = java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_fmt").toString
+      val srcDir = s"$base/s14_stream_src"
+      val outDir = s"$base/s14_psi_out"
+      rmTree(new java.io.File(srcDir)); rmTree(new java.io.File(outDir))
+      new java.io.File(srcDir).mkdirs()
+      writeSingle(docs.filter(col("doc_id") % 2 === 0), srcDir, "batch_a")
+      writeSingle(docs.filter(col("doc_id") % 2 === 1), srcDir, "batch_b")
+      val schema = s.read.parquet(srcDir).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(srcDir)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val grp = batch.agg(min(col("doc_id") % 2)).head().getLong(0)
+          Corpus.snapshotDrift(docs, batch)
+            .agg(round(sum("psi_term"), 6).as("psi"))
+            .select(lit(grp).as("grp"), col("psi"))
+            .write.mode("append").parquet(outDir)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(outDir).orderBy("grp")
+    },
+
     // custom arbitrary state: flatMapGroupsWithState running stats — the
     // single AvailableNow batch's final state must equal the batch agg
     QueryDef("s03_stream_custom_state",
