@@ -2193,6 +2193,31 @@ object Pipeline {
         t(s, dir, "documents").select("source", "text"))
     },
 
+    // Temperature sampling: rates derived on the tiny source-count
+    // table, keep decisions via the p53 md5-threshold rule on the
+    // ROUNDED rate — the oracle replays the whole derivation with the
+    // same expression order.
+    QueryDef("p72_temperature_sample",
+      """WITH s AS (SELECT source, count(*) AS n_s FROM documents
+        |  GROUP BY 1),
+        |p AS (SELECT source, n_s,
+        |    pow(n_s / (SELECT sum(n_s) FROM s), 0.3) AS pa FROM s),
+        |pp AS (SELECT source, n_s,
+        |    pa / (SELECT sum(pa) FROM p) AS pr FROM p),
+        |r AS (SELECT source, n_s, round(pr *
+        |    (SELECT min(n_s / pr) FROM pp) / n_s, 6) AS rate FROM pp)
+        |SELECT d.source, CAST(n_s AS BIGINT) AS n_s, rate,
+        |  CAST(sum(CASE WHEN rate >= 1.0 THEN 1
+        |    WHEN rate <= 0.0 THEN 0
+        |    WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+        |      lower(lpad(hex(CAST(floor(rate * 4294967296) AS BIGINT)),
+        |        8, '0')) THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM documents d JOIN r USING (source)
+        |GROUP BY d.source, n_s, rate""".stripMargin) { (s, dir) =>
+      Corpus.temperatureSample(
+        t(s, dir, "documents").select("source", "doc_id"))
+    },
+
     // Release drift (PSI over length bins): same v1/v2 construction as
     // p68; digit-count bins are exact in both engines, so the only
     // doubles are the smoothed ratios inside the rounded term.

@@ -538,6 +538,36 @@ object Corpus {
       .select(col("src").as(srcCol), col("n_tokens"), col("kl"))
   }
 
+  /** Temperature-scaled source sampling (the multilingual-corpus α rule,
+    * mT5/XLM-R style): sampling mass p_s ∝ (n_s/N)^α flattens the source
+    * distribution — α=1 keeps natural proportions, α→0 approaches
+    * uniform — and the per-source keep rate is rescaled so the least
+    * downsampled source keeps everything (filter-only, no upsampling):
+    * rate_s = p_s·C/n_s with C = min_s n_s/p_s. Rates are derived on the
+    * ≤#sources count table (single-partition windows over ~20 rows,
+    * bounded), broadcast back, and rows kept by the p53 deterministic
+    * md5-threshold rule — the ROUNDED rate feeds the threshold so both
+    * engines compare identical 6-decimal values. Output: per source, the
+    * rate and the exact kept count.
+    */
+  def temperatureSample(df: DataFrame, alpha: Double = 0.3,
+      srcCol: String = "source", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val rates = df.groupBy(srcCol).agg(count(lit(1)).as("n_s"))
+      .withColumn("_pa", pow(col("n_s") / sum("n_s").over(w), lit(alpha)))
+      .withColumn("_p", col("_pa") / sum("_pa").over(w))
+      .withColumn("_c", min(col("n_s") / col("_p")).over(w))
+      .select(col(srcCol), col("n_s"),
+        round(col("_p") * col("_c") / col("n_s"), 6).as("rate"))
+    df.join(broadcast(rates), Seq(srcCol))
+      .select(col(srcCol), col("n_s"), col("rate"),
+        importanceKeep(col(idCol), col("rate")).as("_k"))
+      .groupBy(srcCol, "n_s", "rate")
+      .agg(sum(when(col("_k"), 1L).otherwise(0L)).as("n_kept"))
+  }
+
   /** Release-over-release distribution drift (population stability
     * index) between two corpus versions, over document-length bins:
     * term_b = (p_b − q_b)·ln(p_b/q_b), Laplace-smoothed so a bin

@@ -1332,6 +1332,23 @@ class PipelineSpec extends SparkSpec {
     assert(out(4L)._3 == false)
   }
 
+  test("temperatureSample: alpha flattens, smallest source keeps everything") {
+    import spark.implicits._
+    val df = ((0 until 90).map(i => ("big", i.toLong)) ++
+      (100 until 110).map(i => ("small", i.toLong)))
+      .toDF("source", "doc_id")
+    val out = Corpus.temperatureSample(df).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getLong(3)))).toMap
+    // C = min_s n_s/p_s lands on the small source → its rate is exactly 1
+    assert(out("small") == ((10L, 1.0, 10L)))
+    // alpha=0.3 downsamples the 9x-dominant source hard (rate ~0.215)
+    val (nBig, rateBig, keptBig) = out("big")
+    assert(nBig == 90L && rateBig > 0.18 && rateBig < 0.25,
+      s"unexpected big-source rate $rateBig")
+    assert(keptBig > 0L && keptBig < 90L)
+  }
+
   test("snapshotDrift: hand-computed PSI terms incl. a bin missing from v2") {
     import spark.implicits._
     val v1 = Seq("aaaaa", "bbbbb", "c" * 50).toDF("text") // bins {1:2, 2:1}
