@@ -2285,6 +2285,37 @@ object Pipeline {
       Corpus.snapshotDiff(v1, kept.unionAll(added))
     },
 
+    // Filter impact report: what each cascade rule costs in docs /
+    // tokens / chars — the report a pipeline owner reads before
+    // loosening a threshold. The oracle nests the SHARED p67 SQL as a
+    // CTE (one cascade definition, two gates); exact int64 sums + one
+    // rounded share.
+    QueryDef("p73_filter_impact",
+      s"""WITH casc AS (${Pipeline.qualityCascadeSql})
+         |SELECT reason, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS tokens,
+         |  CAST(sum(n_chars) AS BIGINT) AS chars,
+         |  round(sum(n_chars) * 1.0 /
+         |    (SELECT sum(n_chars) FROM casc), 6) AS char_share
+         |FROM casc GROUP BY reason""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents").select("doc_id", "text", "lang")
+      val planted = docs.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(col("text"), lit("\n"), col("text")).as("text"),
+          col("lang"))
+      val casc = TextAnalysis.qualityCascade(docs.unionAll(planted))
+      val byReason = casc.groupBy("reason")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens"),
+          sum("n_chars").as("chars"))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(lit(1))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      byReason.select(col("reason"), col("n_docs"), col("tokens"),
+        col("chars"),
+        round(col("chars") * 1.0 / sum("chars").over(w), 6)
+          .as("char_share"))
+    },
+
     QueryDef("p67_quality_cascade", Pipeline.qualityCascadeSql) { (s, dir) =>
       val docs = t(s, dir, "documents").select("doc_id", "text", "lang")
       val planted = docs.filter(col("doc_id") % 9 === 0)
