@@ -207,6 +207,39 @@ object Pipeline {
       Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
     },
 
+    // Duplication histogram (the dedup-CDF figure): cluster sizes from
+    // digest counts, log10-binned by digit count (exact integer binning,
+    // p71's rule) so the output stays ≤ ~6 rows however big the corpus —
+    // planted 10-copy clusters light up the multi-digit bins. Reads:
+    // "how much of the corpus sits in how-big duplicate clusters".
+    QueryDef("p74_dup_histogram",
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 4000000 + k * 1000000 AS doc_id, text
+        |  FROM documents CROSS JOIN (SELECT unnest(range(9)) AS k)
+        |  WHERE doc_id % 50 = 0),
+        |cl AS (SELECT md5(text) AS dg, count(*) AS sz FROM corpus
+        |       GROUP BY 1)
+        |SELECT CAST(length(CAST(sz AS VARCHAR)) AS BIGINT)
+        |    AS size_digits,
+        |  CAST(count(*) AS BIGINT) AS n_clusters,
+        |  CAST(sum(sz) AS BIGINT) AS n_docs
+        |FROM cl GROUP BY 1""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val copies = docs.filter(col("doc_id") % 50 === 0)
+        .crossJoin(s.range(9).select(col("id").as("k")))
+        .select((col("doc_id") + 4000000L + col("k") * 1000000L)
+          .as("doc_id"), col("text"))
+      val corpus = docs.unionAll(copies)
+      corpus.select(md5(col("text")).as("dg"))
+        .groupBy("dg").agg(count(lit(1)).as("sz"))
+        .select(length(col("sz").cast("string")).cast("long")
+          .as("size_digits"), col("sz"))
+        .groupBy("size_digits")
+        .agg(count(lit(1)).as("n_clusters"), sum("sz").as("n_docs"))
+    },
+
     QueryDef("p02_dedup_minhash", minhashPairsSql) { (s, dir) =>
       Dedup.minhashPairs(docsWithPlants(s, dir), "doc_id", "text",
         k = 64, bands = 16, threshold = 0.5)
