@@ -207,6 +207,61 @@ object Pipeline {
       Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
     },
 
+    // HTML extraction: synthetic pages wrap each document in a template
+    // with nav links, script/style blocks, and entities; the md5 of the
+    // extracted text is the gate (byte-exact extraction parity), plus
+    // link count and density. The oracle runs the IDENTICAL regex
+    // pipeline — patterns chosen inside the Java∩RE2 intersection.
+    QueryDef("p75_html_extract",
+      """WITH pages AS (
+        |  SELECT doc_id,
+        |    '<html><head><style>p{color:red}</style>' ||
+        |    '<script>var x=1;</script></head><body>' ||
+        |    '<nav><a href="/">Home</a> | <a href="/a">About</a></nav>' ||
+        |    '<p>' || text || '</p>' ||
+        |    '<footer>Contact us &amp; &lt;3 &nbsp;</footer>' ||
+        |    '</body></html>' AS html
+        |  FROM documents),
+        |x AS (
+        |  SELECT doc_id, html,
+        |    trim(regexp_replace(
+        |      replace(replace(replace(replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(html, '(?s)<script[^>]*>.*?</script>',
+        |              '', 'g'),
+        |            '(?s)<style[^>]*>.*?</style>', '', 'g'),
+        |          '<[^>]*>', ' ', 'g'),
+        |        '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+        |        '&amp;', '&'),
+        |      '\s+', ' ', 'g')) AS clean
+        |  FROM pages)
+        |SELECT doc_id, md5(clean) AS dg,
+        |  CAST(length(clean) AS BIGINT) AS clean_len,
+        |  CAST((length(html) - length(replace(html, '<a ', ''))) // 3
+        |    AS BIGINT) AS n_links,
+        |  round((length(html) - length(replace(html, '<a ', ''))) / 3
+        |    * 1.0 / greatest(length(clean), 1), 6) AS link_density
+        |FROM x""".stripMargin) { (s, dir) =>
+      val page = concat(
+        lit("<html><head><style>p{color:red}</style>" +
+          "<script>var x=1;</script></head><body>" +
+          "<nav><a href=\"/\">Home</a> | <a href=\"/a\">About</a></nav>" +
+          "<p>"), col("text"),
+        lit("</p><footer>Contact us &amp; &lt;3 &nbsp;</footer>" +
+          "</body></html>"))
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        page.as("html"))
+      val clean = TextAnalysis.htmlMainText(col("html"))
+      val nLinks = ((length(col("html")) -
+        length(regexp_replace(col("html"), "<a ", ""))) / 3).cast("long")
+      docs.select(col("doc_id"), md5(clean).as("dg"),
+        length(clean).cast("long").as("clean_len"),
+        nLinks.as("n_links"),
+        round(nLinks * 1.0 /
+          greatest(length(clean), lit(1)), 6).as("link_density"))
+    },
+
     // Duplication histogram (the dedup-CDF figure): cluster sizes from
     // digest counts, log10-binned by digit count (exact integer binning,
     // p71's rule) so the output stays ≤ ~6 rows however big the corpus —

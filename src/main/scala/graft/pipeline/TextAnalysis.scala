@@ -142,6 +142,25 @@ object TextAnalysis {
       length(array_join(keptLines, "\n")).cast("long").as("clean_len"))
   }
 
+  /** HTML main-text extraction (simplified trafilatura shape): drop
+    * script/style blocks, strip tags, decode the common entities,
+    * collapse whitespace. Patterns stay in the Java-regex ∩ RE2
+    * intersection (no backreferences — script and style are separate
+    * passes; `(?s)` + non-greedy work in both) so the DuckDB oracle can
+    * run the IDENTICAL expressions. Narrow codegen'd projection.
+    */
+  def htmlMainText(html: Column): Column = {
+    val noScript = regexp_replace(html,
+      "(?s)<script[^>]*>.*?</script>", "")
+    val noStyle = regexp_replace(noScript,
+      "(?s)<style[^>]*>.*?</style>", "")
+    val noTags = regexp_replace(noStyle, "<[^>]*>", " ")
+    val decoded = regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(noTags, "&nbsp;", " "), "&lt;", "<"),
+      "&gt;", ">"), "&amp;", "&")
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Gopher-style repetition signal: the fraction of a document's word
     * bigrams taken by its single most frequent bigram (plus bigram
     * count/distinct count). High top-bigram share = looping/template

@@ -1332,6 +1332,18 @@ class PipelineSpec extends SparkSpec {
     assert(out(4L)._3 == false)
   }
 
+  test("htmlMainText: scripts/styles/tags/entities on a hand-built page") {
+    import spark.implicits._
+    val html = "<html><head><style type=\"text/css\">a{x:1}</style>" +
+      "<script defer>\nif (a < b) { alert(1); }\n</script></head>" +
+      "<body><h1>Title</h1><p>A &amp; B &lt;ok&gt;&nbsp;end</p></body></html>"
+    val out = Seq(html).toDF("h")
+      .select(TextAnalysis.htmlMainText(col("h"))).head().getString(0)
+    // multi-line script body (incl. a '<' that must not open a tag) and
+    // attributed style are dropped whole; entities decode; ws collapses
+    assert(out == "Title A & B <ok> end", s"got: '$out'")
+  }
+
   test("temperatureSample: alpha flattens, smallest source keeps everything") {
     import spark.implicits._
     val df = ((0 until 90).map(i => ("big", i.toLong)) ++
