@@ -60,6 +60,8 @@ object Bench {
     "p68_snapshot_diff",  // full-outer digest diff (text never shuffles)
     "p69_c4_clean",       // C4 line rules: zero-shuffle narrow projection
     "p70_source_divergence", // per-source KL: token-count shuffles only
+    "p75_html_extract",   // regex extraction: narrow codegen'd projection
+    "p76_ingest_pipeline", // extract -> cascade -> dedup capstone DAG
     "s08_stream_trending", // streaming windowed counts + bounded rank
     "s01_stream_hourly",  // structured streaming
     "x03_asof_join",      // union+window as-of composition

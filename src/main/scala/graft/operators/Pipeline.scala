@@ -262,6 +262,88 @@ object Pipeline {
           greatest(length(clean), lit(1)), 6).as("link_density"))
     },
 
+    // End-to-end ingest pipeline: raw HTML pages → main-text extraction
+    // (p75) → quality cascade (p67 rules on the EXTRACTED text) → exact
+    // dedup → one summary row. The capstone composition a crawl
+    // pipeline runs as a single DAG — each stage narrow until the final
+    // digest distinct; the oracle replays every stage inline.
+    QueryDef("p76_ingest_pipeline",
+      """WITH pages AS (
+        |  SELECT doc_id, lang,
+        |    '<html><head><style>p{color:red}</style>' ||
+        |    '<script>var x=1;</script></head><body>' ||
+        |    '<nav><a href="/">Home</a> | <a href="/a">About</a></nav>' ||
+        |    '<p>' || text || '</p>' ||
+        |    '<footer>Contact us &amp; &lt;3 &nbsp;</footer>' ||
+        |    '</body></html>' AS html
+        |  FROM documents),
+        |x AS (
+        |  SELECT doc_id, lang,
+        |    trim(regexp_replace(
+        |      replace(replace(replace(replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(html, '(?s)<script[^>]*>.*?</script>',
+        |              '', 'g'),
+        |            '(?s)<style[^>]*>.*?</style>', '', 'g'),
+        |          '<[^>]*>', ' ', 'g'),
+        |        '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+        |        '&amp;', '&'),
+        |      '\s+', ' ', 'g')) AS clean
+        |  FROM pages),
+        |m AS (
+        |  SELECT doc_id, clean,
+        |    CASE WHEN length(regexp_replace(clean, '^\s+|\s+$', '', 'g'))
+        |           = 0 THEN 0
+        |         ELSE len(string_split_regex(
+        |           regexp_replace(clean, '^\s+|\s+$', '', 'g'), '\s+'))
+        |    END AS nt,
+        |    length(clean) AS nc,
+        |    CASE WHEN length(clean) = 0 THEN 0.0
+        |         ELSE (length(clean) -
+        |           length(regexp_replace(clean, '[A-Za-z]', '', 'g')))
+        |           * 1.0 / length(clean) END AS alpha,
+        |    CAST(len(string_split(clean, chr(10))) -
+        |      len(list_distinct(string_split(clean, chr(10)))) AS DOUBLE)
+        |      / len(string_split(clean, chr(10))) AS dlf,
+        |    lang
+        |  FROM x),
+        |k AS (
+        |  SELECT doc_id, clean, nc FROM m
+        |  WHERE NOT (nt < 15) AND NOT (dlf > 0.3) AND NOT (nc > 500)
+        |    AND NOT (alpha < 0.81) AND lang IN ('en', 'de', 'fr', 'es')),
+        |u AS (SELECT DISTINCT md5(clean) AS dg, nc FROM k)
+        |SELECT CAST((SELECT count(*) FROM pages) AS BIGINT) AS n_input,
+        |  CAST((SELECT count(*) FROM k) AS BIGINT) AS n_kept,
+        |  CAST((SELECT count(*) FROM u) AS BIGINT) AS n_unique,
+        |  CAST((SELECT coalesce(sum(nc), 0) FROM u) AS BIGINT)
+        |    AS chars_unique""".stripMargin) { (s, dir) =>
+      val page = concat(
+        lit("<html><head><style>p{color:red}</style>" +
+          "<script>var x=1;</script></head><body>" +
+          "<nav><a href=\"/\">Home</a> | <a href=\"/a\">About</a></nav>" +
+          "<p>"), col("text"),
+        lit("</p><footer>Contact us &amp; &lt;3 &nbsp;</footer>" +
+          "</body></html>"))
+      val pages = t(s, dir, "documents").select(col("doc_id"),
+        col("lang"), page.as("html"))
+      val extracted = pages.select(col("doc_id"), col("lang"),
+        TextAnalysis.htmlMainText(col("html")).as("clean"))
+      val cascaded = TextAnalysis.qualityCascade(extracted,
+        textCol = "clean")
+      val kept = extracted.join(
+        cascaded.filter(col("reason") === "keep").select("doc_id"),
+        Seq("doc_id"))
+      val uniq = kept
+        .select(md5(col("clean")).as("dg"),
+          length(col("clean")).cast("long").as("nc"))
+        .distinct()
+      pages.agg(count(lit(1)).as("n_input"))
+        .crossJoin(kept.agg(count(lit(1)).as("n_kept")))
+        .crossJoin(uniq.agg(count(lit(1)).as("n_unique"),
+          coalesce(sum("nc"), lit(0L)).as("chars_unique")))
+    },
+
     // Duplication histogram (the dedup-CDF figure): cluster sizes from
     // digest counts, log10-binned by digit count (exact integer binning,
     // p71's rule) so the output stays ≤ ~6 rows however big the corpus —
