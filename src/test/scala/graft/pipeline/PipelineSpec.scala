@@ -1373,6 +1373,31 @@ class PipelineSpec extends SparkSpec {
     assert(out(2L) == ((1L, 0L, 0.012155))) // v2-absent bin stays finite
   }
 
+  test("snapshotDiff property: statuses reconcile with ground truth (seeded fuzz)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    (1 to 3).foreach { _ =>
+      val ids = (0L until 60L)
+      val v1m = ids.filter(_ => rnd.nextDouble() < 0.8)
+        .map(i => i -> s"doc-$i-${rnd.nextInt(3)}").toMap
+      val v2m = ids.filter(_ => rnd.nextDouble() < 0.8)
+        .map(i => i -> (if (rnd.nextDouble() < 0.5) s"doc-$i-${rnd.nextInt(3)}"
+        else s"edited-$i-${rnd.nextInt(3)}")).toMap
+      val out = graft.pipeline.Corpus.snapshotDiff(
+        v1m.toSeq.toDF("doc_id", "text"), v2m.toSeq.toDF("doc_id", "text"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val expect = (v1m.keySet ++ v2m.keySet).map { i =>
+        i -> ((v1m.get(i), v2m.get(i)) match {
+          case (Some(_), None) => "removed"
+          case (None, Some(_)) => "added"
+          case (Some(a), Some(b)) if a == b => "unchanged"
+          case _ => "changed"
+        })
+      }.toMap
+      assert(out == expect)
+    }
+  }
+
   test("snapshotDiff: all four statuses from a hand-built delta") {
     import spark.implicits._
     val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
