@@ -262,6 +262,31 @@ object Pipeline {
           greatest(length(clean), lit(1)), 6).as("link_density"))
     },
 
+    // Per-language OOV rate vs the p21 top-100 vocabulary — deterministic
+    // vocab cut (count desc, token asc; unique pairs → unique boundary).
+    QueryDef("p77_oov_by_lang",
+      """WITH toks AS (
+        |  SELECT lang,
+        |    CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g'))
+        |           = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(
+        |           lower(regexp_replace(text, '^\s+|\s+$', '', 'g')),
+        |           '\s+')
+        |    END AS tk
+        |  FROM documents),
+        |tok AS (SELECT lang, unnest(tk) AS t FROM toks),
+        |v AS (SELECT t AS token FROM tok GROUP BY 1
+        |      ORDER BY count(*) DESC, token LIMIT 100)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN t IN (SELECT token FROM v) THEN 0 ELSE 1
+        |    END) AS BIGINT) AS n_oov,
+        |  round(sum(CASE WHEN t IN (SELECT token FROM v) THEN 0 ELSE 1
+        |    END) * 1.0 / count(*), 6) AS oov_rate
+        |FROM tok GROUP BY lang""".stripMargin) { (s, dir) =>
+      Corpus.oovRateByLang(
+        t(s, dir, "documents").select("lang", "text"))
+    },
+
     // End-to-end ingest pipeline: raw HTML pages → main-text extraction
     // (p75) → quality cascade (p67 rules on the EXTRACTED text) → exact
     // dedup → one summary row. The capstone composition a crawl

@@ -46,6 +46,29 @@ object Corpus {
       .orderBy(col("n").desc, col("token"))
       .limit(k)
 
+  /** Per-language out-of-vocabulary rate against the corpus top-k
+    * vocabulary ([[vocabTopK]], deterministic (count desc, token) order)
+    * — the tokenizer-coverage diagnostic: a language whose OOV rate
+    * runs hot is under-served by the vocabulary and will fragment into
+    * long byte-level token sequences. The vocab is a broadcast ≤k-row
+    * side; the per-language rollup is one partial-aggregable groupBy
+    * over (lang, in-vocab flag) counts — token text never re-shuffles
+    * after the vocab join.
+    */
+  def oovRateByLang(df: DataFrame, k: Int = 100,
+      langCol: String = "lang", textCol: String = "text"): DataFrame = {
+    val vocab = vocabTopK(df, k, textCol).select(col("token"))
+    val tok = df.select(col(langCol),
+      explode(TextAnalysis.tokens(lower(col(textCol)))).as("token"))
+    tok.join(broadcast(vocab.withColumn("_v", lit(1))), Seq("token"),
+        "left")
+      .groupBy(langCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col(langCol), col("n_tokens"), col("n_oov"),
+        round(col("n_oov") * 1.0 / col("n_tokens"), 6).as("oov_rate"))
+  }
+
   /** Deterministic content-free train/val/test split on the id: first
     * hex digit of md5(id) → ~81 % / 13 % / 6 %. Reproducible across
     * engines, runs, and partitionings — no RNG state to ship.

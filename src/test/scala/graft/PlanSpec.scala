@@ -487,6 +487,21 @@ class PlanSpec extends SparkSpec {
     assert(explodes == 1, s"expected exactly 1 tokenize explode, got $explodes:\n$p")
   }
 
+  test("p76: capstone DAG stays narrow — extraction/cascade add no shuffle") {
+    val df = SparkEntry.queries("p76_ingest_pipeline")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // only the digest distinct and the summary aggregates may SHUFFLE
+    // (broadcasts — keep-join, 1-row summary sides — are intended);
+    // regex extraction and cascade are projections fused into the scans
+    val shuffles = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") ||
+        l.contains("Exchange SinglePartition"))
+    assert(shuffles <= 4, s"capstone gained a shuffle ($shuffles):\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+  }
+
   test("x17: sorted layout makes the column index prune pages") {
     val row = SparkEntry.queries("x17_column_index")(spark, sf).head()
     assert(row.getBoolean(1), "column index absent from some chunk")
