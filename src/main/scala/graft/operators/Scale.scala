@@ -323,6 +323,57 @@ object Scale {
         lit(tSorted * 2 <= tNaive).as("page_skip_ok"))
   }
 
+  /** Dynamic partition overwrite: the idempotent-backfill primitive —
+    * rewriting ONE day's corrected data must replace exactly that
+    * partition directory and leave every other partition's files
+    * untouched (static overwrite mode would truncate the whole table).
+    * At 100 TB this is how reprocessing works at all: a bad extractor
+    * day is re-run and swapped in-place while the other ~thousand
+    * partitions never move. The gate checks the semantic result per day
+    * (corrected day doubled, others original — exact cent sums) AND the
+    * physical contract via Hadoop FS listings: untouched partitions
+    * keep byte-identical file lists, the target partition's files are
+    * replaced.
+    */
+  private[graft] def dynamicPartitionOverwrite(s: SparkSession,
+      dir: String): DataFrame = {
+    val base = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      "graft_fmt", "x18_dpo").toString
+    val events = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("value"),
+        to_date(col("ts")).cast("string").as("day"))
+    events.write.mode("overwrite").partitionBy("day").parquet(base)
+    // bounded 1-value driver agg picks the backfill day
+    val day0 = events.agg(min("day")).head().getString(0)
+    val conf = s.sessionState.newHadoopConf()
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    val fs = basePath.getFileSystem(conf)
+    def listing(): Map[String, Set[String]] =
+      fs.listStatus(basePath).filter(_.isDirectory).map { d =>
+        d.getPath.getName ->
+          fs.listStatus(d.getPath).map(_.getPath.getName).toSet
+      }.toMap
+    val before = listing()
+    val corrected = events.filter(col("day") === day0)
+      .withColumn("value", col("value") * 2)
+    corrected.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day").parquet(base)
+    val after = listing()
+    val targetDir = s"day=$day0"
+    val othersUntouched = before.keySet == after.keySet &&
+      (before.keySet - targetDir).forall(k => before(k) == after(k))
+    val targetReplaced = before(targetDir) != after(targetDir)
+    s.read.parquet(base)
+      .groupBy("day")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("bigint")).as("cents"))
+      .select(col("day"), col("n"), col("cents"),
+        lit(othersUntouched).as("others_untouched"),
+        lit(targetReplaced).as("target_replaced"))
+  }
+
   /** Funnel 90% of the events onto one hot key and join the stream to
     * its purchase subset WITHOUT salting — then let AQE's runtime skew
     * handling split the oversized partition into parallel sub-joins
@@ -712,6 +763,22 @@ object Scale {
         |  true AS compacted_fewer_files, true AS file_count_bounded
         |FROM documents""".stripMargin) { (s, dir) =>
       compactedStats(s, dir)
+    },
+
+    QueryDef("x18_partition_overwrite",
+      """WITH d0 AS (
+        |  SELECT min(CAST(CAST(ts AS DATE) AS VARCHAR)) AS day0
+        |  FROM events)
+        |SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(
+        |    CASE WHEN CAST(CAST(ts AS DATE) AS VARCHAR) =
+        |      (SELECT day0 FROM d0)
+        |    THEN value * 2 ELSE value END * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents,
+        |  true AS others_untouched, true AS target_replaced
+        |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+      dynamicPartitionOverwrite(s, dir)
     },
 
     QueryDef("x17_column_index",
