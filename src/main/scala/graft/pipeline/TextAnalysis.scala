@@ -144,12 +144,20 @@ object TextAnalysis {
 
   /** HTML main-text extraction (simplified trafilatura shape): drop
     * script/style blocks, strip tags, decode the common entities,
-    * collapse whitespace. Patterns stay in the Java-regex ∩ RE2
-    * intersection (no backreferences — script and style are separate
-    * passes; `(?s)` + non-greedy work in both) so the DuckDB oracle can
-    * run the IDENTICAL expressions. Narrow codegen'd projection.
+    * collapse whitespace. Runs as the native single-pass
+    * `HtmlMainText` expression (three indexOf scans, zero regex
+    * machinery); [[htmlMainTextRegex]] is the 7-stage regex reference
+    * form the equivalence spec checks it against, and its patterns stay
+    * in the Java-regex ∩ RE2 intersection so the DuckDB oracle runs the
+    * IDENTICAL expressions. Narrow codegen'd projection either way.
     */
   def htmlMainText(html: Column): Column = {
+    import org.apache.spark.sql.graft.VectorExpressions
+    VectorExpressions.htmlMainText(html)
+  }
+
+  /** The regex-chain reference form of [[htmlMainText]] (see there). */
+  private[pipeline] def htmlMainTextRegex(html: Column): Column = {
     val noScript = regexp_replace(html,
       "(?s)<script[^>]*>.*?</script>", "")
     val noStyle = regexp_replace(noScript,

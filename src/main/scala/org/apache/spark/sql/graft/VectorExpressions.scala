@@ -24,6 +24,10 @@ object VectorExpressions {
   def cosineSim(a: Column, b: Column): Column =
     column(CosineSimilarity(expression(a), expression(b)))
 
+  /** Single-pass HTML main-text extraction (== the regex chain). */
+  def htmlMainText(html: Column): Column =
+    column(HtmlMainText(expression(html)))
+
   /** Exact int64 dot product of two array<bigint> columns. */
   def longDot(a: Column, b: Column): Column =
     column(LongDot(expression(a), expression(b)))
@@ -1355,5 +1359,111 @@ object CdcChunks {
       out += UTF8String.fromBytes(
         java.util.Arrays.copyOfRange(bytes, start, len))
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+}
+
+/** Single-pass HTML main-text extraction, the native form of the
+  * 7-stage regex chain in `TextAnalysis.htmlMainText` (script strip →
+  * style strip → tag strip → 4 entity decodes → whitespace collapse +
+  * trim). Each regex stage re-materializes the full string and re-scans
+  * it; this runs three indexOf scans (script blocks, style blocks, then
+  * tags + entities + collapse fused into one emit loop) with ZERO
+  * regex machinery. Semantics mirror the chain EXACTLY — including the
+  * ordering quirks: script blocks are removed before style blocks (a
+  * `</script>` past a `</style>` swallows it, and the orphaned style
+  * open-tag then strips as a plain tag), an unclosed block keeps its
+  * content with only the open tag stripped (non-greedy `.*?` finds no
+  * terminator → no block match), and entity decoding happens after tag
+  * stripping so a decoded `<` is literal text. The equivalence spec
+  * drives both forms over these exact edge families.
+  */
+case class HtmlMainText(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+
+  protected override def nullSafeEval(input: Any): Any =
+    HtmlMainText.extract(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.HtmlMainText.extract($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HtmlMainText {
+
+  /** Remove `<NAME[^>]*>.*?</NAME>` blocks (literal close tag), exactly
+    * like the regex pass: the open tag must reach a '>', the close tag
+    * must exist after it; otherwise the candidate is left in place and
+    * scanning continues past the '<'.
+    */
+  private def stripBlocks(s: String, name: String): String = {
+    val open = "<" + name
+    val close = "</" + name + ">"
+    var from = 0
+    var sb: java.lang.StringBuilder = null
+    var copied = 0
+    while (from >= 0) {
+      val at = s.indexOf(open, from)
+      if (at < 0) from = -1
+      else {
+        val tagEnd = s.indexOf('>', at + open.length)
+        val blockEnd = if (tagEnd < 0) -1 else s.indexOf(close, tagEnd + 1)
+        // [^>]* forbids '>' between "<name" and the tag close — indexOf
+        // finds the first '>', which IS the tag close, so only the
+        // close-tag search can fail
+        if (blockEnd < 0) from = at + 1
+        else {
+          if (sb == null) sb = new java.lang.StringBuilder(s.length)
+          sb.append(s, copied, at)
+          copied = blockEnd + close.length
+          from = copied
+        }
+      }
+    }
+    if (sb == null) s
+    else { sb.append(s, copied, s.length); sb.toString }
+  }
+
+  // Java regex \s == ASCII [ \t\n\x0B\f\r]
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' ||
+      c == '\r'
+
+  def extract(input: UTF8String): UTF8String = {
+    val afterBlocks = stripBlocks(stripBlocks(input.toString, "script"),
+      "style")
+    val n = afterBlocks.length
+    val sb = new java.lang.StringBuilder(n)
+    var pendingSpace = false
+    def emit(c: Char): Unit = {
+      if (pendingSpace && sb.length > 0) sb.append(' ')
+      pendingSpace = false
+      sb.append(c)
+    }
+    var i = 0
+    while (i < n) {
+      val c = afterBlocks.charAt(i)
+      if (c == '<') {
+        val end = afterBlocks.indexOf('>', i + 1)
+        if (end < 0) { emit(c); i += 1 } // unmatched '<' survives the regex
+        else { pendingSpace = true; i = end + 1 } // tag → ' ' → collapse
+      } else if (c == '&') {
+        if (afterBlocks.startsWith("&nbsp;", i)) { pendingSpace = true; i += 6 }
+        else if (afterBlocks.startsWith("&lt;", i)) { emit('<'); i += 4 }
+        else if (afterBlocks.startsWith("&gt;", i)) { emit('>'); i += 4 }
+        else if (afterBlocks.startsWith("&amp;", i)) { emit('&'); i += 5 }
+        else { emit(c); i += 1 }
+      } else if (isWs(c)) { pendingSpace = true; i += 1 }
+      else { emit(c); i += 1 }
+    }
+    // trailing pendingSpace never flushes == trim; leading suppressed by
+    // the sb.length guard
+    UTF8String.fromString(sb.toString)
   }
 }

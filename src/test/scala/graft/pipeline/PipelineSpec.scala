@@ -1332,6 +1332,36 @@ class PipelineSpec extends SparkSpec {
     assert(out(4L)._3 == false)
   }
 
+  test("htmlMainText: native == regex chain on edge families + seeded fuzz") {
+    import spark.implicits._
+    val edges = Seq(
+      "", "plain text", "  lots   of\t\n ws  ",
+      "<p>simple</p>",
+      "<script>a</script>keep<style>b</style>",
+      "<script no close - content survives minus the open tag>x",
+      "<style>a<script>b</style>c</script>d", // overlap: script pass wins
+      "<scriptx attr>weird-name block</scriptx>tail", // [^>]* name quirk
+      "A &amp;lt; B &amp;nbsp; &unknown; &lt;3",
+      "<>empty tag<> <a<b> <unclosed", "&", "<", "a<b>c",
+      "multi\nline <script>\nif (a < b) { x(); }\n</script> end")
+    val rnd = new scala.util.Random(29)
+    val alphabet = "ab <>&;/scriptyle\n\t&amp;&lt;&nbsp;"
+    val fuzz = (1 to 60).map { _ =>
+      (1 to rnd.nextInt(80)).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    val df = (edges ++ fuzz).toDF("h")
+    val both = df.select(
+      TextAnalysis.htmlMainText(col("h")).as("native"),
+      TextAnalysis.htmlMainTextRegex(col("h")).as("regex"),
+      col("h")).collect()
+    both.foreach { r =>
+      assert(r.getString(0) == r.getString(1),
+        s"native '${r.getString(0)}' != regex '${r.getString(1)}' " +
+          s"for input '${r.getString(2)}'")
+    }
+  }
+
   test("htmlMainText: scripts/styles/tags/entities on a hand-built page") {
     import spark.implicits._
     val html = "<html><head><style type=\"text/css\">a{x:1}</style>" +
