@@ -52,6 +52,57 @@ object Scale {
           .as("qty"))
   }
 
+  /** Drops a saved bucketed table from the in-memory catalog AND removes
+    * its leftover warehouse directory (the catalog forgets tables across
+    * JVMs; the directory persists and saveAsTable then fails with
+    * LOCATION_ALREADY_EXISTS). Same hygiene [[bucketedJoin]] does inline.
+    */
+  private def resetBucketTable(s: SparkSession, tb: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $tb")
+    val wh = java.net.URI.create(s.conf.get("spark.sql.warehouse.dir")).getPath
+    val dirF = new java.io.File(wh, tb)
+    if (dirF.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(dirF)
+    }
+  }
+
+  /** Bucket pruning (point lookup on a bucketed table): customer is
+    * written bucketed by c_custkey (8 buckets); an IN predicate on the
+    * bucket column lets the scan hash each literal to its bucket and
+    * skip every file outside those buckets — the executed plan records
+    * `SelectedBucketsCount: k out of 8` with k <= 3. At 100 TB this is
+    * the point-lookup path on a bucketed fact table: file-level pruning
+    * BEFORE any I/O, no secondary index needed, and it composes with
+    * the x01 shuffle-free join on the same layout. Keys are <= 149 so
+    * the same rows exist at every SF (customer keys are 0-based dense).
+    *
+    * DisableUnnecessaryBucketedScan drops the bucketed layout when no
+    * downstream operator wants the hash distribution — and with it the
+    * bucket-filter pruning ("Bucketed: false (disabled by query
+    * planner)") — so callers must hold
+    * [[bucketScanConfs]] while the plan EXECUTES (the gate materializes
+    * under them, x01-style; PlanSpec sets them around its collect).
+    */
+  private[graft] val bucketScanConfs = Seq(
+    "spark.sql.sources.bucketing.autoBucketedScan.enabled" -> "false")
+
+  private[graft] val bucketPruneKeys = Seq(7L, 23L, 101L)
+
+  private[graft] def bucketPrunedLookup(s: SparkSession,
+      dir: String): DataFrame = {
+    resetBucketTable(s, "x19_customer_b")
+    t(s, dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+      .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .mode("overwrite").saveAsTable("x19_customer_b")
+    s.table("x19_customer_b")
+      .filter(col("c_custkey").isin(bucketPruneKeys: _*))
+      .select("c_custkey", "c_name", "c_nationkey")
+  }
+
   /** Writes the events table partitioned on disk by event_type (hive-style
     * directory layout) and returns an aggregate over ONE partition value.
     * The scan must show a PartitionFilter — the file listing is pruned to
@@ -763,6 +814,27 @@ object Scale {
         |  true AS compacted_fewer_files, true AS file_count_bounded
         |FROM documents""".stripMargin) { (s, dir) =>
       compactedStats(s, dir)
+    },
+
+    // Bucket pruning: point-lookup IN predicate on the bucket column
+    // reads only the buckets the literals hash to (PlanSpec asserts
+    // SelectedBucketsCount < 8 on this exact plan).
+    QueryDef("x19_bucket_prune",
+      """SELECT c_custkey, c_name, c_nationkey
+        |FROM customer WHERE c_custkey IN (7, 23, 101)""".stripMargin) {
+      (s, dir) =>
+        bucketScanConfs.foreach { case (k, v) => s.conf.set(k, v) }
+        try {
+          // materialize while the conf holds so the executed plan is the
+          // bucket-pruned scan (x01's materialize-under-confs pattern)
+          val out = java.nio.file.Paths.get(
+            sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+            "graft_fmt", "x19_result").toString
+          bucketPrunedLookup(s, dir).write.mode("overwrite").parquet(out)
+          s.read.parquet(out)
+        } finally {
+          bucketScanConfs.foreach { case (k, _) => s.conf.unset(k) }
+        }
     },
 
     QueryDef("x18_partition_overwrite",

@@ -100,6 +100,28 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("x19: IN predicate on the bucket column prunes buckets before I/O") {
+    graft.operators.Scale.bucketScanConfs.foreach {
+      case (k, v) => spark.conf.set(k, v)
+    }
+    val p = try {
+      val df = graft.operators.Scale.bucketPrunedLookup(spark, sf)
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    } finally {
+      graft.operators.Scale.bucketScanConfs.foreach {
+        case (k, _) => spark.conf.unset(k)
+      }
+    }
+    val sel = p.linesIterator
+      .flatMap("""SelectedBucketsCount: (\d+) out of (\d+)""".r
+        .findFirstMatchIn(_)).toSeq
+    assert(sel.nonEmpty, s"no bucket pruning in plan:\n$p")
+    val (k, n) = (sel.head.group(1).toInt, sel.head.group(2).toInt)
+    assert(n == 8 && k <= 3,
+      s"expected <=3 of 8 buckets selected, got $k of $n:\n$p")
+  }
+
   test("x03: as-of join = single user_id window shuffle, no nested-loop/cartesian") {
     val p = executed("x03_asof_join")
     assert(!p.contains("BroadcastNestedLoopJoin") &&
