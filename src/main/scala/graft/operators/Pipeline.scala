@@ -207,6 +207,70 @@ object Pipeline {
       Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
     },
 
+    // Unicode script profile: a multilingual corpus is synthesized by
+    // appending a per-doc repeated snippet in one of four non-Latin
+    // scripts (repeat factor 1..40, so dominance actually flips on the
+    // longer plants — all five dominant branches are live). Counts come
+    // from the native one-pass ScriptCounts expression; the oracle
+    // re-counts every class with RE2 literal-range character classes
+    // (numerically identical BMP intervals) and mirrors the greatest()
+    // + fixed-priority CASE verbatim. All counts exact int64; the one
+    // double (script_frac) is a division of exact ints + ROUND 6.
+    QueryDef("p78_script_profile",
+      """WITH corpus AS (
+        |  SELECT doc_id, text || ' ' || repeat(
+        |    CASE doc_id % 4
+        |      WHEN 0 THEN 'مرحبا بالعالم '
+        |      WHEN 1 THEN 'привет мир '
+        |      WHEN 2 THEN '你好世界おはよう '
+        |      ELSE 'αβγδ εζη 123 ' END,
+        |    CAST(1 + doc_id % 40 AS INT)) AS text
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |    length(text) AS n_cp,
+        |    length(regexp_replace(text,
+        |      '[^A-Za-z\x{00C0}-\x{024F}]', '', 'g')) AS latin_n,
+        |    length(regexp_replace(text,
+        |      '[^\x{0400}-\x{04FF}]', '', 'g')) AS cyrillic_n,
+        |    length(regexp_replace(text,
+        |      '[^\x{0370}-\x{03FF}]', '', 'g')) AS greek_n,
+        |    length(regexp_replace(text,
+        |      '[^\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}]', '', 'g')) AS cjk_n,
+        |    length(regexp_replace(text,
+        |      '[^\x{0600}-\x{06FF}]', '', 'g')) AS arabic_n,
+        |    length(regexp_replace(text, '[^0-9]', '', 'g')) AS digit_n
+        |  FROM corpus),
+        |m AS (SELECT *,
+        |    greatest(latin_n, cyrillic_n, greek_n, cjk_n, arabic_n) AS mx
+        |  FROM c)
+        |SELECT doc_id, CAST(n_cp AS BIGINT) AS n_cp,
+        |  CAST(latin_n AS BIGINT) AS latin_n,
+        |  CAST(cyrillic_n AS BIGINT) AS cyrillic_n,
+        |  CAST(greek_n AS BIGINT) AS greek_n,
+        |  CAST(cjk_n AS BIGINT) AS cjk_n,
+        |  CAST(arabic_n AS BIGINT) AS arabic_n,
+        |  CAST(digit_n AS BIGINT) AS digit_n,
+        |  CASE WHEN mx = 0 THEN 'other'
+        |       WHEN latin_n = mx THEN 'latin'
+        |       WHEN cyrillic_n = mx THEN 'cyrillic'
+        |       WHEN greek_n = mx THEN 'greek'
+        |       WHEN cjk_n = mx THEN 'cjk'
+        |       ELSE 'arabic' END AS dominant,
+        |  CASE WHEN n_cp = 0 THEN 0.0
+        |       ELSE round((latin_n + cyrillic_n + greek_n + cjk_n
+        |         + arabic_n) / CAST(n_cp AS DOUBLE), 6) END AS script_frac
+        |FROM m""".stripMargin) { (s, dir) =>
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" "),
+          expr("""repeat(CASE CAST(doc_id % 4 AS INT)
+            WHEN 0 THEN 'مرحبا بالعالم '
+            WHEN 1 THEN 'привет мир '
+            WHEN 2 THEN '你好世界おはよう '
+            ELSE 'αβγδ εζη 123 ' END,
+            CAST(1 + doc_id % 40 AS INT))""")).as("text"))
+      TextAnalysis.scriptProfile(planted)
+    },
+
     // HTML extraction: synthetic pages wrap each document in a template
     // with nav links, script/style blocks, and entities; the md5 of the
     // extracted text is the gate (byte-exact extraction parity), plus

@@ -225,6 +225,39 @@ object TextAnalysis {
       .withColumn("entropy_ok", col("entropy_bits") >= minBits)
   }
 
+  /** Unicode script profile: per-document counts of six fixed BMP script
+    * classes (latin / cyrillic / greek / cjk / arabic / digit) over ONE
+    * native code-point pass ([[org.apache.spark.sql.graft.ScriptCounts]]),
+    * plus the dominant script and the script-character coverage fraction.
+    * Script is the multilingual router's first cut — it needs no model,
+    * never false-positives across scripts, and at 100 TB it's a narrow
+    * zero-shuffle projection (PlanSpec asserts no Exchange). Dominant is
+    * a fixed-priority CASE over the five letter scripts (latin > cyrillic
+    * > greek > cjk > arabic on ties — deterministic, mirrored verbatim by
+    * the oracle), 'other' when no script char occurs at all.
+    */
+  def scriptProfile(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val st = org.apache.spark.sql.graft.VectorExpressions
+      .scriptCounts(col(textCol))
+    val named = Seq("latin", "cyrillic", "greek", "cjk", "arabic")
+    val base = df.select(col(idCol), st.as("s"))
+      .select(col(idCol) +: ("n_cp" +: named.map(_ + "_n") :+ "digit_n")
+        .map(f => col(s"s.$f").as(f)): _*)
+    val scriptTotal = named.map(n => col(n + "_n")).reduce(_ + _)
+    // dominant: first script (in fixed order) whose count equals the max
+    val maxN = greatest(named.map(n => col(n + "_n")): _*)
+    val dom = named.foldRight(lit("other")) { (n, els) =>
+      when(col(n + "_n") === maxN && maxN > 0, lit(n)).otherwise(els)
+    }
+    base
+      .withColumn("dominant", dom)
+      .withColumn("script_frac",
+        when(col("n_cp") === 0, lit(0.0))
+          .otherwise(round(scriptTotal.cast("double") /
+            col("n_cp").cast("double"), 6)))
+  }
+
   /** n-gram-free heuristic language ID: stopword-hit voting over four
     * Latin-script lists + CJK codepoint detection for zh. Deterministic
     * tie-break by fixed language order (en,de,fr,es).

@@ -67,6 +67,10 @@ object VectorExpressions {
   def charEntropyStats(text: Column): Column =
     column(CharEntropyStats(expression(text)))
 
+  /** Single-pass six-script code-point histogram (see [[ScriptCounts]]). */
+  def scriptCounts(text: Column): Column =
+    column(ScriptCounts(expression(text)))
+
   /** `bands` random-hyperplane signatures (`rowsPerBand` bits each) of an
     * array<float> vector; bands=1 gives the classic single signature.
     */
@@ -844,6 +848,63 @@ object CharEntropyStats {
       acc += p * (StrictMath.log(p) / LN2)
     }
     InternalRow(n, counts.size().toLong, if (n == 0L) 0.0 else -acc)
+  }
+}
+
+/** Per-row Unicode script histogram: ONE pass over the code points
+  * counting membership in six fixed BMP ranges — Latin (ASCII letters +
+  * Latin-1/Extended U+00C0–U+024F), Cyrillic U+0400–U+04FF, Greek
+  * U+0370–U+03FF, CJK (Han U+4E00–U+9FFF + kana U+3040–U+30FF), Arabic
+  * U+0600–U+06FF, and ASCII digits — plus the total code-point count.
+  * The multilingual-corpus routing signal (script ≠ language, but script
+  * is the cheap first cut): six regexp_replace passes collapse into one
+  * narrow codegen'd scan, and the ranges are plain literal intervals so
+  * the DuckDB oracle's RE2 classes `[\x{0400}-\x{04FF}]` count the
+  * identical sets. Code-point semantics throughout (astral pairs advance
+  * by 2 UTF-16 units, count 1) — though all six classes are BMP, so each
+  * match is one code unit in both engines. Returns
+  * struct(n_cp, latin_n, cyrillic_n, greek_n, cjk_n, arabic_n, digit_n).
+  */
+case class ScriptCounts(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StructType(
+    Seq("n_cp", "latin_n", "cyrillic_n", "greek_n", "cjk_n", "arabic_n",
+      "digit_n").map(StructField(_, LongType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+
+  protected override def nullSafeEval(input: Any): Any =
+    ScriptCounts.counts(input.asInstanceOf[UTF8String].toString)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.ScriptCounts.counts($c.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ScriptCounts {
+  def counts(s: String): InternalRow = {
+    var n = 0L
+    var latin = 0L; var cyr = 0L; var greek = 0L
+    var cjk = 0L; var arabic = 0L; var digit = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      n += 1
+      if ((cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z') ||
+        (cp >= 0xC0 && cp <= 0x24F)) latin += 1
+      else if (cp >= 0x400 && cp <= 0x4FF) cyr += 1
+      else if (cp >= 0x370 && cp <= 0x3FF) greek += 1
+      else if ((cp >= 0x4E00 && cp <= 0x9FFF) ||
+        (cp >= 0x3040 && cp <= 0x30FF)) cjk += 1
+      else if (cp >= 0x600 && cp <= 0x6FF) arabic += 1
+      else if (cp >= '0' && cp <= '9') digit += 1
+      i += Character.charCount(cp)
+    }
+    InternalRow(n, latin, cyr, greek, cjk, arabic, digit)
   }
 }
 

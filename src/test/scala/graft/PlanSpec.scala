@@ -100,6 +100,13 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("p78: script profile is a narrow projection — zero Exchanges") {
+    val p = executed("p78_script_profile")
+    assert(!p.contains("Exchange"), s"script profile shuffled:\n$p")
+    assert(p.contains("scriptcounts"),
+      s"native ScriptCounts missing from plan:\n$p")
+  }
+
   test("x19: IN predicate on the bucket column prunes buckets before I/O") {
     graft.operators.Scale.bucketScanConfs.foreach {
       case (k, v) => spark.conf.set(k, v)

@@ -1448,4 +1448,71 @@ class PipelineSpec extends SparkSpec {
     assert(out("en") == ((2L, 3L, 6L, 2.0)))
     assert(out("de") == ((1L, 1L, 3L, 3.0)))
   }
+
+  test("ScriptCounts: native == regex-chain counts on BMP inputs + fuzz") {
+    import spark.implicits._
+    val edges = Seq(
+      "", " ", "hello WORLD", "привет", "αβγ", "你好", "おはよう", "مرحبا",
+      "mix привет 123 你好 αβ!", "ÀÉïñ Øſ", // Latin-1/Extended letters
+      "×÷", // U+00D7/U+00F7 sit inside the latin range by contract
+      "0123456789", "!@#$%^&*()")
+    val rnd = new scala.util.Random(31)
+    val pool = "abZ ñ9!привет你好αβمر.,\n\t"
+    val fuzz = (1 to 60).map { _ =>
+      (1 to rnd.nextInt(60)).map(_ => pool(rnd.nextInt(pool.length))).mkString
+    }
+    val classes = Seq(
+      "latin" -> "[^A-Za-zÀ-ɏ]",
+      "cyrillic" -> "[^Ѐ-ӿ]",
+      "greek" -> "[^Ͱ-Ͽ]",
+      "cjk" -> "[^一-鿿぀-ヿ]",
+      "arabic" -> "[^؀-ۿ]",
+      "digit" -> "[^0-9]")
+    val st = org.apache.spark.sql.graft.VectorExpressions
+      .scriptCounts(col("t"))
+    val cols = Seq(col("t"), st.as("s"),
+      length(col("t")).cast("long").as("re_n")) ++
+      classes.map { case (n, re) =>
+        length(regexp_replace(col("t"), re, "")).cast("long").as(s"re_$n")
+      }
+    val df = (edges ++ fuzz).toDF("t").select(cols: _*)
+    df.collect().foreach { r =>
+      val t = r.getString(0)
+      val s = r.getStruct(1)
+      assert(s.getLong(0) == r.getLong(2), s"n_cp mismatch on '$t'")
+      classes.zipWithIndex.foreach { case ((n, _), i) =>
+        assert(s.getLong(i + 1) == r.getLong(3 + i),
+          s"$n count mismatch on '$t'")
+      }
+    }
+  }
+
+  test("ScriptCounts: astral pairs count one code point, match no class") {
+    import spark.implicits._
+    val emoji = new String(Character.toChars(0x1F600)) // astral, 2 units
+    val out = Seq(s"a${emoji}б").toDF("t")
+      .select(org.apache.spark.sql.graft.VectorExpressions
+        .scriptCounts(col("t")).as("s"))
+      .select(col("s.*")).head()
+    assert(out.getLong(0) == 3L) // NOT 4: the pair is one code point
+    assert(out.getLong(1) == 1L && out.getLong(2) == 1L)
+  }
+
+  test("scriptProfile: dominance priority, ties, and the other branch") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "abc где"),   // tie latin==cyrillic → fixed priority: latin
+      (2L, "你好世界 ab"), // cjk dominant
+      (3L, " .,!? "),     // no script chars at all → other
+      (4L, "αβγδ ab 12")) // greek dominant; digits don't compete
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.scriptProfile(d).collect()
+      .map(r => r.getLong(0) -> ((r.getString(8), r.getDouble(9)))).toMap
+    assert(out(1L)._1 == "latin")
+    assert(out(2L)._1 == "cjk")
+    assert(out(3L) == (("other", 0.0)))
+    assert(out(4L)._1 == "greek")
+    // coverage fraction: 6 script chars of 7 code points, ROUND 6
+    assert(out(1L)._2 == 0.857143)
+  }
 }
