@@ -207,6 +207,58 @@ object Pipeline {
       Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
     },
 
+    // Domain-blocklist filter: URLs planted on every 7th doc (5 rotating
+    // hosts, 2 of them blocklisted) plus a deep-subdomain URL on every
+    // 11th-mod-3 doc that must match site1.example.com through TWO
+    // subdomain levels. Spark matches via suffix-chain explosion +
+    // broadcast equi-join; the oracle re-derives blocking with a LIKE
+    // '%.'||s scan — two different mechanisms that must agree exactly,
+    // including blocked_by = min matching entry and the NULL for clean
+    // docs. Lookalike prefixes (notsiteN..., ...example.com.evil.com)
+    // can't match either side: the explode only cuts at label
+    // boundaries, the LIKE anchors the suffix end.
+    QueryDef("p79_domain_blocklist",
+      """WITH corpus AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 7 = 0
+        |         THEN ' see https://site' || CAST(doc_id % 5 AS VARCHAR)
+        |           || '.example.com/p' || CAST(doc_id AS VARCHAR)
+        |         ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 3
+        |         THEN ' ref https://deep.sub.site1.example.com/x'
+        |           || ' and https://ok.org/y'
+        |         ELSE '' END AS text
+        |  FROM documents),
+        |u AS (SELECT doc_id,
+        |    unnest(regexp_extract_all(text,
+        |      'https?://([A-Za-z0-9.-]+)', 1)) AS host
+        |  FROM corpus),
+        |m AS (SELECT doc_id, min(s) AS blocked_by
+        |  FROM u, (VALUES ('site1.example.com'), ('site3.example.com'),
+        |    ('badhost.net')) b(s)
+        |  WHERE host = s OR host LIKE '%.' || s
+        |  GROUP BY doc_id)
+        |SELECT c.doc_id,
+        |  CAST(len(regexp_extract_all(c.text,
+        |    'https?://([A-Za-z0-9.-]+)', 1)) AS BIGINT) AS n_urls,
+        |  m.blocked_by IS NOT NULL AS blocked, m.blocked_by
+        |FROM corpus c LEFT JOIN m USING (doc_id)""".stripMargin) {
+      (s, dir) =>
+        val planted = t(s, dir, "documents").select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 7 === 0,
+              concat(lit(" see https://site"),
+                (col("doc_id") % 5).cast("string"),
+                lit(".example.com/p"), col("doc_id").cast("string")))
+              .otherwise(lit("")),
+            when(col("doc_id") % 11 === 3,
+              lit(" ref https://deep.sub.site1.example.com/x" +
+                " and https://ok.org/y"))
+              .otherwise(lit(""))).as("text"))
+        Corpus.domainBlocklist(planted,
+          Seq("site1.example.com", "site3.example.com", "badhost.net"))
+    },
+
     // Unicode script profile: a multilingual corpus is synthesized by
     // appending a per-doc repeated snippet in one of four non-Latin
     // scripts (repeat factor 1..40, so dominance actually flips on the

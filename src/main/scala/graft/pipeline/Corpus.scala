@@ -482,6 +482,41 @@ object Corpus {
         round(avg(col("n_chars")), 6).as("avg_chars"))
   }
 
+  /** Domain-blocklist filter with suffix semantics: a document is blocked
+    * when ANY of its URL hosts equals a blocklist entry OR sits under it
+    * as a subdomain (`deep.sub.site1.example.com` matches
+    * `site1.example.com`; the lookalikes `notsite1.example.com` and
+    * `site1.example.com.evil.com` must NOT match). The scalable shape:
+    * per-URL hosts explode into their label-boundary suffix chains
+    * (`a.b.c` → `a.b.c`, `b.c`, `c` — bounded by label count, ~4-6 per
+    * host), which turns "endsWith at a dot boundary" into an exact
+    * equi-join the tiny blocklist side broadcasts into. Only MATCHED
+    * (id, suffix) rows reach the per-doc rollup shuffle, and the final
+    * doc join carries ids only — the text never shuffles. blocked_by is
+    * the alphabetically-first matching entry (deterministic attribution).
+    */
+  def domainBlocklist(df: DataFrame, blocked: Seq[String],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hostsOf =
+      expr(s"regexp_extract_all($textCol, 'https?://([A-Za-z0-9.-]+)', 1)")
+    val suffixes = df
+      .select(col(idCol).as("id"), explode(hostsOf).as("host"))
+      .withColumn("labels", split(col("host"), "[.]"))
+      .select(col("id"), explode(expr(
+        """transform(sequence(0, size(labels) - 1),
+          |  i -> array_join(slice(labels, i + 1, size(labels)), '.'))"""
+          .stripMargin)).as("sfx"))
+    val bl = blocked.toDF("sfx")
+    val matched = suffixes.join(broadcast(bl), "sfx")
+      .groupBy("id").agg(min("sfx").as("blocked_by"))
+    df.select(col(idCol), size(hostsOf).cast("long").as("n_urls"))
+      .join(matched, col(idCol) === col("id"), "left")
+      .select(col(idCol), col("n_urls"),
+        col("blocked_by").isNotNull.as("blocked"), col("blocked_by"))
+  }
+
   /** Deterministic global training-order shuffle: position = rank under
     * ORDER BY md5(seed || id) — an RNG-free permutation both engines (and
     * any re-run) agree on. Built on [[withGlobalOrder]]: range partition

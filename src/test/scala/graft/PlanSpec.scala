@@ -107,6 +107,21 @@ class PlanSpec extends SparkSpec {
       s"native ScriptCounts missing from plan:\n$p")
   }
 
+  test("p79: blocklist membership is a broadcast join; text never shuffles") {
+    val p = executed("p79_domain_blocklist")
+    assert(p.contains("BroadcastHashJoin"),
+      s"blocklist join not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"suffix match fell back to a product join:\n$p")
+    // the doc-side rollup and final join carry ids only — no Exchange
+    // row should include the text column
+    val textExchanges = p.linesIterator.filter(l =>
+      l.contains("Exchange") && l.contains("text#")).toSeq
+    assert(textExchanges.isEmpty,
+      s"text column crosses a shuffle:\n${textExchanges.mkString("\n")}")
+  }
+
   test("x19: IN predicate on the bucket column prunes buckets before I/O") {
     graft.operators.Scale.bucketScanConfs.foreach {
       case (k, v) => spark.conf.set(k, v)

@@ -1449,6 +1449,31 @@ class PipelineSpec extends SparkSpec {
     assert(out("de") == ((1L, 1L, 3L, 3.0)))
   }
 
+  test("domainBlocklist: boundary-exact suffix semantics + attribution") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "x https://site1.example.com/a"),          // exact match
+      (2L, "x https://deep.sub.site1.example.com/a"), // 2-level subdomain
+      (3L, "x https://notsite1.example.com/a"),       // prefix lookalike
+      (4L, "x https://site1.example.com.evil.com/a"), // suffix lookalike
+      (5L, "no urls at all"),
+      (6L, "two https://ok.org/a https://badhost.net/b"), // 2nd URL hits
+      (7L, "https://a.badhost.net/ https://site1.example.com/")) // 2 hits
+      .toDF("doc_id", "text")
+    val out = Corpus.domainBlocklist(d,
+      Seq("site1.example.com", "badhost.net")).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getBoolean(2), Option(r.getString(3))))).toMap
+    assert(out(1L) == ((1L, true, Some("site1.example.com"))))
+    assert(out(2L) == ((1L, true, Some("site1.example.com"))))
+    assert(out(3L) == ((1L, false, None)))
+    assert(out(4L) == ((1L, false, None)))
+    assert(out(5L) == ((0L, false, None)))
+    assert(out(6L) == ((2L, true, Some("badhost.net"))))
+    // both entries match → alphabetically-first attribution
+    assert(out(7L) == ((2L, true, Some("badhost.net"))))
+  }
+
   test("ScriptCounts: native == regex-chain counts on BMP inputs + fuzz") {
     import spark.implicits._
     val edges = Seq(
