@@ -207,6 +207,48 @@ object Pipeline {
       Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
     },
 
+    // Repeated-span removal: the corpus' planted exact/near-dup docs
+    // give real cross-doc 50-char repeats; the gate hashes the CLEANED
+    // text (md5), so the cut boundaries must be byte-exact. The oracle
+    // re-derives anchors with the same window/stride definition and
+    // performs the identical running-max-cursor cut as window functions
+    // + ordered string_agg (a different mechanism than Spark's fold —
+    // the x03 different-engine pattern); counts are exact int64.
+    QueryDef("p80_span_removal",
+      """WITH d AS (SELECT doc_id, text FROM documents),
+        |w AS (SELECT doc_id, text,
+        |    unnest(range(0, length(text) - 49, 1)) AS st
+        |  FROM d WHERE length(text) >= 50),
+        |w2 AS (SELECT doc_id, st, substr(text, st + 1, 50) AS w FROM w),
+        |dup AS (SELECT w FROM w2 GROUP BY w HAVING count(*) >= 2),
+        |occ AS (SELECT doc_id, st FROM w2
+        |  WHERE w IN (SELECT w FROM dup)),
+        |o2 AS (SELECT doc_id, st,
+        |    coalesce(max(st + 50) OVER (PARTITION BY doc_id ORDER BY st
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cur
+        |  FROM occ),
+        |agg AS (SELECT o2.doc_id,
+        |    string_agg(CASE WHEN st > cur
+        |      THEN substr(d.text, cur + 1, st - cur) ELSE '' END,
+        |      '' ORDER BY st) AS head_pieces,
+        |    max(st + 50) AS maxend,
+        |    count(*) AS n_anchors
+        |  FROM o2 JOIN d USING (doc_id) GROUP BY o2.doc_id),
+        |cleaned AS (SELECT d.doc_id, length(d.text) AS orig_cp,
+        |    coalesce(a.head_pieces, '')
+        |      || substr(d.text, coalesce(a.maxend, 0) + 1) AS clean,
+        |    coalesce(a.n_anchors, 0) AS n_anchors
+        |  FROM d LEFT JOIN agg a USING (doc_id))
+        |SELECT doc_id, CAST(orig_cp AS BIGINT) AS orig_cp,
+        |  CAST(length(clean) AS BIGINT) AS clean_cp,
+        |  CAST(n_anchors AS BIGINT) AS n_dup_anchors,
+        |  CAST(orig_cp - length(clean) AS BIGINT) AS removed_cp,
+        |  md5(clean) AS clean_dg
+        |FROM cleaned""".stripMargin) { (s, dir) =>
+      Dedup.repeatedSpanRemoval(t(s, dir, "documents"))
+    },
+
     // Domain-blocklist filter: URLs planted on every 7th doc (5 rotating
     // hosts, 2 of them blocklisted) plus a deep-subdomain URL on every
     // 11th-mod-3 doc that must match site1.example.com through TWO

@@ -860,4 +860,72 @@ object Dedup {
       posexplode(VectorExpressions.cdcChunks(col(textCol), minLen, maskBits))
         .as(Seq("chunk_idx", "chunk")))
   }
+
+  /** Cross-document repeated-span REMOVAL — p39 finds the duplication
+    * signal; this operator actually cuts the spans out (the Lee et al.
+    * ICLR'22 "Deduplicating Training Data" transform, re-expressed for
+    * Spark; the paper's suffix array is single-node). Semantics: the
+    * dup anchors are the `win`-char windows whose exact string occurs
+    * at >= 2 (doc, start) positions corpus-wide; removal is the union
+    * of [start, start+win) over a doc's dup anchors, cut in one ordered
+    * pass (running-max cursor over the sorted starts). At the default
+    * stride=1 the paper's guarantee holds exactly: every verbatim
+    * repeat >= win chars is removed from ALL its occurrences (each copy
+    * contains all its interior windows), repeats < win are untouched.
+    * stride > 1 is the throughput mode and is honest about its recall:
+    * anchors are stride-aligned per doc, so only copies at equal phase
+    * (start offsets congruent mod stride — whole-doc duplicates,
+    * position-0 boilerplate) are caught; a repeat shifted by a
+    * non-multiple of stride produces disjoint window sets and survives.
+    *
+    * Scale shape, stage by stage: (1) anchor windows explode map-side
+    * and only their xxhash64 crosses the first shuffle (8-byte counts,
+    * partial-aggregated); (2) the >=2-count hash set broadcasts back as
+    * a map-side prefilter, so window STRINGS only ever shuffle for true
+    * candidates (hash collisions are harmless — stage 3 is exact); at
+    * corpus scale where the dup-hash set outgrows a broadcast, swap in
+    * a Bloom over it (p36's BloomMightContain pattern) — false
+    * positives only add verify work; (3) string-keyed groupBy confirms
+    * dup windows exactly and yields (id, start) anchor lists; (4) the
+    * text crosses exactly ONE id-keyed shuffle — the rewrite join —
+    * and the cut itself is a per-row fold (no per-char explode).
+    */
+  def repeatedSpanRemoval(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", win: Int = 50,
+      stride: Int = 1): DataFrame = {
+    val w2 = df.filter(length(col(textCol)) >= win)
+      .select(col(idCol).as("id"), col(textCol).as("t"),
+        explode(expr(
+          s"sequence(0, length($textCol) - $win, $stride)")).as("st"))
+      .select(col("id"), col("st"),
+        expr(s"substring(t, st + 1, $win)").as("w"))
+    val withH = w2.withColumn("h", xxhash64(col("w")))
+    val candH = withH.groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("h")
+    val occ = withH.join(broadcast(candH), "h")
+    val dupW = occ.groupBy("w").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("w").as("dw"))
+    val dupOcc = occ.join(dupW, col("w") === col("dw"))
+      .select("id", "st")
+    val anchors = dupOcc.groupBy("id")
+      .agg(sort_array(collect_set(col("st"))).as("sts"))
+    val clean = when(col("sts").isNull, col(textCol)).otherwise(expr(
+      s"""aggregate(sts, named_struct('cur', 0, 'out', ''),
+         |  (a, s) -> named_struct(
+         |    'cur', greatest(a.cur, s + $win),
+         |    'out', concat(a.out,
+         |      substring($textCol, a.cur + 1, greatest(s - a.cur, 0)))),
+         |  a -> concat(a.out,
+         |    substring($textCol, a.cur + 1, length($textCol))))"""
+        .stripMargin))
+    df.join(anchors, col(idCol) === col("id"), "left")
+      .select(col(idCol),
+        length(col(textCol)).cast("long").as("orig_cp"),
+        length(clean).cast("long").as("clean_cp"),
+        coalesce(size(col("sts")), lit(0)).cast("long")
+          .as("n_dup_anchors"),
+        (length(col(textCol)) - length(clean)).cast("long")
+          .as("removed_cp"),
+        md5(clean).as("clean_dg"))
+  }
 }

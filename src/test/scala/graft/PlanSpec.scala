@@ -107,6 +107,22 @@ class PlanSpec extends SparkSpec {
       s"native ScriptCounts missing from plan:\n$p")
   }
 
+  test("p80: span removal — hash prefilter broadcasts, text shuffles once") {
+    val p = executed("p80_span_removal")
+    assert(p.contains("BroadcastHashJoin"),
+      s"dup-hash prefilter not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"span removal fell back to a product join:\n$p")
+    // the full text may cross at most the one rewrite join (id-keyed);
+    // window strings must never ride a shuffle unfiltered
+    val pFinal = p.split("== Initial Plan ==")(0)
+    val textExchanges = pFinal.linesIterator.filter(l =>
+      l.contains("Exchange") && l.contains("text#")).toSeq
+    assert(textExchanges.size <= 1,
+      s"text crosses >1 shuffle:\n${textExchanges.mkString("\n")}")
+  }
+
   test("p79: blocklist membership is a broadcast join; text never shuffles") {
     val p = executed("p79_domain_blocklist")
     assert(p.contains("BroadcastHashJoin"),

@@ -1449,6 +1449,34 @@ class PipelineSpec extends SparkSpec {
     assert(out("de") == ((1L, 1L, 3L, 3.0)))
   }
 
+  test("repeatedSpanRemoval: exact cut boundaries, phase shift, full wipe") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val p = "0123456789ABCDEFGHIJ" // 20-char passage shared by A and B
+    val d = Seq(
+      (1L, p + "xxxxxx"),          // P at offset 0
+      (2L, "yyyy" + p + "zz"),     // P at offset 4 — NOT stride-aligned
+      (3L, "The quick brown fox."), // no repeats anywhere
+      (4L, "DUPLICATE DUPLICATE DUP"), // exact dup pair with 5 →
+      (5L, "DUPLICATE DUPLICATE DUP"), // whole doc removed
+      (6L, "tiny"))                // shorter than the window
+      .toDF("doc_id", "text")
+    val out = Dedup.repeatedSpanRemoval(d, win = 10, stride = 1).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))).toMap
+    // A: anchors at 0..10 merge into [0,20) — P excised, tail survives
+    assert(out(1L) == ((26L, 6L, 11L, 20L, md5hex("xxxxxx"))))
+    // B: same passage 4 chars later — anchors 4..14, cut [4,24)
+    assert(out(2L) == ((26L, 6L, 11L, 20L, md5hex("yyyyzz"))))
+    assert(out(3L) == ((20L, 20L, 0L, 0L, md5hex("The quick brown fox."))))
+    // exact duplicates: every window repeats (incl. within-doc) → wiped
+    assert(out(4L) == ((23L, 0L, 14L, 23L, md5hex(""))))
+    assert(out(5L) == out(4L))
+    assert(out(6L) == ((4L, 4L, 0L, 0L, md5hex("tiny"))))
+  }
+
   test("domainBlocklist: boundary-exact suffix semantics + attribution") {
     import spark.implicits._
     val d = Seq(
