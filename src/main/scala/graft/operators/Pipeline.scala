@@ -2199,6 +2199,42 @@ object Pipeline {
       TextAnalysis.lmScore(t(s, dir, "documents"))
     },
 
+    // Bigram LM quality proxy: the oracle rebuilds the identical
+    // tokenize → zipped-bigram → count → smoothed-log pipeline (p62's
+    // parallel-unnest zip), so every count and the per-doc mean must
+    // agree to ROUND 6. Docs with < 2 tokens: n_bigrams 0, NULL score.
+    QueryDef("p81_bigram_lm",
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
+        |         THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(
+        |           lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+')
+        |    END AS tk
+        |  FROM documents),
+        |uni AS (SELECT t AS w1, count(*) AS c1
+        |        FROM (SELECT unnest(tk) AS t FROM toks) GROUP BY 1),
+        |voc AS (SELECT count(*) AS v FROM uni),
+        |bg AS (SELECT doc_id,
+        |    unnest(CASE WHEN len(tk) < 2 THEN CAST([] AS VARCHAR[])
+        |           ELSE tk[1:len(tk)-1] END) AS w1,
+        |    unnest(CASE WHEN len(tk) < 2 THEN CAST([] AS VARCHAR[])
+        |           ELSE tk[2:len(tk)] END) AS w2
+        |  FROM toks),
+        |pc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+        |sc AS (SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    round(avg(ln(CAST(p.c12 + 1 AS DOUBLE) /
+        |      CAST(u.c1 + t.v AS DOUBLE))), 6) AS bigram_lm
+        |  FROM bg b JOIN pc p USING (w1, w2)
+        |  JOIN uni u USING (w1), voc t
+        |  GROUP BY b.doc_id)
+        |SELECT d.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams,
+        |  s.bigram_lm
+        |FROM documents d LEFT JOIN sc s USING (doc_id)"""
+        .stripMargin) { (s, dir) =>
+      TextAnalysis.bigramLmScore(t(s, dir, "documents"))
+    },
+
     // Asymmetric containment dedup: ordered pairs where ≥ 80% of a's
     // distinct 5-token shingles occur in b — catches quoted-inside /
     // superset dupes that symmetric Jaccard misses. The planted copies

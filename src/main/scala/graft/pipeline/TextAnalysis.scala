@@ -359,6 +359,49 @@ object TextAnalysis {
       .select(col("id").as(idCol), col("n_tokens"), col("lm_score"))
   }
 
+  /** Bigram language-model quality proxy (the CCNet/KenLM-shaped step
+    * up from [[lmScore]]'s unigram DF): per document, the mean over
+    * adjacent lowercase token pairs of
+    * ln((c(w1,w2) + 1) / (c(w1) + V)) — add-one-smoothed conditional
+    * log-probability under corpus-wide counts, V = unigram vocabulary
+    * size. Natural text scores near the corpus ceiling; shuffled or
+    * rare-continuation text drops toward ln(1/(c+V)). Every count is an
+    * exact int64; each term is ONE double division of exact ints inside
+    * ln; the per-doc mean rides avg + ROUND 6 (the p57 rule). Shape:
+    * one tokenize feeds bigram AND unigram partial-aggregated counts;
+    * both count joins ship (token-key, count) pairs, never text; V is
+    * a one-row broadcast crossJoin (no collect); the final rollup is an
+    * id-keyed partial agg. Docs with < 2 tokens carry n_bigrams = 0 and
+    * a NULL score (no smoothing prior can rank an empty context).
+    */
+  def bigramLmScore(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      tokens(lower(col(textCol))).as("tk"))
+    val bg = toks.select(col("id"),
+      explode(when(size(col("tk")) < 2,
+        array().cast("array<struct<w1:string,w2:string>>"))
+        .otherwise(zip_with(
+          slice(col("tk"), lit(1), size(col("tk")) - 1),
+          slice(col("tk"), lit(2), size(col("tk")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2"))))).as("bg"))
+      .select(col("id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val uni = toks.select(explode(col("tk")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val pair = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val scored = bg.join(pair, Seq("w1", "w2")).join(uni, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log((col("c12") + 1).cast("double") /
+          (col("c1") + col("v")).cast("double"))), 6).as("bigram_lm"))
+    df.select(col(idCol)).join(scored, col(idCol) === col("id"), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("bigram_lm"))
+  }
+
   /** PMI-style collocation extraction: adjacent lowercase token bigrams
     * whose co-occurrence count clears `minCount`, scored by pointwise
     * lift = P(w1 w2) / (P(w1)·P(w2)) = n_pair·N / (n_w1·n_w2) — the

@@ -1449,6 +1449,24 @@ class PipelineSpec extends SparkSpec {
     assert(out("de") == ((1L, 1L, 3L, 3.0)))
   }
 
+  test("bigramLmScore: hand-computed smoothed means, empty/singleton docs") {
+    import spark.implicits._
+    val d = Seq((1L, "a b a b"), (2L, "A B"), (3L, "x"), (4L, ""))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLmScore(d).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]))))
+      .toMap
+    // corpus (lowercased): c(a)=3 c(b)=3 c(x)=1, V=3; c(a,b)=3 c(b,a)=1
+    // doc1 terms: ln(4/6), ln(2/6), ln(4/6) → mean −0.636514
+    assert(out(1L)._1 == 3L)
+    assert(math.abs(out(1L)._2.get - -0.636514) < 1e-9)
+    // doc2 ("A B" lowercased): one term ln(4/6) → −0.405465
+    assert(out(2L) == ((1L, Some(-0.405465))))
+    assert(out(3L) == ((0L, None)))
+    assert(out(4L) == ((0L, None)))
+  }
+
   test("repeatedSpanRemoval: exact cut boundaries, phase shift, full wipe") {
     import spark.implicits._
     def md5hex(s: String): String =
