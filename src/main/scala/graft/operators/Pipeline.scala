@@ -249,6 +249,54 @@ object Pipeline {
       Dedup.repeatedSpanRemoval(t(s, dir, "documents"))
     },
 
+    // Benchmark span scrub: every 50th doc (mod 7) plays the benchmark;
+    // the rest is the training corpus. The corpus' planted dup clusters
+    // straddle the split, so real contaminated spans get cut; the md5
+    // of the scrubbed text pins byte-exact boundaries. Oracle: same
+    // window definition, membership via IN (bench window set), same
+    // running-max cut as p80's mirror.
+    QueryDef("p82_benchmark_scrub",
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 50 <> 7),
+        |b AS (SELECT text FROM documents WHERE doc_id % 50 = 7),
+        |bw AS (SELECT DISTINCT substr(text, st + 1, 50) AS w FROM (
+        |  SELECT text, unnest(range(0, length(text) - 49, 1)) AS st
+        |  FROM b WHERE length(text) >= 50)),
+        |w2 AS (SELECT doc_id, st, substr(text, st + 1, 50) AS w FROM (
+        |  SELECT doc_id, text,
+        |    unnest(range(0, length(text) - 49, 1)) AS st
+        |  FROM d WHERE length(text) >= 50)),
+        |occ AS (SELECT doc_id, st FROM w2
+        |  WHERE w IN (SELECT w FROM bw)),
+        |o2 AS (SELECT doc_id, st,
+        |    coalesce(max(st + 50) OVER (PARTITION BY doc_id ORDER BY st
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cur
+        |  FROM occ),
+        |agg AS (SELECT o2.doc_id,
+        |    string_agg(CASE WHEN st > cur
+        |      THEN substr(d.text, cur + 1, st - cur) ELSE '' END,
+        |      '' ORDER BY st) AS head_pieces,
+        |    max(st + 50) AS maxend,
+        |    count(*) AS n_anchors
+        |  FROM o2 JOIN d USING (doc_id) GROUP BY o2.doc_id),
+        |cleaned AS (SELECT d.doc_id, length(d.text) AS orig_cp,
+        |    coalesce(a.head_pieces, '')
+        |      || substr(d.text, coalesce(a.maxend, 0) + 1) AS clean,
+        |    coalesce(a.n_anchors, 0) AS n_anchors
+        |  FROM d LEFT JOIN agg a USING (doc_id))
+        |SELECT doc_id, CAST(orig_cp AS BIGINT) AS orig_cp,
+        |  CAST(length(clean) AS BIGINT) AS clean_cp,
+        |  CAST(n_anchors AS BIGINT) AS n_hit_anchors,
+        |  CAST(orig_cp - length(clean) AS BIGINT) AS removed_cp,
+        |  md5(clean) AS clean_dg
+        |FROM cleaned""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      Dedup.benchmarkSpanRemoval(
+        docs.filter(col("doc_id") % 50 =!= 7),
+        docs.filter(col("doc_id") % 50 === 7))
+    },
+
     // Domain-blocklist filter: URLs planted on every 7th doc (5 rotating
     // hosts, 2 of them blocklisted) plus a deep-subdomain URL on every
     // 11th-mod-3 doc that must match site1.example.com through TWO

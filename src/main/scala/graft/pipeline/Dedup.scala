@@ -893,13 +893,8 @@ object Dedup {
   def repeatedSpanRemoval(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", win: Int = 50,
       stride: Int = 1): DataFrame = {
-    val w2 = df.filter(length(col(textCol)) >= win)
-      .select(col(idCol).as("id"), col(textCol).as("t"),
-        explode(expr(
-          s"sequence(0, length($textCol) - $win, $stride)")).as("st"))
-      .select(col("id"), col("st"),
-        expr(s"substring(t, st + 1, $win)").as("w"))
-    val withH = w2.withColumn("h", xxhash64(col("w")))
+    val withH = spanWindows(df, idCol, textCol, win, stride)
+      .withColumn("h", xxhash64(col("w")))
     val candH = withH.groupBy("h").agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2).select("h")
     val occ = withH.join(broadcast(candH), "h")
@@ -907,7 +902,56 @@ object Dedup {
       .filter(col("c") >= 2).select(col("w").as("dw"))
     val dupOcc = occ.join(dupW, col("w") === col("dw"))
       .select("id", "st")
-    val anchors = dupOcc.groupBy("id")
+    cutSpans(df, dupOcc, idCol, textCol, win, "n_dup_anchors")
+  }
+
+  /** Benchmark decontamination that REMOVES the contaminated spans: every
+    * `win`-char window of a training doc that occurs verbatim anywhere in
+    * the benchmark corpus becomes an anchor, and the union of anchor
+    * spans is cut (same guarantee as [[repeatedSpanRemoval]]: any shared
+    * verbatim passage >= win chars disappears from the training side;
+    * the benchmark itself is never modified). p24/p52 only DETECT
+    * contamination — this is the scrub a release pipeline actually runs.
+    *
+    * Scale shape: the benchmark is small by definition (eval suites), so
+    * its distinct window set broadcasts and the train-side match is a
+    * map-side broadcast equi-join on the exact window string — train
+    * text explodes map-side, only matched (id, start) anchors shuffle,
+    * and the rewrite join is the one id-keyed shuffle that carries text.
+    * A benchmark too large to broadcast downgrades to p80's two-stage
+    * hash-prefilter shape unchanged.
+    */
+  def benchmarkSpanRemoval(train: DataFrame, bench: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      win: Int = 50): DataFrame = {
+    val bw = spanWindows(bench, idCol, textCol, win, 1)
+      .select("w").distinct()
+    val occ = spanWindows(train, idCol, textCol, win, 1)
+      .join(broadcast(bw), "w").select("id", "st")
+    cutSpans(train, occ, idCol, textCol, win, "n_hit_anchors")
+  }
+
+  /** All (id, start, window-string) anchor windows of docs long enough
+    * to hold one. Map-side: explode + substring, no shuffle.
+    */
+  private def spanWindows(df: DataFrame, idCol: String, textCol: String,
+      win: Int, stride: Int): DataFrame =
+    df.filter(length(col(textCol)) >= win)
+      .select(col(idCol).as("id"), col(textCol).as("t"),
+        explode(expr(
+          s"sequence(0, length($textCol) - $win, $stride)")).as("st"))
+      .select(col("id"), col("st"),
+        expr(s"substring(t, st + 1, $win)").as("w"))
+
+  /** Cuts the union of [st, st+win) spans out of each doc's text given
+    * the (id, st) anchor table: anchors roll up to a sorted per-doc
+    * array (bounded by doc length), the text joins in ONCE (id-keyed),
+    * and the cut is a single running-max-cursor fold per row. Emits
+    * (id, orig_cp, clean_cp, <anchorCountName>, removed_cp, clean_dg).
+    */
+  private def cutSpans(df: DataFrame, anchorOcc: DataFrame, idCol: String,
+      textCol: String, win: Int, anchorCountName: String): DataFrame = {
+    val anchors = anchorOcc.groupBy("id")
       .agg(sort_array(collect_set(col("st"))).as("sts"))
     val clean = when(col("sts").isNull, col(textCol)).otherwise(expr(
       s"""aggregate(sts, named_struct('cur', 0, 'out', ''),
@@ -923,7 +967,7 @@ object Dedup {
         length(col(textCol)).cast("long").as("orig_cp"),
         length(clean).cast("long").as("clean_cp"),
         coalesce(size(col("sts")), lit(0)).cast("long")
-          .as("n_dup_anchors"),
+          .as(anchorCountName),
         (length(col(textCol)) - length(clean)).cast("long")
           .as("removed_cp"),
         md5(clean).as("clean_dg"))

@@ -1495,6 +1495,29 @@ class PipelineSpec extends SparkSpec {
     assert(out(6L) == ((4L, 4L, 0L, 0L, md5hex("tiny"))))
   }
 
+  test("benchmarkSpanRemoval: only bench-shared spans cut, train dups kept") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val b = "QQQQQQQQQQWWWWWWWWWWEEEEEEEEEE" // 30-char benchmark doc
+    val bench = Seq((100L, b)).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "head " + b + " tail"),        // full contamination at offset 5
+      (2L, "xxxx" + b.substring(0, 19) + "yyyyyyy"), // 19 < win: kept
+      (3L, "DUPLICATE TRAIN DOC CONTENT HERE OK"),   // train-only dup →
+      (4L, "DUPLICATE TRAIN DOC CONTENT HERE OK"),   // NOT this op's job
+      (5L, "tiny")).toDF("doc_id", "text")
+    val out = Dedup.benchmarkSpanRemoval(train, bench, win = 20).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))).toMap
+    // 11 anchors (5..15) merge to [5,35): exactly the passage is cut
+    assert(out(1L) == ((40L, 10L, 11L, 30L, md5hex("head  tail"))))
+    assert(out(2L)._4 == 0L && out(2L)._3 == 0L)
+    assert(out(3L)._4 == 0L && out(4L)._4 == 0L)
+    assert(out(5L) == ((4L, 4L, 0L, 0L, md5hex("tiny"))))
+  }
+
   test("domainBlocklist: boundary-exact suffix semantics + attribution") {
     import spark.implicits._
     val d = Seq(
