@@ -62,6 +62,10 @@ object Bench {
     "p70_source_divergence", // per-source KL: token-count shuffles only
     "p75_html_extract",   // regex extraction: narrow codegen'd projection
     "p76_ingest_pipeline", // extract -> cascade -> dedup capstone DAG
+    "p78_script_profile", // native one-pass six-script histogram
+    "p80_span_removal",   // stride-1 window hash counts + span cut fold
+    "p81_bigram_lm",      // bigram+unigram count joins, id rollup
+    "p82_benchmark_scrub", // broadcast bench-window match + span cut
     "s08_stream_trending", // streaming windowed counts + bounded rank
     "s01_stream_hourly",  // structured streaming
     "x03_asof_join",      // union+window as-of composition

@@ -249,48 +249,35 @@ object Pipeline {
       Dedup.repeatedSpanRemoval(t(s, dir, "documents"))
     },
 
+    // Feature-hashed doc vectors: every ±1 sign comes from a hex digit
+    // of md5(token), so the oracle replays all 16 exact-int64
+    // components from the same tokenization — any divergence in
+    // tokenize, hash, sign rule, or the (id, dim) rollup flips a value.
+    QueryDef("p83_feature_hash_vec",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(w, '\s+')) AS token
+        |  FROM (SELECT doc_id,
+        |          lower(regexp_replace(text, '^\s+|\s+$', '', 'g')) AS w
+        |        FROM documents)
+        |  WHERE length(w) > 0),
+        |sg AS (SELECT doc_id, j,
+        |    CASE WHEN substr(md5(token), CAST(j + 1 AS INT), 1)
+        |      IN ('8','9','a','b','c','d','e','f')
+        |    THEN 1 ELSE -1 END AS sgn
+        |  FROM tok CROSS JOIN (SELECT unnest(range(0, 16)) AS j))
+        |SELECT doc_id, CAST(j AS INT) AS dim,
+        |  CAST(sum(sgn) AS BIGINT) AS v
+        |FROM sg GROUP BY doc_id, j""".stripMargin) { (s, dir) =>
+      Similarity.featureHashVectors(t(s, dir, "documents"))
+    },
+
     // Benchmark span scrub: every 50th doc (mod 7) plays the benchmark;
     // the rest is the training corpus. The corpus' planted dup clusters
     // straddle the split, so real contaminated spans get cut; the md5
     // of the scrubbed text pins byte-exact boundaries. Oracle: same
     // window definition, membership via IN (bench window set), same
     // running-max cut as p80's mirror.
-    QueryDef("p82_benchmark_scrub",
-      """WITH d AS (SELECT doc_id, text FROM documents
-        |  WHERE doc_id % 50 <> 7),
-        |b AS (SELECT text FROM documents WHERE doc_id % 50 = 7),
-        |bw AS (SELECT DISTINCT substr(text, st + 1, 50) AS w FROM (
-        |  SELECT text, unnest(range(0, length(text) - 49, 1)) AS st
-        |  FROM b WHERE length(text) >= 50)),
-        |w2 AS (SELECT doc_id, st, substr(text, st + 1, 50) AS w FROM (
-        |  SELECT doc_id, text,
-        |    unnest(range(0, length(text) - 49, 1)) AS st
-        |  FROM d WHERE length(text) >= 50)),
-        |occ AS (SELECT doc_id, st FROM w2
-        |  WHERE w IN (SELECT w FROM bw)),
-        |o2 AS (SELECT doc_id, st,
-        |    coalesce(max(st + 50) OVER (PARTITION BY doc_id ORDER BY st
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |      AS cur
-        |  FROM occ),
-        |agg AS (SELECT o2.doc_id,
-        |    string_agg(CASE WHEN st > cur
-        |      THEN substr(d.text, cur + 1, st - cur) ELSE '' END,
-        |      '' ORDER BY st) AS head_pieces,
-        |    max(st + 50) AS maxend,
-        |    count(*) AS n_anchors
-        |  FROM o2 JOIN d USING (doc_id) GROUP BY o2.doc_id),
-        |cleaned AS (SELECT d.doc_id, length(d.text) AS orig_cp,
-        |    coalesce(a.head_pieces, '')
-        |      || substr(d.text, coalesce(a.maxend, 0) + 1) AS clean,
-        |    coalesce(a.n_anchors, 0) AS n_anchors
-        |  FROM d LEFT JOIN agg a USING (doc_id))
-        |SELECT doc_id, CAST(orig_cp AS BIGINT) AS orig_cp,
-        |  CAST(length(clean) AS BIGINT) AS clean_cp,
-        |  CAST(n_anchors AS BIGINT) AS n_hit_anchors,
-        |  CAST(orig_cp - length(clean) AS BIGINT) AS removed_cp,
-        |  md5(clean) AS clean_dg
-        |FROM cleaned""".stripMargin) { (s, dir) =>
+    QueryDef("p82_benchmark_scrub", benchmarkScrubSql) { (s, dir) =>
       val docs = t(s, dir, "documents")
       Dedup.benchmarkSpanRemoval(
         docs.filter(col("doc_id") % 50 =!= 7),
@@ -2825,4 +2812,45 @@ object Pipeline {
         |         THEN 'lang_filtered'
         |       ELSE 'keep' END AS reason
         |FROM m""".stripMargin
+
+  /** p82's oracle, shared with the streaming scrub gate (s15): the
+    * stream accumulated over all micro-batches must equal the batch
+    * scrub row-for-row, so both gates check against ONE definition.
+    */
+  private[operators] lazy val benchmarkScrubSql: String =
+    """WITH d AS (SELECT doc_id, text FROM documents
+      |  WHERE doc_id % 50 <> 7),
+      |b AS (SELECT text FROM documents WHERE doc_id % 50 = 7),
+      |bw AS (SELECT DISTINCT substr(text, st + 1, 50) AS w FROM (
+      |  SELECT text, unnest(range(0, length(text) - 49, 1)) AS st
+      |  FROM b WHERE length(text) >= 50)),
+      |w2 AS (SELECT doc_id, st, substr(text, st + 1, 50) AS w FROM (
+      |  SELECT doc_id, text,
+      |    unnest(range(0, length(text) - 49, 1)) AS st
+      |  FROM d WHERE length(text) >= 50)),
+      |occ AS (SELECT doc_id, st FROM w2
+      |  WHERE w IN (SELECT w FROM bw)),
+      |o2 AS (SELECT doc_id, st,
+      |    coalesce(max(st + 50) OVER (PARTITION BY doc_id ORDER BY st
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS cur
+      |  FROM occ),
+      |agg AS (SELECT o2.doc_id,
+      |    string_agg(CASE WHEN st > cur
+      |      THEN substr(d.text, cur + 1, st - cur) ELSE '' END,
+      |      '' ORDER BY st) AS head_pieces,
+      |    max(st + 50) AS maxend,
+      |    count(*) AS n_anchors
+      |  FROM o2 JOIN d USING (doc_id) GROUP BY o2.doc_id),
+      |cleaned AS (SELECT d.doc_id, length(d.text) AS orig_cp,
+      |    coalesce(a.head_pieces, '')
+      |      || substr(d.text, coalesce(a.maxend, 0) + 1) AS clean,
+      |    coalesce(a.n_anchors, 0) AS n_anchors
+      |  FROM d LEFT JOIN agg a USING (doc_id))
+      |SELECT doc_id, CAST(orig_cp AS BIGINT) AS orig_cp,
+      |  CAST(length(clean) AS BIGINT) AS clean_cp,
+      |  CAST(n_anchors AS BIGINT) AS n_hit_anchors,
+      |  CAST(orig_cp - length(clean) AS BIGINT) AS removed_cp,
+      |  md5(clean) AS clean_dg
+      |FROM cleaned""".stripMargin
 }

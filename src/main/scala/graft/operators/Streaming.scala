@@ -331,6 +331,45 @@ object Streaming {
         "s12_quality_gate", outputMode = "append")
     },
 
+    // Streaming benchmark scrub: p82's span removal applied to the
+    // training docs as they land — per micro-batch, each doc's scrub
+    // depends only on its own text plus the STATIC benchmark window
+    // set (broadcast into every batch), so the op is stateless across
+    // batches and the accumulated stream output must equal the batch
+    // scrub row-for-row (shared oracle). This is decontamination at
+    // the ingest door: eval passages never reach the corpus at all.
+    QueryDef("s15_stream_benchmark_scrub", Pipeline.benchmarkScrubSql) {
+      (s, dir) =>
+      import graft.pipeline.Dedup
+      val docs = graft.Tables.load(s, dir, "documents")
+        .select("doc_id", "text")
+      val bench = docs.filter(col("doc_id") % 50 === 7)
+      val train = docs.filter(col("doc_id") % 50 =!= 7)
+      val base = java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_fmt").toString
+      val srcDir = s"$base/s15_stream_src"
+      val outDir = s"$base/s15_scrubbed"
+      rmTree(new java.io.File(srcDir)); rmTree(new java.io.File(outDir))
+      new java.io.File(srcDir).mkdirs()
+      writeSingle(train.filter(col("doc_id") % 2 === 0), srcDir, "batch_a")
+      writeSingle(train.filter(col("doc_id") % 2 === 1), srcDir, "batch_b")
+      val schema = s.read.parquet(srcDir).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(srcDir)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          Dedup.benchmarkSpanRemoval(batch, bench)
+            .write.mode("append").parquet(outDir)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(outDir)
+    },
+
     // Streaming CDC apply: the p68 release deltas consumed as a stream,
     // each micro-batch merged into a materialized corpus store by
     // copy-on-write (anti-join out the touched ids, append the new

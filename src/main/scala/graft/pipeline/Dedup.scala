@@ -966,7 +966,11 @@ object Dedup {
       .select(col(idCol),
         length(col(textCol)).cast("long").as("orig_cp"),
         length(clean).cast("long").as("clean_cp"),
-        coalesce(size(col("sts")), lit(0)).cast("long")
+        // explicit null branch, NOT coalesce(size(...)): under
+        // ansi=false (the dsq session leaves it off) size(null) is -1,
+        // which coalesce happily keeps
+        when(col("sts").isNull, lit(0L))
+          .otherwise(size(col("sts")).cast("long"))
           .as(anchorCountName),
         (length(col(textCol)) - length(clean)).cast("long")
           .as("removed_cp"),

@@ -385,4 +385,38 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
+
+  /** Model-free document vectors via the feature-hashing trick
+    * (Weinberger et al. ICML'09, the unweighted ±1 form): component j of
+    * a doc's vector is Σ over its tokens of sign(token, j), where the
+    * sign is read off hex digit j of md5(token) (high nibble bit → +1,
+    * else −1). Exact int64 arithmetic end to end — the md5-derived-
+    * randomness rule p53/p59 use — so the oracle replays every component
+    * bit-for-bit; cosine on these vectors approximates token-multiset
+    * similarity and feeds the ANN family without any trained model.
+    * Output is long-format (doc_id, dim, v): 16 rows per non-empty doc,
+    * engine-portable compare, no array-column hashing concerns.
+    *
+    * Shape: tokenize → explode ×16 dims of (id, dim, ±1) — a constant
+    * 16× amplification of id+tinyint rows, ALL of it partial-aggregated
+    * map-side before the one (id, dim)-keyed shuffle; text and tokens
+    * never cross a shuffle. Docs with zero tokens emit no rows (there
+    * is no vector to hash).
+    */
+  def featureHashVectors(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", dims: Int = 16): DataFrame = {
+    require(dims <= 32, "md5 supplies 32 hex digits of sign entropy")
+    val tok = df.select(col(idCol).as("id"),
+      explode(TextAnalysis.tokens(lower(col(textCol)))).as("w"))
+    tok.withColumn("h", md5(col("w")))
+      .select(col("id"), posexplode(expr(
+        s"""transform(sequence(0, ${dims - 1}), j ->
+           |  CASE WHEN substring(h, j + 1, 1)
+           |    IN ('8','9','a','b','c','d','e','f')
+           |  THEN 1 ELSE -1 END)""".stripMargin)).as(Seq("dim", "sgn")))
+      .groupBy("id", "dim")
+      .agg(sum(col("sgn")).cast("long").as("v"))
+      .select(col("id").as(idCol), col("dim").cast("int").as("dim"),
+        col("v"))
+  }
 }
