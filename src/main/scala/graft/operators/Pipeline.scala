@@ -249,6 +249,57 @@ object Pipeline {
       Dedup.repeatedSpanRemoval(t(s, dir, "documents"))
     },
 
+    // Release n-gram novelty: v2 is the p68/s13 release construction
+    // (drops %11, rewrites %7 with a ' v2' suffix, adds %13 copies), so
+    // the novelty fraction is nonzero but small — exactly the shape a
+    // re-crawl-plus-edit release produces. The oracle re-derives both
+    // distinct gram sets as STRINGS (vs Spark's 64-bit shingle hashes;
+    // equality at 2⁻⁶⁴ — the p04 argument) and the NOT-IN count.
+    QueryDef("p84_release_novelty",
+      """WITH v1 AS (SELECT doc_id, text FROM documents),
+        |v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END
+        |      AS text
+        |  FROM documents WHERE doc_id % 11 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 5000000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 13 = 0),
+        |corpus AS (SELECT 1 AS gen, text FROM v1
+        |  UNION ALL SELECT 2 AS gen, text FROM v2),
+        |toks AS (SELECT gen,
+        |    CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
+        |         THEN ['']
+        |         ELSE string_split_regex(
+        |                regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')
+        |    END AS tk
+        |  FROM corpus),
+        |sh AS (SELECT gen,
+        |    unnest(list_distinct(CASE WHEN len(tk) < 5
+        |      THEN [array_to_string(tk, chr(31))]
+        |      ELSE [array_to_string(tk[i:i+4], chr(31))
+        |            for i in generate_series(1, len(tk)-4)]
+        |      END)) AS g
+        |  FROM toks),
+        |g1 AS (SELECT DISTINCT g FROM sh WHERE gen = 1),
+        |g2 AS (SELECT DISTINCT g FROM sh WHERE gen = 2),
+        |nn AS (SELECT count(*) AS n_new FROM g2
+        |  WHERE g NOT IN (SELECT g FROM g1))
+        |SELECT CAST((SELECT count(*) FROM g2) AS BIGINT) AS n_grams_v2,
+        |  CAST(nn.n_new AS BIGINT) AS n_new,
+        |  round(CAST(nn.n_new AS DOUBLE) /
+        |    (SELECT count(*) FROM g2), 6) AS novelty_frac
+        |FROM nn""".stripMargin) { (s, dir) =>
+      val v1 = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val v2 = v1.filter(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionAll(v1.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 5000000L).as("doc_id"), col("text")))
+      Corpus.releaseNovelty(v1, v2)
+    },
+
     // Feature-hashed doc vectors: every ±1 sign comes from a hex digit
     // of md5(token), so the oracle replays all 16 exact-int64
     // components from the same tokenization — any divergence in

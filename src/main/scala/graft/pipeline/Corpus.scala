@@ -304,6 +304,35 @@ object Corpus {
         round(col("n_hit") / col("n_windows"), 6).as("contaminated_frac"))
   }
 
+  /** Release-over-release n-gram novelty: what fraction of the new
+    * release's distinct word n-grams never occurred in the previous one
+    * — the corpus-growth quality dial (a release that only re-crawls
+    * known pages scores ~0; a source expansion scores high; a sudden
+    * spike flags an extractor change, complementing p71's PSI drift).
+    * Both gram sets ride the native distinct-per-doc
+    * [[org.apache.spark.sql.graft.VectorExpressions.shingleHashes]]
+    * (8-byte hashes; hash-equality = string-equality at 2⁻⁶⁴ — the p04
+    * argument), global-distinct'd in one hash-keyed shuffle each, with
+    * the novelty anti-membership a plain h-keyed left join — no strings
+    * and no doc ids cross any shuffle, so the op scales with DISTINCT
+    * gram count, not corpus size.
+    */
+  def releaseNovelty(v1: DataFrame, v2: DataFrame, n: Int = 5,
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.graft.VectorExpressions
+    def grams(df: DataFrame): DataFrame = df
+      .select(explode(VectorExpressions.shingleHashes(col(textCol), n))
+        .as("h"))
+      .distinct()
+    val old = grams(v1).withColumn("seen", lit(true))
+    grams(v2).join(old, Seq("h"), "left")
+      .agg(count(lit(1)).as("n_grams_v2"),
+        count(when(col("seen").isNull, 1)).as("n_new"))
+      .select(col("n_grams_v2"), col("n_new"),
+        round(col("n_new").cast("double") /
+          col("n_grams_v2").cast("double"), 6).as("novelty_frac"))
+  }
+
   /** One-pass column profiling: per column, row/null counts, min/max
     * (as strings, computed on the native type first), exact distinct
     * count, and a boolean asserting the HLL++ estimate is within 5% of

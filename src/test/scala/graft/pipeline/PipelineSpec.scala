@@ -1495,6 +1495,18 @@ class PipelineSpec extends SparkSpec {
     assert(out(6L) == ((4L, 4L, 0L, 0L, md5hex("tiny"))))
   }
 
+  test("releaseNovelty: hand-counted gram sets incl. short-doc grams") {
+    import spark.implicits._
+    val v1 = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val v2 = Seq((1L, "a b c"), (2L, "x y"), (3L, "z"))
+      .toDF("doc_id", "text")
+    // g1 = {a·b, b·c}; g2 = {a·b, b·c, x·y, z} (the 1-token doc emits
+    // its whole token list as one gram) → 2 of 4 are new
+    val out = Corpus.releaseNovelty(v1, v2, n = 2).head()
+    assert(out.getLong(0) == 4L && out.getLong(1) == 2L)
+    assert(out.getDouble(2) == 0.5)
+  }
+
   test("benchmarkSpanRemoval: only bench-shared spans cut, train dups kept") {
     import spark.implicits._
     def md5hex(s: String): String =
