@@ -71,6 +71,10 @@ object VectorExpressions {
   def scriptCounts(text: Column): Column =
     column(ScriptCounts(expression(text)))
 
+  /** Per-position n-gram window hashes (see [[CharGramPosHashes]]). */
+  def charGramPosHashes(text: Column, n: Int): Column =
+    column(CharGramPosHashes(expression(text), n))
+
   /** `bands` random-hyperplane signatures (`rowsPerBand` bits each) of an
     * array<float> vector; bands=1 gives the classic single signature.
     */
@@ -848,6 +852,69 @@ object CharEntropyStats {
       acc += p * (StrictMath.log(p) / LN2)
     }
     InternalRow(n, counts.size().toLong, if (n == 0L) 0.0 else -acc)
+  }
+}
+
+/** Positional variant of [[CharGramHashes]]: the xxhash64 (seed 42 —
+  * IDENTICAL to Spark's `xxhash64` function over the same substring,
+  * asserted by spec) of EVERY n-code-point window, index-aligned with
+  * the window's start position (posexplode yields (start, hash) pairs
+  * directly). No sort, no dedup — this feeds span-level operators that
+  * need positions (p80/p82), where the hash acts as a prefilter so
+  * window STRINGS only ever materialize for candidate positions.
+  * Returns an EMPTY array when the text is shorter than n code points
+  * (there is no positioned window to anchor).
+  */
+case class CharGramPosHashes(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  protected override def nullSafeEval(input: Any): Any =
+    CharGramPosHashes.compute(input.asInstanceOf[UTF8String], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.CharGramPosHashes.compute($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CharGramPosHashes {
+  /** Shared by eval and codegen. */
+  def compute(s: UTF8String,
+      n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    // code-point start offsets (a UTF-8 continuation byte is 10xxxxxx)
+    val starts = new Array[Int](len + 1)
+    var nChars = 0
+    var i = 0
+    while (i < len) {
+      if ((bytes(i) & 0xC0) != 0x80) { starts(nChars) = i; nChars += 1 }
+      i += 1
+    }
+    starts(nChars) = len
+    val m = nChars - n + 1
+    if (m <= 0) {
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.emptyLongArray)
+    }
+    val out = new Array[Long](m)
+    var g = 0
+    while (g < m) {
+      val from = starts(g)
+      val until = starts(g + n)
+      out(g) = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(bytes,
+          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + from,
+          until - from, 42L)
+      g += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 }
 

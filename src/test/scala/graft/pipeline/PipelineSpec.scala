@@ -1467,6 +1467,29 @@ class PipelineSpec extends SparkSpec {
     assert(out(4L) == ((0L, None)))
   }
 
+  test("CharGramPosHashes: position-aligned, == xxhash64(substring), empty when short") {
+    import spark.implicits._
+    val texts = Seq("0123456789ABCD", "exact-len0", "short", "",
+      "юникод текст αβγ", "emoji 😀 pair ok!")
+    val df = texts.toDF("t").select(col("t"),
+      posexplode(org.apache.spark.sql.graft.VectorExpressions
+        .charGramPosHashes(col("t"), 10)).as(Seq("st", "h")))
+      .withColumn("w", expr("substring(t, st + 1, 10)"))
+      .withColumn("hx", xxhash64(col("w")))
+    val rows = df.collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("h") == r.getAs[Long]("hx"),
+        s"hash mismatch at st=${r.getAs[Int]("st")} of '${r.getAs[String]("t")}'")
+    }
+    // per-text window counts: len-10+1 positions, none for shorter text
+    val counts = rows.groupBy(_.getAs[String]("t")).view.mapValues(_.length)
+    assert(counts("0123456789ABCD") == 5)
+    assert(counts("exact-len0") == 1)
+    assert(!counts.contains("short") && !counts.contains(""))
+    // code-point semantics: 16 cps → 7 windows despite multibyte UTF-8
+    assert(counts("юникод текст αβγ") == 7)
+  }
+
   test("repeatedSpanRemoval: exact cut boundaries, phase shift, full wipe") {
     import spark.implicits._
     def md5hex(s: String): String =
