@@ -66,6 +66,10 @@ object Bench {
     "p80_span_removal",   // stride-1 window hash counts + span cut fold
     "p81_bigram_lm",      // bigram+unigram count joins, id rollup
     "p82_benchmark_scrub", // broadcast bench-window match + span cut
+    "p85_bm25_topk",      // inverted-index BM25 + bounded-heap top-k
+    "p86_paragraph_neardup", // paragraph-level shingle-join Jaccard
+    "p87_hard_negatives", // sub-threshold cosine top-k mining
+    "p88_bpe_pair_stats", // vocab-collapsed char-pair counts
     "s08_stream_trending", // streaming windowed counts + bounded rank
     "s01_stream_hourly",  // structured streaming
     "x03_asof_join",      // union+window as-of composition
@@ -229,18 +233,36 @@ object Bench {
       name -> (if (sp == Double.MaxValue) -1.0 else
         math.round(sp * 1000) / 1000.0)
     }
-    val qJson = results.map { case (k, v) => s""""$k":$v""" }
+    // The driver captures only the LAST ~2000 chars of output and parses
+    // the JSON line out of that tail — BENCH_r06 was unparseable because
+    // full-precision doubles + the complete spread map pushed the line to
+    // ~3.5k chars and its head was truncated. Keep the stdout line compact
+    // (ms precision, spread restricted to entries that failed to stabilize,
+    // numeric sf) and write the full-detail version to bench_out.json.
+    def fmt(v: Double): String =
+      if (v < 0) "-1" else f"$v%.3f"
+    val qJson = results.map { case (k, v) => s""""$k":${fmt(v)}""" }
       .mkString("{", ",", "}")
-    val spreadJson = spreads.map { case (k, v) => s""""$k":$v""" }
+    val unstable = spreads.filter { case (_, v) => v < 0 || v > stableTol }
+    val spreadJson = unstable.map { case (k, v) => s""""$k":${fmt(v)}""" }
+      .mkString("{", ",", "}")
+    val fullSpreadJson = spreads.map { case (k, v) => s""""$k":$v""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val sfNum = "sf([0-9.]+)/?$".r.findFirstMatchIn(sfDir)
+      .map(_.group(1)).getOrElse("0")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"spread":$spreadJson,"sf":"$sfDir","runs":$nRuns,"max_runs":$maxRuns}"""
-    // Belt and braces for the driver's parser: the line goes to raw stdout
-    // (build.sbt routes forked output past sbt's logger) AND to a file.
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qJson,"spread":$spreadJson,"sf":$sfNum,"runs":$nRuns}"""
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${results
+        .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+      },"spread":$fullSpreadJson,"sf":"$sfDir","runs":$nRuns,"max_runs":$maxRuns}"""
+    // Belt and braces for the driver's parser: the compact line goes to raw
+    // stdout (build.sbt routes forked output past sbt's logger); the
+    // full-detail line goes to a file.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(outPath), line + "\n")
+      java.nio.file.Paths.get(outPath), fullLine + "\n")
     catch { case _: Throwable => () }
     println(line)
     spark.stop()

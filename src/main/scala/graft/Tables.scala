@@ -23,10 +23,24 @@ object Tables {
     if (name == "events")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType.typeName == "long")
-      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else df
+    if (name == "events") normalizeTs(df) else df
   }
+
+  /** Normalize events.ts to TIMESTAMP (LTZ) regardless of how the driver
+    * generated the parquet: nanos surface as long under the legacy conf
+    * (truncate to µs — the same truncation DuckDB applies), and a
+    * micros-without-timezone file surfaces as TIMESTAMP_NTZ, which
+    * `unix_micros` and streaming watermarks both reject. Session timezone
+    * is UTC everywhere in this project, so the NTZ→LTZ cast is a pure
+    * type-tag change with identical wall-clock values (and identical
+    * DuckDB oracle output).
+    */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType.typeName match {
+      case "long" => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case "timestamp_ntz" => df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
 
   /** Register every table as a temp view named after the file. */
   def registerAll(spark: SparkSession, dir: String): Unit =

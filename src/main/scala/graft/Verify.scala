@@ -20,13 +20,25 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A query that throws must be LOUD, not just absent: in round 6 the
+    // regenerated events.parquet (µs → TIMESTAMP_NTZ) broke six queries and
+    // their rows silently vanished from CORRECTNESS instead of going red.
+    // Failures still don't abort the dump (one bad query must not zero the
+    // round), but they are listed in _failed.json next to the results.
+    val failed = scala.collection.mutable.ListBuffer[String]()
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed += name
+        System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
       }
     }
+    Files.writeString(Paths.get(s"$outDir/_failed.json"),
+      failed.map(n => "\"" + n + "\"").mkString("[", ",", "]"))
+    if (failed.nonEmpty)
+      System.err.println(
+        s"[verify] ${failed.size} queries FAILED: ${failed.mkString(", ")}")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

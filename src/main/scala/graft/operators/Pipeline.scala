@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
-import graft.pipeline.{Corpus, Dedup, Fuzzy, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Corpus, Dedup, Fuzzy, Multimodal, Retrieval, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators (dedup, similarity search, text
   * analysis, multimodal) wired to the driver tables.
@@ -2819,6 +2819,178 @@ object Pipeline {
         |    AS chars_per_token
         |FROM t GROUP BY lang""".stripMargin) { (s, dir) =>
       TextAnalysis.fertilityByLang(t(s, dir, "documents"))
+    },
+
+    // ---- retrieval tier (p85-p88) --------------------------------------
+
+    // Okapi BM25 top-k: queries are the first 30 tokens of docs 0-4; the
+    // oracle recomputes the identical formula (idf = ln(1+(N-df+.5)/(df+.5)),
+    // same multiplication order), both sides ROUND 6 before the
+    // (score desc, doc_id) rank cut — the p81 float-portability rule.
+    QueryDef("p85_bm25_topk",
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
+        |         THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(
+        |           lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+')
+        |    END AS tk
+        |  FROM documents),
+        |post AS (SELECT doc_id AS id, t AS term, count(*) AS tf
+        |         FROM (SELECT doc_id, unnest(tk) AS t FROM toks)
+        |         GROUP BY 1, 2),
+        |dl AS (SELECT id, sum(tf) AS dl FROM post GROUP BY 1),
+        |dft AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+        |scal AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+        |                (SELECT sum(tf) FROM post) AS total_tokens),
+        |qt AS (SELECT DISTINCT qid, term FROM
+        |         (SELECT doc_id AS qid, unnest(tk[1:30]) AS term
+        |          FROM toks WHERE doc_id < 5)),
+        |sc AS (SELECT q.qid, p.id,
+        |    round(sum(
+        |      ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+        |        * p.tf * 2.2
+        |        / (p.tf + 1.2 * (0.25 + 0.75 * l.dl /
+        |            (CAST(s.total_tokens AS DOUBLE) / s.n_docs)))), 6)
+        |      AS score
+        |  FROM post p JOIN qt q USING (term) JOIN dft d USING (term)
+        |  JOIN dl l ON l.id = p.id CROSS JOIN scal s
+        |  GROUP BY 1, 2),
+        |rk AS (SELECT qid, id AS doc_id, score,
+        |    ROW_NUMBER() OVER (PARTITION BY qid
+        |                       ORDER BY score DESC, id) AS rank
+        |  FROM sc)
+        |SELECT qid, doc_id, score, CAST(rank AS BIGINT) AS rank
+        |FROM rk WHERE rank <= 10""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val queries = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"),
+          concat_ws(" ", slice(TextAnalysis.tokens(lower(col("text"))),
+            1, 30)).as("qtext"))
+      Retrieval.bm25TopK(docs, queries, k = 10)
+        .withColumn("rank", col("rank").cast("long"))
+    },
+
+    // Cross-document near-dup paragraphs: corpus = documents + a planted
+    // 17-token boilerplate paragraph (3 variants) on every 40th doc —
+    // cross-variant word-3-gram Jaccard 14/16 = 0.875 ≥ 0.6, so the
+    // plants pair across docs; the oracle recomputes the exact relational
+    // set arithmetic over gram STRINGS (Spark joins gram HASHES — equal
+    // counts at 2⁻⁶⁴, the p04 argument).
+    QueryDef("p86_paragraph_neardup",
+      """WITH corpus AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 40 = 0
+        |         THEN chr(10) || chr(10) ||
+        |           'shared boilerplate paragraph about retrieval ' ||
+        |           'augmented training data pipelines quality filtering ' ||
+        |           'deduplication and sampling strategies variant ' ||
+        |           CAST(doc_id % 3 AS VARCHAR)
+        |         ELSE '' END AS text
+        |  FROM documents),
+        |b AS (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS ps
+        |      FROM corpus),
+        |e AS (SELECT doc_id, ps, unnest(generate_series(1, len(ps))) AS pos
+        |      FROM b),
+        |x AS (SELECT doc_id, pos, ps[pos] AS para FROM e
+        |      WHERE length(regexp_replace(ps[pos], '^\s+|\s+$', '', 'g'))
+        |            > 0),
+        |tk AS (SELECT doc_id, pos,
+        |    string_split_regex(
+        |      lower(regexp_replace(para, '^\s+|\s+$', '', 'g')), '\s+') AS t
+        |  FROM x),
+        |g AS (SELECT doc_id, pos,
+        |    list_distinct(list_transform(generate_series(1, len(t) - 2),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS grams
+        |  FROM tk WHERE len(t) >= 5),
+        |sh AS (SELECT doc_id, pos, unnest(grams) AS gr FROM g),
+        |sz AS (SELECT doc_id, pos, len(grams) AS n_sh FROM g),
+        |pr AS (SELECT a.doc_id AS doc_a, a.pos AS pos_a,
+        |    b.doc_id AS doc_b, b.pos AS pos_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.gr = b.gr AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4),
+        |j AS (SELECT pr.doc_a, pr.pos_a, pr.doc_b, pr.pos_b, pr.inter,
+        |    sa.n_sh AS n_a, sb.n_sh AS n_b
+        |  FROM pr
+        |  JOIN sz sa ON sa.doc_id = pr.doc_a AND sa.pos = pr.pos_a
+        |  JOIN sz sb ON sb.doc_id = pr.doc_b AND sb.pos = pr.pos_b)
+        |SELECT doc_a, pos_a, doc_b, pos_b,
+        |  round(CAST(inter AS DOUBLE) / (n_a + n_b - inter), 6) AS jaccard
+        |FROM j
+        |WHERE CAST(inter AS DOUBLE) / (n_a + n_b - inter) >= 0.6"""
+        .stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), when(col("doc_id") % 40 === 0,
+          concat(lit("\n\nshared boilerplate paragraph about retrieval " +
+            "augmented training data pipelines quality filtering " +
+            "deduplication and sampling strategies variant "),
+            (col("doc_id") % 3).cast("string")))
+          .otherwise(lit(""))).as("text"))
+      Retrieval.paragraphNearDupPairs(docs, n = 3, threshold = 0.6,
+        minTokens = 5)
+    },
+
+    // Hard-negative mining: corpus = embeddings + exact copies of the 5
+    // query vectors (score 1.0 = the "positive/duplicate band"); the
+    // ≤ 0.99 cut drops self-matches and the planted positives, leaving
+    // the hardest sub-threshold neighbors — all SQL-expressible, so the
+    // oracle recomputes the full ranking (no boolean gate needed).
+    QueryDef("p87_hard_negatives",
+      """WITH c AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 2000000, embedding FROM embeddings
+        |  WHERE vec_id < 5),
+        |q AS (SELECT vec_id AS qid, embedding AS qvec
+        |      FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.qid, c.vec_id,
+        |    ROUND(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |                                 CAST(q.qvec AS DOUBLE[])), 6)
+        |      AS score
+        |  FROM c CROSS JOIN q),
+        |f AS (SELECT * FROM scored WHERE score <= 0.99),
+        |ranked AS (
+        |  SELECT qid, vec_id, score,
+        |    ROW_NUMBER() OVER (PARTITION BY qid
+        |                       ORDER BY score DESC, vec_id) AS rank
+        |  FROM f)
+        |SELECT qid, vec_id, score, CAST(rank AS BIGINT) AS rank
+        |FROM ranked WHERE rank <= 10""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val plants = e.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding"))
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Retrieval.hardNegativeTopK(e.unionAll(plants), queries,
+        k = 10, maxScore = 0.99)
+        .withColumn("rank", col("rank").cast("long"))
+    },
+
+    // One BPE merge-round statistic: adjacent char-pair counts weighted
+    // by word frequency, top 20 by (count desc, pair asc) — exact int64
+    // counts, binary string collation in both engines, deterministic cut.
+    QueryDef("p88_bpe_pair_stats",
+      """WITH toks AS (
+        |  SELECT CASE
+        |    WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
+        |    THEN CAST([] AS VARCHAR[])
+        |    ELSE string_split_regex(
+        |      lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+')
+        |    END AS tk
+        |  FROM documents),
+        |w AS (SELECT t AS w, count(*) AS wc
+        |      FROM (SELECT unnest(tk) AS t FROM toks) GROUP BY 1),
+        |p AS (SELECT wc, unnest(
+        |    CASE WHEN length(w) < 2 THEN CAST([] AS VARCHAR[])
+        |         ELSE list_transform(generate_series(1, length(w) - 1),
+        |                             i -> w[i:i+1]) END) AS pair
+        |  FROM w),
+        |c AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS n
+        |      FROM p GROUP BY 1)
+        |SELECT pair, n FROM c ORDER BY n DESC, pair LIMIT 20"""
+        .stripMargin) { (s, dir) =>
+      Retrieval.bpePairStats(t(s, dir, "documents"), topN = 20)
     }
   )
 

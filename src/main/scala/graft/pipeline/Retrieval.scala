@@ -1,0 +1,204 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sparse lexical retrieval + retrieval-adjacent mining operators for the
+  * training-data tier (reference scope: none — the dsq reference is a
+  * batch SQL CLI, /root/reference/README.md; this extends SURVEY §2.7's
+  * LLM-pipeline operators with the retrieval primitives a data-curation
+  * stack needs: BM25 scoring for query-based corpus audit, and
+  * hard-negative mining for contrastive training sets).
+  *
+  * Scale design: BM25 is the inverted-index pattern end-to-end — the
+  * postings table is the only large intermediate, every join is keyed by
+  * term, the query side is tiny and broadcast, and the final top-k runs
+  * through the bounded-heap TopKPairs aggregate (≤ k rows per query per
+  * partition cross the shuffle, no per-query sort of the corpus). At
+  * 100 TB the postings build is a single explode + partial-aggregated
+  * groupBy, and scoring touches only postings whose term appears in some
+  * query — the term-keyed semi-join prunes the corpus scan the same way
+  * p24's contamination check does.
+  */
+object Retrieval {
+
+  import TextAnalysis.tokens
+
+  /** Per-document postings: one row per (id, term, tf), plus doc length
+    * in tokens. Lowercased whitespace tokenization (the p81 convention).
+    */
+  private def postings(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"), explode(tokens(lower(col(textCol))))
+        .as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+
+  /** Okapi BM25 top-k retrieval: score = Σ_t idf(t) · tf·(k1+1) /
+    * (tf + k1·(1 − b + b·dl/avgdl)), idf = ln(1 + (N − df + ½)/(df + ½))
+    * (the always-positive BM25+ idf). Scores are rounded to 6 decimals
+    * before ranking (the p81 float-portability rule) and ties break on
+    * doc id, so the top-k cut is deterministic and engine-portable.
+    *
+    * `queries`: (qid, qtext). Query terms are the DISTINCT tokens of
+    * `qtext` — set semantics, each matching term scored once.
+    *
+    * Distributed shape: postings groupBy (term-keyed, partial-agg); df
+    * groupBy (term-keyed); the scalar N/avgdl ride a one-row broadcast
+    * crossJoin (no collect); query terms broadcast into the postings
+    * join so the corpus-side shuffle carries only matching terms; final
+    * per-query top-k is the bounded-heap aggregate, never a window sort.
+    */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75,
+      idCol: String = "doc_id", textCol: String = "text",
+      qidCol: String = "qid", qtextCol: String = "qtext"): DataFrame = {
+    val post = postings(docs, idCol, textCol)
+    val dl = post.groupBy("id").agg(sum("tf").as("dl"))
+    val dfT = post.groupBy("term").agg(count(lit(1)).as("df"))
+    // N counts ALL docs (empty docs have no postings but are documents),
+    // avgdl over the same denominator — both exact-int inputs.
+    val scalars = docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(post.agg(sum("tf").as("total_tokens")))
+    val qTerms = queries
+      .select(col(qidCol).as("qid"),
+        explode(tokens(lower(col(qtextCol)))).as("term"))
+      .distinct()
+    val scored = post
+      .join(broadcast(qTerms), Seq("term"))
+      .join(dfT, Seq("term"))
+      .join(dl, Seq("id"))
+      .crossJoin(broadcast(scalars))
+      .withColumn("avgdl",
+        col("total_tokens").cast("double") / col("n_docs").cast("double"))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs").cast("double") - col("df") + 0.5) /
+          (col("df").cast("double") + 0.5)))
+      .withColumn("w",
+        col("idf") * col("tf").cast("double") * (k1 + 1.0) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") /
+              col("avgdl"))))
+      .groupBy("qid", "id")
+      .agg(round(sum("w"), 6).as("score"))
+    Similarity.rankTopK(
+      scored.select(col("qid"), col("id").as(idCol), col("score")),
+      k, "qid", idCol)
+  }
+
+  /** Hard-negative mining for contrastive training: per query, the top-k
+    * most-similar corpus vectors whose cosine is AT MOST `maxScore` —
+    * near the decision boundary but below the positive/duplicate band
+    * (the standard dense-retrieval negative-sampling recipe: exclude the
+    * positives and their near-duplicates, keep the hardest of the rest).
+    * Self-matches and planted exact copies score 1.0 and fall out of the
+    * ≤ maxScore band by construction. Same broadcast-scan + bounded-heap
+    * shape as [[Similarity.bruteForceTopK]]; in production the scan side
+    * is an ANN shortlist (p07/p08/p49) instead of the full corpus.
+    */
+  def hardNegativeTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+      maxScore: Double = 0.99,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    val scored = corpus.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(queries.select(col(qidCol), col(qvecCol))))
+      .withColumn("score",
+        round(Similarity.cosine(col(vecCol), col(qvecCol)), 6))
+      .filter(col("score") <= maxScore)
+    Similarity.rankTopK(scored, k, qidCol, idCol)
+  }
+
+  /** Paragraph table: one row per (id, pos, para), split on blank lines
+    * (the p32 convention), 1-based pos, empty/blank paragraphs dropped.
+    */
+  def paragraphTable(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+        posexplode(split(col(textCol), "\n\n")).as(Seq("pos0", "para")))
+      .filter(length(regexp_replace(col("para"), "^\\s+|\\s+$", "")) > 0)
+      .select(col(idCol), (col("pos0") + 1).as("pos"), col("para"))
+
+  /** Cross-document near-duplicate PARAGRAPHS: exact word-3-gram Jaccard
+    * ≥ `threshold` between paragraphs of DIFFERENT documents. Fills the
+    * granularity gap between p32 (exact paragraph dedup — catches only
+    * byte-identical boilerplate) and p02/p04 (document-level near-dup —
+    * misses a copied paragraph inside an otherwise-novel doc). This is
+    * the Dolma/RefinedWeb paragraph-dedup shape.
+    *
+    * Fully relational exact set arithmetic (the p58 containment shape):
+    * DISTINCT shingle hashes per paragraph → inverted index on shingle →
+    * pair count = |A∩B| → Jaccard = ∩/(|A|+|B|−∩), all exact int64, one
+    * double division + ROUND 6 at the end. Every shuffle is keyed
+    * (shingle, then pair); paragraph text itself never shuffles. Pair
+    * fan-out is bounded by shingle document frequency — production adds
+    * p45's maxDf cap on boilerplate shingles; not applied here so the
+    * oracle stays an exact mirror.
+    */
+  def paragraphNearDupPairs(docs: DataFrame, n: Int = 3,
+      threshold: Double = 0.6, minTokens: Int = 5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(minTokens >= n, s"minTokens ($minTokens) must be >= n ($n)")
+    val paras = paragraphTable(docs, idCol, textCol)
+      .filter(size(tokens(col("para"))) >= minTokens)
+      .select(col(idCol).as("doc"), col("pos"),
+        // word n-grams over the lowercased whitespace tokens, hashed
+        // (hash-equality = string-equality at 2⁻⁶⁴, the p04 argument);
+        // the minTokens filter above guarantees size ≥ n, so the
+        // sequence bound is ≥ 1 and never hits sequence's descending
+        // start>stop edge case
+        array_distinct(transform(
+          sequence(lit(1), size(tokens(lower(col("para")))) - (n - 1)),
+          i => xxhash64(concat_ws(" ",
+            slice(tokens(lower(col("para"))), i, lit(n))))))
+          .as("grams"))
+      .filter(size(col("grams")) > 0)
+    val sh = paras.select(col("doc"), col("pos"),
+      explode(col("grams")).as("g"))
+    val sizes = paras.select(col("doc"), col("pos"),
+      size(col("grams")).as("n_sh"))
+    val pairs = sh.select(col("g"), col("doc").as("doc_a"),
+        col("pos").as("pos_a"))
+      .join(sh.select(col("g"), col("doc").as("doc_b"),
+        col("pos").as("pos_b")), Seq("g"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "pos_a", "doc_b", "pos_b")
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.select(col("doc").as("doc_a"), col("pos").as("pos_a"),
+        col("n_sh").as("n_a")), Seq("doc_a", "pos_a"))
+      .join(sizes.select(col("doc").as("doc_b"), col("pos").as("pos_b"),
+        col("n_sh").as("n_b")), Seq("doc_b", "pos_b"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("pos_a"), col("doc_b"), col("pos_b"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** One BPE merge-round statistic: corpus-wide counts of adjacent
+    * character pairs inside words, weighted by word frequency — the
+    * argmax of this table IS the first BPE merge (Sennrich et al.,
+    * ACL'16); re-running over merged symbols iterates the training
+    * loop. Top `topN` pairs by (count desc, pair asc) — exact integer
+    * counts, deterministic cut.
+    *
+    * Distributed shape: tokens → word-frequency groupBy collapses the
+    * corpus to DISTINCT words before the character explode (the
+    * pair-generation work scales with vocabulary, not corpus size);
+    * pair counts partial-aggregate; the final top-N is a
+    * TakeOrderedAndProject over #distinct-pairs rows.
+    */
+  def bpePairStats(docs: DataFrame, topN: Int = 20,
+      textCol: String = "text"): DataFrame = {
+    val words = docs
+      .select(explode(tokens(lower(col(textCol)))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+    words
+      .select(col("wc"), explode(
+        when(length(col("w")) < 2, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), length(col("w")) - 1),
+            i => col("w").substr(i, lit(2))))).as("pair"))
+      .groupBy("pair").agg(sum("wc").as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(topN)
+  }
+}

@@ -27,11 +27,9 @@ object Streams {
     val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-    // same dtype guard as Tables.load: only rewrite when the reader
-    // surfaced nanos-as-long (a regenerated micros file needs no rewrite)
-    if (schema("ts").dataType.typeName == "long")
-      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else raw
+    // same dtype normalization as Tables.load (nanos-as-long → µs LTZ,
+    // NTZ → LTZ): watermarks require TIMESTAMP, not TIMESTAMP_NTZ
+    graft.Tables.normalizeTs(raw)
   }
 
   /** Tumbling event-time window aggregation with a watermark. */

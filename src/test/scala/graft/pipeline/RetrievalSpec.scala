@@ -1,0 +1,197 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import graft.dsq.SparkSpec
+
+/** Retrieval-tier invariants (p85-p88), verified against exact
+  * driver-side recomputation on the small corpus.
+  */
+class RetrievalSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def docs = spark.read.parquet(s"$sf/documents.parquet")
+    .select("doc_id", "text")
+
+  private def tokensOf(text: String): Seq[String] = {
+    val t = text.trim.toLowerCase
+    if (t.isEmpty) Seq.empty else t.split("\\s+").toSeq
+  }
+
+  // ---- BM25 ----------------------------------------------------------
+
+  private def bm25Reference(k1: Double = 1.2, b: Double = 0.75)
+      : Map[Long, Seq[(Long, Double)]] = {
+    val all = docs.collect().map(r => r.getLong(0) -> r.getString(1))
+    val toks = all.map { case (id, t) => id -> tokensOf(t) }.toMap
+    val n = all.length.toDouble
+    val df = toks.values.flatMap(_.distinct).groupBy(identity)
+      .map { case (t, xs) => t -> xs.size.toDouble }
+    val dl = toks.map { case (id, tk) => id -> tk.size.toDouble }
+    val avgdl = dl.values.sum / n
+    val queries = all.filter(_._1 < 5)
+      .map { case (id, t) => id -> tokensOf(t).take(30).distinct }
+    queries.map { case (qid, qts) =>
+      val scores = toks.toSeq.flatMap { case (id, tk) =>
+        val tfs = tk.groupBy(identity).map { case (t, xs) => t -> xs.size }
+        val s = qts.flatMap { t =>
+          tfs.get(t).map { tf =>
+            val idf = math.log(1 + (n - df(t) + 0.5) / (df(t) + 0.5))
+            idf * tf * (k1 + 1) /
+              (tf + k1 * (1 - b + b * dl(id) / avgdl))
+          }
+        }.sum
+        if (s == 0.0) None
+        else Some(id -> (math.round(s * 1e6) / 1e6))
+      }
+      qid -> scores.sortBy { case (id, s) => (-s, id) }.take(10)
+    }.toMap
+  }
+
+  test("p85: bm25TopK matches exact driver-side BM25 top-10") {
+    val queries = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"),
+        concat_ws(" ", slice(TextAnalysis.tokens(lower(col("text"))),
+          1, 30)).as("qtext"))
+    val got = Retrieval.bm25TopK(docs, queries, k = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .groupBy(_._1)
+    val want = bm25Reference()
+    assert(got.keySet == want.keySet.filter(want(_).nonEmpty))
+    want.foreach { case (qid, exp) =>
+      val g = got(qid).sortBy(_._4).map(x => (x._2, x._3)).toSeq
+      assert(g == exp,
+        s"qid $qid:\n got  $g\n want $exp")
+    }
+  }
+
+  test("p85: a query retrieves its own source document in the top 10") {
+    // rank 1 is NOT guaranteed: BM25 length normalization can put a
+    // shorter document with the same rare terms (the corpus' planted
+    // near-dups) above the longer source — but the source must be there
+    val queries = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"),
+        concat_ws(" ", slice(TextAnalysis.tokens(lower(col("text"))),
+          1, 30)).as("qtext"))
+    val hits = Retrieval.bm25TopK(docs, queries, k = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    hits.foreach { case (qid, ids) =>
+      assert(ids.contains(qid), s"query $qid top-10 misses its source")
+    }
+  }
+
+  // ---- hard negatives ------------------------------------------------
+
+  test("p87: hard negatives exclude self + planted duplicates, cap 0.99") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val plants = e.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding"))
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val got = Retrieval.hardNegativeTopK(e.unionAll(plants), queries,
+      k = 10, maxScore = 0.99).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (qid, id, score) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      assert(score <= 0.99, s"($qid,$id) score $score above cap")
+      assert(id != qid, s"self-match $qid leaked through")
+      assert(id < 2000000L, s"planted duplicate $id leaked through")
+    }
+    // reference: brute-force top-k over the same corpus minus the band
+    val ref = Similarity.bruteForceTopK(e.unionAll(plants), queries, k = 15)
+      .filter(col("score") <= 0.99).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (q, xs) =>
+        q -> xs.sortBy(x => (-x._3, x._2)).take(10).map(x => (x._2, x._3)).toSeq
+      }
+    val gotBy = got.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+      r.getInt(3))).groupBy(_._1)
+      .map { case (q, xs) => q -> xs.sortBy(_._4).map(x => (x._2, x._3)).toSeq }
+    assert(gotBy == ref)
+  }
+
+  // ---- paragraph near-dup --------------------------------------------
+
+  test("p86: planted cross-doc boilerplate paragraphs pair up") {
+    val planted = docs.select(col("doc_id"),
+      concat(col("text"), when(col("doc_id") % 40 === 0,
+        concat(lit("\n\nshared boilerplate paragraph about retrieval " +
+          "augmented training data pipelines quality filtering " +
+          "deduplication and sampling strategies variant "),
+          (col("doc_id") % 3).cast("string")))
+        .otherwise(lit(""))).as("text"))
+    val pairs = Retrieval.paragraphNearDupPairs(planted, n = 3,
+      threshold = 0.6, minTokens = 5).collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), (r.getLong(2), r.getInt(3)),
+        r.getDouble(4)))
+    // the boilerplate para is appended, so its pos = #raw-split segments
+    // of the original text + 1 (blank segments still count for pos)
+    val boilerPos = docs.filter(col("doc_id") % 40 === 0)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1).split("\n\n", -1).length + 1))
+      .toMap
+    assert(boilerPos.size >= 2)
+    // every pair of planted docs must pair via its boilerplate paragraph
+    val plantedKeys = boilerPos.toSet
+    val plantedPairs = pairs.filter { case (a, b, _) =>
+      plantedKeys.contains(a) && plantedKeys.contains(b)
+    }
+    val expectedN = boilerPos.size * (boilerPos.size - 1) / 2
+    assert(plantedPairs.length == expectedN,
+      s"want $expectedN boilerplate pairs, got ${plantedPairs.length}")
+    plantedPairs.foreach { case (a, b, j) =>
+      // same variant → identical paragraph (j = 1.0); different variant
+      // → 14 shared of 16 total grams = 0.875
+      val sameVariant = (a._1 % 3) == (b._1 % 3)
+      val expJ = if (sameVariant) 1.0 else 0.875
+      assert(math.abs(j - expJ) < 1e-9,
+        s"pair $a-$b jaccard $j, want $expJ")
+    }
+    // threshold respected
+    pairs.foreach { case (a, b, j) =>
+      assert(j >= 0.6, s"pair $a-$b below threshold: $j")
+    }
+  }
+
+  test("p86: pos survives blank-paragraph offsets and self-doc excluded") {
+    import spark.implicits._
+    val tiny = Seq(
+      (1L, "\n\none two three four five six seven\n\n\n\nx"),
+      (2L, "one two three four five six seven"),
+      (3L, "one two three four five six seven\n\none two three four five six seven"))
+      .toDF("doc_id", "text")
+    val pairs = Retrieval.paragraphNearDupPairs(tiny, n = 3,
+      threshold = 0.6, minTokens = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getDouble(4))).toSet
+    // doc1's real paragraph sits at raw-split pos 2 (leading blank)
+    assert(pairs.contains((1L, 2, 2L, 1, 1.0)))
+    assert(pairs.contains((1L, 2, 3L, 1, 1.0)))
+    assert(pairs.contains((1L, 2, 3L, 2, 1.0)))
+    // no same-doc pairs even though doc3 repeats its paragraph
+    assert(!pairs.exists(p => p._1 == p._3))
+  }
+
+  // ---- BPE pair stats ------------------------------------------------
+
+  test("p88: bpePairStats matches exact driver-side recomputation") {
+    val all = docs.collect().map(_.getString(1))
+    val wordCounts = all.flatMap(tokensOf).groupBy(identity)
+      .map { case (w, xs) => w -> xs.size.toLong }
+    val pairCounts = new scala.collection.mutable.HashMap[String, Long]()
+    wordCounts.foreach { case (w, wc) =>
+      val cps = w.codePoints().toArray
+      (0 until cps.length - 1).foreach { i =>
+        val pair = new String(cps, i, 2)
+        pairCounts(pair) = pairCounts.getOrElse(pair, 0L) + wc
+      }
+    }
+    val want = pairCounts.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    val got = Retrieval.bpePairStats(docs, topN = 20)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == want, s"\n got  $got\n want $want")
+  }
+}
