@@ -569,4 +569,40 @@ class PlanSpec extends SparkSpec {
       "sorted layout touched more than half the pages the scattered one did")
     assert(row.getLong(0) > 0, "range probe returned no rows")
   }
+
+  test("p85: BM25 broadcasts query terms; top-k is a bounded heap, no window") {
+    val p = executed("p85_bm25_topk")
+    assert(!p.contains("Window"), s"per-query window sort in BM25:\n$p")
+    assert(p.contains("partial_topkpairs"),
+      s"no map-side partial top-k:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"query-term join is not broadcast — corpus postings would shuffle:\n$p")
+    // the one-row N/avgdl scalars legitimately ride a broadcast
+    // nested-loop cross join; a non-broadcast cartesian would be a bug
+    assert(!p.contains("CartesianProduct"),
+      s"BM25 fell back to a non-broadcast cross product:\n$p")
+  }
+
+  test("p86: paragraph pairs are shingle equi-joins with partial counts") {
+    val p = executed("p86_paragraph_neardup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"paragraph near-dup fell back to a cross product:\n$p")
+    assert(p.contains("partial_count"),
+      s"pair counts not map-side partial:\n$p")
+  }
+
+  test("p87: hard-negative top-k is a bounded heap, no window") {
+    val p = executed("p87_hard_negatives")
+    assert(!p.contains("Window"), s"per-query window sort:\n$p")
+    assert(p.contains("partial_topkpairs"),
+      s"no map-side partial top-k:\n$p")
+  }
+
+  test("p88: BPE top-20 is TakeOrderedAndProject over partial-agg counts") {
+    val p = executed("p88_bpe_pair_stats")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-N cut is a global sort, not a bounded take:\n$p")
+    assert(p.contains("partial_sum") || p.contains("Partial"),
+      s"pair counts not map-side partial:\n$p")
+  }
 }
