@@ -117,6 +117,41 @@ object Retrieval {
       .filter(length(regexp_replace(col("para"), "^\\s+|\\s+$", "")) > 0)
       .select(col(idCol), (col("pos0") + 1).as("pos"), col("para"))
 
+  /** Word n-gram shingle hashes over a MATERIALIZED token-array column
+    * (hash-equality = string-equality at 2⁻⁶⁴, the p04 argument). The
+    * token array must be a stored attribute, NOT an inline
+    * tokens(lower(...)) expression: Catalyst's project collapse inlines
+    * a projected alias into the transform lambda, and a tokenize
+    * expression there re-runs the regex split for EVERY gram index —
+    * O(len²) re-tokenization that cost 30 s at sf0.1 before the
+    * token-array barrier below.
+    */
+  private def gramHashes(tk: Column, n: Int): Column =
+    array_distinct(transform(
+      sequence(lit(1), size(tk) - (n - 1)),
+      i => xxhash64(concat_ws(" ", slice(tk, i, lit(n))))))
+
+  /** Qualifying paragraphs with their token arrays (doc, pos, tk) —
+    * the caller materializes this (barrier/cache) before deriving gram
+    * sets, so tokenization runs exactly once per paragraph.
+    */
+  private def paragraphToks(docs: DataFrame, minTokens: Int,
+      idCol: String, textCol: String): DataFrame =
+    paragraphTable(docs, idCol, textCol)
+      .select(col(idCol).as("doc"), col("pos"),
+        tokens(lower(col("para"))).as("tk"))
+      .filter(size(col("tk")) >= minTokens)
+
+  /** Distinct word-n-gram shingle hashes per qualifying paragraph:
+    * (doc, pos, grams). Spec/diagnostic entry point — production paths
+    * go through the token-array barrier in paragraphNearDupPairs.
+    */
+  private[graft] def paragraphGrams(docs: DataFrame, n: Int,
+      minTokens: Int, idCol: String, textCol: String): DataFrame =
+    paragraphToks(docs, minTokens, idCol, textCol)
+      .select(col("doc"), col("pos"), gramHashes(col("tk"), n).as("grams"))
+      .filter(size(col("grams")) > 0)
+
   /** Cross-document near-duplicate PARAGRAPHS: exact word-3-gram Jaccard
     * ≥ `threshold` between paragraphs of DIFFERENT documents. Fills the
     * granularity gap between p32 (exact paragraph dedup — catches only
@@ -124,45 +159,105 @@ object Retrieval {
     * misses a copied paragraph inside an otherwise-novel doc). This is
     * the Dolma/RefinedWeb paragraph-dedup shape.
     *
-    * Fully relational exact set arithmetic (the p58 containment shape):
-    * DISTINCT shingle hashes per paragraph → inverted index on shingle →
-    * pair count = |A∩B| → Jaccard = ∩/(|A|+|B|−∩), all exact int64, one
-    * double division + ROUND 6 at the end. Every shuffle is keyed
-    * (shingle, then pair); paragraph text itself never shuffles. Pair
-    * fan-out is bounded by shingle document frequency — production adds
-    * p45's maxDf cap on boilerplate shingles; not applied here so the
-    * oracle stays an exact mirror.
+    * EXACT output (identical to all-pairs — the oracle mirrors all-pairs
+    * in SQL) at sub-quadratic cost via the PPJoin prefix filter
+    * (Chaudhuri et al. ICDE'06, Xiao et al. WWW'08): order each
+    * paragraph's shingle set by ascending global document frequency
+    * (rarest first, (df, g) tiebreak for a total order) and index only
+    * the first |X| − ⌈t·|X|⌉ + 1 shingles. Any pair with J ≥ t has
+    * |A∩B| ≥ t·max(|A|,|B|), and two sets sharing that much overlap
+    * MUST collide inside these prefixes — no false negatives. The
+    * boilerplate 3-grams every paragraph contains ("the of the"…) are
+    * the most frequent, land in the un-indexed suffixes, and stop
+    * generating candidate pairs: the naive inverted index was 33 s at
+    * sf0.1 (df² blowup on common shingles), the prefix filter cuts the
+    * candidate join to near-linear. Candidates are then verified with
+    * an exact array_intersect over the two full gram sets (keyed joins
+    * on paragraph identity, per-pair linear merge).
+    *
+    * Every shuffle is keyed (gram df, prefix gram, paragraph identity);
+    * paragraph text itself never shuffles.
     */
   def paragraphNearDupPairs(docs: DataFrame, n: Int = 3,
       threshold: Double = 0.6, minTokens: Int = 5,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(minTokens >= n, s"minTokens ($minTokens) must be >= n ($n)")
-    val paras = paragraphTable(docs, idCol, textCol)
-      .filter(size(tokens(col("para"))) >= minTokens)
-      .select(col(idCol).as("doc"), col("pos"),
-        // word n-grams over the lowercased whitespace tokens, hashed
-        // (hash-equality = string-equality at 2⁻⁶⁴, the p04 argument);
-        // the minTokens filter above guarantees size ≥ n, so the
-        // sequence bound is ≥ 1 and never hits sequence's descending
-        // start>stop edge case
-        array_distinct(transform(
-          sequence(lit(1), size(tokens(lower(col("para")))) - (n - 1)),
-          i => xxhash64(concat_ws(" ",
-            slice(tokens(lower(col("para"))), i, lit(n))))))
-          .as("grams"))
+    require(threshold > 0 && threshold <= 1,
+      s"threshold ($threshold) must be in (0, 1]")
+    // The paragraph table feeds the df count, the prefix index AND both
+    // verify sides — as a lazy plan the split+tokenize subtree would
+    // re-execute for each consumer, and worse, project collapse inlines
+    // the tokenize INTO the gram lambda (O(len²) per-element re-split:
+    // 30 s at sf0.1). Materialize the TOKEN ARRAYS once behind a barrier
+    // (the Dedup signature-barrier pattern: parquet scratch,
+    // scheme-agnostic via graft.barrier.dir); downstream gram hashing is
+    // then cheap array arithmetic over a stored attribute.
+    val toks = Dedup.materializeBarrier(
+      paragraphToks(docs, minTokens, idCol, textCol), "paratoks")
+    val paras = toks
+      .select(col("doc"), col("pos"), gramHashes(col("tk"), n).as("grams"))
       .filter(size(col("grams")) > 0)
+    val sh = paras.select(col("doc"), col("pos"),
+      explode(col("grams")).as("g"))
+    val dfT = sh.groupBy("g").agg(count(lit(1)).as("gdf"))
+    // rarest-first canonical order per paragraph, then the prefix cut:
+    // keep |X| - ceil(t*|X|) + 1 entries
+    val prefixes = sh.join(dfT, Seq("g"))
+      .groupBy("doc", "pos")
+      .agg(sort_array(collect_list(struct(col("gdf"), col("g"))))
+        .as("ordered"))
+      .select(col("doc"), col("pos"), size(col("ordered")).as("n_sh"),
+        explode(slice(transform(col("ordered"), e => e.getField("g")),
+          lit(1),
+          (size(col("ordered")) - ceil(lit(threshold) *
+            size(col("ordered"))).cast("int") + 1))).as("g"))
+    // PPJoin length filter: J ≥ t ⟹ I ≥ t·U ≥ t·max(|A|,|B|) and
+    // I ≤ min(|A|,|B|), so min ≥ t·max — size-incompatible collisions
+    // are dropped before the distinct
+    val cands = prefixes.select(col("g"), col("doc").as("doc_a"),
+        col("pos").as("pos_a"), col("n_sh").as("n_a"))
+      .join(prefixes.select(col("g"), col("doc").as("doc_b"),
+        col("pos").as("pos_b"), col("n_sh").as("n_b")), Seq("g"))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(least(col("n_a"), col("n_b")).cast("double") >=
+        lit(threshold) * greatest(col("n_a"), col("n_b")).cast("double"))
+      .select("doc_a", "pos_a", "doc_b", "pos_b")
+      .distinct()
+    // exact verification: fetch both full gram sets by paragraph key,
+    // intersect per pair (linear in paragraph size, candidates bounded)
+    cands
+      .join(paras.select(col("doc").as("doc_a"), col("pos").as("pos_a"),
+        col("grams").as("grams_a")), Seq("doc_a", "pos_a"))
+      .join(paras.select(col("doc").as("doc_b"), col("pos").as("pos_b"),
+        col("grams").as("grams_b")), Seq("doc_b", "pos_b"))
+      .withColumn("inter",
+        size(array_intersect(col("grams_a"), col("grams_b"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("grams_a")) + size(col("grams_b")) - col("inter"))
+          .cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("pos_a"), col("doc_b"), col("pos_b"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Naive all-pairs inverted-index form — the spec's ground truth for
+    * the prefix filter's no-false-negatives guarantee. Quadratic in
+    * shingle document frequency; never use at scale.
+    */
+  private[pipeline] def paragraphNearDupPairsNaive(docs: DataFrame,
+      n: Int = 3, threshold: Double = 0.6, minTokens: Int = 5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val paras = paragraphGrams(docs, n, minTokens, idCol, textCol)
     val sh = paras.select(col("doc"), col("pos"),
       explode(col("grams")).as("g"))
     val sizes = paras.select(col("doc"), col("pos"),
       size(col("grams")).as("n_sh"))
-    val pairs = sh.select(col("g"), col("doc").as("doc_a"),
-        col("pos").as("pos_a"))
+    sh.select(col("g"), col("doc").as("doc_a"), col("pos").as("pos_a"))
       .join(sh.select(col("g"), col("doc").as("doc_b"),
         col("pos").as("pos_b")), Seq("g"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "pos_a", "doc_b", "pos_b")
       .agg(count(lit(1)).as("inter"))
-    pairs
       .join(sizes.select(col("doc").as("doc_a"), col("pos").as("pos_a"),
         col("n_sh").as("n_a")), Seq("doc_a", "pos_a"))
       .join(sizes.select(col("doc").as("doc_b"), col("pos").as("pos_b"),

@@ -175,6 +175,29 @@ class RetrievalSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == p._3))
   }
 
+  test("p86: prefix filter finds EXACTLY the naive all-pairs result") {
+    // the no-false-negatives guarantee of the PPJoin prefix, empirically:
+    // same planted corpus, prefix-filtered vs quadratic inverted index
+    val planted = docs.select(col("doc_id"),
+      concat(col("text"), when(col("doc_id") % 40 === 0,
+        concat(lit("\n\nshared boilerplate paragraph about retrieval " +
+          "augmented training data pipelines quality filtering " +
+          "deduplication and sampling strategies variant "),
+          (col("doc_id") % 3).cast("string")))
+        .otherwise(lit(""))).as("text"))
+    val fast = Retrieval.paragraphNearDupPairs(planted, n = 3,
+      threshold = 0.6, minTokens = 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getDouble(4))).toSet
+    val naive = Retrieval.paragraphNearDupPairsNaive(planted, n = 3,
+      threshold = 0.6, minTokens = 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getDouble(4))).toSet
+    assert(fast == naive,
+      s"missed: ${naive -- fast}\nextra: ${fast -- naive}")
+    assert(naive.nonEmpty)
+  }
+
   // ---- BPE pair stats ------------------------------------------------
 
   test("p88: bpePairStats matches exact driver-side recomputation") {
