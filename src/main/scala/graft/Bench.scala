@@ -72,6 +72,7 @@ object Bench {
     "p88_bpe_pair_stats", // vocab-collapsed char-pair counts
     "s08_stream_trending", // streaming windowed counts + bounded rank
     "s01_stream_hourly",  // structured streaming
+    "s16_stream_bm25_route", // per-batch BM25 vs static stats
     "x03_asof_join",      // union+window as-of composition
     "x04_range_join",     // bucketed interval join
     "f07_csv_ingest_cold", // CSV parse + agg, no cache (dsq cold analog)

@@ -132,6 +132,41 @@ object Pipeline {
       |  CAST(d AS BIGINT) AS dist
       |FROM a2""".stripMargin
 
+  /** Shared BM25 oracle CTEs (p85 top-k, s16 streaming router): `sc` is
+    * the per-(query, doc) scored relation — the exact SQL mirror of
+    * [[graft.pipeline.Retrieval.bm25Scores]] over the documents table
+    * with queries = first 30 tokens of docs 0-4.
+    */
+  private[operators] val bm25ScoredCtes =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
+      |         THEN CAST([] AS VARCHAR[])
+      |         ELSE string_split_regex(
+      |           lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+')
+      |    END AS tk
+      |  FROM documents),
+      |post AS (SELECT doc_id AS id, t AS term, count(*) AS tf
+      |         FROM (SELECT doc_id, unnest(tk) AS t FROM toks)
+      |         GROUP BY 1, 2),
+      |dl AS (SELECT id, sum(tf) AS dl FROM post GROUP BY 1),
+      |dft AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+      |scal AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+      |                (SELECT sum(tf) FROM post) AS total_tokens),
+      |qt AS (SELECT DISTINCT qid, term FROM
+      |         (SELECT doc_id AS qid, unnest(tk[1:30]) AS term
+      |          FROM toks WHERE doc_id < 5)),
+      |sc AS (SELECT q.qid, p.id,
+      |    round(sum(
+      |      ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+      |        * p.tf * 2.2
+      |        / (p.tf + 1.2 * (0.25 + 0.75 * l.dl /
+      |            (CAST(s.total_tokens AS DOUBLE) / s.n_docs)))), 6)
+      |      AS score
+      |  FROM post p JOIN qt q USING (term) JOIN dft d USING (term)
+      |  JOIN dl l ON l.id = p.id CROSS JOIN scal s
+      |  GROUP BY 1, 2)""".stripMargin
+
   private[operators] val minhashPairsSql =
     s"""WITH $corpusSql,
        |$shingleSql,
@@ -2828,34 +2863,7 @@ object Pipeline {
     // same multiplication order), both sides ROUND 6 before the
     // (score desc, doc_id) rank cut — the p81 float-portability rule.
     QueryDef("p85_bm25_topk",
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |    CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
-        |         THEN CAST([] AS VARCHAR[])
-        |         ELSE string_split_regex(
-        |           lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+')
-        |    END AS tk
-        |  FROM documents),
-        |post AS (SELECT doc_id AS id, t AS term, count(*) AS tf
-        |         FROM (SELECT doc_id, unnest(tk) AS t FROM toks)
-        |         GROUP BY 1, 2),
-        |dl AS (SELECT id, sum(tf) AS dl FROM post GROUP BY 1),
-        |dft AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
-        |scal AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
-        |                (SELECT sum(tf) FROM post) AS total_tokens),
-        |qt AS (SELECT DISTINCT qid, term FROM
-        |         (SELECT doc_id AS qid, unnest(tk[1:30]) AS term
-        |          FROM toks WHERE doc_id < 5)),
-        |sc AS (SELECT q.qid, p.id,
-        |    round(sum(
-        |      ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
-        |        * p.tf * 2.2
-        |        / (p.tf + 1.2 * (0.25 + 0.75 * l.dl /
-        |            (CAST(s.total_tokens AS DOUBLE) / s.n_docs)))), 6)
-        |      AS score
-        |  FROM post p JOIN qt q USING (term) JOIN dft d USING (term)
-        |  JOIN dl l ON l.id = p.id CROSS JOIN scal s
-        |  GROUP BY 1, 2),
+      s"""$bm25ScoredCtes,
         |rk AS (SELECT qid, id AS doc_id, score,
         |    ROW_NUMBER() OVER (PARTITION BY qid
         |                       ORDER BY score DESC, id) AS rank
@@ -2869,6 +2877,83 @@ object Pipeline {
             1, 30)).as("qtext"))
       Retrieval.bm25TopK(docs, queries, k = 10)
         .withColumn("rank", col("rank").cast("long"))
+    },
+
+    // RM3 pseudo-relevance feedback: expansion terms from the BM25
+    // top-10 feedback docs, query terms anti-joined out, exact-integer
+    // counts with a (cnt desc, term) deterministic cut.
+    QueryDef("p89_query_expansion",
+      s"""$bm25ScoredCtes,
+        |rk AS (SELECT qid, id, score,
+        |    ROW_NUMBER() OVER (PARTITION BY qid
+        |                       ORDER BY score DESC, id) AS rank
+        |  FROM sc),
+        |top AS (SELECT qid, id FROM rk WHERE rank <= 10),
+        |ft AS (SELECT t.qid, u.term, count(*) AS cnt
+        |  FROM top t
+        |  JOIN (SELECT doc_id, unnest(tk) AS term FROM toks) u
+        |    ON u.doc_id = t.id
+        |  GROUP BY 1, 2),
+        |fx AS (SELECT f.qid, f.term, f.cnt FROM ft f
+        |  LEFT JOIN qt q ON q.qid = f.qid AND q.term = f.term
+        |  WHERE q.term IS NULL),
+        |er AS (SELECT qid, term, cnt,
+        |    ROW_NUMBER() OVER (PARTITION BY qid
+        |                       ORDER BY cnt DESC, term) AS rank
+        |  FROM fx)
+        |SELECT qid, term, CAST(cnt AS BIGINT) AS cnt,
+        |  CAST(rank AS BIGINT) AS rank
+        |FROM er WHERE rank <= 5""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val queries = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"),
+          concat_ws(" ", slice(TextAnalysis.tokens(lower(col("text"))),
+            1, 30)).as("qtext"))
+      Retrieval.queryExpansionTerms(docs, queries, k = 10, expandN = 5)
+    },
+
+    // Retrieval eval harness: recall@10 / MRR@10 / nDCG@10 of the BM25
+    // ranking against a term-containment gold set (≥ 4/5 of the query's
+    // distinct terms, integer cross-multiply). Gold and pred both derive
+    // from the shared `sc`/`qt`/`post` CTEs, so the oracle replays the
+    // whole eval: ranking, gold membership, and the metric arithmetic
+    // (exact-int hits/ranks; DCG/ratios rounded 6).
+    QueryDef("p90_retrieval_eval",
+      s"""$bm25ScoredCtes,
+        |rk AS (SELECT qid, id, score,
+        |    ROW_NUMBER() OVER (PARTITION BY qid
+        |                       ORDER BY score DESC, id) AS rank
+        |  FROM sc),
+        |pred AS (SELECT qid, id, rank FROM rk WHERE rank <= 10),
+        |qn AS (SELECT qid, count(*) AS qn FROM qt GROUP BY 1),
+        |gold AS (SELECT m.qid, m.id FROM
+        |    (SELECT q.qid, p.id, count(*) AS m
+        |     FROM post p JOIN qt q USING (term) GROUP BY 1, 2) m
+        |  JOIN qn USING (qid)
+        |  WHERE m.m * 5 >= qn.qn * 4),
+        |gn AS (SELECT qid, count(*) AS n_gold FROM gold GROUP BY 1),
+        |h AS (SELECT p.qid, count(*) AS hits, min(p.rank) AS first_hit,
+        |    sum(1.0 / log2(p.rank + 1)) AS dcg
+        |  FROM pred p JOIN gold g ON g.qid = p.qid AND g.id = p.id
+        |  GROUP BY 1)
+        |SELECT gn.qid, CAST(gn.n_gold AS BIGINT) AS n_gold,
+        |  CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+        |  round(COALESCE(h.hits, 0) / CAST(gn.n_gold AS DOUBLE), 6)
+        |    AS recall,
+        |  round(COALESCE(CAST(1 AS DOUBLE) / h.first_hit, 0), 6) AS mrr,
+        |  round(COALESCE(h.dcg, 0) / list_sum(list_transform(
+        |      range(1, least(10, gn.n_gold) + 1),
+        |      r -> 1.0 / log2(r + 1))), 6) AS ndcg
+        |FROM gn LEFT JOIN h USING (qid)""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val queries = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"),
+          concat_ws(" ", slice(TextAnalysis.tokens(lower(col("text"))),
+            1, 30)).as("qtext"))
+      Retrieval.rankingMetrics(
+        Retrieval.bm25TopK(docs, queries, k = 10),
+        Retrieval.termContainmentGold(docs, queries, num = 4, den = 5),
+        k = 10)
     },
 
     // Cross-document near-dup paragraphs: corpus = documents + a planted

@@ -386,6 +386,64 @@ object Scale {
     * keep byte-identical file lists, the target partition's files are
     * replaced.
     */
+  /** x20: REBALANCE-hinted skew-proof partitioned write. 90% of events
+    * funnel onto one 'hot' partition key; the rebalance shuffle plus a
+    * small advisory partition size makes AQE split the hot key's output
+    * across multiple writer tasks (OptimizeSkewInRebalancePartitions),
+    * so the hot directory gets several right-sized files instead of one
+    * giant straggler, while each cold key stays exactly one file.
+    */
+  private[graft] def rebalanceWrite(s: SparkSession,
+      dir: String): DataFrame = {
+    val base = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      "graft_fmt", "x20_rebalance").toString
+    val events = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("value"),
+        when(col("event_id") % 10 < 9, lit("hot"))
+          .otherwise(concat(lit("cold_"),
+            (col("event_id") % 10).cast("string"))).as("skew_key"))
+    // AQE splits a skewed rebalance partition by MAP-INDEX ranges, so a
+    // single-mapper source is unsplittable — and the sf0.01 events file
+    // is one row group (one task), while CollapseRepartition folds any
+    // inline repartition INTO the rebalance. Stage the source as 8
+    // parquet files and read them back as 8 map tasks (maxPartitionBytes
+    // small enough that the 4 MB per-file open cost fills a bin) — at
+    // production scale the source is always many-mapper; the staging
+    // step recreates that reality at gate scale.
+    val staging = s"${base}_src"
+    events.repartition(8, col("event_id"))
+      .write.mode("overwrite").parquet(staging)
+    val prev = Seq(
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.files.maxPartitionBytes").map(k => k -> s.conf.getOption(k))
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+    s.conf.set("spark.sql.files.maxPartitionBytes", "4m")
+    try
+      s.read.parquet(staging).hint("rebalance", col("skew_key"))
+        .write.mode("overwrite").partitionBy("skew_key").parquet(base)
+    finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    val fs = basePath.getFileSystem(s.sessionState.newHadoopConf())
+    val filesPerKey: Map[String, Int] =
+      fs.listStatus(basePath).filter(_.isDirectory).map { d =>
+        d.getPath.getName.stripPrefix("skew_key=") ->
+          fs.listStatus(d.getPath)
+            .count(_.getPath.getName.endsWith(".parquet"))
+      }.toMap
+    val hotSplit = filesPerKey.getOrElse("hot", 0) >= 2
+    val coldsSingle = filesPerKey.view
+      .filterKeys(_ != "hot").values.forall(_ == 1)
+    s.read.parquet(base)
+      .groupBy("skew_key")
+      .agg(count(lit(1)).as("n"))
+      .select(col("skew_key"), col("n"),
+        lit(hotSplit).as("hot_split"), lit(coldsSingle).as("colds_single"))
+  }
+
   private[graft] def dynamicPartitionOverwrite(s: SparkSession,
       dir: String): DataFrame = {
     val base = java.nio.file.Paths.get(
@@ -871,6 +929,23 @@ object Scale {
         |WHERE o_custkey = (SELECT min(o_custkey) FROM orders)"""
         .stripMargin) { (s, dir) =>
       parquetBloomStats(s, dir)
+    },
+
+    // Skew-proof partitioned write: REBALANCE on the partition key makes
+    // AQE split the hot partition's oversized shuffle output into
+    // advisory-sized chunks (multiple writer tasks → multiple right-sized
+    // files) while the cold partitions stay single-file — the fix for the
+    // one-giant-file-per-hot-partition write pattern that serializes a
+    // 100 TB backfill onto one task. Booleans assert the file layout
+    // (hot dir ≥ 2 files, every cold dir exactly 1); counts are
+    // oracle-recomputed.
+    QueryDef("x20_rebalance_write",
+      """SELECT CASE WHEN event_id % 10 < 9 THEN 'hot'
+        |  ELSE 'cold_' || CAST(event_id % 10 AS VARCHAR) END AS skew_key,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  true AS hot_split, true AS colds_single
+        |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+      rebalanceWrite(s, dir)
     },
 
     // AQE shuffle coalescing: runtime right-sizing of a tiny post-filter

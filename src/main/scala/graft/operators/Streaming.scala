@@ -370,6 +370,54 @@ object Streaming {
       s.read.parquet(outDir)
     },
 
+    // Streaming BM25 contamination router: docs scored on arrival
+    // against the static benchmark-query set using STATIC corpus
+    // statistics (df/N/avgdl from the reference snapshot, broadcast
+    // into every micro-batch) — per-doc scoring is stateless, so the
+    // accumulated stream output must equal the batch scored relation
+    // (shared `sc` oracle) filtered to the routing threshold. This is
+    // p24's contamination idea with a graded lexical score instead of
+    // a boolean n-gram hit: incoming docs routed to the benchmark
+    // queries they might contaminate, hardest matches first. At 100 TB
+    // the static stats are a one-off batch job; the per-batch cost is
+    // one postings explode + broadcast joins, no cross-batch state.
+    QueryDef("s16_stream_bm25_route",
+      s"""${Pipeline.bm25ScoredCtes}
+        |SELECT qid, id AS doc_id, score FROM sc
+        |WHERE score >= 4.0""".stripMargin) { (s, dir) =>
+      import graft.pipeline.Retrieval
+      val docs = graft.Tables.load(s, dir, "documents")
+        .select("doc_id", "text")
+      val queries = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"),
+          concat_ws(" ", slice(graft.pipeline.TextAnalysis.tokens(
+            lower(col("text"))), 1, 30)).as("qtext"))
+      val base = java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_fmt").toString
+      val srcDir = s"$base/s16_stream_src"
+      val outDir = s"$base/s16_routed"
+      rmTree(new java.io.File(srcDir)); rmTree(new java.io.File(outDir))
+      new java.io.File(srcDir).mkdirs()
+      writeSingle(docs.filter(col("doc_id") % 2 === 0), srcDir, "batch_a")
+      writeSingle(docs.filter(col("doc_id") % 2 === 1), srcDir, "batch_b")
+      val schema = s.read.parquet(srcDir).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(srcDir)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          Retrieval.bm25Scores(batch, queries, statsFrom = docs)
+            .filter(col("score") >= 4.0)
+            .write.mode("append").parquet(outDir)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(outDir)
+    },
+
     // Streaming CDC apply: the p68 release deltas consumed as a stream,
     // each micro-batch merged into a materialized corpus store by
     // copy-on-write (anti-join out the touched ids, append the new

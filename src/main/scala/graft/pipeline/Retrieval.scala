@@ -48,22 +48,32 @@ object Retrieval {
     * join so the corpus-side shuffle carries only matching terms; final
     * per-query top-k is the bounded-heap aggregate, never a window sort.
     */
-  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int = 10,
+  /** Per-(query, doc) BM25 scores — the relation under [[bm25TopK]]'s
+    * rank cut. `statsFrom` supplies the corpus statistics (df, N,
+    * avgdl): by default the scored docs themselves; the streaming
+    * router (s16) passes the static corpus snapshot so per-batch
+    * scoring is stateless and batch-order-independent.
+    */
+  def bm25Scores(docs: DataFrame, queries: DataFrame,
+      statsFrom: DataFrame = null,
       k1: Double = 1.2, b: Double = 0.75,
       idCol: String = "doc_id", textCol: String = "text",
       qidCol: String = "qid", qtextCol: String = "qtext"): DataFrame = {
+    val statsDocs = Option(statsFrom).getOrElse(docs)
     val post = postings(docs, idCol, textCol)
+    val statsPost =
+      if (statsDocs eq docs) post else postings(statsDocs, idCol, textCol)
     val dl = post.groupBy("id").agg(sum("tf").as("dl"))
-    val dfT = post.groupBy("term").agg(count(lit(1)).as("df"))
+    val dfT = statsPost.groupBy("term").agg(count(lit(1)).as("df"))
     // N counts ALL docs (empty docs have no postings but are documents),
     // avgdl over the same denominator — both exact-int inputs.
-    val scalars = docs.agg(count(lit(1)).as("n_docs"))
-      .crossJoin(post.agg(sum("tf").as("total_tokens")))
+    val scalars = statsDocs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(statsPost.agg(sum("tf").as("total_tokens")))
     val qTerms = queries
       .select(col(qidCol).as("qid"),
         explode(tokens(lower(col(qtextCol)))).as("term"))
       .distinct()
-    val scored = post
+    post
       .join(broadcast(qTerms), Seq("term"))
       .join(dfT, Seq("term"))
       .join(dl, Seq("id"))
@@ -80,9 +90,84 @@ object Retrieval {
               col("avgdl"))))
       .groupBy("qid", "id")
       .agg(round(sum("w"), 6).as("score"))
+      .select(col("qid"), col("id").as(idCol), col("score"))
+  }
+
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75,
+      idCol: String = "doc_id", textCol: String = "text",
+      qidCol: String = "qid", qtextCol: String = "qtext"): DataFrame =
     Similarity.rankTopK(
-      scored.select(col("qid"), col("id").as(idCol), col("score")),
+      bm25Scores(docs, queries, null, k1, b, idCol, textCol, qidCol,
+        qtextCol),
       k, "qid", idCol)
+
+  /** Retrieval-quality metrics (binary relevance): per query, recall@k,
+    * MRR@k, and nDCG@k of a predicted ranking against a gold relevant
+    * set. The offline-eval harness every retrieval/dedup index needs —
+    * run it per release to detect ranking drift (the p07/p08 recall
+    * gates are the ANN special case; this is the general scorer).
+    *
+    * Determinism: hits/first-hit/rank arithmetic is exact-integer; the
+    * DCG sum (≤ k terms of 1/log2(rank+1)) and the final ratios are
+    * rounded to 6 decimals (the p81 float-portability rule).
+    *
+    * Distributed shape: `pred` is ≤ k rows per query and `gold` is the
+    * (small) relevant set — the join is qid+id-keyed and every
+    * aggregate partial-combines; the metrics relation is bounded by
+    * #queries, never corpus-sized. IDCG is computed inline with a
+    * higher-order fold over sequence(1, min(k, n_gold)) — no driver
+    * loop, no lookup-table join.
+    */
+  def rankingMetrics(pred: DataFrame, gold: DataFrame, k: Int,
+      qidCol: String = "qid", idCol: String = "doc_id",
+      rankCol: String = "rank"): DataFrame = {
+    val goldN = gold.groupBy(qidCol).agg(count(lit(1)).as("n_gold"))
+    val hits = pred.filter(col(rankCol) <= k)
+      .join(gold, Seq(qidCol, idCol))
+      .groupBy(qidCol)
+      .agg(count(lit(1)).as("hits"),
+        min(col(rankCol)).as("first_hit"),
+        sum(lit(1.0) / log2(col(rankCol).cast("double") + 1.0)).as("dcg"))
+    val idcg = aggregate(
+      sequence(lit(1), least(lit(k), col("n_gold")).cast("int")),
+      lit(0.0), (acc, r) => acc + lit(1.0) / log2(r.cast("double") + 1.0))
+    goldN.join(hits, Seq(qidCol), "left")
+      .select(col(qidCol),
+        col("n_gold").cast("long").as("n_gold"),
+        coalesce(col("hits"), lit(0L)).cast("long").as("hits"),
+        round(coalesce(col("hits"), lit(0L)).cast("double") /
+          col("n_gold").cast("double"), 6).as("recall"),
+        round(coalesce(lit(1.0) / col("first_hit").cast("double"),
+          lit(0.0)), 6).as("mrr"),
+        round(coalesce(col("dcg"), lit(0.0)) / idcg, 6).as("ndcg"))
+  }
+
+  /** Gold relevant set by query-term containment: docs holding at least
+    * `num`/`den` of the query's DISTINCT terms (integer cross-multiply —
+    * no float threshold, so 24-of-30 at 4/5 can't fall to a 0.8·30 =
+    * 24.000000000000004 binary-fraction artifact). The query's source
+    * doc always qualifies at containment 1, planted dup-cluster copies
+    * follow it, so gold sets are non-degenerate on the test corpus.
+    * Same inverted-index shape as BM25: postings join broadcast query
+    * terms, count matched terms per (qid, doc), threshold against the
+    * broadcast per-query term count.
+    */
+  def termContainmentGold(docs: DataFrame, queries: DataFrame,
+      num: Int = 4, den: Int = 5,
+      idCol: String = "doc_id", textCol: String = "text",
+      qidCol: String = "qid", qtextCol: String = "qtext"): DataFrame = {
+    val qTerms = queries
+      .select(col(qidCol).as("qid"),
+        explode(tokens(lower(col(qtextCol)))).as("term"))
+      .distinct()
+    val qn = qTerms.groupBy("qid").agg(count(lit(1)).as("qn"))
+    postings(docs, idCol, textCol)
+      .join(broadcast(qTerms), Seq("term"))
+      .groupBy("qid", "id").agg(count(lit(1)).as("m"))
+      .join(broadcast(qn), Seq("qid"))
+      .filter(col("m") * den >= col("qn") * num)
+      .select(col("qid"), col("id").as(idCol))
   }
 
   /** Hard-negative mining for contrastive training: per query, the top-k
@@ -267,6 +352,47 @@ object Retrieval {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("pos_a"), col("doc_b"), col("pos_b"),
         round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** RM3-style pseudo-relevance feedback: per query, the top
+    * `expandN` expansion terms mined from its BM25 top-`k` documents —
+    * term occurrence counts over the feedback docs' tokens, the query's
+    * own terms excluded, cut by (count desc, term asc). The classic
+    * query-expansion recipe (Lavrenko & Croft SIGIR'01 relevance models,
+    * counts in place of the smoothed probabilities so the driver gate
+    * stays exact-integer deterministic).
+    *
+    * Distributed shape: the feedback set is k docs per query (tiny) —
+    * it broadcasts into the corpus join, so only the feedback docs'
+    * text is ever tokenized twice; term counts partial-aggregate; the
+    * final rank is a window over a relation bounded by k docs'
+    * vocabulary per query, NOT corpus-sized (the s08 argument for
+    * post-aggregation windows).
+    */
+  def queryExpansionTerms(docs: DataFrame, queries: DataFrame,
+      k: Int = 10, expandN: Int = 5,
+      k1: Double = 1.2, b: Double = 0.75,
+      idCol: String = "doc_id", textCol: String = "text",
+      qidCol: String = "qid", qtextCol: String = "qtext"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = bm25TopK(docs, queries, k, k1, b, idCol, textCol,
+      qidCol, qtextCol).select(col("qid"), col(idCol))
+    val qTerms = queries
+      .select(col(qidCol).as("qid"),
+        explode(tokens(lower(col(qtextCol)))).as("term"))
+      .distinct()
+    val feedbackTokens = docs
+      .join(broadcast(top), Seq(idCol))
+      .select(col("qid"), explode(tokens(lower(col(textCol)))).as("term"))
+    val counts = feedbackTokens
+      .groupBy("qid", "term").agg(count(lit(1)).as("cnt"))
+      .join(broadcast(qTerms), Seq("qid", "term"), "left_anti")
+    counts
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cnt").desc, col("term"))))
+      .filter(col("rank") <= expandN)
+      .select(col("qid"), col("term"), col("cnt"),
+        col("rank").cast("long").as("rank"))
   }
 
   /** One BPE merge-round statistic: corpus-wide counts of adjacent

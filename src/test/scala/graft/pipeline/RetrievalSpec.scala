@@ -198,6 +198,73 @@ class RetrievalSpec extends SparkSpec {
     assert(naive.nonEmpty)
   }
 
+  test("p89: expansion terms never include the query's own terms") {
+    val queries = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"),
+        concat_ws(" ", slice(TextAnalysis.tokens(lower(col("text"))),
+          1, 30)).as("qtext"))
+    val qTerms = queries.collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("\\s+").toSet).toMap
+    val exp = Retrieval.queryExpansionTerms(docs, queries,
+      k = 10, expandN = 5).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(exp.nonEmpty)
+    exp.foreach { case (qid, term, cnt, rank) =>
+      assert(!qTerms(qid).contains(term),
+        s"query $qid expanded with its own term '$term'")
+      assert(cnt > 0 && rank >= 1 && rank <= 5)
+    }
+    // exactly expandN terms per query (feedback docs provide plenty)
+    exp.groupBy(_._1).foreach { case (qid, xs) =>
+      assert(xs.length == 5, s"query $qid got ${xs.length} terms")
+    }
+  }
+
+  test("p90: rankingMetrics — exact metrics on a hand-built ranking") {
+    import spark.implicits._
+    // q1: gold {10, 20, 30}; pred ranks 1..4 = 10, 99, 30, 98
+    //   hits = 2, first_hit = 1, recall = 2/3
+    //   DCG  = 1/log2(2) + 1/log2(4) = 1.5
+    //   IDCG = 1/log2(2) + 1/log2(3) + 1/log2(4) (k=10 > n_gold=3)
+    // q2: gold {7}; pred misses entirely -> all-zero metrics row
+    val pred = Seq((1L, 10L, 1), (1L, 99L, 2), (1L, 30L, 3), (1L, 98L, 4),
+      (2L, 50L, 1)).toDF("qid", "doc_id", "rank")
+    val gold = Seq((1L, 10L), (1L, 20L), (1L, 30L), (2L, 7L))
+      .toDF("qid", "doc_id")
+    val m = Retrieval.rankingMetrics(pred, gold, k = 10).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    val idcg3 = 1.0 + 1.0 / (math.log(3) / math.log(2)) + 0.5
+    assert(m(1L) == ((3L, 2L,
+      math.rint(2.0 / 3 * 1e6) / 1e6,
+      1.0,
+      math.rint(1.5 / idcg3 * 1e6) / 1e6)))
+    assert(m(2L) == ((1L, 0L, 0.0, 0.0, 0.0)))
+  }
+
+  test("p90: BM25 eval — self-doc always gold, metrics in range") {
+    val queries = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"),
+        concat_ws(" ", slice(TextAnalysis.tokens(lower(col("text"))),
+          1, 30)).as("qtext"))
+    val gold = Retrieval.termContainmentGold(docs, queries).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 5L).foreach(q => assert(gold.contains((q, q)),
+      s"query $q's own doc missing from its gold set"))
+    val m = Retrieval.rankingMetrics(
+      Retrieval.bm25TopK(docs, queries, k = 10),
+      Retrieval.termContainmentGold(docs, queries), k = 10).collect()
+    assert(m.length == 5)
+    m.foreach { r =>
+      val (recall, mrr, ndcg) =
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(recall >= 0 && recall <= 1 && mrr >= 0 && mrr <= 1 &&
+        ndcg >= 0 && ndcg <= 1.0000005, s"out-of-range metrics: $r")
+      // the self-doc scores highest on its own first-30-token query
+      assert(mrr == 1.0, s"expected rank-1 hit for ${r.getLong(0)}: $r")
+    }
+  }
+
   // ---- BPE pair stats ------------------------------------------------
 
   test("p88: bpePairStats matches exact driver-side recomputation") {
