@@ -2956,6 +2956,45 @@ object Pipeline {
         k = 10)
     },
 
+    // DSIR importance weights: target = every 7th doc standing in for
+    // the curated seed corpus (production would use a quality-gated
+    // subset, e.g. the p67 cascade's survivors — the id-rule keeps the
+    // oracle focused on the weighting math). The oracle replays bucket
+    // assignment from DuckDB's md5 via hex-digit arithmetic and the
+    // exact same smoothing/normalizer expression; scores rounded 6.
+    QueryDef("p91_importance_weights",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(w, '\s+')) AS token
+        |  FROM (SELECT doc_id,
+        |          lower(regexp_replace(text, '^\s+|\s+$', '', 'g')) AS w
+        |        FROM documents)
+        |  WHERE length(w) > 0),
+        |bk AS (SELECT doc_id,
+        |    (strpos('0123456789abcdef', substr(md5(token), 1, 1)) - 1) * 16
+        |      + strpos('0123456789abcdef', substr(md5(token), 2, 1)) - 1
+        |      AS bucket
+        |  FROM tok),
+        |raw AS (SELECT bucket, count(*) AS rc FROM bk GROUP BY 1),
+        |tgt AS (SELECT bucket, count(*) AS tc FROM bk
+        |        WHERE doc_id % 7 = 0 GROUP BY 1),
+        |tot AS (SELECT (SELECT sum(rc) FROM raw) AS rt,
+        |               (SELECT sum(tc) FROM tgt) AS tt),
+        |w AS (SELECT b.doc_id,
+        |    ln(COALESCE(t.tc, 0) + 1) - ln(r.rc + 1) AS w
+        |  FROM bk b JOIN raw r USING (bucket)
+        |  LEFT JOIN tgt t USING (bucket)),
+        |sc AS (SELECT doc_id, count(*) AS n_tokens, sum(w) AS s
+        |       FROM w GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  round(COALESCE(sc.s + sc.n_tokens * (ln(t.rt + 256)
+        |    - ln(t.tt + 256)), 0), 6) AS score
+        |FROM documents d LEFT JOIN sc USING (doc_id)
+        |CROSS JOIN tot t""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      Corpus.importanceWeights(docs, docs.filter(col("doc_id") % 7 === 0))
+    },
+
     // Cross-document near-dup paragraphs: corpus = documents + a planted
     // 17-token boilerplate paragraph (3 variants) on every 40th doc —
     // cross-variant word-3-gram Jaccard 14/16 = 0.875 ≥ 0.6, so the

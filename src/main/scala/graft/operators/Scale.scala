@@ -444,6 +444,72 @@ object Scale {
         lit(hotSplit).as("hot_split"), lit(coldsSingle).as("colds_single"))
   }
 
+  /** x21: manifest-table file pruning — the lakehouse metadata pattern
+    * (Iceberg/Delta manifests as public prior art). x12/x16/x17 prune by
+    * opening every parquet FOOTER, which at 100 TB is itself a
+    * million-file metadata scan on the driver; the scalable form keeps
+    * per-file (path, min, max, rows) stats in a narrow parquet TABLE,
+    * maintained at write time by one distributed aggregation, and plans
+    * a range query by scanning the manifest relationally — the file
+    * list a query opens is decided by a table scan that Spark itself
+    * distributes, not by touching data-file metadata.
+    *
+    * Gate: events range-partitioned into 16 files sorted by event_id;
+    * manifest built via input_file_name() groupBy (one scan, 16 rows);
+    * a fixed middle-5%-of-keyspace probe (the x17 integer-percentile
+    * recipe) must (a) select ≤ 3 of the 16 files from the manifest,
+    * (b) return exactly the rows the full-scan filter returns. The
+    * selected-file read uses the manifest's bounded path list (16-row
+    * collect — the broadcast-variable pattern, like the IVF centroids).
+    */
+  private[graft] def manifestPrune(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_fmt").toString
+    val dataP = s"$root/x21_data"
+    val maniP = s"$root/x21_manifest"
+    val events = t(s, dir, "events").select("event_id", "user_id", "value")
+    events.repartitionByRange(16, col("event_id"))
+      .sortWithinPartitions("event_id")
+      .write.mode("overwrite").parquet(dataP)
+    // manifest maintenance: one distributed scan → 16 stat rows
+    s.read.parquet(dataP)
+      .groupBy(input_file_name().as("file"))
+      .agg(min("event_id").as("min_id"), max("event_id").as("max_id"),
+        count(lit(1)).as("rows"))
+      .write.mode("overwrite").parquet(maniP)
+    val mm = events.agg(min("event_id"), max("event_id")).head()
+    val (lo0, hi0) = (mm.getLong(0), mm.getLong(1))
+    val lo = lo0 + (hi0 - lo0) * 45 / 100
+    val hi = lo0 + (hi0 - lo0) * 50 / 100
+    val mani = s.read.parquet(maniP)
+    val nFiles = mani.count()
+    // plan from the manifest: files whose [min,max] intersect [lo,hi]
+    val picked = mani.filter(col("min_id") <= hi && col("max_id") >= lo)
+      .select("file").collect().map(_.getString(0))
+    val viaManifest = s.read.parquet(picked.toIndexedSeq: _*)
+      .filter(col("event_id").between(lo, hi))
+      .agg(count(lit(1)).as("n"), sum("user_id").as("s"))
+      .head()
+    val full = s.read.parquet(dataP)
+      .filter(col("event_id").between(lo, hi))
+      .agg(count(lit(1)).as("n"), sum("user_id").as("s"))
+      .head()
+    s.createDataFrame(java.util.List.of(
+      org.apache.spark.sql.Row(viaManifest.getLong(0),
+        viaManifest.getLong(1),
+        nFiles == 16L && picked.length <= 3,
+        viaManifest == full)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n_match",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("sum_user",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("files_pruned",
+          org.apache.spark.sql.types.BooleanType),
+        org.apache.spark.sql.types.StructField("result_equal",
+          org.apache.spark.sql.types.BooleanType))))
+  }
+
   private[graft] def dynamicPartitionOverwrite(s: SparkSession,
       dir: String): DataFrame = {
     val base = java.nio.file.Paths.get(
@@ -920,6 +986,24 @@ object Scale {
         |WHERE o_orderkey BETWEEN lo0 + (hi0 - lo0) * 45 // 100
         |  AND lo0 + (hi0 - lo0) * 50 // 100""".stripMargin) { (s, dir) =>
       columnIndexStats(s, dir)
+    },
+
+    // Manifest-table file pruning: per-file min/max stats kept in a
+    // narrow parquet table (one distributed agg at write time); a range
+    // probe plans its file list from the manifest RELATIONALLY — at
+    // 100 TB the x12/x17 footer walk is itself a million-file driver
+    // scan, the manifest is a table Spark distributes. Booleans assert
+    // ≤ 3 of 16 files read and manifest-planned ≡ full-scan results.
+    QueryDef("x21_manifest_prune",
+      """WITH b AS (SELECT min(event_id) AS lo0, max(event_id) AS hi0
+        |  FROM events)
+        |SELECT CAST(count(*) AS BIGINT) AS n_match,
+        |  CAST(sum(user_id) AS BIGINT) AS sum_user,
+        |  true AS files_pruned, true AS result_equal
+        |FROM events, b
+        |WHERE event_id BETWEEN lo0 + (hi0 - lo0) * 45 // 100
+        |  AND lo0 + (hi0 - lo0) * 50 // 100""".stripMargin) { (s, dir) =>
+      manifestPrune(s, dir)
     },
 
     QueryDef("x16_parquet_bloom",

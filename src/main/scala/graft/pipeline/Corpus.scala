@@ -755,4 +755,60 @@ object Corpus {
     }
     rank.select(col("domain"), col("r").as("rank_micros"))
   }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling", NeurIPS —
+    * public-paper recipe): per-doc log importance ratio
+    * log p_target(doc) − log p_raw(doc) under hashed-unigram bag
+    * models with add-one smoothing over B = 256 buckets. `target` is
+    * the curated seed corpus whose distribution raw docs are scored
+    * against; docs scoring high are up-sampled into the training mix.
+    *
+    * Bucketing: the first two hex digits of md5(token) (the p83
+    * hash-mirroring trick — the oracle replays the same bucket from
+    * DuckDB's md5 with hex-digit arithmetic, so any divergence in
+    * tokenize/hash/smoothing flips a value). Per-token term
+    * ln(tc_b+1) − ln(rc_b+1) plus the n_tokens-weighted normalizer
+    * ln(rawTotal+B) − ln(tgtTotal+B) gives exactly
+    * Σ_t ln p̂_target(b_t) − ln p̂_raw(b_t); final score rounded 6.
+    *
+    * Distributed shape: two bucket tables of ≤ 256 rows (partial-agg
+    * counts) broadcast into the token stream; totals ride a one-row
+    * crossJoin (no collect); the per-doc rollup partial-aggregates.
+    * At 100 TB the bucket tables are a constant-size side input —
+    * the whole scorer is one corpus scan.
+    */
+  def importanceWeights(corpus: DataFrame, target: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val B = 256
+    def buckets(df: DataFrame): DataFrame = df
+      .select(col(idCol).as("id"),
+        explode(TextAnalysis.tokens(lower(col(textCol)))).as("token"))
+      .select(col("id"),
+        conv(substring(md5(col("token")), 1, 2), 16, 10)
+          .cast("int").as("bucket"))
+    val tok = buckets(corpus)
+    val rawB = tok.groupBy("bucket").agg(count(lit(1)).as("rc"))
+    val tgtB = buckets(target).groupBy("bucket").agg(count(lit(1)).as("tc"))
+    val totals = rawB.agg(sum("rc").as("rt"))
+      .crossJoin(tgtB.agg(sum("tc").as("tt")))
+    val perDoc = tok
+      .join(broadcast(rawB), Seq("bucket"))
+      .join(broadcast(tgtB), Seq("bucket"), "left")
+      .select(col("id"),
+        (log((coalesce(col("tc"), lit(0L)) + 1).cast("double")) -
+          log((col("rc") + 1).cast("double"))).as("w"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"), sum("w").as("s"))
+    corpus.select(col(idCol))
+      .join(perDoc.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .crossJoin(broadcast(totals))
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).cast("long").as("n_tokens"),
+        round(coalesce(
+          col("s") + col("n_tokens").cast("double") *
+            (log((col("rt") + B).cast("double")) -
+              log((col("tt") + B).cast("double"))),
+          lit(0.0)), 6).as("score"))
+  }
 }

@@ -1147,6 +1147,51 @@ class PipelineSpec extends SparkSpec {
       .filter(col("contaminated_frac") =!= 1.0).count() == 0)
   }
 
+  test("p91: importanceWeights matches exact driver-side recomputation") {
+    import spark.implicits._
+    val corpus = Seq((0L, "the cat sat on the mat"),
+      (1L, "dog runs fast here today"), (2L, "   "),
+      (3L, "the the cat cat zebra")).toDF("doc_id", "text")
+    val target = corpus.filter(col("doc_id") < 2)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def bucket(t: String): Int =
+      Integer.parseInt(md5hex(t).substring(0, 2), 16)
+    def toks(s: String): Array[String] = {
+      val w = s.toLowerCase.replaceAll("^\\s+|\\s+$", "")
+      if (w.isEmpty) Array.empty else w.split("\\s+")
+    }
+    val all = Map(0L -> "the cat sat on the mat",
+      1L -> "dog runs fast here today", 2L -> "   ",
+      3L -> "the the cat cat zebra")
+    val rawCnt = all.values.flatMap(toks).map(bucket)
+      .groupBy(identity).map { case (b, xs) => b -> xs.size }
+    val tgtCnt = (0L to 1L).flatMap(q => toks(all(q))).map(bucket)
+      .groupBy(identity).map { case (b, xs) => b -> xs.size }
+    val rt = rawCnt.values.sum.toDouble
+    val tt = tgtCnt.values.sum.toDouble
+    def expect(id: Long): (Long, Double) = {
+      val ts = toks(all(id))
+      if (ts.isEmpty) (0L, 0.0)
+      else {
+        val s = ts.map { t =>
+          val b = bucket(t)
+          math.log(tgtCnt.getOrElse(b, 0) + 1.0) -
+            math.log(rawCnt(b) + 1.0)
+        }.sum + ts.length * (math.log(rt + 256) - math.log(tt + 256))
+        (ts.length.toLong, BigDecimal(s)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }
+    val got = Corpus.importanceWeights(corpus, target).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    (0L to 3L).foreach(id => assert(got(id) == expect(id),
+      s"doc $id: got ${got(id)}, want ${expect(id)}"))
+    // target docs score above the non-target doc with novel vocabulary
+    assert(got(0L)._2 > got(3L)._2 && got(1L)._2 > got(3L)._2)
+  }
+
   test("importanceKeep: rate edges exact, keep fraction tracks the rate, matches sampleHash") {
     import spark.implicits._
     val ids = spark.range(0, 20000).select(col("id").as("doc_id"))
