@@ -244,7 +244,12 @@ object Bench {
       if (v < 0) "-1" else f"$v%.3f"
     val qJson = results.map { case (k, v) => s""""$k":${fmt(v)}""" }
       .mkString("{", ",", "}")
+    // worst 8 unstable entries only: the queries map alone is ~1.7k chars
+    // at 62 entries, so an unbounded spread map could push the line past
+    // the driver's tail window in a bursty run; full detail is in the file
     val unstable = spreads.filter { case (_, v) => v < 0 || v > stableTol }
+      .sortBy { case (_, v) => if (v < 0) Double.MaxValue else -v }
+      .take(8)
     val spreadJson = unstable.map { case (k, v) => s""""$k":${fmt(v)}""" }
       .mkString("{", ",", "}")
     val fullSpreadJson = spreads.map { case (k, v) => s""""$k":$v""" }

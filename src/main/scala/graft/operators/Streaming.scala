@@ -418,6 +418,68 @@ object Streaming {
       s.read.parquet(outDir)
     },
 
+    // Streaming manifest maintenance: the x21 file-stats manifest kept
+    // current BY THE INGEST STREAM itself — each micro-batch computes
+    // its files' (path, min, max, rows) with one groupBy over
+    // input_file_name and APPENDS to the manifest table. The
+    // accumulated manifest must describe the corpus exactly: every
+    // staged file indexed exactly once, sum(rows) equal to the direct
+    // table count, global min/max equal to the direct scan's. At
+    // 100 TB this is how the pruning index stays fresh: stats ride the
+    // ingest DAG itself, so no separate footer-walking job ever runs
+    // and a file is never readable-but-unindexed (the s09 argument,
+    // applied to file metadata instead of content hashes).
+    QueryDef("s17_stream_manifest",
+      """SELECT CAST(count(*) AS BIGINT) AS total_rows,
+        |  CAST(min(event_id) AS BIGINT) AS min_id,
+        |  CAST(max(event_id) AS BIGINT) AS max_id,
+        |  true AS files_indexed_once, true AS stats_match
+        |FROM events""".stripMargin) { (s, dir) =>
+      val events = graft.Tables.load(s, dir, "events")
+        .select("event_id", "user_id")
+      val base = java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_fmt").toString
+      val srcDir = s"$base/s17_stream_src"
+      val maniDir = s"$base/s17_manifest"
+      rmTree(new java.io.File(srcDir)); rmTree(new java.io.File(maniDir))
+      events.repartitionByRange(8, col("event_id"))
+        .sortWithinPartitions("event_id")
+        .write.mode("overwrite").parquet(srcDir)
+      val schema = s.read.parquet(srcDir).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(srcDir)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.groupBy(input_file_name().as("file"))
+            .agg(min("event_id").as("min_id"),
+              max("event_id").as("max_id"),
+              count(lit(1)).as("rows"))
+            .write.mode("append").parquet(maniDir)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val nStaged = new java.io.File(srcDir).listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      val m = s.read.parquet(maniDir)
+        .agg(count(lit(1)).as("nf"), countDistinct(col("file")).as("nd"),
+          sum("rows").as("tr"), min("min_id").as("mn"),
+          max("max_id").as("mx")).head()
+      val d = s.read.parquet(srcDir)
+        .agg(count(lit(1)), min("event_id"), max("event_id")).head()
+      val indexedOnce = m.getLong(0) == m.getLong(1) &&
+        m.getLong(1) == nStaged.toLong
+      val statsMatch = m.getLong(2) == d.getLong(0) &&
+        m.getLong(3) == d.getLong(1) && m.getLong(4) == d.getLong(2)
+      import s.implicits._
+      Seq((m.getLong(2), m.getLong(3), m.getLong(4), indexedOnce,
+        statsMatch)).toDF("total_rows", "min_id", "max_id",
+        "files_indexed_once", "stats_match")
+    },
+
     // Streaming CDC apply: the p68 release deltas consumed as a stream,
     // each micro-batch merged into a materialized corpus store by
     // copy-on-write (anti-join out the touched ids, append the new

@@ -94,8 +94,14 @@ object Corpus {
     * the plain [[splitColumn]] split.
     */
   def splitByCluster(df: DataFrame, idCol: String,
-      pairs: DataFrame): DataFrame = {
-    val comps = Dedup.components(pairs).withColumnRenamed("doc_id", idCol)
+      pairs: DataFrame): DataFrame =
+    splitByClusterFrom(df, idCol, Dedup.components(pairs))
+
+  /** [[splitByCluster]] over already-converged labels (the fan-out form
+    * — same rationale as [[Dedup.representativesFrom]]). */
+  def splitByClusterFrom(df: DataFrame, idCol: String,
+      comps0: DataFrame): DataFrame = {
+    val comps = comps0.withColumnRenamed("doc_id", idCol)
     df.join(comps, Seq(idCol), "left")
       .select(col(idCol),
         splitColumn(coalesce(col("comp"), col(idCol))).as("split"))

@@ -757,8 +757,17 @@ object Dedup {
     * cluster per partition through the shuffle, immune to cluster skew.
     */
   def representatives(scored: DataFrame, idCol: String, pairs: DataFrame,
-      scoreCol: String): DataFrame = {
-    val comps = components(pairs).withColumnRenamed("doc_id", idCol)
+      scoreCol: String): DataFrame =
+    representativesFrom(scored, idCol, components(pairs), scoreCol)
+
+  /** [[representatives]] over ALREADY-CONVERGED labels — the fan-out
+    * form: a production DAG computes the pair graph's closure once and
+    * feeds every consumer (reps, split, cluster stats) from the same
+    * label table instead of re-running label propagation per consumer.
+    */
+  def representativesFrom(scored: DataFrame, idCol: String,
+      comps0: DataFrame, scoreCol: String): DataFrame = {
+    val comps = comps0.withColumnRenamed("doc_id", idCol)
     scored.join(comps, Seq(idCol), "left")
       .withColumn("comp", coalesce(col("comp"), col(idCol)))
       .groupBy("comp")
