@@ -396,10 +396,19 @@ object Streaming {
         sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_fmt").toString
       val srcDir = s"$base/s16_stream_src"
       val outDir = s"$base/s16_routed"
+      val statsDir = s"$base/s16_stats"
       rmTree(new java.io.File(srcDir)); rmTree(new java.io.File(outDir))
       new java.io.File(srcDir).mkdirs()
       writeSingle(docs.filter(col("doc_id") % 2 === 0), srcDir, "batch_a")
       writeSingle(docs.filter(col("doc_id") % 2 === 1), srcDir, "batch_b")
+      // the one-off stats job: ONE corpus postings pass materializes the
+      // vocab-sized (term, df, toks) table; scalars reassemble from that
+      // table + a metadata-cheap doc count — scoring batches never
+      // rescans the reference corpus
+      Retrieval.bm25TermStats(docs)
+        .write.mode("overwrite").parquet(statsDir)
+      val stats = Retrieval.bm25StatsFromTerms(
+        s.read.parquet(statsDir), docs.count())
       val schema = s.read.parquet(srcDir).schema
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
@@ -407,7 +416,7 @@ object Streaming {
         .parquet(srcDir)
         .writeStream
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-          Retrieval.bm25Scores(batch, queries, statsFrom = docs)
+          Retrieval.bm25ScoresAgainst(batch, queries, stats)
             .filter(col("score") >= 4.0)
             .write.mode("append").parquet(outDir)
           ()

@@ -58,26 +58,71 @@ object Retrieval {
       statsFrom: DataFrame = null,
       k1: Double = 1.2, b: Double = 0.75,
       idCol: String = "doc_id", textCol: String = "text",
+      qidCol: String = "qid", qtextCol: String = "qtext"): DataFrame =
+    bm25ScoresAgainst(docs, queries,
+      bm25Stats(Option(statsFrom).getOrElse(docs), idCol, textCol),
+      k1, b, idCol, textCol, qidCol, qtextCol)
+
+  /** Corpus statistics table for BM25: one row per term — (term, df,
+    * n_docs, total_tokens). The "one-off stats job" of the streaming
+    * router: materialize this once (it's a narrow vocab-sized table),
+    * then score any number of batches against it with
+    * [[bm25ScoresAgainst]] — no per-batch corpus scan. N counts ALL
+    * docs (empty docs have no postings but are documents), total
+    * tokens over the same denominator — both exact-int.
+    */
+  def bm25Stats(statsDocs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val statsPost = postings(statsDocs, idCol, textCol)
+    statsPost.groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(statsDocs.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(statsPost.agg(sum("tf").as("total_tokens")))))
+  }
+
+  /** One-pass per-term stats — (term, df, toks) — the thing the stats
+    * JOB materializes: unlike [[bm25Stats]] (whose plan re-derives the
+    * corpus postings for the total-tokens scalar), everything
+    * corpus-wide is recoverable from THIS vocab-sized table plus a
+    * metadata-cheap doc count: total_tokens = Σ toks. See
+    * [[bm25StatsFromTerms]] for the reassembly.
+    */
+  def bm25TermStats(statsDocs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    postings(statsDocs, idCol, textCol)
+      .groupBy("term").agg(count(lit(1)).as("df"), sum("tf").as("toks"))
+
+  /** Reassemble the [[bm25ScoresAgainst]] stats shape from a persisted
+    * [[bm25TermStats]] table + the corpus doc count (empty docs carry
+    * no postings, so N must be supplied, not derived). Both inputs are
+    * vocab-sized or scalar — no corpus scan.
+    */
+  def bm25StatsFromTerms(termStats: DataFrame, nDocs: Long): DataFrame =
+    termStats.select(col("term"), col("df"))
+      .crossJoin(broadcast(
+        termStats.agg(sum("toks").as("total_tokens"))
+          .withColumn("n_docs", lit(nDocs))))
+
+  /** BM25 scoring of `docs` against a PRECOMPUTED stats table (from
+    * [[bm25Stats]], possibly persisted and read back): per-doc length
+    * comes from the scored docs themselves (a per-doc property), every
+    * corpus-wide quantity from the stats table — so scoring a stream's
+    * micro-batch is stateless and never rescans the reference corpus.
+    */
+  def bm25ScoresAgainst(docs: DataFrame, queries: DataFrame,
+      stats: DataFrame,
+      k1: Double = 1.2, b: Double = 0.75,
+      idCol: String = "doc_id", textCol: String = "text",
       qidCol: String = "qid", qtextCol: String = "qtext"): DataFrame = {
-    val statsDocs = Option(statsFrom).getOrElse(docs)
     val post = postings(docs, idCol, textCol)
-    val statsPost =
-      if (statsDocs eq docs) post else postings(statsDocs, idCol, textCol)
     val dl = post.groupBy("id").agg(sum("tf").as("dl"))
-    val dfT = statsPost.groupBy("term").agg(count(lit(1)).as("df"))
-    // N counts ALL docs (empty docs have no postings but are documents),
-    // avgdl over the same denominator — both exact-int inputs.
-    val scalars = statsDocs.agg(count(lit(1)).as("n_docs"))
-      .crossJoin(statsPost.agg(sum("tf").as("total_tokens")))
     val qTerms = queries
       .select(col(qidCol).as("qid"),
         explode(tokens(lower(col(qtextCol)))).as("term"))
       .distinct()
     post
       .join(broadcast(qTerms), Seq("term"))
-      .join(dfT, Seq("term"))
+      .join(stats, Seq("term"))
       .join(dl, Seq("id"))
-      .crossJoin(broadcast(scalars))
       .withColumn("avgdl",
         col("total_tokens").cast("double") / col("n_docs").cast("double"))
       .withColumn("idf",

@@ -605,4 +605,36 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum") || p.contains("Partial"),
       s"pair counts not map-side partial:\n$p")
   }
+
+  test("p89: feedback docs broadcast; expansion rank windows a k-bounded relation") {
+    val p = executed("p89_query_expansion")
+    // the per-query rank window is legal ONLY because its input is
+    // bounded by k feedback docs' vocabulary per query — but the
+    // corpus-side joins must broadcast the tiny side, never shuffle
+    // the postings for it, and nothing may fall to a cross product
+    assert(p.contains("BroadcastHashJoin"),
+      s"feedback top-k join not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"expansion fell back to a cross product:\n$p")
+  }
+
+  test("p90: eval metrics partial-aggregate; no corpus-sized window or cross product") {
+    val p = executed("p90_retrieval_eval")
+    assert(!p.contains("Window"),
+      s"metrics computed via a window instead of aggregates:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"eval fell back to a cross product:\n$p")
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      s"hit counts not map-side partial:\n$p")
+  }
+
+  test("p91: DSIR bucket tables broadcast into the token stream") {
+    val p = executed("p91_importance_weights")
+    assert(p.contains("BroadcastHashJoin"),
+      s"256-row bucket tables shuffled the token stream:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"importance scoring fell back to a non-broadcast cross product:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"bucket counts not map-side partial:\n$p")
+  }
 }
