@@ -489,6 +489,75 @@ object Streaming {
         "files_indexed_once", "stats_match")
     },
 
+    // Streaming IVF index maintenance: new vectors routed to their
+    // coarse-quantizer cell per micro-batch and APPENDED to the x13
+    // cell-partitioned layout — centroids are frozen from the base
+    // corpus (production IVF practice: the quantizer trains once; the
+    // stream only assigns), so batch order can't change any cell
+    // assignment and the accumulated layout equals what a batch build
+    // over the union would produce. Gate: an ANN query over the
+    // accumulated layout (the DPP-prunable x13 join) returns exactly
+    // the flat ivfTopK results on the full corpus. At 100 TB this is
+    // how a vector index ingests: assignment is a per-row codegen'd
+    // argmin against a broadcast centroid matrix, appends land in cell
+    // directories, and queries prune to nProbe cells of the layout.
+    QueryDef("s18_stream_ivf_index",
+      """SELECT vec_id AS qid, CAST(10 AS BIGINT) AS n_returned,
+        |  true AS same_as_flat
+        |FROM embeddings WHERE vec_id < 5 ORDER BY qid""".stripMargin) {
+      (s, dir) =>
+      import graft.pipeline.Similarity
+      val corpus = graft.Tables.load(s, dir, "embeddings")
+        .select("vec_id", "embedding")
+      val queries = corpus.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val cents = Similarity.ivfCentroids(corpus, 16, "vec_id", "embedding")
+      val base = java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_fmt").toString
+      val srcDir = s"$base/s18_stream_src"
+      val layoutDir = s"$base/s18_ivf_layout"
+      rmTree(new java.io.File(srcDir)); rmTree(new java.io.File(layoutDir))
+      new java.io.File(srcDir).mkdirs()
+      writeSingle(corpus.filter(col("vec_id") % 2 === 0), srcDir, "batch_a")
+      writeSingle(corpus.filter(col("vec_id") % 2 === 1), srcDir, "batch_b")
+      val schema = s.read.parquet(srcDir).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(srcDir)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.withColumn("cell",
+              Similarity.ivfProbeCells(cents, col("embedding"), 1)
+                .getItem(0).getField("cid"))
+            .write.partitionBy("cell").mode("append").parquet(layoutDir)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val stored = s.read.parquet(layoutDir)
+      val qc = queries.withColumn("cell_l",
+          explode(Similarity.ivfProbeCells(cents, col("qvec"), 4)
+            .getField("cid")))
+        .withColumn("cell", col("cell_l").cast("int")).drop("cell_l")
+      val scored = stored.join(broadcast(qc), Seq("cell"))
+        .withColumn("score",
+          round(Similarity.cosine(col("embedding"), col("qvec")), 6))
+      val layoutTop = Similarity.rankTopK(scored, 10, "qid", "vec_id")
+        .select("qid", "vec_id")
+      val flatTop = Similarity.ivfTopK(corpus, queries, k = 10,
+        nCells = 16, nProbe = 4).select("qid", "vec_id")
+      val same = layoutTop.join(flatTop, Seq("qid", "vec_id"))
+        .groupBy("qid").agg(count(lit(1)).as("n_same"))
+      layoutTop.groupBy("qid").agg(count(lit(1)).as("n_returned"))
+        .join(same, Seq("qid"), "left")
+        .select(col("qid"), col("n_returned"),
+          (coalesce(col("n_same"), lit(0L)) === col("n_returned"))
+            .as("same_as_flat"))
+        .orderBy("qid")
+    },
+
     // Streaming CDC apply: the p68 release deltas consumed as a stream,
     // each micro-batch merged into a materialized corpus store by
     // copy-on-write (anti-join out the touched ids, append the new
