@@ -3135,6 +3135,111 @@ object Pipeline {
         |SELECT pair, n FROM c ORDER BY n DESC, pair LIMIT 20"""
         .stripMargin) { (s, dir) =>
       Retrieval.bpePairStats(t(s, dir, "documents"), topN = 20)
+    },
+
+    // Full iterative BPE training, 3 merge rounds: the oracle replays
+    // the training loop exactly — same sentinel string encoding
+    // (chr(30)-prefixed, space-suffixed symbols), same greedy
+    // non-overlapping left-to-right `replace` merge application, same
+    // (n desc, pair asc) argmax — unrolled one CTE block per round.
+    QueryDef("p92_bpe_train",
+      """WITH toks AS (
+        |  SELECT CASE
+        |    WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
+        |    THEN CAST([] AS VARCHAR[])
+        |    ELSE string_split_regex(
+        |      lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+')
+        |    END AS tk
+        |  FROM documents),
+        |w AS (SELECT t AS w, count(*) AS wc
+        |      FROM (SELECT unnest(tk) AS t FROM toks)
+        |      WHERE NOT contains(t, chr(30)) GROUP BY 1),
+        |e0 AS (SELECT wc,
+        |    regexp_replace(w, '([\s\S])', chr(30) || '\1 ', 'g') AS enc
+        |  FROM w),
+        |p1 AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS n FROM (
+        |    SELECT wc, unnest(list_transform(generate_series(1, len(s) - 1),
+        |        i -> substr(s[i], 2) || ' ' || substr(s[i+1], 2))) AS pair
+        |    FROM (SELECT wc,
+        |            list_filter(string_split(enc, ' '),
+        |                        x -> length(x) > 0) AS s
+        |          FROM e0)
+        |    WHERE len(s) >= 2) GROUP BY 1),
+        |b1 AS (SELECT 1 AS step, pair, n FROM p1
+        |       ORDER BY n DESC, pair LIMIT 1),
+        |e1 AS (SELECT wc, replace(enc,
+        |    chr(30) || split_part(pair, ' ', 1) || ' ' || chr(30) ||
+        |      split_part(pair, ' ', 2) || ' ',
+        |    chr(30) || split_part(pair, ' ', 1) ||
+        |      split_part(pair, ' ', 2) || ' ') AS enc
+        |  FROM e0 CROSS JOIN b1),
+        |p2 AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS n FROM (
+        |    SELECT wc, unnest(list_transform(generate_series(1, len(s) - 1),
+        |        i -> substr(s[i], 2) || ' ' || substr(s[i+1], 2))) AS pair
+        |    FROM (SELECT wc,
+        |            list_filter(string_split(enc, ' '),
+        |                        x -> length(x) > 0) AS s
+        |          FROM e1)
+        |    WHERE len(s) >= 2) GROUP BY 1),
+        |b2 AS (SELECT 2 AS step, pair, n FROM p2
+        |       ORDER BY n DESC, pair LIMIT 1),
+        |e2 AS (SELECT wc, replace(enc,
+        |    chr(30) || split_part(pair, ' ', 1) || ' ' || chr(30) ||
+        |      split_part(pair, ' ', 2) || ' ',
+        |    chr(30) || split_part(pair, ' ', 1) ||
+        |      split_part(pair, ' ', 2) || ' ') AS enc
+        |  FROM e1 CROSS JOIN b2),
+        |p3 AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS n FROM (
+        |    SELECT wc, unnest(list_transform(generate_series(1, len(s) - 1),
+        |        i -> substr(s[i], 2) || ' ' || substr(s[i+1], 2))) AS pair
+        |    FROM (SELECT wc,
+        |            list_filter(string_split(enc, ' '),
+        |                        x -> length(x) > 0) AS s
+        |          FROM e2)
+        |    WHERE len(s) >= 2) GROUP BY 1),
+        |b3 AS (SELECT 3 AS step, pair, n FROM p3
+        |       ORDER BY n DESC, pair LIMIT 1)
+        |SELECT CAST(step AS BIGINT) AS step, pair, n FROM (
+        |  SELECT * FROM b1 UNION ALL SELECT * FROM b2
+        |  UNION ALL SELECT * FROM b3)""".stripMargin) { (s, dir) =>
+      Retrieval.bpeTrainMerges(t(s, dir, "documents"), steps = 3)
+    },
+
+    // Heaps'-law vocabulary growth over 16 id-range buckets: cumulative
+    // docs / token occurrences / distinct types, types counted by
+    // first-occurrence bucket (token-keyed min) so no per-prefix
+    // distinct job exists anywhere.
+    QueryDef("p93_vocab_growth",
+      """WITH mx AS (SELECT max(doc_id) AS max_id FROM documents),
+        |bkt AS (SELECT doc_id * 16 // (max_id + 1) AS bucket, doc_id,
+        |          text
+        |        FROM documents CROSS JOIN mx),
+        |dc AS (SELECT bucket, count(*) AS n_docs FROM bkt GROUP BY 1),
+        |tok AS (SELECT bucket, unnest(CASE
+        |    WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
+        |    THEN CAST([] AS VARCHAR[])
+        |    ELSE string_split_regex(
+        |      lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+')
+        |    END) AS token
+        |  FROM bkt),
+        |tc AS (SELECT bucket, count(*) AS n_tokens FROM tok GROUP BY 1),
+        |nt AS (SELECT bucket, count(*) AS n_new_types FROM (
+        |    SELECT token, min(bucket) AS bucket FROM tok GROUP BY 1)
+        |  GROUP BY 1),
+        |cum AS (SELECT dc.bucket,
+        |    sum(dc.n_docs) OVER wdw AS cum_docs,
+        |    sum(COALESCE(tc.n_tokens, 0)) OVER wdw AS cum_tokens,
+        |    sum(COALESCE(nt.n_new_types, 0)) OVER wdw AS cum_types
+        |  FROM dc LEFT JOIN tc USING (bucket) LEFT JOIN nt USING (bucket)
+        |  WINDOW wdw AS (ORDER BY bucket
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(cum_docs AS BIGINT) AS cum_docs,
+        |  CAST(cum_tokens AS BIGINT) AS cum_tokens,
+        |  CAST(cum_types AS BIGINT) AS cum_types,
+        |  round(ln(cum_types) / ln(cum_tokens), 6) AS heaps
+        |FROM cum""".stripMargin) { (s, dir) =>
+      Corpus.vocabGrowth(t(s, dir, "documents"), buckets = 16)
     }
   )
 

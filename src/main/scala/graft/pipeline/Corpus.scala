@@ -817,4 +817,56 @@ object Corpus {
               log((col("tt") + B).cast("double"))),
           lit(0.0)), 6).as("score"))
   }
+
+  /** Vocabulary-growth (Heaps'-law) curve: split the corpus into
+    * `buckets` equal id-ranges, and report, cumulatively in id order,
+    * documents, token occurrences, and DISTINCT token types seen so
+    * far, plus the Heaps exponent estimate ln(types)/ln(tokens). The
+    * standard corpus-health curve: a release whose type growth bends
+    * away from the previous release's power law signals boilerplate
+    * flooding (too flat) or encoding noise (too steep).
+    *
+    * Distributed shape — the cumulative-distinct trap is avoided by
+    * computing each type's FIRST bucket (a token-keyed min aggregate)
+    * and counting first-occurrences per bucket: one tokenize pass, two
+    * partial-aggregable groupBys, then every cumulative sum runs over
+    * the ≤`buckets`-row summary (a single-partition window over a
+    * constant-size table, the s08 pattern). No per-prefix distinct
+    * jobs, no quadratic re-scan.
+    */
+  def vocabGrowth(docs: DataFrame, buckets: Int = 16,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // bucket = id*buckets/(max+1) in exact integer arithmetic — the id
+    // spine is dense enough in every caller that this is an even split,
+    // and the rule replays verbatim in the oracle.
+    val maxId = docs.agg(max(col(idCol).cast("long")).as("max_id"))
+    val bucketed = docs.crossJoin(broadcast(maxId))
+      .select(expr(s"CAST($idCol AS BIGINT) * $buckets div (max_id + 1)")
+        .as("bucket"),
+        col(idCol), col(textCol))
+    val docCounts = bucketed.groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"))
+    val tok = bucketed.select(col("bucket"),
+      explode(TextAnalysis.tokens(lower(col(textCol)))).as("token"))
+    val tokCounts = tok.groupBy("bucket").agg(count(lit(1)).as("n_tokens"))
+    val newTypes = tok.groupBy("token").agg(min("bucket").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_new_types"))
+    val w = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docCounts
+      .join(tokCounts, Seq("bucket"), "left")
+      .join(newTypes, Seq("bucket"), "left")
+      .select(col("bucket"),
+        sum("n_docs").over(w).as("cum_docs"),
+        sum(coalesce(col("n_tokens"), lit(0L))).over(w).as("cum_tokens"),
+        sum(coalesce(col("n_new_types"), lit(0L))).over(w)
+          .as("cum_types"))
+      .select(col("bucket").cast("long").as("bucket"),
+        col("cum_docs").cast("long").as("cum_docs"),
+        col("cum_tokens").cast("long").as("cum_tokens"),
+        col("cum_types").cast("long").as("cum_types"),
+        round(log(col("cum_types").cast("double")) /
+          log(col("cum_tokens").cast("double")), 6).as("heaps"))
+  }
 }

@@ -467,4 +467,83 @@ object Retrieval {
       .orderBy(col("n").desc, col("pair"))
       .limit(topN)
   }
+
+  /** Sentinel marking the start of each symbol in the string-encoded
+    * symbol sequence (U+001E RECORD SEPARATOR — not in `\s`, so it can
+    * never appear inside a whitespace-token; words containing it are
+    * dropped from the vocabulary on both the Spark and oracle side).
+    */
+  private val Sen = "\u001E"
+
+  /** Full iterative BPE tokenizer training (Sennrich et al., ACL'16),
+    * `steps` merge rounds: each round counts adjacent-symbol pairs over
+    * the word-frequency-collapsed vocabulary, picks the argmax by
+    * (count desc, "left right" string asc), and applies the merge to
+    * every word. Returns one row per learned merge:
+    * (step, pair "left right", n = weighted pair count at merge time).
+    *
+    * Symbol sequences are encoded as strings — each symbol written as
+    * `\u001E<sym><space>` — so a merge application is a single
+    * non-overlapping left-to-right `replace` of
+    * `\u001Ea \u001Eb ` with `\u001Eab `. That encoding makes greedy
+    * merge application exact: the per-symbol sentinel prevents
+    * mid-symbol matches and the per-symbol trailing space means a
+    * replacement never consumes the delimiter of the symbol that
+    * follows, so "a b a b" merges to "ab ab" in one pass (a plain
+    * space-joined encoding would eat the separator and miss the second
+    * occurrence). DuckDB's `replace` has identical non-overlapping
+    * left-to-right semantics, which is what lets the oracle replay
+    * training exactly.
+    *
+    * Distributed shape: ONE corpus-wide tokenize+groupBy collapses the
+    * corpus to its distinct-word vocabulary, materialized as a barrier;
+    * every merge round is then a vocabulary-sized job (pair explode →
+    * partial-aggregated count → 1-row TakeOrdered broadcast-joined back
+    * for the rewrite), re-materialized per round so round r+1 reads a
+    * flat barrier instead of an r-deep replace chain. Work per round
+    * scales with |vocab|, not corpus size — the classic BPE-training
+    * layout. No driver-side collect: the argmax row rides a broadcast
+    * cross join into the rewrite expression.
+    */
+  def bpeTrainMerges(docs: DataFrame, steps: Int = 3,
+      textCol: String = "text"): DataFrame = {
+    val words = docs
+      .select(explode(tokens(lower(col(textCol)))).as("w"))
+      .filter(!col("w").contains(Sen))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+    // "␞c " per character; [\s\S] (not `.`) so the Java and RE2 oracle
+    // engines agree on line-terminator codepoints inside words.
+    var vocab = Dedup.materializeBarrier(
+      words.select(col("wc"),
+        regexp_replace(col("w"), "([\\s\\S])", Sen + "$1 ").as("enc")),
+      "bpe-vocab")
+    val merges = Seq.newBuilder[DataFrame]
+    for (step <- 1 to steps) {
+      val syms = filter(split(col("enc"), " "), x => length(x) > 0)
+      val pairCounts = vocab
+        .select(col("wc"), explode(
+          when(size(syms) < 2, array().cast("array<string>"))
+            .otherwise(transform(sequence(lit(1), size(syms) - 1),
+              i => concat(substring(element_at(syms, i), 2, 1 << 24),
+                lit(" "),
+                substring(element_at(syms, i + 1), 2, 1 << 24)))))
+          .as("pair"))
+        .groupBy("pair").agg(sum("wc").as("n"))
+      val best = pairCounts.orderBy(col("n").desc, col("pair")).limit(1)
+      merges += best.select(lit(step.toLong).as("step"), col("pair"),
+        col("n").cast("long").as("n"))
+      if (step < steps) {
+        val a = substring_index(col("pair"), " ", 1)
+        val b = substring_index(col("pair"), " ", -1)
+        vocab = Dedup.materializeBarrier(
+          vocab.crossJoin(broadcast(best.select(col("pair"))))
+            .select(col("wc"),
+              replace(col("enc"),
+                concat(lit(Sen), a, lit(" "), lit(Sen), b, lit(" ")),
+                concat(lit(Sen), a, b, lit(" "))).as("enc")),
+          s"bpe-vocab-$step")
+      }
+    }
+    merges.result().reduce(_ unionAll _)
+  }
 }

@@ -1689,4 +1689,35 @@ class PipelineSpec extends SparkSpec {
     // coverage fraction: 6 script chars of 7 code points, ROUND 6
     assert(out(1L)._2 == 0.857143)
   }
+
+  test("vocabGrowth: exact driver-side recomputation, cumulative + heaps") {
+    def tokensOf(t: String): Seq[String] = {
+      val s = t.trim.toLowerCase
+      if (s.isEmpty) Seq.empty else s.split("\\s+").toSeq
+    }
+    val all = docs.collect().map(r => r.getLong(0) -> r.getString(1))
+    val maxId = all.map(_._1).max
+    val buckets = 16
+    def bucketOf(id: Long): Long = id * buckets / (maxId + 1)
+    val byB = all.groupBy { case (id, _) => bucketOf(id) }
+    val firstBucket = all.flatMap { case (id, t) =>
+      tokensOf(t).map(_ -> bucketOf(id))
+    }.groupMapReduce(_._1)(_._2)(math.min)
+    val bs = byB.keys.toSeq.sorted
+    var (cd, ct, cy) = (0L, 0L, 0L)
+    val want = bs.map { b =>
+      cd += byB(b).size
+      ct += byB(b).map { case (_, t) => tokensOf(t).size.toLong }.sum
+      cy += firstBucket.count(_._2 == b)
+      (b, cd, ct, cy,
+        BigDecimal(math.log(cy.toDouble) / math.log(ct.toDouble))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = Corpus.vocabGrowth(docs, buckets = buckets)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+      .sortBy(_._1).toSeq
+    assert(got == want, s"\n got  $got\n want $want")
+  }
 }

@@ -284,4 +284,65 @@ class RetrievalSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(got == want, s"\n got  $got\n want $want")
   }
+
+  // ---- BPE training --------------------------------------------------
+
+  /** Reference BPE trainer: word-freq table → symbol vectors → per
+    * round, argmax pair by (count desc, "a b" asc), greedy
+    * left-to-right non-overlapping merge application.
+    */
+  private def bpeReference(words: Map[String, Long], steps: Int)
+      : Seq[(Long, String, Long)] = {
+    var vocab: Map[Vector[String], Long] = words.toSeq
+      .map { case (w, wc) =>
+        w.codePoints().toArray.toVector
+          .map(cp => new String(Array(cp), 0, 1)) -> wc
+      }
+      .groupMapReduce(_._1)(_._2)(_ + _)
+    (1 to steps).map { step =>
+      val counts = new scala.collection.mutable.HashMap[String, Long]()
+      vocab.foreach { case (syms, wc) =>
+        syms.sliding(2).filter(_.size == 2).foreach { p =>
+          val k = p(0) + " " + p(1)
+          counts(k) = counts.getOrElse(k, 0L) + wc
+        }
+      }
+      val (pair, n) = counts.toSeq.minBy { case (p, c) => (-c, p) }
+      val Array(a, b) = pair.split(" ", 2)
+      vocab = vocab.toSeq.map { case (syms, wc) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += a + b; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        out.result() -> wc
+      }.groupMapReduce(_._1)(_._2)(_ + _)
+      (step.toLong, pair, n)
+    }
+  }
+
+  test("p92: bpeTrainMerges matches exact driver-side trainer on corpus") {
+    val all = docs.collect().map(_.getString(1))
+    val words = all.flatMap(tokensOf).groupBy(identity)
+      .map { case (w, xs) => w -> xs.size.toLong }
+    val want = bpeReference(words, steps = 3)
+    val got = Retrieval.bpeTrainMerges(docs, steps = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(got == want, s"\n got  $got\n want $want")
+  }
+
+  test("p92: greedy merge application is left-to-right non-overlapping") {
+    import spark.implicits._
+    // "aaa": pair (a,a) counts twice per occurrence; after merging the
+    // overlap rule must produce [aa, a] (leftmost wins), never [a, aa].
+    val tiny = Seq((0L, "aaa bb"), (1L, "aaa")).toDF("doc_id", "text")
+    val got = Retrieval.bpeTrainMerges(tiny, steps = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq((1L, "a a", 4L), (2L, "aa a", 2L), (3L, "b b", 1L)),
+      got.toString)
+  }
 }
