@@ -3240,6 +3240,46 @@ object Pipeline {
         |  round(ln(cum_types) / ln(cum_tokens), 6) AS heaps
         |FROM cum""".stripMargin) { (s, dir) =>
       Corpus.vocabGrowth(t(s, dir, "documents"), buckets = 16)
+    },
+
+    // Positional phrase search: queries = tokens 5..7 of docs 0-7; the
+    // oracle replays the anchor identity (pos − offset) over 1-based
+    // positions — the anchor DIFFERENCE is base-independent, so it
+    // equals Spark's 0-based first_pos exactly.
+    QueryDef("p94_phrase_search",
+      """WITH tokd AS (
+        |  SELECT doc_id, CASE
+        |    WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
+        |    THEN CAST([] AS VARCHAR[])
+        |    ELSE string_split_regex(
+        |      lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+')
+        |    END AS tk
+        |  FROM documents),
+        |pe AS (SELECT doc_id AS id, tk,
+        |         unnest(generate_series(1, len(tk))) AS pos
+        |       FROM tokd),
+        |post AS (SELECT id, tk[pos] AS term, pos FROM pe),
+        |q AS (SELECT doc_id AS qid, tk[5:7] AS qtk
+        |      FROM tokd WHERE doc_id < 8),
+        |qe AS (SELECT qid, qtk, unnest(generate_series(1, len(qtk))) AS i
+        |       FROM q),
+        |qt AS (SELECT qid, qtk[i] AS term, i FROM qe),
+        |ql AS (SELECT qid, count(*) AS n_terms FROM qt GROUP BY 1),
+        |a AS (SELECT qt.qid, post.id, post.pos - qt.i AS anchor,
+        |        count(*) AS hits
+        |      FROM post JOIN qt USING (term) GROUP BY 1, 2, 3),
+        |m AS (SELECT a.qid, a.id, a.anchor FROM a JOIN ql USING (qid)
+        |      WHERE a.hits = ql.n_terms)
+        |SELECT qid, id AS doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+        |  CAST(min(anchor) AS BIGINT) AS first_pos
+        |FROM m GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val queries = docs.filter(col("doc_id") < 8)
+        .select(col("doc_id").as("qid"),
+          concat_ws(" ", slice(
+            graft.pipeline.TextAnalysis.tokens(lower(col("text"))),
+            5, 3)).as("qtext"))
+      Retrieval.phraseMatches(docs, queries)
     }
   )
 

@@ -468,6 +468,40 @@ object Retrieval {
       .limit(topN)
   }
 
+  /** Exact phrase search over a positional inverted index: for each
+    * (qid, phrase) find every document containing the phrase as a
+    * contiguous token run, with occurrence count and first position.
+    *
+    * The classic positional-postings identity: explode both sides to
+    * (term, offset) rows, join on term, and reduce each candidate hit
+    * to its implied anchor = pos − offset; an anchor holding ALL
+    * `len(phrase)` offsets is a match. One corpus-sized explode, one
+    * term-keyed join against the broadcast query terms (the corpus
+    * shuffle carries only postings whose term occurs in some phrase —
+    * semi-join pruning, as in BM25 scoring), then partial-aggregable
+    * groupBys on (qid, id, anchor) and (qid, id). No per-document scan
+    * of phrase windows, no substring matching over text at join time.
+    */
+  def phraseMatches(docs: DataFrame, queries: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      qidCol: String = "qid", qtextCol: String = "qtext"): DataFrame = {
+    val post = docs.select(col(idCol).as("id"),
+        posexplode(tokens(lower(col(textCol)))).as(Seq("pos", "term")))
+    val qt = queries.select(col(qidCol).as("qid"),
+        posexplode(tokens(lower(col(qtextCol)))).as(Seq("i", "term")))
+    val qlen = qt.groupBy("qid").agg(count(lit(1)).as("n_terms"))
+    post.join(broadcast(qt), Seq("term"))
+      .groupBy(col("qid"), col("id"), (col("pos") - col("i")).as("anchor"))
+      .agg(count(lit(1)).as("hits"))
+      .join(broadcast(qlen), Seq("qid"))
+      .filter(col("hits") === col("n_terms"))
+      .groupBy("qid", "id")
+      .agg(count(lit(1)).as("n_matches"), min("anchor").as("first_pos"))
+      .select(col("qid"), col("id").as(idCol),
+        col("n_matches").cast("long").as("n_matches"),
+        col("first_pos").cast("long").as("first_pos"))
+  }
+
   /** Sentinel marking the start of each symbol in the string-encoded
     * symbol sequence (U+001E RECORD SEPARATOR — not in `\s`, so it can
     * never appear inside a whitespace-token; words containing it are

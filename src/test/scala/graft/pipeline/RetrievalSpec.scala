@@ -334,6 +334,32 @@ class RetrievalSpec extends SparkSpec {
     assert(got == want, s"\n got  $got\n want $want")
   }
 
+  // ---- Phrase search -------------------------------------------------
+
+  test("p94: phraseMatches anchors, multi-occurrence, repeated terms") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "the cat sat on the mat"),
+      (1L, "a cat sat on a mat the cat sat down"),   // phrase at pos 1 & 7
+      (2L, "cat sat cat sat cat"),                    // overlapping runs
+      (3L, "the the the"),                            // repeated-term phrase
+      (4L, "")).toDF("doc_id", "text")
+    val queries = Seq(
+      (100L, "cat sat"),
+      (101L, "the the"),
+      (102L, "missing phrase here")).toDF("qid", "qtext")
+    val got = Retrieval.phraseMatches(corpus, queries)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got((100L, 0L)) == ((1L, 1L)))
+    assert(got((100L, 1L)) == ((2L, 1L)))
+    assert(got((100L, 2L)) == ((2L, 0L)))   // anchors 0 and 2
+    assert(got((101L, 3L)) == ((2L, 0L)))   // "the the" at 0 and 1
+    assert(!got.keySet.exists(_._1 == 102L))
+    assert(!got.contains((100L, 4L)))
+  }
+
   test("p92: greedy merge application is left-to-right non-overlapping") {
     import spark.implicits._
     // "aaa": pair (a,a) counts twice per occurrence; after merging the
