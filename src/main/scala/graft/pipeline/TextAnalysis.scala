@@ -402,6 +402,97 @@ object TextAnalysis {
         col("bigram_lm"))
   }
 
+  /** Trigram stupid-backoff LM scoring (Brants et al., EMNLP'07)
+    * against a SEPARATE training corpus — the held-out perplexity
+    * filter of the CCNet pipeline: train n-gram counts on a trusted
+    * subset, score every document, filter/bucket on the score. Per
+    * scoring position i (trigram w1 w2 w3):
+    *   S = c(w1w2w3)/c(w1w2)                 if the trigram was seen,
+    *     = α · c(w2w3)/c(w2)                 else if the bigram was,
+    *     = α² · (c(w3)+1)/(N+V+1)            otherwise (add-one floor,
+    *                                          so unseen words never
+    *                                          yield ln 0).
+    * Output per doc: n_trigrams, backoff_lm = round(avg(ln S), 6), and
+    * backoff_frac = fraction of positions that missed the trigram
+    * table (a drift signal in its own right: rising backoff_frac means
+    * the corpus is sliding away from the training distribution).
+    *
+    * Distributed shape: counts are three partial-aggregable groupBys
+    * over the train tokenization (zip_with slices, no posexplode
+    * self-joins); scoring is the exploded trigram relation left-joined
+    * to the count tables on gram-component keys; N/V ride a one-row
+    * broadcast crossJoin. All ratios are single double-divisions of
+    * exact int64 counts in an identical expression tree on both
+    * engines (the p81 float rule). At 100 TB the count tables are
+    * vocab-sized — broadcastable or shuffle-joined on term keys —
+    * and nothing driver-side materializes.
+    */
+  def stupidBackoffScore(docs: DataFrame, train: DataFrame,
+      alpha: Double = 0.4, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    def tri3(t: Column): Column =
+      when(size(t) < 3,
+        array().cast("array<struct<w1:string,w2:string,w3:string>>"))
+        .otherwise(zip_with(
+          slice(t, lit(1), size(t) - 2),
+          zip_with(slice(t, lit(2), size(t) - 2),
+            slice(t, lit(3), size(t) - 2),
+            (b, c) => struct(b.as("w2"), c.as("w3"))),
+          (a, bc) => struct(a.as("w1"), bc("w2").as("w2"),
+            bc("w3").as("w3"))))
+    def bi2(t: Column): Column =
+      when(size(t) < 2, array().cast("array<struct<w1:string,w2:string>>"))
+        .otherwise(zip_with(slice(t, lit(1), size(t) - 1),
+          slice(t, lit(2), size(t) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2"))))
+    val toks = docs.select(col(idCol).as("id"),
+      tokens(lower(col(textCol))).as("tk"))
+    val trToks = train.select(tokens(lower(col(textCol))).as("tk"))
+    val uni = trToks.select(explode(col("tk")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val totals = uni.agg(sum("c").as("n"), count(lit(1)).as("v"))
+    val bi = trToks.select(explode(bi2(col("tk"))).as("g"))
+      .groupBy(col("g.w1").as("w1"), col("g.w2").as("w2"))
+      .agg(count(lit(1)).as("c"))
+    val tri = trToks.select(explode(tri3(col("tk"))).as("g"))
+      .groupBy(col("g.w1").as("w1"), col("g.w2").as("w2"),
+        col("g.w3").as("w3"))
+      .agg(count(lit(1)).as("c"))
+    val sp = toks.select(col("id"), explode(tri3(col("tk"))).as("g"))
+      .select(col("id"), col("g.w1").as("w1"), col("g.w2").as("w2"),
+        col("g.w3").as("w3"))
+    val joined = sp
+      .join(tri.withColumnRenamed("c", "c123"), Seq("w1", "w2", "w3"),
+        "left")
+      .join(bi.withColumnRenamed("c", "c12"), Seq("w1", "w2"), "left")
+      .join(bi.select(col("w1").as("w2"), col("w2").as("w3"),
+        col("c").as("c23")), Seq("w2", "w3"), "left")
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"),
+        "left")
+      .join(uni.select(col("w").as("w3"), col("c").as("c3")), Seq("w3"),
+        "left")
+      .crossJoin(broadcast(totals))
+    val scored = joined
+      .withColumn("s",
+        when(col("c123").isNotNull,
+          col("c123").cast("double") / col("c12").cast("double"))
+          .when(col("c23").isNotNull,
+            lit(alpha) * (col("c23").cast("double") /
+              col("c2").cast("double")))
+          .otherwise(lit(alpha * alpha) *
+            ((coalesce(col("c3"), lit(0L)) + 1).cast("double") /
+              (col("n") + col("v") + 1).cast("double"))))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        round(avg(log(col("s"))), 6).as("backoff_lm"),
+        round(avg(when(col("c123").isNotNull, 0.0).otherwise(1.0)), 6)
+          .as("backoff_frac"))
+    docs.select(col(idCol)).join(scored, col(idCol) === col("id"), "left")
+      .select(col(idCol),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        col("backoff_lm"), col("backoff_frac"))
+  }
+
   /** PMI-style collocation extraction: adjacent lowercase token bigrams
     * whose co-occurrence count clears `minCount`, scored by pointwise
     * lift = P(w1 w2) / (P(w1)·P(w2)) = n_pair·N / (n_w1·n_w2) — the

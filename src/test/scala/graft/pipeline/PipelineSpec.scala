@@ -1690,6 +1690,35 @@ class PipelineSpec extends SparkSpec {
     assert(out(1L)._2 == 0.857143)
   }
 
+  test("stupidBackoffScore: all three levels, hand-built corpus") {
+    import spark.implicits._
+    // Train: "a b c" twice, "a b d" once → tri (a,b,c)=2, (a,b,d)=1;
+    // bi (a,b)=3, (b,c)=2, (b,d)=1; uni a=3 b=3 c=2 d=1; N=9, V=4.
+    val train = Seq((0L, "a b c"), (2L, "a b c"), (4L, "a b d"))
+      .toDF("doc_id", "text")
+    // Score: "a b c" (seen tri), "x b c" (tri miss, bi (b,c) hit),
+    // "x y z" (full miss, z unseen), "a b" (too short).
+    val score = Seq((10L, "a b c"), (11L, "x b c"), (12L, "x y z"),
+      (13L, "a b")).toDF("doc_id", "text")
+    val got = TextAnalysis.stupidBackoffScore(score, train)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))
+      .toMap
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // level 1: c123/c12 = 2/3
+    assert(got(10L) == ((1L, Some(r6(math.log(2.0 / 3.0))), Some(0.0))))
+    // level 2: α · c(b,c)/c(b) = 0.4 · 2/3
+    assert(got(11L) == ((1L, Some(r6(math.log(0.4 * (2.0 / 3.0)))),
+      Some(1.0))))
+    // level 3: α² · (c(z)+1)/(N+V+1) = 0.16 · 1/14
+    assert(got(12L) == ((1L,
+      Some(r6(math.log(0.4 * 0.4 * (1.0 / 14.0)))), Some(1.0))))
+    assert(got(13L) == ((0L, None, None)))
+  }
+
   test("vocabGrowth: exact driver-side recomputation, cumulative + heaps") {
     def tokensOf(t: String): Seq[String] = {
       val s = t.trim.toLowerCase
