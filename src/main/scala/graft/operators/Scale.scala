@@ -462,6 +462,72 @@ object Scale {
     * selected-file read uses the manifest's bounded path list (16-row
     * collect — the broadcast-variable pattern, like the IVF centroids).
     */
+  /** x22 runner: two-snapshot ingest into one data dir + manifest rows
+    * tagged with the snapshot id; the incremental consumer reads only
+    * the manifest's snap-2 file list. Manifest maintenance here derives
+    * new-file stats with one scan + path anti-join (test-scale
+    * convenience); production appends stats at commit time from the
+    * written batch itself — exactly what s17 does in its foreachBatch.
+    */
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
+  }
+
+  private[graft] def incrementalScan(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_fmt").toString
+    val dataP = s"$root/x22_data"
+    val maniP = s"$root/x22_manifest"
+    rmTree(new java.io.File(dataP)); rmTree(new java.io.File(maniP))
+    val events = t(s, dir, "events").select("event_id", "user_id")
+    // snapshot 1: the 80% residue classes, 12 range files
+    events.filter(col("event_id") % 5 =!= 0)
+      .repartitionByRange(12, col("event_id"))
+      .sortWithinPartitions("event_id")
+      .write.mode("overwrite").parquet(dataP)
+    s.read.parquet(dataP)
+      .groupBy(input_file_name().as("file"))
+      .agg(min("event_id").as("min_id"), max("event_id").as("max_id"),
+        count(lit(1)).as("rows"))
+      .withColumn("snap", lit(1))
+      .write.mode("overwrite").parquet(maniP)
+    // snapshot 2 appends the % 5 == 0 slice as 4 new files
+    events.filter(col("event_id") % 5 === 0)
+      .repartitionByRange(4, col("event_id"))
+      .sortWithinPartitions("event_id")
+      .write.mode("append").parquet(dataP)
+    val known = s.read.parquet(maniP).select("file")
+    s.read.parquet(dataP)
+      .groupBy(input_file_name().as("file"))
+      .agg(min("event_id").as("min_id"), max("event_id").as("max_id"),
+        count(lit(1)).as("rows"))
+      .join(known, Seq("file"), "left_anti")
+      .withColumn("snap", lit(2))
+      .write.mode("append").parquet(maniP)
+    val mani = s.read.parquet(maniP)
+    val nFiles = mani.count()
+    val newFiles = mani.filter(col("snap") > 1)
+      .select("file").collect().map(_.getString(0))
+    val inc = s.read.parquet(newFiles.toIndexedSeq: _*)
+      .agg(count(lit(1)).as("n"), sum("user_id").as("su")).head()
+    val direct = events.filter(col("event_id") % 5 === 0)
+      .agg(count(lit(1)).as("n"), sum("user_id").as("su")).head()
+    val filesOnlyNew = nFiles == 16L && newFiles.length == 4
+    val matches = inc == direct
+    s.createDataFrame(java.util.List.of(
+      org.apache.spark.sql.Row(inc.getLong(0), inc.getLong(1),
+        filesOnlyNew, matches)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n_new",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("sum_user",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("incremental_files_only",
+          org.apache.spark.sql.types.BooleanType),
+        org.apache.spark.sql.types.StructField("matches_direct",
+          org.apache.spark.sql.types.BooleanType))))
+  }
+
   private[graft] def manifestPrune(s: SparkSession, dir: String): DataFrame = {
     val root = java.nio.file.Paths.get(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_fmt").toString
@@ -1013,6 +1079,24 @@ object Scale {
         |WHERE o_custkey = (SELECT min(o_custkey) FROM orders)"""
         .stripMargin) { (s, dir) =>
       parquetBloomStats(s, dir)
+    },
+
+    // Incremental snapshot consumption off the manifest table (the
+    // lakehouse CDC-read pattern): every data file carries a snapshot
+    // id in the manifest; a consumer holding watermark snap ≤ 1 plans
+    // its scan from `manifest WHERE snap > 1` and reads ONLY the files
+    // the new snapshot added — no listing, no full scan, no reliance
+    // on file mtimes. At 100 TB this is how downstream jobs tail a
+    // continuously-ingested corpus: the manifest diff IS the change
+    // feed. Booleans assert the incremental plan touched exactly the
+    // 4-of-16 new files and that its result equals the direct
+    // predicate scan.
+    QueryDef("x22_incremental_scan",
+      """SELECT CAST(count(*) AS BIGINT) AS n_new,
+        |  CAST(sum(user_id) AS BIGINT) AS sum_user,
+        |  true AS incremental_files_only, true AS matches_direct
+        |FROM events WHERE event_id % 5 = 0""".stripMargin) { (s, dir) =>
+      incrementalScan(s, dir)
     },
 
     // Skew-proof partitioned write: REBALANCE on the partition key makes

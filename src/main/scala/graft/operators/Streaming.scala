@@ -558,6 +558,101 @@ object Streaming {
         .orderBy("qid")
     },
 
+    // Streaming vocabulary-novelty monitor (the p93 Heaps curve, fed
+    // incrementally): each micro-batch's distinct token types are
+    // anti-joined against the accumulated vocabulary store, the new
+    // ones counted and appended — so the monitor's per-batch
+    // new-type counts replay the batch first-occurrence bucketing
+    // exactly. Batch order is pinned by spaced file mtimes + lexical
+    // names (the file source sorts by timestamp, then path), because
+    // ordering is semantic here, unlike s18's order-free cell routing.
+    // At 100 TB the vocabulary store is a vocab-sized parquet table
+    // and each batch costs one distinct + one token-keyed anti-join —
+    // a falling new-type rate is the Heaps plateau, a spike is an
+    // encoding/source regression arriving in the stream.
+    QueryDef("s19_stream_vocab_novelty",
+      """WITH mx AS (SELECT max(doc_id) AS max_id FROM documents),
+        |bkt AS (SELECT doc_id * 4 // (max_id + 1) AS bucket, doc_id,
+        |          text
+        |        FROM documents CROSS JOIN mx),
+        |dc AS (SELECT bucket, count(*) AS n_docs FROM bkt GROUP BY 1),
+        |tok AS (SELECT bucket, unnest(CASE
+        |    WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
+        |    THEN CAST([] AS VARCHAR[])
+        |    ELSE string_split_regex(
+        |      lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+')
+        |    END) AS token
+        |  FROM bkt),
+        |tc AS (SELECT bucket, count(*) AS n_tokens FROM tok GROUP BY 1),
+        |nt AS (SELECT bucket, count(*) AS n_new_types FROM (
+        |    SELECT token, min(bucket) AS bucket FROM tok GROUP BY 1)
+        |  GROUP BY 1)
+        |SELECT CAST(bucket AS BIGINT) AS batch,
+        |  CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(COALESCE(tc.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(nt.n_new_types, 0) AS BIGINT) AS n_new_types
+        |FROM dc LEFT JOIN tc USING (bucket) LEFT JOIN nt USING (bucket)"""
+        .stripMargin) { (s, dir) =>
+      import graft.pipeline.TextAnalysis
+      val docs = graft.Tables.load(s, dir, "documents")
+        .select("doc_id", "text")
+      val maxId = docs.agg(max("doc_id")).head().getLong(0)
+      val base = java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_fmt").toString
+      val srcDir = s"$base/s19_stream_src"
+      val vocabDir = s"$base/s19_vocab"
+      val statsDir = s"$base/s19_stats"
+      rmTree(new java.io.File(srcDir)); rmTree(new java.io.File(vocabDir))
+      rmTree(new java.io.File(statsDir))
+      new java.io.File(srcDir).mkdirs()
+      val t0 = System.currentTimeMillis() - 3600000L
+      (0 until 4).foreach { b =>
+        writeSingle(docs.filter(
+          expr(s"CAST(doc_id AS BIGINT) * 4 div ${maxId + 1}") === b),
+          srcDir, s"batch_$b")
+        // pin processing order: file source sorts by (mtime, path)
+        new java.io.File(srcDir, s"batch_$b.parquet")
+          .setLastModified(t0 + b * 60000L)
+        ()
+      }
+      val schema = s.read.parquet(srcDir).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(srcDir)
+        .writeStream
+        .foreachBatch {
+          (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+            val sp = batch.sparkSession
+            val types = batch.select(explode(
+              TextAnalysis.tokens(lower(col("text")))).as("token"))
+            val known =
+              if (new java.io.File(vocabDir).exists())
+                sp.read.parquet(vocabDir)
+              else sp.emptyDataFrame.withColumn("token",
+                lit(null).cast("string")).select("token")
+            val fresh = types.distinct()
+              .join(known, Seq("token"), "left_anti")
+            val nDocs = batch.count()
+            val nToks = types.count()
+            val nNew = fresh.count()
+            fresh.write.mode("append").parquet(vocabDir)
+            import sp.implicits._
+            Seq((batchId, nDocs, nToks, nNew))
+              .toDF("batch", "n_docs", "n_tokens", "n_new_types")
+              .coalesce(1).write.mode("append").parquet(statsDir)
+            ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(statsDir)
+        .select(col("batch").cast("long").as("batch"),
+          col("n_docs").cast("long").as("n_docs"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          col("n_new_types").cast("long").as("n_new_types"))
+    },
+
     // Streaming CDC apply: the p68 release deltas consumed as a stream,
     // each micro-batch merged into a materialized corpus store by
     // copy-on-write (anti-join out the touched ids, append the new
