@@ -70,6 +70,10 @@ object Bench {
     "p86_paragraph_neardup", // paragraph-level shingle-join Jaccard
     "p87_hard_negatives", // sub-threshold cosine top-k mining
     "p88_bpe_pair_stats", // vocab-collapsed char-pair counts
+    "p92_bpe_train",      // 3-round iterative BPE over the vocab barrier
+    "p93_vocab_growth",   // Heaps curve: first-occurrence bucket counts
+    "p94_phrase_search",  // positional postings anchor join
+    "p95_backoff_lm",     // trigram stupid-backoff scoring joins
     "s08_stream_trending", // streaming windowed counts + bounded rank
     "s01_stream_hourly",  // structured streaming
     "s16_stream_bm25_route", // per-batch BM25 vs static stats

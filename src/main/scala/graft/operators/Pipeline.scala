@@ -3352,6 +3352,80 @@ object Pipeline {
       val docs = t(s, dir, "documents")
       TextAnalysis.stupidBackoffScore(docs,
         docs.filter(col("doc_id") % 2 === 0))
+    },
+
+    // CCNet head/middle/tail bucketing: per-language thirds by held-out
+    // LM score (p95's chain re-derived in the oracle), scoreless docs
+    // pushed last by a +1e18 sentinel, bucket = rank·3 // n, ties on
+    // doc_id — fully deterministic cut.
+    QueryDef("p96_ppl_buckets",
+      """WITH toks AS (
+        |  SELECT doc_id, CASE
+        |    WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
+        |    THEN CAST([] AS VARCHAR[])
+        |    ELSE string_split_regex(
+        |      lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+')
+        |    END AS tk
+        |  FROM documents),
+        |tr AS (SELECT tk FROM toks WHERE doc_id % 2 = 0),
+        |uni AS (SELECT t AS w, count(*) AS c
+        |        FROM (SELECT unnest(tk) AS t FROM tr) GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS v
+        |        FROM uni),
+        |bg AS (SELECT w1, w2, count(*) AS c FROM (
+        |    SELECT
+        |      unnest(CASE WHEN len(tk) < 2 THEN CAST([] AS VARCHAR[])
+        |             ELSE tk[1:len(tk)-1] END) AS w1,
+        |      unnest(CASE WHEN len(tk) < 2 THEN CAST([] AS VARCHAR[])
+        |             ELSE tk[2:len(tk)] END) AS w2
+        |    FROM tr) GROUP BY 1, 2),
+        |tg AS (SELECT w1, w2, w3, count(*) AS c FROM (
+        |    SELECT
+        |      unnest(CASE WHEN len(tk) < 3 THEN CAST([] AS VARCHAR[])
+        |             ELSE tk[1:len(tk)-2] END) AS w1,
+        |      unnest(CASE WHEN len(tk) < 3 THEN CAST([] AS VARCHAR[])
+        |             ELSE tk[2:len(tk)-1] END) AS w2,
+        |      unnest(CASE WHEN len(tk) < 3 THEN CAST([] AS VARCHAR[])
+        |             ELSE tk[3:len(tk)] END) AS w3
+        |    FROM tr) GROUP BY 1, 2, 3),
+        |sp AS (SELECT doc_id,
+        |      unnest(CASE WHEN len(tk) < 3 THEN CAST([] AS VARCHAR[])
+        |             ELSE tk[1:len(tk)-2] END) AS w1,
+        |      unnest(CASE WHEN len(tk) < 3 THEN CAST([] AS VARCHAR[])
+        |             ELSE tk[2:len(tk)-1] END) AS w2,
+        |      unnest(CASE WHEN len(tk) < 3 THEN CAST([] AS VARCHAR[])
+        |             ELSE tk[3:len(tk)] END) AS w3
+        |    FROM toks),
+        |j AS (SELECT sp.doc_id, tg.c AS c123, b12.c AS c12, b23.c AS c23,
+        |        u2.c AS c2, u3.c AS c3
+        |      FROM sp
+        |      LEFT JOIN tg ON tg.w1 = sp.w1 AND tg.w2 = sp.w2
+        |                  AND tg.w3 = sp.w3
+        |      LEFT JOIN bg b12 ON b12.w1 = sp.w1 AND b12.w2 = sp.w2
+        |      LEFT JOIN bg b23 ON b23.w1 = sp.w2 AND b23.w2 = sp.w3
+        |      LEFT JOIN uni u2 ON u2.w = sp.w2
+        |      LEFT JOIN uni u3 ON u3.w = sp.w3),
+        |sc AS (SELECT doc_id,
+        |    round(avg(ln(CASE
+        |      WHEN c123 IS NOT NULL
+        |      THEN CAST(c123 AS DOUBLE) / CAST(c12 AS DOUBLE)
+        |      WHEN c23 IS NOT NULL
+        |      THEN 0.4 * (CAST(c23 AS DOUBLE) / CAST(c2 AS DOUBLE))
+        |      ELSE (0.4 * 0.4) * (CAST(COALESCE(c3, 0) + 1 AS DOUBLE) /
+        |        CAST(t.n + t.v + 1 AS DOUBLE)) END)), 6) AS backoff_lm
+        |  FROM j, tot t GROUP BY doc_id),
+        |r AS (SELECT d.doc_id, d.lang, s.backoff_lm,
+        |    ROW_NUMBER() OVER (PARTITION BY d.lang
+        |      ORDER BY COALESCE(-s.backoff_lm, 1e18), d.doc_id) - 1 AS rk,
+        |    COUNT(*) OVER (PARTITION BY d.lang) AS n
+        |  FROM documents d LEFT JOIN sc s USING (doc_id))
+        |SELECT doc_id, lang, backoff_lm,
+        |  CASE (rk * 3) // n WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+        |       ELSE 'tail' END AS ppl_bucket
+        |FROM r""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      TextAnalysis.perplexityBuckets(docs,
+        docs.filter(col("doc_id") % 2 === 0))
     }
   )
 

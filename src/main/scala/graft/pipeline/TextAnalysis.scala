@@ -493,6 +493,40 @@ object TextAnalysis {
         col("backoff_lm"), col("backoff_frac"))
   }
 
+  /** CCNet-style head/middle/tail perplexity bucketing (Wenzek et al.,
+    * LREC'20): rank each language's documents by held-out LM score
+    * (best first) and split into thirds — "head" trains verbatim,
+    * "middle" gets sampled, "tail" gets dropped or re-filtered. Scores
+    * come from [[stupidBackoffScore]]; scoreless docs (< 3 tokens)
+    * sort last via a +∞ sentinel (COALESCE is engine-portable where
+    * bare NULL ordering is not). Bucket = rank·3 div n in exact
+    * integer arithmetic; ties break on doc id, so the cut is
+    * deterministic.
+    *
+    * Scale shape: ranking rides the global-order machinery (range
+    * partition + per-partition offsets — p63's pattern) instead of a
+    * per-language window sort, so one language dominating the corpus
+    * cannot serialize ranking onto one task.
+    */
+  def perplexityBuckets(docs: DataFrame, train: DataFrame,
+      alpha: Double = 0.4, idCol: String = "doc_id",
+      langCol: String = "lang", textCol: String = "text"): DataFrame = {
+    val scored = stupidBackoffScore(docs, train, alpha, idCol, textCol)
+      .select(col(idCol), col("backoff_lm"))
+    val base = docs.select(col(idCol), col(langCol))
+      .join(scored, Seq(idCol), "left")
+      .withColumn("_o", coalesce(col("backoff_lm") * -1, lit(1e18)))
+    val ordered = Corpus.withGlobalOrder(base,
+      Seq(col(langCol), col("_o"), col(idCol)), lit(1L))
+    val offs = ordered.groupBy(langCol)
+      .agg(min("pos").as("_p0"), count(lit(1)).as("_n"))
+    ordered.join(broadcast(offs), Seq(langCol))
+      .select(col(idCol), col(langCol), col("backoff_lm"),
+        when(expr("(pos - _p0) * 3 div _n") === 0, "head")
+          .when(expr("(pos - _p0) * 3 div _n") === 1, "middle")
+          .otherwise("tail").as("ppl_bucket"))
+  }
+
   /** PMI-style collocation extraction: adjacent lowercase token bigrams
     * whose co-occurrence count clears `minCount`, scored by pointwise
     * lift = P(w1 w2) / (P(w1)·P(w2)) = n_pair·N / (n_w1·n_w2) — the

@@ -637,4 +637,44 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("partial_sum"),
       s"bucket counts not map-side partial:\n$p")
   }
+
+  test("p92: BPE rounds read the vocab barrier; argmax rides a 1-row broadcast") {
+    val p = executed("p92_bpe_train")
+    // the only joins are the best-pair rewrite cross joins — every one
+    // must be a 1-row BroadcastNestedLoopJoin, never a shuffled
+    // CartesianProduct; pair counts must partial-aggregate
+    assert(!p.contains("CartesianProduct"),
+      s"best-pair rewrite shuffled a cross product:\n$p")
+    assert(p.contains("partial_sum") || p.contains("Partial"),
+      s"pair counts not map-side partial:\n$p")
+    // rounds run over the materialized barrier, not the raw corpus: the
+    // executed plan must scan barrier parquet (graft-bpe-vocab dirs),
+    // not documents.parquet
+    assert(p.contains("graft-bpe-vocab"),
+      s"rounds recompute from the corpus instead of the barrier:\n$p")
+    assert(!p.contains("documents.parquet"),
+      s"final union still re-reads the corpus:\n$p")
+  }
+
+  test("p94: phrase terms broadcast into the postings; anchors partial-aggregate") {
+    val p = executed("p94_phrase_search")
+    assert(p.contains("BroadcastHashJoin"),
+      s"query terms shuffled the postings:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"phrase match fell back to a cross product:\n$p")
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      s"anchor hits not map-side partial:\n$p")
+    assert(!p.contains("Window"),
+      s"anchor reduction uses a window instead of aggregates:\n$p")
+  }
+
+  test("p95: backoff scoring is count-table joins, no cross product, partial aggs") {
+    val p = executed("p95_backoff_lm")
+    assert(!p.contains("CartesianProduct"),
+      s"LM scoring fell back to a cross product:\n$p")
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      s"n-gram counts not map-side partial:\n$p")
+    assert(!p.contains("Window"),
+      s"per-doc averaging uses a window instead of aggregates:\n$p")
+  }
 }

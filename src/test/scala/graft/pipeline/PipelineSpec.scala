@@ -1719,6 +1719,32 @@ class PipelineSpec extends SparkSpec {
     assert(got(13L) == ((0L, None, None)))
   }
 
+  test("perplexityBuckets: per-lang thirds, scoreless docs sort last") {
+    val full = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "lang")
+    val train = full.filter(col("doc_id") % 2 === 0)
+    val scores = TextAnalysis.stupidBackoffScore(full, train)
+      .collect()
+      .map(r => r.getLong(0) -> Option(r.get(2)).map(_.asInstanceOf[Double]))
+      .toMap
+    val byLang = full.select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._2)
+    val want = byLang.toSeq.flatMap { case (lang, ds) =>
+      val sorted = ds.map(_._1).toSeq
+        .sortBy(id => (scores(id).map(-_).getOrElse(1e18), id))
+      val n = sorted.length
+      sorted.zipWithIndex.map { case (id, rk) =>
+        (id, lang) -> Seq("head", "middle", "tail")(
+          (rk.toLong * 3 / n).toInt)
+      }
+    }.toMap
+    val got = TextAnalysis.perplexityBuckets(full, train)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getString(3)).toMap
+    assert(got == want)
+  }
+
   test("vocabGrowth: exact driver-side recomputation, cumulative + heaps") {
     def tokensOf(t: String): Seq[String] = {
       val s = t.trim.toLowerCase
