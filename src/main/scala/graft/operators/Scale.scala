@@ -528,6 +528,76 @@ object Scale {
           org.apache.spark.sql.types.BooleanType))))
   }
 
+  /** x23 runner: the same join planned twice — with CBO + ANALYZE
+    * statistics (filter selectivity estimated from column NDV → the
+    * filtered dimension drops under the broadcast threshold →
+    * BroadcastHashJoin) and with size-only estimation (the filter
+    * keeps its child's full size → shuffle join). The broadcast
+    * threshold is pinned to half the table's EXACT on-disk size, so
+    * the flip can only come from the statistics, never from ambient
+    * file-size luck. This is the decision a 1000-executor plan lives
+    * or dies on: a dimension filtered to 20% that still shuffles the
+    * fact table wastes the whole stage.
+    */
+  private[graft] def cboBroadcast(s: SparkSession, dir: String): DataFrame = {
+    def dirSize(f: java.io.File): Long =
+      if (f.isFile) f.length
+      else Option(f.listFiles()).map(_.map(dirSize).sum).getOrElse(0L)
+    val ordersPath = s"$dir/orders.parquet"
+    val sBytes = dirSize(new java.io.File(ordersPath))
+    val prevThresh = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevCbo = s.conf.get("spark.sql.cbo.enabled")
+    try {
+      s.sql("DROP TABLE IF EXISTS x23_orders")
+      s.sql(s"CREATE TABLE x23_orders USING parquet LOCATION '$ordersPath'")
+      s.sql("ANALYZE TABLE x23_orders COMPUTE STATISTICS")
+      s.sql("ANALYZE TABLE x23_orders COMPUTE STATISTICS " +
+        "FOR COLUMNS o_custkey")
+      // threshold at S/50: size-only estimation keeps the filter at its
+      // child's (column-pruned) size — a width ratio nowhere near 1/50
+      // — while NDV-based estimation puts the one-customer filter at
+      // ~rows/ndv(custkey), orders of magnitude under it
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        math.max(sBytes / 50, 1L).toString)
+      val mk = t(s, dir, "orders").agg(min("o_custkey")).head().getLong(0)
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+      def shape(): DataFrame = s.table("x23_orders")
+        .filter(col("o_custkey") === mk)
+        .select("o_orderkey")
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"))
+      s.conf.set("spark.sql.cbo.enabled", "true")
+      val withCbo = shape()
+      val row = withCbo.head()
+      val cboPlan = withCbo.queryExecution.executedPlan.toString
+      s.conf.set("spark.sql.cbo.enabled", "false")
+      val noCbo = shape()
+      noCbo.head()
+      val defPlan = noCbo.queryExecution.executedPlan.toString
+      val cboBroadcasts = cboPlan.contains("BroadcastHashJoin")
+      val defaultShuffles = !defPlan.contains("BroadcastHashJoin")
+      s.createDataFrame(java.util.List.of(
+        org.apache.spark.sql.Row(row.getLong(0), row.getDouble(1),
+          cboBroadcasts, defaultShuffles)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("n",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("sum_qty",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("cbo_broadcasts",
+            org.apache.spark.sql.types.BooleanType),
+          org.apache.spark.sql.types.StructField("default_shuffles",
+            org.apache.spark.sql.types.BooleanType))))
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      s.conf.set("spark.sql.cbo.enabled", prevCbo)
+      s.sql("DROP TABLE IF EXISTS x23_orders")
+      ()
+    }
+  }
+
   private[graft] def manifestPrune(s: SparkSession, dir: String): DataFrame = {
     val root = java.nio.file.Paths.get(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_fmt").toString
@@ -1097,6 +1167,22 @@ object Scale {
         |  true AS incremental_files_only, true AS matches_direct
         |FROM events WHERE event_id % 5 = 0""".stripMargin) { (s, dir) =>
       incrementalScan(s, dir)
+    },
+
+    // CBO statistics flip the dimension join to broadcast: with ANALYZE
+    // column stats the one-customer equality filter is estimated at
+    // rows/ndv(o_custkey) and drops far under the S/50 threshold;
+    // size-only estimation keeps the (column-pruned) table size above
+    // it and shuffles.
+    QueryDef("x23_cbo_broadcast",
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_qty,
+        |  true AS cbo_broadcasts, true AS default_shuffles
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_custkey = (SELECT min(o_custkey) FROM orders)"""
+        .stripMargin) { (s, dir) =>
+      cboBroadcast(s, dir)
     },
 
     // Skew-proof partitioned write: REBALANCE on the partition key makes

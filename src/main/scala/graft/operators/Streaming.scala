@@ -653,6 +653,108 @@ object Streaming {
           col("n_new_types").cast("long").as("n_new_types"))
     },
 
+    // Streaming stupid-backoff LM router (the s16 pattern for p95):
+    // the four LM count tables are materialized ONCE from the static
+    // training half, then every micro-batch is scored against those
+    // flat vocab-sized barriers — stateless per-batch scoring, no
+    // per-batch rescan of the training corpus, batch-order-independent
+    // (a doc's score depends only on itself + the frozen stats). The
+    // accumulated stream output must equal the batch p95 relation
+    // exactly. This is the production shape for perplexity-filtering
+    // a crawl AS IT ARRIVES: stats job nightly, scoring in the ingest
+    // stream.
+    QueryDef("s20_stream_backoff_route",
+      """WITH toks AS (
+        |  SELECT doc_id, CASE
+        |    WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
+        |    THEN CAST([] AS VARCHAR[])
+        |    ELSE string_split_regex(
+        |      lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+')
+        |    END AS tk
+        |  FROM documents),
+        |tr AS (SELECT tk FROM toks WHERE doc_id % 2 = 0),
+        |uni AS (SELECT t AS w, count(*) AS c
+        |        FROM (SELECT unnest(tk) AS t FROM tr) GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS v
+        |        FROM uni),
+        |bg AS (SELECT w1, w2, count(*) AS c FROM (
+        |    SELECT
+        |      unnest(CASE WHEN len(tk) < 2 THEN CAST([] AS VARCHAR[])
+        |             ELSE tk[1:len(tk)-1] END) AS w1,
+        |      unnest(CASE WHEN len(tk) < 2 THEN CAST([] AS VARCHAR[])
+        |             ELSE tk[2:len(tk)] END) AS w2
+        |    FROM tr) GROUP BY 1, 2),
+        |tg AS (SELECT w1, w2, w3, count(*) AS c FROM (
+        |    SELECT
+        |      unnest(CASE WHEN len(tk) < 3 THEN CAST([] AS VARCHAR[])
+        |             ELSE tk[1:len(tk)-2] END) AS w1,
+        |      unnest(CASE WHEN len(tk) < 3 THEN CAST([] AS VARCHAR[])
+        |             ELSE tk[2:len(tk)-1] END) AS w2,
+        |      unnest(CASE WHEN len(tk) < 3 THEN CAST([] AS VARCHAR[])
+        |             ELSE tk[3:len(tk)] END) AS w3
+        |    FROM tr) GROUP BY 1, 2, 3),
+        |sp AS (SELECT doc_id,
+        |      unnest(CASE WHEN len(tk) < 3 THEN CAST([] AS VARCHAR[])
+        |             ELSE tk[1:len(tk)-2] END) AS w1,
+        |      unnest(CASE WHEN len(tk) < 3 THEN CAST([] AS VARCHAR[])
+        |             ELSE tk[2:len(tk)-1] END) AS w2,
+        |      unnest(CASE WHEN len(tk) < 3 THEN CAST([] AS VARCHAR[])
+        |             ELSE tk[3:len(tk)] END) AS w3
+        |    FROM toks),
+        |j AS (SELECT sp.doc_id, tg.c AS c123, b12.c AS c12, b23.c AS c23,
+        |        u2.c AS c2, u3.c AS c3
+        |      FROM sp
+        |      LEFT JOIN tg ON tg.w1 = sp.w1 AND tg.w2 = sp.w2
+        |                  AND tg.w3 = sp.w3
+        |      LEFT JOIN bg b12 ON b12.w1 = sp.w1 AND b12.w2 = sp.w2
+        |      LEFT JOIN bg b23 ON b23.w1 = sp.w2 AND b23.w2 = sp.w3
+        |      LEFT JOIN uni u2 ON u2.w = sp.w2
+        |      LEFT JOIN uni u3 ON u3.w = sp.w3),
+        |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+        |    round(avg(ln(CASE
+        |      WHEN c123 IS NOT NULL
+        |      THEN CAST(c123 AS DOUBLE) / CAST(c12 AS DOUBLE)
+        |      WHEN c23 IS NOT NULL
+        |      THEN 0.4 * (CAST(c23 AS DOUBLE) / CAST(c2 AS DOUBLE))
+        |      ELSE (0.4 * 0.4) * (CAST(COALESCE(c3, 0) + 1 AS DOUBLE) /
+        |        CAST(t.n + t.v + 1 AS DOUBLE)) END)), 6) AS backoff_lm,
+        |    round(avg(CASE WHEN c123 IS NOT NULL THEN 0.0 ELSE 1.0 END),
+        |      6) AS backoff_frac
+        |  FROM j, tot t GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(s.n_trigrams, 0) AS n_trigrams,
+        |  s.backoff_lm, s.backoff_frac
+        |FROM documents d LEFT JOIN sc s USING (doc_id)"""
+        .stripMargin) { (s, dir) =>
+      import graft.pipeline.TextAnalysis
+      val docs = graft.Tables.load(s, dir, "documents")
+        .select("doc_id", "text")
+      val stats = TextAnalysis.backoffStatsMaterialized(
+        docs.filter(col("doc_id") % 2 === 0))
+      val base = java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_fmt").toString
+      val srcDir = s"$base/s20_stream_src"
+      val outDir = s"$base/s20_scored"
+      rmTree(new java.io.File(srcDir)); rmTree(new java.io.File(outDir))
+      new java.io.File(srcDir).mkdirs()
+      writeSingle(docs.filter(col("doc_id") % 2 === 0), srcDir, "batch_a")
+      writeSingle(docs.filter(col("doc_id") % 2 === 1), srcDir, "batch_b")
+      val schema = s.read.parquet(srcDir).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(srcDir)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          TextAnalysis.stupidBackoffScoreWith(batch, stats)
+            .write.mode("append").parquet(outDir)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(outDir)
+    },
+
     // Streaming CDC apply: the p68 release deltas consumed as a stream,
     // each micro-batch merged into a materialized corpus store by
     // copy-on-write (anti-join out the touched ids, append the new

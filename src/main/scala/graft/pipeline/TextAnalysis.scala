@@ -429,24 +429,18 @@ object TextAnalysis {
     */
   def stupidBackoffScore(docs: DataFrame, train: DataFrame,
       alpha: Double = 0.4, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    def tri3(t: Column): Column =
-      when(size(t) < 3,
-        array().cast("array<struct<w1:string,w2:string,w3:string>>"))
-        .otherwise(zip_with(
-          slice(t, lit(1), size(t) - 2),
-          zip_with(slice(t, lit(2), size(t) - 2),
-            slice(t, lit(3), size(t) - 2),
-            (b, c) => struct(b.as("w2"), c.as("w3"))),
-          (a, bc) => struct(a.as("w1"), bc("w2").as("w2"),
-            bc("w3").as("w3"))))
-    def bi2(t: Column): Column =
-      when(size(t) < 2, array().cast("array<struct<w1:string,w2:string>>"))
-        .otherwise(zip_with(slice(t, lit(1), size(t) - 1),
-          slice(t, lit(2), size(t) - 1),
-          (a, b) => struct(a.as("w1"), b.as("w2"))))
-    val toks = docs.select(col(idCol).as("id"),
-      tokens(lower(col(textCol))).as("tk"))
+      textCol: String = "text"): DataFrame =
+    stupidBackoffScoreWith(docs, backoffStats(train, textCol), alpha,
+      idCol, textCol)
+
+  /** The four LM count tables [[stupidBackoffScoreWith]] scores
+    * against: (uni, bi, tri, totals). The streaming router (s20)
+    * materializes these ONCE from the static reference corpus and
+    * scores every micro-batch against them — the stats job runs once,
+    * batches never rescan the training corpus (the s16 BM25 pattern).
+    */
+  def backoffStats(train: DataFrame, textCol: String = "text")
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val trToks = train.select(tokens(lower(col(textCol))).as("tk"))
     val uni = trToks.select(explode(col("tk")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
@@ -458,6 +452,48 @@ object TextAnalysis {
       .groupBy(col("g.w1").as("w1"), col("g.w2").as("w2"),
         col("g.w3").as("w3"))
       .agg(count(lit(1)).as("c"))
+    (uni, bi, tri, totals)
+  }
+
+  /** Materialize [[backoffStats]] as parquet barriers so repeated
+    * scoring (one call per micro-batch) reads flat vocab-sized tables
+    * instead of re-deriving the counts from the corpus every batch.
+    */
+  def backoffStatsMaterialized(train: DataFrame,
+      textCol: String = "text")
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val (uni, bi, tri, totals) = backoffStats(train, textCol)
+    (Dedup.materializeBarrier(uni, "lm-uni"),
+      Dedup.materializeBarrier(bi, "lm-bi"),
+      Dedup.materializeBarrier(tri, "lm-tri"),
+      Dedup.materializeBarrier(totals, "lm-totals"))
+  }
+
+  private def tri3(t: Column): Column =
+      when(size(t) < 3,
+        array().cast("array<struct<w1:string,w2:string,w3:string>>"))
+        .otherwise(zip_with(
+          slice(t, lit(1), size(t) - 2),
+          zip_with(slice(t, lit(2), size(t) - 2),
+            slice(t, lit(3), size(t) - 2),
+            (b, c) => struct(b.as("w2"), c.as("w3"))),
+          (a, bc) => struct(a.as("w1"), bc("w2").as("w2"),
+            bc("w3").as("w3"))))
+
+  private def bi2(t: Column): Column =
+    when(size(t) < 2, array().cast("array<struct<w1:string,w2:string>>"))
+      .otherwise(zip_with(slice(t, lit(1), size(t) - 1),
+        slice(t, lit(2), size(t) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2"))))
+
+  /** Score `docs` against precomputed [[backoffStats]] tables. */
+  def stupidBackoffScoreWith(docs: DataFrame,
+      stats: (DataFrame, DataFrame, DataFrame, DataFrame),
+      alpha: Double = 0.4, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val (uni, bi, tri, totals) = stats
+    val toks = docs.select(col(idCol).as("id"),
+      tokens(lower(col(textCol))).as("tk"))
     val sp = toks.select(col("id"), explode(tri3(col("tk"))).as("g"))
       .select(col("id"), col("g.w1").as("w1"), col("g.w2").as("w2"),
         col("g.w3").as("w3"))
