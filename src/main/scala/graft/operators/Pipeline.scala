@@ -3426,6 +3426,80 @@ object Pipeline {
       val docs = t(s, dir, "documents")
       TextAnalysis.perplexityBuckets(docs,
         docs.filter(col("doc_id") % 2 === 0))
+    },
+
+    // In-engine logistic regression, 3 full-batch GD steps: per-row
+    // gradient terms cast to DECIMAL(28,12) BEFORE summing (decimal
+    // addition is associative → the Σ is partition-order-independent
+    // and engine-portable); accuracy thresholds on z ≥ 0 so exp never
+    // decides a boundary. The oracle unrolls all three steps with the
+    // bit-identical expression tree.
+    QueryDef("p97_logreg_quality",
+      """WITH f AS (
+        |  SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+        |    1.0 AS x0,
+        |    ln(1.0 + CAST(nt AS DOUBLE)) AS x1,
+        |    CAST(length(text) AS DOUBLE) / CAST(nt AS DOUBLE) AS x2
+        |  FROM (SELECT lang, text, CASE
+        |      WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
+        |      THEN 0
+        |      ELSE len(string_split_regex(
+        |        regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'))
+        |      END AS nt
+        |    FROM documents)
+        |  WHERE nt > 0),
+        |n AS (SELECT count(*) AS m FROM f),
+        |ws0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2),
+        |g1 AS (SELECT
+        |    CAST(sum(CAST((1.0/(1.0+exp(-(w0*x0+w1*x1+w2*x2))) - y)*x0
+        |      AS DECIMAL(28,12))) AS DOUBLE) AS g0,
+        |    CAST(sum(CAST((1.0/(1.0+exp(-(w0*x0+w1*x1+w2*x2))) - y)*x1
+        |      AS DECIMAL(28,12))) AS DOUBLE) AS g1,
+        |    CAST(sum(CAST((1.0/(1.0+exp(-(w0*x0+w1*x1+w2*x2))) - y)*x2
+        |      AS DECIMAL(28,12))) AS DOUBLE) AS g2
+        |  FROM f CROSS JOIN ws0),
+        |ws1 AS (SELECT w0 - 1.0*(g0/CAST(m AS DOUBLE)) AS w0,
+        |    w1 - 1.0*(g1/CAST(m AS DOUBLE)) AS w1,
+        |    w2 - 1.0*(g2/CAST(m AS DOUBLE)) AS w2
+        |  FROM g1 CROSS JOIN ws0 CROSS JOIN n),
+        |g2 AS (SELECT
+        |    CAST(sum(CAST((1.0/(1.0+exp(-(w0*x0+w1*x1+w2*x2))) - y)*x0
+        |      AS DECIMAL(28,12))) AS DOUBLE) AS g0,
+        |    CAST(sum(CAST((1.0/(1.0+exp(-(w0*x0+w1*x1+w2*x2))) - y)*x1
+        |      AS DECIMAL(28,12))) AS DOUBLE) AS g1,
+        |    CAST(sum(CAST((1.0/(1.0+exp(-(w0*x0+w1*x1+w2*x2))) - y)*x2
+        |      AS DECIMAL(28,12))) AS DOUBLE) AS g2
+        |  FROM f CROSS JOIN ws1),
+        |ws2 AS (SELECT w0 - 1.0*(g0/CAST(m AS DOUBLE)) AS w0,
+        |    w1 - 1.0*(g1/CAST(m AS DOUBLE)) AS w1,
+        |    w2 - 1.0*(g2/CAST(m AS DOUBLE)) AS w2
+        |  FROM g2 CROSS JOIN ws1 CROSS JOIN n),
+        |g3 AS (SELECT
+        |    CAST(sum(CAST((1.0/(1.0+exp(-(w0*x0+w1*x1+w2*x2))) - y)*x0
+        |      AS DECIMAL(28,12))) AS DOUBLE) AS g0,
+        |    CAST(sum(CAST((1.0/(1.0+exp(-(w0*x0+w1*x1+w2*x2))) - y)*x1
+        |      AS DECIMAL(28,12))) AS DOUBLE) AS g1,
+        |    CAST(sum(CAST((1.0/(1.0+exp(-(w0*x0+w1*x1+w2*x2))) - y)*x2
+        |      AS DECIMAL(28,12))) AS DOUBLE) AS g2
+        |  FROM f CROSS JOIN ws2),
+        |ws3 AS (SELECT w0 - 1.0*(g0/CAST(m AS DOUBLE)) AS w0,
+        |    w1 - 1.0*(g1/CAST(m AS DOUBLE)) AS w1,
+        |    w2 - 1.0*(g2/CAST(m AS DOUBLE)) AS w2
+        |  FROM g3 CROSS JOIN ws2 CROSS JOIN n),
+        |acc AS (SELECT
+        |    CAST(sum(CASE WHEN ((w0*x0+w1*x1+w2*x2) >= 0) = (y = 1.0)
+        |      THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |      AS a
+        |  FROM f CROSS JOIN ws3)
+        |SELECT 'bias' AS feature, round(w0, 6) AS weight FROM ws3
+        |UNION ALL
+        |SELECT 'log_tokens', round(w1, 6) FROM ws3
+        |UNION ALL
+        |SELECT 'chars_per_token', round(w2, 6) FROM ws3
+        |UNION ALL
+        |SELECT 'train_acc', round(a, 6) FROM acc"""
+        .stripMargin) { (s, dir) =>
+      TextAnalysis.logregQuality(t(s, dir, "documents"), steps = 3)
     }
   )
 

@@ -529,6 +529,80 @@ object TextAnalysis {
         col("backoff_lm"), col("backoff_frac"))
   }
 
+  /** In-engine logistic-regression quality classifier: full-batch
+    * gradient descent, `steps` rounds, trained to predict a cheap
+    * binary label (here: is-English, the langid-distillation shape —
+    * swap the label column for human ratings or cascade verdicts in
+    * production) from two text features (ln(1+tokens), chars/token)
+    * plus bias. Returns the learned weights and training accuracy.
+    *
+    * Determinism is the whole trick: a float Σ over the corpus is
+    * partition-order-dependent, so each row's gradient contribution is
+    * cast to DECIMAL(28,12) FIRST and summed exactly (decimal addition
+    * is associative) — the sum is bit-identical on any partitioning
+    * and in the DuckDB oracle. Step 1's σ(0)=0.5 is exact; later steps'
+    * exp() is the same IEEE double on both engines for identical
+    * inputs. Accuracy thresholds on z ≥ 0 (not σ ≥ ½), avoiding exp at
+    * the decision boundary entirely.
+    *
+    * Distributed shape: the feature table is one narrow corpus scan
+    * materialized as a barrier; each GD step is ONE partial-aggregable
+    * job over it (three decimal sums), and the weight vector rides a
+    * 1-row broadcast crossJoin into the next step — no driver-side
+    * collect, no per-step corpus rescan. The classic "ML on the
+    * engine" layout: at 100 TB each epoch is a single map-reduce.
+    */
+  def logregQuality(docs: DataFrame, steps: Int = 3, lr: Double = 1.0,
+      langCol: String = "lang", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    val nt = tokenCount(col(textCol))
+    val feats = Dedup.materializeBarrier(
+      docs.filter(nt > 0).select(
+        when(col(langCol) === "en", 1.0).otherwise(0.0).as("y"),
+        lit(1.0).as("x0"),
+        log(lit(1.0) + nt.cast("double")).as("x1"),
+        (length(col(textCol)).cast("double") / nt.cast("double"))
+          .as("x2")),
+      "logreg-feats")
+    val m = feats.agg(count(lit(1)).as("m"))
+    import spark.implicits._
+    var w: DataFrame = broadcast(
+      Seq((0.0, 0.0, 0.0)).toDF("w0", "w1", "w2"))
+    for (_ <- 1 to steps) {
+      val wPrev = w
+      val z = col("w0") * col("x0") + col("w1") * col("x1") +
+        col("w2") * col("x2")
+      val sig = lit(1.0) / (lit(1.0) + exp(-z))
+      def g(k: Int) =
+        sum(((sig - col("y")) * col(s"x$k")).cast("decimal(28,12)"))
+          .cast("double").as(s"g$k")
+      val grads = feats.crossJoin(wPrev).agg(g(0), g(1), g(2))
+      val next = grads.crossJoin(wPrev).crossJoin(broadcast(m)).select(
+        (col("w0") - lit(lr) * (col("g0") / col("m").cast("double")))
+          .as("w0"),
+        (col("w1") - lit(lr) * (col("g1") / col("m").cast("double")))
+          .as("w1"),
+        (col("w2") - lit(lr) * (col("g2") / col("m").cast("double")))
+          .as("w2"))
+      // 1-row barrier: keeps each step's plan flat (and the weights
+      // computed once, not re-derived by every downstream branch)
+      w = broadcast(Dedup.materializeBarrier(next, "logreg-w"))
+    }
+    val zF = col("w0") * col("x0") + col("w1") * col("x1") +
+      col("w2") * col("x2")
+    val acc = feats.crossJoin(w)
+      .agg((sum(when((zF >= 0) === (col("y") === 1.0), 1L).otherwise(0L))
+        .cast("double") / count(lit(1)).cast("double")).as("a"))
+    val weights = w.select(
+      explode(map(
+        lit("bias"), round(col("w0"), 6),
+        lit("log_tokens"), round(col("w1"), 6),
+        lit("chars_per_token"), round(col("w2"), 6)))
+        .as(Seq("feature", "weight")))
+    weights.unionAll(acc.select(lit("train_acc").as("feature"),
+      round(col("a"), 6).as("weight")))
+  }
+
   /** CCNet-style head/middle/tail perplexity bucketing (Wenzek et al.,
     * LREC'20): rank each language's documents by held-out LM score
     * (best first) and split into thirds — "head" trains verbatim,

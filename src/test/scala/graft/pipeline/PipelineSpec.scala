@@ -1719,6 +1719,49 @@ class PipelineSpec extends SparkSpec {
     assert(got(13L) == ((0L, None, None)))
   }
 
+  test("logregQuality: exact driver-side GD replication incl. decimal sums") {
+    val full = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text", "lang").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val rows = full.flatMap { case (text, lang) =>
+      val nt = { val t = text.trim; if (t.isEmpty) 0 else t.split("\\s+").length }
+      if (nt == 0) None
+      else Some((if (lang == "en") 1.0 else 0.0,
+        math.log(1.0 + nt),
+        text.codePointCount(0, text.length).toDouble / nt))
+    }
+    val m = rows.length.toDouble
+    var w = (0.0, 0.0, 0.0)
+    def d12(x: Double): BigDecimal =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    for (_ <- 1 to 3) {
+      var (g0, g1, g2) = (BigDecimal(0), BigDecimal(0), BigDecimal(0))
+      rows.foreach { case (y, x1, x2) =>
+        val z = w._1 * 1.0 + w._2 * x1 + w._3 * x2
+        val sig = 1.0 / (1.0 + math.exp(-z))
+        g0 += d12((sig - y) * 1.0)
+        g1 += d12((sig - y) * x1)
+        g2 += d12((sig - y) * x2)
+      }
+      w = (w._1 - 1.0 * (g0.toDouble / m), w._2 - 1.0 * (g1.toDouble / m),
+        w._3 - 1.0 * (g2.toDouble / m))
+    }
+    val nRight = rows.count { case (y, x1, x2) =>
+      ((w._1 + w._2 * x1 + w._3 * x2) >= 0) == (y == 1.0)
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = Map("bias" -> r6(w._1), "log_tokens" -> r6(w._2),
+      "chars_per_token" -> r6(w._3), "train_acc" -> r6(nRight / m))
+    val got = TextAnalysis.logregQuality(
+      spark.read.parquet(s"$sf/documents.parquet"), steps = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == want, s"\n got  $got\n want $want")
+    // the model must actually separate something: accuracy beats the
+    // majority-class baseline floor of 0.5
+    assert(got("train_acc") > 0.5)
+  }
+
   test("perplexityBuckets: per-lang thirds, scoreless docs sort last") {
     val full = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text", "lang")
