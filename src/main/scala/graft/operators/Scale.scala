@@ -528,6 +528,66 @@ object Scale {
           org.apache.spark.sql.types.BooleanType))))
   }
 
+  /** x24 runner: both sides written `bucketBy(8).sortBy` with ONE file
+    * per bucket (pre-repartitioned on the key so each writer task owns
+    * exactly one bucket); the join's executed plan must contain a
+    * SortMergeJoin with no Exchange and no Sort below it — the only
+    * Exchange allowed in the whole plan is the final single-partition
+    * aggregate's.
+    */
+  private[graft] def sortedBucketJoin(s: SparkSession, dir: String): DataFrame = {
+    Seq("x24_orders_sb", "x24_lineitem_sb").foreach(resetBucketTable(s, _))
+    t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+      .repartition(8, col("o_orderkey"))
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("x24_orders_sb")
+    t(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+      .repartition(8, col("l_orderkey"))
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("x24_lineitem_sb")
+    // the gate pins the 100 TB regime — at sf0.01 the orders side fits
+    // the broadcast threshold and Spark would (correctly) skip the SMJ
+    // entirely, so broadcasting is disabled for the probe join. Sorted
+    // scan output ordering is opt-in since Spark 3.0 (the planner must
+    // LIST files to prove one-file-per-bucket, a planning cost): the
+    // legacy conf turns it on, and our pre-repartitioned write is
+    // exactly the layout it requires.
+    val prevThresh = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevOrd = s.conf.get(
+      "spark.sql.legacy.bucketedTableScan.outputOrdering")
+    val (row, plan) = try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering",
+        "true")
+      val joined = s.table("x24_orders_sb")
+        .join(s.table("x24_lineitem_sb"),
+          col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("qty"))
+      (joined.head(), joined.queryExecution.executedPlan.toString)
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering",
+        prevOrd)
+    }
+    val noSort = !plan.contains("- Sort [")
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    val smj = plan.contains("SortMergeJoin")
+    s.createDataFrame(java.util.List.of(
+      org.apache.spark.sql.Row(row.getLong(0), row.getDouble(1),
+        smj && exchanges <= 1, noSort)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("qty",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("no_shuffle_below_join",
+          org.apache.spark.sql.types.BooleanType),
+        org.apache.spark.sql.types.StructField("no_sort",
+          org.apache.spark.sql.types.BooleanType))))
+  }
+
   /** x23 runner: the same join planned twice — with CBO + ANALYZE
     * statistics (filter selectivity estimated from column NDV → the
     * filtered dimension drops under the broadcast threshold →
@@ -1167,6 +1227,24 @@ object Scale {
         |  true AS incremental_files_only, true AS matches_direct
         |FROM events WHERE event_id % 5 = 0""".stripMargin) { (s, dir) =>
       incrementalScan(s, dir)
+    },
+
+    // Bucketed AND per-bucket-sorted layout: co-bucketed tables with one
+    // file per bucket join with NEITHER a shuffle NOR a sort — the scan
+    // itself satisfies the SortMergeJoin's distribution and ordering
+    // requirements. x01 kills the Exchange; this kills the per-task Sort
+    // too (the remaining cost at 100 TB once shuffles are gone: sorting
+    // a terabyte bucket every join). The one-file-per-bucket invariant
+    // comes from pre-repartitioning on the bucket key — multiple sorted
+    // files per bucket would force Spark to re-sort anyway.
+    QueryDef("x24_sorted_bucket_join",
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS qty,
+        |  true AS no_shuffle_below_join, true AS no_sort
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey"""
+        .stripMargin) { (s, dir) =>
+      sortedBucketJoin(s, dir)
     },
 
     // CBO statistics flip the dimension join to broadcast: with ANALYZE
