@@ -261,8 +261,17 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val sfNum = "sf([0-9.]+)/?$".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse("0")
+    // The driver parses the JSON line out of the LAST ~2000 chars of
+    // stdout, and sbt appends a ~75-char success line after us — so the
+    // line must stay under ~1900 chars or its head gets truncated (the
+    // BENCH_r06 failure). The queries map alone is ~1.77k at 66 entries;
+    // if the unstable-spread block would push past the budget, drop it
+    // from stdout (bench_out.json always has the full detail).
+    val base =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qJson,"sf":$sfNum,"runs":$nRuns"""
+    val withSpread = s"""$base,"spread":$spreadJson}"""
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qJson,"spread":$spreadJson,"sf":$sfNum,"runs":$nRuns}"""
+      if (withSpread.length <= 1900) withSpread else s"$base}"
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${results
         .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
