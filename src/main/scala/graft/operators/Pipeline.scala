@@ -3500,6 +3500,86 @@ object Pipeline {
         |SELECT 'train_acc', round(a, 6) FROM acc"""
         .stripMargin) { (s, dir) =>
       TextAnalysis.logregQuality(t(s, dir, "documents"), steps = 3)
+    },
+
+    // Tokenizer-apply audit: the p92 training chain carried one step
+    // further (the final merge applied too), then corpus compression +
+    // a round-trip identity over the encoded vocabulary — stripping
+    // sentinels and separators must reproduce every word byte-exactly.
+    QueryDef("p98_bpe_apply",
+      """WITH toks AS (
+        |  SELECT CASE
+        |    WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
+        |    THEN CAST([] AS VARCHAR[])
+        |    ELSE string_split_regex(
+        |      lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+')
+        |    END AS tk
+        |  FROM documents),
+        |w AS (SELECT t AS w, count(*) AS wc
+        |      FROM (SELECT unnest(tk) AS t FROM toks)
+        |      WHERE NOT contains(t, chr(30)) GROUP BY 1),
+        |e0 AS (SELECT wc, w,
+        |    regexp_replace(w, '([\s\S])', chr(30) || '\1 ', 'g') AS enc
+        |  FROM w),
+        |p1 AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS n FROM (
+        |    SELECT wc, unnest(list_transform(generate_series(1, len(s) - 1),
+        |        i -> substr(s[i], 2) || ' ' || substr(s[i+1], 2))) AS pair
+        |    FROM (SELECT wc,
+        |            list_filter(string_split(enc, ' '),
+        |                        x -> length(x) > 0) AS s
+        |          FROM e0)
+        |    WHERE len(s) >= 2) GROUP BY 1),
+        |b1 AS (SELECT pair FROM p1 ORDER BY n DESC, pair LIMIT 1),
+        |e1 AS (SELECT wc, w, replace(enc,
+        |    chr(30) || split_part(pair, ' ', 1) || ' ' || chr(30) ||
+        |      split_part(pair, ' ', 2) || ' ',
+        |    chr(30) || split_part(pair, ' ', 1) ||
+        |      split_part(pair, ' ', 2) || ' ') AS enc
+        |  FROM e0 CROSS JOIN b1),
+        |p2 AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS n FROM (
+        |    SELECT wc, unnest(list_transform(generate_series(1, len(s) - 1),
+        |        i -> substr(s[i], 2) || ' ' || substr(s[i+1], 2))) AS pair
+        |    FROM (SELECT wc,
+        |            list_filter(string_split(enc, ' '),
+        |                        x -> length(x) > 0) AS s
+        |          FROM e1)
+        |    WHERE len(s) >= 2) GROUP BY 1),
+        |b2 AS (SELECT pair FROM p2 ORDER BY n DESC, pair LIMIT 1),
+        |e2 AS (SELECT wc, w, replace(enc,
+        |    chr(30) || split_part(pair, ' ', 1) || ' ' || chr(30) ||
+        |      split_part(pair, ' ', 2) || ' ',
+        |    chr(30) || split_part(pair, ' ', 1) ||
+        |      split_part(pair, ' ', 2) || ' ') AS enc
+        |  FROM e1 CROSS JOIN b2),
+        |p3 AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS n FROM (
+        |    SELECT wc, unnest(list_transform(generate_series(1, len(s) - 1),
+        |        i -> substr(s[i], 2) || ' ' || substr(s[i+1], 2))) AS pair
+        |    FROM (SELECT wc,
+        |            list_filter(string_split(enc, ' '),
+        |                        x -> length(x) > 0) AS s
+        |          FROM e2)
+        |    WHERE len(s) >= 2) GROUP BY 1),
+        |b3 AS (SELECT pair FROM p3 ORDER BY n DESC, pair LIMIT 1),
+        |e3 AS (SELECT wc, w, replace(enc,
+        |    chr(30) || split_part(pair, ' ', 1) || ' ' || chr(30) ||
+        |      split_part(pair, ' ', 2) || ' ',
+        |    chr(30) || split_part(pair, ' ', 1) ||
+        |      split_part(pair, ' ', 2) || ' ') AS enc
+        |  FROM e2 CROSS JOIN b3),
+        |st AS (SELECT wc, w,
+        |    len(list_filter(string_split(enc, ' '),
+        |                    x -> length(x) > 0)) AS ns,
+        |    replace(replace(enc, chr(30), ''), ' ', '') = w AS rt
+        |  FROM e3)
+        |SELECT CAST(sum(wc) AS BIGINT) AS total_words,
+        |  CAST(count(*) AS BIGINT) AS distinct_words,
+        |  CAST(sum(wc * ns) AS BIGINT) AS total_symbols,
+        |  CAST(sum(wc * length(w)) AS BIGINT) AS total_chars,
+        |  round(CAST(sum(wc * ns) AS DOUBLE) /
+        |    CAST(sum(wc) AS DOUBLE), 6) AS symbols_per_word,
+        |  sum(CASE WHEN rt THEN 0 ELSE 1 END) = 0 AS roundtrip_ok
+        |FROM st""".stripMargin) { (s, dir) =>
+      Retrieval.bpeApplyStats(t(s, dir, "documents"), steps = 3)
     }
   )
 

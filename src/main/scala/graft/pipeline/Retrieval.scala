@@ -540,7 +540,17 @@ object Retrieval {
     * cross join into the rewrite expression.
     */
   def bpeTrainMerges(docs: DataFrame, steps: Int = 3,
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): DataFrame =
+    bpeTrainLoop(docs, steps, textCol)._1.reduce(_ unionAll _)
+
+  /** The training loop shared by [[bpeTrainMerges]] and
+    * [[bpeApplyStats]]: returns (one 1-row merge DataFrame per step,
+    * the FINAL encoded vocabulary barrier carrying (wc, w, enc)). Note
+    * the final vocabulary has the last merge applied too — the apply
+    * stats measure the tokenizer the full training run produced.
+    */
+  private def bpeTrainLoop(docs: DataFrame, steps: Int,
+      textCol: String): (Seq[DataFrame], DataFrame) = {
     val words = docs
       .select(explode(tokens(lower(col(textCol)))).as("w"))
       .filter(!col("w").contains(Sen))
@@ -548,7 +558,7 @@ object Retrieval {
     // "␞c " per character; [\s\S] (not `.`) so the Java and RE2 oracle
     // engines agree on line-terminator codepoints inside words.
     var vocab = Dedup.materializeBarrier(
-      words.select(col("wc"),
+      words.select(col("wc"), col("w"),
         regexp_replace(col("w"), "([\\s\\S])", Sen + "$1 ").as("enc")),
       "bpe-vocab")
     val merges = Seq.newBuilder[DataFrame]
@@ -566,18 +576,42 @@ object Retrieval {
       val best = pairCounts.orderBy(col("n").desc, col("pair")).limit(1)
       merges += best.select(lit(step.toLong).as("step"), col("pair"),
         col("n").cast("long").as("n"))
-      if (step < steps) {
-        val a = substring_index(col("pair"), " ", 1)
-        val b = substring_index(col("pair"), " ", -1)
-        vocab = Dedup.materializeBarrier(
-          vocab.crossJoin(broadcast(best.select(col("pair"))))
-            .select(col("wc"),
-              replace(col("enc"),
-                concat(lit(Sen), a, lit(" "), lit(Sen), b, lit(" ")),
-                concat(lit(Sen), a, b, lit(" "))).as("enc")),
-          s"bpe-vocab-$step")
-      }
+      val a = substring_index(col("pair"), " ", 1)
+      val b = substring_index(col("pair"), " ", -1)
+      vocab = Dedup.materializeBarrier(
+        vocab.crossJoin(broadcast(best.select(col("pair"))))
+          .select(col("wc"), col("w"),
+            replace(col("enc"),
+              concat(lit(Sen), a, lit(" "), lit(Sen), b, lit(" ")),
+              concat(lit(Sen), a, b, lit(" "))).as("enc")),
+        s"bpe-vocab-$step")
     }
-    merges.result().reduce(_ unionAll _)
+    (merges.result(), vocab)
+  }
+
+  /** Tokenizer-apply audit over the trained BPE vocabulary: corpus-level
+    * compression (weighted symbols per word before/after the merges)
+    * plus a round-trip identity gate — stripping the sentinels and
+    * separators from every encoded word must reproduce the word
+    * exactly, or the merge application corrupted a token. All counts
+    * are exact int64 over the vocab barrier (one narrow scan); the
+    * single ratio is one double division + ROUND 6.
+    */
+  def bpeApplyStats(docs: DataFrame, steps: Int = 3,
+      textCol: String = "text"): DataFrame = {
+    val (_, vocab) = bpeTrainLoop(docs, steps, textCol)
+    val syms = filter(split(col("enc"), " "), x => length(x) > 0)
+    vocab
+      .select(col("wc"), col("w"), size(syms).cast("long").as("ns"),
+        (replace(replace(col("enc"), lit(Sen)), lit(" ")) === col("w"))
+          .as("rt"))
+      .agg(sum("wc").cast("long").as("total_words"),
+        count(lit(1)).as("distinct_words"),
+        sum(col("wc") * col("ns")).cast("long").as("total_symbols"),
+        sum(col("wc") * length(col("w"))).cast("long").as("total_chars"),
+        round(sum(col("wc") * col("ns")).cast("double") /
+          sum("wc").cast("double"), 6).as("symbols_per_word"),
+        (sum(when(col("rt"), 0L).otherwise(1L)) === 0L)
+          .as("roundtrip_ok"))
   }
 }

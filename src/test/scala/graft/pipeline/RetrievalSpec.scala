@@ -360,6 +360,47 @@ class RetrievalSpec extends SparkSpec {
     assert(!got.contains((100L, 4L)))
   }
 
+  test("p98: bpeApplyStats compression + round-trip vs driver trainer") {
+    import spark.implicits._
+    val tiny = Seq((0L, "aaaa bb abab aaaa"), (1L, "aaaa ab b a"))
+      .toDF("doc_id", "text")
+    val words = Seq("aaaa" -> 3L, "bb" -> 1L, "abab" -> 1L, "ab" -> 1L,
+      "b" -> 1L, "a" -> 1L).toMap
+    // replicate 3 merges + application with the reference trainer
+    var vocab: Map[String, (Vector[String], Long)] =
+      words.map { case (w, wc) => w -> (w.toVector.map(_.toString), wc) }
+    (1 to 3).foreach { _ =>
+      val counts = new scala.collection.mutable.HashMap[String, Long]()
+      vocab.values.foreach { case (syms, wc) =>
+        syms.sliding(2).filter(_.size == 2).foreach { p =>
+          counts(p(0) + " " + p(1)) =
+            counts.getOrElse(p(0) + " " + p(1), 0L) + wc
+        }
+      }
+      val (pair, _) = counts.toSeq.minBy { case (p, c) => (-c, p) }
+      val Array(a, b) = pair.split(" ", 2)
+      vocab = vocab.map { case (w, (syms, wc)) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += a + b; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        w -> (out.result(), wc)
+      }
+    }
+    val totalWords = words.values.sum
+    val totalSyms = vocab.values.map { case (s, wc) => s.length * wc }.sum
+    val totalChars = words.map { case (w, wc) => w.length * wc }.sum
+    val r = Retrieval.bpeApplyStats(tiny, steps = 3).head()
+    assert(r.getLong(0) == totalWords)
+    assert(r.getLong(1) == words.size)
+    assert(r.getLong(2) == totalSyms, s"symbols ${r.getLong(2)} != $totalSyms")
+    assert(r.getLong(3) == totalChars)
+    assert(r.getBoolean(5), "round-trip failed")
+  }
+
   test("p92: greedy merge application is left-to-right non-overlapping") {
     import spark.implicits._
     // "aaa": pair (a,a) counts twice per occurrence; after merging the
