@@ -3580,6 +3580,43 @@ object Pipeline {
         |  sum(CASE WHEN rt THEN 0 ELSE 1 END) = 0 AS roundtrip_ok
         |FROM st""".stripMargin) { (s, dir) =>
       Retrieval.bpeApplyStats(t(s, dir, "documents"), steps = 3)
+    },
+
+    // Per-source datasheet: volumes, exact-dup rate, language mix with
+    // a deterministic dominant language (count desc, lang asc — the
+    // oracle's ROW_NUMBER replays Spark's min(struct(−cnt, lang))).
+    QueryDef("p99_corpus_report",
+      """WITH b AS (
+        |  SELECT source, lang, md5(text) AS dg, length(text) AS nc,
+        |    CASE
+        |      WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
+        |      THEN 0
+        |      ELSE len(string_split_regex(
+        |        regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'))
+        |    END AS nt
+        |  FROM documents),
+        |a AS (SELECT source,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(nt) AS BIGINT) AS n_tokens,
+        |    CAST(sum(nc) AS BIGINT) AS n_chars,
+        |    CAST(count(DISTINCT dg) AS BIGINT) AS n_distinct_texts,
+        |    round(1.0 - CAST(count(DISTINCT dg) AS DOUBLE) /
+        |      CAST(count(*) AS DOUBLE), 6) AS dup_rate,
+        |    round(CAST(sum(nt) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |      AS mean_tokens
+        |  FROM b GROUP BY 1),
+        |l AS (SELECT source, lang, count(*) AS c FROM b GROUP BY 1, 2),
+        |lt AS (SELECT source, lang AS top_lang FROM (
+        |    SELECT source, lang,
+        |      ROW_NUMBER() OVER (PARTITION BY source
+        |                         ORDER BY c DESC, lang) AS rn
+        |    FROM l) WHERE rn = 1),
+        |nl AS (SELECT source, CAST(count(*) AS BIGINT) AS n_langs
+        |       FROM l GROUP BY 1)
+        |SELECT a.*, nl.n_langs, lt.top_lang
+        |FROM a JOIN lt USING (source) JOIN nl USING (source)"""
+        .stripMargin) { (s, dir) =>
+      Corpus.corpusReport(t(s, dir, "documents"))
     }
   )
 

@@ -818,6 +818,40 @@ object Corpus {
           lit(0.0)), 6).as("score"))
   }
 
+  /** Per-source corpus datasheet — the release-notes table every
+    * training-data drop ships with: documents, token/char volume, exact
+    * duplicate rate (1 − distinct digests/docs), language diversity and
+    * the dominant language, mean document length. One tokenizing scan
+    * feeds the volume aggregates; the language branch prunes to
+    * (source, lang) so Parquet never reads `text` for it; the dominant
+    * language is a partial-aggregable min(struct(−cnt, lang)) — count
+    * desc, lang asc, deterministic — not a window over the corpus.
+    */
+  def corpusReport(docs: DataFrame, srcCol: String = "source",
+      langCol: String = "lang", textCol: String = "text"): DataFrame = {
+    val base = docs.select(col(srcCol).as("source"), col(langCol).as("lang"),
+      md5(col(textCol)).as("dg"),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("nt"),
+      length(col(textCol)).cast("long").as("nc"))
+    val vol = base.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum("nt").cast("long").as("n_tokens"),
+      sum("nc").cast("long").as("n_chars"),
+      count_distinct(col("dg")).as("n_distinct_texts"),
+      round(lit(1.0) - count_distinct(col("dg")).cast("double") /
+        count(lit(1)).cast("double"), 6).as("dup_rate"),
+      round(sum("nt").cast("double") / count(lit(1)).cast("double"), 6)
+        .as("mean_tokens"))
+    val perLang = base.groupBy("source", "lang")
+      .agg(count(lit(1)).as("c"))
+    val langs = perLang.groupBy("source").agg(
+      count(lit(1)).as("n_langs"),
+      min(struct((-col("c")).as("negc"), col("lang"))).as("m"))
+      .select(col("source"), col("n_langs"),
+        col("m.lang").as("top_lang"))
+    vol.join(langs, Seq("source"))
+  }
+
   /** Vocabulary-growth (Heaps'-law) curve: split the corpus into
     * `buckets` equal id-ranges, and report, cumulatively in id order,
     * documents, token occurrences, and DISTINCT token types seen so

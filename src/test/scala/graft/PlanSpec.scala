@@ -656,6 +656,18 @@ class PlanSpec extends SparkSpec {
       s"final union still re-reads the corpus:\n$p")
   }
 
+  test("p99: datasheet language branch never reads text; no window; partial aggs") {
+    val p = executed("p99_corpus_report")
+    assert(!p.contains("Window"),
+      s"dominant language computed via a window, not min(struct):\n$p")
+    val scans = p.linesIterator.filter(_.contains("FileScan parquet")).toSeq
+    assert(scans.exists(l => l.contains("documents") && !l.contains("text")),
+      s"no text-pruned scan — the language branch reads text:\n" +
+        scans.mkString("\n"))
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      s"volume aggregates not map-side partial:\n$p")
+  }
+
   test("p94: phrase terms broadcast into the postings; anchors partial-aggregate") {
     val p = executed("p94_phrase_search")
     assert(p.contains("BroadcastHashJoin"),
