@@ -74,6 +74,8 @@ object Bench {
     "p93_vocab_growth",   // Heaps curve: first-occurrence bucket counts
     "p94_phrase_search",  // positional postings anchor join
     "p95_backoff_lm",     // trigram stupid-backoff scoring joins
+    "p96_ppl_buckets",    // CCNet thirds: LM chain + global-order rank
+    "p97_logreg_quality", // decimal-exact GD epochs over feature barrier
     "s08_stream_trending", // streaming windowed counts + bounded rank
     "s01_stream_hourly",  // structured streaming
     "s16_stream_bm25_route", // per-batch BM25 vs static stats
