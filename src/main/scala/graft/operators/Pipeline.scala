@@ -3617,6 +3617,43 @@ object Pipeline {
         |FROM a JOIN lt USING (source) JOIN nl USING (source)"""
         .stripMargin) { (s, dir) =>
       Corpus.corpusReport(t(s, dir, "documents"))
+    },
+
+    // kNN label propagation: every 3rd vector carries a synthetic seed
+    // label; the others (capped for the oracle's all-pairs replay) are
+    // classified by 5-NN majority vote — ranking ties on id, vote ties
+    // on (count desc, label asc), both replayed exactly.
+    QueryDef("p100_knn_classify",
+      """WITH lab AS (
+        |  SELECT vec_id, embedding,
+        |    'c' || CAST(vec_id % 5 AS VARCHAR) AS label
+        |  FROM embeddings WHERE vec_id % 3 = 0),
+        |q AS (SELECT vec_id AS qid, embedding AS qvec
+        |      FROM embeddings WHERE vec_id % 3 <> 0 AND vec_id < 150),
+        |sc AS (SELECT q.qid, l.vec_id, l.label,
+        |    ROUND(list_cosine_similarity(CAST(l.embedding AS DOUBLE[]),
+        |                                 CAST(q.qvec AS DOUBLE[])), 6)
+        |      AS score
+        |  FROM lab l CROSS JOIN q),
+        |rk AS (SELECT qid, vec_id, label,
+        |    ROW_NUMBER() OVER (PARTITION BY qid
+        |                       ORDER BY score DESC, vec_id) AS rn
+        |  FROM sc),
+        |v AS (SELECT qid, label, count(*) AS votes FROM rk
+        |      WHERE rn <= 5 GROUP BY 1, 2),
+        |best AS (SELECT qid, label, votes,
+        |    ROW_NUMBER() OVER (PARTITION BY qid
+        |                       ORDER BY votes DESC, label) AS rn
+        |  FROM v)
+        |SELECT qid, label, CAST(votes AS BIGINT) AS votes
+        |FROM best WHERE rn = 1""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val labeled = e.filter(col("vec_id") % 3 === 0)
+        .withColumn("label",
+          concat(lit("c"), (col("vec_id") % 5).cast("string")))
+      val queries = e.filter(col("vec_id") % 3 =!= 0 && col("vec_id") < 150)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      graft.pipeline.Similarity.knnClassify(labeled, queries, k = 5)
     }
   )
 

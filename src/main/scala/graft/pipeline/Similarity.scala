@@ -64,6 +64,33 @@ object Similarity {
     rankTopK(scored, k, qidCol, idCol)
   }
 
+  /** Semi-supervised kNN label propagation: classify each query vector
+    * by majority vote over its k nearest LABELED neighbors (exact
+    * cosine, the p06 machinery). Vote is deterministic end-to-end:
+    * neighbor ranking ties on id, the vote ties on (count desc, label
+    * asc) via a partial-aggregable min(struct(−votes, label)) — no
+    * per-query window over the corpus anywhere. The standard cheap
+    * labeling pass of a data pipeline: propagate a seed set's labels
+    * (human ratings, curated sources) to the whole corpus.
+    */
+  def knnClassify(labeled: DataFrame, queries: DataFrame, k: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label",
+      qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    val top = bruteForceTopK(
+      labeled.select(col(idCol), col(vecCol)), queries, k,
+      idCol, vecCol, qidCol, qvecCol)
+    top
+      .join(labeled.select(col(idCol), col(labelCol)), Seq(idCol))
+      .groupBy(col(qidCol), col(labelCol))
+      .agg(count(lit(1)).as("votes"))
+      .groupBy(col(qidCol))
+      .agg(min(struct((-col("votes")).as("negv"), col(labelCol)))
+        .as("m"))
+      .select(col(qidCol), col(s"m.$labelCol").as(labelCol),
+        (-col("m.negv")).cast("long").as("votes"))
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
     * xxhash64 → uniform in [-1, 1]. No RNG, stable across runs/engines.
     */

@@ -242,4 +242,22 @@ class SimilaritySpec extends SparkSpec {
     assert(auto < 100, s"matrix tree grew with nCells: $auto nodes")
     assert(auto < at16, s"matrix ($auto) not smaller than 16-cell literal ($at16)")
   }
+
+  test("p100: knnClassify majority vote + deterministic tie-breaks") {
+    import spark.implicits._
+    val labeled = Seq(
+      (0L, Array(1.0f, 0.0f), "zz"),   // cos 1.0
+      (1L, Array(0.9f, 0.1f), "bb"),   // cos ~0.994
+      (2L, Array(0.8f, 0.2f), "bb"),   // cos ~0.970
+      (3L, Array(0.0f, 1.0f), "aa"))   // cos 0.0
+      .toDF("vec_id", "embedding", "label")
+    val q = Seq((100L, Array(1.0f, 0.0f))).toDF("qid", "qvec")
+    // k=3: neighbors 0(zz),1(bb),2(bb) → bb wins 2-1
+    val r3 = Similarity.knnClassify(labeled, q, k = 3).head()
+    assert((r3.getLong(0), r3.getString(1), r3.getLong(2)) ==
+      ((100L, "bb", 2L)))
+    // k=2: 0(zz),1(bb) → 1-1 tie → label asc → bb beats zz
+    val r2 = Similarity.knnClassify(labeled, q, k = 2).head()
+    assert((r2.getString(1), r2.getLong(2)) == (("bb", 1L)))
+  }
 }
