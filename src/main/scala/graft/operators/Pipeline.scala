@@ -443,6 +443,147 @@ object Pipeline {
           Seq("site1.example.com", "site3.example.com", "badhost.net"))
     },
 
+    // Unsafe-wordlist page filter (C4 bad-words rule): placeholder
+    // blockwords are planted with punctuation, case variants, and
+    // repeats (multiset hits), plus two lookalikes that MUST NOT match
+    // ("quuxly-ish" — internal hyphen survives the edge-strip;
+    // "zorblaxxy" — token equality, not substring). The oracle replays
+    // the identical tokenize → edge-punct-strip → casefold → list
+    // probe in DuckDB (RE2 [[:punct:]] == Java \p{Punct} == ASCII
+    // punctuation; both engines strip ALL edge runs via the 'g' flag /
+    // Java's replace-all default).
+    QueryDef("p101_unsafe_words",
+      """WITH corpus AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 13 = 0 THEN ' Zorblax.' ELSE '' END
+        |    || CASE WHEN doc_id % 17 = 2
+        |         THEN ' Fnord fnord FNORD!' ELSE '' END
+        |    || CASE WHEN doc_id % 29 = 5
+        |         THEN ' quuxly-ish zorblaxxy (quuxly)' ELSE '' END AS text
+        |  FROM documents),
+        |toks AS (SELECT doc_id,
+        |    CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
+        |         THEN CAST([] AS VARCHAR[])
+        |         ELSE list_transform(string_split_regex(
+        |                regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'),
+        |              t -> lower(regexp_replace(t,
+        |                '^[[:punct:]]+|[[:punct:]]+$', '', 'g')))
+        |    END AS tk
+        |  FROM corpus),
+        |st AS (SELECT doc_id, len(tk) AS n_tokens,
+        |    len(list_filter(tk, t -> list_contains(
+        |      ['zorblax', 'fnord', 'quuxly'], t))) AS bad_hits,
+        |    len(list_intersect(list_distinct(tk),
+        |      ['zorblax', 'fnord', 'quuxly'])) AS bad_distinct
+        |  FROM toks)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(bad_hits AS BIGINT) AS bad_hits,
+        |  CAST(bad_distinct AS BIGINT) AS bad_distinct,
+        |  ROUND(CASE WHEN n_tokens = 0 THEN 0.0
+        |    ELSE CAST(bad_hits AS DOUBLE) / n_tokens END, 6) AS bad_frac,
+        |  bad_hits > 0 AS flagged
+        |FROM st""".stripMargin) { (s, dir) =>
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 13 === 0, lit(" Zorblax."))
+            .otherwise(lit("")),
+          when(col("doc_id") % 17 === 2, lit(" Fnord fnord FNORD!"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 29 === 5,
+            lit(" quuxly-ish zorblaxxy (quuxly)"))
+            .otherwise(lit(""))).as("text"))
+      TextAnalysis.unsafeWordStats(planted,
+        Seq("zorblax", "fnord", "quuxly"))
+    },
+
+    // Crawl URL canonicalization: cosmetic variants of the same page URL
+    // are planted across distinct doc sets — uppercase host + default
+    // :443 port + tracking params + fragment + slash-before-query on one
+    // arm, the clean form on the other; an http :80 + trailing-slash
+    // pair on a second host — and the canonicalizer must collapse each
+    // pair to ONE url. The oracle replays the identical rewrite chain in
+    // RE2 (classes + bounded repetition only; '\1' vs '$1' is the only
+    // dialect difference).
+    QueryDef("p102_url_canonicalize",
+      """WITH corpus AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 7 = 0
+        |         THEN ' https://Site' || CAST(doc_id % 5 AS VARCHAR)
+        |           || '.Example.com:443/P' || CAST(doc_id % 5 AS VARCHAR)
+        |           || '/?utm_source=feed&utm_campaign=x&id='
+        |           || CAST(doc_id % 5 AS VARCHAR) || '#sec'
+        |         ELSE '' END
+        |    || CASE WHEN doc_id % 7 = 3
+        |         THEN ' https://site' || CAST(doc_id % 5 AS VARCHAR)
+        |           || '.example.com/P' || CAST(doc_id % 5 AS VARCHAR)
+        |           || '?id=' || CAST(doc_id % 5 AS VARCHAR)
+        |         ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 4
+        |         THEN ' http://Tracker.example.org:80/a/b/' ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 8
+        |         THEN ' http://tracker.example.org/a/b?' ELSE '' END
+        |    AS text
+        |  FROM documents),
+        |u AS (SELECT doc_id, unnest(regexp_extract_all(text,
+        |    'https?://[A-Za-z0-9.:/?&=#_%+~-]+')) AS url FROM corpus),
+        |c AS (SELECT doc_id,
+        |    lower(regexp_extract(url, '^(https?)://', 1)) AS scheme,
+        |    lower(regexp_extract(url, '^https?://([^/?#]+)', 1)) AS hostport,
+        |    regexp_extract(url, '^https?://[^/?#]+(.*)$', 1) AS rest
+        |  FROM u),
+        |n AS (SELECT doc_id, scheme || '://'
+        |    || CASE WHEN scheme = 'http'
+        |         THEN regexp_replace(hostport, ':80$', '')
+        |         ELSE regexp_replace(hostport, ':443$', '') END
+        |    || regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |         regexp_replace(regexp_replace(rest,
+        |           '#.*$', '', 'g'),
+        |           '[?&](utm_[A-Za-z]+|fbclid|gclid)=[^&#]*', '', 'g'),
+        |           '^([^?&]*)&', '\1?', 'g'),
+        |           '/\?', '?', 'g'),
+        |           '\?$', '', 'g'),
+        |           '/$', '', 'g') AS canonical_url
+        |  FROM c)
+        |SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_occurrences,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM n GROUP BY 1""".stripMargin) { (s, dir) =>
+      val k = (col("doc_id") % 5).cast("string")
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" https://Site"), k, lit(".Example.com:443/P"), k,
+              lit("/?utm_source=feed&utm_campaign=x&id="), k, lit("#sec")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 7 === 3,
+            concat(lit(" https://site"), k, lit(".example.com/P"), k,
+              lit("?id="), k)).otherwise(lit("")),
+          when(col("doc_id") % 11 === 4,
+            lit(" http://Tracker.example.org:80/a/b/")).otherwise(lit("")),
+          when(col("doc_id") % 11 === 8,
+            lit(" http://tracker.example.org/a/b?")).otherwise(lit("")))
+          .as("text"))
+      Corpus.canonicalUrls(planted)
+    },
+
+    // Fixed-k per-source deterministic sample: ranks are md5-derived so
+    // the oracle's ROW_NUMBER window (fine at oracle scale) and the
+    // bounded-heap aggregate (the shape that survives a dominant source
+    // at 100 TB) must produce the identical (source, rank, doc_id)
+    // table. 13-hex scores are double-exact, so heap order == int order.
+    QueryDef("p103_source_sample",
+      """WITH h AS (SELECT source, doc_id,
+        |    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13)
+        |      AS BIGINT) AS hv
+        |  FROM documents),
+        |r AS (SELECT source, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv, doc_id)
+        |      AS rank
+        |  FROM h)
+        |SELECT source, CAST(rank AS BIGINT) AS rank, doc_id
+        |FROM r WHERE rank <= 50""".stripMargin) { (s, dir) =>
+      Corpus.perSourceSample(t(s, dir, "documents"), k = 50)
+    },
+
     // Unicode script profile: a multilingual corpus is synthesized by
     // appending a per-doc repeated snippet in one of four non-Latin
     // scripts (repeat factor 1..40, so dominance actually flips on the

@@ -517,6 +517,73 @@ object Corpus {
         round(avg(col("n_chars")), 6).as("avg_chars"))
   }
 
+  /** Crawl URL canonicalization + URL-level dedup counts: the first
+    * dedup any web-scale pipeline runs (before any content hashing) is
+    * "same page fetched under cosmetically different URLs". Each URL is
+    * normalized by a deterministic rewrite chain — lowercase scheme and
+    * host, strip the scheme's default port, drop the fragment, remove
+    * tracking parameters (utm_*, fbclid, gclid) while healing the
+    * query-string separators, strip a trailing slash — and the corpus
+    * is aggregated per canonical URL.
+    *
+    * Scale shape: extract + canonicalize are narrow codegen'd regex
+    * projections (no UDF); the ONLY shuffle carries (canonical_url,
+    * doc_id) pairs — never the document text — into one
+    * partial-aggregable groupBy. Every rewrite uses classes + bounded
+    * repetition only, so Java regex (Spark) and RE2 (DuckDB oracle)
+    * agree byte-for-byte.
+    */
+  def canonicalUrls(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val urls = df.select(col(idCol).as("id"),
+      explode(expr(s"regexp_extract_all($textCol, " +
+        "'https?://[A-Za-z0-9.:/?&=#_%+~-]+', 0)")).as("url"))
+    val scheme = lower(regexp_extract(col("url"), "^(https?)://", 1))
+    val hostport = lower(regexp_extract(col("url"), "^https?://([^/?#]+)", 1))
+    val host = when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .otherwise(regexp_replace(hostport, ":443$", ""))
+    val rest0 = regexp_extract(col("url"), "^https?://[^/?#]+(.*)$", 1)
+    val r1 = regexp_replace(rest0, "#.*$", "")                 // fragment
+    val r2 = regexp_replace(r1,                                // tracking
+      "[?&](utm_[A-Za-z]+|fbclid|gclid)=[^&#]*", "")
+    val r3 = regexp_replace(r2, "^([^?&]*)&", "$1?")           // heal ?/&
+    val r4 = regexp_replace(r3, "/\\?", "?")                   // slash?query
+    val r5 = regexp_replace(r4, "\\?$", "")                    // bare ?
+    val r6 = regexp_replace(r5, "/$", "")                      // trailing /
+    urls
+      .select(col("id"),
+        concat(scheme, lit("://"), host, r6).as("canonical_url"))
+      .groupBy("canonical_url")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct("id").as("n_docs"))
+  }
+
+  /** Deterministic fixed-k per-source sample (datasheet / eyeball set /
+    * per-source eval split): the k docs whose md5 rank is smallest
+    * within each source, reproducible in any engine. NOT the rank
+    * window it's equivalent to — `row_number() OVER (PARTITION BY
+    * source)` funnels every row of a source into one reduce task (a
+    * multi-TB hot task for a dominant source at 100 TB); the bounded
+    * [[org.apache.spark.sql.graft.TopKPairs]] heap keeps ≤ k rows per
+    * source per map partition, so the shuffle carries ≤ k × partitions
+    * rows total. 13 hex digits = 52 bits, exactly representable in the
+    * heap's double score — the int64 oracle ordering and the heap
+    * ordering can never disagree.
+    */
+  def perSourceSample(df: DataFrame, k: Int, srcCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.graft.VectorExpressions
+    val hv = conv(substring(md5(col(idCol).cast("string")), 1, 13), 16, 10)
+      .cast("long")
+    df.select(col(srcCol).as("source"), col(idCol).as("id"), hv.as("hv"))
+      .groupBy("source")
+      .agg(VectorExpressions.topKByScore(
+        col("id"), -col("hv").cast("double"), k).as("tk"))
+      .select(col("source"), posexplode(col("tk")))
+      .select(col("source"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("doc_id"))
+  }
+
   /** Domain-blocklist filter with suffix semantics: a document is blocked
     * when ANY of its URL hosts equals a blocklist entry OR sits under it
     * as a subdomain (`deep.sub.site1.example.com` matches

@@ -714,6 +714,40 @@ object TextAnalysis {
           .otherwise("keep").as("reason"))
   }
 
+  /** Unsafe-wordlist page filter (the C4 "bad words" rule, Raffel et al.
+    * 2020 §2.2: drop any page containing a blocklisted word). Matching
+    * is word-boundary BY CONSTRUCTION — whitespace tokenize, strip
+    * leading/trailing ASCII punctuation, casefold — so "class" can
+    * never match a blocklisted "ass" and "zorblaxx" never matches
+    * "zorblax" (substring regexes get both wrong).
+    *
+    * Scale shape: the list rides along as a literal array (a broadcast
+    * in cluster terms) and is probed by a codegen'd higher-order
+    * `filter` — a per-row narrow projection with ZERO shuffles, linear
+    * in corpus bytes. The explode + join + re-agg alternative would
+    * shuffle every (doc, token) pair just to count hits; at realistic
+    * list sizes (hundreds to a few thousand entries) the bounded
+    * in-loop probe is strictly cheaper.
+    */
+  def unsafeWordStats(df: DataFrame, words: Seq[String],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val set = array(words.map(w => lit(w.toLowerCase)): _*)
+    val norm = transform(tokens(col(textCol)),
+      t => lower(regexp_replace(t, "^[\\p{Punct}]+|[\\p{Punct}]+$", "")))
+    df.select(col(idCol), norm.as("toks"))
+      .select(col(idCol),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(filter(col("toks"), t => array_contains(set, t)))
+          .cast("long").as("bad_hits"),
+        size(array_intersect(array_distinct(col("toks")), set))
+          .cast("long").as("bad_distinct"))
+      .withColumn("bad_frac",
+        round(when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(col("bad_hits").cast("double") /
+            col("n_tokens").cast("double")), 6))
+      .withColumn("flagged", col("bad_hits") > 0)
+  }
+
   /** Tokenizer fertility per language: chars-per-token by lang bucket —
     * the table a tokenizer audit reads to spot languages the vocabulary
     * serves poorly (high chars/token = heavy fragmentation for BPE, or

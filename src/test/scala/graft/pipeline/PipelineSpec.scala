@@ -1818,4 +1818,68 @@ class PipelineSpec extends SparkSpec {
       .sortBy(_._1).toSeq
     assert(got == want, s"\n got  $got\n want $want")
   }
+
+  test("unsafeWordStats: boundary, casefold, multiset, lookalikes, blank") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "The Zorblax. appears once"),        // punct-stripped hit
+      (2L, "fnord Fnord FNORD!"),               // multiset ×3, 1 distinct
+      (3L, "quuxly-ish zorblaxxy harmless"),    // lookalikes must NOT hit
+      (4L, "(quuxly) wrapped"),                 // edge-punct strip hit
+      (5L, "   "),                              // blank → 0 tokens, frac 0
+      (6L, "totally clean text here"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis
+      .unsafeWordStats(d, Seq("zorblax", "fnord", "quuxly"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getBoolean(5)))).toMap
+    assert(out(1L) == ((4L, 1L, 1L, 0.25, true)))
+    assert(out(2L) == ((3L, 3L, 1L, 1.0, true)))
+    assert(out(3L) == ((3L, 0L, 0L, 0.0, false)))
+    assert(out(4L) == ((2L, 1L, 1L, 0.5, true)))
+    assert(out(5L) == ((0L, 0L, 0L, 0.0, false)))
+    assert(out(6L) == ((4L, 0L, 0L, 0.0, false)))
+  }
+
+  test("canonicalUrls collapses cosmetic URL variants to one entry") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "x https://Site1.Example.com:443/P1/?utm_source=f&utm_campaign=x&id=1#sec"),
+      (2L, "y https://site1.example.com/P1?id=1"),
+      (3L, "z http://Tracker.example.org:80/a/b/"),
+      (4L, "w http://tracker.example.org/a/b?"),
+      (5L, "v http://tracker.example.org/a/b and again http://tracker.example.org/a/b/"))
+      .toDF("doc_id", "text")
+    val out = Corpus.canonicalUrls(d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out.size == 2, s"got ${out.keySet}")
+    assert(out("https://site1.example.com/P1?id=1") == ((2L, 2L)))
+    assert(out("http://tracker.example.org/a/b") == ((4L, 3L)))
+  }
+
+  test("perSourceSample: exactly min(k,n) per source, window-equivalent") {
+    import spark.implicits._
+    val d = (1L to 300L).map(i =>
+      (i, if (i <= 280) "big" else if (i <= 295) "mid" else "tiny"))
+      .toDF("doc_id", "source")
+    val out = Corpus.perSourceSample(d, k = 20)
+    val bySrc = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc == Map("big" -> 20L, "mid" -> 15L, "tiny" -> 5L))
+    // ranks contiguous from 1 and equal to the window-rank reference
+    import org.apache.spark.sql.expressions.Window
+    val hv = conv(substring(md5(col("doc_id").cast("string")), 1, 13),
+      16, 10).cast("long")
+    val ref = d.withColumn("hv", hv)
+      .withColumn("smp_rank", row_number().over(
+        Window.partitionBy("source").orderBy(col("hv"), col("doc_id"))))
+      .filter(col("smp_rank") <= 20)
+      .select(col("source"), col("smp_rank").cast("long").as("rank"),
+        col("doc_id"))
+    assert(out.except(ref).isEmpty && ref.except(out).isEmpty)
+    // the scale shape: no Window operator anywhere in the plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window leaked into plan:\n$plan")
+  }
 }
