@@ -584,6 +584,32 @@ object Pipeline {
       Corpus.perSourceSample(t(s, dir, "documents"), k = 50)
     },
 
+    // Near-dup threshold calibration: sweep counts over the SAME verified
+    // pair table p02 gates (one LSH pass at the loosest threshold), so
+    // the oracle reuses p02's exact-Jaccard pair CTE and re-filters per
+    // threshold. Comparisons run on the rounded jaccard in BOTH engines.
+    QueryDef("p104_threshold_calibration",
+      s"""WITH $corpusSql,
+         |$shingleSql,
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         |      len(list_distinct(list_concat(a.s, b.s))) AS j
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+         |p AS (SELECT id_b, round(j, 6) AS jaccard
+         |      FROM pairs WHERE j >= 0.5)
+         |SELECT CAST(t.threshold AS DOUBLE) AS threshold,
+         |  CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(count(DISTINCT id_b) AS BIGINT) AS n_docs_removed
+         |FROM p, (VALUES (0.5), (0.6), (0.7), (0.8), (0.9)) t(threshold)
+         |WHERE p.jaccard >= t.threshold
+         |GROUP BY 1""".stripMargin) { (s, dir) =>
+      Dedup.thresholdCalibration(
+        Dedup.minhashPairs(docsWithPlants(s, dir), "doc_id", "text",
+          k = 64, bands = 16, threshold = 0.5),
+        Seq(0.5, 0.6, 0.7, 0.8, 0.9))
+    },
+
     // Unicode script profile: a multilingual corpus is synthesized by
     // appending a per-doc repeated snippet in one of four non-Latin
     // scripts (repeat factor 1..40, so dominance actually flips on the

@@ -103,6 +103,33 @@ object Scale {
       .select("c_custkey", "c_name", "c_nationkey")
   }
 
+  /** Composite physical layout — hive partitioning AND bucketing on the
+    * same table: documents partitioned by `lang` (directory pruning on
+    * the coarse, low-cardinality axis) and bucketed ×8 by `doc_id`
+    * (file pruning on the fine, high-cardinality axis). A point lookup
+    * `lang = 'en' AND doc_id IN (k1,k2,k3)` must prune BOTH ways in ONE
+    * scan: the listing touches only the lang=en directory
+    * (PartitionFilters) and reads ≤ 3 of its 8 bucket files
+    * (SelectedBucketsCount). This is the canonical 100 TB corpus layout
+    * — partition by source/date/lang, bucket by doc id — where a lookup
+    * reads a few hundred MB instead of the corpus; PlanSpec asserts
+    * both prunings on this exact plan. Keys are the 3 smallest `en`
+    * doc ids (a bounded 3-row collect, mirrored by the oracle).
+    */
+  private[graft] def partitionBucketLookup(s: SparkSession,
+      dir: String): DataFrame = {
+    resetBucketTable(s, "x25_documents_pb")
+    t(s, dir, "documents").select("doc_id", "lang", "source", "n_chars")
+      .write.partitionBy("lang").bucketBy(8, "doc_id").sortBy("doc_id")
+      .mode("overwrite").saveAsTable("x25_documents_pb")
+    val keys = t(s, dir, "documents").filter(col("lang") === "en")
+      .select("doc_id").orderBy("doc_id").limit(3)
+      .collect().map(_.getLong(0)).toSeq
+    s.table("x25_documents_pb")
+      .filter(col("lang") === "en" && col("doc_id").isin(keys: _*))
+      .select("doc_id", "lang", "source", "n_chars")
+  }
+
   /** Writes the events table partitioned on disk by event_type (hive-style
     * directory layout) and returns an aggregate over ONE partition value.
     * The scan must show a PartitionFilter — the file listing is pruned to
@@ -1139,6 +1166,24 @@ object Scale {
     // Bucket pruning: point-lookup IN predicate on the bucket column
     // reads only the buckets the literals hash to (PlanSpec asserts
     // SelectedBucketsCount < 8 on this exact plan).
+    QueryDef("x25_partition_bucket_prune",
+      """WITH k AS (SELECT doc_id FROM documents
+        |           WHERE lang = 'en' ORDER BY doc_id LIMIT 3)
+        |SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE lang = 'en' AND doc_id IN (SELECT doc_id FROM k)"""
+        .stripMargin) { (s, dir) =>
+      bucketScanConfs.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        val out = java.nio.file.Paths.get(
+          sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+          "graft_fmt", "x25_result").toString
+        partitionBucketLookup(s, dir).write.mode("overwrite").parquet(out)
+        s.read.parquet(out)
+      } finally {
+        bucketScanConfs.foreach { case (k, _) => s.conf.unset(k) }
+      }
+    },
+
     QueryDef("x19_bucket_prune",
       """SELECT c_custkey, c_name, c_nationkey
         |FROM customer WHERE c_custkey IN (7, 23, 101)""".stripMargin) {

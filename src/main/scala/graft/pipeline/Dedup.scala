@@ -1015,4 +1015,24 @@ object Dedup {
           .as("removed_cp"),
         md5(clean).as("clean_dg"))
   }
+
+  /** Near-dup threshold calibration curve: for a sweep of Jaccard
+    * thresholds, how many pairs survive and how many docs a
+    * keep-lowest-id dedup would drop. The table a pipeline owner reads
+    * before pinning the production threshold (too low = real content
+    * merged; too high = near-dups survive). Cost shape: ONE banded-LSH
+    * candidate + verify pass at the LOOSEST threshold — the sweep is a
+    * constant-size explode over the already-tiny verified pair table,
+    * not one dedup run per threshold.
+    */
+  def thresholdCalibration(pairs: DataFrame,
+      thresholds: Seq[Double]): DataFrame = {
+    val ths = array(thresholds.map(lit): _*)
+    pairs
+      .select(col("id_b"), col("jaccard"), explode(ths).as("threshold"))
+      .filter(col("jaccard") >= col("threshold"))
+      .groupBy("threshold")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct("id_b").as("n_docs_removed"))
+  }
 }

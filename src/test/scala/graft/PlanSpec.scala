@@ -160,6 +160,33 @@ class PlanSpec extends SparkSpec {
       s"expected <=3 of 8 buckets selected, got $k of $n:\n$p")
   }
 
+  test("x25: composite layout prunes partitions AND buckets in one scan") {
+    graft.operators.Scale.bucketScanConfs.foreach {
+      case (k, v) => spark.conf.set(k, v)
+    }
+    val p = try {
+      val df = graft.operators.Scale.partitionBucketLookup(spark, sf)
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    } finally {
+      graft.operators.Scale.bucketScanConfs.foreach {
+        case (k, _) => spark.conf.unset(k)
+      }
+    }
+    // directory axis: only the lang=en partition is listed
+    assert(p.matches("(?s).*PartitionFilters: \\[[^\\]]*lang[^\\]]*=" +
+      "[^\\]]*en[^\\]]*\\].*"),
+      s"no lang partition pruning in plan:\n$p")
+    // file axis: <=3 of the 8 bucket files inside it are read
+    val sel = p.linesIterator
+      .flatMap("""SelectedBucketsCount: (\d+) out of (\d+)""".r
+        .findFirstMatchIn(_)).toSeq
+    assert(sel.nonEmpty, s"no bucket pruning in plan:\n$p")
+    val (k, n) = (sel.head.group(1).toInt, sel.head.group(2).toInt)
+    assert(n == 8 && k <= 3,
+      s"expected <=3 of 8 buckets selected, got $k of $n:\n$p")
+  }
+
   test("x03: as-of join = single user_id window shuffle, no nested-loop/cartesian") {
     val p = executed("x03_asof_join")
     assert(!p.contains("BroadcastNestedLoopJoin") &&

@@ -1882,4 +1882,20 @@ class PipelineSpec extends SparkSpec {
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"window leaked into plan:\n$plan")
   }
+
+  test("thresholdCalibration: per-threshold pair/doc counts from one table") {
+    import spark.implicits._
+    val pairs = Seq(
+      (1L, 2L, 0.95), (1L, 3L, 0.95), // doc 2,3 removed at every threshold
+      (4L, 5L, 0.72),                 // survives ≥0.5/0.6/0.7 only
+      (6L, 7L, 0.55),                 // survives ≥0.5 only
+      (8L, 2L, 0.61))                 // id_b=2 already counted at ≤0.6
+      .toDF("id_a", "id_b", "jaccard")
+    val got = Dedup.thresholdCalibration(pairs, Seq(0.5, 0.7, 0.9))
+      .collect().map(r => r.getDouble(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got(0.5) == ((5L, 4L))) // pairs: all 5; removed: {2,3,5,7}
+    assert(got(0.7) == ((3L, 3L))) // {95,95,72}; removed {2,3,5}
+    assert(got(0.9) == ((2L, 2L))) // {95,95}; removed {2,3}
+  }
 }
