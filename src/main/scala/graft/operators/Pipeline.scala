@@ -188,6 +188,75 @@ object Pipeline {
       |  JOIN dl l ON l.id = p.id CROSS JOIN scal s
       |  GROUP BY 1, 2)""".stripMargin
 
+  /** Shared p102/s21 plant: cosmetic variants of the same logical URLs
+    * appended to disjoint doc sets (scheme-default port, case, tracking
+    * params, fragment, slash-before-query, trailing slash / bare `?`).
+    */
+  private[operators] def urlPlanted(docs: DataFrame): DataFrame = {
+    val k = (col("doc_id") % 5).cast("string")
+    docs.select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" https://Site"), k, lit(".Example.com:443/P"), k,
+            lit("/?utm_source=feed&utm_campaign=x&id="), k, lit("#sec")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 3,
+          concat(lit(" https://site"), k, lit(".example.com/P"), k,
+            lit("?id="), k)).otherwise(lit("")),
+        when(col("doc_id") % 11 === 4,
+          lit(" http://Tracker.example.org:80/a/b/")).otherwise(lit("")),
+        when(col("doc_id") % 11 === 8,
+          lit(" http://tracker.example.org/a/b?")).otherwise(lit("")))
+        .as("text"))
+  }
+
+  /** Shared p102/s21 oracle: full RE2 replay of the plant + the
+    * canonicalization rewrite chain + the per-URL rollup.
+    */
+  private[operators] val urlCanonSql =
+    """WITH corpus AS (
+      |  SELECT doc_id, text
+      |    || CASE WHEN doc_id % 7 = 0
+      |         THEN ' https://Site' || CAST(doc_id % 5 AS VARCHAR)
+      |           || '.Example.com:443/P' || CAST(doc_id % 5 AS VARCHAR)
+      |           || '/?utm_source=feed&utm_campaign=x&id='
+      |           || CAST(doc_id % 5 AS VARCHAR) || '#sec'
+      |         ELSE '' END
+      |    || CASE WHEN doc_id % 7 = 3
+      |         THEN ' https://site' || CAST(doc_id % 5 AS VARCHAR)
+      |           || '.example.com/P' || CAST(doc_id % 5 AS VARCHAR)
+      |           || '?id=' || CAST(doc_id % 5 AS VARCHAR)
+      |         ELSE '' END
+      |    || CASE WHEN doc_id % 11 = 4
+      |         THEN ' http://Tracker.example.org:80/a/b/' ELSE '' END
+      |    || CASE WHEN doc_id % 11 = 8
+      |         THEN ' http://tracker.example.org/a/b?' ELSE '' END
+      |    AS text
+      |  FROM documents),
+      |u AS (SELECT doc_id, unnest(regexp_extract_all(text,
+      |    'https?://[A-Za-z0-9.:/?&=#_%+~-]+')) AS url FROM corpus),
+      |c AS (SELECT doc_id,
+      |    lower(regexp_extract(url, '^(https?)://', 1)) AS scheme,
+      |    lower(regexp_extract(url, '^https?://([^/?#]+)', 1)) AS hostport,
+      |    regexp_extract(url, '^https?://[^/?#]+(.*)$', 1) AS rest
+      |  FROM u),
+      |n AS (SELECT doc_id, scheme || '://'
+      |    || CASE WHEN scheme = 'http'
+      |         THEN regexp_replace(hostport, ':80$', '')
+      |         ELSE regexp_replace(hostport, ':443$', '') END
+      |    || regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |         regexp_replace(regexp_replace(rest,
+      |           '#.*$', '', 'g'),
+      |           '[?&](utm_[A-Za-z]+|fbclid|gclid)=[^&#]*', '', 'g'),
+      |           '^([^?&]*)&', '\1?', 'g'),
+      |           '/\?', '?', 'g'),
+      |           '\?$', '', 'g'),
+      |           '/$', '', 'g') AS canonical_url
+      |  FROM c)
+      |SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_occurrences,
+      |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+      |FROM n GROUP BY 1""".stripMargin
+
   private[operators] val minhashPairsSql =
     s"""WITH $corpusSql,
        |$shingleSql,
@@ -503,66 +572,11 @@ object Pipeline {
     // pair on a second host — and the canonicalizer must collapse each
     // pair to ONE url. The oracle replays the identical rewrite chain in
     // RE2 (classes + bounded repetition only; '\1' vs '$1' is the only
-    // dialect difference).
-    QueryDef("p102_url_canonicalize",
-      """WITH corpus AS (
-        |  SELECT doc_id, text
-        |    || CASE WHEN doc_id % 7 = 0
-        |         THEN ' https://Site' || CAST(doc_id % 5 AS VARCHAR)
-        |           || '.Example.com:443/P' || CAST(doc_id % 5 AS VARCHAR)
-        |           || '/?utm_source=feed&utm_campaign=x&id='
-        |           || CAST(doc_id % 5 AS VARCHAR) || '#sec'
-        |         ELSE '' END
-        |    || CASE WHEN doc_id % 7 = 3
-        |         THEN ' https://site' || CAST(doc_id % 5 AS VARCHAR)
-        |           || '.example.com/P' || CAST(doc_id % 5 AS VARCHAR)
-        |           || '?id=' || CAST(doc_id % 5 AS VARCHAR)
-        |         ELSE '' END
-        |    || CASE WHEN doc_id % 11 = 4
-        |         THEN ' http://Tracker.example.org:80/a/b/' ELSE '' END
-        |    || CASE WHEN doc_id % 11 = 8
-        |         THEN ' http://tracker.example.org/a/b?' ELSE '' END
-        |    AS text
-        |  FROM documents),
-        |u AS (SELECT doc_id, unnest(regexp_extract_all(text,
-        |    'https?://[A-Za-z0-9.:/?&=#_%+~-]+')) AS url FROM corpus),
-        |c AS (SELECT doc_id,
-        |    lower(regexp_extract(url, '^(https?)://', 1)) AS scheme,
-        |    lower(regexp_extract(url, '^https?://([^/?#]+)', 1)) AS hostport,
-        |    regexp_extract(url, '^https?://[^/?#]+(.*)$', 1) AS rest
-        |  FROM u),
-        |n AS (SELECT doc_id, scheme || '://'
-        |    || CASE WHEN scheme = 'http'
-        |         THEN regexp_replace(hostport, ':80$', '')
-        |         ELSE regexp_replace(hostport, ':443$', '') END
-        |    || regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-        |         regexp_replace(regexp_replace(rest,
-        |           '#.*$', '', 'g'),
-        |           '[?&](utm_[A-Za-z]+|fbclid|gclid)=[^&#]*', '', 'g'),
-        |           '^([^?&]*)&', '\1?', 'g'),
-        |           '/\?', '?', 'g'),
-        |           '\?$', '', 'g'),
-        |           '/$', '', 'g') AS canonical_url
-        |  FROM c)
-        |SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_occurrences,
-        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
-        |FROM n GROUP BY 1""".stripMargin) { (s, dir) =>
-      val k = (col("doc_id") % 5).cast("string")
-      val planted = t(s, dir, "documents").select(col("doc_id"),
-        concat(col("text"),
-          when(col("doc_id") % 7 === 0,
-            concat(lit(" https://Site"), k, lit(".Example.com:443/P"), k,
-              lit("/?utm_source=feed&utm_campaign=x&id="), k, lit("#sec")))
-            .otherwise(lit("")),
-          when(col("doc_id") % 7 === 3,
-            concat(lit(" https://site"), k, lit(".example.com/P"), k,
-              lit("?id="), k)).otherwise(lit("")),
-          when(col("doc_id") % 11 === 4,
-            lit(" http://Tracker.example.org:80/a/b/")).otherwise(lit("")),
-          when(col("doc_id") % 11 === 8,
-            lit(" http://tracker.example.org/a/b?")).otherwise(lit("")))
-          .as("text"))
-      Corpus.canonicalUrls(planted)
+    // dialect difference). The oracle SQL and the plant expression are
+    // shared with s21 (streaming URL-index maintenance), whose
+    // accumulated store must equal this batch relation exactly.
+    QueryDef("p102_url_canonicalize", urlCanonSql) { (s, dir) =>
+      Corpus.canonicalUrls(urlPlanted(t(s, dir, "documents")))
     },
 
     // Fixed-k per-source deterministic sample: ranks are md5-derived so

@@ -755,6 +755,68 @@ object Streaming {
       s.read.parquet(outDir)
     },
 
+    // Streaming canonical-URL index maintenance (p102 as a stream): each
+    // micro-batch's URLs are extracted + canonicalized, rolled up, and
+    // MERGED into a copy-on-write store generation (old store ∪ batch →
+    // groupBy canonical_url → sum). The batch rollup is mergeable
+    // because batches partition docs, so per-batch n_docs sum to the
+    // corpus n_docs. The accumulated store must equal the batch p102
+    // relation exactly (same oracle SQL). The production shape for
+    // crawl-frontier dedup: the fetcher consults the maintained URL
+    // index AS pages arrive — the merge cost per batch is one
+    // url-keyed rollup over (tiny store + tiny batch agg); document
+    // text never enters the store.
+    QueryDef("s21_stream_url_index", graft.operators.Pipeline.urlCanonSql) {
+      (s, dir) =>
+        import graft.pipeline.Corpus
+        val docs = graft.operators.Pipeline.urlPlanted(
+          graft.Tables.load(s, dir, "documents").select("doc_id", "text"))
+        val maxId = docs.agg(max("doc_id")).head().getLong(0)
+        val base = java.nio.file.Paths.get(
+          sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_fmt").toString
+        val srcDir = s"$base/s21_stream_src"
+        val storeBase = s"$base/s21_url_store"
+        rmTree(new java.io.File(srcDir)); rmTree(new java.io.File(storeBase))
+        new java.io.File(srcDir).mkdirs()
+        val t0 = System.currentTimeMillis() - 3600000L
+        (0 until 4).foreach { b =>
+          writeSingle(docs.filter(
+            expr(s"CAST(doc_id AS BIGINT) * 4 div ${maxId + 1}") === b),
+            srcDir, s"batch_$b")
+          new java.io.File(srcDir, s"batch_$b.parquet")
+            .setLastModified(t0 + b * 60000L)
+          ()
+        }
+        val schema = s.read.parquet(srcDir).schema
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("pathGlobFilter", "*.parquet")
+          .parquet(srcDir)
+          .writeStream
+          .foreachBatch {
+            (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+              val sp = batch.sparkSession
+              val agg = Corpus.canonicalUrls(batch)
+              val prev = new java.io.File(s"$storeBase/v${batchId - 1}")
+              val merged =
+                if (!prev.exists()) agg
+                else sp.read.parquet(prev.toString).unionAll(agg)
+                  .groupBy("canonical_url")
+                  .agg(sum("n_occurrences").as("n_occurrences"),
+                    sum("n_docs").as("n_docs"))
+              merged.coalesce(1).write.mode("overwrite")
+                .parquet(s"$storeBase/v$batchId")
+              ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$storeBase/v3")
+          .select(col("canonical_url"),
+            col("n_occurrences").cast("long").as("n_occurrences"),
+            col("n_docs").cast("long").as("n_docs"))
+    },
+
     // Streaming CDC apply: the p68 release deltas consumed as a stream,
     // each micro-batch merged into a materialized corpus store by
     // copy-on-write (anti-join out the touched ids, append the new
