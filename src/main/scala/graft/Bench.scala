@@ -76,6 +76,10 @@ object Bench {
     "p95_backoff_lm",     // trigram stupid-backoff scoring joins
     "p96_ppl_buckets",    // CCNet thirds: LM chain + global-order rank
     "p97_logreg_quality", // decimal-exact GD epochs over feature barrier
+    "p101_unsafe_words",  // zero-shuffle wordlist probe projection
+    "p102_url_canonicalize", // regex rewrite chain + url-keyed rollup
+    "p103_source_sample", // bounded-heap per-source top-k (no window)
+    "p104_threshold_calibration", // one LSH pass + threshold explode
     "s08_stream_trending", // streaming windowed counts + bounded rank
     "s01_stream_hourly",  // structured streaming
     "s16_stream_bm25_route", // per-batch BM25 vs static stats
@@ -272,8 +276,19 @@ object Bench {
     val base =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qJson,"sf":$sfNum,"runs":$nRuns"""
     val withSpread = s"""$base,"spread":$spreadJson}"""
+    // last-resort precision fallback: if the queries map alone outgrows
+    // the tail budget (70+ entries), re-render values at centisecond
+    // precision — still plenty for the driver's regression read
+    def fmt2(v: Double): String = if (v < 0) "-1" else f"$v%.2f"
+    val base2 = {
+      val q2 = results.map { case (k, v) => s""""$k":${fmt2(v)}""" }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","queries":$q2,"sf":$sfNum,"runs":$nRuns"""
+    }
     val line =
-      if (withSpread.length <= 1900) withSpread else s"$base}"
+      if (withSpread.length <= 1900) withSpread
+      else if (base.length + 1 <= 1900) s"$base}"
+      else s"$base2}"
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${results
         .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")

@@ -624,6 +624,87 @@ object Pipeline {
         Seq(0.5, 0.6, 0.7, 0.8, 0.9))
     },
 
+    // Canary-string audit: three marker strings planted across the
+    // corpus, one doc set carrying a DOUBLE occurrence (the occurrence
+    // arithmetic must count copies, not docs). Containment is raw
+    // substring (strpos / instr) — no tokenization — and the oracle
+    // replays the plant + the length-difference occurrence count.
+    QueryDef("p105_canary_audit",
+      """WITH corpus AS (
+        |  SELECT doc_id, source, text
+        |    || CASE WHEN doc_id % 37 = 1
+        |         THEN ' CANARY-' || CAST(doc_id % 3 AS VARCHAR) || '-f00d'
+        |         ELSE '' END
+        |    || CASE WHEN doc_id % 41 = 2
+        |         THEN ' CANARY-0-f00d CANARY-0-f00d' ELSE '' END AS text
+        |  FROM documents),
+        |hits AS (SELECT c.canary, doc_id, source,
+        |    (length(text) - length(replace(text, c.canary, '')))
+        |      // length(c.canary) AS n
+        |  FROM corpus, (VALUES ('CANARY-0-f00d'), ('CANARY-1-f00d'),
+        |    ('CANARY-2-f00d')) c(canary)
+        |  WHERE strpos(text, c.canary) > 0)
+        |SELECT canary, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS n_occurrences,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+        |FROM hits GROUP BY 1""".stripMargin) { (s, dir) =>
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        col("source"),
+        concat(col("text"),
+          when(col("doc_id") % 37 === 1,
+            concat(lit(" CANARY-"), (col("doc_id") % 3).cast("string"),
+              lit("-f00d"))).otherwise(lit("")),
+          when(col("doc_id") % 41 === 2,
+            lit(" CANARY-0-f00d CANARY-0-f00d")).otherwise(lit("")))
+          .as("text"))
+      TextAnalysis.canaryHits(planted,
+        Seq("CANARY-0-f00d", "CANARY-1-f00d", "CANARY-2-f00d"))
+    },
+
+    // Per-source dedup savings: the corpus' own planted exact-dup
+    // clusters give real savings numbers; the oracle replays digest →
+    // keep-lowest-id → per-source doc/token rollup with the shared
+    // whitespace token count.
+    QueryDef("p106_dedup_savings",
+      """WITH tk AS (SELECT doc_id, source, md5(text) AS dg,
+        |    CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
+        |         THEN 0
+        |         ELSE len(string_split_regex(
+        |           regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END
+        |      AS nt
+        |  FROM documents),
+        |k AS (SELECT dg, min(doc_id) AS keep_id FROM tk GROUP BY 1)
+        |SELECT source, CAST(count(*) AS BIGINT) AS docs_total,
+        |  CAST(sum(CASE WHEN doc_id = keep_id THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS docs_kept,
+        |  CAST(sum(nt) AS BIGINT) AS tokens_total,
+        |  CAST(sum(CASE WHEN doc_id = keep_id THEN nt ELSE 0 END) AS BIGINT)
+        |    AS tokens_kept,
+        |  ROUND(1.0 -
+        |    CAST(sum(CASE WHEN doc_id = keep_id THEN nt ELSE 0 END)
+        |      AS DOUBLE) / sum(nt), 6) AS token_savings
+        |FROM tk JOIN k USING (dg) GROUP BY 1""".stripMargin) { (s, dir) =>
+      Corpus.dedupSavings(t(s, dir, "documents"))
+    },
+
+    // Sharded-profile merge gate: the oracle recomputes the exact
+    // distinct counts and asserts the two sketch booleans (merged
+    // union ≈ whole-corpus sketch; estimate within 5% of exact) that
+    // the engine computes from real HLL sketches.
+    QueryDef("p107_profile_merge",
+      """SELECT 'doc_id' AS col_name,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_exact,
+        |  true AS merged_close, true AS est_within_5pct FROM documents
+        |UNION ALL
+        |SELECT 'lang', CAST(count(DISTINCT lang) AS BIGINT), true, true
+        |FROM documents
+        |UNION ALL
+        |SELECT 'source', CAST(count(DISTINCT source) AS BIGINT), true, true
+        |FROM documents""".stripMargin) { (s, dir) =>
+      Corpus.shardedProfileGate(t(s, dir, "documents"),
+        Seq("doc_id", "lang", "source"))
+    },
+
     // Unicode script profile: a multilingual corpus is synthesized by
     // appending a per-doc repeated snippet in one of four non-Latin
     // scripts (repeat factor 1..40, so dominance actually flips on the

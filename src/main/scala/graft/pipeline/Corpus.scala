@@ -584,6 +584,71 @@ object Corpus {
         col("col.id").as("doc_id"))
   }
 
+  /** Sharded-profile merge gate: corpus profiling at 100 TB cannot be
+    * one job over all files — shards are profiled independently (per
+    * ingest batch, per partition, per day) and the SKETCHES are merged.
+    * This gate proves the mergeability contract on the HLL distinct
+    * sketch: estimate(union of per-shard sketches) must agree with
+    * estimate(one whole-corpus sketch) (register-max union; ≤1%
+    * tolerance for sparse→dense promotion differences) and land within
+    * 5% of the exact distinct count. Sketch rows are KB-sized — the
+    * merge shuffles |shards| rows, not data.
+    */
+  def shardedProfileGate(df: DataFrame, cols: Seq[String],
+      idCol: String = "doc_id", nShards: Int = 4): DataFrame = {
+    // lgK 14 (RSE ~0.8%): the 2%/5% tolerances sit >2σ/>6σ out, so the
+    // booleans hold under ANY partitioning — the sketch's dense-mode
+    // registers are set-determined, but sparse→dense promotion depends
+    // on intermediate union sizes, so estimates may legitimately differ
+    // by a few per-mille between the merged and whole paths.
+    val lgK = lit(14)
+    cols.map { c =>
+      val whole = df.agg(
+        countDistinct(col(c)).as("n_exact"),
+        hll_sketch_estimate(hll_sketch_agg(col(c), lgK)).as("est_whole"))
+      val merged = df.groupBy((col(idCol) % nShards).as("shard"))
+        .agg(hll_sketch_agg(col(c), lgK).as("sk"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+          .as("est_merged"))
+      whole.crossJoin(merged).select(
+        lit(c).as("col_name"), col("n_exact"),
+        (abs(col("est_merged") - col("est_whole")).cast("double") /
+          greatest(col("est_whole"), lit(1L)).cast("double") <= 0.02)
+          .as("merged_close"),
+        (abs(col("est_merged") - col("n_exact")).cast("double") /
+          col("n_exact").cast("double") <= 0.05).as("est_within_5pct"))
+    }.reduce(_.unionAll(_))
+  }
+
+  /** Per-source dedup savings report: what exact dedup would buy, in the
+    * unit that matters for training (tokens), BEFORE committing to the
+    * materialization — docs/tokens total vs kept under keep-lowest-id,
+    * and the savings fraction, per source. The table that decides
+    * whether a source's crawl is worth re-fetching vs deduping. Scale
+    * shape: text is reduced to (digest, id, tokens, source) in one
+    * narrow pass; the digest groupBy and the digest-keyed join back
+    * shuffle those four columns only, and the final per-source rollup
+    * is partial-aggregable.
+    */
+  def dedupSavings(df: DataFrame, idCol: String = "doc_id",
+      srcCol: String = "source", textCol: String = "text"): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(srcCol).as("source"),
+      md5(col(textCol)).as("dg"),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("nt"))
+    val keep = base.groupBy("dg").agg(min("id").as("keep_id"))
+    base.join(keep, Seq("dg"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs_total"),
+        sum(when(col("id") === col("keep_id"), 1L).otherwise(0L))
+          .as("docs_kept"),
+        sum("nt").as("tokens_total"),
+        sum(when(col("id") === col("keep_id"), col("nt")).otherwise(0L))
+          .as("tokens_kept"))
+      .withColumn("token_savings",
+        round(lit(1.0) - col("tokens_kept").cast("double") /
+          col("tokens_total").cast("double"), 6))
+  }
+
   /** Domain-blocklist filter with suffix semantics: a document is blocked
     * when ANY of its URL hosts equals a blocklist entry OR sits under it
     * as a subdomain (`deep.sub.site1.example.com` matches

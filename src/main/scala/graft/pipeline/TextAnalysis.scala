@@ -748,6 +748,32 @@ object TextAnalysis {
       .withColumn("flagged", col("bad_hits") > 0)
   }
 
+  /** Canary-string audit (the memorization-probe pattern: plant unique
+    * marker strings in training data, then track exactly where they
+    * ended up — which docs, how many copies, how many sources). Raw
+    * substring containment, NOT tokenized — a canary embedded mid-token
+    * must still count. Scale shape: the canary list explodes per row
+    * (|canaries| narrow copies, no shuffle), misses are filtered before
+    * the rollup, and only (canary, id, source, n) hit rows — never the
+    * text — reach the single partial-aggregable groupBy.
+    */
+  def canaryHits(df: DataFrame, canaries: Seq[String],
+      idCol: String = "doc_id", srcCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val cs = array(canaries.map(lit): _*)
+    df.select(col(idCol).as("id"), col(srcCol).as("src"),
+        col(textCol).as("txt"), explode(cs).as("canary"))
+      .filter(instr(col("txt"), col("canary")) > 0)
+      .select(col("canary"), col("id"), col("src"),
+        ((length(col("txt")) -
+          length(expr("replace(txt, canary, '')"))) /
+          length(col("canary"))).cast("long").as("n"))
+      .groupBy("canary")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n").as("n_occurrences"),
+        countDistinct("src").as("n_sources"))
+  }
+
   /** Tokenizer fertility per language: chars-per-token by lang bucket —
     * the table a tokenizer audit reads to spot languages the vocabulary
     * serves poorly (high chars/token = heavy fragmentation for BPE, or

@@ -1898,4 +1898,47 @@ class PipelineSpec extends SparkSpec {
     assert(got(0.7) == ((3L, 3L))) // {95,95,72}; removed {2,3,5}
     assert(got(0.9) == ((2L, 2L))) // {95,95}; removed {2,3}
   }
+
+  test("canaryHits: substring (mid-token) hits, copy counts, source spread") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "web", "plain text with CANARY-X-1 marker"),
+      (2L, "web", "embeddedCANARY-X-1insideatoken"),     // mid-token hit
+      (3L, "books", "two copies CANARY-X-1 and CANARY-X-1"),
+      (4L, "web", "no marker at all"),
+      (5L, "code", "other marker CANARY-Y-2"))
+      .toDF("doc_id", "source", "text")
+    val out = TextAnalysis.canaryHits(d, Seq("CANARY-X-1", "CANARY-Y-2"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("CANARY-X-1") == ((3L, 4L, 2L))) // 3 docs, 4 copies, 2 srcs
+    assert(out("CANARY-Y-2") == ((1L, 1L, 1L)))
+  }
+
+  test("dedupSavings: per-source doc/token totals vs keep-lowest-id") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "web", "a b c"),      // kept (3 tokens)
+      (2L, "web", "a b c"),      // dup of 1 → dropped
+      (3L, "books", "a b c"),    // dup of 1 (cross-source) → dropped
+      (4L, "books", "x y"),      // unique, kept
+      (5L, "web", "z"))          // unique, kept
+      .toDF("doc_id", "source", "text")
+    val out = Corpus.dedupSavings(d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(out("web") == ((3L, 2L, 7L, 4L, 0.428571)))
+    assert(out("books") == ((2L, 1L, 5L, 2L, 0.6)))
+  }
+
+  test("shardedProfileGate: sketch merge matches whole-corpus sketch") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val out = Corpus.shardedProfileGate(d, Seq("doc_id", "lang", "source"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getBoolean(2), r.getBoolean(3)))).toMap
+    assert(out.keySet == Set("doc_id", "lang", "source"))
+    out.foreach { case (c, (n, close, within)) =>
+      assert(n > 0 && close && within, s"$c: n=$n close=$close within=$within")
+    }
+  }
 }
