@@ -80,6 +80,7 @@ object Bench {
     "p102_url_canonicalize", // regex rewrite chain + url-keyed rollup
     "p103_source_sample", // bounded-heap per-source top-k (no window)
     "p104_threshold_calibration", // one LSH pass + threshold explode
+    "p108_novelty_contribution", // hash-keyed first-seen + rollup
     "s08_stream_trending", // streaming windowed counts + bounded rank
     "s01_stream_hourly",  // structured streaming
     "s16_stream_bm25_route", // per-batch BM25 vs static stats

@@ -188,6 +188,20 @@ object Pipeline {
       |  JOIN dl l ON l.id = p.id CROSS JOIN scal s
       |  GROUP BY 1, 2)""".stripMargin
 
+  /** Shared p107/s22 oracle: exact distinct counts + the asserted sketch
+    * booleans (merged union ≈ whole sketch; estimate within 5% of exact).
+    */
+  private[operators] val profileMergeSql =
+    """SELECT 'doc_id' AS col_name,
+      |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_exact,
+      |  true AS merged_close, true AS est_within_5pct FROM documents
+      |UNION ALL
+      |SELECT 'lang', CAST(count(DISTINCT lang) AS BIGINT), true, true
+      |FROM documents
+      |UNION ALL
+      |SELECT 'source', CAST(count(DISTINCT source) AS BIGINT), true, true
+      |FROM documents""".stripMargin
+
   /** Shared p102/s21 plant: cosmetic variants of the same logical URLs
     * appended to disjoint doc sets (scheme-default port, case, tracking
     * params, fragment, slash-before-query, trailing slash / bare `?`).
@@ -690,19 +704,96 @@ object Pipeline {
     // Sharded-profile merge gate: the oracle recomputes the exact
     // distinct counts and asserts the two sketch booleans (merged
     // union ≈ whole-corpus sketch; estimate within 5% of exact) that
-    // the engine computes from real HLL sketches.
-    QueryDef("p107_profile_merge",
-      """SELECT 'doc_id' AS col_name,
-        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_exact,
-        |  true AS merged_close, true AS est_within_5pct FROM documents
-        |UNION ALL
-        |SELECT 'lang', CAST(count(DISTINCT lang) AS BIGINT), true, true
-        |FROM documents
-        |UNION ALL
-        |SELECT 'source', CAST(count(DISTINCT source) AS BIGINT), true, true
-        |FROM documents""".stripMargin) { (s, dir) =>
+    // the engine computes from real HLL sketches. Oracle shared with
+    // s22, whose per-BATCH sketch store must satisfy the same gate.
+    QueryDef("p107_profile_merge", profileMergeSql) { (s, dir) =>
       Corpus.shardedProfileGate(t(s, dir, "documents"),
         Seq("doc_id", "lang", "source"))
+    },
+
+    // Marginal novelty in corpus order: the corpus' planted dup clusters
+    // make late copies score ~0 while their first member scores high.
+    // Spark counts via 64-bit shingle hashes, the oracle via string
+    // shingles — identical counts absent xxhash64 collisions (≈1e-10 at
+    // gate scale; the p02 hash-vs-string pattern).
+    QueryDef("p108_novelty_contribution",
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+         |$shingleSql,
+         |e AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         |f AS (SELECT g, min(doc_id) AS first_id FROM e GROUP BY 1)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |  CAST(sum(CASE WHEN first_id = doc_id THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_novel,
+         |  ROUND(CAST(sum(CASE WHEN first_id = doc_id THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / count(*), 6) AS novelty_frac
+         |FROM e JOIN f USING (g) GROUP BY 1""".stripMargin) { (s, dir) =>
+      Corpus.noveltyContribution(t(s, dir, "documents"))
+    },
+
+    // Code-vs-prose router: an 8-line code block (7 `;`/`{`/`}` line
+    // endings, 7 keyword tokens) is planted on one doc set — those docs
+    // must trip ≥2 of 5 votes regardless of how much prose precedes the
+    // block (the absolute n_code_lines signal exists exactly for that);
+    // unplanted prose stays below. The oracle replays every signal:
+    // chr(10) line split, RE2 line-ending/indent classes, the tokenize
+    // mirror for keyword hits, symbol-class density.
+    QueryDef("p109_code_detect",
+      """WITH corpus AS (
+        |  SELECT doc_id, text || CASE WHEN doc_id % 23 = 4
+        |    THEN chr(10) || 'function calc(x) {'
+        |      || chr(10) || '  var y = x + 1;'
+        |      || chr(10) || '  return y * 2;'
+        |      || chr(10) || '}'
+        |      || chr(10) || 'import os'
+        |      || chr(10) || 'class Foo {'
+        |      || chr(10) || '  public int z = 3;'
+        |      || chr(10) || '}'
+        |    ELSE '' END AS text
+        |  FROM documents),
+        |s AS (SELECT doc_id,
+        |    string_split(text, chr(10)) AS ln,
+        |    CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
+        |         THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(
+        |           regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')
+        |    END AS tk,
+        |    length(text) AS nc,
+        |    length(text) - length(regexp_replace(text,
+        |      '[(){};=<>]', '', 'g')) AS nsym
+        |  FROM corpus),
+        |g AS (SELECT doc_id,
+        |    len(ln) AS n_lines,
+        |    len(list_filter(ln, l -> regexp_matches(l, '[;{}]\s*$')))
+        |      AS n_code,
+        |    len(list_filter(ln, l -> regexp_matches(l, '^(  |\t)')))
+        |      AS n_indent,
+        |    len(list_filter(tk, t -> list_contains(
+        |      ['function', 'var', 'return', 'import', 'class',
+        |       'public', 'def', 'const', 'void', 'int'], t))) AS kw,
+        |    CASE WHEN nc = 0 THEN 0.0
+        |         ELSE CAST(nsym AS DOUBLE) / nc END AS symden
+        |  FROM s),
+        |v AS (SELECT doc_id, n_lines, n_code, kw, symden,
+        |    CAST(CAST(n_code AS DOUBLE) / n_lines >= 0.3 AS BIGINT)
+        |    + CAST(n_code >= 5 AS BIGINT)
+        |    + CAST(CAST(n_indent AS DOUBLE) / n_lines >= 0.25 AS BIGINT)
+        |    + CAST(kw >= 3 AS BIGINT)
+        |    + CAST(symden >= 0.05 AS BIGINT) AS votes
+        |  FROM g)
+        |SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+        |  CAST(n_code AS BIGINT) AS n_code_lines,
+        |  CAST(kw AS BIGINT) AS kw_hits,
+        |  ROUND(symden, 6) AS sym_density,
+        |  votes AS code_votes, votes >= 2 AS is_code
+        |FROM v""".stripMargin) { (s, dir) =>
+      val codeBlock = "\nfunction calc(x) {\n  var y = x + 1;" +
+        "\n  return y * 2;\n}\nimport os\nclass Foo {" +
+        "\n  public int z = 3;\n}"
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 23 === 4, lit(codeBlock))
+            .otherwise(lit(""))).as("text"))
+      TextAnalysis.codeSignals(planted)
     },
 
     // Unicode script profile: a multilingual corpus is synthesized by

@@ -817,6 +817,72 @@ object Streaming {
             col("n_docs").cast("long").as("n_docs"))
     },
 
+    // Streaming profile-sketch maintenance (p107 as a stream): each
+    // micro-batch contributes ONE KB-sized HLL sketch row per profiled
+    // column to an append-only sketch store; the corpus profile at any
+    // moment is a register-max union over the stored sketches — no
+    // rescan of arrived data, ever. The union of the per-batch sketches
+    // must satisfy the same gate as p107's per-shard union: ≈ the
+    // whole-corpus sketch and within 5% of exact. This is how a 100 TB
+    // corpus keeps a live distinct-count profile: the ingest stream
+    // appends sketch rows, readers merge KBs.
+    QueryDef("s22_stream_profile_sketches",
+      graft.operators.Pipeline.profileMergeSql) { (s, dir) =>
+      val profCols = Seq("doc_id", "lang", "source")
+      val docs = graft.Tables.load(s, dir, "documents")
+        .select("doc_id", "lang", "source")
+      val maxId = docs.agg(max("doc_id")).head().getLong(0)
+      val base = java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_fmt").toString
+      val srcDir = s"$base/s22_stream_src"
+      val storeDir = s"$base/s22_sketch_store"
+      rmTree(new java.io.File(srcDir)); rmTree(new java.io.File(storeDir))
+      new java.io.File(srcDir).mkdirs()
+      val t0 = System.currentTimeMillis() - 3600000L
+      (0 until 4).foreach { b =>
+        writeSingle(docs.filter(
+          expr(s"CAST(doc_id AS BIGINT) * 4 div ${maxId + 1}") === b),
+          srcDir, s"batch_$b")
+        new java.io.File(srcDir, s"batch_$b.parquet")
+          .setLastModified(t0 + b * 60000L)
+        ()
+      }
+      val schema = s.read.parquet(srcDir).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(srcDir)
+        .writeStream
+        .foreachBatch {
+          (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+            val rows = profCols.map { c =>
+              batch.agg(hll_sketch_agg(col(c), lit(14)).as("sk"))
+                .select(lit(c).as("col_name"), col("sk"))
+            }.reduce(_.unionAll(_))
+            rows.coalesce(1).write.mode("append").parquet(storeDir)
+            ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val merged = s.read.parquet(storeDir).groupBy("col_name")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+          .as("est_merged"))
+      val whole = profCols.map { c =>
+        docs.agg(countDistinct(col(c)).as("n_exact"),
+          hll_sketch_estimate(hll_sketch_agg(col(c), lit(14)))
+            .as("est_whole"))
+          .select(lit(c).as("col_name"), col("n_exact"), col("est_whole"))
+      }.reduce(_.unionAll(_))
+      whole.join(merged, Seq("col_name"))
+        .select(col("col_name"), col("n_exact"),
+          (abs(col("est_merged") - col("est_whole")).cast("double") /
+            greatest(col("est_whole"), lit(1L)).cast("double") <= 0.02)
+            .as("merged_close"),
+          (abs(col("est_merged") - col("n_exact")).cast("double") /
+            col("n_exact").cast("double") <= 0.05).as("est_within_5pct"))
+    },
+
     // Streaming CDC apply: the p68 release deltas consumed as a stream,
     // each micro-batch merged into a materialized corpus store by
     // copy-on-write (anti-join out the touched ids, append the new

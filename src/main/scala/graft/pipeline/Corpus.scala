@@ -620,6 +620,33 @@ object Corpus {
     }.reduce(_.unionAll(_))
   }
 
+  /** Marginal-novelty scoring in corpus order: for each document, the
+    * fraction of its distinct word-3-shingles not seen in any
+    * earlier-id document — the data-valuation signal behind "keep the
+    * doc that contributed the content, down-weight late arrivals that
+    * re-say it" (and the per-doc form of p84's release novelty). Scale
+    * shape: shingles ride as 64-bit hashes (native ShingleHashes — no
+    * string shuffles); first-seen is ONE partial-aggregable min per
+    * hash; the join back is hash-keyed; the final per-doc rollup is
+    * partial-aggregable. Text never shuffles.
+    */
+  def noveltyContribution(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", shingleN: Int = 3): DataFrame = {
+    import org.apache.spark.sql.graft.VectorExpressions
+    val sh = df.select(col(idCol).as("id"),
+      explode(array_distinct(
+        VectorExpressions.shingleHashes(col(textCol), shingleN))).as("h"))
+    val firstSeen = sh.groupBy("h").agg(min("id").as("first_id"))
+    sh.join(firstSeen, Seq("h"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_id") === col("id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("id").as(idCol), col("n_shingles"), col("n_novel"),
+        round(col("n_novel").cast("double") /
+          col("n_shingles").cast("double"), 6).as("novelty_frac"))
+  }
+
   /** Per-source dedup savings report: what exact dedup would buy, in the
     * unit that matters for training (tokens), BEFORE committing to the
     * materialization — docs/tokens total vs kept under keep-lowest-id,

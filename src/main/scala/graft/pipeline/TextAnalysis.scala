@@ -774,6 +774,44 @@ object TextAnalysis {
         countDistinct("src").as("n_sources"))
   }
 
+  /** Code-vs-prose detection (the router in front of separate code/text
+    * tokenization and mixing weights): five cheap structural signals —
+    * `;`/`{`/`}` line endings (fraction AND absolute count, so a code
+    * block appended to long prose still trips), indented-line fraction,
+    * programming-keyword token hits, symbol density — voted 2-of-5 into
+    * `is_code`. Pure per-row regex/array arithmetic: zero shuffles,
+    * whole-stage codegen, text never leaves its partition.
+    */
+  def codeSignals(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val text = col(textCol)
+    val ln = split(text, "\n")
+    val nLines = size(ln)
+    val nCode = size(filter(ln, l => l.rlike("[;{}]\\s*$")))
+    val nIndent = size(filter(ln, l => l.rlike("^(  |\\t)")))
+    val kws = array(Seq("function", "var", "return", "import", "class",
+      "public", "def", "const", "void", "int").map(lit): _*)
+    val kwHits = size(filter(tokens(text), t => array_contains(kws, t)))
+    val nc = length(text)
+    val symDen = when(nc === 0, lit(0.0)).otherwise(
+      (nc - length(regexp_replace(text, "[(){};=<>]", "")))
+        .cast("double") / nc.cast("double"))
+    val codeFrac = nCode.cast("double") / nLines.cast("double")
+    val indentFrac = nIndent.cast("double") / nLines.cast("double")
+    val votes = (codeFrac >= 0.3).cast("long") +
+      (nCode >= 5).cast("long") +
+      (indentFrac >= 0.25).cast("long") +
+      (kwHits >= 3).cast("long") +
+      (symDen >= 0.05).cast("long")
+    df.select(col(idCol),
+      nLines.cast("long").as("n_lines"),
+      nCode.cast("long").as("n_code_lines"),
+      kwHits.cast("long").as("kw_hits"),
+      round(symDen, 6).as("sym_density"),
+      votes.as("code_votes"),
+      (votes >= 2).as("is_code"))
+  }
+
   /** Tokenizer fertility per language: chars-per-token by lang bucket —
     * the table a tokenizer audit reads to spot languages the vocabulary
     * serves poorly (high chars/token = heavy fragmentation for BPE, or

@@ -1931,6 +1931,45 @@ class PipelineSpec extends SparkSpec {
     assert(out("books") == ((2L, 1L, 5L, 2L, 0.6)))
   }
 
+  test("noveltyContribution: first doc owns shared shingles, dup scores 0") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c d"),     // shingles {a b c, b c d} — first owner
+      (2L, "a b c d"),     // exact dup → novelty 0
+      (3L, "c d e f g"),   // {c d e, d e f, e f g} — all new
+      (4L, "x y"))         // short → whole-token-list shingle, new
+      .toDF("doc_id", "text")
+    val out = Corpus.noveltyContribution(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(out(1L) == ((2L, 2L, 1.0)))
+    assert(out(2L) == ((2L, 0L, 0.0)))
+    assert(out(3L) == ((3L, 3L, 1.0)))
+    assert(out(4L) == ((1L, 1L, 1.0)))
+  }
+
+  test("codeSignals: code block trips 2-of-5 votes, prose stays below") {
+    import spark.implicits._
+    val code = "function f(a) {\n  var x = a;\n  return x;\n}"
+    val prose = "this is a perfectly ordinary sentence about nothing."
+    val proseLong = (1 to 40).map(i => s"prose line number $i.").mkString("\n")
+    val block = "\nfunction calc(x) {\n  var y = x + 1;\n  return y * 2;" +
+      "\n}\nimport os\nclass Foo {\n  public int z = 3;\n}"
+    val d = Seq((1L, code), (2L, prose), (3L, proseLong + block))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.codeSignals(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(5), r.getBoolean(6)))).toMap
+    // doc 1: 4 code-line endings of 4 lines (frac vote), kw {function,
+    // var, return} (kw vote), indent 2/4 (vote) → is_code
+    assert(out(1L)._4, s"pure code not detected: ${out(1L)}")
+    assert(out(2L) == ((0L, 0L, 0L, false)))
+    // doc 3: prose dilutes every fraction, but n_code_lines = 7 >= 5 and
+    // kw_hits = 7 >= 3 still vote it in
+    assert(out(3L)._1 == 7L && out(3L)._2 == 7L && out(3L)._4,
+      s"appended block not detected: ${out(3L)}")
+  }
+
   test("shardedProfileGate: sketch merge matches whole-corpus sketch") {
     val d = spark.read.parquet(s"$sf/documents.parquet")
     val out = Corpus.shardedProfileGate(d, Seq("doc_id", "lang", "source"))
