@@ -160,6 +160,26 @@ class PlanSpec extends SparkSpec {
       s"expected <=3 of 8 buckets selected, got $k of $n:\n$p")
   }
 
+  test("p101/p109: wordlist filter and code router are zero-shuffle projections") {
+    for (name <- Seq("p101_unsafe_words", "p109_code_detect")) {
+      val p = executed(name)
+      val exchanges = p.split("== Initial Plan ==")(0).linesIterator
+        .filter(_.contains("Exchange")).toSeq
+      assert(exchanges.isEmpty,
+        s"$name shuffles:\n${exchanges.mkString("\n")}\n$p")
+    }
+  }
+
+  test("p106/p108: text never crosses a shuffle (digest/hash columns only)") {
+    for (name <- Seq("p106_dedup_savings", "p108_novelty_contribution")) {
+      val p = executed(name)
+      val textExchanges = p.linesIterator.filter(l =>
+        l.contains("Exchange") && l.contains("text#")).toSeq
+      assert(textExchanges.isEmpty,
+        s"$name shuffles text:\n${textExchanges.mkString("\n")}")
+    }
+  }
+
   test("x25: composite layout prunes partitions AND buckets in one scan") {
     graft.operators.Scale.bucketScanConfs.foreach {
       case (k, v) => spark.conf.set(k, v)
