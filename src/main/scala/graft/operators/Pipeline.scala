@@ -1486,6 +1486,98 @@ object Pipeline {
         Similarity.bruteForceTopK(corpus, queries, k = annK), k = annK)
     },
 
+    // Water-filling mixture allocation: the corpus is skewed on purpose
+    // (short-named sources keep all docs, long-named keep ~1/11) so the
+    // sqrt-temperature weights OVERALLOCATE the small sources and the
+    // cap-and-redistribute rounds actually fire. The oracle unrolls the
+    // three rounds with the same decimal-exact Σw / int64 Σcapped-avail
+    // and identical double expression trees.
+    QueryDef("p111_mix_waterfill",
+      """WITH corpus AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  WHERE length(source) = 4 OR doc_id % 11 = 0),
+        |tk AS (SELECT source, CAST(sum(CASE
+        |    WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
+        |    THEN 0
+        |    ELSE len(string_split_regex(
+        |      regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END)
+        |    AS BIGINT) AS avail
+        |  FROM corpus GROUP BY 1),
+        |b AS (SELECT CAST(sum(avail) AS DOUBLE) * 0.5 AS budget FROM tk),
+        |w AS (SELECT source, avail,
+        |    CAST(pow(avail, 0.5) AS DECIMAL(28,12)) AS wd FROM tk),
+        |r1 AS (SELECT source, avail, wd,
+        |    (SELECT budget FROM b) * CAST(wd AS DOUBLE) /
+        |      CAST((SELECT sum(wd) FROM w) AS DOUBLE) AS prop
+        |  FROM w),
+        |s1 AS (SELECT source, avail, wd, prop >= avail AS capped FROM r1),
+        |c2 AS (SELECT
+        |    CAST(sum(CASE WHEN capped THEN avail ELSE 0 END) AS DOUBLE)
+        |      AS usedcap,
+        |    CAST(sum(CASE WHEN NOT capped THEN wd
+        |         ELSE CAST(0 AS DECIMAL(28,12)) END) AS DOUBLE) AS wsum
+        |  FROM s1),
+        |r2 AS (SELECT source, avail, wd, capped,
+        |    CASE WHEN capped THEN CAST(avail AS DOUBLE)
+        |         ELSE ((SELECT budget FROM b) - (SELECT usedcap FROM c2))
+        |           * CAST(wd AS DOUBLE) / (SELECT wsum FROM c2) END AS prop
+        |  FROM s1),
+        |s2 AS (SELECT source, avail, wd,
+        |    capped OR prop >= avail AS capped FROM r2),
+        |c3 AS (SELECT
+        |    CAST(sum(CASE WHEN capped THEN avail ELSE 0 END) AS DOUBLE)
+        |      AS usedcap,
+        |    CAST(sum(CASE WHEN NOT capped THEN wd
+        |         ELSE CAST(0 AS DECIMAL(28,12)) END) AS DOUBLE) AS wsum
+        |  FROM s2),
+        |r3 AS (SELECT source, avail, wd, capped,
+        |    CASE WHEN capped THEN CAST(avail AS DOUBLE)
+        |         ELSE ((SELECT budget FROM b) - (SELECT usedcap FROM c3))
+        |           * CAST(wd AS DOUBLE) / (SELECT wsum FROM c3) END AS prop
+        |  FROM s2)
+        |SELECT source, avail, ROUND(CAST(wd AS DOUBLE), 6) AS weight,
+        |  ROUND(LEAST(prop, CAST(avail AS DOUBLE)), 6) AS alloc_tokens,
+        |  capped OR prop >= avail AS capped
+        |FROM r3""".stripMargin) { (s, dir) =>
+      Corpus.mixWaterfill(t(s, dir, "documents")
+        .filter(length(col("source")) === 4 || col("doc_id") % 11 === 0))
+    },
+
+    // ANN tuning curve (the p104 calibration idea for the IVF index):
+    // sweep nProbe over ONE centroid layout and gate the properties an
+    // index owner tunes against — recall is non-decreasing in nProbe
+    // (candidate supersets can only add exact-top members) and the
+    // widest probe clears the p08 recall floor. Recall values are
+    // engine-internal (DuckDB can't replay IVF), so the gate emits the
+    // boolean pattern annRecallOracle established. The four probe runs
+    // share the corpus/queries/centroids; hit counts are bounded scalar
+    // jobs (50 pairs each).
+    QueryDef("p110_ann_tuning_curve",
+      """SELECT CAST(p AS BIGINT) AS n_probe,
+        |  CAST(5 AS BIGINT) AS n_queries,
+        |  true AS monotone_ok, true AS floor_ok
+        |FROM (VALUES (1), (2), (4), (8)) t(p)""".stripMargin) { (s, dir) =>
+      val corpus = annCorpusWithPlants(s, dir)
+      val queries = corpus.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val exact = Similarity.bruteForceTopK(corpus, queries, k = annK)
+        .select("qid", "vec_id")
+      val probes = Seq(1, 2, 4, 8)
+      val recalls = probes.map { p =>
+        val hits = Similarity.ivfTopK(corpus, queries, k = annK,
+          nCells = 16, nProbe = p)
+          .select("qid", "vec_id").join(exact, Seq("qid", "vec_id"))
+          .count()
+        p -> hits.toDouble / (5 * annK)
+      }
+      val monotone = recalls.map(_._2).sliding(2)
+        .forall(w => w.last >= w.head - 1e-9)
+      val floorOk = recalls.last._2 >= annRecallFloor
+      import s.implicits._
+      recalls.map { case (p, _) => (p.toLong, 5L, monotone, floorOk) }
+        .toDF("n_probe", "n_queries", "monotone_ok", "floor_ok")
+    },
+
     // Projected-space ANN (p48's JL projection as an actual search
     // path): shortlist in the 256-dim projected space, exact rerank of
     // the shortlist on full vectors — same recall gate as p07/p08.

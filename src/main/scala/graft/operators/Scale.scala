@@ -733,6 +733,62 @@ object Scale {
           org.apache.spark.sql.types.BooleanType))))
   }
 
+  /** x26: NDV sketches in the file manifest (x21's min/max rows extended
+    * with a per-file HLL sketch over the JOIN key, the p107 primitive
+    * applied to metadata). A planner sizing a join over a pruned file
+    * subset needs the subset's distinct-key count WITHOUT scanning it:
+    * union the picked files' KB-sized sketches. Gate: the sketch
+    * estimate for the picked subset lands within 5% of the exact
+    * distinct count over those same files, the pick stays ≤3 of 16, and
+    * the value-defined range NDV matches the oracle exactly.
+    */
+  private[graft] def manifestNdvSketch(s: SparkSession,
+      dir: String): DataFrame = {
+    val root = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_fmt").toString
+    val dataP = s"$root/x26_data"
+    val maniP = s"$root/x26_manifest"
+    val events = t(s, dir, "events").select("event_id", "user_id", "value")
+    events.repartitionByRange(16, col("event_id"))
+      .sortWithinPartitions("event_id")
+      .write.mode("overwrite").parquet(dataP)
+    // manifest maintenance: stats + a KB-sized NDV sketch per file
+    s.read.parquet(dataP)
+      .groupBy(input_file_name().as("file"))
+      .agg(min("event_id").as("min_id"), max("event_id").as("max_id"),
+        count(lit(1)).as("rows"),
+        hll_sketch_agg(col("user_id"), lit(14)).as("user_sk"))
+      .write.mode("overwrite").parquet(maniP)
+    val mm = events.agg(min("event_id"), max("event_id")).head()
+    val (lo0, hi0) = (mm.getLong(0), mm.getLong(1))
+    val lo = lo0 + (hi0 - lo0) * 45 / 100
+    val hi = lo0 + (hi0 - lo0) * 50 / 100
+    val mani = s.read.parquet(maniP)
+    val nFiles = mani.count()
+    val pickedM = mani.filter(col("min_id") <= hi && col("max_id") >= lo)
+    val picked = pickedM.select("file").collect().map(_.getString(0))
+    // planner-side: NDV of the pruned subset from metadata only
+    val est = pickedM
+      .agg(hll_sketch_estimate(hll_union_agg(col("user_sk"), lit(false))))
+      .head().getLong(0)
+    val exactPicked = s.read.parquet(picked.toIndexedSeq: _*)
+      .select(countDistinct("user_id")).head().getLong(0)
+    val ndvRange = events.filter(col("event_id").between(lo, hi))
+      .select(countDistinct("user_id")).head().getLong(0)
+    s.createDataFrame(java.util.List.of(
+      org.apache.spark.sql.Row(ndvRange,
+        nFiles == 16L && picked.length <= 3,
+        math.abs(est - exactPicked).toDouble /
+          math.max(exactPicked, 1L) <= 0.05)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("ndv_range_exact",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("files_pruned",
+          org.apache.spark.sql.types.BooleanType),
+        org.apache.spark.sql.types.StructField("sketch_within_5pct",
+          org.apache.spark.sql.types.BooleanType))))
+  }
+
   private[graft] def dynamicPartitionOverwrite(s: SparkSession,
       dir: String): DataFrame = {
     val base = java.nio.file.Paths.get(
@@ -1235,6 +1291,17 @@ object Scale {
     // 100 TB the x12/x17 footer walk is itself a million-file driver
     // scan, the manifest is a table Spark distributes. Booleans assert
     // ≤ 3 of 16 files read and manifest-planned ≡ full-scan results.
+    QueryDef("x26_manifest_ndv",
+      """WITH b AS (SELECT min(event_id) AS lo0, max(event_id) AS hi0
+        |  FROM events)
+        |SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS ndv_range_exact,
+        |  true AS files_pruned, true AS sketch_within_5pct
+        |FROM events, b
+        |WHERE event_id BETWEEN lo0 + (hi0 - lo0) * 45 // 100
+        |  AND lo0 + (hi0 - lo0) * 50 // 100""".stripMargin) { (s, dir) =>
+      manifestNdvSketch(s, dir)
+    },
+
     QueryDef("x21_manifest_prune",
       """WITH b AS (SELECT min(event_id) AS lo0, max(event_id) AS hi0
         |  FROM events)

@@ -620,6 +620,55 @@ object Corpus {
     }.reduce(_.unionAll(_))
   }
 
+  /** Water-filling mixture allocation: given a token budget (a fraction
+    * of the corpus) and temperature-α source weights (w ∝ avail^α, the
+    * mT5 rule p72 samples against), allocate tokens per source,
+    * capping any source at what it actually has and redistributing the
+    * excess across the uncapped sources — `rounds` redistribution
+    * passes (each pass can only cap more sources, so ≤ |sources| passes
+    * reach the fixpoint; 3 covers practical skews). The allocator that
+    * FEEDS p72's per-source rates. Determinism across engines: the
+    * only order-dependent reductions (Σw, Σcapped-avail) run on
+    * DECIMAL(28,12) / int64 — associative, partition-order-independent
+    * (the p97 pattern) — and the per-row double arithmetic consumes
+    * those exact sums identically in both engines.
+    */
+  def mixWaterfill(df: DataFrame, budgetFrac: Double = 0.5,
+      alpha: Double = 0.5, rounds: Int = 3,
+      srcCol: String = "source", textCol: String = "text"): DataFrame = {
+    val avail = df.select(col(srcCol).as("source"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("nt"))
+      .groupBy("source").agg(sum("nt").as("avail"))
+    val budget = avail.agg(
+      (sum("avail").cast("double") * budgetFrac).as("budget"))
+    var st = avail.crossJoin(budget)
+      .withColumn("wd",
+        pow(col("avail").cast("double"), alpha).cast("decimal(28,12)"))
+      .withColumn("capped", lit(false))
+      .withColumn("alloc", lit(0.0))
+    val decZero = lit(BigDecimal(0)).cast("decimal(28,12)")
+    for (_ <- 1 to rounds) {
+      val sums = st.agg(
+        sum(when(col("capped"), col("avail")).otherwise(0L))
+          .cast("double").as("usedCap"),
+        sum(when(!col("capped"), col("wd")).otherwise(decZero))
+          .cast("double").as("wSum"))
+      st = st.crossJoin(sums)
+        .withColumn("prop",
+          when(col("capped"), col("avail").cast("double"))
+            .otherwise((col("budget") - col("usedCap")) *
+              col("wd").cast("double") / col("wSum")))
+        .withColumn("capped",
+          col("capped") || col("prop") >= col("avail").cast("double"))
+        .withColumn("alloc", least(col("prop"), col("avail").cast("double")))
+        .drop("usedCap", "wSum", "prop")
+    }
+    st.select(col("source"), col("avail"),
+      round(col("wd").cast("double"), 6).as("weight"),
+      round(col("alloc"), 6).as("alloc_tokens"),
+      col("capped"))
+  }
+
   /** Marginal-novelty scoring in corpus order: for each document, the
     * fraction of its distinct word-3-shingles not seen in any
     * earlier-id document — the data-valuation signal behind "keep the

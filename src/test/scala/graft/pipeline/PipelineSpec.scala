@@ -1970,6 +1970,26 @@ class PipelineSpec extends SparkSpec {
       s"appended block not detected: ${out(3L)}")
   }
 
+  test("mixWaterfill: caps at availability, redistributes, conserves budget") {
+    import spark.implicits._
+    // one huge source, two tiny ones: sqrt weights overallocate the tiny
+    // sources → they cap at avail, the excess flows back to the big one
+    val d = Seq.tabulate(100)(i => (i.toLong, "big",
+        (1 to 50).map(j => s"w$j").mkString(" "))) ++
+      Seq((200L, "tinyA", "a b c"), (201L, "tinyB", "x y"))
+    val out = Corpus.mixWaterfill(d.toDF("doc_id", "source", "text"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(3), r.getBoolean(4)))).toMap
+    val budget = (100 * 50 + 3 + 2) * 0.5
+    assert(out("tinyA") == ((3L, 3.0, true)))
+    assert(out("tinyB") == ((2L, 2.0, true)))
+    val (bigAvail, bigAlloc, bigCapped) = out("big")
+    assert(bigAvail == 5000L && !bigCapped)
+    // uncapped source absorbs the remainder: alloc = budget - capped sum
+    assert(math.abs(bigAlloc - (budget - 5)) < 1e-6,
+      s"big alloc $bigAlloc != ${budget - 5}")
+  }
+
   test("shardedProfileGate: sketch merge matches whole-corpus sketch") {
     val d = spark.read.parquet(s"$sf/documents.parquet")
     val out = Corpus.shardedProfileGate(d, Seq("doc_id", "lang", "source"))
