@@ -1486,6 +1486,37 @@ object Pipeline {
         Similarity.bruteForceTopK(corpus, queries, k = annK), k = annK)
     },
 
+    // Compression-ratio filter: zlib sizes are engine-internal (DuckDB
+    // has no deflate), so the gate uses the p03 invariant pattern — the
+    // oracle recomputes corpus/plant counts exactly and asserts the
+    // separation booleans the engine derives from real deflate sizes:
+    // every planted spam doc flags, and NO unplanted doc does (natural
+    // prose ≥ ~0.4 vs spam ~0.02 — the 0.25 threshold has 1.6×/12×
+    // margins either side).
+    QueryDef("p112_compress_ratio",
+      """WITH c AS (SELECT doc_id FROM documents)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(*) FILTER (doc_id % 19 = 6) AS BIGINT) AS n_planted,
+        |  true AS planted_all_flagged,
+        |  true AS clean_none_flagged
+        |FROM c""".stripMargin) { (s, dir) =>
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 19 === 6,
+            concat(lit(" "), repeat(lit("spam "), 200)))
+            .otherwise(lit(""))).as("text"))
+      val sig = TextAnalysis.compressionSignal(planted)
+        .withColumn("is_planted", col("doc_id") % 19 === 6)
+      sig.agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("is_planted"), 1L).otherwise(0L)).as("n_planted"),
+        min(when(col("is_planted"), col("degenerate"))).as("pf"),
+        max(when(!col("is_planted"), col("degenerate"))).as("cf"))
+        .select(col("n_docs"), col("n_planted"),
+          col("pf").as("planted_all_flagged"),
+          (!col("cf")).as("clean_none_flagged"))
+    },
+
     // Water-filling mixture allocation: the corpus is skewed on purpose
     // (short-named sources keep all docs, long-named keep ~1/11) so the
     // sqrt-temperature weights OVERALLOCATE the small sources and the

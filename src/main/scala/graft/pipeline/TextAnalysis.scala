@@ -748,6 +748,27 @@ object TextAnalysis {
       .withColumn("flagged", col("bad_hits") > 0)
   }
 
+  /** Compression-ratio quality signal (Gopher / RefinedWeb): degenerate
+    * repetitive text (scraped boilerplate, keyword stuffing, template
+    * spam) deflates an order of magnitude better than prose — natural
+    * text sits ≥ ~0.4, `spam spam spam …` at ~0.02 — so a single
+    * threshold separates them with a wide margin. One zero-shuffle
+    * projection over the native [[org.apache.spark.sql.graft
+    * .DeflateSize]] expression (codegen'd, one streaming pass per doc).
+    */
+  def compressionSignal(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", flagBelow: Double = 0.25): DataFrame = {
+    import org.apache.spark.sql.graft.VectorExpressions
+    val nb = octet_length(col(textCol)).cast("long")
+    val cb = VectorExpressions.deflateSize(col(textCol))
+    val ratio = when(nb === 0, lit(1.0))
+      .otherwise(cb.cast("double") / nb.cast("double"))
+    df.select(col(idCol),
+      nb.as("n_bytes"), cb.as("deflate_bytes"),
+      round(ratio, 6).as("compress_ratio"),
+      (ratio < flagBelow).as("degenerate"))
+  }
+
   /** Canary-string audit (the memorization-probe pattern: plant unique
     * marker strings in training data, then track exactly where they
     * ended up — which docs, how many copies, how many sources). Raw

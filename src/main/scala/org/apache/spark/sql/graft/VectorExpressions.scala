@@ -115,6 +115,12 @@ object VectorExpressions {
   def nfcNormalize(s: Column): Column =
     column(NfcNormalize(expression(s)))
 
+  /** Deflate-compressed byte length (zlib level 6, raw) of the UTF-8
+    * text — numerator of the compression-ratio quality signal.
+    */
+  def deflateSize(s: Column): Column =
+    column(DeflateSize(expression(s)))
+
   /** Bounded per-group top-k of (id, score): array<struct<id,score>>
     * sorted score-desc / id-asc. Partial-aggregable (≤ k rows per group
     * cross the shuffle per map partition) — the scale-safe form of the
@@ -1149,6 +1155,45 @@ case class NfcNormalize(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** Deflate-compressed byte length of the UTF-8 text (zlib level 6, raw
+  * stream): the numerator of the compression-ratio quality signal
+  * (Gopher/RefinedWeb's repetitiveness filter — degenerate boilerplate
+  * compresses an order of magnitude better than prose). Codegen'd
+  * per-row call, one streaming pass over the string's existing UTF-8
+  * bytes; the 8 KB scratch buffer never leaves the executor.
+  */
+case class DeflateSize(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  protected override def nullSafeEval(input: Any): Any =
+    DeflateSize.size(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.DeflateSize.size($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object DeflateSize {
+  def size(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    val d = new java.util.zip.Deflater(6, true)
+    d.setInput(bytes)
+    d.finish()
+    val buf = new Array[Byte](8192)
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    d.end()
+    total
+  }
 }
 
 object NfcNormalize {

@@ -1990,6 +1990,26 @@ class PipelineSpec extends SparkSpec {
       s"big alloc $bigAlloc != ${budget - 5}")
   }
 
+  test("compressionSignal: spam flags, prose doesn't, empty is safe") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "spam " * 200),
+      (2L, "a reasonably varied sentence mentioning unrepeated concepts" +
+        " like zebras, quasars, and marmalade in one pass"),
+      (3L, ""))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.compressionSignal(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(3),
+        r.getBoolean(4)))).toMap
+    assert(out(1L)._3 && out(1L)._2 < 0.05, s"spam: ${out(1L)}")
+    assert(!out(2L)._3 && out(2L)._2 > 0.4, s"prose: ${out(2L)}")
+    assert(out(3L) == ((0L, 1.0, false)))
+    // determinism: same text → same deflate size on every evaluation
+    val sizes = (1 to 3).map(_ => TextAnalysis.compressionSignal(d)
+      .filter($"doc_id" === 1L).head().getLong(2))
+    assert(sizes.distinct.size == 1)
+  }
+
   test("shardedProfileGate: sketch merge matches whole-corpus sketch") {
     val d = spark.read.parquet(s"$sf/documents.parquet")
     val out = Corpus.shardedProfileGate(d, Seq("doc_id", "lang", "source"))
