@@ -1439,6 +1439,40 @@ object Scale {
     // shuffle on user_id and zero inequality-join cross products. The
     // oracle runs DuckDB's NATIVE ASOF LEFT JOIN, so the composition is
     // value-checked against a real engine implementation of the operator.
+    // The same as-of semantics as x03, but through the CUSTOM operator
+    // (AsOfJoin LogicalPlan → AsOfJoinStrategy → AsOfJoinExec streaming
+    // merge): no union, no window, no padding columns — just the two
+    // key-partitioned sort exchanges and an O(1)-state merge. Same
+    // DuckDB ASOF LEFT JOIN oracle as x03, so both implementations are
+    // value-checked against a third engine; PlanSpec asserts the
+    // physical shape (AsOfJoinExec, <=2 exchanges, no Window).
+    QueryDef("x27_asof_custom",
+      """WITH r AS (
+        |  SELECT user_id, ts,
+        |    CAST(MAX(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS purchase_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |l AS (
+        |  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click')
+        |SELECT l.user_id, l.event_id, l.ts,
+        |  r.ts AS purchase_ts, r.purchase_value
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin) {
+      (s, dir) =>
+        import org.apache.spark.sql.graft.AsOfJoinOps
+        val ev = t(s, dir, "events")
+        val r = ev.filter(col("event_type") === "purchase")
+          .groupBy("user_id", "ts")
+          .agg(max(col("value").cast("decimal(18,3)")).cast("double")
+            .as("purchase_value"))
+          .select(col("user_id").as("r_uid"), col("ts").as("purchase_ts"),
+            col("purchase_value"))
+        val l = ev.filter(col("event_type") === "click")
+          .select("user_id", "event_id", "ts")
+        AsOfJoinOps.asofJoin(l, r, "user_id", "ts", "r_uid", "purchase_ts")
+          .select("user_id", "event_id", "ts", "purchase_ts",
+            "purchase_value")
+    },
+
     QueryDef("x03_asof_join",
       """WITH r AS (
         |  SELECT user_id, ts,

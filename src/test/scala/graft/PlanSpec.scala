@@ -207,6 +207,21 @@ class PlanSpec extends SparkSpec {
       s"expected <=3 of 8 buckets selected, got $k of $n:\n$p")
   }
 
+  test("x27: custom AsOfJoinExec runs — no window, no union, SMJ-shaped shuffles") {
+    val p = executed("x27_asof_custom")
+    // SparkPlan rendering strips the Exec suffix: the node prints as
+    // "AsOfJoin <leftKey>: <type>, ..."
+    assert(p.contains("AsOfJoin "), s"custom operator not planned:\n$p")
+    val pFinal = p.split("== Initial Plan ==")(0)
+    assert(!pFinal.contains("Window") && !pFinal.contains("Union"),
+      s"as-of fell back to the window composition:\n$p")
+    // two join-side exchanges + the purchase pre-agg's (user_id, ts)
+    // exchange (x03's composition needs the same pre-agg)
+    val exchanges = pFinal.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).size
+    assert(exchanges <= 3, s"more shuffles than an SMJ needs:\n$p")
+  }
+
   test("x03: as-of join = single user_id window shuffle, no nested-loop/cartesian") {
     val p = executed("x03_asof_join")
     assert(!p.contains("BroadcastNestedLoopJoin") &&

@@ -1990,6 +1990,32 @@ class PipelineSpec extends SparkSpec {
       s"big alloc $bigAlloc != ${budget - 5}")
   }
 
+  test("asofJoin custom operator: latest-at-or-before, ties, no-match nulls") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.AsOfJoinOps
+    val l = Seq((1L, 10L, 5L), (1L, 11L, 20L), (2L, 12L, 7L),
+      (3L, 13L, 1L))
+      .toDF("k", "eid", "ts")
+    val r = Seq((1L, 5L, "a"), (1L, 20L, "b"), (1L, 25L, "c"),
+      (2L, 8L, "d"))
+      .toDF("rk", "rts", "v")
+    val out = AsOfJoinOps.asofJoin(l, r, "k", "ts", "rk", "rts")
+      .select("eid", "rts", "v").collect()
+      .map(x => x.getLong(0) -> ((Option(x.get(1)), Option(x.get(2)))))
+      .toMap
+    assert(out(10L) == ((Some(5L), Some("a"))))   // latest <= 5 is ts 5 (tie)
+    assert(out(11L) == ((Some(20L), Some("b"))))  // 20 <= 20, 25 excluded
+    assert(out(12L) == ((None, None)))            // right ts 8 > left 7
+    assert(out(13L) == ((None, None)))            // key with no right rows
+    // multi-partition correctness: same answers under a 7-partition shuffle
+    val big = AsOfJoinOps.asofJoin(
+      l.repartition(7), r.repartition(7), "k", "ts", "rk", "rts")
+      .select("eid", "rts", "v").collect()
+      .map(x => x.getLong(0) -> ((Option(x.get(1)), Option(x.get(2)))))
+      .toMap
+    assert(big == out)
+  }
+
   test("compressionSignal: spam flags, prose doesn't, empty is safe") {
     import spark.implicits._
     val d = Seq(
