@@ -24,8 +24,13 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * primitive loops at plan time, mirroring the Scala API.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    // whole-operator extension: plans the AsOfJoin logical node as the
+    // streaming-merge AsOfJoinExec (same strategy AsOfJoinOps.register
+    // adds to a live session)
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+  }
 }
 
 object GraftExtensions {

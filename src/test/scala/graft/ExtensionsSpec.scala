@@ -125,4 +125,18 @@ class ExtensionsSpec extends SparkSpec {
         lit("abcdefghij"), 2, probe = false).as("k")).head().getSeq[Long](0)
     assert(idx == api)
   }
+
+  test("extensions hook injects the AsOfJoin planner strategy") {
+    // apply the hook to a fresh SparkSessionExtensions and check the
+    // strategy landed (building a whole session here would getOrCreate
+    // the shared one and skip extension application)
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions()(ext)
+    val m = classOf[org.apache.spark.sql.SparkSessionExtensions]
+      .getDeclaredMethods.find(_.getName == "buildPlannerStrategies").get
+    m.setAccessible(true)
+    val strategies = m.invoke(ext, spark).asInstanceOf[Seq[_]]
+    assert(strategies.contains(org.apache.spark.sql.graft.AsOfJoinStrategy),
+      s"strategy not injected: $strategies")
+  }
 }
