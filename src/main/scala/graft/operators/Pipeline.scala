@@ -1486,6 +1486,57 @@ object Pipeline {
         Similarity.bruteForceTopK(corpus, queries, k = annK), k = annK)
     },
 
+    // Markdown structure profile: a small markdown block (heading, two
+    // list items, two table rows, a link, one fenced code block) is
+    // planted on one doc set; those docs must clear the 2-of-5 vote and
+    // unplanted prose must not. Every signal is replayed in RE2.
+    QueryDef("p113_markdown_profile",
+      """WITH corpus AS (
+        |  SELECT doc_id, text || CASE WHEN doc_id % 31 = 7
+        |    THEN chr(10) || '# Title'
+        |      || chr(10) || '- item one'
+        |      || chr(10) || '- item two'
+        |      || chr(10) || '| a | b |'
+        |      || chr(10) || '| 1 | 2 |'
+        |      || chr(10) || 'see [link](https://x.y) here'
+        |      || chr(10) || '```' || chr(10) || 'x = 1' || chr(10) || '```'
+        |    ELSE '' END AS text
+        |  FROM documents),
+        |s AS (SELECT doc_id, text, string_split(text, chr(10)) AS ln
+        |  FROM corpus),
+        |g AS (SELECT doc_id,
+        |    len(list_filter(ln, l -> regexp_matches(l, '^#{1,6} ')))
+        |      AS n_headings,
+        |    len(list_filter(ln, l -> regexp_matches(l, '^ {0,3}[-*+] ')))
+        |      AS n_list_items,
+        |    len(list_filter(ln, l -> regexp_matches(l, '^\|')))
+        |      AS n_table_rows,
+        |    len(regexp_extract_all(text, '\[[^\]]*\]\([^)]*\)')) AS n_links,
+        |    (length(text) - length(replace(text, '```', ''))) // 3
+        |      AS n_fences
+        |  FROM s),
+        |v AS (SELECT doc_id, n_headings, n_list_items, n_table_rows,
+        |    n_links, n_fences,
+        |    CAST(n_headings >= 1 AS BIGINT) + CAST(n_list_items >= 2 AS BIGINT)
+        |    + CAST(n_table_rows >= 2 AS BIGINT) + CAST(n_links >= 1 AS BIGINT)
+        |    + CAST(n_fences >= 2 AS BIGINT) AS votes
+        |  FROM g)
+        |SELECT doc_id, CAST(n_headings AS BIGINT) AS n_headings,
+        |  CAST(n_list_items AS BIGINT) AS n_list_items,
+        |  CAST(n_table_rows AS BIGINT) AS n_table_rows,
+        |  CAST(n_links AS BIGINT) AS n_links,
+        |  CAST(n_fences AS BIGINT) AS n_fences,
+        |  votes AS md_votes, votes >= 2 AS is_markdown
+        |FROM v""".stripMargin) { (s, dir) =>
+      val mdBlock = "\n# Title\n- item one\n- item two\n| a | b |" +
+        "\n| 1 | 2 |\nsee [link](https://x.y) here\n```\nx = 1\n```"
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 31 === 7, lit(mdBlock))
+            .otherwise(lit(""))).as("text"))
+      TextAnalysis.markdownSignals(planted)
+    },
+
     // Compression-ratio filter: zlib sizes are engine-internal (DuckDB
     // has no deflate), so the gate uses the p03 invariant pattern — the
     // oracle recomputes corpus/plant counts exactly and asserts the

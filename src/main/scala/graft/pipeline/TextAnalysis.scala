@@ -769,6 +769,38 @@ object TextAnalysis {
       (ratio < flagBelow).as("degenerate"))
   }
 
+  /** Markdown structure profile (format-aware routing: markdown wants
+    * structure-preserving extraction, prose wants p75's HTML path,
+    * code wants p109's router): per-doc counts of headings, list
+    * items, table rows, links, and fenced code blocks, voted 2-of-5
+    * into `is_markdown`. Zero-shuffle regex projection; every pattern
+    * is classes + bounded repetition (Java ≡ RE2).
+    */
+  def markdownSignals(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val text = col(textCol)
+    val ln = split(text, "\n")
+    def nMatch(p: String): Column =
+      size(filter(ln, l => l.rlike(p))).cast("long")
+    val headings = nMatch("^#{1,6} ")
+    val listItems = nMatch("^ {0,3}[-*+] ")
+    val tableRows = nMatch("^\\|")
+    val links = size(regexp_extract_all(text,
+      lit("""\[[^\]]*\]\([^)]*\)"""), lit(0))).cast("long")
+    val fences = ((length(text) -
+      length(regexp_replace(text, "```", ""))) / 3).cast("long")
+    val votes = (headings >= 1).cast("long") +
+      (listItems >= 2).cast("long") +
+      (tableRows >= 2).cast("long") +
+      (links >= 1).cast("long") +
+      (fences >= 2).cast("long")
+    df.select(col(idCol),
+      headings.as("n_headings"), listItems.as("n_list_items"),
+      tableRows.as("n_table_rows"), links.as("n_links"),
+      fences.as("n_fences"), votes.as("md_votes"),
+      (votes >= 2).as("is_markdown"))
+  }
+
   /** Canary-string audit (the memorization-probe pattern: plant unique
     * marker strings in training data, then track exactly where they
     * ended up — which docs, how many copies, how many sources). Raw

@@ -2016,6 +2016,23 @@ class PipelineSpec extends SparkSpec {
     assert(big == out)
   }
 
+  test("markdownSignals: planted markdown votes in, prose and lookalikes don't") {
+    import spark.implicits._
+    val md = "# Title\n- item one\n- item two\n| a | b |\n| 1 | 2 |\n" +
+      "see [link](https://x.y)\n```\ncode\n```"
+    val prose = "plain text mentioning a # symbol mid-line and a [bracket]"
+    val half = "## heading only, nothing else markdownish"
+    val d = Seq((1L, md), (2L, prose), (3L, half)).toDF("doc_id", "text")
+    val out = TextAnalysis.markdownSignals(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getBoolean(7)))).toMap
+    assert(out(1L) == ((1L, 2L, 2L, 1L, 2L, 5L, true)))
+    // '#' mid-line and '[bracket]' without '(url)' must not count
+    assert(out(2L) == ((0L, 0L, 0L, 0L, 0L, 0L, false)))
+    // one signal (heading) is not enough for the 2-of-5 vote
+    assert(out(3L)._1 == 1L && !out(3L)._7)
+  }
+
   test("compressionSignal: spam flags, prose doesn't, empty is safe") {
     import spark.implicits._
     val d = Seq(
