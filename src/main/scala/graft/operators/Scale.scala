@@ -789,6 +789,59 @@ object Scale {
           org.apache.spark.sql.types.BooleanType))))
   }
 
+  /** x28: the deterministic training order (p59's seeded md5 permutation)
+    * MATERIALIZED as a physical layout — range-partitioned by the order
+    * key, sorted within files — so "read the corpus in training order"
+    * is a file-sequential scan, not a global sort at read time. Gate:
+    * the files' [min,max] order-key ranges are pairwise disjoint (so
+    * file order IS global order), row counts survive, and the first
+    * rows of the first file are EXACTLY the oracle's ORDER BY
+    * md5-rank head — read back from the layout without any sort job.
+    * Range boundaries come from sampling and may vary run to run; every
+    * asserted property holds for ANY boundary choice.
+    */
+  private[graft] def trainingOrderLayout(s: SparkSession,
+      dir: String): DataFrame = {
+    val root = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_fmt").toString
+    val dataP = s"$root/x28_order"
+    val docs = t(s, dir, "documents").select("doc_id")
+      .withColumn("ok",
+        md5(concat(lit("shuf42:"), col("doc_id").cast("string"))))
+    docs.repartitionByRange(8, col("ok"), col("doc_id"))
+      .sortWithinPartitions("ok", "doc_id")
+      .write.mode("overwrite").parquet(dataP)
+    val files = s.read.parquet(dataP)
+      .groupBy(input_file_name().as("file"))
+      .agg(min("ok").as("mn"), max("ok").as("mx"),
+        count(lit(1)).as("rows"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+      .sortBy(_._2)
+    val disjoint = files.sliding(2).forall {
+      case Array((_, _, mx1, _), (_, mn2, _, _)) => mx1 < mn2
+      case _ => true
+    }
+    val countOk = files.map(_._4).sum == docs.count()
+    val head = s.read.parquet(files.head._1)
+      .orderBy("ok", "doc_id").limit(3)
+      .collect().map(_.getLong(0))
+    s.createDataFrame(
+      java.util.Arrays.asList(head.zipWithIndex.map { case (id, i) =>
+        org.apache.spark.sql.Row(i + 1L, id, disjoint, countOk)
+      }: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("pos",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("files_disjoint",
+          org.apache.spark.sql.types.BooleanType),
+        org.apache.spark.sql.types.StructField("count_ok",
+          org.apache.spark.sql.types.BooleanType))))
+  }
+
   private[graft] def dynamicPartitionOverwrite(s: SparkSession,
       dir: String): DataFrame = {
     val base = java.nio.file.Paths.get(
@@ -1291,6 +1344,18 @@ object Scale {
     // 100 TB the x12/x17 footer walk is itself a million-file driver
     // scan, the manifest is a table Spark distributes. Booleans assert
     // ≤ 3 of 16 files read and manifest-planned ≡ full-scan results.
+    QueryDef("x28_training_order_layout",
+      """WITH o AS (SELECT doc_id,
+        |    md5('shuf42:' || CAST(doc_id AS VARCHAR)) AS ok
+        |  FROM documents),
+        |r AS (SELECT doc_id,
+        |    ROW_NUMBER() OVER (ORDER BY ok, doc_id) AS pos FROM o)
+        |SELECT CAST(pos AS BIGINT) AS pos, doc_id,
+        |  true AS files_disjoint, true AS count_ok
+        |FROM r WHERE pos <= 3""".stripMargin) { (s, dir) =>
+      trainingOrderLayout(s, dir)
+    },
+
     QueryDef("x26_manifest_ndv",
       """WITH b AS (SELECT min(event_id) AS lo0, max(event_id) AS hi0
         |  FROM events)
