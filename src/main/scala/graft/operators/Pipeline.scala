@@ -1486,6 +1486,60 @@ object Pipeline {
         Similarity.bruteForceTopK(corpus, queries, k = annK), k = annK)
     },
 
+    // Eval-release audit capstone: an md5 rule carves out ~1/16 of the
+    // corpus as the eval set, the train side is span-scrubbed against
+    // it, and the engine RE-VERIFIES zero residual 50-char overlap on
+    // the actual cleaned text (not assumed from the algorithm). The
+    // corpus' planted dup clusters straddle the split, so real
+    // contamination is cut. The oracle replays split + scrub (the p82
+    // mirror with the p114 split rule) and the release totals.
+    QueryDef("p114_eval_release_audit",
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |  WHERE substring(md5('ev:' || CAST(doc_id AS VARCHAR)), 1, 1)
+        |    <> '0'),
+        |b AS (SELECT doc_id, text FROM documents
+        |  WHERE substring(md5('ev:' || CAST(doc_id AS VARCHAR)), 1, 1)
+        |    = '0'),
+        |bw AS (SELECT DISTINCT substr(text, st + 1, 50) AS w FROM (
+        |  SELECT text, unnest(range(0, length(text) - 49, 1)) AS st
+        |  FROM b WHERE length(text) >= 50)),
+        |w2 AS (SELECT doc_id, st, substr(text, st + 1, 50) AS w FROM (
+        |  SELECT doc_id, text,
+        |    unnest(range(0, length(text) - 49, 1)) AS st
+        |  FROM d WHERE length(text) >= 50)),
+        |occ AS (SELECT doc_id, st FROM w2
+        |  WHERE w IN (SELECT w FROM bw)),
+        |o2 AS (SELECT doc_id, st,
+        |    coalesce(max(st + 50) OVER (PARTITION BY doc_id ORDER BY st
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cur
+        |  FROM occ),
+        |agg AS (SELECT o2.doc_id,
+        |    string_agg(CASE WHEN st > cur
+        |      THEN substr(d.text, cur + 1, st - cur) ELSE '' END,
+        |      '' ORDER BY st) AS head_pieces,
+        |    max(st + 50) AS maxend,
+        |    count(*) AS n_anchors
+        |  FROM o2 JOIN d USING (doc_id) GROUP BY o2.doc_id),
+        |cleaned AS (SELECT d.doc_id, length(d.text) AS orig_cp,
+        |    coalesce(a.head_pieces, '')
+        |      || substr(d.text, coalesce(a.maxend, 0) + 1) AS clean,
+        |    coalesce(a.n_anchors, 0) AS n_anchors
+        |  FROM d LEFT JOIN agg a USING (doc_id))
+        |SELECT CAST((SELECT count(*) FROM d) AS BIGINT) AS n_train,
+        |  CAST((SELECT count(*) FROM b) AS BIGINT) AS n_eval,
+        |  CAST(sum(CASE WHEN n_anchors > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS docs_cut,
+        |  CAST(sum(orig_cp - length(clean)) AS BIGINT) AS removed_cp_total,
+        |  CAST(0 AS BIGINT) AS n_leaks, true AS leak_free
+        |FROM cleaned""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val h = substring(
+        md5(concat(lit("ev:"), col("doc_id").cast("string"))), 1, 1)
+      Dedup.benchmarkScrubAudit(
+        docs.filter(h =!= "0"), docs.filter(h === "0"))
+    },
+
     // Markdown structure profile: a small markdown block (heading, two
     // list items, two table rows, a link, one fenced code block) is
     // planted on one doc set; those docs must clear the 2-of-5 vote and

@@ -939,7 +939,7 @@ object Dedup {
     */
   def benchmarkSpanRemoval(train: DataFrame, bench: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
-      win: Int = 50): DataFrame = {
+      win: Int = 50, keepClean: Boolean = false): DataFrame = {
     val bw = spanWindows(bench, idCol, textCol, win)
       .select("w").distinct()
     // xxhash64(string) == CharGramPosHashes' per-window hash (same
@@ -952,7 +952,41 @@ object Dedup {
       .select(col("id"), col("st"),
         expr(s"substring(t, st + 1, $win)").as("w"))
     val occ = cand.join(broadcast(bw), "w").select("id", "st")
-    cutSpans(train, occ, idCol, textCol, win, "n_hit_anchors")
+    cutSpans(train, occ, idCol, textCol, win, "n_hit_anchors", keepClean)
+  }
+
+  /** Eval-release audit capstone: split → scrub → PROVE the release is
+    * leak-free. The train side is scrubbed against the benchmark/eval
+    * side ([[benchmarkSpanRemoval]]), then the CLEANED text is
+    * re-windowed and probed against the eval window set — the count of
+    * residual shared windows must be ZERO (the Lee et al. guarantee,
+    * verified on the actual output rather than assumed). One summary
+    * row: sizes, docs cut, chars removed, residual leaks, the
+    * leak_free verdict. Scale shape: the scrub is p82's (broadcast
+    * eval windows, map-side match, one id-keyed text shuffle); the
+    * re-verify is a second broadcast probe over the cleaned text —
+    * no new shuffle classes.
+    */
+  def benchmarkScrubAudit(train: DataFrame, bench: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      win: Int = 50): DataFrame = {
+    val scrub = benchmarkSpanRemoval(train, bench, idCol, textCol, win,
+      keepClean = true)
+    val bw = spanWindows(bench, idCol, textCol, win).select("w").distinct()
+    val leaks = spanWindows(
+      scrub.select(col(idCol), col("clean_text").as(textCol)),
+      idCol, textCol, win)
+      .join(broadcast(bw), "w")
+      .agg(count(lit(1)).as("n_leaks"))
+    scrub.agg(
+      count(lit(1)).as("n_train"),
+      sum(when(col("n_hit_anchors") > 0, 1L).otherwise(0L)).as("docs_cut"),
+      sum("removed_cp").as("removed_cp_total"))
+      .crossJoin(bench.agg(count(lit(1)).as("n_eval")))
+      .crossJoin(leaks)
+      .select(col("n_train"), col("n_eval"), col("docs_cut"),
+        col("removed_cp_total"), col("n_leaks"),
+        (col("n_leaks") === 0).as("leak_free"))
   }
 
   /** All (id, start, window-string) anchor windows of docs long enough
@@ -989,7 +1023,8 @@ object Dedup {
     * (id, orig_cp, clean_cp, <anchorCountName>, removed_cp, clean_dg).
     */
   private def cutSpans(df: DataFrame, anchorOcc: DataFrame, idCol: String,
-      textCol: String, win: Int, anchorCountName: String): DataFrame = {
+      textCol: String, win: Int, anchorCountName: String,
+      keepClean: Boolean = false): DataFrame = {
     val anchors = anchorOcc.groupBy("id")
       .agg(sort_array(collect_set(col("st"))).as("sts"))
     val clean = when(col("sts").isNull, col(textCol)).otherwise(expr(
@@ -1001,19 +1036,25 @@ object Dedup {
          |  a -> concat(a.out,
          |    substring($textCol, a.cur + 1, length($textCol))))"""
         .stripMargin))
+    val baseCols = Seq(col(idCol),
+      length(col(textCol)).cast("long").as("orig_cp"),
+      length(clean).cast("long").as("clean_cp"),
+      // explicit null branch, NOT coalesce(size(...)): under
+      // ansi=false (the dsq session leaves it off) size(null) is -1,
+      // which coalesce happily keeps
+      when(col("sts").isNull, lit(0L))
+        .otherwise(size(col("sts")).cast("long"))
+        .as(anchorCountName),
+      (length(col(textCol)) - length(clean)).cast("long")
+        .as("removed_cp"),
+      md5(clean).as("clean_dg"))
+    // audit consumers (p114) need the cleaned text itself to re-verify
+    // zero residual overlap; the gates that only hash it keep the
+    // narrow schema
+    val outCols =
+      if (keepClean) baseCols :+ clean.as("clean_text") else baseCols
     df.join(anchors, col(idCol) === col("id"), "left")
-      .select(col(idCol),
-        length(col(textCol)).cast("long").as("orig_cp"),
-        length(clean).cast("long").as("clean_cp"),
-        // explicit null branch, NOT coalesce(size(...)): under
-        // ansi=false (the dsq session leaves it off) size(null) is -1,
-        // which coalesce happily keeps
-        when(col("sts").isNull, lit(0L))
-          .otherwise(size(col("sts")).cast("long"))
-          .as(anchorCountName),
-        (length(col(textCol)) - length(clean)).cast("long")
-          .as("removed_cp"),
-        md5(clean).as("clean_dg"))
+      .select(outCols: _*)
   }
 
   /** Near-dup threshold calibration curve: for a sweep of Jaccard

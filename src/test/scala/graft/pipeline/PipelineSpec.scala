@@ -2016,6 +2016,21 @@ class PipelineSpec extends SparkSpec {
     assert(big == out)
   }
 
+  test("benchmarkScrubAudit: contaminated release scrubs to zero leaks") {
+    import spark.implicits._
+    val evalText = (1 to 40).map(i => s"evaltok$i").mkString(" ") // ≫ 50 chars
+    val train = Seq(
+      (1L, s"prefix words then $evalText and a suffix"), // contaminated
+      (2L, "an unrelated clean training document with its own content"))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, evalText)).toDF("doc_id", "text")
+    val r = Dedup.benchmarkScrubAudit(train, bench).head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 1L)   // sizes
+    assert(r.getLong(2) == 1L, s"contaminated doc not cut: $r")
+    assert(r.getLong(3) > 300L, s"span not removed: $r") // the quote is big
+    assert(r.getLong(4) == 0L && r.getBoolean(5), s"residual leaks: $r")
+  }
+
   test("markdownSignals: planted markdown votes in, prose and lookalikes don't") {
     import spark.implicits._
     val md = "# Title\n- item one\n- item two\n| a | b |\n| 1 | 2 |\n" +
