@@ -2048,6 +2048,32 @@ class PipelineSpec extends SparkSpec {
     assert(out(3L)._1 == 1L && !out(3L)._7)
   }
 
+  test("asofJoin: randomized equivalence with a driver-side reference") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.AsOfJoinOps
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val lRows = Seq.fill(200)(
+        (rnd.nextInt(20).toLong, rnd.nextInt(1000).toLong))
+        .zipWithIndex.map { case ((k, ts), i) => (k, i.toLong, ts) }
+      val rRows = Seq.fill(150)(
+        (rnd.nextInt(20).toLong, rnd.nextInt(1000).toLong))
+        .distinct.zipWithIndex
+        .map { case ((k, ts), i) => (k, ts, s"v$i") }
+      val got = AsOfJoinOps.asofJoin(
+        lRows.toDF("k", "eid", "ts"), rRows.toDF("rk", "rts", "v"),
+        "k", "ts", "rk", "rts")
+        .select("eid", "v").collect()
+        .map(x => x.getLong(0) -> Option(x.get(1))).toMap
+      val rByK = rRows.groupBy(_._1)
+      val want = lRows.map { case (k, eid, ts) =>
+        eid -> rByK.getOrElse(k, Seq.empty)
+          .filter(_._2 <= ts).sortBy(_._2).lastOption.map(_._3)
+      }.toMap
+      assert(got == want, s"trial $trial mismatch")
+    }
+  }
+
   test("compressionSignal: spam flags, prose doesn't, empty is safe") {
     import spark.implicits._
     val d = Seq(
