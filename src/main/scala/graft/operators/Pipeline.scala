@@ -4235,6 +4235,125 @@ object Pipeline {
       val queries = e.filter(col("vec_id") % 3 =!= 0 && col("vec_id") < 150)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       graft.pipeline.Similarity.knnClassify(labeled, queries, k = 5)
+    },
+
+    // Flesch readability: sentences = [.!?]+ runs floored at 1,
+    // syllables = [aeiouy]+ vowel-group runs floored at the word count
+    // (per-word sum == corpus count because vowel runs never span a
+    // token boundary). The oracle replays the identical IEEE-double
+    // expression tree, so flesch matches bit-exactly after ROUND 4.
+    QueryDef("p115_readability",
+      """WITH b AS (SELECT doc_id, text,
+        |    CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g'))
+        |           = 0 THEN 0
+        |         ELSE len(string_split_regex(
+        |           regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'))
+        |    END AS nw,
+        |    greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS ns,
+        |    len(regexp_extract_all(lower(text), '[aeiouy]+')) AS vg
+        |  FROM documents),
+        |c AS (SELECT doc_id, nw, ns, greatest(vg, nw) AS nsyl FROM b),
+        |f AS (SELECT doc_id, nw, ns, nsyl,
+        |    CASE WHEN nw = 0 THEN NULL ELSE
+        |      round(206.835
+        |        - 1.015 * (CAST(nw AS DOUBLE) / CAST(ns AS DOUBLE))
+        |        - 84.6 * (CAST(nsyl AS DOUBLE) / CAST(nw AS DOUBLE)), 4)
+        |    END AS flesch
+        |  FROM c)
+        |SELECT doc_id, CAST(nw AS BIGINT) AS n_words,
+        |  CAST(ns AS BIGINT) AS n_sentences,
+        |  CAST(nsyl AS BIGINT) AS n_syllables, flesch,
+        |  (flesch IS NOT NULL AND flesch >= 50.0) AS easy_read
+        |FROM f""".stripMargin) { (s, dir) =>
+      TextAnalysis.readabilitySignals(
+        t(s, dir, "documents").select("doc_id", "text"))
+    },
+
+    // Encoding-damage audit: a mojibake block (Latin-1-decoded UTF-8
+    // digraphs, C1 bytes, two U+FFFD, one BEL) is planted on one doc
+    // set; all four signals must fire there and the oracle recounts
+    // every signal with chr()-built literals + the same length-diff
+    // trick.
+    QueryDef("p116_encoding_damage",
+      """WITH corpus AS (
+        |  SELECT doc_id, text || CASE WHEN doc_id % 23 = 5
+        |    THEN ' caf' || chr(195)||chr(169) || ' ' || chr(195)||chr(168)
+        |      || ' ' || chr(195)||chr(188) || ' '
+        |      || chr(226)||chr(128)||chr(153) || ' '
+        |      || chr(65533)||chr(65533) || ' ' || chr(7)
+        |    ELSE '' END AS text
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |    length(text) - length(replace(text, chr(65533), ''))
+        |      AS n_replacement,
+        |    length(text) - length(regexp_replace(text,
+        |      '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g')) AS n_ctrl,
+        |    length(text) - length(regexp_replace(text,
+        |      '[\x80-\x9F]', '', 'g')) AS n_c1,
+        |    (length(text) - length(replace(text, chr(195), '')))
+        |      + (length(text) - length(replace(text, chr(226), '')))
+        |      AS n_mojibake
+        |  FROM corpus)
+        |SELECT doc_id, CAST(n_replacement AS BIGINT) AS n_replacement,
+        |  CAST(n_ctrl AS BIGINT) AS n_ctrl, CAST(n_c1 AS BIGINT) AS n_c1,
+        |  CAST(n_mojibake AS BIGINT) AS n_mojibake,
+        |  (n_replacement >= 1 OR n_ctrl >= 1 OR n_c1 >= 2
+        |    OR n_mojibake >= 3) AS is_damaged
+        |FROM g""".stripMargin) { (s, dir) =>
+      val dmg = " caf\u00C3\u00A9 \u00C3\u00A8 \u00C3\u00BC" +
+        " \u00E2\u0080\u0099 \uFFFD\uFFFD \u0007"
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 23 === 5, lit(dmg)).otherwise(lit("")))
+          .as("text"))
+      TextAnalysis.encodingSignals(planted)
+    },
+
+    // Chat-format router: a five-line dialogue block (2 User / 2
+    // Assistant / 1 System) is planted on one doc set; those docs must
+    // clear the 3-of-4 vote. Line counts + the balance signal are
+    // replayed with list_filter over the same anchored RE2 patterns.
+    QueryDef("p117_chat_detect",
+      """WITH corpus AS (
+        |  SELECT doc_id, text || CASE WHEN doc_id % 29 = 3
+        |    THEN chr(10) || 'User: hi there'
+        |      || chr(10) || 'Assistant: hello'
+        |      || chr(10) || 'User: how are you?'
+        |      || chr(10) || 'Assistant: fine thanks'
+        |      || chr(10) || 'System: end of chat'
+        |    ELSE '' END AS text
+        |  FROM documents),
+        |s AS (SELECT doc_id, string_split(text, chr(10)) AS ln
+        |  FROM corpus),
+        |g AS (SELECT doc_id,
+        |    len(list_filter(ln, l -> regexp_matches(l,
+        |      '^(User|Assistant|System|Human|AI|Q|A): '))) AS role_l,
+        |    len(list_filter(ln, l -> regexp_matches(l,
+        |      '^(User|Human|Q): '))) AS q_l,
+        |    len(list_filter(ln, l -> regexp_matches(l,
+        |      '^(Assistant|AI|A): '))) AS a_l
+        |  FROM s),
+        |v AS (SELECT doc_id, role_l, q_l, a_l,
+        |    (q_l >= 1 AND a_l >= 1 AND abs(q_l - a_l) <= 1) AS balanced
+        |  FROM g),
+        |w AS (SELECT doc_id, role_l, q_l, a_l, balanced,
+        |    CAST(role_l >= 4 AS BIGINT) + CAST(q_l >= 2 AS BIGINT)
+        |    + CAST(a_l >= 2 AS BIGINT) + CAST(balanced AS BIGINT)
+        |      AS votes
+        |  FROM v)
+        |SELECT doc_id, CAST(role_l AS BIGINT) AS n_role_lines,
+        |  CAST(q_l AS BIGINT) AS n_q_lines,
+        |  CAST(a_l AS BIGINT) AS n_a_lines, balanced AS qa_balanced,
+        |  votes AS chat_votes, votes >= 3 AS is_chat
+        |FROM w""".stripMargin) { (s, dir) =>
+      val chat = "\nUser: hi there\nAssistant: hello" +
+        "\nUser: how are you?\nAssistant: fine thanks" +
+        "\nSystem: end of chat"
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 29 === 3, lit(chat)).otherwise(lit("")))
+          .as("text"))
+      TextAnalysis.chatSignals(planted)
     }
   )
 

@@ -883,4 +883,95 @@ object TextAnalysis {
         sum("nc").as("n_chars"),
         round(sum("nc").cast("double") / sum("nt").cast("double"), 6)
           .as("chars_per_token"))
+
+  /** Flesch reading-ease readability (grade-level routing / curriculum
+    * signal). Corpus-scale approximations, both deterministic and
+    * RE2-replayable: sentences = runs of terminal punctuation `[.!?]+`
+    * (floored at 1), syllables = vowel-group runs `[aeiouy]+` of the
+    * lowercased text floored at the word count (vowel runs never span a
+    * word boundary — the separator is a non-vowel — so the corpus total
+    * equals the per-word sum; the floor supplies the ≥1-syllable-per-
+    * word rule without per-word iteration). The score keeps the
+    * canonical Flesch coefficients; arithmetic is IEEE double in a fixed
+    * association order so an engine replaying the same tree matches
+    * bit-exactly. Zero shuffles — a narrow codegen'd projection.
+    */
+  def readabilitySignals(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val text = col(textCol)
+    val nWords = tokenCount(text).cast("long")
+    val nSent = greatest(
+      size(regexp_extract_all(text, lit("[.!?]+"), lit(0))).cast("long"),
+      lit(1L))
+    val nSyl = greatest(
+      size(regexp_extract_all(lower(text), lit("[aeiouy]+"), lit(0)))
+        .cast("long"),
+      nWords)
+    val flesch = when(nWords === 0, lit(null).cast("double")).otherwise(
+      round(
+        lit(206.835)
+          - lit(1.015) * (nWords.cast("double") / nSent.cast("double"))
+          - lit(84.6) * (nSyl.cast("double") / nWords.cast("double")),
+        4))
+    df.select(col(idCol),
+      nWords.as("n_words"), nSent.as("n_sentences"),
+      nSyl.as("n_syllables"), flesch.as("flesch"),
+      (flesch.isNotNull && flesch >= 50.0).as("easy_read"))
+  }
+
+  /** Encoding-damage detection (mojibake / control-character audit — the
+    * filter in front of any web-crawl ingest): per-doc counts of
+    * U+FFFD replacement chars, C0 control chars (tab/newline/CR exempt),
+    * C1 control chars, and the two classic UTF-8-read-as-Latin-1
+    * signatures ('Ã' + 'â€'). Counts use the length-difference trick
+    * (exact, no regex backtracking); any single strong signal flags the
+    * doc — unlike the 2-of-N routing votes, one replacement char is
+    * already proof of a decode error. Zero shuffles.
+    */
+  def encodingSignals(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val text = col(textCol)
+    def nOf(lit1: String): Column =
+      ((length(text) - length(replace(text, lit(lit1), lit("")))) /
+        lit1.length).cast("long")
+    def nClass(pat: String): Column =
+      (length(text) - length(regexp_replace(text, pat, ""))).cast("long")
+    val nRepl = nOf("�")
+    val nCtrl = nClass("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]")
+    val nC1 = nClass("[\\x80-\\x9F]")
+    val nMoj = nOf("Ã") + nOf("â")
+    df.select(col(idCol),
+      nRepl.as("n_replacement"), nCtrl.as("n_ctrl"),
+      nC1.as("n_c1"), nMoj.as("n_mojibake"),
+      (nRepl >= 1 || nCtrl >= 1 || nC1 >= 2 || nMoj >= 3)
+        .as("is_damaged"))
+  }
+
+  /** Chat/instruction-format detection (the router that sends dialogue
+    * data to a turn-structured parser instead of the prose pipeline):
+    * counts role-marker lines (`User:`/`Human:`/`Q:` vs `Assistant:`/
+    * `AI:`/`A:` plus `System:`), plus a balance signal (alternating
+    * dialogue has |questions − answers| ≤ 1 with both present), voted
+    * 3-of-4 into `is_chat`. Line anchors + literal alternations only —
+    * Java regex ≡ RE2. Zero shuffles.
+    */
+  def chatSignals(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val text = col(textCol)
+    val ln = split(text, "\n")
+    def nMatch(p: String): Column =
+      size(filter(ln, l => l.rlike(p))).cast("long")
+    val roleLines = nMatch("^(User|Assistant|System|Human|AI|Q|A): ")
+    val qLines = nMatch("^(User|Human|Q): ")
+    val aLines = nMatch("^(Assistant|AI|A): ")
+    val balanced = qLines >= 1 && aLines >= 1 &&
+      abs(qLines - aLines) <= 1
+    val votes = (roleLines >= 4).cast("long") +
+      (qLines >= 2).cast("long") + (aLines >= 2).cast("long") +
+      balanced.cast("long")
+    df.select(col(idCol),
+      roleLines.as("n_role_lines"), qLines.as("n_q_lines"),
+      aLines.as("n_a_lines"), balanced.as("qa_balanced"),
+      votes.as("chat_votes"), (votes >= 3).as("is_chat"))
+  }
 }

@@ -2104,4 +2104,74 @@ class PipelineSpec extends SparkSpec {
       assert(n > 0 && close && within, s"$c: n=$n close=$close within=$within")
     }
   }
+
+  test("readabilitySignals: hand-computed Flesch, floors, empty text") {
+    import spark.implicits._
+    // "The cat sat. It ran!" → 5 words, 2 sentences, vowel groups:
+    // e, a, a, I(+t? 'it' = i), a → The(1) cat(1) sat(1) It(1) ran(1) = 5
+    val easy = "The cat sat. It ran!"
+    // no terminal punctuation → sentence floor 1; "xyz" has y as vowel
+    val noPunct = "strength xyz"
+    val d = Seq((1L, easy), (2L, noPunct), (3L, "   ")).toDF("doc_id", "text")
+    val out = TextAnalysis.readabilitySignals(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Double]),
+        r.getBoolean(5)))).toMap
+    val f1 = math.rint((206.835 - 1.015 * (5.0 / 2.0)
+      - 84.6 * (5.0 / 5.0)) * 1e4) / 1e4
+    assert(out(1L) == ((5L, 2L, 5L, Some(f1), f1 >= 50.0)), s"${out(1L)}")
+    // strength: e(1); xyz: y(1) → vowel groups 2, = word count (no floor)
+    val f2 = math.rint((206.835 - 1.015 * (2.0 / 1.0)
+      - 84.6 * (2.0 / 2.0)) * 1e4) / 1e4
+    assert(out(2L) == ((2L, 1L, 2L, Some(f2), true)), s"${out(2L)}")
+    // blank → 0 words, flesch NULL, easy_read false (never null)
+    assert(out(3L) == ((0L, 1L, 0L, None, false)), s"${out(3L)}")
+  }
+
+  test("readabilitySignals: syllable floor lifts vowel-free words") {
+    import spark.implicits._
+    // 4 words but only 2 vowel groups → floor to word count 4
+    val d = Seq((1L, "tsk tsk grr hmm")).toDF("doc_id", "text")
+    val r = TextAnalysis.readabilitySignals(d).head()
+    assert(r.getLong(1) == 4L && r.getLong(3) == 4L, s"$r")
+  }
+
+  test("encodingSignals: each damage class counts, clean text is clean") {
+    import spark.implicits._
+    val moj = "cafÃ© naÃ¯ve âs"
+    val repl = "bad byte � here"
+    val ctrl = "bell and null-ish ; c1 "
+    val clean = "tabs\tand\nnewlines and\rCR are fine, so is café"
+    val d = Seq((1L, moj), (2L, repl), (3L, ctrl), (4L, clean))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.encodingSignals(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))).toMap
+    // moj: 'Ã'×2 + 'â'×1 = 3 mojibake; C1 bytes   = 2
+    assert(out(1L) == ((0L, 0L, 2L, 3L, true)), s"${out(1L)}")
+    // one replacement char alone flags
+    assert(out(2L) == ((1L, 0L, 0L, 0L, true)), s"${out(2L)}")
+    // C0 controls   = 2; C1   = 2
+    assert(out(3L) == ((0L, 2L, 2L, 0L, true)), s"${out(3L)}")
+    // tab/newline/CR exempt; precomposed é is NOT mojibake
+    assert(out(4L) == ((0L, 0L, 0L, 0L, false)), s"${out(4L)}")
+  }
+
+  test("chatSignals: dialogue votes in, prose with a colon does not") {
+    import spark.implicits._
+    val chat = "User: hi\nAssistant: hello\nUser: ok?\nAssistant: yes"
+    val lopsided = "Q: one\nQ: two\nQ: three\nA: answer"
+    val prose = "Note: this mentions User: mid-line and the word Assistant"
+    val d = Seq((1L, chat), (2L, lopsided), (3L, prose))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.chatSignals(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getLong(5), r.getBoolean(6)))).toMap
+    // 4 role lines, 2 q, 2 a, balanced → all four votes
+    assert(out(1L) == ((4L, 2L, 2L, true, 4L, true)), s"${out(1L)}")
+    // 3 q vs 1 a: role-lines + q votes only → 2 < 3, not chat
+    assert(out(2L) == ((4L, 3L, 1L, false, 2L, false)), s"${out(2L)}")
+    // '^' anchor: mid-line 'User:' never counts
+    assert(out(3L) == ((0L, 0L, 0L, false, 0L, false)), s"${out(3L)}")
+  }
 }
