@@ -303,6 +303,29 @@ object Formats {
           """SELECT "n_name" || '-x' AS tagged FROM {} WHERE "n_name" REGEXP '^NATION_1[0-9]$'""",
           DsqOptions())
       }
+    },
+
+    // DataSourceV2 logfmt: the same events-as-logfmt shape as f05, read
+    // through `spark.read.format("graft-logfmt")` instead of the CLI
+    // path — typed inference (event_id/user_id land as bigint directly),
+    // 64 KiB byte-range splits so the chunk/boundary contract is live in
+    // the gate, and a pruned 3-of-4-column projection.
+    QueryDef("f15_logfmt_dsv2",
+      """SELECT CAST(event_id AS BIGINT) AS event_id, event_type,
+        |  CAST(user_id AS BIGINT) AS user_id
+        |FROM events WHERE event_type = 'click'""".stripMargin) { (s, dir) =>
+      val out = tmp("events_logfmt_v2")
+      t(s, dir, "events").filter(col("event_type") === "click")
+        .select(concat(
+          lit("event_id="), col("event_id"),
+          lit(" event_type="), col("event_type"),
+          lit(" user_id="), col("user_id"),
+          lit(" value="), col("value")).as("value"))
+        .coalesce(1).write.mode("overwrite").text(out)
+      s.read.format("graft-logfmt")
+        .option("maxSplitBytes", (64 * 1024).toString)
+        .load(out)
+        .select("event_id", "event_type", "user_id")
     }
   )
 }

@@ -1,0 +1,337 @@
+package graft.sources
+
+import java.util
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+import scala.util.Try
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Hadoop `Configuration` is not `Serializable`; connectors ship it to
+  * executors via write/readFields. Self-contained equivalent of the
+  * pattern Spark's own file sources use, so the reader factory works on
+  * any `FileSystem` scheme (file://, hdfs://, s3a://) with the driver's
+  * full conf (credentials, endpoints) intact.
+  */
+final class SerializableHadoopConf(@transient var value: Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}
+
+/** DataSourceV2 file source for logfmt (`key=value` lines — the
+  * reference ingests this format via its per-line Go parser,
+  * README.md "logfmt"; graft's `dsq/Readers.logfmt` covers the CLI
+  * path). This source makes logfmt a first-class Spark format:
+  *
+  * {{{
+  *   spark.read.format("graft-logfmt").load("/logs/app")     // or .schema(s)
+  * }}}
+  *
+  * Spark-native properties the RDD-through-JSON path can't offer:
+  *   - **Byte-range splitting**: each file is chunked at
+  *     `maxSplitBytes` (default 128 MiB) and chunks align to line
+  *     boundaries with the classic split contract (a line belongs to
+  *     the chunk containing its first byte; a chunk with start > 0
+  *     discards its leading partial line, and a reader keeps consuming
+  *     while the line START is ≤ its end). A 100 GB logfmt file
+  *     parallelizes across executors with no driver involvement.
+  *   - **Column pruning**: `SupportsPushDownRequiredColumns` reaches the
+  *     reader, which materializes only requested keys — pruning happens
+  *     at parse time, not as a projection after full materialization.
+  *   - **Typed schema inference** from a bounded sample (first
+  *     `sampleLines` lines, default 1000): bare `true`/`false` →
+  *     boolean, integral → bigint, decimal/exponent → double, anything
+  *     quoted or mixed → string; keys sorted for determinism. A
+  *     user-supplied schema skips sampling entirely.
+  *
+  * Values follow the reference's logfmt semantics (quoted values are
+  * JSON-escaped, bare values typed) — the same contract as
+  * `Logfmt.lineToJson`, minus the JSON round-trip.
+  */
+class LogfmtDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-logfmt"
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    LogfmtDataSource.inferSchema(options)
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new LogfmtTable(schema,
+      new CaseInsensitiveStringMap(properties))
+}
+
+object LogfmtDataSource {
+
+  private[sources] def hadoopConf(): Configuration =
+    Try(SparkSession.active.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
+  private[sources] def listFiles(options: CaseInsensitiveStringMap,
+      conf: Configuration): Seq[FileStatus] = {
+    val path = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException(
+        "graft-logfmt: 'path' option is required"))
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val matched = Option(fs.globStatus(p)).getOrElse(Array.empty).toSeq
+    val expanded = matched.flatMap { st =>
+      if (st.isDirectory)
+        fs.listStatus(st.getPath).toSeq.filter(_.isFile)
+      else Seq(st)
+    }
+    // _SUCCESS etc. are writer bookkeeping, never data
+    expanded.filterNot(_.getPath.getName.startsWith("_"))
+      .sortBy(_.getPath.toString)
+  }
+
+  /** Bare-token type lattice: Boolean and Long lift to Double only
+    * among numbers; any other mixture (or any quoted value) is String.
+    */
+  private def widen(a: DataType, b: DataType): DataType = (a, b) match {
+    case (x, y) if x == y => x
+    case (LongType, DoubleType) | (DoubleType, LongType) => DoubleType
+    case _ => StringType
+  }
+
+  private def bareType(raw: String): DataType =
+    if (raw == "true" || raw == "false") BooleanType
+    else if (raw.matches("-?(0|[1-9]\\d*)") &&
+      Try(raw.toLong).isSuccess) LongType
+    else if (raw.matches("-?(0|[1-9]\\d*)(\\.\\d+)?([eE][+-]?\\d+)?"))
+      DoubleType
+    else StringType
+
+  private[sources] def inferSchema(
+      options: CaseInsensitiveStringMap): StructType = {
+    val conf = hadoopConf()
+    val sampleLines =
+      Option(options.get("sampleLines")).map(_.toInt).getOrElse(1000)
+    val types = mutable.LinkedHashMap.empty[String, DataType]
+    var remaining = sampleLines
+    listFiles(options, conf).iterator.takeWhile(_ => remaining > 0)
+      .foreach { st =>
+        val fs = st.getPath.getFileSystem(conf)
+        val in = fs.open(st.getPath)
+        try {
+          val br = new java.io.BufferedReader(
+            new java.io.InputStreamReader(in,
+              java.nio.charset.StandardCharsets.UTF_8))
+          var line = br.readLine()
+          while (line != null && remaining > 0) {
+            for (m <- LogfmtParse.token.findAllMatchIn(line)) {
+              val k = m.group(1)
+              val raw = m.group(2)
+              val t =
+                if (raw.startsWith("\"")) StringType else bareType(raw)
+              types.update(k, types.get(k).map(widen(_, t)).getOrElse(t))
+            }
+            remaining -= 1
+            line = br.readLine()
+          }
+        } finally in.close()
+      }
+    StructType(types.toSeq.sortBy(_._1).map { case (k, t) =>
+      StructField(k, t, nullable = true)
+    })
+  }
+}
+
+private[sources] class LogfmtTable(tableSchema: StructType,
+    options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+  override def name(): String =
+    s"graft-logfmt:${Option(options.get("path")).getOrElse("?")}"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(
+      caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder = {
+    // .load(path) lands in the table properties; scan options can
+    // override sampling/split tuning at read time
+    val merged = new util.HashMap[String, String](options.asCaseSensitiveMap())
+    merged.putAll(caseInsensitiveOptions.asCaseSensitiveMap())
+    new LogfmtScanBuilder(tableSchema, new CaseInsensitiveStringMap(merged))
+  }
+}
+
+private[sources] class LogfmtScanBuilder(fullSchema: StructType,
+    options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = fullSchema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // keep only logfmt fields (metadata columns stay virtual)
+    required = StructType(
+      requiredSchema.filter(f => fullSchema.fieldNames.contains(f.name)))
+  override def build(): Scan = new LogfmtScan(required, options)
+}
+
+/** One line-aligned byte range of one file. */
+private[sources] case class LogfmtChunk(path: String, start: Long,
+    length: Long) extends InputPartition
+
+private[sources] class LogfmtScan(requiredSchema: StructType,
+    options: CaseInsensitiveStringMap) extends Scan with Batch {
+  override def readSchema(): StructType = requiredSchema
+  override def description(): String =
+    s"graft-logfmt ReadSchema: ${requiredSchema.simpleString}"
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = LogfmtDataSource.hadoopConf()
+    val splitBytes = Option(options.get("maxSplitBytes"))
+      .map(_.toLong).getOrElse(128L * 1024 * 1024)
+    LogfmtDataSource.listFiles(options, conf).flatMap { st =>
+      val len = st.getLen
+      if (len == 0) Seq.empty
+      else (0L until len by splitBytes).map { off =>
+        LogfmtChunk(st.getPath.toString, off,
+          math.min(splitBytes, len - off))
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val conf = new SerializableHadoopConf(LogfmtDataSource.hadoopConf())
+    val schema = requiredSchema
+    new PartitionReaderFactory {
+      override def createReader(
+          partition: InputPartition): PartitionReader[InternalRow] =
+        new LogfmtPartitionReader(
+          partition.asInstanceOf[LogfmtChunk], schema, conf.value)
+    }
+  }
+}
+
+/** Streams one chunk: seek to `start`, discard the leading partial line
+  * when start > 0 (it belongs to the previous chunk), then emit every
+  * line whose first byte lies within [start, end]. Uses Hadoop's
+  * byte-counting `LineReader` so position tracking is exact across
+  * multi-byte UTF-8 and both newline conventions.
+  */
+private[sources] class LogfmtPartitionReader(chunk: LogfmtChunk,
+    schema: StructType, conf: Configuration)
+    extends PartitionReader[InternalRow] {
+
+  private val end = chunk.start + chunk.length
+  private val path = new Path(chunk.path)
+  private val in = path.getFileSystem(conf).open(path)
+  private val lines = new org.apache.hadoop.util.LineReader(in, conf)
+  private val buf = new org.apache.hadoop.io.Text()
+  private var pos: Long = {
+    in.seek(chunk.start)
+    var p = chunk.start
+    if (chunk.start != 0) p += lines.readLine(buf)
+    p
+  }
+  private var row: InternalRow = _
+
+  // (schema index, type) per key — parse touches only required fields
+  private val wanted: Map[String, (Int, DataType)] =
+    schema.fields.zipWithIndex.map { case (f, i) =>
+      f.name -> ((i, f.dataType))
+    }.toMap
+
+  override def next(): Boolean = {
+    // a line is ours iff it STARTS at or before `end` (the chunk owning
+    // byte `end` reads it via its discarded-first-line rule)
+    if (pos > end) return false
+    val n = lines.readLine(buf)
+    if (n == 0) return false
+    pos += n
+    row = parse(buf.toString)
+    true
+  }
+
+  private def parse(line: String): InternalRow = {
+    val values = new Array[Any](schema.length)
+    for (m <- LogfmtParse.token.findAllMatchIn(line)) {
+      wanted.get(m.group(1)).foreach { case (i, dt) =>
+        values(i) = LogfmtParse.convert(m.group(2), dt)
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = in.close()
+}
+
+private[sources] object LogfmtParse {
+  /** Same token grammar as the CLI path (dsq/Readers.Logfmt). */
+  val token = "([A-Za-z0-9_.-]+)=(\"(?:[^\"\\\\]|\\\\.)*\"|\\S*)".r
+
+  /** JSON-style unescape of a quoted logfmt value (go-logfmt quotes with
+    * strconv semantics; `Logfmt.lineToJson` passes these through to the
+    * JSON parser — this is that decode, inlined).
+    */
+  def unquote(raw: String): String = {
+    val s = raw.substring(1, raw.length - 1)
+    if (!s.contains('\\')) return s
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '"' => sb.append('"'); i += 2
+          case '\\' => sb.append('\\'); i += 2
+          case '/' => sb.append('/'); i += 2
+          case 'b' => sb.append('\b'); i += 2
+          case 'f' => sb.append('\f'); i += 2
+          case 'n' => sb.append('\n'); i += 2
+          case 'r' => sb.append('\r'); i += 2
+          case 't' => sb.append('\t'); i += 2
+          case 'u' if i + 6 <= s.length &&
+              Try(Integer.parseInt(s.substring(i + 2, i + 6), 16))
+                .isSuccess =>
+            sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16)
+              .toChar)
+            i += 6
+          case other => sb.append(other); i += 2
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Convert one raw token to the required Catalyst value; type
+    * mismatches (sample missed a shape) degrade to null, not failure.
+    */
+  def convert(raw: String, dt: DataType): Any = {
+    val quoted = raw.startsWith("\"")
+    dt match {
+      case StringType =>
+        UTF8String.fromString(if (quoted) unquote(raw) else raw)
+      case LongType =>
+        if (quoted) null else Try(raw.toLong).getOrElse(null)
+      case DoubleType =>
+        if (quoted) null else Try(raw.toDouble).getOrElse(null)
+      case BooleanType => raw match {
+        case "true" => true
+        case "false" => false
+        case _ => null
+      }
+      case _ => null
+    }
+  }
+}

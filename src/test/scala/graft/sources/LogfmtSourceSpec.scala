@@ -1,0 +1,117 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.types._
+
+import graft.dsq.SparkSpec
+
+/** The DataSourceV2 logfmt source: inference, value decode, split
+  * contract, column pruning, and agreement with the CLI reader path.
+  */
+class LogfmtSourceSpec extends SparkSpec {
+
+  private def writeLogfmt(name: String, lines: Seq[String]): String = {
+    val dir = Files.createTempDirectory(s"graft_dsv2_$name")
+    Files.writeString(dir.resolve("part-000.logfmt"),
+      lines.mkString("", "\n", "\n"))
+    dir.toString
+  }
+
+  test("schema inference: bool/long/double lattice, quoted stays string") {
+    val dir = writeLogfmt("infer", Seq(
+      """level=info code=200 ratio=0.5 ok=true msg="hi there"""",
+      """level=warn code=404 ratio=2 ok=false msg="bye"""",
+      // code goes long→string on a non-numeric, ratio widens long→double
+      """level=error code=abc ratio=7 extra=1"""))
+    val df = spark.read.format("graft-logfmt").load(dir)
+    val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(df.schema.fieldNames.toSeq == df.schema.fieldNames.sorted.toSeq)
+    assert(types("level") == StringType)
+    assert(types("code") == StringType)   // 200, 404, abc → mixed
+    assert(types("ratio") == DoubleType)  // 0.5, 2, 7 → widened
+    assert(types("ok") == BooleanType)
+    assert(types("msg") == StringType)
+    assert(types("extra") == LongType)
+    val rows = df.orderBy("code").collect()
+    assert(rows.length == 3)
+    val first = df.filter(df("code") === "200").head()
+    assert(first.getAs[String]("msg") == "hi there")
+    assert(first.getAs[Boolean]("ok"))
+    assert(first.getAs[Double]("ratio") == 0.5)
+  }
+
+  test("quoted-value unescape matches the JSON contract") {
+    val dir = writeLogfmt("esc", Seq(
+      """m="a \"quoted\" part" t="tab\there" u="snow☃man" p="back\\slash""""))
+    val r = spark.read.format("graft-logfmt").load(dir).head()
+    assert(r.getAs[String]("m") == """a "quoted" part""")
+    assert(r.getAs[String]("t") == "tab\there")
+    assert(r.getAs[String]("u") == "snow☃man")
+    assert(r.getAs[String]("p") == """back\slash""")
+  }
+
+  test("missing keys are null; type mismatches degrade to null") {
+    val dir = writeLogfmt("nulls", Seq(
+      "a=1 b=x", "b=y", "a=2"))
+    val df = spark.read.format("graft-logfmt").load(dir)
+    val rows = df.collect().map(r =>
+      (Option(r.get(r.fieldIndex("a"))), Option(r.get(r.fieldIndex("b")))))
+      .toSet
+    assert(rows == Set((Some(1L), Some("x")), (None, Some("y")),
+      (Some(2L), None)))
+  }
+
+  test("byte-range splits: many chunks, no lost or duplicated lines") {
+    // ~6000 lines ≈ 200 KB; 4 KiB chunks → ~50 partitions, every chunk
+    // boundary lands mid-line somewhere
+    val lines = (0 until 6000).map(i =>
+      s"""id=$i kind=k${i % 7} note="row number $i of the split test"""")
+    val dir = writeLogfmt("split", lines)
+    val whole = spark.read.format("graft-logfmt").load(dir)
+    val split = spark.read.format("graft-logfmt")
+      .option("maxSplitBytes", "4096").load(dir)
+    assert(split.rdd.getNumPartitions > 10,
+      s"expected many chunks, got ${split.rdd.getNumPartitions}")
+    assert(whole.rdd.getNumPartitions == 1)
+    val a = whole.collect().map(_.toString).sorted
+    val b = split.collect().map(_.toString).sorted
+    assert(a.length == 6000 && b.toSeq == a.toSeq)
+    // ids exactly 0..5999 — nothing dropped at any boundary
+    assert(split.agg(org.apache.spark.sql.functions.sum("id")).head.getLong(0)
+      == (0 until 6000).map(_.toLong).sum)
+  }
+
+  test("column pruning reaches the scan (parse-time, not projection)") {
+    val dir = writeLogfmt("prune", (0 until 50).map(i =>
+      s"""a=$i b=x$i c=y$i d="wide payload $i""""))
+    val df = spark.read.format("graft-logfmt").load(dir).select("b")
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: BatchScanExec => s
+    }
+    assert(scans.nonEmpty, "no BatchScanExec in plan")
+    val read = scans.head.scan.readSchema()
+    assert(read.fieldNames.toSeq == Seq("b"),
+      s"scan not pruned: ${read.simpleString}")
+    assert(df.collect().map(_.getString(0)).toSet ==
+      (0 until 50).map(i => s"x$i").toSet)
+  }
+
+  test("agrees with the CLI logfmt reader on the reference fixture shape") {
+    val dir = writeLogfmt("agree", Seq(
+      """at=info method=GET path=/ host=h1 status=200 elapsed=12.3""",
+      """at=error method=POST path=/x host=h2 status=500 elapsed=0.7""",
+      """at=info method=GET path="/a b" host=h1 status=204 elapsed=3"""))
+    val v2 = spark.read.format("graft-logfmt").load(dir)
+      .selectExpr("at", "method", "path", "host",
+        "CAST(status AS BIGINT) AS status",
+        "CAST(elapsed AS DOUBLE) AS elapsed")
+    val cli = graft.dsq.Readers.logfmt(spark, dir)
+      .selectExpr("at", "method", "path", "host",
+        "CAST(status AS BIGINT) AS status",
+        "CAST(elapsed AS DOUBLE) AS elapsed")
+    assert(v2.collect().map(_.toString).sorted.toSeq ==
+      cli.collect().map(_.toString).sorted.toSeq)
+  }
+}
