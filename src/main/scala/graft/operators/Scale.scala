@@ -1630,6 +1630,34 @@ object Scale {
           col("l_returnflag") === col("flag") && saltedFact("salt") === explodedDim("salt"))
         .groupBy("flag_label")
         .agg(count(lit(1)).as("n"))
+    },
+
+    // Custom interval-join operator: x04's click→purchase-within-5min
+    // pairing through the plane-sweep IntervalJoinExec instead of the
+    // bucketed-equi-join composition — no probe explode, no bucket
+    // width in the plan, per-key state = concurrently open intervals.
+    // Oracle: DuckDB's native inequality join (same SQL as x04).
+    QueryDef("x29_interval_join_op",
+      """SELECT a.user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND a.event_type = 'click' AND b.event_type = 'purchase'
+        | AND epoch_us(b.ts) - epoch_us(a.ts) BETWEEN 1 AND 300000000
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.graft.IntervalJoinOps
+      val ev = t(s, dir, "events")
+      val width = 300000000L // 5 min in µs
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("a_us"))
+        .withColumn("lo", col("a_us") + 1)
+        .withColumn("hi", col("a_us") + width)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"),
+          unix_micros(col("ts")).as("b_us"))
+      IntervalJoinOps.intervalJoin(clicks, purchases,
+        "user_id", "lo", "hi", "p_user", "b_us")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"))
     }
   )
 }

@@ -26,10 +26,11 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
-    // whole-operator extension: plans the AsOfJoin logical node as the
-    // streaming-merge AsOfJoinExec (same strategy AsOfJoinOps.register
-    // adds to a live session)
+    // whole-operator extensions: plan the AsOfJoin / IntervalJoin
+    // logical nodes as their streaming-merge execs (same strategies the
+    // *Ops.register helpers add to a live session)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    ext.injectPlannerStrategy(_ => IntervalJoinStrategy)
   }
 }
 

@@ -222,6 +222,21 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 3, s"more shuffles than an SMJ needs:\n$p")
   }
 
+  test("x29: custom IntervalJoinExec runs — no explode, no product join") {
+    val p = executed("x29_interval_join_op")
+    assert(p.contains("IntervalJoin "), s"custom operator not planned:\n$p")
+    val pFinal = p.split("== Initial Plan ==")(0)
+    // the composition this replaces explodes probe rows into two
+    // width-buckets; the sweep needs neither
+    assert(!pFinal.contains("Generate explode") &&
+      !pFinal.contains("CartesianProduct") &&
+      !pFinal.contains("BroadcastNestedLoopJoin"),
+      s"interval join fell back to explode/product:\n$p")
+    val exchanges = pFinal.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).size
+    assert(exchanges <= 3, s"more shuffles than an SMJ needs:\n$p")
+  }
+
   test("x03: as-of join = single user_id window shuffle, no nested-loop/cartesian") {
     val p = executed("x03_asof_join")
     assert(!p.contains("BroadcastNestedLoopJoin") &&

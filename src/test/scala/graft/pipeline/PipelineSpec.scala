@@ -2105,6 +2105,64 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("intervalJoin custom operator: overlap, bounds, nulls, partitions") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.IntervalJoinOps
+    // key 1: intervals [10,20] (a) and [15,30] (b) overlap on [15,20];
+    // key 2: one interval; key 3: right rows with no interval
+    val l = Seq((1L, "a", 10L, 20L), (1L, "b", 15L, 30L),
+      (2L, "c", 5L, 6L))
+      .toDF("k", "iv", "lo", "hi")
+    val r = Seq((1L, 101L, 9L), (1L, 102L, 15L), (1L, 103L, 20L),
+      (1L, 104L, 25L), (1L, 105L, 31L), (2L, 201L, 6L), (3L, 301L, 10L))
+      .toDF("rk", "rid", "ts")
+    def run(lf: org.apache.spark.sql.DataFrame,
+        rf: org.apache.spark.sql.DataFrame) =
+      IntervalJoinOps.intervalJoin(lf, rf, "k", "lo", "hi", "rk", "ts")
+        .select("rid", "iv").collect()
+        .map(x => (x.getLong(0), x.getString(1))).sorted.toSeq
+    val out = run(l, r)
+    // 101 (ts 9 < every start) and 105 (ts 31 > every end) match nothing;
+    // 102/103 sit in both overlapping intervals; 104 only in b; 301 has
+    // no intervals for its key
+    assert(out == Seq((102L, "a"), (102L, "b"), (103L, "a"),
+      (103L, "b"), (104L, "b"), (201L, "c")), s"got $out")
+    // inclusive bounds both ends: ts 15 and 20 match [10,20]; ts 31 and
+    // 9 don't; ts in two overlapping intervals pairs with both
+    // multi-partition: identical under a 5-way shuffle
+    assert(run(l.repartition(5), r.repartition(5)) == out)
+    // null keys/bounds/ts never join
+    val ln = l.unionAll(Seq((null.asInstanceOf[java.lang.Long], "n",
+      0L, 99L)).toDF("k", "iv", "lo", "hi")
+      .selectExpr("CAST(k AS BIGINT) k", "iv", "lo", "hi"))
+    assert(run(ln, r) == out)
+  }
+
+  test("intervalJoin: randomized equivalence with the x04 composition") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.IntervalJoinOps
+    val rnd = new scala.util.Random(7)
+    val width = 50L
+    val lRows = Seq.fill(300)((rnd.nextInt(10).toLong,
+      rnd.nextInt(500).toLong)).zipWithIndex
+      .map { case ((k, ts), i) => (k, i.toLong, ts + 1, ts + width) }
+    val rRows = Seq.fill(300)((rnd.nextInt(10).toLong,
+      rnd.nextInt(500).toLong)).zipWithIndex
+      .map { case ((k, ts), i) => (k, 1000L + i, ts) }
+    val l = lRows.toDF("k", "lid", "lo", "hi")
+    val r = rRows.toDF("rk", "rid", "ts")
+    val got = IntervalJoinOps.intervalJoin(l, r, "k", "lo", "hi",
+      "rk", "ts")
+      .select("lid", "rid").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    val want = (for {
+      (k, lid, lo, hi) <- lRows
+      (rk, rid, ts) <- rRows
+      if rk == k && ts >= lo && ts <= hi
+    } yield (lid, rid)).sorted
+    assert(got == want, s"${got.size} pairs vs ${want.size} expected")
+  }
+
   test("readabilitySignals: hand-computed Flesch, floors, empty text") {
     import spark.implicits._
     // "The cat sat. It ran!" → 5 words, 2 sentences, vowel groups:
