@@ -13,6 +13,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -176,13 +177,24 @@ private[sources] class LogfmtTable(tableSchema: StructType,
 
 private[sources] class LogfmtScanBuilder(fullSchema: StructType,
     options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = fullSchema
+  private var pushed: Array[sources.Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     // keep only logfmt fields (metadata columns stay virtual)
     required = StructType(
       requiredSchema.filter(f => fullSchema.fieldNames.contains(f.name)))
-  override def build(): Scan = new LogfmtScan(required, options)
+  override def pushFilters(
+      filters: Array[sources.Filter]): Array[sources.Filter] = {
+    val (accepted, residual) = filters.partition(
+      LogfmtFilters.supported(_, fullSchema))
+    pushed = accepted
+    residual
+  }
+  override def pushedFilters(): Array[sources.Filter] = pushed
+  override def build(): Scan = new LogfmtScan(required, options, pushed,
+    fullSchema)
 }
 
 /** One line-aligned byte range of one file. */
@@ -190,11 +202,25 @@ private[sources] case class LogfmtChunk(path: String, start: Long,
     length: Long) extends InputPartition
 
 private[sources] class LogfmtScan(requiredSchema: StructType,
-    options: CaseInsensitiveStringMap) extends Scan with Batch {
+    options: CaseInsensitiveStringMap,
+    pushedFilters: Array[sources.Filter] = Array.empty,
+    fullSchema: StructType = StructType(Nil)) extends Scan with Batch {
   override def readSchema(): StructType = requiredSchema
   override def description(): String =
-    s"graft-logfmt ReadSchema: ${requiredSchema.simpleString}"
+    s"graft-logfmt ReadSchema: ${requiredSchema.simpleString}, " +
+      s"PushedFilters: [${pushedFilters.mkString(", ")}]"
   override def toBatch: Batch = this
+
+  /** Parse schema = required ∪ filter-referenced fields: a fully-pushed
+    * filter's column may be pruned from the output, but the reader still
+    * needs its value to evaluate the predicate.
+    */
+  private def parseSchema: StructType = {
+    val refs = pushedFilters.flatMap(_.references).distinct
+    val extra = refs.filterNot(requiredSchema.fieldNames.contains)
+      .flatMap(n => fullSchema.fields.find(_.name == n))
+    StructType(requiredSchema.fields ++ extra)
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = LogfmtDataSource.hadoopConf()
@@ -212,12 +238,15 @@ private[sources] class LogfmtScan(requiredSchema: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val conf = new SerializableHadoopConf(LogfmtDataSource.hadoopConf())
-    val schema = requiredSchema
+    val schema = parseSchema
+    val nOut = requiredSchema.length
+    val filters = pushedFilters
     new PartitionReaderFactory {
       override def createReader(
           partition: InputPartition): PartitionReader[InternalRow] =
         new LogfmtPartitionReader(
-          partition.asInstanceOf[LogfmtChunk], schema, conf.value)
+          partition.asInstanceOf[LogfmtChunk], schema, conf.value,
+          filters, nOut)
     }
   }
 }
@@ -229,8 +258,11 @@ private[sources] class LogfmtScan(requiredSchema: StructType,
   * multi-byte UTF-8 and both newline conventions.
   */
 private[sources] class LogfmtPartitionReader(chunk: LogfmtChunk,
-    schema: StructType, conf: Configuration)
+    schema: StructType, conf: Configuration,
+    filters: Array[sources.Filter] = Array.empty, nOutput: Int = -1)
     extends PartitionReader[InternalRow] {
+
+  private val nOut = if (nOutput < 0) schema.length else nOutput
 
   private val end = chunk.start + chunk.length
   private val path = new Path(chunk.path)
@@ -251,29 +283,136 @@ private[sources] class LogfmtPartitionReader(chunk: LogfmtChunk,
       f.name -> ((i, f.dataType))
     }.toMap
 
+  private val fieldIdx: Map[String, Int] =
+    schema.fieldNames.zipWithIndex.toMap
+
   override def next(): Boolean = {
     // a line is ours iff it STARTS at or before `end` (the chunk owning
-    // byte `end` reads it via its discarded-first-line rule)
-    if (pos > end) return false
-    val n = lines.readLine(buf)
-    if (n == 0) return false
-    pos += n
-    row = parse(buf.toString)
-    true
+    // byte `end` reads it via its discarded-first-line rule); pushed
+    // filters reject at parse time, before any row reaches the engine
+    while (pos <= end) {
+      val n = lines.readLine(buf)
+      if (n == 0) return false
+      pos += n
+      val values = parse(buf.toString)
+      if (filters.forall(LogfmtFilters.eval(_, k =>
+          fieldIdx.get(k).map(values(_)).orNull))) {
+        row = new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(
+            if (nOut == values.length) values
+            else java.util.Arrays.copyOfRange(
+              values.asInstanceOf[Array[AnyRef]], 0, nOut)
+              .asInstanceOf[Array[Any]])
+        return true
+      }
+    }
+    false
   }
 
-  private def parse(line: String): InternalRow = {
+  private def parse(line: String): Array[Any] = {
     val values = new Array[Any](schema.length)
     for (m <- LogfmtParse.token.findAllMatchIn(line)) {
       wanted.get(m.group(1)).foreach { case (i, dt) =>
         values(i) = LogfmtParse.convert(m.group(2), dt)
       }
     }
-    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
+    values
   }
 
   override def get(): InternalRow = row
   override def close(): Unit = in.close()
+}
+
+/** Exact interpreter for the v1 `sources.Filter` tree over parsed
+  * logfmt values. A filter accepted by `supported` is FULLY handled at
+  * parse time (Spark drops its re-evaluation), so the comparison
+  * semantics here must match Catalyst's: null never satisfies anything
+  * except IsNull, and comparisons are typed (UTF8String vs String,
+  * exact integer vs widened double).
+  */
+private[sources] object LogfmtFilters {
+  import org.apache.spark.sql.sources._
+
+  def supported(f: Filter, schema: StructType): Boolean = {
+    def known(attr: String): Boolean = schema.fieldNames.contains(attr)
+    f match {
+      case EqualTo(a, _) => known(a)
+      case GreaterThan(a, _) => known(a)
+      case GreaterThanOrEqual(a, _) => known(a)
+      case LessThan(a, _) => known(a)
+      case LessThanOrEqual(a, _) => known(a)
+      case In(a, _) => known(a)
+      case IsNull(a) => known(a)
+      case IsNotNull(a) => known(a)
+      case StringStartsWith(a, _) => known(a)
+      case StringEndsWith(a, _) => known(a)
+      case StringContains(a, _) => known(a)
+      case And(l, r) => supported(l, schema) && supported(r, schema)
+      case Or(l, r) => supported(l, schema) && supported(r, schema)
+      case Not(c) => supported(c, schema)
+      case _ => false
+    }
+  }
+
+  private def cmp(x: Any, lit: Any): Option[Int] = (x, lit) match {
+    case (null, _) | (_, null) => None
+    // binary UTF8String order — matches Catalyst, which differs from
+    // String.compareTo (UTF-16 code units) above the BMP
+    case (a: UTF8String, b: String) =>
+      Some(a.compareTo(UTF8String.fromString(b)))
+    case (a: java.lang.Long, b: Number) =>
+      Some(java.lang.Long.compare(a, b.longValue()))
+    case (a: java.lang.Double, b: Number) =>
+      Some(java.lang.Double.compare(a, b.doubleValue()))
+    case (a: java.lang.Boolean, b: java.lang.Boolean) =>
+      Some(a.compareTo(b))
+    case _ => None
+  }
+
+  private def str(x: Any): Option[String] = x match {
+    case s: UTF8String => Some(s.toString)
+    case _ => None
+  }
+
+  /** SQL three-valued logic: None = UNKNOWN (a null reached a
+    * comparison). `Not(UNKNOWN)` stays UNKNOWN — the one case a
+    * two-valued interpreter gets wrong and silently un-drops rows.
+    */
+  private def tri(f: Filter, get: String => Any): Option[Boolean] =
+    f match {
+      case sources.EqualTo(a, v) => cmp(get(a), v).map(_ == 0)
+      case sources.GreaterThan(a, v) => cmp(get(a), v).map(_ > 0)
+      case sources.GreaterThanOrEqual(a, v) => cmp(get(a), v).map(_ >= 0)
+      case sources.LessThan(a, v) => cmp(get(a), v).map(_ < 0)
+      case sources.LessThanOrEqual(a, v) => cmp(get(a), v).map(_ <= 0)
+      case sources.In(a, vs) =>
+        val rs = vs.map(v => cmp(get(a), v).map(_ == 0))
+        if (rs.exists(_.contains(true))) Some(true)
+        else if (rs.exists(_.isEmpty)) None
+        else Some(false)
+      case sources.IsNull(a) => Some(get(a) == null)
+      case sources.IsNotNull(a) => Some(get(a) != null)
+      case sources.StringStartsWith(a, p) =>
+        str(get(a)).map(_.startsWith(p))
+      case sources.StringEndsWith(a, p) => str(get(a)).map(_.endsWith(p))
+      case sources.StringContains(a, p) => str(get(a)).map(_.contains(p))
+      case sources.And(l, r) => (tri(l, get), tri(r, get)) match {
+        case (Some(false), _) | (_, Some(false)) => Some(false)
+        case (Some(true), Some(true)) => Some(true)
+        case _ => None
+      }
+      case sources.Or(l, r) => (tri(l, get), tri(r, get)) match {
+        case (Some(true), _) | (_, Some(true)) => Some(true)
+        case (Some(false), Some(false)) => Some(false)
+        case _ => None
+      }
+      case sources.Not(c) => tri(c, get).map(!_)
+      case _ => Some(false)
+    }
+
+  /** A row survives a WHERE only on TRUE (UNKNOWN filters out). */
+  def eval(f: Filter, get: String => Any): Boolean =
+    tri(f, get).contains(true)
 }
 
 private[sources] object LogfmtParse {

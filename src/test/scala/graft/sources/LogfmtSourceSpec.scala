@@ -98,6 +98,38 @@ class LogfmtSourceSpec extends SparkSpec {
       (0 until 50).map(i => s"x$i").toSet)
   }
 
+  test("filter pushdown: scan-level reject, Filter node gone, 3VL nulls") {
+    val dir = writeLogfmt("push", Seq(
+      "a=1 b=x c=1.5", "a=2 b=y c=2.5", "a=3 c=3.5", "b=z c=0.5"))
+    val df = spark.read.format("graft-logfmt").load(dir)
+    import org.apache.spark.sql.functions.col
+
+    // fully-pushed equality: no FilterExec survives in the plan
+    val eq = df.filter(col("a") === 2)
+    val plan = eq.queryExecution.executedPlan.toString
+    assert(!plan.contains("Filter ("), s"filter not fully pushed:\n$plan")
+    assert(plan.contains("PushedFilters"), s"no pushed filters:\n$plan")
+    assert(eq.collect().map(_.getAs[String]("b")).toSeq == Seq("y"))
+
+    // range + string predicates, filter column pruned from the output
+    assert(df.filter(col("c") > 1.0 && col("c") < 3.0).select("b")
+      .collect().map(r => Option(r.getString(0))).toSet ==
+      Set(Some("x"), Some("y")))
+    assert(df.filter(col("b").startsWith("x")).count() == 1)
+    assert(df.filter(col("b").isin("x", "z")).count() == 2)
+
+    // three-valued logic: NOT(a = 2) must NOT resurrect null-a rows
+    val notEq = df.filter(!(col("a") === 2))
+    assert(notEq.collect().map(r =>
+      Option(r.get(r.fieldIndex("a")))).toSet == Set(Some(1L), Some(3L)))
+    // differential: every pushed shape equals the collect-then-filter truth
+    val all = df.collect().map(r => (Option(r.get(0)).map(_.asInstanceOf[Long]),
+      Option(r.getString(1)), Option(r.get(2)).map(_.asInstanceOf[Double])))
+    assert(df.filter(col("a") >= 2).count() ==
+      all.count(_._1.exists(_ >= 2L)))
+    assert(df.filter(col("b").isNull).count() == all.count(_._2.isEmpty))
+  }
+
   test("agrees with the CLI logfmt reader on the reference fixture shape") {
     val dir = writeLogfmt("agree", Seq(
       """at=info method=GET path=/ host=h1 status=200 elapsed=12.3""",
