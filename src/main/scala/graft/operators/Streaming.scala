@@ -1024,6 +1024,41 @@ object Streaming {
       Streams.runToMemory(s,
         Streams.userRunningStats(Streams.eventsStream(s, dir)),
         "s03_custom_state", outputMode = "append")
+    },
+
+    // LEFT OUTER stream-stream interval join: null rows flush only when
+    // the watermark proves the join window closed, so the gate compares
+    // the region where that proof is certain — clicks at least 2 h
+    // (> watermark delay + join window) before the stream's max ts.
+    // Matched rows emit immediately; the oracle replays the batch left
+    // join under the same cutoff.
+    QueryDef("s23_stream_left_outer_join",
+      """WITH c AS (SELECT user_id, event_id AS click_id, ts FROM events
+        |  WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS purchase_id, ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |mx AS (SELECT least((SELECT max(ts) FROM c),
+        |                    (SELECT max(ts) FROM p)) AS m)
+        |SELECT c.user_id, c.click_id, p.purchase_id
+        |FROM c LEFT JOIN p
+        |  ON c.user_id = p.user_id
+        | AND epoch_us(p.ts) - epoch_us(c.ts) BETWEEN 1 AND 300000000
+        |WHERE epoch_us(c.ts) <=
+        |  (SELECT epoch_us(m) FROM mx) - 7200000000""".stripMargin) {
+      (s, dir) =>
+      val joined = Streams.runToMemory(s,
+        Streams.clickPurchaseLeftJoin(Streams.eventsStream(s, dir)),
+        "s23_left_outer", outputMode = "append")
+      // the global watermark is min over BOTH inputs' (max ts − delay),
+      // so the certainty cutoff keys off the SMALLER side maximum —
+      // one bounded 2-row agg over the batch table
+      val maxUs = graft.Tables.load(s, dir, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy("event_type").agg(max(unix_micros(col("ts"))).as("m"))
+        .agg(min(col("m"))).head().getLong(0)
+      joined
+        .filter(unix_micros(col("c_ts")) <= maxUs - 7200000000L)
+        .select("user_id", "click_id", "purchase_id")
     }
   )
 }

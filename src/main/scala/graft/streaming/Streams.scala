@@ -118,6 +118,35 @@ object Streams {
       .select(col("user_id"), col("click_id"), col("purchase_id"))
   }
 
+  /** LEFT OUTER stream-stream interval join: every click comes out,
+    * matched purchases attached, null-padded otherwise. The outer side
+    * is the part the inner join (s05) can't express: Spark holds each
+    * click in state until the watermark proves no matching purchase can
+    * still arrive (both sides watermarked + a two-sided time-range
+    * condition, so state is bounded), THEN emits the null row. Matched
+    * rows stream out immediately; null rows flush on watermark advance —
+    * the consumer contract is "a click is confirmed purchase-less one
+    * watermark delay after its join window closes", which is exactly
+    * the semantics a funnel/abandonment pipeline wants at scale.
+    */
+  def clickPurchaseLeftJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"),
+        col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("p_ts") > col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 5 MINUTES"),
+      "left_outer")
+      .select(col("user_id"), col("click_id"), col("c_ts"),
+        col("purchase_id"))
+  }
+
   /** Stream-static enrichment join: each streaming event is joined to a
     * STATIC per-user profile (here: the user's all-time average event
     * value, computed batch-side). Stream-static inner joins are

@@ -2105,6 +2105,36 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("s23 stream left-outer join: both matched and null rows emitted") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.SparkEntry.queries("s23_stream_left_outer_join")(
+      spark, dir).collect()
+    val (matched, unmatched) = out.partition(_.get(2) != null)
+    assert(unmatched.nonEmpty,
+      "watermark flush emitted no purchase-less clicks")
+    // the certainty cutoff keeps every pre-cutoff click exactly once per
+    // match (or once null) — cross-check totals vs the batch left join
+    val ev = graft.Tables.load(spark, dir, "events")
+    import org.apache.spark.sql.functions._
+    val maxUs = ev.filter(col("event_type").isin("click", "purchase"))
+      .groupBy("event_type").agg(max(unix_micros(col("ts"))).as("m"))
+      .agg(min(col("m"))).head().getLong(0)
+    val c = ev.filter(col("event_type") === "click")
+      .filter(unix_micros(col("ts")) <= maxUs - 7200000000L)
+      .select(col("user_id"), col("event_id").as("click_id"),
+        unix_micros(col("ts")).as("c_us"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"),
+        col("event_id").as("purchase_id"),
+        unix_micros(col("ts")).as("p_us"))
+    val batch = c.join(p, col("user_id") === col("p_user") &&
+      (col("p_us") - col("c_us")).between(1, 300000000L), "left_outer")
+    assert(out.length == batch.count(),
+      s"${out.length} streamed vs ${batch.count()} batch rows")
+    assert(matched.length ==
+      batch.filter(col("purchase_id").isNotNull).count())
+  }
+
   test("intervalJoin custom operator: overlap, bounds, nulls, partitions") {
     import spark.implicits._
     import org.apache.spark.sql.graft.IntervalJoinOps
