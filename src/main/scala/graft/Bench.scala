@@ -86,6 +86,7 @@ object Bench {
     "s16_stream_bm25_route", // per-batch BM25 vs static stats
     "x03_asof_join",      // union+window as-of composition
     "x04_range_join",     // bucketed interval join
+    "x29_interval_join_op", // custom plane-sweep IntervalJoinExec
     "f07_csv_ingest_cold", // CSV parse + agg, no cache (dsq cold analog)
     "f08_csv_ingest_warm") // cached-parquet + agg (dsq -C warm analog)
 

@@ -4354,6 +4354,123 @@ object Pipeline {
           when(col("doc_id") % 29 === 3, lit(chat)).otherwise(lit("")))
           .as("text"))
       TextAnalysis.chatSignals(planted)
+    },
+
+    // License/compliance router: three header shapes (MIT+SPDX, GPL,
+    // Apache+SPDX) are planted on disjoint doc sets; marker counts and
+    // the copyleft>permissive>spdx classification are replayed with the
+    // same length-diff and line-filter arithmetic.
+    QueryDef("p118_license_detect",
+      """WITH corpus AS (
+        |  SELECT doc_id, CASE
+        |    WHEN doc_id % 37 = 4 THEN '// Copyright 2024 Example Corp'
+        |      || chr(10) || '// SPDX-License-Identifier: MIT'
+        |      || chr(10) || 'MIT License' || chr(10)
+        |    WHEN doc_id % 37 = 11 THEN '# Copyright (c) 2020 Someone'
+        |      || chr(10) || 'This is free software under the '
+        |      || 'GNU General Public License v3 (GPL-3.0).' || chr(10)
+        |    WHEN doc_id % 37 = 18 THEN '/* Copyright 2019 Acme */'
+        |      || chr(10) || 'Licensed under the Apache License, Version 2.0'
+        |      || chr(10) || 'SPDX-License-Identifier: Apache-2.0' || chr(10)
+        |    ELSE '' END || text AS text
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |    (length(text) - length(replace(text,
+        |      'SPDX-License-Identifier:', ''))) // 24 AS spdx,
+        |    (length(text) - length(replace(text, 'MIT License', ''))) // 11
+        |    + (length(text) - length(replace(text, 'Apache License', '')))
+        |      // 14
+        |    + (length(text) - length(replace(text, 'BSD 3-Clause', '')))
+        |      // 12 AS permissive,
+        |    (length(text) - length(replace(text,
+        |      'GNU General Public License', ''))) // 26
+        |    + (length(text) - length(replace(text, 'GPL-3.0', ''))) // 7
+        |    + (length(text) - length(replace(text, 'GPL-2.0', ''))) // 7
+        |      AS copyleft,
+        |    len(list_filter(string_split(text, chr(10)),
+        |      l -> regexp_matches(l, '^\s*(//|#|/\*)? *[Cc]opyright ')))
+        |      AS cr
+        |  FROM corpus)
+        |SELECT doc_id, CAST(spdx AS BIGINT) AS n_spdx,
+        |  CAST(permissive AS BIGINT) AS n_permissive,
+        |  CAST(copyleft AS BIGINT) AS n_copyleft,
+        |  CAST(cr AS BIGINT) AS n_copyright_lines,
+        |  CASE WHEN copyleft >= 1 THEN 'copyleft'
+        |       WHEN permissive >= 1 THEN 'permissive'
+        |       WHEN spdx >= 1 THEN 'spdx-other'
+        |       ELSE 'none' END AS license_class
+        |FROM g""".stripMargin) { (s, dir) =>
+      val hdrMit = "// Copyright 2024 Example Corp\n" +
+        "// SPDX-License-Identifier: MIT\nMIT License\n"
+      val hdrGpl = "# Copyright (c) 2020 Someone\n" +
+        "This is free software under the " +
+        "GNU General Public License v3 (GPL-3.0).\n"
+      val hdrApache = "/* Copyright 2019 Acme */\n" +
+        "Licensed under the Apache License, Version 2.0\n" +
+        "SPDX-License-Identifier: Apache-2.0\n"
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 37 === 4, lit(hdrMit))
+            .when(col("doc_id") % 37 === 11, lit(hdrGpl))
+            .when(col("doc_id") % 37 === 18, lit(hdrApache))
+            .otherwise(lit("")),
+          col("text")).as("text"))
+      TextAnalysis.licenseSignals(planted)
+    },
+
+    // Numeric-content router: a price-list block (26 numeric tokens, 11
+    // currency/percent marks) is planted on one doc set; every count,
+    // fraction, and the 2-of-4 vote are replayed in RE2.
+    QueryDef("p119_numeric_profile",
+      """WITH corpus AS (
+        |  SELECT doc_id, text || CASE WHEN doc_id % 41 = 9
+        |    THEN ' Price list: $1,234.56 $2.00 $3.99 $44.10 $5 6% 7% 8%'
+        |      || ' 9,999 10.5 11 12 13 14 15 16 17 18 19 20 21.5 22,000'
+        |      || ' £23 €24 25%'
+        |    ELSE '' END AS text
+        |  FROM documents),
+        |b AS (SELECT doc_id, text,
+        |    CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g'))
+        |           = 0 THEN []
+        |         ELSE string_split_regex(
+        |           regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')
+        |    END AS toks
+        |  FROM corpus),
+        |g AS (SELECT doc_id,
+        |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+        |      AS nd,
+        |    length(text) AS nc,
+        |    len(toks) AS nt,
+        |    len(list_filter(toks, t -> regexp_matches(t,
+        |      '^[-+$€£]?[0-9][0-9,.]*%?$'))) AS nnum,
+        |    length(text) - length(regexp_replace(text, '[$€£%]', '', 'g'))
+        |      AS ncur
+        |  FROM b),
+        |v AS (SELECT doc_id, nd, nnum, ncur,
+        |    CASE WHEN nc = 0 THEN 0.0
+        |         ELSE CAST(nd AS DOUBLE) / CAST(nc AS DOUBLE) END AS df,
+        |    CASE WHEN nt = 0 THEN 0.0
+        |         ELSE CAST(nnum AS DOUBLE) / CAST(nt AS DOUBLE) END AS nf
+        |  FROM g),
+        |w AS (SELECT doc_id, nd, nnum, ncur, df, nf,
+        |    CAST(df >= 0.15 AS BIGINT) + CAST(nf >= 0.3 AS BIGINT)
+        |    + CAST(nnum >= 20 AS BIGINT) + CAST(ncur >= 5 AS BIGINT)
+        |      AS votes
+        |  FROM v)
+        |SELECT doc_id, CAST(nd AS BIGINT) AS n_digits,
+        |  CAST(nnum AS BIGINT) AS n_numeric_tokens,
+        |  CAST(ncur AS BIGINT) AS n_currency_marks,
+        |  round(df, 6) AS digit_frac, round(nf, 6) AS numeric_token_frac,
+        |  votes AS numeric_votes, votes >= 2 AS is_numeric_heavy
+        |FROM w""".stripMargin) { (s, dir) =>
+      val numBlock = " Price list: $1,234.56 $2.00 $3.99 $44.10 $5" +
+        " 6% 7% 8% 9,999 10.5 11 12 13 14 15 16 17 18 19 20 21.5 22,000" +
+        " £23 €24 25%"
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 41 === 9, lit(numBlock)).otherwise(lit("")))
+          .as("text"))
+      TextAnalysis.numericSignals(planted)
     }
   )
 

@@ -947,6 +947,74 @@ object TextAnalysis {
         .as("is_damaged"))
   }
 
+  /** License / usage-restriction detection (the compliance router a
+    * code-corpus pipeline runs before mixing: copyleft text needs
+    * different handling than permissive). Exact marker counts via the
+    * length-difference trick — SPDX tags, permissive markers (MIT /
+    * Apache / BSD), copyleft markers (GPL long + short form) — plus
+    * copyright-comment lines, classified with copyleft > permissive >
+    * spdx-only precedence. Zero shuffles; every count is replayable
+    * with replace()/list_filter in any engine.
+    */
+  def licenseSignals(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val text = col(textCol)
+    def nOf(marker: String): Column =
+      ((length(text) - length(replace(text, lit(marker), lit("")))) /
+        marker.length).cast("long")
+    val spdx = nOf("SPDX-License-Identifier:")
+    val permissive = nOf("MIT License") + nOf("Apache License") +
+      nOf("BSD 3-Clause")
+    val copyleft = nOf("GNU General Public License") + nOf("GPL-3.0") +
+      nOf("GPL-2.0")
+    val copyrightLines = size(filter(split(text, "\n"),
+      l => l.rlike("^\\s*(//|#|/\\*)? *[Cc]opyright ")))
+      .cast("long")
+    val cls = when(copyleft >= 1, lit("copyleft"))
+      .when(permissive >= 1, lit("permissive"))
+      .when(spdx >= 1, lit("spdx-other"))
+      .otherwise(lit("none"))
+    df.select(col(idCol),
+      spdx.as("n_spdx"), permissive.as("n_permissive"),
+      copyleft.as("n_copyleft"), copyrightLines.as("n_copyright_lines"),
+      cls.as("license_class"))
+  }
+
+  /** Numeric-content profile (routes tables-of-numbers / financial dumps
+    * away from the prose pipeline — high digit mass with low prose mass
+    * is a strong boilerplate/data-dump signal): exact digit count,
+    * numeric-token fraction, currency/percent marker counts, voted
+    * 2-of-4 into `is_numeric_heavy`. Zero shuffles, RE2-portable.
+    */
+  def numericSignals(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val text = col(textCol)
+    val nDigits =
+      (length(text) - length(regexp_replace(text, "[0-9]", "")))
+        .cast("long")
+    val nChars = length(text).cast("long")
+    val toks = tokens(text)
+    val nTok = size(toks).cast("long")
+    val nNumTok = size(filter(toks,
+      t => t.rlike("^[-+$€£]?[0-9][0-9,.]*%?$"))).cast("long")
+    val nCurrency = (length(text) -
+      length(regexp_replace(text, "[$€£%]", ""))).cast("long")
+    val digitFrac = when(nChars === 0, lit(0.0))
+      .otherwise(nDigits.cast("double") / nChars.cast("double"))
+    val numTokFrac = when(nTok === 0, lit(0.0))
+      .otherwise(nNumTok.cast("double") / nTok.cast("double"))
+    val votes = (digitFrac >= 0.15).cast("long") +
+      (numTokFrac >= 0.3).cast("long") +
+      (nNumTok >= 20).cast("long") +
+      (nCurrency >= 5).cast("long")
+    df.select(col(idCol),
+      nDigits.as("n_digits"), nNumTok.as("n_numeric_tokens"),
+      nCurrency.as("n_currency_marks"),
+      round(digitFrac, 6).as("digit_frac"),
+      round(numTokFrac, 6).as("numeric_token_frac"),
+      votes.as("numeric_votes"), (votes >= 2).as("is_numeric_heavy"))
+  }
+
   /** Chat/instruction-format detection (the router that sends dialogue
     * data to a turn-structured parser instead of the prose pipeline):
     * counts role-marker lines (`User:`/`Human:`/`Q:` vs `Assistant:`/

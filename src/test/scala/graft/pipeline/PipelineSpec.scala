@@ -2245,6 +2245,42 @@ class PipelineSpec extends SparkSpec {
     assert(out(4L) == ((0L, 0L, 0L, 0L, false)), s"${out(4L)}")
   }
 
+  test("licenseSignals: precedence, marker counts, lookalikes") {
+    import spark.implicits._
+    val mit = "// Copyright 2024 Acme\nMIT License\ntext follows"
+    // both copyleft and permissive markers → copyleft wins
+    val dual = "Apache License here but also GNU General Public License"
+    val spdxOnly = "SPDX-License-Identifier: MPL-2.0\ncode"
+    // 'copyrighted' (no trailing space after 'copyright') must not count
+    val look = "this text is copyrighted material, MIT Licensed even"
+    val d = Seq((1L, mit), (2L, dual), (3L, spdxOnly), (4L, look))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.licenseSignals(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))).toMap
+    assert(out(1L) == ((0L, 1L, 0L, 1L, "permissive")), s"${out(1L)}")
+    assert(out(2L) == ((0L, 1L, 1L, 0L, "copyleft")), s"${out(2L)}")
+    assert(out(3L) == ((1L, 0L, 0L, 0L, "spdx-other")), s"${out(3L)}")
+    // 'MIT Licensed' contains the 'MIT License' marker (substring
+    // semantics are the documented contract), so doc 4 is permissive;
+    // but 'copyrighted' has no space after 'copyright' → line count 0
+    assert(out(4L)._4 == 0L && out(4L)._5 == "permissive", s"${out(4L)}")
+  }
+
+  test("numericSignals: price table trips the vote, prose does not") {
+    import spark.implicits._
+    val table = (1 to 25).map(i => s"$$${i}.50").mkString(" ")
+    val prose = "a sentence with one number 42 and mostly ordinary words"
+    val d = Seq((1L, table), (2L, prose), (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.numericSignals(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(6), r.getBoolean(7)))).toMap
+    // 25 numeric tokens, 25 currency marks → all four votes
+    assert(out(1L) == ((25L, 25L, 4L, true)), s"${out(1L)}")
+    assert(out(2L)._3 == 0L && !out(2L)._4, s"${out(2L)}")
+    assert(out(3L) == ((0L, 0L, 0L, false)), s"${out(3L)}")
+  }
+
   test("chatSignals: dialogue votes in, prose with a colon does not") {
     import spark.implicits._
     val chat = "User: hi\nAssistant: hello\nUser: ok?\nAssistant: yes"
