@@ -4471,6 +4471,48 @@ object Pipeline {
           when(col("doc_id") % 41 === 9, lit(numBlock)).otherwise(lit("")))
           .as("text"))
       TextAnalysis.numericSignals(planted)
+    },
+
+    // Winnowing (MOSS) fingerprint dedup: k=8/w=4 window-min selection
+    // with the ≥11-char shared-substring detection guarantee. The
+    // oracle replays the FULL selection — positional md5 8-grams,
+    // per-window min over the zero-padded (hash, position) composite,
+    // distinct per-doc hashes, pair counts — so every selected
+    // fingerprint must match bit-for-bit. Planted near-copies (shared
+    // ~800-char prefix) must surface with large n_shared.
+    QueryDef("p120_winnow_pairs",
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text || ' appended' AS text
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |pos AS (
+        |  SELECT doc_id, text, unnest(range(0, length(text) - 7, 1)) AS p
+        |  FROM corpus WHERE length(text) >= 11),
+        |g AS (SELECT doc_id, p, md5(substr(text, p + 1, 8)) AS h
+        |  FROM pos),
+        |win AS (
+        |  SELECT doc_id, unnest(range(0, length(text) - 10, 1)) AS j
+        |  FROM corpus WHERE length(text) >= 11),
+        |sel AS (
+        |  SELECT w.doc_id, w.j,
+        |    min(g.h || lpad(CAST(g.p AS VARCHAR), 10, '0')) AS key
+        |  FROM win w JOIN g ON g.doc_id = w.doc_id
+        |    AND g.p BETWEEN w.j AND w.j + 3
+        |  GROUP BY 1, 2),
+        |fp AS (SELECT DISTINCT doc_id, substr(key, 1, 32) AS h FROM sel),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n
+        |  FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, CAST(n AS BIGINT) AS n_shared
+        |FROM pairs WHERE n >= 20""".stripMargin) { (s, dir) =>
+      val d = t(s, dir, "documents").select("doc_id", "text")
+        .filter(col("doc_id") % 5 === 0)
+      val plants = d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" appended")).as("text"))
+      Dedup.winnowPairs(d.unionAll(plants), k = 8, w = 4, minShared = 20)
     }
   )
 

@@ -1076,4 +1076,55 @@ object Dedup {
       .agg(count(lit(1)).as("n_pairs"),
         countDistinct("id_b").as("n_docs_removed"))
   }
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
+    * MOSS algorithm): hash every char k-gram, slide a window of w
+    * consecutive hashes, keep each window's minimum (ties to the
+    * earliest position), dedupe. GUARANTEE: any shared substring of
+    * length ≥ w+k−1 yields a shared fingerprint — a detection floor the
+    * probabilistic sketches (minhash/simhash) can't promise — at an
+    * expected density of ~2/(w+1) selected positions.
+    *
+    * Shape: per-doc higher-order-function projection (positions →
+    * hashes → window minima) — the TEXT never shuffles; only the
+    * exploded (doc, hash, pos) fingerprints do. The hash is md5-hex so
+    * any engine replays the selection bit-for-bit; a production
+    * deployment swaps xxhash64 in (selection logic is hash-agnostic)
+    * to drop the hex materialization. The O(n·w) window-min is HOF
+    * arithmetic inside codegen; a native one-pass monotone-deque
+    * expression is the upgrade path if w grows large.
+    */
+  def winnowFingerprints(df: DataFrame, k: Int = 8, w: Int = 4,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k >= 1 && w >= 1, "winnow: k and w must be >= 1")
+    val text = col(textCol)
+    val n = length(text)
+    // positional k-gram hashes as struct(h, p) — struct ordering gives
+    // min-by-(hash, position), i.e. earliest-min tie-break
+    val grams = transform(sequence(lit(0), n - k),
+      i => struct(md5(substring(text, i + 1, lit(k))).as("h"), i.as("p")))
+    val nWin = n - k - w + lit(2) // windows j = 0 .. n-k-w+1
+    val selected = transform(sequence(lit(0), nWin - 1),
+      j => array_min(slice(grams, j + 1, lit(w))))
+    df.filter(n >= k + w - 1)
+      .select(col(idCol), explode(array_distinct(selected)).as("fp"))
+      .select(col(idCol), col("fp.h").as("h"), col("fp.p").as("p"))
+  }
+
+  /** Cross-doc winnowing candidates: pairs sharing ≥ minShared selected
+    * hashes (id_a < id_b). Join is on the fingerprint HASH only — the
+    * sharing guarantee is positional-shift-proof by construction.
+    */
+  def winnowPairs(df: DataFrame, k: Int = 8, w: Int = 4,
+      minShared: Int = 2, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val fp = winnowFingerprints(df, k, w, idCol, textCol)
+      .select(col(idCol).as("id"), col("h")).distinct()
+    fp.select(col("id").as("id_a"), col("h"))
+      .join(fp.select(col("id").as("id_b"), col("h")), "h")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

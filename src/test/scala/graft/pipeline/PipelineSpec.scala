@@ -2245,6 +2245,51 @@ class PipelineSpec extends SparkSpec {
     assert(out(4L) == ((0L, 0L, 0L, 0L, false)), s"${out(4L)}")
   }
 
+  test("winnowing: shared-substring guarantee and selection density") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def randText(n: Int): String =
+      (1 to n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val shared = randText(40) // >> w+k-1 = 11
+    val a = randText(200) + shared + randText(200)
+    val b = randText(150) + shared + randText(250)
+    val c = randText(400) // unrelated
+    val d = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    // guarantee: a 40-char shared substring MUST produce shared
+    // fingerprints between 1 and 2 (k=8, w=4 → floor 11)
+    val pairSet = graft.pipeline.Dedup.winnowPairs(d, 8, 4, 1)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet.contains((1L, 2L)),
+      s"guarantee violated: shared 40-char substring not detected ($pairSet)")
+    // random 26-letter text: cross-doc 8-gram collisions are ~0, so the
+    // unrelated doc pairs up with nobody
+    assert(!pairSet.exists(p => p._1 == 3L || p._2 == 3L), s"$pairSet")
+    // density: expected ~2/(w+1) = 0.4 of positions selected; allow wide
+    // slack but catch select-everything / select-nothing bugs
+    val nFp = graft.pipeline.Dedup.winnowFingerprints(d, 8, 4)
+      .filter($"doc_id" === 3L).count()
+    val positions = 400 - 8 + 1
+    assert(nFp > positions / 10 && nFp < positions * 8 / 10,
+      s"density off: $nFp of $positions")
+  }
+
+  test("winnowing: selection is deterministic and shift-invariant on h") {
+    import spark.implicits._
+    // same content at different offsets selects the same HASH set
+    val core = "the quick brown fox jumps over the lazy dog again and again"
+    val d = Seq((1L, core), (2L, "XYZprefixXYZ " + core)).toDF("doc_id", "text")
+    val fps = graft.pipeline.Dedup.winnowFingerprints(d, 8, 4).collect()
+      .groupBy(_.getLong(0))
+    val h1 = fps(1L).map(_.getString(1)).toSet
+    val h2 = fps(2L).map(_.getString(1)).toSet
+    // every doc-1 fingerprint whose window lies fully in the shared
+    // suffix must reappear in doc 2 (position-independent h join key)
+    assert((h1 -- h2).isEmpty || (h1 & h2).size >= h1.size - 3,
+      s"shift broke hash fingerprints: ${(h1 -- h2).size} lost of ${h1.size}")
+    assert((h1 & h2).nonEmpty)
+  }
+
   test("licenseSignals: precedence, marker counts, lookalikes") {
     import spark.implicits._
     val mit = "// Copyright 2024 Acme\nMIT License\ntext follows"
