@@ -4501,9 +4501,11 @@ object Pipeline {
         |    AND g.p BETWEEN w.j AND w.j + 3
         |  GROUP BY 1, 2),
         |fp AS (SELECT DISTINCT doc_id, substr(key, 1, 32) AS h FROM sel),
+        |rare AS (SELECT h FROM fp GROUP BY h HAVING count(*) <= 50),
+        |fpk AS (SELECT fp.* FROM fp JOIN rare USING (h)),
         |pairs AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n
-        |  FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  FROM fpk a JOIN fpk b ON a.h = b.h AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)
         |SELECT id_a, id_b, CAST(n AS BIGINT) AS n_shared
         |FROM pairs WHERE n >= 20""".stripMargin) { (s, dir) =>
@@ -4512,7 +4514,8 @@ object Pipeline {
       val plants = d.filter(col("doc_id") % 10 === 0)
         .select((col("doc_id") + 1000000).as("doc_id"),
           concat(col("text"), lit(" appended")).as("text"))
-      Dedup.winnowPairs(d.unionAll(plants), k = 8, w = 4, minShared = 20)
+      Dedup.winnowPairs(d.unionAll(plants), k = 8, w = 4, minShared = 20,
+        maxDf = 50)
     }
   )
 

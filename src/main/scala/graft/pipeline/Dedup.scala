@@ -1085,43 +1085,59 @@ object Dedup {
     * probabilistic sketches (minhash/simhash) can't promise — at an
     * expected density of ~2/(w+1) selected positions.
     *
-    * Shape: per-doc higher-order-function projection (positions →
-    * hashes → window minima) — the TEXT never shuffles; only the
-    * exploded (doc, hash, pos) fingerprints do. The hash is md5-hex so
-    * any engine replays the selection bit-for-bit; a production
-    * deployment swaps xxhash64 in (selection logic is hash-agnostic)
-    * to drop the hex materialization. The O(n·w) window-min is HOF
-    * arithmetic inside codegen; a native one-pass monotone-deque
-    * expression is the upgrade path if w grows large.
+    * Shape: one narrow pass hashes each position EXACTLY once (explode
+    * of the position range — the all-HOF form was measured 184 s at
+    * sf0.1 because the per-window lambda re-evaluated the whole k-gram
+    * array, the p86 projection-collapse trap, O(n²) md5), then the
+    * window minimum runs over a (doc)-clustered sort of (id, p, h) —
+    * the TEXT never shuffles. The hash is md5-hex so any engine replays
+    * the selection bit-for-bit; a production deployment swaps xxhash64
+    * in (selection logic is hash-agnostic).
     */
   def winnowFingerprints(df: DataFrame, k: Int = 8, w: Int = 4,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(k >= 1 && w >= 1, "winnow: k and w must be >= 1")
     val text = col(textCol)
-    val n = length(text)
-    // positional k-gram hashes as struct(h, p) — struct ordering gives
-    // min-by-(hash, position), i.e. earliest-min tie-break
-    val grams = transform(sequence(lit(0), n - k),
-      i => struct(md5(substring(text, i + 1, lit(k))).as("h"), i.as("p")))
-    val nWin = n - k - w + lit(2) // windows j = 0 .. n-k-w+1
-    val selected = transform(sequence(lit(0), nWin - 1),
-      j => array_min(slice(grams, j + 1, lit(w))))
-    df.filter(n >= k + w - 1)
-      .select(col(idCol), explode(array_distinct(selected)).as("fp"))
-      .select(col(idCol), col("fp.h").as("h"), col("fp.p").as("p"))
+    val hashes = df.filter(length(text) >= k + w - 1)
+      .select(col(idCol), length(text).as("len"), text.as("__t"),
+        explode(sequence(lit(0), length(text) - k)).as("p"))
+      .select(col(idCol), col("len"), col("p"),
+        md5(substring(col("__t"), col("p") + 1, lit(k))).as("h"))
+    // min-by-(hash, position) per full window — struct ordering gives
+    // the earliest-min tie-break; partial tail windows are excluded
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("p").rowsBetween(0, w - 1)
+    hashes
+      .withColumn("sel", min(struct(col("h"), col("p"))).over(win))
+      .filter(col("p") <= col("len") - k - w + 1)
+      .select(col(idCol), col("sel.h").as("h"), col("sel.p").as("p"))
+      .distinct()
   }
 
   /** Cross-doc winnowing candidates: pairs sharing ≥ minShared selected
     * hashes (id_a < id_b). Join is on the fingerprint HASH only — the
     * sharing guarantee is positional-shift-proof by construction.
+    *
+    * `maxDf` caps each fingerprint's document frequency before the
+    * self-join (the p45 inverted-index rule): a ubiquitous 8-gram
+    * (" of the ") lands in thousands of docs and alone contributes
+    * df² pairs — measured 159 s at sf0.1 uncapped vs ~2 s capped —
+    * while carrying zero dedup signal. Work is bounded at
+    * (#hashes)·maxDf²; near-copies keep their doc-SPECIFIC shared
+    * fingerprints, which is what the pair count should measure.
     */
   def winnowPairs(df: DataFrame, k: Int = 8, w: Int = 4,
-      minShared: Int = 2, idCol: String = "doc_id",
+      minShared: Int = 2, maxDf: Int = 50, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val fp = winnowFingerprints(df, k, w, idCol, textCol)
       .select(col(idCol).as("id"), col("h")).distinct()
-    fp.select(col("id").as("id_a"), col("h"))
-      .join(fp.select(col("id").as("id_b"), col("h")), "h")
+    val rare = fp.groupBy("h")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select("h")
+    val kept = fp.join(rare, "h")
+    kept.select(col("id").as("id_a"), col("h"))
+      .join(kept.select(col("id").as("id_b"), col("h")), "h")
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("n_shared"))
