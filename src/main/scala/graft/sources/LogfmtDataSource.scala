@@ -204,8 +204,29 @@ private[sources] case class LogfmtChunk(path: String, start: Long,
 private[sources] class LogfmtScan(requiredSchema: StructType,
     options: CaseInsensitiveStringMap,
     pushedFilters: Array[sources.Filter] = Array.empty,
-    fullSchema: StructType = StructType(Nil)) extends Scan with Batch {
+    fullSchema: StructType = StructType(Nil))
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = requiredSchema
+
+  /** Size-on-disk statistics so the optimizer can make broadcast /
+    * join-strategy decisions about this source exactly as it does for
+    * the built-in file formats (sizeInBytes = sum of file lengths,
+    * scaled by the column-pruning ratio).
+    */
+  override def estimateStatistics(): Statistics = {
+    val conf = LogfmtDataSource.hadoopConf()
+    val bytes = LogfmtDataSource.listFiles(options, conf)
+      .map(_.getLen).sum
+    val ratio =
+      if (fullSchema.isEmpty || fullSchema.length == 0) 1.0
+      else math.max(1, requiredSchema.length).toDouble / fullSchema.length
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(math.max(1L, (bytes * ratio).toLong))
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+  }
   override def description(): String =
     s"graft-logfmt ReadSchema: ${requiredSchema.simpleString}, " +
       s"PushedFilters: [${pushedFilters.mkString(", ")}]"

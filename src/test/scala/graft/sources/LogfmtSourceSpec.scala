@@ -130,6 +130,29 @@ class LogfmtSourceSpec extends SparkSpec {
     assert(df.filter(col("b").isNull).count() == all.count(_._2.isEmpty))
   }
 
+  test("statistics: size-on-disk reaches the optimizer, broadcast picked") {
+    val dir = writeLogfmt("stats", (0 until 40).map(i => s"id=$i tag=t$i"))
+    val df = spark.read.format("graft-logfmt").load(dir)
+    val scan = df.queryExecution.executedPlan.collect {
+      case s: BatchScanExec => s.scan
+    }.head
+    val stats = scan.asInstanceOf[
+      org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics()
+    val fileBytes = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".logfmt")).map(_.length).sum
+    assert(stats.sizeInBytes.getAsLong == fileBytes,
+      s"${stats.sizeInBytes} != $fileBytes")
+    // a KB-sized source joined to a big table must broadcast
+    import org.apache.spark.sql.functions.col
+    val big = spark.range(100000).withColumnRenamed("id", "id2")
+    val joined = big.join(df, col("id2") === col("id"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"small DSv2 side not broadcast:\n$plan")
+    assert(joined.count() == 40)
+  }
+
   test("agrees with the CLI logfmt reader on the reference fixture shape") {
     val dir = writeLogfmt("agree", Seq(
       """at=info method=GET path=/ host=h1 status=200 elapsed=12.3""",
