@@ -1059,6 +1059,57 @@ object Streaming {
       joined
         .filter(unix_micros(col("c_ts")) <= maxUs - 7200000000L)
         .select("user_id", "click_id", "purchase_id")
+    },
+
+    // The DSv2 logfmt source's STREAMING tier: events staged as two
+    // logfmt files, ingested by two separate runs sharing one
+    // checkpoint — run 2 must resume from the committed file-name
+    // high-watermark (only batch-001 replans) and restore the
+    // aggregation state, so the final complete-mode table equals the
+    // batch aggregate over BOTH halves.
+    QueryDef("s24_stream_logfmt_source",
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+      val root = java.nio.file.Files.createTempDirectory("graft_s24")
+      val src = s"$root/in"
+      new java.io.File(src).mkdirs()
+      val ckpt = s"$root/ckpt"
+      val ev = graft.Tables.load(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      def stage(name: String, half: Int): Unit = {
+        val tmp = s"$root/_stage"
+        ev.filter(col("event_id") % 2 === half)
+          .select(concat(
+            lit("event_id="), col("event_id"),
+            lit(" event_type="), col("event_type"),
+            lit(" value="), col("value")).as("value"))
+          .coalesce(1).write.mode("overwrite").text(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".txt")).get
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(src, name))
+        rmTree(new java.io.File(tmp))
+      }
+      def runOnce(): Unit = {
+        val q = s.readStream.format("graft-logfmt").load(src)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,3)")).cast("double")
+              .as("sum_value"))
+          .writeStream
+          .format("memory").queryName("s24_counts")
+          .outputMode("complete")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      stage("batch-000.logfmt", 0)
+      runOnce()
+      stage("batch-001.logfmt", 1)
+      runOnce()
+      s.table("s24_counts")
     }
   )
 }

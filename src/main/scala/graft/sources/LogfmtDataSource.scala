@@ -164,7 +164,8 @@ private[sources] class LogfmtTable(tableSchema: StructType,
     s"graft-logfmt:${Option(options.get("path")).getOrElse("?")}"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(
       caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder = {
     // .load(path) lands in the table properties; scan options can
@@ -231,6 +232,14 @@ private[sources] class LogfmtScan(requiredSchema: StructType,
     s"graft-logfmt ReadSchema: ${requiredSchema.simpleString}, " +
       s"PushedFilters: [${pushedFilters.mkString(", ")}]"
   override def toBatch: Batch = this
+
+  /** Streaming tier of the same source: file-name high-watermark
+    * micro-batches (see [[LogfmtMicroBatchStream]]).
+    */
+  override def toMicroBatchStream(
+      checkpointLocation: String): org.apache.spark.sql.connector.read
+      .streaming.MicroBatchStream =
+    new LogfmtMicroBatchStream(this, options)
 
   /** Parse schema = required ∪ filter-referenced fields: a fully-pushed
     * filter's column may be pruned from the output, but the reader still
@@ -342,6 +351,79 @@ private[sources] class LogfmtPartitionReader(chunk: LogfmtChunk,
 
   override def get(): InternalRow = row
   override def close(): Unit = in.close()
+}
+
+/** Offset for the logfmt stream: the highest file NAME ingested. The
+  * contract is append-ordered naming (log-rotation style `name-<ts>` /
+  * `batch-NNN`) — a new file must sort above every already-committed
+  * one, which also makes the offset a single compact string in the
+  * checkpoint log rather than an ever-growing seen-files set.
+  */
+private[sources] case class LogfmtOffset(maxName: String)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = {
+    val escaped = maxName.replace("\\", "\\\\").replace("\"", "\\\"")
+    s"""{"maxName":"$escaped"}"""
+  }
+}
+
+/** Micro-batch streaming over a logfmt directory: each trigger ingests
+  * every file whose name sorts above the committed high-watermark,
+  * split into the same line-aligned chunks as the batch path (same
+  * reader factory, same pushed filters and pruning). Offsets live in
+  * the standard checkpoint log, so a restarted query resumes exactly
+  * where it stopped — the gate drives two separate runs through one
+  * checkpoint and requires the union to equal the batch read.
+  */
+private[sources] class LogfmtMicroBatchStream(scan: LogfmtScan,
+    options: CaseInsensitiveStringMap)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private val conf = LogfmtDataSource.hadoopConf()
+
+  override def initialOffset(): Offset = LogfmtOffset("")
+
+  override def latestOffset(): Offset = {
+    val names = LogfmtDataSource.listFiles(options, conf)
+      .map(_.getPath.getName)
+    LogfmtOffset(if (names.isEmpty) "" else names.max)
+  }
+
+  override def deserializeOffset(json: String): Offset = {
+    // minimal parse of {"maxName":"..."}
+    val m = """"maxName"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+      .findFirstMatchIn(json)
+    LogfmtOffset(m.map(_.group(1).replace("\\\"", "\"")
+      .replace("\\\\", "\\")).getOrElse(""))
+  }
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[LogfmtOffset].maxName
+    val hi = end.asInstanceOf[LogfmtOffset].maxName
+    val splitBytes = Option(options.get("maxSplitBytes"))
+      .map(_.toLong).getOrElse(128L * 1024 * 1024)
+    LogfmtDataSource.listFiles(options, conf)
+      .filter { st =>
+        val n = st.getPath.getName
+        n > lo && n <= hi
+      }
+      .flatMap { st =>
+        val len = st.getLen
+        if (len == 0) Seq.empty
+        else (0L until len by splitBytes).map { off =>
+          LogfmtChunk(st.getPath.toString, off,
+            math.min(splitBytes, len - off))
+        }
+      }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    scan.createReaderFactory()
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 /** Exact interpreter for the v1 `sources.Filter` tree over parsed
