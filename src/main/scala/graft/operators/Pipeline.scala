@@ -4516,6 +4516,51 @@ object Pipeline {
           concat(col("text"), lit(" appended")).as("text"))
       Dedup.winnowPairs(d.unionAll(plants), k = 8, w = 4, minShared = 20,
         maxDf = 50)
+    },
+
+    // Boilerplate line removal: a newsletter-footer line planted on
+    // every 7th doc crosses the df>=10 rule and must vanish from every
+    // carrier; the oracle replays digest selection AND the positional
+    // rebuild, gated by md5 of the cleaned text.
+    QueryDef("p121_boilerplate_lines",
+      """WITH corpus AS (
+        |  SELECT doc_id, text || CASE WHEN doc_id % 7 = 2
+        |    THEN chr(10) ||
+        |      'Subscribe to our newsletter today for more content'
+        |    ELSE '' END AS text
+        |  FROM documents),
+        |el AS (SELECT DISTINCT doc_id, md5(trim(l)) AS dg FROM (
+        |    SELECT doc_id, unnest(string_split(text, chr(10))) AS l
+        |    FROM corpus)
+        |  WHERE length(trim(l)) >= 10),
+        |cm AS (SELECT dg FROM (
+        |    SELECT dg, count(*) AS cnt FROM el GROUP BY dg
+        |    HAVING count(*) >= 10
+        |    ORDER BY cnt DESC, dg LIMIT 1000)),
+        |s AS (SELECT doc_id, string_split(text, chr(10)) AS ln
+        |  FROM corpus),
+        |lp AS (SELECT doc_id, ln,
+        |    unnest(range(1, len(ln) + 1)) AS pos
+        |  FROM s),
+        |l2 AS (SELECT doc_id, pos, ln[pos] AS l FROM lp),
+        |keep AS (SELECT doc_id, pos, l FROM l2
+        |  WHERE NOT (length(trim(l)) >= 10
+        |    AND md5(trim(l)) IN (SELECT dg FROM cm))),
+        |cl AS (SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(l, chr(10) ORDER BY pos) AS clean
+        |  FROM keep GROUP BY doc_id)
+        |SELECT s.doc_id, CAST(len(s.ln) AS BIGINT) AS n_lines,
+        |  CAST(len(s.ln) - coalesce(cl.n_kept, 0) AS BIGINT) AS n_removed,
+        |  md5(coalesce(cl.clean, '')) AS clean_dg
+        |FROM s LEFT JOIN cl ON s.doc_id = cl.doc_id""".stripMargin) {
+      (s, dir) =>
+      val footer = "\nSubscribe to our newsletter today for more content"
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 7 === 2, lit(footer)).otherwise(lit("")))
+          .as("text"))
+      Corpus.boilerplateLineRemoval(planted, minDf = 10, minLen = 10,
+        topK = 1000)
     }
   )
 

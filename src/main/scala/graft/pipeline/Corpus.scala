@@ -1111,4 +1111,46 @@ object Corpus {
         round(log(col("cum_types").cast("double")) /
           log(col("cum_tokens").cast("double")), 6).as("heaps"))
   }
+
+  /** Corpus-frequency boilerplate LINE removal (the CCNet line-dedup
+    * rule: a line appearing verbatim in many documents is navigation /
+    * footer / cookie-banner chrome, not content). Two passes:
+    *
+    *  1. count pass — per-doc DISTINCT md5 digests of eligible lines
+    *     (trimmed length ≥ minLen; short separators and blanks are
+    *     structure, not boilerplate) roll up to document frequencies;
+    *     only 32-hex digests shuffle, never line text.
+    *  2. rebuild pass — the common set (df ≥ minDf, capped at topK by
+    *     (df desc, digest) for a deterministic bound) is collected to
+    *     the driver (boilerplate is by definition FEW distinct lines —
+    *     the cap makes the worst case explicit, the IVF-centroid
+    *     precedent) and compiled into the projection as a literal
+    *     array probe: the rebuild is then zero-shuffle per-row HOF
+    *     arithmetic, text never leaves its partition.
+    */
+  def boilerplateLineRemoval(df: DataFrame, minDf: Int = 10,
+      minLen: Int = 10, topK: Int = 1000, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val text = col(textCol)
+    def eligible(l: Column): Column = length(trim(l)) >= minLen
+    val common: Array[String] = df
+      .select(col(idCol), explode(array_distinct(
+        transform(filter(split(text, "\n"), eligible(_)),
+          l => md5(trim(l))))).as("dg"))
+      .groupBy("dg").agg(countDistinct(col(idCol)).as("cnt"))
+      .filter(col("cnt") >= minDf)
+      .orderBy(col("cnt").desc, col("dg"))
+      .limit(topK)
+      .select("dg").collect().map(_.getString(0))
+    val ln = split(text, "\n")
+    val kept = if (common.isEmpty) ln else {
+      val commonArr = array(common.map(lit).toIndexedSeq: _*)
+      filter(ln,
+        l => !(eligible(l) && array_contains(commonArr, md5(trim(l)))))
+    }
+    df.select(col(idCol),
+      size(ln).cast("long").as("n_lines"),
+      (size(ln) - size(kept)).cast("long").as("n_removed"),
+      md5(array_join(kept, "\n")).as("clean_dg"))
+  }
 }

@@ -2245,6 +2245,29 @@ class PipelineSpec extends SparkSpec {
     assert(out(4L) == ((0L, 0L, 0L, 0L, false)), s"${out(4L)}")
   }
 
+  test("boilerplateLineRemoval: footer stripped, structure preserved") {
+    import spark.implicits._
+    val footer = "All rights reserved by the Example Company 2024"
+    // 12 docs carry the footer (df 12 >= 10); '---' repeats everywhere
+    // but is under minLen; blank lines are never eligible
+    val docs = (1 to 12).map(i =>
+      (i.toLong, s"unique content line $i\n---\n\n$footer")) ++
+      Seq((13L, "no footer here\n---"), (14L, footer))
+    val out = Corpus.boilerplateLineRemoval(
+      docs.toDF("doc_id", "text"), minDf = 10, minLen = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(
+        s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // footer gone, separator and blank kept, unique line kept
+    assert(out(1L) == ((4L, 1L, md5hex("unique content line 1\n---\n"))),
+      s"${out(1L)}")
+    assert(out(13L) == ((2L, 0L, md5hex("no footer here\n---"))))
+    // a doc that IS only boilerplate cleans to empty
+    assert(out(14L) == ((1L, 1L, md5hex(""))), s"${out(14L)}")
+  }
+
   test("winnowing: shared-substring guarantee and selection density") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
