@@ -4561,6 +4561,86 @@ object Pipeline {
           .as("text"))
       Corpus.boilerplateLineRemoval(planted, minDf = 10, minLen = 10,
         topK = 1000)
+    },
+
+    // Rare-token privacy audit: five per-doc-unique uid tokens planted
+    // on one doc set are guaranteed df=1, so those docs must flag; the
+    // oracle recomputes the full df table, the rare join-back, and the
+    // deterministic min-token evidence pointer.
+    QueryDef("p122_rare_token_audit",
+      """WITH corpus AS (
+        |  SELECT doc_id, text || CASE WHEN doc_id % 13 = 6
+        |    THEN ' uid-' || CAST(doc_id AS VARCHAR) || '-a'
+        |      || ' uid-' || CAST(doc_id AS VARCHAR) || '-b'
+        |      || ' uid-' || CAST(doc_id AS VARCHAR) || '-c'
+        |      || ' uid-' || CAST(doc_id AS VARCHAR) || '-d'
+        |      || ' uid-' || CAST(doc_id AS VARCHAR) || '-e'
+        |    ELSE '' END AS text
+        |  FROM documents),
+        |tk AS (SELECT DISTINCT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(CASE
+        |      WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
+        |      THEN []
+        |      ELSE string_split_regex(
+        |        regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')
+        |      END) AS tok
+        |    FROM corpus)),
+        |rare AS (SELECT tok FROM tk GROUP BY tok
+        |  HAVING count(DISTINCT doc_id) <= 2),
+        |pd AS (SELECT doc_id, count(*) AS nr, min(tok) AS ex
+        |  FROM tk JOIN rare USING (tok) GROUP BY doc_id),
+        |nd AS (SELECT doc_id, count(*) AS ndt FROM tk GROUP BY doc_id)
+        |SELECT c.doc_id,
+        |  CAST(coalesce(nd.ndt, 0) AS BIGINT) AS n_distinct_tokens,
+        |  CAST(coalesce(pd.nr, 0) AS BIGINT) AS n_rare_tokens,
+        |  pd.ex AS example_rare,
+        |  coalesce(pd.nr, 0) >= 5 AS is_risky
+        |FROM corpus c LEFT JOIN pd USING (doc_id)
+        |LEFT JOIN nd USING (doc_id)""".stripMargin) { (s, dir) =>
+      val id = col("doc_id").cast("string")
+      val uids = concat(
+        lit(" uid-"), id, lit("-a"), lit(" uid-"), id, lit("-b"),
+        lit(" uid-"), id, lit("-c"), lit(" uid-"), id, lit("-d"),
+        lit(" uid-"), id, lit("-e"))
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 13 === 6, uids).otherwise(lit("")))
+          .as("text"))
+      Corpus.rareTokenAudit(planted, maxDf = 2, riskThreshold = 5)
+    },
+
+    // Curriculum staging: easiest-first global readability order cut
+    // into 4 contiguous stages. The oracle replays the p115 flesch tree
+    // and mirrors the distributed two-phase rank with ROW_NUMBER, so
+    // every rank and stage boundary must agree exactly.
+    QueryDef("p123_curriculum_stages",
+      """WITH b AS (SELECT doc_id,
+        |    CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g'))
+        |           = 0 THEN 0
+        |         ELSE len(string_split_regex(
+        |           regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'))
+        |    END AS nw,
+        |    greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS ns,
+        |    len(regexp_extract_all(lower(text), '[aeiouy]+')) AS vg
+        |  FROM documents),
+        |f AS (SELECT doc_id,
+        |    CASE WHEN nw = 0 THEN NULL ELSE
+        |      round(206.835
+        |        - 1.015 * (CAST(nw AS DOUBLE) / CAST(ns AS DOUBLE))
+        |        - 84.6 * (CAST(greatest(vg, nw) AS DOUBLE)
+        |            / CAST(nw AS DOUBLE)), 4)
+        |    END AS flesch
+        |  FROM b),
+        |r AS (SELECT doc_id, flesch,
+        |    ROW_NUMBER() OVER (ORDER BY
+        |      coalesce(flesch, -1000000000.0) DESC, doc_id) AS pos
+        |  FROM f)
+        |SELECT doc_id, flesch, CAST(pos AS BIGINT) AS curriculum_rank,
+        |  CAST(((pos - 1) * 4) // (SELECT count(*) FROM documents) + 1
+        |    AS BIGINT) AS stage
+        |FROM r""".stripMargin) { (s, dir) =>
+      Corpus.curriculumStages(
+        t(s, dir, "documents").select("doc_id", "text"), nStages = 4)
     }
   )
 

@@ -1153,4 +1153,60 @@ object Corpus {
       (size(ln) - size(kept)).cast("long").as("n_removed"),
       md5(array_join(kept, "\n")).as("clean_dg"))
   }
+
+  /** Rare-token privacy audit (the k-anonymity analog for text: a token
+    * appearing in ≤ maxDf documents is a potential identifier — serial
+    * numbers, usernames, one-off hashes — and a document DENSE in such
+    * tokens is a re-identification risk and a memorization magnet).
+    * Per-doc distinct tokens roll up to document frequencies; rare ones
+    * join back for a per-doc count plus the lexicographically-first
+    * example (deterministic evidence pointer). Only (id, token) pairs
+    * shuffle — never text.
+    */
+  def rareTokenAudit(df: DataFrame, maxDf: Int = 2,
+      riskThreshold: Int = 5, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(array_distinct(
+        graft.pipeline.TextAnalysis.tokens(col(textCol)))).as("tok"))
+    val rare = toks.groupBy("tok")
+      .agg(countDistinct("id").as("c"))
+      .filter(col("c") <= maxDf).select("tok")
+    val perDoc = toks.join(rare, "tok")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_rare"), min("tok").as("example_rare"))
+    df.select(col(idCol),
+      size(array_distinct(
+        graft.pipeline.TextAnalysis.tokens(col(textCol))))
+        .cast("long").as("n_distinct_tokens"))
+      .join(perDoc, col(idCol) === col("id"), "left")
+      .select(col(idCol),
+        col("n_distinct_tokens"),
+        coalesce(col("n_rare"), lit(0L)).as("n_rare_tokens"),
+        col("example_rare"),
+        (coalesce(col("n_rare"), lit(0L)) >= riskThreshold)
+          .as("is_risky"))
+  }
+
+  /** Curriculum staging: order the corpus easiest-first by readability
+    * and cut it into nStages contiguous stages (the data-ordering half
+    * of curriculum learning; x28 turns the resulting order into
+    * physical layout). The global rank comes from [[withGlobalOrder]] —
+    * range partition + per-partition windows + broadcast offsets, no
+    * single-partition sort — and the stage cut is exact int64
+    * arithmetic on (rank, total).
+    */
+  def curriculumStages(df: DataFrame, nStages: Int = 4,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sig = graft.pipeline.TextAnalysis
+      .readabilitySignals(df, idCol, textCol)
+      .select(col(idCol), col("flesch"),
+        coalesce(col("flesch"), lit(-1e9)).as("_key"))
+    val total = df.count()
+    val ordered = withGlobalOrder(sig,
+      Seq(col("_key").desc, col(idCol)), lit(1L))
+    ordered.select(col(idCol), col("flesch"),
+      col("pos").as("curriculum_rank"),
+      (expr(s"((pos - 1) * $nStages) DIV $total") + 1).as("stage"))
+  }
 }

@@ -2245,6 +2245,44 @@ class PipelineSpec extends SparkSpec {
     assert(out(4L) == ((0L, 0L, 0L, 0L, false)), s"${out(4L)}")
   }
 
+  test("rareTokenAudit: unique ids flag, shared vocabulary does not") {
+    import spark.implicits._
+    val common = "alpha beta gamma delta"
+    val d = Seq(
+      (1L, s"$common zz-secret-9 aa-secret-1 mm-secret-5 qq-7 kk-3"),
+      (2L, common), (3L, common), (4L, s"$common solo"), (5L, "   "))
+      .toDF("doc_id", "text")
+    val out = Corpus.rareTokenAudit(d, maxDf = 2, riskThreshold = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        Option(r.getString(3)), r.getBoolean(4)))).toMap
+    // common tokens df=5 > 2; doc 1's five uniques are rare → risky;
+    // evidence pointer = lexicographic min of its rare tokens
+    assert(out(1L) == ((9L, 5L, Some("aa-secret-1"), true)), s"${out(1L)}")
+    assert(out(2L) == ((4L, 0L, None, false)), s"${out(2L)}")
+    // one rare token is not risky at threshold 5
+    assert(out(4L) == ((5L, 1L, Some("solo"), false)), s"${out(4L)}")
+    assert(out(5L) == ((0L, 0L, None, false)), s"${out(5L)}")
+  }
+
+  test("curriculumStages: readability order, exact quartile cuts") {
+    import spark.implicits._
+    // flesch strictly decreases with syllables-per-word; 8 docs → 2 per
+    // stage at nStages=4; empty doc sorts last (null flesch)
+    val docs = (1 to 7).map { i =>
+      val word = "ba" * i // i syllables per word
+      (i.toLong, s"$word $word $word.")
+    } :+ (8L, "  ")
+    val out = Corpus.curriculumStages(docs.toDF("doc_id", "text"), 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    // doc 1 easiest (rank 1, stage 1) … doc 7 rank 7 stage 4; empty
+    // doc ranks 8, stage 4
+    assert(out(1L) == ((1L, 1L)) && out(2L) == ((2L, 1L)), s"$out")
+    assert(out(3L) == ((3L, 2L)) && out(4L) == ((4L, 2L)), s"$out")
+    assert(out(5L) == ((5L, 3L)) && out(6L) == ((6L, 3L)), s"$out")
+    assert(out(7L) == ((7L, 4L)) && out(8L) == ((8L, 4L)), s"$out")
+  }
+
   test("boilerplateLineRemoval: footer stripped, structure preserved") {
     import spark.implicits._
     val footer = "All rights reserved by the Example Company 2024"
