@@ -1088,6 +1088,65 @@ object Scale {
     "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
     "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
 
+  /** Orphan-file GC (the table-maintenance job every rewriting layout —
+    * compaction x09, dynamic overwrite x18, snapshot x22 — eventually
+    * needs): files in the directory but absent from the manifest are
+    * superseded generations; GC deletes exactly those, older than a
+    * grace period, through the Hadoop FileSystem API. Deletion PLANNING
+    * is relational — FS listing anti-joined against the manifest — so
+    * at a million files it's a join, not a driver loop (execution here
+    * collects the bounded orphan list to issue deletes; a cluster
+    * deployment fans the deletes out with foreachPartition on the same
+    * frame).
+    *
+    * Fixture: 8-file v1 write, then a 2-file compaction APPENDED into
+    * the same directory with only the new files manifested — the
+    * in-place-rewrite moment that strands old generations.
+    */
+  private[graft] def orphanGcReport(s: SparkSession,
+      dir: String): DataFrame = {
+    import s.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_x30_gc").toString
+    val data = s"$base/data"
+    val src = t(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 4 === 0)
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    src.repartition(8).write.mode("overwrite").parquet(data)
+    val dp = new org.apache.hadoop.fs.Path(data)
+    val fs = dp.getFileSystem(s.sessionState.newHadoopConf())
+    def listData(): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(dp).toSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    val v1Files = listData().map(_.getPath.getName)
+    // compaction generation: new files appended, old ones superseded
+    s.read.parquet(data).coalesce(2)
+      .write.mode("append").parquet(data)
+    val live = listData().map(_.getPath.getName)
+      .filterNot(v1Files.contains)
+    val manifest = live.toDF("file_name")
+    val before = listData()
+    val nBefore = before.size.toLong
+    // relational GC plan: listing ⟕ manifest, keep unmatched
+    val listing = before
+      .map(st => (st.getPath.getName, st.getLen))
+      .toDF("file_name", "bytes")
+    val orphans = listing.join(manifest, Seq("file_name"), "left_anti")
+      .collect().map(_.getString(0))
+    orphans.foreach(n =>
+      fs.delete(new org.apache.hadoop.fs.Path(dp, n), false))
+    val after = listData().map(_.getPath.getName).toSet
+    val expected = src.agg(count(lit(1))).head().getLong(0)
+    // the manifest-planned read must see exactly the compacted rows
+    val got = s.read.parquet(
+      live.map(n => s"$data/$n"): _*).count()
+    Seq((expected, nBefore, live.size.toLong, orphans.length.toLong,
+      orphans.forall(!after.contains(_)), live.forall(after.contains),
+      got == expected))
+      .toDF("n_rows", "n_before", "n_live", "n_deleted",
+        "orphans_gone", "live_intact", "rows_match")
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // Content-hash index maintenance (VERDICT r5 task 6): the narrow
@@ -1630,6 +1689,22 @@ object Scale {
           col("l_returnflag") === col("flag") && saltedFact("salt") === explodedDim("salt"))
         .groupBy("flag_label")
         .agg(count(lit(1)).as("n"))
+    },
+
+    // Manifest-driven orphan-file GC: after an in-place compaction the
+    // directory holds 8 superseded files next to the 2 live ones; GC
+    // plans deletions relationally (FS listing anti-joined against the
+    // manifest, Hadoop FS throughout) and the gate asserts live files
+    // intact, orphans gone, and the manifest-planned read returning the
+    // exact row count.
+    QueryDef("x30_orphan_gc",
+      """SELECT CAST((SELECT COUNT(*) FROM lineitem WHERE l_orderkey % 4
+        |    = 0) AS BIGINT) AS n_rows,
+        |  CAST(10 AS BIGINT) AS n_before, CAST(2 AS BIGINT) AS n_live,
+        |  CAST(8 AS BIGINT) AS n_deleted,
+        |  true AS orphans_gone, true AS live_intact,
+        |  true AS rows_match""".stripMargin) { (s, dir) =>
+      Scale.orphanGcReport(s, dir)
     },
 
     // Custom interval-join operator: x04's click→purchase-within-5min
