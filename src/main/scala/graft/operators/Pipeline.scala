@@ -4641,6 +4641,68 @@ object Pipeline {
         |FROM r""".stripMargin) { (s, dir) =>
       Corpus.curriculumStages(
         t(s, dir, "documents").select("doc_id", "text"), nStages = 4)
+    },
+
+    // Anchor-based bitext mining: each planted doc gets three
+    // doc-specific anchors (a name-shaped token via digit→letter
+    // translate, a number, a percentage) and a synthetic 'xx'-language
+    // counterpart carrying the same anchors — every planted pair must
+    // align (df=2, 3 shared anchors, different langs), and the oracle
+    // replays anchor extraction, df pruning, and pair counting.
+    QueryDef("p124_bitext_anchors",
+      """WITH a AS (SELECT doc_id,
+        |    ' Zanchor' || translate(CAST(doc_id AS VARCHAR),
+        |      '0123456789', 'abcdefghij')
+        |    || ' ' || CAST(90000 + doc_id AS VARCHAR)
+        |    || ' ' || CAST(doc_id AS VARCHAR) || '.5%' AS anchors
+        |  FROM documents),
+        |base AS (
+        |  SELECT d.doc_id, d.lang,
+        |    d.text || CASE WHEN d.doc_id % 17 = 5 THEN a.anchors
+        |      ELSE '' END AS text
+        |  FROM documents d JOIN a USING (doc_id)
+        |  UNION ALL
+        |  SELECT d.doc_id + 2000000 AS doc_id, 'xx' AS lang,
+        |    'traduction placeholder' || a.anchors AS text
+        |  FROM documents d JOIN a USING (doc_id)
+        |  WHERE d.doc_id % 17 = 5),
+        |tk AS (SELECT DISTINCT doc_id, lang, tok FROM (
+        |    SELECT doc_id, lang, unnest(CASE
+        |      WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
+        |      THEN []
+        |      ELSE string_split_regex(
+        |        regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')
+        |      END) AS tok
+        |    FROM base)),
+        |an AS (SELECT * FROM tk
+        |  WHERE regexp_matches(tok, '^[0-9][0-9.,%]*$')
+        |     OR regexp_matches(tok, '^[A-Z][a-z]{3,}$')),
+        |rare AS (SELECT tok FROM an GROUP BY tok
+        |  HAVING count(DISTINCT doc_id) <= 4),
+        |ra AS (SELECT an.* FROM an JOIN rare USING (tok)),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    a.lang AS lang_a, b.lang AS lang_b, count(*) AS n
+        |  FROM ra a JOIN ra b ON a.tok = b.tok
+        |    AND a.doc_id < b.doc_id AND a.lang <> b.lang
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT id_a, id_b, lang_a, lang_b, CAST(n AS BIGINT) AS n_shared
+        |FROM pairs WHERE n >= 3""".stripMargin) { (s, dir) =>
+      val d = t(s, dir, "documents").select("doc_id", "lang", "text")
+      val anchors = concat(
+        lit(" Zanchor"), translate(col("doc_id").cast("string"),
+          "0123456789", "abcdefghij"),
+        lit(" "), (col("doc_id") + 90000).cast("string"),
+        lit(" "), col("doc_id").cast("string"), lit(".5%"))
+      val planted = d.select(col("doc_id"), col("lang"),
+        concat(col("text"),
+          when(col("doc_id") % 17 === 5, anchors).otherwise(lit("")))
+          .as("text"))
+      val counterparts = d.filter(col("doc_id") % 17 === 5)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          lit("xx").as("lang"),
+          concat(lit("traduction placeholder"), anchors).as("text"))
+      Corpus.anchorAlignPairs(planted.unionAll(counterparts),
+        maxDf = 4, minShared = 3)
     }
   )
 

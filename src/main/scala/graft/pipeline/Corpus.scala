@@ -1209,4 +1209,37 @@ object Corpus {
       col("pos").as("curriculum_rank"),
       (expr(s"((pos - 1) * $nStages) DIV $total") + 1).as("stage"))
   }
+
+  /** Cross-lingual document alignment by translation-invariant anchors
+    * (bitext mining's cheap first pass: numbers, percentages, and
+    * proper-noun-shaped tokens survive translation verbatim, so two
+    * documents in DIFFERENT language buckets sharing several RARE
+    * anchors are parallel-text candidates). Anchors are df-pruned
+    * (≤ maxDf docs — a year like 2024 aligns nothing) before the
+    * inverted-index self-join, which bounds work at (#anchors)·maxDf²;
+    * pairs need ≥ minShared anchors and different `grpCol` values.
+    * Only (id, grp, anchor) rows shuffle.
+    */
+  def anchorAlignPairs(df: DataFrame, maxDf: Int = 4,
+      minShared: Int = 3, idCol: String = "doc_id",
+      grpCol: String = "lang", textCol: String = "text"): DataFrame = {
+    val isAnchor = (t: Column) =>
+      t.rlike("^[0-9][0-9.,%]*$") || t.rlike("^[A-Z][a-z]{3,}$")
+    val an = df.select(col(idCol).as("id"), col(grpCol).as("grp"),
+      explode(array_distinct(filter(
+        graft.pipeline.TextAnalysis.tokens(col(textCol)), isAnchor)))
+        .as("tok"))
+    val rare = an.groupBy("tok")
+      .agg(countDistinct("id").as("c"))
+      .filter(col("c") <= maxDf).select("tok")
+    val ra = an.join(rare, "tok")
+    ra.select(col("id").as("id_a"), col("grp").as("lang_a"), col("tok"))
+      .join(ra.select(col("id").as("id_b"), col("grp").as("lang_b"),
+        col("tok")), "tok")
+      .filter(col("id_a") < col("id_b") &&
+        col("lang_a") =!= col("lang_b"))
+      .groupBy("id_a", "id_b", "lang_a", "lang_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

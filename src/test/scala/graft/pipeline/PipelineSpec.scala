@@ -2245,6 +2245,24 @@ class PipelineSpec extends SparkSpec {
     assert(out(4L) == ((0L, 0L, 0L, 0L, false)), s"${out(4L)}")
   }
 
+  test("anchorAlignPairs: parallel docs align, same-lang never pairs") {
+    import spark.implicits._
+    // en #1 and fr #2 share anchors {Geneva, 1924, 37.5%}; en #3 shares
+    // them too but is same-lang as #1 → only cross-lang pairs emit;
+    // 'The' (common) and 'the' (lowercase) are not anchors
+    val d = Seq(
+      (1L, "en", "The summit in Geneva opened in 1924 with 37.5% turnout"),
+      (2L, "fr", "Le sommet de Geneva en 1924 avec 37.5% participation"),
+      (3L, "en", "Geneva hosted 1924 games, 37.5% attended, the end"),
+      (4L, "de", "Unrelated text with no shared anchor tokens here"))
+      .toDF("doc_id", "lang", "text")
+    val out = Corpus.anchorAlignPairs(d, maxDf = 4, minShared = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(4)))
+      .toMap
+    assert(out.keySet == Set((1L, 2L), (2L, 3L)), s"$out")
+    assert(out((1L, 2L)) == 3L)
+  }
+
   test("rareTokenAudit: unique ids flag, shared vocabulary does not") {
     import spark.implicits._
     val common = "alpha beta gamma delta"
