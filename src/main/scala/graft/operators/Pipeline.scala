@@ -4703,6 +4703,72 @@ object Pipeline {
           concat(lit("traduction placeholder"), anchors).as("text"))
       Corpus.anchorAlignPairs(planted.unionAll(counterparts),
         maxDf = 4, minShared = 3)
+    },
+
+    // Synthetic/templated-text detector: one doc set is REPLACED by a
+    // 20-sentence two-template loop (tiny type-token ratio, zero
+    // sentence-length variance, 10x exact repeats) and must trip all
+    // three votes; natural prose must not. The oracle replays every
+    // signal with the identical IEEE-double association order.
+    QueryDef("p125_synthetic_detect",
+      """WITH corpus AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 43 = 7
+        |    THEN repeat('The item is good. The item is fine. ', 10)
+        |    ELSE text END AS text
+        |  FROM documents),
+        |b AS (SELECT doc_id,
+        |    CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g'))
+        |           = 0 THEN []
+        |         ELSE string_split_regex(
+        |           regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')
+        |    END AS toks,
+        |    list_filter(string_split_regex(text, '[.!?]+'),
+        |      s -> length(trim(s)) > 0) AS sents
+        |  FROM corpus),
+        |c AS (SELECT doc_id, len(toks) AS ntok,
+        |    len(list_distinct(toks)) AS ndis, sents,
+        |    list_transform(sents,
+        |      s -> len(string_split_regex(trim(s), '\s+'))) AS lens
+        |  FROM b),
+        |d AS (SELECT doc_id, ntok, ndis, sents, len(lens) AS ns,
+        |    list_sum(lens) AS s1,
+        |    list_sum(list_transform(lens, x -> x * x)) AS s2
+        |  FROM c),
+        |e AS (SELECT doc_id, ntok,
+        |    CASE WHEN ntok = 0 THEN NULL
+        |      ELSE round(CAST(ndis AS DOUBLE) / CAST(ntok AS DOUBLE), 6)
+        |    END AS ttr,
+        |    CASE WHEN ns = 0
+        |        OR CAST(s1 AS DOUBLE) / CAST(ns AS DOUBLE) = 0.0
+        |      THEN NULL
+        |      ELSE round(sqrt(greatest(
+        |          CAST(s2 AS DOUBLE) / CAST(ns AS DOUBLE)
+        |          - (CAST(s1 AS DOUBLE) / CAST(ns AS DOUBLE))
+        |            * (CAST(s1 AS DOUBLE) / CAST(ns AS DOUBLE)), 0.0))
+        |        / (CAST(s1 AS DOUBLE) / CAST(ns AS DOUBLE)), 6)
+        |    END AS cv,
+        |    CASE WHEN len(sents) = 0 THEN 0
+        |      ELSE list_max(list_transform(
+        |        list_distinct(list_transform(sents, s -> trim(s))),
+        |        s -> len(list_filter(sents, x -> trim(x) = s))))
+        |    END AS mrep
+        |  FROM d),
+        |v AS (SELECT doc_id, ntok, ttr, cv, mrep,
+        |    CAST(coalesce(ttr, 1.0) <= 0.5 AS BIGINT)
+        |    + CAST(coalesce(cv, 1.0) <= 0.25 AS BIGINT)
+        |    + CAST(mrep >= 3 AS BIGINT) AS votes
+        |  FROM e)
+        |SELECT doc_id, CAST(ntok AS BIGINT) AS n_tokens,
+        |  ttr AS type_token_ratio, cv AS sentence_len_cv,
+        |  CAST(mrep AS BIGINT) AS max_sentence_repeat,
+        |  votes AS synthetic_votes,
+        |  (ntok >= 30 AND votes >= 2) AS is_suspect
+        |FROM v""".stripMargin) { (s, dir) =>
+      val template = "The item is good. The item is fine. " * 10
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 43 === 7, lit(template))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.syntheticSignals(planted)
     }
   )
 

@@ -1691,6 +1691,34 @@ object Scale {
         .agg(count(lit(1)).as("n"))
     },
 
+    // In-memory columnar cache tier: the hot dimension projection is
+    // cached (compressed columnar batches); the second access must plan
+    // an InMemoryTableScan instead of a file scan and return byte-equal
+    // results. This is the serving-layer pattern for a dashboard-shaped
+    // workload over a 100 TB lake: cache the narrow rollup, not the
+    // fact table.
+    QueryDef("x31_cached_rollup",
+      """SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_qty
+        |FROM lineitem GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val rollup = t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"))
+      rollup.cache()
+      rollup.count() // materialize the cache
+      val plan = rollup.queryExecution.executedPlan.toString
+      // second access must come from the columnar cache
+      val cached = rollup.filter(lit(true))
+      val planned = cached.queryExecution.executedPlan.toString
+      require(planned.contains("InMemoryTableScan") ||
+        planned.contains("TableCacheQueryStage"),
+        s"cache not used:\n$planned")
+      cached
+    },
+
     // Manifest-driven orphan-file GC: after an in-place compaction the
     // directory holds 8 superseded files next to the 2 live ones; GC
     // plans deletions relationally (FS listing anti-joined against the

@@ -1015,6 +1015,48 @@ object TextAnalysis {
       votes.as("numeric_votes"), (votes >= 2).as("is_numeric_heavy"))
   }
 
+  /** Templated/synthetic-text heuristics (the filter against
+    * model-generated or mail-merge contamination): type-token ratio,
+    * coefficient of variation of sentence lengths (natural prose is
+    * bursty, templates are metronomic), and the maximum exact-repeat
+    * count of a sentence, voted 2-of-3 into `is_suspect` behind a
+    * ≥ 30-token support guard. All per-row HOF arithmetic over one
+    * tokenize + one sentence split — zero shuffles, and every double
+    * is a fixed-order IEEE tree an oracle can replay bit-exactly.
+    */
+  def syntheticSignals(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val text = col(textCol)
+    val toks = tokens(text)
+    val nTok = size(toks).cast("long")
+    val ttr = when(nTok === 0, lit(null).cast("double")).otherwise(
+      round(size(array_distinct(toks)).cast("double") /
+        nTok.cast("double"), 6))
+    val sents = filter(split(text, "[.!?]+"),
+      s => length(trim(s)) > 0)
+    val lens = transform(sents, s => size(split(trim(s), "\\s+")))
+    val n = size(lens).cast("double")
+    val sum1 = aggregate(lens, lit(0L), (a, x) => a + x).cast("double")
+    val sum2 = aggregate(lens, lit(0L), (a, x) => a + x * x)
+      .cast("double")
+    val mean = sum1 / n
+    val varr = greatest(sum2 / n - mean * mean, lit(0.0))
+    val cv = when(size(lens) === 0 || mean === 0.0,
+      lit(null).cast("double"))
+      .otherwise(round(sqrt(varr) / mean, 6))
+    val maxRep = when(size(sents) === 0, lit(0L)).otherwise(
+      array_max(transform(array_distinct(transform(sents, trim(_))),
+        s => size(filter(sents, x => trim(x) === s)))).cast("long"))
+    val votes = (coalesce(ttr, lit(1.0)) <= 0.5).cast("long") +
+      (coalesce(cv, lit(1.0)) <= 0.25).cast("long") +
+      (maxRep >= 3).cast("long")
+    df.select(col(idCol),
+      nTok.as("n_tokens"), ttr.as("type_token_ratio"),
+      cv.as("sentence_len_cv"), maxRep.as("max_sentence_repeat"),
+      votes.as("synthetic_votes"),
+      (nTok >= 30 && votes >= 2).as("is_suspect"))
+  }
+
   /** Chat/instruction-format detection (the router that sends dialogue
     * data to a turn-structured parser instead of the prose pipeline):
     * counts role-marker lines (`User:`/`Human:`/`Q:` vs `Assistant:`/

@@ -2245,6 +2245,28 @@ class PipelineSpec extends SparkSpec {
     assert(out(4L) == ((0L, 0L, 0L, 0L, false)), s"${out(4L)}")
   }
 
+  test("syntheticSignals: template trips all votes, prose passes") {
+    import spark.implicits._
+    val template = "Buy now and save. Buy now and save. " * 8
+    val prose = "Morning fog rolled in early. By noon, the harbor had " +
+      "cleared completely and ships resumed their slow procession " +
+      "outward! Evening brought rain, a long steady drumming. Nobody " +
+      "minded much, least of all the gulls wheeling over the pier."
+    val short = "Tiny. Tiny. Tiny." // repeats but under 30 tokens
+    val d = Seq((1L, template), (2L, prose), (3L, short))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.syntheticSignals(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4), r.getLong(5), r.getBoolean(6))))
+      .toMap
+    val (nt, ttr, cv, rep, votes, sus) = out(1L)
+    assert(nt == 64L && ttr < 0.1 && cv == 0.0 && rep == 16L &&
+      votes == 3L && sus, s"template: ${out(1L)}")
+    assert(!out(2L)._6 && out(2L)._2 > 0.6, s"prose: ${out(2L)}")
+    // support guard: 3 identical one-word sentences vote but n<30
+    assert(out(3L)._4 == 3L && !out(3L)._6, s"short: ${out(3L)}")
+  }
+
   test("anchorAlignPairs: parallel docs align, same-lang never pairs") {
     import spark.implicits._
     // en #1 and fr #2 share anchors {Geneva, 1924, 37.5%}; en #3 shares
