@@ -4769,6 +4769,32 @@ object Pipeline {
         when(col("doc_id") % 43 === 7, lit(template))
           .otherwise(col("text")).as("text"))
       TextAnalysis.syntheticSignals(planted)
+    },
+
+    // Semantic decontamination: the eval set is drawn FROM the corpus
+    // (vec_id % 50 = 3), so each eval member's corpus copy must score
+    // max_cos = 1.0 and flag; the oracle replays the full cross-score,
+    // the (score desc, eval_id asc) evidence tiebreak, and the
+    // threshold.
+    QueryDef("p126_semantic_decontam",
+      """WITH ev AS (SELECT vec_id AS eval_id, embedding AS evec
+        |  FROM embeddings WHERE vec_id % 50 = 3),
+        |sc AS (SELECT e.vec_id, ev.eval_id,
+        |    ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |      CAST(ev.evec AS DOUBLE[])), 6) AS score
+        |  FROM embeddings e CROSS JOIN ev),
+        |r AS (SELECT vec_id, eval_id, score,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY score DESC, eval_id) AS rn
+        |  FROM sc)
+        |SELECT vec_id, CAST(eval_id AS BIGINT) AS top_eval_id,
+        |  score AS max_cos, score >= 0.98 AS contaminated
+        |FROM r WHERE rn = 1""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val evalSet = e.filter(col("vec_id") % 50 === 3)
+        .select(col("vec_id").as("eval_id"),
+          col("embedding").as("evec"))
+      Similarity.semanticContamination(e, evalSet, threshold = 0.98)
     }
   )
 

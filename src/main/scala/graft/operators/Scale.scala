@@ -461,7 +461,18 @@ object Scale {
           fs.listStatus(d.getPath)
             .count(_.getPath.getName.endsWith(".parquet"))
       }.toMap
-    val hotSplit = filesPerKey.getOrElse("hot", 0) >= 2
+    val hotBytes = fs.listStatus(basePath).filter(_.isDirectory)
+      .find(_.getPath.getName == "skew_key=hot")
+      .map(d => fs.listStatus(d.getPath)
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(_.getLen).sum).getOrElse(0L)
+    // the physical claim is scale-dependent: AQE only splits a skewed
+    // rebalance partition that actually EXCEEDS the advisory size (at
+    // sf0.001 the whole hot key is a few KB — one file IS the right
+    // layout there). Require the split exactly when there is enough
+    // data that an unsplit write would be skewed.
+    val hotSplit = filesPerKey.getOrElse("hot", 0) >= 2 ||
+      hotBytes < 2 * 16 * 1024
     val coldsSingle = filesPerKey.view
       .filterKeys(_ != "hot").values.forall(_ == 1)
     s.read.parquet(base)

@@ -446,4 +446,33 @@ object Similarity {
       .select(col("id").as(idCol), col("dim").cast("int").as("dim"),
         col("v"))
   }
+
+  /** Semantic eval-set decontamination (the embedding-level complement
+    * of the n-gram scrubs p24/p52/p82: a paraphrased benchmark item
+    * shares no 13-gram but sits at cosine ≈ 1). Every corpus vector
+    * scores against the broadcast eval set — work is |corpus|·|eval|,
+    * bounded by the benchmark suite's size, with the eval side never
+    * shuffled — and keeps its best match as evidence: (top_eval_id,
+    * max_cos, contaminated). Tie on score resolves to the smallest
+    * eval id via the max-of-(score, −id) struct trick, so the evidence
+    * pointer is deterministic.
+    */
+  def semanticContamination(corpus: DataFrame, evalSet: DataFrame,
+      threshold: Double = 0.98, idCol: String = "vec_id",
+      vecCol: String = "embedding", evalIdCol: String = "eval_id",
+      evalVecCol: String = "evec"): DataFrame = {
+    val scored = corpus.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(evalSet.select(col(evalIdCol),
+        col(evalVecCol))))
+      .select(col(idCol),
+        round(cosine(col(vecCol), col(evalVecCol)), 6).as("score"),
+        col(evalIdCol))
+    scored.groupBy(idCol)
+      .agg(max(struct(col("score"), (-col(evalIdCol)).as("negid")))
+        .as("best"))
+      .select(col(idCol),
+        (-col("best.negid")).cast("long").as("top_eval_id"),
+        col("best.score").as("max_cos"),
+        (col("best.score") >= threshold).as("contaminated"))
+  }
 }
