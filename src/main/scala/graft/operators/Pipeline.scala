@@ -4776,27 +4776,68 @@ object Pipeline {
     // max_cos = 1.0 and flag; the oracle replays the full cross-score,
     // the (score desc, eval_id asc) evidence tiebreak, and the
     // threshold.
-    QueryDef("p126_semantic_decontam",
-      """WITH ev AS (SELECT vec_id AS eval_id, embedding AS evec
-        |  FROM embeddings WHERE vec_id % 50 = 3),
-        |sc AS (SELECT e.vec_id, ev.eval_id,
-        |    ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-        |      CAST(ev.evec AS DOUBLE[])), 6) AS score
-        |  FROM embeddings e CROSS JOIN ev),
-        |r AS (SELECT vec_id, eval_id, score,
-        |    ROW_NUMBER() OVER (PARTITION BY vec_id
-        |      ORDER BY score DESC, eval_id) AS rn
-        |  FROM sc)
-        |SELECT vec_id, CAST(eval_id AS BIGINT) AS top_eval_id,
-        |  score AS max_cos, score >= 0.98 AS contaminated
-        |FROM r WHERE rn = 1""".stripMargin) { (s, dir) =>
+    QueryDef("p126_semantic_decontam", semanticDecontamSql) { (s, dir) =>
       val e = t(s, dir, "embeddings").select("vec_id", "embedding")
       val evalSet = e.filter(col("vec_id") % 50 === 3)
         .select(col("vec_id").as("eval_id"),
           col("embedding").as("evec"))
       Similarity.semanticContamination(e, evalSet, threshold = 0.98)
+    },
+
+    // Multimodal metadata-consistency audit (the mislabeled-asset
+    // detector: a catalog's declared dimensions vs what the bytes
+    // actually decode to). Media is real PNG/JPEG with id-derived
+    // dimensions; declared width is corrupted on one doc set, and the
+    // engine's REAL header decode must catch exactly those — the
+    // oracle predicts both sides from the construction formulas.
+    QueryDef("p127_mm_metadata_audit",
+      """WITH m AS (SELECT doc_id,
+        |    16 + (doc_id * 7) % 97 AS ew, 16 + (doc_id * 13) % 71 AS eh
+        |  FROM documents WHERE doc_id % 3 < 2)
+        |SELECT doc_id,
+        |  CAST(ew + CASE WHEN doc_id % 11 = 4 THEN 7 ELSE 0 END
+        |    AS BIGINT) AS declared_w,
+        |  CAST(eh AS BIGINT) AS declared_h,
+        |  CAST(ew AS BIGINT) AS decoded_w,
+        |  CAST(eh AS BIGINT) AS decoded_h,
+        |  CASE WHEN doc_id % 11 = 4 THEN 'mismatch' ELSE 'ok' END
+        |    AS status
+        |FROM m""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+        .filter(col("doc_id") % 3 < 2)
+      val m = Multimodal.withDecodedMeta(
+        Multimodal.withSyntheticMedia(docs))
+      val ew = (lit(16) + (col("doc_id") * 7) % 97).cast("long")
+      val eh = (lit(16) + (col("doc_id") * 13) % 71).cast("long")
+      val dw = ew + when(col("doc_id") % 11 === 4, 7L).otherwise(0L)
+      m.select(col("doc_id"),
+        dw.as("declared_w"), eh.as("declared_h"),
+        col("meta.width").cast("long").as("decoded_w"),
+        col("meta.height").cast("long").as("decoded_h"),
+        when(dw === col("meta.width").cast("long") &&
+          eh === col("meta.height").cast("long"), lit("ok"))
+          .otherwise(lit("mismatch")).as("status"))
     }
   )
+
+  /** p126's oracle, shared with the streaming decontamination job
+    * (s25): batches partition the corpus by vector, so the per-batch
+    * best-match rows union to exactly the batch relation.
+    */
+  private[operators] lazy val semanticDecontamSql: String =
+    """WITH ev AS (SELECT vec_id AS eval_id, embedding AS evec
+      |  FROM embeddings WHERE vec_id % 50 = 3),
+      |sc AS (SELECT e.vec_id, ev.eval_id,
+      |    ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+      |      CAST(ev.evec AS DOUBLE[])), 6) AS score
+      |  FROM embeddings e CROSS JOIN ev),
+      |r AS (SELECT vec_id, eval_id, score,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id
+      |      ORDER BY score DESC, eval_id) AS rn
+      |  FROM sc)
+      |SELECT vec_id, CAST(eval_id AS BIGINT) AS top_eval_id,
+      |  score AS max_cos, score >= 0.98 AS contaminated
+      |FROM r WHERE rn = 1""".stripMargin
 
   /** p67's oracle, shared with the streaming ingest filter (s12): the
     * stream is a stateless narrow map, so its accumulated output must

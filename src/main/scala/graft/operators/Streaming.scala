@@ -1110,6 +1110,46 @@ object Streaming {
       stage("batch-001.logfmt", 1)
       runOnce()
       s.table("s24_counts")
+    },
+
+    // Streaming semantic decontamination: each embedding micro-batch
+    // scores against the broadcast eval set at ingest (the s15 pattern
+    // with p126's operator). Batches partition the corpus by vector, so
+    // the appended per-batch best-match rows must union to exactly the
+    // batch p126 relation — shared oracle.
+    QueryDef("s25_stream_semantic_decontam", Pipeline.semanticDecontamSql) {
+      (s, dir) =>
+      import graft.pipeline.Similarity
+      val e = graft.Tables.load(s, dir, "embeddings")
+        .select("vec_id", "embedding")
+      val evalSet = e.filter(col("vec_id") % 50 === 3)
+        .select(col("vec_id").as("eval_id"), col("embedding").as("evec"))
+      val base = java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_fmt").toString
+      val srcDir = s"$base/s25_stream_src"
+      val outDir = s"$base/s25_stream_out"
+      rmTree(new java.io.File(srcDir))
+      rmTree(new java.io.File(outDir))
+      new java.io.File(srcDir).mkdirs()
+      writeSingle(e.filter(col("vec_id") % 2 === 0), srcDir, "batch_a")
+      writeSingle(e.filter(col("vec_id") % 2 === 1), srcDir, "batch_b")
+      val schema = s.read.parquet(srcDir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(srcDir)
+      val q = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+            _: Long) =>
+          Similarity.semanticContamination(batch, evalSet,
+            threshold = 0.98)
+            .write.mode("append").parquet(outDir)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(outDir)
     }
   )
 }
