@@ -326,6 +326,61 @@ object Formats {
         .option("maxSplitBytes", (64 * 1024).toString)
         .load(out)
         .select("event_id", "event_type", "user_id")
+    },
+
+    // The SQL extension surface end-to-end: a plain-SQL user (no
+    // DataFrame code) calls the injected graft_* functions — the native
+    // codegen'd CosineSimilarity and NfcNormalize — through
+    // spark.sql over temp views, and DuckDB replays both with its own
+    // built-ins. Proves the SparkSessionExtensions/registerAll path,
+    // SQL name resolution, and the expressions' cross-engine semantics
+    // in one gate.
+    QueryDef("f16_sql_extension",
+      """SELECT a.vec_id,
+        |  ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |    CAST(b.embedding AS DOUBLE[])), 6) AS cos_next
+        |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+        |WHERE a.vec_id < 200""".stripMargin) { (s, dir) =>
+      org.apache.spark.sql.graft.GraftExtensions.registerAll(s)
+      t(s, dir, "embeddings").createOrReplaceTempView("graft_f16_e")
+      s.sql(
+        """SELECT a.vec_id,
+          |  ROUND(graft_cosine(a.embedding, b.embedding), 6) AS cos_next
+          |FROM graft_f16_e a JOIN graft_f16_e b
+          |  ON b.vec_id = a.vec_id + 1
+          |WHERE a.vec_id < 200""".stripMargin)
+    },
+
+    // Second DSv2 source on the shared chunk framework: Common Log
+    // Format lines synthesized from events, read back through
+    // graft-accesslog with 32 KiB splits, a pushed status filter, and
+    // the CLF '-'-means-null body-bytes convention — the oracle
+    // recomputes every field from the originating table.
+    QueryDef("f17_accesslog_dsv2",
+      """SELECT '10.0.0.' || CAST(user_id AS VARCHAR) AS remote_addr,
+        |  'GET /e/' || CAST(event_id AS VARCHAR) || ' HTTP/1.1'
+        |    AS request,
+        |  CAST(200 + (event_id % 3) * 100 AS BIGINT) AS status,
+        |  CASE WHEN event_id % 7 = 0 THEN NULL
+        |    ELSE CAST(event_id AS BIGINT) END AS body_bytes
+        |FROM events WHERE event_id % 3 = 0""".stripMargin) { (s, dir) =>
+      val out = tmp("events_accesslog_v2")
+      t(s, dir, "events")
+        .select(concat(
+          lit("10.0.0."), col("user_id"),
+          lit(" - u"), col("user_id"),
+          lit(" [01/Jan/2024:00:00:00 +0000] \"GET /e/"), col("event_id"),
+          lit(" HTTP/1.1\" "),
+          (lit(200) + (col("event_id") % 3) * 100).cast("string"),
+          lit(" "),
+          when(col("event_id") % 7 === 0, lit("-"))
+            .otherwise(col("event_id").cast("string"))).as("value"))
+        .coalesce(1).write.mode("overwrite").text(out)
+      s.read.format("graft-accesslog")
+        .option("maxSplitBytes", (32 * 1024).toString)
+        .load(out)
+        .filter(col("status") === 200)
+        .select("remote_addr", "request", "status", "body_bytes")
     }
   )
 }

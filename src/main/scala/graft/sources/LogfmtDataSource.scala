@@ -285,14 +285,14 @@ private[sources] class LogfmtScan(requiredSchema: StructType,
   * when start > 0 (it belongs to the previous chunk), then emit every
   * line whose first byte lies within [start, end]. Uses Hadoop's
   * byte-counting `LineReader` so position tracking is exact across
-  * multi-byte UTF-8 and both newline conventions.
+  * multi-byte UTF-8 and both newline conventions. Format-specific
+  * readers implement `parseLine` (null = reject the line — pushed
+  * filters or unparseable input — before any row reaches the engine).
   */
-private[sources] class LogfmtPartitionReader(chunk: LogfmtChunk,
-    schema: StructType, conf: Configuration,
-    filters: Array[sources.Filter] = Array.empty, nOutput: Int = -1)
-    extends PartitionReader[InternalRow] {
+private[sources] abstract class ChunkLineReader(chunk: LogfmtChunk,
+    conf: Configuration) extends PartitionReader[InternalRow] {
 
-  private val nOut = if (nOutput < 0) schema.length else nOutput
+  protected def parseLine(line: String): InternalRow
 
   private val end = chunk.start + chunk.length
   private val path = new Path(chunk.path)
@@ -307,6 +307,30 @@ private[sources] class LogfmtPartitionReader(chunk: LogfmtChunk,
   }
   private var row: InternalRow = _
 
+  final override def next(): Boolean = {
+    // a line is ours iff it STARTS at or before `end` (the chunk owning
+    // byte `end` reads it via its discarded-first-line rule)
+    while (pos <= end) {
+      val n = lines.readLine(buf)
+      if (n == 0) return false
+      pos += n
+      row = parseLine(buf.toString)
+      if (row != null) return true
+    }
+    false
+  }
+
+  final override def get(): InternalRow = row
+  final override def close(): Unit = in.close()
+}
+
+private[sources] class LogfmtPartitionReader(chunk: LogfmtChunk,
+    schema: StructType, conf: Configuration,
+    filters: Array[sources.Filter] = Array.empty, nOutput: Int = -1)
+    extends ChunkLineReader(chunk, conf) {
+
+  private val nOut = if (nOutput < 0) schema.length else nOutput
+
   // (schema index, type) per key — parse touches only required fields
   private val wanted: Map[String, (Int, DataType)] =
     schema.fields.zipWithIndex.map { case (f, i) =>
@@ -316,41 +340,21 @@ private[sources] class LogfmtPartitionReader(chunk: LogfmtChunk,
   private val fieldIdx: Map[String, Int] =
     schema.fieldNames.zipWithIndex.toMap
 
-  override def next(): Boolean = {
-    // a line is ours iff it STARTS at or before `end` (the chunk owning
-    // byte `end` reads it via its discarded-first-line rule); pushed
-    // filters reject at parse time, before any row reaches the engine
-    while (pos <= end) {
-      val n = lines.readLine(buf)
-      if (n == 0) return false
-      pos += n
-      val values = parse(buf.toString)
-      if (filters.forall(LogfmtFilters.eval(_, k =>
-          fieldIdx.get(k).map(values(_)).orNull))) {
-        row = new org.apache.spark.sql.catalyst.expressions
-          .GenericInternalRow(
-            if (nOut == values.length) values
-            else java.util.Arrays.copyOfRange(
-              values.asInstanceOf[Array[AnyRef]], 0, nOut)
-              .asInstanceOf[Array[Any]])
-        return true
-      }
-    }
-    false
-  }
-
-  private def parse(line: String): Array[Any] = {
+  override protected def parseLine(line: String): InternalRow = {
     val values = new Array[Any](schema.length)
     for (m <- LogfmtParse.token.findAllMatchIn(line)) {
       wanted.get(m.group(1)).foreach { case (i, dt) =>
         values(i) = LogfmtParse.convert(m.group(2), dt)
       }
     }
-    values
+    if (!filters.forall(LogfmtFilters.eval(_, k =>
+        fieldIdx.get(k).map(values(_)).orNull))) return null
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      if (nOut == values.length) values
+      else java.util.Arrays.copyOfRange(
+        values.asInstanceOf[Array[AnyRef]], 0, nOut)
+        .asInstanceOf[Array[Any]])
   }
-
-  override def get(): InternalRow = row
-  override def close(): Unit = in.close()
 }
 
 /** Offset for the logfmt stream: the highest file NAME ingested. The
