@@ -153,6 +153,28 @@ class LogfmtSourceSpec extends SparkSpec {
     assert(joined.count() == 40)
   }
 
+  test("edge cases: empty file, missing path, user-supplied schema") {
+    // an empty data file contributes zero chunks, not a crash
+    val dir = Files.createTempDirectory("graft_dsv2_edge")
+    Files.writeString(dir.resolve("a.logfmt"), "k=1\n")
+    Files.writeString(dir.resolve("b.logfmt"), "")
+    val df = spark.read.format("graft-logfmt").load(dir.toString)
+    assert(df.count() == 1)
+    // missing path option → clear error, not an NPE
+    val e = intercept[Exception] {
+      spark.read.format("graft-logfmt")
+        .option("sampleLines", "10").load()
+    }
+    assert(e.getMessage != null)
+    // user schema skips sampling and wins over inference
+    import org.apache.spark.sql.types._
+    val forced = spark.read.format("graft-logfmt")
+      .schema(StructType(Seq(StructField("k", StringType))))
+      .load(dir.toString)
+    assert(forced.schema.fieldNames.toSeq == Seq("k"))
+    assert(forced.head().getString(0) == "1")
+  }
+
   test("agrees with the CLI logfmt reader on the reference fixture shape") {
     val dir = writeLogfmt("agree", Seq(
       """at=info method=GET path=/ host=h1 status=200 elapsed=12.3""",
