@@ -138,5 +138,8 @@ class ExtensionsSpec extends SparkSpec {
     val strategies = m.invoke(ext, spark).asInstanceOf[Seq[_]]
     assert(strategies.contains(org.apache.spark.sql.graft.AsOfJoinStrategy),
       s"strategy not injected: $strategies")
+    assert(strategies.contains(
+      org.apache.spark.sql.graft.IntervalJoinStrategy),
+      s"interval-join strategy not injected: $strategies")
   }
 }
