@@ -4817,6 +4817,52 @@ object Pipeline {
         when(dw === col("meta.width").cast("long") &&
           eh === col("meta.height").cast("long"), lit("ok"))
           .otherwise(lit("mismatch")).as("status"))
+    },
+
+    // Contrastive triplets: every near-dup pair becomes (anchor,
+    // positive) and the negative is the anchor's md5-ring successor,
+    // falling through to the second successor when the first shares the
+    // anchor's cluster. The oracle re-derives pairs (exhaustive
+    // Jaccard), the recursive-CTE closure, the ring order, and both
+    // fallthrough branches.
+    QueryDef("p128_contrastive_triplets",
+      s"""WITH RECURSIVE $corpusSql,
+         |$shingleSql,
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         |        len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
+         |edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+         |comp AS (
+         |  SELECT src AS doc_id, MIN(dst) AS comp FROM reach GROUP BY src),
+         |lab AS (SELECT c.doc_id AS id, coalesce(k.comp, c.doc_id) AS lb
+         |  FROM corpus c LEFT JOIN comp k ON c.doc_id = k.doc_id),
+         |tot AS (SELECT count(*) AS n FROM corpus),
+         |ord AS (SELECT id, lb, ROW_NUMBER() OVER (ORDER BY
+         |    md5('cp:' || CAST(id AS VARCHAR)), id) AS pos FROM lab),
+         |succ AS (SELECT o.id, o.lb, s1.id AS n1, s1.lb AS lb1,
+         |    s2.id AS n2, s2.lb AS lb2
+         |  FROM ord o
+         |  JOIN ord s1 ON s1.pos =
+         |    ((o.pos - 1 + 1) % (SELECT n FROM tot)) + 1
+         |  JOIN ord s2 ON s2.pos =
+         |    ((o.pos - 1 + 2) % (SELECT n FROM tot)) + 1)
+         |SELECT p.id_a AS anchor, p.id_b AS positive,
+         |  CAST(CASE WHEN s.lb1 <> s.lb THEN s.n1
+         |       WHEN s.lb2 <> s.lb THEN s.n2 END AS BIGINT) AS negative,
+         |  (CASE WHEN s.lb1 <> s.lb THEN s.n1
+         |       WHEN s.lb2 <> s.lb THEN s.n2 END) IS NULL AS no_negative
+         |FROM pairs p JOIN succ s ON s.id = p.id_a""".stripMargin) {
+      (s, dir) =>
+      val (pairs, labels) = nearDupGraph(s, dir)
+      Corpus.contrastiveTriplets(docsWithPlants(s, dir), pairs, labels)
     }
   )
 

@@ -1702,6 +1702,30 @@ object Scale {
         .agg(count(lit(1)).as("n"))
     },
 
+    // Exchange reuse: a self-join of one aggregated relation must plan
+    // the shuffle ONCE and feed both sides from it (ReusedExchange /
+    // ReusedQueryStage under AQE) — the plan property that makes
+    // multi-consumer DAGs affordable at scale (the alternative is
+    // scanning + shuffling the fact table once per consumer).
+    QueryDef("x32_exchange_reuse",
+      """WITH agg AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY user_id)
+        |SELECT a.user_id, a.n, b.n AS n_again
+        |FROM agg a JOIN agg b USING (user_id)""".stripMargin) { (s, dir) =>
+      val agg = t(s, dir, "events")
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+      val joined = agg.join(
+        agg.withColumnRenamed("n", "n_again"), "user_id")
+      // collect drives THIS df's QueryExecution so AQE finalizes the
+      // plan being asserted (bounded: one row per user)
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      require(plan.contains("ReusedExchange") ||
+        plan.contains("ReusedQueryStage"),
+        s"aggregation shuffle not reused:\n$plan")
+      joined
+    },
+
     // In-memory columnar cache tier: the hot dimension projection is
     // cached (compressed columnar batches); the second access must plan
     // an InMemoryTableScan instead of a file scan and return byte-equal

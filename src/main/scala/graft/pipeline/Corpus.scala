@@ -1210,6 +1210,47 @@ object Corpus {
       (expr(s"((pos - 1) * $nStages) DIV $total") + 1).as("stage"))
   }
 
+  /** Contrastive triplet construction for embedding training: every
+    * near-dup pair is a (anchor, positive); the negative is the
+    * anchor's successor in a deterministic md5 ring over the WHOLE
+    * corpus — uniform, reproducible, and relational (two equi-joins on
+    * ring position, no per-anchor sampling loop). A successor that
+    * lands in the anchor's own cluster falls through to the second
+    * successor, then to null (counted, never silently dropped) — the
+    * false-negative guard that makes the triplets safe to train on.
+    * Ring positions come from the two-phase global order, so there is
+    * no single-partition sort anywhere.
+    */
+  def contrastiveTriplets(corpus: DataFrame, pairs: DataFrame,
+      labels: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val ids = corpus.select(col(idCol).as("id"))
+    val lab = ids.join(
+      labels.select(col(idCol).as("id"), col("comp").as("_c")),
+      Seq("id"), "left")
+      .select(col("id"), coalesce(col("_c"), col("id")).as("lb"))
+    val keyed = lab.withColumn("_k",
+      md5(concat(lit("cp:"), col("id").cast("string"))))
+    val ordered = withGlobalOrder(keyed,
+      Seq(col("_k"), col("id")), lit(1L))
+      .select(col("id"), col("lb"), col("pos"))
+    val total = ids.count()
+    val o = ordered.select(col("id"), col("lb"),
+      (((col("pos") - 1 + 1) % total) + 1).as("q1"),
+      (((col("pos") - 1 + 2) % total) + 1).as("q2"))
+    val succ = o
+      .join(ordered.select(col("pos").as("q1"), col("id").as("n1"),
+        col("lb").as("lb1")), "q1")
+      .join(ordered.select(col("pos").as("q2"), col("id").as("n2"),
+        col("lb").as("lb2")), "q2")
+    pairs.select(col("id_a"), col("id_b"))
+      .join(succ, col("id_a") === col("id"))
+      .select(col("id_a").as("anchor"), col("id_b").as("positive"),
+        when(col("lb1") =!= col("lb"), col("n1"))
+          .when(col("lb2") =!= col("lb"), col("n2"))
+          .as("negative"))
+      .withColumn("no_negative", col("negative").isNull)
+  }
+
   /** Cross-lingual document alignment by translation-invariant anchors
     * (bitext mining's cheap first pass: numbers, percentages, and
     * proper-noun-shaped tokens survive translation verbatim, so two

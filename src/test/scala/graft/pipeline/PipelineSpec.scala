@@ -2245,6 +2245,33 @@ class PipelineSpec extends SparkSpec {
     assert(out(4L) == ((0L, 0L, 0L, 0L, false)), s"${out(4L)}")
   }
 
+  test("contrastiveTriplets: ring negative avoids the anchor's cluster") {
+    import spark.implicits._
+    // ids 1..6; cluster {1,2,3} (pairs 1-2, 1-3); ring order is md5 of
+    // 'cp:<id>' — recompute it driver-side to predict each successor
+    val ids = (1L to 6L)
+    val corpus = ids.map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("doc_id", "comp")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(
+        s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ring = ids.sortBy(i => (md5hex(s"cp:$i"), i)).toIndexedSeq
+    def succ(a: Long, k: Int): Long =
+      ring((ring.indexOf(a) + k) % ring.length)
+    def lb(i: Long): Long = if (i <= 3) 1L else i
+    def expectedNeg(a: Long): Option[Long] =
+      Seq(succ(a, 1), succ(a, 2)).find(n => lb(n) != lb(a))
+    val out = Corpus.contrastiveTriplets(corpus, pairs, labels)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        Option(r.get(2)).map(_.asInstanceOf[Long])).toMap
+    assert(out.keySet == Set((1L, 2L), (1L, 3L)))
+    assert(out((1L, 2L)) == expectedNeg(1L), s"${out((1L, 2L))}")
+    assert(out((1L, 3L)) == expectedNeg(1L))
+    // the negative never lands inside the anchor's cluster
+    out.values.flatten.foreach(n => assert(lb(n) != 1L, s"neg $n"))
+  }
+
   test("syntheticSignals: template trips all votes, prose passes") {
     import spark.implicits._
     val template = "Buy now and save. Buy now and save. " * 8
