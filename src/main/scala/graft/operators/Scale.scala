@@ -1099,6 +1099,35 @@ object Scale {
     "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
     "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
 
+  /** Hierarchical content-addressed corpus fingerprint (x33): doc
+    * digest → 64 sorted bucket digests → one root digest. Exactly
+    * reproducible under ANY physical layout (partitioning never changes
+    * a sorted-within-bucket aggregation), and every aggregation is
+    * bounded at corpus/64 — the two properties a reproducibility hash
+    * needs at 100 TB. Output: one row per bucket plus the root columns
+    * (broadcast one-row cross join).
+    */
+  private[graft] def datasetFingerprint(df: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      nBuckets: Int = 64): DataFrame = {
+    val d = df.select((col(idCol) % nBuckets).as("bucket"),
+      md5(concat(col(idCol).cast("string"), lit(":"), col(textCol)))
+        .as("dg"))
+    val bd = d.groupBy("bucket")
+      .agg(md5(array_join(sort_array(collect_list(col("dg"))), ""))
+        .as("bucket_dg"),
+        count(lit(1)).as("n"))
+    val root = bd
+      .agg(md5(array_join(
+        transform(array_sort(collect_list(struct(col("bucket"),
+          col("bucket_dg")))), x => x.getField("bucket_dg")), ""))
+        .as("root_dg"),
+        sum("n").as("n_docs"))
+    bd.crossJoin(broadcast(root))
+      .select(col("bucket"), col("bucket_dg"), col("n"),
+        col("root_dg"), col("n_docs"))
+  }
+
   /** Orphan-file GC (the table-maintenance job every rewriting layout —
     * compaction x09, dynamic overwrite x18, snapshot x22 — eventually
     * needs): files in the directory but absent from the manifest are
@@ -1700,6 +1729,30 @@ object Scale {
           col("l_returnflag") === col("flag") && saltedFact("salt") === explodedDim("salt"))
         .groupBy("flag_label")
         .agg(count(lit(1)).as("n"))
+    },
+
+    // Content-addressed dataset fingerprint: per-doc digests roll up
+    // through 64 hash buckets (sorted within bucket) into one root
+    // hash — the reproducibility primitive a model card pins ("trained
+    // on corpus <root>"). Fully relational and order-independent: any
+    // partitioning/shuffle produces the same root; the hierarchy keeps
+    // every string_agg bounded (corpus/64) instead of one global sort
+    // of the whole corpus' digests.
+    QueryDef("x33_dataset_fingerprint",
+      """WITH d AS (SELECT doc_id,
+        |    md5(CAST(doc_id AS VARCHAR) || ':' || text) AS dg
+        |  FROM documents),
+        |b AS (SELECT doc_id % 64 AS bucket, dg FROM d),
+        |bd AS (SELECT bucket, md5(string_agg(dg, '' ORDER BY dg))
+        |    AS bucket_dg, count(*) AS n FROM b GROUP BY bucket),
+        |root AS (SELECT md5(string_agg(bucket_dg, ''
+        |    ORDER BY bucket)) AS root_dg,
+        |    CAST(sum(n) AS BIGINT) AS n_docs FROM bd)
+        |SELECT bd.bucket, bd.bucket_dg, CAST(bd.n AS BIGINT) AS n,
+        |  root.root_dg, root.n_docs
+        |FROM bd CROSS JOIN root""".stripMargin) { (s, dir) =>
+      Scale.datasetFingerprint(
+        t(s, dir, "documents").select("doc_id", "text"))
     },
 
     // Exchange reuse: a self-join of one aggregated relation must plan

@@ -2245,6 +2245,22 @@ class PipelineSpec extends SparkSpec {
     assert(out(4L) == ((0L, 0L, 0L, 0L, false)), s"${out(4L)}")
   }
 
+  test("datasetFingerprint: layout-invariant root, content-sensitive") {
+    import spark.implicits._
+    val d = (1L to 300L).map(i => (i, s"doc body $i")).toDF("doc_id", "text")
+    def root(df: org.apache.spark.sql.DataFrame): String =
+      graft.operators.Scale.datasetFingerprint(df)
+        .head().getString(3)
+    val r = root(d)
+    // any physical layout → same root
+    assert(root(d.repartition(17)) == r)
+    assert(root(d.orderBy($"doc_id".desc)) == r)
+    // one changed character anywhere → different root
+    val tweaked = d.withColumn("text",
+      when($"doc_id" === 250L, lit("doc body 250!")).otherwise($"text"))
+    assert(root(tweaked) != r)
+  }
+
   test("contrastiveTriplets: ring negative avoids the anchor's cluster") {
     import spark.implicits._
     // ids 1..6; cluster {1,2,3} (pairs 1-2, 1-3); ring order is md5 of
