@@ -1790,34 +1790,10 @@ object Pipeline {
     // stopword-vote language ID is plain set arithmetic — DuckDB mirrors
     // the tokenizer, the four multiset stopword counts, the CJK codepoint
     // test, and the fold's later-wins-only-on-strictly-greater tie-break
-    QueryDef("p11_text_langid", {
-      def lst(ws: Seq[String]) = ws.map("'" + _ + "'").mkString("[", ",", "]")
-      s"""WITH toks AS (
-         |  SELECT doc_id, lang,
-         |    CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')) = 0
-         |         THEN CAST([] AS VARCHAR[])
-         |         ELSE string_split_regex(
-         |           lower(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')), '\\s+')
-         |    END AS tk,
-         |    length(text) -
-         |      length(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk
-         |  FROM documents),
-         |s AS (
-         |  SELECT doc_id, lang, cjk,
-         |    len(list_filter(tk, t -> list_contains(${lst(TextAnalysis.stopwordsEn)}, t))) AS s_en,
-         |    len(list_filter(tk, t -> list_contains(${lst(TextAnalysis.stopwordsDe)}, t))) AS s_de,
-         |    len(list_filter(tk, t -> list_contains(${lst(TextAnalysis.stopwordsFr)}, t))) AS s_fr,
-         |    len(list_filter(tk, t -> list_contains(${lst(TextAnalysis.stopwordsEs)}, t))) AS s_es
-         |  FROM toks)
-         |SELECT doc_id, lang,
-         |  CASE WHEN cjk > 0 THEN 'zh'
-         |       WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'unknown'
-         |       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
-         |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
-         |       WHEN s_fr >= s_es THEN 'fr'
-         |       ELSE 'es' END AS lang_pred
-         |FROM s""".stripMargin
-    }) { (s, dir) =>
+    QueryDef("p11_text_langid",
+      s"""WITH $langPredCtes
+         |SELECT doc_id, lang, lang_pred FROM pred""".stripMargin) {
+      (s, dir) =>
       TextAnalysis.withLanguage(t(s, dir, "documents"))
         .select("doc_id", "lang", "lang_pred")
         .orderBy("doc_id")
@@ -4863,8 +4839,77 @@ object Pipeline {
       (s, dir) =>
       val (pairs, labels) = nearDupGraph(s, dir)
       Corpus.contrastiveTriplets(docsWithPlants(s, dir), pairs, labels)
+    },
+
+    // Classifier-agreement audit: Cohen's kappa between the declared
+    // lang label and the stopword-vote detector, with the chance floor
+    // from exact count products. Shares p11's prediction mirror; the
+    // oracle replays the full confusion-marginal arithmetic with the
+    // identical division order.
+    QueryDef("p129_label_agreement",
+      s"""WITH $langPredCtes,
+         |cm AS (SELECT lang, lang_pred, count(*) AS n FROM pred
+         |  GROUP BY 1, 2),
+         |rw AS (SELECT lang, sum(n) AS rn FROM cm GROUP BY 1),
+         |cl AS (SELECT lang_pred, sum(n) AS cn FROM cm GROUP BY 1),
+         |pe AS (SELECT coalesce(sum(rn * cn), 0) AS pe_num
+         |  FROM rw JOIN cl ON rw.lang = cl.lang_pred),
+         |ag AS (SELECT count(*) AS n_total,
+         |    count(*) FILTER (lang = lang_pred) AS n_agree FROM pred)
+         |SELECT CAST(n_total AS BIGINT) AS n_total,
+         |  CAST(n_agree AS BIGINT) AS n_agree,
+         |  round(CAST(n_agree AS DOUBLE) / CAST(n_total AS DOUBLE), 6)
+         |    AS po,
+         |  round(CAST(pe_num AS DOUBLE) /
+         |    (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)), 6)
+         |    AS pe,
+         |  CASE WHEN CAST(pe_num AS DOUBLE) /
+         |      (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)) = 1.0
+         |    THEN NULL
+         |    ELSE round((CAST(n_agree AS DOUBLE) / CAST(n_total AS DOUBLE)
+         |      - CAST(pe_num AS DOUBLE) /
+         |        (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)))
+         |      / (1.0 - CAST(pe_num AS DOUBLE) /
+         |        (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE))), 6)
+         |  END AS kappa
+         |FROM ag CROSS JOIN pe""".stripMargin) { (s, dir) =>
+      TextAnalysis.langAgreementReport(t(s, dir, "documents"))
     }
   )
+
+  /** p11's stopword-vote language mirror as CTEs ending in
+    * `pred(doc_id, lang, lang_pred)` — shared by p11 and the
+    * classifier-agreement audit (p129).
+    */
+  private[operators] lazy val langPredCtes: String = {
+    def lst(ws: Seq[String]) = ws.map("'" + _ + "'").mkString("[", ",", "]")
+    s"""toks AS (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')) = 0
+       |         THEN CAST([] AS VARCHAR[])
+       |         ELSE string_split_regex(
+       |           lower(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')), '\\s+')
+       |    END AS tk,
+       |    length(text) -
+       |      length(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, lang, cjk,
+       |    len(list_filter(tk, t -> list_contains(${lst(TextAnalysis.stopwordsEn)}, t))) AS s_en,
+       |    len(list_filter(tk, t -> list_contains(${lst(TextAnalysis.stopwordsDe)}, t))) AS s_de,
+       |    len(list_filter(tk, t -> list_contains(${lst(TextAnalysis.stopwordsFr)}, t))) AS s_fr,
+       |    len(list_filter(tk, t -> list_contains(${lst(TextAnalysis.stopwordsEs)}, t))) AS s_es
+       |  FROM toks),
+       |pred AS (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN cjk > 0 THEN 'zh'
+       |         WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'unknown'
+       |         WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+       |         WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+       |         WHEN s_fr >= s_es THEN 'fr'
+       |         ELSE 'es' END AS lang_pred
+       |  FROM s)""".stripMargin
+  }
 
   /** p126's oracle, shared with the streaming decontamination job
     * (s25): batches partition the corpus by vector, so the per-batch

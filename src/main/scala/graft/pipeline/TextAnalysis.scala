@@ -1015,6 +1015,37 @@ object TextAnalysis {
       votes.as("numeric_votes"), (votes >= 2).as("is_numeric_heavy"))
   }
 
+  /** Classifier agreement audit (Cohen's kappa between the declared
+    * `lang` label and the stopword-vote detector): the standard check
+    * before trusting EITHER signal for routing/mixing — raw agreement
+    * (po) overstates quality when one class dominates; kappa subtracts
+    * the chance-agreement floor pe = Σ_c p_row(c)·p_col(c). Counts are
+    * exact int64 (pe's numerator is a sum of count products, no
+    * intermediate doubles); every division happens once, in a fixed
+    * order, and only the published values are rounded.
+    */
+  def langAgreementReport(df: DataFrame): DataFrame = {
+    val pred = withLanguage(df).select("doc_id", "lang", "lang_pred")
+    val cm = pred.groupBy("lang", "lang_pred")
+      .agg(count(lit(1)).as("n"))
+    val rw = cm.groupBy("lang").agg(sum("n").as("rn"))
+    val cl = cm.groupBy("lang_pred").agg(sum("n").as("cn"))
+    val pe = rw.join(cl, rw("lang") === cl("lang_pred"))
+      .agg(coalesce(sum(col("rn") * col("cn")), lit(0L)).as("pe_num"))
+    val ag = pred.agg(count(lit(1)).as("n_total"),
+      sum(when(col("lang") === col("lang_pred"), 1L).otherwise(0L))
+        .as("n_agree"))
+    val nT = col("n_total").cast("double")
+    val po = col("n_agree").cast("double") / nT
+    val peD = col("pe_num").cast("double") / (nT * nT)
+    ag.crossJoin(broadcast(pe))
+      .select(col("n_total"), col("n_agree"),
+        round(po, 6).as("po"), round(peD, 6).as("pe"),
+        when(peD === 1.0, lit(null).cast("double"))
+          .otherwise(round((po - peD) / (lit(1.0) - peD), 6))
+          .as("kappa"))
+  }
+
   /** Templated/synthetic-text heuristics (the filter against
     * model-generated or mail-merge contamination): type-token ratio,
     * coefficient of variation of sentence lengths (natural prose is

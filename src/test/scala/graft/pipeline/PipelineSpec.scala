@@ -2245,6 +2245,21 @@ class PipelineSpec extends SparkSpec {
     assert(out(4L) == ((0L, 0L, 0L, 0L, false)), s"${out(4L)}")
   }
 
+  test("langAgreementReport: hand-computed kappa on a 2x2 confusion") {
+    import spark.implicits._
+    val en = "the cat and the dog of the house went to the park"
+    val fr = "le chat et le chien de la maison dans le parc"
+    // declared vs detected: 2 en/en + 1 fr/fr agree, 1 fr-declared
+    // english text disagrees → po=3/4, marginals (en 2, fr 2)×(en 3,
+    // fr 1) → pe=(2·3+2·1)/16=0.5 → kappa=(0.75−0.5)/0.5=0.5
+    val d = Seq((1L, "en", en), (2L, "en", en), (3L, "fr", fr),
+      (4L, "fr", en)).toDF("doc_id", "lang", "text")
+    val r = TextAnalysis.langAgreementReport(d).head()
+    assert(r.getLong(0) == 4L && r.getLong(1) == 3L, s"$r")
+    assert(r.getDouble(2) == 0.75 && r.getDouble(3) == 0.5, s"$r")
+    assert(r.getDouble(4) == 0.5, s"$r")
+  }
+
   test("datasetFingerprint: layout-invariant root, content-sensitive") {
     import spark.implicits._
     val d = (1L to 300L).map(i => (i, s"doc body $i")).toDF("doc_id", "text")
