@@ -1128,6 +1128,50 @@ object Scale {
         col("root_dg"), col("n_docs"))
   }
 
+  /** Write-audit-publish (x34): the release discipline every production
+    * table write should use — write to a STAGING path, audit the staged
+    * data (row count + the x33 content fingerprint against the source
+    * relation), and only then atomically rename into the published
+    * path. A write that fails its audit never becomes visible; readers
+    * only ever see audited generations. All file operations go through
+    * the Hadoop FileSystem API (rename is atomic on HDFS and a bounded
+    * copy on object stores — the audit step is what makes even the
+    * copy window safe, since the target appears only complete).
+    */
+  private[graft] def writeAuditPublish(s: SparkSession,
+      dir: String): DataFrame = {
+    import s.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_x34_wap").toString
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    def publish(src: DataFrame, tag: String,
+        corrupt: Boolean): (Boolean, Boolean) = {
+      val staging = new org.apache.hadoop.fs.Path(s"$base/_staging_$tag")
+      val published = new org.apache.hadoop.fs.Path(s"$base/$tag")
+      val toWrite = if (corrupt) src.limit(100) else src
+      toWrite.write.mode("overwrite").parquet(staging.toString)
+      // audit: exact row count + content fingerprint vs the source
+      val staged = s.read.parquet(staging.toString)
+      val ok = staged.count() == src.count() &&
+        datasetFingerprint(staged).head().getString(3) ==
+          datasetFingerprint(src).head().getString(3)
+      val visible = if (ok) fs.rename(staging, published)
+      else { fs.delete(staging, true); false }
+      (ok, visible && fs.exists(published))
+    }
+    val src = t(s, dir, "documents").select("doc_id", "text")
+    val (okGood, visGood) = publish(src, "good", corrupt = false)
+    val (okBad, visBad) = publish(src, "bad", corrupt = true)
+    val readBack = s.read.parquet(s"$base/good").count()
+    Seq((src.count(), readBack, okGood, visGood, !okBad, !visBad,
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$base/bad")),
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$base/_staging_bad"))))
+      .toDF("n_rows", "n_published", "good_audited", "good_visible",
+        "bad_rejected", "bad_not_visible", "bad_absent",
+        "staging_cleaned")
+  }
+
   /** Orphan-file GC (the table-maintenance job every rewriting layout —
     * compaction x09, dynamic overwrite x18, snapshot x22 — eventually
     * needs): files in the directory but absent from the manifest are
@@ -1729,6 +1773,21 @@ object Scale {
           col("l_returnflag") === col("flag") && saltedFact("salt") === explodedDim("salt"))
         .groupBy("flag_label")
         .agg(count(lit(1)).as("n"))
+    },
+
+    // Write-audit-publish: a good write passes its audit (count +
+    // fingerprint vs source) and atomically publishes; a corrupted
+    // write (truncated to 100 rows) fails the audit, never becomes
+    // visible, and its staging dir is cleaned.
+    QueryDef("x34_write_audit_publish",
+      """SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT)
+        |    AS n_rows,
+        |  CAST((SELECT COUNT(*) FROM documents) AS BIGINT)
+        |    AS n_published,
+        |  true AS good_audited, true AS good_visible,
+        |  true AS bad_rejected, true AS bad_not_visible,
+        |  true AS bad_absent, true AS staging_cleaned""".stripMargin) {
+      (s, dir) => Scale.writeAuditPublish(s, dir)
     },
 
     // Content-addressed dataset fingerprint: per-doc digests roll up
