@@ -1150,6 +1150,54 @@ object Streaming {
         .start()
       q.awaitTermination()
       s.read.parquet(outDir)
+    },
+
+    // Streaming write-audit-publish: each micro-batch stages, audits
+    // (exact count vs the batch relation), and atomically renames into
+    // a published generation — an unaudited batch can never become
+    // visible to readers. The published store must reproduce the batch
+    // per-type aggregate exactly.
+    QueryDef("s26_stream_write_audit_publish",
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+      val base = java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_fmt").toString
+      val srcDir = s"$base/s26_stream_src"
+      val pubDir = s"$base/s26_published"
+      rmTree(new java.io.File(srcDir))
+      rmTree(new java.io.File(pubDir))
+      new java.io.File(srcDir).mkdirs()
+      new java.io.File(pubDir).mkdirs()
+      val ev = graft.Tables.load(s, dir, "events")
+        .select("event_id", "event_type")
+      writeSingle(ev.filter(col("event_id") % 2 === 0), srcDir, "batch_a")
+      writeSingle(ev.filter(col("event_id") % 2 === 1), srcDir, "batch_b")
+      val schema = s.read.parquet(srcDir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(srcDir)
+      val fs = new org.apache.hadoop.fs.Path(pubDir)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      val q = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+            batchId: Long) =>
+          val n = batch.count()
+          val staging = new org.apache.hadoop.fs.Path(
+            s"$pubDir/_staging_gen$batchId")
+          batch.write.mode("overwrite").parquet(staging.toString)
+          val staged = s.read.parquet(staging.toString)
+          if (staged.count() == n)
+            fs.rename(staging,
+              new org.apache.hadoop.fs.Path(s"$pubDir/gen$batchId"))
+          else fs.delete(staging, true)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$pubDir/gen*")
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
     }
   )
 }
