@@ -2173,9 +2173,13 @@ class PipelineSpec extends SparkSpec {
     import org.apache.spark.sql.graft.IntervalJoinOps
     val rnd = new scala.util.Random(7)
     val width = 50L
+    // every 9th interval is degenerate (lo > hi) — must match nothing
     val lRows = Seq.fill(300)((rnd.nextInt(10).toLong,
       rnd.nextInt(500).toLong)).zipWithIndex
-      .map { case ((k, ts), i) => (k, i.toLong, ts + 1, ts + width) }
+      .map { case ((k, ts), i) =>
+        if (i % 9 == 8) (k, i.toLong, ts + width, ts + 1)
+        else (k, i.toLong, ts + 1, ts + width)
+      }
     val rRows = Seq.fill(300)((rnd.nextInt(10).toLong,
       rnd.nextInt(500).toLong)).zipWithIndex
       .map { case ((k, ts), i) => (k, 1000L + i, ts) }

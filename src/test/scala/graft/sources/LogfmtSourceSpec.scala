@@ -153,6 +153,29 @@ class LogfmtSourceSpec extends SparkSpec {
     assert(joined.count() == 40)
   }
 
+  test("seeded fuzz: random content x random split sizes never loses a line") {
+    val rnd = new scala.util.Random(1234)
+    for (trial <- 1 to 4) {
+      // random line lengths incl. empty-ish and long lines, multi-byte
+      // chars, so split boundaries land everywhere interesting
+      val lines = (0 until 500).map { i =>
+        val pad = "x" * rnd.nextInt(120)
+        val uni = if (i % 17 == 0) " é☃" else ""
+        s"id=$i v=${rnd.nextInt(1000)} pad=$pad$uni"
+      }
+      val dir = writeLogfmt(s"fuzz$trial", lines)
+      val whole = spark.read.format("graft-logfmt").load(dir)
+        .selectExpr("id", "v").collect().map(_.toString).sorted.toSeq
+      for (split <- Seq(64 + rnd.nextInt(200), 1024 + rnd.nextInt(2048))) {
+        val chunked = spark.read.format("graft-logfmt")
+          .option("maxSplitBytes", split.toString).load(dir)
+          .selectExpr("id", "v").collect().map(_.toString).sorted.toSeq
+        assert(chunked == whole,
+          s"trial $trial split=$split: ${chunked.size} vs ${whole.size}")
+      }
+    }
+  }
+
   test("edge cases: empty file, missing path, user-supplied schema") {
     // an empty data file contributes zero chunks, not a crash
     val dir = Files.createTempDirectory("graft_dsv2_edge")
