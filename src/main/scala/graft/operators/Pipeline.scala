@@ -4874,6 +4874,57 @@ object Pipeline {
          |  END AS kappa
          |FROM ag CROSS JOIN pe""".stripMargin) { (s, dir) =>
       TextAnalysis.langAgreementReport(t(s, dir, "documents"))
+    },
+
+    // Hash-integrity audit: planted exact dups give distinct-text <
+    // n_docs so the countDistincts measure something real; the oracle
+    // recomputes the md5 side exactly and the xxhash64 boolean follows
+    // the p03 invariant pattern (engine-computed, asserted true).
+    QueryDef("p130_hash_integrity",
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 9 = 0)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_text,
+        |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_md5,
+        |  true AS md5_injective, true AS xx_injective
+        |FROM corpus""".stripMargin) { (s, dir) =>
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val corpus = d.unionAll(d.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"), col("text")))
+      Corpus.hashIntegrityReport(corpus)
+    },
+
+    // Sentence-aware chunking: no chunk boundary ever splits a
+    // sentence; the oracle replays the sentence split, the exclusive
+    // windowed cumsum, the DIV-budget assignment, and the ordered
+    // '. '-joined chunk digests.
+    QueryDef("p131_sentence_chunks",
+      """WITH s0 AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '[.!?]+'),
+        |      s -> length(trim(s)) > 0) AS sents
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, sents FROM s0 WHERE len(sents) > 0),
+        |lp AS (SELECT doc_id, sents,
+        |    unnest(range(1, len(sents) + 1)) AS p FROM s1),
+        |l2 AS (SELECT doc_id, p - 1 AS pos, trim(sents[p]) AS sent,
+        |    len(string_split_regex(trim(sents[p]), '\s+')) AS nt
+        |  FROM lp),
+        |c AS (SELECT doc_id, pos, sent, nt,
+        |    coalesce(SUM(nt) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cb
+        |  FROM l2),
+        |k AS (SELECT doc_id, pos, sent, nt, cb // 64 AS chunk_id FROM c)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  CAST(count(*) AS BIGINT) AS n_sentences,
+        |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+        |  md5(string_agg(sent, '. ' ORDER BY pos)) AS chunk_dg
+        |FROM k GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      Corpus.sentenceChunks(
+        t(s, dir, "documents").select("doc_id", "text"), maxTokens = 64)
     }
   )
 

@@ -1210,6 +1210,73 @@ object Corpus {
       (expr(s"((pos - 1) * $nStages) DIV $total") + 1).as("stage"))
   }
 
+  /** Hash-integrity audit: every digest-keyed operator in this engine
+    * (exact dedup, gram/shingle joins, the dedup index) rests on
+    * "digest equality == content equality" — this measures that
+    * assumption on the actual corpus instead of assuming it: distinct
+    * texts vs distinct md5 vs distinct xxhash64. A collision would
+    * surface as a smaller hash-distinct count; at 2^-64/2^-128 rates
+    * the booleans are expected true at ANY corpus size, which is
+    * exactly why a violation must abort a pipeline rather than
+    * silently merge two documents.
+    */
+  def hashIntegrityReport(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    df.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col(textCol)).as("n_distinct_text"),
+      countDistinct(md5(col(textCol))).as("n_distinct_md5"),
+      countDistinct(xxhash64(col(textCol))).as("n_distinct_xx"))
+      .select(col("n_docs"), col("n_distinct_text"),
+        col("n_distinct_md5"),
+        (col("n_distinct_md5") === col("n_distinct_text"))
+          .as("md5_injective"),
+        (col("n_distinct_xx") === col("n_distinct_text"))
+          .as("xx_injective"))
+
+  /** Sentence-aware chunking (the RAG/packing primitive p28's fixed
+    * token windows can't give: chunks that never split a sentence).
+    * Sentences = terminal-punctuation runs; each sentence joins the
+    * running chunk until the EXCLUSIVE token cumsum crosses the
+    * budget — i.e. chunk(i) = cumsumBefore(i) DIV budget, which keeps
+    * chunks ≥ budget-aligned, allows a long sentence to overflow its
+    * chunk rather than be split, and is exactly replayable as a
+    * windowed running sum. Per-doc HOF arithmetic + one (doc, chunk)
+    * rollup; chunk text digests are over '. '-joined sentences (a
+    * documented normalization — original inter-sentence punctuation is
+    * not reconstructed).
+    */
+  def sentenceChunks(df: DataFrame, maxTokens: Int = 64,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val text = col(textCol)
+    val sents = filter(split(text, "[.!?]+"), s => length(trim(s)) > 0)
+    val tc = transform(sents, s => size(split(trim(s), "\\s+")))
+    // exclusive running sum per sentence (aggregate builds the array)
+    val cumBefore = aggregate(tc,
+      struct(array().cast("array<long>").as("arr"), lit(0L).as("run")),
+      (acc, x) => struct(
+        concat(acc.getField("arr"), array(acc.getField("run"))).as("arr"),
+        (acc.getField("run") + x).as("run")),
+      acc => acc.getField("arr"))
+    // chunkIds via ONE transform over the materialized cumsum array —
+    // indexing cumBefore inside a per-element lambda would re-evaluate
+    // the whole aggregate per sentence (the p86/p120/withLanguage trap)
+    val chunkIds = transform(cumBefore,
+      c => (c / maxTokens).cast("long"))
+    val za = arrays_zip(transform(sents, s => trim(s)),
+      transform(tc, x => x.cast("long")), chunkIds)
+    df.filter(size(sents) > 0)
+      .select(col(idCol), posexplode(za).as(Seq("pos", "x")))
+      .select(col(idCol), col("x.2").as("chunk_id"), col("pos"),
+        col("x.0").as("sent"), col("x.1").as("nt"))
+      .groupBy(idCol, "chunk_id")
+      .agg(count(lit(1)).as("n_sentences"),
+        sum("nt").as("n_tokens"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("sent")))),
+          s => s.getField("sent")), ". ")).as("chunk_dg"))
+  }
+
   /** Contrastive triplet construction for embedding training: every
     * near-dup pair is a (anchor, positive); the negative is the
     * anchor's successor in a deterministic md5 ring over the WHOLE

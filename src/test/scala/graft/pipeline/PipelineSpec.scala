@@ -2249,6 +2249,28 @@ class PipelineSpec extends SparkSpec {
     assert(out(4L) == ((0L, 0L, 0L, 0L, false)), s"${out(4L)}")
   }
 
+  test("sentenceChunks: budget-aligned, never splits a sentence") {
+    import spark.implicits._
+    // 10 sentences of 10 tokens; budget 25 → exclusive cumsums 0,10,20,
+    // 30… → chunks {0,1,2},{3,4},{5,6,7},{8,9} (cb DIV 25 = 0,0,0,1,1,
+    // 2,2,2,3,3)
+    val sent = (1 to 10).map(i =>
+      (1 to 10).map(j => s"w$i$j").mkString(" ")).mkString(". ") + "."
+    val d = Seq((1L, sent), (2L, "   ")).toDF("doc_id", "text")
+    val out = Corpus.sentenceChunks(d, maxTokens = 25).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out.keySet == Set((1L, 0L), (1L, 1L), (1L, 2L), (1L, 3L)),
+      s"$out")
+    assert(out((1L, 0L)) == ((3L, 30L)) && out((1L, 1L)) == ((2L, 20L)))
+    assert(out((1L, 2L)) == ((3L, 30L)) && out((1L, 3L)) == ((2L, 20L)))
+    // a single overlong sentence overflows its chunk, never splits
+    val long = (1 to 80).map(i => s"t$i").mkString(" ") + "."
+    val o2 = Corpus.sentenceChunks(Seq((3L, long)).toDF("doc_id", "text"),
+      maxTokens = 25).collect()
+    assert(o2.length == 1 && o2.head.getLong(3) == 80L, s"${o2.toSeq}")
+  }
+
   test("langAgreementReport: hand-computed kappa on a 2x2 confusion") {
     import spark.implicits._
     val en = "the cat and the dog of the house went to the park"
