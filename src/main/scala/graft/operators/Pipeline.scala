@@ -4901,11 +4901,26 @@ object Pipeline {
     // sentence; the oracle replays the sentence split, the exclusive
     // windowed cumsum, the DIV-budget assignment, and the ordered
     // '. '-joined chunk digests.
-    QueryDef("p131_sentence_chunks",
-      """WITH s0 AS (SELECT doc_id,
+    QueryDef("p131_sentence_chunks", sentenceChunksSql) { (s, dir) =>
+      Corpus.sentenceChunks(
+        t(s, dir, "documents").select("doc_id", "text"), maxTokens = 64)
+    },
+
+    // Chunk-level dedup (the RAG-index dedup: identical chunks from
+    // different documents collapse to one canonical entry before
+    // embedding — planted exact-copy docs make every one of their
+    // chunks a duplicate). Canonical = min (doc_id, chunk_id) per
+    // digest; the oracle nests the full p131 chunking replay.
+    QueryDef("p132_chunk_dedup",
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 9 = 0),
+        |s0 AS (SELECT doc_id,
         |    list_filter(string_split_regex(text, '[.!?]+'),
         |      s -> length(trim(s)) > 0) AS sents
-        |  FROM documents),
+        |  FROM corpus),
         |s1 AS (SELECT doc_id, sents FROM s0 WHERE len(sents) > 0),
         |lp AS (SELECT doc_id, sents,
         |    unnest(range(1, len(sents) + 1)) AS p FROM s1),
@@ -4917,14 +4932,22 @@ object Pipeline {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         |      AS cb
         |  FROM l2),
-        |k AS (SELECT doc_id, pos, sent, nt, cb // 64 AS chunk_id FROM c)
-        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
-        |  CAST(count(*) AS BIGINT) AS n_sentences,
-        |  CAST(sum(nt) AS BIGINT) AS n_tokens,
-        |  md5(string_agg(sent, '. ' ORDER BY pos)) AS chunk_dg
-        |FROM k GROUP BY 1, 2""".stripMargin) { (s, dir) =>
-      Corpus.sentenceChunks(
-        t(s, dir, "documents").select("doc_id", "text"), maxTokens = 64)
+        |k AS (SELECT doc_id, pos, sent, nt, cb // 64 AS chunk_id FROM c),
+        |ch AS (SELECT doc_id, chunk_id,
+        |    md5(string_agg(sent, '. ' ORDER BY pos)) AS chunk_dg
+        |  FROM k GROUP BY 1, 2)
+        |SELECT chunk_dg, CAST(min(doc_id * 100000 + chunk_id) AS BIGINT)
+        |    AS canon_key,
+        |  CAST(count(*) AS BIGINT) AS n_copies
+        |FROM ch GROUP BY 1""".stripMargin) { (s, dir) =>
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val corpus = d.unionAll(d.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"), col("text")))
+      Corpus.sentenceChunks(corpus, maxTokens = 64)
+        .groupBy("chunk_dg")
+        .agg(min(col("doc_id") * 100000 + col("chunk_id"))
+          .as("canon_key"),
+          count(lit(1)).as("n_copies"))
     }
   )
 
@@ -4961,6 +4984,33 @@ object Pipeline {
        |         ELSE 'es' END AS lang_pred
        |  FROM s)""".stripMargin
   }
+
+  /** p131's oracle, shared with the streaming chunk-index job (s27):
+    * chunking is per-doc, so per-batch outputs union to the batch
+    * relation.
+    */
+  private[operators] lazy val sentenceChunksSql: String =
+    """WITH s0 AS (SELECT doc_id,
+      |    list_filter(string_split_regex(text, '[.!?]+'),
+      |      s -> length(trim(s)) > 0) AS sents
+      |  FROM documents),
+      |s1 AS (SELECT doc_id, sents FROM s0 WHERE len(sents) > 0),
+      |lp AS (SELECT doc_id, sents,
+      |    unnest(range(1, len(sents) + 1)) AS p FROM s1),
+      |l2 AS (SELECT doc_id, p - 1 AS pos, trim(sents[p]) AS sent,
+      |    len(string_split_regex(trim(sents[p]), '\s+')) AS nt
+      |  FROM lp),
+      |c AS (SELECT doc_id, pos, sent, nt,
+      |    coalesce(SUM(nt) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS cb
+      |  FROM l2),
+      |k AS (SELECT doc_id, pos, sent, nt, cb // 64 AS chunk_id FROM c)
+      |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+      |  CAST(count(*) AS BIGINT) AS n_sentences,
+      |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+      |  md5(string_agg(sent, '. ' ORDER BY pos)) AS chunk_dg
+      |FROM k GROUP BY 1, 2""".stripMargin
 
   /** p126's oracle, shared with the streaming decontamination job
     * (s25): batches partition the corpus by vector, so the per-batch

@@ -1198,6 +1198,42 @@ object Streaming {
       q.awaitTermination()
       s.read.parquet(s"$pubDir/gen*")
         .groupBy("event_type").agg(count(lit(1)).as("n"))
+    },
+
+    // Streaming RAG chunk-index maintenance: each document micro-batch
+    // is sentence-chunked at ingest (stateless per-doc) and appended to
+    // the index store; batches partition docs, so the accumulated store
+    // must equal the batch p131 relation — shared oracle.
+    QueryDef("s27_stream_chunk_index", Pipeline.sentenceChunksSql) {
+      (s, dir) =>
+      import graft.pipeline.Corpus
+      val base = java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_fmt").toString
+      val srcDir = s"$base/s27_stream_src"
+      val outDir = s"$base/s27_stream_out"
+      rmTree(new java.io.File(srcDir))
+      rmTree(new java.io.File(outDir))
+      new java.io.File(srcDir).mkdirs()
+      val docs = graft.Tables.load(s, dir, "documents")
+        .select("doc_id", "text")
+      writeSingle(docs.filter(col("doc_id") % 2 === 0), srcDir, "batch_a")
+      writeSingle(docs.filter(col("doc_id") % 2 === 1), srcDir, "batch_b")
+      val schema = s.read.parquet(srcDir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(srcDir)
+      val q = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+            _: Long) =>
+          Corpus.sentenceChunks(batch, maxTokens = 64)
+            .write.mode("append").parquet(outDir)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(outDir)
     }
   )
 }
