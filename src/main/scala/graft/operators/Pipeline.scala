@@ -4948,6 +4948,66 @@ object Pipeline {
         .agg(min(col("doc_id") * 100000 + col("chunk_id"))
           .as("canon_key"),
           count(lit(1)).as("n_copies"))
+    },
+
+    // Source attribution: "generations" are 300-char excerpts of corpus
+    // docs; winnowing fingerprints on both sides, a df-pruned corpus
+    // index, and the best-source rollup must point each excerpt back to
+    // its origin. The oracle replays BOTH winnowing selections plus the
+    // (n desc, src asc) tiebreak and the coverage division.
+    QueryDef("p133_source_attribution",
+      """WITH corpus AS (SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 5 = 0),
+        |q AS (SELECT doc_id AS qid, substr(text, 101, 300) AS qtext
+        |  FROM documents WHERE doc_id % 20 = 0),
+        |cpos AS (SELECT doc_id, text,
+        |    unnest(range(0, length(text) - 7, 1)) AS p
+        |  FROM corpus WHERE length(text) >= 11),
+        |cg AS (SELECT doc_id, p, md5(substr(text, p + 1, 8)) AS h
+        |  FROM cpos),
+        |cwin AS (SELECT doc_id,
+        |    unnest(range(0, length(text) - 10, 1)) AS j
+        |  FROM corpus WHERE length(text) >= 11),
+        |csel AS (SELECT w.doc_id, w.j,
+        |    min(g.h || lpad(CAST(g.p AS VARCHAR), 10, '0')) AS key
+        |  FROM cwin w JOIN cg g ON g.doc_id = w.doc_id
+        |    AND g.p BETWEEN w.j AND w.j + 3
+        |  GROUP BY 1, 2),
+        |cfp AS (SELECT DISTINCT doc_id AS src_id, substr(key, 1, 32)
+        |    AS h FROM csel),
+        |rare AS (SELECT h FROM cfp GROUP BY h HAVING count(*) <= 50),
+        |idx AS (SELECT cfp.* FROM cfp JOIN rare USING (h)),
+        |qpos AS (SELECT qid, qtext,
+        |    unnest(range(0, length(qtext) - 7, 1)) AS p
+        |  FROM q WHERE length(qtext) >= 11),
+        |qg AS (SELECT qid, p, md5(substr(qtext, p + 1, 8)) AS h
+        |  FROM qpos),
+        |qwin AS (SELECT qid,
+        |    unnest(range(0, length(qtext) - 10, 1)) AS j
+        |  FROM q WHERE length(qtext) >= 11),
+        |qsel AS (SELECT w.qid, w.j,
+        |    min(g.h || lpad(CAST(g.p AS VARCHAR), 10, '0')) AS key
+        |  FROM qwin w JOIN qg g ON g.qid = w.qid
+        |    AND g.p BETWEEN w.j AND w.j + 3
+        |  GROUP BY 1, 2),
+        |qfp AS (SELECT DISTINCT qid, substr(key, 1, 32) AS h FROM qsel),
+        |qs AS (SELECT qid, count(*) AS n_qfp FROM qfp GROUP BY qid),
+        |m AS (SELECT qid, src_id, count(*) AS n
+        |  FROM qfp JOIN idx USING (h) GROUP BY 1, 2),
+        |r AS (SELECT qid, src_id, n, ROW_NUMBER() OVER (
+        |    PARTITION BY qid ORDER BY n DESC, src_id) AS rn FROM m)
+        |SELECT r.qid, CAST(r.src_id AS BIGINT) AS src_id,
+        |  CAST(r.n AS BIGINT) AS n_shared,
+        |  round(CAST(r.n AS DOUBLE) / CAST(qs.n_qfp AS DOUBLE), 6)
+        |    AS coverage
+        |FROM r JOIN qs ON qs.qid = r.qid WHERE r.rn = 1""".stripMargin) {
+      (s, dir) =>
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val corpus = d.filter(col("doc_id") % 5 === 0)
+      val queries = d.filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id").as("qid"),
+          substring(col("text"), 101, 300).as("qtext"))
+      Dedup.attributeSources(corpus, queries, k = 8, w = 4, maxDf = 50)
     }
   )
 

@@ -1114,6 +1114,43 @@ object Dedup {
       .distinct()
   }
 
+  /** Source attribution via winnowing fingerprints (the memorization
+    * audit p105's canaries can't do: given a GENERATED text, find which
+    * training document it copied from — no planted marker needed).
+    * Both sides fingerprint with the same (k, w) selection, the corpus
+    * index is df-pruned (ubiquitous fingerprints identify nothing),
+    * and each query keeps its best-matching source with a coverage
+    * fraction (matched / query fingerprints). The corpus index is
+    * exactly the artifact a production pipeline materializes once and
+    * probes per generation batch.
+    */
+  def attributeSources(corpus: DataFrame, queries: DataFrame,
+      k: Int = 8, w: Int = 4, maxDf: Int = 50,
+      idCol: String = "doc_id", textCol: String = "text",
+      qidCol: String = "qid", qtextCol: String = "qtext"): DataFrame = {
+    val cfp = winnowFingerprints(corpus, k, w, idCol, textCol)
+      .select(col(idCol).as("src_id"), col("h")).distinct()
+    val rare = cfp.groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") <= maxDf).select("h")
+    val index = cfp.join(rare, "h")
+    val qfp = winnowFingerprints(queries, k, w, qidCol, qtextCol)
+      .select(col(qidCol).as("qid"), col("h")).distinct()
+    val qSize = qfp.groupBy("qid").agg(count(lit(1)).as("n_qfp"))
+    val matches = qfp.join(index, "h")
+      .groupBy("qid", "src_id")
+      .agg(count(lit(1)).as("n_shared"))
+    matches
+      .groupBy("qid")
+      .agg(max(struct(col("n_shared"), (-col("src_id")).as("negid")))
+        .as("best"))
+      .join(qSize, "qid")
+      .select(col("qid"),
+        (-col("best.negid")).cast("long").as("src_id"),
+        col("best.n_shared"),
+        round(col("best.n_shared").cast("double") /
+          col("n_qfp").cast("double"), 6).as("coverage"))
+  }
+
   /** Cross-doc winnowing candidates: pairs sharing ≥ minShared selected
     * hashes (id_a < id_b). Join is on the fingerprint HASH only — the
     * sharing guarantee is positional-shift-proof by construction.

@@ -2249,6 +2249,29 @@ class PipelineSpec extends SparkSpec {
     assert(out(4L) == ((0L, 0L, 0L, 0L, false)), s"${out(4L)}")
   }
 
+  test("attributeSources: excerpts point back to their origin doc") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    def randText(n: Int): String =
+      (1 to n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val corpus = (1L to 20L).map(i => (i, randText(600)))
+      .toDF("doc_id", "text")
+    // generations: verbatim 200-char excerpts of docs 3, 9, 17
+    val queries = corpus.filter($"doc_id".isin(3L, 9L, 17L))
+      .select($"doc_id".as("qid"),
+        org.apache.spark.sql.functions.substring($"text", 150, 200)
+          .as("qtext"))
+    val out = graft.pipeline.Dedup.attributeSources(corpus, queries)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(3)))).toMap
+    assert(out.keySet == Set(3L, 9L, 17L), s"$out")
+    out.foreach { case (qid, (src, cov)) =>
+      assert(src == qid, s"excerpt of $qid attributed to $src")
+      // a verbatim excerpt's interior fingerprints all match the source
+      assert(cov > 0.8, s"coverage $cov for $qid")
+    }
+  }
+
   test("sentenceChunks: budget-aligned, never splits a sentence") {
     import spark.implicits._
     // 10 sentences of 10 tokens; budget 25 → exclusive cumsums 0,10,20,
