@@ -5008,6 +5008,35 @@ object Pipeline {
         .select(col("doc_id").as("qid"),
           substring(col("text"), 101, 300).as("qtext"))
       Dedup.attributeSources(corpus, queries, k = 8, w = 4, maxDf = 50)
+    },
+
+    // Duplication-aware loss weighting (soft dedup: keep every copy but
+    // weight it 1/n_copies, so each distinct CONTENT contributes one
+    // unit of gradient regardless of replication — the alternative to
+    // hard dropping when dedup confidence is low). Exact-dup plants
+    // give real multi-copy groups; weights replay as a digest-count
+    // join.
+    QueryDef("p134_soft_dedup_weights",
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 6 = 1),
+        |g AS (SELECT md5(text) AS dg, count(*) AS c FROM corpus
+        |  GROUP BY 1)
+        |SELECT c0.doc_id, CAST(g.c AS BIGINT) AS n_copies,
+        |  round(1.0 / CAST(g.c AS DOUBLE), 6) AS weight
+        |FROM corpus c0 JOIN g ON md5(c0.text) = g.dg""".stripMargin) {
+      (s, dir) =>
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val corpus = d.unionAll(d.filter(col("doc_id") % 6 === 1)
+        .select((col("doc_id") + 2000000).as("doc_id"), col("text")))
+      val g = corpus.groupBy(md5(col("text")).as("dg"))
+        .agg(count(lit(1)).as("c"))
+      corpus.select(col("doc_id"), md5(col("text")).as("dg"))
+        .join(g, "dg")
+        .select(col("doc_id"), col("c").as("n_copies"),
+          round(lit(1.0) / col("c").cast("double"), 6).as("weight"))
     }
   )
 
