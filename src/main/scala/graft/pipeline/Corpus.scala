@@ -1265,16 +1265,36 @@ object Corpus {
       c => (c / maxTokens).cast("long"))
     val za = arrays_zip(transform(sents, s => trim(s)),
       transform(tc, x => x.cast("long")), chunkIds)
+    // chunk assembly as a per-row fold: chunk ids are CONSECUTIVE, so
+    // each sentence either extends the last chunk struct or appends a
+    // new one. The whole operator is then a narrow projection + one
+    // explode of finished chunk rows — the text never shuffles (the
+    // earlier groupBy form shipped every sentence through an exchange).
+    val chunkType = "array<struct<chunk_id:bigint,n_sentences:bigint," +
+      "n_tokens:bigint,txt:string>>"
+    val folded = aggregate(za,
+      expr(s"CAST(array() AS $chunkType)"),
+      (acc, x) => {
+        val last = element_at(acc, -1)
+        val cid = x.getField("2")
+        val merged = struct(
+          last.getField("chunk_id").as("chunk_id"),
+          (last.getField("n_sentences") + 1L).as("n_sentences"),
+          (last.getField("n_tokens") + x.getField("1")).as("n_tokens"),
+          concat(last.getField("txt"), lit(". "), x.getField("0"))
+            .as("txt"))
+        val fresh = struct(cid.as("chunk_id"),
+          lit(1L).as("n_sentences"), x.getField("1").as("n_tokens"),
+          x.getField("0").as("txt"))
+        when(size(acc) > 0 && last.getField("chunk_id") === cid,
+          concat(slice(acc, lit(1), size(acc) - 1), array(merged)))
+          .otherwise(concat(acc, array(fresh)))
+      })
     df.filter(size(sents) > 0)
-      .select(col(idCol), posexplode(za).as(Seq("pos", "x")))
-      .select(col(idCol), col("x.2").as("chunk_id"), col("pos"),
-        col("x.0").as("sent"), col("x.1").as("nt"))
-      .groupBy(idCol, "chunk_id")
-      .agg(count(lit(1)).as("n_sentences"),
-        sum("nt").as("n_tokens"),
-        md5(array_join(transform(
-          array_sort(collect_list(struct(col("pos"), col("sent")))),
-          s => s.getField("sent")), ". ")).as("chunk_dg"))
+      .select(col(idCol), explode(folded).as("c"))
+      .select(col(idCol), col("c.chunk_id"),
+        col("c.n_sentences"), col("c.n_tokens"),
+        md5(col("c.txt")).as("chunk_dg"))
   }
 
   /** Contrastive triplet construction for embedding training: every

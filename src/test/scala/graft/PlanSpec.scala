@@ -222,6 +222,13 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 3, s"more shuffles than an SMJ needs:\n$p")
   }
 
+  test("p131: sentence chunking is a zero-shuffle projection") {
+    val p = executed("p131_sentence_chunks")
+    val pFinal = p.split("== Initial Plan ==")(0)
+    assert(!pFinal.contains("Exchange"),
+      s"chunk fold should keep text in place:\n$pFinal")
+  }
+
   test("x29: custom IntervalJoinExec runs — no explode, no product join") {
     val p = executed("x29_interval_join_op")
     assert(p.contains("IntervalJoin "), s"custom operator not planned:\n$p")
