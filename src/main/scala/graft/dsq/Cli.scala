@@ -35,14 +35,19 @@ object Cli {
       |      --no-sqlite-writer  (compat no-op)
       |""".stripMargin
 
-  def parse(argv: Array[String]): Either[String, Args] = {
+  def parse(argv: Array[String],
+      env: Map[String, String] = sys.env): Either[String, Args] = {
     var a = Args()
     var rest = List.empty[String]
     var i = 0
-    val env = sys.env
+    // env defaults are case-insensitive "true" (reference main.go:343-345;
+    // DSQ_NO_SQLITE_WRITER is honored for surface parity and, like the
+    // flag, is a no-op in this engine — there is no sqlite writer)
+    def envTrue(k: String) = env.get(k).exists(_.equalsIgnoreCase("true"))
     var opts = DsqOptions(
-      cacheEnabled = env.get("DSQ_CACHE").contains("true"),
-      convertNumbers = env.get("DSQ_CONVERT_NUMBERS").contains("true"))
+      cacheEnabled = envTrue("DSQ_CACHE"),
+      convertNumbers = envTrue("DSQ_CONVERT_NUMBERS"),
+      noSqliteWriter = envTrue("DSQ_NO_SQLITE_WRITER"))
     while (i < argv.length) {
       argv(i) match {
         case "-p" | "--pretty" => opts = opts.copy(pretty = true)
@@ -54,7 +59,7 @@ object Cli {
             cacheEnabled = true)
         case "-n" | "--convert-numbers" => opts = opts.copy(convertNumbers = true)
         case "--verbose" => opts = opts.copy(verbose = true)
-        case "--no-sqlite-writer" => // compat no-op
+        case "--no-sqlite-writer" => opts = opts.copy(noSqliteWriter = true)
         case "-v" | "--version" => return Left(s"dsq ${BuildInfo.version}")
         case "-h" | "--help" => return Left(help)
         case "-s" | "--stdin" =>
@@ -124,13 +129,17 @@ object Cli {
     var files = args.files
     var mimes: Seq[Option[String]] = files.map(_ => None)
     try {
-      // stdin slurp (reference main.go:484-499)
+      // stdin slurp (reference main.go:484-499). Resolve the type FIRST —
+      // `-s` accepts both bare extensions and full MIME strings
+      // (resolveContentType main.go:29-35), and a slash can't appear in a
+      // temp-file suffix, so the tmp file carries the resolved key.
       args.opts.stdinType.foreach { t =>
-        val tmp = Files.createTempFile("dsq-stdin", s".$t")
+        val mime = Readers.mimeOf(t).getOrElse(
+          throw DsqError(s"Unknown mimetype: $t."))
+        val tmp = Files.createTempFile("dsq-stdin", s".$mime")
         Files.copy(System.in, tmp, StandardCopyOption.REPLACE_EXISTING)
         files = tmp.toString +: files
-        mimes = Some(Readers.mimeOf(t).getOrElse(
-          throw DsqError(s"Unknown mimetype: $t."))) +: mimes
+        mimes = Some(mime) +: mimes
       }
       if (files.isEmpty) {
         System.err.println("No input files.")
@@ -138,7 +147,10 @@ object Cli {
       }
       val engine = new Engine(buildSession())
       if (args.opts.dumpCacheFile) {
-        val cache = new ContentHashCache(engine.spark, files, enabled = true)
+        // same optsKey derivation as Engine.runQuery — `-D -n` must print
+        // the directory a subsequent `-C -n` run would actually use
+        val cache = new ContentHashCache(engine.spark, files, enabled = true,
+          optsKey = if (args.opts.convertNumbers) "n" else "")
         println(cache.cacheDir.toString)
         return 0
       }

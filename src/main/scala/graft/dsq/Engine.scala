@@ -13,7 +13,10 @@ final case class DsqOptions(
     sqlFile: Option[String] = None,
     dumpCacheFile: Boolean = false,
     interactive: Boolean = false,
-    verbose: Boolean = false)
+    verbose: Boolean = false,
+    // accepted via --no-sqlite-writer AND DSQ_NO_SQLITE_WRITER env
+    // (main.go:344); a no-op here — there is no sqlite fast-path writer
+    noSqliteWriter: Boolean = false)
 
 /** The dsq-compatible engine: files → readers → flatten → temp views
   * `t_N` → dialect-translated `spark.sql` → renderers. (Reference query
@@ -47,6 +50,27 @@ final class Engine(val spark: SparkSession) {
     if (convertNumbers) Flatten.convertNumbers(flat) else flat
   }
 
+  /** `--verbose` per-file ingest progress on stderr (the reference sets
+    * runner.Verbose, main.go:353-355, and the runner logs each file as it
+    * transforms it). Counting rows forces the plan — acceptable under an
+    * explicit verbose flag, and it mirrors the reference's row-counted
+    * ingest log.
+    */
+  private def ingestLogged(opts: DsqOptions, path: String,
+      mimeOverride: Option[String], view: String,
+      cache: ContentHashCache)(ingest: () => DataFrame): DataFrame = {
+    if (!opts.verbose) return cache.getOrIngest(view, ingest)
+    val mime = mimeOverride
+      .orElse(Readers.mimeOf(Readers.extensionOf(path))).getOrElse("?")
+    val t0 = System.nanoTime()
+    val df = cache.getOrIngest(view, ingest)
+    val rows = df.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    System.err.println(
+      f"Ingested $path as $mime: $rows rows in $secs%.3fs.")
+    df
+  }
+
   /** Register `files` as views t_0..t_n (plus any path-addressed
     * sub-tables the query references) and run the translated query.
     */
@@ -65,7 +89,7 @@ final class Engine(val spark: SparkSession) {
     // may be a top-level JSON object, not an array of objects)
     val bareIdx = refs.filter(_.path.isEmpty).map(_.index).toSet
     files.indices.filter(i => bareIdx.contains(i) || refs.isEmpty).foreach { i =>
-      val df = cache.getOrIngest(s"t_$i",
+      val df = ingestLogged(opts, files(i), mimes.lift(i).flatten, s"t_$i", cache)(
         () => readTable(files(i), mimes.lift(i).flatten, opts.convertNumbers))
       df.createOrReplaceTempView(s"t_$i")
       allColumns ++= df.schema.fieldNames
@@ -76,7 +100,7 @@ final class Engine(val spark: SparkSession) {
       val file = files(r.index)
       val mime = mimes.lift(r.index).flatten
         .orElse(Readers.mimeOf(Readers.extensionOf(file)))
-      val df0 = cache.getOrIngest(Dialect.viewName(r), () => {
+      val df0 = ingestLogged(opts, file, mime, Dialect.viewName(r), cache)(() => {
         val raw = mime match {
           case Some("xlsx") => Excel.readXlsx(spark, file, sheet = r.path)
           case Some("ods") => Excel.readOds(spark, file, sheet = r.path)

@@ -12,24 +12,28 @@ import scala.jdk.CollectionConverters._
   */
 object Readers {
 
-  /** extension → MIME-ish type key (reference main.go:29-46, README
-    * format table). */
+  /** extension or full MIME string → internal type key (reference
+    * resolveContentType main.go:29-35: anything containing a path
+    * separator is taken verbatim as a MIME name, so `-s text/csv` and
+    * `-s csv` are equivalent; the pipe-only log formats are documented
+    * ONLY by MIME type — README.md:596-612 format table).
+    */
   def mimeOf(ext: String): Option[String] = ext.toLowerCase match {
-    case "csv" => Some("csv")
-    case "tsv" | "tab" => Some("tsv")
-    case "json" => Some("json")
-    case "ndjson" | "jsonl" => Some("jsonl")
-    case "cjson" => Some("cjson")
+    case "csv" | "text/csv" => Some("csv")
+    case "tsv" | "tab" | "text/tab-separated-values" => Some("tsv")
+    case "json" | "application/json" => Some("json")
+    case "ndjson" | "jsonl" | "application/jsonlines" => Some("jsonl")
+    case "cjson" | "application/jsonconcat" => Some("cjson")
     case "parquet" => Some("parquet")
     case "orc" => Some("orc")
-    case "avro" => Some("avro")
-    case "yaml" | "yml" => Some("yaml")
-    case "xlsx" | "xls" => Some("xlsx")
-    case "ods" => Some("ods")
-    case "logfmt" => Some("logfmt")
-    case "apache2error" => Some("apache2error")
-    case "apache2access" => Some("apache2access")
-    case "nginxaccess" => Some("nginxaccess")
+    case "avro" | "application/avro" => Some("avro")
+    case "yaml" | "yml" | "application/yaml" => Some("yaml")
+    case "xlsx" | "xls" | "application/vnd.ms-excel" => Some("xlsx")
+    case "ods" | "application/vnd.oasis.opendocument.spreadsheet" => Some("ods")
+    case "logfmt" | "text/logfmt" => Some("logfmt")
+    case "apache2error" | "text/apache2error" => Some("apache2error")
+    case "apache2access" | "text/apache2access" => Some("apache2access")
+    case "nginxaccess" | "text/nginxaccess" => Some("nginxaccess")
     case _ => None
   }
 

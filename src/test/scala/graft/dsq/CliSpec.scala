@@ -61,6 +61,23 @@ class CliSpec extends AnyFunSuite {
     assert(Cli.parse(Array("-v")).swap.exists(_.matches("dsq \\d+\\.\\d+\\.\\d+")))
   }
 
+  test("DSQ_NO_SQLITE_WRITER env is accepted case-insensitively (main.go:344)") {
+    val Right(a) = Cli.parse(Array("f.csv"),
+      Map("DSQ_NO_SQLITE_WRITER" -> "TRUE")): @unchecked
+    assert(a.opts.noSqliteWriter)
+    val Right(b) = Cli.parse(Array("f.csv"), Map.empty): @unchecked
+    assert(!b.opts.noSqliteWriter)
+    val Right(c) = Cli.parse(Array("--no-sqlite-writer", "f.csv"),
+      Map.empty): @unchecked
+    assert(c.opts.noSqliteWriter)
+  }
+
+  test("env defaults: DSQ_CACHE / DSQ_CONVERT_NUMBERS case-insensitive") {
+    val Right(a) = Cli.parse(Array("f.csv"),
+      Map("DSQ_CACHE" -> "True", "DSQ_CONVERT_NUMBERS" -> "true")): @unchecked
+    assert(a.opts.cacheEnabled && a.opts.convertNumbers)
+  }
+
   test("-v and -h exit 0; usage errors exit 1 (reference main.go:369-373)") {
     val Left(versionMsg) = Cli.parse(Array("-v")): @unchecked
     assert(Cli.exitCodeFor(versionMsg) == 0)
@@ -115,6 +132,36 @@ class CliPipeSpec extends SparkSpec {
       assert(code == 0, s"exit $code, out: $out")
       assert(canonJson(out) == canonJson(s"""[{"c":$n}]"""))
     }
+  }
+
+  // resolveContentType parity (main.go:29-35): the full MIME strings from
+  // the README format table (README.md:596-612) resolve to the same
+  // readers as the bare extensions.
+  for ((mime, fmt) <- Seq(
+    ("text/csv", "csv"),
+    ("text/tab-separated-values", "tsv"),
+    ("application/json", "json"),
+    ("application/jsonlines", "jsonl"),
+    ("application/vnd.ms-excel", "xlsx"),
+    ("application/vnd.oasis.opendocument.spreadsheet", "ods"))) {
+    test(s"pipe: full-MIME -s $mime matches -s $fmt") {
+      val (code, out) = runCli(
+        Array("-s", mime, "SELECT COUNT(1) AS c FROM {}"),
+        s"$td/userdata.$fmt")
+      assert(code == 0, s"exit $code, out: $out")
+      assert(canonJson(out) == canonJson("""[{"c":1000}]"""))
+    }
+  }
+
+  test("pipe: full-MIME -s text/logfmt and application/yaml resolve") {
+    val (c1, o1) = runCli(
+      Array("-s", "text/logfmt", "SELECT COUNT(1) AS c FROM {}"),
+      s"$td/logfmt/log.logfmt")
+    assert(c1 == 0 && canonJson(o1) == canonJson("""[{"c":5}]"""))
+    val (c2, o2) = runCli(
+      Array("-s", "application/yaml", "SELECT COUNT(1) AS c FROM {}"),
+      s"$td/yaml/userdata.yaml")
+    assert(c2 == 0 && canonJson(o2) == canonJson("""[{"c":5}]"""))
   }
 
   test("pipe: concatenated JSON via -s cjson") {
@@ -172,6 +219,58 @@ class CliPipeSpec extends SparkSpec {
           |"message":"File does not exist: /usr/local/apache2/htdocs/favicon.ico"}]"""
           .stripMargin))
     }
+  }
+
+  test("pipe: -s text/apache2error — the README-documented MIME-only form " +
+    "(README.md:609, no file extension exists for this format)") {
+    withFixture(
+      "[Fri Sep 09 10:42:29.902022 2011] [core:error] " +
+        "[pid 35708:tid 4328636416] [client 72.15.99.187] " +
+        "File does not exist: /usr/local/apache2/htdocs/favicon.ico\n") { path =>
+      val (code, out) = runCli(
+        Array("-s", "text/apache2error",
+          "SELECT level, client FROM {} WHERE level LIKE '%error%'"), path)
+      assert(code == 0, s"exit $code, out: $out")
+      assert(canonJson(out) == canonJson(
+        """[{"client":"72.15.99.187","level":"core:error"}]"""))
+    }
+  }
+
+  test("pipe: -s text/apache2access and text/nginxaccess MIME forms") {
+    withFixture(
+      "127.0.0.1 - frank [10/Oct/2000:13:55:36 -0700] " +
+        "\"GET /apache_pb.gif HTTP/1.0\" 200 2326\n") { path =>
+      val (code, out) = runCli(
+        Array("-s", "text/apache2access",
+          "SELECT remote_addr, status FROM {}"), path)
+      assert(code == 0, s"exit $code, out: $out")
+      assert(canonJson(out) == canonJson(
+        """[{"remote_addr":"127.0.0.1","status":"200"}]"""))
+    }
+    withFixture(
+      "127.0.0.1 - james [09/May/2018:16:00:39 +0000] " +
+        "\"GET /report HTTP/1.0\" 200 123 \"http://example.com/start\" " +
+        "\"Mozilla/5.0\"\n") { path =>
+      val (code, out) = runCli(
+        Array("-s", "text/nginxaccess", "SELECT referer FROM {}"), path)
+      assert(code == 0, s"exit $code, out: $out")
+      assert(canonJson(out) == canonJson(
+        """[{"referer":"http://example.com/start"}]"""))
+    }
+  }
+
+  test("pipe: unknown full-MIME -s fails with the exact error") {
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val oldErr = System.err
+    System.setErr(new java.io.PrintStream(errBuf, true, "UTF-8"))
+    try {
+      val (code, _) = runCli(
+        Array("-s", "text/unknownformat", "SELECT 1 FROM {}"),
+        s"$td/convert.csv")
+      assert(code == 1)
+      assert(errBuf.toString("UTF-8")
+        .contains("Unknown mimetype: text/unknownformat."))
+    } finally System.setErr(oldErr)
   }
 
   test("pipe: apache2access parses Common Log Format fields (S13)") {
@@ -264,6 +363,43 @@ class CliPipeSpec extends SparkSpec {
         "Unsupported JSON arrow chain depth (max 5); " +
           "use a single '$.a.b.…' path instead.\n")
     } finally System.setErr(oldErr)
+  }
+
+  test("--verbose logs per-file ingest on stderr; silent without (main.go:353)") {
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val oldErr = System.err
+    System.setErr(new java.io.PrintStream(errBuf, true, "UTF-8"))
+    try {
+      val (code, _) = runCli(
+        Array("--verbose", "-s", "csv", "SELECT COUNT(1) AS c FROM {}"),
+        s"$td/convert.csv")
+      assert(code == 0)
+      val err = errBuf.toString("UTF-8")
+      assert(err.contains("Ingested") && err.contains("as csv:")
+        && err.contains("6 rows"), s"verbose stderr was: $err")
+      errBuf.reset()
+      val (code2, _) = runCli(
+        Array("-s", "csv", "SELECT COUNT(1) AS c FROM {}"), s"$td/convert.csv")
+      assert(code2 == 0)
+      assert(!errBuf.toString("UTF-8").contains("Ingested"),
+        s"non-verbose run logged: $errBuf")
+    } finally System.setErr(oldErr)
+  }
+
+  test("-D cache path reflects -n, matching the dir a -C -n run uses") {
+    def dumpDir(extra: String*): String = {
+      val outBuf = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(outBuf, true, "UTF-8")) {
+        val Right(a) = Cli.parse(
+          (extra ++ Seq("-D", s"$td/convert.csv")).toArray, Map.empty): @unchecked
+        assert(Cli.run(a) == 0)
+      }
+      outBuf.toString("UTF-8").trim
+    }
+    val plain = dumpDir()
+    val converted = dumpDir("-n")
+    assert(converted == plain + "-n",
+      s"-D with -n must print the optsKey-suffixed dir: $plain vs $converted")
   }
 
   // test.py:306-311 — the cache is CONTENT-hash keyed, so a warm import
