@@ -177,14 +177,17 @@ object Readers {
 
   /** logfmt (reference go-logfmt; test scripts/test.py:193-199): key=value
     * tokens, quoted values unescaped, bare values typed (number/bool).
-    * Line-parallel parse → union of keys via the JSON reader.
+    * Reads via the graft-logfmt DataSourceV2 source, so the CLI path
+    * inherits line-aligned byte-range splits, parse-time column pruning,
+    * and 3VL filter pushdown instead of a textFile→JSON round-trip.
+    * sampleLines=max keeps the CLI's whole-file schema-union semantics
+    * (a key first appearing on the last line still gets a column, as the
+    * JSON-inference path guaranteed).
     */
-  def logfmt(spark: SparkSession, path: String): DataFrame = {
-    import spark.implicits._
-    val lines = spark.read.textFile(path)
-    val jsonLines = lines.map(Logfmt.lineToJson _)
-    spark.read.json(jsonLines)
-  }
+  def logfmt(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("graft-logfmt")
+      .option("sampleLines", Int.MaxValue.toString)
+      .load(path)
 
   /** Apache error log (reference text/apache2error): regex-per-line. */
   def apacheError(spark: SparkSession, path: String): DataFrame = {
@@ -198,24 +201,23 @@ object Readers {
       regexp_extract(col("value"), re, 5).as("message"))
   }
 
-  /** Apache/nginx access log, Common (+Combined for nginx) Log Format. */
+  /** Apache/nginx access log, Common (+Combined for nginx) Log Format.
+    * Reads via the graft-accesslog DataSourceV2 source (splits, pruning,
+    * pushdown — same chunk framework as logfmt). The CLI keeps dsq's
+    * all-string table model by supplying an all-string schema: the
+    * source's reader types values by the REQUESTED schema, so `status`
+    * stays "200" and a CLF `-` body size stays "-", exactly as the
+    * golden pipes expect.
+    */
   def accessLog(spark: SparkSession, path: String, combined: Boolean): DataFrame = {
-    import org.apache.spark.sql.functions._
-    val base = "^(\\S+) (\\S+) (\\S+) \\[([^\\]]*)\\] \"([^\"]*)\" (\\S+) (\\S+)"
-    val re = if (combined) base + " \"([^\"]*)\" \"([^\"]*)\".*$" else base + ".*$"
-    val c = spark.read.text(path)
-    val common = Seq(
-      regexp_extract(col("value"), re, 1).as("remote_addr"),
-      regexp_extract(col("value"), re, 2).as("remote_ident"),
-      regexp_extract(col("value"), re, 3).as("remote_user"),
-      regexp_extract(col("value"), re, 4).as("time"),
-      regexp_extract(col("value"), re, 5).as("request"),
-      regexp_extract(col("value"), re, 6).as("status"),
-      regexp_extract(col("value"), re, 7).as("body_bytes"))
-    val extra = if (combined) Seq(
-      regexp_extract(col("value"), re, 8).as("referer"),
-      regexp_extract(col("value"), re, 9).as("user_agent")) else Nil
-    c.select(common ++ extra: _*)
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val names = Seq("remote_addr", "remote_ident", "remote_user", "time",
+      "request", "status", "body_bytes") ++
+      (if (combined) Seq("referer", "user_agent") else Nil)
+    spark.read.format("graft-accesslog")
+      .option("combined", combined.toString)
+      .schema(StructType(names.map(StructField(_, StringType, nullable = true))))
+      .load(path)
   }
 }
 

@@ -441,10 +441,15 @@ object Scale {
     val staging = s"${base}_src"
     events.repartition(8, col("event_id"))
       .write.mode("overwrite").parquet(staging)
+    // one constant drives BOTH the conf and the split-expectation guard
+    // below — diverging them would let the gate model a config it no
+    // longer sets
+    val advisoryBytes = 16 * 1024
     val prev = Seq(
       "spark.sql.adaptive.advisoryPartitionSizeInBytes",
       "spark.sql.files.maxPartitionBytes").map(k => k -> s.conf.getOption(k))
-    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      s"${advisoryBytes}b")
     s.conf.set("spark.sql.files.maxPartitionBytes", "4m")
     try
       s.read.parquet(staging).hint("rebalance", col("skew_key"))
@@ -461,18 +466,22 @@ object Scale {
           fs.listStatus(d.getPath)
             .count(_.getPath.getName.endsWith(".parquet"))
       }.toMap
-    val hotBytes = fs.listStatus(basePath).filter(_.isDirectory)
+    // the hot partition must EXIST — a missing skew_key=hot directory
+    // would otherwise default hotBytes to 0 and pass the gate vacuously
+    val hotDir = fs.listStatus(basePath).filter(_.isDirectory)
       .find(_.getPath.getName == "skew_key=hot")
-      .map(d => fs.listStatus(d.getPath)
-        .filter(_.getPath.getName.endsWith(".parquet"))
-        .map(_.getLen).sum).getOrElse(0L)
+      .getOrElse(throw new IllegalStateException(
+        s"x-gate: skew_key=hot partition missing under $base"))
+    val hotBytes = fs.listStatus(hotDir.getPath)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
     // the physical claim is scale-dependent: AQE only splits a skewed
     // rebalance partition that actually EXCEEDS the advisory size (at
     // sf0.001 the whole hot key is a few KB — one file IS the right
     // layout there). Require the split exactly when there is enough
     // data that an unsplit write would be skewed.
     val hotSplit = filesPerKey.getOrElse("hot", 0) >= 2 ||
-      hotBytes < 2 * 16 * 1024
+      hotBytes < 2L * advisoryBytes
     val coldsSingle = filesPerKey.view
       .filterKeys(_ != "hot").values.forall(_ == 1)
     s.read.parquet(base)

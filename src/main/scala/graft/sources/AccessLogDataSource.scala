@@ -44,8 +44,19 @@ class AccessLogDataSource extends TableProvider with DataSourceRegister {
       Option(options.get("combined")).exists(_.toBoolean))
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new AccessLogTable(schema, new CaseInsensitiveStringMap(properties))
+      properties: util.Map[String, String]): Table = {
+    // a user-supplied schema may re-order, prune, or re-type the CLF
+    // columns, but a NAME outside the fixed grammar has no group to bind
+    // (indexOf+1 == 0 would silently bind group(0) — the whole raw line)
+    val opts = new CaseInsensitiveStringMap(properties)
+    val legal = AccessLogDataSource.schemaFor(
+      Option(opts.get("combined")).exists(_.toBoolean)).fieldNames.toSet
+    val unknown = schema.fieldNames.filterNot(legal.contains)
+    require(unknown.isEmpty,
+      s"graft-accesslog: unknown column(s) ${unknown.mkString(", ")}; " +
+        s"the format defines ${legal.mkString(", ")}")
+    new AccessLogTable(schema, opts)
+  }
 }
 
 object AccessLogDataSource {
@@ -139,16 +150,8 @@ private[sources] class AccessLogScan(requiredSchema: StructType,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = LogfmtDataSource.hadoopConf()
-    val splitBytes = Option(options.get("maxSplitBytes"))
-      .map(_.toLong).getOrElse(128L * 1024 * 1024)
-    LogfmtDataSource.listFiles(options, conf).flatMap { st =>
-      val len = st.getLen
-      if (len == 0) Seq.empty
-      else (0L until len by splitBytes).map { off =>
-        LogfmtChunk(st.getPath.toString, off,
-          math.min(splitBytes, len - off))
-      }
-    }.toArray
+    LogfmtDataSource.chunksOf(LogfmtDataSource.listFiles(options, conf),
+      LogfmtDataSource.splitBytesOf(options))
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {

@@ -106,6 +106,32 @@ object LogfmtDataSource {
       .sortBy(_.getPath.toString)
   }
 
+  /** Split-size option, validated once for every planner below: zero
+    * would make the chunk stride loop throw an opaque
+    * IllegalArgumentException and a negative value would silently plan
+    * ZERO partitions (empty scan instead of an error).
+    */
+  private[sources] def splitBytesOf(options: CaseInsensitiveStringMap): Long = {
+    val v = Option(options.get("maxSplitBytes")).map(_.toLong)
+      .getOrElse(128L * 1024 * 1024)
+    require(v > 0, s"maxSplitBytes must be positive, got $v")
+    v
+  }
+
+  /** The one file→line-aligned-chunks planner shared by the logfmt batch
+    * scan, the logfmt micro-batch stream, and the access-log scan.
+    */
+  private[sources] def chunksOf(files: Seq[FileStatus],
+      splitBytes: Long): Array[InputPartition] =
+    files.flatMap { st =>
+      val len = st.getLen
+      if (len == 0) Seq.empty
+      else (0L until len by splitBytes).map { off =>
+        LogfmtChunk(st.getPath.toString, off,
+          math.min(splitBytes, len - off))
+      }
+    }.toArray
+
   /** Bare-token type lattice: Boolean and Long lift to Double only
     * among numbers; any other mixture (or any quoted value) is String.
     */
@@ -117,10 +143,9 @@ object LogfmtDataSource {
 
   private def bareType(raw: String): DataType =
     if (raw == "true" || raw == "false") BooleanType
-    else if (raw.matches("-?(0|[1-9]\\d*)") &&
-      Try(raw.toLong).isSuccess) LongType
-    else if (raw.matches("-?(0|[1-9]\\d*)(\\.\\d+)?([eE][+-]?\\d+)?"))
-      DoubleType
+    else if (LogfmtParse.isIntToken(raw) && Try(raw.toLong).isSuccess)
+      LongType
+    else if (LogfmtParse.isNumToken(raw)) DoubleType
     else StringType
 
   private[sources] def inferSchema(
@@ -254,16 +279,8 @@ private[sources] class LogfmtScan(requiredSchema: StructType,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = LogfmtDataSource.hadoopConf()
-    val splitBytes = Option(options.get("maxSplitBytes"))
-      .map(_.toLong).getOrElse(128L * 1024 * 1024)
-    LogfmtDataSource.listFiles(options, conf).flatMap { st =>
-      val len = st.getLen
-      if (len == 0) Seq.empty
-      else (0L until len by splitBytes).map { off =>
-        LogfmtChunk(st.getPath.toString, off,
-          math.min(splitBytes, len - off))
-      }
-    }.toArray
+    LogfmtDataSource.chunksOf(LogfmtDataSource.listFiles(options, conf),
+      LogfmtDataSource.splitBytesOf(options))
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -366,8 +383,17 @@ private[sources] class LogfmtPartitionReader(chunk: LogfmtChunk,
 private[sources] case class LogfmtOffset(maxName: String)
     extends org.apache.spark.sql.connector.read.streaming.Offset {
   override def json(): String = {
-    val escaped = maxName.replace("\\", "\\\\").replace("\"", "\\\"")
-    s"""{"maxName":"$escaped"}"""
+    // full JSON string escaping — a control character (e.g. a newline in
+    // a hostile file name) must not serialize invalid JSON into the
+    // checkpoint offset log, or query restart breaks
+    val sb = new StringBuilder
+    maxName.foreach {
+      case '\\' => sb.append("\\\\")
+      case '"' => sb.append("\\\"")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    s"""{"maxName":"$sb"}"""
   }
 }
 
@@ -395,32 +421,26 @@ private[sources] class LogfmtMicroBatchStream(scan: LogfmtScan,
   }
 
   override def deserializeOffset(json: String): Offset = {
-    // minimal parse of {"maxName":"..."}
+    // minimal parse of {"maxName":"..."}; LogfmtParse.unquote is the
+    // exact inverse of LogfmtOffset.json's escaping (full JSON escapes
+    // incl. \uXXXX control characters)
     val m = """"maxName"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
       .findFirstMatchIn(json)
-    LogfmtOffset(m.map(_.group(1).replace("\\\"", "\"")
-      .replace("\\\\", "\\")).getOrElse(""))
+    LogfmtOffset(
+      m.map(g => LogfmtParse.unquote("\"" + g.group(1) + "\""))
+        .getOrElse(""))
   }
 
   override def planInputPartitions(start: Offset,
       end: Offset): Array[InputPartition] = {
     val lo = start.asInstanceOf[LogfmtOffset].maxName
     val hi = end.asInstanceOf[LogfmtOffset].maxName
-    val splitBytes = Option(options.get("maxSplitBytes"))
-      .map(_.toLong).getOrElse(128L * 1024 * 1024)
-    LogfmtDataSource.listFiles(options, conf)
-      .filter { st =>
+    LogfmtDataSource.chunksOf(
+      LogfmtDataSource.listFiles(options, conf).filter { st =>
         val n = st.getPath.getName
         n > lo && n <= hi
-      }
-      .flatMap { st =>
-        val len = st.getLen
-        if (len == 0) Seq.empty
-        else (0L until len by splitBytes).map { off =>
-          LogfmtChunk(st.getPath.toString, off,
-            math.min(splitBytes, len - off))
-        }
-      }.toArray
+      },
+      LogfmtDataSource.splitBytesOf(options))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -526,6 +546,18 @@ private[sources] object LogfmtParse {
   /** Same token grammar as the CLI path (dsq/Readers.Logfmt). */
   val token = "([A-Za-z0-9_.-]+)=(\"(?:[^\"\\\\]|\\\\.)*\"|\\S*)".r
 
+  /** JSON-number grammar for bare tokens — the SAME check gates both
+    * schema inference (bareType) and value conversion (convert), so an
+    * out-of-grammar token like `0123` or `+5` is a string under an
+    * inferred schema AND degrades to null under a user/sampled numeric
+    * schema, never silently parsing as a number in one path only.
+    */
+  private val intRe = java.util.regex.Pattern.compile("-?(0|[1-9]\\d*)")
+  private val numRe = java.util.regex.Pattern
+    .compile("-?(0|[1-9]\\d*)(\\.\\d+)?([eE][+-]?\\d+)?")
+  def isIntToken(raw: String): Boolean = intRe.matcher(raw).matches()
+  def isNumToken(raw: String): Boolean = numRe.matcher(raw).matches()
+
   /** JSON-style unescape of a quoted logfmt value (go-logfmt quotes with
     * strconv semantics; `Logfmt.lineToJson` passes these through to the
     * JSON parser — this is that decode, inlined).
@@ -569,9 +601,11 @@ private[sources] object LogfmtParse {
       case StringType =>
         UTF8String.fromString(if (quoted) unquote(raw) else raw)
       case LongType =>
-        if (quoted) null else Try(raw.toLong).getOrElse(null)
+        if (quoted || !isIntToken(raw)) null
+        else Try(raw.toLong).getOrElse(null)
       case DoubleType =>
-        if (quoted) null else Try(raw.toDouble).getOrElse(null)
+        if (quoted || !isNumToken(raw)) null
+        else Try(raw.toDouble).getOrElse(null)
       case BooleanType => raw match {
         case "true" => true
         case "false" => false

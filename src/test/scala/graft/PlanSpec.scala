@@ -21,6 +21,32 @@ class PlanSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
+  test("CLI logfmt/accesslog paths ride the DSv2 sources with pruned readSchema") {
+    // the CLI readers (dsq/Readers.logfmt / accessLog) must inherit the
+    // DSv2 framework — byte-range splits, parse-time pruning — not the
+    // old textFile→JSON round-trip (VERDICT r7 task 2)
+    val dir = java.nio.file.Files.createTempDirectory("cli_dsv2").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "a.logfmt"),
+      "level=info msg=\"hello\" code=7\nlevel=warn msg=\"bye\" code=9\n")
+    val lf = graft.dsq.Readers.logfmt(spark, dir + "/a.logfmt")
+      .select("level")
+    lf.collect()
+    val lfPlan = lf.queryExecution.executedPlan.toString
+    assert(lfPlan.contains("graft-logfmt ReadSchema: struct<level:string>"),
+      s"CLI logfmt not on the pruned DSv2 scan:\n$lfPlan")
+
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "b.access"),
+      "127.0.0.1 - u [10/Oct/2000:13:55:36 -0700] \"GET / HTTP/1.0\" 200 99\n")
+    val al = graft.dsq.Readers.accessLog(spark, dir + "/b.access",
+      combined = false).select("status")
+    al.collect()
+    val alPlan = al.queryExecution.executedPlan.toString
+    assert(alPlan.contains("graft-accesslog ReadSchema: struct<status:string>"),
+      s"CLI accesslog not on the pruned DSv2 scan:\n$alPlan")
+  }
+
   test("q02: filter is pushed into the parquet scan") {
     val p = executed("q02_filter_agg")
     val pushed = p.linesIterator.filter(_.contains("PushedFilters: [")).toSeq

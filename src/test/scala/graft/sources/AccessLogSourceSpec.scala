@@ -61,6 +61,28 @@ class AccessLogSourceSpec extends SparkSpec {
     assert(mine == cli)
   }
 
+  test("user schema with a non-CLF column name fails instead of binding group(0)") {
+    val dir = write("badschema", Seq(
+      """1.1.1.1 - - [02/Feb/2024:11:00:00 +0000] "GET / HTTP/1.1" 200 5"""))
+    import org.apache.spark.sql.types._
+    val e = intercept[Exception] {
+      spark.read.format("graft-accesslog")
+        .schema(StructType(Seq(StructField("not_a_clf_field", StringType))))
+        .load(dir).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("unknown column(s) not_a_clf_field")),
+      s"silent whole-line bind not prevented: $e")
+    // re-ordered / re-typed legal names still work (the CLI path's
+    // all-string schema depends on this)
+    val ok = spark.read.format("graft-accesslog")
+      .schema(StructType(Seq(
+        StructField("status", StringType), StructField("remote_addr", StringType))))
+      .load(dir).head()
+    assert(ok.getString(0) == "200" && ok.getString(1) == "1.1.1.1")
+  }
+
   test("splits + pushdown: chunked read equals whole, filter in scan") {
     val lines = (0 until 4000).map(i =>
       s"""10.0.${i % 256}.1 - u$i [01/Jan/2024:00:00:00 +0000] "GET /p/$i HTTP/1.1" ${if (i % 5 == 0) 500 else 200} $i""")

@@ -198,6 +198,63 @@ class LogfmtSourceSpec extends SparkSpec {
     assert(forced.head().getString(0) == "1")
   }
 
+  test("maxSplitBytes <= 0 errors clearly instead of planning zero chunks") {
+    val dir = writeLogfmt("badsplit", Seq("k=1"))
+    for (bad <- Seq("0", "-8")) {
+      val e = intercept[Exception] {
+        spark.read.format("graft-logfmt")
+          .option("maxSplitBytes", bad).load(dir).count()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("maxSplitBytes must be positive")),
+        s"opaque failure for maxSplitBytes=$bad: $e")
+    }
+  }
+
+  test("inference and conversion share one number grammar (0123/+5 stay null)") {
+    // '0123' and '+5' are outside the JSON-number grammar: inference
+    // makes such a column a STRING, and under a forced numeric schema
+    // the same tokens degrade to null — never a silent toLong parse
+    val dir = writeLogfmt("grammar", Seq("v=0123 w=+5 x=42"))
+    val inferred = spark.read.format("graft-logfmt").load(dir)
+    assert(inferred.schema("v").dataType == StringType)
+    assert(inferred.schema("w").dataType == StringType)
+    assert(inferred.schema("x").dataType == LongType)
+    val forced = spark.read.format("graft-logfmt")
+      .schema(StructType(Seq(
+        StructField("v", LongType), StructField("w", LongType),
+        StructField("x", DoubleType))))
+      .load(dir)
+    val r = forced.head()
+    assert(r.isNullAt(0) && r.isNullAt(1),
+      s"out-of-grammar tokens parsed as numbers: $r")
+    assert(r.getDouble(2) == 42.0)
+  }
+
+  test("stream offset JSON survives control characters in file names") {
+    // a newline or tab in a (hostile) file name must round-trip through
+    // the checkpoint offset log as valid JSON
+    for (name <- Seq("a\nb", "t\tc", "q\"uote", "back\\slash", "plain")) {
+      val off = LogfmtOffset(name)
+      val json = off.json()
+      // valid JSON per Jackson
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val parsed = mapper.readTree(json).get("maxName").asText()
+      assert(parsed == name, s"Jackson decode mismatch for $name: $json")
+      // and the stream's own decoder agrees
+      val back = new LogfmtMicroBatchStream(
+        new LogfmtScan(StructType(Nil),
+          new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+            java.util.Map.of("path", "/nonexistent"))),
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+          java.util.Map.of("path", "/nonexistent")))
+        .deserializeOffset(json)
+      assert(back.asInstanceOf[LogfmtOffset].maxName == name)
+    }
+  }
+
   test("agrees with the CLI logfmt reader on the reference fixture shape") {
     val dir = writeLogfmt("agree", Seq(
       """at=info method=GET path=/ host=h1 status=200 elapsed=12.3""",
