@@ -1917,6 +1917,44 @@ object Scale {
         "user_id", "lo", "hi", "p_user", "b_us")
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_pairs"))
+    },
+
+    /** x35: the LEFT OUTER form of the custom plane-sweep IntervalJoin —
+      * every click appears whether or not a purchase landed in its
+      * 5-minute window (the batch mirror of the streaming tier's s23
+      * left-outer contract). Unmatched intervals null-extend inside the
+      * operator's merge pass: no second scan, no anti-join — the same
+      * single SMJ-shaped layout as the inner form. The gate counts both
+      * total rows and matched rows per user, so a null row mistakenly
+      * emitted for a MATCHED interval (or a dropped unmatched one)
+      * breaks the hash.
+      */
+    QueryDef("x35_interval_left_outer",
+      """WITH c AS (SELECT user_id, epoch_us(ts) AS a_us FROM events
+        |  WHERE event_type = 'click'),
+        |p AS (SELECT user_id AS p_user, epoch_us(ts) AS b_us FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT c.user_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(p.b_us) AS BIGINT) AS n_matched
+        |FROM c LEFT JOIN p
+        |  ON c.user_id = p.p_user
+        | AND p.b_us BETWEEN c.a_us + 1 AND c.a_us + 300000000
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.graft.IntervalJoinOps
+      val ev = t(s, dir, "events")
+      val width = 300000000L // 5 min in µs
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("a_us"))
+        .withColumn("lo", col("a_us") + 1)
+        .withColumn("hi", col("a_us") + width)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"),
+          unix_micros(col("ts")).as("b_us"))
+      IntervalJoinOps.intervalJoinLeftOuter(clicks, purchases,
+        "user_id", "lo", "hi", "p_user", "b_us")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("b_us")).as("n_matched"))
     }
   )
 }

@@ -42,9 +42,11 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
 case class IntervalJoin(left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
     leftStart: Expression, leftEnd: Expression,
-    rightTs: Expression) extends BinaryNode {
+    rightTs: Expression, leftOuter: Boolean = false) extends BinaryNode {
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] =
+    if (leftOuter) left.output ++ right.output.map(_.withNullability(true))
+    else left.output ++ right.output
 
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): IntervalJoin =
@@ -56,8 +58,9 @@ case class IntervalJoin(left: LogicalPlan, right: LogicalPlan,
   */
 object IntervalJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case IntervalJoin(l, r, lk, rk, ls, le, rts) =>
-      IntervalJoinExec(planLater(l), planLater(r), lk, rk, ls, le, rts) :: Nil
+    case IntervalJoin(l, r, lk, rk, ls, le, rts, outer) =>
+      IntervalJoinExec(planLater(l), planLater(r), lk, rk, ls, le, rts,
+        outer) :: Nil
     case _ => Nil
   }
 }
@@ -65,9 +68,11 @@ object IntervalJoinStrategy extends SparkStrategy {
 case class IntervalJoinExec(left: SparkPlan, right: SparkPlan,
     leftKey: Expression, rightKey: Expression,
     leftStart: Expression, leftEnd: Expression,
-    rightTs: Expression) extends BinaryExecNode {
+    rightTs: Expression, leftOuter: Boolean = false) extends BinaryExecNode {
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] =
+    if (leftOuter) left.output ++ right.output.map(_.withNullability(true))
+    else left.output ++ right.output
 
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKey :: Nil) ::
@@ -77,7 +82,11 @@ case class IntervalJoinExec(left: SparkPlan, right: SparkPlan,
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftStart, Ascending)),
     Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)))
 
-  override def outputPartitioning: Partitioning = right.outputPartitioning
+  // every output row carries this partition's LEFT columns (matched or
+  // null-extended), so the left child's clustering is the claim that
+  // holds in both modes; for inner, right's holds too
+  override def outputPartitioning: Partitioning =
+    if (leftOuter) left.outputPartitioning else right.outputPartitioning
 
   override protected def doExecute(): RDD[InternalRow] = {
     val lKeyB = BindReferences.bindReference(leftKey, left.output)
@@ -87,22 +96,50 @@ case class IntervalJoinExec(left: SparkPlan, right: SparkPlan,
     val rTsB = BindReferences.bindReference(rightTs, right.output)
     val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
     val tsOrd = TypeUtils.getInterpretedOrdering(rightTs.dataType)
+    val isOuter = leftOuter
+    val nRight = right.output.length
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       new Iterator[InternalRow] {
         private val joined = new JoinedRow
+        // all-null right extension for unmatched left rows (outer only);
+        // immutable, safe to share across emitted rows
+        private val nullRight =
+          new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(nRight)
+        // unmatched left rows awaiting emission (outer only). Each gets
+        // its OWN JoinedRow: `joined` is reused by the pending iterator
+        // and would corrupt queued rows.
+        private val unmatched =
+          new scala.collection.mutable.Queue[InternalRow]
+        private def emitUnmatched(lRow: InternalRow): Unit =
+          if (isOuter) unmatched.enqueue(new JoinedRow(lRow, nullRight))
+
         // open left intervals for the key under merge: (row, start, end)
         private val open = new ArrayBuffer[(InternalRow, Any, Any)]
         private var openKey: Any = null
-        // left lookahead (copied — upstream sorters reuse row memory)
+        // left lookahead (copied — upstream sorters reuse row memory).
+        // Rows with a null key/start/end can never bracket any point
+        // (SQL comparison semantics): inner drops them, outer emits them
+        // null-extended — so the merge below only ever sees non-null
+        // keys and bounds.
         private var lHead: InternalRow = null
         private var lHeadKey: Any = null
         private var lHeadStart: Any = null
-        private def advanceLeft(): Unit =
-          if (lIter.hasNext) {
-            lHead = lIter.next().copy()
-            lHeadKey = lKeyB.eval(lHead)
-            lHeadStart = lStartB.eval(lHead)
-          } else lHead = null
+        private var lHeadEnd: Any = null
+        private def advanceLeft(): Unit = {
+          while (lIter.hasNext) {
+            val row = lIter.next().copy()
+            val k = lKeyB.eval(row)
+            val s = lStartB.eval(row)
+            val e = lEndB.eval(row)
+            if (k == null || s == null || e == null) emitUnmatched(row)
+            else {
+              lHead = row; lHeadKey = k; lHeadStart = s; lHeadEnd = e
+              return
+            }
+          }
+          lHead = null
+        }
         advanceLeft()
 
         // matches pending for the current right row
@@ -110,44 +147,65 @@ case class IntervalJoinExec(left: SparkPlan, right: SparkPlan,
         private var pending: Iterator[InternalRow] = Iterator.empty
 
         private def refill(): Unit = {
-          while (!pending.hasNext && rIter.hasNext) {
+          while (!pending.hasNext && unmatched.isEmpty && rIter.hasNext) {
             rRow = rIter.next()
             val rk = rKeyB.eval(rRow)
             val ts = rTsB.eval(rRow)
-            // new key group → the old buffer can never match again
-            if (openKey == null || keyOrd.compare(openKey, rk) != 0) {
-              open.clear()
-              openKey = rk
+            if (rk != null && ts != null) {
+              // new key group → the old buffer can never match again
+              if (openKey == null || keyOrd.compare(openKey, rk) != 0) {
+                open.clear()
+                openKey = rk
+              }
+              // skip left groups entirely before this key — no right row
+              // for their key can follow, so (outer) they are unmatched
+              while (lHead != null && keyOrd.compare(lHeadKey, rk) < 0) {
+                emitUnmatched(lHead)
+                advanceLeft()
+              }
+              // admit every same-key interval that has started by ts.
+              // This right row is the FIRST with ts >= start (earlier
+              // same-key rows had smaller ts and didn't admit it), so an
+              // interval with end < ts can never match anything: reject
+              // it here (outer: null-extend) instead of buffering it.
+              while (lHead != null && keyOrd.compare(lHeadKey, rk) == 0 &&
+                  tsOrd.compare(lHeadStart, ts) <= 0) {
+                if (tsOrd.compare(lHeadEnd, ts) < 0) emitUnmatched(lHead)
+                else open += ((lHead, lHeadStart, lHeadEnd))
+                advanceLeft()
+              }
+              // sweep out expired intervals (end < ts): each survived an
+              // earlier emit (admission rejects never-matching rows), so
+              // expiry needs no null extension
+              var i = 0
+              while (i < open.length) {
+                if (tsOrd.compare(open(i)._3, ts) < 0) open.remove(i)
+                else i += 1
+              }
+              if (open.nonEmpty) {
+                val r = rRow.copy()
+                pending = open.toArray.iterator.map(o => joined(o._1, r))
+              }
             }
-            // skip left groups entirely before this key
-            while (lHead != null && keyOrd.compare(lHeadKey, rk) < 0)
+          }
+          // right exhausted: every left row still pending was never
+          // admitted — unmatched (outer). Buffered `open` rows matched.
+          if (isOuter && !pending.hasNext && unmatched.isEmpty &&
+              !rIter.hasNext) {
+            while (unmatched.isEmpty && lHead != null) {
+              emitUnmatched(lHead)
               advanceLeft()
-            // admit every same-key interval that has started by ts
-            while (lHead != null && keyOrd.compare(lHeadKey, rk) == 0 &&
-                tsOrd.compare(lHeadStart, ts) <= 0) {
-              open += ((lHead, lHeadStart, lEndB.eval(lHead)))
-              advanceLeft()
-            }
-            // sweep out expired intervals (end < ts) and emit the rest
-            var i = 0
-            while (i < open.length) {
-              if (tsOrd.compare(open(i)._3, ts) < 0) open.remove(i)
-              else i += 1
-            }
-            if (open.nonEmpty) {
-              val r = rRow.copy()
-              pending = open.toArray.iterator.map(o => joined(o._1, r))
             }
           }
         }
 
         override def hasNext: Boolean = {
-          if (!pending.hasNext) refill()
-          pending.hasNext
+          if (!pending.hasNext && unmatched.isEmpty) refill()
+          pending.hasNext || unmatched.nonEmpty
         }
         override def next(): InternalRow = {
           if (!hasNext) throw new NoSuchElementException
-          pending.next()
+          if (pending.hasNext) pending.next() else unmatched.dequeue()
         }
       }
     }
@@ -175,13 +233,36 @@ object IntervalJoinOps {
     */
   def intervalJoin(left: DataFrame, right: DataFrame,
       leftKey: String, leftStart: String, leftEnd: String,
-      rightKey: String, rightTs: String): DataFrame = {
+      rightKey: String, rightTs: String): DataFrame =
+    build(left, right, leftKey, leftStart, leftEnd, rightKey, rightTs,
+      leftOuter = false)
+
+  /** `left LEFT JOIN right ON …` — every left interval appears at least
+    * once; those bracketing no point get a null-extended right side
+    * (matching the streaming tier's s23 left-outer contract). Left rows
+    * with null key/bounds are kept (null-extended, SQL LEFT JOIN
+    * semantics); right rows with null key/ts are dropped inside the
+    * operator (they can never match, and unmatched RIGHT rows are not
+    * this join's output).
+    */
+  def intervalJoinLeftOuter(left: DataFrame, right: DataFrame,
+      leftKey: String, leftStart: String, leftEnd: String,
+      rightKey: String, rightTs: String): DataFrame =
+    build(left, right, leftKey, leftStart, leftEnd, rightKey, rightTs,
+      leftOuter = true)
+
+  private def build(left: DataFrame, right: DataFrame,
+      leftKey: String, leftStart: String, leftEnd: String,
+      rightKey: String, rightTs: String, leftOuter: Boolean): DataFrame = {
     val spark = left.sparkSession
     register(spark)
     def nn(df: DataFrame, cols: String*): DataFrame =
       cols.foldLeft(df)((d, c) =>
         d.filter(org.apache.spark.sql.functions.col(c).isNotNull))
-    val lPlan = nn(left, leftKey, leftStart, leftEnd)
+    // inner may pre-filter left nulls (they never match); outer must
+    // keep them — the exec null-extends them
+    val lPlan = (if (leftOuter) left
+      else nn(left, leftKey, leftStart, leftEnd))
       .queryExecution.analyzed
     val rPlan = nn(right, rightKey, rightTs).queryExecution.analyzed
     def attr(p: LogicalPlan, n: String): Attribute =
@@ -192,6 +273,6 @@ object IntervalJoinOps {
       IntervalJoin(lPlan, rPlan,
         attr(lPlan, leftKey), attr(rPlan, rightKey),
         attr(lPlan, leftStart), attr(lPlan, leftEnd),
-        attr(rPlan, rightTs)))
+        attr(rPlan, rightTs), leftOuter))
   }
 }

@@ -2197,6 +2197,91 @@ class PipelineSpec extends SparkSpec {
     assert(got == want, s"${got.size} pairs vs ${want.size} expected")
   }
 
+  test("intervalJoin leftOuter: unmatched intervals null-extend, matched don't") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.IntervalJoinOps
+    // key 1: [10,20] matches ts 15; [25,26] brackets nothing;
+    // key 2: interval but no right rows at all;
+    // key 3 right rows exist but no intervals (must NOT appear)
+    val l = Seq((1L, "a", 10L, 20L), (1L, "b", 25L, 26L),
+      (2L, "c", 5L, 6L))
+      .toDF("k", "iv", "lo", "hi")
+    val r = Seq((1L, 101L, 15L), (3L, 301L, 10L)).toDF("rk", "rid", "ts")
+    val out = IntervalJoinOps
+      .intervalJoinLeftOuter(l, r, "k", "lo", "hi", "rk", "ts")
+      .select("iv", "rid").collect()
+      .map(x => (x.getString(0),
+        if (x.isNullAt(1)) -1L else x.getLong(1))).sorted.toSeq
+    assert(out == Seq(("a", 101L), ("b", -1L), ("c", -1L)), s"got $out")
+    // null left key survives as an unmatched row (SQL LEFT JOIN keeps it)
+    val ln = l.unionAll(Seq(("x", 0L, 99L)).toDF("iv", "lo", "hi")
+      .selectExpr("CAST(NULL AS BIGINT) k", "iv", "lo", "hi")
+      .select("k", "iv", "lo", "hi"))
+    val withNull = IntervalJoinOps
+      .intervalJoinLeftOuter(ln, r, "k", "lo", "hi", "rk", "ts")
+      .select("iv", "rid").collect()
+      .map(x => (x.getString(0),
+        if (x.isNullAt(1)) -1L else x.getLong(1))).sorted.toSeq
+    assert(withNull == Seq(("a", 101L), ("b", -1L), ("c", -1L),
+      ("x", -1L)), s"got $withNull")
+  }
+
+  test("intervalJoin fuzz: dup ts x dup keys x nested intervals vs BETWEEN oracle") {
+    // ScalaCheck property over the subtlest code in the repo (the
+    // zipPartitions plane-sweep merge): tiny key/ts domains force heavy
+    // timestamp collisions, fully-nested and point intervals, and
+    // duplicate (key, start) rows; every case also runs repartitioned so
+    // intervals straddle partition-boundary sort runs. Oracle = the
+    // composable equi-join + BETWEEN filter (inner) / LEFT JOIN (outer).
+    import spark.implicits._
+    import org.apache.spark.sql.graft.IntervalJoinOps
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.Prop.propBoolean
+    val keyGen = Gen.choose(0L, 2L) // 3 keys → many duplicates
+    val tsGen = Gen.choose(0L, 12L) // 13 ticks → many collisions
+    val lRowGen = for {
+      k <- keyGen; a <- tsGen; b <- tsGen
+    } yield (k, a.min(b), a.max(b)) // nested/degenerate/point intervals
+    val caseGen = for {
+      nl <- Gen.choose(0, 25); nr <- Gen.choose(0, 25)
+      ls <- Gen.listOfN(nl, lRowGen)
+      rs <- Gen.listOfN(nr, Gen.zip(keyGen, tsGen))
+    } yield (ls, rs)
+    var checked = 0
+    val prop = Prop.forAll(caseGen) { case (ls, rs) =>
+      val l = ls.zipWithIndex.map { case ((k, lo, hi), i) =>
+        (k, i.toLong, lo, hi) }
+        .toDF("k", "lid", "lo", "hi").repartition(3, col("k"))
+      val r = rs.zipWithIndex.map { case ((k, ts), i) =>
+        (k, 100L + i, ts) }
+        .toDF("rk", "rid", "ts").repartition(3, col("rk"))
+      val inner = IntervalJoinOps
+        .intervalJoin(l, r, "k", "lo", "hi", "rk", "ts")
+        .select("lid", "rid").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+      val innerWant = (for {
+        ((k, lo, hi), i) <- ls.zipWithIndex
+        ((rk, ts), j) <- rs.zipWithIndex
+        if rk == k && ts >= lo && ts <= hi
+      } yield (i.toLong, 100L + j)).sorted
+      val outer = IntervalJoinOps
+        .intervalJoinLeftOuter(l, r, "k", "lo", "hi", "rk", "ts")
+        .select("lid", "rid").collect()
+        .map(x => (x.getLong(0),
+          if (x.isNullAt(1)) -1L else x.getLong(1))).sorted.toSeq
+      val matchedLeft = innerWant.map(_._1).toSet
+      val outerWant = (innerWant ++
+        ls.indices.filterNot(i => matchedLeft(i.toLong))
+          .map(i => (i.toLong, -1L))).sorted
+      checked += 1
+      (inner == innerWant) :| s"inner: got $inner want $innerWant" &&
+        (outer == outerWant) :| s"outer: got $outer want $outerWant"
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
+    assert(res.passed, s"fuzz failed after $checked cases: ${res.status}")
+  }
+
   test("readabilitySignals: hand-computed Flesch, floors, empty text") {
     import spark.implicits._
     // "The cat sat. It ran!" → 5 words, 2 sentences, vowel groups:
