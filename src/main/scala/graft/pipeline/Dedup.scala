@@ -881,11 +881,20 @@ object Dedup {
     * stride=1 the paper's guarantee holds exactly: every verbatim
     * repeat >= win chars is removed from ALL its occurrences (each copy
     * contains all its interior windows), repeats < win are untouched.
-    * stride > 1 is the throughput mode and is honest about its recall:
-    * anchors are stride-aligned per doc, so only copies at equal phase
-    * (start offsets congruent mod stride — whole-doc duplicates,
-    * position-0 boilerplate) are caught; a repeat shifted by a
-    * non-multiple of stride produces disjoint window sets and survives.
+    * stride > 1 is the throughput mode: anchor positions are WINNOWED
+    * (window-min of every `stride` consecutive position hashes —
+    * SIGMOD'03, same selection as [[winnowFingerprints]]), so selection
+    * is content-defined and the recall floor is deterministic: every
+    * verbatim repeat >= win + stride - 1 chars selects at least one
+    * common anchor in ALL its occurrences (any full stride-run of
+    * positions inside the copy picks the same relative minimum,
+    * regardless of phase) and that window is cut from every copy. What
+    * stride > 1 gives up is COVERAGE, not detection: only the anchor
+    * windows are removed (>= win chars per detected repeat), not
+    * necessarily the repeat end-to-end, and repeats shorter than
+    * win + stride - 1 are best-effort. Anchor density ~2/(stride+1),
+    * which shrinks the count shuffle and the candidate substring work
+    * by ~stride/2×.
     *
     * Scale shape, stage by stage: (1) anchor windows explode map-side
     * and only their xxhash64 crosses the first shuffle (8-byte counts,
@@ -1005,15 +1014,26 @@ object Dedup {
 
   /** (id, start, hash, text) per window position via the native rolling
     * hash — one pass per doc, no string materialization. Map-side.
+    * stride > 1 selects winnowing anchors (window-min of every `stride`
+    * consecutive position hashes) instead of all positions: selection is
+    * content-defined, so verbatim copies pick the same relative anchors
+    * — see [[org.apache.spark.sql.graft.WinnowAnchorHashes]].
     */
   private def posWindows(df: DataFrame, idCol: String, textCol: String,
       win: Int, stride: Int): DataFrame = {
     import org.apache.spark.sql.graft.VectorExpressions
-    val all = df.filter(length(col(textCol)) >= win)
-      .select(col(idCol).as("id"), col(textCol).as("t"),
-        posexplode(VectorExpressions.charGramPosHashes(col(textCol), win))
+    val base = df.filter(length(col(textCol)) >= win)
+      .select(col(idCol).as("id"), col(textCol).as("t"))
+    if (stride == 1)
+      base.select(col("id"), col("t"),
+        posexplode(VectorExpressions.charGramPosHashes(col("t"), win))
           .as(Seq("st", "h")))
-    if (stride == 1) all else all.filter(col("st") % stride === 0)
+    else
+      base.select(col("id"), col("t"),
+        explode(VectorExpressions.winnowAnchorHashes(col("t"), win, stride))
+          .as("a"))
+        .select(col("id"), col("t"), col("a.st").as("st"),
+          col("a.h").as("h"))
   }
 
   /** Cuts the union of [st, st+win) spans out of each doc's text given

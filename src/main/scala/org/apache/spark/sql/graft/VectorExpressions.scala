@@ -75,6 +75,13 @@ object VectorExpressions {
   def charGramPosHashes(text: Column, n: Int): Column =
     column(CharGramPosHashes(expression(text), n))
 
+  /** Winnowing-selected anchors: array<struct<st,h>> of the window-min
+    * positions over runs of `w` consecutive n-gram hashes (see
+    * [[WinnowAnchorHashes]]).
+    */
+  def winnowAnchorHashes(text: Column, n: Int, w: Int): Column =
+    column(WinnowAnchorHashes(expression(text), n, w))
+
   /** `bands` random-hyperplane signatures (`rowsPerBand` bits each) of an
     * array<float> vector; bands=1 gives the classic single signature.
     */
@@ -919,6 +926,88 @@ object CharGramPosHashes {
           org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + from,
           until - from, 42L)
       g += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Winnowing-selected window anchors (Schleimer/Wilkerson/Aiken,
+  * SIGMOD'03): per-position n-gram hashes (identical to
+  * [[CharGramPosHashes]] — xxhash64 seed 42 over the window's UTF-8
+  * bytes) reduced to the minimum of every run of `w` consecutive
+  * positions, leftmost-min tie-break, consecutive repeats emitted once.
+  * Returns array<struct<st:int, h:bigint>> of the selected anchors.
+  *
+  * Selection is CONTENT-DEFINED: which positions survive depends only
+  * on the hash sequence, so two verbatim copies of a span select the
+  * same relative anchors wherever a full w-run of positions lies inside
+  * the copy — the deterministic guarantee behind
+  * `repeatedSpanRemoval(stride > 1)`: any shared span of length
+  * >= n + w - 1 has at least one anchor selected in EVERY occurrence.
+  * (Positional sampling `st % w == 0` has no such property — copies at
+  * unequal phase select disjoint window sets.) Expected density
+  * ~2/(w+1). One pass, monotonic-deque window minimum — O(len), never
+  * O(len·w) — inside whole-stage codegen via the static compute.
+  */
+case class WinnowAnchorHashes(child: Expression, n: Int, w: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("st", IntegerType, nullable = false),
+    StructField("h", LongType, nullable = false))), containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  protected override def nullSafeEval(input: Any): Any =
+    WinnowAnchorHashes.compute(input.asInstanceOf[UTF8String], n, w)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.WinnowAnchorHashes.compute($c, $n, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WinnowAnchorHashes {
+  /** Shared by eval and codegen. */
+  def compute(s: UTF8String, n: Int,
+      w: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val h = CharGramPosHashes.compute(s, n).toLongArray()
+    val m = h.length
+    if (m < w) {
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    }
+    // monotonic deque of indices with non-decreasing hash values; popping
+    // only strictly-greater tails keeps the EARLIEST index among equal
+    // minima at the front (leftmost-min tie-break, matching
+    // winnowFingerprints' min-of-(h, p) struct ordering)
+    val deque = new Array[Int](m)
+    var head = 0
+    var tail = 0
+    val sel = new Array[Int](m)
+    var nSel = 0
+    var last = -1
+    var j = 0
+    while (j < m) {
+      while (tail > head && h(deque(tail - 1)) > h(j)) tail -= 1
+      deque(tail) = j
+      tail += 1
+      val lo = j - w + 1 // first index of the current window
+      if (lo >= 0) {
+        while (deque(head) < lo) head += 1
+        val p = deque(head)
+        if (p != last) { sel(nSel) = p; nSel += 1; last = p }
+      }
+      j += 1
+    }
+    val out = new Array[Any](nSel)
+    var i = 0
+    while (i < nSel) {
+      out(i) = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](sel(i), h(sel(i))))
+      i += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
