@@ -388,6 +388,81 @@ object Pipeline {
       Dedup.repeatedSpanRemoval(t(s, dir, "documents"))
     },
 
+    // Winnowed (stride=4) span removal: the throughput mode of p80.
+    // The oracle re-derives the ENTIRE winnowing selection — per-
+    // position polynomial hash (base 257 mod 2^61−1 over code points,
+    // the exact WinnowAnchorHashes hash, replayed in HUGEINT), window-
+    // min over every 4 consecutive positions with leftmost tie-break
+    // (min over h·2^32+st), distinct anchors — then the same exact-
+    // string dup filter and running-max cut as p80. clean_dg md5s pin
+    // the cut boundaries byte-exact, so any drift in hash, selection,
+    // tie-break, or cut shows up as a hash mismatch.
+    QueryDef("p80w_winnow_span_removal",
+      """WITH d AS (SELECT doc_id, text FROM documents),
+        |dl AS (SELECT doc_id, text FROM d WHERE length(text) >= 50),
+        |pr AS (
+        |  WITH RECURSIVE p(k, v) AS (
+        |    SELECT 0, CAST(1 AS HUGEINT)
+        |    UNION ALL
+        |    SELECT k + 1, (v * 257) % 2305843009213693951
+        |    FROM p WHERE k < 49)
+        |  SELECT list(v ORDER BY k) AS pl FROM p),
+        |cps AS (SELECT doc_id, text,
+        |    [CAST(unicode(c) AS HUGEINT) for c in string_split(text, '')]
+        |      AS cp
+        |  FROM dl),
+        |pos AS (SELECT doc_id, cp,
+        |    unnest(range(0, length(text) - 49, 1)) AS st
+        |  FROM cps),
+        |ph AS (SELECT doc_id, st,
+        |    CAST(list_sum([cp[CAST(st + i AS INT)] *
+        |        pl[CAST(51 - i AS INT)] for i in generate_series(1, 50)])
+        |      % 2305843009213693951 AS BIGINT) AS h
+        |  FROM pos, pr),
+        |wn AS (SELECT doc_id,
+        |    min(CAST(h AS HUGEINT) * 4294967296 + st) OVER
+        |      (PARTITION BY doc_id ORDER BY st
+        |       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mk,
+        |    count(*) OVER (PARTITION BY doc_id ORDER BY st
+        |       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS cnt
+        |  FROM ph),
+        |anch AS (SELECT DISTINCT doc_id,
+        |    CAST(mk % 4294967296 AS BIGINT) AS st
+        |  FROM wn WHERE cnt = 4),
+        |w2 AS (SELECT a.doc_id, a.st,
+        |    substr(dl.text, CAST(a.st AS INT) + 1, 50) AS w
+        |  FROM anch a JOIN dl USING (doc_id)),
+        |dup AS (SELECT w FROM w2 GROUP BY w HAVING count(*) >= 2),
+        |occ AS (SELECT doc_id, st FROM w2
+        |  WHERE w IN (SELECT w FROM dup)),
+        |o2 AS (SELECT doc_id, st,
+        |    coalesce(max(st + 50) OVER (PARTITION BY doc_id ORDER BY st
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cur
+        |  FROM occ),
+        |agg AS (SELECT o2.doc_id,
+        |    string_agg(CASE WHEN st > cur
+        |      THEN substr(d.text, CAST(cur AS INT) + 1,
+        |                  CAST(st - cur AS INT))
+        |      ELSE '' END, '' ORDER BY st) AS head_pieces,
+        |    max(st + 50) AS maxend,
+        |    count(*) AS n_anchors
+        |  FROM o2 JOIN d USING (doc_id) GROUP BY o2.doc_id),
+        |cleaned AS (SELECT d.doc_id, length(d.text) AS orig_cp,
+        |    coalesce(a.head_pieces, '')
+        |      || substr(d.text, CAST(coalesce(a.maxend, 0) AS INT) + 1)
+        |      AS clean,
+        |    coalesce(a.n_anchors, 0) AS n_anchors
+        |  FROM d LEFT JOIN agg a USING (doc_id))
+        |SELECT doc_id, CAST(orig_cp AS BIGINT) AS orig_cp,
+        |  CAST(length(clean) AS BIGINT) AS clean_cp,
+        |  CAST(n_anchors AS BIGINT) AS n_dup_anchors,
+        |  CAST(orig_cp - length(clean) AS BIGINT) AS removed_cp,
+        |  md5(clean) AS clean_dg
+        |FROM cleaned""".stripMargin) { (s, dir) =>
+      Dedup.repeatedSpanRemoval(t(s, dir, "documents"), stride = 4)
+    },
+
     // Release n-gram novelty: v2 is the p68/s13 release construction
     // (drops %11, rewrites %7 with a ' v2' suffix, adds %13 copies), so
     // the novelty fraction is nonzero but small — exactly the shape a

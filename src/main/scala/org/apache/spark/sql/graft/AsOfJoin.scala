@@ -39,10 +39,14 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
   */
 case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTs: Expression, rightTs: Expression) extends BinaryNode {
+    leftTs: Expression, rightTs: Expression,
+    outer: Boolean = true) extends BinaryNode {
 
+  // inner mode preserves the right side's nullability: every emitted
+  // row carries a real match
   override def output: Seq[Attribute] =
-    left.output ++ right.output.map(_.withNullability(true))
+    if (outer) left.output ++ right.output.map(_.withNullability(true))
+    else left.output ++ right.output
 
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
@@ -55,18 +59,21 @@ case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
   */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lts, rts) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts) :: Nil
+    case AsOfJoin(l, r, lk, rk, lts, rts, outer) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts,
+        outer) :: Nil
     case _ => Nil
   }
 }
 
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTs: Expression, rightTs: Expression) extends BinaryExecNode {
+    leftTs: Expression, rightTs: Expression,
+    outer: Boolean = true) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
-    left.output ++ right.output.map(_.withNullability(true))
+    if (outer) left.output ++ right.output.map(_.withNullability(true))
+    else left.output ++ right.output
 
   // the SMJ contract: co-partition on the key, sort by (key, ts)
   override def requiredChildDistribution: Seq[Distribution] =
@@ -109,9 +116,9 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
           } else rHead = null
         advanceRight()
 
-        override def hasNext: Boolean = lIter.hasNext
-
-        override def next(): InternalRow = {
+        // one left row → its joined row, or null when unmatched in
+        // inner mode (the caller loop skips it)
+        private def step(): InternalRow = {
           val l = lIter.next()
           val lk = lKeyB.eval(l)
           val lts = lTsB.eval(l)
@@ -129,7 +136,23 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
             matchKey = rHeadKey
             advanceRight()
           }
-          joined(l, if (matchRow == null) nullRight else matchRow)
+          if (matchRow != null) joined(l, matchRow)
+          else if (outer) joined(l, nullRight)
+          else null
+        }
+
+        private var pending: InternalRow = null
+
+        override def hasNext: Boolean = {
+          while (pending == null && lIter.hasNext) pending = step()
+          pending != null
+        }
+
+        override def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException("asof join")
+          val out = pending
+          pending = null
+          out
         }
       }
     }
@@ -156,7 +179,22 @@ object AsOfJoinOps {
     */
   def asofJoin(left: DataFrame, right: DataFrame,
       leftKey: String, leftTs: String,
-      rightKey: String, rightTs: String): DataFrame = {
+      rightKey: String, rightTs: String): DataFrame =
+    build(left, right, leftKey, leftTs, rightKey, rightTs, outer = true)
+
+  /** Inner form — DuckDB's plain `ASOF JOIN`: left rows with no
+    * same-key right row at-or-before their timestamp are DROPPED
+    * instead of null-padded. Identical physical shape (two key
+    * exchanges + sorted merge); the merge just skips unmatched lefts.
+    */
+  def asofJoinInner(left: DataFrame, right: DataFrame,
+      leftKey: String, leftTs: String,
+      rightKey: String, rightTs: String): DataFrame =
+    build(left, right, leftKey, leftTs, rightKey, rightTs, outer = false)
+
+  private def build(left: DataFrame, right: DataFrame,
+      leftKey: String, leftTs: String,
+      rightKey: String, rightTs: String, outer: Boolean): DataFrame = {
     val spark = left.sparkSession
     register(spark)
     val lPlan = left.queryExecution.analyzed
@@ -168,6 +206,6 @@ object AsOfJoinOps {
     ClassicDataset.ofRows(spark.asInstanceOf[ClassicSparkSession],
       AsOfJoin(lPlan, rPlan,
         attr(lPlan, leftKey), attr(rPlan, rightKey),
-        attr(lPlan, leftTs), attr(rPlan, rightTs)))
+        attr(lPlan, leftTs), attr(rPlan, rightTs), outer))
   }
 }

@@ -932,11 +932,23 @@ object CharGramPosHashes {
 }
 
 /** Winnowing-selected window anchors (Schleimer/Wilkerson/Aiken,
-  * SIGMOD'03): per-position n-gram hashes (identical to
-  * [[CharGramPosHashes]] — xxhash64 seed 42 over the window's UTF-8
-  * bytes) reduced to the minimum of every run of `w` consecutive
-  * positions, leftmost-min tie-break, consecutive repeats emitted once.
-  * Returns array<struct<st:int, h:bigint>> of the selected anchors.
+  * SIGMOD'03): per-position n-gram hashes reduced to the minimum of
+  * every run of `w` consecutive positions, leftmost-min tie-break,
+  * consecutive repeats emitted once. Returns
+  * array<struct<st:int, h:bigint>> of the selected anchors.
+  *
+  * The per-position hash is a degree-(n−1) polynomial over the window's
+  * CODE POINTS, base 257, modulo the Mersenne prime 2^61−1 — a true
+  * O(1)-per-shift rolling hash (drop the outgoing term, multiply, add
+  * the incoming code point; cheaper than re-hashing n bytes per
+  * position) chosen deliberately so an EXTERNAL SQL engine can replay
+  * the selection exactly: the p80w DuckDB oracle recomputes every
+  * position hash as `list_sum(cp[i] · 257^(n−1−i)) % (2^61−1)` in
+  * HUGEINT and re-derives the identical window-min anchors. xxhash64
+  * (the [[CharGramPosHashes]] hash) has no such SQL expression. The
+  * stride path only ever compares these hashes to EACH OTHER
+  * (count-prefilter before the exact string verify), so nothing
+  * requires parity with Spark's `xxhash64`.
   *
   * Selection is CONTENT-DEFINED: which positions survive depends only
   * on the hash sequence, so two verbatim copies of a span select the
@@ -970,10 +982,65 @@ case class WinnowAnchorHashes(child: Expression, n: Int, w: Int)
 }
 
 object WinnowAnchorHashes {
+  /** 2^61 − 1 (Mersenne prime): modulus of the rolling polynomial. */
+  val Mod: Long = (1L << 61) - 1
+  /** Polynomial base (> max UTF-8 byte, coprime to Mod). */
+  val Base: Long = 257L
+
+  /** (a · b) mod 2^61−1 for a, b ∈ [0, 2^61): 128-bit product via
+    * multiplyHigh, then the Mersenne fold 2^64 ≡ 8 (mod M).
+    */
+  @inline private def mulmod(a: Long, b: Long): Long = {
+    val hi = java.lang.Math.multiplyHigh(a, b) // product < 2^122 → hi < 2^58
+    val lo = a * b
+    var r = (hi << 3) + (lo >>> 61) + (lo & Mod) // < 2^63, no overflow
+    while (r >= Mod) r -= Mod
+    r
+  }
+
+  /** Per-position polynomial hashes over code points: h(p) =
+    * Σ cp(p+i) · Base^(n−1−i) mod 2^61−1. One rolling pass, O(len).
+    */
+  private[graft] def polyPosHashes(s: UTF8String, n: Int): Array[Long] = {
+    val str = s.toString
+    val sl = str.length
+    // code points (astral pairs advance 2 UTF-16 units, count 1)
+    var nCp = 0
+    var i = 0
+    while (i < sl) { i += Character.charCount(str.codePointAt(i)); nCp += 1 }
+    val cps = new Array[Int](nCp)
+    i = 0; var k = 0
+    while (i < sl) {
+      val cp = str.codePointAt(i)
+      cps(k) = cp; k += 1; i += Character.charCount(cp)
+    }
+    val m = nCp - n + 1
+    if (m <= 0) return Array.emptyLongArray
+    var bTop = 1L // Base^(n−1) mod M
+    var j = 0
+    while (j < n - 1) { bTop = mulmod(bTop, Base); j += 1 }
+    val out = new Array[Long](m)
+    var h = 0L
+    j = 0
+    while (j < n) { h = mulmod(h, Base) + cps(j); if (h >= Mod) h -= Mod; j += 1 }
+    out(0) = h
+    j = 1
+    while (j < m) {
+      var t = h + Mod - mulmod(cps(j - 1), bTop)
+      if (t >= Mod) t -= Mod
+      t = mulmod(t, Base) + cps(j + n - 1)
+      if (t >= Mod) t -= Mod
+      h = t
+      out(j) = h
+      j += 1
+    }
+    out
+  }
+
   /** Shared by eval and codegen. */
   def compute(s: UTF8String, n: Int,
       w: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
-    val h = CharGramPosHashes.compute(s, n).toLongArray()
+    val h = polyPosHashes(s, n)
     val m = h.length
     if (m < w) {
       return new org.apache.spark.sql.catalyst.util.GenericArrayData(

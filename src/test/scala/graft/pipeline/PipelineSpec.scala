@@ -1543,7 +1543,7 @@ class PipelineSpec extends SparkSpec {
     val p = "0123456789ABCDEFGHIJ" // 20-char passage shared by A and B
     val d = Seq(
       (1L, p + "xxxxxx"),          // P at offset 0
-      (2L, "yyyy" + p + "zz"),     // P at offset 4 — NOT stride-aligned
+      (2L, "yyyy" + p + "zz"),     // P at offset 4 — different phase than doc 1
       (3L, "The quick brown fox."), // no repeats anywhere
       (4L, "DUPLICATE DUPLICATE DUP"), // exact dup pair with 5 →
       (5L, "DUPLICATE DUPLICATE DUP"), // whole doc removed
@@ -2014,6 +2014,18 @@ class PipelineSpec extends SparkSpec {
       .map(x => x.getLong(0) -> ((Option(x.get(1)), Option(x.get(2)))))
       .toMap
     assert(big == out)
+    // inner mode: exactly the matched subset, no null-padded rows
+    val inner = AsOfJoinOps.asofJoinInner(l, r, "k", "ts", "rk", "rts")
+      .select("eid", "rts", "v").collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getString(2)))).toMap
+    assert(inner == Map(10L -> ((5L, "a")), 11L -> ((20L, "b"))), s"$inner")
+    // inner output schema keeps the right side non-nullable-compatible
+    // row count under repartition too
+    val innerBig = AsOfJoinOps.asofJoinInner(
+      l.repartition(7), r.repartition(7), "k", "ts", "rk", "rts")
+      .select("eid", "rts", "v").collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getString(2)))).toMap
+    assert(innerBig == inner)
   }
 
   test("benchmarkScrubAudit: contaminated release scrubs to zero leaks") {
@@ -2071,6 +2083,14 @@ class PipelineSpec extends SparkSpec {
           .filter(_._2 <= ts).sortBy(_._2).lastOption.map(_._3)
       }.toMap
       assert(got == want, s"trial $trial mismatch")
+      // inner mode drops exactly the None entries of the outer result
+      val gotInner = AsOfJoinOps.asofJoinInner(
+        lRows.toDF("k", "eid", "ts"), rRows.toDF("rk", "rts", "v"),
+        "k", "ts", "rk", "rts")
+        .select("eid", "v").collect()
+        .map(x => x.getLong(0) -> x.getString(1)).toMap
+      val wantInner = want.collect { case (eid, Some(v)) => eid -> v }
+      assert(gotInner == wantInner, s"trial $trial inner mismatch")
     }
   }
 
@@ -2536,6 +2556,140 @@ class PipelineSpec extends SparkSpec {
     assert(out(13L) == ((2L, 0L, md5hex("no footer here\n---"))))
     // a doc that IS only boilerplate cleans to empty
     assert(out(14L) == ((1L, 1L, md5hex(""))), s"${out(14L)}")
+  }
+
+  test("winnowAnchorHashes: poly-hash parity, naive winnow, ties, density") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.VectorExpressions
+    val M = BigInt((1L << 61) - 1)
+    // independent reference: BigInt polynomial over code points
+    def refHashes(t: String, n: Int): Array[Long] = {
+      val cps = t.codePoints().toArray
+      (0 to cps.length - n).map { p =>
+        cps.slice(p, p + n).foldLeft(BigInt(0))((a, c) =>
+          (a * 257 + c) % M).toLong
+      }.toArray
+    }
+    // independent reference: naive O(m·w) window-min, leftmost tie,
+    // distinct positions in order
+    def refWinnow(h: Array[Long], w: Int): Seq[(Int, Long)] = {
+      if (h.length < w) Seq.empty
+      else (w - 1 until h.length).map { j =>
+        val lo = j - w + 1
+        val p = (lo to j).minBy(q => (h(q), q))
+        (p, h(p))
+      }.distinct
+    }
+    def run(t: String, n: Int, w: Int): Seq[(Int, Long)] =
+      Seq(t).toDF("t")
+        .select(explode(VectorExpressions.winnowAnchorHashes(col("t"), n, w))
+          .as("a"))
+        .select("a.st", "a.h").collect()
+        .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    // ties: "ababab…" with n=2 repeats the same window hash at every
+    // other position — leftmost-min must win inside each w-run
+    val texts = Seq("abababababab", "The quick brown fox jumps over it",
+      "юникод текст αβγ with mixed scripts", "zzzzzzzzzz")
+    for (t <- texts; w <- Seq(2, 4)) {
+      val want = refWinnow(refHashes(t, 3), w)
+      assert(run(t, 3, w) == want, s"mismatch for '$t' w=$w")
+    }
+    // m < w → empty (9 cps, n=8 → 2 positions < w=4)
+    assert(run("012345678", 8, 4).isEmpty)
+    // shorter than n → empty
+    assert(run("ab", 8, 4).isEmpty)
+    // density on random text ≈ 2/(w+1); wide slack against
+    // select-everything / select-nothing regressions
+    val rnd = new scala.util.Random(7)
+    val big = (1 to 2000).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val n8w4 = run(big, 8, 4)
+    val positions = 2000 - 8 + 1
+    assert(n8w4 == refWinnow(refHashes(big, 8), 4))
+    assert(n8w4.size > positions / 5 && n8w4.size < positions * 3 / 5,
+      s"density off: ${n8w4.size} of $positions")
+  }
+
+  test("repeatedSpanRemoval stride>1: recall at every phase (ScalaCheck)") {
+    // The scaladoc guarantee (Dedup.repeatedSpanRemoval): with stride
+    // s, every verbatim repeat >= win + s - 1 chars selects at least
+    // one COMMON anchor window in all its occurrences, regardless of
+    // each copy's offset phase mod s — and that window is cut from
+    // every copy. Plant one shared span at offsets covering ALL phases
+    // 0..s-1 across docs and assert (a) every planted doc gets >= 1
+    // anchor, (b) every planted doc loses >= win chars (the only
+    // possible anchors lie inside the span, so the span is destroyed),
+    // (c) an unrelated doc is untouched. Random 26-letter filler makes
+    // spurious win-char repeats impossible in practice.
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.Prop.propBoolean
+    val win = 12
+    val stride = 4
+    def randText(rnd: scala.util.Random, n: Int): String =
+      (1 to n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val caseGen = for {
+      seed <- Gen.choose(0L, Long.MaxValue)
+      extra <- Gen.choose(0, 6) // span length win+stride-1 .. +6
+      pads <- Gen.listOfN(stride, Gen.choose(0, 5))
+    } yield (seed, extra, pads)
+    val prop = Prop.forAll(caseGen) { case (seed, extra, pads) =>
+      val rnd = new scala.util.Random(seed)
+      val span = randText(rnd, win + stride - 1 + extra)
+      // doc i places the span at offset phase i (mod stride shifts by
+      // pads(i)*stride so offsets are i, i+4s, … — all phases covered,
+      // never congruent across docs unless phases collide)
+      val planted = (0 until stride).map { i =>
+        val off = i + pads(i) * stride
+        (i.toLong, randText(rnd, off) + span + randText(rnd, 30))
+      }
+      val unrelated = (99L, randText(rnd, 80))
+      val df = (planted :+ unrelated).toDF("doc_id", "text")
+      val out = Dedup.repeatedSpanRemoval(df, win = win, stride = stride)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+      val perDoc = (0 until stride).map { i =>
+        val (nAnchors, removed) = out(i.toLong)
+        (nAnchors >= 1L) :| s"doc $i: no anchors (seed=$seed)" &&
+          (removed >= win.toLong) :| s"doc $i: removed only $removed"
+      }.reduce(_ && _)
+      perDoc &&
+        (out(99L) == ((0L, 0L))) :| s"unrelated doc touched: ${out(99L)}"
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, s"fuzz failed: ${res.status}")
+  }
+
+  test("repeatedSpanRemoval stride>1: non-congruent offsets, span destroyed") {
+    import spark.implicits._
+    // deterministic mirror of the property: phases 1 and 3 (mod 4),
+    // NOT congruent — positional st % stride sampling would select
+    // disjoint windows and miss the repeat; winnowing must not
+    val rnd = new scala.util.Random(42)
+    def randText(n: Int): String =
+      (1 to n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val span = randText(15) // win + stride - 1 = 15, the guarantee floor
+    val a = randText(1) + span + randText(25)  // offset 1 (phase 1)
+    val b = randText(7) + span + randText(30)  // offset 7 (phase 3)
+    val c = randText(60)
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val out = Dedup.repeatedSpanRemoval(df, win = 12, stride = 4)
+    val rows = out.collect().map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getString(5)))).toMap
+    // both copies lose >= 12 chars; the span cannot survive intact
+    assert(rows(1L)._3 >= 1 && rows(1L)._4 >= 12, s"${rows(1L)}")
+    assert(rows(2L)._3 >= 1 && rows(2L)._4 >= 12, s"${rows(2L)}")
+    assert(rows(3L) == ((60L, 60L, 0L, 0L,
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(c.getBytes("UTF-8")).map("%02x".format(_)).mkString)))
+    // the anchor window is cut from EVERY copy: verify on clean text
+    // by re-running the cut with anchors exposed via clean_dg equality
+    // between a doc and its from-scratch expected md5 is already the
+    // gate's job (p80w); here assert the spans differ from original
+    assert(rows(1L)._5 !=
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(a.getBytes("UTF-8")).map("%02x".format(_)).mkString)
   }
 
   test("winnowing: shared-substring guarantee and selection density") {
