@@ -178,6 +178,8 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.maxResultSize", "2g")
+      .config("spark.sql.extensions",
+        "org.apache.spark.sql.graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -261,13 +263,20 @@ object Bench {
           .filter(_.matches("BENCH_r\\d+\\.json")).sorted)
           .filter(_.nonEmpty).map(_.last)
       }
+      // the driver wraps the bench line in {"tail": "…escaped…",
+      // "parsed": {…}}: inside `tail` every quote is \"-escaped, so the
+      // first UNescaped "queries" is the parsed block's. Bound the scan
+      // to that flat object (to the first '}') — spread/recheck maps
+      // further down reuse query names and must not override the mins.
       path.flatMap { p =>
         scala.util.Try {
           val txt = new String(java.nio.file.Files.readAllBytes(
             java.nio.file.Paths.get(p)), "UTF-8")
-          val qBlock = txt.indexOf("\"queries\":")
-          val body = txt.substring(qBlock)
-          "\"([A-Za-z0-9_]+)\":(-?[0-9.eE+]+)".r.findAllMatchIn(body)
+          val qi = txt.indexOf("\"queries\"")
+          val start = txt.indexOf('{', qi)
+          val body = txt.substring(start + 1, txt.indexOf('}', start))
+          "\"([A-Za-z0-9_]+)\"\\s*:\\s*(-?[0-9.eE+]+)".r
+            .findAllMatchIn(body)
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
         }.toOption
       }.getOrElse(Map.empty)

@@ -105,6 +105,8 @@ object Cli {
         sys.env.getOrElse("DSQ_SHUFFLE_PARTITIONS", "32"))
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions",
+        "org.apache.spark.sql.graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark
@@ -178,6 +180,10 @@ object Repl {
         "SELECT", "FROM", "WHERE", "AND", "OR", "IN", "JOIN"))
       .variable(org.jline.reader.LineReader.HISTORY_FILE,
         Paths.get(sys.props.getOrElse("user.home", "."), "dsq_history"))
+      // append each accepted line to the file as it is entered — the
+      // reference's readline lib (chzyer/readline HistoryFile) persists
+      // incrementally, so a killed session still keeps its history
+      .option(org.jline.reader.LineReader.Option.HISTORY_INCREMENTAL, true)
       .build()
     while (true) {
       val line =

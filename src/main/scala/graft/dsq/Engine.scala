@@ -134,10 +134,15 @@ final class Engine(val spark: SparkSession) {
       val resolved = mime.orElse(Readers.mimeOf(Readers.extensionOf(file)))
       // Avro carries a declared schema with unions; Spark's JSON-inference
       // path erases them, so shape avro files from the container schema
-      // (renders "Varied of …" like the reference)
-      val shape =
-        if (resolved.contains("avro")) Shape.ofAvroFile(file)
-        else Shape.ofTable(readRaw(file, mime).schema)
+      // (renders "Varied of …" like the reference). JSON-family files go
+      // through the 100-row sampled vote so mixed-type columns render
+      // Varied instead of Spark's coerced union type.
+      val shape = resolved match {
+        case Some("avro") => Shape.ofAvroFile(file)
+        case Some(m @ ("json" | "jsonl" | "cjson" | "yaml")) =>
+          Shape.ofJsonFileSampled(file, m)
+        case _ => Shape.ofTable(readRaw(file, mime).schema)
+      }
       if (opts.pretty) sb.append(Shape.toPretty(shape))
       else sb.append(Shape.toJson(shape))
     } else {

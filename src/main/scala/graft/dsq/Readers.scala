@@ -190,16 +190,15 @@ object Readers {
       .load(path)
 
   /** Apache error log (reference text/apache2error): regex-per-line. */
-  def apacheError(spark: SparkSession, path: String): DataFrame = {
-    import org.apache.spark.sql.functions._
-    val re = "^\\[([^\\]]*)\\] \\[([^\\]]*)\\] (?:\\[pid ([^\\]]*)\\] )?(?:\\[client ([^\\]]*)\\] )?(.*)$"
-    spark.read.text(path).select(
-      regexp_extract(col("value"), re, 1).as("time"),
-      regexp_extract(col("value"), re, 2).as("level"),
-      regexp_extract(col("value"), re, 3).as("pid"),
-      regexp_extract(col("value"), re, 4).as("client"),
-      regexp_extract(col("value"), re, 5).as("message"))
-  }
+  /** Apache error log (reference text/apache2error). Reads via the
+    * graft-apacheerror DataSourceV2 source (line-aligned splits,
+    * parse-time pruning, 3VL filter pushdown — same chunk framework as
+    * logfmt/accesslog); the source keeps the old regexp_extract
+    * conventions byte-exact (absent optional sections and non-matching
+    * lines yield "", never a dropped row).
+    */
+  def apacheError(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("graft-apacheerror").load(path)
 
   /** Apache/nginx access log, Common (+Combined for nginx) Log Format.
     * Reads via the graft-accesslog DataSourceV2 source (splits, pruning,

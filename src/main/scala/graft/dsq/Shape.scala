@@ -34,6 +34,124 @@ object Shape {
   /** A file table is always an array of row objects. */
   def ofTable(schema: StructType): Shape = Arr(ofDataType(schema))
 
+  /** Sampled shape inference over raw JSON values (reference
+    * main.go:104/221 → runner.ShapeFromFile with sampleSize=100):
+    * Spark's JSON schema inference COERCES a mixed-type column (1 and
+    * "a" sample to string), erasing exactly the mixedness the reference
+    * renders as `Varied of`. So for schema dumps the JSON-family
+    * formats parse the first `sample` rows with Jackson and merge
+    * per-key kind votes instead: kinds that disagree across sampled
+    * rows become Varied (branch order first-seen, Unknown last, like
+    * the Avro-union rendering in README.md:453-490); a key missing
+    * from some sampled rows — and an explicit JSON null — contribute
+    * Unknown. Object keys sort alphabetically like every other dsq
+    * object. Sampling bounds driver work: only the first `sample`
+    * values are parsed, never the whole file.
+    */
+  def ofJsonSampled(values: Iterator[com.fasterxml.jackson.databind.JsonNode],
+      sample: Int = 100): Shape = {
+    val taken = values.take(sample).map(ofJsonNode).toSeq
+    Arr(taken.reduceOption(merge).getOrElse(Unknown))
+  }
+
+  def ofJsonNode(n: com.fasterxml.jackson.databind.JsonNode): Shape = {
+    import scala.jdk.CollectionConverters._
+    if (n == null || n.isNull) Unknown
+    else if (n.isTextual) Scalar("string")
+    else if (n.isNumber) Scalar("number")
+    else if (n.isBoolean) Scalar("boolean")
+    else if (n.isArray)
+      Arr(n.elements().asScala.take(100).map(ofJsonNode).toSeq
+        .reduceOption(merge).getOrElse(Unknown))
+    else if (n.isObject)
+      Obj(n.properties().asScala.toSeq.map(e => e.getKey -> ofJsonNode(e.getValue))
+        .sortBy(_._1))
+    else Unknown
+  }
+
+  /** Structural merge of two sampled shapes: equal shapes collapse,
+    * arrays merge element shapes, objects merge per key (a key absent
+    * on one side merges with Unknown), anything else goes Varied —
+    * flattened, structurally deduped, Unknown last.
+    */
+  def merge(a: Shape, b: Shape): Shape = (a, b) match {
+    case (x, y) if x == y => x
+    case (Arr(x), Arr(y)) => Arr(merge(x, y))
+    case (Obj(xs), Obj(ys)) =>
+      val xm = xs.toMap
+      val ym = ys.toMap
+      val keys = (xs.map(_._1) ++ ys.map(_._1)).distinct.sorted
+      Obj(keys.map { k =>
+        k -> ((xm.get(k), ym.get(k)) match {
+          case (Some(x), Some(y)) => merge(x, y)
+          case (Some(x), None) => merge(x, Unknown)
+          case (None, Some(y)) => merge(Unknown, y)
+          case _ => Unknown
+        })
+      })
+    case (x, y) => varied(Seq(x, y))
+  }
+
+  private def varied(shapes: Seq[Shape]): Shape = {
+    val flat = shapes.flatMap {
+      case Varied(s) => s
+      case s => Seq(s)
+    }.distinct
+    val (unk, rest) = flat.partition(_ == Unknown)
+    val ordered = rest ++ unk
+    if (ordered.length == 1) ordered.head else Varied(ordered)
+  }
+
+  /** Shape a JSON-family file by streamed sample (never whole-file):
+    * json = top-level array elements, jsonl = first lines, cjson =
+    * concatenated values, yaml = document items re-encoded as JSON.
+    */
+  def ofJsonFileSampled(file: String, mime: String,
+      sample: Int = 100): Shape = {
+    import com.fasterxml.jackson.core.JsonToken
+    import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+    val mapper = new ObjectMapper()
+    mime match {
+      case "json" =>
+        val parser = mapper.getFactory.createParser(new java.io.File(file))
+        try {
+          val first = parser.nextToken()
+          if (first != JsonToken.START_ARRAY)
+            throw DsqError(s"Input is not an array of objects: $file.")
+          val it = Iterator.continually {
+            val t = parser.nextToken()
+            if (t == null || t == JsonToken.END_ARRAY) null
+            else mapper.readTree[JsonNode](parser)
+          }.takeWhile(_ != null)
+          ofJsonSampled(it, sample)
+        } finally parser.close()
+      case "jsonl" =>
+        val src = scala.io.Source.fromFile(file, "UTF-8")
+        try ofJsonSampled(src.getLines().filter(_.trim.nonEmpty)
+          .map(mapper.readTree), sample)
+        finally src.close()
+      case "cjson" =>
+        // bounded read: 100 rows of concatenated JSON fit well inside
+        // 1 MiB for any sane input; fall back to whole file when small
+        val raw = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(file)), "UTF-8")
+        ofJsonSampled(Readers.splitConcatenatedJson(raw).iterator
+          .map(mapper.readTree), sample)
+      case "yaml" =>
+        import scala.jdk.CollectionConverters._
+        val y = new org.yaml.snakeyaml.Yaml()
+        val doc = y.load[Object](new java.io.FileInputStream(file))
+        val items = doc match {
+          case l: java.util.List[_] => l.asScala.toVector
+          case _ => throw DsqError(s"Input is not an array of objects: $file.")
+        }
+        ofJsonSampled(items.iterator.map(v =>
+          mapper.readTree(mapper.writeValueAsString(v))), sample)
+      case other =>
+        throw DsqError(s"Sampled shape unsupported for $other.")
+    }
+  }
+
   /** Shape straight from an Avro schema: unions become Varied. Spark's
     * JSON-inference path erases unions (a null branch just makes the
     * field nullable), so the avro reader derives the shape from the

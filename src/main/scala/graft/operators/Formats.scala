@@ -381,6 +381,45 @@ object Formats {
         .load(out)
         .filter(col("status") === 200)
         .select("remote_addr", "request", "status", "body_bytes")
+    },
+
+    // The ASOF JOIN SQL surface end-to-end: a plain-SQL user writes
+    // DuckDB/kdb `ASOF LEFT JOIN` syntax and gets the custom
+    // AsOfJoinExec streaming merge — parser rewrite → marker →
+    // resolution rule → custom exec, all through spark.sql over temp
+    // views (requires the GraftExtensions session hook, which Verify/
+    // Bench/Cli sessions install). Same events-shaped query and the
+    // same native DuckDB ASOF LEFT JOIN oracle as x27, so the SQL path
+    // is value-checked against both the DataFrame path and a third
+    // engine.
+    QueryDef("f18_asof_sql",
+      """WITH r AS (
+        |  SELECT user_id, ts,
+        |    CAST(MAX(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS purchase_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |l AS (
+        |  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click')
+        |SELECT l.user_id, l.event_id, l.ts,
+        |  r.ts AS purchase_ts, r.purchase_value
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "events").createOrReplaceTempView("graft_f18_events")
+        s.sql(
+          """WITH r AS (
+            |  SELECT user_id AS r_uid, ts AS purchase_ts,
+            |    CAST(MAX(CAST(value AS DECIMAL(18,3))) AS DOUBLE)
+            |      AS purchase_value
+            |  FROM graft_f18_events WHERE event_type = 'purchase'
+            |  GROUP BY 1, 2),
+            |l AS (
+            |  SELECT user_id, event_id, ts FROM graft_f18_events
+            |  WHERE event_type = 'click')
+            |SELECT l.user_id, l.event_id, l.ts,
+            |  r.purchase_ts, r.purchase_value
+            |FROM l ASOF LEFT JOIN r
+            |  ON l.user_id = r.r_uid AND l.ts >= r.purchase_ts"""
+            .stripMargin)
     }
   )
 }

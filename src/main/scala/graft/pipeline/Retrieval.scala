@@ -311,6 +311,37 @@ object Retrieval {
   def paragraphNearDupPairs(docs: DataFrame, n: Int = 3,
       threshold: Double = 0.6, minTokens: Int = 5,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val (paras, cands) =
+      paragraphCandidates(docs, n, threshold, minTokens, idCol, textCol)
+    verifyCandidates(paras, cands, threshold)
+  }
+
+  /** One-row PPJoin effectiveness diagnostics for [[paragraphNearDupPairs]]:
+    * paragraph count, the naive all-pairs bound P·(P−1)/2, how many
+    * candidate pairs survived the prefix+length filters, and how many
+    * verified — the sub-quadratic evidence the 10× sweeps report.
+    */
+  def paragraphNearDupStats(docs: DataFrame, n: Int = 3,
+      threshold: Double = 0.6, minTokens: Int = 5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val (paras, cands) =
+      paragraphCandidates(docs, n, threshold, minTokens, idCol, textCol)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val nP = paras.count()
+    val nC = cands.count()
+    val nV = verifyCandidates(paras, cands, threshold).count()
+    Seq((nP, nP * (nP - 1) / 2, nC, nV))
+      .toDF("n_paragraphs", "naive_pairs", "ppjoin_candidates",
+        "verified_pairs")
+  }
+
+  /** (paragraph gram table, PPJoin candidate pairs) — the shared front
+    * half of [[paragraphNearDupPairs]] and [[paragraphNearDupStats]].
+    */
+  private def paragraphCandidates(docs: DataFrame, n: Int,
+      threshold: Double, minTokens: Int, idCol: String,
+      textCol: String): (DataFrame, DataFrame) = {
     require(minTokens >= n, s"minTokens ($minTokens) must be >= n ($n)")
     require(threshold > 0 && threshold <= 1,
       s"threshold ($threshold) must be in (0, 1]")
@@ -353,8 +384,14 @@ object Retrieval {
         lit(threshold) * greatest(col("n_a"), col("n_b")).cast("double"))
       .select("doc_a", "pos_a", "doc_b", "pos_b")
       .distinct()
-    // exact verification: fetch both full gram sets by paragraph key,
-    // intersect per pair (linear in paragraph size, candidates bounded)
+    (paras, cands)
+  }
+
+  /** Exact verification: fetch both full gram sets by paragraph key,
+    * intersect per pair (linear in paragraph size, candidates bounded).
+    */
+  private def verifyCandidates(paras: DataFrame, cands: DataFrame,
+      threshold: Double): DataFrame =
     cands
       .join(paras.select(col("doc").as("doc_a"), col("pos").as("pos_a"),
         col("grams").as("grams_a")), Seq("doc_a", "pos_a"))
@@ -368,7 +405,6 @@ object Retrieval {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("pos_a"), col("doc_b"), col("pos_b"),
         round(col("jaccard"), 6).as("jaccard"))
-  }
 
   /** Naive all-pairs inverted-index form — the spec's ground truth for
     * the prefix filter's no-false-negatives guarantee. Quadratic in

@@ -31,6 +31,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // *Ops.register helpers add to a live session)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectPlannerStrategy(_ => IntervalJoinStrategy)
+    // the ASOF JOIN SQL surface: text rewrite → marked join →
+    // resolution into the AsOfJoin node (see AsOfSql.scala)
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
+    ext.injectResolutionRule(_ => ResolveAsOfJoin)
   }
 }
 
@@ -172,6 +176,12 @@ object GraftExtensions {
           "matches putString semantics"),
       arity("graft_bloom_contains", 2)(es => BloomMightContain(es(0),
         litBytes(es(1), "graft_bloom_contains", "filter")))),
+    (FunctionIdentifier("graft_asof_marker"),
+      info("graft_asof_marker",
+        "graft_asof_marker(outer) - internal ASOF JOIN marker planted " +
+          "by the graft SQL parser; converted away at resolution, " +
+          "throws if it ever reaches execution"),
+      arity("graft_asof_marker", 1)(es => AsOfJoinMarker(es(0)))),
     (FunctionIdentifier("graft_cms_estimate"),
       info("graft_cms_estimate",
         "graft_cms_estimate(s, sketch) - Count-Min frequency estimate " +

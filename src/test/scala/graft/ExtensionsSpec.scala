@@ -126,6 +126,67 @@ class ExtensionsSpec extends SparkSpec {
     assert(idx == api)
   }
 
+  test("ASOF JOIN SQL surface: left/inner forms match the DataFrame operator") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.AsOfJoinOps
+    val l = Seq((1L, 10L, 5L), (1L, 11L, 20L), (2L, 12L, 7L), (3L, 13L, 1L))
+      .toDF("k", "eid", "ts")
+    val r = Seq((1L, 5L, "a"), (1L, 20L, "b"), (1L, 25L, "c"), (2L, 8L, "d"))
+      .toDF("rk", "rts", "v")
+    l.createOrReplaceTempView("asof_l")
+    r.createOrReplaceTempView("asof_r")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val sqlLeft = spark.sql(
+      """SELECT l.eid, r.rts, r.v FROM asof_l l ASOF LEFT JOIN asof_r r
+        |  ON l.k = r.rk AND l.ts >= r.rts""".stripMargin)
+    // the custom exec actually planned (not a fallen-back plain join)
+    assert(sqlLeft.queryExecution.executedPlan.toString.contains("AsOfJoin"),
+      sqlLeft.queryExecution.executedPlan.toString)
+    assert(rows(sqlLeft) == rows(
+      AsOfJoinOps.asofJoin(l, r, "k", "ts", "rk", "rts")
+        .select("eid", "rts", "v")))
+    val sqlInner = spark.sql(
+      """SELECT l.eid, r.v FROM asof_l l ASOF JOIN asof_r r
+        |  ON l.k = r.rk AND l.ts >= r.rts""".stripMargin)
+    assert(rows(sqlInner) == rows(
+      AsOfJoinOps.asofJoinInner(l, r, "k", "ts", "rk", "rts")
+        .select("eid", "v")))
+    // mirrored ordering predicate (r.ts <= l.ts) accepted too
+    val mirrored = spark.sql(
+      """SELECT l.eid, r.v FROM asof_l l ASOF JOIN asof_r r
+        |  ON l.k = r.rk AND r.rts <= l.ts""".stripMargin)
+    assert(rows(mirrored) == rows(sqlInner))
+  }
+
+  test("ASOF JOIN SQL surface: multi-key struct path and loud rejects") {
+    import spark.implicits._
+    val l = Seq((1L, 1L, 10L, 100L), (1L, 2L, 11L, 200L), (2L, 1L, 12L, 300L))
+      .toDF("k1", "k2", "eid", "ts")
+    val r = Seq((1L, 1L, 50L, "a"), (1L, 2L, 60L, "b"), (1L, 1L, 90L, "c"))
+      .toDF("rk1", "rk2", "rts", "v")
+    l.createOrReplaceTempView("asof_ml")
+    r.createOrReplaceTempView("asof_mr")
+    val out = spark.sql(
+      """SELECT l.eid, r.v FROM asof_ml l ASOF LEFT JOIN asof_mr r
+        |  ON l.k1 = r.rk1 AND l.k2 = r.rk2 AND l.ts >= r.rts"""
+        .stripMargin).collect()
+      .map(x => x.getLong(0) -> Option(x.get(1))).toMap
+    // (1,1) at ts 100 → latest rts <= 100 is 90 → "c"; (1,2) → 60 →
+    // "b"; (2,1) has no right rows → null
+    assert(out == Map(10L -> Some("c"), 11L -> Some("b"), 12L -> None), s"$out")
+    // unsupported shapes fail analysis loudly, never fall back silently
+    val e1 = intercept[Exception](spark.sql(
+      """SELECT l.eid FROM asof_ml l ASOF JOIN asof_mr r
+        |  ON l.k1 = r.rk1""".stripMargin).collect())
+    assert(e1.getMessage.contains("ordering predicate"), e1.getMessage)
+    val e2 = intercept[Exception](spark.sql(
+      """SELECT l.eid FROM asof_ml l ASOF JOIN asof_mr r
+        |  ON l.k1 = r.rk1 AND l.ts >= r.rts AND l.ts >= r.rts + 1"""
+        .stripMargin).collect())
+    assert(e2.getMessage.contains("exactly one ordering"), e2.getMessage)
+  }
+
   test("extensions hook injects the AsOfJoin planner strategy") {
     // apply the hook to a fresh SparkSessionExtensions and check the
     // strategy landed (building a whole session here would getOrCreate

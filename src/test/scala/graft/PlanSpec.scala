@@ -45,6 +45,16 @@ class PlanSpec extends SparkSpec {
     val alPlan = al.queryExecution.executedPlan.toString
     assert(alPlan.contains("graft-accesslog ReadSchema: struct<status:string>"),
       s"CLI accesslog not on the pruned DSv2 scan:\n$alPlan")
+
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "c.errlog"),
+      "[Fri Sep 09 10:42:29 2011] [core:error] [client 1.2.3.4] nope\n")
+    val ae = graft.dsq.Readers.apacheError(spark, dir + "/c.errlog")
+      .select("level")
+    ae.collect()
+    val aePlan = ae.queryExecution.executedPlan.toString
+    assert(aePlan.contains("graft-apacheerror ReadSchema: struct<level:string>"),
+      s"CLI apacheError not on the pruned DSv2 scan:\n$aePlan")
   }
 
   test("q02: filter is pushed into the parquet scan") {

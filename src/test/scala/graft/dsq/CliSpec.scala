@@ -95,6 +95,87 @@ class CliSpec extends AnyFunSuite {
   */
 class CliPipeSpec extends SparkSpec {
 
+  // REPL parity vs the reference's readline behavior (main.go:268-326):
+  // completion and history only engage on a REAL terminal, so this test
+  // drives the CLI as a subprocess under a pseudo-terminal
+  // (`script -qec`), types with actual TAB keys, and checks the
+  // completed line echo, the query result, `exit` → "bye", and
+  // incremental history-file APPEND (the pre-seeded line survives).
+  test("pty REPL: tab completion, history append, exit prints bye") {
+    assume(new java.io.File("/usr/bin/script").exists(),
+      "util-linux script not available")
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pty")
+    val csv = dir.resolve("t.csv")
+    java.nio.file.Files.writeString(csv, "a,b\n1,2\n3,4\n")
+    java.nio.file.Files.writeString(dir.resolve("dsq_history"),
+      "SELECT 99 FROM {}\n")
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala
+      .filter(a => a.startsWith("--add-opens") ||
+        a.startsWith("--add-exports") || a.startsWith("--enable-native"))
+    val cmd = (Seq("java") ++ jvmArgs ++ Seq(
+      s"-Duser.home=$dir", "-Xmx2g", "-cp",
+      System.getProperty("java.class.path"),
+      "graft.dsq.Cli", "-i", csv.toString)).mkString(" ")
+    val pb = new ProcessBuilder("script", "-qec", cmd, "/dev/null")
+    pb.redirectErrorStream(true)
+    val p = pb.start()
+    val buf = new java.lang.StringBuilder
+    val collector = new Thread(() => {
+      val in = p.getInputStream
+      val arr = new Array[Byte](4096)
+      var n = in.read(arr)
+      while (n >= 0) {
+        buf.synchronized { buf.append(new String(arr, 0, n, "UTF-8")) }
+        n = in.read(arr)
+      }
+    })
+    collector.setDaemon(true)
+    collector.start()
+    def awaitOutput(sub: String, timeoutMs: Long): Boolean = {
+      val deadline = System.currentTimeMillis() + timeoutMs
+      while (System.currentTimeMillis() < deadline) {
+        if (buf.synchronized(buf.toString).contains(sub)) return true
+        Thread.sleep(200)
+      }
+      false
+    }
+    try {
+      val w = new java.io.OutputStreamWriter(p.getOutputStream, "UTF-8")
+      // jline renders the prompt through escape sequences (no literal
+      // "dsq> " in the byte stream); the bracketed-paste enable it emits
+      // right before each read is the reliable prompt-shown marker
+      assert(awaitOutput("[?2004h", 120000),
+        s"no prompt:\n${buf.synchronized(buf.toString)}")
+      // two completions mid-line: SEL<TAB> → "SELECT ", FR<TAB> → "FROM "
+      w.write("SEL\tcount(a) AS n FR\t{}\n"); w.flush()
+      assert(awaitOutput("(1 row)", 120000),
+        s"no result:\n${buf.synchronized(buf.toString)}")
+      w.write("exit\n"); w.flush()
+      assert(awaitOutput("bye", 30000),
+        s"no bye:\n${buf.synchronized(buf.toString)}")
+      p.waitFor(30, java.util.concurrent.TimeUnit.SECONDS)
+      val out = buf.synchronized(buf.toString)
+      // the query only parses if BOTH tabs expanded (the raw line was
+      // "SEL\tcount(a) AS n FR\t{}"): a rendered result table is the
+      // semantic proof of completion
+      assert(out.contains("| n |") && out.contains("| 2 |"),
+        s"query result missing — completion did not expand:\n$out")
+      val hist = java.nio.file.Files.readString(dir.resolve("dsq_history"))
+      assert(hist.contains("SELECT 99 FROM {}"),
+        s"pre-seeded history line lost (truncate, not append): $hist")
+      // jline records the ACCEPTED line (timestamp-prefixed): its text
+      // carries the tab-expanded keywords, proving completion again
+      assert(hist.contains("SELECT count(a) AS n FROM {}"),
+        s"session line not appended to history: $hist")
+      assert(hist.indexOf("SELECT 99") < hist.indexOf("count(a)"),
+        s"append order wrong: $hist")
+    } finally {
+      p.destroyForcibly()
+    }
+  }
+
   private def runCli(argv: Array[String], stdinFile: String): (Int, String) = {
     val oldIn = System.in
     val outBuf = new java.io.ByteArrayOutputStream()

@@ -344,6 +344,66 @@ class GoldenCorpusSpec extends SparkSpec {
         |      string""".stripMargin)
   }
 
+  // README.md:445-490 — mixed-type JSON columns vote per key over the
+  // 100-row sample and disagreement renders "Varied of" with the same
+  // grammar as the Avro unions above (branches " or"-joined, Unknown
+  // last); a key missing from some rows and an explicit null both
+  // contribute the Unknown branch
+  test("Mixed-type JSON schema renders Varied of (README.md:445-490)") {
+    val f = java.nio.file.Files.createTempFile("mixed_shape", ".json")
+    java.nio.file.Files.writeString(f,
+      """[
+        |  {"a": 1, "b": "x", "c": [1, 2]},
+        |  {"a": "one", "b": "y", "c": [3, "four"], "d": true},
+        |  {"a": 2, "b": null}
+        |]""".stripMargin)
+    val out = engine.run(Seq(f.toString), Seq(None), None,
+      DsqOptions(pretty = true, schema = true))
+    assert(out.trim ==
+      """Array of
+        |  Object of
+        |    a of
+        |      Varied of
+        |        number or
+        |        string
+        |    b of
+        |      Varied of
+        |        string or
+        |        Unknown
+        |    c of
+        |      Varied of
+        |        Array of
+        |          Varied of
+        |            number or
+        |            string or
+        |        Unknown
+        |    d of
+        |      Varied of
+        |        boolean or
+        |        Unknown""".stripMargin, s"got:\n$out")
+    // JSON rendering of the same shape round-trips the varied grammar
+    val j = engine.run(Seq(f.toString), Seq(None), None,
+      DsqOptions(schema = true))
+    assert(canonJson(j).contains("\"kind\":\"varied\""), j)
+    java.nio.file.Files.delete(f)
+  }
+
+  test("Mixed-type JSONL schema samples first 100 rows only") {
+    val f = java.nio.file.Files.createTempFile("mixed_shape", ".jsonl")
+    // rows 1-100 agree (number); row 101's string must NOT flip the vote
+    val lines = (1 to 100).map(i => s"""{"v": $i}""") :+ """{"v": "s"}"""
+    java.nio.file.Files.write(f,
+      lines.mkString("\n").getBytes("UTF-8"))
+    val out = engine.run(Seq(f.toString), Seq(None), None,
+      DsqOptions(pretty = true, schema = true))
+    assert(out.trim ==
+      """Array of
+        |  Object of
+        |    v of
+        |      number""".stripMargin, s"got:\n$out")
+    java.nio.file.Files.delete(f)
+  }
+
   // regressions
   test("regr #36 arrow operator (test.py:392-394)") {
     val out = run(Seq(s"$td/regr/36.json"), "SELECT c->1 AS secondc FROM {}")
