@@ -52,9 +52,12 @@ final class Engine(val spark: SparkSession) {
 
   /** `--verbose` per-file ingest progress on stderr (the reference sets
     * runner.Verbose, main.go:353-355, and the runner logs each file as it
-    * transforms it). Counting rows forces the plan — acceptable under an
-    * explicit verbose flag, and it mirrors the reference's row-counted
-    * ingest log.
+    * transforms it, row-counted). The row count never costs a second
+    * source scan: a cache-backed frame (hit OR fresh write) counts from
+    * parquet footers, and an uncached frame is persisted so the counting
+    * scan is the SAME scan the query then reuses. A content-hash cache
+    * hit is reported as "Cache hit", not "Ingested" — nothing was
+    * re-parsed.
     */
   private def ingestLogged(opts: DsqOptions, path: String,
       mimeOverride: Option[String], view: String,
@@ -63,11 +66,18 @@ final class Engine(val spark: SparkSession) {
     val mime = mimeOverride
       .orElse(Readers.mimeOf(Readers.extensionOf(path))).getOrElse("?")
     val t0 = System.nanoTime()
-    val df = cache.getOrIngest(view, ingest)
-    val rows = df.count()
+    val (df0, status) = cache.getOrIngestStatus(view, ingest)
+    val (df, rows) = status match {
+      case None => val p = df0.persist(); (p, p.count())
+      case Some(_) => (df0, df0.count()) // parquet footer count
+    }
     val secs = (System.nanoTime() - t0) / 1e9
-    System.err.println(
-      f"Ingested $path as $mime: $rows rows in $secs%.3fs.")
+    val line = status match {
+      case Some(true) =>
+        f"Cache hit for $path as $mime: $rows rows in $secs%.3fs."
+      case _ => f"Ingested $path as $mime: $rows rows in $secs%.3fs."
+    }
+    System.err.println(line)
     df
   }
 
@@ -195,11 +205,19 @@ final class ContentHashCache(spark: SparkSession, files: Seq[String],
 
   private var warnedInvalid = false
 
-  def getOrIngest(view: String, ingest: () => DataFrame): DataFrame = {
-    if (!enabled) return ingest()
+  def getOrIngest(view: String, ingest: () => DataFrame): DataFrame =
+    getOrIngestStatus(view, ingest)._1
+
+  /** As [[getOrIngest]], plus how the frame was produced: None = cache
+    * disabled (raw ingest plan), Some(true) = content-hash hit (parquet
+    * re-read, nothing parsed), Some(false) = ingested and written.
+    */
+  def getOrIngestStatus(view: String,
+      ingest: () => DataFrame): (DataFrame, Option[Boolean]) = {
+    if (!enabled) return (ingest(), None)
     val target = cacheDir.resolve(view)
     if (Files.exists(target.resolve("_SUCCESS"))) {
-      spark.read.parquet(target.toString)
+      (spark.read.parquet(target.toString), Some(true))
     } else {
       if (!warnedInvalid) {
         System.err.println("Cache invalid, re-import required.")
@@ -207,7 +225,7 @@ final class ContentHashCache(spark: SparkSession, files: Seq[String],
       }
       val df = ingest()
       df.write.mode("overwrite").parquet(target.toString)
-      spark.read.parquet(target.toString)
+      (spark.read.parquet(target.toString), Some(false))
     }
   }
 }

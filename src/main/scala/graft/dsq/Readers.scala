@@ -182,7 +182,8 @@ object Readers {
     * and 3VL filter pushdown instead of a textFile→JSON round-trip.
     * sampleLines=max keeps the CLI's whole-file schema-union semantics
     * (a key first appearing on the last line still gets a column, as the
-    * JSON-inference path guaranteed).
+    * JSON-inference path guaranteed); the source runs that union as a
+    * distributed per-partition fold, not a driver-side sequential read.
     */
   def logfmt(spark: SparkSession, path: String): DataFrame =
     spark.read.format("graft-logfmt")

@@ -153,6 +153,18 @@ object LogfmtDataSource {
     val conf = hadoopConf()
     val sampleLines =
       Option(options.get("sampleLines")).map(_.toInt).getOrElse(1000)
+    // whole-file union semantics (the CLI contract: a key first seen on
+    // the LAST line still gets a column) must not mean a single-threaded
+    // driver read of every byte before the distributed scan even starts
+    // — at sampleLines=max, run the inference as a small Spark job
+    // instead: per-partition key→type maps, widened in a commutative
+    // reduce (the type lattice bool/long < double < string makes widen
+    // order-independent)
+    if (sampleLines == Int.MaxValue) {
+      org.apache.spark.sql.SparkSession.getActiveSession
+        .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+        .foreach { spark => return inferDistributed(spark, options, conf) }
+    }
     val types = mutable.LinkedHashMap.empty[String, DataType]
     var remaining = sampleLines
     listFiles(options, conf).iterator.takeWhile(_ => remaining > 0)
@@ -178,6 +190,44 @@ object LogfmtDataSource {
         } finally in.close()
       }
     StructType(types.toSeq.sortBy(_._1).map { case (k, t) =>
+      StructField(k, t, nullable = true)
+    })
+  }
+
+  /** Whole-file key/type union as a distributed job: each partition
+    * folds its lines into a key→type map (map-side, no shuffle of
+    * lines), the driver merges the tiny maps. Reads the data once in
+    * parallel instead of once sequentially on the driver — the actual
+    * row scan still happens in the DSv2 reader afterwards, so the file
+    * is read twice either way; this makes the first pass parallel.
+    */
+  private def inferDistributed(spark: org.apache.spark.sql.SparkSession,
+      options: CaseInsensitiveStringMap,
+      conf: Configuration): StructType = {
+    val paths = listFiles(options, conf).map(_.getPath.toString)
+    if (paths.isEmpty) return StructType(Nil)
+    val merged = spark.read.textFile(paths: _*).rdd
+      .mapPartitions { it =>
+        val m = mutable.Map.empty[String, DataType]
+        it.foreach { line =>
+          for (tok <- LogfmtParse.token.findAllMatchIn(line)) {
+            val k = tok.group(1)
+            val raw = tok.group(2)
+            val t = if (raw.startsWith("\"")) StringType else bareType(raw)
+            m.update(k, m.get(k).map(widen(_, t)).getOrElse(t))
+          }
+        }
+        Iterator.single(m.toMap)
+      }
+      .fold(Map.empty[String, DataType]) { (a, b) =>
+        (a.keySet ++ b.keySet).iterator.map { k =>
+          k -> ((a.get(k), b.get(k)) match {
+            case (Some(x), Some(y)) => widen(x, y)
+            case (x, y) => x.orElse(y).get
+          })
+        }.toMap
+      }
+    StructType(merged.toSeq.sortBy(_._1).map { case (k, t) =>
       StructField(k, t, nullable = true)
     })
   }

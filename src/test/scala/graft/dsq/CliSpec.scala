@@ -467,6 +467,41 @@ class CliPipeSpec extends SparkSpec {
     } finally System.setErr(oldErr)
   }
 
+  test("--verbose -C: second run logs Cache hit, not Ingested") {
+    val f = java.nio.file.Files.createTempFile("verbose_cache", ".csv")
+    // unique content per run: the cache is keyed by content SHA-1 under
+    // /tmp, which outlives test JVMs — identical bytes would make the
+    // FIRST run a stale-cache hit
+    java.nio.file.Files.writeString(f,
+      s"a,b\n1,${System.nanoTime()}\n3,4\n")
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val oldErr = System.err
+    System.setErr(new java.io.PrintStream(errBuf, true, "UTF-8"))
+    try {
+      val q = "SELECT COUNT(1) AS c FROM {}"
+      val (c1, _) = runCli(Array("--verbose", "-C", f.toString, q),
+        f.toString)
+      assert(c1 == 0)
+      val first = errBuf.toString("UTF-8")
+      assert(first.contains("Ingested") && first.contains("2 rows"),
+        s"first run: $first")
+      assert(!first.contains("Cache hit"), s"first run: $first")
+      errBuf.reset()
+      val (c2, _) = runCli(Array("--verbose", "-C", f.toString, q),
+        f.toString)
+      assert(c2 == 0)
+      val second = errBuf.toString("UTF-8")
+      // the hit is reported as such (and still row-counted — parquet
+      // footer counts, no source re-parse)
+      assert(second.contains("Cache hit") && second.contains("2 rows"),
+        s"second run: $second")
+      assert(!second.contains("Ingested"), s"second run: $second")
+    } finally {
+      System.setErr(oldErr)
+      java.nio.file.Files.deleteIfExists(f)
+    }
+  }
+
   test("-D cache path reflects -n, matching the dir a -C -n run uses") {
     def dumpDir(extra: String*): String = {
       val outBuf = new java.io.ByteArrayOutputStream()

@@ -198,6 +198,33 @@ class LogfmtSourceSpec extends SparkSpec {
     assert(forced.head().getString(0) == "1")
   }
 
+  test("sampleLines=max: distributed whole-file union sees a last-line key") {
+    // the CLI contract: at sampleLines=Int.MaxValue every line
+    // contributes to the schema — since this runs as a Spark job (not a
+    // driver-side sequential read), a key first appearing on the FINAL
+    // line of a 3000-line file must still get a column, typed by the
+    // same widen lattice
+    val dir = Files.createTempDirectory("graft_dsv2_union")
+    val lines = (1 to 2999).map(i => s"k=$i common=x") :+
+      "k=3000 late_key=7.5 common=x"
+    Files.writeString(dir.resolve("big.logfmt"),
+      lines.mkString("", "\n", "\n"))
+    val df = spark.read.format("graft-logfmt")
+      .option("sampleLines", Int.MaxValue.toString).load(dir.toString)
+    assert(df.schema.fieldNames.toSeq == Seq("common", "k", "late_key"))
+    assert(df.schema("late_key").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    assert(df.schema("k").dataType == org.apache.spark.sql.types.LongType)
+    val late = df.filter(org.apache.spark.sql.functions.col("late_key")
+      .isNotNull).collect()
+    assert(late.length == 1 && late.head.getAs[Double]("late_key") == 7.5)
+    // default bounded sampling (first 1000 lines) must NOT see it —
+    // proves the union path is really the distributed one, not a wider
+    // default
+    val sampled = spark.read.format("graft-logfmt").load(dir.toString)
+    assert(!sampled.schema.fieldNames.contains("late_key"))
+  }
+
   test("maxSplitBytes <= 0 errors clearly instead of planning zero chunks") {
     val dir = writeLogfmt("badsplit", Seq("k=1"))
     for (bad <- Seq("0", "-8")) {
