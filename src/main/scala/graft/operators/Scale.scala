@@ -1952,6 +1952,56 @@ object Scale {
         .agg(count(lit(1)).as("n_pairs"))
     },
 
+    /** x37: the AUTO-ROUTED form — the user writes PLAIN SQL
+      * (equi-join + BETWEEN, no graft API in sight) and, with
+      * spark.graft.autoIntervalJoin=true, the planner recognizes the
+      * pattern and swaps SortMergeJoin+residual-filter for the
+      * plane-sweep IntervalJoinExec. The gate asserts the routing
+      * actually happened (plan check inside the gate — a silent
+      * fall-back to SMJ would still match values) and materializes
+      * inside the conf window (the x01 pattern) so the session conf is
+      * restored for every other gate. Oracle: DuckDB runs the same
+      * declarative SQL.
+      */
+    QueryDef("x37_interval_auto_route",
+      """WITH c AS (SELECT user_id, epoch_us(ts) + 1 AS lo,
+        |    epoch_us(ts) + 300000000 AS hi
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id AS p_user, epoch_us(ts) AS b_us FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT c.user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |FROM c JOIN p
+        |  ON c.user_id = p.p_user AND p.b_us BETWEEN c.lo AND c.hi
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.graft.AutoIntervalJoinStrategy
+      val ev = t(s, dir, "events")
+      ev.filter(col("event_type") === "click")
+        .select(col("user_id"),
+          (unix_micros(col("ts")) + 1).as("lo"),
+          (unix_micros(col("ts")) + 300000000L).as("hi"))
+        .createOrReplaceTempView("x37_c")
+      ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"),
+          unix_micros(col("ts")).as("b_us"))
+        .createOrReplaceTempView("x37_p")
+      s.conf.set(AutoIntervalJoinStrategy.ConfKey, "true")
+      try {
+        val df = s.sql(
+          """SELECT c.user_id, COUNT(*) AS n_pairs
+            |FROM x37_c c JOIN x37_p p
+            |  ON c.user_id = p.p_user AND p.b_us BETWEEN c.lo AND c.hi
+            |GROUP BY c.user_id""".stripMargin)
+        val plan = df.queryExecution.executedPlan.toString
+        require(plan.contains("IntervalJoin"),
+          s"x37: plain SQL did not route to IntervalJoinExec:\n$plan")
+        val out = java.nio.file.Paths.get(
+          sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+          "graft_fmt", "x37_result").toString
+        df.write.mode("overwrite").parquet(out)
+        s.read.parquet(out)
+      } finally s.conf.unset(AutoIntervalJoinStrategy.ConfKey)
+    },
+
     /** x35: the LEFT OUTER form of the custom plane-sweep IntervalJoin —
       * every click appears whether or not a purchase landed in its
       * 5-minute window (the batch mirror of the streaming tier's s23

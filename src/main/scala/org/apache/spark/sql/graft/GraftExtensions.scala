@@ -31,6 +31,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // *Ops.register helpers add to a live session)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectPlannerStrategy(_ => IntervalJoinStrategy)
+    // opt-in (spark.graft.autoIntervalJoin): recognize equi+BETWEEN
+    // join conditions and plan the plane-sweep exec instead of
+    // SMJ+residual-filter
+    ext.injectPlannerStrategy(_ => AutoIntervalJoinStrategy)
     // the ASOF JOIN SQL surface: text rewrite → marked join →
     // resolution into the AsOfJoin node (see AsOfSql.scala)
     ext.injectParser((_, delegate) => new GraftSqlParser(delegate))

@@ -276,3 +276,146 @@ object IntervalJoinOps {
         attr(rPlan, rightTs), leftOuter))
   }
 }
+
+/** Opt-in planner rule that routes a RECOGNIZED equi+range join pattern
+  * in plain SQL/DataFrame code onto [[IntervalJoinExec]] — the
+  * "optimizer picks the custom physical operator" tier: users write the
+  * standard declarative form
+  *
+  * {{{
+  *   SELECT ... FROM spans s JOIN events e
+  *     ON s.key = e.key AND e.ts BETWEEN s.lo AND s.hi
+  * }}}
+  *
+  * and, with `spark.graft.autoIntervalJoin=true`, planning swaps
+  * Spark's SortMergeJoin-plus-residual-filter (which materializes the
+  * full per-key cross product before filtering — O(n_k·m_k) on hot
+  * keys) for the plane-sweep exec (O((n_k+m_k)·log + matches),
+  * output-bound). Strictly semantics-preserving: inner equi+BETWEEN ==
+  * the exec's contract (the x29 ScalaCheck property pins it against the
+  * composable form), and the strategy fires only on the exact
+  * recognizable shape —
+  *
+  *   - inner or left-outer join with a conjunctive condition,
+  *   - >= 1 cross-side equality (several combine into a struct key),
+  *   - exactly one two-sided inclusive range: `ts >= lo AND ts <= hi`
+  *     (any conjunct order / mirrored comparisons), ts from one side,
+  *     both bounds from the other,
+  *   - nothing else in the condition.
+  *
+  * Anything off-pattern (strict bounds, residual predicates, full
+  * outer) falls through to Spark's own planning untouched. Left-outer
+  * routes only when the LEFT side owns the interval (the exec
+  * null-extends its left). A point-side-on-the-left inner join plans
+  * the exec with the sides swapped plus a ProjectExec to restore the
+  * original column order. The strategy runs at PLANNING time, after the
+  * optimizer — predicate pushdown, column pruning, and
+  * InferFiltersFromConstraints have already shaped the children — and
+  * adds its own IsNotNull guards on the exprs it binds (null keys,
+  * bounds, or ts never match; the outer side's kept-left rows
+  * null-extend as SQL requires).
+  *
+  * Registered by [[GraftExtensions]] but DEFAULT OFF
+  * (`spark.graft.autoIntervalJoin`, session-settable) so existing plans
+  * never change shape silently.
+  */
+object AutoIntervalJoinStrategy extends SparkStrategy {
+  import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
+  import org.apache.spark.sql.catalyst.plans.logical.Join
+  import org.apache.spark.sql.catalyst.expressions.{And, CreateStruct,
+    EqualTo, GreaterThanOrEqual, IsNotNull, LessThanOrEqual}
+  import org.apache.spark.sql.execution.{FilterExec, ProjectExec}
+
+  val ConfKey = "spark.graft.autoIntervalJoin"
+
+  private def enabled: Boolean =
+    org.apache.spark.sql.internal.SQLConf.get
+      .getConfString(ConfKey, "false").toBoolean
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(a, b) => conjuncts(a) ++ conjuncts(b)
+    case x => Seq(x)
+  }
+
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case j: Join if enabled &&
+        (j.joinType == Inner || j.joinType == LeftOuter) &&
+        j.condition.isDefined =>
+      route(j).toSeq
+    case _ => Nil
+  }
+
+  private def route(j: Join): Option[SparkPlan] = {
+    val l = j.left
+    val r = j.right
+    val lOut = l.outputSet
+    val rOut = r.outputSet
+    // Some(true) = left-only references, Some(false) = right-only
+    def side(e: Expression): Option[Boolean] = {
+      val refs = e.references
+      if (refs.isEmpty) None
+      else if (refs.subsetOf(lOut)) Some(true)
+      else if (refs.subsetOf(rOut)) Some(false)
+      else None
+    }
+    val eqs = ArrayBuffer.empty[(Expression, Expression)] // (lExpr, rExpr)
+    val ineqs = ArrayBuffer.empty[(Expression, Expression)] // small <= large
+    var onPattern = true
+    conjuncts(j.condition.get).foreach {
+      case EqualTo(a, b) if side(a) == Some(true) &&
+          side(b) == Some(false) => eqs += ((a, b))
+      case EqualTo(a, b) if side(a) == Some(false) &&
+          side(b) == Some(true) => eqs += ((b, a))
+      case GreaterThanOrEqual(a, b)
+          if side(a).isDefined && side(b).isDefined &&
+            side(a) != side(b) => ineqs += ((b, a))
+      case LessThanOrEqual(a, b)
+          if side(a).isDefined && side(b).isDefined &&
+            side(a) != side(b) => ineqs += ((a, b))
+      case _ => onPattern = false
+    }
+    if (!onPattern || eqs.isEmpty || ineqs.length != 2) return None
+    // find ts: the expr that is the LARGE of one inequality and the
+    // SMALL of the other, with both bounds on the opposite side
+    def bracket(loI: (Expression, Expression),
+        hiI: (Expression, Expression)): Option[(Expression, Expression, Expression)] = {
+      val (lo, ts1) = loI
+      val (ts2, hi) = hiI
+      if (ts1.semanticEquals(ts2) && side(lo) == side(hi) &&
+          side(ts1) != side(lo)) Some((ts1, lo, hi)) else None
+    }
+    val m = bracket(ineqs(0), ineqs(1)).orElse(bracket(ineqs(1), ineqs(0)))
+    m.flatMap { case (ts, lo, hi) =>
+      val pointOnLeft = side(ts) == Some(true)
+      def key(es: Seq[Expression]): Expression =
+        if (es.length == 1) es.head else CreateStruct(es)
+      val lKey = key(eqs.map(_._1).toSeq)
+      val rKey = key(eqs.map(_._2).toSeq)
+      def notNull(exprs: Seq[Expression], child: SparkPlan): SparkPlan =
+        FilterExec(exprs.map(IsNotNull(_): Expression).reduce(And), child)
+      (j.joinType, pointOnLeft) match {
+        case (Inner, false) =>
+          // interval side left, point side right — the exec's layout
+          Some(IntervalJoinExec(
+            notNull(eqs.map(_._1).toSeq :+ lo :+ hi, planLater(l)),
+            notNull(eqs.map(_._2).toSeq :+ ts, planLater(r)),
+            lKey, rKey, lo, hi, ts))
+        case (Inner, true) =>
+          // point side is the JOIN's left: swap into the exec layout,
+          // then restore the original attribute order
+          val exec = IntervalJoinExec(
+            notNull(eqs.map(_._2).toSeq :+ lo :+ hi, planLater(r)),
+            notNull(eqs.map(_._1).toSeq :+ ts, planLater(l)),
+            rKey, lKey, lo, hi, ts)
+          Some(ProjectExec(j.output.map(a => a), exec))
+        case (LeftOuter, false) =>
+          // null-extend the exec's left == the join's left: routable
+          Some(IntervalJoinExec(
+            planLater(l),
+            notNull(eqs.map(_._2).toSeq :+ ts, planLater(r)),
+            lKey, rKey, lo, hi, ts, leftOuter = true))
+        case _ => None // LEFT OUTER with the point on the left: not ours
+      }
+    }
+  }
+}

@@ -187,6 +187,59 @@ class ExtensionsSpec extends SparkSpec {
     assert(e2.getMessage.contains("exactly one ordering"), e2.getMessage)
   }
 
+  test("autoIntervalJoin: equi+BETWEEN SQL routes to the plane-sweep exec") {
+    import spark.implicits._
+    // spans with null bounds/keys and points with null ts exercise the
+    // IsNotNull guards the strategy adds
+    val spans = Seq(
+      (1L, 10L, 20L, "a"), (1L, 15L, 15L, "b"), (2L, 0L, 5L, "c"),
+      (3L, 8L, 9L, "d")).toDF("k", "lo", "hi", "tag")
+      .unionAll(Seq((1L, Option.empty[Long], Option(9L), "n"))
+        .toDF("k", "lo", "hi", "tag"))
+    val points = Seq((1L, 12L, 100L), (1L, 15L, 101L), (2L, 5L, 102L),
+      (9L, 1L, 103L)).toDF("pk", "ts", "pid")
+      .unionAll(Seq((1L, Option.empty[Long], Option(104L)))
+        .toDF("pk", "ts", "pid"))
+    spans.createOrReplaceTempView("aij_spans")
+    points.createOrReplaceTempView("aij_points")
+    val inner =
+      """SELECT s.tag, p.pid FROM aij_spans s JOIN aij_points p
+        |  ON s.k = p.pk AND p.ts BETWEEN s.lo AND s.hi""".stripMargin
+    val swapped =
+      """SELECT s.tag, p.pid FROM aij_points p JOIN aij_spans s
+        |  ON s.k = p.pk AND p.ts >= s.lo AND s.hi >= p.ts""".stripMargin
+    val outer =
+      """SELECT s.tag, p.pid FROM aij_spans s LEFT JOIN aij_points p
+        |  ON s.k = p.pk AND p.ts BETWEEN s.lo AND s.hi""".stripMargin
+    def run(q: String) = spark.sql(q).collect()
+      .map(r => r.getString(0) + "/" + r.get(1)).sorted.toSeq
+    def planOf(q: String) = spark.sql(q).queryExecution.executedPlan.toString
+    val baseline = Seq(inner, swapped, outer).map(run) // conf off: Spark's plan
+    assert(!planOf(inner).contains("IntervalJoin"), planOf(inner))
+    spark.conf.set("spark.graft.autoIntervalJoin", "true")
+    try {
+      for ((q, want) <- Seq(inner, swapped, outer).zip(baseline)) {
+        val p = planOf(q)
+        assert(p.contains("IntervalJoin"), s"not routed:\n$p")
+        assert(run(q) == want, s"routed results differ for:\n$q")
+      }
+      // off-pattern shapes fall through untouched: strict bound,
+      // CROSS-SIDE residual predicate (a single-side residual is pushed
+      // below the join by the optimizer before planning, leaving the
+      // clean pattern — routing that one is correct), left-outer with
+      // the point on the left
+      for (q <- Seq(
+        """SELECT s.tag FROM aij_spans s JOIN aij_points p
+          |  ON s.k = p.pk AND p.ts > s.lo AND p.ts <= s.hi""".stripMargin,
+        """SELECT s.tag FROM aij_spans s JOIN aij_points p
+          |  ON s.k = p.pk AND p.ts BETWEEN s.lo AND s.hi
+          |  AND s.lo <> p.pid""".stripMargin,
+        """SELECT s.tag FROM aij_points p LEFT JOIN aij_spans s
+          |  ON s.k = p.pk AND p.ts BETWEEN s.lo AND s.hi""".stripMargin))
+        assert(!planOf(q).contains("IntervalJoin"), s"over-routed:\n$q")
+    } finally spark.conf.unset("spark.graft.autoIntervalJoin")
+  }
+
   test("extensions hook injects the AsOfJoin planner strategy") {
     // apply the hook to a fresh SparkSessionExtensions and check the
     // strategy landed (building a whole session here would getOrCreate
