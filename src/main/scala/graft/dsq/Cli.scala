@@ -203,7 +203,7 @@ object Repl {
         } catch {
           case DsqError(msg) => System.err.println(msg)
           case e: Exception => System.err.println(e.getMessage)
-        }
+        } finally engine.releaseCaches()
       }
     }
     0

@@ -23,6 +23,19 @@ final case class DsqOptions(
   * lifecycle §3; ours swaps SQLite for Catalyst.)
   */
 final class Engine(val spark: SparkSession) {
+
+  // frames persisted for the verbose row count (cache-disabled path):
+  // the SAME cached scan feeds the query, then must be RELEASED once
+  // the run has rendered — a one-shot CLI would not care, but a REPL or
+  // a shared test session must not accumulate block-manager entries
+  private val persistedForRun =
+    scala.collection.mutable.Buffer.empty[org.apache.spark.sql.DataFrame]
+
+  /** Unpersist everything cached for the last run's verbose counts. */
+  def releaseCaches(): Unit = {
+    persistedForRun.foreach(_.unpersist(blocking = false))
+    persistedForRun.clear()
+  }
   Stdlib.register(spark)
   // the native pipeline expressions as SQL functions (graft_cosine,
   // graft_simhash, …) — the CLI's SQL surface gets the same codegen'd
@@ -68,7 +81,10 @@ final class Engine(val spark: SparkSession) {
     val t0 = System.nanoTime()
     val (df0, status) = cache.getOrIngestStatus(view, ingest)
     val (df, rows) = status match {
-      case None => val p = df0.persist(); (p, p.count())
+      case None =>
+        val p = df0.persist()
+        persistedForRun += p // released after the run renders
+        (p, p.count())
       case Some(_) => (df0, df0.count()) // parquet footer count
     }
     val secs = (System.nanoTime() - t0) / 1e9
@@ -170,10 +186,12 @@ final class Engine(val spark: SparkSession) {
     queryOpt match {
       case None => dumpFile(files.head, mimes.headOption.flatten, opts)
       case Some(q) =>
-        val df = runQuery(files, mimes, q, opts)
-        val sb = new java.lang.StringBuilder
-        if (opts.pretty) Output.prettyTable(df, sb) else Output.json(df, sb)
-        sb.toString
+        try {
+          val df = runQuery(files, mimes, q, opts)
+          val sb = new java.lang.StringBuilder
+          if (opts.pretty) Output.prettyTable(df, sb) else Output.json(df, sb)
+          sb.toString
+        } finally releaseCaches()
     }
   }
 }
