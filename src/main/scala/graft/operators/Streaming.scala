@@ -1234,6 +1234,67 @@ object Streaming {
         .start()
       q.awaitTermination()
       s.read.parquet(outDir)
+    },
+
+    // Streaming as-of enrichment: each micro-batch of clicks is
+    // enriched against a STATIC purchase dimension through the custom
+    // AsOfJoinExec (x27/f18's operator) inside foreachBatch — the
+    // standard "attach the latest reference state to an event stream"
+    // shape. Per-row enrichment depends only on the row and the static
+    // side, so micro-batch boundaries CANNOT change the answer: the
+    // streamed union must equal the whole-corpus batch oracle (DuckDB's
+    // native ASOF LEFT JOIN) byte-for-byte. Scale shape: the dimension
+    // is sorted/shuffled once per batch on the join key (SMJ layout);
+    // at a real deployment the dimension side would be broadcast or
+    // pre-partitioned, and the stream side's shuffle is per-batch-sized.
+    QueryDef("s28_stream_asof_enrich",
+      """WITH r AS (
+        |  SELECT user_id, ts,
+        |    CAST(MAX(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS purchase_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |l AS (
+        |  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click')
+        |SELECT l.user_id, l.event_id, l.ts,
+        |  r.ts AS purchase_ts, r.purchase_value
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin) {
+      (s, dir) =>
+      import org.apache.spark.sql.graft.AsOfJoinOps
+      val ev = graft.Tables.load(s, dir, "events")
+      val dim = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts")
+        .agg(max(col("value").cast("decimal(18,3)")).cast("double")
+          .as("purchase_value"))
+        .select(col("user_id").as("r_uid"), col("ts").as("purchase_ts"),
+          col("purchase_value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "event_id", "ts")
+      val base = java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_fmt").toString
+      val srcDir = s"$base/s28_stream_src"
+      val outDir = s"$base/s28_enriched"
+      rmTree(new java.io.File(srcDir)); rmTree(new java.io.File(outDir))
+      new java.io.File(srcDir).mkdirs()
+      writeSingle(clicks.filter(col("event_id") % 2 === 0), srcDir, "batch_a")
+      writeSingle(clicks.filter(col("event_id") % 2 === 1), srcDir, "batch_b")
+      val schema = s.read.parquet(srcDir).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(srcDir)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          AsOfJoinOps.asofJoin(batch, dim,
+            "user_id", "ts", "r_uid", "purchase_ts")
+            .select("user_id", "event_id", "ts", "purchase_ts",
+              "purchase_value")
+            .write.mode("append").parquet(outDir)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(outDir)
     }
   )
 }

@@ -240,6 +240,48 @@ class ExtensionsSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.autoIntervalJoin")
   }
 
+  test("autoIntervalJoin: randomized equivalence with Spark's own plan") {
+    import spark.implicits._
+    // the strategy rewrites USER queries, so its equivalence claim gets
+    // a randomized check: tiny key/ts domains force duplicate keys,
+    // empty/degenerate/nested intervals, and null keys/bounds/ts; every
+    // trial compares routed vs unrouted results for inner (both
+    // orientations) and left-outer
+    val rnd = new scala.util.Random(1234)
+    def longOrNull(bound: Int): Option[Long] =
+      if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(bound).toLong)
+    for (trial <- 1 to 3) {
+      val spans = Seq.fill(60) {
+        val a = longOrNull(30); val b = longOrNull(30)
+        (longOrNull(4), a, b.map(x => a.getOrElse(0L).max(x)),
+          rnd.nextInt(1000).toLong)
+      }.toDF("k", "lo", "hi", "sid")
+      val points = Seq.fill(80) {
+        (longOrNull(4), longOrNull(30), rnd.nextInt(1000).toLong)
+      }.toDF("pk", "ts", "pid")
+      spans.createOrReplaceTempView("aij_f_spans")
+      points.createOrReplaceTempView("aij_f_points")
+      val qs = Seq(
+        """SELECT s.sid, p.pid FROM aij_f_spans s JOIN aij_f_points p
+          |  ON s.k = p.pk AND p.ts BETWEEN s.lo AND s.hi""".stripMargin,
+        """SELECT s.sid, p.pid FROM aij_f_points p JOIN aij_f_spans s
+          |  ON s.k = p.pk AND p.ts >= s.lo AND p.ts <= s.hi""".stripMargin,
+        """SELECT s.sid, p.pid FROM aij_f_spans s LEFT JOIN aij_f_points p
+          |  ON s.k = p.pk AND p.ts BETWEEN s.lo AND s.hi""".stripMargin)
+      def run(q: String) = spark.sql(q).collect()
+        .map(r => r.get(0) + "/" + r.get(1)).sorted.toSeq
+      val want = qs.map(run)
+      spark.conf.set("spark.graft.autoIntervalJoin", "true")
+      try {
+        for ((q, w) <- qs.zip(want)) {
+          val p = spark.sql(q).queryExecution.executedPlan.toString
+          assert(p.contains("IntervalJoin"), s"trial $trial not routed:\n$p")
+          assert(run(q) == w, s"trial $trial diverged for:\n$q")
+        }
+      } finally spark.conf.unset("spark.graft.autoIntervalJoin")
+    }
+  }
+
   test("extensions hook injects the AsOfJoin planner strategy") {
     // apply the hook to a fresh SparkSessionExtensions and check the
     // strategy landed (building a whole session here would getOrCreate
