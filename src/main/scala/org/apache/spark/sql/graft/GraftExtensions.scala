@@ -180,6 +180,73 @@ object GraftExtensions {
           "matches putString semantics"),
       arity("graft_bloom_contains", 2)(es => BloomMightContain(es(0),
         litBytes(es(1), "graft_bloom_contains", "filter")))),
+    (FunctionIdentifier("graft_char_gram_pos_hashes"),
+      info("graft_char_gram_pos_hashes",
+        "graft_char_gram_pos_hashes(text, n) - xxhash64 of every " +
+          "n-code-point window, index-aligned with its start position " +
+          "(posexplode for (start, hash) pairs)"),
+      arity("graft_char_gram_pos_hashes", 2)(es => CharGramPosHashes(es(0),
+        litInt(es(1), "graft_char_gram_pos_hashes", "n")))),
+    (FunctionIdentifier("graft_winnow_anchors"),
+      info("graft_winnow_anchors",
+        "graft_winnow_anchors(text, n, w) - winnowing-selected " +
+          "array<struct<st,h>> anchors: window-min over every w " +
+          "consecutive n-gram position hashes (SQL-replayable " +
+          "polynomial hash mod 2^61-1)"),
+      arity("graft_winnow_anchors", 3)(es => WinnowAnchorHashes(es(0),
+        litInt(es(1), "graft_winnow_anchors", "n"),
+        litInt(es(2), "graft_winnow_anchors", "w")))),
+    (FunctionIdentifier("graft_cdc_chunks"),
+      info("graft_cdc_chunks",
+        "graft_cdc_chunks(text, minLen, maskBits) - content-defined " +
+          "chunks from the gear rolling hash (alignment-proof dedup " +
+          "units)"),
+      arity("graft_cdc_chunks", 3)(es => CdcChunks(es(0),
+        litInt(es(1), "graft_cdc_chunks", "minLen"),
+        litInt(es(2), "graft_cdc_chunks", "maskBits")))),
+    (FunctionIdentifier("graft_script_counts"),
+      info("graft_script_counts",
+        "graft_script_counts(text) - one-pass six-script code-point " +
+          "histogram struct(n_cp, latin_n, cyrillic_n, greek_n, cjk_n, " +
+          "arabic_n, digit_n)"),
+      arity("graft_script_counts", 1)(es => ScriptCounts(es(0)))),
+    (FunctionIdentifier("graft_deflate_size"),
+      info("graft_deflate_size",
+        "graft_deflate_size(text) - zlib-compressed byte size (the " +
+          "compression-ratio repetitiveness signal)"),
+      arity("graft_deflate_size", 1)(es => DeflateSize(es(0)))),
+    (FunctionIdentifier("graft_random_projection"),
+      info("graft_random_projection",
+        "graft_random_projection(vec, outDim) - deterministic JL " +
+          "projection of a float array to outDim dimensions"),
+      arity("graft_random_projection", 2)(es => RandomProjection(es(0),
+        litInt(es(1), "graft_random_projection", "outDim")))),
+    (FunctionIdentifier("graft_jaccard_at_least"),
+      info("graft_jaccard_at_least",
+        "graft_jaccard_at_least(a, b, t) - Jaccard of two SORTED " +
+          "bigint arrays with threshold-pruned early exit (-1.0 when " +
+          "provably below t)"),
+      arity("graft_jaccard_at_least", 3)(es =>
+        SortedLongJaccardAtLeast(es(0), es(1), {
+          require(es(2).foldable,
+            "graft_jaccard_at_least: t must be a literal")
+          es(2).eval() match {
+            case d: Double => d
+            case f: Float => f.toDouble
+            case d: java.math.BigDecimal => d.doubleValue()
+            case d: org.apache.spark.sql.types.Decimal => d.toDouble
+            case i: Int => i.toDouble
+            case l: Long => l.toDouble
+            case other => throw new IllegalArgumentException(
+              s"graft_jaccard_at_least: t must be numeric, got $other")
+          }
+        }))),
+    (FunctionIdentifier("graft_minhash_signature"),
+      info("graft_minhash_signature",
+        "graft_minhash_signature(shingles, k) - k affine-family " +
+          "minhashes over an array<string> of shingles in one pass"),
+      arity("graft_minhash_signature", 2)(es => MinHashSignature(es(0),
+        litInt(es(1), "graft_minhash_signature", "k")))),
     (FunctionIdentifier("graft_asof_marker"),
       info("graft_asof_marker",
         "graft_asof_marker(outer) - internal ASOF JOIN marker planted " +

@@ -187,6 +187,46 @@ class ExtensionsSpec extends SparkSpec {
     assert(e2.getMessage.contains("exactly one ordering"), e2.getMessage)
   }
 
+  test("round-9 SQL registrations match the Column API bit-for-bit") {
+    GraftExtensions.registerAll(spark)
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graft.VectorExpressions
+    val txt = "the quick brown fox jumps over the lazy dog again"
+    val sql = spark.sql(
+      s"""SELECT
+        |  graft_char_gram_pos_hashes('$txt', 8) AS pos,
+        |  graft_winnow_anchors('$txt', 8, 4) AS wa,
+        |  graft_cdc_chunks('$txt', 8, 3) AS cdc,
+        |  graft_script_counts('$txt') AS sc,
+        |  graft_deflate_size('$txt') AS dz,
+        |  graft_random_projection(array(CAST(0.5 AS FLOAT),
+        |    CAST(-1.5 AS FLOAT)), 4) AS rp,
+        |  graft_jaccard_at_least(array(1L,2L,3L,4L), array(3L,4L,5L,6L),
+        |    0.2D) AS jal,
+        |  graft_minhash_signature(array('a b','b c','c d'), 8) AS mh
+        |""".stripMargin).head()
+    val api = spark.range(1).select(
+      VectorExpressions.charGramPosHashes(lit(txt), 8).as("pos"),
+      VectorExpressions.winnowAnchorHashes(lit(txt), 8, 4).as("wa"),
+      VectorExpressions.cdcChunks(lit(txt), 8, 3).as("cdc"),
+      VectorExpressions.scriptCounts(lit(txt)).as("sc"),
+      VectorExpressions.deflateSize(lit(txt)).as("dz"),
+      VectorExpressions.randomProjection(
+        array(lit(0.5f), lit(-1.5f)), 4).as("rp"),
+      VectorExpressions.sortedJaccardAtLeast(
+        array(lit(1L), lit(2L), lit(3L), lit(4L)),
+        array(lit(3L), lit(4L), lit(5L), lit(6L)), 0.2).as("jal"),
+      VectorExpressions.minhashSignature(
+        array(lit("a b"), lit("b c"), lit("c d")), 8).as("mh")).head()
+    for (i <- 0 until sql.length)
+      assert(sql.get(i) == api.get(i) ||
+        sql.get(i).toString == api.get(i).toString,
+        s"field $i: SQL ${sql.get(i)} != API ${api.get(i)}")
+    // sanity on values, not just parity
+    assert(sql.getAs[Double]("jal") == 2.0 / 6.0)
+    assert(sql.getAs[Long]("dz") > 0)
+  }
+
   test("autoIntervalJoin: equi+BETWEEN SQL routes to the plane-sweep exec") {
     import spark.implicits._
     // spans with null bounds/keys and points with null ts exercise the

@@ -159,6 +159,23 @@ class PlanSpec extends SparkSpec {
       s"text crosses >1 shuffle:\n${textExchanges.mkString("\n")}")
   }
 
+  test("p80w: winnowed span removal keeps the p80 plan discipline") {
+    // the stride path swaps CharGramPosHashes for WinnowAnchorHashes but
+    // must keep the same shuffle shape: broadcast hash prefilter, no
+    // product joins, text crossing at most the one id-keyed rewrite join
+    val p = executed("p80w_winnow_span_removal")
+    assert(p.contains("BroadcastHashJoin"),
+      s"dup-hash prefilter not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"winnowed span removal fell back to a product join:\n$p")
+    val pFinal = p.split("== Initial Plan ==")(0)
+    val textExchanges = pFinal.linesIterator.filter(l =>
+      l.contains("Exchange") && l.contains("text#")).toSeq
+    assert(textExchanges.size <= 1,
+      s"text crosses >1 shuffle:\n${textExchanges.mkString("\n")}")
+  }
+
   test("p79: blocklist membership is a broadcast join; text never shuffles") {
     val p = executed("p79_domain_blocklist")
     assert(p.contains("BroadcastHashJoin"),
