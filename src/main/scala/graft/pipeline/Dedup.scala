@@ -883,7 +883,9 @@ object Dedup {
     * contains all its interior windows), repeats < win are untouched.
     * stride > 1 is the throughput mode: anchor positions are WINNOWED
     * (window-min of every `stride` consecutive position hashes —
-    * SIGMOD'03, same selection as [[winnowFingerprints]]), so selection
+    * SIGMOD'03, the same selection ALGORITHM as [[winnowFingerprints]],
+    * but over the oracle-replayable polynomial rolling hash so the p80w
+    * DuckDB gate re-derives the identical anchors), so selection
     * is content-defined and the recall floor is deterministic: every
     * verbatim repeat >= win + stride - 1 chars selects at least one
     * common anchor in ALL its occurrences (any full stride-run of
