@@ -131,10 +131,21 @@ object Shape {
           .map(mapper.readTree), sample)
         finally src.close()
       case "cjson" =>
-        // bounded read: 100 rows of concatenated JSON fit well inside
-        // 1 MiB for any sane input; fall back to whole file when small
-        val raw = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(file)), "UTF-8")
+        // bounded read (first 4 MiB): the depth tokenizer only emits
+        // COMPLETE values, so a truncated trailing value is silently
+        // dropped from the sample rather than mis-parsed — 100 rows of
+        // concatenated JSON fit far inside the bound for any sane input
+        val in = new java.io.FileInputStream(file)
+        val raw = try {
+          val buf = new Array[Byte](4 << 20)
+          var off = 0
+          var n = in.read(buf, off, buf.length - off)
+          while (n > 0 && off < buf.length) {
+            off += n
+            n = in.read(buf, off, buf.length - off)
+          }
+          new String(buf, 0, off, "UTF-8")
+        } finally in.close()
         ofJsonSampled(Readers.splitConcatenatedJson(raw).iterator
           .map(mapper.readTree), sample)
       case "yaml" =>

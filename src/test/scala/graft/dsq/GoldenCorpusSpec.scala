@@ -388,6 +388,23 @@ class GoldenCorpusSpec extends SparkSpec {
     java.nio.file.Files.delete(f)
   }
 
+  test("Mixed-type cjson schema: varied vote over concatenated values") {
+    val f = java.nio.file.Files.createTempFile("mixed_shape", ".cjson")
+    java.nio.file.Files.writeString(f,
+      """{"a": 1}{"a": "two"}
+        |{"a": 3}""".stripMargin)
+    val out = engine.run(Seq(f.toString), Seq(None), None,
+      DsqOptions(pretty = true, schema = true))
+    assert(out.trim ==
+      """Array of
+        |  Object of
+        |    a of
+        |      Varied of
+        |        number or
+        |        string""".stripMargin, s"got:\n$out")
+    java.nio.file.Files.delete(f)
+  }
+
   test("Mixed-type JSONL schema samples first 100 rows only") {
     val f = java.nio.file.Files.createTempFile("mixed_shape", ".jsonl")
     // rows 1-100 agree (number); row 101's string must NOT flip the vote
