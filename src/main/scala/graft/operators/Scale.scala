@@ -1690,6 +1690,40 @@ object Scale {
             "purchase_value")
     },
 
+    // Broadcast as-of: the same enrichment as x27 but through
+    // AsOfJoinBroadcastExec — the dimension ships once per executor and
+    // the fact side is never shuffled or sorted (PlanSpec pins zero
+    // exchanges above the fact scan). Same DuckDB ASOF LEFT JOIN
+    // oracle, so the binary-search probe path is value-checked against
+    // a third engine AND against x27's merge path (identical oracle).
+    QueryDef("x38_asof_broadcast",
+      """WITH r AS (
+        |  SELECT user_id, ts,
+        |    CAST(MAX(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS purchase_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |l AS (
+        |  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click')
+        |SELECT l.user_id, l.event_id, l.ts,
+        |  r.ts AS purchase_ts, r.purchase_value
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin) {
+      (s, dir) =>
+        import org.apache.spark.sql.graft.AsOfJoinOps
+        val ev = t(s, dir, "events")
+        val r = ev.filter(col("event_type") === "purchase")
+          .groupBy("user_id", "ts")
+          .agg(max(col("value").cast("decimal(18,3)")).cast("double")
+            .as("purchase_value"))
+          .select(col("user_id").as("r_uid"), col("ts").as("purchase_ts"),
+            col("purchase_value"))
+        val l = ev.filter(col("event_type") === "click")
+          .select("user_id", "event_id", "ts")
+        AsOfJoinOps.asofJoinBroadcast(l, r, "user_id", "ts", "r_uid",
+          "purchase_ts")
+          .select("user_id", "event_id", "ts", "purchase_ts",
+            "purchase_value")
+    },
+
     // Inner as-of parity: DuckDB's plain ASOF JOIN drops clicks with no
     // prior purchase instead of null-padding them — the dual of x27.
     // Same custom operator, outer=false; the oracle is DuckDB's native

@@ -9,7 +9,8 @@ import org.apache.spark.sql.classic.{Dataset => ClassicDataset,
 import org.apache.spark.sql.execution.SparkStrategy
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
-  Ascending, Attribute, BindReferences, Expression, JoinedRow, SortOrder}
+  Ascending, Attribute, BindReferences, Expression, JoinedRow, SortOrder,
+  UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{
   ClusteredDistribution, Distribution, Partitioning}
@@ -98,8 +99,11 @@ case class IntervalJoinExec(left: SparkPlan, right: SparkPlan,
     val tsOrd = TypeUtils.getInterpretedOrdering(rightTs.dataType)
     val isOuter = leftOuter
     val nRight = right.output.length
+    val outAttrs = output
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
-      new Iterator[InternalRow] {
+      // emit UnsafeRows (collect()-safe without a projection above)
+      val proj = UnsafeProjection.create(outAttrs, outAttrs)
+      val raw = new Iterator[InternalRow] {
         private val joined = new JoinedRow
         // all-null right extension for unmatched left rows (outer only);
         // immutable, safe to share across emitted rows
@@ -208,6 +212,7 @@ case class IntervalJoinExec(left: SparkPlan, right: SparkPlan,
           if (pending.hasNext) pending.next() else unmatched.dequeue()
         }
       }
+      raw.map(proj)
     }
   }
 

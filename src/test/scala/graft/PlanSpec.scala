@@ -159,6 +159,31 @@ class PlanSpec extends SparkSpec {
       s"text crosses >1 shuffle:\n${textExchanges.mkString("\n")}")
   }
 
+  test("x38: broadcast as-of — fact side crosses no exchange and no sort") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.graft.AsOfJoinOps
+    // no repartition here: any Exchange in the plan must then belong to
+    // the exec's own requirements, which is exactly what's being denied
+    val facts = (1 to 500).map(i => (i % 7L, i.toLong, (i * 13 % 97).toLong))
+      .toDF("k", "eid", "ts")
+    val dim = Seq((1L, 10L, "a"), (1L, 50L, "b"), (2L, 5L, "c"))
+      .toDF("dk", "dts", "v")
+    val out = AsOfJoinOps.asofJoinBroadcast(facts, dim, "k", "ts", "dk", "dts")
+    out.collect()
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoinBroadcast"), s"broadcast exec not planned:\n$p")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty && exchanges.forall(_.contains("BroadcastExchange")),
+      s"fact side shuffled:\n${exchanges.mkString("\n")}")
+    assert(!p.contains("Sort "), s"a sort appeared:\n$p")
+    // and it agrees with the shuffle exec on the same data
+    val a = out.select("eid", "v").collect().map(_.toString).sorted.toSeq
+    val b = AsOfJoinOps.asofJoin(facts, dim, "k", "ts", "dk", "dts")
+      .select("eid", "v").collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+  }
+
   test("p80w: winnowed span removal keeps the p80 plan discipline") {
     // the stride path swaps CharGramPosHashes for WinnowAnchorHashes but
     // must keep the same shuffle shape: broadcast hash prefilter, no

@@ -2091,6 +2091,19 @@ class PipelineSpec extends SparkSpec {
         .map(x => x.getLong(0) -> x.getString(1)).toMap
       val wantInner = want.collect { case (eid, Some(v)) => eid -> v }
       assert(gotInner == wantInner, s"trial $trial inner mismatch")
+      // the broadcast execs must agree with the shuffle execs exactly
+      val gotB = AsOfJoinOps.asofJoinBroadcast(
+        lRows.toDF("k", "eid", "ts").repartition(5),
+        rRows.toDF("rk", "rts", "v"), "k", "ts", "rk", "rts")
+        .select("eid", "v").collect()
+        .map(x => x.getLong(0) -> Option(x.get(1)).map(_.toString)).toMap
+      assert(gotB == want, s"trial $trial broadcast-outer mismatch")
+      val gotBI = AsOfJoinOps.asofJoinBroadcastInner(
+        lRows.toDF("k", "eid", "ts").repartition(5),
+        rRows.toDF("rk", "rts", "v"), "k", "ts", "rk", "rts")
+        .select("eid", "v").collect()
+        .map(x => x.getLong(0) -> x.getString(1)).toMap
+      assert(gotBI == wantInner, s"trial $trial broadcast-inner mismatch")
     }
   }
 
