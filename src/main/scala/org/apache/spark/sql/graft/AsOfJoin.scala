@@ -269,6 +269,12 @@ case class AsOfJoinBroadcastExec(left: SparkPlan, right: SparkPlan,
     leftTs: Expression, rightTs: Expression,
     outer: Boolean = true) extends BinaryExecNode {
 
+  // the per-executor index is a hash map over evaluated key VALUES;
+  // InternalRow (struct) keys have identity equality and would never
+  // match — fail at planning, not with silent empty results
+  require(!leftKey.dataType.isInstanceOf[org.apache.spark.sql.types.StructType],
+    "broadcast as-of: struct keys unsupported — compose a single key column")
+
   override def output: Seq[Attribute] =
     if (outer) left.output ++ right.output.map(_.withNullability(true))
     else left.output ++ right.output

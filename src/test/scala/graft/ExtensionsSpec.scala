@@ -157,6 +157,15 @@ class ExtensionsSpec extends SparkSpec {
       """SELECT l.eid, r.v FROM asof_l l ASOF JOIN asof_r r
         |  ON l.k = r.rk AND r.rts <= l.ts""".stripMargin)
     assert(rows(mirrored) == rows(sqlInner))
+    // Spark's own broadcast hint on the dimension picks the
+    // zero-fact-shuffle broadcast exec, same answers
+    val hinted = spark.sql(
+      """SELECT /*+ BROADCAST(r) */ l.eid, r.rts, r.v
+        |FROM asof_l l ASOF LEFT JOIN asof_r r
+        |  ON l.k = r.rk AND l.ts >= r.rts""".stripMargin)
+    val hp = hinted.queryExecution.executedPlan.toString
+    assert(hp.contains("AsOfJoinBroadcast"), s"hint ignored:\n$hp")
+    assert(rows(hinted) == rows(sqlLeft))
   }
 
   test("ASOF JOIN SQL surface: multi-key struct path and loud rejects") {
