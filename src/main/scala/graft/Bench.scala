@@ -88,6 +88,7 @@ object Bench {
     "x03_asof_join",      // union+window as-of composition
     "x04_range_join",     // bucketed interval join
     "x29_interval_join_op", // custom plane-sweep IntervalJoinExec
+    "x38_asof_broadcast", // broadcast as-of: zero fact-side shuffle (vs x27)
     "f07_csv_ingest_cold", // CSV parse + agg, no cache (dsq cold analog)
     "f08_csv_ingest_warm") // cached-parquet + agg (dsq -C warm analog)
 
