@@ -549,6 +549,88 @@ object Pipeline {
         docs.filter(col("doc_id") % 50 === 7))
     },
 
+    // Winnowed (stride=4) benchmark scrub — p80w's throughput mode
+    // applied to the decontamination op (the one a release pipeline
+    // runs over the full train corpus): BOTH sides select winnowing
+    // anchors with the same oracle-replayable polynomial hash, so the
+    // DuckDB side re-derives the anchor selection for bench AND train
+    // (one union CTE with a side tag), intersects anchor strings, and
+    // performs the identical cut — clean_dg md5s pin every boundary.
+    QueryDef("p82w_winnow_benchmark_scrub",
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 50 <> 7),
+        |b AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 7),
+        |pr AS (
+        |  WITH RECURSIVE p(k, v) AS (
+        |    SELECT 0, CAST(1 AS HUGEINT)
+        |    UNION ALL
+        |    SELECT k + 1, (v * 257) % 2305843009213693951
+        |    FROM p WHERE k < 49)
+        |  SELECT list(v ORDER BY k) AS pl FROM p),
+        |u AS (SELECT 0 AS side, doc_id, text FROM d
+        |    WHERE length(text) >= 50
+        |  UNION ALL SELECT 1 AS side, doc_id, text FROM b
+        |    WHERE length(text) >= 50),
+        |cps AS (SELECT side, doc_id, text,
+        |    [CAST(unicode(c) AS HUGEINT) for c in string_split(text, '')]
+        |      AS cp
+        |  FROM u),
+        |pos AS (SELECT side, doc_id, cp,
+        |    unnest(range(0, length(text) - 49, 1)) AS st
+        |  FROM cps),
+        |ph AS (SELECT side, doc_id, st,
+        |    CAST(list_sum([cp[CAST(st + i AS INT)] *
+        |        pl[CAST(51 - i AS INT)] for i in generate_series(1, 50)])
+        |      % 2305843009213693951 AS BIGINT) AS h
+        |  FROM pos, pr),
+        |wn AS (SELECT side, doc_id,
+        |    min(CAST(h AS HUGEINT) * 4294967296 + st) OVER
+        |      (PARTITION BY side, doc_id ORDER BY st
+        |       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mk,
+        |    count(*) OVER (PARTITION BY side, doc_id ORDER BY st
+        |       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS cnt
+        |  FROM ph),
+        |anch AS (SELECT DISTINCT side, doc_id,
+        |    CAST(mk % 4294967296 AS BIGINT) AS st
+        |  FROM wn WHERE cnt = 4),
+        |aw AS (SELECT a.side, a.doc_id, a.st,
+        |    substr(u.text, CAST(a.st AS INT) + 1, 50) AS w
+        |  FROM anch a JOIN u USING (side, doc_id)),
+        |bw AS (SELECT DISTINCT w FROM aw WHERE side = 1),
+        |occ AS (SELECT doc_id, st FROM aw
+        |  WHERE side = 0 AND w IN (SELECT w FROM bw)),
+        |o2 AS (SELECT doc_id, st,
+        |    coalesce(max(st + 50) OVER (PARTITION BY doc_id ORDER BY st
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cur
+        |  FROM occ),
+        |agg AS (SELECT o2.doc_id,
+        |    string_agg(CASE WHEN st > cur
+        |      THEN substr(d.text, CAST(cur AS INT) + 1,
+        |                  CAST(st - cur AS INT))
+        |      ELSE '' END, '' ORDER BY st) AS head_pieces,
+        |    max(st + 50) AS maxend,
+        |    count(*) AS n_anchors
+        |  FROM o2 JOIN d USING (doc_id) GROUP BY o2.doc_id),
+        |cleaned AS (SELECT d.doc_id, length(d.text) AS orig_cp,
+        |    coalesce(a.head_pieces, '')
+        |      || substr(d.text, CAST(coalesce(a.maxend, 0) AS INT) + 1)
+        |      AS clean,
+        |    coalesce(a.n_anchors, 0) AS n_anchors
+        |  FROM d LEFT JOIN agg a USING (doc_id))
+        |SELECT doc_id, CAST(orig_cp AS BIGINT) AS orig_cp,
+        |  CAST(length(clean) AS BIGINT) AS clean_cp,
+        |  CAST(n_anchors AS BIGINT) AS n_hit_anchors,
+        |  CAST(orig_cp - length(clean) AS BIGINT) AS removed_cp,
+        |  md5(clean) AS clean_dg
+        |FROM cleaned""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      Dedup.benchmarkSpanRemoval(
+        docs.filter(col("doc_id") % 50 =!= 7),
+        docs.filter(col("doc_id") % 50 === 7),
+        stride = 4)
+    },
+
     // Domain-blocklist filter: URLs planted on every 7th doc (5 rotating
     // hosts, 2 of them blocklisted) plus a deep-subdomain URL on every
     // 11th-mod-3 doc that must match site1.example.com through TWO

@@ -950,7 +950,30 @@ object Dedup {
     */
   def benchmarkSpanRemoval(train: DataFrame, bench: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
-      win: Int = 50, keepClean: Boolean = false): DataFrame = {
+      win: Int = 50, keepClean: Boolean = false,
+      stride: Int = 1): DataFrame = {
+    if (stride > 1) {
+      // winnowed decontamination (the p80w mode applied to the op a
+      // release pipeline actually runs over 100 TB of train text):
+      // BOTH sides select winnowing anchors with the same
+      // content-defined hash, so any shared verbatim span
+      // >= win + stride - 1 chars picks at least one COMMON anchor on
+      // both sides regardless of each copy's offset phase — the train
+      // side hashes ~2/(stride+1) of its positions instead of all of
+      // them. Match is anchor-hash prefilter (broadcast) then exact
+      // anchor-string equality, as in the stride=1 path.
+      val bwPos = posWindows(bench, idCol, textCol, win, stride)
+      val bw = bwPos
+        .select(expr(s"substring(t, st + 1, $win)").as("w")).distinct()
+      val bwH = bwPos.select("h").distinct()
+      val cand = posWindows(train, idCol, textCol, win, stride)
+        .join(broadcast(bwH), "h")
+        .select(col("id"), col("st"),
+          expr(s"substring(t, st + 1, $win)").as("w"))
+      val occ = cand.join(broadcast(bw), "w").select("id", "st")
+      return cutSpans(train, occ, idCol, textCol, win, "n_hit_anchors",
+        keepClean)
+    }
     val bw = spanWindows(bench, idCol, textCol, win)
       .select("w").distinct()
     // xxhash64(string) == CharGramPosHashes' per-window hash (same

@@ -2673,6 +2673,58 @@ class PipelineSpec extends SparkSpec {
     assert(res.passed, s"fuzz failed: ${res.status}")
   }
 
+  test("benchmarkSpanRemoval stride>1: cross-corpus recall at every phase (ScalaCheck)") {
+    // the cross-corpus form of the winnowing guarantee: an eval span of
+    // length >= win + stride - 1 planted in train docs at offsets
+    // covering every phase mod stride selects at least one anchor that
+    // ALSO gets selected on the bench side (content-defined selection is
+    // offset-independent), so every contaminated doc is cut >= win
+    // chars; train-only duplicates are NOT this op's job and stay whole
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.Prop.propBoolean
+    val win = 12
+    val stride = 4
+    def randText(rnd: scala.util.Random, n: Int): String =
+      (1 to n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val caseGen = for {
+      seed <- Gen.choose(0L, Long.MaxValue)
+      extra <- Gen.choose(0, 6)
+      pads <- Gen.listOfN(stride, Gen.choose(0, 5))
+      benchPad <- Gen.choose(0, 9) // bench copy at its own random offset
+    } yield (seed, extra, pads, benchPad)
+    val prop = Prop.forAll(caseGen) { case (seed, extra, pads, benchPad) =>
+      val rnd = new scala.util.Random(seed)
+      val span = randText(rnd, win + stride - 1 + extra)
+      val bench = Seq((1000L,
+        randText(rnd, benchPad) + span + randText(rnd, 20)))
+        .toDF("doc_id", "text")
+      val dupBody = randText(rnd, 40)
+      val planted = (0 until stride).map { i =>
+        (i.toLong, randText(rnd, i + pads(i) * stride) + span +
+          randText(rnd, 30))
+      }
+      val train = (planted ++ Seq(
+        (97L, dupBody), (98L, dupBody), // train-only dup: must survive
+        (99L, randText(rnd, 80)))).toDF("doc_id", "text")
+      val out = Dedup.benchmarkSpanRemoval(train, bench,
+          win = win, stride = stride).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+      val perDoc = (0 until stride).map { i =>
+        val (nAnchors, removed) = out(i.toLong)
+        (nAnchors >= 1L) :| s"doc $i: no anchors (seed=$seed)" &&
+          (removed >= win.toLong) :| s"doc $i: removed only $removed"
+      }.reduce(_ && _)
+      perDoc &&
+        (out(97L) == ((0L, 0L))) :| s"train dup cut: ${out(97L)}" &&
+        (out(98L) == ((0L, 0L))) :| s"train dup cut: ${out(98L)}" &&
+        (out(99L) == ((0L, 0L))) :| s"unrelated cut: ${out(99L)}"
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, s"fuzz failed: ${res.status}")
+  }
+
   test("repeatedSpanRemoval stride>1: non-congruent offsets, span destroyed") {
     import spark.implicits._
     // deterministic mirror of the property: phases 1 and 3 (mod 4),
