@@ -67,6 +67,7 @@ object Bench {
     "p80w_winnow_span_removal", // winnowed stride-4 anchors (~stride/2× less)
     "p81_bigram_lm",      // bigram+unigram count joins, id rollup
     "p82_benchmark_scrub", // broadcast bench-window match + span cut
+    "p82w_winnow_benchmark_scrub", // winnowed scrub (~stride/2× less hashing)
     "p85_bm25_topk",      // inverted-index BM25 + bounded-heap top-k
     "p86_paragraph_neardup", // paragraph-level shingle-join Jaccard
     "p87_hard_negatives", // sub-threshold cosine top-k mining
