@@ -1724,6 +1724,38 @@ object Scale {
             "purchase_value")
     },
 
+    // Broadcast point-in-interval enrichment (the interval counterpart
+    // of x38, completing the merge/broadcast × as-of/interval matrix):
+    // every click tagged with EVERY purchase window containing it —
+    // correct multiplicity, facts-outer null-extension — while the fact
+    // side crosses zero exchanges (the dimension broadcasts). Oracle:
+    // the plain declarative LEFT JOIN + BETWEEN in DuckDB.
+    QueryDef("x39_interval_enrich_broadcast",
+      """WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us
+        |  FROM events WHERE event_type = 'click'),
+        |w AS (SELECT DISTINCT user_id AS k, epoch_us(ts) + 1 AS lo,
+        |    epoch_us(ts) + 300000000 AS hi, epoch_us(ts) AS wid
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.user_id, p.event_id, w.wid
+        |FROM p LEFT JOIN w
+        |  ON p.user_id = w.k AND p.ts_us BETWEEN w.lo AND w.hi"""
+        .stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.graft.IntervalJoinOps
+      val ev = t(s, dir, "events")
+      val points = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"))
+      val windows = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("k"),
+          (unix_micros(col("ts")) + 1).as("lo"),
+          (unix_micros(col("ts")) + 300000000L).as("hi"),
+          unix_micros(col("ts")).as("wid"))
+        .distinct()
+      IntervalJoinOps.pointInIntervalBroadcast(points, windows,
+        "user_id", "ts_us", "k", "lo", "hi", outer = true)
+        .select("user_id", "event_id", "wid")
+    },
+
     // Inner as-of parity: DuckDB's plain ASOF JOIN drops clicks with no
     // prior purchase instead of null-padding them — the dual of x27.
     // Same custom operator, outer=false; the oracle is DuckDB's native

@@ -62,8 +62,28 @@ object IntervalJoinStrategy extends SparkStrategy {
     case IntervalJoin(l, r, lk, rk, ls, le, rts, outer) =>
       IntervalJoinExec(planLater(l), planLater(r), lk, rk, ls, le, rts,
         outer) :: Nil
+    case IntervalEnrich(l, r, lk, lts, rk, rs, re, outer) =>
+      IntervalEnrichBroadcastExec(planLater(l), planLater(r), lk, lts,
+        rk, rs, re, outer) :: Nil
     case _ => Nil
   }
+}
+
+/** Logical node for [[IntervalEnrichBroadcastExec]]: POINTS on the
+  * left, broadcast-sized INTERVALS on the right.
+  */
+case class IntervalEnrich(left: LogicalPlan, right: LogicalPlan,
+    leftKey: Expression, leftTs: Expression,
+    rightKey: Expression, rightStart: Expression, rightEnd: Expression,
+    outer: Boolean = false) extends BinaryNode {
+
+  override def output: Seq[Attribute] =
+    if (outer) left.output ++ right.output.map(_.withNullability(true))
+    else left.output ++ right.output
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): IntervalEnrich =
+    copy(left = newLeft, right = newRight)
 }
 
 case class IntervalJoinExec(left: SparkPlan, right: SparkPlan,
@@ -256,6 +276,39 @@ object IntervalJoinOps {
     build(left, right, leftKey, leftStart, leftEnd, rightKey, rightTs,
       leftOuter = true)
 
+  /** Broadcast point-in-interval enrichment: every point (left) is
+    * joined with EVERY same-key broadcast interval containing its
+    * timestamp (inclusive bounds); `outer` keeps interval-less points
+    * null-extended. The fact side is never shuffled or sorted — see
+    * [[IntervalEnrichBroadcastExec]].
+    */
+  def pointInIntervalBroadcast(points: DataFrame, intervals: DataFrame,
+      pointKey: String, pointTs: String,
+      intervalKey: String, intervalStart: String, intervalEnd: String,
+      outer: Boolean = false): DataFrame = {
+    val spark = points.sparkSession
+    register(spark)
+    def nn(df: DataFrame, cols: String*): DataFrame =
+      cols.foldLeft(df)((d, c) =>
+        d.filter(org.apache.spark.sql.functions.col(c).isNotNull))
+    // null-keyed/ts points never match: droppable for inner, kept and
+    // null-extended by the exec for outer; null interval fields are
+    // dropped at index build either way
+    val lPlan = (if (outer) points else nn(points, pointKey, pointTs))
+      .queryExecution.analyzed
+    val rPlan = intervals.queryExecution.analyzed
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"pointInIntervalBroadcast: no column '$n' in " +
+            s"${p.output.map(_.name)}"))
+    ClassicDataset.ofRows(spark.asInstanceOf[ClassicSparkSession],
+      IntervalEnrich(lPlan, rPlan,
+        attr(lPlan, pointKey), attr(lPlan, pointTs),
+        attr(rPlan, intervalKey), attr(rPlan, intervalStart),
+        attr(rPlan, intervalEnd), outer))
+  }
+
   private def build(left: DataFrame, right: DataFrame,
       leftKey: String, leftStart: String, leftEnd: String,
       rightKey: String, rightTs: String, leftOuter: Boolean): DataFrame = {
@@ -423,4 +476,156 @@ object AutoIntervalJoinStrategy extends SparkStrategy {
       }
     }
   }
+}
+
+/** BROADCAST point-in-interval enrichment — the interval counterpart of
+  * [[AsOfJoinBroadcastExec]], completing the custom-join matrix
+  * (merge/broadcast × as-of/interval): a huge POINT stream (left)
+  * enriched with every SMALL broadcast interval (right) of the same key
+  * that contains its timestamp — "which maintenance window / config
+  * epoch / rate-limit period does this event fall in". Multiplicity
+  * follows SQL: one output row per containing interval; outer mode
+  * null-extends points that fall in none.
+  *
+  * The plane-sweep [[IntervalJoinExec]] puts the INTERVALS on the left
+  * and pays two key-partitioned sort exchanges; here the interval table
+  * is dimension-sized by assumption, so it ships once per executor
+  * (IdentityBroadcastMode), gets indexed per key as lo-sorted arrays
+  * with a parallel running-max-of-hi (built once per executor,
+  * broadcast-id-keyed cache), and each point probes by binary search on
+  * lo then a bounded backward scan that the running-max prunes — the
+  * fact side keeps its incoming partitioning and ordering, exactly like
+  * [[AsOfJoinBroadcastExec]]. Single hashable keys only (struct keys
+  * rejected at planning).
+  */
+case class IntervalEnrichBroadcastExec(left: SparkPlan, right: SparkPlan,
+    leftKey: Expression, leftTs: Expression,
+    rightKey: Expression, rightStart: Expression, rightEnd: Expression,
+    outer: Boolean = false) extends BinaryExecNode {
+
+  require(!leftKey.dataType.isInstanceOf[org.apache.spark.sql.types.StructType],
+    "broadcast interval enrich: struct keys unsupported — compose a " +
+      "single key column")
+
+  override def output: Seq[Attribute] =
+    if (outer) left.output ++ right.output.map(_.withNullability(true))
+    else left.output ++ right.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution ::
+      org.apache.spark.sql.catalyst.plans.physical.BroadcastDistribution(
+        org.apache.spark.sql.catalyst.plans.physical.IdentityBroadcastMode) ::
+      Nil
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lKeyB = BindReferences.bindReference(leftKey, left.output)
+    val lTsB = BindReferences.bindReference(leftTs, left.output)
+    val rKeyB = BindReferences.bindReference(rightKey, right.output)
+    val rStartB = BindReferences.bindReference(rightStart, right.output)
+    val rEndB = BindReferences.bindReference(rightEnd, right.output)
+    val tsOrd = TypeUtils.getInterpretedOrdering(leftTs.dataType)
+      .asInstanceOf[Ordering[Any]]
+    val nRight = right.output.size
+    val isOuter = outer
+    val bcast = right.executeBroadcast[Array[InternalRow]]()
+    val outAttrs = output
+    left.execute().mapPartitionsInternal { lIter =>
+      val index = IntervalEnrichBroadcastExec.indexFor(
+        bcast.id, bcast.value, rKeyB, rStartB, rEndB, tsOrd)
+      val joined = new JoinedRow
+      val nullRight = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(nRight)
+      val proj = UnsafeProjection.create(outAttrs, outAttrs)
+      lIter.flatMap { l =>
+        val lk = lKeyB.eval(l)
+        val lts = lTsB.eval(l)
+        val matches: Iterator[InternalRow] =
+          if (lk == null || lts == null) Iterator.empty
+          else index.get(lk) match {
+            case Some((los, maxHis, his, rows)) =>
+              // rightmost interval with lo <= ts
+              var lo = 0
+              var hi = los.length - 1
+              var last = -1
+              while (lo <= hi) {
+                val mid = (lo + hi) >>> 1
+                if (tsOrd.compare(los(mid), lts) <= 0) { last = mid; lo = mid + 1 }
+                else hi = mid - 1
+              }
+              // scan backward over lo-eligible intervals; the running
+              // max of hi prunes the walk as soon as no earlier
+              // interval can still reach ts
+              new Iterator[InternalRow] {
+                private var i = last
+                private var nxt: InternalRow = null
+                private def advance(): Unit = {
+                  nxt = null
+                  while (nxt == null && i >= 0 &&
+                      tsOrd.compare(maxHis(i), lts) >= 0) {
+                    if (tsOrd.compare(his(i), lts) >= 0) nxt = rows(i)
+                    i -= 1
+                  }
+                }
+                advance()
+                override def hasNext: Boolean = nxt != null
+                override def next(): InternalRow = {
+                  val r = nxt; advance(); r
+                }
+              }
+            case None => Iterator.empty
+          }
+        if (matches.hasNext) matches.map(m => proj(joined(l, m)))
+        else if (isOuter) Iterator.single(proj(joined(l, nullRight)))
+        else Iterator.empty
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): IntervalEnrichBroadcastExec =
+    copy(left = newLeft, right = newRight)
+}
+
+object IntervalEnrichBroadcastExec {
+  // per-executor index cache keyed by broadcast id (the
+  // AsOfJoinBroadcastExec pattern): per key, intervals sorted by lo with
+  // a parallel running max of hi for backward-scan pruning
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    Long, Map[Any, (Array[Any], Array[Any], Array[Any], Array[InternalRow])]]()
+
+  private[graft] def indexFor(id: Long, rows: Array[InternalRow],
+      rKeyB: Expression, rStartB: Expression, rEndB: Expression,
+      tsOrd: Ordering[Any])
+      : Map[Any, (Array[Any], Array[Any], Array[Any], Array[InternalRow])] =
+    cache.computeIfAbsent(id, _ => {
+      val byKey = scala.collection.mutable.HashMap.empty[Any,
+        scala.collection.mutable.ArrayBuffer[(Any, Any, InternalRow)]]
+      rows.foreach { r =>
+        val k = rKeyB.eval(r)
+        val lo = rStartB.eval(r)
+        val hi = rEndB.eval(r)
+        if (k != null && lo != null && hi != null)
+          byKey.getOrElseUpdate(k,
+            scala.collection.mutable.ArrayBuffer.empty) +=
+            ((lo, hi, r.copy()))
+      }
+      byKey.iterator.map { case (k, buf) =>
+        val sorted = buf.sortBy(_._1)(tsOrd)
+        val los = sorted.map(_._1).toArray
+        val his = sorted.map(_._2).toArray
+        val maxHis = new Array[Any](his.length)
+        var i = 0
+        while (i < his.length) {
+          maxHis(i) =
+            if (i == 0) his(0)
+            else if (tsOrd.compare(his(i), maxHis(i - 1)) >= 0) his(i)
+            else maxHis(i - 1)
+          i += 1
+        }
+        k -> ((los, maxHis, his, sorted.map(_._3).toArray))
+      }.toMap
+    })
 }

@@ -2028,6 +2028,41 @@ class PipelineSpec extends SparkSpec {
     assert(innerBig == inner)
   }
 
+  test("pointInIntervalBroadcast: randomized equivalence with equi+BETWEEN") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.IntervalJoinOps
+    // tiny domains force duplicate keys, nested/point/empty intervals,
+    // multi-interval hits per point, and nulls on both sides
+    val rnd = new scala.util.Random(77)
+    def longOrNull(bound: Int): Option[Long] =
+      if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(bound).toLong)
+    for (trial <- 1 to 4) {
+      val points = Seq.fill(120) {
+        (longOrNull(4), longOrNull(25), rnd.nextInt(100000).toLong)
+      }.toDF("pk", "ts", "pid")
+      val intervals = Seq.fill(40) {
+        val a = longOrNull(25); val b = longOrNull(25)
+        (longOrNull(4), a, b.map(x => a.getOrElse(0L).max(x)),
+          rnd.nextInt(100000).toLong)
+      }.toDF("k", "lo", "hi", "iid")
+      def ref(outer: Boolean) = points.join(intervals,
+          points("pk") === intervals("k") &&
+            points("ts") >= intervals("lo") &&
+            points("ts") <= intervals("hi"),
+          if (outer) "left" else "inner")
+        .select("pid", "iid").collect()
+        .map(r => r.get(0) + "/" + r.get(1)).sorted.toSeq
+      for (outer <- Seq(false, true)) {
+        val got = IntervalJoinOps.pointInIntervalBroadcast(
+          points.repartition(5), intervals,
+          "pk", "ts", "k", "lo", "hi", outer)
+          .select("pid", "iid").collect()
+          .map(r => r.get(0) + "/" + r.get(1)).sorted.toSeq
+        assert(got == ref(outer), s"trial $trial outer=$outer mismatch")
+      }
+    }
+  }
+
   test("benchmarkScrubAudit: contaminated release scrubs to zero leaks") {
     import spark.implicits._
     val evalText = (1 to 40).map(i => s"evaltok$i").mkString(" ") // ≫ 50 chars
