@@ -1643,6 +1643,21 @@ object Pipeline {
         Similarity.bruteForceTopK(corpus, queries, k = annK), k = annK)
     },
 
+    // Product-quantized ANN (Jégou et al. TPAMI 2011, the FAISS memory
+    // path): 8×16-entry codebooks compress each 64-dim vector to 8
+    // small codes; the ADC scan scores code tables only (no float
+    // vectors), a 10×k shortlist is reranked exactly. Same planted-
+    // neighbor recall contract as p07/p08.
+    QueryDef("p135_sim_pq", annRecallOracle) { (s, dir) =>
+      val corpus = annCorpusWithPlants(s, dir)
+      val queries = corpus.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      annRecallGate(
+        Similarity.pqTopK(corpus, queries, k = annK,
+          nSub = 8, nCodes = 16, shortlistFactor = 10),
+        Similarity.bruteForceTopK(corpus, queries, k = annK), k = annK)
+    },
+
     // Eval-release audit capstone: an md5 rule carves out ~1/16 of the
     // corpus as the eval set, the train side is span-scrubbed against
     // it, and the engine RE-VERIFIES zero residual 50-char overlap on

@@ -705,6 +705,102 @@ object Scale {
     }
   }
 
+  /** x40: file-pruned copy-on-write MERGE (the Delta/Iceberg upsert
+    * path). A source batch of updates/deletes/inserts lands on a
+    * range-laid-out target: the manifest's per-file [min,max] key
+    * stats pick the files the source keys can touch, ONLY those are
+    * rewritten (matched-update / matched-delete / not-matched-insert
+    * resolved in one left join), and the new snapshot's manifest
+    * references every untouched file verbatim — the 100 TB contract
+    * being that a merge touching 0.1% of the key space rewrites 0.1%
+    * of the files, not the table. The source here is broadcast (a
+    * band of ~5% of the keys); a large source would shuffle both
+    * sides on the key instead, with the file pruning unchanged — it
+    * depends only on the source's key bounds, not its size. The gate
+    * re-verifies the snapshot read against an unpruned whole-table
+    * merge and pins ≤3 of 16 files rewritten.
+    */
+  private[graft] def mergeCow(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_fmt").toString
+    val dataP = s"$root/x40_target"
+    val deltaP = s"$root/x40_delta"
+    rmTree(new java.io.File(dataP)); rmTree(new java.io.File(deltaP))
+    val events = t(s, dir, "events").select("event_id", "user_id")
+    events.repartitionByRange(16, col("event_id"))
+      .sortWithinPartitions("event_id")
+      .write.mode("overwrite").parquet(dataP)
+    val mani = s.read.parquet(dataP)
+      .groupBy(input_file_name().as("file"))
+      .agg(min("event_id").as("min_id"), max("event_id").as("max_id"))
+      .collect()
+    val mm = events.agg(min("event_id"), max("event_id")).head()
+    val (lo0, hi0) = (mm.getLong(0), mm.getLong(1))
+    val lo = lo0 + (hi0 - lo0) * 45 / 100
+    val hi = lo0 + (hi0 - lo0) * 50 / 100
+    // source batch: updates (+1000000 on user_id) and deletes (key
+    // % 7 == 0) over the [lo,hi] band, 100 inserts above the max key
+    val matched = events.filter(col("event_id").between(lo, hi))
+      .select(col("event_id"),
+        when(col("event_id") % 7 === 0, "D").otherwise("U").as("op"))
+    val inserts = s.range(1, 101)
+      .select((lit(hi0) + col("id")).as("event_id"),
+        ((lit(hi0) + col("id")) * 3).as("user_id"))
+    // plan from manifest stats: only files whose [min,max] intersects
+    // the source's matched-key bounds get rewritten (inserts are all
+    // above hi0 and touch no existing file)
+    val picked = mani.filter(r => r.getLong(1) <= hi && r.getLong(2) >= lo)
+      .map(_.getString(0))
+    val untouched = mani.map(_.getString(0)).filterNot(picked.contains)
+    val rewritten = s.read.parquet(picked.toIndexedSeq: _*)
+      .join(broadcast(matched), Seq("event_id"), "left")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(col("event_id"),
+        when(col("op") === "U", col("user_id") + 1000000L)
+          .otherwise(col("user_id")).as("user_id"))
+      .unionAll(inserts)
+    rewritten.coalesce(1).write.mode("overwrite").parquet(deltaP)
+    // snapshot 2 = untouched files (referenced, not copied) + delta
+    val snap2 = s.read.parquet(
+      (untouched ++ Seq(deltaP)).toIndexedSeq: _*)
+    val got = snap2.agg(count(lit(1)).as("n"),
+      sum("user_id").as("su")).head()
+    // unpruned whole-table merge, same semantics, for the equivalence bit
+    val full = s.read.parquet(dataP)
+      .join(broadcast(matched), Seq("event_id"), "left")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(col("event_id"),
+        when(col("op") === "U", col("user_id") + 1000000L)
+          .otherwise(col("user_id")).as("user_id"))
+      .unionAll(inserts)
+      .agg(count(lit(1)).as("n"), sum("user_id").as("su")).head()
+    val ops = matched.groupBy("op").agg(count(lit(1))).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    s.createDataFrame(java.util.List.of(
+      org.apache.spark.sql.Row(got.getLong(0), got.getLong(1),
+        ops.getOrElse("U", 0L), ops.getOrElse("D", 0L), 100L,
+        mani.length == 16 && picked.length <= 3,
+        untouched.length == 16 - picked.length,
+        got == full)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n_rows",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("sum_user",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_updated",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_deleted",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_inserted",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("files_pruned",
+          org.apache.spark.sql.types.BooleanType),
+        org.apache.spark.sql.types.StructField("untouched_reused",
+          org.apache.spark.sql.types.BooleanType),
+        org.apache.spark.sql.types.StructField("result_equal",
+          org.apache.spark.sql.types.BooleanType))))
+  }
+
   private[graft] def manifestPrune(s: SparkSession, dir: String): DataFrame = {
     val root = java.nio.file.Paths.get(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_fmt").toString
@@ -2104,6 +2200,41 @@ object Scale {
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_rows"),
           count(col("b_us")).as("n_matched"))
+    },
+
+    // File-pruned copy-on-write MERGE: matched-update / matched-delete
+    // / not-matched-insert resolved against a 16-file range layout,
+    // with only the ≤3 files intersecting the source key band
+    // rewritten and the rest referenced by the new snapshot. The
+    // oracle replays the same three-clause merge relationally; the
+    // pruning and snapshot-vs-full-merge equivalence are in-gate bits.
+    QueryDef("x40_merge_cow",
+      """WITH b AS (SELECT min(event_id) AS lo0, max(event_id) AS hi0
+        |  FROM events),
+        |m AS (SELECT event_id, event_id % 7 = 0 AS del
+        |  FROM events, b
+        |  WHERE event_id BETWEEN lo0 + (hi0 - lo0) * 45 // 100
+        |    AND lo0 + (hi0 - lo0) * 50 // 100),
+        |merged AS (
+        |  SELECT e.event_id,
+        |    CASE WHEN m.event_id IS NOT NULL THEN e.user_id + 1000000
+        |         ELSE e.user_id END AS user_id
+        |  FROM events e
+        |  LEFT JOIN (SELECT event_id FROM m WHERE NOT del) m
+        |    ON e.event_id = m.event_id
+        |  WHERE e.event_id NOT IN (SELECT event_id FROM m WHERE del)
+        |  UNION ALL
+        |  SELECT hi0 + i.i, (hi0 + i.i) * 3
+        |  FROM b, (SELECT unnest(range(1, 101)) AS i) i)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(user_id) AS BIGINT) AS sum_user,
+        |  (SELECT count(*) FROM m WHERE NOT del) AS n_updated,
+        |  (SELECT count(*) FROM m WHERE del) AS n_deleted,
+        |  CAST(100 AS BIGINT) AS n_inserted,
+        |  true AS files_pruned, true AS untouched_reused,
+        |  true AS result_equal
+        |FROM merged""".stripMargin) { (s, dir) =>
+      mergeCow(s, dir)
     }
   )
 }

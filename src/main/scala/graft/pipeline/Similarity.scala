@@ -457,6 +457,121 @@ object Similarity {
     * eval id via the max-of-(score, −id) struct trick, so the evidence
     * pointer is deterministic.
     */
+  // ---- product quantization (Jégou et al., TPAMI 2011 — the FAISS
+  // IVF-PQ memory-compression path) --------------------------------
+
+  /** PQ codebooks: `nCodes` deterministically sampled corpus vectors
+    * (smallest xxhash64(id) — the [[ivfCentroids]] pattern), each split
+    * into `nSub` equal subvectors. Result indexed [sub][code][j]: the
+    * codebook of subspace `sub` is the sampled vectors' `sub`-th slices.
+    * Collecting nCodes rows to the driver is the broadcast-variable
+    * pattern; everything downstream is pure per-row expressions.
+    */
+  private[graft] def pqCodebooks(corpus: DataFrame, nSub: Int, nCodes: Int,
+      idCol: String, vecCol: String): Array[Array[Array[Float]]] = {
+    val samples = corpus
+      .select(col(vecCol), xxhash64(col(idCol)).as("h"))
+      .orderBy("h").limit(nCodes).drop("h")
+      .collect().map(_.getSeq[Float](0).toArray)
+    val dim = samples.head.length
+    require(dim % nSub == 0, s"dim $dim not divisible by nSub $nSub")
+    val w = dim / nSub
+    Array.tabulate(nSub)(m => samples.map(_.slice(m * w, (m + 1) * w)))
+  }
+
+  /** Per-subspace nearest-codebook-entry codes: array<int> of length
+    * nSub, code m = argmin_c ‖vec[m·w : (m+1)·w] − codebook[m][c]‖².
+    * The whole codebook travels as ONE 3-D array literal (the
+    * [[ivfProbeCellsMatrix]] constant-tree-size pattern) and the argmin
+    * is `array_min` over struct(d, c) — Spark's struct ordering is
+    * field-by-field, so ties on distance break to the smallest code
+    * deterministically.
+    */
+  private[graft] def pqEncode(codebooks: Array[Array[Array[Float]]],
+      vec: Column): Column = {
+    val nSub = codebooks.length
+    val w = codebooks.head.head.length
+    val cb = typedlit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    transform(sequence(lit(0), lit(nSub - 1)), m => {
+      val sub = slice(vec, m * w + 1, lit(w))
+      array_min(
+        zip_with(element_at(cb, m + 1),
+          sequence(lit(0), lit(codebooks.head.length - 1)),
+          (cv, c) => struct(
+            aggregate(zip_with(sub, cv, (x, y) => {
+              val d = x.cast("double") - y.cast("double"); d * d
+            }), lit(0.0), (a, x) => a + x).as("d"),
+            c.as("c")))).getField("c")
+    })
+  }
+
+  /** PQ-compressed ANN top-k: asymmetric distance computation (ADC)
+    * over an M-byte code table picks a per-query shortlist, exact
+    * cosine over the full vectors reranks it to the final k.
+    *
+    * Scale story (the reason PQ exists): the scored representation is
+    * `nSub` small codes per row — 8 bytes at the defaults vs 256 bytes
+    * of float32 for a 64-dim vector (and 4 KB at a realistic 1024-dim /
+    * 16-sub layout) — so the ADC scan reads a table 32–256× smaller
+    * than the embeddings and does nSub table lookups + adds per row
+    * regardless of dimension. Per QUERY the codebook dot-products are
+    * precomputed once into a (nSub × nCodes) table on the broadcast
+    * side; corpus rows never touch a float vector until the shortlist
+    * rerank, which reads full vectors for shortlist×queries ids only.
+    * At 100 TB the codes table is what stays hot (it fits in executor
+    * memory where the raw embeddings cannot); recall is gated at p135
+    * against exact brute force, the same contract as p07/p08/p49.
+    *
+    * Scoring is cosine of the RECONSTRUCTION: adc / (‖q‖·‖recon‖) where
+    * adc = Σ_m qtab[m][code_m] = dot(q, recon(codes)) — exact by
+    * linearity of the dot product over concatenated subspaces (the
+    * spec asserts this equality against a literal reconstruction).
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nSub: Int = 8, nCodes: Int = 16, shortlistFactor: Int = 10,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    val codebooks = pqCodebooks(corpus, nSub, nCodes, idCol, vecCol)
+    val w = codebooks.head.head.length
+    val cb = typedlit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    // per-subspace-entry squared norms, a (nSub × nCodes) literal:
+    // ‖recon‖² = Σ_m normSqTab[m][code_m], no float vector needed
+    val normSqTab = typedlit(codebooks.map(_.map(cv =>
+      cv.map(x => x.toDouble * x.toDouble).sum).toSeq).toSeq)
+    val encoded = corpus.select(col(idCol),
+      pqEncode(codebooks, col(vecCol)).as("codes"))
+      .withColumn("rnorm", sqrt(aggregate(
+        zip_with(col("codes"), sequence(lit(0), lit(nSub - 1)),
+          (cm, m) => element_at(element_at(normSqTab, m + 1), cm + 1)),
+        lit(0.0), (a, x) => a + x)))
+    // per-query ADC table: qtab[m][c] = dot(q_m, codebook[m][c])
+    val q = queries.select(col(qidCol), col(qvecCol),
+      transform(sequence(lit(0), lit(nSub - 1)), m =>
+        transform(element_at(cb, m + 1), cv =>
+          aggregate(zip_with(slice(col(qvecCol), m * w + 1, lit(w)), cv,
+            (x, y) => x.cast("double") * y.cast("double")),
+            lit(0.0), (a, x) => a + x))).as("qtab"),
+      l2norm(col(qvecCol)).as("qnorm"))
+    val scored = encoded.crossJoin(broadcast(q))
+      .withColumn("adc", aggregate(
+        zip_with(col("codes"), sequence(lit(0), lit(nSub - 1)),
+          (cm, m) => element_at(element_at(col("qtab"), m + 1), cm + 1)),
+        lit(0.0), (a, x) => a + x))
+      .withColumn("score", round(
+        when(col("qnorm") * col("rnorm") > 0,
+          col("adc") / (col("qnorm") * col("rnorm"))).otherwise(0.0), 6))
+    // the shortlist is ≤ |queries|·k·shortlistFactor rows — broadcast
+    // it so the rerank reads full vectors as a map-side semi-join and
+    // the embeddings never cross a shuffle
+    val shortlist = rankTopK(scored, k * shortlistFactor, qidCol, idCol)
+      .select(col(qidCol), col(idCol))
+    val exact = corpus.select(col(idCol), col(vecCol))
+      .join(broadcast(shortlist), Seq(idCol))
+      .join(broadcast(queries.select(col(qidCol), col(qvecCol))), Seq(qidCol))
+      .withColumn("score", round(cosine(col(vecCol), col(qvecCol)), 6))
+    rankTopK(exact, k, qidCol, idCol)
+  }
+
   def semanticContamination(corpus: DataFrame, evalSet: DataFrame,
       threshold: Double = 0.98, idCol: String = "vec_id",
       vecCol: String = "embedding", evalIdCol: String = "eval_id",

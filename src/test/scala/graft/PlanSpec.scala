@@ -201,6 +201,22 @@ class PlanSpec extends SparkSpec {
       s"text crosses >1 shuffle:\n${textExchanges.mkString("\n")}")
   }
 
+  test("p135: PQ ANN — float vectors never cross an exchange") {
+    // the ADC scan scores the codes table against broadcast query
+    // tables; full vectors are read only on the rerank's map side
+    // (broadcast shortlist semi-join). Any Exchange carrying the
+    // embedding column would void the compression story.
+    val p = executed("p135_sim_pq")
+    val pFinal = p.split("== Initial Plan ==")(0)
+    val vecExchanges = pFinal.linesIterator.filter(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange") &&
+        l.contains("embedding#")).toSeq
+    assert(vecExchanges.isEmpty,
+      s"embeddings crossed a shuffle:\n${vecExchanges.mkString("\n")}")
+    assert(!p.contains("CartesianProduct"),
+      s"PQ scoring fell back to a cartesian product:\n$p")
+  }
+
   test("p79: blocklist membership is a broadcast join; text never shuffles") {
     val p = executed("p79_domain_blocklist")
     assert(p.contains("BroadcastHashJoin"),

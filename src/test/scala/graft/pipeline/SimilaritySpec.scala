@@ -243,6 +243,70 @@ class SimilaritySpec extends SparkSpec {
     assert(auto < at16, s"matrix ($auto) not smaller than 16-cell literal ($at16)")
   }
 
+  test("PQ: codes bounded, ADC == dot(q, reconstruction), recall on plants") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val nSub = 8; val nCodes = 16
+    val cbs = Similarity.pqCodebooks(e, nSub, nCodes, "vec_id", "embedding")
+    assert(cbs.length == nSub && cbs.forall(_.length == nCodes) &&
+      cbs.forall(_.forall(_.length == 64 / nSub)))
+    // codes: length nSub, every value in [0, nCodes)
+    val codes = e.select(Similarity.pqEncode(cbs, col("embedding")).as("c"))
+    assert(codes.filter(size(col("c")) =!= nSub).count() == 0)
+    assert(codes.filter(exists(col("c"),
+      c => c < 0 || c >= nCodes)).count() == 0)
+    // ADC linearity: dot(q, recon(codes)) computed via the per-subspace
+    // table must equal the dot against a literal reconstruction
+    val recon = flatten(transform(
+      Similarity.pqEncode(cbs, col("embedding")),
+      (cm, m) => element_at(element_at(
+        typedlit(cbs.map(_.map(_.toSeq).toSeq).toSeq), m + 1), cm + 1)))
+    val q = e.filter(col("vec_id") === 7)
+      .select(col("embedding").as("qvec")).head().getSeq[Float](0)
+    val qlit = typedlit(q)
+    val both = e.limit(100).select(
+      Similarity.dot(qlit, recon).as("direct"),
+      // the operator's table route: Σ_m qtab[m][code_m]
+      aggregate(zip_with(Similarity.pqEncode(cbs, col("embedding")),
+        sequence(lit(0), lit(nSub - 1)),
+        (cm, m) => aggregate(zip_with(
+          slice(qlit, m * (64 / nSub) + 1, lit(64 / nSub)),
+          element_at(element_at(
+            typedlit(cbs.map(_.map(_.toSeq).toSeq).toSeq), m + 1), cm + 1),
+          (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (a, x) => a + x)),
+        lit(0.0), (a, x) => a + x).as("tabbed")).collect()
+    for (r <- both)
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9,
+        s"ADC table diverges from reconstruction dot: $r")
+  }
+
+  test("PQ top-k: planted near-duplicates recalled through the code scan") {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding")
+    // plant 10 jittered copies of query 3's vector (the gate's shape)
+    val plants = e.filter(col("vec_id") === 3)
+      .select(col("embedding").as("emb"))
+      .withColumn("j", explode(sequence(lit(0), lit(9))))
+      .select((lit(5000000L) + col("j")).as("vec_id"),
+        zip_with(col("emb"), sequence(lit(0), size(col("emb")) - 1),
+          (x, i) => (x.cast("double") * (lit(1.0) + lit(0.1) *
+            (xxhash64(col("j"), i).cast("double") /
+              lit(Long.MaxValue.toDouble)))).cast("float")).as("embedding"))
+    val corpus = e.unionAll(plants)
+    val queries = e.filter(col("vec_id") === 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val exact = Similarity.bruteForceTopK(corpus, queries, k = 10)
+    val pq = Similarity.pqTopK(corpus, queries, k = 10)
+    val hit = pq.select("qid", "vec_id")
+      .join(exact.select("qid", "vec_id"), Seq("qid", "vec_id")).count()
+    assert(hit >= 9, s"PQ recall $hit/10 below the 0.9 floor")
+    // determinism: a second run returns the identical ranking
+    val again = Similarity.pqTopK(corpus, queries, k = 10)
+    assert(pq.exceptAll(again).isEmpty && again.exceptAll(pq).isEmpty)
+  }
+
   test("p100: knnClassify majority vote + deterministic tie-breaks") {
     import spark.implicits._
     val labeled = Seq(
