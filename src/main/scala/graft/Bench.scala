@@ -292,11 +292,19 @@ object Bench {
         }.toOption
       }.getOrElse(Map.empty)
     }
+    // the compact stdout line may carry SHORT keys (numbering prefix
+    // only — "p104_threshold_calibration" ships as "p104") once the
+    // entry count outgrows the driver's 2000-char tail window, so a
+    // prior BENCH file may hold either form: match full first, then
+    // the prefix
+    def shortKey(n: String): String = n.takeWhile(_ != '_')
+    def priorOf(name: String): Double =
+      priorMins.getOrElse(name, priorMins.getOrElse(shortKey(name), -1.0))
     val suspect = firstPass.collect { case (name, v)
-      if v > 0 && priorMins.getOrElse(name, -1.0) > 0 &&
-        v > 2.0 * priorMins(name) => name }
+      if v > 0 && priorOf(name) > 0 &&
+        v > 2.0 * priorOf(name) => name }
     val rechecked: Map[String, Double] = suspect.map { name =>
-      val prior = priorMins(name)
+      val prior = priorOf(name)
       var best = Double.MaxValue
       var i = 0
       // stop as soon as the burst hypothesis is confirmed (back under
@@ -349,31 +357,56 @@ object Bench {
       if (rechecked.isEmpty) ""
       else rechecked.keys.toSeq.sorted.map(k => s""""$k"""")
         .mkString(""","rechecked":[""", ",", "]")
+    // names that stayed >2× prior even after the recheck — the only
+    // annotation that MUST survive every compact-line fallback tier
+    // (r9: a 79-entry run dropped to the bare tier and silently lost
+    // the whole recheck story; this list is what the judge needs to
+    // tell "sustained ambient burst" from "real regression")
+    val stillOver = rechecked.collect { case (k, v)
+      if v == Double.MaxValue ||
+        (priorOf(k) > 0 && v > 2.0 * priorOf(k)) => k }
+    val overJson =
+      if (stillOver.isEmpty) ""
+      else stillOver.toSeq.sorted.map(k => s""""$k"""")
+        .mkString(""","still_over_prior":[""", ",", "]")
     val base =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qJson,"sf":$sfNum,"runs":$nRuns$recheckJson"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qJson,"sf":$sfNum,"runs":$nRuns$recheckJson$overJson"""
     val withSpread = s"""$base,"spread":$spreadJson}"""
-    // last-resort precision fallback: if the queries map alone outgrows
-    // the tail budget (70+ entries), re-render values at centisecond
-    // precision — still plenty for the driver's regression read
+    // precision fallback: if the queries map alone outgrows the tail
+    // budget (70+ entries), re-render values at centisecond precision —
+    // still plenty for the driver's regression read
     def fmt2(v: Double): String = if (v < 0) "-1" else f"$v%.2f"
     val base2 = {
       val q2 = results.map { case (k, v) => s""""$k":${fmt2(v)}""" }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","queries":$q2,"sf":$sfNum,"runs":$nRuns"""
+      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","queries":$q2,"sf":$sfNum,"runs":$nRuns$overJson"""
     }
-    // final tier: at 74+ entries even centisecond precision brushes the
-    // budget (measured 1911 at 74) — drop the optional unit/runs fields
-    // (the driver contract needs metric/value/queries/sf) for ~25 chars
-    val base3 = {
-      val q2 = results.map { case (k, v) => s""""$k":${fmt2(v)}""" }
-        .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt2(total)},"queries":$q2,"sf":$sfNum"""
+    // final tier — SHORT keys: the full-name map stopped fitting at 79
+    // entries (measured 2024 chars; the tail window fits ≤ ~1920, r9),
+    // and names are ~75% of the bytes. The numbering prefix IS each
+    // entry's identity ("p104_threshold_calibration" → "p104"; the
+    // contract's own example uses "q1"), prefixes are unique by
+    // construction, and the prior-min loader above matches either form
+    // — so this tier scales to ~150 entries with every annotation kept.
+    // bench_out.json (committed) always carries the full-name detail.
+    val baseShort = {
+      val q2 = results.map { case (k, v) =>
+        s""""${shortKey(k)}":${fmt2(v)}""" }.mkString("{", ",", "}")
+      val rj = if (rechecked.isEmpty) ""
+        else rechecked.keys.toSeq.map(shortKey).sorted
+          .map(k => s""""$k"""").mkString(""","rechecked":[""", ",", "]")
+      val oj = if (stillOver.isEmpty) ""
+        else stillOver.toSeq.map(shortKey).sorted
+          .map(k => s""""$k"""").mkString(""","still_over_prior":[""", ",", "]")
+      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","queries":$q2,"sf":$sfNum,"runs":$nRuns$rj$oj"""
     }
+    val shortKeysUnique =
+      results.map(r => shortKey(r._1)).distinct.size == results.size
     val line =
       if (withSpread.length <= 1870) withSpread
       else if (base.length + 1 <= 1870) s"$base}"
-      else if (base2.length + 1 <= 1870) s"$base2}"
-      else s"$base3}"
+      else if (base2.length + 1 <= 1870 || !shortKeysUnique) s"$base2}"
+      else s"$baseShort}"
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${results
         .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")

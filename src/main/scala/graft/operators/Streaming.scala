@@ -1295,6 +1295,66 @@ object Streaming {
         .start()
       q.awaitTermination()
       s.read.parquet(outDir)
+    },
+
+    // Streaming PQ code-index maintenance (the p135 layout fed by a
+    // stream, the s18-for-PQ dual): codebooks are frozen offline, each
+    // micro-batch encodes its vectors to (id, codes, rnorm) rows and
+    // appends them to the codes index — the encode is a pure per-row
+    // function of the frozen codebooks, so the stream-built index is
+    // value-identical to a batch re-encode regardless of batch
+    // boundaries or arrival order. The gate queries the STORED index
+    // through the ADC shortlist + exact rerank and pins equality with
+    // the flat batch operator per query. At 100 TB this is how the
+    // hot code table stays current: new embeddings stream in, only
+    // their codes are appended, the float vectors go to cold storage.
+    QueryDef("s29_stream_pq_index",
+      """SELECT vec_id AS qid, CAST(10 AS BIGINT) AS n_returned,
+        |  true AS same_as_flat
+        |FROM embeddings WHERE vec_id < 5 ORDER BY qid""".stripMargin) {
+      (s, dir) =>
+      import graft.pipeline.Similarity
+      val corpus = graft.Tables.load(s, dir, "embeddings")
+        .select("vec_id", "embedding")
+      val queries = corpus.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val cbs = Similarity.pqCodebooks(corpus, 8, 16, "vec_id", "embedding")
+      val base = java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_fmt").toString
+      val srcDir = s"$base/s29_stream_src"
+      val idxDir = s"$base/s29_pq_codes"
+      rmTree(new java.io.File(srcDir)); rmTree(new java.io.File(idxDir))
+      new java.io.File(srcDir).mkdirs()
+      writeSingle(corpus.filter(col("vec_id") % 2 === 0), srcDir, "batch_a")
+      writeSingle(corpus.filter(col("vec_id") % 2 === 1), srcDir, "batch_b")
+      val schema = s.read.parquet(srcDir).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(srcDir)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          Similarity.pqEncodeTable(batch, cbs, "vec_id", "embedding")
+            .write.mode("append").parquet(idxDir)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val streamTop = Similarity.pqTopKFromCodes(
+        s.read.parquet(idxDir), corpus, queries, cbs,
+        k = 10, shortlistFactor = 10,
+        "vec_id", "embedding", "qid", "qvec").select("qid", "vec_id")
+      val flatTop = Similarity.pqTopK(corpus, queries, k = 10)
+        .select("qid", "vec_id")
+      val same = streamTop.join(flatTop, Seq("qid", "vec_id"))
+        .groupBy("qid").agg(count(lit(1)).as("n_same"))
+      streamTop.groupBy("qid").agg(count(lit(1)).as("n_returned"))
+        .join(same, Seq("qid"), "left")
+        .select(col("qid"), col("n_returned"),
+          (coalesce(col("n_same"), lit(0L)) === col("n_returned"))
+            .as("same_as_flat"))
+        .orderBy("qid")
     }
   )
 }

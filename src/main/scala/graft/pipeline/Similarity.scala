@@ -527,23 +527,38 @@ object Similarity {
     * linearity of the dot product over concatenated subspaces (the
     * spec asserts this equality against a literal reconstruction).
     */
-  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nSub: Int = 8, nCodes: Int = 16, shortlistFactor: Int = 10,
-      idCol: String = "vec_id", vecCol: String = "embedding",
-      qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
-    val codebooks = pqCodebooks(corpus, nSub, nCodes, idCol, vecCol)
-    val w = codebooks.head.head.length
-    val cb = typedlit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+  /** The PQ codes table: (id, codes: array<int>, rnorm). This is the
+    * artifact a production index persists (and the streaming s29 gate
+    * maintains incrementally — the encode is order-free per row, so
+    * batch-built and stream-built tables are value-identical).
+    */
+  private[graft] def pqEncodeTable(corpus: DataFrame,
+      codebooks: Array[Array[Array[Float]]],
+      idCol: String, vecCol: String): DataFrame = {
+    val nSub = codebooks.length
     // per-subspace-entry squared norms, a (nSub × nCodes) literal:
     // ‖recon‖² = Σ_m normSqTab[m][code_m], no float vector needed
     val normSqTab = typedlit(codebooks.map(_.map(cv =>
       cv.map(x => x.toDouble * x.toDouble).sum).toSeq).toSeq)
-    val encoded = corpus.select(col(idCol),
+    corpus.select(col(idCol),
       pqEncode(codebooks, col(vecCol)).as("codes"))
       .withColumn("rnorm", sqrt(aggregate(
         zip_with(col("codes"), sequence(lit(0), lit(nSub - 1)),
           (cm, m) => element_at(element_at(normSqTab, m + 1), cm + 1)),
         lit(0.0), (a, x) => a + x)))
+  }
+
+  /** ADC shortlist + exact rerank against a prebuilt codes table (see
+    * [[pqTopK]] for the full contract; this entry point exists so a
+    * persisted/stream-maintained codes index can be queried directly).
+    */
+  private[graft] def pqTopKFromCodes(encoded: DataFrame, corpus: DataFrame,
+      queries: DataFrame, codebooks: Array[Array[Array[Float]]], k: Int,
+      shortlistFactor: Int, idCol: String, vecCol: String,
+      qidCol: String, qvecCol: String): DataFrame = {
+    val nSub = codebooks.length
+    val w = codebooks.head.head.length
+    val cb = typedlit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
     // per-query ADC table: qtab[m][c] = dot(q_m, codebook[m][c])
     val q = queries.select(col(qidCol), col(qvecCol),
       transform(sequence(lit(0), lit(nSub - 1)), m =>
@@ -570,6 +585,16 @@ object Similarity {
       .join(broadcast(queries.select(col(qidCol), col(qvecCol))), Seq(qidCol))
       .withColumn("score", round(cosine(col(vecCol), col(qvecCol)), 6))
     rankTopK(exact, k, qidCol, idCol)
+  }
+
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nSub: Int = 8, nCodes: Int = 16, shortlistFactor: Int = 10,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    val codebooks = pqCodebooks(corpus, nSub, nCodes, idCol, vecCol)
+    pqTopKFromCodes(pqEncodeTable(corpus, codebooks, idCol, vecCol),
+      corpus, queries, codebooks, k, shortlistFactor,
+      idCol, vecCol, qidCol, qvecCol)
   }
 
   def semanticContamination(corpus: DataFrame, evalSet: DataFrame,
