@@ -92,6 +92,7 @@ object Bench {
     "x38_asof_broadcast", // broadcast as-of: zero fact-side shuffle (vs x27)
     "x40_merge_cow",      // file-pruned copy-on-write MERGE (3 of 16 files)
     "p135_sim_pq",        // PQ ANN: ADC code scan + rerank (raw operator)
+    "p136_sim_ivfpq",     // IVF-PQ: cell-pruned ADC scan (vs p135 full scan)
     "f07_csv_ingest_cold", // CSV parse + agg, no cache (dsq cold analog)
     "f08_csv_ingest_warm") // cached-parquet + agg (dsq -C warm analog)
 
@@ -163,6 +164,14 @@ object Bench {
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
         graft.pipeline.Similarity.pqTopK(corpus, queries,
           k = 10, nSub = 8, nCodes = 16, shortlistFactor = 10)
+      },
+      "p136_sim_ivfpq" -> { (s, dir) =>
+        val corpus = Tables.load(s, dir, "embeddings")
+        val queries = corpus.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        graft.pipeline.Similarity.ivfPqTopK(corpus, queries,
+          k = 10, nCells = 16, nProbe = 4, nSub = 8, nCodes = 16,
+          shortlistFactor = 10)
       },
       "p49_sim_projected" -> { (s, dir) =>
         val corpus = Tables.load(s, dir, "embeddings")

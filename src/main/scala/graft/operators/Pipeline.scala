@@ -1658,6 +1658,23 @@ object Pipeline {
         Similarity.bruteForceTopK(corpus, queries, k = annK), k = annK)
     },
 
+    // IVF-PQ: coarse cells prune the scan to nProbe/nCells of the
+    // codes table AND the codes keep PQ's 32-256x compression — the
+    // composition (FAISS's IVFPQ) is the layout that actually serves
+    // 100 TB. Residuals against the probed centroid are what the codes
+    // encode; scoring recombines by linearity of the dot product. Same
+    // planted-neighbor recall contract as p07/p08/p135.
+    QueryDef("p136_sim_ivfpq", annRecallOracle) { (s, dir) =>
+      val corpus = annCorpusWithPlants(s, dir)
+      val queries = corpus.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      annRecallGate(
+        Similarity.ivfPqTopK(corpus, queries, k = annK,
+          nCells = 16, nProbe = 4, nSub = 8, nCodes = 16,
+          shortlistFactor = 10),
+        Similarity.bruteForceTopK(corpus, queries, k = annK), k = annK)
+    },
+
     // Eval-release audit capstone: an md5 rule carves out ~1/16 of the
     // corpus as the eval set, the train side is span-scrubbed against
     // it, and the engine RE-VERIFIES zero residual 50-char overlap on

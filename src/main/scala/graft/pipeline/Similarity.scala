@@ -597,6 +597,136 @@ object Similarity {
       idCol, vecCol, qidCol, qvecCol)
   }
 
+  // ---- IVF-PQ: coarse-list pruning × residual code compression ----
+
+  /** Residual of `vec` against its cell's centroid (the vector PQ
+    * actually encodes in IVF-PQ — residuals cluster around the origin,
+    * so shared codebooks quantize them far better than raw vectors).
+    * The centroid matrix travels as one 2-D literal; `cell` indexes it.
+    */
+  private def residualCol(centMatrix: Column, cell: Column,
+      vec: Column): Column =
+    zip_with(vec, element_at(centMatrix, (cell + 1).cast("int")),
+      (x, c) => (x.cast("double") - c.cast("double")).cast("float"))
+
+  /** The IVF-PQ index artifact: (cell, id, codes, rnorm) — nSub small
+    * codes and one float per row, NO float vectors. rnorm is the norm
+    * of the FULL reconstruction centroid[cell] + recon(codes), assembled
+    * from three driver-side lookup tables (‖c‖² per cell, the
+    * cell×sub×code cross-dot table, per-entry residual norms²) so the
+    * stored row never materializes a reconstruction. At 100 TB this
+    * table is written partitioned/bucketed by `cell` so a probe prunes
+    * file groups; it is 32–256× smaller than the embeddings and is the
+    * only thing the ADC scan reads.
+    */
+  private[graft] def ivfPqEncodeTable(corpus: DataFrame,
+      centroids: Array[(Long, Seq[Float])],
+      codebooks: Array[Array[Array[Float]]],
+      idCol: String, vecCol: String): DataFrame = {
+    require(centroids.zipWithIndex.forall { case ((cid, _), i) =>
+      cid == i.toLong }, "centroid ids must be positional")
+    val nSub = codebooks.length
+    val centMatrix = typedlit(centroids.map(_._2.toArray).toSeq)
+    // lookup tables: rnorm² = cnormSq[cell] + 2·Σ_m cross[cell][m][cm]
+    //                        + Σ_m resNormSq[m][cm]
+    val cnormSq = typedlit(centroids.map(_._2.map(x =>
+      x.toDouble * x.toDouble).sum).toSeq)
+    val w = codebooks.head.head.length
+    val cross = typedlit(centroids.map { case (_, cv) =>
+      codebooks.zipWithIndex.map { case (cb, m) =>
+        cb.map(entry => entry.zipWithIndex.map { case (y, j) =>
+          cv(m * w + j).toDouble * y.toDouble }.sum).toSeq
+      }.toSeq
+    }.toSeq)
+    val resNormSq = typedlit(codebooks.map(_.map(cv =>
+      cv.map(x => x.toDouble * x.toDouble).sum).toSeq).toSeq)
+    corpus
+      .withColumn("cell",
+        ivfProbeCells(centroids, col(vecCol), 1).getItem(0).getField("cid"))
+      .withColumn("codes", pqEncode(codebooks,
+        residualCol(centMatrix, col("cell"), col(vecCol))))
+      .select(col("cell"), col(idCol), col("codes"),
+        sqrt(greatest(lit(0.0),
+          element_at(cnormSq, (col("cell") + 1).cast("int")) +
+          aggregate(zip_with(col("codes"), sequence(lit(0), lit(nSub - 1)),
+            (cm, m) => lit(2.0) * element_at(element_at(element_at(cross,
+                (col("cell") + 1).cast("int")), m + 1), cm + 1) +
+              element_at(element_at(resNormSq, m + 1), cm + 1)),
+            lit(0.0), (a, x) => a + x))).as("rnorm"))
+  }
+
+  /** IVF-PQ ANN top-k (Jégou et al. TPAMI 2011; the FAISS IVFPQ layout):
+    * coarse-quantize onto `nCells` centroids, PQ-encode the RESIDUAL of
+    * each vector against its centroid, and at query time scan only the
+    * `nProbe` probed cells' code rows. Scoring composes both halves of
+    * the index by linearity: dot(q, centroid + recon_res) =
+    * dot(q, centroid[cell]) — per (query, probed cell), computed on the
+    * broadcast side — plus the standard ADC sum Σ_m qtab[m][code_m]
+    * over the GLOBAL residual codebooks. A 10×k shortlist reranks with
+    * exact cosine, as in [[pqTopK]].
+    *
+    * This is the genuinely 100 TB shape the flat PQ scan (p135) is not:
+    * the ADC scan there still reads every code row per query; here the
+    * `cell` equi-join prunes the scan to nProbe/nCells of the codes
+    * table (a partition-pruned read when the table is written bucketed
+    * by cell), while the codes keep the 32–256× memory compression.
+    * Work per query: nCells centroid dots + (nProbe/nCells)·N table
+    * lookups + k·shortlistFactor exact dots.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 4, nSub: Int = 8, nCodes: Int = 16,
+      shortlistFactor: Int = 10,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    val centroids = ivfCentroids(corpus, nCells, idCol, vecCol)
+    val centMatrix = typedlit(centroids.map(_._2.toArray).toSeq)
+    val residuals = corpus
+      .withColumn("cell",
+        ivfProbeCells(centroids, col(vecCol), 1).getItem(0).getField("cid"))
+      .withColumn("resid", residualCol(centMatrix, col("cell"), col(vecCol)))
+      .select(col(idCol), col("resid"))
+    val codebooks = pqCodebooks(residuals, nSub, nCodes, idCol, "resid")
+    val encoded = ivfPqEncodeTable(corpus, centroids, codebooks,
+      idCol, vecCol)
+    val nSubN = codebooks.length
+    val w = codebooks.head.head.length
+    val cb = typedlit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    // per-query: residual-codebook ADC table (shared across cells) +
+    // per-probed-cell centroid dot; both live on the broadcast side
+    val probes = queries.select(col(qidCol), col(qvecCol),
+        transform(sequence(lit(0), lit(nSubN - 1)), m =>
+          transform(element_at(cb, m + 1), cv =>
+            aggregate(zip_with(slice(col(qvecCol), m * w + 1, lit(w)), cv,
+              (x, y) => x.cast("double") * y.cast("double")),
+              lit(0.0), (a, x) => a + x))).as("qtab"),
+        l2norm(col(qvecCol)).as("qnorm"),
+        explode(ivfProbeCells(centroids, col(qvecCol), nProbe)
+          .getField("cid")).as("cell"))
+      .withColumn("qcdot", aggregate(
+        zip_with(col(qvecCol),
+          element_at(centMatrix, (col("cell") + 1).cast("int")),
+          (x, c) => x.cast("double") * c.cast("double")),
+        lit(0.0), (a, x) => a + x))
+    // the IVF prune: an equi-join on cell — only probed cells' code
+    // rows are scanned (vs the flat PQ crossJoin over every code row)
+    val scored = encoded.join(broadcast(probes), Seq("cell"))
+      .withColumn("adc", aggregate(
+        zip_with(col("codes"), sequence(lit(0), lit(nSubN - 1)),
+          (cm, m) => element_at(element_at(col("qtab"), m + 1), cm + 1)),
+        lit(0.0), (a, x) => a + x))
+      .withColumn("score", round(
+        when(col("qnorm") * col("rnorm") > 0,
+          (col("qcdot") + col("adc")) / (col("qnorm") * col("rnorm")))
+          .otherwise(0.0), 6))
+    val shortlist = rankTopK(scored, k * shortlistFactor, qidCol, idCol)
+      .select(col(qidCol), col(idCol))
+    val exact = corpus.select(col(idCol), col(vecCol))
+      .join(broadcast(shortlist), Seq(idCol))
+      .join(broadcast(queries.select(col(qidCol), col(qvecCol))), Seq(qidCol))
+      .withColumn("score", round(cosine(col(vecCol), col(qvecCol)), 6))
+    rankTopK(exact, k, qidCol, idCol)
+  }
+
   def semanticContamination(corpus: DataFrame, evalSet: DataFrame,
       threshold: Double = 0.98, idCol: String = "vec_id",
       vecCol: String = "embedding", evalIdCol: String = "eval_id",

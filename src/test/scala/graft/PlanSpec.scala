@@ -217,6 +217,23 @@ class PlanSpec extends SparkSpec {
       s"PQ scoring fell back to a cartesian product:\n$p")
   }
 
+  test("p136: IVF-PQ — cell-pruned code scan, vectors never shuffle") {
+    // the probe side joins the codes table on `cell` (equi-join, not a
+    // cross join over every code row), probes ride a broadcast, and
+    // float vectors appear only on the rerank's map side
+    val p = executed("p136_sim_ivfpq")
+    val pFinal = p.split("== Initial Plan ==")(0)
+    val vecExchanges = pFinal.linesIterator.filter(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange") &&
+        l.contains("embedding#")).toSeq
+    assert(vecExchanges.isEmpty,
+      s"embeddings crossed a shuffle:\n${vecExchanges.mkString("\n")}")
+    assert(!p.contains("CartesianProduct"),
+      s"IVF-PQ scoring fell back to a cartesian product:\n$p")
+    assert(pFinal.contains("BroadcastHashJoin"),
+      s"cell probe join not broadcast:\n$p")
+  }
+
   test("p79: blocklist membership is a broadcast join; text never shuffles") {
     val p = executed("p79_domain_blocklist")
     assert(p.contains("BroadcastHashJoin"),

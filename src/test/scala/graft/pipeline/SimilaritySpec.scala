@@ -307,6 +307,65 @@ class SimilaritySpec extends SparkSpec {
     assert(pq.exceptAll(again).isEmpty && again.exceptAll(pq).isEmpty)
   }
 
+  test("IVF-PQ: stored rnorm == norm of the literal reconstruction") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val nCells = 16; val nSub = 8; val nCodes = 16
+    val cents = Similarity.ivfCentroids(e, nCells, "vec_id", "embedding")
+    val centMatrix = typedlit(cents.map(_._2.toArray).toSeq)
+    val resid = e
+      .withColumn("cell", Similarity.ivfProbeCells(cents, col("embedding"), 1)
+        .getItem(0).getField("cid"))
+      .withColumn("resid", zip_with(col("embedding"),
+        element_at(centMatrix, (col("cell") + 1).cast("int")),
+        (x, c) => (x.cast("double") - c.cast("double")).cast("float")))
+      .select(col("vec_id"), col("resid"))
+    val cbs = Similarity.pqCodebooks(resid, nSub, nCodes, "vec_id", "resid")
+    val enc = Similarity.ivfPqEncodeTable(e, cents, cbs,
+      "vec_id", "embedding")
+    // index artifact shape: codes + one float, no vector column
+    assert(enc.columns.toSet == Set("cell", "vec_id", "codes", "rnorm"))
+    assert(enc.filter(size(col("codes")) =!= nSub).count() == 0)
+    assert(enc.filter(col("cell") < 0 || col("cell") >= nCells).count() == 0)
+    // the table-composed rnorm must equal ‖centroid[cell]+recon(codes)‖
+    // computed from a literal reconstruction
+    val cbLit = typedlit(cbs.map(_.map(_.toSeq).toSeq).toSeq)
+    val recon = zip_with(
+      element_at(centMatrix, (col("cell") + 1).cast("int")),
+      flatten(transform(col("codes"), (cm, m) =>
+        element_at(element_at(cbLit, m + 1), cm + 1))),
+      (c, r) => c.cast("double") + r.cast("double"))
+    val diff = enc.limit(200)
+      .withColumn("direct", sqrt(aggregate(recon, lit(0.0),
+        (a, x) => a + x * x)))
+      .select(max(abs(col("rnorm") - col("direct"))).as("d"))
+      .head().getDouble(0)
+    assert(diff < 1e-6, s"rnorm diverges from reconstruction norm: $diff")
+  }
+
+  test("IVF-PQ top-k: planted near-dups recalled through probed cells only") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val plants = e.filter(col("vec_id") === 3)
+      .select(col("embedding").as("emb"))
+      .withColumn("j", explode(sequence(lit(0), lit(9))))
+      .select((lit(5000000L) + col("j")).as("vec_id"),
+        zip_with(col("emb"), sequence(lit(0), size(col("emb")) - 1),
+          (x, i) => (x.cast("double") * (lit(1.0) + lit(0.1) *
+            (xxhash64(col("j"), i).cast("double") /
+              lit(Long.MaxValue.toDouble)))).cast("float")).as("embedding"))
+    val corpus = e.unionAll(plants)
+    val queries = e.filter(col("vec_id") === 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val exact = Similarity.bruteForceTopK(corpus, queries, k = 10)
+    val ivfpq = Similarity.ivfPqTopK(corpus, queries, k = 10)
+    val hit = ivfpq.select("qid", "vec_id")
+      .join(exact.select("qid", "vec_id"), Seq("qid", "vec_id")).count()
+    assert(hit >= 9, s"IVF-PQ recall $hit/10 below the 0.9 floor")
+    val again = Similarity.ivfPqTopK(corpus, queries, k = 10)
+    assert(ivfpq.exceptAll(again).isEmpty && again.exceptAll(ivfpq).isEmpty)
+  }
+
   test("p100: knnClassify majority vote + deterministic tie-breaks") {
     import spark.implicits._
     val labeled = Seq(
