@@ -59,7 +59,14 @@ object AnnScaleCheck {
           nCells = 16, nProbe = 4)),
       "p49_projected" -> (() =>
         Similarity.projectedTopK(corpus, queries, k = annK,
-          outDim = 256, shortlistFactor = 4)))
+          outDim = 256, shortlistFactor = 4)),
+      "p135_pq" -> (() =>
+        Similarity.pqTopK(corpus, queries, k = annK,
+          nSub = 8, nCodes = 16, shortlistFactor = 10)),
+      "p136_ivfpq" -> (() =>
+        Similarity.ivfPqTopK(corpus, queries, k = annK,
+          nCells = 16, nProbe = 4, nSub = 8, nCodes = 16,
+          shortlistFactor = 10)))
 
     var allOk = true
     val fields = ops.map { case (name, op) =>

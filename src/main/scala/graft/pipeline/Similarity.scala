@@ -599,6 +599,66 @@ object Similarity {
 
   // ---- IVF-PQ: coarse-list pruning × residual code compression ----
 
+  /** Per-subspace k-means PQ codebooks (Lloyd on a bounded,
+    * deterministically-hashed sample; the FAISS `ProductQuantizer.train`
+    * shape). [[pqCodebooks]]' sample-as-entries shortcut is fine for
+    * raw vectors but DEGENERATE for IVF residuals: its sample (smallest
+    * xxhash64(id)) is the very same 16 rows [[ivfCentroids]] picked as
+    * centroids, whose residuals against themselves are all zero — every
+    * entry identical, every row ties to code 0, and in-cell ADC ranking
+    * collapses to the id tie-break (caught by the 10× recall sweep; the
+    * small-SF gates hid it because the shortlist swallowed the probed
+    * population). A distinct hash seed decorrelates the sample and
+    * Lloyd iterations spread the entries; everything is driver-side
+    * over ≤`sampleN` rows (the broadcast-variable pattern — bounded
+    * work regardless of corpus size) and fully deterministic: hash-
+    * ordered sample, first-distinct init, fixed iteration count,
+    * empty clusters keep their previous entry.
+    */
+  private[graft] def pqCodebooksKmeans(corpus: DataFrame, nSub: Int,
+      nCodes: Int, idCol: String, vecCol: String, sampleN: Int = 2048,
+      iters: Int = 8): Array[Array[Array[Float]]] = {
+    val sample = corpus
+      .select(col(vecCol), xxhash64(lit("pqkm"), col(idCol)).as("h"))
+      .orderBy("h").limit(sampleN).drop("h")
+      .collect().map(_.getSeq[Float](0).toArray)
+    val dim = sample.head.length
+    require(dim % nSub == 0, s"dim $dim not divisible by nSub $nSub")
+    val w = dim / nSub
+    Array.tabulate(nSub) { m =>
+      val pts = sample.map(_.slice(m * w, (m + 1) * w).map(_.toDouble))
+      val init = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+      var i = 0
+      while (init.length < nCodes && i < pts.length) {
+        if (!init.exists(c => java.util.Arrays.equals(c, pts(i))))
+          init += pts(i)
+        i += 1
+      }
+      while (init.length < nCodes) init += init.head.clone()
+      var cents = init.toArray
+      for (_ <- 0 until iters) {
+        val sums = Array.fill(nCodes)(new Array[Double](w))
+        val counts = new Array[Long](nCodes)
+        pts.foreach { p =>
+          var best = 0; var bd = Double.MaxValue
+          var c = 0
+          while (c < nCodes) {
+            var d = 0.0; var j = 0
+            while (j < w) { val t = p(j) - cents(c)(j); d += t * t; j += 1 }
+            if (d < bd) { bd = d; best = c }
+            c += 1
+          }
+          var j = 0
+          while (j < w) { sums(best)(j) += p(j); j += 1 }
+          counts(best) += 1
+        }
+        cents = Array.tabulate(nCodes)(c =>
+          if (counts(c) > 0) sums(c).map(_ / counts(c)) else cents(c))
+      }
+      cents.map(_.map(_.toFloat))
+    }
+  }
+
   /** Residual of `vec` against its cell's centroid (the vector PQ
     * actually encodes in IVF-PQ — residuals cluster around the origin,
     * so shared codebooks quantize them far better than raw vectors).
@@ -685,7 +745,7 @@ object Similarity {
         ivfProbeCells(centroids, col(vecCol), 1).getItem(0).getField("cid"))
       .withColumn("resid", residualCol(centMatrix, col("cell"), col(vecCol)))
       .select(col(idCol), col("resid"))
-    val codebooks = pqCodebooks(residuals, nSub, nCodes, idCol, "resid")
+    val codebooks = pqCodebooksKmeans(residuals, nSub, nCodes, idCol, "resid")
     val encoded = ivfPqEncodeTable(corpus, centroids, codebooks,
       idCol, vecCol)
     val nSubN = codebooks.length

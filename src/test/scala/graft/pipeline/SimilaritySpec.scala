@@ -320,13 +320,24 @@ class SimilaritySpec extends SparkSpec {
         element_at(centMatrix, (col("cell") + 1).cast("int")),
         (x, c) => (x.cast("double") - c.cast("double")).cast("float")))
       .select(col("vec_id"), col("resid"))
-    val cbs = Similarity.pqCodebooks(resid, nSub, nCodes, "vec_id", "resid")
+    val cbs = Similarity.pqCodebooksKmeans(resid, nSub, nCodes,
+      "vec_id", "resid")
+    // the residual codebooks must not be degenerate: the sampled-rows
+    // shortcut once produced 16 identical (all-zero) entries because the
+    // PQ sample coincided with the centroid sample — every row then tied
+    // to code 0 and in-cell ranking collapsed to the id tie-break
+    for (m <- 0 until nSub)
+      assert(cbs(m).map(_.toSeq).distinct.length > 1,
+        s"subspace $m codebook entries all identical")
     val enc = Similarity.ivfPqEncodeTable(e, cents, cbs,
       "vec_id", "embedding")
     // index artifact shape: codes + one float, no vector column
     assert(enc.columns.toSet == Set("cell", "vec_id", "codes", "rnorm"))
     assert(enc.filter(size(col("codes")) =!= nSub).count() == 0)
     assert(enc.filter(col("cell") < 0 || col("cell") >= nCells).count() == 0)
+    // and the encode must USE that spread: more than one code combo
+    assert(enc.select("codes").distinct().count() > 1,
+      "every row encoded to the same code vector — ADC carries no signal")
     // the table-composed rnorm must equal ‖centroid[cell]+recon(codes)‖
     // computed from a literal reconstruction
     val cbLit = typedlit(cbs.map(_.map(_.toSeq).toSeq).toSeq)
