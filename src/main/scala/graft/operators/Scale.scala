@@ -2235,6 +2235,108 @@ object Scale {
         |  true AS result_equal
         |FROM merged""".stripMargin) { (s, dir) =>
       mergeCow(s, dir)
+    },
+
+    // x41: snapshot time travel through a manifest chain — the read
+    // side of the x34 (write-audit-publish) / x40 (CoW merge) / x30
+    // (GC) family. Three snapshots share one immutable file pool:
+    // v1 = 8 range-laid-out files, v2 = v1 + a 2-file append,
+    // v3 = CoW delete (manifest stats pick the ≤2 files intersecting
+    // the key band; only those are rewritten, untouched files are
+    // referenced verbatim). Reading "as of" version k is purely
+    // metadata planning — resolve manifest k's path list, read those
+    // files — and because CoW never mutates or removes a published
+    // file, v2 stays byte-identical when re-read AFTER v3 exists
+    // (the in-gate immutability bit). At 100 TB each manifest is a
+    // KB-scale table; time travel costs one metadata lookup, never a
+    // data copy. The oracle replays each version's logical state.
+    QueryDef("x41_time_travel",
+      """WITH b AS (SELECT min(event_id) AS lo0, max(event_id) AS hi0
+        |  FROM events),
+        |app AS (SELECT hi0 + i.i AS event_id, (hi0 + i.i) * 3 AS user_id
+        |  FROM b, (SELECT unnest(range(1, 201)) AS i) i),
+        |v2 AS (SELECT event_id, user_id FROM events
+        |  UNION ALL SELECT event_id, user_id FROM app),
+        |del AS (SELECT event_id FROM events, b
+        |  WHERE event_id BETWEEN lo0 + (hi0 - lo0) * 45 // 100
+        |    AND lo0 + (hi0 - lo0) * 50 // 100
+        |    AND event_id % 7 = 0)
+        |SELECT CAST(1 AS INT) AS version,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(user_id) AS BIGINT) AS sum_user, true AS ok
+        |FROM events
+        |UNION ALL
+        |SELECT CAST(2 AS INT), CAST(count(*) AS BIGINT),
+        |  CAST(sum(user_id) AS BIGINT), true
+        |FROM v2
+        |UNION ALL
+        |SELECT CAST(3 AS INT), CAST(count(*) AS BIGINT),
+        |  CAST(sum(user_id) AS BIGINT), true
+        |FROM v2 WHERE event_id NOT IN (SELECT event_id FROM del)
+        |ORDER BY version""".stripMargin) { (s, dir) =>
+      timeTravel(s, dir)
     }
   )
+
+  /** x41 runner — see the QueryDef comment for the contract. */
+  private[graft] def timeTravel(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_fmt").toString
+    val dataP = s"$root/x41_base"
+    val appendP = s"$root/x41_append"
+    val deltaP = s"$root/x41_delta"
+    Seq(dataP, appendP, deltaP).foreach(p => rmTree(new java.io.File(p)))
+    val events = t(s, dir, "events").select("event_id", "user_id")
+    events.repartitionByRange(8, col("event_id"))
+      .sortWithinPartitions("event_id")
+      .write.mode("overwrite").parquet(dataP)
+    // per-file stats manifest (file, min_id, max_id): one scan, 8 rows
+    def stats(path: String): Array[(String, Long, Long)] =
+      s.read.parquet(path)
+        .groupBy(input_file_name().as("file"))
+        .agg(min("event_id").as("mn"), max("event_id").as("mx"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val v1 = stats(dataP)
+    val mm = events.agg(min("event_id"), max("event_id")).head()
+    val (lo0, hi0) = (mm.getLong(0), mm.getLong(1))
+    // v2 = v1 + appended batch (2 files, keys all above hi0)
+    s.range(1, 201)
+      .select((lit(hi0) + col("id")).as("event_id"),
+        ((lit(hi0) + col("id")) * 3).as("user_id"))
+      .coalesce(2).write.mode("overwrite").parquet(appendP)
+    val v2 = v1 ++ stats(appendP)
+    // v3 = CoW delete of band keys divisible by 7: manifest stats pick
+    // the files intersecting [lo,hi]; only those rewrite into the delta
+    val lo = lo0 + (hi0 - lo0) * 45 / 100
+    val hi = lo0 + (hi0 - lo0) * 50 / 100
+    val picked = v2.filter { case (_, mn, mx) => mn <= hi && mx >= lo }
+      .map(_._1)
+    val untouched = v2.map(_._1).filterNot(picked.contains)
+    s.read.parquet(picked.toIndexedSeq: _*)
+      .filter(!(col("event_id").between(lo, hi) &&
+        col("event_id") % 7 === 0))
+      .coalesce(1).write.mode("overwrite").parquet(deltaP)
+    val v3 = untouched.map(f => (f, 0L, 0L)) ++ stats(deltaP)
+    // time-travel reads: resolve a manifest, read exactly its files
+    def readAsOf(mani: Seq[String]): (Long, Long) = {
+      val r = s.read.parquet(mani.toIndexedSeq: _*)
+        .agg(count(lit(1)), sum("user_id")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val r1 = readAsOf(v1.map(_._1).toIndexedSeq)
+    val r2 = readAsOf(v2.map(_._1).toIndexedSeq)
+    val r3 = readAsOf(v3.map(_._1).toIndexedSeq)
+    // immutability: v2 re-read AFTER v3 was published is unchanged
+    // (CoW rewrote into a NEW file; picked files still exist unreferenced)
+    val r2again = readAsOf(v2.map(_._1).toIndexedSeq)
+    val ok1 = v1.length == 8
+    val ok2 = v2.length == 10 && v1.map(_._1).forall(v2.map(_._1).contains)
+    val ok3 = picked.nonEmpty && picked.length <= 2 &&
+      untouched.length == 10 - picked.length && r2again == r2
+    import s.implicits._
+    Seq((1, r1._1, r1._2, ok1), (2, r2._1, r2._2, ok2),
+      (3, r3._1, r3._2, ok3))
+      .toDF("version", "n_rows", "sum_user", "ok")
+      .orderBy("version")
+  }
 }
