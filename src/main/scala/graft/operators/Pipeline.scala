@@ -2649,6 +2649,34 @@ object Pipeline {
           Corpus.importanceKeep(col("doc_id"), rate).as("kept"))
     },
 
+    // Exact-k weighted sampling without replacement (Efraimidis-
+    // Spirakis): "exactly 500 documents, probability proportional to
+    // length" — the exact-count mixture ask p53's Bernoulli rates
+    // can't express. Lowers to TakeOrderedAndProject over a per-row
+    // key; the oracle re-derives the md5 uniform positionally and
+    // replays the same round-then-tiebreak ranking.
+    QueryDef("p137_weighted_sample",
+      """WITH h AS (SELECT doc_id, n_chars AS w,
+        |    substring(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 8) AS hx
+        |  FROM documents WHERE n_chars > 0),
+        |v AS (SELECT doc_id, w,
+        |    (strpos('0123456789abcdef', substring(hx,1,1)) - 1) * 268435456.0
+        |  + (strpos('0123456789abcdef', substring(hx,2,1)) - 1) * 16777216.0
+        |  + (strpos('0123456789abcdef', substring(hx,3,1)) - 1) * 1048576.0
+        |  + (strpos('0123456789abcdef', substring(hx,4,1)) - 1) * 65536.0
+        |  + (strpos('0123456789abcdef', substring(hx,5,1)) - 1) * 4096.0
+        |  + (strpos('0123456789abcdef', substring(hx,6,1)) - 1) * 256.0
+        |  + (strpos('0123456789abcdef', substring(hx,7,1)) - 1) * 16.0
+        |  + (strpos('0123456789abcdef', substring(hx,8,1)) - 1) AS hv
+        |  FROM h)
+        |SELECT doc_id, CAST(w AS BIGINT) AS weight,
+        |  round(ln((hv + 1) / 4294967296.0) / w, 6) + 0.0 AS key
+        |FROM v ORDER BY key DESC, doc_id LIMIT 500""".stripMargin) {
+      (s, dir) =>
+      Corpus.weightedSampleK(t(s, dir, "documents"), k = 500,
+        weightCol = "n_chars")
+    },
+
     // benchmark = every 100th doc; a corpus doc is contaminated iff it
     // shares a 13-token window with any benchmark doc
     QueryDef("p24_contamination",

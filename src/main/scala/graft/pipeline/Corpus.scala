@@ -282,6 +282,36 @@ object Corpus {
       .otherwise(frac < thr)
   }
 
+  /** Exact-k weighted sampling WITHOUT replacement (Efraimidis &
+    * Spirakis 2006, "Weighted random sampling with a reservoir"): each
+    * row draws a deterministic uniform u ∈ (0,1] from md5(id) and is
+    * ranked by key = ln(u)/w — the top k keys are a weighted sample
+    * without replacement with inclusion probability ∝ w (taking
+    * ln(u)/w, monotone in u^(1/w), keeps the arithmetic to one log and
+    * one divide). This is the exact-count complement of the Bernoulli
+    * [[importanceKeep]] rule: "exactly K documents, quality-weighted"
+    * is the training-mixture ask importance rates can't express.
+    *
+    * Scale shape: key assignment is one narrow per-row expression; the
+    * global top-k lowers to TakeOrderedAndProject (per-partition heaps
+    * + a k-row driver merge — no global sort, no shuffle of the
+    * corpus). Keys are ROUNDED to 6 decimals with an id tie-break
+    * before ranking so the selected set is reproducible bit-for-bit
+    * across engines (the established round-then-tiebreak determinism
+    * rule; the statistical properties are unaffected).
+    */
+  def weightedSampleK(df: DataFrame, k: Int, weightCol: String,
+      idCol: String = "doc_id"): DataFrame = {
+    val u = (conv(substring(md5(concat(lit("ws:"),
+        col(idCol).cast("string"))), 1, 8), 16, 10).cast("double") + 1d) /
+      4294967296.0
+    df.filter(col(weightCol) > 0)
+      .select(col(idCol), col(weightCol).cast("long").as("weight"),
+        (round(log(u) / col(weightCol), 6) + 0.0).as("key"))
+      .orderBy(col("key").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Benchmark-contamination FRACTION: per corpus document, the share
     * of its distinct word n-gram windows that also occur anywhere in
     * the benchmark set — the thresholdable contamination score behind

@@ -1419,6 +1419,35 @@ class PipelineSpec extends SparkSpec {
     assert(out == "Title A & B <ok> end", s"got: '$out'")
   }
 
+  test("weightedSampleK: exact k, weight-monotone inclusion, top-k plan") {
+    import spark.implicits._
+    // two weight classes, 500 docs each: heavy docs weigh 50x more
+    val df = ((0L until 500L).map(i => (i, 5000L)) ++
+      (500L until 1000L).map(i => (i, 100L)))
+      .toDF("doc_id", "w")
+    val out = Corpus.weightedSampleK(df, k = 200, weightCol = "w")
+    val rows = out.collect()
+    assert(rows.length == 200)
+    // E-S inclusion is ∝ weight: the heavy half must dominate the
+    // sample (E[heavy] ≈ 196 of 200 at a 50:1 ratio; 150 is a loose
+    // deterministic floor for this fixed hash draw)
+    val heavy = rows.count(_.getLong(0) < 500L)
+    assert(heavy > 150, s"heavy-class count $heavy not dominant")
+    // determinism: same input → identical selected set and keys
+    val again = Corpus.weightedSampleK(df, k = 200, weightCol = "w")
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+    // zero/negative weights never selected
+    val withZero = df.withColumn("w",
+      when(col("doc_id") === 7L, 0L).otherwise(col("w")))
+    assert(Corpus.weightedSampleK(withZero, k = 1000, weightCol = "w")
+      .filter(col("doc_id") === 7L).count() == 0)
+    // scale shape: global top-k lowers to TakeOrderedAndProject
+    // (per-partition heaps), not a global Sort
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"weighted sample is not a bounded top-k:\n$plan")
+  }
+
   test("temperatureSample: alpha flattens, smallest source keeps everything") {
     import spark.implicits._
     val df = ((0 until 90).map(i => ("big", i.toLong)) ++
