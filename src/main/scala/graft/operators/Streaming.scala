@@ -1355,6 +1355,67 @@ object Streaming {
           (coalesce(col("n_same"), lit(0L)) === col("n_returned"))
             .as("same_as_flat"))
         .orderBy("qid")
+    },
+
+    // Streaming weighted reservoir (the p137 Efraimidis-Spirakis sample
+    // maintained over a stream): each micro-batch keeps only its local
+    // top-k by the deterministic ln(u)/w key and appends those ≤k
+    // candidate rows to the reservoir state; the global answer is the
+    // top-k over the appended candidates. Correct by the E-S merge
+    // property — a row outside its batch's top-k can never enter the
+    // global top-k — so batch boundaries and arrival order are
+    // irrelevant, and the stream-built sample is value-identical to
+    // the batch operator over the union (this gate's oracle IS p137's
+    // ranking replay). At 100 TB this is how an exact-count weighted
+    // sample survives continuous ingest: per-batch state is k rows,
+    // not the corpus.
+    QueryDef("s30_stream_weighted_reservoir",
+      """WITH h AS (SELECT doc_id, n_chars AS w,
+        |    substring(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 8) AS hx
+        |  FROM documents WHERE n_chars > 0),
+        |v AS (SELECT doc_id, w,
+        |    (strpos('0123456789abcdef', substring(hx,1,1)) - 1) * 268435456.0
+        |  + (strpos('0123456789abcdef', substring(hx,2,1)) - 1) * 16777216.0
+        |  + (strpos('0123456789abcdef', substring(hx,3,1)) - 1) * 1048576.0
+        |  + (strpos('0123456789abcdef', substring(hx,4,1)) - 1) * 65536.0
+        |  + (strpos('0123456789abcdef', substring(hx,5,1)) - 1) * 4096.0
+        |  + (strpos('0123456789abcdef', substring(hx,6,1)) - 1) * 256.0
+        |  + (strpos('0123456789abcdef', substring(hx,7,1)) - 1) * 16.0
+        |  + (strpos('0123456789abcdef', substring(hx,8,1)) - 1) AS hv
+        |  FROM h)
+        |SELECT doc_id, CAST(w AS BIGINT) AS weight,
+        |  round(ln((hv + 1) / 4294967296.0) / w, 6) + 0.0 AS key
+        |FROM v ORDER BY key DESC, doc_id LIMIT 500""".stripMargin) {
+      (s, dir) =>
+      import graft.pipeline.Corpus
+      val docs = graft.Tables.load(s, dir, "documents")
+        .select("doc_id", "n_chars")
+      val base = java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_fmt").toString
+      val srcDir = s"$base/s30_stream_src"
+      val resDir = s"$base/s30_reservoir"
+      rmTree(new java.io.File(srcDir)); rmTree(new java.io.File(resDir))
+      new java.io.File(srcDir).mkdirs()
+      writeSingle(docs.filter(col("doc_id") % 3 === 0), srcDir, "batch_a")
+      writeSingle(docs.filter(col("doc_id") % 3 === 1), srcDir, "batch_b")
+      writeSingle(docs.filter(col("doc_id") % 3 === 2), srcDir, "batch_c")
+      val schema = s.read.parquet(srcDir).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(srcDir)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          Corpus.weightedSampleK(batch, k = 500, weightCol = "n_chars")
+            .write.mode("append").parquet(resDir)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(resDir)
+        .orderBy(col("key").desc, col("doc_id"))
+        .limit(500)
     }
   )
 }
