@@ -622,6 +622,15 @@ object Similarity {
       .select(col(vecCol), xxhash64(lit("pqkm"), col(idCol)).as("h"))
       .orderBy("h").limit(sampleN).drop("h")
       .collect().map(_.getSeq[Float](0).toArray)
+    kmeansCodebooks(sample, nSub, nCodes, iters)
+  }
+
+  /** Lloyd k-means per subspace over an in-memory sample (the driver
+    * half of [[pqCodebooksKmeans]], exposed so IVF-PQ can train on
+    * driver-residualized samples without a full-corpus residual pass).
+    */
+  private[graft] def kmeansCodebooks(sample: Array[Array[Float]],
+      nSub: Int, nCodes: Int, iters: Int): Array[Array[Array[Float]]] = {
     val dim = sample.head.length
     require(dim % nSub == 0, s"dim $dim not divisible by nSub $nSub")
     val w = dim / nSub
@@ -740,12 +749,36 @@ object Similarity {
       qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
     val centroids = ivfCentroids(corpus, nCells, idCol, vecCol)
     val centMatrix = typedlit(centroids.map(_._2.toArray).toSeq)
-    val residuals = corpus
-      .withColumn("cell",
-        ivfProbeCells(centroids, col(vecCol), 1).getItem(0).getField("cid"))
-      .withColumn("resid", residualCol(centMatrix, col("cell"), col(vecCol)))
-      .select(col(idCol), col("resid"))
-    val codebooks = pqCodebooksKmeans(residuals, nSub, nCodes, idCol, "resid")
+    // codebook training touches only the ≤sampleN sampled rows:
+    // collect their raw vectors (one bounded TakeOrdered job — no
+    // full-corpus residual pass) and residualize on the driver with a
+    // mirror of the cosine cell assignment (training-side assignment
+    // only shapes quantization quality; the encode-side expression is
+    // the authoritative one)
+    val sampleVecs = corpus
+      .select(col(vecCol), xxhash64(lit("pqkm"), col(idCol)).as("h"))
+      .orderBy("h").limit(2048).drop("h")
+      .collect().map(_.getSeq[Float](0).toArray)
+    def nearestCell(v: Array[Float]): Int = {
+      val vn = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+      var best = 0; var bs = Double.MinValue
+      for (((_, c), i) <- centroids.zipWithIndex) {
+        var d = 0.0; var n2 = 0.0
+        var j = 0
+        while (j < v.length) {
+          d += v(j).toDouble * c(j).toDouble
+          n2 += c(j).toDouble * c(j).toDouble; j += 1
+        }
+        val cos = if (vn > 0 && n2 > 0) d / (vn * math.sqrt(n2)) else 0.0
+        if (cos > bs) { bs = cos; best = i }
+      }
+      best
+    }
+    val sampleResiduals = sampleVecs.map { v =>
+      val c = centroids(nearestCell(v))._2
+      Array.tabulate(v.length)(j => v(j) - c(j))
+    }
+    val codebooks = kmeansCodebooks(sampleResiduals, nSub, nCodes, 8)
     val encoded = ivfPqEncodeTable(corpus, centroids, codebooks,
       idCol, vecCol)
     val nSubN = codebooks.length
