@@ -1134,6 +1134,28 @@ object Scale {
     * same probes → identical results including tiebreaks); PlanSpec
     * asserts the dynamicpruning filter actually reached the cell scan.
     */
+  /** x42 serving path: train, encode to a cell-partitioned codes
+    * layout, and answer queries THROUGH the store (the frame PlanSpec
+    * checks for the dynamicpruning partition filter).
+    */
+  private[graft] def ivfPqLayoutServe(s: SparkSession,
+      dir: String): DataFrame = {
+    import graft.pipeline.Similarity
+    val corpus = t(s, dir, "embeddings")
+    val queries = corpus.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val (cents, cbs) = Similarity.ivfPqTrain(corpus, 16, 8, 16,
+      "vec_id", "embedding")
+    val layoutDir = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      "graft_fmt", "x42_ivfpq_layout").toString
+    Similarity.ivfPqEncodeTable(corpus, cents, cbs, "vec_id", "embedding")
+      .write.partitionBy("cell").mode("overwrite").parquet(layoutDir)
+    Similarity.ivfPqTopKFromCodes(s.read.parquet(layoutDir), corpus,
+      queries, cents, cbs, k = 10, nProbe = 4, shortlistFactor = 10,
+      "vec_id", "embedding", "qid", "qvec")
+  }
+
   private[graft] def ivfLayoutTopK(s: SparkSession, dir: String): DataFrame = {
     import graft.pipeline.Similarity
     val k = 10
@@ -1426,6 +1448,37 @@ object Scale {
         |  true AS same_as_flat
         |FROM embeddings WHERE vec_id < 5 ORDER BY qid""".stripMargin) {
       (s, dir) => ivfLayoutTopK(s, dir)
+    },
+
+    // The persisted IVF-PQ index: x13's cell-partitioned DPP layout
+    // holding p136's CODES table — at 100 TB the stored artifact is
+    // nSub bytes + one float per row (32-256x smaller than the
+    // embeddings) AND the probe join lists only probed cells' files.
+    // Compression and pruning compose because neither touches the
+    // other's axis: PQ shrinks the rows, partitioning skips the files.
+    // The gate pins the served top-k identical to the in-memory
+    // operator (same training → same ranking incl. tiebreaks);
+    // PlanSpec pins the dynamicpruning filter on the stored scan.
+    QueryDef("x42_ivfpq_layout",
+      """SELECT vec_id AS qid, CAST(10 AS BIGINT) AS n_returned,
+        |  true AS same_as_flat
+        |FROM embeddings WHERE vec_id < 5 ORDER BY qid""".stripMargin) {
+      (s, dir) =>
+      val k = 10
+      val corpus = t(s, dir, "embeddings")
+      val queries = corpus.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val served = ivfPqLayoutServe(s, dir).select("qid", "vec_id")
+      val flat = graft.pipeline.Similarity
+        .ivfPqTopK(corpus, queries, k = k).select("qid", "vec_id")
+      val same = served.join(flat, Seq("qid", "vec_id"))
+        .groupBy("qid").agg(count(lit(1)).as("n_same"))
+      served.groupBy("qid").agg(count(lit(1)).as("n_returned"))
+        .join(same, Seq("qid"), "left")
+        .select(col("qid"), col("n_returned"),
+          (coalesce(col("n_same"), lit(0L)) === col("n_returned"))
+            .as("same_as_flat"))
+        .orderBy("qid")
     },
 
     // Z-order (Morton) multi-dimensional clustering: 2-dim box queries

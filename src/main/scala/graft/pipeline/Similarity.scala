@@ -742,19 +742,18 @@ object Similarity {
     * Work per query: nCells centroid dots + (nProbe/nCells)·N table
     * lookups + k·shortlistFactor exact dots.
     */
-  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nCells: Int = 16, nProbe: Int = 4, nSub: Int = 8, nCodes: Int = 16,
-      shortlistFactor: Int = 10,
-      idCol: String = "vec_id", vecCol: String = "embedding",
-      qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+  /** Train the two halves of an IVF-PQ index: coarse centroids + Lloyd
+    * residual codebooks. Codebook training touches only the ≤2048
+    * sampled rows: their raw vectors are collected (one bounded
+    * TakeOrdered job — no full-corpus residual pass) and residualized
+    * on the driver with a mirror of the cosine cell assignment
+    * (training-side assignment only shapes quantization quality; the
+    * encode-side expression is the authoritative one).
+    */
+  private[graft] def ivfPqTrain(corpus: DataFrame, nCells: Int, nSub: Int,
+      nCodes: Int, idCol: String, vecCol: String)
+      : (Array[(Long, Seq[Float])], Array[Array[Array[Float]]]) = {
     val centroids = ivfCentroids(corpus, nCells, idCol, vecCol)
-    val centMatrix = typedlit(centroids.map(_._2.toArray).toSeq)
-    // codebook training touches only the ≤sampleN sampled rows:
-    // collect their raw vectors (one bounded TakeOrdered job — no
-    // full-corpus residual pass) and residualize on the driver with a
-    // mirror of the cosine cell assignment (training-side assignment
-    // only shapes quantization quality; the encode-side expression is
-    // the authoritative one)
     val sampleVecs = corpus
       .select(col(vecCol), xxhash64(lit("pqkm"), col(idCol)).as("h"))
       .orderBy("h").limit(2048).drop("h")
@@ -778,9 +777,33 @@ object Similarity {
       val c = centroids(nearestCell(v))._2
       Array.tabulate(v.length)(j => v(j) - c(j))
     }
-    val codebooks = kmeansCodebooks(sampleResiduals, nSub, nCodes, 8)
-    val encoded = ivfPqEncodeTable(corpus, centroids, codebooks,
-      idCol, vecCol)
+    (centroids, kmeansCodebooks(sampleResiduals, nSub, nCodes, 8))
+  }
+
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 4, nSub: Int = 8, nCodes: Int = 16,
+      shortlistFactor: Int = 10,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    val (centroids, codebooks) =
+      ivfPqTrain(corpus, nCells, nSub, nCodes, idCol, vecCol)
+    ivfPqTopKFromCodes(
+      ivfPqEncodeTable(corpus, centroids, codebooks, idCol, vecCol),
+      corpus, queries, centroids, codebooks, k, nProbe, shortlistFactor,
+      idCol, vecCol, qidCol, qvecCol)
+  }
+
+  /** Probe + ADC + rerank against a prebuilt (possibly persisted,
+    * cell-partitioned) codes table — the serving path of the index;
+    * see [[ivfPqTopK]] for the full contract.
+    */
+  private[graft] def ivfPqTopKFromCodes(encoded: DataFrame,
+      corpus: DataFrame, queries: DataFrame,
+      centroids: Array[(Long, Seq[Float])],
+      codebooks: Array[Array[Array[Float]]], k: Int, nProbe: Int,
+      shortlistFactor: Int, idCol: String, vecCol: String,
+      qidCol: String, qvecCol: String): DataFrame = {
+    val centMatrix = typedlit(centroids.map(_._2.toArray).toSeq)
     val nSubN = codebooks.length
     val w = codebooks.head.head.length
     val cb = typedlit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
@@ -795,6 +818,12 @@ object Similarity {
         l2norm(col(qvecCol)).as("qnorm"),
         explode(ivfProbeCells(centroids, col(qvecCol), nProbe)
           .getField("cid")).as("cell"))
+      // match the codes table's cell dtype (a partitionBy("cell")
+      // layout reads back int): casting the PROBE side keeps the
+      // stored scan's partition attribute raw, so the equi-join can
+      // drive dynamic partition pruning — unprobed cells' files are
+      // never listed
+      .withColumn("cell", col("cell").cast(encoded.schema("cell").dataType))
       .withColumn("qcdot", aggregate(
         zip_with(col(qvecCol),
           element_at(centMatrix, (col("cell") + 1).cast("int")),
