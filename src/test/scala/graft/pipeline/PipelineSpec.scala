@@ -1448,6 +1448,46 @@ class PipelineSpec extends SparkSpec {
       s"weighted sample is not a bounded top-k:\n$plan")
   }
 
+  test("weightedSampleK merge property: top-k of batch top-ks == global (ScalaCheck)") {
+    // the invariant s30's streaming reservoir rests on: for ANY split
+    // of the corpus into batches, the global E-S top-k over per-batch
+    // top-k candidates equals the batch operator over the union (a row
+    // outside its batch's top-k has a key below k batch-local keys,
+    // hence below the global kth key). Fuzz: random ids/weights, random
+    // 3-way batch assignment, duplicate weights, k larger and smaller
+    // than batch sizes.
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val rowGen = for {
+      id <- Gen.choose(0L, 10000L)
+      w <- Gen.oneOf(1L, 2L, 50L, 1000L)
+      b <- Gen.choose(0, 2)
+    } yield (id, w, b)
+    val caseGen = for {
+      n <- Gen.choose(0, 60)
+      rows <- Gen.listOfN(n, rowGen)
+      k <- Gen.oneOf(1, 5, 25)
+    } yield (rows.distinctBy(_._1), k)
+    var checked = 0
+    val prop = Prop.forAll(caseGen) { case (rows, k) =>
+      val df = rows.toDF("doc_id", "w", "b")
+      val global = Corpus.weightedSampleK(df, k, weightCol = "w")
+        .collect().map(r => (r.getLong(0), r.getDouble(2))).sorted.toSeq
+      val merged = (0 to 2).map(b =>
+          Corpus.weightedSampleK(df.filter(col("b") === b), k,
+            weightCol = "w"))
+        .reduce(_ unionAll _)
+        .orderBy(col("key").desc, col("doc_id")).limit(k)
+        .collect().map(r => (r.getLong(0), r.getDouble(2))).sorted.toSeq
+      checked += 1
+      global == merged
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(40), prop)
+    assert(res.passed, s"merge property failed: ${res.status}")
+    assert(checked >= 40)
+  }
+
   test("temperatureSample: alpha flattens, smallest source keeps everything") {
     import spark.implicits._
     val df = ((0 until 90).map(i => ("big", i.toLong)) ++
