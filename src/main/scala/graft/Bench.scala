@@ -93,6 +93,7 @@ object Bench {
     "x40_merge_cow",      // file-pruned copy-on-write MERGE (3 of 16 files)
     "p135_sim_pq",        // PQ ANN: ADC code scan + rerank (raw operator)
     "p136_sim_ivfpq",     // IVF-PQ: cell-pruned ADC scan (vs p135 full scan)
+    "p136s_ivfpq_serve",  // serving only, prebuilt index (build amortized)
     "f07_csv_ingest_cold", // CSV parse + agg, no cache (dsq cold analog)
     "f08_csv_ingest_warm") // cached-parquet + agg (dsq -C warm analog)
 
@@ -125,6 +126,31 @@ object Bench {
         .write.mode("overwrite").parquet(pq)
     (csv, pq)
   }
+
+  /** One-time IVF-PQ index fixture (layout dir + trained halves),
+    * built outside the timed region and reused across runs — the
+    * p136s entry times serving only.
+    */
+  private val ivfPqFixtures = scala.collection.mutable.Map[String,
+    (String, Array[(Long, Seq[Float])], Array[Array[Array[Float]]])]()
+  private def ensureIvfPqIndex(s: SparkSession, sfDir: String)
+      : (String, Array[(Long, Seq[Float])], Array[Array[Array[Float]]]) =
+    ivfPqFixtures.getOrElseUpdate(sfDir, {
+      val srcMtime =
+        new java.io.File(s"$sfDir/embeddings.parquet").lastModified
+      val key = s"${sfDir.replaceAll("[^A-Za-z0-9._-]", "_")}_$srcMtime"
+      val layout = java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_bench",
+        key, "ivfpq_layout").toString
+      val corpus = Tables.load(s, sfDir, "embeddings")
+      val (cents, cbs) = graft.pipeline.Similarity.ivfPqTrain(
+        corpus, 16, 8, 16, "vec_id", "embedding")
+      if (!new java.io.File(layout, "_SUCCESS").exists())
+        graft.pipeline.Similarity
+          .ivfPqEncodeTable(corpus, cents, cbs, "vec_id", "embedding")
+          .write.partitionBy("cell").mode("overwrite").parquet(layout)
+      (layout, cents, cbs)
+    })
 
   private def ingestAgg(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{avg, count, lit}
@@ -172,6 +198,20 @@ object Bench {
         graft.pipeline.Similarity.ivfPqTopK(corpus, queries,
           k = 10, nCells = 16, nProbe = 4, nSub = 8, nCodes = 16,
           shortlistFactor = 10)
+      },
+      "p136s_ivfpq_serve" -> { (s, dir) =>
+        // the SERVING half alone: p136's in-gate time is dominated by
+        // one-time index build (train + encode), which production
+        // amortizes across every query — this times probe + cell-pruned
+        // ADC + rerank against the prebuilt cell-partitioned layout
+        val (layout, cents, cbs) = ensureIvfPqIndex(s, dir)
+        val corpus = Tables.load(s, dir, "embeddings")
+        val queries = corpus.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        graft.pipeline.Similarity.ivfPqTopKFromCodes(
+          s.read.parquet(layout), corpus, queries, cents, cbs,
+          k = 10, nProbe = 4, shortlistFactor = 10,
+          "vec_id", "embedding", "qid", "qvec")
       },
       "p49_sim_projected" -> { (s, dir) =>
         val corpus = Tables.load(s, dir, "embeddings")
