@@ -434,28 +434,54 @@ object Bench {
     // entries (measured 2024 chars; the tail window fits ≤ ~1920, r9),
     // and names are ~75% of the bytes. The numbering prefix IS each
     // entry's identity ("p104_threshold_calibration" → "p104"; the
-    // contract's own example uses "q1"), prefixes are unique by
-    // construction, and the prior-min loader above matches either form
-    // — so this tier scales to ~150 entries with every annotation kept.
-    // bench_out.json (committed) always carries the full-name detail.
+    // contract's own example uses "q1"); a COLLIDING prefix keeps its
+    // full name (uniqueness is a convention, not an invariant — falling
+    // back to the full-name map on collision would re-emit the very
+    // over-budget line this tier exists to avoid), and the prior-min
+    // loader above matches either form — so this tier scales to ~150
+    // entries with every annotation kept. bench_out.json (committed)
+    // always carries the full-name detail.
+    val emitKey: Map[String, String] = {
+      val byPrefix = results.map(_._1).groupBy(shortKey)
+      results.map(_._1).map(n => n ->
+        (if (byPrefix(shortKey(n)).size == 1) shortKey(n) else n)).toMap
+    }
     val baseShort = {
       val q2 = results.map { case (k, v) =>
-        s""""${shortKey(k)}":${fmt2(v)}""" }.mkString("{", ",", "}")
+        s""""${emitKey(k)}":${fmt2(v)}""" }.mkString("{", ",", "}")
       val rj = if (rechecked.isEmpty) ""
-        else rechecked.keys.toSeq.map(shortKey).sorted
+        else rechecked.keys.toSeq.map(emitKey).sorted
           .map(k => s""""$k"""").mkString(""","rechecked":[""", ",", "]")
       val oj = if (stillOver.isEmpty) ""
-        else stillOver.toSeq.map(shortKey).sorted
+        else stillOver.toSeq.map(emitKey).sorted
           .map(k => s""""$k"""").mkString(""","still_over_prior":[""", ",", "]")
       s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","queries":$q2,"sf":$sfNum,"runs":$nRuns$rj$oj"""
     }
-    val shortKeysUnique =
-      results.map(r => shortKey(r._1)).distinct.size == results.size
+    // guaranteed-parseable last resort (~300 entries and beyond): keep
+    // the totals + every annotation, restrict the queries map to the
+    // annotated entries, and say so — an unparseable line loses the
+    // whole round's bench story (the BENCH_r06 failure mode), a marked
+    // truncation loses only per-entry detail that bench_out.json keeps
+    val baseMinimal = {
+      val rmap = results.toMap
+      val ann = (rechecked.keys ++ stillOver).toSeq.distinct.sorted
+      val q2 = ann.map(k =>
+        s""""${emitKey(k)}":${fmt2(rmap.getOrElse(k, -1.0))}""")
+        .mkString("{", ",", "}")
+      val rj = if (rechecked.isEmpty) ""
+        else rechecked.keys.toSeq.map(emitKey).sorted
+          .map(k => s""""$k"""").mkString(""","rechecked":[""", ",", "]")
+      val oj = if (stillOver.isEmpty) ""
+        else stillOver.toSeq.map(emitKey).sorted
+          .map(k => s""""$k"""").mkString(""","still_over_prior":[""", ",", "]")
+      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","queries":$q2,"sf":$sfNum,"runs":$nRuns,"queries_truncated":true$rj$oj"""
+    }
     val line =
       if (withSpread.length <= 1870) withSpread
       else if (base.length + 1 <= 1870) s"$base}"
-      else if (base2.length + 1 <= 1870 || !shortKeysUnique) s"$base2}"
-      else s"$baseShort}"
+      else if (base2.length + 1 <= 1870) s"$base2}"
+      else if (baseShort.length + 1 <= 1870) s"$baseShort}"
+      else s"$baseMinimal}"
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${results
         .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")

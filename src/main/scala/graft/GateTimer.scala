@@ -28,13 +28,24 @@ object GateTimer {
     spark.sparkContext.setLogLevel("WARN")
     val selected = SparkEntry.queries.filter { case (n, _) =>
       prefixes.exists(n.startsWith) }.toSeq.sortBy(_._1)
+    if (selected.isEmpty) {
+      System.err.println(s"no gate matches prefixes: ${prefixes.mkString(",")}")
+      spark.stop(); sys.exit(2)
+    }
     val fields = selected.map { case (name, fn) =>
       var best = Double.MaxValue
       var rows = -1L
       for (_ <- 0 until runs) {
         val t0 = System.nanoTime()
-        rows = fn(spark, dir).count()
+        // materialize EVERY column through the noop sink (the Bench
+        // convention): a count() here would let Catalyst prune the
+        // per-row expressions the gate exists to measure (column
+        // pruning drops scoring projections, EliminateSorts drops
+        // ordering), silently under-timing projection-shaped gates
+        val df = fn(spark, dir)
+        df.write.format("noop").mode("overwrite").save()
         best = best.min((System.nanoTime() - t0) / 1e9)
+        if (rows < 0) rows = df.count()
       }
       f""""$name":{"sec":$best%.2f,"rows":$rows}"""
     }

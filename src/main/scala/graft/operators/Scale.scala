@@ -1136,10 +1136,12 @@ object Scale {
     */
   /** x42 serving path: train, encode to a cell-partitioned codes
     * layout, and answer queries THROUGH the store (the frame PlanSpec
-    * checks for the dynamicpruning partition filter).
+    * checks for the dynamicpruning partition filter). Returns the
+    * trained halves too so the gate's flat comparison reuses them.
     */
-  private[graft] def ivfPqLayoutServe(s: SparkSession,
-      dir: String): DataFrame = {
+  private[graft] def ivfPqLayoutParts(s: SparkSession, dir: String)
+      : (DataFrame, Array[(Long, Seq[Float])],
+         Array[Array[Array[Float]]]) = {
     import graft.pipeline.Similarity
     val corpus = t(s, dir, "embeddings")
     val queries = corpus.filter(col("vec_id") < 5)
@@ -1151,10 +1153,13 @@ object Scale {
       "graft_fmt", "x42_ivfpq_layout").toString
     Similarity.ivfPqEncodeTable(corpus, cents, cbs, "vec_id", "embedding")
       .write.partitionBy("cell").mode("overwrite").parquet(layoutDir)
-    Similarity.ivfPqTopKFromCodes(s.read.parquet(layoutDir), corpus,
+    (Similarity.ivfPqTopKFromCodes(s.read.parquet(layoutDir), corpus,
       queries, cents, cbs, k = 10, nProbe = 4, shortlistFactor = 10,
-      "vec_id", "embedding", "qid", "qvec")
+      "vec_id", "embedding", "qid", "qvec"), cents, cbs)
   }
+
+  private[graft] def ivfPqLayoutServe(s: SparkSession,
+      dir: String): DataFrame = ivfPqLayoutParts(s, dir)._1
 
   private[graft] def ivfLayoutTopK(s: SparkSession, dir: String): DataFrame = {
     import graft.pipeline.Similarity
@@ -1464,21 +1469,21 @@ object Scale {
         |  true AS same_as_flat
         |FROM embeddings WHERE vec_id < 5 ORDER BY qid""".stripMargin) {
       (s, dir) =>
-      val k = 10
+      import graft.pipeline.Similarity
       val corpus = t(s, dir, "embeddings")
       val queries = corpus.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      val served = ivfPqLayoutServe(s, dir).select("qid", "vec_id")
-      val flat = graft.pipeline.Similarity
-        .ivfPqTopK(corpus, queries, k = k).select("qid", "vec_id")
-      val same = served.join(flat, Seq("qid", "vec_id"))
-        .groupBy("qid").agg(count(lit(1)).as("n_same"))
-      served.groupBy("qid").agg(count(lit(1)).as("n_returned"))
-        .join(same, Seq("qid"), "left")
-        .select(col("qid"), col("n_returned"),
-          (coalesce(col("n_same"), lit(0L)) === col("n_returned"))
-            .as("same_as_flat"))
-        .orderBy("qid")
+      // ONE trained index shared by both sides: the equality then
+      // isolates exactly what x42 claims to test — the storage
+      // roundtrip + DPP-pruned serving path — instead of also relying
+      // on re-training determinism (and paying train+encode twice)
+      val (served, cents, cbs) = ivfPqLayoutParts(s, dir)
+      val flat = Similarity.ivfPqTopKFromCodes(
+        Similarity.ivfPqEncodeTable(corpus, cents, cbs,
+          "vec_id", "embedding"),
+        corpus, queries, cents, cbs, k = 10, nProbe = 4,
+        shortlistFactor = 10, "vec_id", "embedding", "qid", "qvec")
+      Similarity.sameTopK(served, flat)
     },
 
     // Z-order (Morton) multi-dimensional clustering: 2-dim box queries

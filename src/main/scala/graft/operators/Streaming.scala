@@ -545,17 +545,9 @@ object Streaming {
         .withColumn("score",
           round(Similarity.cosine(col("embedding"), col("qvec")), 6))
       val layoutTop = Similarity.rankTopK(scored, 10, "qid", "vec_id")
-        .select("qid", "vec_id")
       val flatTop = Similarity.ivfTopK(corpus, queries, k = 10,
-        nCells = 16, nProbe = 4).select("qid", "vec_id")
-      val same = layoutTop.join(flatTop, Seq("qid", "vec_id"))
-        .groupBy("qid").agg(count(lit(1)).as("n_same"))
-      layoutTop.groupBy("qid").agg(count(lit(1)).as("n_returned"))
-        .join(same, Seq("qid"), "left")
-        .select(col("qid"), col("n_returned"),
-          (coalesce(col("n_same"), lit(0L)) === col("n_returned"))
-            .as("same_as_flat"))
-        .orderBy("qid")
+        nCells = 16, nProbe = 4)
+      Similarity.sameTopK(layoutTop, flatTop)
     },
 
     // Streaming vocabulary-novelty monitor (the p93 Heaps curve, fed
@@ -1344,17 +1336,9 @@ object Streaming {
       val streamTop = Similarity.pqTopKFromCodes(
         s.read.parquet(idxDir), corpus, queries, cbs,
         k = 10, shortlistFactor = 10,
-        "vec_id", "embedding", "qid", "qvec").select("qid", "vec_id")
+        "vec_id", "embedding", "qid", "qvec")
       val flatTop = Similarity.pqTopK(corpus, queries, k = 10)
-        .select("qid", "vec_id")
-      val same = streamTop.join(flatTop, Seq("qid", "vec_id"))
-        .groupBy("qid").agg(count(lit(1)).as("n_same"))
-      streamTop.groupBy("qid").agg(count(lit(1)).as("n_returned"))
-        .join(same, Seq("qid"), "left")
-        .select(col("qid"), col("n_returned"),
-          (coalesce(col("n_same"), lit(0L)) === col("n_returned"))
-            .as("same_as_flat"))
-        .orderBy("qid")
+      Similarity.sameTopK(streamTop, flatTop)
     },
 
     // Streaming weighted reservoir (the p137 Efraimidis-Spirakis sample

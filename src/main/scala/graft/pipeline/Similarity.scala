@@ -615,15 +615,21 @@ object Similarity {
     * ordered sample, first-distinct init, fixed iteration count,
     * empty clusters keep their previous entry.
     */
+  /** Deterministic ≤`sampleN`-row vector sample (smallest seeded
+    * xxhash64 of id; one bounded TakeOrdered job) — the shared sampling
+    * step of [[pqCodebooksKmeans]] and [[ivfPqTrain]].
+    */
+  private[graft] def sampleByHash(corpus: DataFrame, idCol: String,
+      vecCol: String, sampleN: Int): Array[Array[Float]] = corpus
+    .select(col(vecCol), xxhash64(lit("pqkm"), col(idCol)).as("h"))
+    .orderBy("h").limit(sampleN).drop("h")
+    .collect().map(_.getSeq[Float](0).toArray)
+
   private[graft] def pqCodebooksKmeans(corpus: DataFrame, nSub: Int,
       nCodes: Int, idCol: String, vecCol: String, sampleN: Int = 2048,
-      iters: Int = 8): Array[Array[Array[Float]]] = {
-    val sample = corpus
-      .select(col(vecCol), xxhash64(lit("pqkm"), col(idCol)).as("h"))
-      .orderBy("h").limit(sampleN).drop("h")
-      .collect().map(_.getSeq[Float](0).toArray)
-    kmeansCodebooks(sample, nSub, nCodes, iters)
-  }
+      iters: Int = 8): Array[Array[Array[Float]]] =
+    kmeansCodebooks(sampleByHash(corpus, idCol, vecCol, sampleN),
+      nSub, nCodes, iters)
 
   /** Lloyd k-means per subspace over an in-memory sample (the driver
     * half of [[pqCodebooksKmeans]], exposed so IVF-PQ can train on
@@ -631,6 +637,7 @@ object Similarity {
     */
   private[graft] def kmeansCodebooks(sample: Array[Array[Float]],
       nSub: Int, nCodes: Int, iters: Int): Array[Array[Array[Float]]] = {
+    require(sample.nonEmpty, "empty training sample: corpus has no rows")
     val dim = sample.head.length
     require(dim % nSub == 0, s"dim $dim not divisible by nSub $nSub")
     val w = dim / nSub
@@ -754,10 +761,7 @@ object Similarity {
       nCodes: Int, idCol: String, vecCol: String)
       : (Array[(Long, Seq[Float])], Array[Array[Array[Float]]]) = {
     val centroids = ivfCentroids(corpus, nCells, idCol, vecCol)
-    val sampleVecs = corpus
-      .select(col(vecCol), xxhash64(lit("pqkm"), col(idCol)).as("h"))
-      .orderBy("h").limit(2048).drop("h")
-      .collect().map(_.getSeq[Float](0).toArray)
+    val sampleVecs = sampleByHash(corpus, idCol, vecCol, 2048)
     def nearestCell(v: Array[Float]): Int = {
       val vn = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
       var best = 0; var bs = Double.MinValue
@@ -847,6 +851,26 @@ object Similarity {
       .join(broadcast(queries.select(col(qidCol), col(qvecCol))), Seq(qidCol))
       .withColumn("score", round(cosine(col(vecCol), col(qvecCol)), 6))
     rankTopK(exact, k, qidCol, idCol)
+  }
+
+  /** Per-query equality frame for served-vs-flat gate comparisons:
+    * (qid, n_returned, same_as_flat) where same_as_flat holds iff every
+    * returned id for the query also appears in the reference result.
+    * Shared by the index-layout gates (x13/x42-style) and the streaming
+    * index gates (s29-style) so the comparison semantics live once.
+    */
+  private[graft] def sameTopK(got: DataFrame, want: DataFrame,
+      qidCol: String = "qid", idCol: String = "vec_id"): DataFrame = {
+    val g = got.select(col(qidCol), col(idCol))
+    val w = want.select(col(qidCol), col(idCol))
+    val same = g.join(w, Seq(qidCol, idCol))
+      .groupBy(qidCol).agg(count(lit(1)).as("n_same"))
+    g.groupBy(qidCol).agg(count(lit(1)).as("n_returned"))
+      .join(same, Seq(qidCol), "left")
+      .select(col(qidCol), col("n_returned"),
+        (coalesce(col("n_same"), lit(0L)) === col("n_returned"))
+          .as("same_as_flat"))
+      .orderBy(qidCol)
   }
 
   def semanticContamination(corpus: DataFrame, evalSet: DataFrame,

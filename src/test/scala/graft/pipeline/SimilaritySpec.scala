@@ -311,17 +311,12 @@ class SimilaritySpec extends SparkSpec {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
       .select("vec_id", "embedding")
     val nCells = 16; val nSub = 8; val nCodes = 16
-    val cents = Similarity.ivfCentroids(e, nCells, "vec_id", "embedding")
+    // train through the PRODUCTION path (ivfPqTrain), not a spec-local
+    // reconstruction — the degeneracy assertion below must watch the
+    // codebooks the operator actually uses
+    val (cents, cbs) = Similarity.ivfPqTrain(e, nCells, nSub, nCodes,
+      "vec_id", "embedding")
     val centMatrix = typedlit(cents.map(_._2.toArray).toSeq)
-    val resid = e
-      .withColumn("cell", Similarity.ivfProbeCells(cents, col("embedding"), 1)
-        .getItem(0).getField("cid"))
-      .withColumn("resid", zip_with(col("embedding"),
-        element_at(centMatrix, (col("cell") + 1).cast("int")),
-        (x, c) => (x.cast("double") - c.cast("double")).cast("float")))
-      .select(col("vec_id"), col("resid"))
-    val cbs = Similarity.pqCodebooksKmeans(resid, nSub, nCodes,
-      "vec_id", "resid")
     // the residual codebooks must not be degenerate: the sampled-rows
     // shortcut once produced 16 identical (all-zero) entries because the
     // PQ sample coincided with the centroid sample — every row then tied
