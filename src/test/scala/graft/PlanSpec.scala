@@ -184,6 +184,55 @@ class PlanSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("x39: broadcast interval enrich — fact side crosses no exchange, no sort") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.graft.IntervalJoinOps
+    // same denial as x38: with no repartition on the fact side, any
+    // Exchange in the executed plan must be the exec's own requirement
+    val points = (1 to 500).map(i => (i % 7L, i.toLong, (i * 13 % 97).toLong))
+      .toDF("k", "pid", "ts")
+    val windows = Seq((1L, 5L, 20L, "a"), (1L, 15L, 40L, "b"),
+      (2L, 0L, 96L, "c")).toDF("wk", "lo", "hi", "v")
+    val out = IntervalJoinOps.pointInIntervalBroadcast(points, windows,
+      "k", "ts", "wk", "lo", "hi", outer = true)
+    out.collect()
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("IntervalEnrichBroadcast"),
+      s"broadcast enrich exec not planned:\n$p")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty && exchanges.forall(_.contains("BroadcastExchange")),
+      s"fact side shuffled:\n${exchanges.mkString("\n")}")
+    assert(!p.contains("Sort "), s"a sort appeared:\n$p")
+    // and it agrees with the declarative BETWEEN left join on the same data
+    val a = out.select("pid", "v").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) "-" else r.getString(1)))
+      .sorted.toSeq
+    val b = points.join(windows,
+        col("k") === col("wk") && col("ts").between(col("lo"), col("hi")),
+        "left")
+      .select("pid", "v").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) "-" else r.getString(1)))
+      .sorted.toSeq
+    assert(a == b)
+  }
+
+  test("p137: weighted top-k lowers to TakeOrderedAndProject — no global sort") {
+    import spark.implicits._
+    // the SURVEY row claims the E-S key ranking never sorts the corpus;
+    // pin it: TakeOrderedAndProject present, no Sort node, no range
+    // partitioning exchange in the executed plan
+    val docs = (1 to 2000).map(i => (i.toLong, (i % 50 + 1).toLong))
+      .toDF("doc_id", "weight")
+    val out = graft.pipeline.Corpus.weightedSampleK(docs, 25, "weight")
+    out.collect()
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"weighted sample did not lower to top-k:\n$p")
+    assert(!p.contains("Sort ") && !p.contains("rangepartitioning"),
+      s"a global sort appeared:\n$p")
+  }
+
   test("p80w: winnowed span removal keeps the p80 plan discipline") {
     // the stride path swaps CharGramPosHashes for WinnowAnchorHashes but
     // must keep the same shuffle shape: broadcast hash prefilter, no
