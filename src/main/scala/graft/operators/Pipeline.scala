@@ -2677,6 +2677,64 @@ object Pipeline {
         weightCol = "n_chars")
     },
 
+    // Declarative data-contract validation (Deequ shape): uniqueness,
+    // domain, range, not-null and referential checks each lower to a
+    // partial aggregate or key-only anti-join; the oracle recomputes
+    // every count as independent SQL. `pass` booleans are value-checked
+    // (not asserted) — a violation the engine missed flips the row.
+    QueryDef("p138_data_contract",
+      """SELECT check_name, checked, violations, violations = 0 AS pass
+        |FROM (
+        |  SELECT 'orders_pk_unique' AS check_name,
+        |    (SELECT COUNT(*) FROM orders) AS checked,
+        |    (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders)
+        |      AS violations
+        |  UNION ALL SELECT 'orders_status_domain',
+        |    (SELECT COUNT(*) FROM orders),
+        |    (SELECT COUNT(*) FROM orders
+        |     WHERE o_orderstatus NOT IN ('O','F','P'))
+        |  UNION ALL SELECT 'orders_price_positive',
+        |    (SELECT COUNT(*) FROM orders),
+        |    (SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0)
+        |  UNION ALL SELECT 'orders_fk_customer',
+        |    (SELECT COUNT(*) FROM orders),
+        |    (SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN
+        |      (SELECT c_custkey FROM customer))
+        |  UNION ALL SELECT 'lineitem_fk_orders',
+        |    (SELECT COUNT(*) FROM lineitem),
+        |    (SELECT COUNT(*) FROM lineitem WHERE l_orderkey NOT IN
+        |      (SELECT o_orderkey FROM orders))
+        |  UNION ALL SELECT 'lineitem_qty_range',
+        |    (SELECT COUNT(*) FROM lineitem),
+        |    (SELECT COUNT(*) FROM lineitem
+        |     WHERE l_quantity NOT BETWEEN 1 AND 50)
+        |  UNION ALL SELECT 'customer_acctbal_notnull',
+        |    (SELECT COUNT(*) FROM customer),
+        |    (SELECT COUNT(*) FROM customer WHERE c_acctbal IS NULL)
+        |) ORDER BY check_name""".stripMargin) { (s, dir) =>
+      graft.pipeline.Contracts.dataContract(t(s, dir, "orders"),
+        t(s, dir, "customer"), t(s, dir, "lineitem"))
+    },
+
+    // k-anonymity / l-diversity release report over the customer
+    // quasi-identifiers (nation, segment): group sizes, suppression
+    // verdict at k=10, and distinct sensitive-bucket counts — the
+    // Sweeney/Machanavajjhala guards a metadata release runs. One
+    // partial-agg groupBy over a 3-column projection.
+    QueryDef("p139_k_anonymity",
+      """SELECT c_nationkey, c_mktsegment,
+        |  CAST(COUNT(*) AS BIGINT) AS group_n,
+        |  COUNT(*) >= 10 AS kept,
+        |  CAST(COUNT(DISTINCT CAST(FLOOR(CAST(c_acctbal AS DOUBLE)
+        |    / 1000.0) AS BIGINT)) AS BIGINT) AS l_div
+        |FROM customer GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) {
+      (s, dir) =>
+      graft.pipeline.Contracts.kAnonymity(t(s, dir, "customer"),
+        Seq("c_nationkey", "c_mktsegment"),
+        floor(col("c_acctbal").cast("double") / 1000.0).cast("long"),
+        k = 10)
+    },
+
     // benchmark = every 100th doc; a corpus doc is contaminated iff it
     // shares a 13-token window with any benchmark doc
     QueryDef("p24_contamination",

@@ -1,0 +1,105 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Release-pipeline guards over structured tables: declarative
+  * data-contract validation (the Deequ / Great-Expectations shape —
+  * Schelter et al., "Automating Large-Scale Data Quality Verification",
+  * VLDB 2018) and k-anonymity / l-diversity reporting (Sweeney 2002;
+  * Machanavajjhala et al. 2007). The reference engine has no
+  * counterpart; these belong to the extension tier a training-data
+  * release actually runs before publishing a corpus or its metadata.
+  *
+  * Scale: every check lowers to a partial aggregate or an equi
+  * anti-join over a key-only projection — no driver-side collects, no
+  * product joins. The report frames are one row each; unioning them is
+  * O(#constraints). At 100 TB the scans are column-pruned to the
+  * guarded columns, uniqueness is a two-phase (map-side partial)
+  * group-count, and referential checks shuffle only join keys (AQE
+  * broadcasts the dimension side when it fits).
+  */
+object Contracts {
+
+  /** One report row per constraint: (check_name, checked, violations,
+    * pass). `checked` is the row count of the guarded table so a
+    * violation rate is derivable downstream; `pass` iff zero
+    * violations. Constraint set:
+    *
+    *  - `orders_pk_unique`        o_orderkey occurs once (violations =
+    *                              rows beyond the first per key)
+    *  - `orders_status_domain`    o_orderstatus ∈ {O, F, P}
+    *  - `orders_price_positive`   o_totalprice > 0
+    *  - `orders_fk_customer`      every o_custkey resolves in customer
+    *  - `lineitem_fk_orders`      every l_orderkey resolves in orders
+    *  - `lineitem_qty_range`      l_quantity ∈ [1, 50]
+    *  - `customer_acctbal_notnull`
+    *
+    * NULL semantics follow SQL: a NULL guarded value fails a NOT-IN /
+    * range predicate silently (not counted as a violation) everywhere
+    * except the explicit not-null check — matching what the same
+    * predicates count in the DuckDB oracle.
+    */
+  def dataContract(orders: DataFrame, customer: DataFrame,
+      lineitem: DataFrame): DataFrame = {
+    def n(df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).cast("long").as("checked"))
+    def viol(df: DataFrame, c: Column): DataFrame =
+      df.agg(coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L))
+        .cast("long").as("violations"))
+    def antiCount(fact: DataFrame, factKey: String, dim: DataFrame,
+        dimKey: String): DataFrame =
+      fact.select(factKey)
+        .join(dim.select(dimKey), col(factKey) === col(dimKey), "left_anti")
+        .agg(count(lit(1)).cast("long").as("violations"))
+    // (checked × violations) is a 1-row × 1-row cross join: constant
+    // size regardless of table size, so the barrier is free
+    def report(name: String, checked: DataFrame,
+        violations: DataFrame): DataFrame =
+      checked.crossJoin(violations).select(
+        lit(name).as("check_name"), col("checked"), col("violations"),
+        (col("violations") === 0L).as("pass"))
+
+    val nOrders = n(orders)
+    val checks = Seq(
+      report("orders_pk_unique", nOrders,
+        orders.groupBy("o_orderkey").agg(count(lit(1)).as("cnt"))
+          .agg(coalesce(sum(col("cnt") - 1L), lit(0L)).cast("long")
+            .as("violations"))),
+      report("orders_status_domain", nOrders,
+        viol(orders, !col("o_orderstatus").isin("O", "F", "P"))),
+      report("orders_price_positive", nOrders,
+        viol(orders, col("o_totalprice") <= 0)),
+      report("orders_fk_customer", nOrders,
+        antiCount(orders, "o_custkey", customer, "c_custkey")),
+      report("lineitem_fk_orders", n(lineitem),
+        antiCount(lineitem, "l_orderkey", orders, "o_orderkey")),
+      report("lineitem_qty_range", n(lineitem),
+        viol(lineitem, !col("l_quantity").between(1, 50))),
+      report("customer_acctbal_notnull", n(customer),
+        viol(customer, col("c_acctbal").isNull)))
+    checks.reduce(_ unionAll _).orderBy("check_name")
+  }
+
+  /** k-anonymity report over quasi-identifier columns: one row per
+    * quasi-group with its size, whether it survives suppression at
+    * threshold `k` (`kept` = size ≥ k — the groups a release would have
+    * to drop or generalize), and the group's l-diversity (distinct
+    * values of the sensitive expression — a group of well-represented
+    * size is still unsafe if everyone in it shares one sensitive
+    * value). Output is bounded by the quasi-domain cardinality, not the
+    * table size; ordering by the quasi columns is total because they
+    * are the grouping key.
+    */
+  def kAnonymity(df: DataFrame, quasi: Seq[String], sensitive: Column,
+      k: Int): DataFrame = {
+    val qc = quasi.map(col)
+    df.select(qc :+ sensitive.as("sens_v"): _*)
+      .groupBy(qc: _*)
+      .agg(count(lit(1)).cast("long").as("group_n"),
+        count_distinct(col("sens_v")).cast("long").as("l_div"))
+      .select(qc ++ Seq(col("group_n"), (col("group_n") >= k).as("kept"),
+        col("l_div")): _*)
+      .orderBy(qc: _*)
+  }
+}
