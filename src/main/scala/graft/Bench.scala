@@ -94,6 +94,8 @@ object Bench {
     "p135_sim_pq",        // PQ ANN: ADC code scan + rerank (raw operator)
     "p136_sim_ivfpq",     // IVF-PQ: cell-pruned ADC scan (vs p135 full scan)
     "p136s_ivfpq_serve",  // serving only, prebuilt index (build amortized)
+    "p138_data_contract", // 7 checks: partial aggs + key-only anti-joins
+    "p139_k_anonymity",   // quasi-group partial agg + distinct buckets
     "f07_csv_ingest_cold", // CSV parse + agg, no cache (dsq cold analog)
     "f08_csv_ingest_warm") // cached-parquet + agg (dsq -C warm analog)
 
