@@ -1400,6 +1400,88 @@ object Streaming {
       s.read.parquet(resDir)
         .orderBy(col("key").desc, col("doc_id"))
         .limit(500)
+    },
+
+    // Streaming data-quality monitor (the p138 contract evaluated over
+    // continuous ingest): each micro-batch appends (a) its conditional
+    // violation counts for the batch-decomposable checks — counts sum
+    // across batches because the predicates are row-local — and (b) its
+    // per-key partial counts for the pk-uniqueness check, which is NOT
+    // row-local: a key is a violation only relative to every batch, so
+    // the monitor persists the map-side partial aggregate (key, cnt)
+    // and merges at report time. Per-batch state is O(batch keys), the
+    // corpus is never re-read, and the final report must equal the
+    // batch dataContract restricted to orders — via p138's own oracle
+    // rows. At 100 TB the key store is the content-hash-index shape
+    // (s09) applied to constraint state.
+    QueryDef("s31_stream_contract_monitor",
+      """SELECT check_name, checked, violations, violations = 0 AS pass
+        |FROM (
+        |  SELECT 'orders_pk_unique' AS check_name,
+        |    (SELECT COUNT(*) FROM orders) AS checked,
+        |    (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders)
+        |      AS violations
+        |  UNION ALL SELECT 'orders_price_positive',
+        |    (SELECT COUNT(*) FROM orders),
+        |    (SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0)
+        |  UNION ALL SELECT 'orders_status_domain',
+        |    (SELECT COUNT(*) FROM orders),
+        |    (SELECT COUNT(*) FROM orders
+        |     WHERE o_orderstatus NOT IN ('O','F','P'))
+        |) ORDER BY check_name""".stripMargin) { (s, dir) =>
+      val orders = graft.Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val base = java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_fmt").toString
+      val srcDir = s"$base/s31_stream_src"
+      val statsDir = s"$base/s31_stats"
+      val keysDir = s"$base/s31_keys"
+      Seq(srcDir, statsDir, keysDir).foreach(d => rmTree(new java.io.File(d)))
+      new java.io.File(srcDir).mkdirs()
+      (0 until 4).foreach { b =>
+        writeSingle(orders.filter(col("o_orderkey") % 4 === b),
+          srcDir, s"batch_$b")
+      }
+      val schema = s.read.parquet(srcDir).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(srcDir)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.agg(
+            count(lit(1)).cast("long").as("checked"),
+            coalesce(sum(when(!col("o_orderstatus").isin("O", "F", "P"),
+              1L).otherwise(0L)), lit(0L)).cast("long").as("v_status"),
+            coalesce(sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)),
+              lit(0L)).cast("long").as("v_price"))
+            .select(expr("stack(2, " +
+              "'orders_status_domain', checked, v_status, " +
+              "'orders_price_positive', checked, v_price) " +
+              "AS (check_name, checked, violations)"))
+            .coalesce(1).write.mode("append").parquet(statsDir)
+          batch.groupBy("o_orderkey")
+            .agg(count(lit(1)).cast("long").as("cnt"))
+            .coalesce(1).write.mode("append").parquet(keysDir)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val decomposable = s.read.parquet(statsDir)
+        .groupBy("check_name")
+        .agg(sum(col("checked")).cast("long").as("checked"),
+          sum(col("violations")).cast("long").as("violations"))
+      val pk = s.read.parquet(keysDir).agg(
+        sum(col("cnt")).cast("long").as("checked"),
+        (sum(col("cnt")) - count_distinct(col("o_orderkey"))).cast("long")
+          .as("violations"))
+        .select(lit("orders_pk_unique").as("check_name"),
+          col("checked"), col("violations"))
+      decomposable.unionAll(pk)
+        .select(col("check_name"), col("checked"), col("violations"),
+          (col("violations") === 0L).as("pass"))
+        .orderBy("check_name")
     }
   )
 }
