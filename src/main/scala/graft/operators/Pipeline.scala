@@ -2735,6 +2735,57 @@ object Pipeline {
         k = 10)
     },
 
+    // Hybrid retrieval by reciprocal-rank fusion (Cormack SIGIR'09):
+    // the p85 BM25 top-10 fused with the p06 dense cosine top-10 for
+    // the same query identities (doc_id < 5 text queries ↔ vec_id < 5
+    // embedding queries). The fusion join is k-bounded per query — the
+    // retrievers carry all corpus-scale cost. Oracle replays BOTH
+    // rankings (the p85 BM25 CTEs + the p06 cosine scan) and the
+    // 1/(60+rank) arithmetic; rrf doubles are sums of exact
+    // small-integer reciprocals, identical across engines.
+    QueryDef("p140_hybrid_rrf",
+      s"""$bm25ScoredCtes,
+        |srk AS (SELECT qid, id, ROW_NUMBER() OVER (PARTITION BY qid
+        |    ORDER BY score DESC, id) AS rank FROM sc),
+        |sp AS (SELECT qid, id, rank FROM srk WHERE rank <= 10),
+        |dq AS (SELECT vec_id AS qid, embedding AS qvec
+        |  FROM embeddings WHERE vec_id < 5),
+        |dsc AS (SELECT dq.qid, e.vec_id AS id,
+        |    ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                 CAST(dq.qvec AS DOUBLE[])), 6)
+        |      AS score
+        |  FROM embeddings e CROSS JOIN dq),
+        |drk AS (SELECT qid, id, ROW_NUMBER() OVER (PARTITION BY qid
+        |    ORDER BY score DESC, id) AS rank FROM dsc),
+        |dn AS (SELECT qid, id, rank FROM drk WHERE rank <= 10),
+        |fu AS (SELECT COALESCE(sp.qid, dn.qid) AS qid,
+        |    COALESCE(sp.id, dn.id) AS id,
+        |    ROUND(COALESCE(CAST(1 AS DOUBLE) / (60 + sp.rank), 0)
+        |        + COALESCE(CAST(1 AS DOUBLE) / (60 + dn.rank), 0), 6)
+        |      AS rrf
+        |  FROM sp FULL OUTER JOIN dn
+        |    ON sp.qid = dn.qid AND sp.id = dn.id),
+        |fr AS (SELECT qid, id, rrf, ROW_NUMBER() OVER (PARTITION BY qid
+        |    ORDER BY rrf DESC, id) AS rank FROM fu)
+        |SELECT qid, id AS doc_id, rrf, CAST(rank AS BIGINT) AS rank
+        |FROM fr WHERE rank <= 10""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val queries = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"),
+          concat_ws(" ", slice(TextAnalysis.tokens(lower(col("text"))),
+            1, 30)).as("qtext"))
+      val sparse = Retrieval.bm25TopK(docs, queries, k = 10)
+        .select(col("qid"), col("doc_id").as("id"), col("rank"))
+      val emb = t(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val dense = Similarity.bruteForceTopK(emb, qv, k = 10)
+        .select(col("qid"), col("vec_id").as("id"), col("rank"))
+      Retrieval.rrfFuse(sparse, dense, k = 10)
+        .select(col("qid"), col("id").as("doc_id"), col("rrf"),
+          col("rank").cast("long").as("rank"))
+    },
+
     // benchmark = every 100th doc; a corpus doc is contaminated iff it
     // shares a 13-token window with any benchmark doc
     QueryDef("p24_contamination",

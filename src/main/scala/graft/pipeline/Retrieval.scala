@@ -650,4 +650,32 @@ object Retrieval {
         (sum(when(col("rt"), 0L).otherwise(1L)) === 0L)
           .as("roundtrip_ok"))
   }
+
+  /** Reciprocal-rank fusion of two per-query rankings (Cormack et al.,
+    * SIGIR 2009): rrf(d) = Σ_lists 1/(c + rank_list(d)), a document
+    * absent from one list contributing 0 from it. Inputs are
+    * (qid, id, rank) frames — typically two top-k retriever outputs —
+    * so the full-outer fusion join is k-bounded per query regardless of
+    * corpus size; the retrievers carry the scale cost. Output:
+    * (qid, id, rrf, rank) with the (rrf desc, id) deterministic
+    * tiebreak; rrf rounded once AFTER the sum (the operands are exact
+    * reciprocals of small integers, identical across engines).
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int, c: Int = 60,
+      qidCol: String = "qid", idCol: String = "id",
+      rankCol: String = "rank"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def side(df: DataFrame, out: String): DataFrame =
+      df.select(col(qidCol), col(idCol),
+        col(rankCol).cast("long").as(out))
+    val fused = side(a, "r_a").join(side(b, "r_b"),
+        Seq(qidCol, idCol), "full_outer")
+      .select(col(qidCol), col(idCol),
+        round(coalesce(lit(1.0) / (lit(c) + col("r_a")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c) + col("r_b")), lit(0.0)), 6)
+          .as("rrf"))
+    fused.withColumn("rank", row_number().over(
+        Window.partitionBy(qidCol).orderBy(col("rrf").desc, col(idCol))))
+      .filter(col("rank") <= k)
+  }
 }

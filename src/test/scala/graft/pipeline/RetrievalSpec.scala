@@ -412,4 +412,37 @@ class RetrievalSpec extends SparkSpec {
     assert(got == Seq((1L, "a a", 4L), (2L, "aa a", 2L), (3L, "b b", 1L)),
       got.toString)
   }
+
+  // ---- reciprocal-rank fusion ---------------------------------------
+
+  test("rrfFuse: hand-replayed RRF, one-list absences, deterministic ties") {
+    import spark.implicits._
+    // list A ranks docs 10,11,12; list B ranks 11,10,13 — doc 12 and 13
+    // each appear in only one list; 12 and 13 share the same single-list
+    // rank-3 score so the id tiebreak must order 12 before 13
+    val a = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
+      .toDF("qid", "id", "rank")
+    val b = Seq((1L, 11L, 1), (1L, 10L, 2), (1L, 13L, 3))
+      .toDF("qid", "id", "rank")
+    val got = Retrieval.rrfFuse(a, b, k = 10).collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getInt(3))).sortBy(_._3)
+    def rrf(xs: Double*) =
+      BigDecimal(xs.map(1.0 / _).sum)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.toSeq == Seq(
+      (10L, rrf(61, 62), 1),   // sum equals doc 11's — id tiebreak wins
+      (11L, rrf(62, 61), 2),
+      (12L, rrf(63), 3),       // single-list, id 12 < 13
+      (13L, rrf(63), 4)), got.mkString(", "))
+  }
+
+  test("rrfFuse: k cut applies per query independently") {
+    import spark.implicits._
+    val a = (1 to 8).map(i => (7L, 100L + i, i)).toDF("qid", "id", "rank")
+    val b = (1 to 8).map(i => (8L, 200L + i, i)).toDF("qid", "id", "rank")
+    val got = Retrieval.rrfFuse(a, b, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == Seq((7L, 101L), (7L, 102L), (7L, 103L),
+      (8L, 201L), (8L, 202L), (8L, 203L)), got.toString)
+  }
 }
