@@ -2786,6 +2786,42 @@ object Pipeline {
           col("rank").cast("long").as("rank"))
     },
 
+    // ColBERT-style MaxSim late interaction (Khattab & Zaharia
+    // SIGIR'20): each embedding as 4 contiguous 16-dim sub-vectors,
+    // score = Σ_i max_j cos(q_i, d_j). Per-slice cosines quantize to
+    // exact micro-units before max/sum, so the oracle's
+    // group-aggregation order can't drift the double sum — the same
+    // determinism discipline as the decimal-cast SUMs.
+    QueryDef("p141_maxsim_topk",
+      """WITH sub0 AS (SELECT vec_id, embedding,
+        |    unnest(range(0, 4)) AS i FROM embeddings),
+        |sub AS (SELECT vec_id, i,
+        |    list_slice(embedding, i * 16 + 1, i * 16 + 16) AS sv
+        |  FROM sub0),
+        |q AS (SELECT vec_id AS qid, i AS qi, sv AS qs FROM sub
+        |  WHERE vec_id < 5),
+        |d AS (SELECT vec_id AS id, i AS di, sv AS ds FROM sub),
+        |pr AS (SELECT q.qid, d.id, q.qi,
+        |    MAX(CAST(ROUND(list_cosine_similarity(
+        |      CAST(d.ds AS DOUBLE[]), CAST(q.qs AS DOUBLE[])) * 1000000)
+        |      AS BIGINT)) AS m
+        |  FROM q CROSS JOIN d GROUP BY 1, 2, 3),
+        |sc AS (SELECT qid, id,
+        |    CAST(SUM(m) AS DOUBLE) / 1000000 AS score
+        |  FROM pr GROUP BY 1, 2),
+        |rk AS (SELECT qid, id, score,
+        |    ROW_NUMBER() OVER (PARTITION BY qid
+        |                       ORDER BY score DESC, id) AS rank
+        |  FROM sc)
+        |SELECT qid, id AS vec_id, score, CAST(rank AS BIGINT) AS rank
+        |FROM rk WHERE rank <= 10""".stripMargin) { (s, dir) =>
+      val corpus = t(s, dir, "embeddings")
+      val queries = corpus.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.maxSimTopK(corpus, queries, nSub = 4, k = 10)
+        .withColumn("rank", col("rank").cast("long"))
+    },
+
     // benchmark = every 100th doc; a corpus doc is contaminated iff it
     // shares a 13-token window with any benchmark doc
     QueryDef("p24_contamination",

@@ -853,6 +853,37 @@ object Similarity {
     rankTopK(exact, k, qidCol, idCol)
   }
 
+  /** ColBERT-style late-interaction (MaxSim) retrieval (Khattab &
+    * Zaharia, SIGIR 2020) over multi-vector document representations —
+    * here the nSub contiguous sub-vector slices of each embedding:
+    * score(q, d) = Σ_i max_j cos(q_i, d_j). Per-slice cosines are
+    * quantized to exact micro-units (round(cos·1e6) as long) BEFORE the
+    * max/sum so the aggregation is integer-exact and engine-order-free;
+    * the reported score is that integer sum / 1e6. One codegen'd
+    * nested-lambda expression per (query, doc) pair — the slice arrays
+    * never explode into rows — with the bounded query set broadcast
+    * (the p06 brute-force shape); the scale path shortlists with any
+    * ANN index first and MaxSim-reranks the shortlist.
+    */
+  def maxSimTopK(corpus: DataFrame, queries: DataFrame, nSub: Int,
+      k: Int, idCol: String = "vec_id", vecCol: String = "embedding",
+      qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    def slices(c: Column): Column = {
+      val w = size(c) / nSub
+      transform(sequence(lit(0), lit(nSub - 1)),
+        i => slice(c, i * w + 1, w))
+    }
+    val q = queries.select(col(qidCol), slices(col(qvecCol)).as("qsl"))
+    val d = corpus.select(col(idCol), slices(col(vecCol)).as("dsl"))
+    val scored = d.crossJoin(broadcast(q))
+      .select(col(qidCol), col(idCol),
+        (aggregate(col("qsl"), lit(0L),
+          (acc, qs) => acc + array_max(transform(col("dsl"),
+            ds => round(cosine(qs, ds) * 1e6).cast("long"))))
+          .cast("double") / 1e6).as("score"))
+    rankTopK(scored, k, qidCol, idCol)
+  }
+
   /** Per-query equality frame for served-vs-flat gate comparisons:
     * (qid, n_returned, same_as_flat) where same_as_flat holds iff every
     * returned id for the query also appears in the reference result.

@@ -372,6 +372,29 @@ class SimilaritySpec extends SparkSpec {
     assert(ivfpq.exceptAll(again).isEmpty && again.exceptAll(ivfpq).isEmpty)
   }
 
+  test("maxSim: hand-computed slice max/sum, self-retrieval, micro-exactness") {
+    import spark.implicits._
+    // 4-dim vectors, nSub=2 -> two 2-dim slices. Doc 1 == query slices
+    // permuted (MaxSim is alignment-free: score must equal nSub);
+    // doc 2 orthogonal everywhere (score 0); doc 3 half-aligned.
+    val q = Seq((0L, Seq(1f, 0f, 0f, 1f))).toDF("qid", "qvec")
+    val d = Seq(
+      (1L, Seq(0f, 1f, 1f, 0f)),   // slices swapped AND rotated vs q
+      (2L, Seq(0f, 1f, -1f, 0f)),  // slice1 ⟂ both, slice2 ⟂/− both
+      (3L, Seq(1f, 0f, 1f, 0f)))   // first slice matches q's first
+      .toDF("vec_id", "embedding")
+    val got = Similarity.maxSimTopK(d, q, nSub = 2, k = 3)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    // q slices: (1,0), (0,1). doc1 slices: (0,1), (1,0):
+    //   max cos for (1,0) vs {(0,1),(1,0)} = 1; for (0,1) likewise = 1
+    assert(got.head == ((1L, 2.0)), got.toString)
+    // doc2: (1,0) maxes at 0 over {(0,1),(-1,0)}; (0,1) vs (0,1) = 1.
+    // doc3: (1,0) vs (1,0) = 1; (0,1) maxes at 0. Both score 1.0 —
+    // the id tiebreak must order doc 2 before doc 3.
+    assert(got(1) == ((2L, 1.0)), got.toString)
+    assert(got(2) == ((3L, 1.0)), got.toString)
+  }
+
   test("p100: knnClassify majority vote + deterministic tie-breaks") {
     import spark.implicits._
     val labeled = Seq(
