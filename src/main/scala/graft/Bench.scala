@@ -96,6 +96,8 @@ object Bench {
     "p136s_ivfpq_serve",  // serving only, prebuilt index (build amortized)
     "p138_data_contract", // 7 checks: partial aggs + key-only anti-joins
     "p139_k_anonymity",   // quasi-group partial agg + distinct buckets
+    "p140_hybrid_rrf",    // BM25 + dense cosine, k-bounded RRF fusion
+    "p141_maxsim_topk",   // MaxSim nested-lambda slice scoring
     "f07_csv_ingest_cold", // CSV parse + agg, no cache (dsq cold analog)
     "f08_csv_ingest_warm") // cached-parquet + agg (dsq -C warm analog)
 
