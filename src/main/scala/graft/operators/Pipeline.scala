@@ -78,6 +78,43 @@ object Pipeline {
         min("ts").as("sess_start"), max("ts").as("sess_end"))
   }
 
+  /** Ordered-funnel conversion over an event stream: step i's cohort is
+    * the users whose FIRST qualifying event strictly follows their step
+    * i−1 anchor time (first-match semantics, microsecond granularity —
+    * integer, engine-portable). Output: one row per step with the
+    * surviving-user count and the conversion rate from the previous
+    * step. Distributed shape: per step one filtered scan + user-keyed
+    * partial-agg min, equi-joined to the previous ≤1-row-per-user
+    * anchor frame — no window over the full event stream, no products;
+    * the final rate window runs over #steps rows. At 100 TB each
+    * anchor frame is at most one row per user and joins shuffle only
+    * (user_id, anchor) pairs.
+    */
+  def funnelSteps(events: DataFrame,
+      steps: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val anchors = steps.tail.scanLeft(
+      events.filter(col("event_type") === steps.head)
+        .groupBy("user_id")
+        .agg(min(unix_micros(col("ts"))).as("anchor_us"))) { (prev, st) =>
+      events.filter(col("event_type") === st)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"))
+        .join(prev, "user_id")
+        .filter(col("us") > col("anchor_us"))
+        .groupBy("user_id").agg(min("us").as("anchor_us"))
+    }
+    val counts = steps.zip(anchors).zipWithIndex.map {
+      case ((st, df), i) =>
+        df.agg(count(lit(1)).cast("long").as("n_users"))
+          .select(lit(s"${i + 1}_$st").as("step"), col("n_users"))
+    }.reduce(_ unionAll _)
+    counts.withColumn("conv_rate",
+      round(col("n_users").cast("double") /
+        coalesce(lag(col("n_users"), 1).over(Window.orderBy("step")),
+          col("n_users")).cast("double"), 6))
+      .orderBy("step")
+  }
+
   // ---- DuckDB mirrors of the planted corpus + shingle/gram sets --------
   // The LSH operators are hash-based, but their VERIFIED outputs (true
   // Jaccard over shingle/gram sets >= threshold) are engine-portable:
@@ -2820,6 +2857,36 @@ object Pipeline {
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       Similarity.maxSimTopK(corpus, queries, nSub = 4, k = 10)
         .withColumn("rank", col("rank").cast("long"))
+    },
+
+    // Ordered funnel view → click → purchase with strict first-match
+    // sequencing: a user converts at step i only with a qualifying
+    // event strictly after their step i−1 anchor. The oracle replays
+    // the progressive min-anchor joins at microsecond granularity.
+    QueryDef("p142_funnel_steps",
+      """WITH s1 AS (SELECT user_id, MIN(epoch_us(ts)) AS a
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS a
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.a
+        |  GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS a
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.a
+        |  GROUP BY 1),
+        |c AS (
+        |  SELECT '1_view' AS step,
+        |    CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_users
+        |  UNION ALL SELECT '2_click',
+        |    CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+        |  UNION ALL SELECT '3_purchase',
+        |    CAST((SELECT COUNT(*) FROM s3) AS BIGINT))
+        |SELECT step, n_users,
+        |  ROUND(CAST(n_users AS DOUBLE)
+        |    / CAST(COALESCE(LAG(n_users) OVER (ORDER BY step), n_users)
+        |           AS DOUBLE), 6) AS conv_rate
+        |FROM c ORDER BY step""".stripMargin) { (s, dir) =>
+      funnelSteps(t(s, dir, "events"), Seq("view", "click", "purchase"))
     },
 
     // benchmark = every 100th doc; a corpus doc is contaminated iff it

@@ -2959,4 +2959,34 @@ class PipelineSpec extends SparkSpec {
     // '^' anchor: mid-line 'User:' never counts
     assert(out(3L) == ((0L, 0L, 0L, false, 0L, false)), s"${out(3L)}")
   }
+
+  test("funnelSteps: strict first-match ordering, same-instant excluded") {
+    import spark.implicits._
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    // user 1: full ordered funnel.
+    // user 2: click at the SAME µs as the first view — strict '>' must
+    //   exclude it (and with no later click, the purchase can't count).
+    // user 3: purchase BEFORE any click — sequencing must exclude it.
+    // user 4: second view is later; click before the FIRST view must
+    //   not count (first-match anchors, not any-match).
+    val ev = Seq(
+      (1L, "view", 1000000L), (1L, "click", 2000000L),
+      (1L, "purchase", 3000000L),
+      (2L, "view", 1000000L), (2L, "click", 1000000L),
+      (2L, "purchase", 5000000L),
+      (3L, "view", 1000000L), (3L, "purchase", 2000000L),
+      (3L, "click", 3000000L),
+      (4L, "click", 500000L), (4L, "view", 1000000L),
+      (4L, "view", 4000000L))
+      .map { case (u, t, us) => (u, t, ts(us)) }
+      .toDF("user_id", "event_type", "ts")
+    val got = graft.operators.Pipeline
+      .funnelSteps(ev, Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    // views: users 1-4; clicks strictly after first view: users 1, 3;
+    // purchases strictly after that click: user 1 only
+    assert(got == Seq(("1_view", 4L, 1.0), ("2_click", 2L, 0.5),
+      ("3_purchase", 1L, 0.5)), got.toString)
+  }
 }
