@@ -103,11 +103,19 @@ object Pipeline {
         .filter(col("us") > col("anchor_us"))
         .groupBy("user_id").agg(min("us").as("anchor_us"))
     }
-    val counts = steps.zip(anchors).zipWithIndex.map {
+    funnelRates(steps.zip(anchors).zipWithIndex.map {
       case ((st, df), i) =>
         df.agg(count(lit(1)).cast("long").as("n_users"))
           .select(lit(s"${i + 1}_$st").as("step"), col("n_users"))
-    }.reduce(_ unionAll _)
+    }.reduce(_ unionAll _))
+  }
+
+  /** (step, n_users) → + conv_rate from the previous step (lag window
+    * over the #steps-row summary). Shared by p142 and the streaming
+    * funnel so both report through identical arithmetic.
+    */
+  private[graft] def funnelRates(counts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     counts.withColumn("conv_rate",
       round(col("n_users").cast("double") /
         coalesce(lag(col("n_users"), 1).over(Window.orderBy("step")),

@@ -1482,6 +1482,111 @@ object Streaming {
         .select(col("check_name"), col("checked"), col("violations"),
           (col("violations") === 0L).as("pass"))
         .orderBy("check_name")
+    },
+
+    // Streaming ordered funnel (p142 over continuous ingest). Batches
+    // are staged in EVENT-TIME order (ntile over ts — the watermark
+    // discipline a production funnel assumes), which makes the
+    // per-user anchor state monotone-safe with THREE longs per user:
+    // once step i's first-match anchor is set, every later-arriving
+    // event has a later timestamp, so the anchor never changes and a
+    // batch-discarded event (≤ the current anchor) could never qualify
+    // later. Equal-timestamp ties split across a batch boundary are
+    // safe too: strict '>' qualification excludes same-instant events
+    // regardless of which side of the boundary they land on.
+    // Each batch merges its per-user step minima into the state
+    // generation (full-outer on user, least() per anchor, dependent
+    // steps resolved against the batch's own updated anchors); the
+    // final counts must equal the batch p142 report — its oracle
+    // verbatim. At 100 TB: state is 3 longs per user, each batch
+    // touches only its users.
+    QueryDef("s32_stream_funnel",
+      """WITH s1 AS (SELECT user_id, MIN(epoch_us(ts)) AS a
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS a
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.a
+        |  GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS a
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.a
+        |  GROUP BY 1),
+        |c AS (
+        |  SELECT '1_view' AS step,
+        |    CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_users
+        |  UNION ALL SELECT '2_click',
+        |    CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+        |  UNION ALL SELECT '3_purchase',
+        |    CAST((SELECT COUNT(*) FROM s3) AS BIGINT))
+        |SELECT step, n_users,
+        |  ROUND(CAST(n_users AS DOUBLE)
+        |    / CAST(COALESCE(LAG(n_users) OVER (ORDER BY step), n_users)
+        |           AS DOUBLE), 6) AS conv_rate
+        |FROM c ORDER BY step""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = graft.Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val base = java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_fmt").toString
+      val srcDir = s"$base/s32_stream_src"
+      val stateRoot = s"$base/s32_state"
+      rmTree(new java.io.File(srcDir)); rmTree(new java.io.File(stateRoot))
+      new java.io.File(srcDir).mkdirs()
+      val staged = ev.withColumn("b",
+        ntile(4).over(Window.orderBy("us", "user_id", "event_type")))
+      (1 to 4).foreach { b =>
+        writeSingle(staged.filter(col("b") === b).drop("b"),
+          srcDir, s"batch_$b")
+      }
+      val nullA = lit(null).cast("long")
+      s.range(0).select(col("id").as("user_id"), nullA.as("a1"),
+        nullA.as("a2"), nullA.as("a3"))
+        .write.mode("overwrite").parquet(s"$stateRoot/v0")
+      val gen = new java.util.concurrent.atomic.AtomicInteger(0)
+      val schema = s.read.parquet(srcDir).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(srcDir)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val st = s.read.parquet(s"$stateRoot/v${gen.get()}")
+          def stepMin(tp: String, anchored: org.apache.spark.sql.DataFrame,
+              anchorCol: String): org.apache.spark.sql.DataFrame =
+            batch.filter(col("event_type") === tp)
+              .select(col("user_id"), col("us"))
+              .join(anchored.select(col("user_id"), col(anchorCol)),
+                "user_id")
+              .filter(col("us") > col(anchorCol))
+              .groupBy("user_id").agg(min("us").as("nv"))
+          val bv = batch.filter(col("event_type") === "view")
+            .groupBy("user_id").agg(min("us").as("nv"))
+          val st1 = st.join(bv, Seq("user_id"), "full_outer")
+            .select(col("user_id"), least(col("a1"), col("nv")).as("a1"),
+              col("a2"), col("a3"))
+          val st2 = st1.join(stepMin("click", st1, "a1"),
+              Seq("user_id"), "left")
+            .select(col("user_id"), col("a1"),
+              least(col("a2"), col("nv")).as("a2"), col("a3"))
+          val st3 = st2.join(stepMin("purchase", st2, "a2"),
+              Seq("user_id"), "left")
+            .select(col("user_id"), col("a1"), col("a2"),
+              least(col("a3"), col("nv")).as("a3"))
+          st3.write.mode("overwrite")
+            .parquet(s"$stateRoot/v${gen.incrementAndGet()}")
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.operators.Pipeline.funnelRates(
+        s.read.parquet(s"$stateRoot/v${gen.get()}").agg(
+          count(col("a1")).cast("long").as("n1"),
+          count(col("a2")).cast("long").as("n2"),
+          count(col("a3")).cast("long").as("n3"))
+          .select(expr("stack(3, '1_view', n1, '2_click', n2, " +
+            "'3_purchase', n3) AS (step, n_users)")))
     }
   )
 }
