@@ -1533,11 +1533,15 @@ object Streaming {
       val stateRoot = s"$base/s32_state"
       rmTree(new java.io.File(srcDir)); rmTree(new java.io.File(stateRoot))
       new java.io.File(srcDir).mkdirs()
-      val staged = ev.withColumn("b",
-        ntile(4).over(Window.orderBy("us", "user_id", "event_type")))
+      // time-ordered staging WITHOUT a global sort: range-split on
+      // approx time quartiles (same-us ties across a cut are safe —
+      // strict '>' excludes same-instant events on either side)
+      val cuts = ev.stat.approxQuantile("us",
+        Array(0.25, 0.5, 0.75), 0.001).map(_.toLong)
+      val bounds = (Long.MinValue +: cuts) :+ Long.MaxValue
       (1 to 4).foreach { b =>
-        writeSingle(staged.filter(col("b") === b).drop("b"),
-          srcDir, s"batch_$b")
+        writeSingle(ev.filter(col("us") > bounds(b - 1) &&
+          col("us") <= bounds(b)), srcDir, s"batch_$b")
       }
       val nullA = lit(null).cast("long")
       s.range(0).select(col("id").as("user_id"), nullA.as("a1"),
