@@ -123,6 +123,32 @@ object Pipeline {
       .orderBy("step")
   }
 
+  /** OHLC bar downsampling of a value stream: per (series, hour
+    * bucket) the opening/closing values (earliest/latest event by the
+    * deterministic (us, event_id) order — selected via orderable-STRUCT
+    * min/max, which partial-aggregates map-side like any min/max, no
+    * window over the stream), the high/low extremes, and the count.
+    * Values pass through untouched (same parquet doubles both engines).
+    * At 100 TB: one partial-agg groupBy; output bounded by
+    * series × buckets.
+    */
+  def ohlcBars(events: DataFrame,
+      bucketUs: Long = 3600000000L): DataFrame =
+    events.filter(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"), col("value").as("v"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("hr", expr(s"us div $bucketUs"))
+      .groupBy("event_type", "hr")
+      .agg(
+        min(struct(col("us"), col("event_id"), col("v")))
+          .getField("v").as("open"),
+        max(col("v")).as("high"),
+        min(col("v")).as("low"),
+        max(struct(col("us"), col("event_id"), col("v")))
+          .getField("v").as("close"),
+        count(lit(1)).cast("long").as("n_events"))
+      .orderBy("event_type", "hr")
+
   // ---- DuckDB mirrors of the planted corpus + shingle/gram sets --------
   // The LSH operators are hash-based, but their VERIFIED outputs (true
   // Jaccard over shingle/gram sets >= threshold) are engine-portable:
@@ -2895,6 +2921,31 @@ object Pipeline {
         |           AS DOUBLE), 6) AS conv_rate
         |FROM c ORDER BY step""".stripMargin) { (s, dir) =>
       funnelSteps(t(s, dir, "events"), Seq("view", "click", "purchase"))
+    },
+
+    // OHLC hourly bars per event series: open/close via the
+    // deterministic (us, event_id) order. The oracle selects the same
+    // rows by ROW_NUMBER — a different mechanism (window) than Spark's
+    // orderable-struct min/max (partial agg), so the selection
+    // semantics are cross-checked, not just the arithmetic.
+    QueryDef("p143_ohlc_bars",
+      """WITH e AS (SELECT event_type, event_id,
+        |    epoch_us(ts) AS us, epoch_us(ts) // 3600000000 AS hr,
+        |    value AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT event_type, hr, us, event_id, v,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type, hr
+        |                       ORDER BY us, event_id) AS rn_a,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type, hr
+        |                       ORDER BY us DESC, event_id DESC) AS rn_d
+        |  FROM e)
+        |SELECT event_type, hr,
+        |  MAX(CASE WHEN rn_a = 1 THEN v END) AS open,
+        |  MAX(v) AS high, MIN(v) AS low,
+        |  MAX(CASE WHEN rn_d = 1 THEN v END) AS close,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      ohlcBars(t(s, dir, "events"))
     },
 
     // benchmark = every 100th doc; a corpus doc is contaminated iff it

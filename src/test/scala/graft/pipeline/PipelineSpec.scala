@@ -2989,4 +2989,26 @@ class PipelineSpec extends SparkSpec {
     assert(got == Seq(("1_view", 4L, 1.0), ("2_click", 2L, 0.5),
       ("3_purchase", 1L, 0.5)), got.toString)
   }
+
+  test("ohlcBars: open/close by (us, event_id) order, same-instant ties") {
+    import spark.implicits._
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    val h = 3600000000L
+    // bucket 0: open at us=10 (5.0); two events at the SAME us=20 —
+    // event_id order must pick id 4 (9.0) as close, not id 3 (2.0).
+    // bucket 1: single event. Null value dropped entirely.
+    val ev = Seq(
+      (1L, "a", 10L, Some(5.0)), (2L, "a", 15L, Some(7.0)),
+      (3L, "a", 20L, Some(2.0)), (4L, "a", 20L, Some(9.0)),
+      (5L, "a", h + 1, Some(4.0)), (6L, "a", 16L, None: Option[Double]))
+      .map { case (id, t, us, v) => (id, t, ts(us), v) }
+      .toDF("event_id", "event_type", "ts", "value")
+    val got = graft.operators.Pipeline.ohlcBars(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6)))
+      .toSeq
+    assert(got == Seq(
+      ("a", 0L, 5.0, 9.0, 2.0, 9.0, 4L),
+      ("a", 1L, 4.0, 4.0, 4.0, 4.0, 1L)), got.toString)
+  }
 }
