@@ -149,6 +149,33 @@ object Pipeline {
         count(lit(1)).cast("long").as("n_events"))
       .orderBy("event_type", "hr")
 
+  /** Weekly retention-cohort matrix: users cohorted by first-seen week,
+    * each (cohort, week-offset) cell counting the distinct users active
+    * that many weeks later, with the retention fraction against the
+    * cohort size. Distributed shape: one (user, week) distinct + a
+    * user-keyed min for the cohort assignment, then a two-phase
+    * count_distinct per cell — output bounded by weeks², never by
+    * users or events.
+    */
+  def retentionCohorts(events: DataFrame,
+      weekUs: Long = 604800000000L): DataFrame = {
+    val uw = events.select(col("user_id"),
+        expr(s"unix_micros(ts) div $weekUs").as("wk"))
+      .distinct()
+    val first = uw.groupBy("user_id").agg(min("wk").as("cohort"))
+    val sizes = first.groupBy("cohort")
+      .agg(count(lit(1)).cast("long").as("cohort_n"))
+    uw.join(first, "user_id")
+      .groupBy(col("cohort"), (col("wk") - col("cohort")).as("offset"))
+      .agg(count_distinct(col("user_id")).cast("long").as("n_active"))
+      .join(sizes, "cohort")
+      .select(col("cohort"), col("offset"), col("n_active"),
+        col("cohort_n"),
+        round(col("n_active").cast("double") /
+          col("cohort_n").cast("double"), 6).as("retention"))
+      .orderBy("cohort", "offset")
+  }
+
   // ---- DuckDB mirrors of the planted corpus + shingle/gram sets --------
   // The LSH operators are hash-based, but their VERIFIED outputs (true
   // Jaccard over shingle/gram sets >= threshold) are engine-portable:
@@ -2946,6 +2973,26 @@ object Pipeline {
         |  CAST(COUNT(*) AS BIGINT) AS n_events
         |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
       ohlcBars(t(s, dir, "events"))
+    },
+
+    // Weekly retention cohorts: first-seen week → distinct-active by
+    // week offset + retention fraction. Output bounded by weeks², not
+    // users; the oracle replays the cohort assignment and counts.
+    QueryDef("p144_retention_cohorts",
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 604800000000 AS wk FROM events),
+        |f AS (SELECT user_id, MIN(wk) AS cohort FROM uw GROUP BY 1),
+        |sz AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_n
+        |  FROM f GROUP BY 1),
+        |act AS (SELECT f.cohort, uw.wk - f.cohort AS offset,
+        |    CAST(COUNT(DISTINCT uw.user_id) AS BIGINT) AS n_active
+        |  FROM uw JOIN f ON uw.user_id = f.user_id GROUP BY 1, 2)
+        |SELECT a.cohort, a.offset, a.n_active, sz.cohort_n,
+        |  ROUND(CAST(a.n_active AS DOUBLE) / CAST(sz.cohort_n AS DOUBLE),
+        |    6) AS retention
+        |FROM act a JOIN sz ON a.cohort = sz.cohort
+        |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      retentionCohorts(t(s, dir, "events"))
     },
 
     // benchmark = every 100th doc; a corpus doc is contaminated iff it

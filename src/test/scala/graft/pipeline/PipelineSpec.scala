@@ -3011,4 +3011,25 @@ class PipelineSpec extends SparkSpec {
       ("a", 0L, 5.0, 9.0, 2.0, 9.0, 4L),
       ("a", 1L, 4.0, 4.0, 4.0, 4.0, 1L)), got.toString)
   }
+
+  test("retentionCohorts: cohort by first week, distinct-active cells") {
+    import spark.implicits._
+    val w = 604800000000L
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    // cohort week 0: users 1, 2 (user 1 active twice in week 1 — counts
+    // once); cohort week 1: user 3. user 2 returns in week 2 only.
+    val ev = Seq(
+      (1L, 10L), (1L, w + 5L), (1L, w + 9L),
+      (2L, 20L), (2L, 2 * w + 1L),
+      (3L, w + 30L))
+      .map { case (u, us) => (u, ts(us)) }.toDF("user_id", "ts")
+    val got = graft.operators.Pipeline.retentionCohorts(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got == Seq(
+      (0L, 0L, 2L, 2L, 1.0),
+      (0L, 1L, 1L, 2L, 0.5),
+      (0L, 2L, 1L, 2L, 0.5),
+      (1L, 0L, 1L, 1L, 1.0)), got.toString)
+  }
 }
