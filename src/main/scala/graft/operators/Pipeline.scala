@@ -176,6 +176,32 @@ object Pipeline {
       .orderBy("cohort", "offset")
   }
 
+  /** Distributed triangle count by node-ordered orientation (the
+    * classic MapReduce formulation — Suri & Vassilvitskii WWW'11): on
+    * the undirected co-occurrence graph, orient every edge a→b with
+    * a < b; wedges are the (a<b<c) join of oriented edges on the
+    * middle node and each triangle closes exactly one wedge, so the
+    * count is one equi-join + one semi-join — no enumeration of
+    * unordered permutations. At 100 TB the orientation bounds the
+    * wedge join by out-degree (a production variant orients by degree
+    * to cap skew; id order is the deterministic gate form) and every
+    * join is key-partitioned.
+    */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val e = edges.select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .filter(col("a") < col("b")).distinct()
+    val nEdges = e.agg(count(lit(1)).cast("long").as("n_edges"))
+    val wedges = e.select(col("a"), col("b").as("m"))
+      .join(e.select(col("a").as("m"), col("b").as("c")), "m")
+      .select(col("a"), col("m"), col("c"))
+    val nWedges = wedges.agg(count(lit(1)).cast("long").as("n_wedges"))
+    val nTri = wedges.join(e.select(col("a"), col("b").as("c")),
+        Seq("a", "c"), "left_semi")
+      .agg(count(lit(1)).cast("long").as("n_triangles"))
+    nEdges.crossJoin(nWedges).crossJoin(nTri)
+  }
+
   // ---- DuckDB mirrors of the planted corpus + shingle/gram sets --------
   // The LSH operators are hash-based, but their VERIFIED outputs (true
   // Jaccard over shingle/gram sets >= threshold) are engine-portable:
@@ -2993,6 +3019,33 @@ object Pipeline {
         |FROM act a JOIN sz ON a.cohort = sz.cohort
         |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
       retentionCohorts(t(s, dir, "events"))
+    },
+
+    // Triangle count on the supplier co-occurrence graph (suppliers
+    // sharing an order are adjacent). The oracle closes wedges with
+    // EXISTS — a different mechanism than the engine's semi-join —
+    // and recounts edges/wedges independently.
+    QueryDef("p145_triangle_count",
+      """WITH os AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s
+        |  FROM lineitem),
+        |e AS (SELECT DISTINCT x.s AS a, y.s AS b
+        |  FROM os x JOIN os y ON x.o = y.o AND x.s < y.s),
+        |w AS (SELECT e1.a, e1.b AS m, e2.b AS c
+        |  FROM e e1 JOIN e e2 ON e1.b = e2.a)
+        |SELECT
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM w) AS n_wedges,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM w
+        |   WHERE EXISTS (SELECT 1 FROM e
+        |                 WHERE e.a = w.a AND e.b = w.c)) AS n_triangles"""
+        .stripMargin) { (s, dir) =>
+      val os = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_suppkey").as("sv"))
+        .distinct()
+      val edges = os.join(os.select(col("o"), col("sv").as("sw")), "o")
+        .filter(col("sv") < col("sw"))
+        .select(col("sv").as("a"), col("sw").as("b"))
+      triangleCount(edges)
     },
 
     // benchmark = every 100th doc; a corpus doc is contaminated iff it

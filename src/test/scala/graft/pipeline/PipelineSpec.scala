@@ -3032,4 +3032,23 @@ class PipelineSpec extends SparkSpec {
       (0L, 2L, 1L, 2L, 0.5),
       (1L, 0L, 1L, 1L, 1.0)), got.toString)
   }
+
+  test("triangleCount: open wedges stay open; dup/reversed edges collapse") {
+    import spark.implicits._
+    // triangle 1-2-3; open wedge 3-4-5 (no 3-5 edge); pendant 5-6.
+    // Edge 2-3 appears duplicated AND reversed — orientation+distinct
+    // must collapse it. The sf0.01 gate graph is complete (every wedge
+    // closes), so the open-wedge distinction is pinned HERE.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 2L), (2L, 3L), (1L, 3L),
+      (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("a", "b")
+    val r = graft.operators.Pipeline.triangleCount(edges).collect().head
+    val (ne, nw, nt) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    // oriented distinct edges: 1-2,1-3,2-3,3-4,4-5,5-6
+    assert(ne == 6L, s"n_edges $ne")
+    // wedges (a<m<c): (1,2,3),(1,3,4),(2,3,4),(3,4,5),(4,5,6)
+    assert(nw == 5L, s"n_wedges $nw")
+    // only (1,2,3) closes
+    assert(nt == 1L, s"n_triangles $nt")
+  }
 }
