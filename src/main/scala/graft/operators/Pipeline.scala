@@ -3022,12 +3022,16 @@ object Pipeline {
     },
 
     // Triangle count on the supplier co-occurrence graph (suppliers
-    // sharing an order are adjacent). The oracle closes wedges with
+    // sharing an order are adjacent), restricted to high-quantity
+    // lineitems so the graph is SPARSE — unfiltered, co-occurrence over
+    // every order yields the complete graph at gate SFs (every wedge
+    // closes, wedge count cubic in suppliers), which neither exercises
+    // the closing test nor scales. The oracle closes wedges with
     // EXISTS — a different mechanism than the engine's semi-join —
     // and recounts edges/wedges independently.
     QueryDef("p145_triangle_count",
       """WITH os AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s
-        |  FROM lineitem),
+        |  FROM lineitem WHERE l_quantity >= 48),
         |e AS (SELECT DISTINCT x.s AS a, y.s AS b
         |  FROM os x JOIN os y ON x.o = y.o AND x.s < y.s),
         |w AS (SELECT e1.a, e1.b AS m, e2.b AS c
@@ -3040,6 +3044,7 @@ object Pipeline {
         |                 WHERE e.a = w.a AND e.b = w.c)) AS n_triangles"""
         .stripMargin) { (s, dir) =>
       val os = t(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 48)
         .select(col("l_orderkey").as("o"), col("l_suppkey").as("sv"))
         .distinct()
       val edges = os.join(os.select(col("o"), col("sv").as("sw")), "o")
