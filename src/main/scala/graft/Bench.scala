@@ -98,6 +98,10 @@ object Bench {
     "p139_k_anonymity",   // quasi-group partial agg + distinct buckets
     "p140_hybrid_rrf",    // BM25 + dense cosine, k-bounded RRF fusion
     "p141_maxsim_topk",   // MaxSim nested-lambda slice scoring
+    "p142_funnel_steps",  // progressive min-anchor funnel joins
+    "p143_ohlc_bars",     // struct-min/max OHLC partial agg
+    "p144_retention_cohorts", // (user, week) distinct + cell distincts
+    "p145_triangle_count", // oriented wedge join + closing semi-join
     "f07_csv_ingest_cold", // CSV parse + agg, no cache (dsq cold analog)
     "f08_csv_ingest_warm") // cached-parquet + agg (dsq -C warm analog)
 
