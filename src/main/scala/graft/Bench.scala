@@ -102,6 +102,9 @@ object Bench {
     "p143_ohlc_bars",     // struct-min/max OHLC partial agg
     "p144_retention_cohorts", // (user, week) distinct + cell distincts
     "p145_triangle_count", // oriented wedge join + closing semi-join
+    "p146_gap_fill",      // calendar grid + ignore-nulls fill window
+    "p147_grid_neighbor_join", // 3x3 cell join, no all-pairs
+    "p148_rolling_anomaly", // zero-filled grid + 24-preceding z-score
     "f07_csv_ingest_cold", // CSV parse + agg, no cache (dsq cold analog)
     "f08_csv_ingest_warm") // cached-parquet + agg (dsq -C warm analog)
 

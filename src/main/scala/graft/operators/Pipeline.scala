@@ -202,6 +202,125 @@ object Pipeline {
     nEdges.crossJoin(nWedges).crossJoin(nTri)
   }
 
+  /** Time-series gap fill: resample a (series, ts, value) stream to a
+    * regular per-series bucket grid (default hourly), forward-filling
+    * each empty bucket with the last observed value. "Last" inside a
+    * bucket is the deterministic (us, event_id) max, selected via
+    * orderable-STRUCT max exactly like [[ohlcBars]]'s close. Distributed
+    * shape: events collapse to one row per (series, bucket) in a
+    * partial-agg groupBy FIRST, so the window that does the filling runs
+    * over the bounded grid (series × time-span buckets), never over raw
+    * events — at 100 TB the fill cost is fixed by the calendar, not the
+    * data volume, and the grid explode is a per-series sequence() whose
+    * length the span bounds.
+    */
+  def gapFill(events: DataFrame,
+      bucketUs: Long = 3600000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val obs = events.filter(col("value").isNotNull)
+      .select(col("event_type").as("series"), col("event_id"),
+        col("value").as("v"), unix_micros(col("ts")).as("us"))
+      .withColumn("hr", expr(s"us div $bucketUs"))
+      .groupBy("series", "hr")
+      .agg(max(struct(col("us"), col("event_id"), col("v")))
+        .getField("v").as("v_last"))
+    val grid = obs.groupBy("series")
+      .agg(min("hr").as("mn"), max("hr").as("mx"))
+      .select(col("series"),
+        explode(sequence(col("mn"), col("mx"))).as("hr"))
+    grid.join(obs, Seq("series", "hr"), "left")
+      .select(col("series"), col("hr"),
+        last(col("v_last"), ignoreNulls = true)
+          .over(Window.partitionBy("series").orderBy("hr")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("value"),
+        col("v_last").isNotNull.as("observed"))
+      .orderBy("series", "hr")
+  }
+
+  /** All point pairs within Euclidean `r` by grid-cell bucketing: cells
+    * of side `r`, the left side replicated to its 3×3 cell neighborhood,
+    * the right side keyed by its own cell, so each candidate pair meets
+    * in exactly one cell (no post-join dedup) and the exact distance
+    * filter runs only on neighborhood-local candidates. The 100 TB
+    * contrast is the all-pairs cross join: bucketing bounds candidates
+    * by local density × 9, the join is key-partitioned on the cell, and
+    * the 3×3 replication is a constant factor. Distance arithmetic is
+    * plain IEEE ops on the shared input doubles, so an ANSI oracle
+    * reproduces the boundary cases bit-for-bit.
+    */
+  def gridNeighborPairs(points: DataFrame, r: Double): DataFrame = {
+    val cellX = floor(col("x") / r).cast("long")
+    val cellY = floor(col("y") / r).cast("long")
+    val rhs = points.select(col("id").as("id_b"), col("x").as("xb"),
+      col("y").as("yb"), cellX.as("cx"), cellY.as("cy"))
+    val lhs = points.select(col("id").as("id_a"), col("x").as("xa"),
+        col("y").as("ya"), cellX.as("cx0"), cellY.as("cy0"))
+      .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .select(col("id_a"), col("xa"), col("ya"),
+        (col("cx0") + col("dx")).as("cx"),
+        (col("cy0") + col("dy")).as("cy"))
+    val d2 = (col("xa") - col("xb")) * (col("xa") - col("xb")) +
+      (col("ya") - col("yb")) * (col("ya") - col("yb"))
+    lhs.join(rhs, Seq("cx", "cy"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("d2", d2)
+      .filter(col("d2") <= lit(r * r))
+      .select(col("id_a"), col("id_b"),
+        round(sqrt(col("d2")), 6).as("dist"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Rolling z-score anomaly detection over per-(series, bucket) event
+    * rates: counts on the gap-free grid (empty buckets count 0, so the
+    * trailing window is time-aligned), z against the mean/stddev of the
+    * 24 PRECEDING buckets (current excluded — the suspect must not
+    * contaminate its own baseline), flagged at |z| >= `zThresh` once
+    * `minPrev` baseline buckets exist. A synthetic burst of `burstN`
+    * events is planted `burstOffset` buckets into `burstSeries` so the
+    * positive branch is exercised and self-validating (the plant MUST
+    * flag). Distributed shape mirrors [[gapFill]]: raw events collapse
+    * to per-bucket counts map-side, every window runs over the bounded
+    * calendar grid. z compares on the ROUNDED value so the flag is
+    * engine-deterministic.
+    */
+  def rollingAnomaly(events: DataFrame, bucketUs: Long = 3600000000L,
+      burstSeries: String = "click", burstOffset: Long = 100L,
+      burstN: Long = 300L, zThresh: Double = 3.0,
+      minPrev: Int = 12): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cnt = events
+      .select(col("event_type").as("series"),
+        expr(s"unix_micros(ts) div $bucketUs").as("hr"))
+      .groupBy("series", "hr").agg(count(lit(1)).cast("long").as("n0"))
+    val grid = cnt.groupBy("series")
+      .agg(min("hr").as("mn"), max("hr").as("mx"))
+      .select(col("series"),
+        explode(sequence(col("mn"), col("mx"))).as("hr"), col("mn"))
+    val n = grid.join(cnt, Seq("series", "hr"), "left")
+      .select(col("series"), col("hr"),
+        (coalesce(col("n0"), lit(0L)) +
+          when(col("series") === burstSeries &&
+            col("hr") === col("mn") + burstOffset, lit(burstN))
+            .otherwise(lit(0L))).as("n"))
+    val w = Window.partitionBy("series").orderBy("hr")
+      .rowsBetween(-24, -1)
+    n.select(col("series"), col("hr"), col("n"),
+        count(lit(1)).over(w).as("n_prev"),
+        avg(col("n")).over(w).as("mu0"),
+        stddev_samp(col("n").cast("double")).over(w).as("sd0"))
+      .withColumn("z0",
+        when(col("n_prev") >= minPrev && col("sd0") > 0,
+          round((col("n") - col("mu0")) / col("sd0"), 6)))
+      .select(col("series"), col("hr"), col("n"),
+        round(col("mu0"), 6).as("mu"),
+        round(col("sd0"), 6).as("sd"),
+        col("z0").as("z"),
+        coalesce(abs(col("z0")) >= zThresh, lit(false)).as("is_anomaly"))
+      .orderBy("series", "hr")
+  }
+
   // ---- DuckDB mirrors of the planted corpus + shingle/gram sets --------
   // The LSH operators are hash-based, but their VERIFIED outputs (true
   // Jaccard over shingle/gram sets >= threshold) are engine-portable:
@@ -3051,6 +3170,93 @@ object Pipeline {
         .filter(col("sv") < col("sw"))
         .select(col("sv").as("a"), col("sw").as("b"))
       triangleCount(edges)
+    },
+
+    // Hourly gap fill with forward fill: the oracle re-derives the
+    // per-series calendar grid (range over the observed span) and fills
+    // with IGNORE NULLS last_value; values pass through untouched, so
+    // both engines compare the same parquet doubles.
+    QueryDef("p146_gap_fill",
+      """WITH e AS (SELECT event_type AS series, epoch_us(ts) AS us,
+        |    event_id, epoch_us(ts) // 3600000000 AS hr, value AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT series, hr, v,
+        |    ROW_NUMBER() OVER (PARTITION BY series, hr
+        |                       ORDER BY us DESC, event_id DESC) AS rn
+        |  FROM e),
+        |obs AS (SELECT series, hr, v AS v_last FROM r WHERE rn = 1),
+        |span AS (SELECT series, MIN(hr) AS mn, MAX(hr) AS mx
+        |  FROM obs GROUP BY 1),
+        |grid AS (SELECT series, unnest(range(mn, mx + 1)) AS hr FROM span)
+        |SELECT g.series, g.hr,
+        |  last_value(o.v_last IGNORE NULLS) OVER (
+        |    PARTITION BY g.series ORDER BY g.hr
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+        |  o.v_last IS NOT NULL AS observed
+        |FROM grid g LEFT JOIN obs o
+        |  ON g.series = o.series AND g.hr = o.hr
+        |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      gapFill(t(s, dir, "events"))
+    },
+
+    // Grid-bucketed spatial neighbor join: pseudo-coordinates derived
+    // from event_id by exact integer arithmetic (identical in both
+    // engines), all pairs within Euclidean r=2 on a 100x100 plane. The
+    // oracle is the naive quadratic self-join — proving the 3x3 cell
+    // join loses no boundary pair and duplicates none.
+    QueryDef("p147_grid_neighbor_join",
+      """WITH p AS (SELECT event_id AS id,
+        |    CAST(event_id * 73 % 1000 AS DOUBLE) / 10 AS x,
+        |    CAST(event_id * 151 % 1000 AS DOUBLE) / 10 AS y
+        |  FROM events WHERE event_id % 20 = 0)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  round(sqrt((a.x - b.x) * (a.x - b.x) +
+        |             (a.y - b.y) * (a.y - b.y)), 6) AS dist
+        |FROM p a JOIN p b ON a.id < b.id
+        |  AND (a.x - b.x) * (a.x - b.x) +
+        |      (a.y - b.y) * (a.y - b.y) <= 4.0
+        |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val pts = t(s, dir, "events")
+        .filter(col("event_id") % 20 === 0)
+        .select(col("event_id").as("id"),
+          ((col("event_id") * 73 % 1000).cast("double") / 10).as("x"),
+          ((col("event_id") * 151 % 1000).cast("double") / 10).as("y"))
+      gridNeighborPairs(pts, r = 2.0)
+    },
+
+    // Rolling z-score anomaly flags over hourly event rates with a
+    // planted 300-event burst 100 hours into the click series; the
+    // oracle replays the zero-filled grid, the 24-PRECEDING frame
+    // stats, and the rounded-z threshold.
+    QueryDef("p148_rolling_anomaly",
+      """WITH c AS (SELECT event_type AS series,
+        |    epoch_us(ts) // 3600000000 AS hr,
+        |    CAST(COUNT(*) AS BIGINT) AS n0 FROM events GROUP BY 1, 2),
+        |span AS (SELECT series, MIN(hr) AS mn, MAX(hr) AS mx
+        |  FROM c GROUP BY 1),
+        |grid AS (SELECT series, unnest(range(mn, mx + 1)) AS hr, mn
+        |  FROM span),
+        |n AS (SELECT g.series, g.hr,
+        |    COALESCE(c.n0, 0) +
+        |    CASE WHEN g.series = 'click' AND g.hr = g.mn + 100
+        |         THEN 300 ELSE 0 END AS n
+        |  FROM grid g LEFT JOIN c
+        |    ON g.series = c.series AND g.hr = c.hr),
+        |w AS (SELECT series, hr, n,
+        |    COUNT(*) OVER f AS n_prev,
+        |    AVG(n) OVER f AS mu0,
+        |    STDDEV_SAMP(n) OVER f AS sd0
+        |  FROM n WINDOW f AS (PARTITION BY series ORDER BY hr
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT series, hr, CAST(n AS BIGINT) AS n,
+        |  round(mu0, 6) AS mu, round(sd0, 6) AS sd,
+        |  CASE WHEN n_prev >= 12 AND sd0 > 0
+        |       THEN round((n - mu0) / sd0, 6) END AS z,
+        |  COALESCE(CASE WHEN n_prev >= 12 AND sd0 > 0
+        |    THEN abs(round((n - mu0) / sd0, 6)) >= 3.0 END, FALSE)
+        |    AS is_anomaly
+        |FROM w ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      rollingAnomaly(t(s, dir, "events"))
     },
 
     // benchmark = every 100th doc; a corpus doc is contaminated iff it

@@ -3051,4 +3051,78 @@ class PipelineSpec extends SparkSpec {
     // only (1,2,3) closes
     assert(nt == 1L, s"n_triangles $nt")
   }
+
+  test("gapFill: empty buckets forward-filled, same-bucket tie by id") {
+    import spark.implicits._
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    val h = 3600000000L
+    // series a: hours 0 and 3 observed — 1 and 2 filled from hour 0;
+    // hour 0 has two same-µs events, id order picks id 2 (7.0);
+    // null value dropped (hour 3 fills from id 3's 2.0, not the null).
+    // series b: single hour — one-row grid, no fill.
+    val ev = Seq(
+      (1L, "a", 10L, Some(5.0)), (2L, "a", 10L, Some(7.0)),
+      (3L, "a", 3 * h + 1, Some(2.0)),
+      (4L, "a", 3 * h + 2, None: Option[Double]),
+      (5L, "b", h + 1, Some(9.0)))
+      .map { case (id, t, us, v) => (id, t, ts(us), v) }
+      .toDF("event_id", "event_type", "ts", "value")
+    val got = graft.operators.Pipeline.gapFill(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3))).toSeq
+    assert(got == Seq(
+      ("a", 0L, 7.0, true), ("a", 1L, 7.0, false), ("a", 2L, 7.0, false),
+      ("a", 3L, 2.0, true), ("b", 1L, 9.0, true)), got.toString)
+  }
+
+  test("gridNeighborPairs: cross-cell pair found once, boundary included") {
+    import spark.implicits._
+    // r=2: (1,2) same cell d=1; (1,3) ADJACENT cells d=2 exactly (the
+    // <= boundary, and replication must yield it once, not 9 times);
+    // (1,4) neighborhood candidate but d=2.5 > r — distance-filtered;
+    // (3,4) candidate at d²=4.25 — just over the boundary, filtered;
+    // (5) far apart — never a candidate.
+    val pts = Seq(
+      (1L, 1.0, 1.0), (2L, 1.0, 2.0), (3L, 3.0, 1.0),
+      (4L, 2.5, 3.0), (5L, 50.0, 50.0))
+      .toDF("id", "x", "y")
+    val got = graft.operators.Pipeline.gridNeighborPairs(pts, r = 2.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    val want = Seq((1L, 2L, 1.0), (1L, 3L, 2.0), (2L, 4L, 1.802776))
+    assert(got == want, s"got $got want $want")
+  }
+
+  test("rollingAnomaly: plant flags, warmup and flat baselines do not") {
+    import spark.implicits._
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    val h = 3600000000L
+    // 40 hourly events alternating 1/2 per hour (sd > 0), then nothing:
+    // plant a burst at hour mn+20 via burstOffset — it must flag; the
+    // first minPrev hours must stay null-z/false even where sd > 0.
+    val base = (0L until 40L).flatMap { k =>
+      val reps = if (k % 2 == 0) 1 else 2
+      (0 until reps).map(j => (k * 10 + j + 1, "a", k * h + 5))
+    }
+    val ev = base.map { case (id, t, us) => (id, t, ts(us)) }
+      .toDF("event_id", "event_type", "ts")
+    val got = graft.operators.Pipeline
+      .rollingAnomaly(ev, burstSeries = "a", burstOffset = 20L,
+        burstN = 300L)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2),
+        Option(if (r.isNullAt(5)) null else r.getDouble(5)),
+        r.getBoolean(6))).toList
+    val byHr = got.map(t => t._1 -> t).toMap
+    // burst hour: n = 301 or 302, z huge, flagged
+    assert(byHr(20L)._2 >= 301L && byHr(20L)._4, byHr(20L).toString)
+    // warmup: hours 0..11 have < 12 preceding buckets → z null, no flag
+    (0L to 11L).foreach(k =>
+      assert(byHr(k)._3.isEmpty && !byHr(k)._4, byHr(k).toString))
+    // steady alternation after warmup: |z| < 3, unflagged
+    assert(!byHr(15L)._4 && byHr(15L)._3.nonEmpty, byHr(15L).toString)
+    // the only flagged rows are the burst itself
+    val flagged = got.filter(_._4).map(_._1)
+    assert(flagged == List(20L), flagged.toString)
+  }
 }
