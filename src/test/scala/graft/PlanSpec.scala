@@ -233,6 +233,38 @@ class PlanSpec extends SparkSpec {
       s"a global sort appeared:\n$p")
   }
 
+  test("p147: grid neighbor join is an equi-join on cells, never a product") {
+    // the SURVEY row's whole point: the oracle is the naive quadratic
+    // self-join, the Spark side must NOT be — candidates meet through a
+    // key-partitioned equi-join on the (cx, cy) cell, so no cartesian
+    // or nested-loop node may appear anywhere in the executed plan
+    val p = executed("p147_grid_neighbor_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"neighbor join fell back to a product join:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"no equi-join on the cell key:\n$p")
+  }
+
+  test("p146/p148: calendar windows sit above a per-bucket collapse") {
+    // the scale claim for both gap fill and rolling anomaly: raw events
+    // collapse to one row per (series, bucket) in a partial HashAggregate
+    // FIRST, and every Window runs over the bounded sequence() grid —
+    // so the plan must show the grid Generate and keyed aggregation, and
+    // no product join may sneak into the grid/counts outer join
+    for (name <- Seq("p146_gap_fill", "p148_rolling_anomaly")) {
+      val p = executed(name)
+      assert(p.contains("Window"), s"$name: no window node:\n$p")
+      assert(p.contains("HashAggregate"),
+        s"$name: no keyed per-bucket collapse:\n$p")
+      assert(p.contains("sequence("),
+        s"$name: calendar grid sequence() missing:\n$p")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$name: product join appeared:\n$p")
+    }
+  }
+
   test("p80w: winnowed span removal keeps the p80 plan discipline") {
     // the stride path swaps CharGramPosHashes for WinnowAnchorHashes but
     // must keep the same shuffle shape: broadcast hash prefilter, no
