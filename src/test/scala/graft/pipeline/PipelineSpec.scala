@@ -3125,4 +3125,78 @@ class PipelineSpec extends SparkSpec {
     val flagged = got.filter(_._4).map(_._1)
     assert(flagged == List(20L), flagged.toString)
   }
+
+  test("gridNeighborPairs == naive all-pairs on random lattices (ScalaCheck)") {
+    // the cell join's once-and-only-once claim under adversarial
+    // geometry: points ON cell boundaries, exact-r distances (lattice
+    // coordinates make d² hit r² exactly), coincident points (d=0),
+    // and r values that do/don't divide the lattice step. Reference is
+    // driver-side IEEE arithmetic — bit-identical ops to codegen.
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val caseGen = for {
+      n <- Gen.choose(0, 40)
+      pts <- Gen.listOfN(n, for {
+        x <- Gen.choose(0, 24)
+        y <- Gen.choose(0, 24)
+      } yield (x / 4.0, y / 4.0))
+      r <- Gen.oneOf(1.0, 1.5, 2.5)
+    } yield (pts.zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }, r)
+    def round6(d: Double): Double =
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var checked = 0
+    val prop = Prop.forAll(caseGen) { case (pts, r) =>
+      val got = graft.operators.Pipeline
+        .gridNeighborPairs(pts.toDF("id", "x", "y"), r)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+        .sorted.toSeq
+      val want = (for {
+        (i, xi, yi) <- pts; (j, xj, yj) <- pts
+        if i < j
+        d2 = (xi - xj) * (xi - xj) + (yi - yj) * (yi - yj)
+        if d2 <= r * r
+      } yield (i, j, round6(math.sqrt(d2)))).sorted
+      checked += 1
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(30), prop)
+    assert(res.passed, s"neighbor-join property failed: ${res.status}")
+    assert(checked >= 30)
+  }
+
+  test("triangleCount == naive enumeration on random graphs (ScalaCheck)") {
+    // orientation arithmetic fuzzed against brute force: random dense
+    // multigraphs with self-loops (must drop), duplicate and reversed
+    // edges (must collapse), on few nodes so triangles are common
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val caseGen = for {
+      n <- Gen.choose(0, 30)
+      edges <- Gen.listOfN(n, for {
+        a <- Gen.choose(0L, 8L); b <- Gen.choose(0L, 8L)
+      } yield (a, b))
+    } yield edges
+    var checked = 0
+    val prop = Prop.forAll(caseGen) { edges =>
+      val r = graft.operators.Pipeline
+        .triangleCount(edges.toDF("a", "b")).collect().head
+      val e = edges.map { case (a, b) => (a min b, a max b) }
+        .filter { case (a, b) => a < b }.toSet
+      val nodes = e.flatMap { case (a, b) => Seq(a, b) }.toSeq.sorted
+      val wedges = (for {
+        m <- nodes
+        a <- nodes if a < m && e((a, m))
+        c <- nodes if c > m && e((m, c))
+      } yield (a, m, c))
+      val tris = wedges.count { case (a, _, c) => e((a, c)) }
+      checked += 1
+      (r.getLong(0), r.getLong(1), r.getLong(2)) ==
+        ((e.size.toLong, wedges.size.toLong, tris.toLong))
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(30), prop)
+    assert(res.passed, s"triangle property failed: ${res.status}")
+    assert(checked >= 30)
+  }
 }
