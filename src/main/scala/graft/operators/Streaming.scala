@@ -1487,6 +1487,119 @@ object Streaming {
     // Streaming ordered funnel (p142 over continuous ingest). Batches
     // are staged in EVENT-TIME order (ntile over ts — the watermark
     // discipline a production funnel assumes), which makes the
+    // Streaming event-rate anomaly monitor (the p148 shape as a
+    // production ingest monitor): each micro-batch appends its
+    // (series, hour) PARTIAL counts — exact longs, so they sum across
+    // batches no matter how events split — and the report merges the
+    // partials, zero-fills the calendar grid, fits a STATIC baseline
+    // per series over the first 360 grid hours, and z-flags the
+    // serving half (with a planted 300-event burst that must flag).
+    // The baseline stats are computed from exact integer sums
+    // (mu = s1/nb, var = (s2 - s1*mu)/(nb-1)) rather than a float
+    // aggregate, so the doubles are bit-identical in any engine and
+    // any partition order. At 100 TB: per-batch state is O(active
+    // series x hours in the batch), the corpus is never re-read, and
+    // the report cost is bounded by the calendar grid.
+    QueryDef("s33_stream_anomaly",
+      """WITH c AS (SELECT event_type AS series,
+        |    epoch_us(ts) // 3600000000 AS hr,
+        |    CAST(COUNT(*) AS BIGINT) AS n0 FROM events GROUP BY 1, 2),
+        |b AS (SELECT MIN(hr) AS mn, MAX(hr) AS mx FROM c),
+        |sb AS (SELECT s.series, b.mn, b.mx
+        |  FROM (SELECT DISTINCT series FROM c) s CROSS JOIN b),
+        |grid AS (SELECT series, unnest(range(mn, mx + 1)) AS hr, mn
+        |  FROM sb),
+        |filled AS (SELECT g.series, g.hr, g.mn,
+        |    COALESCE(c.n0, 0) +
+        |    CASE WHEN g.series = 'click' AND g.hr = g.mn + 500
+        |         THEN 300 ELSE 0 END AS n
+        |  FROM grid g LEFT JOIN c
+        |    ON g.series = c.series AND g.hr = c.hr),
+        |base AS (SELECT series, CAST(COUNT(*) AS BIGINT) AS nb,
+        |    CAST(SUM(n) AS BIGINT) AS s1,
+        |    CAST(SUM(n * n) AS BIGINT) AS s2
+        |  FROM filled WHERE hr < mn + 360 GROUP BY 1),
+        |stats AS (SELECT series,
+        |    CAST(s1 AS DOUBLE) / nb AS mu0,
+        |    sqrt(greatest((CAST(s2 AS DOUBLE) -
+        |      CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) / nb)) / (nb - 1),
+        |      0.0)) AS sd0
+        |  FROM base)
+        |SELECT f.series, f.hr, CAST(f.n AS BIGINT) AS n,
+        |  round(t.mu0, 6) AS mu, round(t.sd0, 6) AS sd,
+        |  CASE WHEN t.sd0 > 0 THEN round((f.n - t.mu0) / t.sd0, 6) END
+        |    AS z,
+        |  COALESCE(CASE WHEN t.sd0 > 0
+        |    THEN abs(round((f.n - t.mu0) / t.sd0, 6)) >= 3.0 END, FALSE)
+        |    AS is_anomaly
+        |FROM filled f JOIN stats t ON f.series = t.series
+        |WHERE f.hr >= f.mn + 360
+        |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val ev = graft.Tables.load(s, dir, "events")
+        .select(col("event_type").as("series"),
+          expr("unix_micros(ts) div 3600000000").as("hr"),
+          col("event_id"))
+      val base = java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_fmt").toString
+      val srcDir = s"$base/s33_stream_src"
+      val cntDir = s"$base/s33_counts"
+      Seq(srcDir, cntDir).foreach(d => rmTree(new java.io.File(d)))
+      new java.io.File(srcDir).mkdirs()
+      (0 until 4).foreach { b =>
+        writeSingle(ev.filter(col("event_id") % 4 === b),
+          srcDir, s"batch_$b")
+      }
+      val schema = s.read.parquet(srcDir).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(srcDir)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.groupBy("series", "hr")
+            .agg(count(lit(1)).cast("long").as("n"))
+            .coalesce(1).write.mode("append").parquet(cntDir)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val merged = s.read.parquet(cntDir).groupBy("series", "hr")
+        .agg(sum("n").cast("long").as("n0"))
+      val bounds = merged.agg(min("hr").as("mn"), max("hr").as("mx"))
+      val grid = merged.select("series").distinct().crossJoin(bounds)
+        .select(col("series"),
+          explode(sequence(col("mn"), col("mx"))).as("hr"), col("mn"))
+      val filled = grid.join(merged, Seq("series", "hr"), "left")
+        .select(col("series"), col("hr"), col("mn"),
+          (coalesce(col("n0"), lit(0L)) +
+            when(col("series") === "click" &&
+              col("hr") === col("mn") + 500, lit(300L))
+              .otherwise(lit(0L))).as("n"))
+      val baseStats = filled.filter(col("hr") < col("mn") + 360)
+        .groupBy("series").agg(
+          count(lit(1)).cast("long").as("nb"),
+          sum(col("n")).cast("long").as("s1"),
+          sum(col("n") * col("n")).cast("long").as("s2"))
+      val mu0 = col("s1").cast("double") / col("nb")
+      val sd0 = sqrt(greatest(
+        (col("s2").cast("double") -
+          col("s1").cast("double") * (col("s1").cast("double") / col("nb"))) /
+          (col("nb") - 1), lit(0.0)))
+      val stats = baseStats.select(col("series"),
+        mu0.as("mu0"), sd0.as("sd0"))
+      filled.filter(col("hr") >= col("mn") + 360)
+        .join(stats, "series")
+        .withColumn("z0",
+          when(col("sd0") > 0,
+            round((col("n") - col("mu0")) / col("sd0"), 6)))
+        .select(col("series"), col("hr"), col("n"),
+          round(col("mu0"), 6).as("mu"), round(col("sd0"), 6).as("sd"),
+          col("z0").as("z"),
+          coalesce(abs(col("z0")) >= 3.0, lit(false)).as("is_anomaly"))
+        .orderBy("series", "hr")
+    },
+
     // per-user anchor state monotone-safe with THREE longs per user:
     // once step i's first-match anchor is set, every later-arriving
     // event has a later timestamp, so the anchor never changes and a
