@@ -106,6 +106,7 @@ object Bench {
     "p147_grid_neighbor_join", // 3x3 cell join, no all-pairs
     "p148_rolling_anomaly", // zero-filled grid + 24-preceding z-score
     "s33_stream_anomaly",  // partial-count state + static-baseline z
+    "p149_sorted_neighborhood", // global-order window linkage
     "f07_csv_ingest_cold", // CSV parse + agg, no cache (dsq cold analog)
     "f08_csv_ingest_warm") // cached-parquet + agg (dsq -C warm analog)
 

@@ -3259,6 +3259,33 @@ object Pipeline {
       rollingAnomaly(t(s, dir, "events"))
     },
 
+    // Sorted-neighborhood record linkage over the planted corpus: the
+    // oracle replays the prefix-key global order, the w=3 window
+    // candidates, and exact token-set Jaccard (hash-vs-string set
+    // equality is the p04 2^-64 argument); the planted suffix copies
+    // share their original's 32-char prefix, so sort blocking finds
+    // them without any hashing.
+    QueryDef("p149_sorted_neighborhood",
+      s"""WITH $corpusSql,
+         |${shingleCtes(1)},
+         |keyed AS (SELECT doc_id, substring(text, 1, 32) AS bk
+         |  FROM corpus),
+         |ord AS (SELECT doc_id,
+         |    ROW_NUMBER() OVER (ORDER BY bk, doc_id) AS pos FROM keyed),
+         |cand AS (SELECT a.doc_id AS ida, b.doc_id AS idb
+         |  FROM ord a JOIN ord b
+         |    ON b.pos BETWEEN a.pos + 1 AND a.pos + 3),
+         |j AS (SELECT least(ida, idb) AS id_a, greatest(ida, idb) AS id_b,
+         |    len(list_intersect(sa.s, sb.s)) /
+         |      len(list_distinct(list_concat(sa.s, sb.s))) AS jac
+         |  FROM cand JOIN sh sa ON sa.doc_id = ida
+         |    JOIN sh sb ON sb.doc_id = idb)
+         |SELECT id_a, id_b, round(jac, 6) AS jaccard
+         |FROM j WHERE jac >= 0.5 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      Fuzzy.sortedNeighborhoodPairs(docsWithPlants(s, dir),
+        "doc_id", "text")
+    },
+
     // benchmark = every 100th doc; a corpus doc is contaminated iff it
     // shares a 13-token window with any benchmark doc
     QueryDef("p24_contamination",

@@ -182,4 +182,49 @@ object Fuzzy {
       .select(col("id_a"), col("id_b"), lit(0).as("dist"))
     cross.unionAll(intra)
   }
+
+  /** Sorted-neighborhood record linkage (Hernández & Stolfo SIGMOD'95):
+    * sort the corpus by a lexicographic blocking key (a text prefix —
+    * typo'd/suffixed variants of a record sort adjacent), slide a
+    * window of `w` over the GLOBAL order, and verify each in-window
+    * pair by word-set Jaccard. The complement to hash blocking
+    * ([[Dedup]]'s LSH families) and segment blocking
+    * ([[editDistancePairs]]): sort blocking catches variants that
+    * share a prefix but differ enough in token content that banding
+    * misses them, at exactly n·w candidate pairs.
+    *
+    * Distributed shape: the global position comes from
+    * [[Corpus.withGlobalOrder]] (range partition + per-partition
+    * offsets — no single-partition window at any scale), and the
+    * neighborhood expansion is an EQUI-join on pos+k (k ≤ w), so
+    * candidates are key-partitioned like every other family. Verify
+    * intersects sorted token-hash sets (native expression, the
+    * p02/p04 2^-64 hash-equality argument), never strings.
+    */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String,
+      textCol: String, keyLen: Int = 32, w: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.graft.VectorExpressions
+    val keyed = df.select(col(idCol).as("id"), col(textCol).as("t"))
+      .withColumn("bk", substring(col("t"), 1, keyLen))
+      .withColumn("sh", VectorExpressions.shingleHashes(col("t"), 1))
+      .select("id", "bk", "sh")
+    val ordered = Corpus.withGlobalOrder(keyed,
+        Seq(col("bk"), col("id")), lit(1L))
+      .select(col("id"), col("sh"), col("pos"))
+    val lhs = ordered
+      .select(col("id").as("ida"), col("sh").as("s_a"), col("pos"))
+      .withColumn("k", explode(sequence(lit(1L), lit(w.toLong))))
+      .select(col("ida"), col("s_a"), (col("pos") + col("k")).as("pos_b"))
+    val rhs = ordered.select(col("id").as("idb"), col("sh").as("s_b"),
+      col("pos").as("pos_b"))
+    lhs.join(rhs, "pos_b")
+      .withColumn("jac", VectorExpressions.sortedJaccardAtLeast(
+        col("s_a"), col("s_b"), threshold))
+      .filter(col("jac") >= threshold)
+      .select(least(col("ida"), col("idb")).as("id_a"),
+        greatest(col("ida"), col("idb")).as("id_b"),
+        round(col("jac"), 6).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
 }

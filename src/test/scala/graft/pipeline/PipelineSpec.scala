@@ -3126,6 +3126,53 @@ class PipelineSpec extends SparkSpec {
     assert(flagged == List(20L), flagged.toString)
   }
 
+  test("sortedNeighborhoodPairs: window semantics, prefix blocking") {
+    import spark.implicits._
+    // sort order by 32-char prefix then id = 1,2,3,4,5,6,7. With w=2:
+    //  - (1,2) k=1 window pair, J=3/4: found;
+    //  - (1,3) k=2 window pair, identical token SET under different
+    //    ORDER (J=1.0 despite different prefix): found via the window,
+    //    not the key — the sorted-neighborhood selling point;
+    //  - id 4 is window-adjacent to 2,3,5,6 but token-disjoint:
+    //    candidates all rejected by the verify;
+    //  - (6,7) identical text, J=1.0: found.
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta gamma delta"),
+      (3L, "gamma beta alpha"),
+      (4L, "mmm nnn ooo"),
+      (5L, "ppp qqq rrr"),
+      (6L, "zzz yyy xxx"),
+      (7L, "zzz yyy xxx"))
+      .toDF("doc_id", "text")
+    val got = Fuzzy.sortedNeighborhoodPairs(docs, "doc_id", "text",
+        keyLen = 32, w = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    assert(got.contains((1L, 2L, 0.75)), got.toString)
+    assert(got.contains((6L, 7L, 1.0)), got.toString)
+    assert(got.contains((1L, 3L, 1.0)), got.toString)
+    assert(!got.exists(p => p._1 == 4L || p._2 == 4L), got.toString)
+    assert(!got.exists(p => p._1 == 5L && p._2 == 6L), got.toString)
+  }
+
+  test("sortedNeighborhoodPairs: boundary pairs survive any partitioning") {
+    import spark.implicits._
+    // the cross-partition stitch claim of withGlobalOrder: a duplicate
+    // pair adjacent in the GLOBAL order must be found no matter how
+    // many range partitions the corpus is spread over
+    val docs = (0L until 200L).map { i =>
+      (i, f"doc$i%03d common filler tokens here")
+    } ++ Seq((900L, "doc150 common filler tokens here extra"))
+    val df = docs.toDF("doc_id", "text").repartition(16)
+    val got = Fuzzy.sortedNeighborhoodPairs(df, "doc_id", "text",
+        keyLen = 8, w = 1, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // 900's text sorts right after doc 150's (same 8-char prefix
+    // "doc150 c", higher id) → w=1 must pair them
+    assert(got.contains((150L, 900L)), got.toString)
+  }
+
   test("gridNeighborPairs == naive all-pairs on random lattices (ScalaCheck)") {
     // the cell join's once-and-only-once claim under adversarial
     // geometry: points ON cell boundaries, exact-r distances (lattice
