@@ -521,14 +521,19 @@ object Dedup {
     *    and run union-find driver-side — one job, no rounds; labels
     *    return as an exact-stats local relation, so downstream joins
     *    broadcast.
-    *  - above the bound: iterative min-label propagation — every node
-    *    adopts the smallest component id among itself and its neighbors
-    *    until fixpoint (≤ diameter + 1 rounds; near-dup clusters are
-    *    shallow). Each round is one shuffle join + aggregate over the
-    *    PAIR-NODE table only, with a storage barrier per round to
-    *    truncate lineage and an observed metric for convergence (no
-    *    per-round count job). GraphX's CC is this same loop with
-    *    graph-specific packing.
+    *  - above the bound: iterative min-label propagation WITH pointer
+    *    jumping — every node adopts the smallest label among itself,
+    *    its neighbors, and its label's OWN label (comp(comp(u)), the
+    *    path-halving shortcut) until fixpoint. The shortcut makes
+    *    convergence O(log diameter) rounds rather than O(diameter):
+    *    near-dup clusters are shallow either way, but a spatial
+    *    ε-graph's giant component (p150 DBSCAN at 10×) spans the
+    *    plane — hundreds of hops — and plain propagation blew the
+    *    round cap there. Each round is the edge join + the label
+    *    self-join feeding ONE aggregate over the pair-node table,
+    *    with a storage barrier per round to truncate lineage and an
+    *    observed metric for convergence (no per-round count job).
+    *    GraphX's CC is the plain loop with graph-specific packing.
     *
     * Both paths produce identical labels (a spec asserts it): comp =
     * min doc id in the cluster, returned as (`doc_id`, `comp`).
@@ -572,6 +577,19 @@ object Dedup {
         .join(comp.select(col("doc_id").as("dst"), col("comp")), Seq("dst"))
         .select(col("src").as("doc_id"), col("comp"),
           lit(null).cast("long").as("self"))
+      // pointer jumping: also propose the label OF my label's node
+      // (labels are always node ids inside the same component, and only
+      // ever decrease, so comp(comp(u)) is safe and ≤ comp(u)). This
+      // shortcut doubles the effective propagation distance per round —
+      // convergence in O(log diameter) rounds instead of O(diameter),
+      // which is what long-chain graphs need (a spatial ε-graph's giant
+      // component spans the plane: ~plane-size/eps hops; near-dup
+      // clusters are shallow and never noticed the difference)
+      val viaPointer = comp.select(col("doc_id"), col("comp").as("ptr"))
+        .join(comp.select(col("doc_id").as("ptr"), col("comp").as("pc")),
+          Seq("ptr"))
+        .select(col("doc_id"), col("pc").as("comp"),
+          lit(null).cast("long").as("self"))
       // carry each node's own label through the SAME aggregate that takes
       // the neighborhood min: `self` is non-null on exactly one row per
       // doc_id, so min(self) recovers prev without the comp⋈proposed join
@@ -585,7 +603,7 @@ object Dedup {
       // just-written barrier every round (r5 p38/p25 cost finding)
       val obs = org.apache.spark.sql.Observation(s"cc-changed-$iter")
       val (staged, stagedDir) = materializeBarrierAt(
-        selfRows.unionAll(viaNeighbor)
+        selfRows.unionAll(viaNeighbor).unionAll(viaPointer)
           .groupBy("doc_id")
           .agg(min("comp").as("comp"), min("self").as("prev"))
           .observe(obs, sum(when(col("comp") < col("prev"), 1L)
