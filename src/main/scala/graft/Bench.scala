@@ -106,7 +106,12 @@ object Bench {
     "p147_grid_neighbor_join", // 3x3 cell join, no all-pairs
     "p148_rolling_anomaly", // zero-filled grid + 24-preceding z-score
     "s33_stream_anomaly",  // partial-count state + static-baseline z
+    "s34_stream_ohlc",     // decomposable struct-min/max bar partials
     "p149_sorted_neighborhood", // global-order window linkage
+    "p150_dbscan",        // grid eps-graph + pointer-jump components
+    "p151_interpolate",   // calendar grid + two-sided neighbor lerp
+    "p152_markov_transitions", // one user-keyed lead + typesSq matrix
+    "p153_silhouette",    // narrow map vs broadcast centroid literals
     "f07_csv_ingest_cold", // CSV parse + agg, no cache (dsq cold analog)
     "f08_csv_ingest_warm") // cached-parquet + agg (dsq -C warm analog)
 

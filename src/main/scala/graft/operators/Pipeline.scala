@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
-import graft.pipeline.{Corpus, Dedup, Fuzzy, Multimodal, Retrieval, Similarity, TextAnalysis}
+import graft.pipeline.{Clustering, Corpus, Dedup, Fuzzy, Multimodal, Retrieval, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators (dedup, similarity search, text
   * analysis, multimodal) wired to the driver tables.
@@ -238,39 +238,96 @@ object Pipeline {
       .orderBy("series", "hr")
   }
 
-  /** All point pairs within Euclidean `r` by grid-cell bucketing: cells
-    * of side `r`, the left side replicated to its 3×3 cell neighborhood,
-    * the right side keyed by its own cell, so each candidate pair meets
-    * in exactly one cell (no post-join dedup) and the exact distance
-    * filter runs only on neighborhood-local candidates. The 100 TB
-    * contrast is the all-pairs cross join: bucketing bounds candidates
-    * by local density × 9, the join is key-partitioned on the cell, and
-    * the 3×3 replication is a constant factor. Distance arithmetic is
-    * plain IEEE ops on the shared input doubles, so an ANSI oracle
-    * reproduces the boundary cases bit-for-bit.
+  /** Time-series LINEAR interpolation over the per-series bucket grid —
+    * [[gapFill]]'s forward fill is a step function; this lerps each
+    * empty bucket between its nearest observed neighbors:
+    * v = prev_v + (next_v − prev_v) · (hr − prev_hr) / (next_hr −
+    * prev_hr), written in exactly that operation order so the IEEE
+    * doubles match an ANSI oracle bit-for-bit before the final
+    * round-6. Observed buckets keep their own (deterministic
+    * (us, event_id)-last) value. The grid spans each series' observed
+    * min..max bucket, so every gap has both neighbors — no
+    * extrapolation branch. Distributed shape identical to [[gapFill]]:
+    * events collapse to one row per (series, bucket) map-side FIRST,
+    * and the two neighbor windows (last-non-null backward,
+    * first-non-null forward) run over the bounded calendar grid, never
+    * over raw events.
     */
-  def gridNeighborPairs(points: DataFrame, r: Double): DataFrame = {
-    val cellX = floor(col("x") / r).cast("long")
-    val cellY = floor(col("y") / r).cast("long")
-    val rhs = points.select(col("id").as("id_b"), col("x").as("xb"),
-      col("y").as("yb"), cellX.as("cx"), cellY.as("cy"))
-    val lhs = points.select(col("id").as("id_a"), col("x").as("xa"),
-        col("y").as("ya"), cellX.as("cx0"), cellY.as("cy0"))
-      .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
-      .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
-      .select(col("id_a"), col("xa"), col("ya"),
-        (col("cx0") + col("dx")).as("cx"),
-        (col("cy0") + col("dy")).as("cy"))
-    val d2 = (col("xa") - col("xb")) * (col("xa") - col("xb")) +
-      (col("ya") - col("yb")) * (col("ya") - col("yb"))
-    lhs.join(rhs, Seq("cx", "cy"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("d2", d2)
-      .filter(col("d2") <= lit(r * r))
+  def interpolateLinear(events: DataFrame,
+      bucketUs: Long = 3600000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val obs = events.filter(col("value").isNotNull)
+      .select(col("event_type").as("series"), col("event_id"),
+        col("value").as("v"), unix_micros(col("ts")).as("us"))
+      .withColumn("hr", expr(s"us div $bucketUs"))
+      .groupBy("series", "hr")
+      .agg(max(struct(col("us"), col("event_id"), col("v")))
+        .getField("v").as("v_last"))
+    val grid = obs.groupBy("series")
+      .agg(min("hr").as("mn"), max("hr").as("mx"))
+      .select(col("series"),
+        explode(sequence(col("mn"), col("mx"))).as("hr"))
+    val wPrev = Window.partitionBy("series").orderBy("hr")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy("series").orderBy("hr")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsHr = when(col("v_last").isNotNull, col("hr"))
+    grid.join(obs, Seq("series", "hr"), "left")
+      .select(col("series"), col("hr"), col("v_last"),
+        last(obsHr, ignoreNulls = true).over(wPrev).as("phr"),
+        last(col("v_last"), ignoreNulls = true).over(wPrev).as("pv"),
+        first(obsHr, ignoreNulls = true).over(wNext).as("nhr"),
+        first(col("v_last"), ignoreNulls = true).over(wNext).as("nv"))
+      .select(col("series"), col("hr"),
+        round(when(col("v_last").isNotNull, col("v_last"))
+          .otherwise(col("pv") + (col("nv") - col("pv")) *
+            (col("hr") - col("phr")) / (col("nhr") - col("phr"))), 6)
+          .as("value"),
+        col("v_last").isNotNull.as("observed"))
+      .orderBy("series", "hr")
+  }
+
+  /** Session-scoped Markov transition matrix over the event stream: for
+    * each user, consecutive event pairs (ordered by the deterministic
+    * (ts, event_id) key) whose gap is under `gapMinutes` — the same
+    * half-open rule as [[sessionize]], so a transition never crosses a
+    * session boundary — counted into a (from_type → to_type) matrix
+    * with the row-conditional probability. The user-journey model
+    * behind next-action prediction and funnel diagnostics. Distributed
+    * shape: ONE user-keyed shuffle shared by the lead() pair window,
+    * then a partial-aggregated groupBy whose output is bounded by
+    * |event types|² — never by users or events; the probability window
+    * runs over that tiny matrix.
+    */
+  def eventTransitions(events: DataFrame,
+      gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gapUs = gapMinutes * 60L * 1000000L
+    val byTime = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events
+      .select(col("user_id"), col("event_type"), col("ts"),
+        col("event_id"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(byTime))
+      .withColumn("gap_us",
+        lead(unix_micros(col("ts")), 1).over(byTime) -
+          unix_micros(col("ts")))
+      .filter(col("to_type").isNotNull && col("gap_us") < gapUs)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .withColumn("p", round(col("n") /
+        sum(col("n")).over(Window.partitionBy("from_type")), 6))
+      .orderBy("from_type", "to_type")
+  }
+
+  /** All point pairs within Euclidean `r` with the rounded distance —
+    * the reporting wrapper over [[Clustering.gridPairs]] (the grid-cell
+    * neighbor join; scale argument there).
+    */
+  def gridNeighborPairs(points: DataFrame, r: Double): DataFrame =
+    Clustering.gridPairs(points, r)
       .select(col("id_a"), col("id_b"),
         round(sqrt(col("d2")), 6).as("dist"))
       .orderBy("id_a", "id_b")
-  }
 
   /** Rolling z-score anomaly detection over per-(series, bucket) event
     * rates: counts on the gap-free grid (empty buckets count 0, so the
@@ -3286,6 +3343,124 @@ object Pipeline {
         "doc_id", "text")
     },
 
+    // DBSCAN over a pseudo-random plane: 1-in-5 ids, QUADRATIC prime
+    // scatter (a linear id*prime map is a rank-1 lattice whose minimum
+    // point separation exceeds eps — zero pairs, all noise; the
+    // quadratic term breaks the lattice, Weyl-style), eps=2, minPts=4
+    // → 870 cores / 2000 points at the gate SF, with border and noise
+    // both populated. The oracle re-derives the full semantics naively:
+    // quadratic eps-graph, degree threshold, transitive closure of the
+    // core-core graph (recursive CTE seeded with (id, id) so isolated
+    // cores keep their singleton cluster), min-core-cluster border
+    // assignment — proving the grid join + components composition
+    // loses no boundary pair and labels identically.
+    QueryDef("p150_dbscan",
+      """WITH RECURSIVE p AS (SELECT event_id AS id,
+        |    CAST((event_id * event_id * 73 + event_id * 7919)
+        |      % 100000 AS DOUBLE) / 1000 AS x,
+        |    CAST((event_id * event_id * 151 + event_id * 104729)
+        |      % 100000 AS DOUBLE) / 1000 AS y
+        |  FROM events WHERE event_id % 5 = 0),
+        |nb AS (SELECT a.id AS ia, b.id AS ib FROM p a JOIN p b
+        |  ON a.id <> b.id
+        |  AND (a.x - b.x) * (a.x - b.x) +
+        |      (a.y - b.y) * (a.y - b.y) <= 4.0),
+        |core AS (SELECT ia AS id FROM nb GROUP BY 1
+        |  HAVING COUNT(*) >= 3),
+        |ce AS (SELECT ia, ib FROM nb
+        |  WHERE ia IN (SELECT id FROM core)
+        |    AND ib IN (SELECT id FROM core)),
+        |reach(src, dst) AS (
+        |  SELECT id, id FROM core
+        |  UNION
+        |  SELECT r.src, e.ib FROM reach r JOIN ce e ON r.dst = e.ia),
+        |comp AS (SELECT src AS id, MIN(dst) AS cl FROM reach GROUP BY 1),
+        |border AS (SELECT n.ia AS id, MIN(c.cl) AS cl
+        |  FROM nb n JOIN comp c ON n.ib = c.id
+        |  WHERE n.ia NOT IN (SELECT id FROM core) GROUP BY 1)
+        |SELECT p.id,
+        |  CASE WHEN co.cl IS NOT NULL THEN 'core'
+        |       WHEN bo.cl IS NOT NULL THEN 'border'
+        |       ELSE 'noise' END AS role,
+        |  CAST(COALESCE(co.cl, bo.cl) AS BIGINT) AS cluster_id
+        |FROM p LEFT JOIN comp co ON p.id = co.id
+        |  LEFT JOIN border bo ON p.id = bo.id
+        |ORDER BY 1""".stripMargin) { (s, dir) =>
+      val pts = t(s, dir, "events")
+        .filter(col("event_id") % 5 === 0)
+        .select(col("event_id").as("id"),
+          (((col("event_id") * col("event_id") * 73 +
+            col("event_id") * 7919) % 100000).cast("double") / 1000)
+            .as("x"),
+          (((col("event_id") * col("event_id") * 151 +
+            col("event_id") * 104729) % 100000).cast("double") / 1000)
+            .as("y"))
+      Clustering.dbscanGrid(pts, eps = 2.0, minPts = 4)
+    },
+
+    // Linear interpolation on the hourly grid: the oracle replays the
+    // per-bucket deterministic-last collapse, both IGNORE-NULLS
+    // neighbor windows, and the lerp in the identical IEEE operation
+    // order before the shared round-6.
+    QueryDef("p151_interpolate",
+      """WITH e AS (SELECT event_type AS series, epoch_us(ts) AS us,
+        |    event_id, epoch_us(ts) // 3600000000 AS hr, value AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT series, hr, v,
+        |    ROW_NUMBER() OVER (PARTITION BY series, hr
+        |                       ORDER BY us DESC, event_id DESC) AS rn
+        |  FROM e),
+        |obs AS (SELECT series, hr, v AS v_last FROM r WHERE rn = 1),
+        |span AS (SELECT series, MIN(hr) AS mn, MAX(hr) AS mx
+        |  FROM obs GROUP BY 1),
+        |grid AS (SELECT series, unnest(range(mn, mx + 1)) AS hr
+        |  FROM span),
+        |j AS (SELECT g.series, g.hr, o.v_last
+        |  FROM grid g LEFT JOIN obs o
+        |    ON g.series = o.series AND g.hr = o.hr),
+        |w AS (SELECT series, hr, v_last,
+        |    last_value(CASE WHEN v_last IS NOT NULL THEN hr END
+        |      IGNORE NULLS) OVER wp AS phr,
+        |    last_value(v_last IGNORE NULLS) OVER wp AS pv,
+        |    first_value(CASE WHEN v_last IS NOT NULL THEN hr END
+        |      IGNORE NULLS) OVER wn AS nhr,
+        |    first_value(v_last IGNORE NULLS) OVER wn AS nv
+        |  FROM j
+        |  WINDOW wp AS (PARTITION BY series ORDER BY hr
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wn AS (PARTITION BY series ORDER BY hr
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT series, hr,
+        |  round(CASE WHEN v_last IS NOT NULL THEN v_last
+        |    ELSE pv + (nv - pv) * (hr - phr) / (nhr - phr) END, 6)
+        |    AS value,
+        |  v_last IS NOT NULL AS observed
+        |FROM w ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      interpolateLinear(t(s, dir, "events"))
+    },
+
+    // Session-scoped Markov transitions: the oracle replays the
+    // (ts, event_id)-ordered lead pairs, the strict sub-gap filter
+    // (sessionize's rule), and the row-conditional probability.
+    QueryDef("p152_markov_transitions",
+      """WITH o AS (SELECT user_id, event_type, event_id,
+        |    epoch_us(ts) AS us FROM events),
+        |l AS (SELECT event_type AS ft,
+        |    lead(event_type) OVER w AS tt,
+        |    lead(us) OVER w - us AS gap
+        |  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY us,
+        |    event_id)),
+        |f AS (SELECT ft, tt FROM l
+        |  WHERE tt IS NOT NULL AND gap < 1800000000),
+        |c AS (SELECT ft AS from_type, tt AS to_type,
+        |    CAST(COUNT(*) AS BIGINT) AS n FROM f GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  round(n / CAST(SUM(n) OVER (PARTITION BY from_type)
+        |    AS DOUBLE), 6) AS p
+        |FROM c ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      eventTransitions(t(s, dir, "events"))
+    },
+
     // benchmark = every 100th doc; a corpus doc is contaminated iff it
     // shares a 13-token window with any benchmark doc
     QueryDef("p24_contamination",
@@ -3596,6 +3771,52 @@ object Pipeline {
     // statistics do.
     QueryDef("p54_kmeans_assign", kmeansAssignSql) { (s, dir) =>
       graft.pipeline.Clustering.kmeansAssign(
+        t(s, dir, "embeddings"), k = 10, iters = 2)
+    },
+
+    // Simplified silhouette over the p54 clustering: the oracle replays
+    // the full Lloyd chain (same CTEs as p54), keeps the (d, cid) rank
+    // per vector, and derives a (rn=1), b (rn=2), and (b−a)/max(a,b)
+    // in the identical IEEE operation order — any drift in centroids,
+    // assignment, tie-break, or the score arithmetic flips a value.
+    QueryDef("p153_silhouette",
+      """WITH q AS (SELECT vec_id, list_transform(embedding,
+        |             x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT))
+        |             AS qv
+        |           FROM embeddings),
+        |u AS (SELECT vec_id, unnest(qv) AS v, unnest(range(len(qv))) AS i
+        |      FROM q),
+        |c0 AS (SELECT vec_id AS cid, i, v AS cv FROM u WHERE vec_id < 10),
+        |d1 AS (SELECT u.vec_id, c0.cid,
+        |         sum((u.v - c0.cv)*(u.v - c0.cv)) AS d
+        |       FROM u JOIN c0 USING (i) GROUP BY 1, 2),
+        |a1 AS (SELECT vec_id, cid FROM (
+        |         SELECT vec_id, cid,
+        |           ROW_NUMBER() OVER (PARTITION BY vec_id
+        |                              ORDER BY d, cid) AS rn
+        |         FROM d1) WHERE rn = 1),
+        |c1 AS (SELECT a1.cid, u.i,
+        |         CAST(floor(CAST(sum(u.v) AS DOUBLE)/count(*)) AS BIGINT)
+        |           AS cv
+        |       FROM a1 JOIN u USING (vec_id) GROUP BY 1, 2),
+        |d2 AS (SELECT u.vec_id, c1.cid,
+        |         sum((u.v - c1.cv)*(u.v - c1.cv)) AS d
+        |       FROM u JOIN c1 USING (i) GROUP BY 1, 2),
+        |rk AS (SELECT vec_id, cid, d,
+        |         ROW_NUMBER() OVER (PARTITION BY vec_id
+        |                            ORDER BY d, cid) AS rn
+        |       FROM d2),
+        |ab AS (SELECT vec_id,
+        |    max(CASE WHEN rn = 1 THEN cid END) AS cluster,
+        |    sqrt(CAST(max(CASE WHEN rn = 1 THEN d END) AS DOUBLE)) AS a,
+        |    sqrt(CAST(max(CASE WHEN rn = 2 THEN d END) AS DOUBLE)) AS b
+        |  FROM rk WHERE rn <= 2 GROUP BY 1)
+        |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
+        |  round(a, 6) AS a_dist, round(b, 6) AS b_dist,
+        |  round(CASE WHEN greatest(a, b) > 0
+        |    THEN (b - a) / greatest(a, b) ELSE 0.0 END, 6) AS silhouette
+        |FROM ab ORDER BY 1""".stripMargin) { (s, dir) =>
+      graft.pipeline.Clustering.silhouetteSimplified(
         t(s, dir, "embeddings"), k = 10, iters = 2)
     },
 

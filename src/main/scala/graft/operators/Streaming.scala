@@ -1704,6 +1704,77 @@ object Streaming {
           count(col("a3")).cast("long").as("n3"))
           .select(expr("stack(3, '1_view', n1, '2_click', n2, " +
             "'3_purchase', n3) AS (step, n_users)")))
+    },
+
+    // Streaming OHLC bars (p143 over continuous ingest): each
+    // micro-batch appends its per-(series, hour) PARTIAL bar — the
+    // orderable-STRUCT min/max that selects open/close is an exact
+    // decomposable aggregate (min of per-batch (us, event_id, v)
+    // minima IS the global minimum, no matter how events split across
+    // batches), as are high/low/count — and the report merges the
+    // partials with the same min/max/sum. The oracle is batch p143's
+    // SQL verbatim: the streamed, batch-split computation must equal
+    // the one-shot batch bar table exactly. At 100 TB: per-batch
+    // state is one row per (series, hour) touched by the batch; the
+    // stream is never re-read.
+    QueryDef("s34_stream_ohlc",
+      """WITH e AS (SELECT event_type, event_id,
+        |    epoch_us(ts) AS us, epoch_us(ts) // 3600000000 AS hr,
+        |    value AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT event_type, hr, us, event_id, v,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type, hr
+        |                       ORDER BY us, event_id) AS rn_a,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type, hr
+        |                       ORDER BY us DESC, event_id DESC) AS rn_d
+        |  FROM e)
+        |SELECT event_type, hr,
+        |  MAX(CASE WHEN rn_a = 1 THEN v END) AS open,
+        |  MAX(v) AS high, MIN(v) AS low,
+        |  MAX(CASE WHEN rn_d = 1 THEN v END) AS close,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val ev = graft.Tables.load(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), col("event_id"),
+          col("value").as("v"), unix_micros(col("ts")).as("us"))
+        .withColumn("hr", expr("us div 3600000000"))
+      val base = java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_fmt").toString
+      val srcDir = s"$base/s34_stream_src"
+      val barDir = s"$base/s34_bars"
+      Seq(srcDir, barDir).foreach(d => rmTree(new java.io.File(d)))
+      new java.io.File(srcDir).mkdirs()
+      (0 until 4).foreach { b =>
+        writeSingle(ev.filter(col("event_id") % 4 === b),
+          srcDir, s"batch_$b")
+      }
+      val schema = s.read.parquet(srcDir).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(srcDir)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.groupBy("event_type", "hr")
+            .agg(min(struct(col("us"), col("event_id"), col("v")))
+                .as("o"),
+              max(col("v")).as("hi"), min(col("v")).as("lo"),
+              max(struct(col("us"), col("event_id"), col("v")))
+                .as("c"),
+              count(lit(1)).cast("long").as("n"))
+            .coalesce(1).write.mode("append").parquet(barDir)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(barDir).groupBy("event_type", "hr")
+        .agg(min(col("o")).getField("v").as("open"),
+          max(col("hi")).as("high"), min(col("lo")).as("low"),
+          max(col("c")).getField("v").as("close"),
+          sum(col("n")).cast("long").as("n_events"))
+        .orderBy("event_type", "hr")
     }
   )
 }

@@ -212,4 +212,135 @@ object Clustering {
       .select(col("cluster"), col("id_a"), col("id_b"),
         round(col("cosine"), 6).as("cosine"))
   }
+
+  /** Simplified silhouette (the centroid form — Hruschka et al.; the
+    * classic per-point-pairwise silhouette is O(n²)): for each vector,
+    * a = distance to its OWN (nearest) final centroid, b = distance to
+    * the nearest OTHER centroid, s = (b − a) / max(a, b) — the
+    * cluster-quality score a pipeline owner reads before pinning k.
+    * Same determinism contract as [[kmeansAssign]]: distances are
+    * exact int64 on the quantized codes (a and b are the first and
+    * second elements of the SAME sorted (d, cid) struct array that
+    * assignment uses, so own-cluster equality with p54 is by
+    * construction), pushed through IEEE sqrt/divide in a pinned
+    * operation order and rounded at 6. Coincident centroids give
+    * a = b → s = 0 on both engines; an all-zero vector on an all-zero
+    * centroid guards the 0/0 with an explicit 0.
+    *
+    * Scale shape: identical to assignment — the corpus never shuffles;
+    * the k×dim centroid table is a driver literal and the whole score
+    * is one narrow codegen'd map over the rows.
+    */
+  def silhouetteSimplified(df: DataFrame, k: Int, iters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = kmeansCentroids(df, k, iters, idCol, vecCol)
+    val q = df.select(col(idCol), quantize(col(vecCol)).as("qv"))
+      .withColumn("qq", longDot(col("qv"), col("qv")))
+    val scored = array(cents.map { case (cid, cv) =>
+      val centCol = array(cv.map(lit(_)): _*)
+      val centSq = cv.map(c => c * c).sum
+      struct(
+        (col("qq") - lit(2L) * longDot(col("qv"), centCol) + lit(centSq))
+          .as("d"),
+        lit(cid).as("cid"))
+    }: _*)
+    val srt = array_sort(scored)
+    val a = sqrt(element_at(srt, 1).getField("d").cast("double"))
+    val b = sqrt(element_at(srt, 2).getField("d").cast("double"))
+    val g = greatest(a, b)
+    q.select(col(idCol),
+        element_at(srt, 1).getField("cid").as("cluster"),
+        round(a, 6).as("a_dist"), round(b, 6).as("b_dist"),
+        round(when(g > 0, (b - a) / g).otherwise(0.0), 6)
+          .as("silhouette"))
+      .orderBy(idCol)
+  }
+
+  /** Unordered-pair ε-neighborhood join over (id, x, y) points by
+    * grid-cell bucketing: cells of side `r`, left side replicated to
+    * its 3×3 neighborhood, right side keyed by its own cell, so each
+    * candidate pair meets in EXACTLY one cell (no post-join dedup) and
+    * the exact squared-distance filter runs only on neighborhood-local
+    * candidates. Returns (id_a < id_b, d2). The 100 TB contrast is the
+    * all-pairs cross join: here candidates are bounded by local density
+    * × 9, the join is key-partitioned on the cell, and the replication
+    * is a constant factor. Distance arithmetic is plain IEEE ops on
+    * the input doubles, so an ANSI oracle reproduces boundary cases
+    * bit-for-bit.
+    */
+  def gridPairs(points: DataFrame, r: Double): DataFrame = {
+    val cellX = floor(col("x") / r).cast("long")
+    val cellY = floor(col("y") / r).cast("long")
+    val rhs = points.select(col("id").as("id_b"), col("x").as("xb"),
+      col("y").as("yb"), cellX.as("cx"), cellY.as("cy"))
+    val lhs = points.select(col("id").as("id_a"), col("x").as("xa"),
+        col("y").as("ya"), cellX.as("cx0"), cellY.as("cy0"))
+      .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .select(col("id_a"), col("xa"), col("ya"),
+        (col("cx0") + col("dx")).as("cx"),
+        (col("cy0") + col("dy")).as("cy"))
+    val d2 = (col("xa") - col("xb")) * (col("xa") - col("xb")) +
+      (col("ya") - col("yb")) * (col("ya") - col("yb"))
+    lhs.join(rhs, Seq("cx", "cy"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("d2", d2)
+      .filter(col("d2") <= lit(r * r))
+      .select(col("id_a"), col("id_b"), col("d2"))
+  }
+
+  /** DBSCAN (Ester et al. KDD'96) composed from the engine's own
+    * scale-validated primitives: [[gridPairs]] supplies the
+    * ε-neighborhood graph (no all-pairs distance matrix, no iterative
+    * point-at-a-time region queries) and [[Dedup.components]] the
+    * cluster closure. Rules, all deterministic and engine-portable:
+    * core = point with ≥ `minPts` points within `eps` (self included,
+    * the paper's convention); clusters = connected components of the
+    * core-core ε-graph labeled by min core id (an isolated core — all
+    * its ε-neighbors border — is its own singleton cluster); border =
+    * non-core within eps of ≥ 1 core, assigned the MIN neighboring
+    * core's cluster id (classic DBSCAN leaves border assignment
+    * scan-order-dependent; min is the deterministic choice the oracle
+    * mirrors); everything else is noise. Returns
+    * (id, role ∈ core|border|noise, cluster_id — null for noise).
+    *
+    * Scale shape: the ε-graph is materialized ONCE behind a storage
+    * barrier and fanned out to the degree count, the core-core
+    * subgraph, and the border assignment (recomputing the 3×3 join
+    * three times is the naive alternative); the closure runs on the
+    * CORE subgraph only (driver union-find under the local bound,
+    * distributed min-label propagation above it); every join below is
+    * key-partitioned on point ids.
+    */
+  def dbscanGrid(points: DataFrame, eps: Double,
+      minPts: Int): DataFrame = {
+    val pairs = Dedup.materializeBarrier(
+      gridPairs(points, eps).select("id_a", "id_b"), "dbscan-eps-graph")
+    val nbrs = pairs.select(col("id_a").as("id"), col("id_b").as("nb"))
+      .unionAll(pairs.select(col("id_b").as("id"), col("id_a").as("nb")))
+    val coreIds = nbrs.groupBy("id")
+      .agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= minPts - 1).select("id")
+    val coreEdges = pairs
+      .join(coreIds.select(col("id").as("id_a")), Seq("id_a"), "left_semi")
+      .join(coreIds.select(col("id").as("id_b")), Seq("id_b"), "left_semi")
+    val coreCl = coreIds.join(
+        Dedup.components(coreEdges)
+          .select(col("doc_id").as("id"), col("comp")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("ccl"))
+    val borderCl = nbrs
+      .join(coreCl.select(col("id").as("nb"), col("ccl").as("ncl")), "nb")
+      .join(coreCl.select(col("id")), Seq("id"), "left_anti")
+      .groupBy("id").agg(min(col("ncl")).as("bcl"))
+    points.select(col("id"))
+      .join(coreCl, Seq("id"), "left")
+      .join(borderCl, Seq("id"), "left")
+      .select(col("id"),
+        when(col("ccl").isNotNull, lit("core"))
+          .when(col("bcl").isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("role"),
+        coalesce(col("ccl"), col("bcl")).as("cluster_id"))
+      .orderBy("id")
+  }
 }

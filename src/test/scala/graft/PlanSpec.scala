@@ -265,6 +265,52 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("p150: DBSCAN stays equi-joined — no product anywhere in the DAG") {
+    // grid eps-graph, degree/core filters, border assignment and the
+    // final role join are ALL key-partitioned equi-joins; any cartesian
+    // or nested-loop fallback would be the all-pairs plan the operator
+    // exists to avoid
+    val p = executed("p150_dbscan")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"DBSCAN fell back to a product join:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"no equi-join in the DBSCAN DAG:\n$p")
+  }
+
+  test("p151/p152: calendar lerp and transitions keep the bounded shapes") {
+    // p151 mirrors p146's claim (collapse first, windows over the grid);
+    // p152's only wide ops are the user-keyed lead window and the
+    // types^2 aggregate — no join at all may appear
+    val p1 = executed("p151_interpolate")
+    assert(p1.contains("Window") && p1.contains("HashAggregate") &&
+      p1.contains("sequence("),
+      s"p151: grid/collapse/window shape broken:\n$p1")
+    assert(!p1.contains("CartesianProduct") &&
+      !p1.contains("BroadcastNestedLoopJoin"),
+      s"p151: product join appeared:\n$p1")
+    val p2 = executed("p152_markov_transitions")
+    assert(p2.contains("Window") && p2.contains("HashAggregate"),
+      s"p152: lead window / matrix aggregate missing:\n$p2")
+    assert(!p2.contains("Join"), s"p152: unexpected join:\n$p2")
+  }
+
+  test("p153: silhouette is a narrow map — zero shuffles over the corpus") {
+    // the k x dim centroids are driver literals; scoring must not
+    // exchange, join, or window the corpus (training runs in
+    // kmeansCentroids BEFORE this plan and is not part of it)
+    val p = executed("p153_silhouette")
+    assert(!p.contains("Join"), s"p153: a join appeared:\n$p")
+    assert(!p.contains("Window"), s"p153: a window appeared:\n$p")
+    // the only allowed exchange is the output orderBy's range partition
+    // (AQE's toString repeats the plan in its Initial Plan section, so
+    // assert on the exchange KIND, not a line count)
+    p.linesIterator.filter(_.contains("Exchange")).foreach { l =>
+      assert(l.contains("rangepartitioning"),
+        s"p153: non-orderBy exchange over the corpus: $l\n$p")
+    }
+  }
+
   test("p80w: winnowed span removal keeps the p80 plan discipline") {
     // the stride path swaps CharGramPosHashes for WinnowAnchorHashes but
     // must keep the same shuffle shape: broadcast hash prefilter, no

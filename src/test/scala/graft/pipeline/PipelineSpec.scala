@@ -3075,6 +3075,51 @@ class PipelineSpec extends SparkSpec {
       ("a", 3L, 2.0, true), ("b", 1L, 9.0, true)), got.toString)
   }
 
+  test("interpolateLinear: gap lerped between neighbors, observed kept") {
+    import spark.implicits._
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    val h = 3600000000L
+    // series a: hours 0 (v=1, id 2 wins the same-µs tie over id 1) and
+    // 3 (v=4) observed → hours 1, 2 lerp to 2.0, 3.0; an uneven gap
+    // (hours 3→5, v 4→9) lerps hour 4 to 6.5 — NOT forward fill.
+    // series b: adjacent observed hours — nothing to interpolate.
+    val ev = Seq(
+      (1L, "a", 10L, Some(5.0)), (2L, "a", 10L, Some(1.0)),
+      (3L, "a", 3 * h + 1, Some(4.0)),
+      (4L, "a", 5 * h, Some(9.0)),
+      (5L, "b", h + 1, Some(2.0)), (6L, "b", 2 * h + 1, Some(3.0)))
+      .map { case (id, t, us, v) => (id, t, ts(us), v) }
+      .toDF("event_id", "event_type", "ts", "value")
+    val got = graft.operators.Pipeline.interpolateLinear(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3))).toSeq
+    assert(got == Seq(
+      ("a", 0L, 1.0, true), ("a", 1L, 2.0, false), ("a", 2L, 3.0, false),
+      ("a", 3L, 4.0, true), ("a", 4L, 6.5, false), ("a", 5L, 9.0, true),
+      ("b", 1L, 2.0, true), ("b", 2L, 3.0, true)), got.toString)
+  }
+
+  test("eventTransitions: session gap cuts a pair, probabilities " +
+      "row-conditional") {
+    import spark.implicits._
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    val m = 60000000L
+    // user 1: A→B (10 min), B→C blocked (gap 40 min ≥ 30), C→D (10 min)
+    // user 2: A→A (5 min) — self-transitions count
+    val ev = Seq(
+      (1L, 1L, "A", 0L), (2L, 1L, "B", 10 * m), (3L, 1L, "C", 50 * m),
+      (4L, 1L, "D", 60 * m),
+      (5L, 2L, "A", 0L), (6L, 2L, "A", 5 * m))
+      .map { case (id, u, t, us) => (id, u, t, ts(us)) }
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val got = graft.operators.Pipeline.eventTransitions(ev).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got == Seq(
+      ("A", "A", 1L, 0.5), ("A", "B", 1L, 0.5), ("C", "D", 1L, 1.0)),
+      got.toString)
+  }
+
   test("gridNeighborPairs: cross-cell pair found once, boundary included") {
     import spark.implicits._
     // r=2: (1,2) same cell d=1; (1,3) ADJACENT cells d=2 exactly (the
