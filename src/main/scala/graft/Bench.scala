@@ -107,6 +107,7 @@ object Bench {
     "p148_rolling_anomaly", // zero-filled grid + 24-preceding z-score
     "s33_stream_anomaly",  // partial-count state + static-baseline z
     "s34_stream_ohlc",     // decomposable struct-min/max bar partials
+    "s35_stream_transitions", // carried last-event state + lead pairs
     "p149_sorted_neighborhood", // global-order window linkage
     "p150_dbscan",        // grid eps-graph + pointer-jump components
     "p151_interpolate",   // calendar grid + two-sided neighbor lerp

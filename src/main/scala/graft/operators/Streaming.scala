@@ -1775,6 +1775,100 @@ object Streaming {
           max(col("c")).getField("v").as("close"),
           sum(col("n")).cast("long").as("n_events"))
         .orderBy("event_type", "hr")
+    },
+
+    // Streaming Markov transitions (p152 over continuous ingest): the
+    // cross-batch state is each user's LAST event (us, event_id, type)
+    // — the one event whose outgoing transition hasn't been counted
+    // yet. Batches are staged in event-time order (s32's range-split
+    // discipline; equal-us rows never straddle a cut, so per-user
+    // (us, event_id) order is globally correct), each batch counts the
+    // lead() pairs over carried-last ∪ batch-events per user — the
+    // carried row contributes exactly its one uncounted outgoing pair
+    // — appends the (from, to) partial counts, and advances the state
+    // to the new per-user struct-max event. The report merges partial
+    // counts and must equal batch p152's oracle verbatim. At 100 TB:
+    // state is one row per ACTIVE user, counts are types², and each
+    // batch touches only its own users.
+    QueryDef("s35_stream_transitions",
+      """WITH o AS (SELECT user_id, event_type, event_id,
+        |    epoch_us(ts) AS us FROM events),
+        |l AS (SELECT event_type AS ft,
+        |    lead(event_type) OVER w AS tt,
+        |    lead(us) OVER w - us AS gap
+        |  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY us,
+        |    event_id)),
+        |f AS (SELECT ft, tt FROM l
+        |  WHERE tt IS NOT NULL AND gap < 1800000000),
+        |c AS (SELECT ft AS from_type, tt AS to_type,
+        |    CAST(COUNT(*) AS BIGINT) AS n FROM f GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  round(n / CAST(SUM(n) OVER (PARTITION BY from_type)
+        |    AS DOUBLE), 6) AS p
+        |FROM c ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = graft.Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+      val base = java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_fmt").toString
+      val srcDir = s"$base/s35_stream_src"
+      val cntDir = s"$base/s35_counts"
+      val stateRoot = s"$base/s35_state"
+      Seq(srcDir, cntDir, stateRoot)
+        .foreach(d => rmTree(new java.io.File(d)))
+      new java.io.File(srcDir).mkdirs()
+      val cuts = ev.stat.approxQuantile("us",
+        Array(0.25, 0.5, 0.75), 0.001).map(_.toLong)
+      val bounds = (Long.MinValue +: cuts) :+ Long.MaxValue
+      (1 to 4).foreach { b =>
+        writeSingle(ev.filter(col("us") > bounds(b - 1) &&
+          col("us") <= bounds(b)), srcDir, s"batch_$b")
+      }
+      s.range(0).select(col("id").as("user_id"),
+          lit(null).cast("long").as("us"),
+          lit(null).cast("long").as("event_id"),
+          lit(null).cast("string").as("event_type"))
+        .write.mode("overwrite").parquet(s"$stateRoot/v0")
+      val gen = new java.util.concurrent.atomic.AtomicInteger(0)
+      val schema = s.read.parquet(srcDir).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(srcDir)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val st = s.read.parquet(s"$stateRoot/v${gen.get()}")
+            .select("user_id", "us", "event_id", "event_type")
+          val uni = st.unionByName(
+            batch.select("user_id", "us", "event_id", "event_type"))
+          val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+          uni.withColumn("tt", lead(col("event_type"), 1).over(w))
+            .withColumn("gap", lead(col("us"), 1).over(w) - col("us"))
+            .filter(col("tt").isNotNull && col("gap") < 1800000000L)
+            .groupBy(col("event_type").as("from_type"),
+              col("tt").as("to_type"))
+            .agg(count(lit(1)).cast("long").as("n"))
+            .coalesce(1).write.mode("append").parquet(cntDir)
+          uni.groupBy("user_id")
+            .agg(max(struct(col("us"), col("event_id"),
+              col("event_type"))).as("m"))
+            .select(col("user_id"), col("m.us").as("us"),
+              col("m.event_id").as("event_id"),
+              col("m.event_type").as("event_type"))
+            .write.mode("overwrite")
+            .parquet(s"$stateRoot/v${gen.incrementAndGet()}")
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(cntDir)
+        .groupBy("from_type", "to_type")
+        .agg(sum(col("n")).cast("long").as("n"))
+        .withColumn("p", round(col("n") /
+          sum(col("n")).over(Window.partitionBy("from_type")), 6))
+        .orderBy("from_type", "to_type")
     }
   )
 }
