@@ -113,6 +113,7 @@ object Bench {
     "p151_interpolate",   // calendar grid + two-sided neighbor lerp
     "p152_markov_transitions", // one user-keyed lead + typesSq matrix
     "p153_silhouette",    // narrow map vs broadcast centroid literals
+    "p154_skew_report",   // NDV-sized counts + bounded-heap top-k
     "f07_csv_ingest_cold", // CSV parse + agg, no cache (dsq cold analog)
     "f08_csv_ingest_warm") // cached-parquet + agg (dsq -C warm analog)
 

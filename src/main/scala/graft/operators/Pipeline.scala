@@ -319,6 +319,40 @@ object Pipeline {
       .orderBy("from_type", "to_type")
   }
 
+  /** Key-skew diagnostics for a prospective shuffle key — the report a
+    * pipeline owner reads BEFORE keying a 100 TB join or aggregation on
+    * a column (x02's salting and AQE's skew split are the cures; this
+    * is the diagnosis). One row per top-`topK` key (deterministic
+    * (count DESC, key) order) carrying the global stats as constant
+    * columns: total rows, exact key NDV, the key's share, the skew
+    * ratio max/avg, and the integer salt-bucket suggestion
+    * ceil(max_cnt · n_keys / n_rows) — exact int64 arithmetic, so both
+    * engines agree bit-for-bit. Distributed shape: ONE key-keyed
+    * partial-agg shuffle builds the count table (NDV-sized, never
+    * row-sized); the top-k is a bounded heap (TakeOrderedAndProject)
+    * and the summary is a second tiny aggregate over the counts; the
+    * 1-row summary joins back by broadcast.
+    */
+  def skewReport(df: DataFrame, keyCol: String,
+      topK: Int = 20): DataFrame = {
+    val counts = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    val summary = counts.agg(
+      sum("cnt").cast("long").as("n_rows"),
+      count(lit(1)).cast("long").as("n_keys"),
+      max("cnt").cast("long").as("max_cnt"))
+    val top = counts.orderBy(col("cnt").desc, col("key")).limit(topK)
+    top.crossJoin(broadcast(summary))
+      .select(col("key").cast("string").as("key"), col("cnt"),
+        round(col("cnt").cast("double") / col("n_rows"), 6).as("share"),
+        col("n_rows"), col("n_keys"),
+        round(col("max_cnt") * col("n_keys") /
+          col("n_rows").cast("double"), 6).as("skew_ratio"),
+        expr("(max_cnt * n_keys + n_rows - 1) div n_rows")
+          .cast("long").as("salt_buckets"))
+      .orderBy(col("cnt").desc, col("key"))
+  }
+
   /** All point pairs within Euclidean `r` with the rounded distance —
     * the reporting wrapper over [[Clustering.gridPairs]] (the grid-cell
     * neighbor join; scale argument there).
@@ -3437,6 +3471,29 @@ object Pipeline {
         |  v_last IS NOT NULL AS observed
         |FROM w ORDER BY 1, 2""".stripMargin) { (s, dir) =>
       interpolateLinear(t(s, dir, "events"))
+    },
+
+    // Key-skew diagnostics over events.user_id: the oracle replays the
+    // exact count table, the (cnt DESC, key) top-20, and the int64
+    // ceil-div salt suggestion; share and skew_ratio divide in the
+    // same IEEE order before the shared round-6.
+    QueryDef("p154_skew_report",
+      """WITH c AS (SELECT user_id AS k,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1),
+        |s AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        |    CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |    CAST(MAX(cnt) AS BIGINT) AS max_cnt FROM c),
+        |t AS (SELECT k, cnt FROM c ORDER BY cnt DESC, k LIMIT 20)
+        |SELECT CAST(t.k AS VARCHAR) AS key, t.cnt,
+        |  round(CAST(t.cnt AS DOUBLE) / s.n_rows, 6) AS share,
+        |  s.n_rows, s.n_keys,
+        |  round(s.max_cnt * s.n_keys / CAST(s.n_rows AS DOUBLE), 6)
+        |    AS skew_ratio,
+        |  CAST((s.max_cnt * s.n_keys + s.n_rows - 1) // s.n_rows
+        |    AS BIGINT) AS salt_buckets
+        |FROM t CROSS JOIN s
+        |ORDER BY t.cnt DESC, t.k""".stripMargin) { (s, dir) =>
+      skewReport(t(s, dir, "events"), "user_id")
     },
 
     // Session-scoped Markov transitions: the oracle replays the

@@ -3120,6 +3120,26 @@ class PipelineSpec extends SparkSpec {
       got.toString)
   }
 
+  test("skewReport: hand-computed shares, skew ratio, ceil-div salt") {
+    import spark.implicits._
+    // a×5, b×3, c×1, d×1 → rows 10, keys 4, max 5;
+    // skew = 5·4/10 = 2.0; salt = ceil(20/10) = 2
+    val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c", "d"))
+      .toDF("k")
+    val got = graft.operators.Pipeline.skewReport(df, "k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getLong(6))).toSeq
+    assert(got == Seq(
+      ("a", 5L, 0.5, 10L, 4L, 2.0, 2L),
+      ("b", 3L, 0.3, 10L, 4L, 2.0, 2L),
+      ("c", 1L, 0.1, 10L, 4L, 2.0, 2L),
+      ("d", 1L, 0.1, 10L, 4L, 2.0, 2L)), got.toString)
+    // topK truncates on the deterministic (cnt DESC, key) boundary
+    val top2 = graft.operators.Pipeline.skewReport(df, "k", topK = 3)
+      .collect().map(_.getString(0)).toSeq
+    assert(top2 == Seq("a", "b", "c"), top2.toString)
+  }
+
   test("gridNeighborPairs: cross-cell pair found once, boundary included") {
     import spark.implicits._
     // r=2: (1,2) same cell d=1; (1,3) ADJACENT cells d=2 exactly (the
