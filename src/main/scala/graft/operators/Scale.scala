@@ -2333,10 +2333,113 @@ object Scale {
         |FROM v2 WHERE event_id NOT IN (SELECT event_id FROM del)
         |ORDER BY version""".stripMargin) { (s, dir) =>
       timeTravel(s, dir)
+    },
+
+    // Partition-spec evolution: old files stay under the day spec, new
+    // writes land under the event_type spec, a both-dimension query
+    // prunes each file by its own spec's handle. The oracle replays
+    // the predicate over the raw rows under the same even/odd phase
+    // rule and integer band arithmetic; `pruned` is the Spark-side
+    // files_read < files_total invariant.
+    QueryDef("x43_partition_evolution",
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |b AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM e),
+        |q AS (SELECT e.*, CAST(event_id % 2 AS INT) AS spec
+        |  FROM e, b
+        |  WHERE event_type = 'click'
+        |    AND day BETWEEN mn + (mx - mn) * 30 // 100
+        |    AND mn + (mx - mn) * 60 // 100)
+        |SELECT spec AS spec_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(user_id) AS BIGINT) AS sum_user, true AS pruned
+        |FROM q GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      partitionEvolution(s, dir)
     }
   )
 
   /** x41 runner — see the QueryDef comment for the contract. */
+  /** Partition-spec EVOLUTION (the Iceberg v2 feature): a table's early
+    * files were written under spec 0 (partitioned by day), a later
+    * ingest switched to spec 1 (partitioned by event_type), and NO old
+    * file is rewritten — the manifest carries each file's spec id, its
+    * partition value, and min/max stats of the OTHER dimension, so a
+    * query filtering on BOTH columns prunes every file by whichever
+    * handle that file's spec offers: spec-0 files by day partition
+    * value (event_type filtered residually), spec-1 files by
+    * event_type partition value plus per-file day stats. The gate
+    * reads exactly the resolved files per spec (basePath read keeps
+    * the directory-encoded partition column), applies the residual
+    * predicate, and must match DuckDB running the same predicate over
+    * the raw rows split by the same even/odd phase rule; the `pruned`
+    * flags assert both specs read strictly fewer files than they hold.
+    * At 100 TB this is why evolution beats rewrite: switching the
+    * partition key costs ZERO data movement, and old data keeps its
+    * old pruning handle.
+    */
+  private[graft] def partitionEvolution(s: SparkSession,
+      dir: String): DataFrame = {
+    val root = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_fmt").toString
+    val p0 = s"$root/x43_spec0"
+    val p1 = s"$root/x43_spec1"
+    Seq(p0, p1).foreach(p => rmTree(new java.io.File(p)))
+    val e = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+    // phase 1 (old spec): even ids, partitioned by day
+    e.filter(col("event_id") % 2 === 0)
+      .write.partitionBy("day").mode("overwrite").parquet(p0)
+    // phase 2 (new spec): odd ids, partitioned by event_type —
+    // the old files above are NEVER touched again
+    e.filter(col("event_id") % 2 === 1)
+      .write.partitionBy("event_type").mode("overwrite").parquet(p1)
+    // manifests: (file, spec partition value, other-dim min/max)
+    // the directory-encoded partition column round-trips as INT —
+    // normalize to long before collecting
+    val m0 = s.read.option("basePath", p0).parquet(p0)
+      .groupBy(input_file_name().as("file"),
+        col("day").cast("long").as("day"))
+      .agg(count(lit(1))).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val m1 = s.read.option("basePath", p1).parquet(p1)
+      .groupBy(input_file_name().as("file"), col("event_type"))
+      .agg(min(col("day").cast("long")).as("mn"),
+        max(col("day").cast("long")).as("mx")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    // predicate: event_type = 'click' AND day in the 30%..60% band
+    val mm = e.agg(min("day"), max("day")).head()
+    val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+    val lo = mn + (mx - mn) * 30 / 100
+    val hi = mn + (mx - mn) * 60 / 100
+    // spec 0: prune by day partition value; event_type is residual
+    val f0 = m0.filter { case (_, d) => d >= lo && d <= hi }.map(_._1)
+    val r0 = s.read.option("basePath", p0)
+      .parquet(f0.toIndexedSeq: _*)
+      .filter(col("event_type") === "click" &&
+        col("day").between(lo, hi))
+      .agg(count(lit(1)).cast("long"), sum("user_id").cast("long"))
+      .head()
+    // spec 1: prune by event_type partition value + per-file day stats;
+    // day is residual (file stats are range-granular)
+    val f1 = m1.filter { case (_, tp, fmn, fmx) =>
+      tp == "click" && fmn <= hi && fmx >= lo }.map(_._1)
+    val r1 = s.read.option("basePath", p1)
+      .parquet(f1.toIndexedSeq: _*)
+      .filter(col("event_type") === "click" &&
+        col("day").between(lo, hi))
+      .agg(count(lit(1)).cast("long"), sum("user_id").cast("long"))
+      .head()
+    import s.implicits._
+    Seq(
+      (0, r0.getLong(0), r0.getLong(1),
+        f0.nonEmpty && f0.length < m0.length),
+      (1, r1.getLong(0), r1.getLong(1),
+        f1.nonEmpty && f1.length < m1.length))
+      .toDF("spec_id", "n_rows", "sum_user", "pruned")
+      .orderBy("spec_id")
+  }
+
   private[graft] def timeTravel(s: SparkSession, dir: String): DataFrame = {
     val root = java.nio.file.Paths.get(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_fmt").toString
