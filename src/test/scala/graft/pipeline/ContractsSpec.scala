@@ -81,4 +81,23 @@ class ContractsSpec extends SparkSpec {
       (1L, "b", 1L, false, 1L),
       (2L, "a", 2L, true, 1L)))
   }
+
+  test("fdProfile: holding and violated FDs, composite keys, null " +
+      "determinants excluded") {
+    // k -> v: key 1 maps to {x, x} (holds so far), key 2 to {x, y}
+    // (violates), null key row excluded entirely; (k, k2) -> v: every
+    // composite key maps to one v → holds
+    val df = Seq(
+      (Some(1L), "a", "x"), (Some(1L), "b", "x"),
+      (Some(2L), "a", "x"), (Some(2L), "b", "y"),
+      (None: Option[Long], "a", "z"))
+      .toDF("k", "k2", "v")
+    val out = Contracts.fdProfile(df, Seq(
+        (Seq("k"), "v"), (Seq("k", "k2"), "v")))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4))).toSeq
+    assert(out == Seq(
+      ("k", "v", 2L, 1L, false),
+      ("k,k2", "v", 4L, 0L, true)), out.toString)
+  }
 }
