@@ -120,9 +120,13 @@ object Contracts {
     *
     * Scale: one two-phase aggregate per pair — groupBy(determinant)
     * with a map-side partial count_distinct(dependent), then a tiny
-    * rollup; only (det, dep) projections ever shuffle. Pairs run as
-    * independent jobs (a production profiler batches same-determinant
-    * pairs into one groupBy).
+    * rollup; only (det, dep) projections ever shuffle. Deliberately
+    * NOT batched into one multi-distinct groupBy per determinant:
+    * Spark lowers multiple count_distincts through an Expand that
+    * multiplies the input by the aggregate count and weakens partial
+    * aggregation — measured 54 → 87 s at 100× (60M rows), so the
+    * independent narrow passes are the faster plan as well as the
+    * simpler one.
     */
   def fdProfile(df: DataFrame,
       pairs: Seq[(Seq[String], String)]): DataFrame = {
