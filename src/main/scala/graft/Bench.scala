@@ -115,6 +115,7 @@ object Bench {
     "p153_silhouette",    // narrow map vs broadcast centroid literals
     "p154_skew_report",   // NDV-sized counts + bounded-heap top-k
     "p155_fd_profile",    // two-phase distinct rollups per candidate
+    "p156_attribution",   // one user-keyed ignore-nulls touch window
     "f07_csv_ingest_cold", // CSV parse + agg, no cache (dsq cold analog)
     "f08_csv_ingest_warm") // cached-parquet + agg (dsq -C warm analog)
 

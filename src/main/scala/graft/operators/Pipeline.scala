@@ -319,6 +319,42 @@ object Pipeline {
       .orderBy("from_type", "to_type")
   }
 
+  /** Last-touch conversion attribution: every `convType` event credits
+    * the user's most recent PRECEDING non-conversion event — strictly
+    * earlier in the deterministic (ts, event_id) order and within the
+    * [[sessionize]] gap — and conversions with no in-gap touch credit
+    * the "(none)" channel. Output is the per-channel conversion count
+    * and share: the marketing / funnel-diagnostics attribution report
+    * (first-touch and multi-touch are the same window with first()/
+    * collect over the frame). Distributed shape: ONE user-keyed
+    * shuffle for the ignore-nulls last-touch window, then a
+    * partial-aggregated groupBy bounded by |event types|.
+    */
+  def lastTouchAttribution(events: DataFrame,
+      convType: String = "purchase", gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gapUs = gapMinutes * 60L * 1000000L
+    val before = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("event_type") =!= convType,
+      struct(unix_micros(col("ts")).as("us"), col("event_id"),
+        col("event_type").as("tp")))
+    events
+      .select(col("user_id"), col("event_type"), col("ts"),
+        col("event_id"))
+      .withColumn("prev", last(touch, ignoreNulls = true).over(before))
+      .filter(col("event_type") === convType)
+      .select(when(col("prev").isNotNull &&
+          unix_micros(col("ts")) - col("prev.us") < gapUs,
+          col("prev.tp")).otherwise(lit("(none)")).as("channel"))
+      .groupBy("channel")
+      .agg(count(lit(1)).cast("long").as("n_conversions"))
+      .withColumn("share", round(col("n_conversions") /
+        sum(col("n_conversions")).over(
+          Window.partitionBy(lit(1))), 6))
+      .orderBy("channel")
+  }
+
   /** Key-skew diagnostics for a prospective shuffle key — the report a
     * pipeline owner reads BEFORE keying a 100 TB join or aggregation on
     * a column (x02's salting and AQE's skew split are the cures; this
@@ -3524,6 +3560,33 @@ object Pipeline {
         |  v_last IS NOT NULL AS observed
         |FROM w ORDER BY 1, 2""".stripMargin) { (s, dir) =>
       interpolateLinear(t(s, dir, "events"))
+    },
+
+    // Last-touch attribution: purchases credit the last preceding
+    // non-purchase event within the session gap; the oracle replays
+    // the ignore-nulls preceding window, the gap rule, and the share
+    // arithmetic.
+    QueryDef("p156_attribution",
+      """WITH o AS (SELECT user_id, event_type, event_id,
+        |    epoch_us(ts) AS us FROM events),
+        |m AS (SELECT user_id, event_type, us,
+        |    last_value(CASE WHEN event_type <> 'purchase'
+        |      THEN event_type END IGNORE NULLS) OVER w AS ptype,
+        |    last_value(CASE WHEN event_type <> 'purchase'
+        |      THEN us END IGNORE NULLS) OVER w AS pus
+        |  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |c AS (SELECT CASE WHEN ptype IS NOT NULL
+        |      AND us - pus < 1800000000
+        |    THEN ptype ELSE '(none)' END AS channel
+        |  FROM m WHERE event_type = 'purchase'),
+        |g AS (SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_conversions
+        |  FROM c GROUP BY 1)
+        |SELECT channel, n_conversions,
+        |  round(n_conversions /
+        |    CAST(SUM(n_conversions) OVER () AS DOUBLE), 6) AS share
+        |FROM g ORDER BY 1""".stripMargin) { (s, dir) =>
+      lastTouchAttribution(t(s, dir, "events"))
     },
 
     // Key-skew diagnostics over events.user_id: the oracle replays the

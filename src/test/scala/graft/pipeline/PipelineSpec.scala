@@ -3120,6 +3120,28 @@ class PipelineSpec extends SparkSpec {
       got.toString)
   }
 
+  test("lastTouchAttribution: in-gap credit, stale touch and no touch " +
+      "to (none)") {
+    import spark.implicits._
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    val m = 60000000L
+    // user 1: view@0 → purchase@10m (credit view) and purchase@20m
+    // (the view is still the last non-purchase, 20m < 30m → view);
+    // click@100m then purchase@160m: gap 60m ≥ 30m → (none)
+    // user 2: purchase with no preceding touch → (none)
+    val ev = Seq(
+      (1L, 1L, "view", 0L), (2L, 1L, "purchase", 10 * m),
+      (3L, 1L, "purchase", 20 * m),
+      (4L, 1L, "click", 100 * m), (5L, 1L, "purchase", 160 * m),
+      (6L, 2L, "purchase", 0L))
+      .map { case (id, u, t, us) => (id, u, t, ts(us)) }
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val got = graft.operators.Pipeline.lastTouchAttribution(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq(("(none)", 2L, 0.5), ("view", 2L, 0.5)),
+      got.toString)
+  }
+
   test("skewReport: hand-computed shares, skew ratio, ceil-div salt") {
     import spark.implicits._
     // a×5, b×3, c×1, d×1 → rows 10, keys 4, max 5;
