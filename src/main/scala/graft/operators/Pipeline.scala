@@ -362,8 +362,9 @@ object Pipeline {
     * (count DESC, key) order) carrying the global stats as constant
     * columns: total rows, exact key NDV, the key's share, the skew
     * ratio max/avg, and the integer salt-bucket suggestion
-    * ceil(max_cnt · n_keys / n_rows) — exact int64 arithmetic, so both
-    * engines agree bit-for-bit. Distributed shape: ONE key-keyed
+    * ceil(max_cnt · n_keys / n_rows) — computed in DOUBLE (exact under
+    * 2^53, overflow-safe beyond, identical IEEE rounding in both
+    * engines). Distributed shape: ONE key-keyed
     * partial-agg shuffle builds the count table (NDV-sized, never
     * row-sized); the top-k is a bounded heap (TakeOrderedAndProject)
     * and the summary is a second tiny aggregate over the counts; the
@@ -378,15 +379,22 @@ object Pipeline {
       count(lit(1)).cast("long").as("n_keys"),
       max("cnt").cast("long").as("max_cnt"))
     val top = counts.orderBy(col("cnt").desc, col("key")).limit(topK)
+    // sort on the TYPED key before the display cast — a string sort
+    // would order tied counts lexicographically while the oracle (and
+    // the top-k cut above) order them natively. max_cnt·n_keys runs in
+    // DOUBLE: an int64 product overflows (silently in Spark, loudly in
+    // DuckDB) once max·NDV passes 2^63, which a 100 TB table can reach;
+    // the double stays exact under 2^53 and both engines round the
+    // same product identically beyond it.
     top.crossJoin(broadcast(summary))
+      .orderBy(col("cnt").desc, col("key"))
       .select(col("key").cast("string").as("key"), col("cnt"),
         round(col("cnt").cast("double") / col("n_rows"), 6).as("share"),
         col("n_rows"), col("n_keys"),
-        round(col("max_cnt") * col("n_keys") /
-          col("n_rows").cast("double"), 6).as("skew_ratio"),
-        expr("(max_cnt * n_keys + n_rows - 1) div n_rows")
-          .cast("long").as("salt_buckets"))
-      .orderBy(col("cnt").desc, col("key"))
+        round(col("max_cnt").cast("double") * col("n_keys") /
+          col("n_rows"), 6).as("skew_ratio"),
+        ceil(col("max_cnt").cast("double") * col("n_keys") /
+          col("n_rows")).cast("long").as("salt_buckets"))
   }
 
   /** All point pairs within Euclidean `r` with the rounded distance —
@@ -3590,9 +3598,10 @@ object Pipeline {
     },
 
     // Key-skew diagnostics over events.user_id: the oracle replays the
-    // exact count table, the (cnt DESC, key) top-20, and the int64
-    // ceil-div salt suggestion; share and skew_ratio divide in the
-    // same IEEE order before the shared round-6.
+    // exact count table, the (cnt DESC, key) numeric-tiebreak top-20,
+    // and the overflow-safe DOUBLE ceil salt suggestion; share and
+    // skew_ratio divide in the same IEEE order before the shared
+    // round-6.
     QueryDef("p154_skew_report",
       """WITH c AS (SELECT user_id AS k,
         |    CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1),
@@ -3603,9 +3612,9 @@ object Pipeline {
         |SELECT CAST(t.k AS VARCHAR) AS key, t.cnt,
         |  round(CAST(t.cnt AS DOUBLE) / s.n_rows, 6) AS share,
         |  s.n_rows, s.n_keys,
-        |  round(s.max_cnt * s.n_keys / CAST(s.n_rows AS DOUBLE), 6)
+        |  round(CAST(s.max_cnt AS DOUBLE) * s.n_keys / s.n_rows, 6)
         |    AS skew_ratio,
-        |  CAST((s.max_cnt * s.n_keys + s.n_rows - 1) // s.n_rows
+        |  CAST(ceil(CAST(s.max_cnt AS DOUBLE) * s.n_keys / s.n_rows)
         |    AS BIGINT) AS salt_buckets
         |FROM t CROSS JOIN s
         |ORDER BY t.cnt DESC, t.k""".stripMargin) { (s, dir) =>

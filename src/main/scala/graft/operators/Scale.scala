@@ -2357,7 +2357,6 @@ object Scale {
     }
   )
 
-  /** x41 runner — see the QueryDef comment for the contract. */
   /** Partition-spec EVOLUTION (the Iceberg v2 feature): a table's early
     * files were written under spec 0 (partitioned by day), a later
     * ingest switched to spec 1 (partitioned by event_type), and NO old
@@ -2412,34 +2411,39 @@ object Scale {
     val (mn, mx) = (mm.getLong(0), mm.getLong(1))
     val lo = mn + (mx - mn) * 30 / 100
     val hi = mn + (mx - mn) * 60 / 100
+    // resolved-file read with the degenerate branches closed: an empty
+    // file list IS maximal pruning (zero rows, not a crash), and a
+    // stats-overlapping file can still hold zero in-band click rows
+    // (range-granular stats), where SUM would be NULL
+    def readPruned(basePath: String, files: Seq[String]): (Long, Long) =
+      if (files.isEmpty) (0L, 0L)
+      else {
+        val r = s.read.option("basePath", basePath)
+          .parquet(files.toIndexedSeq: _*)
+          .filter(col("event_type") === "click" &&
+            col("day").between(lo, hi))
+          .agg(count(lit(1)).cast("long"),
+            coalesce(sum("user_id"), lit(0L)).cast("long"))
+          .head()
+        (r.getLong(0), r.getLong(1))
+      }
     // spec 0: prune by day partition value; event_type is residual
     val f0 = m0.filter { case (_, d) => d >= lo && d <= hi }.map(_._1)
-    val r0 = s.read.option("basePath", p0)
-      .parquet(f0.toIndexedSeq: _*)
-      .filter(col("event_type") === "click" &&
-        col("day").between(lo, hi))
-      .agg(count(lit(1)).cast("long"), sum("user_id").cast("long"))
-      .head()
+    val r0 = readPruned(p0, f0)
     // spec 1: prune by event_type partition value + per-file day stats;
     // day is residual (file stats are range-granular)
     val f1 = m1.filter { case (_, tp, fmn, fmx) =>
       tp == "click" && fmn <= hi && fmx >= lo }.map(_._1)
-    val r1 = s.read.option("basePath", p1)
-      .parquet(f1.toIndexedSeq: _*)
-      .filter(col("event_type") === "click" &&
-        col("day").between(lo, hi))
-      .agg(count(lit(1)).cast("long"), sum("user_id").cast("long"))
-      .head()
+    val r1 = readPruned(p1, f1)
     import s.implicits._
     Seq(
-      (0, r0.getLong(0), r0.getLong(1),
-        f0.nonEmpty && f0.length < m0.length),
-      (1, r1.getLong(0), r1.getLong(1),
-        f1.nonEmpty && f1.length < m1.length))
+      (0, r0._1, r0._2, f0.nonEmpty && f0.length < m0.length),
+      (1, r1._1, r1._2, f1.nonEmpty && f1.length < m1.length))
       .toDF("spec_id", "n_rows", "sum_user", "pruned")
       .orderBy("spec_id")
   }
 
+  /** x41 runner — see the QueryDef comment for the contract. */
   private[graft] def timeTravel(s: SparkSession, dir: String): DataFrame = {
     val root = java.nio.file.Paths.get(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_fmt").toString

@@ -318,9 +318,14 @@ object Clustering {
       gridPairs(points, eps).select("id_a", "id_b"), "dbscan-eps-graph")
     val nbrs = pairs.select(col("id_a").as("id"), col("id_b").as("nb"))
       .unionAll(pairs.select(col("id_b").as("id"), col("id_a").as("nb")))
-    val coreIds = nbrs.groupBy("id")
-      .agg(count(lit(1)).as("deg"))
-      .filter(col("deg") >= minPts - 1).select("id")
+    // minPts <= 1: every point qualifies (a point with zero neighbors
+    // never appears in nbrs, so the degree filter alone would wrongly
+    // demote isolated points to noise)
+    val coreIds =
+      if (minPts <= 1) points.select(col("id"))
+      else nbrs.groupBy("id")
+        .agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= minPts - 1).select("id")
     val coreEdges = pairs
       .join(coreIds.select(col("id").as("id_a")), Seq("id_a"), "left_semi")
       .join(coreIds.select(col("id").as("id_b")), Seq("id_b"), "left_semi")

@@ -113,10 +113,11 @@ object Contracts {
     * VLDB 2015 — this is the profile step for a GIVEN candidate set,
     * not the exponential lattice search). NULLs: rows with a NULL
     * determinant are excluded (SQL grouping would conflate them);
-    * NULL dependents count as a distinct value via the standard
-    * count_distinct semantics both engines share after a coalesce
-    * marker is deliberately NOT applied — the gate's columns are
-    * non-null TPC-H fields, so the portable subset is what's checked.
+    * a NULL dependent COUNTS as one extra distinct value — SQL
+    * COUNT(DISTINCT) ignores NULLs, so a key mapping to {x, NULL}
+    * would otherwise report nd = 1 and a false `holds` (the FD-
+    * discovery literature's null-equality convention: NULL is one
+    * value, distinct from every non-null).
     *
     * Scale: one two-phase aggregate per pair — groupBy(determinant)
     * with a map-side partial count_distinct(dependent), then a tiny
@@ -134,7 +135,10 @@ object Contracts {
       val detCols = det.map(col)
       df.filter(detCols.map(_.isNotNull).reduce(_ && _))
         .groupBy(detCols: _*)
-        .agg(count_distinct(col(dep)).as("nd"))
+        // count_distinct ignores NULLs; the max() term adds the NULL
+        // "value" back so {x, NULL} violates and {NULL} counts as one
+        .agg((count_distinct(col(dep)) +
+          max(when(col(dep).isNull, 1L).otherwise(0L))).as("nd"))
         .agg(count(lit(1)).cast("long").as("n_keys"),
           sum(when(col("nd") > 1, 1L).otherwise(0L)).cast("long")
             .as("n_violating"))

@@ -222,7 +222,7 @@ class ClusteringSpec extends SparkSpec {
     val caseGen = for {
       n <- Gen.choose(0, 40)
       xs <- Gen.listOfN(n, Gen.zip(coordGen, coordGen))
-      minPts <- Gen.choose(2, 5)
+      minPts <- Gen.choose(1, 5)
     } yield (xs.zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) },
       minPts)
     val prop = Prop.forAll(caseGen) { case (pts, minPts) =>

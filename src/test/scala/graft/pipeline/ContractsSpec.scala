@@ -83,21 +83,25 @@ class ContractsSpec extends SparkSpec {
   }
 
   test("fdProfile: holding and violated FDs, composite keys, null " +
-      "determinants excluded") {
+      "determinants excluded, null dependents distinct") {
     // k -> v: key 1 maps to {x, x} (holds so far), key 2 to {x, y}
-    // (violates), null key row excluded entirely; (k, k2) -> v: every
-    // composite key maps to one v → holds
+    // (violates), key 3 to {x, NULL} (violates — NULL is one value
+    // distinct from x), key 4 to {NULL, NULL} (one value → holds);
+    // null key row excluded entirely; (k, k2) -> v: every composite
+    // key maps to one v → holds
     val df = Seq(
-      (Some(1L), "a", "x"), (Some(1L), "b", "x"),
-      (Some(2L), "a", "x"), (Some(2L), "b", "y"),
-      (None: Option[Long], "a", "z"))
+      (Some(1L), "a", Some("x")), (Some(1L), "b", Some("x")),
+      (Some(2L), "a", Some("x")), (Some(2L), "b", Some("y")),
+      (Some(3L), "a", Some("x")), (Some(3L), "b", None),
+      (Some(4L), "a", None), (Some(4L), "b", None),
+      (None: Option[Long], "a", Some("z")))
       .toDF("k", "k2", "v")
     val out = Contracts.fdProfile(df, Seq(
         (Seq("k"), "v"), (Seq("k", "k2"), "v")))
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
         r.getLong(3), r.getBoolean(4))).toSeq
     assert(out == Seq(
-      ("k", "v", 2L, 1L, false),
-      ("k,k2", "v", 4L, 0L, true)), out.toString)
+      ("k", "v", 4L, 2L, false),
+      ("k,k2", "v", 8L, 0L, true)), out.toString)
   }
 }
