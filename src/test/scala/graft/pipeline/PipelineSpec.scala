@@ -3120,6 +3120,60 @@ class PipelineSpec extends SparkSpec {
       got.toString)
   }
 
+  test("ohlcBars partials merge identically under any row split " +
+      "(s34's decomposability claim)") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.Prop.propBoolean
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    val h = 3600000000L
+    val rowGen = for {
+      tp <- Gen.oneOf("a", "b")
+      us <- Gen.choose(0L, 4 * h) // spans ~5 buckets, same-us ties likely
+      v <- Gen.choose(-50, 50).map(_ / 10.0)
+    } yield (tp, us, v)
+    val caseGen = for {
+      n <- Gen.choose(1, 40)
+      rows <- Gen.listOfN(n, rowGen)
+      splits <- Gen.listOfN(n, Gen.choose(0, 2)) // arbitrary 3-way split
+    } yield (rows, splits)
+    val prop = Prop.forAll(caseGen) { case (rows, splits) =>
+      val df = rows.zipWithIndex.map { case ((tp, us, v), i) =>
+        (i.toLong, tp, ts(us), v) }
+        .toDF("event_id", "event_type", "ts", "value")
+      val want = graft.operators.Pipeline.ohlcBars(df).collect()
+        .map(_.toSeq).toSeq
+      // per-part partials (the s34 foreachBatch body), merged the same
+      // way the s34 report does — must equal the one-shot bars no
+      // matter how rows were split
+      val parts = rows.zipWithIndex.groupBy { case (_, i) => splits(i) }
+        .values.map { grp =>
+          grp.map { case ((tp, us, v), i) => (i.toLong, tp, ts(us), v) }
+            .toDF("event_id", "event_type", "ts", "value")
+            .select(col("event_type"), col("event_id"),
+              col("value").as("v"), unix_micros(col("ts")).as("us"))
+            .withColumn("hr", expr("us div 3600000000"))
+            .groupBy("event_type", "hr")
+            .agg(min(struct(col("us"), col("event_id"), col("v")))
+                .as("o"),
+              max(col("v")).as("hi"), min(col("v")).as("lo"),
+              max(struct(col("us"), col("event_id"), col("v")))
+                .as("c"),
+              count(lit(1)).cast("long").as("n"))
+        }.reduce(_ unionAll _)
+      val got = parts.groupBy("event_type", "hr")
+        .agg(min(col("o")).getField("v").as("open"),
+          max(col("hi")).as("high"), min(col("lo")).as("low"),
+          max(col("c")).getField("v").as("close"),
+          sum(col("n")).cast("long").as("n_events"))
+        .orderBy("event_type", "hr").collect().map(_.toSeq).toSeq
+      (got == want) :| s"got $got want $want"
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, s"ohlc merge property failed: ${res.status}")
+  }
+
   test("lastTouchAttribution: in-gap credit, stale touch and no touch " +
       "to (none)") {
     import spark.implicits._
