@@ -116,6 +116,8 @@ object Bench {
     "p154_skew_report",   // NDV-sized counts + bounded-heap top-k
     "p155_fd_profile",    // two-phase distinct rollups per candidate
     "p156_attribution",   // one user-keyed ignore-nulls touch window
+    "p157_event_paths",   // two-lead trigram windows, heap top-k
+    "p158_deletion_audit", // key-only anti/semi joins + re-measure
     "f07_csv_ingest_cold", // CSV parse + agg, no cache (dsq cold analog)
     "f08_csv_ingest_warm") // cached-parquet + agg (dsq -C warm analog)
 

@@ -319,6 +319,39 @@ object Pipeline {
       .orderBy("from_type", "to_type")
   }
 
+  /** Top-k frequent session paths — sequential-pattern mining at the
+    * cheap, high-value end (length-3 contiguous event-type paths; the
+    * n-gram analogue of [[eventTransitions]]' bigrams): within each
+    * user's (ts, event_id) order, every window of three consecutive
+    * events whose BOTH gaps are under the [[sessionize]] rule counts
+    * its "a>b>c" path; output is the top-k paths by (count DESC, path).
+    * Distributed shape: the SAME single user-keyed window shuffle as
+    * transitions (two lead() columns ride it), a partial-aggregated
+    * groupBy bounded by |types|³, and a bounded-heap top-k.
+    */
+  def topEventPaths(events: DataFrame, k: Int = 20,
+      gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gapUs = gapMinutes * 60L * 1000000L
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events
+      .select(col("user_id"), col("event_type"), col("ts"),
+        col("event_id"))
+      .withColumn("t2", lead(col("event_type"), 1).over(w))
+      .withColumn("t3", lead(col("event_type"), 2).over(w))
+      .withColumn("g1",
+        lead(unix_micros(col("ts")), 1).over(w) - unix_micros(col("ts")))
+      .withColumn("g2",
+        lead(unix_micros(col("ts")), 2).over(w) -
+          lead(unix_micros(col("ts")), 1).over(w))
+      .filter(col("t3").isNotNull && col("g1") < gapUs &&
+        col("g2") < gapUs)
+      .select(concat_ws(">", col("event_type"), col("t2"), col("t3"))
+        .as("path"))
+      .groupBy("path").agg(count(lit(1)).cast("long").as("cnt"))
+      .orderBy(col("cnt").desc, col("path")).limit(k)
+  }
+
   /** Last-touch conversion attribution: every `convType` event credits
     * the user's most recent PRECEDING non-conversion event — strictly
     * earlier in the deterministic (ts, event_id) order and within the
@@ -3568,6 +3601,49 @@ object Pipeline {
         |  v_last IS NOT NULL AS observed
         |FROM w ORDER BY 1, 2""".stripMargin) { (s, dir) =>
       interpolateLinear(t(s, dir, "events"))
+    },
+
+    // Deletion audit: users with user_id % 97 = 3 exercise the
+    // right-to-be-forgotten scrub; the oracle recomputes every
+    // accounting column independently from the raw rows.
+    QueryDef("p158_deletion_audit",
+      """WITH del AS (SELECT DISTINCT user_id FROM events
+        |  WHERE user_id % 97 = 3),
+        |m AS (SELECT COUNT(*) AS n_match FROM events
+        |  WHERE user_id % 97 = 3)
+        |SELECT CAST((SELECT COUNT(*) FROM events) AS BIGINT) AS n_before,
+        |  CAST(m.n_match AS BIGINT) AS n_deleted,
+        |  CAST((SELECT COUNT(*) FROM events) - m.n_match AS BIGINT)
+        |    AS n_after,
+        |  CAST((SELECT COUNT(*) FROM del) AS BIGINT) AS n_keys_matched,
+        |  CAST(0 AS BIGINT) AS residual,
+        |  true AS clean
+        |FROM m""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      graft.pipeline.Contracts.deletionAudit(ev, "user_id",
+        ev.filter(col("user_id") % 97 === 3).select("user_id"))
+    },
+
+    // Top-20 session trigram paths: the oracle replays the two-lead
+    // windows, the both-gaps-in-session filter, and the
+    // (cnt DESC, path) cut.
+    QueryDef("p157_event_paths",
+      """WITH o AS (SELECT user_id, event_type, event_id,
+        |    epoch_us(ts) AS us FROM events),
+        |l AS (SELECT event_type AS t1,
+        |    lead(event_type, 1) OVER w AS t2,
+        |    lead(event_type, 2) OVER w AS t3,
+        |    lead(us, 1) OVER w - us AS g1,
+        |    lead(us, 2) OVER w - lead(us, 1) OVER w AS g2
+        |  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY us,
+        |    event_id)),
+        |p AS (SELECT t1 || '>' || t2 || '>' || t3 AS path FROM l
+        |  WHERE t3 IS NOT NULL AND g1 < 1800000000
+        |    AND g2 < 1800000000)
+        |SELECT path, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM p GROUP BY 1
+        |ORDER BY cnt DESC, path LIMIT 20""".stripMargin) { (s, dir) =>
+      topEventPaths(t(s, dir, "events"))
     },
 
     // Last-touch attribution: purchases credit the last preceding

@@ -148,4 +148,44 @@ object Contracts {
     }
     reports.reduce(_ unionAll _).orderBy("determinant", "dependent")
   }
+
+  /** Deletion (right-to-be-forgotten) audit: scrub every row whose key
+    * is in the deletion set via a key anti-join, then PROVE the output
+    * is clean by re-probing the scrubbed rows against the same set —
+    * the residual count is measured on the actual output, never
+    * assumed (the [[graft.pipeline.Dedup.benchmarkScrubAudit]]
+    * discipline). One accounting row: rows before/deleted/after, how
+    * many deletion keys actually matched data, the residual, and the
+    * clean verdict (zero residual AND exact row accounting).
+    *
+    * Scale: the deletion-set is deduplicated once and both the scrub
+    * and the re-probe are key-only equi-joins — rows never shuffle
+    * wider than the key column, and at 100 TB the per-table cost is
+    * one anti-join plus one semi-join probe (a billion-key set simply
+    * shuffles; a small one broadcasts under AQE).
+    */
+  def deletionAudit(df: DataFrame, keyCol: String,
+      delKeys: DataFrame): DataFrame = {
+    val keys = delKeys.select(col(keyCol)).distinct()
+    val scrubbed = df.join(keys, Seq(keyCol), "left_anti")
+    val matchedKeys = df.select(col(keyCol)).distinct()
+      .join(keys, Seq(keyCol), "left_semi")
+    // independent count of the rows that SHOULD go — the accounting
+    // cross-check against what the anti-join actually removed
+    val matchedRows = df.join(keys, Seq(keyCol), "left_semi")
+    val residual = scrubbed.join(keys, Seq(keyCol), "left_semi")
+    df.agg(count(lit(1)).cast("long").as("n_before"))
+      .crossJoin(scrubbed.agg(count(lit(1)).cast("long").as("n_after")))
+      .crossJoin(matchedKeys.agg(count(lit(1)).cast("long")
+        .as("n_keys_matched")))
+      .crossJoin(matchedRows.agg(count(lit(1)).cast("long")
+        .as("n_rows_matched")))
+      .crossJoin(residual.agg(count(lit(1)).cast("long").as("residual")))
+      .select(col("n_before"),
+        (col("n_before") - col("n_after")).as("n_deleted"),
+        col("n_after"), col("n_keys_matched"), col("residual"),
+        (col("residual") === 0L &&
+          col("n_before") - col("n_after") === col("n_rows_matched"))
+          .as("clean"))
+  }
 }

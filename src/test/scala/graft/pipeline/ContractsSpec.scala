@@ -104,4 +104,17 @@ class ContractsSpec extends SparkSpec {
       ("k", "v", 4L, 2L, false),
       ("k,k2", "v", 8L, 0L, true)), out.toString)
   }
+
+  test("deletionAudit: row accounting exact, absent deletion keys " +
+      "don't inflate, residual re-measured on the output") {
+    // rows for users 1,1,2,3; deletion set {1, 99} (99 absent) →
+    // 2 rows deleted, 1 key matched, clean
+    val df = Seq((1L, "a"), (1L, "b"), (2L, "c"), (3L, "d"))
+      .toDF("user_id", "payload")
+    val keys = Seq(1L, 99L).toDF("user_id")
+    val got = Contracts.deletionAudit(df, "user_id", keys).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))).toSeq
+    assert(got == Seq((4L, 2L, 2L, 1L, 0L, true)), got.toString)
+  }
 }

@@ -3174,6 +3174,24 @@ class PipelineSpec extends SparkSpec {
     assert(res.passed, s"ohlc merge property failed: ${res.status}")
   }
 
+  test("topEventPaths: both gaps must be in-session, counts merge " +
+      "across users") {
+    import spark.implicits._
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    val m = 60000000L
+    // user 1: A,B,C,D — (A,B,C) qualifies; (B,C,D) has a 40-min second
+    // gap → dropped. user 2: A,B,C qualifies → A>B>C counted twice.
+    val ev = Seq(
+      (1L, 1L, "A", 0L), (2L, 1L, "B", 10 * m), (3L, 1L, "C", 20 * m),
+      (4L, 1L, "D", 60 * m),
+      (5L, 2L, "A", 0L), (6L, 2L, "B", 10 * m), (7L, 2L, "C", 15 * m))
+      .map { case (id, u, t, us) => (id, u, t, ts(us)) }
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val got = graft.operators.Pipeline.topEventPaths(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("A>B>C", 2L)), got.toString)
+  }
+
   test("lastTouchAttribution: in-gap credit, stale touch and no touch " +
       "to (none)") {
     import spark.implicits._
