@@ -334,16 +334,19 @@ object Pipeline {
     import org.apache.spark.sql.expressions.Window
     val gapUs = gapMinutes * 60L * 1000000L
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    // all four leads in ONE projection so Catalyst fuses them into a
+    // single Window node (chained withColumn left three sequential
+    // window passes over the same sorted partition)
     events
       .select(col("user_id"), col("event_type"), col("ts"),
         col("event_id"))
-      .withColumn("t2", lead(col("event_type"), 1).over(w))
-      .withColumn("t3", lead(col("event_type"), 2).over(w))
-      .withColumn("g1",
-        lead(unix_micros(col("ts")), 1).over(w) - unix_micros(col("ts")))
-      .withColumn("g2",
-        lead(unix_micros(col("ts")), 2).over(w) -
-          lead(unix_micros(col("ts")), 1).over(w))
+      .select(col("event_type"),
+        lead(col("event_type"), 1).over(w).as("t2"),
+        lead(col("event_type"), 2).over(w).as("t3"),
+        (lead(unix_micros(col("ts")), 1).over(w) -
+          unix_micros(col("ts"))).as("g1"),
+        (lead(unix_micros(col("ts")), 2).over(w) -
+          lead(unix_micros(col("ts")), 1).over(w)).as("g2"))
       .filter(col("t3").isNotNull && col("g1") < gapUs &&
         col("g2") < gapUs)
       .select(concat_ws(">", col("event_type"), col("t2"), col("t3"))

@@ -311,6 +311,43 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("p154/p156/p157: diagnostics keep the one-shuffle shapes") {
+    // p154: bounded-heap top-k over the NDV-sized counts, the 1-row
+    // summary joins by broadcast — never a shuffled join or a window
+    val p = executed("p154_skew_report")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"p154: top-k did not lower to a bounded heap:\n$p")
+    assert(!p.contains("Window"), s"p154: a window appeared:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"p154: summary join shuffled instead of broadcast:\n$p")
+    // p156/p157: the event stream crosses exactly ONE user-keyed
+    // exchange — Spark may split same-spec window expressions into
+    // several Window nodes, but they all ride that single shuffle;
+    // every other exchange is over the types-bounded rollup. No join
+    // anywhere. (AQE's toString repeats the plan in its Initial Plan
+    // section, so count within the final plan only.)
+    for (name <- Seq("p156_attribution", "p157_event_paths")) {
+      val q = executed(name)
+      assert(!q.contains("Join"), s"$name: unexpected join:\n$q")
+      val finalPlan = q.split("== Initial Plan ==").head
+      val userExchanges = finalPlan.linesIterator.count(l =>
+        l.contains("Exchange hashpartitioning(user_id"))
+      assert(userExchanges == 1,
+        s"$name: expected 1 user-keyed exchange, saw $userExchanges:\n$q")
+      assert(finalPlan.contains("windowspecdefinition(user_id"),
+        s"$name: the event-stream window is not user-keyed:\n$q")
+    }
+  }
+
+  test("p158: deletion audit is key-only anti/semi joins, no product") {
+    val p = executed("p158_deletion_audit")
+    assert(!p.contains("CartesianProduct"),
+      s"p158: non-broadcast product appeared:\n$p")
+    assert(p.contains("LeftAnti"), s"p158: scrub is not an anti-join:\n$p")
+    assert(p.contains("LeftSemi"),
+      s"p158: residual/accounting probe is not a semi-join:\n$p")
+  }
+
   test("p80w: winnowed span removal keeps the p80 plan discipline") {
     // the stride path swaps CharGramPosHashes for WinnowAnchorHashes but
     // must keep the same shuffle shape: broadcast hash prefilter, no
