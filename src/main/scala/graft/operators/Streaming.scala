@@ -1869,6 +1869,62 @@ object Streaming {
         .withColumn("p", round(col("n") /
           sum(col("n")).over(Window.partitionBy("from_type")), 6))
         .orderBy("from_type", "to_type")
+    },
+
+    // Streaming deletion propagation (p158 over a deletion-request
+    // STREAM): right-to-be-forgotten keys arrive continuously; each
+    // micro-batch appends its distinct keys to the accumulated
+    // tombstone set, and the final scrub-and-audit runs p158's exact
+    // operator against the union — so the streamed accumulation must
+    // produce the identical accounting row p158's batch oracle pins
+    // (duplicate requests across batches must not double-count). At
+    // 100 TB: tombstones are key-only appends; the scrub is one
+    // anti-join at publish time, not per batch.
+    QueryDef("s36_stream_deletion",
+      """WITH del AS (SELECT DISTINCT user_id FROM events
+        |  WHERE user_id % 97 = 3),
+        |m AS (SELECT COUNT(*) AS n_match FROM events
+        |  WHERE user_id % 97 = 3)
+        |SELECT CAST((SELECT COUNT(*) FROM events) AS BIGINT) AS n_before,
+        |  CAST(m.n_match AS BIGINT) AS n_deleted,
+        |  CAST((SELECT COUNT(*) FROM events) - m.n_match AS BIGINT)
+        |    AS n_after,
+        |  CAST((SELECT COUNT(*) FROM del) AS BIGINT) AS n_keys_matched,
+        |  CAST(0 AS BIGINT) AS residual,
+        |  true AS clean
+        |FROM m""".stripMargin) { (s, dir) =>
+      val ev = graft.Tables.load(s, dir, "events")
+      // the request stream: matching users' ids, deliberately WITH
+      // duplicates (every matching event emits a request) split
+      // across 4 batches
+      val reqs = ev.filter(col("user_id") % 97 === 3)
+        .select(col("user_id"), col("event_id"))
+      val base = java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_fmt").toString
+      val srcDir = s"$base/s36_stream_src"
+      val keyDir = s"$base/s36_tombstones"
+      Seq(srcDir, keyDir).foreach(d => rmTree(new java.io.File(d)))
+      new java.io.File(srcDir).mkdirs()
+      (0 until 4).foreach { b =>
+        writeSingle(reqs.filter(col("event_id") % 4 === b),
+          srcDir, s"batch_$b")
+      }
+      val schema = s.read.parquet(srcDir).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(srcDir)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.select("user_id").distinct()
+            .coalesce(1).write.mode("append").parquet(keyDir)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.pipeline.Contracts.deletionAudit(ev, "user_id",
+        s.read.parquet(keyDir))
     }
   )
 }
