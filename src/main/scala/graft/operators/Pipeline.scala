@@ -347,8 +347,11 @@ object Pipeline {
           unix_micros(col("ts"))).as("g1"),
         (lead(unix_micros(col("ts")), 2).over(w) -
           lead(unix_micros(col("ts")), 1).over(w)).as("g2"))
-      .filter(col("t3").isNotNull && col("g1") < gapUs &&
-        col("g2") < gapUs)
+      // all three types non-null: concat_ws silently SKIPS a null
+      // component ("A>C") where SQL's || nulls the whole path — guard
+      // so a null event_type can never silently shorten a path
+      .filter(col("event_type").isNotNull && col("t2").isNotNull &&
+        col("t3").isNotNull && col("g1") < gapUs && col("g2") < gapUs)
       .select(concat_ws(">", col("event_type"), col("t2"), col("t3"))
         .as("path"))
       .groupBy("path").agg(count(lit(1)).cast("long").as("cnt"))
@@ -3641,8 +3644,8 @@ object Pipeline {
         |  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY us,
         |    event_id)),
         |p AS (SELECT t1 || '>' || t2 || '>' || t3 AS path FROM l
-        |  WHERE t3 IS NOT NULL AND g1 < 1800000000
-        |    AND g2 < 1800000000)
+        |  WHERE t1 IS NOT NULL AND t2 IS NOT NULL AND t3 IS NOT NULL
+        |    AND g1 < 1800000000 AND g2 < 1800000000)
         |SELECT path, CAST(COUNT(*) AS BIGINT) AS cnt
         |FROM p GROUP BY 1
         |ORDER BY cnt DESC, path LIMIT 20""".stripMargin) { (s, dir) =>

@@ -2349,10 +2349,15 @@ object Scale {
         |  FROM e, b
         |  WHERE event_type = 'click'
         |    AND day BETWEEN mn + (mx - mn) * 30 // 100
-        |    AND mn + (mx - mn) * 60 // 100)
-        |SELECT spec AS spec_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
-        |  CAST(SUM(user_id) AS BIGINT) AS sum_user, true AS pruned
-        |FROM q GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+        |    AND mn + (mx - mn) * 60 // 100),
+        |agg AS (SELECT spec, COUNT(*) AS n, SUM(user_id) AS su
+        |  FROM q GROUP BY 1),
+        |specs AS (SELECT 0 AS spec UNION ALL SELECT 1)
+        |SELECT s.spec AS spec_id,
+        |  CAST(COALESCE(a.n, 0) AS BIGINT) AS n_rows,
+        |  CAST(COALESCE(a.su, 0) AS BIGINT) AS sum_user, true AS pruned
+        |FROM specs s LEFT JOIN agg a ON s.spec = a.spec
+        |ORDER BY 1""".stripMargin) { (s, dir) =>
       partitionEvolution(s, dir)
     }
   )

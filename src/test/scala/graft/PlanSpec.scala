@@ -339,13 +339,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("p158: deletion audit is key-only anti/semi joins, no product") {
+  test("p158: deletion audit is key-only anti/semi probes, no product") {
+    // five narrow probes of the key projection against the key set
+    // (measured faster than a mark-once left join — see the scaladoc);
+    // the 1-row report crossJoin may ride a broadcast nested loop, but
+    // a non-broadcast product or a row-wide shuffle would be a bug
     val p = executed("p158_deletion_audit")
     assert(!p.contains("CartesianProduct"),
       s"p158: non-broadcast product appeared:\n$p")
     assert(p.contains("LeftAnti"), s"p158: scrub is not an anti-join:\n$p")
     assert(p.contains("LeftSemi"),
       s"p158: residual/accounting probe is not a semi-join:\n$p")
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(!finalPlan.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("user_id")),
+      s"p158: a non-key exchange appeared:\n$p")
   }
 
   test("p80w: winnowed span removal keeps the p80 plan discipline") {
