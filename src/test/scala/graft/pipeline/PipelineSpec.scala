@@ -3120,6 +3120,56 @@ class PipelineSpec extends SparkSpec {
       got.toString)
   }
 
+  test("interpolateLinear fuzz vs a driver-side replay") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.Prop.propBoolean
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    val h = 3600000000L
+    val rowGen = for {
+      tp <- Gen.oneOf("a", "b")
+      us <- Gen.choose(0L, 9 * h) // ~10 buckets, sparse + ties
+      v <- Gen.option(Gen.choose(-40, 40).map(_ / 4.0))
+    } yield (tp, us, v)
+    val caseGen = Gen.choose(1, 25).flatMap(n => Gen.listOfN(n, rowGen))
+    val prop = Prop.forAll(caseGen) { rows =>
+      val df = rows.zipWithIndex.map { case ((tp, us, v), i) =>
+        (i.toLong, tp, ts(us), v) }
+        .toDF("event_id", "event_type", "ts", "value")
+      val got = graft.operators.Pipeline.interpolateLinear(df).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getBoolean(3))).toSeq
+      // driver replay: per-bucket (us, event_id)-max observation, grid
+      // over min..max, lerp between nearest observed neighbors
+      def r6(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val want = rows.zipWithIndex
+        .collect { case ((tp, us, Some(v)), i) => (tp, us, i.toLong, v) }
+        .groupBy { case (tp, us, _, _) => (tp, us / h) }
+        .map { case ((tp, hr), g) =>
+          (tp, hr) -> g.maxBy { case (_, us, id, _) => (us, id) }._4 }
+        .groupBy { case ((tp, _), _) => tp }
+        .toSeq.flatMap { case (tp, obs0) =>
+          val obs = obs0.map { case ((_, hr), v) => hr -> v }.toMap
+          val (mn, mx) = (obs.keys.min, obs.keys.max)
+          (mn to mx).map { hr =>
+            if (obs.contains(hr)) (tp, hr, r6(obs(hr)), true)
+            else {
+              val p = obs.keys.filter(_ < hr).max
+              val n = obs.keys.filter(_ > hr).min
+              val v = obs(p) + (obs(n) - obs(p)) * (hr - p).toDouble /
+                (n - p)
+              (tp, hr, r6(v), false)
+            }
+          }
+        }.sortBy(t => (t._1, t._2))
+      (got == want) :| s"got $got want $want"
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, s"interpolation fuzz failed: ${res.status}")
+  }
+
   test("ohlcBars partials merge identically under any row split " +
       "(s34's decomposability claim)") {
     import spark.implicits._
