@@ -495,6 +495,65 @@ object Pipeline {
       .orderBy("series", "hr")
   }
 
+  /** Seasonal (hour-of-day) anomaly baseline — the third member of the
+    * anomaly triple: [[rollingAnomaly]] compares against the recent
+    * past, s33's monitor against a static global mean, and this
+    * against the SAME HOUR OF DAY in the training half, so a regular
+    * daily peak stops being an anomaly and a burst at an off-peak hour
+    * flags harder. Counts ride the zero-filled grid; the per-(series,
+    * hod) baseline is fit from exact integer sums over the first
+    * `trainHours` grid hours (mu = s1/nb, var = (s2 − s1·mu)/(nb−1) —
+    * bit-identical doubles in any engine or partition order); the
+    * serving half z-flags at |z| ≥ `zThresh`, with a planted burst
+    * exercising the positive branch. Distributed shape: per-bucket
+    * counts collapse map-side FIRST, every aggregate and window runs
+    * over the bounded calendar grid, and the 24-row-per-series
+    * baseline joins back by broadcast.
+    */
+  def seasonalAnomaly(events: DataFrame, bucketUs: Long = 3600000000L,
+      trainHours: Int = 360, burstSeries: String = "click",
+      burstOffset: Long = 500L, burstN: Long = 300L,
+      zThresh: Double = 3.0): DataFrame = {
+    val cnt = events
+      .select(col("event_type").as("series"),
+        expr(s"unix_micros(ts) div $bucketUs").as("hr"))
+      .groupBy("series", "hr").agg(count(lit(1)).cast("long").as("n0"))
+    val grid = cnt.groupBy("series")
+      .agg(min("hr").as("mn"), max("hr").as("mx"))
+      .select(col("series"),
+        explode(sequence(col("mn"), col("mx"))).as("hr"), col("mn"))
+    val filled = grid.join(cnt, Seq("series", "hr"), "left")
+      .select(col("series"), col("hr"), col("mn"),
+        (col("hr") % 24).as("hod"),
+        (coalesce(col("n0"), lit(0L)) +
+          when(col("series") === burstSeries &&
+            col("hr") === col("mn") + burstOffset, lit(burstN))
+            .otherwise(lit(0L))).as("n"))
+    val base = filled.filter(col("hr") < col("mn") + trainHours)
+      .groupBy("series", "hod").agg(
+        count(lit(1)).cast("long").as("nb"),
+        sum(col("n")).cast("long").as("s1"),
+        sum(col("n") * col("n")).cast("long").as("s2"))
+    val mu0 = col("s1").cast("double") / col("nb")
+    val sd0 = sqrt(greatest(
+      (col("s2").cast("double") -
+        col("s1").cast("double") * (col("s1").cast("double") /
+          col("nb"))) / (col("nb") - 1), lit(0.0)))
+    val stats = base.select(col("series"), col("hod"),
+      mu0.as("mu0"), sd0.as("sd0"))
+    filled.filter(col("hr") >= col("mn") + trainHours)
+      .join(broadcast(stats), Seq("series", "hod"))
+      .withColumn("z0",
+        when(col("sd0") > 0, round((col("n") - col("mu0")) /
+          col("sd0"), 6)))
+      .select(col("series"), col("hr"), col("hod").cast("long")
+          .as("hod"),
+        col("n"), round(col("mu0"), 6).as("mu"),
+        round(col("sd0"), 6).as("sd"), col("z0").as("z"),
+        coalesce(abs(col("z0")) >= zThresh, lit(false)).as("is_anomaly"))
+      .orderBy("series", "hr")
+  }
+
   // ---- DuckDB mirrors of the planted corpus + shingle/gram sets --------
   // The LSH operators are hash-based, but their VERIFIED outputs (true
   // Jaccard over shingle/gram sets >= threshold) are engine-portable:
@@ -3607,6 +3666,48 @@ object Pipeline {
         |  v_last IS NOT NULL AS observed
         |FROM w ORDER BY 1, 2""".stripMargin) { (s, dir) =>
       interpolateLinear(t(s, dir, "events"))
+    },
+
+    // Seasonal hour-of-day anomaly baseline with a planted burst 500
+    // grid hours in; the oracle replays the zero-filled grid, the
+    // per-(series, hod) exact-integer baseline, and the rounded-z flag.
+    QueryDef("p159_seasonal_anomaly",
+      """WITH c AS (SELECT event_type AS series,
+        |    epoch_us(ts) // 3600000000 AS hr,
+        |    CAST(COUNT(*) AS BIGINT) AS n0 FROM events GROUP BY 1, 2),
+        |span AS (SELECT series, MIN(hr) AS mn, MAX(hr) AS mx
+        |  FROM c GROUP BY 1),
+        |grid AS (SELECT series, unnest(range(mn, mx + 1)) AS hr, mn
+        |  FROM span),
+        |filled AS (SELECT g.series, g.hr, g.mn, g.hr % 24 AS hod,
+        |    COALESCE(c.n0, 0) +
+        |    CASE WHEN g.series = 'click' AND g.hr = g.mn + 500
+        |         THEN 300 ELSE 0 END AS n
+        |  FROM grid g LEFT JOIN c
+        |    ON g.series = c.series AND g.hr = c.hr),
+        |base AS (SELECT series, hod, CAST(COUNT(*) AS BIGINT) AS nb,
+        |    CAST(SUM(n) AS BIGINT) AS s1,
+        |    CAST(SUM(n * n) AS BIGINT) AS s2
+        |  FROM filled WHERE hr < mn + 360 GROUP BY 1, 2),
+        |stats AS (SELECT series, hod,
+        |    CAST(s1 AS DOUBLE) / nb AS mu0,
+        |    sqrt(greatest((CAST(s2 AS DOUBLE) -
+        |      CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) / nb)) / (nb - 1),
+        |      0.0)) AS sd0
+        |  FROM base)
+        |SELECT f.series, f.hr, CAST(f.hod AS BIGINT) AS hod,
+        |  CAST(f.n AS BIGINT) AS n,
+        |  round(t.mu0, 6) AS mu, round(t.sd0, 6) AS sd,
+        |  CASE WHEN t.sd0 > 0 THEN round((f.n - t.mu0) / t.sd0, 6) END
+        |    AS z,
+        |  COALESCE(CASE WHEN t.sd0 > 0
+        |    THEN abs(round((f.n - t.mu0) / t.sd0, 6)) >= 3.0 END, FALSE)
+        |    AS is_anomaly
+        |FROM filled f JOIN stats t
+        |  ON f.series = t.series AND f.hod = t.hod
+        |WHERE f.hr >= f.mn + 360
+        |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      seasonalAnomaly(t(s, dir, "events"))
     },
 
     // Deletion audit: users with user_id % 97 = 3 exercise the

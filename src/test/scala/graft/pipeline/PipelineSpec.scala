@@ -3120,6 +3120,36 @@ class PipelineSpec extends SparkSpec {
       got.toString)
   }
 
+  test("seasonalAnomaly: daily peak is NOT an anomaly, planted burst is") {
+    import spark.implicits._
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    val h = 3600000000L
+    // 540 grid hours of 'click': hod-0 peaks at 29/31 by day parity,
+    // other hours 2/4 — a STATIC baseline would z-flag every serving
+    // peak (n≈30 vs global mean ≈3); the seasonal baseline must not,
+    // while the 300-event burst at hour mn+500 (hod 20) must flag
+    val rows = (0 until 540).flatMap { hr =>
+      val parity = (hr / 24) % 2
+      val n = if (hr % 24 == 0) 29 + 2 * parity else 2 + 2 * parity
+      (0 until n).map(i => (hr.toLong * 1000 + i, ts(hr * h + i)))
+    }
+    val ev = rows.map { case (id, t) => (id, "click", t) }
+      .toDF("event_id", "event_type", "ts")
+      .withColumn("user_id", col("event_id"))
+    val got = graft.operators.Pipeline.seasonalAnomaly(ev).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(7))).toSeq // (hr, hod, n, is_anomaly)
+    assert(got.nonEmpty)
+    got.foreach { case (hr, hod, n, flag) =>
+      if (hr == 500L) {
+        assert(n > 300 && flag, s"burst row (hr=500, n=$n) did not flag")
+      } else {
+        assert(!flag, s"false positive at hr=$hr hod=$hod n=$n")
+        if (hod == 0L) assert(n >= 29, "peak row missing its peak count")
+      }
+    }
+  }
+
   test("interpolateLinear fuzz vs a driver-side replay") {
     import spark.implicits._
     import org.scalacheck.{Gen, Prop, Test => SCTest}
