@@ -120,6 +120,7 @@ object Bench {
     "p157_event_paths",   // two-lead trigram windows, heap top-k
     "p158_deletion_audit", // key-only anti/semi joins + re-measure
     "p159_seasonal_anomaly", // per-hod exact-int baseline + z flags
+    "p160_cusum_shift",   // integer CUSUM fold over the bounded grid
     "f07_csv_ingest_cold", // CSV parse + agg, no cache (dsq cold analog)
     "f08_csv_ingest_warm") // cached-parquet + agg (dsq -C warm analog)
 

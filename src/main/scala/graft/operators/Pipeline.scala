@@ -554,6 +554,72 @@ object Pipeline {
       .orderBy("series", "hr")
   }
 
+  /** CUSUM mean-shift change-point detection (Page 1954) over the
+    * per-(series, bucket) event rate — the anomaly triple flags single
+    * outlier buckets; this detects a SUSTAINED level shift long before
+    * any one bucket z-flags. Entirely EXACT int64, scaled by the
+    * training-bucket count so no division ever happens: with training
+    * sums (nb, s1), each serving bucket contributes
+    * d_t = n_t·nb − s1 − k·nb and S_t = max(0, S_{t−1} + d_t); the
+    * alarm fires at the first bucket with S_t ≥ threshold·nb. A
+    * synthetic +`shiftN`/bucket level shift is planted `shiftOffset`
+    * buckets in so the positive branch is exercised and
+    * self-validating. Output: one row per series with its training
+    * stats, the alarm bucket (null = no shift), and the max CUSUM.
+    *
+    * Distributed shape: buckets collapse map-side first; the fold is a
+    * per-series aggregate() over the sort_array'd (hr, n) grid — the
+    * SAME calendar-bounded-array argument as [[gapFill]]: the array
+    * length is fixed by the time span, never by event volume, so the
+    * sequential recurrence (inherently order-dependent) runs inside
+    * one codegen'd expression per series instead of a window no engine
+    * could parallelize anyway.
+    */
+  def cusumShift(events: DataFrame, bucketUs: Long = 3600000000L,
+      trainHours: Int = 360, k: Long = 1L, threshold: Long = 50L,
+      shiftSeries: String = "click", shiftOffset: Long = 600L,
+      shiftN: Long = 5L): DataFrame = {
+    val cnt = events
+      .select(col("event_type").as("series"),
+        expr(s"unix_micros(ts) div $bucketUs").as("hr"))
+      .groupBy("series", "hr").agg(count(lit(1)).cast("long").as("n0"))
+    val grid = cnt.groupBy("series")
+      .agg(min("hr").as("mn"), max("hr").as("mx"))
+      .select(col("series"),
+        explode(sequence(col("mn"), col("mx"))).as("hr"), col("mn"))
+    val filled = grid.join(cnt, Seq("series", "hr"), "left")
+      .select(col("series"), col("hr"), col("mn"),
+        (coalesce(col("n0"), lit(0L)) +
+          when(col("series") === shiftSeries &&
+            col("hr") >= col("mn") + shiftOffset, lit(shiftN))
+            .otherwise(lit(0L))).as("n"))
+    val base = filled.filter(col("hr") < col("mn") + trainHours)
+      .groupBy("series").agg(
+        count(lit(1)).cast("long").as("nb"),
+        sum(col("n")).cast("long").as("s1"))
+    val serving = filled.filter(col("hr") >= col("mn") + trainHours)
+      .groupBy("series")
+      .agg(sort_array(collect_list(struct(col("hr"), col("n"))))
+        .as("buckets"))
+    serving.join(base, "series")
+      .withColumn("fold", expr(
+        s"""aggregate(buckets,
+           |  named_struct('s', 0L, 'mx', 0L,
+           |               'alarm', CAST(null AS BIGINT)),
+           |  (a, b) -> named_struct(
+           |    's', greatest(0L, a.s + b.n * nb - s1 - $k * nb),
+           |    'mx', greatest(a.mx,
+           |      greatest(0L, a.s + b.n * nb - s1 - $k * nb)),
+           |    'alarm', coalesce(a.alarm,
+           |      CASE WHEN greatest(0L, a.s + b.n * nb - s1 - $k * nb)
+           |        >= $threshold * nb THEN b.hr END)))""".stripMargin))
+      .select(col("series"), col("nb"), col("s1"),
+        col("fold.alarm").as("alarm_hr"),
+        col("fold.mx").as("max_cusum_scaled"),
+        col("fold.alarm").isNotNull.as("shift_detected"))
+      .orderBy("series")
+  }
+
   // ---- DuckDB mirrors of the planted corpus + shingle/gram sets --------
   // The LSH operators are hash-based, but their VERIFIED outputs (true
   // Jaccard over shingle/gram sets >= threshold) are engine-portable:
@@ -3666,6 +3732,61 @@ object Pipeline {
         |  v_last IS NOT NULL AS observed
         |FROM w ORDER BY 1, 2""".stripMargin) { (s, dir) =>
       interpolateLinear(t(s, dir, "events"))
+    },
+
+    // CUSUM mean-shift detection with a planted +5/bucket level shift
+    // 600 grid hours into the click series; the oracle replays the
+    // integer-scaled recurrence step by step with a recursive CTE
+    // (different mechanism than Spark's aggregate() fold — the x03
+    // pattern), including the first-alarm bucket and running max.
+    QueryDef("p160_cusum_shift",
+      """WITH RECURSIVE c AS (SELECT event_type AS series,
+        |    epoch_us(ts) // 3600000000 AS hr,
+        |    CAST(COUNT(*) AS BIGINT) AS n0 FROM events GROUP BY 1, 2),
+        |span AS (SELECT series, MIN(hr) AS mn, MAX(hr) AS mx
+        |  FROM c GROUP BY 1),
+        |grid AS (SELECT series, unnest(range(mn, mx + 1)) AS hr, mn
+        |  FROM span),
+        |filled AS (SELECT g.series, g.hr, g.mn,
+        |    COALESCE(c.n0, 0) +
+        |    CASE WHEN g.series = 'click' AND g.hr >= g.mn + 600
+        |         THEN 5 ELSE 0 END AS n
+        |  FROM grid g LEFT JOIN c
+        |    ON g.series = c.series AND g.hr = c.hr),
+        |base AS (SELECT series, CAST(COUNT(*) AS BIGINT) AS nb,
+        |    CAST(SUM(n) AS BIGINT) AS s1
+        |  FROM filled WHERE hr < mn + 360 GROUP BY 1),
+        |sv AS (SELECT f.series, f.hr, f.n, b.nb, b.s1,
+        |    ROW_NUMBER() OVER (PARTITION BY f.series ORDER BY f.hr)
+        |      AS rn
+        |  FROM filled f JOIN base b ON f.series = b.series
+        |  WHERE f.hr >= f.mn + 360),
+        |rec(series, rn, s, mx, alarm) AS (
+        |  SELECT series, rn,
+        |    greatest(0, n * nb - s1 - 1 * nb),
+        |    greatest(0, n * nb - s1 - 1 * nb),
+        |    CASE WHEN greatest(0, n * nb - s1 - 1 * nb) >= 50 * nb
+        |         THEN hr END
+        |  FROM sv WHERE rn = 1
+        |  UNION ALL
+        |  SELECT v.series, v.rn,
+        |    greatest(0, r.s + v.n * v.nb - v.s1 - 1 * v.nb),
+        |    greatest(r.mx,
+        |      greatest(0, r.s + v.n * v.nb - v.s1 - 1 * v.nb)),
+        |    COALESCE(r.alarm,
+        |      CASE WHEN greatest(0, r.s + v.n * v.nb - v.s1 - 1 * v.nb)
+        |           >= 50 * v.nb THEN v.hr END)
+        |  FROM rec r JOIN sv v
+        |    ON v.series = r.series AND v.rn = r.rn + 1),
+        |fin AS (SELECT series, MAX(rn) AS mr FROM rec GROUP BY 1)
+        |SELECT b.series, b.nb, b.s1,
+        |  CAST(r.alarm AS BIGINT) AS alarm_hr,
+        |  CAST(r.mx AS BIGINT) AS max_cusum_scaled,
+        |  r.alarm IS NOT NULL AS shift_detected
+        |FROM rec r JOIN fin l ON r.series = l.series AND r.rn = l.mr
+        |JOIN base b ON b.series = r.series
+        |ORDER BY 1""".stripMargin) { (s, dir) =>
+      cusumShift(t(s, dir, "events"))
     },
 
     // Seasonal hour-of-day anomaly baseline with a planted burst 500

@@ -3120,6 +3120,32 @@ class PipelineSpec extends SparkSpec {
       got.toString)
   }
 
+  test("cusumShift: hand-stepped alarm point, stationary series silent") {
+    import spark.implicits._
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    val h = 3600000000L
+    // series a: n=2 for hours 0..9, +3 shift from hour 6 (nb=4, s1=8,
+    // k=1 → d = 4n−12): S walks 0,0,8,16,24,32 over hours 4..9 —
+    // alarm at hour 8 (first S ≥ threshold·nb = 24), max 32.
+    // series b: stationary n=2 → S pinned at 0, no alarm.
+    val ev = (for {
+      tp <- Seq("a", "b"); hr <- 0 until 10; i <- 0 until 2
+    } yield (tp, hr.toLong * h + i)).zipWithIndex
+      .map { case ((tp, us), id) => (id.toLong, tp, ts(us)) }
+      .toDF("event_id", "event_type", "ts")
+      .withColumn("user_id", col("event_id"))
+    val got = graft.operators.Pipeline
+      .cusumShift(ev, trainHours = 4, k = 1L, threshold = 6L,
+        shiftSeries = "a", shiftOffset = 6L, shiftN = 3L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4),
+        r.getBoolean(5))).toSeq
+    assert(got == Seq(
+      ("a", 4L, 8L, 8L, 32L, true),
+      ("b", 4L, 8L, -1L, 0L, false)), got.toString)
+  }
+
   test("seasonalAnomaly: daily peak is NOT an anomaly, planted burst is") {
     import spark.implicits._
     def ts(us: Long) = new java.sql.Timestamp(us / 1000)
