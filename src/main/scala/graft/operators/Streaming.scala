@@ -1925,6 +1925,134 @@ object Streaming {
       q.awaitTermination()
       graft.pipeline.Contracts.deletionAudit(ev, "user_id",
         s.read.parquet(keyDir))
+    },
+
+    // Streaming CUSUM monitor (p160 over continuous ingest): each
+    // micro-batch appends its (series, hour) PARTIAL counts — exact
+    // longs, merge-safe under any event split (s33's state shape) —
+    // and the report merges them, zero-fills the grid, plants the
+    // level shift, and runs p160's integer Page recurrence over the
+    // accumulated counts. The oracle is p160's SQL verbatim: the
+    // stream-accumulated change-point report must equal the one-shot
+    // batch detection exactly, alarm bucket included. At 100 TB:
+    // per-batch state is O(series × hours touched); the recurrence
+    // runs once at report time over the bounded grid.
+    QueryDef("s37_stream_cusum",
+      """WITH RECURSIVE c AS (SELECT event_type AS series,
+        |    epoch_us(ts) // 3600000000 AS hr,
+        |    CAST(COUNT(*) AS BIGINT) AS n0 FROM events GROUP BY 1, 2),
+        |span AS (SELECT series, MIN(hr) AS mn, MAX(hr) AS mx
+        |  FROM c GROUP BY 1),
+        |grid AS (SELECT series, unnest(range(mn, mx + 1)) AS hr, mn
+        |  FROM span),
+        |filled AS (SELECT g.series, g.hr, g.mn,
+        |    COALESCE(c.n0, 0) +
+        |    CASE WHEN g.series = 'click' AND g.hr >= g.mn + 600
+        |         THEN 5 ELSE 0 END AS n
+        |  FROM grid g LEFT JOIN c
+        |    ON g.series = c.series AND g.hr = c.hr),
+        |base AS (SELECT series, CAST(COUNT(*) AS BIGINT) AS nb,
+        |    CAST(SUM(n) AS BIGINT) AS s1
+        |  FROM filled WHERE hr < mn + 360 GROUP BY 1),
+        |sv AS (SELECT f.series, f.hr, f.n, b.nb, b.s1,
+        |    ROW_NUMBER() OVER (PARTITION BY f.series ORDER BY f.hr)
+        |      AS rn
+        |  FROM filled f JOIN base b ON f.series = b.series
+        |  WHERE f.hr >= f.mn + 360),
+        |rec(series, rn, s, mx, alarm) AS (
+        |  SELECT series, rn,
+        |    greatest(0, n * nb - s1 - 1 * nb),
+        |    greatest(0, n * nb - s1 - 1 * nb),
+        |    CASE WHEN greatest(0, n * nb - s1 - 1 * nb) >= 50 * nb
+        |         THEN hr END
+        |  FROM sv WHERE rn = 1
+        |  UNION ALL
+        |  SELECT v.series, v.rn,
+        |    greatest(0, r.s + v.n * v.nb - v.s1 - 1 * v.nb),
+        |    greatest(r.mx,
+        |      greatest(0, r.s + v.n * v.nb - v.s1 - 1 * v.nb)),
+        |    COALESCE(r.alarm,
+        |      CASE WHEN greatest(0, r.s + v.n * v.nb - v.s1 - 1 * v.nb)
+        |           >= 50 * v.nb THEN v.hr END)
+        |  FROM rec r JOIN sv v
+        |    ON v.series = r.series AND v.rn = r.rn + 1),
+        |fin AS (SELECT series, MAX(rn) AS mr FROM rec GROUP BY 1)
+        |SELECT b.series, b.nb, b.s1,
+        |  CAST(r.alarm AS BIGINT) AS alarm_hr,
+        |  CAST(r.mx AS BIGINT) AS max_cusum_scaled,
+        |  r.alarm IS NOT NULL AS shift_detected
+        |FROM rec r JOIN fin l ON r.series = l.series AND r.rn = l.mr
+        |JOIN base b ON b.series = r.series
+        |ORDER BY 1""".stripMargin) { (s, dir) =>
+      val ev = graft.Tables.load(s, dir, "events")
+        .select(col("event_type").as("series"),
+          expr("unix_micros(ts) div 3600000000").as("hr"),
+          col("event_id"), col("ts"))
+      val base = java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_fmt").toString
+      val srcDir = s"$base/s37_stream_src"
+      val cntDir = s"$base/s37_counts"
+      Seq(srcDir, cntDir).foreach(d => rmTree(new java.io.File(d)))
+      new java.io.File(srcDir).mkdirs()
+      (0 until 4).foreach { b =>
+        writeSingle(ev.filter(col("event_id") % 4 === b),
+          srcDir, s"batch_$b")
+      }
+      val schema = s.read.parquet(srcDir).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(srcDir)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.groupBy("series", "hr")
+            .agg(count(lit(1)).cast("long").as("n"))
+            .coalesce(1).write.mode("append").parquet(cntDir)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // merge the accumulated partials back into per-hour events-shaped
+      // rows? No — run p160's exact report pipeline over the merged
+      // counts: rebuild (series, hr, n) and reuse the fold inline
+      val merged = s.read.parquet(cntDir).groupBy("series", "hr")
+        .agg(sum("n").cast("long").as("n0"))
+      val grid = merged.groupBy("series")
+        .agg(min("hr").as("mn"), max("hr").as("mx"))
+        .select(col("series"),
+          explode(sequence(col("mn"), col("mx"))).as("hr"), col("mn"))
+      val filled = grid.join(merged, Seq("series", "hr"), "left")
+        .select(col("series"), col("hr"), col("mn"),
+          (coalesce(col("n0"), lit(0L)) +
+            when(col("series") === "click" &&
+              col("hr") >= col("mn") + 600, lit(5L))
+              .otherwise(lit(0L))).as("n"))
+      val baseStats = filled.filter(col("hr") < col("mn") + 360)
+        .groupBy("series").agg(
+          count(lit(1)).cast("long").as("nb"),
+          sum(col("n")).cast("long").as("s1"))
+      val serving = filled.filter(col("hr") >= col("mn") + 360)
+        .groupBy("series")
+        .agg(sort_array(collect_list(struct(col("hr"), col("n"))))
+          .as("buckets"))
+      serving.join(baseStats, "series")
+        .withColumn("fold", expr(
+          """aggregate(buckets,
+            |  named_struct('s', 0L, 'mx', 0L,
+            |               'alarm', CAST(null AS BIGINT)),
+            |  (a, b) -> named_struct(
+            |    's', greatest(0L, a.s + b.n * nb - s1 - 1 * nb),
+            |    'mx', greatest(a.mx,
+            |      greatest(0L, a.s + b.n * nb - s1 - 1 * nb)),
+            |    'alarm', coalesce(a.alarm,
+            |      CASE WHEN greatest(0L, a.s + b.n * nb - s1 - 1 * nb)
+            |        >= 50 * nb THEN b.hr END)))""".stripMargin))
+        .select(col("series"), col("nb"), col("s1"),
+          col("fold.alarm").as("alarm_hr"),
+          col("fold.mx").as("max_cusum_scaled"),
+          col("fold.alarm").isNotNull.as("shift_detected"))
+        .orderBy("series")
     }
   )
 }
