@@ -122,6 +122,7 @@ object Bench {
     "p158_deletion_audit", // key-only anti/semi joins + re-measure
     "p159_seasonal_anomaly", // per-hod exact-int baseline + z flags
     "p160_cusum_shift",   // integer CUSUM fold over the bounded grid
+    "p161_funnel_latency", // anchor chain + discrete rank quantiles
     "f07_csv_ingest_cold", // CSV parse + agg, no cache (dsq cold analog)
     "f08_csv_ingest_warm") // cached-parquet + agg (dsq -C warm analog)
 

@@ -495,6 +495,58 @@ object Pipeline {
       .orderBy("series", "hr")
   }
 
+  /** Funnel time-to-convert distribution: for each adjacent step pair
+    * of the p142 funnel, the per-user latency between the two
+    * first-match anchors (strict '>' sequencing at µs granularity,
+    * identical to [[funnelSteps]]), summarized as count / min / exact
+    * interpolated p50 and p90 / max. The report a growth team reads
+    * next to the conversion rates: WHERE users convert is p142, HOW
+    * LONG they take is this. Percentiles are exact DISCRETE (type-1)
+    * quantiles — the element at rank ceil(p·n), selected from the
+    * sorted delta array — because interpolated quantiles of µs-scale
+    * int64s live at the double's ulp (~1e-4 at 1e12) where Spark's and
+    * DuckDB's algebraically-equal interpolation formulas round
+    * differently; element selection is integer-exact in both engines.
+    * Distributed shape: the anchor chain is p142's (per step one
+    * filtered scan + user-keyed min join); each summary collects the
+    * ≤1-delta-per-converted-user array once (bounded by funnel
+    * completions — at 100 TB a production report swaps in a mergeable
+    * quantile sketch, trading exactness the gate exists to pin).
+    */
+  def funnelTimeToConvert(events: DataFrame,
+      steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    val ev = events.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"))
+    val anchors = steps.tail.scanLeft(
+      ev.filter(col("event_type") === steps.head)
+        .groupBy("user_id").agg(min(col("us")).as("a"))) { (prev, st) =>
+      ev.filter(col("event_type") === st)
+        .join(prev.select(col("user_id"), col("a").as("pa")), "user_id")
+        .filter(col("us") > col("pa"))
+        .groupBy("user_id").agg(min(col("us")).as("a"),
+          min(col("pa")).as("pa0"))
+        .select(col("user_id"), col("a"))
+    }
+    val pairs = steps.zip(steps.tail).zip(anchors.zip(anchors.tail))
+    pairs.map { case ((s1, s2), (f1, f2)) =>
+      f1.select(col("user_id"), col("a").as("a1"))
+        .join(f2.select(col("user_id"), col("a").as("a2")), "user_id")
+        .select((col("a2") - col("a1")).as("d"))
+        .agg(count(lit(1)).cast("long").as("n_users"),
+          min("d").cast("long").as("min_us"),
+          sort_array(collect_list(col("d"))).as("ds"))
+        .select(col("n_users"), col("min_us"),
+          element_at(col("ds"),
+            ceil(col("n_users") * 0.5).cast("int")).as("p50_us"),
+          element_at(col("ds"),
+            ceil(col("n_users") * 0.9).cast("int")).as("p90_us"),
+          element_at(col("ds"), col("n_users").cast("int"))
+            .as("max_us"))
+        .select(lit(s"$s1>$s2").as("step_pair"), col("n_users"),
+          col("min_us"), col("p50_us"), col("p90_us"), col("max_us"))
+    }.reduce(_ unionAll _).orderBy("step_pair")
+  }
+
   /** Seasonal (hour-of-day) anomaly baseline — the third member of the
     * anomaly triple: [[rollingAnomaly]] compares against the recent
     * past, s33's monitor against a static global mean, and this
@@ -3732,6 +3784,48 @@ object Pipeline {
         |  v_last IS NOT NULL AS observed
         |FROM w ORDER BY 1, 2""".stripMargin) { (s, dir) =>
       interpolateLinear(t(s, dir, "events"))
+    },
+
+    // Funnel time-to-convert: the oracle replays the progressive
+    // first-match anchors (s32's CTEs) and selects the same
+    // rank-ceil(p·n) DISCRETE quantile elements from the sorted delta
+    // list — integer-exact on both engines (interpolated quantiles of
+    // 1e12-µs int64s diverge at the double's ulp).
+    QueryDef("p161_funnel_latency",
+      """WITH s1 AS (SELECT user_id, MIN(epoch_us(ts)) AS a
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS a
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.a
+        |  GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS a
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.a
+        |  GROUP BY 1),
+        |d12 AS (SELECT s2.a - s1.a AS d FROM s1
+        |  JOIN s2 ON s1.user_id = s2.user_id),
+        |d23 AS (SELECT s3.a - s2.a AS d FROM s2
+        |  JOIN s3 ON s2.user_id = s3.user_id)
+        |SELECT 'view>click' AS step_pair,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(MIN(d) AS BIGINT) AS min_us,
+        |  CAST(list_sort(list(d))[CAST(ceil(COUNT(*) * 0.5) AS INT)]
+        |    AS BIGINT) AS p50_us,
+        |  CAST(list_sort(list(d))[CAST(ceil(COUNT(*) * 0.9) AS INT)]
+        |    AS BIGINT) AS p90_us,
+        |  CAST(MAX(d) AS BIGINT) AS max_us
+        |FROM d12
+        |UNION ALL
+        |SELECT 'click>purchase', CAST(COUNT(*) AS BIGINT),
+        |  CAST(MIN(d) AS BIGINT),
+        |  CAST(list_sort(list(d))[CAST(ceil(COUNT(*) * 0.5) AS INT)]
+        |    AS BIGINT),
+        |  CAST(list_sort(list(d))[CAST(ceil(COUNT(*) * 0.9) AS INT)]
+        |    AS BIGINT),
+        |  CAST(MAX(d) AS BIGINT)
+        |FROM d23
+        |ORDER BY step_pair""".stripMargin) { (s, dir) =>
+      funnelTimeToConvert(t(s, dir, "events"))
     },
 
     // CUSUM mean-shift detection with a planted +5/bucket level shift

@@ -3120,6 +3120,32 @@ class PipelineSpec extends SparkSpec {
       got.toString)
   }
 
+  test("funnelTimeToConvert: discrete quantile ranks, strict anchor " +
+      "sequencing") {
+    import spark.implicits._
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    val m = 60000000L
+    // 4 converting users with view→click deltas 10, 20, 30, 40 min →
+    // n=4: p50 = rank ceil(2)=2 → 20 min; p90 = rank ceil(3.6)=4 →
+    // 40 min. One user clicks BEFORE viewing (strict '>' excludes).
+    // click→purchase: only user 1 converts (delta 5 min).
+    val ev = Seq(
+      (1L, "view", 0L), (1L, "click", 10 * m), (1L, "purchase", 15 * m),
+      (2L, "view", 0L), (2L, "click", 20 * m),
+      (3L, "view", 0L), (3L, "click", 30 * m),
+      (4L, "view", 0L), (4L, "click", 40 * m),
+      (5L, "click", 0L), (5L, "view", 10 * m))
+      .zipWithIndex.map { case ((u, t, us), i) => (i.toLong, u, t, ts(us)) }
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val got = graft.operators.Pipeline.funnelTimeToConvert(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == Seq(
+      ("click>purchase", 1L, 5 * m, 5 * m, 5 * m, 5 * m),
+      ("view>click", 4L, 10 * m, 20 * m, 40 * m, 40 * m)),
+      got.toString)
+  }
+
   test("cusumShift: hand-stepped alarm point, stationary series silent") {
     import spark.implicits._
     def ts(us: Long) = new java.sql.Timestamp(us / 1000)
