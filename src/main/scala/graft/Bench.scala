@@ -123,6 +123,7 @@ object Bench {
     "p159_seasonal_anomaly", // per-hod exact-int baseline + z flags
     "p160_cusum_shift",   // integer CUSUM fold over the bounded grid
     "p161_funnel_latency", // anchor chain + discrete rank quantiles
+    "p162_bot_signature", // gap window + (user, gap) partial counts
     "f07_csv_ingest_cold", // CSV parse + agg, no cache (dsq cold analog)
     "f08_csv_ingest_warm") // cached-parquet + agg (dsq -C warm analog)
 

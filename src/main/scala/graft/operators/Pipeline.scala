@@ -495,6 +495,44 @@ object Pipeline {
       .orderBy("series", "hr")
   }
 
+  /** Bot-signature detection by inter-event PERIODICITY: for each user
+    * with at least `minGaps` inter-event gaps, the share of gaps
+    * (rounded down to seconds) equal to the user's MOST COMMON gap —
+    * automation fires on a timer, so its top-gap share approaches 1,
+    * while organic activity spreads. `is_bot` flags share ≥
+    * `shareThresh`. Chosen over a variance test deliberately: variance
+    * of µs-scale int64 gaps needs Σg² (overflows int64) or doubles
+    * (engine-divergent), while the mode share is pure counting — exact
+    * int64 everywhere, one division at the end. Mode tiebreak is
+    * (count DESC, gap ASC) via orderable-struct max. Distributed
+    * shape: one user-keyed window shuffle for the gaps, a
+    * (user, gap_s) partial-agg count whose cardinality is bounded by
+    * distinct per-user gap values, and a per-user rollup.
+    */
+  def botSignature(events: DataFrame, minGaps: Int = 5,
+      shareThresh: Double = 0.8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gaps = events
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("g",
+        lead(unix_micros(col("ts")), 1).over(w) - unix_micros(col("ts")))
+      .filter(col("g").isNotNull)
+      .select(col("user_id"), expr("g div 1000000").as("gap_s"))
+    gaps.groupBy("user_id", "gap_s")
+      .agg(count(lit(1)).cast("long").as("cnt"))
+      .groupBy("user_id")
+      .agg(sum("cnt").cast("long").as("n_gaps"),
+        max(struct(col("cnt"), (-col("gap_s")).as("ng")))
+          .as("top"))
+      .filter(col("n_gaps") >= minGaps)
+      .select(col("user_id"), col("n_gaps"),
+        (-col("top.ng")).as("top_gap_s"),
+        round(col("top.cnt") / col("n_gaps"), 6).as("top_share"),
+        (col("top.cnt") / col("n_gaps") >= shareThresh).as("is_bot"))
+      .orderBy("user_id")
+  }
+
   /** Funnel time-to-convert distribution: for each adjacent step pair
     * of the p142 funnel, the per-user latency between the two
     * first-match anchors (strict '>' sequencing at µs granularity,
@@ -3784,6 +3822,47 @@ object Pipeline {
         |  v_last IS NOT NULL AS observed
         |FROM w ORDER BY 1, 2""".stripMargin) { (s, dir) =>
       interpolateLinear(t(s, dir, "events"))
+    },
+
+    // Bot-signature periodicity: a synthetic 50-event bot firing every
+    // 60 s exactly is planted next to the organic users; the oracle
+    // replays the gap window, the second rounding, the (count DESC,
+    // gap ASC) mode, and the share — the plant must flag, and at this
+    // corpus no organic user may.
+    QueryDef("p162_bot_signature",
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_id FROM events
+        |  UNION ALL
+        |  SELECT 9999999 AS user_id,
+        |    make_timestamp(1500000000000000 + i * 60000000) AS ts,
+        |    990000000 + i AS event_id
+        |  FROM (SELECT unnest(range(0, 50)) AS i)),
+        |g AS (SELECT user_id,
+        |    (lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |       ORDER BY epoch_us(ts), event_id) - epoch_us(ts))
+        |      // 1000000 AS gap_s
+        |  FROM ev),
+        |gc AS (SELECT user_id, gap_s, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM g WHERE gap_s IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT user_id, gap_s, cnt,
+        |    SUM(cnt) OVER (PARTITION BY user_id) AS n_gaps,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY cnt DESC, gap_s ASC) AS rn
+        |  FROM gc)
+        |SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps,
+        |  CAST(gap_s AS BIGINT) AS top_gap_s,
+        |  round(cnt / CAST(n_gaps AS DOUBLE), 6) AS top_share,
+        |  cnt / CAST(n_gaps AS DOUBLE) >= 0.8 AS is_bot
+        |FROM r WHERE rn = 1 AND n_gaps >= 5
+        |ORDER BY 1""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val plant = s.range(50).select(
+        lit(9999999L).as("user_id"),
+        expr("timestamp_micros(1500000000000000 + id * 60000000)")
+          .as("ts"),
+        (lit(990000000L) + col("id")).as("event_id"))
+      botSignature(ev.unionByName(plant))
     },
 
     // Funnel time-to-convert: the oracle replays the progressive

@@ -3120,6 +3120,33 @@ class PipelineSpec extends SparkSpec {
       got.toString)
   }
 
+  test("botSignature: periodic user flags, organic doesn't, mode " +
+      "tiebreak to the smaller gap, minGaps excludes") {
+    import spark.implicits._
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    val sec = 1000000L
+    val ev = (
+      // user 1: 6 events exactly 10 s apart → 5 gaps, share 1.0, bot
+      (0 until 6).map(i => (1L, i * 10 * sec)) ++
+      // user 2: gaps 1,2,3,4,5 s → top share 0.2, organic
+      Seq(0L, 1L, 3L, 6L, 10L, 15L).map(s => (2L, s * sec)) ++
+      // user 3: gaps 7,7,9,9 s → tie on count, mode must pick 7
+      Seq(0L, 7L, 14L, 23L, 32L).map(s => (3L, s * sec)) ++
+      // user 4: 4 events = 3 gaps → below minGaps, excluded
+      (0 until 4).map(i => (4L, i * 60 * sec)))
+      .zipWithIndex
+      .map { case ((u, us), i) => (i.toLong, u, "click", ts(us)) }
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val got = graft.operators.Pipeline.botSignature(ev, minGaps = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4))).toSeq
+    assert(got == Seq(
+      (1L, 5L, 10L, 1.0, true),
+      (2L, 5L, 1L, 0.2, false),
+      (3L, 4L, 7L, 0.5, false)), got.toString)
+  }
+
   test("funnelTimeToConvert: discrete quantile ranks, strict anchor " +
       "sequencing") {
     import spark.implicits._
