@@ -495,6 +495,57 @@ object Pipeline {
       .orderBy("series", "hr")
   }
 
+  /** A/B experiment readout: users are assigned a variant by the
+    * reproducible md5 rule ([[Corpus]]'s split idiom — first hex digit
+    * < '8' → A, ~50/50), conversion = at least one `convType` event,
+    * and the report is the two-proportion z-test a growth team reads:
+    * per-variant exposures and conversions (exact distinct-user longs),
+    * the rates, the pooled-proportion z statistic, and the |z| ≥ 1.96
+    * verdict. Conversion = at least `minConv` `convType` events (the
+    * dense synthetic corpus gives every user SOME purchase, so a
+    * ≥1 definition saturates at p = 1 — a real lesson: a degenerate
+    * pooled proportion zeroes the standard error, so z is guarded to
+    * NULL and significant to false whenever se = 0 or a variant is
+    * empty, on both engines). All doubles derive from exact int64
+    * counts in a pinned operation order. Distributed
+    * shape: ONE user-keyed aggregate collapses events to a
+    * (user, converted) row map-side first, then a single scalar
+    * aggregate with conditional sums — no shuffle wider than user ids,
+    * output is one row.
+    */
+  def abReadout(events: DataFrame, convType: String = "purchase",
+      minConv: Int = 1): DataFrame = {
+    val users = events.groupBy("user_id")
+      .agg(when(sum(when(col("event_type") === convType, 1L)
+        .otherwise(0L)) >= minConv, 1L).otherwise(0L).as("conv"))
+      .withColumn("va",
+        substring(md5(col("user_id").cast("string")), 1, 1) < "8")
+    val counts = users.agg(
+      sum(when(col("va"), 1L).otherwise(0L)).cast("long").as("n_a"),
+      sum(when(col("va"), col("conv")).otherwise(0L)).cast("long")
+        .as("conv_a"),
+      sum(when(!col("va"), 1L).otherwise(0L)).cast("long").as("n_b"),
+      sum(when(!col("va"), col("conv")).otherwise(0L)).cast("long")
+        .as("conv_b"))
+    // ANSI mode throws on ANY division by zero (doubles included), and
+    // a when() CONDITION is still evaluated — so every division sits
+    // strictly under its own guard
+    val ra = when(col("n_a") > 0,
+      col("conv_a").cast("double") / col("n_a"))
+    val rb = when(col("n_b") > 0,
+      col("conv_b").cast("double") / col("n_b"))
+    val p = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b"))
+    val se = when(col("n_a") > 0 && col("n_b") > 0,
+      sqrt(p * (lit(1.0) - p) *
+        (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))))
+    val z = when(se > 0, (ra - rb) / se)
+    counts.select(col("n_a"), col("conv_a"), round(ra, 6).as("rate_a"),
+      col("n_b"), col("conv_b"), round(rb, 6).as("rate_b"),
+      round(z, 6).as("z"),
+      coalesce(abs(z) >= 1.96, lit(false)).as("significant"))
+  }
+
   /** Bot-signature detection by inter-event PERIODICITY: for each user
     * with at least `minGaps` inter-event gaps, the share of gaps
     * (rounded down to seconds) equal to the user's MOST COMMON gap —
@@ -3822,6 +3873,47 @@ object Pipeline {
         |  v_last IS NOT NULL AS observed
         |FROM w ORDER BY 1, 2""".stripMargin) { (s, dir) =>
       interpolateLinear(t(s, dir, "events"))
+    },
+
+    // A/B readout: md5 hash assignment (~50/50), conversion = at
+    // least 14 purchases (the ≥1 form saturates at p = 1 on this
+    // dense corpus and zeroes the standard error); the oracle replays
+    // assignment, counts, and the pooled z in the identical IEEE
+    // order, with the same se/empty-variant guards. The uniform
+    // corpus gives a near-zero z — the honest null result.
+    QueryDef("p163_ab_readout",
+      """WITH u AS (SELECT user_id,
+        |    CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+        |                  THEN 1 ELSE 0 END) >= 14
+        |         THEN 1 ELSE 0 END AS conv,
+        |    substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8' AS va
+        |  FROM events GROUP BY user_id),
+        |c AS (SELECT
+        |    CAST(SUM(CASE WHEN va THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN va THEN conv ELSE 0 END) AS BIGINT)
+        |      AS conv_a,
+        |    CAST(SUM(CASE WHEN NOT va THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b,
+        |    CAST(SUM(CASE WHEN NOT va THEN conv ELSE 0 END) AS BIGINT)
+        |      AS conv_b
+        |  FROM u),
+        |e AS (SELECT *,
+        |    CASE WHEN n_a > 0 THEN CAST(conv_a AS DOUBLE) / n_a END
+        |      AS ra,
+        |    CASE WHEN n_b > 0 THEN CAST(conv_b AS DOUBLE) / n_b END
+        |      AS rb,
+        |    CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |      sqrt(CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) *
+        |        (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) *
+        |        (1.0 / n_a + 1.0 / n_b)) END AS se
+        |  FROM c)
+        |SELECT n_a, conv_a, round(ra, 6) AS rate_a,
+        |  n_b, conv_b, round(rb, 6) AS rate_b,
+        |  round(CASE WHEN se > 0 THEN (ra - rb) / se END, 6) AS z,
+        |  COALESCE(abs(CASE WHEN se > 0 THEN (ra - rb) / se END)
+        |    >= 1.96, false) AS significant
+        |FROM e""".stripMargin) { (s, dir) =>
+      abReadout(t(s, dir, "events"), minConv = 14)
     },
 
     // Bot-signature periodicity: a synthetic 50-event bot firing every

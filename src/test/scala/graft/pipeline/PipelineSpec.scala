@@ -3120,6 +3120,36 @@ class PipelineSpec extends SparkSpec {
       got.toString)
   }
 
+  test("abReadout: planted effect is significant, saturated p guards " +
+      "z to null") {
+    import spark.implicits._
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    // find user ids the md5 rule routes to each variant, then plant a
+    // real effect: 20 A-users convert, 20 B-users don't
+    def variantOf(u: Long) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+      (("%02x".format(md(0))).charAt(0) < '8')
+    }
+    val as = (1L to 1000L).filter(variantOf).take(20)
+    val bs = (1L to 1000L).filterNot(variantOf).take(20)
+    val ev = (as.map(u => (u, "purchase")) ++ bs.map(u => (u, "view")))
+      .zipWithIndex
+      .map { case ((u, t), i) => (i.toLong, u, t, ts(i * 1000000L)) }
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val r = graft.operators.Pipeline.abReadout(ev).collect().head
+    assert(r.getLong(0) == 20 && r.getLong(1) == 20, r.toString) // A all convert
+    assert(r.getLong(3) == 20 && r.getLong(4) == 0, r.toString)  // B none
+    assert(r.getDouble(2) == 1.0 && r.getDouble(5) == 0.0)
+    assert(!r.isNullAt(6) && r.getBoolean(7), s"effect not detected: $r")
+    // saturated: everyone converts → p = 1 → se = 0 → z null, not sig
+    val sat = (as ++ bs).zipWithIndex
+      .map { case (u, i) => (i.toLong, u, "purchase", ts(i * 1000000L)) }
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val r2 = graft.operators.Pipeline.abReadout(sat).collect().head
+    assert(r2.isNullAt(6) && !r2.getBoolean(7), r2.toString)
+  }
+
   test("botSignature: periodic user flags, organic doesn't, mode " +
       "tiebreak to the smaller gap, minGaps excludes") {
     import spark.implicits._
