@@ -116,9 +116,13 @@ object Pipeline {
     */
   private[graft] def funnelRates(counts: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the frame is #steps rows by construction (one summary row per
+    // funnel step); the constant partition key states that boundedness
+    // in the plan and silences WindowExec's no-partition warning
+    val w = Window.partitionBy(lit(0)).orderBy("step")
     counts.withColumn("conv_rate",
       round(col("n_users").cast("double") /
-        coalesce(lag(col("n_users"), 1).over(Window.orderBy("step")),
+        coalesce(lag(col("n_users"), 1).over(w),
           col("n_users")).cast("double"), 6))
       .orderBy("step")
   }
@@ -597,10 +601,18 @@ object Pipeline {
     * DuckDB's algebraically-equal interpolation formulas round
     * differently; element selection is integer-exact in both engines.
     * Distributed shape: the anchor chain is p142's (per step one
-    * filtered scan + user-keyed min join); each summary collects the
-    * ≤1-delta-per-converted-user array once (bounded by funnel
-    * completions — at 100 TB a production report swaps in a mergeable
-    * quantile sketch, trading exactness the gate exists to pin).
+    * filtered scan + user-keyed min join); rank selection rides
+    * [[Corpus.withGlobalOrder]] (the p63/p149 two-phase idiom) — the
+    * deltas are range-partitioned on (d, user_id), per-partition counts
+    * lift to the driver (nParts rows), and the elements at ranks
+    * ceil(0.5·n) / ceil(0.9·n) are picked by a position predicate. No
+    * stage ever materializes the delta population into a single row:
+    * at 100 TB the largest single-task state is one range partition of
+    * (user_id, d) pairs, not hundreds of millions of longs in one
+    * aggregation buffer. A step pair with ZERO converting users emits
+    * n_users=0 with NULL min/quantile/max — matching the oracle's
+    * NULL list indexing — instead of tripping element_at's 1-based
+    * bound (ceil(0·p)=0 throws in Spark, returns NULL in DuckDB).
     */
   def funnelTimeToConvert(events: DataFrame,
       steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
@@ -618,19 +630,26 @@ object Pipeline {
     }
     val pairs = steps.zip(steps.tail).zip(anchors.zip(anchors.tail))
     pairs.map { case ((s1, s2), (f1, f2)) =>
-      f1.select(col("user_id"), col("a").as("a1"))
+      val deltas = f1.select(col("user_id"), col("a").as("a1"))
         .join(f2.select(col("user_id"), col("a").as("a2")), "user_id")
-        .select((col("a2") - col("a1")).as("d"))
-        .agg(count(lit(1)).cast("long").as("n_users"),
-          min("d").cast("long").as("min_us"),
-          sort_array(collect_list(col("d"))).as("ds"))
-        .select(col("n_users"), col("min_us"),
-          element_at(col("ds"),
-            ceil(col("n_users") * 0.5).cast("int")).as("p50_us"),
-          element_at(col("ds"),
-            ceil(col("n_users") * 0.9).cast("int")).as("p90_us"),
-          element_at(col("ds"), col("n_users").cast("int"))
-            .as("max_us"))
+        .select(col("user_id"), (col("a2") - col("a1")).as("d"))
+      // 1-row scalar summary — partial-aggregable, no arrays
+      val summary = deltas.agg(count(lit(1)).cast("long").as("n_users"),
+        min("d").cast("long").as("min_us"),
+        max("d").cast("long").as("max_us"))
+      // global rank of each delta under (d, user_id) total order; the
+      // rank-ceil(p·n) elements are selected by position predicate —
+      // max(when(...)) touches at most one non-null row per quantile
+      val ranked = Corpus.withGlobalOrder(deltas,
+        Seq(col("d"), col("user_id")), lit(1L))
+      val qs = ranked
+        .crossJoin(broadcast(summary.select(col("n_users").as("nq"))))
+        .agg(
+          max(when(col("pos") === ceil(col("nq") * 0.5).cast("long"),
+            col("d"))).cast("long").as("p50_us"),
+          max(when(col("pos") === ceil(col("nq") * 0.9).cast("long"),
+            col("d"))).cast("long").as("p90_us"))
+      summary.crossJoin(broadcast(qs))
         .select(lit(s"$s1>$s2").as("step_pair"), col("n_users"),
           col("min_us"), col("p50_us"), col("p90_us"), col("max_us"))
     }.reduce(_ unionAll _).orderBy("step_pair")
@@ -3370,7 +3389,14 @@ object Pipeline {
     // (orderkey, linenumber) pair is non-unique in this corpus) and
     // the de-facto row key (orderkey, partkey, suppkey) which holds.
     // The oracle recomputes each pair's distinct-dependent counts
-    // independently.
+    // independently. The sixth pair maps onto a NULL-BEARING dependent
+    // (returnflag with 'N' nulled out) so the null-equality convention
+    // — a NULL dependent counts as one extra distinct value, making
+    // {x, NULL} violate — is pinned cross-engine, not just by the
+    // local spec (ADVICE r9: lineitem itself has no NULLs, so the
+    // plain pairs agree with an unadjusted COUNT(DISTINCT) trivially).
+    // With 'N' nulled out, {N}-only orders profile nd=1 via the NULL
+    // value alone and {A,N} orders violate through it.
     QueryDef("p155_fd_profile",
       """WITH f1 AS (SELECT l_orderkey AS k,
         |    COUNT(DISTINCT l_suppkey) AS nd FROM lineitem GROUP BY 1),
@@ -3383,6 +3409,11 @@ object Pipeline {
         |  GROUP BY 1, 2, 3),
         |f4 AS (SELECT l_suppkey AS k,
         |    COUNT(DISTINCT l_returnflag) AS nd FROM lineitem GROUP BY 1),
+        |f6 AS (SELECT l_orderkey AS k,
+        |    COUNT(DISTINCT NULLIF(l_returnflag, 'N'))
+        |    + MAX(CASE WHEN NULLIF(l_returnflag, 'N') IS NULL
+        |        THEN 1 ELSE 0 END) AS nd
+        |  FROM lineitem GROUP BY 1),
         |r AS (
         |  SELECT 'l_orderkey' AS determinant, 'l_suppkey' AS dependent,
         |    CAST(COUNT(*) AS BIGINT) AS n_keys,
@@ -3406,16 +3437,23 @@ object Pipeline {
         |  SELECT 'l_orderkey,l_partkey,l_suppkey', 'l_quantity',
         |    CAST(COUNT(*) AS BIGINT),
         |    CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
-        |  FROM f5)
+        |  FROM f5
+        |  UNION ALL
+        |  SELECT 'l_orderkey', 'dep_null', CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM f6)
         |SELECT determinant, dependent, n_keys, n_violating,
         |  n_violating = 0 AS holds
         |FROM r ORDER BY 1, 2""".stripMargin) { (s, dir) =>
-      graft.pipeline.Contracts.fdProfile(t(s, dir, "lineitem"), Seq(
+      graft.pipeline.Contracts.fdProfile(
+        t(s, dir, "lineitem").withColumn("dep_null",
+          expr("nullif(l_returnflag, 'N')")), Seq(
         (Seq("l_orderkey"), "l_suppkey"),
         (Seq("l_orderkey"), "l_returnflag"),
         (Seq("l_orderkey", "l_linenumber"), "l_quantity"),
         (Seq("l_suppkey"), "l_returnflag"),
-        (Seq("l_orderkey", "l_partkey", "l_suppkey"), "l_quantity")))
+        (Seq("l_orderkey", "l_partkey", "l_suppkey"), "l_quantity"),
+        (Seq("l_orderkey"), "dep_null")))
     },
 
     QueryDef("p138_data_contract",

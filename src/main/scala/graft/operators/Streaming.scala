@@ -1652,9 +1652,15 @@ object Streaming {
       val cuts = ev.stat.approxQuantile("us",
         Array(0.25, 0.5, 0.75), 0.001).map(_.toLong)
       val bounds = (Long.MinValue +: cuts) :+ Long.MaxValue
+      // FileStreamSource orders by mtime; back-to-back writes can tie
+      // at ms granularity and fall back to listing order — pin the
+      // event-time processing order with explicit increasing mtimes
+      val t0 = System.currentTimeMillis() - 3600000L
       (1 to 4).foreach { b =>
         writeSingle(ev.filter(col("us") > bounds(b - 1) &&
           col("us") <= bounds(b)), srcDir, s"batch_$b")
+        new java.io.File(srcDir, s"batch_$b.parquet")
+          .setLastModified(t0 + b * 60000L)
       }
       val nullA = lit(null).cast("long")
       s.range(0).select(col("id").as("user_id"), nullA.as("a1"),
@@ -1821,9 +1827,16 @@ object Streaming {
       val cuts = ev.stat.approxQuantile("us",
         Array(0.25, 0.5, 0.75), 0.001).map(_.toLong)
       val bounds = (Long.MinValue +: cuts) :+ Long.MaxValue
+      // explicit increasing mtimes: the carried last-event state is
+      // only correct if batches process in event-time order, and
+      // FileStreamSource's mtime ordering ties at ms granularity for
+      // back-to-back writes (ADVICE r9)
+      val t0 = System.currentTimeMillis() - 3600000L
       (1 to 4).foreach { b =>
         writeSingle(ev.filter(col("us") > bounds(b - 1) &&
           col("us") <= bounds(b)), srcDir, s"batch_$b")
+        new java.io.File(srcDir, s"batch_$b.parquet")
+          .setLastModified(t0 + b * 60000L)
       }
       s.range(0).select(col("id").as("user_id"),
           lit(null).cast("long").as("us"),

@@ -1124,7 +1124,10 @@ object Corpus {
     val tokCounts = tok.groupBy("bucket").agg(count(lit(1)).as("n_tokens"))
     val newTypes = tok.groupBy("token").agg(min("bucket").as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("n_new_types"))
-    val w = Window.orderBy("bucket")
+    // the cumulative frame is #buckets rows by construction; the
+    // constant partition key states that boundedness in the plan and
+    // silences WindowExec's no-partition warning
+    val w = Window.partitionBy(lit(0)).orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docCounts
       .join(tokCounts, Seq("bucket"), "left")

@@ -356,6 +356,74 @@ class PlanSpec extends SparkSpec {
       s"p158: a non-key exchange appeared:\n$p")
   }
 
+  test("p159/p160: seasonal baseline broadcasts, CUSUM folds the grid " +
+      "— no window over raw events in either") {
+    // p159: raw events collapse to (series, hr) counts map-side FIRST;
+    // the 24-row-per-series hod baseline joins back by BROADCAST; the
+    // z-flag is a per-row projection — no Window anywhere, no product
+    val p = executed("p159_seasonal_anomaly")
+    assert(!p.contains("Window"), s"p159: a window appeared:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"p159: non-broadcast product appeared:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"p159: hod baseline did not join by broadcast:\n$p")
+    // p160: the recurrence is an aggregate() fold over the per-series
+    // calendar grid (bounded by grid hours, never by event count) — no
+    // Window node, no product; the only array aggregate rides the grid
+    val q = executed("p160_cusum_shift")
+    assert(!q.contains("Window"), s"p160: a window appeared:\n$q")
+    assert(!q.contains("CartesianProduct"),
+      s"p160: non-broadcast product appeared:\n$q")
+  }
+
+  test("p161: funnel latency — rank selection, no single-row array " +
+      "aggregate anywhere") {
+    // the r9 scale defect: sort_array(collect_list(d)) materialized
+    // every per-user delta into ONE aggregation buffer. The rewrite
+    // selects ranks via withGlobalOrder (range partition + barrier +
+    // per-pid window + broadcast offsets): the plan must carry NO array
+    // aggregate at all, and the quantile picks must ride a range
+    // partitioning, not a single-partition sort
+    val p = executed("p161_funnel_latency")
+    assert(!p.contains("collect_list") && !p.contains("sort_array"),
+      s"p161: an array aggregate reappeared:\n$p")
+    // the range partition + write ran in the barrier job; the final
+    // plan must read the globalorder barrier and rank within _pid
+    assert(p.contains("graft-globalorder"),
+      s"p161: no globalorder barrier scan — rank selection rewritten?:\n$p")
+    assert(p.contains("windowspecdefinition(_pid"),
+      s"p161: quantile rank is not a per-partition window:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"p161: non-broadcast product appeared:\n$p")
+  }
+
+  test("p162/p163: bot signature counts, A/B readout is one scalar agg") {
+    // p162: pure counting — the gap window rides ONE user-keyed
+    // exchange, aggregation is (user, gap) counts then a per-user
+    // rollup; no arrays, no joins
+    val p = executed("p162_bot_signature")
+    assert(!p.contains("Join"), s"p162: unexpected join:\n$p")
+    assert(!p.contains("collect_list") && !p.contains("sort_array"),
+      s"p162: an array aggregate appeared:\n$p")
+    assert(p.contains("windowspecdefinition(user_id"),
+      s"p162: the gap window is not user-keyed:\n$p")
+    val pf = p.split("== Initial Plan ==").head
+    val userEx = pf.linesIterator.count(
+      _.contains("Exchange hashpartitioning(user_id"))
+    assert(userEx == 1,
+      s"p162: expected 1 user-keyed exchange, saw $userEx:\n$p")
+    // p163: per-user conversion flags collapse through one user-keyed
+    // exchange into a single 4-counter scalar aggregate — no Window,
+    // no Join, nothing row-wide past the groupBy
+    val q = executed("p163_ab_readout")
+    assert(!q.contains("Join"), s"p163: unexpected join:\n$q")
+    assert(!q.contains("Window"), s"p163: a window appeared:\n$q")
+    val qf = q.split("== Initial Plan ==").head
+    assert(!qf.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("user_id")),
+      s"p163: a non-user exchange appeared:\n$q")
+  }
+
   test("p80w: winnowed span removal keeps the p80 plan discipline") {
     // the stride path swaps CharGramPosHashes for WinnowAnchorHashes but
     // must keep the same shuffle shape: broadcast hash prefilter, no

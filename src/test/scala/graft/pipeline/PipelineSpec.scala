@@ -3203,6 +3203,31 @@ class PipelineSpec extends SparkSpec {
       got.toString)
   }
 
+  test("funnelTimeToConvert: a step pair with zero conversions emits " +
+      "n_users=0 and NULL latencies (no element_at(_, 0) crash)") {
+    import spark.implicits._
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    val m = 60000000L
+    // users view and click but nobody purchases → the click>purchase
+    // segment is EMPTY. The oracle's NULL list indexing yields NULL
+    // quantiles with COUNT(*)=0; rank selection must mirror that, not
+    // throw on ceil(0·p)=0 (Spark arrays are 1-based — ADVICE r9).
+    val ev = Seq(
+      (1L, "view", 0L), (1L, "click", 10 * m),
+      (2L, "view", 0L), (2L, "click", 20 * m))
+      .zipWithIndex.map { case ((u, t, us), i) => (i.toLong, u, t, ts(us)) }
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val got = graft.operators.Pipeline.funnelTimeToConvert(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        (2 to 5).map(i => if (r.isNullAt(i)) None
+          else Some(r.getLong(i))))).toSeq
+    assert(got == Seq(
+      ("click>purchase", 0L, Seq(None, None, None, None)),
+      ("view>click", 2L,
+        Seq(Some(10 * m), Some(10 * m), Some(20 * m), Some(20 * m)))),
+      got.toString)
+  }
+
   test("cusumShift: hand-stepped alarm point, stationary series silent") {
     import spark.implicits._
     def ts(us: Long) = new java.sql.Timestamp(us / 1000)
