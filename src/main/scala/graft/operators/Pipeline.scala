@@ -743,6 +743,22 @@ object Pipeline {
       .select(col("event_type").as("series"),
         expr(s"unix_micros(ts) div $bucketUs").as("hr"))
       .groupBy("series", "hr").agg(count(lit(1)).cast("long").as("n0"))
+    cusumFromCounts(cnt, trainHours, k, threshold, shiftSeries,
+      shiftOffset, shiftN)
+  }
+
+  /** p160's report from a PRE-AGGREGATED (series, hr, n0) count table
+    * — the stage everything after the initial per-bucket collapse runs
+    * on. Shared by [[cusumShift]] and the s37 streaming mirror (whose
+    * carried state IS such a partial-count table), so both report
+    * through identical arithmetic — the merge-safety the s37 fuzz spec
+    * pins: per-batch counts summed then folded must equal the one-shot
+    * fold because counting commutes and the fold only sees the merged
+    * grid.
+    */
+  private[graft] def cusumFromCounts(cnt: DataFrame, trainHours: Int,
+      k: Long, threshold: Long, shiftSeries: String, shiftOffset: Long,
+      shiftN: Long): DataFrame = {
     val grid = cnt.groupBy("series")
       .agg(min("hr").as("mn"), max("hr").as("mx"))
       .select(col("series"),

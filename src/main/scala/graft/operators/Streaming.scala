@@ -2028,44 +2028,14 @@ object Streaming {
       q.awaitTermination()
       // merge the accumulated partials back into per-hour events-shaped
       // rows? No — run p160's exact report pipeline over the merged
-      // counts: rebuild (series, hr, n) and reuse the fold inline
+      // counts via the SHARED cusumFromCounts stage (one arithmetic
+      // path for the batch gate and this mirror; the fuzz spec pins
+      // that any batch split of the partials folds identically)
       val merged = s.read.parquet(cntDir).groupBy("series", "hr")
         .agg(sum("n").cast("long").as("n0"))
-      val grid = merged.groupBy("series")
-        .agg(min("hr").as("mn"), max("hr").as("mx"))
-        .select(col("series"),
-          explode(sequence(col("mn"), col("mx"))).as("hr"), col("mn"))
-      val filled = grid.join(merged, Seq("series", "hr"), "left")
-        .select(col("series"), col("hr"), col("mn"),
-          (coalesce(col("n0"), lit(0L)) +
-            when(col("series") === "click" &&
-              col("hr") >= col("mn") + 600, lit(5L))
-              .otherwise(lit(0L))).as("n"))
-      val baseStats = filled.filter(col("hr") < col("mn") + 360)
-        .groupBy("series").agg(
-          count(lit(1)).cast("long").as("nb"),
-          sum(col("n")).cast("long").as("s1"))
-      val serving = filled.filter(col("hr") >= col("mn") + 360)
-        .groupBy("series")
-        .agg(sort_array(collect_list(struct(col("hr"), col("n"))))
-          .as("buckets"))
-      serving.join(baseStats, "series")
-        .withColumn("fold", expr(
-          """aggregate(buckets,
-            |  named_struct('s', 0L, 'mx', 0L,
-            |               'alarm', CAST(null AS BIGINT)),
-            |  (a, b) -> named_struct(
-            |    's', greatest(0L, a.s + b.n * nb - s1 - 1 * nb),
-            |    'mx', greatest(a.mx,
-            |      greatest(0L, a.s + b.n * nb - s1 - 1 * nb)),
-            |    'alarm', coalesce(a.alarm,
-            |      CASE WHEN greatest(0L, a.s + b.n * nb - s1 - 1 * nb)
-            |        >= 50 * nb THEN b.hr END)))""".stripMargin))
-        .select(col("series"), col("nb"), col("s1"),
-          col("fold.alarm").as("alarm_hr"),
-          col("fold.mx").as("max_cusum_scaled"),
-          col("fold.alarm").isNotNull.as("shift_detected"))
-        .orderBy("series")
+      graft.operators.Pipeline.cusumFromCounts(merged, trainHours = 360,
+        k = 1L, threshold = 50L, shiftSeries = "click",
+        shiftOffset = 600L, shiftN = 5L)
     }
   )
 }

@@ -3388,6 +3388,124 @@ class PipelineSpec extends SparkSpec {
     assert(res.passed, s"ohlc merge property failed: ${res.status}")
   }
 
+  test("s35 carried last-event state replays to the batch transitions " +
+      "for any event-time split, including same-us runs on a cut") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.Prop.propBoolean
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    // a coarse 10-minute grid: same-us ties are common (the max-struct
+    // state pick and the '>'/' <=' cut discipline both get exercised),
+    // 1-step gaps (600 s) are in-session, 3+-step gaps are not
+    val step = 600000000L
+    val caseGen = for {
+      n <- Gen.choose(2, 30)
+      rows <- Gen.listOfN(n, for {
+        u <- Gen.choose(1L, 4L)
+        tp <- Gen.oneOf("v", "c", "p")
+        slot <- Gen.choose(0L, 19L)
+      } yield (u, tp, slot * step))
+      // cut VALUES land exactly on us slots — us == cut stays in the
+      // earlier batch, so a same-us run never straddles
+      cuts <- Gen.listOfN(3, Gen.choose(0L, 19L).map(_ * step))
+    } yield (rows, cuts.sorted)
+    val prop = Prop.forAll(caseGen) { case (rows, cuts) =>
+      val df = rows.zipWithIndex.map { case ((u, tp, us), i) =>
+        (i.toLong, u, tp, ts(us)) }
+        .toDF("event_id", "user_id", "event_type", "ts")
+      val want = graft.operators.Pipeline.eventTransitions(df)
+        .collect().map(_.toSeq).toSeq
+      // replay the s35 foreachBatch body: per batch, count lead()
+      // pairs over carried-last ∪ batch, then advance the state to the
+      // per-user struct-max event
+      val evAll = df.select(col("user_id"), col("event_type"),
+        col("event_id"), unix_micros(col("ts")).as("us"))
+      val bounds = (Long.MinValue +: cuts) :+ Long.MaxValue
+      var state = Seq.empty[(Long, Long, Long, String)]
+        .toDF("user_id", "us", "event_id", "event_type")
+      var counts = Seq.empty[(String, String, Long)]
+        .toDF("from_type", "to_type", "n")
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      for (b <- 1 until bounds.length) {
+        val batch = evAll.filter(col("us") > bounds(b - 1) &&
+          col("us") <= bounds(b))
+        val uni = state.unionByName(
+          batch.select("user_id", "us", "event_id", "event_type"))
+        counts = counts.unionByName(
+          uni.withColumn("tt", lead(col("event_type"), 1).over(w))
+            .withColumn("gap", lead(col("us"), 1).over(w) - col("us"))
+            .filter(col("tt").isNotNull && col("gap") < 1800000000L)
+            .groupBy(col("event_type").as("from_type"),
+              col("tt").as("to_type"))
+            .agg(count(lit(1)).cast("long").as("n")))
+        state = uni.groupBy("user_id")
+          .agg(max(struct(col("us"), col("event_id"),
+            col("event_type"))).as("m"))
+          .select(col("user_id"), col("m.us").as("us"),
+            col("m.event_id").as("event_id"),
+            col("m.event_type").as("event_type"))
+      }
+      val got = counts.groupBy("from_type", "to_type")
+        .agg(sum(col("n")).cast("long").as("n"))
+        .withColumn("p", round(col("n") /
+          sum(col("n")).over(Window.partitionBy("from_type")), 6))
+        .orderBy("from_type", "to_type")
+        .collect().map(_.toSeq).toSeq
+      (got == want) :| s"cuts=$cuts got $got want $want"
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, s"s35 merge property failed: ${res.status}")
+  }
+
+  test("s37 partial-count grids merge to the batch CUSUM report under " +
+      "any row split") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.Prop.propBoolean
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    val h = 3600000000L
+    val caseGen = for {
+      n <- Gen.choose(4, 40)
+      rows <- Gen.listOfN(n, for {
+        tp <- Gen.oneOf("a", "b")
+        hr <- Gen.choose(0L, 9L)
+        off <- Gen.choose(0L, h - 1)
+      } yield (tp, hr * h + off))
+      splits <- Gen.listOfN(n, Gen.choose(0, 2))
+    } yield (rows, splits)
+    val prop = Prop.forAll(caseGen) { case (rows, splits) =>
+      val df = rows.zipWithIndex.map { case ((tp, us), i) =>
+        (i.toLong, tp, ts(us)) }
+        .toDF("event_id", "event_type", "ts")
+        .withColumn("user_id", col("event_id"))
+      val want = graft.operators.Pipeline.cusumShift(df, trainHours = 4,
+        k = 1L, threshold = 6L, shiftSeries = "a", shiftOffset = 6L,
+        shiftN = 3L).collect().map(_.toSeq).toSeq
+      // per-part (series, hr) counts — the s37 foreachBatch body —
+      // appended then merged, feeding the SAME cusumFromCounts stage
+      val parts = rows.zipWithIndex.groupBy { case (_, i) => splits(i) }
+        .values.map { grp =>
+          grp.map { case ((tp, us), i) => (i.toLong, tp, ts(us)) }
+            .toDF("event_id", "event_type", "ts")
+            .select(col("event_type").as("series"),
+              expr(s"unix_micros(ts) div $h").as("hr"))
+            .groupBy("series", "hr")
+            .agg(count(lit(1)).cast("long").as("n"))
+        }.reduce(_ unionAll _)
+      val merged = parts.groupBy("series", "hr")
+        .agg(sum(col("n")).cast("long").as("n0"))
+      val got = graft.operators.Pipeline.cusumFromCounts(merged,
+        trainHours = 4, k = 1L, threshold = 6L, shiftSeries = "a",
+        shiftOffset = 6L, shiftN = 3L).collect().map(_.toSeq).toSeq
+      (got == want) :| s"got $got want $want"
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, s"s37 merge property failed: ${res.status}")
+  }
+
   test("topEventPaths: both gaps must be in-session, counts merge " +
       "across users") {
     import spark.implicits._
