@@ -3506,6 +3506,165 @@ class PipelineSpec extends SparkSpec {
     assert(res.passed, s"s37 merge property failed: ${res.status}")
   }
 
+  test("p160 fold equals a driver-side step-by-step CUSUM replay over " +
+      "random grids") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.Prop.propBoolean
+    val (trainH, k, thr, shiftS, shiftOff, shiftN) =
+      (3, 1L, 4L, "a", 5L, 2L)
+    val caseGen = for {
+      nA <- Gen.choose(1, 12)
+      nB <- Gen.choose(0, 12)
+      counts <- Gen.sequence[List[(String, Long, Long)], (String, Long, Long)](
+        (0 until nA).map(_ => for {
+          hr <- Gen.choose(0L, 11L); n <- Gen.choose(0L, 6L)
+        } yield ("a", hr, n)) ++
+        (0 until nB).map(_ => for {
+          hr <- Gen.choose(0L, 11L); n <- Gen.choose(0L, 6L)
+        } yield ("b", hr, n)))
+    } yield counts.groupBy(c => (c._1, c._2))
+      .map { case ((s, hr), rs) => (s, hr, rs.map(_._3).sum) }.toList
+    val prop = Prop.forAll(caseGen) { counts =>
+      val df = counts.toDF("series", "hr", "n0")
+      val got = graft.operators.Pipeline.cusumFromCounts(df, trainH, k,
+        thr, shiftS, shiftOff, shiftN).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getLong(4),
+          r.getBoolean(5))).toSeq
+      // step-by-step replay of the integer recurrence on the driver —
+      // different mechanism (a mutable loop) than the aggregate() fold
+      val want = counts.groupBy(_._1).toSeq.sortBy(_._1)
+        .flatMap { case (series, rs) =>
+          val byHr = rs.map(c => c._2 -> c._3).toMap
+          val (mn, mx) = (byHr.keys.min, byHr.keys.max)
+          def n(hr: Long) = byHr.getOrElse(hr, 0L) +
+            (if (series == shiftS && hr >= mn + shiftOff) shiftN else 0L)
+          val trainHrs = (mn to mx).filter(_ < mn + trainH)
+          val servHrs = (mn to mx).filter(_ >= mn + trainH)
+          if (servHrs.isEmpty) None
+          else {
+            val nb = trainHrs.size.toLong
+            val s1 = trainHrs.map(n).sum
+            var s = 0L; var smax = 0L; var alarm = Option.empty[Long]
+            for (hr <- servHrs) {
+              s = math.max(0L, s + n(hr) * nb - s1 - k * nb)
+              smax = math.max(smax, s)
+              if (alarm.isEmpty && s >= thr * nb) alarm = Some(hr)
+            }
+            Some((series, nb, s1, alarm, smax, alarm.nonEmpty))
+          }
+        }
+      (got == want) :| s"counts=$counts got $got want $want"
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, s"p160 replay property failed: ${res.status}")
+  }
+
+  test("p162 mode share equals a brute-force (count DESC, gap ASC) " +
+      "tiebreak on the driver") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.Prop.propBoolean
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    val caseGen = for {
+      n <- Gen.choose(4, 40)
+      rows <- Gen.listOfN(n, for {
+        u <- Gen.choose(1L, 4L)
+        // sub-second jitter makes distinct gaps share a second bucket,
+        // exercising the div-1e6 collapse AND the tiebreak; ms-aligned
+        // so the java.sql.Timestamp round-trip is exact and the driver
+        // replay sees the same instants Spark does
+        slot <- Gen.choose(0L, 9L); jit <- Gen.choose(0L, 999L)
+      } yield (u, slot * 3000000L + jit * 1000L))
+    } yield rows
+    val prop = Prop.forAll(caseGen) { rows =>
+      val df = rows.zipWithIndex.map { case ((u, us), i) =>
+        (i.toLong, u, ts(us), us) }
+        .toDF("event_id", "user_id", "ts", "us0")
+      val got = graft.operators.Pipeline.botSignature(df, minGaps = 2,
+        shareThresh = 0.5).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getBoolean(4))).toSeq
+      val want = rows.zipWithIndex.groupBy(_._1._1).toSeq.sortBy(_._1)
+        .flatMap { case (u, evs) =>
+          val ordered = evs.map { case ((_, us), i) => (us, i.toLong) }
+            .sortBy(identity)
+          val gaps = ordered.zip(ordered.tail)
+            .map { case ((a, _), (b, _)) => (b - a) / 1000000L }
+          if (gaps.size < 2) None
+          else {
+            val byGap = gaps.groupBy(identity)
+              .map { case (g, gs) => (g, gs.size.toLong) }
+            val (topGap, topCnt) = byGap.toSeq
+              .sortBy { case (g, c) => (-c, g) }.head
+            val share = topCnt.toDouble / gaps.size
+            Some((u, gaps.size.toLong, topGap,
+              BigDecimal(share).setScale(6,
+                BigDecimal.RoundingMode.HALF_UP).toDouble,
+              share >= 0.5))
+          }
+        }
+      (got == want) :| s"rows=$rows got $got want $want"
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, s"p162 tiebreak property failed: ${res.status}")
+  }
+
+  test("p156 last-touch equals a per-user sequential scan on the driver") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.Prop.propBoolean
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    val gapUs = 30 * 60L * 1000000L
+    val step = 10 * 60L * 1000000L // 10-min slots: in/out of the gap
+    val caseGen = for {
+      n <- Gen.choose(2, 40)
+      rows <- Gen.listOfN(n, for {
+        u <- Gen.choose(1L, 4L)
+        tp <- Gen.oneOf("ad", "email", "social", "purchase")
+        slot <- Gen.choose(0L, 9L)
+      } yield (u, tp, slot * step))
+    } yield rows
+    val prop = Prop.forAll(caseGen) { rows =>
+      val df = rows.zipWithIndex.map { case ((u, tp, us), i) =>
+        (i.toLong, u, tp, ts(us)) }
+        .toDF("event_id", "user_id", "event_type", "ts")
+      val got = graft.operators.Pipeline.lastTouchAttribution(df)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+      // sequential scan: walk each user's (us, event_id) order keeping
+      // the last non-conversion touch; attribute each purchase to it
+      // iff within the gap, else "(none)"
+      val channels = rows.zipWithIndex.groupBy(_._1._1).toSeq
+        .flatMap { case (_, evs) =>
+          val ordered = evs.map { case ((_, tp, us), i) =>
+            (us, i.toLong, tp) }.sortBy(e => (e._1, e._2))
+          var lastTouch = Option.empty[(Long, String)]
+          val out = scala.collection.mutable.ArrayBuffer[String]()
+          for ((us, _, tp) <- ordered) {
+            if (tp == "purchase") {
+              out += lastTouch.collect {
+                case (tus, ttp) if us - tus < gapUs => ttp
+              }.getOrElse("(none)")
+            } else lastTouch = Some((us, tp))
+          }
+          out
+        }
+      val total = channels.size.toLong
+      val want = channels.groupBy(identity).toSeq.sortBy(_._1)
+        .map { case (ch, cs) => (ch, cs.size.toLong,
+          BigDecimal(cs.size.toDouble / total).setScale(6,
+            BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      (got == want) :| s"rows=$rows got $got want $want"
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, s"p156 scan property failed: ${res.status}")
+  }
+
   test("topEventPaths: both gaps must be in-session, counts merge " +
       "across users") {
     import spark.implicits._
