@@ -125,6 +125,7 @@ object Bench {
     "p161_funnel_latency", // anchor chain + discrete rank quantiles
     "p162_bot_signature", // gap window + (user, gap) partial counts
     "p163_ab_readout",    // user collapse + one scalar z aggregate
+    "p164_chi_square",    // 3-scenario k-arm chi-square, scalar aggs
     "f07_csv_ingest_cold", // CSV parse + agg, no cache (dsq cold analog)
     "f08_csv_ingest_warm") // cached-parquet + agg (dsq -C warm analog)
 

@@ -550,6 +550,82 @@ object Pipeline {
       coalesce(abs(z) >= 1.96, lit(false)).as("significant"))
   }
 
+  /** k-variant experiment readout ([[abReadout]] generalized past two
+    * arms): users assign by md5 hex digit mod k (deterministic,
+    * engine-portable, independent of any data column), conversion is
+    * `minConv` events of `convType`, and the readout is Pearson's
+    * chi-square over the 2×k converted/not contingency table against
+    * the α=0.05 critical value for df = k−1. The saturation guards are
+    * INTEGER-exact: every expected cell must clear `minExpected`
+    * (e_cell ≥ m ⟺ n_i·tc ≥ m·tn in int64 — no float compare can
+    * disagree between engines), else the statistic is NULL and
+    * `significant` false; the statistic itself is built as a FIXED
+    * left-to-right sum over the k pivoted variant columns, so its IEEE
+    * rounding is identical in any engine and under any partitioning
+    * (a float sum across grouped rows would re-associate).
+    *
+    * Distributed shape: one user-keyed partial-agg groupBy, then a
+    * single 2k-counter scalar aggregate; every expected count, guard,
+    * and chi term is a projection over that one row. Nothing row-wide
+    * ever crosses a second shuffle at any scale.
+    */
+  def chiSquareReadout(events: DataFrame, convType: String = "purchase",
+      k: Int = 3, minConv: Int = 1, minExpected: Long = 5L,
+      critOverride: Option[Double] = None): DataFrame = {
+    require(k >= 2 && k <= 16, s"k=$k not in [2,16] (one hex digit)")
+    // upper-tail chi-square critical values at α=0.05, df = k−1
+    val critTable = Map(1 -> 3.841, 2 -> 5.991, 3 -> 7.815, 4 -> 9.488,
+      5 -> 11.070)
+    val crit = critOverride.getOrElse {
+      require(critTable.contains(k - 1),
+        s"no built-in α=0.05 critical value for df=${k - 1}; pass critOverride")
+      critTable(k - 1)
+    }
+    val users = events.groupBy("user_id")
+      .agg(when(sum(when(col("event_type") === convType, 1L)
+        .otherwise(0L)) >= minConv, 1L).otherwise(0L).as("conv"))
+      .withColumn("variant",
+        conv(substring(md5(col("user_id").cast("string")), 1, 1),
+          16, 10).cast("int") % k)
+    val aggs = (0 until k).flatMap { i => Seq(
+      sum(when(col("variant") === i, 1L).otherwise(0L)).cast("long")
+        .as(s"n_$i"),
+      sum(when(col("variant") === i, col("conv")).otherwise(0L))
+        .cast("long").as(s"conv_$i")) }
+    val pivot = users.agg(aggs.head, aggs.tail: _*)
+      .withColumn("tn",
+        (0 until k).map(i => col(s"n_$i")).reduce(_ + _).cast("long"))
+      .withColumn("tc",
+        (0 until k).map(i => col(s"conv_$i")).reduce(_ + _).cast("long"))
+    val ok = (0 until k).map { i =>
+      (col(s"n_$i") * col("tc") >= lit(minExpected) * col("tn")) &&
+        (col(s"n_$i") * (col("tn") - col("tc")) >=
+          lit(minExpected) * col("tn"))
+    }.reduce(_ && _) && (col("tn") > 0)
+    val tnD = col("tn").cast("double")
+    val tcD = col("tc").cast("double")
+    val chi = (0 until k).map { i =>
+      val ni = col(s"n_$i").cast("double")
+      val ci = col(s"conv_$i").cast("double")
+      val e1 = ni * tcD / tnD
+      val e0 = ni * (tnD - tcD) / tnD
+      (ci - e1) * (ci - e1) / e1 +
+        ((ni - ci) - e0) * ((ni - ci) - e0) / e0
+    }.reduce(_ + _)
+    // significance compares the ROUNDED statistic so a boundary case
+    // can't flip on the 7th decimal between engines
+    val chi2 = when(ok, round(chi, 6))
+    val perVariant = (0 until k).flatMap { i => Seq(
+      col(s"n_$i"), col(s"conv_$i"),
+      round(when(col(s"n_$i") > 0,
+        col(s"conv_$i").cast("double") / col(s"n_$i")), 6)
+        .as(s"rate_$i")) }
+    pivot.select(perVariant ++ Seq(
+      chi2.as("chi2"), lit(k - 1).as("df"),
+      coalesce(chi2 >= crit, lit(false)).as("significant"),
+      (!ok).as("guarded")): _*)
+  }
+
   /** Bot-signature detection by inter-event PERIODICITY: for each user
     * with at least `minGaps` inter-event gaps, the share of gaps
     * (rounded down to seconds) equal to the user's MOST COMMON gap —
@@ -3968,6 +4044,105 @@ object Pipeline {
         |    >= 1.96, false) AS significant
         |FROM e""".stripMargin) { (s, dir) =>
       abReadout(t(s, dir, "events"), minConv = 14)
+    },
+
+    // k=3 chi-square readout over three scenarios: the raw corpus
+    // (md5 arms are exchangeable → small stat, unguarded), a planted
+    // lift (every variant-2 user pushed over the conversion bar →
+    // significant), and an 8-user slice (tn ≤ 9 makes BOTH expected
+    // cells of some arm < 5 by pigeonhole → guarded NULL). The oracle
+    // replays the integer guards and the fixed-association float sum
+    // term by term — parenthesization mirrors the Scala reduce, so the
+    // IEEE result is bit-identical.
+    QueryDef("p164_chi_square",
+      """WITH evs AS (
+        |  SELECT '1_full' AS scenario, user_id, event_type FROM events
+        |  UNION ALL
+        |  SELECT '2_planted', user_id, event_type FROM events
+        |  UNION ALL
+        |  SELECT '2_planted', u.user_id, 'purchase' AS event_type
+        |  FROM (SELECT DISTINCT user_id FROM events
+        |        WHERE (strpos('0123456789abcdef',
+        |            substring(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1)
+        |          % 3 = 2) u,
+        |       (SELECT unnest(range(0, 14)) AS i)
+        |  UNION ALL
+        |  SELECT '3_sparse', user_id, event_type FROM events
+        |  WHERE user_id < 8),
+        |u AS (SELECT scenario, user_id,
+        |    CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+        |                  THEN 1 ELSE 0 END) >= 14
+        |         THEN 1 ELSE 0 END AS conv,
+        |    (strpos('0123456789abcdef',
+        |        substring(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1)
+        |      % 3 AS v
+        |  FROM evs GROUP BY 1, 2),
+        |c AS (SELECT scenario,
+        |    CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_0,
+        |    CAST(SUM(CASE WHEN v = 0 THEN conv ELSE 0 END) AS BIGINT)
+        |      AS conv_0,
+        |    CAST(SUM(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_1,
+        |    CAST(SUM(CASE WHEN v = 1 THEN conv ELSE 0 END) AS BIGINT)
+        |      AS conv_1,
+        |    CAST(SUM(CASE WHEN v = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_2,
+        |    CAST(SUM(CASE WHEN v = 2 THEN conv ELSE 0 END) AS BIGINT)
+        |      AS conv_2
+        |  FROM u GROUP BY 1),
+        |g AS (SELECT *, n_0 + n_1 + n_2 AS tn,
+        |    conv_0 + conv_1 + conv_2 AS tc FROM c),
+        |e AS (SELECT *,
+        |    (n_0 * tc >= 5 * tn AND n_0 * (tn - tc) >= 5 * tn AND
+        |     n_1 * tc >= 5 * tn AND n_1 * (tn - tc) >= 5 * tn AND
+        |     n_2 * tc >= 5 * tn AND n_2 * (tn - tc) >= 5 * tn AND
+        |     tn > 0) AS ok,
+        |    CAST(tn AS DOUBLE) AS tnd, CAST(tc AS DOUBLE) AS tcd,
+        |    CAST(n_0 AS DOUBLE) AS n0d, CAST(conv_0 AS DOUBLE) AS c0d,
+        |    CAST(n_1 AS DOUBLE) AS n1d, CAST(conv_1 AS DOUBLE) AS c1d,
+        |    CAST(n_2 AS DOUBLE) AS n2d, CAST(conv_2 AS DOUBLE) AS c2d
+        |  FROM g),
+        |f AS (SELECT *,
+        |    n0d * tcd / tnd AS e10, n0d * (tnd - tcd) / tnd AS e00,
+        |    n1d * tcd / tnd AS e11, n1d * (tnd - tcd) / tnd AS e01,
+        |    n2d * tcd / tnd AS e12, n2d * (tnd - tcd) / tnd AS e02
+        |  FROM e),
+        |x AS (SELECT *,
+        |    CASE WHEN ok THEN round(
+        |      (((c0d - e10) * (c0d - e10) / e10
+        |          + (n0d - c0d - e00) * (n0d - c0d - e00) / e00)
+        |       + ((c1d - e11) * (c1d - e11) / e11
+        |          + (n1d - c1d - e01) * (n1d - c1d - e01) / e01))
+        |      + ((c2d - e12) * (c2d - e12) / e12
+        |          + (n2d - c2d - e02) * (n2d - c2d - e02) / e02), 6)
+        |    END AS chi2
+        |  FROM f)
+        |SELECT scenario, n_0, conv_0,
+        |  round(CASE WHEN n_0 > 0 THEN c0d / n_0 END, 6) AS rate_0,
+        |  n_1, conv_1,
+        |  round(CASE WHEN n_1 > 0 THEN c1d / n_1 END, 6) AS rate_1,
+        |  n_2, conv_2,
+        |  round(CASE WHEN n_2 > 0 THEN c2d / n_2 END, 6) AS rate_2,
+        |  chi2, 2 AS df,
+        |  COALESCE(chi2 >= 5.991, false) AS significant,
+        |  NOT ok AS guarded
+        |FROM x ORDER BY scenario""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"))
+      val planted = ev.select("user_id").distinct()
+        .filter(conv(substring(md5(col("user_id").cast("string")),
+          1, 1), 16, 10).cast("int") % 3 === 2)
+        .crossJoin(broadcast(s.range(14)))
+        .select(col("user_id"), lit("purchase").as("event_type"))
+      def run(df: DataFrame, label: String): DataFrame =
+        chiSquareReadout(df, minConv = 14)
+          .select((Seq(lit(label).as("scenario")) ++
+            (0 until 3).flatMap(i =>
+              Seq(col(s"n_$i"), col(s"conv_$i"), col(s"rate_$i"))) ++
+            Seq(col("chi2"), col("df"), col("significant"),
+              col("guarded"))): _*)
+      run(ev, "1_full")
+        .unionAll(run(ev.unionAll(planted), "2_planted"))
+        .unionAll(run(ev.filter(col("user_id") < 8), "3_sparse"))
+        .orderBy("scenario")
     },
 
     // Bot-signature periodicity: a synthetic 50-event bot firing every

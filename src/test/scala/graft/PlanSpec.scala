@@ -424,6 +424,24 @@ class PlanSpec extends SparkSpec {
       s"p163: a non-user exchange appeared:\n$q")
   }
 
+  test("p164: chi-square scenarios are unioned scalar aggregates — the " +
+      "only join is the planted broadcast product") {
+    // each scenario: one user-keyed groupBy collapsing to a 2k-counter
+    // scalar aggregate; the planted-purchase fan-out rides a broadcast
+    // nested loop (14-row range side) — never a shuffled join, window,
+    // or non-broadcast product
+    val p = executed("p164_chi_square")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"p164: a shuffled join appeared:\n$p")
+    assert(!p.contains("Window"), s"p164: a window appeared:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"p164: non-broadcast product appeared:\n$p")
+    val pf = p.split("== Initial Plan ==").head
+    assert(!pf.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("user_id")),
+      s"p164: a non-user exchange appeared:\n$p")
+  }
+
   test("p80w: winnowed span removal keeps the p80 plan discipline") {
     // the stride path swaps CharGramPosHashes for WinnowAnchorHashes but
     // must keep the same shuffle shape: broadcast hash prefilter, no

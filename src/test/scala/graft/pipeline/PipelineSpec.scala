@@ -3665,6 +3665,77 @@ class PipelineSpec extends SparkSpec {
     assert(res.passed, s"p156 scan property failed: ${res.status}")
   }
 
+  test("p164 chi-square equals a driver replay: same md5 arms, integer " +
+      "guards, fixed-association float sum") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.Prop.propBoolean
+    val k = 3; val minConv = 2; val minExp = 5L; val crit = 5.991
+    def variantOf(u: Long): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+      ((d(0) >>> 4) & 0xF) % k
+    }
+    val caseGen = for {
+      n <- Gen.choose(2, 120)
+      rows <- Gen.listOfN(n, for {
+        u <- Gen.choose(0L, 60L)
+        tp <- Gen.frequency(3 -> Gen.const("purchase"),
+          2 -> Gen.const("view"))
+      } yield (u, tp))
+    } yield rows
+    val prop = Prop.forAll(caseGen) { rows =>
+      val df = rows.toDF("user_id", "event_type")
+      val got = graft.operators.Pipeline.chiSquareReadout(df,
+        k = k, minConv = minConv, minExpected = minExp)
+        .collect().map(_.toSeq).toSeq
+      val byUser = rows.groupBy(_._1).toSeq.map { case (u, es) =>
+        (variantOf(u),
+          if (es.count(_._2 == "purchase") >= minConv) 1L else 0L) }
+      val n = (0 until k).map(i => byUser.count(_._1 == i).toLong)
+      val c = (0 until k)
+        .map(i => byUser.filter(_._1 == i).map(_._2).sum)
+      val tn = n.sum; val tc = c.sum
+      val ok = (0 until k).forall(i =>
+        n(i) * tc >= minExp * tn && n(i) * (tn - tc) >= minExp * tn) &&
+        tn > 0
+      val (tnD, tcD) = (tn.toDouble, tc.toDouble)
+      val chi = (0 until k).map { i =>
+        val ni = n(i).toDouble; val ci = c(i).toDouble
+        val e1 = ni * tcD / tnD; val e0 = ni * (tnD - tcD) / tnD
+        (ci - e1) * (ci - e1) / e1 +
+          ((ni - ci) - e0) * ((ni - ci) - e0) / e0
+      }.reduce(_ + _)
+      def r6(x: Double): Double = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val chi2 = if (ok) Some(r6(chi)) else None
+      val want = Seq((0 until k).flatMap(i => Seq[Any](n(i), c(i),
+        if (n(i) > 0) r6(c(i).toDouble / n(i)) else null)) ++
+        Seq[Any](if (ok) r6(chi) else null, k - 1,
+          chi2.exists(_ >= crit), !ok))
+      (got == want) :| s"rows=$rows got $got want $want"
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, s"p164 replay property failed: ${res.status}")
+  }
+
+  test("chiSquareReadout rejects bad k and missing critical values") {
+    import spark.implicits._
+    val df = Seq((1L, "purchase")).toDF("user_id", "event_type")
+    intercept[IllegalArgumentException] {
+      graft.operators.Pipeline.chiSquareReadout(df, k = 1)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Pipeline.chiSquareReadout(df, k = 9)
+    }
+    // but an explicit critical value unlocks any k in range
+    val r = graft.operators.Pipeline.chiSquareReadout(df, k = 9,
+      critOverride = Some(15.507)).collect()
+    assert(r.length == 1 && r(0).getBoolean(r(0).length - 1),
+      "1-user table must be guarded")
+  }
+
   test("topEventPaths: both gaps must be in-session, counts merge " +
       "across users") {
     import spark.implicits._
