@@ -581,9 +581,22 @@ object Pipeline {
         s"no built-in α=0.05 critical value for df=${k - 1}; pass critOverride")
       critTable(k - 1)
     }
-    val users = events.groupBy("user_id")
+    chiSquareFromConv(events.groupBy("user_id")
       .agg(when(sum(when(col("event_type") === convType, 1L)
-        .otherwise(0L)) >= minConv, 1L).otherwise(0L).as("conv"))
+        .otherwise(0L)) >= minConv, 1L).otherwise(0L).as("conv")),
+      k, minExpected, crit)
+  }
+
+  /** [[chiSquareReadout]]'s readout stage over PRE-COMPUTED per-user
+    * conversion flags (`user_id`, `conv` ∈ {0,1}) — the seam the s38
+    * streaming mirror shares: its carried state is per-user partial
+    * conversion-event counts, which merge by sum and threshold into
+    * exactly this table, so the streamed readout flows through the
+    * identical arithmetic as the batch gate.
+    */
+  private[graft] def chiSquareFromConv(flags: DataFrame, k: Int,
+      minExpected: Long, crit: Double): DataFrame = {
+    val users = flags
       .withColumn("variant",
         conv(substring(md5(col("user_id").cast("string")), 1, 1),
           16, 10).cast("int") % k)

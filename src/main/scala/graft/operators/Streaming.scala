@@ -2036,6 +2036,107 @@ object Streaming {
       graft.operators.Pipeline.cusumFromCounts(merged, trainHours = 360,
         k = 1L, threshold = 50L, shiftSeries = "click",
         shiftOffset = 600L, shiftN = 5L)
+    },
+
+    // Streaming chi-square readout (p164's full-corpus scenario over
+    // continuous ingest): the carried state is per-user PARTIAL
+    // conversion-event counts — each micro-batch appends its own
+    // (user_id, n_conv) aggregate, order-free because counts merge by
+    // sum; at publish the merged counts threshold into conversion
+    // flags and flow through the batch gate's exact readout stage
+    // (Pipeline.chiSquareFromConv), so the streamed statistic must
+    // equal the batch oracle verbatim. At 100 TB: state is one count
+    // row per converting-candidate user per batch, the readout is the
+    // same two-aggregate scalar plan as p164.
+    QueryDef("s38_stream_chi_square",
+      """WITH u AS (SELECT user_id,
+        |    CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+        |                  THEN 1 ELSE 0 END) >= 14
+        |         THEN 1 ELSE 0 END AS conv,
+        |    (strpos('0123456789abcdef',
+        |        substring(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1)
+        |      % 3 AS v
+        |  FROM events GROUP BY 1),
+        |c AS (SELECT
+        |    CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_0,
+        |    CAST(SUM(CASE WHEN v = 0 THEN conv ELSE 0 END) AS BIGINT)
+        |      AS conv_0,
+        |    CAST(SUM(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_1,
+        |    CAST(SUM(CASE WHEN v = 1 THEN conv ELSE 0 END) AS BIGINT)
+        |      AS conv_1,
+        |    CAST(SUM(CASE WHEN v = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_2,
+        |    CAST(SUM(CASE WHEN v = 2 THEN conv ELSE 0 END) AS BIGINT)
+        |      AS conv_2
+        |  FROM u),
+        |g AS (SELECT *, n_0 + n_1 + n_2 AS tn,
+        |    conv_0 + conv_1 + conv_2 AS tc FROM c),
+        |e AS (SELECT *,
+        |    (n_0 * tc >= 5 * tn AND n_0 * (tn - tc) >= 5 * tn AND
+        |     n_1 * tc >= 5 * tn AND n_1 * (tn - tc) >= 5 * tn AND
+        |     n_2 * tc >= 5 * tn AND n_2 * (tn - tc) >= 5 * tn AND
+        |     tn > 0) AS ok,
+        |    CAST(tn AS DOUBLE) AS tnd, CAST(tc AS DOUBLE) AS tcd,
+        |    CAST(n_0 AS DOUBLE) AS n0d, CAST(conv_0 AS DOUBLE) AS c0d,
+        |    CAST(n_1 AS DOUBLE) AS n1d, CAST(conv_1 AS DOUBLE) AS c1d,
+        |    CAST(n_2 AS DOUBLE) AS n2d, CAST(conv_2 AS DOUBLE) AS c2d
+        |  FROM g),
+        |f AS (SELECT *,
+        |    n0d * tcd / tnd AS e10, n0d * (tnd - tcd) / tnd AS e00,
+        |    n1d * tcd / tnd AS e11, n1d * (tnd - tcd) / tnd AS e01,
+        |    n2d * tcd / tnd AS e12, n2d * (tnd - tcd) / tnd AS e02
+        |  FROM e),
+        |x AS (SELECT *,
+        |    CASE WHEN ok THEN round(
+        |      (((c0d - e10) * (c0d - e10) / e10
+        |          + (n0d - c0d - e00) * (n0d - c0d - e00) / e00)
+        |       + ((c1d - e11) * (c1d - e11) / e11
+        |          + (n1d - c1d - e01) * (n1d - c1d - e01) / e01))
+        |      + ((c2d - e12) * (c2d - e12) / e12
+        |          + (n2d - c2d - e02) * (n2d - c2d - e02) / e02), 6)
+        |    END AS chi2
+        |  FROM f)
+        |SELECT n_0, conv_0,
+        |  round(CASE WHEN n_0 > 0 THEN c0d / n_0 END, 6) AS rate_0,
+        |  n_1, conv_1,
+        |  round(CASE WHEN n_1 > 0 THEN c1d / n_1 END, 6) AS rate_1,
+        |  n_2, conv_2,
+        |  round(CASE WHEN n_2 > 0 THEN c2d / n_2 END, 6) AS rate_2,
+        |  chi2, 2 AS df,
+        |  COALESCE(chi2 >= 5.991, false) AS significant,
+        |  NOT ok AS guarded
+        |FROM x""".stripMargin) { (s, dir) =>
+      val ev = graft.Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("event_id"))
+      val base = java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_fmt").toString
+      val srcDir = s"$base/s38_stream_src"
+      val cntDir = s"$base/s38_counts"
+      Seq(srcDir, cntDir).foreach(d => rmTree(new java.io.File(d)))
+      new java.io.File(srcDir).mkdirs()
+      (0 until 4).foreach { b =>
+        writeSingle(ev.filter(col("event_id") % 4 === b),
+          srcDir, s"batch_$b")
+      }
+      val schema = s.read.parquet(srcDir).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(srcDir)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.groupBy("user_id")
+            .agg(sum(when(col("event_type") === "purchase", 1L)
+              .otherwise(0L)).as("nc"))
+            .coalesce(1).write.mode("append").parquet(cntDir)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val flags = s.read.parquet(cntDir).groupBy("user_id")
+        .agg(when(sum(col("nc")) >= 14, 1L).otherwise(0L).as("conv"))
+      graft.operators.Pipeline.chiSquareFromConv(flags, k = 3,
+        minExpected = 5L, crit = 5.991)
     }
   )
 }

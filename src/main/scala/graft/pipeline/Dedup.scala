@@ -521,19 +521,26 @@ object Dedup {
     *    and run union-find driver-side — one job, no rounds; labels
     *    return as an exact-stats local relation, so downstream joins
     *    broadcast.
-    *  - above the bound: iterative min-label propagation WITH pointer
-    *    jumping — every node adopts the smallest label among itself,
-    *    its neighbors, and its label's OWN label (comp(comp(u)), the
-    *    path-halving shortcut) until fixpoint. The shortcut makes
-    *    convergence O(log diameter) rounds rather than O(diameter):
-    *    near-dup clusters are shallow either way, but a spatial
-    *    ε-graph's giant component (p150 DBSCAN at 10×) spans the
-    *    plane — hundreds of hops — and plain propagation blew the
-    *    round cap there. Each round is the edge join + the label
-    *    self-join feeding ONE aggregate over the pair-node table,
-    *    with a storage barrier per round to truncate lineage and an
-    *    observed metric for convergence (no per-round count job).
-    *    GraphX's CC is the plain loop with graph-specific packing.
+    *  - above the bound: HOOK-AND-CONTRACT on hash priorities. Each
+    *    level hooks every node group to the minimum (xxhash64, id)
+    *    priority in its closed label-graph neighborhood, contracts the
+    *    label graph (one distinct (label_a, label_b) edge per adjacent
+    *    group pair), and recurses on the contracted graph until its
+    *    edge set fits the local bound — then finishes with driver-side
+    *    union-find on the skeleton and broadcasts the composition
+    *    back. Group count shrinks by an expected constant factor per
+    *    level (a group survives only as a local priority minimum,
+    *    probability 1/(deg+1) under hash-random priorities), so levels
+    *    are O(log n) expected for ANY id layout — including the two
+    *    adversaries that defeat min-ID propagation: spatial ε-graphs,
+    *    where every label is a local-minimum node whose pointer jump
+    *    self-points (measured 127 rounds ≈ plane diameter on the 10×
+    *    constant-density p150 graph, r10), and monotone id chains
+    *    (time-ordered trajectories), where min-hooking shaves one node
+    *    per level. Hash priorities are only the MERGE order: a final
+    *    per-component min(doc_id) rollup (one bounded groupBy + one
+    *    broadcast-out join) canonicalizes labels, so the output is
+    *    byte-identical to the local path's.
     *
     * Both paths produce identical labels (a spec asserts it): comp =
     * min doc id in the cluster, returned as (`doc_id`, `comp`).
@@ -555,70 +562,104 @@ object Dedup {
         .map(r => (r.getLong(0), r.getLong(1)))
       return localComponents(es).toSeq.toDF("doc_id", "comp")
     }
-    // fused init: comp = min(self, min(neighbors)) IS what a first
-    // propagation round over identity labels would produce, and the
-    // groupBy costs the same one shuffle the old distinct() init did —
-    // so every run is one full join-round (one shuffle + barrier)
-    // cheaper, at any scale
+    // fused init: each node hooks to the best (xxhash64, id) priority
+    // in its closed neighborhood — a one-shuffle groupBy, same cost as
+    // the old min-label init. comp(u) is always a node id FROM u's own
+    // component (a neighbor or u itself), which is the only invariant
+    // contraction needs; connectivity of the label groups themselves
+    // is not required.
+    def prio(c: Column): Column =
+      struct(xxhash64(c).as("h"), c.as("v"))
     var (comp, compDir) = materializeBarrierAt(
       edges.groupBy(col("src"))
-        .agg(min(col("dst")).as("mn"))
+        .agg(min(prio(col("dst"))).as("mn"))
         .select(col("src").as("doc_id"),
-          least(col("src"), col("mn")).as("comp")),
+          least(prio(col("src")), col("mn")).getField("v").as("comp")),
       "cc-init")
-    var iter = 0
-    var changed = 1L
-    while (changed > 0) {
-      // the round that DETECTS convergence doesn't count against the cap
-      // (a chain needing exactly maxIters improvements must not throw)
-      require(iter <= maxIters,
-        s"components did not converge in $maxIters rounds")
-      val viaNeighbor = edges
-        .join(comp.select(col("doc_id").as("dst"), col("comp")), Seq("dst"))
-        .select(col("src").as("doc_id"), col("comp"),
-          lit(null).cast("long").as("self"))
-      // pointer jumping: also propose the label OF my label's node
-      // (labels are always node ids inside the same component, and only
-      // ever decrease, so comp(comp(u)) is safe and ≤ comp(u)). This
-      // shortcut doubles the effective propagation distance per round —
-      // convergence in O(log diameter) rounds instead of O(diameter),
-      // which is what long-chain graphs need (a spatial ε-graph's giant
-      // component spans the plane: ~plane-size/eps hops; near-dup
-      // clusters are shallow and never noticed the difference)
-      val viaPointer = comp.select(col("doc_id"), col("comp").as("ptr"))
-        .join(comp.select(col("doc_id").as("ptr"), col("comp").as("pc")),
-          Seq("ptr"))
-        .select(col("doc_id"), col("pc").as("comp"),
-          lit(null).cast("long").as("self"))
-      // carry each node's own label through the SAME aggregate that takes
-      // the neighborhood min: `self` is non-null on exactly one row per
-      // doc_id, so min(self) recovers prev without the comp⋈proposed join
-      // an earlier version ran — one shuffle per round instead of two
-      val selfRows = comp.select(col("doc_id"), col("comp"),
-        col("comp").as("self"))
-      // convergence detection rides the barrier WRITE as an observed
-      // metric (Dataset.observe): the improved-row count is collected by
-      // the same job that materializes the round, so each round is ONE
-      // Spark job — the former shape ran a second count() job over the
-      // just-written barrier every round (r5 p38/p25 cost finding)
-      val obs = org.apache.spark.sql.Observation(s"cc-changed-$iter")
-      val (staged, stagedDir) = materializeBarrierAt(
-        selfRows.unionAll(viaNeighbor).unionAll(viaPointer)
-          .groupBy("doc_id")
-          .agg(min("comp").as("comp"), min("self").as("prev"))
-          .observe(obs, sum(when(col("comp") < col("prev"), 1L)
-            .otherwise(0L)).as("changed")),
-        s"cc-round$iter")
-      changed = Option(obs.get("changed")).map(_.asInstanceOf[Long])
-        .getOrElse(0L)
-      comp = staged.select("doc_id", "comp")
-      // round N is on disk and counted — round N-1's barrier is dead;
-      // reclaim it NOW so scratch usage stays at 2 round dirs, not O(rounds)
-      releaseBarrier(compDir)
-      compDir = stagedDir
-      iter += 1
+    var curEdges = edges
+    var curEdgesDir = edgesDir
+    // per-level relabel map: level 0 maps NODES to their group label
+    // (comp); later levels map the previous level's LABELS to the next
+    // ones (the hook map itself — joining against comp there would
+    // conflate "label L" with "node L", whose own group can differ)
+    var relabel = comp.select(col("doc_id").as("_from"),
+      col("comp").as("_to"))
+    var level = 0
+    var result: DataFrame = null
+    while (result == null) {
+      require(level <= maxIters,
+        s"components did not converge in $maxIters levels")
+      // contract: one distinct (label_a, label_b) edge per pair of
+      // adjacent groups. A walk in the original graph maps to a walk
+      // over labels, so contracted components == original components
+      // restricted to the surviving labels.
+      val (cEdges, cDir) = materializeBarrierAt(
+        curEdges
+          .join(relabel.select(col("_from").as("src"),
+            col("_to").as("ca")), Seq("src"))
+          .join(relabel.select(col("_from").as("dst"),
+            col("_to").as("cb")), Seq("dst"))
+          .filter(col("ca") =!= col("cb"))
+          .select(least(col("ca"), col("cb")).as("src"),
+            greatest(col("ca"), col("cb")).as("dst"))
+          .distinct(),
+        s"cc-contract$level")
+      if (curEdgesDir ne edgesDir) releaseBarrier(curEdgesDir)
+      // an empty skeleton is converged regardless of the bound (specs
+      // force the distributed path with localBound = -1)
+      val nSkeleton = barrierRowCount(cDir)
+      if (nSkeleton == 0L || nSkeleton <= localBound) {
+        // the skeleton fits: union-find it driver-side, broadcast the
+        // label->root composition out, then canonicalize every
+        // component to its MIN ORIGINAL id (hash priorities were only
+        // the merge order) — one bounded per-component rollup plus one
+        // key-equi join, so the output is byte-identical to the local
+        // path's
+        val spark = pairs.sparkSession
+        import spark.implicits._
+        val es = cEdges.select(col("src"), col("dst")).collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        releaseBarrier(cDir)
+        val roots = localComponents(es)
+        val composed = if (roots.isEmpty) comp
+        else {
+          val mapDf = broadcast(roots.toSeq.toDF("_lbl", "_root"))
+          comp.join(mapDf, col("comp") === col("_lbl"), "left")
+            .select(col("doc_id"),
+              coalesce(col("_root"), col("comp")).as("comp"))
+        }
+        val canon = composed.groupBy("comp")
+          .agg(min(col("doc_id")).as("_mn"))
+        result = composed.join(canon, Seq("comp"))
+          .select(col("doc_id"), col("_mn").as("comp"))
+      } else {
+        // recurse: hook the label graph the same way and compose the
+        // new level into comp (a key-equi left join — labels with no
+        // cross edges keep themselves)
+        val bi = cEdges.unionAll(
+          cEdges.select(col("dst").as("src"), col("src").as("dst")))
+        val lvl = bi.groupBy(col("src"))
+          .agg(min(prio(col("dst"))).as("mn"))
+          .select(col("src").as("_lbl"),
+            least(prio(col("src")), col("mn")).getField("v").as("_nl"))
+        val (nextComp, nextDir) = materializeBarrierAt(
+          comp.join(lvl, col("comp") === col("_lbl"), "left")
+            .select(col("doc_id"),
+              coalesce(col("_nl"), col("comp")).as("comp")),
+          s"cc-level$level")
+        releaseBarrier(compDir)
+        comp = nextComp
+        compDir = nextDir
+        curEdges = cEdges
+        curEdgesDir = cDir
+        relabel = lvl.select(col("_lbl").as("_from"),
+          col("_nl").as("_to"))
+      }
+      level += 1
     }
-    comp
+    if (sys.props.contains("graft.cc.debugRounds"))
+      System.err.println(s"[graft] components converged in $level levels")
+    result
   }
 
   /** Driver-side union-find (path compression + union by smaller root),

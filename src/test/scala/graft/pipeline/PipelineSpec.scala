@@ -397,21 +397,23 @@ class PipelineSpec extends SparkSpec {
     assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
-  test("components reclaims round barriers eagerly (scratch ≤ 1 round dir)") {
+  test("components reclaims level barriers eagerly (scratch ≤ 2 dirs)") {
     import spark.implicits._
-    def roundDirs = Dedup.liveBarrierDirs
-      .filter(_.getName.startsWith("graft-cc-round")).toSet
-    val before = roundDirs
-    // a 6-node chain needs several propagation rounds to converge;
-    // localBound = -1 forces the distributed loop this spec targets
+    def lvlDirs = Dedup.liveBarrierDirs
+      .filter(d => d.getName.startsWith("graft-cc-level") ||
+        d.getName.startsWith("graft-cc-contract")).toSet
+    val before = lvlDirs
+    // a 6-node chain needs several contraction levels to drain;
+    // localBound = -1 forces the distributed path this spec targets
     val pairs = (1L until 6L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val comp = Dedup.componentsBounded(pairs, 50, localBound = -1L)
     assert(comp.collect().map(_.getLong(1)).toSet == Set(1L))
-    // only the FINAL round's dir (backing the returned plan) may remain
-    // live; every earlier round must have been reclaimed when superseded
-    val added = roundDirs -- before
-    assert(added.size <= 1,
-      s"round barriers piled up: ${added.mkString(", ")}")
+    // only the final comp dir (backing the returned plan) and its
+    // feeding contract dir may remain live; every superseded level
+    // must have been reclaimed as soon as the next one landed
+    val added = lvlDirs -- before
+    assert(added.size <= 2,
+      s"level barriers piled up: ${added.mkString(", ")}")
   }
 
   test("components: driver-side union-find == distributed label propagation") {
@@ -429,6 +431,39 @@ class PipelineSpec extends SparkSpec {
     val dist = toMap(Dedup.componentsBounded(pairs, 50, -1L))
     assert(local == dist, s"local $local vs distributed $dist")
     assert(local(9L) == 1L && local(22L) == 20L && local(35L) == 30L)
+  }
+
+  test("components: hook-and-contract equals union-find on random " +
+      "graphs, monotone chains included") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.Prop.propBoolean
+    val caseGen = for {
+      n <- Gen.choose(2, 25)
+      // random edges over a small id space → many shapes: multi-edge,
+      // self-ish pairs filtered by construction, several components
+      edges <- Gen.listOfN(n, for {
+        a <- Gen.choose(1L, 18L); b <- Gen.choose(1L, 18L)
+        if a != b
+      } yield (a, b))
+      // plus a monotone chain — the adversary that makes min-hooking
+      // shave one node per level (hash priorities must not care)
+      chainLen <- Gen.choose(0, 8)
+    } yield edges ++ (0 until chainLen).map(i =>
+      (100L + i, 101L + i))
+    val prop = Prop.forAll(caseGen) { edges =>
+      (edges.nonEmpty) ==> {
+        val pairs = edges.toDF("id_a", "id_b")
+        def toMap(df: org.apache.spark.sql.DataFrame) =
+          df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val local = toMap(Dedup.componentsBounded(pairs, 50, Long.MaxValue))
+        val dist = toMap(Dedup.componentsBounded(pairs, 50, -1L))
+        (local == dist) :| s"edges=$edges local=$local dist=$dist"
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, s"cc equality property failed: ${res.status}")
   }
 
   test("incremental dedup: flags exactly the cross-split dups, bloom prunes the verify join") {
@@ -2547,6 +2582,33 @@ class PipelineSpec extends SparkSpec {
     assert(root(tweaked) != r)
   }
 
+  test("datasetFingerprint: bucket count derives from the corpus size " +
+      "under a fixed per-bucket budget, floor 64") {
+    import spark.implicits._
+    val d = (1L to 300L).map(i => (i, s"doc body $i")).toDF("doc_id", "text")
+    // 300 docs / budget 50 → 64-floor still wins (ceil(300/50) = 6)
+    val floored = graft.operators.Scale.datasetFingerprint(d,
+      maxBucketRows = 50L)
+    assert(floored.select("bucket").distinct().count() <= 64 &&
+      floored.agg(org.apache.spark.sql.functions.max("n")).head()
+        .getLong(0) <= 50,
+      "64-bucket floor must also satisfy the budget at 300 docs")
+    // budget 2 → ceil(300/2) = 150 buckets; every buffer within budget
+    // for the modulo split of CONTIGUOUS ids (each residue class gets
+    // ceil(300/150) = 2)
+    val derived = graft.operators.Scale.datasetFingerprint(d,
+      maxBucketRows = 2L)
+    assert(derived.select("bucket").distinct().count() == 150,
+      "expected ceil(n/budget) buckets")
+    assert(derived.agg(org.apache.spark.sql.functions.max("n")).head()
+      .getLong(0) <= 2L, "a bucket exceeded the budget")
+    // the root still fingerprints CONTENT identically across layouts
+    // at the derived depth (count is layout-independent)
+    val r150 = derived.head().getString(3)
+    assert(graft.operators.Scale.datasetFingerprint(d.repartition(13),
+      maxBucketRows = 2L).head().getString(3) == r150)
+  }
+
   test("contrastiveTriplets: ring negative avoids the anchor's cluster") {
     import spark.implicits._
     // ids 1..6; cluster {1,2,3} (pairs 1-2, 1-3); ring order is md5 of
@@ -3718,6 +3780,44 @@ class PipelineSpec extends SparkSpec {
     val res = SCTest.check(
       SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
     assert(res.passed, s"p164 replay property failed: ${res.status}")
+  }
+
+  test("s38 per-user partial conversion counts merge to the batch " +
+      "chi-square readout under any row split") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.Prop.propBoolean
+    val caseGen = for {
+      n <- Gen.choose(4, 60)
+      rows <- Gen.listOfN(n, for {
+        u <- Gen.choose(0L, 30L)
+        tp <- Gen.frequency(2 -> Gen.const("purchase"),
+          1 -> Gen.const("view"))
+      } yield (u, tp))
+      splits <- Gen.listOfN(n, Gen.choose(0, 2))
+    } yield (rows, splits)
+    val prop = Prop.forAll(caseGen) { case (rows, splits) =>
+      val df = rows.toDF("user_id", "event_type")
+      val want = graft.operators.Pipeline.chiSquareReadout(df,
+        k = 3, minConv = 2).collect().map(_.toSeq).toSeq
+      // the s38 foreachBatch body per part, appended then merged
+      val parts = rows.zipWithIndex.groupBy { case (_, i) => splits(i) }
+        .values.map { grp =>
+          grp.map(_._1).toDF("user_id", "event_type")
+            .groupBy("user_id")
+            .agg(sum(when(col("event_type") === "purchase", 1L)
+              .otherwise(0L)).as("nc"))
+        }.reduce(_ unionAll _)
+      val flags = parts.groupBy("user_id")
+        .agg(when(sum(col("nc")) >= 2, 1L).otherwise(0L).as("conv"))
+      val got = graft.operators.Pipeline.chiSquareFromConv(flags,
+        k = 3, minExpected = 5L, crit = 5.991)
+        .collect().map(_.toSeq).toSeq
+      (got == want) :| s"got $got want $want"
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, s"s38 merge property failed: ${res.status}")
   }
 
   test("chiSquareReadout rejects bad k and missing critical values") {
