@@ -127,6 +127,7 @@ object Bench {
     "p162_bot_signature", // gap window + (user, gap) partial counts
     "p163_ab_readout",    // user collapse + one scalar z aggregate
     "p164_chi_square",    // 3-scenario k-arm chi-square, scalar aggs
+    "p165_cuped",         // covariate-adjusted readout, moment sums
     "f07_csv_ingest_cold", // CSV parse + agg, no cache (dsq cold analog)
     "f08_csv_ingest_warm") // cached-parquet + agg (dsq -C warm analog)
 

@@ -639,6 +639,93 @@ object Pipeline {
       (!ok).as("guarded")): _*)
   }
 
+  /** CUPED variance-reduced A/B readout (Deng et al., WSDM 2013): the
+    * conversion metric is adjusted by a PRE-EXPERIMENT covariate — each
+    * user's count of `covType` events — via
+    * ŷ_arm = ȳ_arm − θ·(x̄_arm − x̄), θ = Cov(x,y)/Var(x) pooled, which
+    * removes the covariate-explained variance (`var_reduction` = θ²·
+    * Var(x)/Var(y) = 1 − Var(y−θx)/Var(y)) and tightens the z test the
+    * plain [[abReadout]] runs on raw rates.
+    *
+    * Determinism discipline (the p163/p164 house rules): every moment
+    * is assembled from EXACT int64 sums (n, Σy, Σx, Σx², Σxy per arm —
+    * y is a 0/1 flag so Σy² = Σy) that commute under any partitioning;
+    * the double arithmetic after is one fixed expression tree mirrored
+    * operation-for-operation in the oracle, all scale factors carried
+    * as n²-scaled moments so nothing divides early. Guards: both arms
+    * non-empty, Var(x) > 0 (θ undefined on a constant covariate — the
+    * gate's second scenario pins that branch with a covType absent
+    * from the corpus), Var(y) > 0, residual variance > 0; any failure
+    * → NULL stats, `significant` false, `guarded` true.
+    *
+    * Distributed shape: identical to p163 — one user-keyed partial-agg
+    * groupBy, one 10-counter scalar aggregate, then projections.
+    */
+  def cupedReadout(events: DataFrame, convType: String = "purchase",
+      covType: String = "view", minConv: Int = 1): DataFrame = {
+    val users = events.groupBy("user_id").agg(
+      when(sum(when(col("event_type") === convType, 1L)
+        .otherwise(0L)) >= minConv, 1L).otherwise(0L).as("y"),
+      sum(when(col("event_type") === covType, 1L).otherwise(0L))
+        .as("x"))
+      .withColumn("va",
+        substring(md5(col("user_id").cast("string")), 1, 1) < "8")
+    val s = users.agg(
+      sum(when(col("va"), 1L).otherwise(0L)).cast("long").as("n_a"),
+      sum(when(!col("va"), 1L).otherwise(0L)).cast("long").as("n_b"),
+      sum(when(col("va"), col("y")).otherwise(0L)).cast("long")
+        .as("sy_a"),
+      sum(when(!col("va"), col("y")).otherwise(0L)).cast("long")
+        .as("sy_b"),
+      sum(when(col("va"), col("x")).otherwise(0L)).cast("long")
+        .as("sx_a"),
+      sum(when(!col("va"), col("x")).otherwise(0L)).cast("long")
+        .as("sx_b"),
+      sum(when(col("va"), col("x") * col("x")).otherwise(0L))
+        .cast("long").as("sxx_a"),
+      sum(when(!col("va"), col("x") * col("x")).otherwise(0L))
+        .cast("long").as("sxx_b"),
+      sum(when(col("va"), col("x") * col("y")).otherwise(0L))
+        .cast("long").as("sxy_a"),
+      sum(when(!col("va"), col("x") * col("y")).otherwise(0L))
+        .cast("long").as("sxy_b"))
+    val naD = col("n_a").cast("double")
+    val nbD = col("n_b").cast("double")
+    val nD = (col("n_a") + col("n_b")).cast("double")
+    val sxD = (col("sx_a") + col("sx_b")).cast("double")
+    val syD = (col("sy_a") + col("sy_b")).cast("double")
+    val sxxD = (col("sxx_a") + col("sxx_b")).cast("double")
+    val sxyD = (col("sxy_a") + col("sxy_b")).cast("double")
+    // n²-scaled central moments — the n² cancels in θ, and se carries
+    // it explicitly, so no mean is ever divided out early
+    val varX = nD * sxxD - sxD * sxD
+    val covXY = nD * sxyD - sxD * syD
+    val varY = nD * syD - syD * syD // y ∈ {0,1} ⇒ Σy² = Σy
+    val ok = col("n_a") > 0 && col("n_b") > 0 &&
+      varX > 0 && varY > 0
+    val theta = when(ok, covXY / varX)
+    val varD = varY - theta * covXY // n²·Var(y − θx); NULL-safe via θ
+    val rateA = when(col("n_a") > 0,
+      col("sy_a").cast("double") / naD)
+    val rateB = when(col("n_b") > 0,
+      col("sy_b").cast("double") / nbD)
+    val adjDiff = (col("sy_a").cast("double") / naD -
+      col("sy_b").cast("double") / nbD) -
+      theta * (col("sx_a").cast("double") / naD -
+        col("sx_b").cast("double") / nbD)
+    val se = when(varD > 0,
+      sqrt(varD / (nD * nD) * (lit(1.0) / naD + lit(1.0) / nbD)))
+    val z = when(se > 0, adjDiff / se)
+    s.select(col("n_a"), col("n_b"),
+      round(rateA, 6).as("rate_a"), round(rateB, 6).as("rate_b"),
+      round(theta, 6).as("theta"),
+      round(adjDiff, 6).as("adj_diff"),
+      round(when(ok, lit(1.0) - varD / varY), 6).as("var_reduction"),
+      round(z, 6).as("z_adj"),
+      coalesce(abs(z) >= 1.96, lit(false)).as("significant"),
+      not(coalesce(se > 0, lit(false))).as("guarded"))
+  }
+
   /** Bot-signature detection by inter-event PERIODICITY: for each user
     * with at least `minGaps` inter-event gaps, the share of gaps
     * (rounded down to seconds) equal to the user's MOST COMMON gap —
@@ -4155,6 +4242,100 @@ object Pipeline {
       run(ev, "1_full")
         .unionAll(run(ev.unionAll(planted), "2_planted"))
         .unionAll(run(ev.filter(col("user_id") < 8), "3_sparse"))
+        .orderBy("scenario")
+    },
+
+    // CUPED readout over two scenarios: the raw corpus (view-count
+    // covariate — correlated with conversion through user activity, so
+    // var_reduction is real) and a covariate ABSENT from the corpus
+    // (Var(x)=0 → θ undefined → guarded NULLs). The oracle mirrors the
+    // int64 moment sums and the fixed double expression tree CTE by
+    // CTE.
+    QueryDef("p165_cuped",
+      """WITH u1 AS (SELECT user_id,
+        |    CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+        |                  THEN 1 ELSE 0 END) >= 14
+        |         THEN 1 ELSE 0 END AS y,
+        |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS x,
+        |    substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8' AS va
+        |  FROM events GROUP BY user_id),
+        |u2 AS (SELECT user_id,
+        |    CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+        |                  THEN 1 ELSE 0 END) >= 14
+        |         THEN 1 ELSE 0 END AS y,
+        |    SUM(CASE WHEN event_type = 'nosuchtype'
+        |        THEN 1 ELSE 0 END) AS x,
+        |    substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8' AS va
+        |  FROM events GROUP BY user_id),
+        |uu AS (SELECT '1_full' AS scenario, y, x, va FROM u1
+        |  UNION ALL SELECT '2_novar', y, x, va FROM u2),
+        |c AS (SELECT scenario,
+        |    CAST(SUM(CASE WHEN va THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN NOT va THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b,
+        |    CAST(SUM(CASE WHEN va THEN y ELSE 0 END) AS BIGINT) AS sy_a,
+        |    CAST(SUM(CASE WHEN NOT va THEN y ELSE 0 END) AS BIGINT)
+        |      AS sy_b,
+        |    CAST(SUM(CASE WHEN va THEN x ELSE 0 END) AS BIGINT) AS sx_a,
+        |    CAST(SUM(CASE WHEN NOT va THEN x ELSE 0 END) AS BIGINT)
+        |      AS sx_b,
+        |    CAST(SUM(CASE WHEN va THEN x * x ELSE 0 END) AS BIGINT)
+        |      AS sxx_a,
+        |    CAST(SUM(CASE WHEN NOT va THEN x * x ELSE 0 END) AS BIGINT)
+        |      AS sxx_b,
+        |    CAST(SUM(CASE WHEN va THEN x * y ELSE 0 END) AS BIGINT)
+        |      AS sxy_a,
+        |    CAST(SUM(CASE WHEN NOT va THEN x * y ELSE 0 END) AS BIGINT)
+        |      AS sxy_b
+        |  FROM uu GROUP BY 1),
+        |m AS (SELECT *,
+        |    CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd,
+        |    CAST(n_a + n_b AS DOUBLE) AS nd,
+        |    CAST(sx_a + sx_b AS DOUBLE) AS sxd,
+        |    CAST(sy_a + sy_b AS DOUBLE) AS syd,
+        |    CAST(sxx_a + sxx_b AS DOUBLE) AS sxxd,
+        |    CAST(sxy_a + sxy_b AS DOUBLE) AS sxyd
+        |  FROM c),
+        |v AS (SELECT *,
+        |    nd * sxxd - sxd * sxd AS varx,
+        |    nd * sxyd - sxd * syd AS covxy,
+        |    nd * syd - syd * syd AS vary,
+        |    (n_a > 0 AND n_b > 0 AND nd * sxxd - sxd * sxd > 0
+        |      AND nd * syd - syd * syd > 0) AS ok
+        |  FROM m),
+        |t AS (SELECT *, CASE WHEN ok THEN covxy / varx END AS theta
+        |  FROM v),
+        |w AS (SELECT *, vary - theta * covxy AS vard,
+        |    (CAST(sy_a AS DOUBLE) / nad - CAST(sy_b AS DOUBLE) / nbd)
+        |      - theta * (CAST(sx_a AS DOUBLE) / nad
+        |                 - CAST(sx_b AS DOUBLE) / nbd) AS adjdiff
+        |  FROM t),
+        |sx AS (SELECT *, CASE WHEN vard > 0 THEN
+        |      sqrt(vard / (nd * nd) * (1.0 / nad + 1.0 / nbd)) END AS se
+        |  FROM w),
+        |zt AS (SELECT *, CASE WHEN se > 0 THEN adjdiff / se END AS z
+        |  FROM sx)
+        |SELECT scenario, n_a, n_b,
+        |  round(CASE WHEN n_a > 0 THEN CAST(sy_a AS DOUBLE) / nad END,
+        |    6) AS rate_a,
+        |  round(CASE WHEN n_b > 0 THEN CAST(sy_b AS DOUBLE) / nbd END,
+        |    6) AS rate_b,
+        |  round(theta, 6) AS theta,
+        |  round(adjdiff, 6) AS adj_diff,
+        |  round(CASE WHEN ok THEN 1.0 - vard / vary END, 6)
+        |    AS var_reduction,
+        |  round(z, 6) AS z_adj,
+        |  COALESCE(abs(z) >= 1.96, false) AS significant,
+        |  NOT COALESCE(se > 0, false) AS guarded
+        |FROM zt ORDER BY scenario""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"))
+      def run(covType: String, label: String): DataFrame =
+        cupedReadout(ev, minConv = 14, covType = covType)
+          .select((Seq(lit(label).as("scenario")) ++ Seq("n_a", "n_b",
+            "rate_a", "rate_b", "theta", "adj_diff", "var_reduction",
+            "z_adj", "significant", "guarded").map(col)): _*)
+      run("view", "1_full").unionAll(run("nosuchtype", "2_novar"))
         .orderBy("scenario")
     },
 

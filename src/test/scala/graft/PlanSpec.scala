@@ -424,6 +424,18 @@ class PlanSpec extends SparkSpec {
       s"p163: a non-user exchange appeared:\n$q")
   }
 
+  test("p165: CUPED is unioned scalar aggregates — no join, no window") {
+    // both scenarios: one user-keyed groupBy collapsing to a 10-counter
+    // scalar aggregate; every moment/guard/θ term is a projection
+    val p = executed("p165_cuped")
+    assert(!p.contains("Join"), s"p165: unexpected join:\n$p")
+    assert(!p.contains("Window"), s"p165: a window appeared:\n$p")
+    val pf = p.split("== Initial Plan ==").head
+    assert(!pf.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("user_id")),
+      s"p165: a non-user exchange appeared:\n$p")
+  }
+
   test("p164: chi-square scenarios are unioned scalar aggregates — the " +
       "only join is the planted broadcast product") {
     // each scenario: one user-keyed groupBy collapsing to a 2k-counter

@@ -3820,6 +3820,75 @@ class PipelineSpec extends SparkSpec {
     assert(res.passed, s"s38 merge property failed: ${res.status}")
   }
 
+  test("p165 CUPED equals a driver replay: exact moment sums, fixed " +
+      "double expression tree") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.Prop.propBoolean
+    def armA(u: Long): Boolean = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+      ((d(0) >>> 4) & 0xF) < 8
+    }
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val caseGen = for {
+      n <- Gen.choose(2, 80)
+      rows <- Gen.listOfN(n, for {
+        u <- Gen.choose(0L, 25L)
+        tp <- Gen.frequency(2 -> Gen.const("purchase"),
+          2 -> Gen.const("view"), 1 -> Gen.const("click"))
+      } yield (u, tp))
+    } yield rows
+    val prop = Prop.forAll(caseGen) { rows =>
+      val df = rows.toDF("user_id", "event_type")
+      val got = graft.operators.Pipeline.cupedReadout(df, minConv = 2)
+        .collect().map(_.toSeq).toSeq
+      val users = rows.groupBy(_._1).toSeq.map { case (u, es) =>
+        (armA(u),
+          if (es.count(_._2 == "purchase") >= 2) 1L else 0L,
+          es.count(_._2 == "view").toLong) }
+      def sums(a: Boolean) = {
+        val g = users.filter(_._1 == a)
+        (g.size.toLong, g.map(_._2).sum, g.map(_._3).sum,
+          g.map(e => e._3 * e._3).sum, g.map(e => e._3 * e._2).sum)
+      }
+      val (na, sya, sxa, sxxa, sxya) = sums(true)
+      val (nb, syb, sxb, sxxb, sxyb) = sums(false)
+      val (naD, nbD) = (na.toDouble, nb.toDouble)
+      val nD = (na + nb).toDouble
+      val sxD = (sxa + sxb).toDouble; val syD = (sya + syb).toDouble
+      val sxxD = (sxxa + sxxb).toDouble
+      val sxyD = (sxya + sxyb).toDouble
+      val varX = nD * sxxD - sxD * sxD
+      val covXY = nD * sxyD - sxD * syD
+      val varY = nD * syD - syD * syD
+      val ok = na > 0 && nb > 0 && varX > 0 && varY > 0
+      val theta = if (ok) Some(covXY / varX) else None
+      val varD = theta.map(th => varY - th * covXY)
+      val adjDiff = theta.map(th => (sya.toDouble / naD -
+        syb.toDouble / nbD) - th * (sxa.toDouble / naD -
+        sxb.toDouble / nbD))
+      val se = varD.filter(_ > 0).map(vd =>
+        math.sqrt(vd / (nD * nD) * (1.0 / naD + 1.0 / nbD)))
+      val z = se.filter(_ > 0).flatMap(s => adjDiff.map(_ / s))
+      val want = Seq(Seq[Any](na, nb,
+        if (na > 0) r6(sya.toDouble / naD) else null,
+        if (nb > 0) r6(syb.toDouble / nbD) else null,
+        theta.map(r6).getOrElse(null),
+        adjDiff.map(r6).getOrElse(null),
+        (if (ok) varD.map(vd => r6(1.0 - vd / varY)) else None)
+          .getOrElse(null),
+        z.map(r6).getOrElse(null),
+        z.exists(v => math.abs(v) >= 1.96),
+        !se.exists(_ > 0)))
+      (got == want) :| s"rows=$rows got $got want $want"
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, s"p165 replay property failed: ${res.status}")
+  }
+
   test("chiSquareReadout rejects bad k and missing critical values") {
     import spark.implicits._
     val df = Seq((1L, "purchase")).toDF("user_id", "event_type")
