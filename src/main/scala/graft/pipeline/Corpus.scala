@@ -978,12 +978,22 @@ object Corpus {
         regexp_extract(col("url"), "https?://([A-Za-z0-9.-]+)", 1)
           .as("domain"))
       .distinct()
-    val edges = mentions.as("a")
-      .join(mentions.as("b"), Seq("id"))
-      .filter(col("a.domain") =!= col("b.domain"))
-      .groupBy(col("a.domain").as("src"), col("b.domain").as("dst"))
-      .agg(count(lit(1)).as("w"))
+    // the graph tables are STATIC across iterations — barrier them
+    // once so the power loop's unrolled plan re-reads domain-sized
+    // parquet instead of re-deriving the corpus-wide mention
+    // extraction + self-join every iteration (the r9→r10 p64 bench
+    // drift was exactly this re-derivation tax; at 100 TB one corpus
+    // scan vs `iterations` of them is the difference that matters)
+    val edges = Dedup.materializeBarrier(
+      mentions.as("a")
+        .join(mentions.as("b"), Seq("id"))
+        .filter(col("a.domain") =!= col("b.domain"))
+        .groupBy(col("a.domain").as("src"), col("b.domain").as("dst"))
+        .agg(count(lit(1)).as("w")),
+      "pagerank-edges")
     val outW = edges.groupBy("src").agg(sum("w").as("ow"))
+    // nodes stays lazy: one narrow extract+distinct per unrolled
+    // iteration costs less than a second barrier round-trip
     val nodes = mentions.select(col("domain")).distinct()
     var rank = nodes.withColumn("r", lit(1000000L))
     for (_ <- 1 to iterations) {
