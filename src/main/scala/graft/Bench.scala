@@ -128,6 +128,8 @@ object Bench {
     "p163_ab_readout",    // user collapse + one scalar z aggregate
     "p164_chi_square",    // 3-scenario k-arm chi-square, scalar aggs
     "p165_cuped",         // covariate-adjusted readout, moment sums
+    "p166_stratified_sample", // exact apportionment + md5 draw windows
+    "p167_sequential_monitor", // one-scan OBF looks, explode from 1 row
     "f07_csv_ingest_cold", // CSV parse + agg, no cache (dsq cold analog)
     "f08_csv_ingest_warm") // cached-parquet + agg (dsq -C warm analog)
 

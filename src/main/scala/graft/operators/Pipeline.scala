@@ -703,16 +703,21 @@ object Pipeline {
     val varY = nD * syD - syD * syD // y ∈ {0,1} ⇒ Σy² = Σy
     val ok = col("n_a") > 0 && col("n_b") > 0 &&
       varX > 0 && varY > 0
-    val theta = when(ok, covXY / varX)
-    val varD = varY - theta * covXY // n²·Var(y − θx); NULL-safe via θ
+    // every division sits strictly under a guard (ANSI throws on
+    // double division by zero where DuckDB nulls — the p161/ADVICE
+    // crash class; an arm can be empty when few users exist): the raw
+    // θ expression is only ever evaluated inside when(ok, …) branches
+    val theta0 = covXY / varX
+    val theta = when(ok, theta0)
+    val varD = when(ok, varY - theta0 * covXY) // n²·Var(y − θx)
     val rateA = when(col("n_a") > 0,
       col("sy_a").cast("double") / naD)
     val rateB = when(col("n_b") > 0,
       col("sy_b").cast("double") / nbD)
-    val adjDiff = (col("sy_a").cast("double") / naD -
+    val adjDiff = when(ok, (col("sy_a").cast("double") / naD -
       col("sy_b").cast("double") / nbD) -
-      theta * (col("sx_a").cast("double") / naD -
-        col("sx_b").cast("double") / nbD)
+      theta0 * (col("sx_a").cast("double") / naD -
+        col("sx_b").cast("double") / nbD))
     val se = when(varD > 0,
       sqrt(varD / (nD * nD) * (lit(1.0) / naD + lit(1.0) / nbD)))
     val z = when(se > 0, adjDiff / se)
@@ -724,6 +729,89 @@ object Pipeline {
       round(z, 6).as("z_adj"),
       coalesce(abs(z) >= 1.96, lit(false)).as("significant"),
       not(coalesce(se > 0, lit(false))).as("guarded"))
+  }
+
+  /** Group-sequential experiment monitor (O'Brien–Fleming bounds): the
+    * p163 two-proportion z evaluated at `looks` interim cuts of the
+    * experiment's week range, each compared against its published OBF
+    * critical value (4.049/2.863/2.337/2.024 for K=4 at two-sided
+    * α=0.05) — the peeking-safe readout a growth team checks weekly
+    * without inflating false positives. A user enters the population
+    * at the look containing their FIRST event; conversion at look k
+    * counts only `convType` events up to that cut, so early looks see
+    * genuinely less data, exactly like a live experiment.
+    *
+    * Determinism: cuts are integer week arithmetic off the corpus
+    * min/max; all 4·4 counters are exact int64 conditional sums
+    * computed in ONE scalar aggregate over the per-user pivot (one
+    * corpus scan — the look rows then EXPLODE out of the single
+    * pivoted row, never re-running the aggregate); each z is the p163
+    * expression form (sqrt is IEEE-correctly-rounded, so the doubles
+    * are engine-identical); boundaries are literals.
+    *
+    * Distributed shape: one user-keyed partial-agg groupBy (the cuts
+    * ride a broadcast 1-row range table), one 16-counter scalar
+    * aggregate, one explode of a 1-row array — p163's plan with wider
+    * counters.
+    */
+  def sequentialReadout(events: DataFrame,
+      convType: String = "purchase", minConv: Int = 1, looks: Int = 4,
+      boundaries: Seq[Double] = Seq(4.049, 2.863, 2.337, 2.024))
+      : DataFrame = {
+    require(boundaries.length == looks,
+      s"need $looks boundaries, got ${boundaries.length}")
+    val ev = events.select(col("user_id"), col("event_type"),
+      expr("unix_micros(ts) div 604800000000").as("wk"))
+    val rng = ev.agg(min("wk").as("mn"), max("wk").as("mx"))
+    def cutExpr(k: Int): Column =
+      col("mn") +
+        expr(s"((mx - mn + 1) * $k + ${looks - 1}) div $looks") - 1
+    val userAggs = Seq(min(col("wk")).as("fw")) ++
+      (1 to looks).map(k =>
+        sum(when(col("event_type") === convType &&
+          col("wk") <= cutExpr(k), 1L).otherwise(0L)).as(s"p_$k")) ++
+      Seq(min(col("mn")).as("mn"), min(col("mx")).as("mx"))
+    val users = ev.crossJoin(broadcast(rng))
+      .groupBy("user_id").agg(userAggs.head, userAggs.tail: _*)
+      .withColumn("va",
+        substring(md5(col("user_id").cast("string")), 1, 1) < "8")
+    val sums = (1 to looks).flatMap { k => Seq(
+      sum(when(col("va") && col("fw") <= cutExpr(k), 1L)
+        .otherwise(0L)).cast("long").as(s"na_$k"),
+      sum(when(col("va") && col("fw") <= cutExpr(k) &&
+        col(s"p_$k") >= minConv, 1L).otherwise(0L)).cast("long")
+        .as(s"ca_$k"),
+      sum(when(!col("va") && col("fw") <= cutExpr(k), 1L)
+        .otherwise(0L)).cast("long").as(s"nb_$k"),
+      sum(when(!col("va") && col("fw") <= cutExpr(k) &&
+        col(s"p_$k") >= minConv, 1L).otherwise(0L)).cast("long")
+        .as(s"cb_$k"))
+    } ++ (1 to looks).map(k => max(cutExpr(k)).as(s"cut_$k"))
+    val piv = users.agg(sums.head, sums.tail: _*)
+    def zExpr(k: Int): Column = {
+      val na = col(s"na_$k"); val ca = col(s"ca_$k")
+      val nb = col(s"nb_$k"); val cb = col(s"cb_$k")
+      val ra = when(na > 0, ca.cast("double") / na)
+      val rb = when(nb > 0, cb.cast("double") / nb)
+      val p = (ca + cb).cast("double") / (na + nb)
+      val se = when(na > 0 && nb > 0,
+        sqrt(p * (lit(1.0) - p) * (lit(1.0) / na + lit(1.0) / nb)))
+      when(se > 0, (ra - rb) / se)
+    }
+    val crossed = (1 to looks).map(k =>
+      coalesce(abs(zExpr(k)) >= boundaries(k - 1), lit(false)))
+    piv.select(explode(array((1 to looks).map { k =>
+        struct(lit(k).as("look"), col(s"cut_$k").as("wk_cut"),
+          col(s"na_$k").as("n_a"), col(s"ca_$k").as("conv_a"),
+          col(s"nb_$k").as("n_b"), col(s"cb_$k").as("conv_b"),
+          round(zExpr(k), 6).as("z"),
+          lit(boundaries(k - 1)).as("boundary"),
+          crossed(k - 1).as("crossed"),
+          (1 until k).map(j => !crossed(j - 1))
+            .foldLeft(crossed(k - 1))(_ && _).as("first_crossing"))
+      }: _*)).as("r"))
+      .select(col("r.*"))
+      .orderBy("look")
   }
 
   /** Bot-signature detection by inter-event PERIODICITY: for each user
@@ -4337,6 +4425,155 @@ object Pipeline {
             "z_adj", "significant", "guarded").map(col)): _*)
       run("view", "1_full").unionAll(run("nosuchtype", "2_novar"))
         .orderBy("scenario")
+    },
+
+    // Stratified sample with exact largest-remainder allocation: the
+    // oracle replays the int64 apportionment (base = B·c div C,
+    // leftovers by remainder rank), the per-stratum md5 draw order,
+    // and the under-fill cap, row for row.
+    QueryDef("p166_stratified_sample",
+      """WITH c AS (SELECT source AS s, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(SUM(c) AS BIGINT) AS tc FROM c),
+        |b AS (SELECT s, c, 200 * c // tc AS b, 200 * c % tc AS r
+        |  FROM c, t),
+        |a AS (SELECT s, c, b, r,
+        |    CASE WHEN ROW_NUMBER() OVER (ORDER BY r DESC, s)
+        |      <= 200 - (SELECT SUM(b) FROM b) THEN 1 ELSE 0 END AS extra
+        |  FROM b),
+        |al AS (SELECT s AS source,
+        |    CAST(LEAST(b + extra, c) AS BIGINT) AS n_alloc FROM a),
+        |d AS (SELECT source, doc_id,
+        |    md5('strat:' || CAST(doc_id AS VARCHAR)) AS draw
+        |  FROM documents),
+        |rk AS (SELECT source, doc_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY draw, doc_id) AS BIGINT) AS rank_in_stratum
+        |  FROM d)
+        |SELECT rk.source, rk.doc_id, rk.rank_in_stratum, al.n_alloc
+        |FROM rk JOIN al USING (source)
+        |WHERE rk.rank_in_stratum <= al.n_alloc
+        |ORDER BY 1, 3""".stripMargin) { (s, dir) =>
+      Corpus.stratifiedSample(
+        t(s, dir, "documents").select("doc_id", "source"), budget = 200)
+    },
+
+    // Group-sequential monitor: the oracle replays the integer week
+    // cuts, the per-look population/conversion counters, the p163 z
+    // at each look, the OBF literal boundaries, and the
+    // first-crossing logic (via a window over the 4 look rows —
+    // different mechanism, same booleans).
+    QueryDef("p167_sequential_monitor",
+      """WITH ev AS (SELECT user_id, event_type,
+        |    epoch_us(ts) // 604800000000 AS wk FROM events),
+        |rng AS (SELECT MIN(wk) AS mn, MAX(wk) AS mx FROM ev),
+        |u AS (SELECT user_id, MIN(wk) AS fw,
+        |    SUM(CASE WHEN event_type = 'purchase' AND wk <=
+        |      mn + ((mx - mn + 1) * 1 + 3) // 4 - 1
+        |      THEN 1 ELSE 0 END) AS p_1,
+        |    SUM(CASE WHEN event_type = 'purchase' AND wk <=
+        |      mn + ((mx - mn + 1) * 2 + 3) // 4 - 1
+        |      THEN 1 ELSE 0 END) AS p_2,
+        |    SUM(CASE WHEN event_type = 'purchase' AND wk <=
+        |      mn + ((mx - mn + 1) * 3 + 3) // 4 - 1
+        |      THEN 1 ELSE 0 END) AS p_3,
+        |    SUM(CASE WHEN event_type = 'purchase' AND wk <=
+        |      mn + ((mx - mn + 1) * 4 + 3) // 4 - 1
+        |      THEN 1 ELSE 0 END) AS p_4,
+        |    MIN(mn) AS mn, MIN(mx) AS mx,
+        |    substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8' AS va
+        |  FROM ev, rng GROUP BY user_id),
+        |c AS (SELECT
+        |    CAST(SUM(CASE WHEN va AND fw <=
+        |      mn + ((mx - mn + 1) * 1 + 3) // 4 - 1
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS na_1,
+        |    CAST(SUM(CASE WHEN va AND fw <=
+        |      mn + ((mx - mn + 1) * 1 + 3) // 4 - 1 AND p_1 >= 14
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS ca_1,
+        |    CAST(SUM(CASE WHEN NOT va AND fw <=
+        |      mn + ((mx - mn + 1) * 1 + 3) // 4 - 1
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS nb_1,
+        |    CAST(SUM(CASE WHEN NOT va AND fw <=
+        |      mn + ((mx - mn + 1) * 1 + 3) // 4 - 1 AND p_1 >= 14
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS cb_1,
+        |    CAST(SUM(CASE WHEN va AND fw <=
+        |      mn + ((mx - mn + 1) * 2 + 3) // 4 - 1
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS na_2,
+        |    CAST(SUM(CASE WHEN va AND fw <=
+        |      mn + ((mx - mn + 1) * 2 + 3) // 4 - 1 AND p_2 >= 14
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS ca_2,
+        |    CAST(SUM(CASE WHEN NOT va AND fw <=
+        |      mn + ((mx - mn + 1) * 2 + 3) // 4 - 1
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS nb_2,
+        |    CAST(SUM(CASE WHEN NOT va AND fw <=
+        |      mn + ((mx - mn + 1) * 2 + 3) // 4 - 1 AND p_2 >= 14
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS cb_2,
+        |    CAST(SUM(CASE WHEN va AND fw <=
+        |      mn + ((mx - mn + 1) * 3 + 3) // 4 - 1
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS na_3,
+        |    CAST(SUM(CASE WHEN va AND fw <=
+        |      mn + ((mx - mn + 1) * 3 + 3) // 4 - 1 AND p_3 >= 14
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS ca_3,
+        |    CAST(SUM(CASE WHEN NOT va AND fw <=
+        |      mn + ((mx - mn + 1) * 3 + 3) // 4 - 1
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS nb_3,
+        |    CAST(SUM(CASE WHEN NOT va AND fw <=
+        |      mn + ((mx - mn + 1) * 3 + 3) // 4 - 1 AND p_3 >= 14
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS cb_3,
+        |    CAST(SUM(CASE WHEN va AND fw <=
+        |      mn + ((mx - mn + 1) * 4 + 3) // 4 - 1
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS na_4,
+        |    CAST(SUM(CASE WHEN va AND fw <=
+        |      mn + ((mx - mn + 1) * 4 + 3) // 4 - 1 AND p_4 >= 14
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS ca_4,
+        |    CAST(SUM(CASE WHEN NOT va AND fw <=
+        |      mn + ((mx - mn + 1) * 4 + 3) // 4 - 1
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS nb_4,
+        |    CAST(SUM(CASE WHEN NOT va AND fw <=
+        |      mn + ((mx - mn + 1) * 4 + 3) // 4 - 1 AND p_4 >= 14
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS cb_4,
+        |    CAST(MAX(mn + ((mx - mn + 1) * 1 + 3) // 4 - 1) AS BIGINT)
+        |      AS cut_1,
+        |    CAST(MAX(mn + ((mx - mn + 1) * 2 + 3) // 4 - 1) AS BIGINT)
+        |      AS cut_2,
+        |    CAST(MAX(mn + ((mx - mn + 1) * 3 + 3) // 4 - 1) AS BIGINT)
+        |      AS cut_3,
+        |    CAST(MAX(mn + ((mx - mn + 1) * 4 + 3) // 4 - 1) AS BIGINT)
+        |      AS cut_4
+        |  FROM u),
+        |l AS (
+        |  SELECT 1 AS look, cut_1 AS wk_cut, na_1 AS n_a, ca_1 AS conv_a,
+        |    nb_1 AS n_b, cb_1 AS conv_b, CAST(4.049 AS DOUBLE) AS bnd
+        |  FROM c
+        |  UNION ALL SELECT 2, cut_2, na_2, ca_2, nb_2, cb_2,
+        |    CAST(2.863 AS DOUBLE) FROM c
+        |  UNION ALL SELECT 3, cut_3, na_3, ca_3, nb_3, cb_3,
+        |    CAST(2.337 AS DOUBLE) FROM c
+        |  UNION ALL SELECT 4, cut_4, na_4, ca_4, nb_4, cb_4,
+        |    CAST(2.024 AS DOUBLE) FROM c),
+        |e AS (SELECT *,
+        |    CASE WHEN n_a > 0 THEN CAST(conv_a AS DOUBLE) / n_a END
+        |      AS ra,
+        |    CASE WHEN n_b > 0 THEN CAST(conv_b AS DOUBLE) / n_b END
+        |      AS rb,
+        |    CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |      sqrt(CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) *
+        |        (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) *
+        |        (1.0 / n_a + 1.0 / n_b)) END AS se
+        |  FROM l),
+        |zt AS (SELECT *,
+        |    CASE WHEN se > 0 THEN (ra - rb) / se END AS z,
+        |    COALESCE(abs(CASE WHEN se > 0 THEN (ra - rb) / se END)
+        |      >= bnd, false) AS crossed
+        |  FROM e)
+        |SELECT look, wk_cut, n_a, conv_a, n_b, conv_b,
+        |  round(z, 6) AS z, bnd AS boundary, crossed,
+        |  (crossed AND COALESCE(SUM(CASE WHEN crossed THEN 1 ELSE 0 END)
+        |    OVER (ORDER BY look
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    0) = 0) AS first_crossing
+        |FROM zt ORDER BY look""".stripMargin) { (s, dir) =>
+      sequentialReadout(t(s, dir, "events"), minConv = 14)
     },
 
     // Bot-signature periodicity: a synthetic 50-event bot firing every

@@ -312,6 +312,61 @@ object Corpus {
       .limit(k)
   }
 
+  /** Stratified corpus sample with EXACT largest-remainder allocation
+    * (Hamilton apportionment): a total `budget` splits over the
+    * strata of `stratCol` proportionally to their sizes in pure int64
+    * — base_s = B·c_s div C, then the B − Σbase leftovers go to the
+    * largest remainders (B·c_s mod C, ties by stratum value) — and
+    * each stratum contributes its n_s lowest-md5 members (tiebreak
+    * id), so the draw is deterministic, engine-portable, and
+    * reproducible from the data alone: no RNG state, no float
+    * proportions that could apportion differently under reordering. A
+    * stratum smaller than its allocation contributes everything it
+    * has (the sample under-fills rather than borrowing — borrowing
+    * would make one stratum's content depend on another's size, the
+    * thing stratification exists to prevent).
+    *
+    * Distributed shape: the allocation table is one partial-agg
+    * groupBy (|strata| rows) plus a window over that TINY table; the
+    * per-doc draw is one stratum-keyed window ranking (hash, id) —
+    * a single shuffle of (stratum, id, 16-byte prefix) projections,
+    * never text; output is budget-bounded.
+    */
+  def stratifiedSample(df: DataFrame, budget: Long,
+      stratCol: String = "source", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(stratCol).as("s"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    val tot = counts.agg(sum("c").cast("long").as("tc"))
+    val base = counts.crossJoin(broadcast(tot))
+      .select(col("s"), col("c"),
+        expr(s"$budget * c div tc").as("b"),
+        expr(s"($budget * c) % tc").as("r"),
+        col("tc"))
+    // leftover seats to the largest remainders — the rank window runs
+    // over the |strata|-row table (constant partition key documents
+    // the boundedness, same as funnelRates)
+    val wR = Window.partitionBy(lit(0))
+      .orderBy(col("r").desc, col("s"))
+    val alloc = base
+      .withColumn("extra",
+        when(row_number().over(wR) <=
+          lit(budget) - sum(col("b")).over(Window.partitionBy(lit(0))),
+          1L).otherwise(0L))
+      .select(col("s").as(stratCol),
+        least(col("b") + col("extra"), col("c")).as("n_alloc"))
+    val wS = Window.partitionBy(stratCol)
+      .orderBy(col("draw"), col(idCol))
+    df.select(col(stratCol), col(idCol),
+        md5(concat(lit("strat:"), col(idCol).cast("string"))).as("draw"))
+      .withColumn("rk", row_number().over(wS).cast("long"))
+      .join(broadcast(alloc), Seq(stratCol))
+      .filter(col("rk") <= col("n_alloc"))
+      .select(col(stratCol), col(idCol), col("rk").as("rank_in_stratum"),
+        col("n_alloc"))
+      .orderBy(col(stratCol), col("rank_in_stratum"))
+  }
+
   /** Benchmark-contamination FRACTION: per corpus document, the share
     * of its distinct word n-gram windows that also occur anywhere in
     * the benchmark set — the thresholdable contamination score behind

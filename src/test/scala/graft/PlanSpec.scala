@@ -436,6 +436,29 @@ class PlanSpec extends SparkSpec {
       s"p165: a non-user exchange appeared:\n$p")
   }
 
+  test("p166/p167: sampling allocation and sequential monitor keep " +
+      "bounded shapes") {
+    // p166: the per-doc draw is ONE stratum-keyed window; the
+    // allocation join broadcasts (|strata| rows); no product
+    val p = executed("p166_stratified_sample")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"p166: allocation join shuffled instead of broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"p166: non-broadcast product appeared:\n$p")
+    // p167: one user-keyed exchange, one scalar aggregate, the look
+    // rows explode from ONE pivoted row — no window, no shuffled join
+    val q = executed("p167_sequential_monitor")
+    assert(!q.contains("Window"), s"p167: a window appeared:\n$q")
+    assert(!q.contains("SortMergeJoin") && !q.contains("ShuffledHashJoin"),
+      s"p167: a shuffled join appeared:\n$q")
+    val qf = q.split("== Initial Plan ==").head
+    assert(!qf.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("user_id")),
+      s"p167: a non-user exchange appeared:\n$q")
+    assert(qf.contains("Generate explode"),
+      s"p167: look rows are not exploding from the pivoted row:\n$q")
+  }
+
   test("p164: chi-square scenarios are unioned scalar aggregates — the " +
       "only join is the planted broadcast product") {
     // each scenario: one user-keyed groupBy collapsing to a 2k-counter

@@ -3872,7 +3872,13 @@ class PipelineSpec extends SparkSpec {
       val se = varD.filter(_ > 0).map(vd =>
         math.sqrt(vd / (nD * nD) * (1.0 / naD + 1.0 / nbD)))
       val z = se.filter(_ > 0).flatMap(s => adjDiff.map(_ / s))
-      val want = Seq(Seq[Any](na, nb,
+      // ungrouped SUM over zero rows is NULL in Spark AND DuckDB — an
+      // empty corpus (ScalaCheck shrinking reaches it) yields a
+      // NULL-counter guarded row, not zeros
+      val want = if (users.isEmpty)
+        Seq(Seq[Any](null, null, null, null, null, null, null, null,
+          false, true))
+      else Seq(Seq[Any](na, nb,
         if (na > 0) r6(sya.toDouble / naD) else null,
         if (nb > 0) r6(syb.toDouble / nbD) else null,
         theta.map(r6).getOrElse(null),
@@ -3887,6 +3893,101 @@ class PipelineSpec extends SparkSpec {
     val res = SCTest.check(
       SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
     assert(res.passed, s"p165 replay property failed: ${res.status}")
+  }
+
+  test("p167 sequential monitor equals a driver replay: week cuts, " +
+      "per-look counters, OBF crossings") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.Prop.propBoolean
+    val wkUs = 604800000000L
+    def armA(u: Long): Boolean = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+      ((d(0) >>> 4) & 0xF) < 8
+    }
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    val bnds = Seq(4.049, 2.863, 2.337, 2.024)
+    val caseGen = for {
+      n <- Gen.choose(2, 80)
+      rows <- Gen.listOfN(n, for {
+        u <- Gen.choose(0L, 20L)
+        tp <- Gen.frequency(2 -> Gen.const("purchase"),
+          1 -> Gen.const("view"))
+        wk <- Gen.choose(0L, 7L)
+        off <- Gen.choose(0L, 604799999L) // ms within the week
+      } yield (u, tp, wk * wkUs + off * 1000L))
+    } yield rows
+    val prop = Prop.forAll(caseGen) { rows =>
+      val df = rows.zipWithIndex.map { case ((u, tp, us), i) =>
+        (i.toLong, u, tp, ts(us)) }
+        .toDF("event_id", "user_id", "event_type", "ts")
+      val got = graft.operators.Pipeline.sequentialReadout(df,
+        minConv = 2).collect().map(_.toSeq).toSeq
+      // driver replay with the same integer cuts and double forms
+      val evs = rows.map { case (u, tp, us) => (u, tp, us / wkUs) }
+      val (mn, mx) = (evs.map(_._3).min, evs.map(_._3).max)
+      def cut(k: Int) = mn + ((mx - mn + 1) * k + 3) / 4 - 1
+      def r6(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val byUser = evs.groupBy(_._1).toSeq.map { case (u, es) =>
+        (armA(u), es.map(_._3).min,
+          (1 to 4).map(k => es.count(e =>
+            e._2 == "purchase" && e._3 <= cut(k)))) }
+      val looks = (1 to 4).map { k =>
+        val in = byUser.filter(_._2 <= cut(k))
+        val na = in.count(_._1).toLong
+        val nb = in.count(!_._1).toLong
+        val ca = in.count(e => e._1 && e._3(k - 1) >= 2).toLong
+        val cb = in.count(e => !e._1 && e._3(k - 1) >= 2).toLong
+        val ra = if (na > 0) Some(ca.toDouble / na) else None
+        val rb = if (nb > 0) Some(cb.toDouble / nb) else None
+        val p = (ca + cb).toDouble / (na + nb)
+        val se = if (na > 0 && nb > 0)
+          Some(math.sqrt(p * (1.0 - p) * (1.0 / na + 1.0 / nb)))
+        else None
+        val z = se.filter(_ > 0).flatMap(s =>
+          for (a <- ra; b <- rb) yield (a - b) / s)
+        val crossed = z.exists(v => math.abs(v) >= bnds(k - 1))
+        (k, cut(k), na, ca, nb, cb, z.map(r6), bnds(k - 1), crossed)
+      }
+      val want = looks.map { case (k, c, na, ca, nb, cb, z, b, cr) =>
+        Seq[Any](k, c, na, ca, nb, cb, z.getOrElse(null), b, cr,
+          cr && looks.take(k - 1).forall(!_._9)) }
+      (got == want) :| s"rows=$rows got $got want $want"
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, s"p167 replay property failed: ${res.status}")
+  }
+
+  test("stratifiedSample: largest-remainder allocation, md5 draw " +
+      "order, under-fill cap") {
+    import spark.implicits._
+    // strata: a=5 docs, b=3, c=2; budget 4 → bases (2,1,0), one
+    // leftover to the largest remainder (c: 8 > b: 2 > a: 0)
+    val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(2)("c"))
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("doc_id", "source")
+    val got = Corpus.stratifiedSample(df, budget = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3))).toSeq
+    assert(got.map(_._1).groupBy(identity).view.mapValues(_.size).toMap ==
+      Map("a" -> 2, "b" -> 1, "c" -> 1), got.toString)
+    assert(got.forall { case (s, _, rk, na) =>
+      rk <= na && (s != "a" || na == 2) && (s != "b" || na == 1) &&
+        (s != "c" || na == 1) }, got.toString)
+    // the draw must be the md5-smallest members per stratum
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(
+        s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val wantA = (0L to 4L).sortBy(i => (md5hex(s"strat:$i"), i)).take(2)
+    assert(got.filter(_._1 == "a").map(_._2).toSet == wantA.toSet,
+      got.toString)
+    // budget beyond the corpus: every stratum caps at its size and the
+    // sample under-fills to the full corpus, never borrowing
+    val all = Corpus.stratifiedSample(df, budget = 25).collect()
+    assert(all.length == 10, s"expected full corpus, got ${all.length}")
   }
 
   test("chiSquareReadout rejects bad k and missing critical values") {
