@@ -111,6 +111,7 @@ object Bench {
     "s36_stream_deletion", // tombstone appends + publish-time scrub
     "s37_stream_cusum",    // partial counts + report-time recurrence
     "s38_stream_chi_square", // per-user conv-count partials + readout
+    "s39_stream_sequential", // per-look batches + live OBF readout
     "p149_sorted_neighborhood", // global-order window linkage
     "p150_dbscan",        // grid eps-graph + pointer-jump components
     "p151_interpolate",   // calendar grid + two-sided neighbor lerp

@@ -754,6 +754,21 @@ object Pipeline {
     * aggregate, one explode of a 1-row array — p163's plan with wider
     * counters.
     */
+  /** The pooled two-proportion z (p163's expression form) over four
+    * counter columns — the seam [[sequentialReadout]] and the s39
+    * streaming monitor share, so an interim look computed live at
+    * ingest carries bit-identical arithmetic to the batch gate's.
+    */
+  private[graft] def twoPropZ(na: Column, ca: Column, nb: Column,
+      cb: Column): Column = {
+    val ra = when(na > 0, ca.cast("double") / na)
+    val rb = when(nb > 0, cb.cast("double") / nb)
+    val p = (ca + cb).cast("double") / (na + nb)
+    val se = when(na > 0 && nb > 0,
+      sqrt(p * (lit(1.0) - p) * (lit(1.0) / na + lit(1.0) / nb)))
+    when(se > 0, (ra - rb) / se)
+  }
+
   def sequentialReadout(events: DataFrame,
       convType: String = "purchase", minConv: Int = 1, looks: Int = 4,
       boundaries: Seq[Double] = Seq(4.049, 2.863, 2.337, 2.024))
@@ -788,16 +803,8 @@ object Pipeline {
         .as(s"cb_$k"))
     } ++ (1 to looks).map(k => max(cutExpr(k)).as(s"cut_$k"))
     val piv = users.agg(sums.head, sums.tail: _*)
-    def zExpr(k: Int): Column = {
-      val na = col(s"na_$k"); val ca = col(s"ca_$k")
-      val nb = col(s"nb_$k"); val cb = col(s"cb_$k")
-      val ra = when(na > 0, ca.cast("double") / na)
-      val rb = when(nb > 0, cb.cast("double") / nb)
-      val p = (ca + cb).cast("double") / (na + nb)
-      val se = when(na > 0 && nb > 0,
-        sqrt(p * (lit(1.0) - p) * (lit(1.0) / na + lit(1.0) / nb)))
-      when(se > 0, (ra - rb) / se)
-    }
+    def zExpr(k: Int): Column = twoPropZ(col(s"na_$k"), col(s"ca_$k"),
+      col(s"nb_$k"), col(s"cb_$k"))
     val crossed = (1 to looks).map(k =>
       coalesce(abs(zExpr(k)) >= boundaries(k - 1), lit(false)))
     piv.select(explode(array((1 to looks).map { k =>

@@ -2137,6 +2137,209 @@ object Streaming {
         .agg(when(sum(col("nc")) >= 14, 1L).otherwise(0L).as("conv"))
       graft.operators.Pipeline.chiSquareFromConv(flags, k = 3,
         minExpected = 5L, crit = 5.991)
+    },
+
+    // Streaming group-sequential monitor (p167 live): each micro-batch
+    // IS one interim look — batches staged by the look schedule's week
+    // cuts (known a priori, as a real monitor's calendar is), carried
+    // state is one (first_week, purchase_count) row per user, and the
+    // look row is computed from the merged state AT INGEST TIME via
+    // the shared twoPropZ seam, so the live z is bit-identical to the
+    // batch gate's. The oracle is p167's verbatim. At 100 TB: state is
+    // one row per user; each look is one scalar aggregate over it.
+    QueryDef("s39_stream_sequential",
+      """WITH ev AS (SELECT user_id, event_type,
+        |    epoch_us(ts) // 604800000000 AS wk FROM events),
+        |rng AS (SELECT MIN(wk) AS mn, MAX(wk) AS mx FROM ev),
+        |u AS (SELECT user_id, MIN(wk) AS fw,
+        |    SUM(CASE WHEN event_type = 'purchase' AND wk <=
+        |      mn + ((mx - mn + 1) * 1 + 3) // 4 - 1
+        |      THEN 1 ELSE 0 END) AS p_1,
+        |    SUM(CASE WHEN event_type = 'purchase' AND wk <=
+        |      mn + ((mx - mn + 1) * 2 + 3) // 4 - 1
+        |      THEN 1 ELSE 0 END) AS p_2,
+        |    SUM(CASE WHEN event_type = 'purchase' AND wk <=
+        |      mn + ((mx - mn + 1) * 3 + 3) // 4 - 1
+        |      THEN 1 ELSE 0 END) AS p_3,
+        |    SUM(CASE WHEN event_type = 'purchase' AND wk <=
+        |      mn + ((mx - mn + 1) * 4 + 3) // 4 - 1
+        |      THEN 1 ELSE 0 END) AS p_4,
+        |    MIN(mn) AS mn, MIN(mx) AS mx,
+        |    substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8' AS va
+        |  FROM ev, rng GROUP BY user_id),
+        |c AS (SELECT
+        |    CAST(SUM(CASE WHEN va AND fw <=
+        |      mn + ((mx - mn + 1) * 1 + 3) // 4 - 1
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS na_1,
+        |    CAST(SUM(CASE WHEN va AND fw <=
+        |      mn + ((mx - mn + 1) * 1 + 3) // 4 - 1 AND p_1 >= 14
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS ca_1,
+        |    CAST(SUM(CASE WHEN NOT va AND fw <=
+        |      mn + ((mx - mn + 1) * 1 + 3) // 4 - 1
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS nb_1,
+        |    CAST(SUM(CASE WHEN NOT va AND fw <=
+        |      mn + ((mx - mn + 1) * 1 + 3) // 4 - 1 AND p_1 >= 14
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS cb_1,
+        |    CAST(SUM(CASE WHEN va AND fw <=
+        |      mn + ((mx - mn + 1) * 2 + 3) // 4 - 1
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS na_2,
+        |    CAST(SUM(CASE WHEN va AND fw <=
+        |      mn + ((mx - mn + 1) * 2 + 3) // 4 - 1 AND p_2 >= 14
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS ca_2,
+        |    CAST(SUM(CASE WHEN NOT va AND fw <=
+        |      mn + ((mx - mn + 1) * 2 + 3) // 4 - 1
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS nb_2,
+        |    CAST(SUM(CASE WHEN NOT va AND fw <=
+        |      mn + ((mx - mn + 1) * 2 + 3) // 4 - 1 AND p_2 >= 14
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS cb_2,
+        |    CAST(SUM(CASE WHEN va AND fw <=
+        |      mn + ((mx - mn + 1) * 3 + 3) // 4 - 1
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS na_3,
+        |    CAST(SUM(CASE WHEN va AND fw <=
+        |      mn + ((mx - mn + 1) * 3 + 3) // 4 - 1 AND p_3 >= 14
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS ca_3,
+        |    CAST(SUM(CASE WHEN NOT va AND fw <=
+        |      mn + ((mx - mn + 1) * 3 + 3) // 4 - 1
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS nb_3,
+        |    CAST(SUM(CASE WHEN NOT va AND fw <=
+        |      mn + ((mx - mn + 1) * 3 + 3) // 4 - 1 AND p_3 >= 14
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS cb_3,
+        |    CAST(SUM(CASE WHEN va AND fw <=
+        |      mn + ((mx - mn + 1) * 4 + 3) // 4 - 1
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS na_4,
+        |    CAST(SUM(CASE WHEN va AND fw <=
+        |      mn + ((mx - mn + 1) * 4 + 3) // 4 - 1 AND p_4 >= 14
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS ca_4,
+        |    CAST(SUM(CASE WHEN NOT va AND fw <=
+        |      mn + ((mx - mn + 1) * 4 + 3) // 4 - 1
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS nb_4,
+        |    CAST(SUM(CASE WHEN NOT va AND fw <=
+        |      mn + ((mx - mn + 1) * 4 + 3) // 4 - 1 AND p_4 >= 14
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS cb_4,
+        |    CAST(MAX(mn + ((mx - mn + 1) * 1 + 3) // 4 - 1) AS BIGINT)
+        |      AS cut_1,
+        |    CAST(MAX(mn + ((mx - mn + 1) * 2 + 3) // 4 - 1) AS BIGINT)
+        |      AS cut_2,
+        |    CAST(MAX(mn + ((mx - mn + 1) * 3 + 3) // 4 - 1) AS BIGINT)
+        |      AS cut_3,
+        |    CAST(MAX(mn + ((mx - mn + 1) * 4 + 3) // 4 - 1) AS BIGINT)
+        |      AS cut_4
+        |  FROM u),
+        |l AS (
+        |  SELECT 1 AS look, cut_1 AS wk_cut, na_1 AS n_a, ca_1 AS conv_a,
+        |    nb_1 AS n_b, cb_1 AS conv_b, CAST(4.049 AS DOUBLE) AS bnd
+        |  FROM c
+        |  UNION ALL SELECT 2, cut_2, na_2, ca_2, nb_2, cb_2,
+        |    CAST(2.863 AS DOUBLE) FROM c
+        |  UNION ALL SELECT 3, cut_3, na_3, ca_3, nb_3, cb_3,
+        |    CAST(2.337 AS DOUBLE) FROM c
+        |  UNION ALL SELECT 4, cut_4, na_4, ca_4, nb_4, cb_4,
+        |    CAST(2.024 AS DOUBLE) FROM c),
+        |e AS (SELECT *,
+        |    CASE WHEN n_a > 0 THEN CAST(conv_a AS DOUBLE) / n_a END
+        |      AS ra,
+        |    CASE WHEN n_b > 0 THEN CAST(conv_b AS DOUBLE) / n_b END
+        |      AS rb,
+        |    CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |      sqrt(CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) *
+        |        (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) *
+        |        (1.0 / n_a + 1.0 / n_b)) END AS se
+        |  FROM l),
+        |zt AS (SELECT *,
+        |    CASE WHEN se > 0 THEN (ra - rb) / se END AS z,
+        |    COALESCE(abs(CASE WHEN se > 0 THEN (ra - rb) / se END)
+        |      >= bnd, false) AS crossed
+        |  FROM e)
+        |SELECT look, wk_cut, n_a, conv_a, n_b, conv_b,
+        |  round(z, 6) AS z, bnd AS boundary, crossed,
+        |  (crossed AND COALESCE(SUM(CASE WHEN crossed THEN 1 ELSE 0 END)
+        |    OVER (ORDER BY look
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    0) = 0) AS first_crossing
+        |FROM zt ORDER BY look""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val bnds = Seq(4.049, 2.863, 2.337, 2.024)
+      val ev = graft.Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          expr("unix_micros(ts) div 604800000000").as("wk"))
+      // the look schedule (week cuts) is fixed a priori, as a real
+      // monitor's calendar is — derived once from the corpus range
+      val r = ev.agg(min("wk"), max("wk")).head()
+      val (mn, mx) = (r.getLong(0), r.getLong(1))
+      val cuts = (1 to 4).map(k => mn + ((mx - mn + 1) * k + 3) / 4 - 1)
+      val base = java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_fmt").toString
+      val srcDir = s"$base/s39_stream_src"
+      val stateRoot = s"$base/s39_state"
+      val looksDir = s"$base/s39_looks"
+      Seq(srcDir, stateRoot, looksDir)
+        .foreach(d => rmTree(new java.io.File(d)))
+      new java.io.File(srcDir).mkdirs()
+      val lows = Long.MinValue +: cuts.init
+      val t0 = System.currentTimeMillis() - 3600000L
+      (1 to 4).foreach { b =>
+        writeSingle(ev.filter(col("wk") > lows(b - 1) &&
+          col("wk") <= cuts(b - 1)), srcDir, s"batch_$b")
+        new java.io.File(srcDir, s"batch_$b.parquet")
+          .setLastModified(t0 + b * 60000L)
+      }
+      s.range(0).select(col("id").as("user_id"),
+          lit(null).cast("long").as("fw"),
+          lit(null).cast("long").as("np"))
+        .write.mode("overwrite").parquet(s"$stateRoot/v0")
+      val gen = new java.util.concurrent.atomic.AtomicInteger(0)
+      val schema = s.read.parquet(srcDir).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(srcDir)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val g = gen.get()
+          val st = s.read.parquet(s"$stateRoot/v$g")
+            .select("user_id", "fw", "np")
+          val bagg = batch.groupBy("user_id")
+            .agg(min(col("wk")).as("fw"),
+              sum(when(col("event_type") === "purchase", 1L)
+                .otherwise(0L)).as("np"))
+          st.unionByName(bagg).groupBy("user_id")
+            .agg(min("fw").as("fw"), sum("np").cast("long").as("np"))
+            .write.mode("overwrite").parquet(s"$stateRoot/v${g + 1}")
+          val k = g + 1
+          val m = s.read.parquet(s"$stateRoot/v${g + 1}")
+            .withColumn("va",
+              substring(md5(col("user_id").cast("string")), 1, 1) < "8")
+          val cnt = m.agg(
+            sum(when(col("va"), 1L).otherwise(0L)).cast("long")
+              .as("n_a"),
+            sum(when(col("va") && col("np") >= 14, 1L).otherwise(0L))
+              .cast("long").as("conv_a"),
+            sum(when(!col("va"), 1L).otherwise(0L)).cast("long")
+              .as("n_b"),
+            sum(when(!col("va") && col("np") >= 14, 1L).otherwise(0L))
+              .cast("long").as("conv_b"))
+          val z = graft.operators.Pipeline.twoPropZ(col("n_a"),
+            col("conv_a"), col("n_b"), col("conv_b"))
+          cnt.select(lit(k).as("look"),
+              lit(cuts(k - 1)).as("wk_cut"),
+              col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+              round(z, 6).as("z"),
+              lit(bnds(k - 1)).as("boundary"),
+              coalesce(abs(z) >= bnds(k - 1), lit(false)).as("crossed"))
+            .coalesce(1).write.mode("append").parquet(looksDir)
+          gen.incrementAndGet()
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val wPrev = Window.partitionBy(lit(0)).orderBy("look")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      s.read.parquet(looksDir)
+        .withColumn("first_crossing", col("crossed") &&
+          coalesce(sum(when(col("crossed"), 1L).otherwise(0L))
+            .over(wPrev), lit(0L)) === 0L)
+        .orderBy("look")
     }
   )
 }

@@ -3961,6 +3961,66 @@ class PipelineSpec extends SparkSpec {
     assert(res.passed, s"p167 replay property failed: ${res.status}")
   }
 
+  test("s39 carried (first_week, purchases) state replays to the batch " +
+      "sequential monitor for any event distribution") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.Prop.propBoolean
+    val wkUs = 604800000000L
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    val caseGen = for {
+      n <- Gen.choose(4, 60)
+      rows <- Gen.listOfN(n, for {
+        u <- Gen.choose(0L, 15L)
+        tp <- Gen.frequency(2 -> Gen.const("purchase"),
+          1 -> Gen.const("view"))
+        wk <- Gen.choose(0L, 7L)
+      } yield (u, tp, wk * wkUs + u * 1000L))
+    } yield rows
+    val prop = Prop.forAll(caseGen) { rows =>
+      (rows.nonEmpty) ==> {
+        val df = rows.zipWithIndex.map { case ((u, tp, us), i) =>
+          (i.toLong, u, tp, ts(us)) }
+          .toDF("event_id", "user_id", "event_type", "ts")
+        val want = graft.operators.Pipeline.sequentialReadout(df,
+          minConv = 2).collect()
+          .map(r => (r.getInt(0), r.getLong(2), r.getLong(3),
+            r.getLong(4), r.getLong(5))).toSeq
+        // replay the s39 foreachBatch body: per-cut batches, carried
+        // (fw, np) state merged by (min, sum), counters off the state
+        val evs = rows.map { case (u, tp, us) => (u, tp, us / wkUs) }
+        val (mn, mx) = (evs.map(_._3).min, evs.map(_._3).max)
+        val cuts = (1 to 4).map(k => mn + ((mx - mn + 1) * k + 3) / 4 - 1)
+        val lows = Long.MinValue +: cuts.init
+        var state = Map.empty[Long, (Long, Long)] // user -> (fw, np)
+        def armA(u: Long): Boolean = {
+          val d = java.security.MessageDigest.getInstance("MD5")
+            .digest(u.toString.getBytes("UTF-8"))
+          ((d(0) >>> 4) & 0xF) < 8
+        }
+        val got = (1 to 4).map { k =>
+          val batch = evs.filter(e =>
+            e._3 > lows(k - 1) && e._3 <= cuts(k - 1))
+          for ((u, es) <- batch.groupBy(_._1)) {
+            val bf = es.map(_._3).min
+            val bp = es.count(_._2 == "purchase").toLong
+            val (f0, p0) = state.getOrElse(u, (Long.MaxValue, 0L))
+            state += u -> (math.min(f0, bf), p0 + bp)
+          }
+          val na = state.count(e => armA(e._1)).toLong
+          val ca = state.count(e => armA(e._1) && e._2._2 >= 2).toLong
+          val nb = state.count(e => !armA(e._1)).toLong
+          val cb = state.count(e => !armA(e._1) && e._2._2 >= 2).toLong
+          (k, na, ca, nb, cb)
+        }
+        (got == want) :| s"rows=$rows got $got want $want"
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, s"s39 merge property failed: ${res.status}")
+  }
+
   test("stratifiedSample: largest-remainder allocation, md5 draw " +
       "order, under-fill cap") {
     import spark.implicits._
