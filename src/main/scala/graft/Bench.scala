@@ -35,7 +35,7 @@ object Bench {
     "p28_chunk_documents", // integer chunk math + bounded explode
     "p32_paragraph_dedup", // explode + digest count + broadcast anti-join
     "p35_char_entropy",   // char histogram + per-doc entropy fold
-    "p25_dedup_components", // iterative label propagation
+    "p25_dedup_components", // hook-and-contract components
     "p36_incremental_dedup", // bloom prefilter + exact verify
     "p38_cluster_reps",   // components + partial-aggregable max_by reps
     "p39_repeated_substrings", // 50-char window hash repeats
@@ -113,7 +113,7 @@ object Bench {
     "s38_stream_chi_square", // per-user conv-count partials + readout
     "s39_stream_sequential", // per-look batches + live OBF readout
     "p149_sorted_neighborhood", // global-order window linkage
-    "p150_dbscan",        // grid eps-graph + pointer-jump components
+    "p150_dbscan",        // grid eps-graph + hook-and-contract CC
     "p151_interpolate",   // calendar grid + two-sided neighbor lerp
     "p152_markov_transitions", // one user-keyed lead + typesSq matrix
     "p153_silhouette",    // narrow map vs broadcast centroid literals
