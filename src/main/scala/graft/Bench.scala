@@ -131,6 +131,7 @@ object Bench {
     "p165_cuped",         // covariate-adjusted readout, moment sums
     "p166_stratified_sample", // exact apportionment + md5 draw windows
     "p167_sequential_monitor", // one-scan OBF looks, explode from 1 row
+    "p168_mixture_weights", // per-source token mass + broadcast recipe
     "f07_csv_ingest_cold", // CSV parse + agg, no cache (dsq cold analog)
     "f08_csv_ingest_warm") // cached-parquet + agg (dsq -C warm analog)
 

@@ -4465,6 +4465,45 @@ object Pipeline {
         t(s, dir, "documents").select("doc_id", "source"), budget = 200)
     },
 
+    // Mixture reweighting: the recipe gives source srcN the target
+    // share (1 + N%3)/39 (indices deterministic in both engines); the
+    // oracle replays the whitespace token mass, the shares, and the
+    // guarded weight = tgt·total/n_tokens term for term.
+    QueryDef("p168_mixture_weights",
+      """WITH tk AS (
+        |  SELECT source,
+        |    CAST(CASE WHEN length(w) = 0 THEN 0
+        |         ELSE len(string_split_regex(w, '\s+')) END AS BIGINT)
+        |      AS nt
+        |  FROM (SELECT source,
+        |          regexp_replace(text, '^\s+|\s+$', '', 'g') AS w
+        |        FROM documents)),
+        |per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(nt) AS BIGINT) AS n_tokens
+        |  FROM tk GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot FROM per),
+        |j AS (SELECT per.*, tot.tot,
+        |    CAST(1 + CAST(regexp_extract(source, 'src(\d+)', 1) AS INT)
+        |      % 3 AS DOUBLE) / CAST(39 AS DOUBLE) AS tgt
+        |  FROM per, tot)
+        |SELECT source, n_docs, n_tokens,
+        |  round(CASE WHEN tot > 0
+        |    THEN CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE) END, 6)
+        |    AS nat_share,
+        |  round(tgt, 6) AS tgt_share,
+        |  round(CASE WHEN n_tokens > 0
+        |    THEN tgt * CAST(tot AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+        |    END, 6) AS weight,
+        |  COALESCE(CASE WHEN n_tokens > 0
+        |    THEN tgt * CAST(tot AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+        |    END > 1.0, false) AS upsampled
+        |FROM j ORDER BY source""".stripMargin) { (s, dir) =>
+      val recipe = (0 until 20).map(n =>
+        s"src$n" -> (1 + n % 3) / 39.0).toMap
+      Corpus.mixtureWeights(
+        t(s, dir, "documents").select("source", "text"), recipe)
+    },
+
     // Group-sequential monitor: the oracle replays the integer week
     // cuts, the per-look population/conversion counters, the p163 z
     // at each look, the OBF literal boundaries, and the

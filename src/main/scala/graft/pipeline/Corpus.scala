@@ -312,6 +312,47 @@ object Corpus {
       .limit(k)
   }
 
+  /** Data-mixture reweighting: per-source token masses vs a TARGET
+    * mixture (the DoReMi/Pile-style "how hard do I up/down-sample each
+    * source to hit the recipe" table). For each source: exact int64
+    * doc/token counts, the natural share n_tokens/total, the target
+    * share from the recipe, and the sampling weight
+    * target_share·total/n_tokens — weight > 1 means the source must be
+    * upsampled (repeated epochs), < 1 downsampled. Sources missing
+    * from the recipe weight to 0 (dropped); every division is guarded
+    * and the double expression tree is fixed-form over the exact
+    * sums, mirrored term-for-term by the oracle.
+    *
+    * Distributed shape: one partial-agg groupBy to |sources| rows, a
+    * 1-row total crossJoin, a broadcast recipe join — nothing wider
+    * than the source table ever shuffles.
+    */
+  def mixtureWeights(df: DataFrame, targets: Map[String, Double],
+      srcCol: String = "source", textCol: String = "text"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val per = df.select(col(srcCol).as("source"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("nt"))
+      .groupBy("source")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum("nt").cast("long").as("n_tokens"))
+    val tot = per.agg(sum("n_tokens").cast("long").as("tot"))
+    val recipe = broadcast(targets.toSeq.toDF("source", "tgt"))
+    val totD = col("tot").cast("double")
+    val ntD = col("n_tokens").cast("double")
+    val tgt = coalesce(col("tgt"), lit(0.0))
+    per.crossJoin(broadcast(tot))
+      .join(recipe, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(when(col("tot") > 0, ntD / totD), 6).as("nat_share"),
+        round(tgt, 6).as("tgt_share"),
+        round(when(col("n_tokens") > 0, tgt * totD / ntD), 6)
+          .as("weight"),
+        coalesce(when(col("n_tokens") > 0, tgt * totD / ntD) > 1.0,
+          lit(false)).as("upsampled"))
+      .orderBy("source")
+  }
+
   /** Stratified corpus sample with EXACT largest-remainder allocation
     * (Hamilton apportionment): a total `budget` splits over the
     * strata of `stratCol` proportionally to their sizes in pure int64

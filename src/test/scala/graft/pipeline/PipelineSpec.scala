@@ -4021,6 +4021,30 @@ class PipelineSpec extends SparkSpec {
     assert(res.passed, s"s39 merge property failed: ${res.status}")
   }
 
+  test("mixtureWeights: shares, guarded weights, recipe-missing and " +
+      "zero-token sources") {
+    import spark.implicits._
+    // a: 6 tokens, b: 2, c: 2 (missing from recipe), d: empty text
+    val df = Seq(
+      ("a", "one two three"), ("a", "four five six"),
+      ("b", "seven eight"), ("c", "nine ten"), ("d", "")
+    ).toDF("source", "text")
+    val got = Corpus.mixtureWeights(df,
+      Map("a" -> 0.5, "b" -> 0.5, "d" -> 0.0)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5)),
+        r.getBoolean(6))).toSeq
+    // total 10 tokens: a 0.6 natural vs 0.5 target → downsample 0.8333;
+    // b 0.2 vs 0.5 → upsample 2.5; c not in recipe → weight 0; d has
+    // no tokens → NULL weight, never "upsampled"
+    assert(got == Seq(
+      ("a", 2L, 6L, 0.6, 0.5, Some(0.833333), false),
+      ("b", 1L, 2L, 0.2, 0.5, Some(2.5), true),
+      ("c", 1L, 2L, 0.2, 0.0, Some(0.0), false),
+      ("d", 1L, 0L, 0.0, 0.0, None, false)), got.toString)
+  }
+
   test("stratifiedSample: largest-remainder allocation, md5 draw " +
       "order, under-fill cap") {
     import spark.implicits._
