@@ -459,6 +459,20 @@ class PlanSpec extends SparkSpec {
       s"p167: look rows are not exploding from the pivoted row:\n$q")
   }
 
+  test("p168: mixture weights — source rollup, broadcast recipe, no " +
+      "shuffled join") {
+    val p = executed("p168_mixture_weights")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"p168: recipe join shuffled instead of broadcast:\n$p")
+    assert(!p.contains("Window"), s"p168: a window appeared:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"p168: non-broadcast product appeared:\n$p")
+    val pf = p.split("== Initial Plan ==").head
+    assert(!pf.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("source")),
+      s"p168: a non-source exchange appeared:\n$p")
+  }
+
   test("p164: chi-square scenarios are unioned scalar aggregates — the " +
       "only join is the planted broadcast product") {
     // each scenario: one user-keyed groupBy collapsing to a 2k-counter
