@@ -112,6 +112,7 @@ object Bench {
     "s37_stream_cusum",    // partial counts + report-time recurrence
     "s38_stream_chi_square", // per-user conv-count partials + readout
     "s39_stream_sequential", // per-look batches + live OBF readout
+    "s40_stream_stratified", // per-batch stratum top-k + exact alloc
     "p149_sorted_neighborhood", // global-order window linkage
     "p150_dbscan",        // grid eps-graph + hook-and-contract CC
     "p151_interpolate",   // calendar grid + two-sided neighbor lerp
@@ -132,6 +133,7 @@ object Bench {
     "p166_stratified_sample", // exact apportionment + md5 draw windows
     "p167_sequential_monitor", // one-scan OBF looks, explode from 1 row
     "p168_mixture_weights", // per-source token mass + broadcast recipe
+    "p169_classifier_eval", // midrank AUC + calibration bins, 3 scenarios
     "f07_csv_ingest_cold", // CSV parse + agg, no cache (dsq cold analog)
     "f08_csv_ingest_warm") // cached-parquet + agg (dsq -C warm analog)
 
@@ -347,12 +349,15 @@ object Bench {
     // 3-7× inflated minima with tight spreads — the stability criterion
     // REPRODUCES a sustained co-tenant burst instead of rejecting it).
     // After the whole sweep finishes — by which time a minutes-long burst
-    // has usually passed — re-time any entry whose min exceeds 2× its
+    // has usually passed — re-time any entry whose min exceeds 1.5× its
     // prior-round min (latest BENCH_r*.json in cwd, or
     // SPARK_GRAFT_BENCH_PRIOR) and keep the best of both passes. A real
     // regression re-measures the same; an ambient burst melts away. The
     // rechecked names ship in the output as `rechecked` so the judge can
-    // see which numbers were re-derived.
+    // see which numbers were re-derived. 1.5× (was 2× through r10): the
+    // r10 sweep let four untouched entries drift 1.55–1.8× under the
+    // old trigger (VERDICT r10 task 4).
+    val recheckRatio = 1.5
     val priorMins: Map[String, Double] = {
       val explicit = sys.env.get("SPARK_GRAFT_BENCH_PRIOR")
       val path = explicit.orElse {
@@ -361,6 +366,14 @@ object Bench {
           .filter(_.matches("BENCH_r\\d+\\.json")).sorted)
           .filter(_.nonEmpty).map(_.last)
       }
+      // sf guard: an AUTO-discovered prior measured at a different
+      // scale factor (a 10× sweep run in the repo cwd picks up the
+      // round's sf0.1 file) flags every entry "over prior" and
+      // re-times the whole sweep (the r10 methodology note) — skip
+      // the recheck instead. An explicit SPARK_GRAFT_BENCH_PRIOR is
+      // the caller's statement that scales match, so it is trusted.
+      val thisSf = "sf([0-9.]+)/?$".r.findFirstMatchIn(sfDir)
+        .map(_.group(1))
       // the driver wraps the bench line in {"tail": "…escaped…",
       // "parsed": {…}}: inside `tail` every quote is \"-escaped, so the
       // first UNescaped "queries" is the parsed block's. Bound the scan
@@ -370,12 +383,18 @@ object Bench {
         scala.util.Try {
           val txt = new String(java.nio.file.Files.readAllBytes(
             java.nio.file.Paths.get(p)), "UTF-8")
-          val qi = txt.indexOf("\"queries\"")
-          val start = txt.indexOf('{', qi)
-          val body = txt.substring(start + 1, txt.indexOf('}', start))
-          "\"([A-Za-z0-9_]+)\"\\s*:\\s*(-?[0-9.eE+]+)".r
-            .findAllMatchIn(body)
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          val priorSf = "\"sf\"\\s*:\\s*([0-9.]+)".r
+            .findFirstMatchIn(txt).map(_.group(1))
+          if (explicit.isEmpty && priorSf.isDefined && thisSf.isDefined &&
+              priorSf != thisSf) Map.empty[String, Double]
+          else {
+            val qi = txt.indexOf("\"queries\"")
+            val start = txt.indexOf('{', qi)
+            val body = txt.substring(start + 1, txt.indexOf('}', start))
+            "\"([A-Za-z0-9_]+)\"\\s*:\\s*(-?[0-9.eE+]+)".r
+              .findAllMatchIn(body)
+              .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          }
         }.toOption
       }.getOrElse(Map.empty)
     }
@@ -389,14 +408,14 @@ object Bench {
       priorMins.getOrElse(name, priorMins.getOrElse(shortKey(name), -1.0))
     val suspect = firstPass.collect { case (name, v)
       if v > 0 && priorOf(name) > 0 &&
-        v > 2.0 * priorOf(name) => name }
+        v > recheckRatio * priorOf(name) => name }
     val rechecked: Map[String, Double] = suspect.map { name =>
       val prior = priorOf(name)
       var best = Double.MaxValue
       var i = 0
       // stop as soon as the burst hypothesis is confirmed (back under
-      // 2× prior) — a genuine regression costs at most 3 extra runs
-      while (i < 3 && best > 2.0 * prior) {
+      // ratio× prior) — a genuine regression costs at most 3 extra runs
+      while (i < 3 && best > recheckRatio * prior) {
         val t = timeOnce(name)
         if (t >= 0 && t < best) best = t
         i += 1
@@ -444,14 +463,14 @@ object Bench {
       if (rechecked.isEmpty) ""
       else rechecked.keys.toSeq.sorted.map(k => s""""$k"""")
         .mkString(""","rechecked":[""", ",", "]")
-    // names that stayed >2× prior even after the recheck — the only
+    // names that stayed >ratio× prior even after the recheck — the only
     // annotation that MUST survive every compact-line fallback tier
     // (r9: a 79-entry run dropped to the bare tier and silently lost
     // the whole recheck story; this list is what the judge needs to
     // tell "sustained ambient burst" from "real regression")
     val stillOver = rechecked.collect { case (k, v)
       if v == Double.MaxValue ||
-        (priorOf(k) > 0 && v > 2.0 * priorOf(k)) => k }
+        (priorOf(k) > 0 && v > recheckRatio * priorOf(k)) => k }
     val overJson =
       if (stillOver.isEmpty) ""
       else stillOver.toSeq.sorted.map(k => s""""$k"""")

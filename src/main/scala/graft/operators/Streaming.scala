@@ -2287,15 +2287,21 @@ object Streaming {
           lit(null).cast("long").as("fw"),
           lit(null).cast("long").as("np"))
         .write.mode("overwrite").parquet(s"$stateRoot/v0")
-      val gen = new java.util.concurrent.atomic.AtomicInteger(0)
       val schema = s.read.parquet(srcDir).schema
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
         .parquet(srcDir)
         .writeStream
-        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-          val g = gen.get()
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+            batchId: Long) =>
+          // retry-idempotent (ADVICE r10): the state generation and
+          // the look row are keyed by the FRAMEWORK batchId — not an
+          // in-memory counter — and every write OVERWRITES its own
+          // per-batch path, so a Spark-retried micro-batch replaces
+          // its outputs instead of appending a duplicate look and
+          // rereading a stale generation
+          val g = batchId
           val st = s.read.parquet(s"$stateRoot/v$g")
             .select("user_id", "fw", "np")
           val bagg = batch.groupBy("user_id")
@@ -2305,7 +2311,7 @@ object Streaming {
           st.unionByName(bagg).groupBy("user_id")
             .agg(min("fw").as("fw"), sum("np").cast("long").as("np"))
             .write.mode("overwrite").parquet(s"$stateRoot/v${g + 1}")
-          val k = g + 1
+          val k = (g + 1).toInt
           val m = s.read.parquet(s"$stateRoot/v${g + 1}")
             .withColumn("va",
               substring(md5(col("user_id").cast("string")), 1, 1) < "8")
@@ -2326,20 +2332,110 @@ object Streaming {
               round(z, 6).as("z"),
               lit(bnds(k - 1)).as("boundary"),
               coalesce(abs(z) >= bnds(k - 1), lit(false)).as("crossed"))
-            .coalesce(1).write.mode("append").parquet(looksDir)
-          gen.incrementAndGet()
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$looksDir/look_$k")
           ()
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      val wPrev = Window.partitionBy(lit(0)).orderBy("look")
+      val wPrev = Window
+        .partitionBy(graft.pipeline.Corpus.boundedKey(col("look")))
+        .orderBy("look")
         .rowsBetween(Window.unboundedPreceding, -1)
-      s.read.parquet(looksDir)
+      s.read.parquet(s"$looksDir/look_*")
         .withColumn("first_crossing", col("crossed") &&
           coalesce(sum(when(col("crossed"), 1L).otherwise(0L))
             .over(wPrev), lit(0L)) === 0L)
         .orderBy("look")
+    },
+
+    // Streaming stratified sample (p166 over continuous ingest): each
+    // micro-batch persists (a) its per-stratum counts — they merge by
+    // sum — and (b) its per-stratum k-lowest-(draw, id) candidates via
+    // the two-phase stratumTopK, the min-k merge property (a union of
+    // per-batch top-k contains every member of the global top-k, the
+    // s30 reservoir argument applied per stratum). Publish time runs
+    // the EXACT largest-remainder allocation over the merged counts
+    // and ranks the merged candidates — so the report must equal the
+    // batch p166 oracle verbatim. State is bounded: |strata| count
+    // rows + |strata|·k candidate rows per batch; the corpus is never
+    // re-read. Retry-idempotent: both state writes OVERWRITE
+    // batchId-keyed paths (the s39 discipline).
+    QueryDef("s40_stream_stratified",
+      """WITH c AS (SELECT source AS s, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(SUM(c) AS BIGINT) AS tc FROM c),
+        |b AS (SELECT s, c, 200 * c // tc AS b, 200 * c % tc AS r
+        |  FROM c, t),
+        |a AS (SELECT s, c, b, r,
+        |    CASE WHEN ROW_NUMBER() OVER (ORDER BY r DESC, s)
+        |      <= 200 - (SELECT SUM(b) FROM b) THEN 1 ELSE 0 END AS extra
+        |  FROM b),
+        |al AS (SELECT s AS source,
+        |    CAST(LEAST(b + extra, c) AS BIGINT) AS n_alloc FROM a),
+        |d AS (SELECT source, doc_id,
+        |    md5('strat:' || CAST(doc_id AS VARCHAR)) AS draw
+        |  FROM documents),
+        |rk AS (SELECT source, doc_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY draw, doc_id) AS BIGINT) AS rank_in_stratum
+        |  FROM d)
+        |SELECT rk.source, rk.doc_id, rk.rank_in_stratum, al.n_alloc
+        |FROM rk JOIN al USING (source)
+        |WHERE rk.rank_in_stratum <= al.n_alloc
+        |ORDER BY 1, 3""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import graft.pipeline.Corpus
+      val docs = graft.Tables.load(s, dir, "documents")
+        .select("doc_id", "source")
+      val base = java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_fmt").toString
+      val srcDir = s"$base/s40_stream_src"
+      val cntRoot = s"$base/s40_counts"
+      val candRoot = s"$base/s40_cands"
+      Seq(srcDir, cntRoot, candRoot)
+        .foreach(d => rmTree(new java.io.File(d)))
+      new java.io.File(srcDir).mkdirs()
+      (0 until 4).foreach { b =>
+        writeSingle(docs.filter(col("doc_id") % 4 === b),
+          srcDir, s"batch_$b")
+      }
+      val schema = s.read.parquet(srcDir).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(srcDir)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+            batchId: Long) =>
+          batch.groupBy("source")
+            .agg(count(lit(1)).cast("long").as("n"))
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$cntRoot/b_$batchId")
+          Corpus.stratumTopK(batch, 200L)
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$candRoot/b_$batchId")
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val counts = s.read.parquet(s"$cntRoot/b_*")
+        .groupBy(col("source").as("s"))
+        .agg(sum("n").cast("long").as("c"))
+      val alloc = Corpus.allocFromCounts(counts, 200L, "source")
+      // the stratum-keyed window here ranks the MERGED CANDIDATE
+      // state (≤ batches·|strata|·k rows by construction), not the
+      // corpus — the boundedness that makes a plain window safe
+      val w = Window.partitionBy("source").orderBy("draw", "doc_id")
+      s.read.parquet(s"$candRoot/b_*")
+        .withColumn("rk2", row_number().over(w).cast("long"))
+        .join(broadcast(alloc), Seq("source"))
+        .filter(col("rk2") <= col("n_alloc"))
+        .select(col("source"), col("doc_id"),
+          col("rk2").as("rank_in_stratum"), col("n_alloc"))
+        .orderBy("source", "rank_in_stratum")
     }
   )
 }

@@ -135,17 +135,29 @@ object Corpus {
 
   /** Greedy sequential sequence packing: within each `partCol` group,
     * docs in id order fill fixed token-budget bins; a doc starts in the
-    * bin its cumulative token offset falls into. One shuffle on
-    * `partCol` shared by the window and the final per-bin aggregate.
+    * bin its cumulative token offset falls into.
+    *
+    * Greedy packing is sequential by DEFINITION, but the only
+    * sequential quantity is an associative prefix sum — so the
+    * per-source cumsum is NOT a source-partitioned window (one source
+    * = one task at scale, the p63/p103 defect class). Instead ONE
+    * [[withGlobalOrder]] range-partitioned cumsum over (source, id),
+    * then each source's base offset (min of the exclusive prefix —
+    * nondecreasing in the order, so the min IS the prefix mass before
+    * the source's first row; |sources| rows, broadcast back) converts
+    * global prefixes into in-source offsets. Only (source, id, n_tok)
+    * triples shuffle, never text.
     */
   def packSequences(df: DataFrame, budget: Int, partCol: String = "source",
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(partCol).orderBy(idCol)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("n_tok", TextAnalysis.tokenCount(col(textCol)).cast("long"))
-      .withColumn("cum", sum("n_tok").over(w))
-      .withColumn("bin", expr(s"(cum - n_tok) DIV $budget"))
+    val ordered = withGlobalOrder(
+      df.select(col(partCol), col(idCol),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tok")),
+      Seq(col(partCol), col(idCol)), col("n_tok"))
+    val offs = ordered.groupBy(partCol)
+      .agg(min(col("cum") - col("n_tok")).as("_off"))
+    ordered.join(broadcast(offs), Seq(partCol))
+      .withColumn("bin", expr(s"(cum - n_tok - _off) DIV $budget"))
       .groupBy(col(partCol), col("bin"))
       .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
   }
@@ -368,44 +380,94 @@ object Corpus {
     * thing stratification exists to prevent).
     *
     * Distributed shape: the allocation table is one partial-agg
-    * groupBy (|strata| rows) plus a window over that TINY table; the
-    * per-doc draw is one stratum-keyed window ranking (hash, id) —
-    * a single shuffle of (stratum, id, 16-byte prefix) projections,
-    * never text; output is budget-bounded.
+    * groupBy (|strata| rows) plus a window over that TINY table. The
+    * per-doc draw is NOT a stratum-partitioned window sort — a stratum
+    * is a source, so that shape puts one source's entire (stratum, id,
+    * hash) projection in a single task (the p63/p103 defect class).
+    * Instead ONE [[withGlobalOrder]] range-partitioned rank over
+    * (stratum, draw, id) — parallel across AND within strata — then
+    * per-stratum offsets (min global pos; |strata| rows, broadcast
+    * back) turn global positions into in-stratum ranks, exactly the
+    * [[perSourcePercentile]] composition. Only (stratum, id, 16-byte
+    * prefix) projections shuffle, never text; output is
+    * budget-bounded.
     */
   def stratifiedSample(df: DataFrame, budget: Long,
       stratCol: String = "source", idCol: String = "doc_id"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val counts = df.groupBy(col(stratCol).as("s"))
       .agg(count(lit(1)).cast("long").as("c"))
+    val alloc = allocFromCounts(counts, budget, stratCol)
+    stratumTopK(df, budget, stratCol, idCol)
+      .join(broadcast(alloc), Seq(stratCol))
+      .filter(col("rk") <= col("n_alloc"))
+      .select(col(stratCol), col(idCol), col("rk").as("rank_in_stratum"),
+        col("n_alloc"))
+      .orderBy(col(stratCol), col("rank_in_stratum"))
+  }
+
+  /** Non-foldable constant-zero window partition key for relations
+    * that are BOUNDED by construction (|strata|, #funnel steps,
+    * #bins …): Catalyst constant-folds a literal key out of a window's
+    * partitionSpec, leaving the empty spec WindowExec warns about at
+    * every execution (the r10 bench-tail warnings — the r9
+    * `partitionBy(lit(0))` fix never survived optimization).
+    * pmod(xxhash64(c), 1) evaluates to 0 for every row yet is not
+    * foldable, so the single-partition intent stays explicit in the
+    * plan. Use ONLY over bounded relations — the single task is the
+    * point, not an accident.
+    */
+  private[graft] def boundedKey(c: Column): Column =
+    pmod(xxhash64(c), lit(1L))
+
+  /** [[stratifiedSample]]'s exact largest-remainder allocation over a
+    * pre-aggregated (`s`, `c`) stratum-count table — the seam the s40
+    * streaming mirror shares: its carried state is per-batch stratum
+    * counts, which merge by sum into exactly this input. Pure int64
+    * apportionment; both windows run over the |strata|-row table
+    * (constant partition key documents the boundedness, same as
+    * funnelRates).
+    */
+  private[graft] def allocFromCounts(counts: DataFrame, budget: Long,
+      stratCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val tot = counts.agg(sum("c").cast("long").as("tc"))
     val base = counts.crossJoin(broadcast(tot))
       .select(col("s"), col("c"),
         expr(s"$budget * c div tc").as("b"),
         expr(s"($budget * c) % tc").as("r"),
         col("tc"))
-    // leftover seats to the largest remainders — the rank window runs
-    // over the |strata|-row table (constant partition key documents
-    // the boundedness, same as funnelRates)
-    val wR = Window.partitionBy(lit(0))
+    val wR = Window.partitionBy(boundedKey(col("s")))
       .orderBy(col("r").desc, col("s"))
-    val alloc = base
+    base
       .withColumn("extra",
         when(row_number().over(wR) <=
-          lit(budget) - sum(col("b")).over(Window.partitionBy(lit(0))),
+          lit(budget) -
+            sum(col("b")).over(Window.partitionBy(boundedKey(col("s")))),
           1L).otherwise(0L))
       .select(col("s").as(stratCol),
         least(col("b") + col("extra"), col("c")).as("n_alloc"))
-    val wS = Window.partitionBy(stratCol)
-      .orderBy(col("draw"), col(idCol))
-    df.select(col(stratCol), col(idCol),
-        md5(concat(lit("strat:"), col(idCol).cast("string"))).as("draw"))
-      .withColumn("rk", row_number().over(wS).cast("long"))
-      .join(broadcast(alloc), Seq(stratCol))
-      .filter(col("rk") <= col("n_alloc"))
-      .select(col(stratCol), col(idCol), col("rk").as("rank_in_stratum"),
-        col("n_alloc"))
-      .orderBy(col(stratCol), col("rank_in_stratum"))
+  }
+
+  /** Each stratum's k lowest-(draw, id) members with their exact
+    * in-stratum rank — [[stratifiedSample]]'s per-doc draw, and the
+    * bounded per-batch candidate state of the s40 streaming mirror
+    * (a union of per-batch top-k contains every global top-k member,
+    * the same min-k merge property as s30's reservoir keys). The rank
+    * is the p63 composition over (stratum, draw, id) — never a
+    * stratum-partitioned window over the corpus.
+    */
+  private[graft] def stratumTopK(df: DataFrame, k: Long,
+      stratCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    val ordered = withGlobalOrder(
+      df.select(col(stratCol), col(idCol),
+        md5(concat(lit("strat:"), col(idCol).cast("string"))).as("draw")),
+      Seq(col(stratCol), col("draw"), col(idCol)), lit(1L))
+    val offs = ordered.groupBy(stratCol).agg(min("pos").as("_p0"))
+    ordered.join(broadcast(offs), Seq(stratCol))
+      .withColumn("rk", col("pos") - col("_p0") + lit(1L))
+      .filter(col("rk") <= k)
+      .select(col(stratCol), col(idCol), col("draw"), col("rk"))
   }
 
   /** Benchmark-contamination FRACTION: per corpus document, the share
@@ -574,8 +636,19 @@ object Corpus {
     * cum/pos — is the same under any boundary placement.
     */
   private[graft] def withGlobalOrder(df: DataFrame, sortCols: Seq[Column],
-      value: Column, nParts: Int = 32): DataFrame = {
-    val staged = Dedup.materializeBarrier(
+      value: Column, nParts: Int = 32): DataFrame =
+    withGlobalOrderStaged(df, sortCols, value, nParts)._1
+
+  /** [[withGlobalOrder]] variant that also exposes the staged barrier
+    * dir, for callers that derive driver-side scalars from the barrier
+    * FOOTERS (row count, int64 min/max — zero extra jobs) or release
+    * the scratch eagerly once consumed. The returned DataFrame reads
+    * the barrier lazily: release only after the consumer executed.
+    */
+  private[graft] def withGlobalOrderStaged(df: DataFrame,
+      sortCols: Seq[Column], value: Column, nParts: Int = 32)
+      : (DataFrame, org.apache.hadoop.fs.Path) = {
+    val (staged, stagedDir) = Dedup.materializeBarrierAt(
       df.withColumn("_v", value)
         .repartitionByRange(nParts, sortCols: _*)
         .withColumn("_pid", spark_partition_id()),
@@ -597,10 +670,10 @@ object Corpus {
     val offs = broadcast(offRows.toDF("_pid", "_voff", "_roff"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("_pid").orderBy(sortCols: _*)
-    staged.join(offs, "_pid")
+    (staged.join(offs, "_pid")
       .withColumn("cum", col("_voff") + sum(col("_v")).over(w))
       .withColumn("pos", col("_roff") + row_number().over(w).cast("long"))
-      .drop("_pid", "_voff", "_roff", "_v")
+      .drop("_pid", "_voff", "_roff", "_v"), stagedDir)
   }
 
   /** Token-budget corpus selection: rank documents quality-first (here
@@ -980,7 +1053,7 @@ object Corpus {
   def temperatureSample(df: DataFrame, alpha: Double = 0.3,
       srcCol: String = "source", idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(lit(1))
+    val w = Window.partitionBy(boundedKey(col(srcCol)))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val rates = df.groupBy(srcCol).agg(count(lit(1)).as("n_s"))
       .withColumn("_pa", pow(col("n_s") / sum("n_s").over(w), lit(alpha)))
@@ -1017,7 +1090,7 @@ object Corpus {
     val j = hist(v1, "c1").join(hist(v2, "c2"), Seq("bin"), "full_outer")
       .select(col("bin"), coalesce(col("c1"), lit(0L)).as("c1"),
         coalesce(col("c2"), lit(0L)).as("c2"))
-    val w = Window.partitionBy(lit(1))
+    val w = Window.partitionBy(boundedKey(col("bin")))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     j.withColumn("_n1", sum("c1").over(w))
       .withColumn("_n2", sum("c2").over(w))
@@ -1231,9 +1304,9 @@ object Corpus {
     val newTypes = tok.groupBy("token").agg(min("bucket").as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("n_new_types"))
     // the cumulative frame is #buckets rows by construction; the
-    // constant partition key states that boundedness in the plan and
-    // silences WindowExec's no-partition warning
-    val w = Window.partitionBy(lit(0)).orderBy("bucket")
+    // non-foldable constant key states that boundedness in the plan
+    // and silences WindowExec's no-partition warning
+    val w = Window.partitionBy(boundedKey(col("bucket"))).orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docCounts
       .join(tokCounts, Seq("bucket"), "left")

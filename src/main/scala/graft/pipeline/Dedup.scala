@@ -113,7 +113,7 @@ object Dedup {
     * a count() job would be pure overhead. Listing and reads go through
     * the barrier's own FileSystem, so the probe works on any scheme.
     */
-  private[pipeline] def barrierRowCount(dir: org.apache.hadoop.fs.Path): Long = {
+  private[graft] def barrierRowCount(dir: org.apache.hadoop.fs.Path): Long = {
     val fs = Option(barrierDirs.get(dir)).getOrElse(
       dir.getFileSystem(new org.apache.hadoop.conf.Configuration()))
     fs.listStatus(dir)
@@ -124,6 +124,45 @@ object Dedup {
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
         try r.getRecordCount finally r.close()
       }.sum
+  }
+
+  /** Min AND max of an int64 column across a just-written barrier,
+    * from the parquet footer STATISTICS (zero Spark jobs) — None when
+    * any row group lacks stats for the column or holds only nulls.
+    * The funnel quantile summary reads its min/max this way instead
+    * of re-scanning the barrier.
+    */
+  private[graft] def barrierColumnMinMaxLong(
+      dir: org.apache.hadoop.fs.Path, column: String): Option[(Long, Long)] = {
+    val fs = Option(barrierDirs.get(dir)).getOrElse(
+      dir.getFileSystem(new org.apache.hadoop.conf.Configuration()))
+    import scala.jdk.CollectionConverters._
+    val ranges = fs.listStatus(dir)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .flatMap { st =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromStatus(st, fs.getConf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          r.getFooter.getBlocks.asScala
+            .filter(_.getRowCount > 0)
+            .flatMap { block =>
+              block.getColumns.asScala
+                .filter(_.getPath.toDotString == column)
+                .map { c =>
+                  val s = c.getStatistics
+                  if (s == null || s.isEmpty || !s.hasNonNullValue) None
+                  else (s.genericGetMin, s.genericGetMax) match {
+                    case (lo: java.lang.Long, hi: java.lang.Long) =>
+                      Some((lo.longValue(), hi.longValue()))
+                    case _ => None
+                  }
+                }
+            }
+        } finally r.close()
+      }
+    if (ranges.isEmpty || ranges.contains(None)) None
+    else Some((ranges.flatten.map(_._1).min, ranges.flatten.map(_._2).max))
   }
 
   /** Max value of an int64 column across a just-written barrier, from
@@ -166,7 +205,7 @@ object Dedup {
     * iterative algorithms cap scratch usage this way instead of letting
     * every round's barrier pile up until JVM exit.
     */
-  private[pipeline] def releaseBarrier(dir: org.apache.hadoop.fs.Path): Unit = {
+  private[graft] def releaseBarrier(dir: org.apache.hadoop.fs.Path): Unit = {
     Option(barrierDirs.remove(dir)).foreach { fs =>
       try { fs.delete(dir, true); () } catch { case _: Throwable => () }
     }

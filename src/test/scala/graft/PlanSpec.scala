@@ -397,6 +397,23 @@ class PlanSpec extends SparkSpec {
       s"p161: non-broadcast product appeared:\n$p")
   }
 
+  test("p23: sequence packing cumsum is two-phase — no per-source " +
+      "window over the corpus") {
+    // greedy packing's only sequential quantity is an associative
+    // prefix sum; the r11 rewrite rides withGlobalOrder (range
+    // partition + barrier + per-_pid window + broadcast per-source
+    // offsets) so no single task ever holds a whole source
+    val p = executed("p23_pack_sequences")
+    assert(p.contains("graft-globalorder"),
+      s"p23: no globalorder barrier scan — cumsum rewritten?:\n$p")
+    assert(p.contains("windowspecdefinition(_pid"),
+      s"p23: cumsum is not a per-partition window:\n$p")
+    assert(!p.contains("windowspecdefinition(source"),
+      s"p23: a full-source window reappeared:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"p23: offset join shuffled instead of broadcast:\n$p")
+  }
+
   test("p162/p163: bot signature counts, A/B readout is one scalar agg") {
     // p162: pure counting — the gap window rides ONE user-keyed
     // exchange, aggregation is (user, gap) counts then a per-user
@@ -438,9 +455,16 @@ class PlanSpec extends SparkSpec {
 
   test("p166/p167: sampling allocation and sequential monitor keep " +
       "bounded shapes") {
-    // p166: the per-doc draw is ONE stratum-keyed window; the
-    // allocation join broadcasts (|strata| rows); no product
+    // p166: the per-doc draw rides the two-phase withGlobalOrder rank
+    // (per-_pid window + broadcast offsets) — NO window partitioned by
+    // the stratum column may rank the corpus-sized relation (a stratum
+    // is a source; that shape is one source = one task, the p63/p103
+    // defect class). Allocation + offset joins broadcast; no product.
     val p = executed("p166_stratified_sample")
+    assert(p.contains("windowspecdefinition(_pid"),
+      s"p166: draw rank is not the per-partition global-order window:\n$p")
+    assert(!p.contains("windowspecdefinition(source"),
+      s"p166: a full-stratum window reappeared:\n$p")
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
       s"p166: allocation join shuffled instead of broadcast:\n$p")
     assert(!p.contains("CartesianProduct"),
@@ -471,6 +495,24 @@ class PlanSpec extends SparkSpec {
     assert(!pf.linesIterator.exists(l =>
       l.contains("Exchange hashpartitioning") && !l.contains("source")),
       s"p168: a non-source exchange appeared:\n$p")
+  }
+
+  test("p169: classifier eval ranks distinct scores via the two-phase " +
+      "cumsum — no corpus window, no shuffled join") {
+    // the midrank AUC ranks the |distinct p| score groups through
+    // withGlobalOrder (barrier + per-_pid window + broadcast offsets);
+    // summaries join back by broadcast; no array aggregates anywhere
+    val p = executed("p169_classifier_eval")
+    assert(p.contains("graft-globalorder"),
+      s"p169: no globalorder barrier scan — rank path rewritten?:\n$p")
+    assert(p.contains("windowspecdefinition(_pid"),
+      s"p169: score rank is not a per-partition window:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"p169: a shuffled join appeared:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"p169: non-broadcast product appeared:\n$p")
+    assert(!p.contains("collect_list") && !p.contains("sort_array"),
+      s"p169: an array aggregate appeared:\n$p")
   }
 
   test("p164: chi-square scenarios are unioned scalar aggregates — the " +

@@ -703,6 +703,39 @@ class PipelineSpec extends SparkSpec {
     assert(bins == (0L until bins.length).toSeq) // contiguous
   }
 
+  test("sequence packing: multi-source bins equal a driver replay of " +
+      "the per-source greedy cumsum") {
+    // the r11 two-phase rewrite derives in-source offsets from the
+    // global cumsum; replay the per-source greedy packing on the
+    // driver and compare bin-for-bin across uneven sources
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (1L to 120L).map { i =>
+      val src = s"s${i % 5}"
+      val nTok = 1 + rnd.nextInt(900)
+      (src, i, Seq.fill(nTok)("w").mkString(" "))
+    }
+    val got = Corpus.packSequences(rows.toDF("source", "doc_id", "text"),
+        budget = 1024)
+      .orderBy("source", "bin")
+      .collect()
+      .map(r => (r.getString(0), r.getAs[Long]("bin"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens")))
+      .toSeq
+    val want = rows.groupBy(_._1).toSeq.flatMap { case (src, ds) =>
+      var cum = 0L
+      ds.sortBy(_._2).map { case (_, _, text) =>
+        val nt = text.split("\\s+").length.toLong
+        val bin = cum / 1024
+        cum += nt
+        (src, bin, nt)
+      }.groupBy(_._2).toSeq.map { case (bin, xs) =>
+        (src, bin, xs.size.toLong, xs.map(_._3).sum)
+      }
+    }.sortBy(t => (t._1, t._2))
+    assert(got == want, s"got=$got\nwant=$want")
+  }
+
   test("mixSources: rate-1 keeps all, rate-0 drops all, rates are per-source and deterministic") {
     val d = docs.limit(100)
       .withColumn("source",
@@ -1523,6 +1556,48 @@ class PipelineSpec extends SparkSpec {
     assert(checked >= 40)
   }
 
+  test("s40 seam: per-split stratum top-k union + merged counts " +
+      "reproduce the batch stratifiedSample under arbitrary splits") {
+    // the s40 carried state: per-batch stratum counts (merge by sum)
+    // and per-batch stratumTopK candidates (min-k union ⊇ global
+    // top-k per stratum). For ANY split, the publish path — exact
+    // allocation over merged counts + rank over the candidate union —
+    // must equal the batch operator. Budgets chosen under, around,
+    // and over the stratum sizes (the over case exercises under-fill).
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(40)
+    (1 to 3).foreach { trial =>
+      val n = 30 + rnd.nextInt(40)
+      val rows = (1 to n).map(i =>
+        (i.toLong, s"s${rnd.nextInt(4)}", rnd.nextInt(3)))
+      val df = rows.toDF("doc_id", "source", "b")
+      val budget = Seq(5L, 12L, 100L)(trial - 1)
+      val want = Corpus.stratifiedSample(
+          df.select("doc_id", "source"), budget)
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          r.getLong(2), r.getLong(3))).toSeq
+      val cands = (0 to 2).map(b => Corpus.stratumTopK(
+          df.filter(col("b") === b).select("doc_id", "source"), budget))
+        .reduce(_ unionAll _)
+      val counts = df.groupBy(col("source").as("s"))
+        .agg(count(lit(1)).cast("long").as("c"))
+      val alloc = Corpus.allocFromCounts(counts, budget, "source")
+      val w = Window.partitionBy("source").orderBy("draw", "doc_id")
+      val got = cands
+        .withColumn("rk2", row_number().over(w).cast("long"))
+        .join(broadcast(alloc), Seq("source"))
+        .filter(col("rk2") <= col("n_alloc"))
+        .select(col("source"), col("doc_id"), col("rk2"),
+          col("n_alloc"))
+        .orderBy("source", "rk2")
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          r.getLong(2), r.getLong(3))).toSeq
+      assert(got == want, s"trial $trial budget $budget:" +
+        s"\n got  $got\n want $want")
+    }
+  }
+
   test("temperatureSample: alpha flattens, smallest source keeps everything") {
     import spark.implicits._
     val df = ((0 until 90).map(i => ("big", i.toLong)) ++
@@ -1864,6 +1939,40 @@ class PipelineSpec extends SparkSpec {
     // the model must actually separate something: accuracy beats the
     // majority-class baseline floor of 0.5
     assert(got("train_acc") > 0.5)
+  }
+
+  test("midrankAuc equals naive pairwise AUC on tied random data; " +
+      "degenerate inputs guard") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(169)
+    (1 to 5).foreach { trial =>
+      // coarse score grid forces heavy ties — the midrank branch
+      val rows = (1 to 80).map(_ =>
+        (rnd.nextInt(2).toLong, rnd.nextInt(7) / 10.0))
+      val r = TextAnalysis.midrankAuc(rows.toDF("yl", "p")).head()
+      val pos = rows.filter(_._1 == 1L).map(_._2)
+      val neg = rows.filter(_._1 == 0L).map(_._2)
+      val wins = (for { a <- pos; b <- neg } yield {
+        if (a > b) 1.0 else if (a == b) 0.5 else 0.0
+      }).sum
+      val want = wins / (pos.size.toLong * neg.size)
+      assert(math.abs(r.getDouble(0) - want) < 1e-6,
+        s"trial $trial: got ${r.getDouble(0)} want $want")
+      assert(!r.getBoolean(3))
+      assert(r.getLong(1) == pos.size && r.getLong(2) == neg.size)
+    }
+    // all-tied scores: exactly 0.5 through the midrank path
+    val const = (1 to 10).map(i => ((i % 2).toLong, 0.5))
+      .toDF("yl", "p")
+    assert(TextAnalysis.midrankAuc(const).head().getDouble(0) == 0.5)
+    // single-class and empty inputs guard with NULL auc
+    val onlyPos = Seq((1L, 0.3), (1L, 0.7)).toDF("yl", "p")
+    val op = TextAnalysis.midrankAuc(onlyPos).head()
+    assert(op.isNullAt(0) && op.getBoolean(3))
+    val empty = Seq.empty[(Long, Double)].toDF("yl", "p")
+    val e = TextAnalysis.midrankAuc(empty).head()
+    assert(e.isNullAt(0) && e.getBoolean(3) &&
+      e.getLong(1) == 0L && e.getLong(2) == 0L)
   }
 
   test("perplexityBuckets: per-lang thirds, scoreless docs sort last") {
@@ -4088,6 +4197,25 @@ class PipelineSpec extends SparkSpec {
       critOverride = Some(15.507)).collect()
     assert(r.length == 1 && r(0).getBoolean(r(0).length - 1),
       "1-user table must be guarded")
+  }
+
+  test("chiSquareReadout on EMPTY input: guarded=true, significant=" +
+      "false, zero counts (not NULLs)") {
+    // ADVICE r10: ungrouped SUM over zero rows is NULL in Spark — the
+    // readout must coalesce so the guard contract holds on empty input
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("user_id", "event_type")
+    val r = graft.operators.Pipeline.chiSquareReadout(empty).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    assert(row.getAs[Boolean]("guarded"), "empty input must be guarded")
+    assert(!row.getAs[Boolean]("significant"))
+    assert(row.isNullAt(row.fieldIndex("chi2")))
+    (0 until 3).foreach { i =>
+      assert(row.getAs[Long](s"n_$i") == 0L &&
+        row.getAs[Long](s"conv_$i") == 0L,
+        s"variant $i counts must coalesce to 0")
+    }
   }
 
   test("topEventPaths: both gaps must be in-session, counts merge " +
