@@ -14,6 +14,15 @@ object Streaming {
     Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
   }
 
+  /** Highest vN generation under a batchId-keyed state root — the
+    * publish-time read after a retry-idempotent state chain (a
+    * Spark-retried micro-batch overwrites its OWN generation, so the
+    * max is stable; an in-memory counter would double-advance).
+    */
+  private def latestGen(root: String): Int =
+    Option(new java.io.File(root).listFiles()).toSeq.flatten
+      .map(_.getName).filter(_.matches("v\\d+")).map(_.drop(1).toInt).max
+
   /** The file-stream source consumes whole files, so each staged ingest
     * batch must land as ONE parquet file in the watched dir.
     */
@@ -919,28 +928,31 @@ object Streaming {
       writeSingle(delta.filter(col("doc_id") % 2 === 0), srcDir, "batch_a")
       writeSingle(delta.filter(col("doc_id") % 2 === 1), srcDir, "batch_b")
       v1.write.mode("overwrite").parquet(s"$storeRoot/v0")
-      val gen = new java.util.concurrent.atomic.AtomicInteger(0)
       val schema = s.read.parquet(srcDir).schema
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
         .parquet(srcDir)
         .writeStream
-        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-          val cur = s.read.parquet(s"$storeRoot/v${gen.get()}")
+        // retry-idempotent: generations keyed by the framework batchId
+        // (the s39 discipline) — a retried micro-batch rewrites its
+        // own generation instead of double-advancing a counter
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+            batchId: Long) =>
+          val cur = s.read.parquet(s"$storeRoot/v$batchId")
           val next = cur
             .join(batch.select("doc_id"), Seq("doc_id"), "left_anti")
             .unionByName(batch
               .filter(col("status").isin("added", "changed"))
               .select("doc_id", "text"))
           next.write.mode("overwrite")
-            .parquet(s"$storeRoot/v${gen.incrementAndGet()}")
+            .parquet(s"$storeRoot/v${batchId + 1}")
           ()
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.read.parquet(s"$storeRoot/v${gen.get()}")
+      s.read.parquet(s"$storeRoot/v${latestGen(storeRoot)}")
         .select(col("doc_id"), md5(col("text")).as("dg"))
         .orderBy("doc_id")
     },
@@ -1666,15 +1678,16 @@ object Streaming {
       s.range(0).select(col("id").as("user_id"), nullA.as("a1"),
         nullA.as("a2"), nullA.as("a3"))
         .write.mode("overwrite").parquet(s"$stateRoot/v0")
-      val gen = new java.util.concurrent.atomic.AtomicInteger(0)
       val schema = s.read.parquet(srcDir).schema
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
         .parquet(srcDir)
         .writeStream
-        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-          val st = s.read.parquet(s"$stateRoot/v${gen.get()}")
+        // retry-idempotent: batchId-keyed generations (s39 discipline)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+            batchId: Long) =>
+          val st = s.read.parquet(s"$stateRoot/v$batchId")
           def stepMin(tp: String, anchored: org.apache.spark.sql.DataFrame,
               anchorCol: String): org.apache.spark.sql.DataFrame =
             batch.filter(col("event_type") === tp)
@@ -1697,14 +1710,14 @@ object Streaming {
             .select(col("user_id"), col("a1"), col("a2"),
               least(col("a3"), col("nv")).as("a3"))
           st3.write.mode("overwrite")
-            .parquet(s"$stateRoot/v${gen.incrementAndGet()}")
+            .parquet(s"$stateRoot/v${batchId + 1}")
           ()
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
       graft.operators.Pipeline.funnelRates(
-        s.read.parquet(s"$stateRoot/v${gen.get()}").agg(
+        s.read.parquet(s"$stateRoot/v${latestGen(stateRoot)}").agg(
           count(col("a1")).cast("long").as("n1"),
           count(col("a2")).cast("long").as("n2"),
           count(col("a3")).cast("long").as("n3"))
@@ -1843,15 +1856,18 @@ object Streaming {
           lit(null).cast("long").as("event_id"),
           lit(null).cast("string").as("event_type"))
         .write.mode("overwrite").parquet(s"$stateRoot/v0")
-      val gen = new java.util.concurrent.atomic.AtomicInteger(0)
       val schema = s.read.parquet(srcDir).schema
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
         .parquet(srcDir)
         .writeStream
-        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-          val st = s.read.parquet(s"$stateRoot/v${gen.get()}")
+        // retry-idempotent: batchId-keyed generations AND per-batch
+        // overwrite paths for the transition counts (s39 discipline —
+        // an appended count row would duplicate under a retry)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+            batchId: Long) =>
+          val st = s.read.parquet(s"$stateRoot/v$batchId")
             .select("user_id", "us", "event_id", "event_type")
           val uni = st.unionByName(
             batch.select("user_id", "us", "event_id", "event_type"))
@@ -1862,7 +1878,8 @@ object Streaming {
             .groupBy(col("event_type").as("from_type"),
               col("tt").as("to_type"))
             .agg(count(lit(1)).cast("long").as("n"))
-            .coalesce(1).write.mode("append").parquet(cntDir)
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$cntDir/b_$batchId")
           uni.groupBy("user_id")
             .agg(max(struct(col("us"), col("event_id"),
               col("event_type"))).as("m"))
@@ -1870,13 +1887,13 @@ object Streaming {
               col("m.event_id").as("event_id"),
               col("m.event_type").as("event_type"))
             .write.mode("overwrite")
-            .parquet(s"$stateRoot/v${gen.incrementAndGet()}")
+            .parquet(s"$stateRoot/v${batchId + 1}")
           ()
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.read.parquet(cntDir)
+      s.read.option("recursiveFileLookup", "true").parquet(cntDir)
         .groupBy("from_type", "to_type")
         .agg(sum(col("n")).cast("long").as("n"))
         .withColumn("p", round(col("n") /
@@ -2017,10 +2034,15 @@ object Streaming {
         .option("pathGlobFilter", "*.parquet")
         .parquet(srcDir)
         .writeStream
-        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // retry-idempotent: per-batch OVERWRITE paths keyed by the
+        // framework batchId (s39 discipline) — an append would
+        // duplicate a retried batch's partial counts
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+            batchId: Long) =>
           batch.groupBy("series", "hr")
             .agg(count(lit(1)).cast("long").as("n"))
-            .coalesce(1).write.mode("append").parquet(cntDir)
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$cntDir/b_$batchId")
           ()
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -2031,7 +2053,8 @@ object Streaming {
       // counts via the SHARED cusumFromCounts stage (one arithmetic
       // path for the batch gate and this mirror; the fuzz spec pins
       // that any batch split of the partials folds identically)
-      val merged = s.read.parquet(cntDir).groupBy("series", "hr")
+      val merged = s.read.option("recursiveFileLookup", "true")
+        .parquet(cntDir).groupBy("series", "hr")
         .agg(sum("n").cast("long").as("n0"))
       graft.operators.Pipeline.cusumFromCounts(merged, trainHours = 360,
         k = 1L, threshold = 50L, shiftSeries = "click",
@@ -2123,17 +2146,22 @@ object Streaming {
         .option("pathGlobFilter", "*.parquet")
         .parquet(srcDir)
         .writeStream
-        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // retry-idempotent: per-batch OVERWRITE paths keyed by the
+        // framework batchId (s39 discipline)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+            batchId: Long) =>
           batch.groupBy("user_id")
             .agg(sum(when(col("event_type") === "purchase", 1L)
               .otherwise(0L)).as("nc"))
-            .coalesce(1).write.mode("append").parquet(cntDir)
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$cntDir/b_$batchId")
           ()
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      val flags = s.read.parquet(cntDir).groupBy("user_id")
+      val flags = s.read.option("recursiveFileLookup", "true")
+        .parquet(cntDir).groupBy("user_id")
         .agg(when(sum(col("nc")) >= 14, 1L).otherwise(0L).as("conv"))
       graft.operators.Pipeline.chiSquareFromConv(flags, k = 3,
         minExpected = 5L, crit = 5.991)
@@ -2343,7 +2371,10 @@ object Streaming {
         .partitionBy(graft.pipeline.Corpus.boundedKey(col("look")))
         .orderBy("look")
         .rowsBetween(Window.unboundedPreceding, -1)
-      s.read.parquet(s"$looksDir/look_*")
+      // recursiveFileLookup instead of a look_* glob: a glob path makes
+      // FileStreamSink's metadata probe WARN with a stack trace on
+      // every read (the path "does not exist" as a literal dir)
+      s.read.option("recursiveFileLookup", "true").parquet(looksDir)
         .withColumn("first_crossing", col("crossed") &&
           coalesce(sum(when(col("crossed"), 1L).otherwise(0L))
             .over(wPrev), lit(0L)) === 0L)
@@ -2421,7 +2452,9 @@ object Streaming {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      val counts = s.read.parquet(s"$cntRoot/b_*")
+      // recursiveFileLookup instead of b_* globs: see the s39 note
+      val counts = s.read.option("recursiveFileLookup", "true")
+        .parquet(cntRoot)
         .groupBy(col("source").as("s"))
         .agg(sum("n").cast("long").as("c"))
       val alloc = Corpus.allocFromCounts(counts, 200L, "source")
@@ -2429,7 +2462,7 @@ object Streaming {
       // state (≤ batches·|strata|·k rows by construction), not the
       // corpus — the boundedness that makes a plain window safe
       val w = Window.partitionBy("source").orderBy("draw", "doc_id")
-      s.read.parquet(s"$candRoot/b_*")
+      s.read.option("recursiveFileLookup", "true").parquet(candRoot)
         .withColumn("rk2", row_number().over(w).cast("long"))
         .join(broadcast(alloc), Seq("source"))
         .filter(col("rk2") <= col("n_alloc"))
