@@ -113,6 +113,7 @@ object Bench {
     "s38_stream_chi_square", // per-user conv-count partials + readout
     "s39_stream_sequential", // per-look batches + live OBF readout
     "s40_stream_stratified", // per-batch stratum top-k + exact alloc
+    "s41_stream_auc",     // per-batch score-histogram partials + midrank
     "p149_sorted_neighborhood", // global-order window linkage
     "p150_dbscan",        // grid eps-graph + hook-and-contract CC
     "p151_interpolate",   // calendar grid + two-sided neighbor lerp
@@ -134,6 +135,7 @@ object Bench {
     "p167_sequential_monitor", // one-scan OBF looks, explode from 1 row
     "p168_mixture_weights", // per-source token mass + broadcast recipe
     "p169_classifier_eval", // midrank AUC + calibration bins, 3 scenarios
+    "p170_trimmed_readout", // per-arm exact-rank trim + decimal means
     "f07_csv_ingest_cold", // CSV parse + agg, no cache (dsq cold analog)
     "f08_csv_ingest_warm") // cached-parquet + agg (dsq -C warm analog)
 

@@ -552,6 +552,57 @@ object Pipeline {
       coalesce(abs(z) >= 1.96, lit(false)).as("significant"))
   }
 
+  /** Trimmed-mean A/B readout (the robust companion to [[abReadout]]):
+    * the metric is each user's event count, arms split by the p163 md5
+    * convention, and each arm drops its top and bottom `trimPct`% of
+    * users before the mean — the readout teams reach for on
+    * heavy-tailed metrics, where one whale user swings a raw mean but
+    * can move a trimmed mean by at most one rank slot. Trim bounds are
+    * EXACT integer ranks (lo = n·trimPct div 100; keep lo < rank ≤
+    * n − lo), so both engines cut at identical users — no float
+    * quantile boundary to disagree on.
+    *
+    * Distributed shape: one user-keyed partial-agg collapse, then ONE
+    * [[Corpus.withGlobalOrder]] rank over (arm, x, user_id) minus
+    * per-arm offsets (the p63 composition — an arm is HALF the corpus,
+    * so an arm-partitioned window sort would put half the users in one
+    * task). Means are exact DECIMAL(28,0) integer sums over the kept
+    * band; every division guarded.
+    */
+  def trimmedReadout(events: DataFrame, trimPct: Int = 5): DataFrame = {
+    require(trimPct >= 0 && trimPct < 50, s"bad trimPct $trimPct")
+    val users = events.groupBy("user_id")
+      .agg(count(lit(1)).cast("long").as("x"))
+      .withColumn("arm",
+        when(substring(md5(col("user_id").cast("string")), 1, 1) < "8",
+          "A").otherwise("B"))
+    val ranked = Corpus.withGlobalOrder(
+      users.select(col("arm"), col("user_id"), col("x")),
+      Seq(col("arm"), col("x"), col("user_id")), lit(1L))
+    val offs = ranked.groupBy("arm")
+      .agg(min("pos").as("_p0"), count(lit(1)).cast("long").as("n"))
+    val kept = col("rk") > col("lo") && col("rk") <= col("n") - col("lo")
+    ranked.join(broadcast(offs), Seq("arm"))
+      .withColumn("rk", col("pos") - col("_p0") + lit(1L))
+      .withColumn("lo", expr(s"(n * $trimPct) div 100"))
+      .groupBy("arm")
+      .agg(max(col("n")).as("n_users"),
+        max(col("lo")).as("n_trim"),
+        coalesce(sum(when(kept, 1L).otherwise(0L)), lit(0L))
+          .as("n_kept"),
+        sum(col("x").cast("decimal(28,0)")).as("_sx"),
+        sum(when(kept, col("x")).otherwise(0L).cast("decimal(28,0)"))
+          .as("_sxt"))
+      .select(col("arm"), col("n_users"), col("n_trim"), col("n_kept"),
+        round(when(col("n_users") > 0,
+          col("_sx").cast("double") / col("n_users").cast("double")), 6)
+          .as("mean_raw"),
+        round(when(col("n_kept") > 0,
+          col("_sxt").cast("double") / col("n_kept").cast("double")), 6)
+          .as("mean_trimmed"))
+      .orderBy("arm")
+  }
+
   /** k-variant experiment readout ([[abReadout]] generalized past two
     * arms): users assign by md5 hex digit mod k (deterministic,
     * engine-portable, independent of any data column), conversion is
@@ -4647,6 +4698,35 @@ object Pipeline {
         .unionAll(run(0, "zz", "2_nopos"))
         .unionAll(run(0, "en", "3_const"))
         .orderBy("scenario", "bin")
+    },
+
+    // Trimmed-mean robust readout: the oracle replays the md5 arm
+    // split, the exact per-arm (x, user_id) ranks, the integer trim
+    // bounds, and both decimal-sum means term for term.
+    QueryDef("p170_trimmed_readout",
+      """WITH u AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x,
+        |    CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1)
+        |      < '8' THEN 'A' ELSE 'B' END AS arm
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT arm, x,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY arm
+        |      ORDER BY x, user_id) AS BIGINT) AS rk,
+        |    CAST(COUNT(*) OVER (PARTITION BY arm) AS BIGINT) AS n
+        |  FROM u),
+        |t AS (SELECT arm, rk, x, n, (n * 5) // 100 AS lo FROM r)
+        |SELECT arm, CAST(MAX(n) AS BIGINT) AS n_users,
+        |  CAST(MAX(lo) AS BIGINT) AS n_trim,
+        |  CAST(SUM(CASE WHEN rk > lo AND rk <= n - lo
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  round(CAST(SUM(CAST(x AS DECIMAL(28,0))) AS DOUBLE) /
+        |    CAST(MAX(n) AS DOUBLE), 6) AS mean_raw,
+        |  round(CAST(SUM(CASE WHEN rk > lo AND rk <= n - lo
+        |      THEN CAST(x AS DECIMAL(28,0))
+        |      ELSE CAST(0 AS DECIMAL(28,0)) END) AS DOUBLE) /
+        |    CAST(SUM(CASE WHEN rk > lo AND rk <= n - lo
+        |      THEN 1 ELSE 0 END) AS DOUBLE), 6) AS mean_trimmed
+        |FROM t GROUP BY arm ORDER BY arm""".stripMargin) { (s, dir) =>
+      trimmedReadout(t(s, dir, "events").select("user_id"))
     },
 
     // Group-sequential monitor: the oracle replays the integer week

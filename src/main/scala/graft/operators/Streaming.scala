@@ -2469,6 +2469,139 @@ object Streaming {
         .select(col("source"), col("doc_id"),
           col("rk2").as("rank_in_stratum"), col("n_alloc"))
         .orderBy("source", "rank_in_stratum")
+    },
+
+    // Streaming model evaluation (p169's AUC over continuous ingest):
+    // an OFFLINE-trained model (the 3-step GD fit, published once)
+    // scores each ingest micro-batch; the carried state is the
+    // per-batch (score, count, positives) HISTOGRAM partial — exact
+    // under any split because histogram counts merge by sum — and the
+    // publish-time readout flows through the batch gate's identical
+    // midrank rank arithmetic (midrankAucFromCounts), so the streamed
+    // AUC must equal p169's scenario-1 row verbatim. At 100 TB: state
+    // is |distinct 6-decimal scores| rows per batch (≤ 10^6+1 by
+    // construction), the corpus is never re-read, and no single task
+    // ever holds more than a range partition of the score histogram.
+    // Retry-idempotent: batchId-keyed overwrite paths (s39 discipline).
+    QueryDef("s41_stream_auc",
+      """WITH f AS (
+        |  SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+        |    1.0 AS x0,
+        |    ln(1.0 + CAST(nt AS DOUBLE)) AS x1,
+        |    CAST(length(text) AS DOUBLE) / CAST(nt AS DOUBLE) AS x2
+        |  FROM (SELECT lang, text, CASE
+        |      WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
+        |      THEN 0
+        |      ELSE len(string_split_regex(
+        |        regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'))
+        |      END AS nt
+        |    FROM documents)
+        |  WHERE nt > 0),
+        |n AS (SELECT count(*) AS m FROM f),
+        |ws0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2),
+        |g1 AS (SELECT
+        |    CAST(sum(CAST((1.0/(1.0+exp(-(w0*x0+w1*x1+w2*x2))) - y)*x0
+        |      AS DECIMAL(28,12))) AS DOUBLE) AS g0,
+        |    CAST(sum(CAST((1.0/(1.0+exp(-(w0*x0+w1*x1+w2*x2))) - y)*x1
+        |      AS DECIMAL(28,12))) AS DOUBLE) AS g1,
+        |    CAST(sum(CAST((1.0/(1.0+exp(-(w0*x0+w1*x1+w2*x2))) - y)*x2
+        |      AS DECIMAL(28,12))) AS DOUBLE) AS g2
+        |  FROM f CROSS JOIN ws0),
+        |ws1 AS (SELECT w0 - 1.0*(g0/CAST(m AS DOUBLE)) AS w0,
+        |    w1 - 1.0*(g1/CAST(m AS DOUBLE)) AS w1,
+        |    w2 - 1.0*(g2/CAST(m AS DOUBLE)) AS w2
+        |  FROM g1 CROSS JOIN ws0 CROSS JOIN n),
+        |g2 AS (SELECT
+        |    CAST(sum(CAST((1.0/(1.0+exp(-(w0*x0+w1*x1+w2*x2))) - y)*x0
+        |      AS DECIMAL(28,12))) AS DOUBLE) AS g0,
+        |    CAST(sum(CAST((1.0/(1.0+exp(-(w0*x0+w1*x1+w2*x2))) - y)*x1
+        |      AS DECIMAL(28,12))) AS DOUBLE) AS g1,
+        |    CAST(sum(CAST((1.0/(1.0+exp(-(w0*x0+w1*x1+w2*x2))) - y)*x2
+        |      AS DECIMAL(28,12))) AS DOUBLE) AS g2
+        |  FROM f CROSS JOIN ws1),
+        |ws2 AS (SELECT w0 - 1.0*(g0/CAST(m AS DOUBLE)) AS w0,
+        |    w1 - 1.0*(g1/CAST(m AS DOUBLE)) AS w1,
+        |    w2 - 1.0*(g2/CAST(m AS DOUBLE)) AS w2
+        |  FROM g2 CROSS JOIN ws1 CROSS JOIN n),
+        |g3 AS (SELECT
+        |    CAST(sum(CAST((1.0/(1.0+exp(-(w0*x0+w1*x1+w2*x2))) - y)*x0
+        |      AS DECIMAL(28,12))) AS DOUBLE) AS g0,
+        |    CAST(sum(CAST((1.0/(1.0+exp(-(w0*x0+w1*x1+w2*x2))) - y)*x1
+        |      AS DECIMAL(28,12))) AS DOUBLE) AS g1,
+        |    CAST(sum(CAST((1.0/(1.0+exp(-(w0*x0+w1*x1+w2*x2))) - y)*x2
+        |      AS DECIMAL(28,12))) AS DOUBLE) AS g2
+        |  FROM f CROSS JOIN ws2),
+        |ws3 AS (SELECT w0 - 1.0*(g0/CAST(m AS DOUBLE)) AS w0,
+        |    w1 - 1.0*(g1/CAST(m AS DOUBLE)) AS w1,
+        |    w2 - 1.0*(g2/CAST(m AS DOUBLE)) AS w2
+        |  FROM g3 CROSS JOIN ws2 CROSS JOIN n),
+        |sc AS (SELECT CAST(y AS BIGINT) AS yl,
+        |    round(1.0/(1.0+exp(-(w0*x0+w1*x1+w2*x2))), 6) AS p
+        |  FROM f CROSS JOIN ws3),
+        |g AS (SELECT p, CAST(count(*) AS BIGINT) AS c,
+        |    CAST(sum(yl) AS BIGINT) AS np
+        |  FROM sc GROUP BY 1),
+        |o AS (SELECT p, c, np,
+        |    CAST(COALESCE(SUM(c) OVER (ORDER BY p
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS below
+        |  FROM g),
+        |tt AS (SELECT
+        |    COALESCE(SUM(CAST(np AS DECIMAL(18,0)) *
+        |      CAST(below*2 + c + 1 AS DECIMAL(18,0))),
+        |      CAST(0 AS DECIMAL(18,0))) AS r2,
+        |    CAST(COALESCE(SUM(np), 0) AS DECIMAL(18,0)) AS npos,
+        |    CAST(COALESCE(SUM(c - np), 0) AS DECIMAL(18,0)) AS nneg
+        |  FROM o)
+        |SELECT round(CASE WHEN npos > 0 AND nneg > 0 THEN
+        |    CAST(r2 - npos*(npos+1) AS DOUBLE) /
+        |    CAST(npos*nneg*2 AS DOUBLE) END, 6) AS auc,
+        |  CAST(npos AS BIGINT) AS n_pos,
+        |  CAST(nneg AS BIGINT) AS n_neg,
+        |  NOT (npos > 0 AND nneg > 0) AS guarded
+        |FROM tt""".stripMargin) { (s, dir) =>
+      import graft.pipeline.TextAnalysis
+      val docs = graft.Tables.load(s, dir, "documents")
+        .select("doc_id", "lang", "text")
+      // the model is fit ONCE up front (offline training, online
+      // scoring — an evaluation stream consumes a published model)
+      val (_, w) = TextAnalysis.logregFit(docs, steps = 3, lr = 1.0,
+        posLang = "en", langCol = "lang", textCol = "text")
+      val base = java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_fmt").toString
+      val srcDir = s"$base/s41_stream_src"
+      val cntRoot = s"$base/s41_hist"
+      Seq(srcDir, cntRoot).foreach(d => rmTree(new java.io.File(d)))
+      new java.io.File(srcDir).mkdirs()
+      (0 until 4).foreach { b =>
+        writeSingle(docs.filter(col("doc_id") % 4 === b),
+          srcDir, s"batch_$b")
+      }
+      val schema = s.read.parquet(srcDir).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(srcDir)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+            batchId: Long) =>
+          TextAnalysis.logregScore(batch, w)
+            .groupBy("p")
+            .agg(count(lit(1)).cast("long").as("c"),
+              sum(col("yl")).cast("long").as("np"))
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$cntRoot/b_$batchId")
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val merged = s.read.option("recursiveFileLookup", "true")
+        .parquet(cntRoot)
+        .groupBy("p")
+        .agg(sum("c").cast("long").as("c"),
+          sum("np").cast("long").as("np"))
+      TextAnalysis.midrankAucFromCounts(merged)
     }
   )
 }

@@ -682,10 +682,19 @@ object TextAnalysis {
     * so the midrank math is fuzz-testable against naive O(n²)
     * pair counting on arbitrary tied inputs.
     */
-  private[graft] def midrankAuc(scored: DataFrame): DataFrame = {
-    val g = scored.groupBy("p").agg(
+  private[graft] def midrankAuc(scored: DataFrame): DataFrame =
+    midrankAucFromCounts(scored.groupBy("p").agg(
       count(lit(1)).cast("long").as("c"),
-      sum(col("yl")).cast("long").as("np"))
+      sum(col("yl")).cast("long").as("np")))
+
+  /** [[midrankAuc]]'s readout stage over a PRE-AGGREGATED score
+    * histogram (`p`, `c`, `np`) — the seam the s41 streaming mirror
+    * shares: its carried state is per-batch (score, count, positives)
+    * partials, which merge by sum into exactly this table, so the
+    * streamed AUC flows through the identical rank arithmetic as the
+    * batch gate.
+    */
+  private[graft] def midrankAucFromCounts(g: DataFrame): DataFrame = {
     val ordered = Corpus.withGlobalOrder(g, Seq(col("p")), col("c"))
     val d18 = "decimal(18,0)"
     val tot = ordered.agg(
@@ -702,6 +711,29 @@ object TextAnalysis {
       col("npos").cast("long").as("n_pos"),
       col("nneg").cast("long").as("n_neg"),
       coalesce(!okC, lit(true)).as("guarded"))
+  }
+
+  /** Score a document relation with an already-fit [[logregFit]]
+    * weight row (offline-trained model, online scoring — the s41
+    * streaming evaluation shape): recompute the three features inline
+    * (no barrier; the caller streams batches) and emit the (label,
+    * 6-decimal sigmoid) pairs [[midrankAuc]] consumes.
+    */
+  private[graft] def logregScore(docs: DataFrame, w: DataFrame,
+      posLang: String = "en", langCol: String = "lang",
+      textCol: String = "text"): DataFrame = {
+    val nt = tokenCount(col(textCol))
+    val feats = docs.filter(nt > 0).select(
+      when(col(langCol) === posLang, 1L).otherwise(0L).as("yl"),
+      lit(1.0).as("x0"),
+      log(lit(1.0) + nt.cast("double")).as("x1"),
+      (length(col(textCol)).cast("double") / nt.cast("double"))
+        .as("x2"))
+    val z = col("w0") * col("x0") + col("w1") * col("x1") +
+      col("w2") * col("x2")
+    feats.crossJoin(w)
+      .select(col("yl"),
+        round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("p"))
   }
 
   /** CCNet-style head/middle/tail perplexity bucketing (Wenzek et al.,

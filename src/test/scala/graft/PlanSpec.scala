@@ -515,6 +515,24 @@ class PlanSpec extends SparkSpec {
       s"p169: an array aggregate appeared:\n$p")
   }
 
+  test("p170: trimmed readout ranks via the two-phase cumsum — no " +
+      "arm-partitioned window over the user population") {
+    // an arm is HALF the corpus: an arm-keyed window sort would put
+    // half the users in one task; the trim ranks must ride the
+    // withGlobalOrder barrier + per-_pid window + broadcast offsets
+    val p = executed("p170_trimmed_readout")
+    assert(p.contains("graft-globalorder"),
+      s"p170: no globalorder barrier scan — rank path rewritten?:\n$p")
+    assert(p.contains("windowspecdefinition(_pid"),
+      s"p170: trim rank is not a per-partition window:\n$p")
+    assert(!p.contains("windowspecdefinition(arm"),
+      s"p170: an arm-partitioned window appeared:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"p170: offset join shuffled instead of broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"p170: non-broadcast product appeared:\n$p")
+  }
+
   test("p164: chi-square scenarios are unioned scalar aggregates — the " +
       "only join is the planted broadcast product") {
     // each scenario: one user-keyed groupBy collapsing to a 2k-counter

@@ -1556,6 +1556,70 @@ class PipelineSpec extends SparkSpec {
     assert(checked >= 40)
   }
 
+  test("trimmedReadout equals a driver replay of the per-arm exact-" +
+      "rank trim on random heavy-tailed data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(170)
+    (1 to 3).foreach { trial =>
+      // heavy tail: a few whale users with 100× the events
+      val events = (1 to 60).flatMap { u =>
+        val n = if (u % 17 == 0) 200 + rnd.nextInt(100)
+                else 1 + rnd.nextInt(8)
+        Seq.fill(n)(u.toLong)
+      }
+      val got = graft.operators.Pipeline.trimmedReadout(
+          events.toDF("user_id"), trimPct = 5)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4), r.getDouble(5))).toSeq
+      def md5hex(s: String): String = {
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8"))
+        d.map("%02x".format(_)).mkString
+      }
+      def r6(x: Double): Double = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val want = events.groupBy(identity).toSeq
+        .map { case (u, es) => (u, es.size.toLong) }
+        .groupBy { case (u, _) =>
+          if (md5hex(u.toString).charAt(0) < '8') "A" else "B" }
+        .toSeq.map { case (arm, us) =>
+          val sorted = us.sortBy { case (u, x) => (x, u) }
+          val n = sorted.size.toLong
+          val lo = n * 5 / 100
+          val kept = sorted.slice(lo.toInt, (n - lo).toInt)
+          (arm, n, lo, kept.size.toLong,
+            r6(sorted.map(_._2).sum.toDouble / n),
+            r6(kept.map(_._2).sum.toDouble / kept.size))
+        }.sortBy(_._1)
+      assert(got == want, s"trial $trial:\n got  $got\n want $want")
+    }
+  }
+
+  test("s41 seam: per-split score-histogram partials merge to the " +
+      "batch midrankAuc under arbitrary splits") {
+    // the s41 carried state: (p, c, np) histogram rows per batch —
+    // counts merge by sum, so ANY split must reproduce the batch AUC
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    (1 to 3).foreach { trial =>
+      val rows = (1 to 100).map(_ =>
+        (rnd.nextInt(2).toLong, rnd.nextInt(5) / 4.0, rnd.nextInt(3)))
+      val full = rows.map(r => (r._1, r._2)).toDF("yl", "p")
+      val want = TextAnalysis.midrankAuc(full).collect().toSeq.map(_.toSeq)
+      val merged = (0 to 2).map { b =>
+          rows.filter(_._3 == b).map(r => (r._1, r._2))
+            .toDF("yl", "p")
+            .groupBy("p").agg(count(lit(1)).cast("long").as("c"),
+              sum(col("yl")).cast("long").as("np"))
+        }.reduce(_ unionAll _)
+        .groupBy("p").agg(sum("c").cast("long").as("c"),
+          sum("np").cast("long").as("np"))
+      val got = TextAnalysis.midrankAucFromCounts(merged)
+        .collect().toSeq.map(_.toSeq)
+      assert(got == want, s"trial $trial:\n got  $got\n want $want")
+    }
+  }
+
   test("s40 seam: per-split stratum top-k union + merged counts " +
       "reproduce the batch stratifiedSample under arbitrary splits") {
     // the s40 carried state: per-batch stratum counts (merge by sum)
