@@ -136,6 +136,9 @@ object Bench {
     "p168_mixture_weights", // per-source token mass + broadcast recipe
     "p169_classifier_eval", // midrank AUC + calibration bins, 3 scenarios
     "p170_trimmed_readout", // per-arm exact-rank trim + decimal means
+    "p171_labeler_kappa", // 2x2 confusion scalar agg + exact pe=1 guard
+    "p172_mde_readout",   // pooled-rate MDE at 80% power, one scalar agg
+    "p173_bootstrap_ci",  // deterministic Poisson replicas, map-side B-fold
     "f07_csv_ingest_cold", // CSV parse + agg, no cache (dsq cold analog)
     "f08_csv_ingest_warm") // cached-parquet + agg (dsq -C warm analog)
 

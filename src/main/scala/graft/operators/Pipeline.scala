@@ -603,6 +603,158 @@ object Pipeline {
       .orderBy("arm")
   }
 
+  /** Cohen's kappa between two boolean labelers over the same corpus —
+    * the agreement readout a weak-supervision pipeline runs before
+    * trusting a new labeling function (raw agreement flatters: two
+    * labelers that both say "keep" 95% of the time agree 90%+ by
+    * chance; kappa = (p_o − p_e)/(1 − p_e) corrects for that chance
+    * floor). The 2×2 confusion is ONE scalar aggregate of exact int64
+    * cell counts; p_o/p_e/kappa are a fixed double expression tree
+    * over those counts, mirrored term-for-term by the oracle. Guard:
+    * p_e = 1 ⟺ both labelers constant — kappa undefined (0/0) → NULL,
+    * `guarded` true. The p_e = 1 test is EXACT in int64:
+    * n·n − (a1·b1 + (n−a1)(n−b1)) == 0, no float equality.
+    */
+  def labelerKappa(df: DataFrame, labelA: Column,
+      labelB: Column): DataFrame = {
+    val cells = df.select(labelA.as("la"), labelB.as("lb"))
+      .agg(
+        coalesce(sum(when(col("la") && col("lb"), 1L).otherwise(0L)),
+          lit(0L)).cast("long").as("n11"),
+        coalesce(sum(when(col("la") && !col("lb"), 1L).otherwise(0L)),
+          lit(0L)).cast("long").as("n10"),
+        coalesce(sum(when(!col("la") && col("lb"), 1L).otherwise(0L)),
+          lit(0L)).cast("long").as("n01"),
+        coalesce(sum(when(!col("la") && !col("lb"), 1L).otherwise(0L)),
+          lit(0L)).cast("long").as("n00"))
+    val n = col("n11") + col("n10") + col("n01") + col("n00")
+    val a1 = col("n11") + col("n10") // labeler A yes
+    val b1 = col("n11") + col("n01") // labeler B yes
+    // chance-agreement numerator in exact int64: pe = (a1·b1 +
+    // a0·b0)/n²; pe=1 ⟺ n² − that numerator == 0
+    val peNum = a1 * b1 + (n - a1) * (n - b1)
+    val ok = (n > 0) && (n * n - peNum > 0)
+    val po = (col("n11") + col("n00")).cast("double") / n.cast("double")
+    val pe = peNum.cast("double") / (n * n).cast("double")
+    cells.select(col("n11"), col("n10"), col("n01"), col("n00"),
+      n.cast("long").as("n"),
+      round(when(n > 0, po), 6).as("p_observed"),
+      round(when(n > 0, pe), 6).as("p_chance"),
+      round(when(ok, (po - pe) / (lit(1.0) - pe)), 6).as("kappa"),
+      coalesce(!ok, lit(true)).as("guarded"))
+  }
+
+  /** Minimum-detectable-effect / power readout for the [[abReadout]]
+    * experiment at its CURRENT sample sizes — the "how small a lift
+    * could this test even see" table a team consults before reading
+    * the z score (an insignificant result on an underpowered test is
+    * silence, not evidence). At 80% power and α = 0.05 two-sided:
+    * MDE_abs = (z_{α/2} + z_β)·SE = (1.959964 + 0.841621)·
+    * √(p̂(1−p̂)(1/n_a + 1/n_b)) with p̂ the pooled conversion rate.
+    * One user-keyed collapse + one scalar aggregate (the p163 plan);
+    * every division and √ guarded; `powered_for_observed` says whether
+    * the observed |rate gap| clears the MDE — the readout's verdict.
+    */
+  def mdeReadout(events: DataFrame, convType: String = "purchase",
+      minConv: Int = 1): DataFrame = {
+    val users = events.groupBy("user_id")
+      .agg(when(sum(when(col("event_type") === convType, 1L)
+        .otherwise(0L)) >= minConv, 1L).otherwise(0L).as("conv"))
+      .withColumn("va",
+        substring(md5(col("user_id").cast("string")), 1, 1) < "8")
+    val counts = users.agg(
+      coalesce(sum(when(col("va"), 1L).otherwise(0L)), lit(0L))
+        .cast("long").as("n_a"),
+      coalesce(sum(when(col("va"), col("conv")).otherwise(0L)), lit(0L))
+        .cast("long").as("conv_a"),
+      coalesce(sum(when(!col("va"), 1L).otherwise(0L)), lit(0L))
+        .cast("long").as("n_b"),
+      coalesce(sum(when(!col("va"), col("conv")).otherwise(0L)),
+        lit(0L)).cast("long").as("conv_b"))
+    val ok = col("n_a") > 0 && col("n_b") > 0
+    val p = when(ok, (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double"))
+    val se = when(ok, sqrt(p * (lit(1.0) - p) *
+      (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))))
+    val mde = lit(1.959964 + 0.841621) * se
+    val ra = when(col("n_a") > 0,
+      col("conv_a").cast("double") / col("n_a"))
+    val rb = when(col("n_b") > 0,
+      col("conv_b").cast("double") / col("n_b"))
+    val mdeRel = when(ok && p > 0, mde / p)
+    counts.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      round(p, 6).as("rate_pooled"),
+      round(mde, 6).as("mde_abs"),
+      round(mdeRel, 6).as("mde_rel"),
+      coalesce(abs(ra - rb) >= mde, lit(false))
+        .as("powered_for_observed"),
+      coalesce(!ok, lit(true)).as("guarded"))
+  }
+
+  /** Percentile-bootstrap confidence interval for a corpus mean with
+    * DETERMINISTIC Poisson resampling: each of B replicas reweights
+    * every row by a Poisson(1) draw w = F⁻¹(u) where u derives from
+    * md5(id:replica) — the standard "online bootstrap" trick (a
+    * Poisson(1) count per row ≈ sampling with replacement) made
+    * engine-portable and re-run-stable because the randomness is a
+    * pure hash function of the data, not RNG state. Replica means are
+    * swx_b / sw_b over EXACT int64 sums (w ≤ 9, so w·x stays int64);
+    * the 90% CI picks the rank-⌈0.05B⌉ and rank-⌈0.95B⌉ replica means
+    * by exact rank over the B-row replica table (bounded window on
+    * [[Corpus.boundedKey]]). The inverse-CDF thresholds are literal
+    * constants written identically in the oracle, so the CASE cuts at
+    * bit-identical doubles in both engines.
+    *
+    * Distributed shape: one narrow (x, id) scan exploded ×B into
+    * (replica, w·x, w) terms that partial-aggregate map-side to B
+    * rows — the amplification never crosses the shuffle unreduced.
+    */
+  def bootstrapCi(df: DataFrame, xCol: String, idCol: String = "doc_id",
+      b: Int = 40): DataFrame = {
+    require(b >= 20 && b <= 1000, s"bad replica count $b")
+    // cumulative Poisson(1): P(X <= k), k = 0..8 (else 9)
+    val cuts = Seq(
+      0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+      0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+      0.9999167588507119, 0.9999897508033253, 0.9999988747974020)
+    val u = conv(substring(md5(concat(col(idCol).cast("string"),
+      lit(":"), col("_b").cast("string"))), 1, 8), 16, 10)
+      .cast("double") / 4294967296.0
+    val w = cuts.zipWithIndex.foldRight(lit(9L): Column) {
+      case ((t, k), acc) => when(u < t, k.toLong).otherwise(acc) }
+    val reps = df
+      .select(col(idCol), col(xCol).cast("long").as("_x"),
+        explode(sequence(lit(0), lit(b - 1))).as("_b"))
+      .select(col("_b"), (w * col("_x")).as("_wx"), w.as("_w"))
+      .groupBy("_b")
+      .agg(sum("_wx").cast("long").as("swx"),
+        sum("_w").cast("long").as("sw"))
+      .select(col("_b"),
+        round(when(col("sw") > 0,
+          col("swx").cast("double") / col("sw").cast("double")), 6)
+          .as("m"))
+    val loR = math.ceil(0.05 * b).toLong
+    val hiR = math.ceil(0.95 * b).toLong
+    val wR = org.apache.spark.sql.expressions.Window
+      .partitionBy(Corpus.boundedKey(col("_b")))
+      .orderBy(col("m"), col("_b"))
+    val ci = reps.withColumn("rk", row_number().over(wR).cast("long"))
+      .agg(max(when(col("rk") === loR, col("m"))).as("ci_lo"),
+        max(when(col("rk") === hiR, col("m"))).as("ci_hi"),
+        count(lit(1)).cast("long").as("n_replicas"))
+    val full = df.agg(
+      coalesce(count(lit(1)), lit(0L)).cast("long").as("n"),
+      round(when(count(lit(1)) > 0,
+        sum(col(xCol).cast("long")).cast("double") /
+          count(lit(1)).cast("double")), 6).as("mean_full"))
+    full.crossJoin(broadcast(ci))
+      .select(col("n"), col("mean_full"), col("n_replicas"),
+        col("ci_lo"), col("ci_hi"),
+        coalesce(col("ci_lo") <= col("mean_full") &&
+          col("mean_full") <= col("ci_hi"), lit(false))
+          .as("mean_in_ci"))
+  }
+
   /** k-variant experiment readout ([[abReadout]] generalized past two
     * arms): users assign by md5 hex digit mod k (deterministic,
     * engine-portable, independent of any data column), conversion is
@@ -4727,6 +4879,161 @@ object Pipeline {
         |      THEN 1 ELSE 0 END) AS DOUBLE), 6) AS mean_trimmed
         |FROM t GROUP BY arm ORDER BY arm""".stripMargin) { (s, dir) =>
       trimmedReadout(t(s, dir, "events").select("user_id"))
+    },
+
+    // Labeler agreement: scenario 1 pits a char-threshold labeler
+    // against a token-threshold labeler (correlated but not identical
+    // → a real kappa); scenario 2 makes both labelers constant-true,
+    // pinning the exact-int64 p_e=1 guard. The oracle replays the
+    // confusion cells and the fixed kappa tree.
+    QueryDef("p171_labeler_kappa",
+      """WITH tk AS (SELECT n_chars,
+        |    CAST(CASE WHEN length(w) = 0 THEN 0
+        |         ELSE len(string_split_regex(w, '\s+')) END AS BIGINT)
+        |      AS nt
+        |  FROM (SELECT n_chars,
+        |          regexp_replace(text, '^\s+|\s+$', '', 'g') AS w
+        |        FROM documents)),
+        |l AS (SELECT n_chars >= 300 AS la, nt >= 55 AS lb FROM tk),
+        |c AS (SELECT
+        |    CAST(SUM(CASE WHEN la AND lb THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n11,
+        |    CAST(SUM(CASE WHEN la AND NOT lb THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n10,
+        |    CAST(SUM(CASE WHEN NOT la AND lb THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n01,
+        |    CAST(SUM(CASE WHEN NOT la AND NOT lb THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n00
+        |  FROM l),
+        |k AS (SELECT *, n11 + n10 + n01 + n00 AS n,
+        |    n11 + n10 AS a1, n11 + n01 AS b1 FROM c),
+        |e AS (SELECT *, a1*b1 + (n - a1)*(n - b1) AS pe_num,
+        |    CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+        |    CAST(a1*b1 + (n - a1)*(n - b1) AS DOUBLE) /
+        |      CAST(n*n AS DOUBLE) AS pe
+        |  FROM k),
+        |r AS (SELECT '1_real' AS scenario, n11, n10, n01, n00, n,
+        |    round(po, 6) AS p_observed, round(pe, 6) AS p_chance,
+        |    round(CASE WHEN n > 0 AND n*n - pe_num > 0
+        |      THEN (po - pe) / (1.0 - pe) END, 6) AS kappa,
+        |    NOT (n > 0 AND n*n - pe_num > 0) AS guarded
+        |  FROM e),
+        |c2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)
+        |SELECT * FROM r
+        |UNION ALL
+        |SELECT '2_const', n, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |  CAST(0 AS BIGINT), n, 1.0, 1.0, NULL, true FROM c2
+        |ORDER BY 1""".stripMargin) { (s, dir) =>
+      import graft.pipeline.TextAnalysis
+      val docs = t(s, dir, "documents")
+      val real = labelerKappa(docs,
+          col("n_chars") >= 300,
+          TextAnalysis.tokenCount(col("text")) >= 55)
+        .select((lit("1_real").as("scenario") +: Seq("n11", "n10",
+          "n01", "n00", "n", "p_observed", "p_chance", "kappa",
+          "guarded").map(col)): _*)
+      val const = labelerKappa(docs, lit(true), lit(true))
+        .select((lit("2_const").as("scenario") +: Seq("n11", "n10",
+          "n01", "n00", "n", "p_observed", "p_chance", "kappa",
+          "guarded").map(col)): _*)
+      real.unionAll(const).orderBy("scenario")
+    },
+
+    // MDE/power readout: the oracle replays the md5 split, the pooled
+    // rate, the (z_a/2 + z_b)·SE minimum detectable effect, and the
+    // powered-for-observed verdict term for term.
+    QueryDef("p172_mde_readout",
+      """WITH u AS (SELECT user_id,
+        |    CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+        |      THEN 1 ELSE 0 END) >= 1 THEN 1 ELSE 0 END AS conv,
+        |    substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8' AS va
+        |  FROM events GROUP BY user_id),
+        |c AS (SELECT
+        |    CAST(SUM(CASE WHEN va THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN va THEN conv ELSE 0 END) AS BIGINT)
+        |      AS conv_a,
+        |    CAST(SUM(CASE WHEN NOT va THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b,
+        |    CAST(SUM(CASE WHEN NOT va THEN conv ELSE 0 END) AS BIGINT)
+        |      AS conv_b
+        |  FROM u),
+        |e AS (SELECT *,
+        |    CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |      CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)
+        |    END AS p FROM c),
+        |m AS (SELECT *,
+        |    CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |      (1.959964 + 0.841621) * sqrt(p * (1.0 - p) *
+        |        (1.0 / n_a + 1.0 / n_b)) END AS mde,
+        |    CASE WHEN n_a > 0 THEN CAST(conv_a AS DOUBLE) / n_a END
+        |      AS ra,
+        |    CASE WHEN n_b > 0 THEN CAST(conv_b AS DOUBLE) / n_b END
+        |      AS rb
+        |  FROM e)
+        |SELECT n_a, conv_a, n_b, conv_b,
+        |  round(p, 6) AS rate_pooled,
+        |  round(mde, 6) AS mde_abs,
+        |  round(CASE WHEN n_a > 0 AND n_b > 0 AND p > 0
+        |    THEN mde / p END, 6) AS mde_rel,
+        |  COALESCE(abs(ra - rb) >= mde, false) AS powered_for_observed,
+        |  NOT (n_a > 0 AND n_b > 0) AS guarded
+        |FROM m""".stripMargin) { (s, dir) =>
+      mdeReadout(t(s, dir, "events")
+        .select("user_id", "event_type"))
+    },
+
+    // Deterministic Poisson bootstrap: the oracle replays the md5
+    // uniform (s30's hex-digit expansion — exact powers of 16, exact
+    // /2^32), the identical inverse-CDF literals, the int64 replica
+    // sums, and the rank-2/rank-38 CI picks over the 40 replicas.
+    QueryDef("p173_bootstrap_ci",
+      """WITH bb AS (SELECT unnest(range(40)) AS b),
+        |d AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS x
+        |  FROM documents),
+        |h AS (SELECT x, b,
+        |    substring(md5(CAST(doc_id AS VARCHAR) || ':' ||
+        |      CAST(b AS VARCHAR)), 1, 8) AS hx
+        |  FROM d CROSS JOIN bb),
+        |uu AS (SELECT x, b,
+        |   ((strpos('0123456789abcdef', substring(hx,1,1)) - 1) * 268435456.0
+        |  + (strpos('0123456789abcdef', substring(hx,2,1)) - 1) * 16777216.0
+        |  + (strpos('0123456789abcdef', substring(hx,3,1)) - 1) * 1048576.0
+        |  + (strpos('0123456789abcdef', substring(hx,4,1)) - 1) * 65536.0
+        |  + (strpos('0123456789abcdef', substring(hx,5,1)) - 1) * 4096.0
+        |  + (strpos('0123456789abcdef', substring(hx,6,1)) - 1) * 256.0
+        |  + (strpos('0123456789abcdef', substring(hx,7,1)) - 1) * 16.0
+        |  + (strpos('0123456789abcdef', substring(hx,8,1)) - 1))
+        |    / 4294967296.0 AS u
+        |  FROM h),
+        |p AS (SELECT x, b, CASE
+        |    WHEN u < 0.36787944117144233 THEN 0
+        |    WHEN u < 0.7357588823428847 THEN 1
+        |    WHEN u < 0.9196986029286058 THEN 2
+        |    WHEN u < 0.9810118431238462 THEN 3
+        |    WHEN u < 0.9963401531726563 THEN 4
+        |    WHEN u < 0.9994058151824183 THEN 5
+        |    WHEN u < 0.9999167588507119 THEN 6
+        |    WHEN u < 0.9999897508033253 THEN 7
+        |    WHEN u < 0.9999988747974020 THEN 8
+        |    ELSE 9 END AS w FROM uu),
+        |m AS (SELECT b, round(CASE WHEN SUM(w) > 0 THEN
+        |    CAST(SUM(w * x) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) END, 6)
+        |    AS m
+        |  FROM p GROUP BY 1),
+        |r AS (SELECT m, ROW_NUMBER() OVER (ORDER BY m, b) AS rk FROM m),
+        |ci AS (SELECT MAX(CASE WHEN rk = 2 THEN m END) AS ci_lo,
+        |    MAX(CASE WHEN rk = 38 THEN m END) AS ci_hi,
+        |    CAST(COUNT(*) AS BIGINT) AS n_replicas FROM r),
+        |f AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    round(CAST(SUM(CAST(n_chars AS BIGINT)) AS DOUBLE) /
+        |      CAST(COUNT(*) AS DOUBLE), 6) AS mean_full
+        |  FROM documents)
+        |SELECT f.n, f.mean_full, ci.n_replicas, ci.ci_lo, ci.ci_hi,
+        |  COALESCE(ci.ci_lo <= f.mean_full AND
+        |    f.mean_full <= ci.ci_hi, false) AS mean_in_ci
+        |FROM f CROSS JOIN ci""".stripMargin) { (s, dir) =>
+      bootstrapCi(t(s, dir, "documents").select("doc_id", "n_chars"),
+        "n_chars")
     },
 
     // Group-sequential monitor: the oracle replays the integer week

@@ -533,6 +533,44 @@ class PlanSpec extends SparkSpec {
       s"p170: non-broadcast product appeared:\n$p")
   }
 
+  test("p171/p172: agreement and MDE readouts are scalar aggregates — " +
+      "no window, no shuffled join") {
+    // p171: two unioned 4-counter scalar aggregates over one corpus
+    // scan each; p172: one user-keyed collapse + one scalar aggregate
+    // (the p163 plan)
+    val p = executed("p171_labeler_kappa")
+    assert(!p.contains("Window"), s"p171: a window appeared:\n$p")
+    assert(!p.contains("Join"), s"p171: unexpected join:\n$p")
+    val q = executed("p172_mde_readout")
+    assert(!q.contains("Window"), s"p172: a window appeared:\n$q")
+    assert(!q.contains("Join"), s"p172: unexpected join:\n$q")
+    val qf = q.split("== Initial Plan ==").head
+    assert(!qf.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("user_id")),
+      s"p172: a non-user exchange appeared:\n$q")
+  }
+
+  test("p173: bootstrap replicas collapse map-side — explode feeds a " +
+      "partial aggregate, CI joins by broadcast") {
+    // the xB row amplification must partial-aggregate BEFORE the _b
+    // exchange (HashAggregate below Exchange hashpartitioning(_b)),
+    // so only B rows per partition cross the shuffle
+    val p = executed("p173_bootstrap_ci")
+    assert(p.contains("Generate explode"),
+      s"p173: replica fan-out is not an explode:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"p173: a shuffled join appeared:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"p173: non-broadcast product appeared:\n$p")
+    val pf = p.split("== Initial Plan ==").head
+    val exIdx = pf.linesIterator.indexWhere(l =>
+      l.contains("Exchange hashpartitioning(_b"))
+    val aggBelow = pf.linesIterator.drop(exIdx + 1)
+      .exists(_.contains("HashAggregate"))
+    assert(exIdx >= 0 && aggBelow,
+      s"p173: no partial aggregate below the _b exchange:\n$p")
+  }
+
   test("p164: chi-square scenarios are unioned scalar aggregates — the " +
       "only join is the planted broadcast product") {
     // each scenario: one user-keyed groupBy collapsing to a 2k-counter

@@ -1595,6 +1595,105 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("labelerKappa equals a driver replay; constant labelers guard " +
+      "via the exact integer pe=1 test") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(171)
+    (1 to 4).foreach { trial =>
+      val rows = (1 to 50).map(_ => (rnd.nextBoolean(), rnd.nextBoolean()))
+      val r = graft.operators.Pipeline.labelerKappa(
+        rows.toDF("a", "b"), col("a"), col("b")).head()
+      val n11 = rows.count(t => t._1 && t._2).toLong
+      val n10 = rows.count(t => t._1 && !t._2).toLong
+      val n01 = rows.count(t => !t._1 && t._2).toLong
+      val n00 = rows.count(t => !t._1 && !t._2).toLong
+      val n = rows.size.toDouble
+      val po = (n11 + n00) / n
+      val pe = ((n11 + n10) * (n11 + n01) +
+        (n01 + n00) * (n10 + n00)) / (n * n)
+      def r6(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+        == ((n11, n10, n01, n00)), s"trial $trial cells")
+      if (pe < 1.0) {
+        assert(r.getDouble(7) == r6((po - pe) / (1.0 - pe)),
+          s"trial $trial kappa")
+        assert(!r.getBoolean(8))
+      }
+    }
+    // both labelers constant: pe = 1 exactly -> NULL kappa, guarded
+    val const = (1 to 10).map(_ => (true, true)).toDF("a", "b")
+    val c = graft.operators.Pipeline.labelerKappa(
+      const, col("a"), col("b")).head()
+    assert(c.isNullAt(7) && c.getBoolean(8))
+    // empty input guards too (coalesced cells, no NULL n)
+    val e = graft.operators.Pipeline.labelerKappa(
+      Seq.empty[(Boolean, Boolean)].toDF("a", "b"),
+      col("a"), col("b")).head()
+    assert(e.getLong(4) == 0L && e.isNullAt(7) && e.getBoolean(8))
+  }
+
+  test("mdeReadout: closed-form replay; empty input guards") {
+    import spark.implicits._
+    // 4 users: 2 per arm by the md5 split, conversion mixed
+    val ev = Seq((1L, "purchase"), (1L, "view"), (2L, "view"),
+      (3L, "purchase"), (4L, "view"), (5L, "view"), (6L, "purchase"))
+      .toDF("user_id", "event_type")
+    val r = graft.operators.Pipeline.mdeReadout(ev).head()
+    val na = r.getLong(0); val ca = r.getLong(1)
+    val nb = r.getLong(2); val cb = r.getLong(3)
+    assert(na + nb == 6L && ca + cb == 3L)
+    val p = (ca + cb).toDouble / (na + nb)
+    val mde = (1.959964 + 0.841621) *
+      math.sqrt(p * (1 - p) * (1.0 / na + 1.0 / nb))
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(5) == r6(mde))
+    assert(r.getBoolean(7) ==
+      (math.abs(ca.toDouble / na - cb.toDouble / nb) >= mde))
+    assert(!r.getBoolean(8))
+    val e = graft.operators.Pipeline.mdeReadout(
+      Seq.empty[(Long, String)].toDF("user_id", "event_type")).head()
+    assert(e.getBoolean(8) && e.isNullAt(5))
+  }
+
+  test("bootstrapCi: exact driver replay of the deterministic Poisson " +
+      "replicas and the rank-picked CI") {
+    import spark.implicits._
+    val rows = (1L to 30L).map(i => (i, (i * 7 % 50) + 10))
+    val r = graft.operators.Pipeline.bootstrapCi(
+      rows.toDF("doc_id", "n_chars"), "n_chars", b = 40).head()
+    def md5hex(s: String) = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val cuts = Seq(
+      0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+      0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+      0.9999167588507119, 0.9999897508033253, 0.9999988747974020)
+    def pw(id: Long, b: Int): Long = {
+      val u = java.lang.Long.parseLong(
+        md5hex(s"$id:$b").substring(0, 8), 16).toDouble / 4294967296.0
+      val k = cuts.indexWhere(u < _)
+      if (k < 0) 9L else k.toLong
+    }
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val means = (0 until 40).map { b =>
+      val ws = rows.map { case (id, x) => (pw(id, b), x) }
+      val sw = ws.map(_._1).sum
+      (b, r6(ws.map(t => t._1 * t._2).sum.toDouble / sw))
+    }
+    val ranked = means.map { case (b, m) => (m, b) }.sorted
+    val (lo, hi) = (ranked(1)._1, ranked(37)._1) // ranks 2 and 38
+    assert(r.getLong(0) == 30L && r.getLong(2) == 40L)
+    assert(r.getDouble(1) ==
+      r6(rows.map(_._2).sum.toDouble / rows.size))
+    assert(r.getDouble(3) == lo && r.getDouble(4) == hi,
+      s"ci got (${r.getDouble(3)}, ${r.getDouble(4)}) want ($lo, $hi)")
+    assert(r.getBoolean(5) ==
+      (lo <= r.getDouble(1) && r.getDouble(1) <= hi))
+  }
+
   test("s41 seam: per-split score-histogram partials merge to the " +
       "batch midrankAuc under arbitrary splits") {
     // the s41 carried state: (p, c, np) histogram rows per batch —
