@@ -327,10 +327,16 @@ object Bench {
       val t0 = System.nanoTime()
       try {
         materialize(name)
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // reclaim this run's globalorder/logreg/etc. barrier scratch —
+        // the materialize is complete, nothing references it, and a
+        // multi-hour sweep must not accumulate scratch to JVM exit
+        graft.pipeline.Dedup.releaseAllBarriers()
+        dt
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          graft.pipeline.Dedup.releaseAllBarriers()
           -1.0
       }
     }

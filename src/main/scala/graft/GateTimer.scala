@@ -46,6 +46,9 @@ object GateTimer {
         df.write.format("noop").mode("overwrite").save()
         best = best.min((System.nanoTime() - t0) / 1e9)
         if (rows < 0) rows = df.count()
+        // reclaim this run's barrier scratch (the run is fully
+        // materialized; repeated timing must not accumulate to exit)
+        graft.pipeline.Dedup.releaseAllBarriers()
       }
       f""""$name":{"sec":$best%.2f,"rows":$rows}"""
     }

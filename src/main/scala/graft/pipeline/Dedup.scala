@@ -211,6 +211,17 @@ object Dedup {
     }
   }
 
+  /** Reclaim EVERY live barrier dir. Safe between fully-materialized
+    * query executions — a barrier is only read while the query that
+    * wrote it executes — so the re-timing loops (Bench, GateTimer)
+    * call this between runs and repeated timing no longer accumulates
+    * scratch until JVM exit (ADVICE r10).
+    */
+  private[graft] def releaseAllBarriers(): Unit = {
+    import scala.jdk.CollectionConverters._
+    barrierDirs.keySet.asScala.toSeq.foreach(releaseBarrier)
+  }
+
   /** Test visibility: barrier dirs currently awaiting JVM-exit cleanup. */
   private[graft] def liveBarrierDirs: Seq[org.apache.hadoop.fs.Path] = {
     import scala.jdk.CollectionConverters._
