@@ -139,6 +139,7 @@ object Bench {
     "p171_labeler_kappa", // 2x2 confusion scalar agg + exact pe=1 guard
     "p172_mde_readout",   // pooled-rate MDE at 80% power, one scalar agg
     "p173_bootstrap_ci",  // deterministic Poisson replicas, map-side B-fold
+    "p174_operating_points", // 27 confusion counters in one scalar agg
     "f07_csv_ingest_cold", // CSV parse + agg, no cache (dsq cold analog)
     "f08_csv_ingest_warm") // cached-parquet + agg (dsq -C warm analog)
 

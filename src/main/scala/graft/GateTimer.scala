@@ -42,15 +42,25 @@ object GateTimer {
         // per-row expressions the gate exists to measure (column
         // pruning drops scoring projections, EliminateSorts drops
         // ordering), silently under-timing projection-shaped gates
-        val df = fn(spark, dir)
-        df.write.format("noop").mode("overwrite").save()
-        best = best.min((System.nanoTime() - t0) / 1e9)
-        if (rows < 0) rows = df.count()
+        try {
+          val df = fn(spark, dir)
+          df.write.format("noop").mode("overwrite").save()
+          best = best.min((System.nanoTime() - t0) / 1e9)
+          if (rows < 0) rows = df.count()
+        } catch {
+          // a gate that fails at this scale must not kill the sweep —
+          // record it loudly (sec stays MaxValue → reported -1) and
+          // move on (the r11 full-100x sweep died on one gate)
+          case e: Throwable =>
+            System.err.println(
+              s"[gatetimer] $name FAILED: ${e.getMessage}")
+        }
         // reclaim this run's barrier scratch (the run is fully
         // materialized; repeated timing must not accumulate to exit)
         graft.pipeline.Dedup.releaseAllBarriers()
       }
-      f""""$name":{"sec":$best%.2f,"rows":$rows}"""
+      if (best == Double.MaxValue) s""""$name":{"sec":-1,"rows":-1}"""
+      else f""""$name":{"sec":$best%.2f,"rows":$rows}"""
     }
     println(s"""{"dir":"$dir",${fields.mkString(",")}}""")
     spark.stop()

@@ -5036,6 +5036,72 @@ object Pipeline {
         "n_chars")
     },
 
+    // Operating points: the oracle replays a 1-step GD fit (the p97
+    // CTE skeleton truncated — 1 step keeps the scores in a range the
+    // 0.01…0.09 cuts actually bisect; 3 steps drives every score to
+    // ~1e-5 and the table degenerates), the 6-decimal scores, all 27
+    // confusion counters, and the guarded precision/recall/F1 tree.
+    QueryDef("p174_operating_points",
+      """WITH f AS (
+        |  SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+        |    1.0 AS x0,
+        |    ln(1.0 + CAST(nt AS DOUBLE)) AS x1,
+        |    CAST(length(text) AS DOUBLE) / CAST(nt AS DOUBLE) AS x2
+        |  FROM (SELECT lang, text, CASE
+        |      WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
+        |      THEN 0
+        |      ELSE len(string_split_regex(
+        |        regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'))
+        |      END AS nt
+        |    FROM documents)
+        |  WHERE nt > 0),
+        |n AS (SELECT count(*) AS m FROM f),
+        |ws0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2),
+        |g1 AS (SELECT
+        |    CAST(sum(CAST((1.0/(1.0+exp(-(w0*x0+w1*x1+w2*x2))) - y)*x0
+        |      AS DECIMAL(28,12))) AS DOUBLE) AS g0,
+        |    CAST(sum(CAST((1.0/(1.0+exp(-(w0*x0+w1*x1+w2*x2))) - y)*x1
+        |      AS DECIMAL(28,12))) AS DOUBLE) AS g1,
+        |    CAST(sum(CAST((1.0/(1.0+exp(-(w0*x0+w1*x1+w2*x2))) - y)*x2
+        |      AS DECIMAL(28,12))) AS DOUBLE) AS g2
+        |  FROM f CROSS JOIN ws0),
+        |ws1 AS (SELECT w0 - 1.0*(g0/CAST(m AS DOUBLE)) AS w0,
+        |    w1 - 1.0*(g1/CAST(m AS DOUBLE)) AS w1,
+        |    w2 - 1.0*(g2/CAST(m AS DOUBLE)) AS w2
+        |  FROM g1 CROSS JOIN ws0 CROSS JOIN n),
+        |sc AS (SELECT CAST(y AS BIGINT) AS yl,
+        |    round(1.0/(1.0+exp(-(w0*x0+w1*x1+w2*x2))), 6) AS p
+        |  FROM f CROSS JOIN ws1),
+        |th AS (SELECT unnest([0.01, 0.02, 0.03, 0.04, 0.05, 0.06,
+        |    0.07, 0.08, 0.09]) AS threshold),
+        |c AS (SELECT threshold,
+        |    CAST(COALESCE(SUM(CASE WHEN p >= threshold THEN yl
+        |      ELSE 0 END), 0) AS BIGINT) AS tp,
+        |    CAST(COALESCE(SUM(CASE WHEN p >= threshold THEN 1 - yl
+        |      ELSE 0 END), 0) AS BIGINT) AS fp,
+        |    CAST(COALESCE(SUM(CASE WHEN p < threshold AND yl = 1
+        |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS fn
+        |  FROM th LEFT JOIN sc ON true GROUP BY 1)
+        |SELECT threshold, tp, fp, fn,
+        |  round(CASE WHEN tp + fp > 0
+        |    THEN CAST(tp AS DOUBLE) / (tp + fp) END, 6) AS prec,
+        |  round(CASE WHEN tp + fn > 0
+        |    THEN CAST(tp AS DOUBLE) / (tp + fn) END, 6) AS rec,
+        |  round(CASE WHEN
+        |      (CASE WHEN tp + fp > 0
+        |         THEN CAST(tp AS DOUBLE) / (tp + fp) END) +
+        |      (CASE WHEN tp + fn > 0
+        |         THEN CAST(tp AS DOUBLE) / (tp + fn) END) > 0
+        |    THEN 2.0 *
+        |      (CAST(tp AS DOUBLE) / (tp + fp)) *
+        |      (CAST(tp AS DOUBLE) / (tp + fn)) /
+        |      ((CAST(tp AS DOUBLE) / (tp + fp)) +
+        |       (CAST(tp AS DOUBLE) / (tp + fn))) END, 6) AS f1
+        |FROM c ORDER BY 1""".stripMargin) { (s, dir) =>
+      TextAnalysis.operatingPoints(t(s, dir, "documents"), steps = 1,
+        ths = (1 to 9).map(_ / 100.0))
+    },
+
     // Group-sequential monitor: the oracle replays the integer week
     // cuts, the per-look population/conversion counters, the p163 z
     // at each look, the OBF literal boundaries, and the

@@ -713,6 +713,58 @@ object TextAnalysis {
       coalesce(!okC, lit(true)).as("guarded"))
   }
 
+  /** Classifier operating points ([[classifierEval]]'s companion): the
+    * precision / recall / F1 table at the nine decision thresholds
+    * 0.1 … 0.9 — the readout that turns "AUC 0.52" into "at cut 0.3
+    * you keep X% of good docs and let through Y% of bad ones", which
+    * is what a filtering pipeline actually tunes. All 27 confusion
+    * counters (tp/fp/fn per threshold) collapse in ONE scalar
+    * aggregate over one scan of the scored relation — the p167
+    * pivoted-counter trick — and the 9 report rows explode from that
+    * single row; every ratio is a guarded division of exact int64
+    * counts. Threshold literals are written identically in the oracle,
+    * and scores are 6-decimal-rounded before comparing, so no cut can
+    * flip on a float ulp between engines.
+    */
+  def operatingPoints(docs: DataFrame, steps: Int = 3, lr: Double = 1.0,
+      posLang: String = "en", langCol: String = "lang",
+      textCol: String = "text",
+      ths: Seq[Double] = (1 to 9).map(_ / 10.0)): DataFrame = {
+    require(ths.nonEmpty && ths.size <= 64, s"bad cut count ${ths.size}")
+    val (feats, w) = logregFit(docs, steps, lr, posLang, langCol, textCol)
+    val z = col("w0") * col("x0") + col("w1") * col("x1") +
+      col("w2") * col("x2")
+    val scored = feats.crossJoin(w)
+      .select(col("y").cast("long").as("yl"),
+        round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("p"))
+    val aggs = ths.zipWithIndex.flatMap { case (t, i) => Seq(
+      coalesce(sum(when(col("p") >= t, col("yl")).otherwise(0L)),
+        lit(0L)).cast("long").as(s"tp_$i"),
+      coalesce(sum(when(col("p") >= t, lit(1L) - col("yl"))
+        .otherwise(0L)), lit(0L)).cast("long").as(s"fp_$i"),
+      coalesce(sum(when(col("p") < t && col("yl") === 1L, 1L)
+        .otherwise(0L)), lit(0L)).cast("long").as(s"fn_$i")) }
+    val pivot = scored.agg(aggs.head, aggs.tail: _*)
+    val rows = pivot.select(explode(array(
+      ths.zipWithIndex.map { case (t, i) => struct(
+        lit(t).as("threshold"), col(s"tp_$i").as("tp"),
+        col(s"fp_$i").as("fp"), col(s"fn_$i").as("fn")) }: _*))
+      .as("pt")).select(col("pt.*"))
+    val prec = when(col("tp") + col("fp") > 0,
+      col("tp").cast("double") / (col("tp") + col("fp")).cast("double"))
+    val rec = when(col("tp") + col("fn") > 0,
+      col("tp").cast("double") / (col("tp") + col("fn")).cast("double"))
+    val f1 = when(prec + rec > 0,
+      lit(2.0) * prec * rec / (prec + rec))
+    // "prec"/"rec", not "precision"/"recall": PRECISION is a reserved
+    // type keyword in ANSI SQL / DuckDB, and the oracle must alias the
+    // same names
+    rows.select(col("threshold"), col("tp"), col("fp"), col("fn"),
+        round(prec, 6).as("prec"), round(rec, 6).as("rec"),
+        round(f1, 6).as("f1"))
+      .orderBy("threshold")
+  }
+
   /** Score a document relation with an already-fit [[logregFit]]
     * weight row (offline-trained model, online scoring — the s41
     * streaming evaluation shape): recompute the three features inline

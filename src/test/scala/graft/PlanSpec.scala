@@ -571,6 +571,18 @@ class PlanSpec extends SparkSpec {
       s"p173: no partial aggregate below the _b exchange:\n$p")
   }
 
+  test("p174: operating points — 27 counters in one scalar aggregate, " +
+      "rows explode from one pivoted row") {
+    val p = executed("p174_operating_points")
+    assert(!p.contains("Window"), s"p174: a window appeared:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"p174: a shuffled join appeared:\n$p")
+    assert(p.contains("Generate explode"),
+      s"p174: cut rows are not exploding from the pivoted row:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"p174: non-broadcast product appeared:\n$p")
+  }
+
   test("p164: chi-square scenarios are unioned scalar aggregates — the " +
       "only join is the planted broadcast product") {
     // each scenario: one user-keyed groupBy collapsing to a 2k-counter

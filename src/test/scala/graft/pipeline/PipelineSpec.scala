@@ -1694,6 +1694,32 @@ class PipelineSpec extends SparkSpec {
       (lo <= r.getDouble(1) && r.getDouble(1) <= hi))
   }
 
+  test("operatingPoints: confusion counters are consistent and " +
+      "monotone across thresholds") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val rows = graft.pipeline.TextAnalysis.operatingPoints(
+        docs, steps = 1, ths = (1 to 9).map(_ / 100.0))
+      .collect()
+    assert(rows.length == 9)
+    // tp+fn is the positive count — constant across every cut
+    val nPos = rows.map(r => r.getLong(1) + r.getLong(3)).distinct
+    assert(nPos.length == 1 && nPos.head > 0)
+    // raising the cut can only shrink the predicted-positive set
+    val tps = rows.map(_.getLong(1)); val fps = rows.map(_.getLong(2))
+    assert(tps.zip(tps.tail).forall { case (a, b) => a >= b })
+    assert(fps.zip(fps.tail).forall { case (a, b) => a >= b })
+    // the cuts actually bisect the score range: the predicted-positive
+    // set must shrink strictly somewhere (not all-in or all-out)
+    assert(tps.head + fps.head > tps.last + fps.last)
+    // spot-check one row's ratios against its own cells
+    val r4 = rows(4)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    if (r4.getLong(1) + r4.getLong(2) > 0)
+      assert(r4.getDouble(4) == r6(r4.getLong(1).toDouble /
+        (r4.getLong(1) + r4.getLong(2))))
+  }
+
   test("s41 seam: per-split score-histogram partials merge to the " +
       "batch midrankAuc under arbitrary splits") {
     // the s41 carried state: (p, c, np) histogram rows per batch —
