@@ -140,6 +140,11 @@ object Bench {
     "p172_mde_readout",   // pooled-rate MDE at 80% power, one scalar agg
     "p173_bootstrap_ci",  // deterministic Poisson replicas, map-side B-fold
     "p174_operating_points", // 27 confusion counters in one scalar agg
+    "p175_fdr_bh",        // family from one pivoted row + bounded windows
+    "p176_kaplan_meier",  // user collapse + hour-span product-limit
+    "p177_conformal",     // scalar fit + global-order k-rank residual
+    "p178_anova_f",       // source rollup → decimal-pinned moments
+    "p179_isotonic",      // B-row bins + broadcast minimax joins
     "f07_csv_ingest_cold", // CSV parse + agg, no cache (dsq cold analog)
     "f08_csv_ingest_warm") // cached-parquet + agg (dsq -C warm analog)
 

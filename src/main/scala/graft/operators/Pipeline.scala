@@ -1557,6 +1557,317 @@ object Pipeline {
       .orderBy("qid")
   }
 
+  /** Benjamini–Hochberg FDR readout across a FAMILY of conversion
+    * metrics — the multiple-testing correction a team applies when one
+    * experiment reads out k metrics at once (at α = 0.05 per metric,
+    * five independent nulls produce a false "win" 23% of the time; BH
+    * bounds the expected false-discovery RATE at q). Per metric: the
+    * p163 two-proportion pooled z between the md5 arms; two-sided
+    * p-value via the Abramowitz–Stegun 26.2.17 normal-tail polynomial
+    * (exp + literal coefficients only, so both engines evaluate the
+    * identical double expression — no erf library dependence); then
+    * the BH step-up over the m' valid metrics: reject all p-ranks ≤
+    * k* = max{k : p_(k) ≤ k·q/m'}. A metric whose z is degenerate
+    * (empty arm or zero pooled variance) is excluded from the family
+    * (rank NULL, `guarded` true) — m' counts only testable metrics.
+    *
+    * Distributed shape: one user-keyed collapse carrying ALL metric
+    * flags (one shuffle regardless of family size), one scalar
+    * aggregate with 2+2m counters, then the family explodes from that
+    * single row — every window is over the m-row family table on a
+    * [[Corpus.boundedKey]] partition (m is a literal list, never data
+    * cardinality). The step-up "largest k" rule is a suffix max over
+    * ranks ≥ i, evaluated as a running max in rank-descending order.
+    */
+  def fdrBh(events: DataFrame, metrics: Seq[String],
+      q: Double = 0.10, minCount: Int = 14): DataFrame = {
+    require(metrics.nonEmpty && metrics == metrics.distinct.sorted,
+      s"metrics must be a sorted distinct list: $metrics")
+    // conversion = "did ≥ minCount events of the type": an ENGAGEMENT
+    // cut, not mere presence — at this corpus's density (~13 events
+    // per user per type) presence is 100% in both arms, se = 0, and
+    // every metric would degenerate to the guarded branch
+    val users = events.groupBy("user_id")
+      .agg(
+        when(sum(when(col("event_type") === metrics.head, 1L)
+          .otherwise(0L)) >= minCount, 1L).otherwise(0L)
+          .as(s"c_${metrics.head}"),
+        metrics.tail.map(m =>
+          when(sum(when(col("event_type") === m, 1L)
+            .otherwise(0L)) >= minCount, 1L).otherwise(0L)
+            .as(s"c_$m")): _*)
+      .withColumn("va",
+        substring(md5(col("user_id").cast("string")), 1, 1) < "8")
+    val aggs = Seq(
+      coalesce(sum(when(col("va"), 1L).otherwise(0L)), lit(0L))
+        .cast("long").as("n_a"),
+      coalesce(sum(when(!col("va"), 1L).otherwise(0L)), lit(0L))
+        .cast("long").as("n_b")) ++
+      metrics.flatMap(m => Seq(
+        coalesce(sum(when(col("va"), col(s"c_$m")).otherwise(0L)),
+          lit(0L)).cast("long").as(s"ca_$m"),
+        coalesce(sum(when(!col("va"), col(s"c_$m")).otherwise(0L)),
+          lit(0L)).cast("long").as(s"cb_$m")))
+    val counts = users.agg(aggs.head, aggs.tail: _*)
+    val fam = counts.select(col("n_a"), col("n_b"),
+      explode(array(metrics.map(m => struct(lit(m).as("metric"),
+        col(s"ca_$m").as("conv_a"), col(s"cb_$m").as("conv_b"))): _*))
+        .as("t"))
+      .select(col("t.metric").as("metric"), col("n_a"),
+        col("t.conv_a").as("conv_a"), col("n_b"),
+        col("t.conv_b").as("conv_b"))
+    val armsOk = col("n_a") > 0 && col("n_b") > 0
+    val ra = when(col("n_a") > 0,
+      col("conv_a").cast("double") / col("n_a"))
+    val rb = when(col("n_b") > 0,
+      col("conv_b").cast("double") / col("n_b"))
+    val pp = when(armsOk, (col("conv_a") + col("conv_b"))
+      .cast("double") / (col("n_a") + col("n_b")))
+    val se = when(armsOk, sqrt(pp * (lit(1.0) - pp) *
+      (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))))
+    val z = when(se > 0, (ra - rb) / se)
+    val az = abs(z)
+    // A&S 26.2.17: 1−Φ(x) = φ(x)·t·(b1 + t(b2 + t(b3 + t(b4 + t·b5))))
+    // with t = 1/(1 + 0.2316419x); |error| < 7.5e-8, far below the
+    // 6-dp compare grid. √(2π) written as the same literal both sides.
+    val tt = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
+    val poly = tt * (lit(0.319381530) + tt * (lit(-0.356563782) +
+      tt * (lit(1.781477937) + tt * (lit(-1.821255978) +
+        tt * lit(1.330274429)))))
+    val pRaw = when(se > 0, lit(2.0) * exp(-az * az / lit(2.0)) /
+      lit(2.5066282746310002) * poly)
+    val scored = fam.select(col("metric"), col("n_a"), col("conv_a"),
+      col("n_b"), col("conv_b"), round(z, 6).as("z"), pRaw.as("_p"))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(Corpus.boundedKey(col("metric")))
+    val ranked = scored
+      .withColumn("_rn", row_number().over(
+        wOrd.orderBy(col("_p").asc_nulls_last, col("metric")))
+        .cast("long"))
+      .withColumn("m_tested",
+        sum(when(col("_p").isNotNull, 1L).otherwise(0L))
+          .over(wOrd.orderBy(col("metric"))
+            .rowsBetween(org.apache.spark.sql.expressions.Window
+              .unboundedPreceding,
+              org.apache.spark.sql.expressions.Window
+                .unboundedFollowing)).cast("long"))
+      .withColumn("rank", when(col("_p").isNotNull, col("_rn")))
+    val thresh = when(col("rank").isNotNull && col("m_tested") > 0,
+      col("rank").cast("double") * lit(q) /
+        col("m_tested").cast("double"))
+    val stepped = ranked
+      .withColumn("_bh", thresh)
+      .withColumn("_ok",
+        when(col("_p").isNotNull && col("_p") <= col("_bh"), 1)
+          .otherwise(0))
+      .withColumn("rejected",
+        max(col("_ok")).over(wOrd
+          .orderBy(col("rank").desc_nulls_first)
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)) === 1 && col("_p").isNotNull)
+    stepped.select(col("metric"), col("n_a"), col("conv_a"),
+      col("n_b"), col("conv_b"), col("z"),
+      round(col("_p"), 6).as("p_value"), col("rank"), col("m_tested"),
+      round(col("_bh"), 6).as("bh_threshold"), col("rejected"),
+      col("_p").isNull.as("guarded"))
+      .orderBy("metric")
+  }
+
+  /** Split-conformal calibration readout — the distribution-free
+    * prediction-interval machinery (Vovk et al.; Angelopoulos & Bates
+    * survey) a data team uses to turn ANY point predictor into one
+    * with a finite-sample coverage guarantee: on a held-out
+    * calibration split, take the k-th smallest nonconformity score
+    * with k = ⌈(n_cal+1)(1−α)⌉; the interval "score ≤ q̂" then covers
+    * a fresh exchangeable point with probability ≥ 1−α. Here the
+    * predictor is the calibration-mean of `n_chars` (exact int64 sum
+    * → one double division) and the score is the absolute residual;
+    * the readout reports q̂ and the realized coverage on the test
+    * split. k > n_cal (α too small for the split size) is the
+    * degenerate branch: q̂ undefined → NULL, `guarded` true.
+    *
+    * Distributed shape: one scalar-aggregate fit pass, then the k-th
+    * order statistic via [[Corpus.withGlobalOrder]] rank selection
+    * over (residual, id) — the p63/p161 idiom; no per-key window ever
+    * holds more than one range partition — and one test-side counting
+    * aggregate against the broadcast q̂.
+    */
+  def conformalCalibration(docs: DataFrame, alpha: Double = 0.1)
+      : DataFrame = {
+    require(alpha > 0 && alpha < 1, s"bad alpha $alpha")
+    val base = docs.select(col("doc_id"),
+      col("n_chars").cast("long").as("x"),
+      (substring(md5(col("doc_id").cast("string")), 1, 1) < "c")
+        .as("cal"))
+    val fit = base.agg(
+      coalesce(sum(when(col("cal"), 1L).otherwise(0L)), lit(0L))
+        .cast("long").as("n_cal"),
+      coalesce(sum(when(!col("cal"), 1L).otherwise(0L)), lit(0L))
+        .cast("long").as("n_test"),
+      sum(when(col("cal"), col("x")).cast("decimal(38,0)"))
+        .as("s_cal"))
+      .withColumn("k_rank",
+        when(col("n_cal") > 0,
+          ceil((col("n_cal") + 1L).cast("double") *
+            lit(1.0 - alpha)).cast("long")))
+      .withColumn("mean_cal",
+        when(col("n_cal") > 0,
+          col("s_cal").cast("double") / col("n_cal").cast("double")))
+    val scoredCal = base.filter(col("cal"))
+      .crossJoin(broadcast(fit.select("mean_cal")))
+      .select(col("doc_id"),
+        abs(col("x").cast("double") - col("mean_cal")).as("resid"))
+    val ranked = Corpus.withGlobalOrder(scoredCal,
+      Seq(col("resid"), col("doc_id")), lit(1L))
+    val qhat = ranked.crossJoin(broadcast(fit.select("k_rank")))
+      .agg(max(when(col("pos") === col("k_rank"), col("resid")))
+        .as("q_hat"))
+    val cover = base.filter(!col("cal"))
+      .crossJoin(broadcast(fit.select("mean_cal")))
+      .crossJoin(broadcast(qhat.select(col("q_hat").as("_qh"))))
+      .agg(coalesce(sum(when(abs(col("x").cast("double") -
+        col("mean_cal")) <= col("_qh"), 1L).otherwise(0L)), lit(0L))
+        .cast("long").as("n_cov"))
+    fit.crossJoin(broadcast(qhat)).crossJoin(broadcast(cover)).select(
+      col("n_cal"), col("n_test"), col("k_rank"),
+      round(col("q_hat"), 6).as("q_hat"),
+      when(col("q_hat").isNotNull, col("n_cov")).as("n_covered"),
+      round(when(col("q_hat").isNotNull && col("n_test") > 0,
+        col("n_cov").cast("double") / col("n_test").cast("double")),
+        6).as("coverage"),
+      (col("q_hat").isNull || col("n_test") === 0).as("guarded"))
+  }
+
+  /** Kaplan–Meier retention curve with right-censoring — "what share
+    * of users are still active t hours after their first event?", the
+    * survival readout behind every retention chart. A user's observed
+    * lifetime is last_event − first_event in whole hours (hour grain:
+    * at this corpus's month span a day grain collapses every user
+    * into 3–4 duration rows with zero churn); users whose last event
+    * falls within `censorHours` of the corpus end are right-CENSORED
+    * (still active — their true lifetime exceeds the observation
+    * window), so they leave the at-risk set without counting as
+    * churn. Product-limit estimator over the distinct lifetime hours:
+    * S(t) = Π_{s ≤ t} (1 − churned_s / at_risk_s), with at_risk_s =
+    * N − Σ_{dur < s} n (never a second scan).
+    *
+    * Determinism: the product is exp(Σ ln(1 − d/r)) accumulated in
+    * duration order — a cumulative window both engines evaluate
+    * sequentially over the SAME ascending rows, so the doubles match
+    * bit-for-bit before the 6-dp round. A row where churned == at_risk
+    * (everyone left) zeroes survival from that row on via an exact
+    * integer flag, never via ln(0).
+    *
+    * Distributed shape: one user-keyed collapse (min/max ts — partial
+    * agg), a global max (scalar, broadcast), then a duration-keyed
+    * aggregate whose row count is bounded by the corpus HOUR SPAN,
+    * not its size — every window sits on that bounded table under a
+    * [[Corpus.boundedKey]] partition.
+    */
+  def kaplanMeier(events: DataFrame, censorHours: Int = 12): DataFrame = {
+    require(censorHours >= 0, s"bad censorHours $censorHours")
+    val W = org.apache.spark.sql.expressions.Window
+    val us = events.groupBy("user_id").agg(
+      min(unix_micros(col("ts"))).as("fw"),
+      max(unix_micros(col("ts"))).as("lw"))
+    val mx = events.agg(max(unix_micros(col("ts"))).as("mxu"))
+    val durs = us.crossJoin(broadcast(mx))
+      .select(expr("(lw - fw) div 3600000000").as("dur"),
+        (col("lw") > col("mxu") - lit(censorHours * 3600000000L))
+          .as("cens"))
+      .groupBy("dur").agg(
+        count(lit(1)).cast("long").as("n_all"),
+        sum(when(!col("cens"), 1L).otherwise(0L)).cast("long")
+          .as("churned"),
+        sum(when(col("cens"), 1L).otherwise(0L)).cast("long")
+          .as("censored"))
+    val w = W.partitionBy(Corpus.boundedKey(col("dur")))
+      .orderBy(col("dur"))
+    val cum = durs
+      .withColumn("_before", coalesce(sum(col("n_all"))
+        .over(w.rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("_n", sum(col("n_all"))
+        .over(w.rowsBetween(W.unboundedPreceding,
+          W.unboundedFollowing)))
+      .withColumn("at_risk", (col("_n") - col("_before")).cast("long"))
+    // churned < at_risk ⇒ the ln argument is strictly positive; the
+    // churned == at_risk terminal row is handled by the integer flag
+    val lnTerm = when(col("churned") < col("at_risk"),
+      log(lit(1.0) - col("churned").cast("double") /
+        col("at_risk").cast("double"))).otherwise(lit(0.0))
+    val zf = max(when(col("churned") === col("at_risk"), 1)
+      .otherwise(0)).over(w.rowsBetween(W.unboundedPreceding, 0))
+    val sv = when(zf === 1, lit(0.0))
+      .otherwise(exp(sum(lnTerm)
+        .over(w.rowsBetween(W.unboundedPreceding, 0))))
+    cum.select(col("dur").as("t_hours"), col("at_risk"),
+      col("churned"), col("censored"),
+      round(when(col("at_risk") > 0,
+        col("churned").cast("double") / col("at_risk")), 6)
+        .as("hazard"),
+      round(sv, 6).as("survival"))
+      .orderBy("t_hours")
+  }
+
+  /** One-way ANOVA F readout across corpus sources — "does mean doc
+    * length differ by source more than within-source noise explains?",
+    * the first question a mixture owner asks before reweighting (a
+    * large F on length/quality metrics means per-source pipelines are
+    * drifting apart). Classic decomposition: SSB = Σ_g S_g²/n_g −
+    * S²/N, SSW = Q − Σ_g S_g²/n_g with S_g = Σx, Q_g = Σx² per group;
+    * F = (SSB/(k−1)) / (SSW/(N−k)), effect size η² = SSB/(SSB+SSW).
+    *
+    * Determinism & overflow: per-group sums accumulate as
+    * DECIMAL(38,0) (exact past int64 — Σx² at 100 TB with x ~ 3·10³
+    * crosses 9.2·10¹⁸; DuckDB's SUM(BIGINT) is already HUGEINT); the
+    * per-group s_g²/n_g term is computed in double then pinned to
+    * DECIMAL(38,12) before the cross-group sum (the p174 gradient-sum
+    * trick), so the only float summation is order-independent and the
+    * oracle replays it term for term. Every division sits under a
+    * guard (k ≥ 2, N > k, SSW > 0 — a constant metric degenerates to
+    * the guarded row, exercised by the gate's second scenario).
+    *
+    * Distributed shape: one corpus scan → |sources|-row hash aggregate
+    * (partial map-side combine) → scalar aggregate over those rows.
+    * No window, no join, nothing keyed wider than the group column —
+    * the p163/p165 experiment-readout plan family.
+    */
+  def anovaF(df: DataFrame, xCol: String, groupCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val groups = df.groupBy(groupCol).agg(
+      count(lit(1)).cast("long").as("n_g"),
+      sum(col(xCol).cast(dec)).as("s_g"),
+      sum((col(xCol) * col(xCol)).cast(dec)).as("q_g"))
+    val sgD = col("s_g").cast("double")
+    val s = groups.agg(
+      count(lit(1)).cast("long").as("k_groups"),
+      coalesce(sum(col("n_g")), lit(0L)).cast("long").as("n"),
+      sum(col("s_g")).cast("double").as("s_all"),
+      sum(col("q_g")).cast("double").as("q_all"),
+      // Σ_g s_g²/n_g: each double term pinned to 12 dp so the sum is
+      // exact decimal arithmetic — order-independent across groups
+      sum((sgD * sgD / col("n_g").cast("double"))
+        .cast("decimal(38,12)")).cast("double").as("ssb_part"))
+    val nD = col("n").cast("double")
+    val kD = col("k_groups").cast("double")
+    val ssb = col("ssb_part") - col("s_all") * col("s_all") / nD
+    val ssw = col("q_all") - col("ssb_part")
+    val ok = col("k_groups") >= 2 && col("n") > col("k_groups") &&
+      ssw > 0
+    val fStat = when(ok,
+      (ssb / (kD - 1.0)) / (ssw / (nD - kD)))
+    val etaSq = when(col("n") > 0 && ssb + ssw > 0, ssb / (ssb + ssw))
+    s.select(col("k_groups"), col("n"),
+      round(when(col("n") > 0, ssb), 6).as("ssb"),
+      round(when(col("n") > 0, ssw), 6).as("ssw"),
+      when(col("k_groups") >= 1, col("k_groups") - 1L).as("df1"),
+      when(col("n") >= col("k_groups"),
+        col("n") - col("k_groups")).as("df2"),
+      round(fStat, 6).as("f_stat"),
+      round(etaSq, 6).as("eta_sq"),
+      coalesce(!ok, lit(true)).as("guarded"))
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // ---- deduplication -------------------------------------------------
@@ -5100,6 +5411,297 @@ object Pipeline {
         |FROM c ORDER BY 1""".stripMargin) { (s, dir) =>
       TextAnalysis.operatingPoints(t(s, dir, "documents"), steps = 1,
         ths = (1 to 9).map(_ / 100.0))
+    },
+
+    // One-way ANOVA by source: the oracle replays the exact HUGEINT
+    // moment sums, the DECIMAL(38,12)-pinned Σs_g²/n_g cross-group
+    // sum, the SSB/SSW decomposition, and the guarded F/η² tree.
+    // Scenario 2 feeds a constant metric (SSW = 0 → guarded).
+    QueryDef("p178_anova_f",
+      """WITH d AS (SELECT scenario, source,
+        |    CASE WHEN scenario = '1_real' THEN n_chars ELSE 1 END AS x
+        |  FROM documents CROSS JOIN
+        |    (SELECT unnest(['1_real', '2_const']) AS scenario)),
+        |g AS (SELECT scenario, source,
+        |    CAST(COUNT(*) AS BIGINT) AS n_g,
+        |    SUM(CAST(x AS HUGEINT)) AS s_g,
+        |    SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS q_g
+        |  FROM d GROUP BY 1, 2),
+        |s AS (SELECT scenario,
+        |    CAST(COUNT(*) AS BIGINT) AS k_groups,
+        |    CAST(COALESCE(SUM(n_g), 0) AS BIGINT) AS n,
+        |    CAST(SUM(s_g) AS DOUBLE) AS s_all,
+        |    CAST(SUM(q_g) AS DOUBLE) AS q_all,
+        |    CAST(SUM(CAST(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) /
+        |      CAST(n_g AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)
+        |      AS ssb_part
+        |  FROM g GROUP BY 1),
+        |e AS (SELECT *,
+        |    ssb_part - s_all * s_all / CAST(n AS DOUBLE) AS ssb,
+        |    q_all - ssb_part AS ssw FROM s),
+        |f AS (SELECT *,
+        |    k_groups >= 2 AND n > k_groups AND ssw > 0 AS ok FROM e)
+        |SELECT scenario, k_groups, n,
+        |  round(CASE WHEN n > 0 THEN ssb END, 6) AS ssb,
+        |  round(CASE WHEN n > 0 THEN ssw END, 6) AS ssw,
+        |  CASE WHEN k_groups >= 1 THEN k_groups - 1 END AS df1,
+        |  CASE WHEN n >= k_groups THEN n - k_groups END AS df2,
+        |  round(CASE WHEN ok THEN (ssb / (k_groups - 1.0)) /
+        |    (ssw / (CAST(n AS DOUBLE) - k_groups)) END, 6) AS f_stat,
+        |  round(CASE WHEN n > 0 AND ssb + ssw > 0
+        |    THEN ssb / (ssb + ssw) END, 6) AS eta_sq,
+        |  NOT ok AS guarded
+        |FROM f ORDER BY 1""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val outCols = Seq("k_groups", "n", "ssb", "ssw", "df1", "df2",
+        "f_stat", "eta_sq", "guarded").map(col)
+      val real = anovaF(docs.select(col("source"), col("n_chars")),
+          "n_chars", "source")
+        .select(lit("1_real").as("scenario") +: outCols: _*)
+      val const = anovaF(docs.select(col("source"),
+          lit(1L).as("c1")), "c1", "source")
+        .select(lit("2_const").as("scenario") +: outCols: _*)
+      real.unionAll(const).orderBy("scenario")
+    },
+
+    // BH-FDR across the 5-metric family: the oracle replays the
+    // md5 arms, per-metric pooled z, the A&S tail polynomial term
+    // for term, the (p, metric) rank, and the step-up suffix max.
+    QueryDef("p175_fdr_bh",
+      """WITH mm AS (SELECT unnest(['click', 'error', 'purchase',
+        |    'signup', 'view']) AS metric),
+        |uu AS (SELECT DISTINCT user_id FROM events),
+        |u AS (SELECT user_id,
+        |    substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8' AS va
+        |  FROM uu),
+        |tot AS (SELECT
+        |    CAST(COALESCE(SUM(CASE WHEN va THEN 1 ELSE 0 END), 0)
+        |      AS BIGINT) AS n_a,
+        |    CAST(COALESCE(SUM(CASE WHEN NOT va THEN 1 ELSE 0 END), 0)
+        |      AS BIGINT) AS n_b FROM u),
+        |um AS (SELECT user_id, event_type AS metric FROM events
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 14),
+        |cm AS (SELECT mm.metric,
+        |    CAST(COALESCE(SUM(CASE WHEN u.va THEN 1 ELSE 0 END), 0)
+        |      AS BIGINT) AS conv_a,
+        |    CAST(COALESCE(SUM(CASE WHEN NOT u.va THEN 1 ELSE 0 END),
+        |      0) AS BIGINT) AS conv_b
+        |  FROM mm LEFT JOIN um ON um.metric = mm.metric
+        |    LEFT JOIN u ON um.user_id = u.user_id
+        |  GROUP BY 1),
+        |base AS (SELECT metric, n_a, conv_a, n_b, conv_b
+        |  FROM cm CROSS JOIN tot),
+        |zz AS (SELECT *, CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |    CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) END AS pp
+        |  FROM base),
+        |ss AS (SELECT *, CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |    sqrt(pp * (1.0 - pp) * (1.0 / n_a + 1.0 / n_b)) END AS se
+        |  FROM zz),
+        |zv AS (SELECT *, CASE WHEN se > 0 THEN
+        |    (CAST(conv_a AS DOUBLE) / n_a -
+        |     CAST(conv_b AS DOUBLE) / n_b) / se END AS z FROM ss),
+        |tv AS (SELECT *, CASE WHEN se > 0 THEN
+        |    1.0 / (1.0 + 0.2316419 * abs(z)) END AS t FROM zv),
+        |pv AS (SELECT *, CASE WHEN se > 0 THEN
+        |    2.0 * exp(-abs(z) * abs(z) / 2.0) / 2.5066282746310002 *
+        |    (t * (0.319381530 + t * (-0.356563782 +
+        |      t * (1.781477937 + t * (-1.821255978 +
+        |        t * 1.330274429))))) END AS p_raw FROM tv),
+        |rk AS (SELECT *,
+        |    ROW_NUMBER() OVER (ORDER BY p_raw ASC NULLS LAST, metric)
+        |      AS rn,
+        |    SUM(CASE WHEN p_raw IS NOT NULL THEN 1 ELSE 0 END)
+        |      OVER () AS m_eff FROM pv),
+        |ok AS (SELECT *,
+        |    CASE WHEN p_raw IS NOT NULL THEN rn END AS rank,
+        |    CASE WHEN p_raw IS NOT NULL AND m_eff > 0 THEN
+        |      CAST(rn AS DOUBLE) * 0.10 / m_eff END AS bh,
+        |    CASE WHEN p_raw IS NOT NULL AND m_eff > 0 AND
+        |      p_raw <= CAST(rn AS DOUBLE) * 0.10 / m_eff
+        |      THEN 1 ELSE 0 END AS okf FROM rk),
+        |rej AS (SELECT *, MAX(okf) OVER (ORDER BY rank DESC NULLS
+        |      FIRST ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      = 1 AND p_raw IS NOT NULL AS rejected FROM ok)
+        |SELECT metric, n_a, conv_a, n_b, conv_b,
+        |  round(z, 6) AS z, round(p_raw, 6) AS p_value,
+        |  CAST(rank AS BIGINT) AS rank,
+        |  CAST(m_eff AS BIGINT) AS m_tested,
+        |  round(bh, 6) AS bh_threshold, rejected,
+        |  p_raw IS NULL AS guarded
+        |FROM rej ORDER BY metric""".stripMargin) { (s, dir) =>
+      fdrBh(t(s, dir, "events").select("user_id", "event_type"),
+        Seq("click", "error", "purchase", "signup", "view"))
+    },
+
+    // Kaplan–Meier retention: the oracle replays the per-user
+    // lifetime hours, the 12-hour censoring cut off the corpus max,
+    // the
+    // N − cumulative at-risk identity, and the exp(Σ ln) product in
+    // the same ascending-duration cumulative window.
+    QueryDef("p176_kaplan_meier",
+      """WITH mx AS (SELECT MAX(epoch_us(ts)) AS mxu FROM events),
+        |u AS (SELECT user_id, MIN(epoch_us(ts)) AS fw,
+        |    MAX(epoch_us(ts)) AS lw FROM events GROUP BY 1),
+        |d AS (SELECT (lw - fw) // 3600000000 AS dur,
+        |    lw > mxu - 43200000000 AS cens FROM u CROSS JOIN mx),
+        |g AS (SELECT dur, CAST(COUNT(*) AS BIGINT) AS n_all,
+        |    CAST(SUM(CASE WHEN NOT cens THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS churned,
+        |    CAST(SUM(CASE WHEN cens THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS censored
+        |  FROM d GROUP BY 1),
+        |c AS (SELECT *, COALESCE(SUM(n_all) OVER (ORDER BY dur
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS bef,
+        |    SUM(n_all) OVER () AS n FROM g),
+        |r AS (SELECT *, CAST(n - bef AS BIGINT) AS at_risk FROM c),
+        |s AS (SELECT *,
+        |    SUM(CASE WHEN churned < at_risk THEN
+        |        ln(1.0 - CAST(churned AS DOUBLE) / at_risk)
+        |      ELSE 0.0 END) OVER (ORDER BY dur ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND CURRENT ROW) AS lnsum,
+        |    MAX(CASE WHEN churned = at_risk THEN 1 ELSE 0 END)
+        |      OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS zf
+        |  FROM r)
+        |SELECT dur AS t_hours, at_risk, churned, censored,
+        |  round(CASE WHEN at_risk > 0 THEN
+        |    CAST(churned AS DOUBLE) / at_risk END, 6) AS hazard,
+        |  round(CASE WHEN zf = 1 THEN 0.0 ELSE exp(lnsum) END, 6)
+        |    AS survival
+        |FROM s ORDER BY 1""".stripMargin) { (s, dir) =>
+      kaplanMeier(t(s, dir, "events").select("user_id", "ts"))
+    },
+
+    // Split-conformal calibration: the oracle replays the md5 split,
+    // the exact-sum calibration mean, the ⌈(n+1)(1−α)⌉ rank, the
+    // (resid, doc_id) order statistic, and the test-side coverage.
+    // Scenario 2 runs a 20-doc slice at α = 0.03125 — α < 1/(n_cal+1)
+    // makes k exceed n_cal, exercising the guarded branch. Both α
+    // complements (0.9, 0.96875) are exactly-representable doubles
+    // written identically in both engines.
+    QueryDef("p177_conformal",
+      """WITH sc AS (SELECT unnest(['1_real', '2_small']) AS scenario),
+        |d AS (SELECT scenario, doc_id, CAST(n_chars AS BIGINT) AS x,
+        |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' AS cal
+        |  FROM documents CROSS JOIN sc
+        |  WHERE scenario = '1_real' OR doc_id < 20),
+        |f AS (SELECT scenario,
+        |    CAST(COALESCE(SUM(CASE WHEN cal THEN 1 ELSE 0 END), 0)
+        |      AS BIGINT) AS n_cal,
+        |    CAST(COALESCE(SUM(CASE WHEN NOT cal THEN 1 ELSE 0 END), 0)
+        |      AS BIGINT) AS n_test,
+        |    SUM(CASE WHEN cal THEN CAST(x AS HUGEINT) END) AS s_cal
+        |  FROM d GROUP BY 1),
+        |k AS (SELECT *,
+        |    CASE WHEN n_cal > 0 THEN CAST(ceil(
+        |      CAST(n_cal + 1 AS DOUBLE) *
+        |      CAST(CASE WHEN scenario = '1_real' THEN 0.9
+        |        ELSE 0.96875 END AS DOUBLE)) AS BIGINT) END AS k_rank,
+        |    CASE WHEN n_cal > 0 THEN CAST(s_cal AS DOUBLE) / n_cal
+        |      END AS mean_cal
+        |  FROM f),
+        |r AS (SELECT d.scenario, d.doc_id,
+        |    abs(CAST(d.x AS DOUBLE) - k.mean_cal) AS resid
+        |  FROM d JOIN k USING (scenario) WHERE d.cal),
+        |rr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY scenario
+        |    ORDER BY resid, doc_id) AS pos FROM r),
+        |q AS (SELECT k.scenario,
+        |    MAX(CASE WHEN rr.pos = k.k_rank THEN rr.resid END)
+        |      AS q_hat
+        |  FROM k LEFT JOIN rr USING (scenario) GROUP BY 1),
+        |c AS (SELECT d.scenario, CAST(COALESCE(SUM(CASE WHEN
+        |      abs(CAST(d.x AS DOUBLE) - k.mean_cal) <= q.q_hat
+        |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_cov
+        |  FROM d JOIN k USING (scenario) JOIN q USING (scenario)
+        |  WHERE NOT d.cal GROUP BY 1)
+        |SELECT k.scenario, k.n_cal, k.n_test, k.k_rank,
+        |  round(q.q_hat, 6) AS q_hat,
+        |  CASE WHEN q.q_hat IS NOT NULL THEN COALESCE(c.n_cov, 0)
+        |    END AS n_covered,
+        |  round(CASE WHEN q.q_hat IS NOT NULL AND k.n_test > 0 THEN
+        |    CAST(COALESCE(c.n_cov, 0) AS DOUBLE) / k.n_test END, 6)
+        |    AS coverage,
+        |  q.q_hat IS NULL OR k.n_test = 0 AS guarded
+        |FROM k JOIN q USING (scenario) LEFT JOIN c USING (scenario)
+        |ORDER BY 1""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents").select("doc_id", "n_chars")
+      val outCols = Seq("n_cal", "n_test", "k_rank", "q_hat",
+        "n_covered", "coverage", "guarded").map(col)
+      val real = conformalCalibration(docs, 0.1)
+        .select(lit("1_real").as("scenario") +: outCols: _*)
+      val small = conformalCalibration(docs.filter(col("doc_id") < 20),
+          0.03125)
+        .select(lit("2_small").as("scenario") +: outCols: _*)
+      real.unionAll(small).orderBy("scenario")
+    },
+
+    // Isotonic calibration: the oracle replays the p174 1-step fit
+    // and 6-dp scores, the centile binning (1-step scores live in
+    // 0.01-0.09; decile bins would collapse to one), the prefix sums,
+    // and the minimax ŷ_i = max_{j≤i} min_{k≥i} span-mean identity
+    // over the bounded bin table.
+    QueryDef("p179_isotonic",
+      """WITH f AS (
+        |  SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+        |    1.0 AS x0,
+        |    ln(1.0 + CAST(nt AS DOUBLE)) AS x1,
+        |    CAST(length(text) AS DOUBLE) / CAST(nt AS DOUBLE) AS x2
+        |  FROM (SELECT lang, text, CASE
+        |      WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g'))
+        |        = 0 THEN 0
+        |      ELSE len(string_split_regex(
+        |        regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'))
+        |      END AS nt
+        |    FROM documents)
+        |  WHERE nt > 0),
+        |n AS (SELECT count(*) AS m FROM f),
+        |ws0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2),
+        |g1 AS (SELECT
+        |    CAST(sum(CAST((1.0/(1.0+exp(-(w0*x0+w1*x1+w2*x2))) - y)*x0
+        |      AS DECIMAL(28,12))) AS DOUBLE) AS g0,
+        |    CAST(sum(CAST((1.0/(1.0+exp(-(w0*x0+w1*x1+w2*x2))) - y)*x1
+        |      AS DECIMAL(28,12))) AS DOUBLE) AS g1,
+        |    CAST(sum(CAST((1.0/(1.0+exp(-(w0*x0+w1*x1+w2*x2))) - y)*x2
+        |      AS DECIMAL(28,12))) AS DOUBLE) AS g2
+        |  FROM f CROSS JOIN ws0),
+        |ws1 AS (SELECT w0 - 1.0*(g0/CAST(m AS DOUBLE)) AS w0,
+        |    w1 - 1.0*(g1/CAST(m AS DOUBLE)) AS w1,
+        |    w2 - 1.0*(g2/CAST(m AS DOUBLE)) AS w2
+        |  FROM g1 CROSS JOIN ws0 CROSS JOIN n),
+        |sc AS (SELECT CAST(y AS BIGINT) AS yl,
+        |    round(1.0/(1.0+exp(-(w0*x0+w1*x1+w2*x2))), 6) AS p
+        |  FROM f CROSS JOIN ws1),
+        |b AS (SELECT CAST(least(floor(p * 100), 99) AS BIGINT)
+        |    AS bin, yl FROM sc),
+        |g AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(COALESCE(SUM(yl), 0) AS BIGINT) AS pos
+        |  FROM b GROUP BY 1),
+        |pr AS (SELECT *, COALESCE(SUM(n) OVER (ORDER BY bin ROWS
+        |      BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS pre_n,
+        |    COALESCE(SUM(pos) OVER (ORDER BY bin ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre_pos
+        |  FROM g),
+        |cu AS (SELECT *, pre_n + n AS cum_n, pre_pos + pos AS cum_pos
+        |  FROM pr),
+        |sp AS (SELECT j.bin AS j, k.bin AS k,
+        |    CASE WHEN k.cum_n - j.pre_n > 0 THEN
+        |      CAST(k.cum_pos - j.pre_pos AS DOUBLE) /
+        |      (k.cum_n - j.pre_n) END AS rate
+        |  FROM cu j JOIN cu k ON j.bin <= k.bin),
+        |mm AS (SELECT i.bin, i.n, i.pos, sp.j, MIN(sp.rate) AS mnr
+        |  FROM cu i JOIN sp ON sp.j <= i.bin AND i.bin <= sp.k
+        |  GROUP BY 1, 2, 3, 4),
+        |ff AS (SELECT bin, n, pos, MAX(mnr) AS fitted
+        |  FROM mm GROUP BY 1, 2, 3)
+        |SELECT bin, n, pos,
+        |  round(CASE WHEN n > 0 THEN CAST(pos AS DOUBLE) / n END, 6)
+        |    AS raw_rate,
+        |  round(fitted, 6) AS fitted_rate
+        |FROM ff ORDER BY 1""".stripMargin) { (s, dir) =>
+      TextAnalysis.isotonicCalibration(t(s, dir, "documents"),
+        steps = 1, nBins = 100)
     },
 
     // Group-sequential monitor: the oracle replays the integer week

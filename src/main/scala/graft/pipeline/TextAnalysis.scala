@@ -765,6 +765,92 @@ object TextAnalysis {
       .orderBy("threshold")
   }
 
+  /** Isotonic (pool-adjacent-violators) calibration of the quality
+    * classifier over score bins — the post-hoc step that turns a
+    * model's raw sigmoid into an honest probability (a score of 0.03
+    * should mean "3% of such docs are positive"; a 1-step logreg's
+    * raw sigmoid usually doesn't). PAV is the classic sequential
+    * pooling algorithm, but its solution has a CLOSED FORM — the
+    * minimax identity ŷ_i = max_{j≤i} min_{k≥i} mean(y over bins
+    * j..k) (Robertson–Wright–Dykstra, Order Restricted Statistical
+    * Inference §1.4) — which needs no sequential state at all: with
+    * B score bins it is two bounded joins over a ≤B-row table.
+    *
+    * Exactness: bin rates are exact int64 (pos, n) prefix sums; every
+    * span mean is ONE double division of those integers, and min/max
+    * over doubles is order-free — no float accumulation anywhere, so
+    * the oracle replays bit-identical values.
+    *
+    * Distributed shape: one corpus scan → B-row hash aggregate
+    * (partial combine); prefix sums ride a [[Corpus.boundedKey]]
+    * window over ≤B rows; the span/minimax joins are broadcast
+    * products of that B-row table (B² spans, B³ join rows — literal
+    * constants, never data cardinality).
+    */
+  def isotonicCalibration(docs: DataFrame, steps: Int = 1,
+      lr: Double = 1.0, posLang: String = "en",
+      langCol: String = "lang", textCol: String = "text",
+      nBins: Int = 100): DataFrame = {
+    require(nBins >= 2 && nBins <= 256, s"bad bin count $nBins")
+    val (feats, w) = logregFit(docs, steps, lr, posLang, langCol,
+      textCol)
+    val z = col("w0") * col("x0") + col("w1") * col("x1") +
+      col("w2") * col("x2")
+    val scored = feats.crossJoin(w).select(
+      col("y").cast("long").as("yl"),
+      round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("p"))
+    val bins = scored
+      .select(least(floor(col("p") * nBins), lit(nBins - 1L))
+        .cast("long").as("bin"), col("yl"))
+      .groupBy("bin").agg(count(lit(1)).cast("long").as("n"),
+        coalesce(sum(col("yl")), lit(0L)).cast("long").as("pos"))
+    pavFit(bins)
+  }
+
+  /** The minimax PAV core of [[isotonicCalibration]], over an already
+    * bounded `(bin, n, pos)` table — separated so the spec can feed a
+    * synthetic violating bin profile (the corpus' own bins may come
+    * out monotone, leaving the pooling path unexercised). Same
+    * closed-form identity and exactness argument as the caller doc.
+    */
+  private[graft] def pavFit(bins: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val wb = W.partitionBy(Corpus.boundedKey(col("bin")))
+      .orderBy(col("bin"))
+    val pre = bins
+      .withColumn("pre_n", coalesce(sum(col("n"))
+        .over(wb.rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("pre_pos", coalesce(sum(col("pos"))
+        .over(wb.rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("cum_n", col("pre_n") + col("n"))
+      .withColumn("cum_pos", col("pre_pos") + col("pos"))
+    // spans j..k over nonempty bins: mean = (cum_k − pre_j) ratio of
+    // exact int64 sums; the span always contains bin j ⇒ denominator
+    // strictly positive (the when() keeps ANSI division total)
+    val spans = pre.select(col("bin").as("j"), col("pre_n").as("jn"),
+        col("pre_pos").as("jp"))
+      .crossJoin(pre.select(col("bin").as("k"), col("cum_n").as("kn"),
+        col("cum_pos").as("kp")))
+      .filter(col("j") <= col("k"))
+      .select(col("j"), col("k"),
+        when(col("kn") - col("jn") > 0,
+          (col("kp") - col("jp")).cast("double") /
+            (col("kn") - col("jn")).cast("double")).as("rate"))
+    val fitted = pre.select(col("bin"), col("n"), col("pos"))
+      .join(spans,
+        col("j") <= col("bin") && col("bin") <= col("k"))
+      .groupBy("bin", "n", "pos", "j")
+      .agg(min(col("rate")).as("mnr"))
+      .groupBy("bin", "n", "pos")
+      .agg(max(col("mnr")).as("fitted"))
+    fitted.select(col("bin"), col("n"), col("pos"),
+      round(when(col("n") > 0,
+        col("pos").cast("double") / col("n").cast("double")), 6)
+        .as("raw_rate"),
+      round(col("fitted"), 6).as("fitted_rate"))
+      .orderBy("bin")
+  }
+
   /** Score a document relation with an already-fit [[logregFit]]
     * weight row (offline-trained model, online scoring — the s41
     * streaming evaluation shape): recompute the three features inline

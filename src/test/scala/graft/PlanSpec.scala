@@ -1319,4 +1319,94 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"),
       s"per-doc averaging uses a window instead of aggregates:\n$p")
   }
+
+  private def noShuffledJoin(name: String, p: String): Unit = {
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"$name: a shuffled join appeared:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"$name: non-broadcast product appeared:\n$p")
+  }
+
+  test("p175: the metric family explodes from one scalar-aggregate " +
+      "row; every window rides a bounded synthetic key") {
+    // one user-keyed collapse carries ALL metric flags; the 2+2m
+    // counters pivot to a single row; the m-row family explodes from
+    // it, so the BH rank/step-up windows never see data cardinality
+    val p = executed("p175_fdr_bh")
+    noShuffledJoin("p175", p)
+    val pf = p.split("== Initial Plan ==").head
+    assert(pf.contains("Generate explode"),
+      s"p175: family rows are not exploding from the pivoted row:\n$p")
+    assert(!pf.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("user_id")),
+      s"p175: a non-user exchange appeared:\n$p")
+    val wins = pf.linesIterator
+      .filter(_.contains("windowspecdefinition(")).toSeq
+    assert(wins.nonEmpty && wins.forall(
+      _.contains("windowspecdefinition(_w")),
+      s"p175: a window partitioned by a data column appeared:\n$p")
+  }
+
+  test("p176: survival windows run over the hour-span-bounded " +
+      "duration table, never the user relation") {
+    // user collapse → |hour-span|-row duration aggregate; the
+    // product-limit cumulative windows ride that bounded table under
+    // the non-foldable constant key; the corpus max joins by broadcast
+    val p = executed("p176_kaplan_meier")
+    noShuffledJoin("p176", p)
+    val pf = p.split("== Initial Plan ==").head
+    val wins = pf.linesIterator
+      .filter(_.contains("windowspecdefinition(")).toSeq
+    assert(wins.nonEmpty && wins.forall(
+      _.contains("windowspecdefinition(_w")),
+      s"p176: a window partitioned by a data column appeared:\n$p")
+    assert(!pf.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") &&
+        !(l.contains("user_id") || l.contains("(dur") ||
+          l.contains("(_w"))),
+      s"p176: an exchange outside user/duration keys appeared:\n$p")
+  }
+
+  test("p177: conformal quantile rides the two-phase global-order " +
+      "rank; fit scalars broadcast") {
+    val p = executed("p177_conformal")
+    noShuffledJoin("p177", p)
+    assert(p.contains("graft-globalorder"),
+      s"p177: no globalorder barrier scan — rank path rewritten?:\n$p")
+    assert(p.contains("windowspecdefinition(_pid"),
+      s"p177: residual rank is not a per-partition window:\n$p")
+    val pf = p.split("== Initial Plan ==").head
+    assert(!pf.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("_pid")),
+      s"p177: a non-_pid exchange appeared:\n$p")
+  }
+
+  test("p178: ANOVA is a source rollup into a scalar aggregate — no " +
+      "window, no join") {
+    val p = executed("p178_anova_f")
+    assert(!p.contains("Join"), s"p178: unexpected join:\n$p")
+    assert(!p.contains("Window"), s"p178: a window appeared:\n$p")
+    val pf = p.split("== Initial Plan ==").head
+    assert(!pf.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("source")),
+      s"p178: a non-source exchange appeared:\n$p")
+  }
+
+  test("p179: isotonic minimax joins are broadcast products of the " +
+      "bounded bin table; windows ride the bounded key") {
+    val p = executed("p179_isotonic")
+    noShuffledJoin("p179", p)
+    val pf = p.split("== Initial Plan ==").head
+    val wins = pf.linesIterator
+      .filter(_.contains("windowspecdefinition(")).toSeq
+    assert(wins.nonEmpty && wins.forall(
+      _.contains("windowspecdefinition(_w")),
+      s"p179: a window partitioned by a data column appeared:\n$p")
+    // every exchange is over the ≤B-row bin table (prefix sums, the
+    // B²/B³ minimax groupings) — nothing keyed by document columns
+    assert(!pf.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") &&
+        !(l.contains("(bin") || l.contains("(_w"))),
+      s"p179: an exchange outside the bin table appeared:\n$p")
+  }
 }

@@ -4638,4 +4638,228 @@ class PipelineSpec extends SparkSpec {
     assert(res.passed, s"triangle property failed: ${res.status}")
     assert(checked >= 30)
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def r6(x: Double): Double = BigDecimal(x)
+    .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("fdrBh: driver replay of per-metric pooled z, the A&S tail " +
+      "polynomial, and the BH step-up; an event-free metric guards") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(175)
+    // 'ghost' never occurs → both arms convert 0 → se = 0 → guarded,
+    // and m_tested drops to 3 for the remaining family
+    val metrics = Seq("click", "ghost", "purchase", "view")
+    val events = (1 to 80).flatMap { u =>
+      (1 to (5 + rnd.nextInt(30))).map { _ =>
+        (u.toLong, Seq("click", "purchase", "view")(rnd.nextInt(3)))
+      }
+    }
+    val got = graft.operators.Pipeline.fdrBh(
+        events.toDF("user_id", "event_type"), metrics,
+        q = 0.10, minCount = 4)
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5)),
+        if (r.isNullAt(6)) None else Some(r.getDouble(6)),
+        if (r.isNullAt(7)) None else Some(r.getLong(7)),
+        r.getLong(8),
+        if (r.isNullAt(9)) None else Some(r.getDouble(9)),
+        r.getBoolean(10), r.getBoolean(11))).toSeq
+    // replay: arm split, conversions, pooled z, A&S p, BH step-up
+    val users = events.groupBy(_._1).toSeq.map { case (u, es) =>
+      (md5hex(u.toString).charAt(0) < '8',
+        metrics.map(m => if (es.count(_._2 == m) >= 4) 1L else 0L))
+    }
+    val nA = users.count(_._1).toLong
+    val nB = users.size.toLong - nA
+    val ps = metrics.zipWithIndex.map { case (m, i) =>
+      val ca = users.filter(_._1).map(_._2(i)).sum
+      val cb = users.filterNot(_._1).map(_._2(i)).sum
+      val pp = (ca + cb).toDouble / (nA + nB)
+      val se = math.sqrt(pp * (1.0 - pp) * (1.0 / nA + 1.0 / nB))
+      if (se > 0) {
+        val z = (ca.toDouble / nA - cb.toDouble / nB) / se
+        val az = math.abs(z)
+        val tt = 1.0 / (1.0 + 0.2316419 * az)
+        val poly = tt * (0.319381530 + tt * (-0.356563782 +
+          tt * (1.781477937 + tt * (-1.821255978 + tt * 1.330274429))))
+        (m, ca, cb, Some(z), Some(2.0 * math.exp(-az * az / 2.0) /
+          2.5066282746310002 * poly))
+      } else (m, ca, cb, None, None)
+    }
+    val mEff = ps.count(_._5.isDefined).toLong
+    val ranked = ps.sortBy(t => (t._5.getOrElse(Double.MaxValue), t._1))
+      .zipWithIndex.map { case (t, i) => (t, i + 1L) }
+    val kStar = ranked.filter { case (t, rk) =>
+      t._5.exists(_ <= rk.toDouble * 0.10 / mEff) }
+      .map(_._2).reduceOption(_ max _).getOrElse(0L)
+    val want = ranked.map { case ((m, ca, cb, z, p), rk) =>
+      (m, (nA, ca, nB, cb), z.map(r6), p.map(r6),
+        if (p.isDefined) Some(rk) else None, mEff,
+        if (p.isDefined) Some(r6(rk.toDouble * 0.10 / mEff)) else None,
+        p.isDefined && rk <= kStar, p.isEmpty)
+    }.sortBy(_._1)
+    assert(got == want, s"\n got  $got\n want $want")
+    // the planted effect-free family may or may not reject; assert
+    // the replay agreed AND the guard fired exactly on 'ghost'
+    assert(got.count(_._9) == 1 && got.find(_._9).get._1 == "ghost")
+  }
+
+  test("kaplanMeier: driver replay of the product-limit estimator " +
+      "with right-censoring; an exhausted risk set zeroes survival") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(176)
+    val base = 1700000000000000L
+    val h = 3600000000L
+    // user 42 pins the corpus max (far future, dur 0, censored);
+    // user 41 has the unique max LIFETIME and ends long before the
+    // censor window → at its duration row at_risk = churned = 1
+    val users = (1 to 40).map { u =>
+      val fw = base + rnd.nextInt(100) * h
+      (u.toLong, fw, fw + rnd.nextInt(50) * h + rnd.nextInt(1000))
+    } :+ ((41L, base - 200 * h, base)) :+
+      ((42L, base + 300 * h, base + 300 * h))
+    val df = users.flatMap { case (u, fw, lw) => Seq((u, fw), (u, lw)) }
+      .toDF("user_id", "us")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"))
+    val got = graft.operators.Pipeline.kaplanMeier(df, censorHours = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5))).toSeq
+    val mxu = users.map(_._3).max
+    val durs = users
+      .map { case (_, fw, lw) => ((lw - fw) / h, lw > mxu - 12 * h) }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (d, vs) => (d, vs.size.toLong,
+        vs.count(!_._2).toLong, vs.count(_._2).toLong) }
+    val nTot = durs.map(_._2).sum
+    var before = 0L; var lnSum = 0.0; var dead = false
+    val want = durs.map { case (d, nAll, ch, ce) =>
+      val atRisk = nTot - before
+      before += nAll
+      if (ch < atRisk) lnSum += math.log(1.0 - ch.toDouble / atRisk)
+      else dead = true
+      (d, atRisk, ch, ce, r6(ch.toDouble / atRisk),
+        if (dead) 0.0 else r6(math.exp(lnSum)))
+    }
+    assert(got == want, s"\n got  $got\n want $want")
+    assert(got.last._6 == 0.0, "terminal exhaustion did not zero S(t)")
+    assert(got.exists(_._4 > 0), "no censored user in play")
+  }
+
+  test("conformalCalibration: driver replay of the k-rank residual " +
+      "quantile and test coverage; alpha below 1/(n+1) guards") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(177)
+    val rows = (1L to 60L).map(i => (i, 50L + rnd.nextInt(500).toLong))
+    val r = graft.operators.Pipeline.conformalCalibration(
+      rows.toDF("doc_id", "n_chars"), alpha = 0.25).head()
+    val cal = rows.filter(t => md5hex(t._1.toString).charAt(0) < 'c')
+    val tst = rows.filterNot(t => md5hex(t._1.toString).charAt(0) < 'c')
+    val mean = cal.map(_._2).sum.toDouble / cal.size.toDouble
+    val k = math.ceil((cal.size + 1).toDouble * 0.75).toLong
+    val resid = cal.map { case (id, x) => (math.abs(x - mean), id) }
+      .sorted
+    val qhat = resid(k.toInt - 1)._1
+    val nCov = tst.count { case (_, x) => math.abs(x - mean) <= qhat }
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) ==
+      ((cal.size.toLong, tst.size.toLong, k)))
+    assert(r.getDouble(3) == r6(qhat) && r.getLong(4) == nCov.toLong)
+    assert(r.getDouble(5) == r6(nCov.toDouble / tst.size))
+    assert(!r.getBoolean(6))
+    // k = ceil((n+1)·(1−1/32)) > n for n < 31 → guarded branch
+    val g = graft.operators.Pipeline.conformalCalibration(
+      rows.take(10).toDF("doc_id", "n_chars"), alpha = 0.03125).head()
+    assert(g.isNullAt(3) && g.isNullAt(4) && g.getBoolean(6))
+  }
+
+  test("anovaF: driver replay of the decimal-pinned moment " +
+      "decomposition; a constant metric guards via exact SSW = 0") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(178)
+    val rows = (1 to 200).map(i =>
+      (s"s${i % 5}", (20 + rnd.nextInt(400)).toLong))
+    val r = graft.operators.Pipeline.anovaF(
+      rows.toDF("source", "x"), "x", "source").head()
+    val gs = rows.groupBy(_._1).toSeq.map { case (_, vs) =>
+      (vs.size.toLong, vs.map(_._2).sum, vs.map(v => v._2 * v._2).sum)
+    }
+    val k = gs.size.toLong; val n = gs.map(_._1).sum
+    val sAll = gs.map(_._2).sum.toDouble
+    val qAll = gs.map(_._3).sum.toDouble
+    val ssbPart = gs.map { case (ng, sg, _) =>
+      BigDecimal(sg.toDouble * sg.toDouble / ng.toDouble)
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    }.sum.toDouble
+    val ssb = ssbPart - sAll * sAll / n.toDouble
+    val ssw = qAll - ssbPart
+    assert((r.getLong(0), r.getLong(1)) == ((k, n)))
+    assert(r.getDouble(2) == r6(ssb) && r.getDouble(3) == r6(ssw))
+    assert((r.getLong(4), r.getLong(5)) == ((k - 1, n - k)))
+    assert(r.getDouble(6) ==
+      r6((ssb / (k - 1.0)) / (ssw / (n.toDouble - k))))
+    assert(r.getDouble(7) == r6(ssb / (ssb + ssw)))
+    assert(!r.getBoolean(8))
+    val c = graft.operators.Pipeline.anovaF(
+      rows.map(t => (t._1, 7L)).toDF("source", "x"), "x", "source")
+      .head()
+    assert(c.getDouble(3) == 0.0 && c.isNullAt(6) && c.getBoolean(8))
+  }
+
+  private def seqPav(bins: Seq[(Long, Long)]): Seq[Double] = {
+    // sequential pool-adjacent-violators on exact (n, pos) longs;
+    // violation test by integer cross-multiplication (no float order)
+    val stack = scala.collection.mutable.ArrayBuffer[(Long, Long, Int)]()
+    bins.foreach { case (n, pos) =>
+      stack += ((n, pos, 1))
+      while (stack.length >= 2 && {
+        val (n2, p2, _) = stack(stack.length - 2)
+        val (n1, p1, _) = stack.last
+        p2 * n1 > p1 * n2
+      }) {
+        val (n1, p1, w1) = stack.remove(stack.length - 1)
+        val (n2, p2, w2) = stack.remove(stack.length - 1)
+        stack += ((n1 + n2, p1 + p2, w1 + w2))
+      }
+    }
+    stack.flatMap { case (n, pos, w) =>
+      Seq.fill(w)(r6(pos.toDouble / n.toDouble)) }.toSeq
+  }
+
+  test("isotonicCalibration: minimax fitted equals sequential PAV " +
+      "on the corpus and on random violating bin profiles") {
+    import spark.implicits._
+    val docsFull = spark.read.parquet(s"$sf/documents.parquet")
+    val rows = TextAnalysis.isotonicCalibration(docsFull, steps = 1,
+      nBins = 100).collect()
+    assert(rows.length >= 2)
+    val fitted = rows.map(_.getDouble(4))
+    assert(fitted.zip(fitted.tail).forall { case (a, b) => a <= b },
+      s"fitted not monotone: ${fitted.mkString(",")}")
+    assert(fitted.toSeq ==
+      seqPav(rows.map(r => (r.getLong(1), r.getLong(2))).toSeq),
+      "corpus minimax != sequential PAV")
+    // random bin profiles guarantee the pooling path fires
+    val rnd = new scala.util.Random(179)
+    (1 to 3).foreach { trial =>
+      val bins = (0 until 12).map { b =>
+        val n = 1L + rnd.nextInt(40)
+        (b.toLong, n, rnd.nextLong(n + 1))
+      }
+      val got = TextAnalysis.pavFit(bins.toDF("bin", "n", "pos"))
+        .collect()
+      val want = seqPav(bins.map(t => (t._2, t._3)))
+      assert(got.map(_.getDouble(4)).toSeq == want,
+        s"trial $trial:\n got  ${got.map(_.getDouble(4)).toSeq}" +
+          s"\n want $want")
+      val blocks = want.distinct.size
+      assert(blocks < bins.size || want == want.sorted,
+        s"trial $trial produced no pooling and wasn't monotone")
+      // every trial at this density must pool somewhere
+      assert(blocks < bins.size, s"trial $trial: no violators pooled")
+    }
+  }
 }
