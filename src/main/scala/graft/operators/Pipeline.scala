@@ -38,6 +38,10 @@ object Pipeline {
     */
   private val nearDupMemo = new java.util.concurrent.ConcurrentHashMap[
     String, (DataFrame, DataFrame)]()
+  // the pair table is barrier-backed: when the re-timing loops release
+  // all barriers between runs, this memo MUST drop with them or the
+  // next consumer re-reads a deleted dir (the r11 p25 bench failure)
+  Dedup.onBarrierReset(() => nearDupMemo.clear())
   private def nearDupGraph(s: SparkSession,
       dir: String): (DataFrame, DataFrame) =
     nearDupMemo.computeIfAbsent(s"${System.identityHashCode(s)}|$dir", _ => {
@@ -1866,6 +1870,93 @@ object Pipeline {
       round(fStat, 6).as("f_stat"),
       round(etaSq, 6).as("eta_sq"),
       coalesce(!ok, lit(true)).as("guarded"))
+  }
+
+  /** Log-rank test between the md5 experiment arms on user lifetimes —
+    * "did the treatment change RETENTION?", the survival companion to
+    * [[kaplanMeier]] the way p169's AUC companions the p97 classifier.
+    * Standard Mantel–Haenszel form over the distinct lifetime hours:
+    * at each duration d with r_a/r_b at risk and o_d total churn,
+    * E_a += o_d·r_a/n_d and V += o_d·(r_a/n_d)·(1−r_a/n_d)·
+    * (n_d−o_d)/(n_d−1); z = (O_a−E_a)/√V. Censoring as in
+    * [[kaplanMeier]]: users whose last event falls within
+    * `censorHours` of the corpus end leave the risk set silently.
+    *
+    * Determinism: at-risk counts are exact int64 (N_arm − prefix sum);
+    * each E/V term is ONE fixed-shape double expression of those
+    * integers, pinned to DECIMAL(38,12) before the cross-row sum (the
+    * p178 trick), so the only float summation is order-independent
+    * and DuckDB replays it term for term. V ≤ 0 (no churn anywhere —
+    * e.g. a censor window covering the corpus) → z NULL, guarded.
+    *
+    * Distributed shape: one user-keyed collapse (min/max/arm), one
+    * global max (broadcast scalar), a duration-keyed aggregate bounded
+    * by the corpus HOUR SPAN carrying both arms' counters, prefix sums
+    * under a [[Corpus.boundedKey]] window over that bounded table, and
+    * a final scalar aggregate. Nothing keyed wider than user_id ever
+    * shuffles.
+    */
+  def logRank(events: DataFrame, censorHours: Int = 12): DataFrame = {
+    require(censorHours >= 0, s"bad censorHours $censorHours")
+    val W = org.apache.spark.sql.expressions.Window
+    val us = events.groupBy("user_id").agg(
+      min(unix_micros(col("ts"))).as("fw"),
+      max(unix_micros(col("ts"))).as("lw"))
+    val mx = events.agg(max(unix_micros(col("ts"))).as("mxu"))
+    val durs = us.crossJoin(broadcast(mx))
+      .select(expr("(lw - fw) div 3600000000").as("dur"),
+        (col("lw") > col("mxu") - lit(censorHours * 3600000000L))
+          .as("cens"),
+        (substring(md5(col("user_id").cast("string")), 1, 1) < "8")
+          .as("arm_a"))
+      .groupBy("dur").agg(
+        sum(when(col("arm_a"), 1L).otherwise(0L)).cast("long")
+          .as("all_a"),
+        sum(when(!col("arm_a"), 1L).otherwise(0L)).cast("long")
+          .as("all_b"),
+        sum(when(col("arm_a") && !col("cens"), 1L).otherwise(0L))
+          .cast("long").as("churn_a"),
+        sum(when(!col("arm_a") && !col("cens"), 1L).otherwise(0L))
+          .cast("long").as("churn_b"))
+    val w = W.partitionBy(Corpus.boundedKey(col("dur")))
+      .orderBy(col("dur"))
+    val whole = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    val cum = durs
+      .withColumn("r_a", (sum(col("all_a")).over(whole) -
+        coalesce(sum(col("all_a"))
+          .over(w.rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+        .cast("long"))
+      .withColumn("r_b", (sum(col("all_b")).over(whole) -
+        coalesce(sum(col("all_b"))
+          .over(w.rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+        .cast("long"))
+    val dTot = col("churn_a") + col("churn_b")
+    val nTot = col("r_a") + col("r_b")
+    val dD = dTot.cast("double"); val nD = nTot.cast("double")
+    val raD = col("r_a").cast("double")
+    // E/V terms written as ONE expression shape each, replayed
+    // verbatim in the oracle; the n_d = 1 row carries zero variance
+    val eTerm = when(dTot > 0 && nTot > 0,
+      (dD * raD / nD).cast("decimal(38,12)"))
+      .otherwise(lit(0).cast("decimal(38,12)"))
+    val vTerm = when(dTot > 0 && nTot > 1,
+      (dD * (raD / nD) * (lit(1.0) - raD / nD) *
+        (nD - dD) / (nD - lit(1.0))).cast("decimal(38,12)"))
+      .otherwise(lit(0).cast("decimal(38,12)"))
+    val s = cum.agg(
+      coalesce(sum(col("all_a")), lit(0L)).cast("long").as("n_a"),
+      coalesce(sum(col("all_b")), lit(0L)).cast("long").as("n_b"),
+      coalesce(sum(col("churn_a")), lit(0L)).cast("long").as("o_a"),
+      coalesce(sum(col("churn_b")), lit(0L)).cast("long").as("o_b"),
+      sum(eTerm).cast("double").as("e_a"),
+      sum(vTerm).cast("double").as("v"))
+    val z = when(col("v") > 0,
+      (col("o_a").cast("double") - col("e_a")) / sqrt(col("v")))
+    s.select(col("n_a"), col("n_b"), col("o_a"), col("o_b"),
+      round(col("e_a"), 6).as("e_a"), round(col("v"), 6).as("v"),
+      round(z, 6).as("z"),
+      round(z * z, 6).as("chi_sq"),
+      coalesce(!(col("v") > 0), lit(true)).as("guarded"))
   }
 
   val all: Seq[QueryDef] = Seq(
@@ -5571,6 +5662,79 @@ object Pipeline {
         |    AS survival
         |FROM s ORDER BY 1""".stripMargin) { (s, dir) =>
       kaplanMeier(t(s, dir, "events").select("user_id", "ts"))
+    },
+
+    // Log-rank test: the oracle replays the arm split, per-duration
+    // two-arm counters, the N − prefix at-risk identity, and the
+    // decimal-pinned E/V term sums. Scenario 2 censors the whole
+    // corpus (no churn → V = 0 → guarded).
+    QueryDef("p180_log_rank",
+      """WITH sc AS (SELECT unnest(['1_real', '2_frozen']) AS scenario,
+        |    unnest([43200000000, 3600000000000000000]) AS cut),
+        |mx AS (SELECT MAX(epoch_us(ts)) AS mxu FROM events),
+        |u AS (SELECT user_id, MIN(epoch_us(ts)) AS fw,
+        |    MAX(epoch_us(ts)) AS lw FROM events GROUP BY 1),
+        |d AS (SELECT scenario, (lw - fw) // 3600000000 AS dur,
+        |    lw > mxu - cut AS cens,
+        |    substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+        |      AS arm_a
+        |  FROM u CROSS JOIN mx CROSS JOIN sc),
+        |g AS (SELECT scenario, dur,
+        |    CAST(SUM(CASE WHEN arm_a THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS all_a,
+        |    CAST(SUM(CASE WHEN NOT arm_a THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS all_b,
+        |    CAST(SUM(CASE WHEN arm_a AND NOT cens THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS churn_a,
+        |    CAST(SUM(CASE WHEN NOT arm_a AND NOT cens THEN 1 ELSE 0
+        |      END) AS BIGINT) AS churn_b
+        |  FROM d GROUP BY 1, 2),
+        |c AS (SELECT *,
+        |    CAST(SUM(all_a) OVER (PARTITION BY scenario) -
+        |      COALESCE(SUM(all_a) OVER (PARTITION BY scenario
+        |        ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |        1 PRECEDING), 0) AS BIGINT) AS r_a,
+        |    CAST(SUM(all_b) OVER (PARTITION BY scenario) -
+        |      COALESCE(SUM(all_b) OVER (PARTITION BY scenario
+        |        ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |        1 PRECEDING), 0) AS BIGINT) AS r_b
+        |  FROM g),
+        |t AS (SELECT *, churn_a + churn_b AS d_tot, r_a + r_b AS n_tot
+        |  FROM c),
+        |e AS (SELECT scenario,
+        |    CAST(COALESCE(SUM(all_a), 0) AS BIGINT) AS n_a,
+        |    CAST(COALESCE(SUM(all_b), 0) AS BIGINT) AS n_b,
+        |    CAST(COALESCE(SUM(churn_a), 0) AS BIGINT) AS o_a,
+        |    CAST(COALESCE(SUM(churn_b), 0) AS BIGINT) AS o_b,
+        |    CAST(SUM(CASE WHEN d_tot > 0 AND n_tot > 0 THEN
+        |      CAST(CAST(d_tot AS DOUBLE) * CAST(r_a AS DOUBLE) /
+        |        CAST(n_tot AS DOUBLE) AS DECIMAL(38,12))
+        |      ELSE CAST(0 AS DECIMAL(38,12)) END) AS DOUBLE) AS e_a,
+        |    CAST(SUM(CASE WHEN d_tot > 0 AND n_tot > 1 THEN
+        |      CAST(CAST(d_tot AS DOUBLE) *
+        |        (CAST(r_a AS DOUBLE) / CAST(n_tot AS DOUBLE)) *
+        |        (1.0 - CAST(r_a AS DOUBLE) / CAST(n_tot AS DOUBLE)) *
+        |        (CAST(n_tot AS DOUBLE) - CAST(d_tot AS DOUBLE)) /
+        |        (CAST(n_tot AS DOUBLE) - 1.0) AS DECIMAL(38,12))
+        |      ELSE CAST(0 AS DECIMAL(38,12)) END) AS DOUBLE) AS v
+        |  FROM t GROUP BY 1)
+        |SELECT scenario, n_a, n_b, o_a, o_b,
+        |  round(e_a, 6) AS e_a, round(v, 6) AS v,
+        |  round(CASE WHEN v > 0 THEN
+        |    (CAST(o_a AS DOUBLE) - e_a) / sqrt(v) END, 6) AS z,
+        |  round(CASE WHEN v > 0 THEN
+        |    ((CAST(o_a AS DOUBLE) - e_a) / sqrt(v)) *
+        |    ((CAST(o_a AS DOUBLE) - e_a) / sqrt(v)) END, 6) AS chi_sq,
+        |  NOT (v > 0) AS guarded
+        |FROM e ORDER BY 1""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events").select("user_id", "ts")
+      val outCols = Seq("n_a", "n_b", "o_a", "o_b", "e_a", "v", "z",
+        "chi_sq", "guarded").map(col)
+      val real = logRank(ev, censorHours = 12)
+        .select(lit("1_real").as("scenario") +: outCols: _*)
+      val frozen = logRank(ev, censorHours = 1000000000)
+        .select(lit("2_frozen").as("scenario") +: outCols: _*)
+      real.unionAll(frozen).orderBy("scenario")
     },
 
     // Split-conformal calibration: the oracle replays the md5 split,

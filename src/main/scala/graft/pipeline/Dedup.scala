@@ -211,15 +211,29 @@ object Dedup {
     }
   }
 
+  // Cross-call plan memos (e.g. Pipeline.nearDupMemo) may hold
+  // DataFrames that lazily re-read a barrier dir; a blanket release
+  // yanks the files out from under them (the r11 p25 bench failure:
+  // the timed rerun reused the memoized pair table whose sigs barrier
+  // the previous run's release had deleted). Memo owners register an
+  // invalidation hook here and releaseAllBarriers fires them, so "all
+  // barriers gone" and "no plan still points at one" stay one event.
+  private val barrierResetHooks =
+    new java.util.concurrent.CopyOnWriteArrayList[Runnable]()
+  private[graft] def onBarrierReset(hook: Runnable): Unit =
+    barrierResetHooks.add(hook)
+
   /** Reclaim EVERY live barrier dir. Safe between fully-materialized
     * query executions — a barrier is only read while the query that
     * wrote it executes — so the re-timing loops (Bench, GateTimer)
     * call this between runs and repeated timing no longer accumulates
-    * scratch until JVM exit (ADVICE r10).
+    * scratch until JVM exit (ADVICE r10). Fires the registered memo
+    * invalidation hooks so no cached plan outlives its barrier.
     */
   private[graft] def releaseAllBarriers(): Unit = {
     import scala.jdk.CollectionConverters._
     barrierDirs.keySet.asScala.toSeq.foreach(releaseBarrier)
+    barrierResetHooks.forEach(_.run())
   }
 
   /** Test visibility: barrier dirs currently awaiting JVM-exit cleanup. */

@@ -1392,6 +1392,23 @@ class PlanSpec extends SparkSpec {
       s"p178: a non-source exchange appeared:\n$p")
   }
 
+  test("p180: log-rank rides p176's bounded-duration shape — user " +
+      "collapse, broadcast corpus max, windows on the bounded key") {
+    val p = executed("p180_log_rank")
+    noShuffledJoin("p180", p)
+    val pf = p.split("== Initial Plan ==").head
+    val wins = pf.linesIterator
+      .filter(_.contains("windowspecdefinition(")).toSeq
+    assert(wins.nonEmpty && wins.forall(
+      _.contains("windowspecdefinition(_w")),
+      s"p180: a window partitioned by a data column appeared:\n$p")
+    assert(!pf.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") &&
+        !(l.contains("user_id") || l.contains("(dur") ||
+          l.contains("(_w"))),
+      s"p180: an exchange outside user/duration keys appeared:\n$p")
+  }
+
   test("p179: isotonic minimax joins are broadcast products of the " +
       "bounded bin table; windows ride the bounded key") {
     val p = executed("p179_isotonic")

@@ -4750,6 +4750,77 @@ class PipelineSpec extends SparkSpec {
     assert(got.exists(_._4 > 0), "no censored user in play")
   }
 
+  test("releaseAllBarriers invalidates the near-dup memo: a timed " +
+      "rerun rebuilds instead of reading a deleted barrier") {
+    // the GateTimer/Bench sequence that broke p25 in the r11 bench:
+    // run → releaseAllBarriers → run again. The second run must not
+    // reuse the memoized pair table whose sigs barrier was deleted.
+    val run1 = graft.SparkEntry.queries("p25_dedup_components")(
+      spark, sf).collect()
+    assert(run1.nonEmpty)
+    Dedup.releaseAllBarriers()
+    val run2 = graft.SparkEntry.queries("p25_dedup_components")(
+      spark, sf).collect()
+    assert(run2.map(_.toSeq).toSeq == run1.map(_.toSeq).toSeq,
+      "post-release rerun diverged from the first run")
+  }
+
+  test("logRank: driver replay of the Mantel-Haenszel E/V sums over " +
+      "the two md5 arms; an all-censored corpus guards") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(180)
+    val base = 1700000000000000L
+    val h = 3600000000L
+    val users = (1 to 60).map { u =>
+      val fw = base + rnd.nextInt(100) * h
+      (u.toLong, fw, fw + rnd.nextInt(50) * h + rnd.nextInt(1000))
+    } :+ ((61L, base + 300 * h, base + 300 * h))
+    val df = users.flatMap { case (u, fw, lw) => Seq((u, fw), (u, lw)) }
+      .toDF("user_id", "us")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"))
+    val r = graft.operators.Pipeline.logRank(df, censorHours = 12)
+      .head()
+    val mxu = users.map(_._3).max
+    val rows = users.map { case (u, fw, lw) =>
+      ((lw - fw) / h, lw > mxu - 12 * h,
+        md5hex(u.toString).charAt(0) < '8')
+    }
+    val byDur = rows.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (d, vs) => (d,
+        vs.count(_._3).toLong, vs.count(!_._3).toLong,
+        vs.count(v => v._3 && !v._2).toLong,
+        vs.count(v => !v._3 && !v._2).toLong)
+    }
+    val nA = rows.count(_._3).toLong; val nB = rows.size.toLong - nA
+    var preA = 0L; var preB = 0L
+    var eSum = BigDecimal(0); var vSum = BigDecimal(0)
+    byDur.foreach { case (_, aA, aB, cA, cB) =>
+      val rA = nA - preA; val rB = nB - preB
+      preA += aA; preB += aB
+      val dT = cA + cB; val nT = rA + rB
+      def pin(x: Double) = BigDecimal(x)
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      if (dT > 0 && nT > 0)
+        eSum += pin(dT.toDouble * rA.toDouble / nT.toDouble)
+      if (dT > 0 && nT > 1)
+        vSum += pin(dT.toDouble * (rA.toDouble / nT.toDouble) *
+          (1.0 - rA.toDouble / nT.toDouble) *
+          (nT.toDouble - dT.toDouble) / (nT.toDouble - 1.0))
+    }
+    val oA = byDur.map(_._4).sum
+    val e = eSum.toDouble; val v = vSum.toDouble
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((nA, nB, oA, byDur.map(_._5).sum)))
+    assert(r.getDouble(4) == r6(e) && r.getDouble(5) == r6(v))
+    val z = (oA.toDouble - e) / math.sqrt(v)
+    assert(r.getDouble(6) == r6(z) && r.getDouble(7) == r6(z * z))
+    assert(!r.getBoolean(8))
+    // censor window past the corpus span: zero churn, V = 0, guarded
+    val g = graft.operators.Pipeline.logRank(df, censorHours = 1000000)
+      .head()
+    assert(g.getLong(2) == 0L && g.isNullAt(6) && g.getBoolean(8))
+  }
+
   test("conformalCalibration: driver replay of the k-rank residual " +
       "quantile and test coverage; alpha below 1/(n+1) guards") {
     import spark.implicits._
