@@ -146,6 +146,7 @@ object Bench {
     "p178_anova_f",       // source rollup → decimal-pinned moments
     "p179_isotonic",      // B-row bins + broadcast minimax joins
     "p180_log_rank",      // two-arm survival E/V over bounded durations
+    "s42_stream_survival", // per-user span state, publish-time KM
     "f07_csv_ingest_cold", // CSV parse + agg, no cache (dsq cold analog)
     "f08_csv_ingest_warm") // cached-parquet + agg (dsq -C warm analog)
 

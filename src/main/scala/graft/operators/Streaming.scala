@@ -2602,6 +2602,92 @@ object Streaming {
         .agg(sum("c").cast("long").as("c"),
           sum("np").cast("long").as("np"))
       TextAnalysis.midrankAucFromCounts(merged)
+    },
+
+    // Streaming retention curve (p176's Kaplan–Meier over continuous
+    // ingest): batches split by EVENT (event_id % 4), so a user's
+    // first and last events land in different micro-batches and the
+    // carried state — one (user, min ts, max ts) row per user touched
+    // per batch — must genuinely merge by min/max (associative AND
+    // idempotent, so a replayed batch cannot corrupt it; paths are
+    // batchId-keyed overwrites on top, the s39 discipline). The
+    // publish-time readout reconstructs the two-event-per-user stream
+    // from merged state and runs the BATCH operator verbatim — the
+    // estimator only ever consumes per-user (first, last), so the
+    // streamed curve must equal p176's oracle row for row. At 100 TB:
+    // state is ≤1 row per active user per batch, the corpus is never
+    // re-read, and the readout inherits p176's hour-span-bounded shape.
+    QueryDef("s42_stream_survival",
+      """WITH mx AS (SELECT MAX(epoch_us(ts)) AS mxu FROM events),
+        |u AS (SELECT user_id, MIN(epoch_us(ts)) AS fw,
+        |    MAX(epoch_us(ts)) AS lw FROM events GROUP BY 1),
+        |d AS (SELECT (lw - fw) // 3600000000 AS dur,
+        |    lw > mxu - 43200000000 AS cens FROM u CROSS JOIN mx),
+        |g AS (SELECT dur, CAST(COUNT(*) AS BIGINT) AS n_all,
+        |    CAST(SUM(CASE WHEN NOT cens THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS churned,
+        |    CAST(SUM(CASE WHEN cens THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS censored
+        |  FROM d GROUP BY 1),
+        |c AS (SELECT *, COALESCE(SUM(n_all) OVER (ORDER BY dur
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS bef,
+        |    SUM(n_all) OVER () AS n FROM g),
+        |r AS (SELECT *, CAST(n - bef AS BIGINT) AS at_risk FROM c),
+        |s AS (SELECT *,
+        |    SUM(CASE WHEN churned < at_risk THEN
+        |        ln(1.0 - CAST(churned AS DOUBLE) / at_risk)
+        |      ELSE 0.0 END) OVER (ORDER BY dur ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND CURRENT ROW) AS lnsum,
+        |    MAX(CASE WHEN churned = at_risk THEN 1 ELSE 0 END)
+        |      OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS zf
+        |  FROM r)
+        |SELECT dur AS t_hours, at_risk, churned, censored,
+        |  round(CASE WHEN at_risk > 0 THEN
+        |    CAST(churned AS DOUBLE) / at_risk END, 6) AS hazard,
+        |  round(CASE WHEN zf = 1 THEN 0.0 ELSE exp(lnsum) END, 6)
+        |    AS survival
+        |FROM s ORDER BY 1""".stripMargin) { (s, dir) =>
+      val ev = graft.Tables.load(s, dir, "events")
+        .select("event_id", "user_id", "ts")
+      val base = java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_fmt").toString
+      val srcDir = s"$base/s42_stream_src"
+      val stateRoot = s"$base/s42_spans"
+      Seq(srcDir, stateRoot).foreach(d => rmTree(new java.io.File(d)))
+      new java.io.File(srcDir).mkdirs()
+      (0 until 4).foreach { b =>
+        writeSingle(ev.filter(col("event_id") % 4 === b),
+          srcDir, s"batch_$b")
+      }
+      val schema = s.read.parquet(srcDir).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(srcDir)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+            batchId: Long) =>
+          batch.groupBy("user_id")
+            .agg(min(unix_micros(col("ts"))).cast("long").as("fw"),
+              max(unix_micros(col("ts"))).cast("long").as("lw"))
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$stateRoot/b_$batchId")
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val merged = s.read.option("recursiveFileLookup", "true")
+        .parquet(stateRoot)
+        .groupBy("user_id")
+        .agg(min("fw").cast("long").as("fw"),
+          max("lw").cast("long").as("lw"))
+      val twoEv = merged.select(col("user_id"), col("fw").as("us"))
+        .unionAll(merged.select(col("user_id"), col("lw").as("us")))
+        .select(col("user_id"), timestamp_micros(col("us")).as("ts"))
+      graft.operators.Pipeline.kaplanMeier(twoEv)
     }
   )
 }

@@ -1745,6 +1745,49 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("s42 seam: per-split (user, min, max) partials merge to the " +
+      "batch Kaplan-Meier under arbitrary splits; merge is idempotent") {
+    // the s42 carried state: one (user, fw, lw) row per user per
+    // batch — min/max merge under ANY split (and replaying a batch's
+    // partial twice changes nothing: min/max are idempotent), and the
+    // estimator consumes only the merged spans, so the publish-time
+    // curve must equal the batch operator on the full stream
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { trial =>
+      val base = 1700000000000000L
+      val evs = (1 to 40).flatMap { u =>
+        (0 until 1 + rnd.nextInt(5)).map { _ =>
+          (u.toLong, base + rnd.nextInt(120) * 3600000000L +
+            rnd.nextInt(1000), rnd.nextInt(3))
+        }
+      }
+      def km(df: org.apache.spark.sql.DataFrame) =
+        graft.operators.Pipeline.kaplanMeier(df)
+          .collect().toSeq.map(_.toSeq)
+      val full = evs.map(e => (e._1, e._2)).toDF("user_id", "us")
+        .select(col("user_id"), timestamp_micros(col("us")).as("ts"))
+      val want = km(full)
+      // per-split partials, with split 0's partial written TWICE (a
+      // Spark-retried micro-batch replays its state append)
+      val partials = ((0 to 2) :+ 0).map { b =>
+        evs.filter(_._3 == b).map(e => (e._1, e._2))
+          .toDF("user_id", "us")
+          .groupBy("user_id")
+          .agg(min("us").cast("long").as("fw"),
+            max("us").cast("long").as("lw"))
+      }.reduce(_ unionAll _)
+      val merged = partials.groupBy("user_id")
+        .agg(min("fw").cast("long").as("fw"),
+          max("lw").cast("long").as("lw"))
+      val twoEv = merged.select(col("user_id"), col("fw").as("us"))
+        .unionAll(merged.select(col("user_id"), col("lw").as("us")))
+        .select(col("user_id"), timestamp_micros(col("us")).as("ts"))
+      val got = km(twoEv)
+      assert(got == want, s"trial $trial:\n got  $got\n want $want")
+    }
+  }
+
   test("s40 seam: per-split stratum top-k union + merged counts " +
       "reproduce the batch stratifiedSample under arbitrary splits") {
     // the s40 carried state: per-batch stratum counts (merge by sum)
