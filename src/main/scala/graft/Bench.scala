@@ -147,6 +147,8 @@ object Bench {
     "p179_isotonic",      // B-row bins + broadcast minimax joins
     "p180_log_rank",      // two-arm survival E/V over bounded durations
     "s42_stream_survival", // per-user span state, publish-time KM
+    "p181_rank_sum",      // midrank histogram + tie-corrected z
+    "p182_ols_readout",   // five-moment scalar aggregate regression
     "f07_csv_ingest_cold", // CSV parse + agg, no cache (dsq cold analog)
     "f08_csv_ingest_warm") // cached-parquet + agg (dsq -C warm analog)
 

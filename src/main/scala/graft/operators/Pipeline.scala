@@ -1959,6 +1959,121 @@ object Pipeline {
       coalesce(!(col("v") > 0), lit(true)).as("guarded"))
   }
 
+  /** Mann–Whitney rank-sum test between the md5 arms on a per-user
+    * integer metric — the nonparametric A/B readout for metrics whose
+    * distribution is too skewed for a mean test (p170's trimmed mean
+    * treats the symptom; the rank test ignores magnitudes entirely).
+    * Midrank convention for ties, tie-corrected normal approximation:
+    * with tie-group sizes t over n users, V = (n_a·n_b/12)·((n+1) −
+    * Σ(t³−t)/(n(n−1))); z = (U_a − n_a·n_b/2)/√V.
+    *
+    * Exactness: everything through 2·R_a (the DOUBLED midrank sum —
+    * the s41/p169 trick keeps midranks integral) and Σ(t³−t) is exact
+    * DECIMAL(38,0) arithmetic over the value histogram; the only float
+    * work is the final fixed-shape V/z expression of those integers,
+    * replayed verbatim by the oracle. All-tied input (one value group)
+    * makes the tie term exactly n³−n ⇒ V = 0 ⇒ z NULL, guarded.
+    *
+    * Distributed shape: input is a per-user relation (already one row
+    * per user); one value-keyed histogram aggregate (|distinct metric
+    * values| rows — bounded by the metric's range, not the corpus),
+    * the two-phase [[Corpus.withGlobalOrder]] rank over that histogram
+    * (no single-task sort of it either), one scalar aggregate.
+    */
+  def rankSumReadout(users: DataFrame, xCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val armed = users.select(col(xCol).cast("long").as("x"),
+      (substring(md5(col("user_id").cast("string")), 1, 1) < "8")
+        .as("arm_a"))
+    val hist = armed.groupBy("x").agg(
+      count(lit(1)).cast("long").as("c"),
+      sum(when(col("arm_a"), 1L).otherwise(0L)).cast("long").as("ca"))
+    val ranked = Corpus.withGlobalOrder(hist, Seq(col("x")), col("c"))
+    val s = ranked.agg(
+      coalesce(sum(col("ca")), lit(0L)).cast("long").as("n_a"),
+      coalesce(sum(col("c") - col("ca")), lit(0L)).cast("long")
+        .as("n_b"),
+      // 2·R_a = Σ ca·(2·below + c + 1); below = cum − c
+      coalesce(sum(col("ca").cast(d38) *
+        ((col("cum") - col("c")) * 2 + col("c") + 1).cast(d38)),
+        lit(0).cast(d38)).as("r2a"),
+      coalesce(sum((col("c").cast(d38) * col("c") * col("c")) -
+        col("c").cast(d38)), lit(0).cast(d38)).as("t_ties"))
+    val naD = col("n_a").cast("double"); val nbD = col("n_b").cast("double")
+    val nD = (col("n_a") + col("n_b")).cast("double")
+    // 2·U_a = 2·R_a − n_a(n_a+1); exact decimal before the halving
+    val u2 = col("r2a") - (col("n_a").cast(d38) * (col("n_a") + 1))
+    val armsOk = col("n_a") > 0 && col("n_b") > 0
+    val v = when(armsOk && nD > 1,
+      naD * nbD / lit(12.0) * ((nD + 1.0) -
+        col("t_ties").cast("double") / (nD * (nD - 1.0))))
+    val z = when(v > 0,
+      (u2.cast("double") - naD * nbD) / lit(2.0) / sqrt(v))
+    s.select(col("n_a"), col("n_b"),
+      col("r2a").cast("long").as("r2_a"),
+      round(u2.cast("double") / lit(2.0), 6).as("u_a"),
+      col("t_ties").cast("long").as("tie_term"),
+      round(v, 6).as("v"), round(z, 6).as("z"),
+      coalesce(!(v > 0), lit(true)).as("guarded"))
+  }
+
+  /** Ordinary-least-squares simple regression of a per-user metric on
+    * another — "does activity SPAN predict event VOLUME?", the
+    * bivariate companion to [[anovaF]]. Closed form from the five
+    * moment sums: slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²), r² =
+    * dxy²/(dxx·dyy), and the slope t-stat from the residual variance
+    * identity SSE·n = dyy − dxy²/dxx.
+    *
+    * Exactness: all five moments and the three cross-determinants
+    * (dxx, dxy, dyy) are exact DECIMAL(38,0) integer arithmetic
+    * (n ≤ 10⁹ users × x,y ≤ 10⁶ keeps every product under 10³⁸); the
+    * float work is fixed-shape expressions of those integers, replayed
+    * verbatim. dxx = 0 (constant regressor) ⇒ every estimate NULL,
+    * guarded — the gate's second scenario.
+    *
+    * Distributed shape: ONE scalar aggregate over the per-user
+    * relation (map-side partial combine); no join, no window.
+    */
+  def olsReadout(users: DataFrame, xCol: String, yCol: String)
+      : DataFrame = {
+    val d38 = "decimal(38,0)"
+    val base = users.select(col(xCol).cast("long").as("x"),
+      col(yCol).cast("long").as("y"))
+    val m = base.agg(
+      count(lit(1)).cast("long").as("n"),
+      coalesce(sum(col("x").cast(d38)), lit(0).cast(d38)).as("sx"),
+      coalesce(sum(col("y").cast(d38)), lit(0).cast(d38)).as("sy"),
+      coalesce(sum(col("x").cast(d38) * col("x")), lit(0).cast(d38))
+        .as("sxx"),
+      coalesce(sum(col("x").cast(d38) * col("y")), lit(0).cast(d38))
+        .as("sxy"),
+      coalesce(sum(col("y").cast(d38) * col("y")), lit(0).cast(d38))
+        .as("syy"))
+    val nDec = col("n").cast(d38)
+    val dxx = (nDec * col("sxx") - col("sx") * col("sx"))
+      .cast("double")
+    val dxy = (nDec * col("sxy") - col("sx") * col("sy"))
+      .cast("double")
+    val dyy = (nDec * col("syy") - col("sy") * col("sy"))
+      .cast("double")
+    val ok = col("n") >= 2 && dxx > 0
+    val slope = when(ok, dxy / dxx)
+    val intercept = when(ok,
+      (col("sy").cast("double") - dxy / dxx * col("sx").cast("double"))
+        / col("n").cast("double"))
+    val r2 = when(ok && dyy > 0, dxy * dxy / (dxx * dyy))
+    // slope t-stat: var(slope) = (dyy − dxy²/dxx) / ((n−2)·dxx)
+    val vs = when(ok && col("n") > 2,
+      (dyy - dxy * dxy / dxx) / ((col("n").cast("double") - 2.0) * dxx))
+    val t = when(vs > 0, dxy / dxx / sqrt(vs))
+    m.select(col("n"),
+      round(slope, 6).as("slope"),
+      round(intercept, 6).as("intercept"),
+      round(r2, 6).as("r_sq"),
+      round(t, 6).as("t_stat"),
+      coalesce(!ok, lit(true)).as("guarded"))
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // ---- deduplication -------------------------------------------------
@@ -5735,6 +5850,115 @@ object Pipeline {
       val frozen = logRank(ev, censorHours = 1000000000)
         .select(lit("2_frozen").as("scenario") +: outCols: _*)
       real.unionAll(frozen).orderBy("scenario")
+    },
+
+    // Mann-Whitney rank sum on events-per-user: the oracle replays the
+    // md5 arms, the value histogram, the doubled midrank sum and the
+    // tie term in HUGEINT, and the fixed-shape V/z floats. Scenario 2
+    // feeds a constant metric — one tie group, V exactly 0, guarded.
+    QueryDef("p181_rank_sum",
+      """WITH sc AS (SELECT unnest(['1_real', '2_const']) AS scenario),
+        |u AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x1
+        |  FROM events GROUP BY 1),
+        |d AS (SELECT scenario,
+        |    CASE WHEN scenario = '1_real' THEN x1 ELSE 1 END AS x,
+        |    substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+        |      AS arm_a
+        |  FROM u CROSS JOIN sc),
+        |h AS (SELECT scenario, x, CAST(COUNT(*) AS BIGINT) AS c,
+        |    CAST(SUM(CASE WHEN arm_a THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ca
+        |  FROM d GROUP BY 1, 2),
+        |o AS (SELECT *, CAST(COALESCE(SUM(c) OVER (
+        |      PARTITION BY scenario ORDER BY x ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS below
+        |  FROM h),
+        |t AS (SELECT scenario,
+        |    CAST(COALESCE(SUM(ca), 0) AS BIGINT) AS n_a,
+        |    CAST(COALESCE(SUM(c - ca), 0) AS BIGINT) AS n_b,
+        |    COALESCE(SUM(CAST(ca AS HUGEINT) *
+        |      (below * 2 + c + 1)), 0) AS r2a,
+        |    COALESCE(SUM(CAST(c AS HUGEINT) * c * c - c), 0) AS t_ties
+        |  FROM o GROUP BY 1),
+        |e AS (SELECT *, r2a - CAST(n_a AS HUGEINT) * (n_a + 1) AS u2,
+        |    CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd,
+        |    CAST(n_a + n_b AS DOUBLE) AS nd FROM t),
+        |v AS (SELECT *, CASE WHEN n_a > 0 AND n_b > 0 AND nd > 1 THEN
+        |    nad * nbd / 12.0 * ((nd + 1.0) -
+        |      CAST(t_ties AS DOUBLE) / (nd * (nd - 1.0))) END AS v
+        |  FROM e)
+        |SELECT scenario, n_a, n_b, CAST(r2a AS BIGINT) AS r2_a,
+        |  round(CAST(u2 AS DOUBLE) / 2.0, 6) AS u_a,
+        |  CAST(t_ties AS BIGINT) AS tie_term,
+        |  round(v, 6) AS v,
+        |  round(CASE WHEN v > 0 THEN
+        |    (CAST(u2 AS DOUBLE) - nad * nbd) / 2.0 / sqrt(v) END, 6)
+        |    AS z,
+        |  COALESCE(NOT (v > 0), TRUE) AS guarded
+        |FROM v ORDER BY 1""".stripMargin) { (s, dir) =>
+      val perUser = t(s, dir, "events").groupBy("user_id")
+        .agg(count(lit(1)).cast("long").as("x1"))
+      val outCols = Seq("n_a", "n_b", "r2_a", "u_a", "tie_term", "v",
+        "z", "guarded").map(col)
+      val real = rankSumReadout(perUser.select(col("user_id"),
+          col("x1")), "x1")
+        .select(lit("1_real").as("scenario") +: outCols: _*)
+      val const = rankSumReadout(perUser.select(col("user_id"),
+          lit(1L).as("c1")), "c1")
+        .select(lit("2_const").as("scenario") +: outCols: _*)
+      real.unionAll(const).orderBy("scenario")
+    },
+
+    // OLS of event volume on activity span: the oracle replays the
+    // per-user (span hours, count) pairs, the five HUGEINT moments,
+    // the cross-determinants, and the fixed-shape slope/r2/t floats.
+    // Scenario 2 regresses on a constant (dxx = 0 → guarded).
+    QueryDef("p182_ols_readout",
+      """WITH sc AS (SELECT unnest(['1_real', '2_const']) AS scenario),
+        |u AS (SELECT user_id,
+        |    (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 3600000000
+        |      AS span_h,
+        |    CAST(COUNT(*) AS BIGINT) AS y FROM events GROUP BY 1),
+        |d AS (SELECT scenario,
+        |    CASE WHEN scenario = '1_real' THEN span_h ELSE 1 END AS x,
+        |    y FROM u CROSS JOIN sc),
+        |m AS (SELECT scenario, CAST(COUNT(*) AS BIGINT) AS n,
+        |    COALESCE(SUM(CAST(x AS HUGEINT)), 0) AS sx,
+        |    COALESCE(SUM(CAST(y AS HUGEINT)), 0) AS sy,
+        |    COALESCE(SUM(CAST(x AS HUGEINT) * x), 0) AS sxx,
+        |    COALESCE(SUM(CAST(x AS HUGEINT) * y), 0) AS sxy,
+        |    COALESCE(SUM(CAST(y AS HUGEINT) * y), 0) AS syy
+        |  FROM d GROUP BY 1),
+        |e AS (SELECT *, CAST(n * sxx - sx * sx AS DOUBLE) AS dxx,
+        |    CAST(n * sxy - sx * sy AS DOUBLE) AS dxy,
+        |    CAST(n * syy - sy * sy AS DOUBLE) AS dyy FROM m),
+        |f AS (SELECT *, n >= 2 AND dxx > 0 AS ok FROM e),
+        |g AS (SELECT *, CASE WHEN ok AND n > 2 THEN
+        |    (dyy - dxy * dxy / dxx) /
+        |    ((CAST(n AS DOUBLE) - 2.0) * dxx) END AS vs FROM f)
+        |SELECT scenario, n,
+        |  round(CASE WHEN ok THEN dxy / dxx END, 6) AS slope,
+        |  round(CASE WHEN ok THEN (CAST(sy AS DOUBLE) -
+        |    dxy / dxx * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+        |    END, 6) AS intercept,
+        |  round(CASE WHEN ok AND dyy > 0 THEN
+        |    dxy * dxy / (dxx * dyy) END, 6) AS r_sq,
+        |  round(CASE WHEN vs > 0 THEN dxy / dxx / sqrt(vs) END, 6)
+        |    AS t_stat,
+        |  NOT ok AS guarded
+        |FROM g ORDER BY 1""".stripMargin) { (s, dir) =>
+      val perUser = t(s, dir, "events").groupBy("user_id")
+        .agg(expr("(max(unix_micros(ts)) - min(unix_micros(ts))) " +
+          "div 3600000000").as("span_h"),
+          count(lit(1)).cast("long").as("y"))
+      val outCols = Seq("n", "slope", "intercept", "r_sq", "t_stat",
+        "guarded").map(col)
+      val real = olsReadout(perUser, "span_h", "y")
+        .select(lit("1_real").as("scenario") +: outCols: _*)
+      val const = olsReadout(perUser.select(col("user_id"),
+          lit(1L).as("c1"), col("y")), "c1", "y")
+        .select(lit("2_const").as("scenario") +: outCols: _*)
+      real.unionAll(const).orderBy("scenario")
     },
 
     // Split-conformal calibration: the oracle replays the md5 split,

@@ -1409,6 +1409,33 @@ class PlanSpec extends SparkSpec {
       s"p180: an exchange outside user/duration keys appeared:\n$p")
   }
 
+  test("p181/p182: rank-sum rides the two-phase histogram rank; OLS " +
+      "is one scalar aggregate") {
+    // p181: user collapse → |distinct metric| histogram → global-order
+    // rank over the histogram (never a single-task sort of it) →
+    // scalar aggregate; offsets join back by broadcast
+    val p = executed("p181_rank_sum")
+    noShuffledJoin("p181", p)
+    assert(p.contains("graft-globalorder"),
+      s"p181: no globalorder barrier scan — rank path rewritten?:\n$p")
+    assert(p.contains("windowspecdefinition(_pid"),
+      s"p181: histogram rank is not a per-partition window:\n$p")
+    val pf = p.split("== Initial Plan ==").head
+    assert(!pf.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") &&
+        !(l.contains("user_id") || l.contains("(x") ||
+          l.contains("_pid"))),
+      s"p181: an exchange outside user/value keys appeared:\n$p")
+    // p182: one user collapse + ONE scalar moment aggregate
+    val q = executed("p182_ols_readout")
+    assert(!q.contains("Join"), s"p182: unexpected join:\n$q")
+    assert(!q.contains("Window"), s"p182: a window appeared:\n$q")
+    val qf = q.split("== Initial Plan ==").head
+    assert(!qf.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("user_id")),
+      s"p182: a non-user exchange appeared:\n$q")
+  }
+
   test("p179: isotonic minimax joins are broadcast products of the " +
       "bounded bin table; windows ride the bounded key") {
     val p = executed("p179_isotonic")

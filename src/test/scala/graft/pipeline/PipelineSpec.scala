@@ -4864,6 +4864,85 @@ class PipelineSpec extends SparkSpec {
     assert(g.getLong(2) == 0L && g.isNullAt(6) && g.getBoolean(8))
   }
 
+  test("rankSumReadout: driver replay of the midrank/tie arithmetic " +
+      "on random skewed metrics; a constant metric guards via V = 0") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(181)
+    (1 to 3).foreach { trial =>
+      // heavy ties: values drawn from a small range
+      val users = (1 to 80).map(u => (u.toLong, 1L + rnd.nextInt(6)))
+      val r = graft.operators.Pipeline.rankSumReadout(
+        users.toDF("user_id", "x1"), "x1").head()
+      val armed = users.map { case (u, x) =>
+        (x, md5hex(u.toString).charAt(0) < '8') }
+      val nA = armed.count(_._2).toLong
+      val nB = armed.size.toLong - nA
+      val hist = armed.groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (x, vs) =>
+          (x, vs.size.toLong, vs.count(_._2).toLong) }
+      var below = 0L; var r2a = BigInt(0); var ties = BigInt(0)
+      hist.foreach { case (_, c, ca) =>
+        r2a += BigInt(ca) * (below * 2 + c + 1)
+        ties += BigInt(c) * c * c - c
+        below += c
+      }
+      val u2 = r2a - BigInt(nA) * (nA + 1)
+      val nD = (nA + nB).toDouble
+      val v = nA.toDouble * nB.toDouble / 12.0 *
+        ((nD + 1.0) - ties.toDouble / (nD * (nD - 1.0)))
+      assert((r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(4)) == ((nA, nB, r2a.toLong, ties.toLong)),
+        s"trial $trial counters")
+      assert(r.getDouble(3) == r6(u2.toDouble / 2.0))
+      assert(r.getDouble(5) == r6(v))
+      if (v > 0) {
+        assert(r.getDouble(6) ==
+          r6((u2.toDouble - nA.toDouble * nB.toDouble) / 2.0 /
+            math.sqrt(v)), s"trial $trial z")
+        assert(!r.getBoolean(7))
+      }
+    }
+    val c = graft.operators.Pipeline.rankSumReadout(
+      (1L to 30L).map((_, 7L)).toDF("user_id", "x1"), "x1").head()
+    assert(c.getDouble(5) == 0.0 && c.isNullAt(6) && c.getBoolean(7))
+  }
+
+  test("olsReadout: driver replay of the moment determinants; a " +
+      "constant regressor guards via dxx = 0") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(182)
+    (1 to 3).foreach { trial =>
+      val rows = (1 to 100).map { _ =>
+        val x = 1L + rnd.nextInt(50)
+        (x, 3 * x + rnd.nextInt(40).toLong)
+      }
+      val r = graft.operators.Pipeline.olsReadout(
+        rows.toDF("x", "y"), "x", "y").head()
+      val n = rows.size.toLong
+      val sx = rows.map(t => BigInt(t._1)).sum
+      val sy = rows.map(t => BigInt(t._2)).sum
+      val sxx = rows.map(t => BigInt(t._1) * t._1).sum
+      val sxy = rows.map(t => BigInt(t._1) * t._2).sum
+      val syy = rows.map(t => BigInt(t._2) * t._2).sum
+      val dxx = (n * sxx - sx * sx).toDouble
+      val dxy = (n * sxy - sx * sy).toDouble
+      val dyy = (n * syy - sy * sy).toDouble
+      assert(r.getLong(0) == n)
+      assert(r.getDouble(1) == r6(dxy / dxx), s"trial $trial slope")
+      assert(r.getDouble(2) ==
+        r6((sy.toDouble - dxy / dxx * sx.toDouble) / n.toDouble))
+      assert(r.getDouble(3) == r6(dxy * dxy / (dxx * dyy)))
+      val vs = (dyy - dxy * dxy / dxx) / ((n.toDouble - 2.0) * dxx)
+      if (vs > 0)
+        assert(r.getDouble(4) == r6(dxy / dxx / math.sqrt(vs)),
+          s"trial $trial t")
+      assert(!r.getBoolean(5))
+    }
+    val g = graft.operators.Pipeline.olsReadout(
+      (1L to 20L).map(i => (1L, i)).toDF("x", "y"), "x", "y").head()
+    assert(g.isNullAt(1) && g.isNullAt(3) && g.getBoolean(5))
+  }
+
   test("conformalCalibration: driver replay of the k-rank residual " +
       "quantile and test coverage; alpha below 1/(n+1) guards") {
     import spark.implicits._
