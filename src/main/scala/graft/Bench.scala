@@ -149,6 +149,7 @@ object Bench {
     "s42_stream_survival", // per-user span state, publish-time KM
     "p181_rank_sum",      // midrank histogram + tie-corrected z
     "p182_ols_readout",   // five-moment scalar aggregate regression
+    "p183_did_readout",   // two-period 12-counter causal readout
     "f07_csv_ingest_cold", // CSV parse + agg, no cache (dsq cold analog)
     "f08_csv_ingest_warm") // cached-parquet + agg (dsq -C warm analog)
 

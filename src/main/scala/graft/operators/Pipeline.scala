@@ -2017,6 +2017,93 @@ object Pipeline {
       coalesce(!(v > 0), lit(true)).as("guarded"))
   }
 
+  /** Difference-in-differences readout — the two-period causal
+    * estimate for a launch that was NOT randomized: compare each arm's
+    * before→after change in per-user event volume, so any level
+    * difference between the arms and any common time trend cancel;
+    * what remains is the treatment effect under the parallel-trends
+    * assumption. Cells are (arm × period) with period split at the
+    * integer midpoint of the corpus µs span; the estimate is
+    * (ȳ_postA − ȳ_preA) − (ȳ_postB − ȳ_preB) with a Welch-style
+    * SE = √(Σ_cells s²_c/n_c) from the four per-cell sample variances.
+    *
+    * Exactness: per-cell (n, Σx, Σx²) are exact int64/DECIMAL(38,0)
+    * sums of integer event counts (a user absent from a period counts
+    * 0 — the per-user collapse carries both periods, so absence is an
+    * exact zero, not a dropped row); every mean/variance is a
+    * fixed-shape float expression of those integers, replayed
+    * verbatim. Any cell with n < 2 or an SE of exactly 0 → estimate
+    * NULL, guarded (the gate's second scenario collapses the span so
+    * every event lands in one period → two empty cells).
+    *
+    * Distributed shape: one global (min, max) scalar (broadcast), one
+    * user-keyed collapse carrying both periods' counts, one 12-counter
+    * scalar aggregate. No window, no shuffled join.
+    */
+  def didReadout(events: DataFrame, cutUs: Option[Long] = None)
+      : DataFrame = {
+    val d38 = "decimal(38,0)"
+    val span = events.agg(min(unix_micros(col("ts"))).as("mn"),
+      max(unix_micros(col("ts"))).as("mx"))
+      .select(cutUs.map(lit(_)).getOrElse(
+        col("mn") + expr("(mx - mn) div 2")).as("cut"))
+    val users = events.crossJoin(broadcast(span))
+      .groupBy("user_id").agg(
+        sum(when(unix_micros(col("ts")) < col("cut"), 1L)
+          .otherwise(0L)).cast("long").as("pre"),
+        sum(when(unix_micros(col("ts")) >= col("cut"), 1L)
+          .otherwise(0L)).cast("long").as("post"))
+      .withColumn("arm_a",
+        substring(md5(col("user_id").cast("string")), 1, 1) < "8")
+    // 12 counters: (n, Σx, Σx²) per (arm × period) cell — n is the
+    // USER count per arm (identical for that arm's two periods; a
+    // user inactive in a period contributes an exact zero)
+    def cellAggs(p: Column, arm: String): Seq[Column] = Seq(
+      coalesce(sum(when(p, 1L).otherwise(0L)), lit(0L)).cast("long")
+        .as(s"n_$arm"),
+      coalesce(sum(when(p, col("pre"))), lit(0)).cast(d38)
+        .as(s"s_${arm}_pre"),
+      coalesce(sum(when(p, col("pre") * col("pre"))), lit(0))
+        .cast(d38).as(s"q_${arm}_pre"),
+      coalesce(sum(when(p, col("post"))), lit(0)).cast(d38)
+        .as(s"s_${arm}_post"),
+      coalesce(sum(when(p, col("post") * col("post"))), lit(0))
+        .cast(d38).as(s"q_${arm}_post"))
+    val aggs = cellAggs(col("arm_a"), "a") ++
+      cellAggs(!col("arm_a"), "b")
+    val m = users.agg(aggs.head, aggs.tail: _*)
+    // per-cell mean and sample variance from the exact moments; the
+    // variance shape (q − s²/n)/(n − 1) is replayed verbatim
+    def mean(arm: String, per: String) =
+      col(s"s_${arm}_$per").cast("double") /
+        col(s"n_$arm").cast("double")
+    def sVar(arm: String, per: String) = {
+      val nD = col(s"n_$arm").cast("double")
+      (col(s"q_${arm}_$per").cast("double") -
+        col(s"s_${arm}_$per").cast("double") *
+          col(s"s_${arm}_$per").cast("double") / nD) / (nD - 1.0)
+    }
+    val ok = col("n_a") >= 2 && col("n_b") >= 2
+    val did = when(ok, (mean("a", "post") - mean("a", "pre")) -
+      (mean("b", "post") - mean("b", "pre")))
+    val seSq = when(ok,
+      (sVar("a", "pre") + sVar("a", "post")) /
+        col("n_a").cast("double") +
+      (sVar("b", "pre") + sVar("b", "post")) /
+        col("n_b").cast("double"))
+    val se = when(seSq > 0, sqrt(seSq))
+    val z = when(se > 0, did / se)
+    m.select(col("n_a"), col("n_b"),
+      round(when(ok, mean("a", "pre")), 6).as("mean_a_pre"),
+      round(when(ok, mean("a", "post")), 6).as("mean_a_post"),
+      round(when(ok, mean("b", "pre")), 6).as("mean_b_pre"),
+      round(when(ok, mean("b", "post")), 6).as("mean_b_post"),
+      round(did, 6).as("did"),
+      round(se, 6).as("se"),
+      round(z, 6).as("z"),
+      coalesce(!(se > 0), lit(true)).as("guarded"))
+  }
+
   /** Ordinary-least-squares simple regression of a per-user metric on
     * another — "does activity SPAN predict event VOLUME?", the
     * bivariate companion to [[anovaF]]. Closed form from the five
@@ -5907,6 +5994,100 @@ object Pipeline {
           lit(1L).as("c1")), "c1")
         .select(lit("2_const").as("scenario") +: outCols: _*)
       real.unionAll(const).orderBy("scenario")
+    },
+
+    // Difference-in-differences: the oracle replays the integer
+    // midpoint cut, the per-user two-period counts (absence = exact
+    // zero), the 12 HUGEINT cell moments, and the fixed-shape
+    // mean/variance/DiD/SE/z floats. Scenario 2 keeps only the
+    // lowest-id user — one arm empty → every estimate NULL, guarded.
+    QueryDef("p183_did_readout",
+      """WITH sc AS (SELECT unnest(['1_real', '2_single']) AS scenario),
+        |base AS (SELECT scenario, user_id, epoch_us(ts) AS us
+        |  FROM events CROSS JOIN sc
+        |  WHERE scenario = '1_real' OR
+        |    user_id = (SELECT MIN(user_id) FROM events)),
+        |ct AS (SELECT scenario, MIN(us) + (MAX(us) - MIN(us)) // 2
+        |    AS cut FROM base GROUP BY 1),
+        |u AS (SELECT b.scenario, b.user_id,
+        |    CAST(SUM(CASE WHEN b.us < ct.cut THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS pre,
+        |    CAST(SUM(CASE WHEN b.us >= ct.cut THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS post
+        |  FROM base b JOIN ct USING (scenario) GROUP BY 1, 2),
+        |a AS (SELECT *, substring(md5(CAST(user_id AS VARCHAR)), 1, 1)
+        |    < '8' AS arm_a FROM u),
+        |m AS (SELECT scenario,
+        |    CAST(COALESCE(SUM(CASE WHEN arm_a THEN 1 ELSE 0 END), 0)
+        |      AS BIGINT) AS n_a,
+        |    COALESCE(SUM(CASE WHEN arm_a THEN CAST(pre AS HUGEINT)
+        |      END), 0) AS s_a_pre,
+        |    COALESCE(SUM(CASE WHEN arm_a THEN CAST(pre AS HUGEINT) *
+        |      pre END), 0) AS q_a_pre,
+        |    COALESCE(SUM(CASE WHEN arm_a THEN CAST(post AS HUGEINT)
+        |      END), 0) AS s_a_post,
+        |    COALESCE(SUM(CASE WHEN arm_a THEN CAST(post AS HUGEINT) *
+        |      post END), 0) AS q_a_post,
+        |    CAST(COALESCE(SUM(CASE WHEN NOT arm_a THEN 1 ELSE 0 END),
+        |      0) AS BIGINT) AS n_b,
+        |    COALESCE(SUM(CASE WHEN NOT arm_a THEN
+        |      CAST(pre AS HUGEINT) END), 0) AS s_b_pre,
+        |    COALESCE(SUM(CASE WHEN NOT arm_a THEN
+        |      CAST(pre AS HUGEINT) * pre END), 0) AS q_b_pre,
+        |    COALESCE(SUM(CASE WHEN NOT arm_a THEN
+        |      CAST(post AS HUGEINT) END), 0) AS s_b_post,
+        |    COALESCE(SUM(CASE WHEN NOT arm_a THEN
+        |      CAST(post AS HUGEINT) * post END), 0) AS q_b_post
+        |  FROM a GROUP BY 1),
+        |e AS (SELECT *,
+        |    CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd,
+        |    n_a >= 2 AND n_b >= 2 AS ok FROM m),
+        |f AS (SELECT *,
+        |    CASE WHEN ok THEN
+        |      (CAST(s_a_post AS DOUBLE) / nad -
+        |       CAST(s_a_pre AS DOUBLE) / nad) -
+        |      (CAST(s_b_post AS DOUBLE) / nbd -
+        |       CAST(s_b_pre AS DOUBLE) / nbd) END AS did,
+        |    CASE WHEN ok THEN
+        |      (((CAST(q_a_pre AS DOUBLE) - CAST(s_a_pre AS DOUBLE) *
+        |         CAST(s_a_pre AS DOUBLE) / nad) / (nad - 1.0)) +
+        |       ((CAST(q_a_post AS DOUBLE) - CAST(s_a_post AS DOUBLE) *
+        |         CAST(s_a_post AS DOUBLE) / nad) / (nad - 1.0))) /
+        |        nad +
+        |      (((CAST(q_b_pre AS DOUBLE) - CAST(s_b_pre AS DOUBLE) *
+        |         CAST(s_b_pre AS DOUBLE) / nbd) / (nbd - 1.0)) +
+        |       ((CAST(q_b_post AS DOUBLE) - CAST(s_b_post AS DOUBLE) *
+        |         CAST(s_b_post AS DOUBLE) / nbd) / (nbd - 1.0))) /
+        |        nbd END AS se_sq
+        |  FROM e),
+        |g AS (SELECT *, CASE WHEN se_sq > 0 THEN sqrt(se_sq) END
+        |    AS se FROM f)
+        |SELECT scenario, n_a, n_b,
+        |  round(CASE WHEN ok THEN CAST(s_a_pre AS DOUBLE) / nad END,
+        |    6) AS mean_a_pre,
+        |  round(CASE WHEN ok THEN CAST(s_a_post AS DOUBLE) / nad END,
+        |    6) AS mean_a_post,
+        |  round(CASE WHEN ok THEN CAST(s_b_pre AS DOUBLE) / nbd END,
+        |    6) AS mean_b_pre,
+        |  round(CASE WHEN ok THEN CAST(s_b_post AS DOUBLE) / nbd END,
+        |    6) AS mean_b_post,
+        |  round(did, 6) AS did, round(se, 6) AS se,
+        |  round(CASE WHEN se > 0 THEN did / se END, 6) AS z,
+        |  COALESCE(NOT (se > 0), TRUE) AS guarded
+        |FROM g ORDER BY 1""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events").select("user_id", "ts")
+      val outCols = Seq("n_a", "n_b", "mean_a_pre", "mean_a_post",
+        "mean_b_pre", "mean_b_post", "did", "se", "z", "guarded")
+        .map(col)
+      val mn = ev.agg(min(col("user_id")).as("mu"))
+      val single = ev.crossJoin(broadcast(mn))
+        .filter(col("user_id") === col("mu"))
+        .select("user_id", "ts")
+      val real = didReadout(ev)
+        .select(lit("1_real").as("scenario") +: outCols: _*)
+      val one = didReadout(single)
+        .select(lit("2_single").as("scenario") +: outCols: _*)
+      real.unionAll(one).orderBy("scenario")
     },
 
     // OLS of event volume on activity span: the oracle replays the

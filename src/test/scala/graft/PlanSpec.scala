@@ -1436,6 +1436,17 @@ class PlanSpec extends SparkSpec {
       s"p182: a non-user exchange appeared:\n$q")
   }
 
+  test("p183: DiD is a user collapse into one 12-counter scalar " +
+      "aggregate; the span cut broadcasts") {
+    val p = executed("p183_did_readout")
+    noShuffledJoin("p183", p)
+    assert(!p.contains("Window"), s"p183: a window appeared:\n$p")
+    val pf = p.split("== Initial Plan ==").head
+    assert(!pf.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("user_id")),
+      s"p183: a non-user exchange appeared:\n$p")
+  }
+
   test("p179: isotonic minimax joins are broadcast products of the " +
       "bounded bin table; windows ride the bounded key") {
     val p = executed("p179_isotonic")

@@ -4907,6 +4907,55 @@ class PipelineSpec extends SparkSpec {
     assert(c.getDouble(5) == 0.0 && c.isNullAt(6) && c.getBoolean(7))
   }
 
+  test("didReadout: driver replay of the two-period cell moments on " +
+      "random activity; a one-arm input guards") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(183)
+    val base = 1700000000000000L
+    val h = 3600000000L
+    val evs = (1 to 70).flatMap { u =>
+      (0 until 2 + rnd.nextInt(10)).map(_ =>
+        (u.toLong, base + rnd.nextInt(200) * h + rnd.nextInt(1000)))
+    }
+    val df = evs.toDF("user_id", "us")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"))
+    val r = graft.operators.Pipeline.didReadout(df).head()
+    val mn = evs.map(_._2).min; val mx = evs.map(_._2).max
+    val cut = mn + (mx - mn) / 2
+    val users = evs.groupBy(_._1).toSeq.map { case (u, es) =>
+      (md5hex(u.toString).charAt(0) < '8',
+        es.count(_._2 < cut).toLong, es.count(_._2 >= cut).toLong)
+    }
+    def cellStats(sel: Seq[(Long, Long)]) = {
+      val n = sel.size.toLong
+      def mv(xs: Seq[Long]) = {
+        val nD = n.toDouble
+        val s = xs.sum; val q = xs.map(x => x * x).sum
+        (s.toDouble / nD,
+          (q.toDouble - s.toDouble * s.toDouble / nD) / (nD - 1.0))
+      }
+      (n, mv(sel.map(_._1)), mv(sel.map(_._2)))
+    }
+    val (na, (maPre, vaPre), (maPost, vaPost)) =
+      cellStats(users.filter(_._1).map(t => (t._2, t._3)))
+    val (nb, (mbPre, vbPre), (mbPost, vbPost)) =
+      cellStats(users.filterNot(_._1).map(t => (t._2, t._3)))
+    val did = (maPost - maPre) - (mbPost - mbPre)
+    val seSq = (vaPre + vaPost) / na.toDouble +
+      (vbPre + vbPost) / nb.toDouble
+    assert((r.getLong(0), r.getLong(1)) == ((na, nb)))
+    assert(r.getDouble(2) == r6(maPre) && r.getDouble(3) == r6(maPost))
+    assert(r.getDouble(4) == r6(mbPre) && r.getDouble(5) == r6(mbPost))
+    assert(r.getDouble(6) == r6(did))
+    assert(r.getDouble(7) == r6(math.sqrt(seSq)))
+    assert(r.getDouble(8) == r6(did / math.sqrt(seSq)))
+    assert(!r.getBoolean(9))
+    // single-user input: one empty arm → guarded, everything NULL
+    val g = graft.operators.Pipeline.didReadout(
+      df.filter(col("user_id") === 1L)).head()
+    assert(g.isNullAt(6) && g.isNullAt(8) && g.getBoolean(9))
+  }
+
   test("olsReadout: driver replay of the moment determinants; a " +
       "constant regressor guards via dxx = 0") {
     import spark.implicits._
