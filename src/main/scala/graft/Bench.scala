@@ -150,6 +150,8 @@ object Bench {
     "p181_rank_sum",      // midrank histogram + tie-corrected z
     "p182_ols_readout",   // five-moment scalar aggregate regression
     "p183_did_readout",   // two-period 12-counter causal readout
+    "p184_weight_diag",   // barriered weights, pinned-sum ESS
+    "p185_srm_check",     // assignment guardrail, one scalar agg
     "f07_csv_ingest_cold", // CSV parse + agg, no cache (dsq cold analog)
     "f08_csv_ingest_warm") // cached-parquet + agg (dsq -C warm analog)
 

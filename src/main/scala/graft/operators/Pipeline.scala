@@ -2161,6 +2161,81 @@ object Pipeline {
       coalesce(!ok, lit(true)).as("guarded"))
   }
 
+  /** Sample-ratio-mismatch (SRM) guardrail — the FIRST check every
+    * experimentation platform runs before reading any metric: does the
+    * observed arm split match the designed ratio? A mismatch means the
+    * assignment itself is broken (bot filtering, logging loss,
+    * redirect asymmetry) and every downstream readout is invalid.
+    * One-sample χ² with df = 1: (n_a−E_a)²/E_a + (n_b−E_b)²/E_b vs the
+    * α = 0.001 critical value 10.827566170662733 (SRM convention uses
+    * a strict α — a 5% false-alarm rate on a gate this routine would
+    * page constantly).
+    *
+    * Exactness: arm counts are exact int64; E and χ² are fixed-shape
+    * float expressions of those integers, replayed verbatim. n = 0 →
+    * guarded.
+    *
+    * Distributed shape: ONE scalar aggregate over the per-user
+    * relation. `armHexLt` selects arm A as md5-first-hex < that char —
+    * the gate's alarm scenario assigns by '4' (a real 25% split) while
+    * still DECLARING expectedA = 0.5, which is exactly what a broken
+    * ramp looks like.
+    */
+  def srmCheck(users: DataFrame, armHexLt: String = "8",
+      expectedA: Double = 0.5): DataFrame = {
+    require(expectedA > 0 && expectedA < 1, s"bad expectedA $expectedA")
+    val s = users.agg(
+      coalesce(sum(when(
+        substring(md5(col("user_id").cast("string")), 1, 1) < armHexLt,
+        1L).otherwise(0L)), lit(0L)).cast("long").as("n_a"),
+      count(lit(1)).cast("long").as("n"))
+    val nD = col("n").cast("double")
+    val ea = nD * lit(expectedA)
+    val eb = nD * lit(1.0 - expectedA)
+    val naD = col("n_a").cast("double")
+    val nbD = (col("n") - col("n_a")).cast("double")
+    val chi = when(col("n") > 0,
+      (naD - ea) * (naD - ea) / ea + (nbD - eb) * (nbD - eb) / eb)
+    s.select(col("n_a"), (col("n") - col("n_a")).as("n_b"),
+      round(lit(expectedA), 6).as("expected_a"),
+      round(chi, 6).as("chi_sq"),
+      coalesce(chi > lit(10.827566170662733), lit(false))
+        .as("srm_detected"),
+      coalesce(!(col("n") > 0), lit(true)).as("guarded"))
+  }
+
+  // p91's oracle, split so p184 can re-derive the same weights as a CTE
+  private val p91Ctes =
+    """tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(w, '\s+')) AS token
+      |  FROM (SELECT doc_id,
+      |          lower(regexp_replace(text, '^\s+|\s+$', '', 'g')) AS w
+      |        FROM documents)
+      |  WHERE length(w) > 0),
+      |bk AS (SELECT doc_id,
+      |    (strpos('0123456789abcdef', substr(md5(token), 1, 1)) - 1) * 16
+      |      + strpos('0123456789abcdef', substr(md5(token), 2, 1)) - 1
+      |      AS bucket
+      |  FROM tok),
+      |raw AS (SELECT bucket, count(*) AS rc FROM bk GROUP BY 1),
+      |tgt AS (SELECT bucket, count(*) AS tc FROM bk
+      |        WHERE doc_id % 7 = 0 GROUP BY 1),
+      |tot AS (SELECT (SELECT sum(rc) FROM raw) AS rt,
+      |               (SELECT sum(tc) FROM tgt) AS tt),
+      |w AS (SELECT b.doc_id,
+      |    ln(COALESCE(t.tc, 0) + 1) - ln(r.rc + 1) AS w
+      |  FROM bk b JOIN raw r USING (bucket)
+      |  LEFT JOIN tgt t USING (bucket)),
+      |sc AS (SELECT doc_id, count(*) AS n_tokens, sum(w) AS s
+      |       FROM w GROUP BY 1)""".stripMargin
+  private val p91Select =
+    """SELECT d.doc_id,
+      |  CAST(COALESCE(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
+      |  round(COALESCE(sc.s + sc.n_tokens * (ln(t.rt + 256)
+      |    - ln(t.tt + 256)), 0), 6) AS score
+      |FROM documents d LEFT JOIN sc USING (doc_id)
+      |CROSS JOIN tot t""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
 
     // ---- deduplication -------------------------------------------------
@@ -7813,36 +7888,97 @@ object Pipeline {
     // assignment from DuckDB's md5 via hex-digit arithmetic and the
     // exact same smoothing/normalizer expression; scores rounded 6.
     QueryDef("p91_importance_weights",
-      """WITH tok AS (
-        |  SELECT doc_id, unnest(string_split_regex(w, '\s+')) AS token
-        |  FROM (SELECT doc_id,
-        |          lower(regexp_replace(text, '^\s+|\s+$', '', 'g')) AS w
-        |        FROM documents)
-        |  WHERE length(w) > 0),
-        |bk AS (SELECT doc_id,
-        |    (strpos('0123456789abcdef', substr(md5(token), 1, 1)) - 1) * 16
-        |      + strpos('0123456789abcdef', substr(md5(token), 2, 1)) - 1
-        |      AS bucket
-        |  FROM tok),
-        |raw AS (SELECT bucket, count(*) AS rc FROM bk GROUP BY 1),
-        |tgt AS (SELECT bucket, count(*) AS tc FROM bk
-        |        WHERE doc_id % 7 = 0 GROUP BY 1),
-        |tot AS (SELECT (SELECT sum(rc) FROM raw) AS rt,
-        |               (SELECT sum(tc) FROM tgt) AS tt),
-        |w AS (SELECT b.doc_id,
-        |    ln(COALESCE(t.tc, 0) + 1) - ln(r.rc + 1) AS w
-        |  FROM bk b JOIN raw r USING (bucket)
-        |  LEFT JOIN tgt t USING (bucket)),
-        |sc AS (SELECT doc_id, count(*) AS n_tokens, sum(w) AS s
-        |       FROM w GROUP BY 1)
-        |SELECT d.doc_id,
-        |  CAST(COALESCE(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
-        |  round(COALESCE(sc.s + sc.n_tokens * (ln(t.rt + 256)
-        |    - ln(t.tt + 256)), 0), 6) AS score
-        |FROM documents d LEFT JOIN sc USING (doc_id)
-        |CROSS JOIN tot t""".stripMargin) { (s, dir) =>
+      s"WITH $p91Ctes\n$p91Select") { (s, dir) =>
       val docs = t(s, dir, "documents")
       Corpus.importanceWeights(docs, docs.filter(col("doc_id") % 7 === 0))
+    },
+
+    // Importance-weight health diagnostics over the p91 weights: the
+    // oracle re-derives the identical scores, exponentiates, and
+    // replays the DECIMAL(38,12)-pinned Σw/Σw², ESS, max-share, and
+    // the 10×-mean heavy count. Scenario 2 runs on an empty slice
+    // (Σw² = 0 → guarded).
+    QueryDef("p184_weight_diag",
+      s"""WITH $p91Ctes,
+         |wt AS ($p91Select),
+         |sc2 AS (SELECT unnest(['1_real', '2_empty']) AS scenario),
+         |ex AS (SELECT scenario, exp(score) AS w FROM wt CROSS JOIN sc2
+         |  WHERE scenario = '1_real'),
+         |m AS (SELECT s2.scenario,
+         |    CAST(COUNT(ex.w) AS BIGINT) AS n,
+         |    CAST(COALESCE(SUM(CAST(ex.w AS DECIMAL(38,12))),
+         |      CAST(0 AS DECIMAL(38,12))) AS DOUBLE) AS sw,
+         |    CAST(COALESCE(SUM(CAST(ex.w * ex.w AS DECIMAL(38,12))),
+         |      CAST(0 AS DECIMAL(38,12))) AS DOUBLE) AS sw2,
+         |    MAX(ex.w) AS mw
+         |  FROM sc2 s2 LEFT JOIN ex ON ex.scenario = s2.scenario
+         |  GROUP BY 1),
+         |h AS (SELECT s2.scenario,
+         |    CAST(COALESCE(SUM(CASE WHEN ex.w >
+         |      10.0 * m.sw / CAST(m.n AS DOUBLE) THEN 1 ELSE 0 END),
+         |      0) AS BIGINT) AS n_heavy
+         |  FROM sc2 s2 JOIN m USING (scenario)
+         |  LEFT JOIN ex ON ex.scenario = s2.scenario GROUP BY 1)
+         |SELECT m.scenario, m.n, round(m.sw, 6) AS sum_w,
+         |  round(CASE WHEN m.sw2 > 0 THEN m.sw * m.sw / m.sw2 END, 6)
+         |    AS ess,
+         |  round(CASE WHEN m.sw2 > 0 AND m.n > 0 THEN
+         |    m.sw * m.sw / m.sw2 / CAST(m.n AS DOUBLE) END, 6)
+         |    AS ess_frac,
+         |  round(CASE WHEN m.sw > 0 THEN m.mw / m.sw END, 6)
+         |    AS max_share,
+         |  h.n_heavy,
+         |  COALESCE(NOT (m.sw2 > 0), TRUE) AS guarded
+         |FROM m JOIN h USING (scenario)
+         |ORDER BY 1""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val wts = Corpus.importanceWeights(docs,
+          docs.filter(col("doc_id") % 7 === 0))
+        .select(exp(col("score")).as("w"))
+      val outCols = Seq("n", "sum_w", "ess", "ess_frac", "max_share",
+        "n_heavy", "guarded").map(col)
+      val real = Corpus.weightDiagnostics(wts, "w")
+        .select(lit("1_real").as("scenario") +: outCols: _*)
+      val empty = Corpus.weightDiagnostics(wts.filter(lit(false)), "w")
+        .select(lit("2_empty").as("scenario") +: outCols: _*)
+      real.unionAll(empty).orderBy("scenario")
+    },
+
+    // Sample-ratio-mismatch guardrail: the oracle replays the arm
+    // counts and the fixed-shape df=1 χ² against the α=0.001 critical
+    // value. Scenario 2 ASSIGNS by hex '4' (a real 25% split) while
+    // declaring 50% — the broken-ramp shape SRM exists to catch.
+    QueryDef("p185_srm_check",
+      """WITH sc AS (SELECT unnest(['1_healthy', '2_broken']) AS
+        |    scenario, unnest(['8', '4']) AS cut),
+        |u AS (SELECT DISTINCT user_id FROM events),
+        |m AS (SELECT scenario,
+        |    CAST(COALESCE(SUM(CASE WHEN
+        |      substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < cut
+        |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_a,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM u CROSS JOIN sc GROUP BY scenario),
+        |e AS (SELECT *, CAST(n AS DOUBLE) * 0.5 AS ea,
+        |    CAST(n AS DOUBLE) * 0.5 AS eb,
+        |    CAST(n_a AS DOUBLE) AS nad,
+        |    CAST(n - n_a AS DOUBLE) AS nbd FROM m),
+        |f AS (SELECT *, CASE WHEN n > 0 THEN
+        |    (nad - ea) * (nad - ea) / ea +
+        |    (nbd - eb) * (nbd - eb) / eb END AS chi FROM e)
+        |SELECT scenario, n_a, CAST(n - n_a AS BIGINT) AS n_b,
+        |  round(0.5, 6) AS expected_a,
+        |  round(chi, 6) AS chi_sq,
+        |  COALESCE(chi > 10.827566170662733, FALSE) AS srm_detected,
+        |  COALESCE(NOT (n > 0), TRUE) AS guarded
+        |FROM f ORDER BY 1""".stripMargin) { (s, dir) =>
+      val users = t(s, dir, "events").select("user_id").distinct()
+      val outCols = Seq("n_a", "n_b", "expected_a", "chi_sq",
+        "srm_detected", "guarded").map(col)
+      val healthy = srmCheck(users, armHexLt = "8", expectedA = 0.5)
+        .select(lit("1_healthy").as("scenario") +: outCols: _*)
+      val broken = srmCheck(users, armHexLt = "4", expectedA = 0.5)
+        .select(lit("2_broken").as("scenario") +: outCols: _*)
+      healthy.unionAll(broken).orderBy("scenario")
     },
 
     // Cross-document near-dup paragraphs: corpus = documents + a planted

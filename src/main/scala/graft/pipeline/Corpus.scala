@@ -1235,6 +1235,58 @@ object Corpus {
           lit(0.0)), 6).as("score"))
   }
 
+  /** Importance-weight health diagnostics — the "is my reweighting
+    * degenerate" check that must accompany any [[importanceWeights]] /
+    * [[mixtureWeights]] deployment: effective sample size
+    * ESS = (Σw)²/Σw² (Kong 1992 — the equivalent count of UNIT-weight
+    * samples; ESS ≪ n means a few documents dominate the resampled
+    * corpus), its fraction of n, the single heaviest weight's share of
+    * total mass, and how many weights exceed `heavyMult`× the mean
+    * (clipping candidates).
+    *
+    * Determinism: weights are data-derived doubles, so a plain float
+    * SUM would be partition-order-dependent — each w and w² term is
+    * pinned to DECIMAL(38,12) before the sum (the gradient-sum trick),
+    * making both sums exact and order-free; max is order-free natively.
+    * Σw² = 0 (empty input or all-zero weights) → every ratio NULL,
+    * `guarded` true.
+    *
+    * Distributed shape: the weight relation barriers ONCE (the heavy
+    * upstream derivation is not re-run), then two scalar aggregates
+    * over the barrier — the second needs Σw/n, a broadcast scalar from
+    * the first. No window, no shuffled join.
+    */
+  def weightDiagnostics(weights: DataFrame, wCol: String,
+      heavyMult: Double = 10.0): DataFrame = {
+    require(heavyMult > 0, s"bad heavyMult $heavyMult")
+    val d38 = "decimal(38,12)"
+    val w = Dedup.materializeBarrier(
+      weights.select(col(wCol).cast("double").as("w")), "weight-diag")
+    val m = w.agg(
+      count(lit(1)).cast("long").as("n"),
+      coalesce(sum(col("w").cast(d38)), lit(0).cast(d38))
+        .cast("double").as("sw"),
+      coalesce(sum((col("w") * col("w")).cast(d38)),
+        lit(0).cast(d38)).cast("double").as("sw2"),
+      max(col("w")).as("mw"))
+    val heavy = w.crossJoin(broadcast(m))
+      .agg(coalesce(sum(when(col("w") > lit(heavyMult) * col("sw") /
+        col("n").cast("double"), 1L).otherwise(0L)), lit(0L))
+        .cast("long").as("n_heavy"))
+    val ess = when(col("sw2") > 0,
+      col("sw") * col("sw") / col("sw2"))
+    m.crossJoin(broadcast(heavy)).select(
+      col("n"), round(col("sw"), 6).as("sum_w"),
+      round(ess, 6).as("ess"),
+      round(when(col("sw2") > 0 && col("n") > 0,
+        col("sw") * col("sw") / col("sw2") /
+          col("n").cast("double")), 6).as("ess_frac"),
+      round(when(col("sw") > 0, col("mw") / col("sw")), 6)
+        .as("max_share"),
+      col("n_heavy"),
+      coalesce(!(col("sw2") > 0), lit(true)).as("guarded"))
+  }
+
   /** Per-source corpus datasheet — the release-notes table every
     * training-data drop ships with: documents, token/char volume, exact
     * duplicate rate (1 − distinct digests/docs), language diversity and

@@ -1447,6 +1447,27 @@ class PlanSpec extends SparkSpec {
       s"p183: a non-user exchange appeared:\n$p")
   }
 
+  test("p184/p185: weight diagnostics barrier once then scan twice; " +
+      "SRM is one scalar aggregate") {
+    // p184: the p91 weight derivation (bucket tables broadcast into
+    // the token stream) runs ONCE into a barrier; both diagnostic
+    // aggregates scan the barrier, the second against broadcast
+    // scalars from the first
+    val p = executed("p184_weight_diag")
+    noShuffledJoin("p184", p)
+    assert(!p.contains("Window"), s"p184: a window appeared:\n$p")
+    assert(p.contains("graft-weight-diag"),
+      s"p184: weights not barriered — derivation re-runs per scan:\n$p")
+    // p185: per-user distinct + ONE scalar aggregate
+    val q = executed("p185_srm_check")
+    assert(!q.contains("Join"), s"p185: unexpected join:\n$q")
+    assert(!q.contains("Window"), s"p185: a window appeared:\n$q")
+    val qf = q.split("== Initial Plan ==").head
+    assert(!qf.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("user_id")),
+      s"p185: a non-user exchange appeared:\n$q")
+  }
+
   test("p179: isotonic minimax joins are broadcast products of the " +
       "bounded bin table; windows ride the bounded key") {
     val p = executed("p179_isotonic")

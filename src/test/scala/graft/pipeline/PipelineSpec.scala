@@ -4956,6 +4956,61 @@ class PipelineSpec extends SparkSpec {
     assert(g.isNullAt(6) && g.isNullAt(8) && g.getBoolean(9))
   }
 
+  test("weightDiagnostics: driver replay of the pinned-sum ESS and " +
+      "heavy count on random weights; zero weights guard") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(184)
+    (1 to 3).foreach { trial =>
+      // lognormal-ish: a few dominant weights so n_heavy fires
+      val ws = (1 to 60).map(_ =>
+        r6(math.exp(rnd.nextGaussian() * 2)))
+      val r = graft.pipeline.Corpus.weightDiagnostics(
+        ws.toDF("w"), "w").head()
+      def pin(x: Double) = BigDecimal(x)
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      val sw = ws.map(pin).sum.toDouble
+      val sw2 = ws.map(x => pin(x * x)).sum.toDouble
+      val mw = ws.max
+      val heavy = ws.count(_ > 10.0 * sw / ws.size.toDouble).toLong
+      assert(r.getLong(0) == ws.size.toLong)
+      assert(r.getDouble(1) == r6(sw), s"trial $trial sum")
+      assert(r.getDouble(2) == r6(sw * sw / sw2), s"trial $trial ess")
+      assert(r.getDouble(3) ==
+        r6(sw * sw / sw2 / ws.size.toDouble))
+      assert(r.getDouble(4) == r6(mw / sw))
+      assert(r.getLong(5) == heavy, s"trial $trial heavy")
+      assert(!r.getBoolean(6))
+    }
+    val z = graft.pipeline.Corpus.weightDiagnostics(
+      Seq(0.0, 0.0).toDF("w"), "w").head()
+    assert(z.isNullAt(2) && z.getBoolean(6))
+  }
+
+  test("srmCheck: driver replay of the df=1 chi-square; a 25% " +
+      "assignment declared as 50% must alarm, an honest 50% must not") {
+    import spark.implicits._
+    val users = (1L to 200L).toDF("user_id")
+    val ids = (1L to 200L)
+    def nA(cut: Char) =
+      ids.count(u => md5hex(u.toString).charAt(0) < cut).toLong
+    def chi(na: Long, n: Long): Double = {
+      val ea = n.toDouble * 0.5; val eb = n.toDouble * 0.5
+      val nad = na.toDouble; val nbd = (n - na).toDouble
+      (nad - ea) * (nad - ea) / ea + (nbd - eb) * (nbd - eb) / eb
+    }
+    val h = graft.operators.Pipeline.srmCheck(users, "8", 0.5).head()
+    assert(h.getLong(0) == nA('8'))
+    assert(h.getDouble(3) == r6(chi(nA('8'), 200)))
+    assert(h.getBoolean(4) == (chi(nA('8'), 200) > 10.827566170662733))
+    val b = graft.operators.Pipeline.srmCheck(users, "4", 0.5).head()
+    assert(b.getDouble(3) == r6(chi(nA('4'), 200)))
+    assert(b.getBoolean(4), "25% split declared as 50% did not alarm")
+    // empty input guards
+    val g = graft.operators.Pipeline.srmCheck(
+      users.filter(lit(false)), "8", 0.5).head()
+    assert(g.getBoolean(5) && g.isNullAt(3))
+  }
+
   test("olsReadout: driver replay of the moment determinants; a " +
       "constant regressor guards via dxx = 0") {
     import spark.implicits._
