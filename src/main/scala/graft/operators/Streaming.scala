@@ -2688,6 +2688,71 @@ object Streaming {
         .unionAll(merged.select(col("user_id"), col("lw").as("us")))
         .select(col("user_id"), timestamp_micros(col("us")).as("ts"))
       graft.operators.Pipeline.kaplanMeier(twoEv)
+    },
+
+    // Live sample-ratio-mismatch monitor (p185's guardrail over
+    // continuous ingest — production SRM runs DURING the ramp, not
+    // after): batches split by EVENT, so a user recurs across
+    // micro-batches; the carried state is each batch's DISTINCT
+    // user set (bounded by users touched per batch), merged by
+    // distinct-union — associative AND idempotent, so a replayed
+    // batch partial cannot inflate either arm (plus batchId-keyed
+    // overwrite paths, the s39 discipline). Publish runs the batch
+    // srmCheck over the merged population — equal to p185's healthy
+    // scenario verbatim. At 100 TB: state is user-id rows only, the
+    // events are never re-read, the readout is one scalar aggregate.
+    QueryDef("s43_stream_srm",
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |m AS (SELECT
+        |    CAST(COALESCE(SUM(CASE WHEN
+        |      substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+        |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_a,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM u),
+        |e AS (SELECT *, CAST(n AS DOUBLE) * 0.5 AS ea,
+        |    CAST(n AS DOUBLE) * 0.5 AS eb,
+        |    CAST(n_a AS DOUBLE) AS nad,
+        |    CAST(n - n_a AS DOUBLE) AS nbd FROM m),
+        |f AS (SELECT *, CASE WHEN n > 0 THEN
+        |    (nad - ea) * (nad - ea) / ea +
+        |    (nbd - eb) * (nbd - eb) / eb END AS chi FROM e)
+        |SELECT n_a, CAST(n - n_a AS BIGINT) AS n_b,
+        |  round(0.5, 6) AS expected_a,
+        |  round(chi, 6) AS chi_sq,
+        |  COALESCE(chi > 10.827566170662733, FALSE) AS srm_detected,
+        |  COALESCE(NOT (n > 0), TRUE) AS guarded
+        |FROM f""".stripMargin) { (s, dir) =>
+      val ev = graft.Tables.load(s, dir, "events")
+        .select("event_id", "user_id")
+      val base = java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_fmt").toString
+      val srcDir = s"$base/s43_stream_src"
+      val stateRoot = s"$base/s43_users"
+      Seq(srcDir, stateRoot).foreach(d => rmTree(new java.io.File(d)))
+      new java.io.File(srcDir).mkdirs()
+      (0 until 4).foreach { b =>
+        writeSingle(ev.filter(col("event_id") % 4 === b),
+          srcDir, s"batch_$b")
+      }
+      val schema = s.read.parquet(srcDir).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(srcDir)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+            batchId: Long) =>
+          batch.select("user_id").distinct()
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$stateRoot/b_$batchId")
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val population = s.read.option("recursiveFileLookup", "true")
+        .parquet(stateRoot).distinct()
+      graft.operators.Pipeline.srmCheck(population, "8", 0.5)
     }
   )
 }

@@ -1788,6 +1788,29 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("s43 seam: per-split distinct-user partials merge to the " +
+      "batch SRM under arbitrary splits; a replayed partial is inert") {
+    // the s43 carried state: each batch's DISTINCT user set —
+    // distinct-union merge is associative and idempotent, so any
+    // split (and any duplicated batch partial) must reproduce the
+    // batch srmCheck over the full population
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    (1 to 3).foreach { trial =>
+      val evs = (1 to 300).map(_ =>
+        (1L + rnd.nextInt(80), rnd.nextInt(3)))
+      val want = graft.operators.Pipeline.srmCheck(
+        evs.map(_._1).distinct.toDF("user_id"), "8", 0.5)
+        .collect().map(_.toSeq).toSeq
+      val merged = ((0 to 2) :+ 1).map { b =>
+        evs.filter(_._2 == b).map(_._1).distinct.toDF("user_id")
+      }.reduce(_ unionAll _).distinct()
+      val got = graft.operators.Pipeline.srmCheck(merged, "8", 0.5)
+        .collect().map(_.toSeq).toSeq
+      assert(got == want, s"trial $trial:\n got  $got\n want $want")
+    }
+  }
+
   test("s40 seam: per-split stratum top-k union + merged counts " +
       "reproduce the batch stratifiedSample under arbitrary splits") {
     // the s40 carried state: per-batch stratum counts (merge by sum)
