@@ -1703,7 +1703,11 @@ object Pipeline {
       col("n_chars").cast("long").as("x"),
       (substring(md5(col("doc_id").cast("string")), 1, 1) < "c")
         .as("cal"))
-    val fit = base.agg(
+    // the 1-row fit barriers once (the logreg-w idiom): it has ~4
+    // downstream consumers (residual scoring, q̂ selection, coverage,
+    // the report row) and an un-materialized scalar aggregate would
+    // re-scan the corpus for each of them
+    val fit = Dedup.materializeBarrier(base.agg(
       coalesce(sum(when(col("cal"), 1L).otherwise(0L)), lit(0L))
         .cast("long").as("n_cal"),
       coalesce(sum(when(!col("cal"), 1L).otherwise(0L)), lit(0L))
@@ -1716,7 +1720,8 @@ object Pipeline {
             lit(1.0 - alpha)).cast("long")))
       .withColumn("mean_cal",
         when(col("n_cal") > 0,
-          col("s_cal").cast("double") / col("n_cal").cast("double")))
+          col("s_cal").cast("double") / col("n_cal").cast("double"))),
+      "conformal-fit")
     val scoredCal = base.filter(col("cal"))
       .crossJoin(broadcast(fit.select("mean_cal")))
       .select(col("doc_id"),
@@ -1768,17 +1773,32 @@ object Pipeline {
     * not its size — every window sits on that bounded table under a
     * [[Corpus.boundedKey]] partition.
     */
-  def kaplanMeier(events: DataFrame, censorHours: Int = 12): DataFrame = {
+  /** Per-user lifetime rows shared by [[kaplanMeier]] and [[logRank]]
+    * — ONE definition of the scaffolding both estimators depend on
+    * (first/last collapse, broadcast corpus max, the `censorHours`
+    * right-censor cut, the hour grain): a censoring or grain fix lands
+    * once, not in two copies that can desynchronize. The md5 arm
+    * column is projected here too; Catalyst prunes it for the
+    * single-population Kaplan–Meier caller.
+    */
+  private def userLifetimes(events: DataFrame,
+      censorHours: Int): DataFrame = {
     require(censorHours >= 0, s"bad censorHours $censorHours")
-    val W = org.apache.spark.sql.expressions.Window
     val us = events.groupBy("user_id").agg(
       min(unix_micros(col("ts"))).as("fw"),
       max(unix_micros(col("ts"))).as("lw"))
     val mx = events.agg(max(unix_micros(col("ts"))).as("mxu"))
-    val durs = us.crossJoin(broadcast(mx))
+    us.crossJoin(broadcast(mx))
       .select(expr("(lw - fw) div 3600000000").as("dur"),
         (col("lw") > col("mxu") - lit(censorHours * 3600000000L))
-          .as("cens"))
+          .as("cens"),
+        (substring(md5(col("user_id").cast("string")), 1, 1) < "8")
+          .as("arm_a"))
+  }
+
+  def kaplanMeier(events: DataFrame, censorHours: Int = 12): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val durs = userLifetimes(events, censorHours)
       .groupBy("dur").agg(
         count(lit(1)).cast("long").as("n_all"),
         sum(when(!col("cens"), 1L).otherwise(0L)).cast("long")
@@ -1897,18 +1917,8 @@ object Pipeline {
     * shuffles.
     */
   def logRank(events: DataFrame, censorHours: Int = 12): DataFrame = {
-    require(censorHours >= 0, s"bad censorHours $censorHours")
     val W = org.apache.spark.sql.expressions.Window
-    val us = events.groupBy("user_id").agg(
-      min(unix_micros(col("ts"))).as("fw"),
-      max(unix_micros(col("ts"))).as("lw"))
-    val mx = events.agg(max(unix_micros(col("ts"))).as("mxu"))
-    val durs = us.crossJoin(broadcast(mx))
-      .select(expr("(lw - fw) div 3600000000").as("dur"),
-        (col("lw") > col("mxu") - lit(censorHours * 3600000000L))
-          .as("cens"),
-        (substring(md5(col("user_id").cast("string")), 1, 1) < "8")
-          .as("arm_a"))
+    val durs = userLifetimes(events, censorHours)
       .groupBy("dur").agg(
         sum(when(col("arm_a"), 1L).otherwise(0L)).cast("long")
           .as("all_a"),
@@ -2057,18 +2067,22 @@ object Pipeline {
         substring(md5(col("user_id").cast("string")), 1, 1) < "8")
     // 12 counters: (n, Σx, Σx²) per (arm × period) cell — n is the
     // USER count per arm (identical for that arm's two periods; a
-    // user inactive in a period contributes an exact zero)
+    // user inactive in a period contributes an exact zero). Each term
+    // is pinned to DECIMAL(38,0) BEFORE the sum (the anovaF/olsReadout
+    // idiom, and the oracle's HUGEINT accumulation): a LongType Σx²
+    // crosses 9.2·10¹⁸ at ~10⁹ users × ~10⁵ events per period and
+    // would throw under ANSI where the oracle succeeds.
     def cellAggs(p: Column, arm: String): Seq[Column] = Seq(
       coalesce(sum(when(p, 1L).otherwise(0L)), lit(0L)).cast("long")
         .as(s"n_$arm"),
-      coalesce(sum(when(p, col("pre"))), lit(0)).cast(d38)
+      coalesce(sum(when(p, col("pre").cast(d38))), lit(0).cast(d38))
         .as(s"s_${arm}_pre"),
-      coalesce(sum(when(p, col("pre") * col("pre"))), lit(0))
-        .cast(d38).as(s"q_${arm}_pre"),
-      coalesce(sum(when(p, col("post"))), lit(0)).cast(d38)
+      coalesce(sum(when(p, col("pre").cast(d38) * col("pre"))),
+        lit(0).cast(d38)).as(s"q_${arm}_pre"),
+      coalesce(sum(when(p, col("post").cast(d38))), lit(0).cast(d38))
         .as(s"s_${arm}_post"),
-      coalesce(sum(when(p, col("post") * col("post"))), lit(0))
-        .cast(d38).as(s"q_${arm}_post"))
+      coalesce(sum(when(p, col("post").cast(d38) * col("post"))),
+        lit(0).cast(d38)).as(s"q_${arm}_post"))
     val aggs = cellAggs(col("arm_a"), "a") ++
       cellAggs(!col("arm_a"), "b")
     val m = users.agg(aggs.head, aggs.tail: _*)
@@ -2203,6 +2217,44 @@ object Pipeline {
         .as("srm_detected"),
       coalesce(!(col("n") > 0), lit(true)).as("guarded"))
   }
+
+  /** The Kaplan–Meier oracle, shared VERBATIM by the batch gate (p176)
+    * and its streaming mirror (s42) — the mirror's contract is "equal
+    * to the batch oracle row for row", so the SQL must be one string,
+    * not two copies that can drift (the p91Ctes lesson).
+    */
+  private[graft] val kmOracleSql =
+    """WITH mx AS (SELECT MAX(epoch_us(ts)) AS mxu FROM events),
+      |u AS (SELECT user_id, MIN(epoch_us(ts)) AS fw,
+      |    MAX(epoch_us(ts)) AS lw FROM events GROUP BY 1),
+      |d AS (SELECT (lw - fw) // 3600000000 AS dur,
+      |    lw > mxu - 43200000000 AS cens FROM u CROSS JOIN mx),
+      |g AS (SELECT dur, CAST(COUNT(*) AS BIGINT) AS n_all,
+      |    CAST(SUM(CASE WHEN NOT cens THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS churned,
+      |    CAST(SUM(CASE WHEN cens THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS censored
+      |  FROM d GROUP BY 1),
+      |c AS (SELECT *, COALESCE(SUM(n_all) OVER (ORDER BY dur
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS bef,
+      |    SUM(n_all) OVER () AS n FROM g),
+      |r AS (SELECT *, CAST(n - bef AS BIGINT) AS at_risk FROM c),
+      |s AS (SELECT *,
+      |    SUM(CASE WHEN churned < at_risk THEN
+      |        ln(1.0 - CAST(churned AS DOUBLE) / at_risk)
+      |      ELSE 0.0 END) OVER (ORDER BY dur ROWS BETWEEN
+      |      UNBOUNDED PRECEDING AND CURRENT ROW) AS lnsum,
+      |    MAX(CASE WHEN churned = at_risk THEN 1 ELSE 0 END)
+      |      OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+      |      AND CURRENT ROW) AS zf
+      |  FROM r)
+      |SELECT dur AS t_hours, at_risk, churned, censored,
+      |  round(CASE WHEN at_risk > 0 THEN
+      |    CAST(churned AS DOUBLE) / at_risk END, 6) AS hazard,
+      |  round(CASE WHEN zf = 1 THEN 0.0 ELSE exp(lnsum) END, 6)
+      |    AS survival
+      |FROM s ORDER BY 1""".stripMargin
 
   // p91's oracle, split so p184 can re-derive the same weights as a CTE
   private val p91Ctes =
@@ -5906,38 +5958,7 @@ object Pipeline {
     // the
     // N − cumulative at-risk identity, and the exp(Σ ln) product in
     // the same ascending-duration cumulative window.
-    QueryDef("p176_kaplan_meier",
-      """WITH mx AS (SELECT MAX(epoch_us(ts)) AS mxu FROM events),
-        |u AS (SELECT user_id, MIN(epoch_us(ts)) AS fw,
-        |    MAX(epoch_us(ts)) AS lw FROM events GROUP BY 1),
-        |d AS (SELECT (lw - fw) // 3600000000 AS dur,
-        |    lw > mxu - 43200000000 AS cens FROM u CROSS JOIN mx),
-        |g AS (SELECT dur, CAST(COUNT(*) AS BIGINT) AS n_all,
-        |    CAST(SUM(CASE WHEN NOT cens THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS churned,
-        |    CAST(SUM(CASE WHEN cens THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS censored
-        |  FROM d GROUP BY 1),
-        |c AS (SELECT *, COALESCE(SUM(n_all) OVER (ORDER BY dur
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |      AS bef,
-        |    SUM(n_all) OVER () AS n FROM g),
-        |r AS (SELECT *, CAST(n - bef AS BIGINT) AS at_risk FROM c),
-        |s AS (SELECT *,
-        |    SUM(CASE WHEN churned < at_risk THEN
-        |        ln(1.0 - CAST(churned AS DOUBLE) / at_risk)
-        |      ELSE 0.0 END) OVER (ORDER BY dur ROWS BETWEEN
-        |      UNBOUNDED PRECEDING AND CURRENT ROW) AS lnsum,
-        |    MAX(CASE WHEN churned = at_risk THEN 1 ELSE 0 END)
-        |      OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
-        |      AND CURRENT ROW) AS zf
-        |  FROM r)
-        |SELECT dur AS t_hours, at_risk, churned, censored,
-        |  round(CASE WHEN at_risk > 0 THEN
-        |    CAST(churned AS DOUBLE) / at_risk END, 6) AS hazard,
-        |  round(CASE WHEN zf = 1 THEN 0.0 ELSE exp(lnsum) END, 6)
-        |    AS survival
-        |FROM s ORDER BY 1""".stripMargin) { (s, dir) =>
+    QueryDef("p176_kaplan_meier", kmOracleSql) { (s, dir) =>
       kaplanMeier(t(s, dir, "events").select("user_id", "ts"))
     },
 

@@ -2617,38 +2617,10 @@ object Streaming {
     // streamed curve must equal p176's oracle row for row. At 100 TB:
     // state is ≤1 row per active user per batch, the corpus is never
     // re-read, and the readout inherits p176's hour-span-bounded shape.
+    // oracle = the batch gate's string, SHARED (one definition — the
+    // "stream equals batch verbatim" contract cannot drift)
     QueryDef("s42_stream_survival",
-      """WITH mx AS (SELECT MAX(epoch_us(ts)) AS mxu FROM events),
-        |u AS (SELECT user_id, MIN(epoch_us(ts)) AS fw,
-        |    MAX(epoch_us(ts)) AS lw FROM events GROUP BY 1),
-        |d AS (SELECT (lw - fw) // 3600000000 AS dur,
-        |    lw > mxu - 43200000000 AS cens FROM u CROSS JOIN mx),
-        |g AS (SELECT dur, CAST(COUNT(*) AS BIGINT) AS n_all,
-        |    CAST(SUM(CASE WHEN NOT cens THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS churned,
-        |    CAST(SUM(CASE WHEN cens THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS censored
-        |  FROM d GROUP BY 1),
-        |c AS (SELECT *, COALESCE(SUM(n_all) OVER (ORDER BY dur
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |      AS bef,
-        |    SUM(n_all) OVER () AS n FROM g),
-        |r AS (SELECT *, CAST(n - bef AS BIGINT) AS at_risk FROM c),
-        |s AS (SELECT *,
-        |    SUM(CASE WHEN churned < at_risk THEN
-        |        ln(1.0 - CAST(churned AS DOUBLE) / at_risk)
-        |      ELSE 0.0 END) OVER (ORDER BY dur ROWS BETWEEN
-        |      UNBOUNDED PRECEDING AND CURRENT ROW) AS lnsum,
-        |    MAX(CASE WHEN churned = at_risk THEN 1 ELSE 0 END)
-        |      OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
-        |      AND CURRENT ROW) AS zf
-        |  FROM r)
-        |SELECT dur AS t_hours, at_risk, churned, censored,
-        |  round(CASE WHEN at_risk > 0 THEN
-        |    CAST(churned AS DOUBLE) / at_risk END, 6) AS hazard,
-        |  round(CASE WHEN zf = 1 THEN 0.0 ELSE exp(lnsum) END, 6)
-        |    AS survival
-        |FROM s ORDER BY 1""".stripMargin) { (s, dir) =>
+      graft.operators.Pipeline.kmOracleSql) { (s, dir) =>
       val ev = graft.Tables.load(s, dir, "events")
         .select("event_id", "user_id", "ts")
       val base = java.nio.file.Paths.get(

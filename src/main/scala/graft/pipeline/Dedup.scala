@@ -90,7 +90,7 @@ object Dedup {
         new java.io.File(sys.props.getOrElse("java.io.tmpdir", "/tmp"))
           .toURI.toString))
 
-  private[pipeline] def materializeBarrier(df: DataFrame, tag: String): DataFrame =
+  private[graft] def materializeBarrier(df: DataFrame, tag: String): DataFrame =
     materializeBarrierAt(df, tag)._1
 
   private[pipeline] def materializeBarrierAt(

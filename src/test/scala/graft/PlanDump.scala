@@ -1,8 +1,29 @@
 package graft
 
-/** Scratch: dump executed plans for gate inspection (not a spec). */
+/** Dev tool (not a spec): dump the AQE-final executed plans of named
+  * gates to a file for shape inspection — the scratch behind the
+  * PlanSpec pins. Usage:
+  *   Test/runMain graft.PlanDump [-d sfDir] [-o outFile] name1 name2 …
+  * Defaults: sfDir = $SPARK_GRAFT_SF_DIR or /root/testdata/sf0.001,
+  * outFile = java.io.tmpdir/plans.txt.
+  */
 object PlanDump {
   def main(args: Array[String]): Unit = {
+    var sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.001")
+    var out = new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      "plans.txt").toString
+    val names = scala.collection.mutable.ListBuffer[String]()
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "-d" => sf = args(i + 1); i += 2
+        case "-o" => out = args(i + 1); i += 2
+        case n => names += n; i += 1
+      }
+    }
+    require(names.nonEmpty, "usage: PlanDump [-d sfDir] [-o out] names…")
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -12,15 +33,15 @@ object PlanDump {
         "org.apache.spark.sql.graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val sf = "/root/testdata/sf0.001"
-    val out = new java.io.PrintWriter("/tmp/plans.txt")
-    args.foreach { name =>
+    val w = new java.io.PrintWriter(out)
+    names.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       df.collect()
-      out.println(s"==== $name ====")
-      out.println(df.queryExecution.executedPlan.toString)
+      w.println(s"==== $name ====")
+      w.println(df.queryExecution.executedPlan.toString)
     }
-    out.close()
+    w.close()
+    println(s"wrote ${names.size} plans to $out")
     spark.stop()
   }
 }
