@@ -431,9 +431,11 @@ object Bench {
     def shortKey(n: String): String = n.takeWhile(_ != '_')
     def priorOf(name: String): Double =
       priorMins.getOrElse(name, priorMins.getOrElse(shortKey(name), -1.0))
+    // >= : the boundary case must recheck too — r11's p88 drifted to
+    // EXACTLY 1.50× prior and the strict > let it escape (VERDICT r11)
     val suspect = firstPass.collect { case (name, v)
       if v > 0 && priorOf(name) > 0 &&
-        v > recheckRatio * priorOf(name) => name }
+        v >= recheckRatio * priorOf(name) => name }
     val rechecked: Map[String, Double] = suspect.map { name =>
       val prior = priorOf(name)
       var best = Double.MaxValue

@@ -1568,8 +1568,10 @@ object Pipeline {
     * bounds the expected false-discovery RATE at q). Per metric: the
     * p163 two-proportion pooled z between the md5 arms; two-sided
     * p-value via the Abramowitz–Stegun 26.2.17 normal-tail polynomial
-    * (exp + literal coefficients only, so both engines evaluate the
-    * identical double expression — no erf library dependence); then
+    * (literal coefficients + one exp — no erf library dependence; the
+    * exp itself is JVM Math vs the oracle's libm, not guaranteed
+    * identically rounded, so cross-engine agreement is "within the
+    * 6-dp compare grid, verified at three SFs", not bit-for-bit); then
     * the BH step-up over the m' valid metrics: reject all p-ranks ≤
     * k* = max{k : p_(k) ≤ k·q/m'}. A metric whose z is degenerate
     * (empty arm or zero pooled variance) is excluded from the family
@@ -1762,8 +1764,12 @@ object Pipeline {
     *
     * Determinism: the product is exp(Σ ln(1 − d/r)) accumulated in
     * duration order — a cumulative window both engines evaluate
-    * sequentially over the SAME ascending rows, so the doubles match
-    * bit-for-bit before the 6-dp round. A row where churned == at_risk
+    * sequentially over the SAME ascending rows. ln/exp go through JVM
+    * Math vs the oracle's libm, which are not guaranteed identically
+    * rounded, so the cross-engine claim is "agrees within the 6-dp
+    * compare grid, verified at three SFs", not bit-for-bit (a value
+    * sitting exactly on a rounding boundary could flip; the integer
+    * churned/at_risk counters ARE exact). A row where churned == at_risk
     * (everyone left) zeroes survival from that row on via an exact
     * integer flag, never via ln(0).
     *
@@ -1861,7 +1867,10 @@ object Pipeline {
     val groups = df.groupBy(groupCol).agg(
       count(lit(1)).cast("long").as("n_g"),
       sum(col(xCol).cast(dec)).as("s_g"),
-      sum((col(xCol) * col(xCol)).cast(dec)).as("q_g"))
+      // cast FIRST, square in decimal: (x*x).cast(dec) squares in the
+      // input long type, silently wrapping past 2^63 in non-ANSI Spark
+      // while the oracle's HUGEINT stays exact (ADVICE r11)
+      sum(col(xCol).cast(dec) * col(xCol)).as("q_g"))
     val sgD = col("s_g").cast("double")
     val s = groups.agg(
       count(lit(1)).cast("long").as("k_groups"),
@@ -2019,10 +2028,15 @@ object Pipeline {
         col("t_ties").cast("double") / (nD * (nD - 1.0))))
     val z = when(v > 0,
       (u2.cast("double") - naD * nbD) / lit(2.0) / sqrt(v))
+    // r2_a / tie_term ship as DOUBLE, not long: the exact DECIMAL(38,0)
+    // internals can exceed int64 under heavy ties at ~1e9 users
+    // (Σ c³−c ~ 1e27), where a long cast silently wraps in non-ANSI
+    // Spark while the oracle's HUGEINT→BIGINT cast errors — the double
+    // readout is the same round-to-nearest in both engines (ADVICE r11)
     s.select(col("n_a"), col("n_b"),
-      col("r2a").cast("long").as("r2_a"),
+      col("r2a").cast("double").as("r2_a"),
       round(u2.cast("double") / lit(2.0), 6).as("u_a"),
-      col("t_ties").cast("long").as("tie_term"),
+      col("t_ties").cast("double").as("tie_term"),
       round(v, 6).as("v"), round(z, 6).as("z"),
       coalesce(!(v > 0), lit(true)).as("guarded"))
   }
@@ -6070,9 +6084,9 @@ object Pipeline {
         |    nad * nbd / 12.0 * ((nd + 1.0) -
         |      CAST(t_ties AS DOUBLE) / (nd * (nd - 1.0))) END AS v
         |  FROM e)
-        |SELECT scenario, n_a, n_b, CAST(r2a AS BIGINT) AS r2_a,
+        |SELECT scenario, n_a, n_b, CAST(r2a AS DOUBLE) AS r2_a,
         |  round(CAST(u2 AS DOUBLE) / 2.0, 6) AS u_a,
-        |  CAST(t_ties AS BIGINT) AS tie_term,
+        |  CAST(t_ties AS DOUBLE) AS tie_term,
         |  round(v, 6) AS v,
         |  round(CASE WHEN v > 0 THEN
         |    (CAST(u2 AS DOUBLE) - nad * nbd) / 2.0 / sqrt(v) END, 6)
@@ -7916,40 +7930,52 @@ object Pipeline {
 
     // Importance-weight health diagnostics over the p91 weights: the
     // oracle re-derives the identical scores, exponentiates, and
-    // replays the DECIMAL(38,12)-pinned Σw/Σw², ESS, max-share, and
-    // the 10×-mean heavy count. Scenario 2 runs on an empty slice
-    // (Σw² = 0 → guarded).
+    // replays the max-NORMALIZED DECIMAL(38,12)-pinned Σw'/Σw'², ESS,
+    // max-share, and the 10×-mean heavy count. Scenario 2 runs on an
+    // empty slice (Σw'² = 0 → guarded); scenario 3 plants a 1e30
+    // weight — the magnitude that overflowed the old raw-w pin
+    // (ADVICE r11) — and must read out the degenerate ESS ≈ 1 loudly
+    // instead of NULL-dropping the term.
     QueryDef("p184_weight_diag",
       s"""WITH $p91Ctes,
          |wt AS ($p91Select),
-         |sc2 AS (SELECT unnest(['1_real', '2_empty']) AS scenario),
+         |sc2 AS (SELECT unnest(['1_real', '2_empty', '3_extreme'])
+         |  AS scenario),
          |ex AS (SELECT scenario, exp(score) AS w FROM wt CROSS JOIN sc2
-         |  WHERE scenario = '1_real'),
-         |m AS (SELECT s2.scenario,
+         |  WHERE scenario IN ('1_real', '3_extreme')
+         |  UNION ALL SELECT '3_extreme' AS scenario, 1e30 AS w),
+         |m0 AS (SELECT s2.scenario,
          |    CAST(COUNT(ex.w) AS BIGINT) AS n,
-         |    CAST(COALESCE(SUM(CAST(ex.w AS DECIMAL(38,12))),
-         |      CAST(0 AS DECIMAL(38,12))) AS DOUBLE) AS sw,
-         |    CAST(COALESCE(SUM(CAST(ex.w * ex.w AS DECIMAL(38,12))),
-         |      CAST(0 AS DECIMAL(38,12))) AS DOUBLE) AS sw2,
-         |    MAX(ex.w) AS mw
+         |    MAX(ABS(ex.w)) AS mwa, MAX(ex.w) AS mw
          |  FROM sc2 s2 LEFT JOIN ex ON ex.scenario = s2.scenario
          |  GROUP BY 1),
-         |h AS (SELECT s2.scenario,
+         |m AS (SELECT m0.scenario, m0.n, m0.mwa, m0.mw,
+         |    CAST(COALESCE(SUM(CAST(CASE WHEN m0.mwa > 0 THEN
+         |      ex.w / m0.mwa END AS DECIMAL(38,12))),
+         |      CAST(0 AS DECIMAL(38,12))) AS DOUBLE) AS swn,
+         |    CAST(COALESCE(SUM(CAST(CASE WHEN m0.mwa > 0 THEN
+         |      (ex.w / m0.mwa) * (ex.w / m0.mwa) END
+         |      AS DECIMAL(38,12))),
+         |      CAST(0 AS DECIMAL(38,12))) AS DOUBLE) AS sw2n
+         |  FROM m0 LEFT JOIN ex ON ex.scenario = m0.scenario
+         |  GROUP BY 1, 2, 3, 4),
+         |h AS (SELECT m.scenario,
          |    CAST(COALESCE(SUM(CASE WHEN ex.w >
-         |      10.0 * m.sw / CAST(m.n AS DOUBLE) THEN 1 ELSE 0 END),
-         |      0) AS BIGINT) AS n_heavy
-         |  FROM sc2 s2 JOIN m USING (scenario)
-         |  LEFT JOIN ex ON ex.scenario = s2.scenario GROUP BY 1)
-         |SELECT m.scenario, m.n, round(m.sw, 6) AS sum_w,
-         |  round(CASE WHEN m.sw2 > 0 THEN m.sw * m.sw / m.sw2 END, 6)
-         |    AS ess,
-         |  round(CASE WHEN m.sw2 > 0 AND m.n > 0 THEN
-         |    m.sw * m.sw / m.sw2 / CAST(m.n AS DOUBLE) END, 6)
+         |      10.0 * m.mwa * m.swn / CAST(m.n AS DOUBLE)
+         |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_heavy
+         |  FROM m LEFT JOIN ex ON ex.scenario = m.scenario
+         |  GROUP BY 1)
+         |SELECT m.scenario, m.n,
+         |  round(COALESCE(m.mwa * m.swn, 0.0), 6) AS sum_w,
+         |  round(CASE WHEN m.sw2n > 0 THEN m.swn * m.swn / m.sw2n
+         |    END, 6) AS ess,
+         |  round(CASE WHEN m.sw2n > 0 AND m.n > 0 THEN
+         |    m.swn * m.swn / m.sw2n / CAST(m.n AS DOUBLE) END, 6)
          |    AS ess_frac,
-         |  round(CASE WHEN m.sw > 0 THEN m.mw / m.sw END, 6)
+         |  round(CASE WHEN m.swn > 0 THEN m.mw / m.mwa / m.swn END, 6)
          |    AS max_share,
          |  h.n_heavy,
-         |  COALESCE(NOT (m.sw2 > 0), TRUE) AS guarded
+         |  COALESCE(NOT (m.sw2n > 0), TRUE) AS guarded
          |FROM m JOIN h USING (scenario)
          |ORDER BY 1""".stripMargin) { (s, dir) =>
       val docs = t(s, dir, "documents")
@@ -7962,7 +7988,10 @@ object Pipeline {
         .select(lit("1_real").as("scenario") +: outCols: _*)
       val empty = Corpus.weightDiagnostics(wts.filter(lit(false)), "w")
         .select(lit("2_empty").as("scenario") +: outCols: _*)
-      real.unionAll(empty).orderBy("scenario")
+      val extreme = Corpus.weightDiagnostics(
+        wts.unionAll(s.range(1).select(lit(1.0e30).as("w"))), "w")
+        .select(lit("3_extreme").as("scenario") +: outCols: _*)
+      real.unionAll(empty).unionAll(extreme).orderBy("scenario")
     },
 
     // Sample-ratio-mismatch guardrail: the oracle replays the arm

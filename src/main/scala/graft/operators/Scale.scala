@@ -1297,28 +1297,35 @@ object Scale {
       .createTempDirectory("graft_x34_wap").toString
     val fs = new org.apache.hadoop.fs.Path(base)
       .getFileSystem(s.sessionState.newHadoopConf())
-    def publish(src: DataFrame, tag: String,
-        corrupt: Boolean): (Boolean, Boolean) = {
+    val src = t(s, dir, "documents").select("doc_id", "text")
+    // the source's count + fingerprint are audit CONSTANTS — derived
+    // once, not per publish (the r11 verdict nit: two count jobs + two
+    // src fingerprint passes)
+    val srcCount = src.count()
+    val srcFp = datasetFingerprint(src, nBuckets = 64).head().getString(3)
+    def publish(tag: String, corrupt: Boolean): (Boolean, Boolean) = {
       val staging = new org.apache.hadoop.fs.Path(s"$base/_staging_$tag")
       val published = new org.apache.hadoop.fs.Path(s"$base/$tag")
       val toWrite = if (corrupt) src.limit(100) else src
       toWrite.write.mode("overwrite").parquet(staging.toString)
-      // audit: exact row count + content fingerprint vs the source
-      val staged = s.read.parquet(staging.toString)
+      // audit: exact row count (parquet FOOTERS of the files just
+      // written — driver metadata read, zero Spark jobs) + content
+      // fingerprint vs the source constants.
       // nBuckets pinned: skips the derived-sizing count() (ADVICE r10)
       // — at audit scale the caller knows the layout it just wrote
-      val ok = staged.count() == src.count() &&
+      val staged = s.read.parquet(staging.toString)
+      val ok = graft.pipeline.Dedup.barrierRowCount(staging) == srcCount &&
         datasetFingerprint(staged, nBuckets = 64).head().getString(3) ==
-          datasetFingerprint(src, nBuckets = 64).head().getString(3)
+          srcFp
       val visible = if (ok) fs.rename(staging, published)
       else { fs.delete(staging, true); false }
       (ok, visible && fs.exists(published))
     }
-    val src = t(s, dir, "documents").select("doc_id", "text")
-    val (okGood, visGood) = publish(src, "good", corrupt = false)
-    val (okBad, visBad) = publish(src, "bad", corrupt = true)
-    val readBack = s.read.parquet(s"$base/good").count()
-    Seq((src.count(), readBack, okGood, visGood, !okBad, !visBad,
+    val (okGood, visGood) = publish("good", corrupt = false)
+    val (okBad, visBad) = publish("bad", corrupt = true)
+    val readBack = graft.pipeline.Dedup.barrierRowCount(
+      new org.apache.hadoop.fs.Path(s"$base/good"))
+    Seq((srcCount, readBack, okGood, visGood, !okBad, !visBad,
       !fs.exists(new org.apache.hadoop.fs.Path(s"$base/bad")),
       !fs.exists(new org.apache.hadoop.fs.Path(s"$base/_staging_bad"))))
       .toDF("n_rows", "n_published", "good_audited", "good_visible",

@@ -1245,16 +1245,25 @@ object Corpus {
     * (clipping candidates).
     *
     * Determinism: weights are data-derived doubles, so a plain float
-    * SUM would be partition-order-dependent — each w and w² term is
-    * pinned to DECIMAL(38,12) before the sum (the gradient-sum trick),
-    * making both sums exact and order-free; max is order-free natively.
-    * Σw² = 0 (empty input or all-zero weights) → every ratio NULL,
+    * SUM would be partition-order-dependent — each term is pinned to
+    * DECIMAL(38,12) before the sum (the gradient-sum trick), making
+    * both sums exact and order-free; max is order-free natively. The
+    * pinned terms are the MAX-NORMALIZED weights w/max|w| ∈ [−1, 1]
+    * (ESS is scale-invariant, so normalizing changes nothing but the
+    * units): a raw-w pin dies at w ≳ 1e13 — (w·w) past 1e26 overflows
+    * DECIMAL(38,12), silently NULL-dropping the term in non-ANSI Spark
+    * while the oracle's cast errors (ADVICE r11) — whereas normalized
+    * terms fit the decimal for ANY weight magnitude (w = exp(score)
+    * with score in the hundreds included), accumulate safely to 1e26
+    * rows, and quantize RELATIVE to the heaviest weight (1e-12 · max).
+    * Σw'² = 0 (empty input or all-zero weights) → every ratio NULL,
     * `guarded` true.
     *
     * Distributed shape: the weight relation barriers ONCE (the heavy
-    * upstream derivation is not re-run), then two scalar aggregates
-    * over the barrier — the second needs Σw/n, a broadcast scalar from
-    * the first. No window, no shuffled join.
+    * upstream derivation is not re-run), then three scalar aggregates
+    * over the barrier — normalization needs max|w| first, the heavy
+    * count needs Σw/n; each is a broadcast scalar into the next pass.
+    * No window, no shuffled join.
     */
   def weightDiagnostics(weights: DataFrame, wCol: String,
       heavyMult: Double = 10.0): DataFrame = {
@@ -1262,29 +1271,37 @@ object Corpus {
     val d38 = "decimal(38,12)"
     val w = Dedup.materializeBarrier(
       weights.select(col(wCol).cast("double").as("w")), "weight-diag")
-    val m = w.agg(
+    val m0 = w.agg(
       count(lit(1)).cast("long").as("n"),
-      coalesce(sum(col("w").cast(d38)), lit(0).cast(d38))
-        .cast("double").as("sw"),
-      coalesce(sum((col("w") * col("w")).cast(d38)),
-        lit(0).cast(d38)).cast("double").as("sw2"),
+      max(abs(col("w"))).as("mwa"),
       max(col("w")).as("mw"))
-    val heavy = w.crossJoin(broadcast(m))
-      .agg(coalesce(sum(when(col("w") > lit(heavyMult) * col("sw") /
-        col("n").cast("double"), 1L).otherwise(0L)), lit(0L))
-        .cast("long").as("n_heavy"))
-    val ess = when(col("sw2") > 0,
-      col("sw") * col("sw") / col("sw2"))
-    m.crossJoin(broadcast(heavy)).select(
-      col("n"), round(col("sw"), 6).as("sum_w"),
+    // normalized moment sums: w' = w/max|w|, each term decimal-pinned
+    // — written as (w/mwa) and (w/mwa)*(w/mwa) so the oracle replays
+    // the identical IEEE expression shape
+    val wn = when(col("mwa") > 0, col("w") / col("mwa"))
+    val sums = w.crossJoin(broadcast(m0)).agg(
+      coalesce(sum(wn.cast(d38)), lit(0).cast(d38))
+        .cast("double").as("swn"),
+      coalesce(sum((wn * wn).cast(d38)), lit(0).cast(d38))
+        .cast("double").as("sw2n"))
+    val heavy = w.crossJoin(broadcast(m0)).crossJoin(broadcast(sums))
+      .agg(coalesce(sum(when(col("w") > lit(heavyMult) * col("mwa") *
+        col("swn") / col("n").cast("double"), 1L).otherwise(0L)),
+        lit(0L)).cast("long").as("n_heavy"))
+    val ess = when(col("sw2n") > 0,
+      col("swn") * col("swn") / col("sw2n"))
+    m0.crossJoin(broadcast(sums)).crossJoin(broadcast(heavy)).select(
+      col("n"),
+      round(coalesce(col("mwa") * col("swn"), lit(0.0)), 6)
+        .as("sum_w"),
       round(ess, 6).as("ess"),
-      round(when(col("sw2") > 0 && col("n") > 0,
-        col("sw") * col("sw") / col("sw2") /
+      round(when(col("sw2n") > 0 && col("n") > 0,
+        col("swn") * col("swn") / col("sw2n") /
           col("n").cast("double")), 6).as("ess_frac"),
-      round(when(col("sw") > 0, col("mw") / col("sw")), 6)
-        .as("max_share"),
+      round(when(col("swn") > 0, col("mw") / col("mwa") / col("swn")),
+        6).as("max_share"),
       col("n_heavy"),
-      coalesce(!(col("sw2") > 0), lit(true)).as("guarded"))
+      coalesce(!(col("sw2n") > 0), lit(true)).as("guarded"))
   }
 
   /** Per-source corpus datasheet — the release-notes table every

@@ -4913,8 +4913,8 @@ class PipelineSpec extends SparkSpec {
       val nD = (nA + nB).toDouble
       val v = nA.toDouble * nB.toDouble / 12.0 *
         ((nD + 1.0) - ties.toDouble / (nD * (nD - 1.0)))
-      assert((r.getLong(0), r.getLong(1), r.getLong(2),
-        r.getLong(4)) == ((nA, nB, r2a.toLong, ties.toLong)),
+      assert((r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(4)) == ((nA, nB, r2a.toDouble, ties.toDouble)),
         s"trial $trial counters")
       assert(r.getDouble(3) == r6(u2.toDouble / 2.0))
       assert(r.getDouble(5) == r6(v))
@@ -4979,34 +4979,55 @@ class PipelineSpec extends SparkSpec {
     assert(g.isNullAt(6) && g.isNullAt(8) && g.getBoolean(9))
   }
 
-  test("weightDiagnostics: driver replay of the pinned-sum ESS and " +
-      "heavy count on random weights; zero weights guard") {
+  test("weightDiagnostics: driver replay of the max-normalized " +
+      "pinned-sum ESS and heavy count on random weights; zero " +
+      "weights guard; a 1e30 weight reads out instead of NULL-dropping") {
     import spark.implicits._
     val rnd = new scala.util.Random(184)
+    def pin(x: Double) = BigDecimal(x)
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    def replay(ws: Seq[Double]): (Double, Double, Double, Double, Long) = {
+      val mwa = ws.map(math.abs).max
+      val swn = ws.map(x => pin(x / mwa)).sum.toDouble
+      val sw2n = ws.map(x => pin((x / mwa) * (x / mwa))).sum.toDouble
+      val mw = ws.max
+      val heavy =
+        ws.count(_ > 10.0 * mwa * swn / ws.size.toDouble).toLong
+      (mwa * swn, swn * swn / sw2n, mw / mwa / swn,
+        swn * swn / sw2n / ws.size.toDouble, heavy)
+    }
     (1 to 3).foreach { trial =>
       // lognormal-ish: a few dominant weights so n_heavy fires
       val ws = (1 to 60).map(_ =>
         r6(math.exp(rnd.nextGaussian() * 2)))
       val r = graft.pipeline.Corpus.weightDiagnostics(
         ws.toDF("w"), "w").head()
-      def pin(x: Double) = BigDecimal(x)
-        .setScale(12, BigDecimal.RoundingMode.HALF_UP)
-      val sw = ws.map(pin).sum.toDouble
-      val sw2 = ws.map(x => pin(x * x)).sum.toDouble
-      val mw = ws.max
-      val heavy = ws.count(_ > 10.0 * sw / ws.size.toDouble).toLong
+      val (sw, ess, maxShare, essFrac, heavy) = replay(ws)
       assert(r.getLong(0) == ws.size.toLong)
       assert(r.getDouble(1) == r6(sw), s"trial $trial sum")
-      assert(r.getDouble(2) == r6(sw * sw / sw2), s"trial $trial ess")
-      assert(r.getDouble(3) ==
-        r6(sw * sw / sw2 / ws.size.toDouble))
-      assert(r.getDouble(4) == r6(mw / sw))
+      assert(r.getDouble(2) == r6(ess), s"trial $trial ess")
+      assert(r.getDouble(3) == r6(essFrac))
+      assert(r.getDouble(4) == r6(maxShare))
       assert(r.getLong(5) == heavy, s"trial $trial heavy")
       assert(!r.getBoolean(6))
     }
     val z = graft.pipeline.Corpus.weightDiagnostics(
       Seq(0.0, 0.0).toDF("w"), "w").head()
     assert(z.isNullAt(2) && z.getBoolean(6))
+    // the ADVICE r11 overflow regime: a weight whose square blows any
+    // raw DECIMAL(38,12) pin — normalized pins read it out exactly
+    // (everything else quantizes to 0 relative to it → ESS exactly 1)
+    val ws30 = Seq(1.0, 2.0, 1.0e30)
+    val x = graft.pipeline.Corpus.weightDiagnostics(
+      ws30.toDF("w"), "w").head()
+    val (sw30, ess30, maxShare30, _, heavy30) = replay(ws30)
+    assert(x.getLong(0) == 3L && !x.getBoolean(6))
+    assert(x.getDouble(1) == r6(sw30) && sw30 == 1.0e30)
+    assert(x.getDouble(2) == r6(ess30) && ess30 == 1.0)
+    assert(x.getDouble(4) == r6(maxShare30) && maxShare30 == 1.0)
+    // 10×-mean threshold is 10·1e30/3 ≈ 3.3e30 — above even the
+    // planted weight, so n_heavy is 0 here (mean ≈ max/n regime)
+    assert(x.getLong(5) == heavy30 && heavy30 == 0L)
   }
 
   test("srmCheck: driver replay of the df=1 chi-square; a 25% " +
