@@ -152,6 +152,8 @@ object Bench {
     "p183_did_readout",   // two-period 12-counter causal readout
     "p184_weight_diag",   // barriered weights, pinned-sum ESS
     "p185_srm_check",     // assignment guardrail, one scalar agg
+    "p186_dhash_replay",  // native dHash over arithmetic pixel grids
+    "p187_perceptual_neardup", // decode → dHash → hamming pigeonhole
     "s43_stream_srm",     // live SRM, distinct-user-set state
     "f07_csv_ingest_cold", // CSV parse + agg, no cache (dsq cold analog)
     "f08_csv_ingest_warm") // cached-parquet + agg (dsq -C warm analog)

@@ -8031,6 +8031,108 @@ object Pipeline {
       healthy.unionAll(broken).orderBy("scenario")
     },
 
+    // Perceptual dHash ARITHMETIC replay: the oracle recomputes the
+    // native DHash64 expression's 9×8 integer average-pool and
+    // cross-multiplied brightness compares from the same arithmetic
+    // pixel grid (gray derives from (x·31 + y·7 + doc_id) byte
+    // extraction — DuckDB can't decode PNG, so this gate pins the hash
+    // MATH bit-for-bit while p187 pins the end-to-end codec path).
+    // Every step is integer — pool membership via the inverse index
+    // bx = (9x+8)//w, compares as sum_l·cnt_r > sum_r·cnt_l — so the
+    // 64 bits match exactly; the hash ships as two uint32 halves to
+    // keep both engines out of int64 sign territory. Full hash gate.
+    QueryDef("p186_dhash_replay",
+      """WITH d AS (SELECT doc_id,
+        |    CAST(16 + (doc_id*7) % 97 AS BIGINT) AS w,
+        |    CAST(16 + (doc_id*13) % 71 AS BIGINT) AS h
+        |  FROM documents),
+        |px AS (SELECT doc_id, w, h, u.i % w AS x, u.i // w AS y
+        |  FROM d, LATERAL (SELECT unnest(range(0, d.w*d.h)) AS i) u),
+        |lum AS (SELECT doc_id, w, h, x, y,
+        |    ((x*31 + y*7 + doc_id) & 16777215) AS v FROM px),
+        |lum2 AS (SELECT doc_id, w, h, x, y,
+        |    ((v >> 16) & 255) * 299 + ((v >> 8) & 255) * 587 +
+        |      (v & 255) * 114 AS luma
+        |  FROM lum),
+        |cells AS (SELECT doc_id, (9*x+8)//w AS bx, (8*y+7)//h AS by,
+        |    SUM(luma) AS s, COUNT(*) AS c
+        |  FROM lum2 GROUP BY 1, 2, 3),
+        |bits AS (SELECT a.doc_id, a.by*8 + a.bx AS k,
+        |    CASE WHEN a.s * b.c > b.s * a.c THEN 1 ELSE 0 END AS bit
+        |  FROM cells a JOIN cells b ON b.doc_id = a.doc_id
+        |    AND b.by = a.by AND b.bx = a.bx + 1
+        |  WHERE a.bx < 8)
+        |SELECT doc_id,
+        |  CAST(SUM(CASE WHEN k >= 32 THEN
+        |    bit * (1::BIGINT << CAST(k - 32 AS INT)) ELSE 0 END)
+        |    AS BIGINT) AS hash_hi,
+        |  CAST(SUM(CASE WHEN k < 32 THEN
+        |    bit * (1::BIGINT << CAST(k AS INT)) ELSE 0 END)
+        |    AS BIGINT) AS hash_lo
+        |FROM bits GROUP BY 1 ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+        val d = Multimodal.withArithmeticGray(
+          t(s, dir, "documents").select(col("doc_id"),
+            (lit(16) + (col("doc_id") * 7) % 97).cast("int").as("w"),
+            (lit(16) + (col("doc_id") * 13) % 71).cast("int").as("h")))
+        val dh = org.apache.spark.sql.graft.VectorExpressions
+          .dhash64(col("gray"), col("w"), col("h"))
+        d.select(col("doc_id"),
+          call_function("shiftrightunsigned", dh, lit(32)).as("hash_hi"),
+          dh.bitwiseAND(lit(0xFFFFFFFFL)).as("hash_lo"))
+          .orderBy("doc_id")
+    },
+
+    // Perceptual image near-dup END-TO-END: every 4th doc renders a
+    // genuinely smooth picture (bilinear 10×10 lattice — real PNG
+    // bytes), and two honest variants are planted under new ids: the
+    // SAME picture re-rendered at 2× (true resize, +1000000) and
+    // JPEG-encoded (true requantization, +2000000). Byte/exact-digest
+    // dedup (p50) cannot pair any of these; the decode → dHash →
+    // hamming-pigeonhole path must find every pair at hamming ≤ 8
+    // (measured: resize ≤ 8, jpeg ≤ 2, while DIFFERENT pictures sit
+    // ≥ 14 apart). DuckDB can't decode codecs, so — the p17/p50
+    // boolean pattern — the oracle recomputes the planted id set and
+    // asserts `found` literally.
+    QueryDef("p187_perceptual_neardup",
+      """SELECT doc_id, doc_id + 1000000 AS copy_id,
+        |  'resize2x' AS kind, true AS found
+        |FROM documents WHERE doc_id % 4 = 0
+        |UNION ALL
+        |SELECT doc_id, doc_id + 2000000 AS copy_id,
+        |  'jpeg' AS kind, true AS found
+        |FROM documents WHERE doc_id % 4 = 0
+        |ORDER BY doc_id, copy_id""".stripMargin) { (s, dir) =>
+      // the tiny id list fans out BEFORE the mapPartitions encoders —
+      // a 5000-row parquet is one input split, which would serialize
+      // every render/decode onto one core (measured 11.4 s → 2.3 s)
+      val sel = t(s, dir, "documents")
+        .filter(col("doc_id") % 4 === 0).select("doc_id")
+        .repartition(32)
+      def gen(offset: Long, fmt: String, scale: Int) =
+        Multimodal.withSmoothMedia(
+          sel.select((col("doc_id") + offset).as("doc_id"),
+            col("doc_id").as("seed")), "seed", fmt, scale)
+          .select("doc_id", "media")
+      val media = gen(0L, "png", 1)
+        .unionAll(gen(1000000L, "png", 2))
+        .unionAll(gen(2000000L, "jpg", 1))
+      val pairs = Dedup.perceptualPairs(media, "doc_id", "media",
+        maxHamming = 8)
+      val expected = sel.select(col("doc_id"),
+          (col("doc_id") + 1000000L).as("copy_id"),
+          lit("resize2x").as("kind"))
+        .unionAll(sel.select(col("doc_id"),
+          (col("doc_id") + 2000000L).as("copy_id"),
+          lit("jpeg").as("kind")))
+      expected.join(pairs.select(col("id_a").as("doc_id"),
+          col("id_b").as("copy_id"), col("hamming")),
+          Seq("doc_id", "copy_id"), "left")
+        .select(col("doc_id"), col("copy_id"), col("kind"),
+          col("hamming").isNotNull.as("found"))
+        .orderBy("doc_id", "copy_id")
+    },
+
     // Cross-document near-dup paragraphs: corpus = documents + a planted
     // 17-token boilerplate paragraph (3 variants) on every 40th doc —
     // cross-variant word-3-gram Jaccard 14/16 = 0.875 ≥ 0.6, so the

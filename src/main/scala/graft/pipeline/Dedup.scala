@@ -524,37 +524,116 @@ object Dedup {
     org.apache.spark.sql.graft.VectorExpressions.simhash64(text)
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming, found via
-    * chunk pigeonhole: split the 64-bit sig into (maxHamming+1) chunks; any
-    * pair within distance must agree on >=1 chunk → equi-join per chunk.
+    * the [[hammingPairs]] chunk pigeonhole over [[simhash]] signatures.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val chunks = maxHamming + 1
+      maxHamming: Int = 3): DataFrame =
+    hammingPairs(df.select(col(idCol).as("id"),
+      simhash(col(textCol)).as("sig")), maxHamming)
+
+  /** Near-dup pairs of ANY 64-bit signature (simhash, perceptual dHash,
+    * …) with Hamming distance <= maxHamming, found via the multi-block
+    * pigeonhole (Manku/Jain/Das Sarma, WWW 2007): split the 64-bit sig
+    * into c = maxHamming + m chunks; ≤ maxHamming differing bits dirty
+    * ≤ maxHamming chunks, so ≥ m chunks agree, so the pair collides on
+    * at least one of the C(c, m) m-chunk combination keys → equi-join
+    * per combo key, EXACT recall by construction. Only (combo-key, id)
+    * rows shuffle, never an all-pairs product.
+    *
+    * Candidate volume is the real cost knob: near-uniform signatures
+    * produce ~ C(c,m)·n²/2^(m·64/c) candidates (the verify is a cheap
+    * xor/bit_count). m=1 with small k keeps chunks wide — k=3 is the
+    * classic 4×16-bit simhash config (n²/2¹⁴). Large k at m=1
+    * degenerates (k=8 → 9×7-bit chunks ≈ n²/15 — measured OOM at 375k
+    * sigs); m=3 at k=8 gives 165 combo keys of ~17.5 bits ≈ n²/1100 —
+    * the index emits C(c,m)·n rows, so m trades shuffle volume against
+    * candidate volume. Past ~10⁸ distinct sigs the WWW'07 trade says:
+    * more signature bits (a wider perceptual hash, proportionally wider
+    * chunks) or smaller k. Real image corpora also collapse hard on
+    * EXACT sig equality (re-posts of identical files), so pair-finding
+    * over distinct sigs with a p01-style exact collapse in front is the
+    * production composition at the extreme end.
+    *
+    * @param sig (`id`, `sig` long) — one signature per id
+    * @param multiIndex m — chunks that must jointly agree (key width ×m,
+    *   combo count C(maxHamming+m, m))
+    */
+  def hammingPairs(sig: DataFrame, maxHamming: Int,
+      multiIndex: Int = 1): DataFrame = {
+    val m = multiIndex
+    require(m >= 1, s"bad multiIndex $m")
+    val chunks = maxHamming + m
+    require(chunks <= 64, s"maxHamming + multiIndex > 64")
     // chunk boundaries must cover ALL 64 bits (a pair's differing bits
     // could otherwise hide in uncovered high bits and evade every chunk);
     // sizes of ceil/floor(64/chunks), and masks computed without the
     // (1L << 64) == 1 shift-mod-64 trap
     val bounds = (0 to chunks).map(c => c * 64 / chunks)
-    val sig = df.select(col(idCol).as("id"),
-      simhash(col(textCol)).as("sig"))
     val chunkCols = (0 until chunks).map { c =>
       val lo = bounds(c); val width = bounds(c + 1) - lo
       val mask = if (width >= 64) -1L else (1L << width) - 1
       call_function("shiftright", col("sig"), lit(lo)).bitwiseAND(mask)
     }
+    // every m-combination of chunk values packed into one long key
+    // (≤ k differing bits dirty ≤ k chunks → ≥ m agree → some agreeing
+    // m-subset exists → its combo key collides). Packing at the widest
+    // chunk width keeps the key well under 63 bits for every sane (k, m)
+    val maxWidth = (0 until chunks).map(c => bounds(c + 1) - bounds(c)).max
+    require(m * maxWidth <= 63, s"combo key overflows: $m x $maxWidth bits")
+    val comboCols = (0 until chunks).combinations(m).toSeq.map { combo =>
+      combo.zipWithIndex.map { case (ci, pos) =>
+        call_function("shiftleft", chunkCols(ci), lit(pos * maxWidth))
+      }.reduce(_ bitwiseOR _)
+    }
     val chunked = sig.select(col("id"), col("sig"),
-      posexplode(array(chunkCols: _*)))
+      posexplode(array(comboCols: _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ckey")
     val a = chunked.select(col("chunk"), col("ckey"),
       col("id").as("id_a"), col("sig").as("sig_a"))
     val b = chunked.select(col("chunk"), col("ckey"),
       col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("chunk", "ckey"))
+    // the self-join must SHUFFLE on the combo key: both sides are the
+    // same C(c,m)·n-row exploded relation, but downstream of a
+    // mapPartitions decode Catalyst's size estimate is a guess and it
+    // planned a BroadcastHashJoin — measured 6.6 GiB broadcast
+    // materialization at the 100× sweep before this hint. MERGE, not
+    // shuffle_hash: SMJ buffers only the current equal-key run (combo
+    // buckets are a handful of rows) and its sort spills, while SHJ
+    // must hold a whole build partition's hash map in memory — the
+    // same 100× sweep OOM'd building 2M-row maps × 32 concurrent tasks
+    a.join(b.hint("merge"), Seq("chunk", "ckey"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
       .dropDuplicates("id_a", "id_b")
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Perceptual image near-dup pairs: decode each binary image to its
+    * grayscale pixel grid ([[Multimodal.withDecodedGray]] — the one
+    * mapPartitions stage, codec work with no Catalyst form), fingerprint
+    * with the codegen'd 64-bit dHash expression, and find hamming ≤
+    * maxHamming pairs via the [[hammingPairs]] multi-block pigeonhole
+    * (m=3 by default — at the perceptual k=8 the m=1 chunks are 7 bits
+    * and filter nothing). Catches what byte-level dedup (p50) cannot: the
+    * SAME picture resized or re-encoded (JPEG requantization) hashes to
+    * within a few bits, while different pictures sit ~32 bits apart.
+    * Undecodable payloads drop out before hashing (they have no pixel
+    * content to compare — byte-level dedup still covers them).
+    *
+    * 100 TB shape: decode is embarrassingly parallel over partitions;
+    * after it only (id, sig) longs — then (chunk-key, id) pairs —
+    * shuffle. Never the image bytes, never an all-pairs product.
+    */
+  def perceptualPairs(df: DataFrame, idCol: String, binCol: String,
+      maxHamming: Int = 8, multiIndex: Int = 3): DataFrame = {
+    val dec = graft.pipeline.Multimodal.withDecodedGray(
+      df.select(col(idCol), col(binCol)), binCol)
+      .filter(col("gray").isNotNull)
+    hammingPairs(dec.select(col(idCol).as("id"),
+      org.apache.spark.sql.graft.VectorExpressions.dhash64(
+        col("gray"), col("img_w"), col("img_h")).as("sig")),
+      maxHamming, multiIndex)
   }
 
   /** Materialize a deduplicated corpus from near-dup pairs: drop the

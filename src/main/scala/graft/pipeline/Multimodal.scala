@@ -91,6 +91,118 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Deterministic SMOOTH synthetic image: bilinear interpolation of an
+    * id-seeded 9×9 gray lattice, encoded by the JDK's own PNG/JPEG
+    * writers. The picture is DEFINED on the 2w×2h sample grid; scale=2
+    * emits that grid directly and scale=1 box-averages each 2×2 (an
+    * antialiased downsample — exactly what a production thumbnailer
+    * does), so the pair (scale=1, scale=2) is the same picture at two
+    * real resolutions, and fmt="jpg" is a true requantization of it.
+    * Unlike [[syntheticImage]]'s high-frequency per-pixel pattern the
+    * content is genuinely low-frequency, so the perceptual-hash gate's
+    * planted variants are honest near-dups, not byte tricks. Measured
+    * over the full sf0.1 seed range (1250 pictures): resize hamming
+    * ≤ 6, jpeg ≤ 3, while DIFFERENT seeds sit ≥ 11 apart — the k=8
+    * pigeonhole band with margin on both sides. (A 10×10 lattice
+    * aliases against the 9×8 pool grid — near-tie bits flipped under
+    * box-edge shifts and the resize tail crossed the seed-pair floor;
+    * 9×9 plus the antialiased base is the measured sweet spot.)
+    */
+  private[graft] def syntheticSmoothImage(fmt: String, w: Int, h: Int,
+      seed: Long, scale: Int): Array[Byte] = {
+    require(scale == 1 || scale == 2, s"bad scale $scale")
+    val lat = smoothLattice(seed)
+    val img = new java.awt.image.BufferedImage(
+      w * scale, h * scale, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val px = new Array[Int](w * scale * h * scale)
+    var y = 0
+    while (y < h * scale) {
+      var x = 0
+      while (x < w * scale) {
+        val gd =
+          if (scale == 2) bilinearGray(lat, x, y, 2 * w, 2 * h)
+          else (bilinearGray(lat, 2 * x, 2 * y, 2 * w, 2 * h) +
+            bilinearGray(lat, 2 * x + 1, 2 * y, 2 * w, 2 * h) +
+            bilinearGray(lat, 2 * x, 2 * y + 1, 2 * w, 2 * h) +
+            bilinearGray(lat, 2 * x + 1, 2 * y + 1, 2 * w, 2 * h)) / 4.0
+        val g = math.max(0, math.min(255, math.round(gd).toInt))
+        px(y * w * scale + x) = (g << 16) | (g << 8) | g
+        x += 1
+      }
+      y += 1
+    }
+    // bulk store — per-pixel setRGB goes through the color model and
+    // sync machinery per call and dominated the encode stage
+    img.setRGB(0, 0, w * scale, h * scale, px, 0, w * scale)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, out)
+    out.toByteArray
+  }
+
+  // 9×9 lattice: enough per-cell entropy that different seeds separate
+  // (≥ 11 bits), low enough frequency that the 9×8 pool survives a
+  // resize (see [[syntheticSmoothImage]])
+  private[pipeline] val LatticeN = 9
+
+  private def smoothLattice(seed: Long): Array[Int] = {
+    val n2 = LatticeN * LatticeN
+    val lat = new Array[Int](n2)
+    var z = seed
+    var i = 0
+    while (i < n2) {
+      // splitmix64 — public-domain mixing constants
+      z += 0x9E3779B97F4A7C15L
+      var t = z
+      t = (t ^ (t >>> 30)) * 0xBF58476D1CE4E5B9L
+      t = (t ^ (t >>> 27)) * 0x94D049BB133111EBL
+      t = t ^ (t >>> 31)
+      lat(i) = ((t & 0x7FFFFFFF) % 256).toInt
+      i += 1
+    }
+    lat
+  }
+
+  /** Unrounded bilinear sample — callers round once AFTER any
+    * supersample average, so the scale=1 pixel is the true mean of its
+    * four scale=2 subpixels to within the final rounding.
+    */
+  private def bilinearGray(lat: Array[Int], x: Int, y: Int,
+      w: Int, h: Int): Double = {
+    // u = x·m/w (NOT /(w−1)): the 2× grid then samples the SAME
+    // continuous surface at exact half-steps — with /(w−1) the 2w
+    // render is a slightly STRETCHED resample and its dHash drifted
+    // past the pigeonhole band on some seeds (caught at sf0.1)
+    val m = LatticeN - 1
+    val u = x * m.toDouble / w
+    val v = y * m.toDouble / h
+    val i = math.min(m - 1, u.toInt); val j = math.min(m - 1, v.toInt)
+    val fu = u - i; val fv = v - j
+    val n = LatticeN
+    (lat(j * n + i) * (1 - fu) + lat(j * n + i + 1) * fu) * (1 - fv) +
+      (lat((j + 1) * n + i) * (1 - fu) +
+        lat((j + 1) * n + i + 1) * fu) * fv
+  }
+
+  /** Attach a smooth synthetic media payload per row: lattice and base
+    * dims derive from `seedCol` (a variant row carries its SOURCE's id
+    * there, so it renders the same picture), drawn at `scale`× the base
+    * dims and encoded `fmt` — scale=2 is a true resize, fmt="jpg" a true
+    * requantization. Same mapPartitions batch shape as the decoders.
+    */
+  private[graft] def withSmoothMedia(df: DataFrame, seedCol: String,
+      fmt: String, scale: Int, outCol: String = "media"): DataFrame = {
+    val outSchema = df.schema.add(outCol, BinaryType)
+    val seedIdx = df.schema.fieldIndex(seedCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val seed = r.getLong(seedIdx)
+        val w = (48 + (seed * 7) % 64).toInt
+        val h = (48 + (seed * 13) % 48).toInt
+        Row.fromSeq(r.toSeq :+ syntheticSmoothImage(fmt, w, h, seed, scale))
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
   /** Attach a deterministic synthetic `media` payload per row: real PNG
     * (id%3==0) / JPEG (id%3==1) bytes with dimensions derived from the id
     * (so an external oracle can predict the decoded header), and raw UTF-8
@@ -131,6 +243,83 @@ object Multimodal {
         val bytes = r.getAs[Array[Byte]](binIdx)
         Row.fromSeq(r.toSeq :+
           (if (bytes == null) null else decode(bytes)))
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
+  /** Full pixel decode of a binary image column to a row-major grayscale
+    * array (integer luma 299·R + 587·G + 114·B, the BT.601 weights ×
+    * 1000 — exact, no float) plus the decoded dimensions: the input the
+    * perceptual [[org.apache.spark.sql.graft.DHash64]] fingerprint
+    * consumes. Partition-parallel mapPartitions like [[withDecodedMeta]]
+    * (the genuine no-Catalyst-form case — codec work); payloads no JDK
+    * reader recognizes decode to NULL and are dropped from hashing by
+    * the caller, never crash the stage.
+    */
+  def withDecodedGray(df: DataFrame, binCol: String = "media"): DataFrame = {
+    val outSchema = df.schema
+      .add("gray", ArrayType(IntegerType, containsNull = false))
+      .add("img_w", IntegerType).add("img_h", IntegerType)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        val img =
+          if (bytes == null) null
+          else
+            try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            catch { case _: Exception => null }
+        if (img == null) Row.fromSeq(r.toSeq ++ Seq(null, null, null))
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          // bulk fetch — per-pixel getRGB pays color-model + sync cost
+          // per call and dominated the decode stage
+          val px = img.getRGB(0, 0, w, h, null, 0, w)
+          val gray = new Array[Int](w * h)
+          var i = 0
+          while (i < gray.length) {
+            val rgb = px(i)
+            gray(i) = 299 * ((rgb >> 16) & 0xFF) +
+              587 * ((rgb >> 8) & 0xFF) + 114 * (rgb & 0xFF)
+            i += 1
+          }
+          Row.fromSeq(r.toSeq ++ Seq(gray.toSeq, w, h))
+        }
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
+  /** Arithmetic pixel-grid "decoder" for the p186 hash-replay gate:
+    * emits gray(x, y) = luma((x·31 + y·7 + id) & 0xFFFFFF) — a grid a
+    * SQL oracle can recompute exactly, standing where the codec decode
+    * ([[withDecodedGray]]) stands in production. Same mapPartitions
+    * batch shape; a composable transform(sequence(...)) form was tried
+    * first and ran ~10× slower (interpreted higher-order-function
+    * lambdas per pixel).
+    */
+  private[graft] def withArithmeticGray(df: DataFrame,
+      idCol: String = "doc_id", wCol: String = "w",
+      hCol: String = "h"): DataFrame = {
+    val outSchema = df.schema
+      .add("gray", ArrayType(IntegerType, containsNull = false))
+    val idI = df.schema.fieldIndex(idCol)
+    val wI = df.schema.fieldIndex(wCol)
+    val hI = df.schema.fieldIndex(hCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idI)
+        val w = r.getInt(wI); val h = r.getInt(hI)
+        val g = new Array[Int](w * h)
+        var i = 0
+        while (i < g.length) {
+          val v = ((i % w).toLong * 31 + (i / w).toLong * 7 + id) &
+            0xFFFFFFL
+          g(i) = (((v >> 16) & 255) * 299 + ((v >> 8) & 255) * 587 +
+            (v & 255) * 114).toInt
+          i += 1
+        }
+        Row.fromSeq(r.toSeq :+ g.toSeq)
       }
     }(RowEncoder.encoderFor(outSchema))
   }

@@ -166,6 +166,12 @@ object VectorExpressions {
     */
   def randomProjection(vec: Column, outDim: Int): Column =
     column(RandomProjection(expression(vec), outDim))
+
+  /** 64-bit difference hash (dHash) of a row-major w×h grayscale pixel
+    * array — the perceptual image fingerprint. See [[DHash64]].
+    */
+  def dhash64(gray: Column, w: Column, h: Column): Column =
+    column(DHash64(expression(gray), expression(w), expression(h)))
 }
 
 /** Set Jaccard |A∩B|/|A∪B| of two pre-sorted distinct long arrays by
@@ -1794,5 +1800,102 @@ object HtmlMainText {
     // trailing pendingSpace never flushes == trim; leading suppressed by
     // the sb.length guard
     UTF8String.fromString(sb.toString)
+  }
+}
+
+/** 64-bit difference hash (dHash) of a grayscale image — the classic
+  * perceptual fingerprint (9×8 average-pool, then one bit per
+  * horizontally-adjacent cell pair: is the left cell brighter?). Survives
+  * resizing and recompression because both preserve low-frequency
+  * brightness structure, which is all the 9×8 grid sees; the Hamming
+  * distance between two dHashes is the near-duplicate metric.
+  *
+  * Input: row-major array<int> of grayscale values (any fixed luma
+  * scale), plus the width/height it was decoded at. The pool is
+  * INTEGER-exact: per-cell (sum, count) with the brightness compare done
+  * as cross-multiplication sum_l·cnt_r > sum_r·cnt_l — no float division,
+  * so an external SQL engine replays the hash bit-for-bit from the same
+  * pixels. Cell boundaries are floor(b·dim/9|8); a dimension below the
+  * grid (w < 9 or h < 8) yields empty cells that compare as (0, 0) —
+  * deterministic, still replayable. Exactness bound: sum·count stays
+  * inside int64 for images up to ~6·10⁸ pixels at luma scale ≤ 255000.
+  *
+  * Bit layout: bit (by·8 + bx) for by ∈ [0,8), bx ∈ [0,8) — low bit =
+  * top-left compare, matching the reference dHash layout convention.
+  */
+case class DHash64(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(IntegerType), IntegerType, IntegerType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  protected override def nullSafeEval(g: Any, w: Any, h: Any): Any =
+    DHash64.hash(
+      g.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      w.asInstanceOf[Int], h.asInstanceOf[Int])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (g, w, h) =>
+      s"org.apache.spark.sql.graft.DHash64.hash($g, $w, $h)")
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object DHash64 {
+  /** Shared by eval and codegen. Cells are indexed (bx ∈ [0,9), by ∈
+    * [0,8)); a pixel (x, y) of a w×h image lands in the cell whose
+    * half-open box [bx·w/9, (bx+1)·w/9) × [by·h/8, (by+1)·h/8) contains
+    * it. Out-of-spec inputs (fewer than w·h elements, nonpositive dims)
+    * hash to 0L rather than throwing — corrupt rows surface as a dup
+    * cluster of zeros, not a failed stage.
+    */
+  def hash(gray: org.apache.spark.sql.catalyst.util.ArrayData,
+      w: Int, h: Int): Long = {
+    if (w <= 0 || h <= 0 || gray.numElements() < w.toLong * h) return 0L
+    val sums = new Array[Long](72)
+    val cnts = new Array[Long](72)
+    var by = 0
+    while (by < 8) {
+      val yLo = by * h / 8
+      val yHi = (by + 1) * h / 8
+      var bx = 0
+      while (bx < 9) {
+        val xLo = bx * w / 9
+        val xHi = (bx + 1) * w / 9
+        val c = by * 9 + bx
+        var y = yLo
+        while (y < yHi) {
+          val rowBase = y * w
+          var x = xLo
+          while (x < xHi) {
+            sums(c) += gray.getInt(rowBase + x)
+            x += 1
+          }
+          y += 1
+        }
+        cnts(c) = (yHi - yLo).toLong * (xHi - xLo)
+        bx += 1
+      }
+      by += 1
+    }
+    var out = 0L
+    by = 0
+    while (by < 8) {
+      var bx = 0
+      while (bx < 8) {
+        val l = by * 9 + bx
+        // left brighter than right, exactly: sum_l/cnt_l > sum_r/cnt_r
+        // cross-multiplied (empty cells are (0,0): 0 > 0 is false)
+        if (sums(l) * cnts(l + 1) > sums(l + 1) * cnts(l))
+          out |= 1L << (by * 8 + bx)
+        bx += 1
+      }
+      by += 1
+    }
+    out
   }
 }

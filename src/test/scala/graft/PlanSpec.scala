@@ -1447,12 +1447,12 @@ class PlanSpec extends SparkSpec {
       s"p183: a non-user exchange appeared:\n$p")
   }
 
-  test("p184/p185: weight diagnostics barrier once then scan twice; " +
+  test("p184/p185: weight diagnostics barrier once then scan thrice; " +
       "SRM is one scalar aggregate") {
     // p184: the p91 weight derivation (bucket tables broadcast into
-    // the token stream) runs ONCE into a barrier; both diagnostic
-    // aggregates scan the barrier, the second against broadcast
-    // scalars from the first
+    // the token stream) runs ONCE into a barrier; the three diagnostic
+    // aggregates (max for normalization, pinned sums, heavy count)
+    // each scan the barrier against broadcast scalars from the prior
     val p = executed("p184_weight_diag")
     noShuffledJoin("p184", p)
     assert(!p.contains("Window"), s"p184: a window appeared:\n$p")
@@ -1484,5 +1484,30 @@ class PlanSpec extends SparkSpec {
       l.contains("Exchange hashpartitioning") &&
         !(l.contains("(bin") || l.contains("(_w"))),
       s"p179: an exchange outside the bin table appeared:\n$p")
+  }
+
+  test("p186/p187: dHash is a native expression; perceptual pairs ride " +
+      "the chunk-pigeonhole equi-join, never an all-pairs product") {
+    // p186: straight projection — the 64-bit hash is computed by the
+    // codegen'd DHash64 expression per row, no join, no aggregation
+    val p = executed("p186_dhash_replay")
+    assert(p.contains("dhash64"),
+      s"p186: native DHash64 missing from the plan:\n$p")
+    assert(!p.contains("Join"), s"p186: unexpected join:\n$p")
+    // p187: after the mapPartitions decode only (id, sig) longs flow;
+    // candidates come from the (chunk, ckey) equi-join — a product
+    // join here is the all-pairs scale killer this gate exists to ban.
+    // The planted-pair readout joins broadcast (bounded id lists).
+    val q = executed("p187_perceptual_neardup")
+    assert(q.contains("dhash64"),
+      s"p187: native DHash64 missing from the plan:\n$q")
+    assert(!q.contains("CartesianProduct") &&
+      !q.contains("BroadcastNestedLoopJoin"),
+      s"p187: perceptual pairs fell back to a product join:\n$q")
+    // the image bytes must never cross a shuffle — only signatures do
+    val qf = q.split("== Initial Plan ==").head
+    assert(!qf.linesIterator.exists(l =>
+      l.contains("Exchange") && l.contains("media#")),
+      s"p187: media bytes crossed a shuffle:\n$q")
   }
 }

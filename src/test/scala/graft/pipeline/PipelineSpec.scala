@@ -87,6 +87,104 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.filter(col("hamming") === 0).count() == 20)
   }
 
+  test("DHash64: DataFrame (codegen) path replays the integer pool " +
+      "arithmetic; invariant to positive luma rescale; short input is 0") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(186)
+    val w = 20; val h = 16
+    val gray = Array.fill(w * h)(rnd.nextInt(256000))
+    def replay(g: Array[Int]): Long = {
+      val sums = Array.ofDim[Long](8, 9)
+      val cnts = Array.ofDim[Long](8, 9)
+      for (by <- 0 until 8; bx <- 0 until 9) {
+        val xLo = bx * w / 9; val xHi = (bx + 1) * w / 9
+        val yLo = by * h / 8; val yHi = (by + 1) * h / 8
+        for (y <- yLo until yHi; x <- xLo until xHi)
+          sums(by)(bx) += g(y * w + x)
+        cnts(by)(bx) = (yHi - yLo).toLong * (xHi - xLo)
+      }
+      var out = 0L
+      for (by <- 0 until 8; bx <- 0 until 8)
+        if (sums(by)(bx) * cnts(by)(bx + 1) >
+            sums(by)(bx + 1) * cnts(by)(bx)) out |= 1L << (by * 8 + bx)
+      out
+    }
+    def viaDf(g: Array[Int]): Long =
+      Seq((g.toSeq, w, h)).toDF("gray", "w", "h")
+        .select(org.apache.spark.sql.graft.VectorExpressions
+          .dhash64(col("gray"), col("w"), col("h")).as("dh"))
+        .head().getLong(0)
+    assert(viaDf(gray) == replay(gray))
+    // brightness compares are ratio compares → any positive rescale of
+    // the luma (a different gray formula, a different bit depth) keeps
+    // every bit
+    assert(viaDf(gray.map(_ * 3)) == viaDf(gray))
+    // out-of-spec input (fewer than w·h pixels) hashes to 0, not a crash
+    assert(viaDf(gray.take(10)) == 0L)
+  }
+
+  test("hammingPairs multi-block (m=3) returns exactly the brute-force " +
+      "hamming<=k pair set on random sigs with planted near-misses") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(187)
+    val k = 8
+    val base = (1L to 120L).map(id => (id, rnd.nextLong()))
+    // planted: exact dup, distance exactly k (boundary), distance k+1
+    // (must NOT surface)
+    def flip(s: Long, bits: Int): Long = {
+      var v = s
+      rnd.shuffle((0 until 64).toList).take(bits)
+        .foreach(b => v ^= 1L << b)
+      v
+    }
+    val planted = base.take(30).zipWithIndex.map { case ((id, s), i) =>
+      (id + 1000, flip(s, (i % 3) match {
+        case 0 => 0; case 1 => k; case _ => k + 1
+      }))
+    }
+    val all = base ++ planted
+    val got = graft.pipeline.Dedup.hammingPairs(
+      all.toDF("id", "sig"), maxHamming = k, multiIndex = 3)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for {
+      i <- all.indices; j <- 0 until i
+      if java.lang.Long.bitCount(all(i)._2 ^ all(j)._2) <= k
+    } yield (math.min(all(i)._1, all(j)._1),
+      math.max(all(i)._1, all(j)._1))).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    assert(want.size >= 20, "fixture degenerate: too few true pairs")
+  }
+
+  test("perceptualPairs: a 2x resize and a JPEG requantization pair " +
+      "with their source picture; different pictures never pair") {
+    import spark.implicits._
+    val seeds = (0 until 40).map(i => (i * 4).toLong)
+    def gen(offset: Long, fmt: String, scale: Int) =
+      graft.pipeline.Multimodal.withSmoothMedia(
+        seeds.map(s => (s + offset, s)).toDF("doc_id", "seed"),
+        "seed", fmt, scale).select("doc_id", "media")
+    val media = gen(0L, "png", 1)
+      .unionAll(gen(1000000L, "png", 2))
+      .unionAll(gen(2000000L, "jpg", 1))
+    val pairs = Dedup.perceptualPairs(media, "doc_id", "media",
+      maxHamming = 8)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // soundness: every surfaced pair is the SAME picture (same seed) —
+    // cross-picture hashes sit ≥ 11 bits apart at this density
+    pairs.foreach { case (a, b) =>
+      assert(a % 1000000 == b % 1000000, s"cross-picture pair ($a, $b)")
+    }
+    // recall: both planted variants of every seed pair with the original
+    val set = pairs.toSet
+    seeds.foreach { s =>
+      assert(set.contains((s, s + 1000000)), s"resize pair missing for $s")
+      assert(set.contains((s, s + 2000000)), s"jpeg pair missing for $s")
+    }
+  }
+
   test("ngram jaccard of identical docs is 1") {
     val planted = docs.limit(10).unionAll(docs.limit(10)
       .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
