@@ -154,6 +154,8 @@ object Bench {
     "p185_srm_check",     // assignment guardrail, one scalar agg
     "p186_dhash_replay",  // native dHash over arithmetic pixel grids
     "p187_perceptual_neardup", // decode → dHash → hamming pigeonhole
+    "p188_always_valid",  // mSPRT always-valid p, scalar pivot
+    "s44_stream_msprt",   // live always-valid monitor, (fw, np) state
     "s43_stream_srm",     // live SRM, distinct-user-set state
     "f07_csv_ingest_cold", // CSV parse + agg, no cache (dsq cold analog)
     "f08_csv_ingest_warm") // cached-parquet + agg (dsq -C warm analog)

@@ -981,12 +981,17 @@ object Pipeline {
     when(se > 0, (ra - rb) / se)
   }
 
-  def sequentialReadout(events: DataFrame,
-      convType: String = "purchase", minConv: Int = 1, looks: Int = 4,
-      boundaries: Seq[Double] = Seq(4.049, 2.863, 2.337, 2.024))
-      : DataFrame = {
-    require(boundaries.length == looks,
-      s"need $looks boundaries, got ${boundaries.length}")
+  /** One-row per-look counter pivot shared by [[sequentialReadout]]
+    * (p167) and [[alwaysValidReadout]] (p188): the per-user week pivot
+    * under the weekly cut schedule, collapsed to 4·looks exact int64
+    * counters (+ the cuts) in ONE scalar aggregate — a schedule or
+    * censoring fix lands once for both monitors. The conversion
+    * threshold may differ by arm (minConvA/minConvB) — that is the
+    * always-valid gate's planted-effect scenario; the group-sequential
+    * caller passes them equal.
+    */
+  private def lookCounterPivot(events: DataFrame, convType: String,
+      looks: Int, minConvA: Int, minConvB: Int): DataFrame = {
     val ev = events.select(col("user_id"), col("event_type"),
       expr("unix_micros(ts) div 604800000000").as("wk"))
     val rng = ev.agg(min("wk").as("mn"), max("wk").as("mx"))
@@ -1002,19 +1007,29 @@ object Pipeline {
       .groupBy("user_id").agg(userAggs.head, userAggs.tail: _*)
       .withColumn("va",
         substring(md5(col("user_id").cast("string")), 1, 1) < "8")
+    val thr = when(col("va"), lit(minConvA)).otherwise(lit(minConvB))
     val sums = (1 to looks).flatMap { k => Seq(
       sum(when(col("va") && col("fw") <= cutExpr(k), 1L)
         .otherwise(0L)).cast("long").as(s"na_$k"),
       sum(when(col("va") && col("fw") <= cutExpr(k) &&
-        col(s"p_$k") >= minConv, 1L).otherwise(0L)).cast("long")
+        col(s"p_$k") >= thr, 1L).otherwise(0L)).cast("long")
         .as(s"ca_$k"),
       sum(when(!col("va") && col("fw") <= cutExpr(k), 1L)
         .otherwise(0L)).cast("long").as(s"nb_$k"),
       sum(when(!col("va") && col("fw") <= cutExpr(k) &&
-        col(s"p_$k") >= minConv, 1L).otherwise(0L)).cast("long")
+        col(s"p_$k") >= thr, 1L).otherwise(0L)).cast("long")
         .as(s"cb_$k"))
     } ++ (1 to looks).map(k => max(cutExpr(k)).as(s"cut_$k"))
-    val piv = users.agg(sums.head, sums.tail: _*)
+    users.agg(sums.head, sums.tail: _*)
+  }
+
+  def sequentialReadout(events: DataFrame,
+      convType: String = "purchase", minConv: Int = 1, looks: Int = 4,
+      boundaries: Seq[Double] = Seq(4.049, 2.863, 2.337, 2.024))
+      : DataFrame = {
+    require(boundaries.length == looks,
+      s"need $looks boundaries, got ${boundaries.length}")
+    val piv = lookCounterPivot(events, convType, looks, minConv, minConv)
     def zExpr(k: Int): Column = twoPropZ(col(s"na_$k"), col(s"ca_$k"),
       col(s"nb_$k"), col(s"cb_$k"))
     val crossed = (1 to looks).map(k =>
@@ -1028,6 +1043,78 @@ object Pipeline {
           crossed(k - 1).as("crossed"),
           (1 until k).map(j => !crossed(j - 1))
             .foldLeft(crossed(k - 1))(_ && _).as("first_crossing"))
+      }: _*)).as("r"))
+      .select(col("r.*"))
+      .orderBy("look")
+  }
+
+  /** The mixture-SPRT always-valid p-value at one observation point
+    * (Johari/Koomen/Pekelis/Walsh "Peeking at A/B Tests", KDD 2017;
+    * Howard/Ramdas line of work) — the seam [[alwaysValidReadout]] and
+    * the s44 streaming monitor share, so a live look carries
+    * bit-identical arithmetic to the batch gate's. Two-proportion
+    * normal approximation with a N(0, τ²) mixture over the effect:
+    * Λ = √(V/(V+τ²)) · exp(θ̂²τ² / (2V(V+τ²))), p = min(1, 1/Λ).
+    * The RUNNING MIN of p over looks is valid at ANY stopping time —
+    * no fixed look count, no spending function (the restriction
+    * [[sequentialReadout]]'s O'Brien–Fleming bounds carry). Empty arm
+    * or V = 0 → NULL (guarded). sqrt/division are IEEE-identical
+    * cross-engine; the one exp is JVM Math vs libm, so cross-engine
+    * agreement is "within the 6-dp compare grid, verified at three
+    * SFs" (the fdrBh convention), not bit-for-bit.
+    */
+  private[graft] def msprtPNow(na: Column, ca: Column, nb: Column,
+      cb: Column, tauSq: Double): Column = {
+    val naD = na.cast("double"); val nbD = nb.cast("double")
+    val theta = ca.cast("double") / naD - cb.cast("double") / nbD
+    val p = (ca + cb).cast("double") / (na + nb)
+    val v = p * (lit(1.0) - p) * (lit(1.0) / naD + lit(1.0) / nbD)
+    val lam = sqrt(v / (v + tauSq)) *
+      exp(theta * theta * lit(tauSq) / (lit(2.0) * v * (v + lit(tauSq))))
+    when(na > 0 && nb > 0 && v > 0, least(lit(1.0), lit(1.0) / lam))
+  }
+
+  /** Always-valid (mSPRT) experiment readout — the modern replacement
+    * for fixed-look group-sequential monitoring: the always-valid
+    * p-value process lets the team peek after EVERY micro-batch and
+    * stop whenever p_always ≤ α, with the type-I guarantee holding at
+    * any data-dependent stopping time (no K-look calendar, no OBF
+    * spending schedule). Evaluated here at the p167 weekly cuts purely
+    * as observation points — the guarantee does not depend on them —
+    * over the same per-user conversion pivot ([[lookCounterPivot]]).
+    * The conversion threshold may differ by arm: the planted-effect
+    * scenario (12 vs 16 on a ~13-events/user corpus) must drive
+    * p_always through the α boundary, the honest-null scenario must
+    * not.
+    *
+    * Distributed shape: p167's exactly — one user-keyed partial-agg
+    * groupBy, ONE 4·looks-counter scalar aggregate, looks explode from
+    * the single pivoted row; the running min is least() over the
+    * pivot's own columns, never a window.
+    */
+  def alwaysValidReadout(events: DataFrame,
+      convType: String = "purchase", minConvA: Int = 14,
+      minConvB: Int = 14, looks: Int = 4, tauSq: Double = 0.01,
+      alpha: Double = 0.05): DataFrame = {
+    val piv = lookCounterPivot(events, convType, looks, minConvA,
+      minConvB)
+    def pNow(k: Int): Column = msprtPNow(col(s"na_$k"), col(s"ca_$k"),
+      col(s"nb_$k"), col(s"cb_$k"), tauSq)
+    def theta(k: Int): Column =
+      when(col(s"na_$k") > 0 && col(s"nb_$k") > 0,
+        col(s"ca_$k").cast("double") / col(s"na_$k").cast("double") -
+          col(s"cb_$k").cast("double") / col(s"nb_$k").cast("double"))
+    def pAv(k: Int): Column =
+      if (k == 1) pNow(1) else least((1 to k).map(pNow): _*)
+    piv.select(explode(array((1 to looks).map { k =>
+        struct(lit(k).as("look"), col(s"cut_$k").as("wk_cut"),
+          col(s"na_$k").as("n_a"), col(s"ca_$k").as("conv_a"),
+          col(s"nb_$k").as("n_b"), col(s"cb_$k").as("conv_b"),
+          round(theta(k), 6).as("theta"),
+          round(pNow(k), 6).as("p_now"),
+          round(pAv(k), 6).as("p_always"),
+          coalesce(pAv(k) <= alpha, lit(false)).as("rejected"),
+          pNow(k).isNull.as("guarded"))
       }: _*)).as("r"))
       .select(col("r.*"))
       .orderBy("look")
@@ -8131,6 +8218,93 @@ object Pipeline {
         .select(col("doc_id"), col("copy_id"), col("kind"),
           col("hamming").isNotNull.as("found"))
         .orderBy("doc_id", "copy_id")
+    },
+
+    // Always-valid (mSPRT) experiment readout: the oracle replays the
+    // per-user weekly pivot, the 16 exact counters per scenario, the
+    // mixture-likelihood Λ term for term, and the running-min
+    // always-valid p (window MIN and Spark's least() both skip NULLs).
+    // Scenario 1 is the honest md5 null (must never reject); scenario
+    // 2 plants an effect by thresholding conversion at 12 for arm A vs
+    // 16 for arm B — p_always must cross α = 0.05.
+    QueryDef("p188_always_valid", {
+      def counters(thrA: Int, thrB: Int): String = {
+        val thr = s"CASE WHEN va THEN $thrA ELSE $thrB END"
+        (1 to 4).map { k =>
+          val cut = s"mn + ((mx - mn + 1) * $k + 3) // 4 - 1"
+          s"""    CAST(SUM(CASE WHEN va AND fw <= $cut
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS na_$k,
+             |    CAST(SUM(CASE WHEN va AND fw <= $cut AND p_$k >= $thr
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS ca_$k,
+             |    CAST(SUM(CASE WHEN NOT va AND fw <= $cut
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS nb_$k,
+             |    CAST(SUM(CASE WHEN NOT va AND fw <= $cut AND
+             |      p_$k >= $thr THEN 1 ELSE 0 END) AS BIGINT) AS cb_$k,
+             |    CAST(MAX($cut) AS BIGINT) AS cut_$k""".stripMargin
+        }.mkString(",\n")
+      }
+      def lookRows(cte: String, scen: String): String =
+        (1 to 4).map { k =>
+          s"""  SELECT '$scen' AS scenario, $k AS look, cut_$k AS wk_cut,
+             |    na_$k AS n_a, ca_$k AS conv_a, nb_$k AS n_b,
+             |    cb_$k AS conv_b FROM $cte""".stripMargin
+        }.mkString("\n  UNION ALL\n")
+      s"""WITH ev AS (SELECT user_id, event_type,
+         |    epoch_us(ts) // 604800000000 AS wk FROM events),
+         |rng AS (SELECT MIN(wk) AS mn, MAX(wk) AS mx FROM ev),
+         |u AS (SELECT user_id, MIN(wk) AS fw,
+         |${(1 to 4).map { k =>
+        s"""    SUM(CASE WHEN event_type = 'purchase' AND wk <=
+           |      mn + ((mx - mn + 1) * $k + 3) // 4 - 1
+           |      THEN 1 ELSE 0 END) AS p_$k,""".stripMargin
+      }.mkString("\n")}
+         |    MIN(mn) AS mn, MIN(mx) AS mx,
+         |    substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8' AS va
+         |  FROM ev, rng GROUP BY user_id),
+         |c1 AS (SELECT
+         |${counters(14, 14)}
+         |  FROM u),
+         |c2 AS (SELECT
+         |${counters(12, 16)}
+         |  FROM u),
+         |l AS (
+         |${lookRows("c1", "1_null")}
+         |  UNION ALL
+         |${lookRows("c2", "2_effect")}),
+         |e AS (SELECT *,
+         |    CASE WHEN n_a > 0 AND n_b > 0 THEN
+         |      CAST(conv_a AS DOUBLE) / n_a -
+         |      CAST(conv_b AS DOUBLE) / n_b END AS th,
+         |    CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) *
+         |      (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) *
+         |      (1.0 / n_a + 1.0 / n_b) AS v
+         |  FROM l),
+         |pp AS (SELECT *,
+         |    CASE WHEN n_a > 0 AND n_b > 0 AND v > 0 THEN
+         |      least(1.0, 1.0 / (sqrt(v / (v + 0.01)) *
+         |        exp(th * th * 0.01 / (2.0 * v * (v + 0.01))))) END
+         |      AS p_now
+         |  FROM e),
+         |w AS (SELECT *, MIN(p_now) OVER (PARTITION BY scenario
+         |      ORDER BY look ROWS BETWEEN UNBOUNDED PRECEDING AND
+         |      CURRENT ROW) AS p_always
+         |  FROM pp)
+         |SELECT scenario, look, wk_cut, n_a, conv_a, n_b, conv_b,
+         |  round(th, 6) AS theta, round(p_now, 6) AS p_now,
+         |  round(p_always, 6) AS p_always,
+         |  COALESCE(p_always <= 0.05, false) AS rejected,
+         |  p_now IS NULL AS guarded
+         |FROM w ORDER BY scenario, look""".stripMargin
+    }) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val outCols = Seq("look", "wk_cut", "n_a", "conv_a", "n_b",
+        "conv_b", "theta", "p_now", "p_always", "rejected",
+        "guarded").map(col)
+      val nul = alwaysValidReadout(ev, minConvA = 14, minConvB = 14)
+        .select(lit("1_null").as("scenario") +: outCols: _*)
+      val eff = alwaysValidReadout(ev, minConvA = 12, minConvB = 16)
+        .select(lit("2_effect").as("scenario") +: outCols: _*)
+      nul.unionAll(eff).orderBy("scenario", "look")
     },
 
     // Cross-document near-dup paragraphs: corpus = documents + a planted

@@ -2381,6 +2381,169 @@ object Streaming {
         .orderBy("look")
     },
 
+    // Always-valid monitor LIVE (p188's point): each micro-batch is an
+    // observation point — NOT a scheduled look; the mSPRT p-value's
+    // validity holds at any stopping time, so the team may stop the
+    // moment p_always ≤ α. Carried state is s39's (first_week,
+    // purchase_count) row per user (min/sum merges — associative and
+    // order-free); each look's p_now comes from the merged state via
+    // the shared msprtPNow seam, so the live number is bit-identical
+    // to the batch gate's; p_always is the running min over emitted
+    // looks. The oracle is p188's null scenario verbatim.
+    // Retry-idempotent: batchId-keyed OVERWRITE paths (s39 discipline).
+    QueryDef("s44_stream_msprt", {
+      val counters = (1 to 4).map { k =>
+        val cut = s"mn + ((mx - mn + 1) * $k + 3) // 4 - 1"
+        s"""    CAST(SUM(CASE WHEN va AND fw <= $cut
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS na_$k,
+           |    CAST(SUM(CASE WHEN va AND fw <= $cut AND p_$k >= 14
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS ca_$k,
+           |    CAST(SUM(CASE WHEN NOT va AND fw <= $cut
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS nb_$k,
+           |    CAST(SUM(CASE WHEN NOT va AND fw <= $cut AND
+           |      p_$k >= 14 THEN 1 ELSE 0 END) AS BIGINT) AS cb_$k,
+           |    CAST(MAX($cut) AS BIGINT) AS cut_$k""".stripMargin
+      }.mkString(",\n")
+      val lookRows = (1 to 4).map { k =>
+        s"""  SELECT $k AS look, cut_$k AS wk_cut, na_$k AS n_a,
+           |    ca_$k AS conv_a, nb_$k AS n_b, cb_$k AS conv_b
+           |  FROM c""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      s"""WITH ev AS (SELECT user_id, event_type,
+         |    epoch_us(ts) // 604800000000 AS wk FROM events),
+         |rng AS (SELECT MIN(wk) AS mn, MAX(wk) AS mx FROM ev),
+         |u AS (SELECT user_id, MIN(wk) AS fw,
+         |${(1 to 4).map { k =>
+        s"""    SUM(CASE WHEN event_type = 'purchase' AND wk <=
+           |      mn + ((mx - mn + 1) * $k + 3) // 4 - 1
+           |      THEN 1 ELSE 0 END) AS p_$k,""".stripMargin
+      }.mkString("\n")}
+         |    MIN(mn) AS mn, MIN(mx) AS mx,
+         |    substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8' AS va
+         |  FROM ev, rng GROUP BY user_id),
+         |c AS (SELECT
+         |$counters
+         |  FROM u),
+         |l AS (
+         |$lookRows),
+         |e AS (SELECT *,
+         |    CASE WHEN n_a > 0 AND n_b > 0 THEN
+         |      CAST(conv_a AS DOUBLE) / n_a -
+         |      CAST(conv_b AS DOUBLE) / n_b END AS th,
+         |    CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) *
+         |      (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) *
+         |      (1.0 / n_a + 1.0 / n_b) AS v
+         |  FROM l),
+         |pp AS (SELECT *,
+         |    CASE WHEN n_a > 0 AND n_b > 0 AND v > 0 THEN
+         |      least(1.0, 1.0 / (sqrt(v / (v + 0.01)) *
+         |        exp(th * th * 0.01 / (2.0 * v * (v + 0.01))))) END
+         |      AS p_now
+         |  FROM e),
+         |w AS (SELECT *, MIN(p_now) OVER (ORDER BY look
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS p_always
+         |  FROM pp)
+         |SELECT look, wk_cut, n_a, conv_a, n_b, conv_b,
+         |  round(th, 6) AS theta, round(p_now, 6) AS p_now,
+         |  round(p_always, 6) AS p_always,
+         |  COALESCE(p_always <= 0.05, false) AS rejected,
+         |  p_now IS NULL AS guarded
+         |FROM w ORDER BY look""".stripMargin
+    }) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = graft.Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          expr("unix_micros(ts) div 604800000000").as("wk"))
+      val r = ev.agg(min("wk"), max("wk")).head()
+      val (mn, mx) = (r.getLong(0), r.getLong(1))
+      val cuts = (1 to 4).map(k => mn + ((mx - mn + 1) * k + 3) / 4 - 1)
+      val base = java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_fmt").toString
+      val srcDir = s"$base/s44_stream_src"
+      val stateRoot = s"$base/s44_state"
+      val looksDir = s"$base/s44_looks"
+      Seq(srcDir, stateRoot, looksDir)
+        .foreach(d => rmTree(new java.io.File(d)))
+      new java.io.File(srcDir).mkdirs()
+      val lows = Long.MinValue +: cuts.init
+      val t0 = System.currentTimeMillis() - 3600000L
+      (1 to 4).foreach { b =>
+        writeSingle(ev.filter(col("wk") > lows(b - 1) &&
+          col("wk") <= cuts(b - 1)), srcDir, s"batch_$b")
+        new java.io.File(srcDir, s"batch_$b.parquet")
+          .setLastModified(t0 + b * 60000L)
+      }
+      s.range(0).select(col("id").as("user_id"),
+          lit(null).cast("long").as("fw"),
+          lit(null).cast("long").as("np"))
+        .write.mode("overwrite").parquet(s"$stateRoot/v0")
+      val schema = s.read.parquet(srcDir).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(srcDir)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+            batchId: Long) =>
+          val g = batchId
+          val st = s.read.parquet(s"$stateRoot/v$g")
+            .select("user_id", "fw", "np")
+          val bagg = batch.groupBy("user_id")
+            .agg(min(col("wk")).as("fw"),
+              sum(when(col("event_type") === "purchase", 1L)
+                .otherwise(0L)).as("np"))
+          st.unionByName(bagg).groupBy("user_id")
+            .agg(min("fw").as("fw"), sum("np").cast("long").as("np"))
+            .write.mode("overwrite").parquet(s"$stateRoot/v${g + 1}")
+          val k = (g + 1).toInt
+          val m = s.read.parquet(s"$stateRoot/v${g + 1}")
+            .withColumn("va",
+              substring(md5(col("user_id").cast("string")), 1, 1) < "8")
+          val cnt = m.agg(
+            sum(when(col("va"), 1L).otherwise(0L)).cast("long")
+              .as("n_a"),
+            sum(when(col("va") && col("np") >= 14, 1L).otherwise(0L))
+              .cast("long").as("conv_a"),
+            sum(when(!col("va"), 1L).otherwise(0L)).cast("long")
+              .as("n_b"),
+            sum(when(!col("va") && col("np") >= 14, 1L).otherwise(0L))
+              .cast("long").as("conv_b"))
+          val theta = when(col("n_a") > 0 && col("n_b") > 0,
+            col("conv_a").cast("double") / col("n_a").cast("double") -
+              col("conv_b").cast("double") / col("n_b").cast("double"))
+          val pNow = graft.operators.Pipeline.msprtPNow(col("n_a"),
+            col("conv_a"), col("n_b"), col("conv_b"), tauSq = 0.01)
+          cnt.select(lit(k).as("look"),
+              lit(cuts(k - 1)).as("wk_cut"),
+              col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+              round(theta, 6).as("theta"),
+              round(pNow, 6).as("p_now"))
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$looksDir/look_$k")
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // publish: the always-valid p is the running min over the looks
+      // observed so far — the only cross-look state, and it lives in
+      // the (bounded, ≤looks-row) look log, not in per-user state.
+      // NOTE the rounding layering: p_always mins the ROUNDED p_now
+      // the look log carries, which equals round(min(raw p_now)) on
+      // the 6-dp grid because round is monotone — same as the oracle
+      val wMin = Window
+        .partitionBy(graft.pipeline.Corpus.boundedKey(col("look")))
+        .orderBy("look")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      s.read.option("recursiveFileLookup", "true").parquet(looksDir)
+        .withColumn("p_always", min(col("p_now")).over(wMin))
+        .withColumn("rejected",
+          coalesce(col("p_always") <= 0.05, lit(false)))
+        .withColumn("guarded", col("p_now").isNull)
+        .orderBy("look")
+    },
+
     // Streaming stratified sample (p166 over continuous ingest): each
     // micro-batch persists (a) its per-stratum counts — they merge by
     // sum — and (b) its per-stratum k-lowest-(draw, id) candidates via

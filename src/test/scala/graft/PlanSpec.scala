@@ -1486,6 +1486,21 @@ class PlanSpec extends SparkSpec {
       s"p179: an exchange outside the bin table appeared:\n$p")
   }
 
+  test("p188: always-valid monitor keeps p167's shape — no window, " +
+      "user-keyed exchanges only, looks explode from one pivoted row") {
+    // the running-min always-valid p is least() over the single
+    // pivot row's own columns — a window here would mean the look
+    // table went through a shuffle it never needs
+    val p = executed("p188_always_valid")
+    assert(!p.contains("Window"), s"p188: a window appeared:\n$p")
+    // only the broadcast 1-row week-range table may join
+    noShuffledJoin("p188", p)
+    val pf = p.split("== Initial Plan ==").head
+    assert(!pf.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("user_id")),
+      s"p188: a non-user exchange appeared:\n$p")
+  }
+
   test("p186/p187: dHash is a native expression; perceptual pairs ride " +
       "the chunk-pigeonhole equi-join, never an all-pairs product") {
     // p186: straight projection — the 64-bit hash is computed by the

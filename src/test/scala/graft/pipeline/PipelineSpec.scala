@@ -1909,6 +1909,64 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("s44 seam: per-split (first-week min, purchase-count sum) " +
+      "partials merge to the batch mSPRT p-value under arbitrary " +
+      "splits; the always-valid running min never rises") {
+    // the s44 carried state is s39's: one (user, fw, np) row — fw
+    // merges by min (idempotent), np by SUM (NOT idempotent: replay
+    // safety is the batchId-keyed generation discipline, not algebra).
+    // Any split of the event stream must merge to the same counters,
+    // hence the same msprtPNow the batch gate computes.
+    import spark.implicits._
+    val rnd = new scala.util.Random(44)
+    def pOf(users: org.apache.spark.sql.DataFrame): Seq[Any] = {
+      val m = users.withColumn("va",
+        substring(md5(col("user_id").cast("string")), 1, 1) < "8")
+      val cnt = m.agg(
+        sum(when(col("va"), 1L).otherwise(0L)).cast("long").as("n_a"),
+        sum(when(col("va") && col("np") >= 3, 1L).otherwise(0L))
+          .cast("long").as("conv_a"),
+        sum(when(!col("va"), 1L).otherwise(0L)).cast("long").as("n_b"),
+        sum(when(!col("va") && col("np") >= 3, 1L).otherwise(0L))
+          .cast("long").as("conv_b"))
+      cnt.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+        round(graft.operators.Pipeline.msprtPNow(col("n_a"),
+          col("conv_a"), col("n_b"), col("conv_b"), 0.01), 6)
+          .as("p_now"))
+        .head().toSeq
+    }
+    (1 to 3).foreach { trial =>
+      val evs = (1 to 400).map(_ => (1L + rnd.nextInt(60),
+        rnd.nextInt(10).toLong, rnd.nextBoolean(), rnd.nextInt(3)))
+      val df = evs.toDF("user_id", "wk", "purch", "b")
+      def collapse(d: org.apache.spark.sql.DataFrame) =
+        d.groupBy("user_id").agg(min("fw").as("fw"),
+          sum("np").cast("long").as("np"))
+      val direct = collapse(df.select(col("user_id"),
+        col("wk").as("fw"),
+        when(col("purch"), 1L).otherwise(0L).as("np")))
+      val merged = collapse((0 to 2).map { b =>
+        collapse(df.filter(col("b") === b).select(col("user_id"),
+          col("wk").as("fw"),
+          when(col("purch"), 1L).otherwise(0L).as("np")))
+      }.reduce(_ unionAll _))
+      val want = pOf(direct); val got = pOf(merged)
+      assert(got == want, s"trial $trial:\n got  $got\n want $want")
+      // always-valid usage: p over growing prefixes, running min
+      // non-increasing and never above the current p
+      val prefixes = (0 to 2).map { upTo =>
+        pOf(collapse(df.filter(col("b") <= upTo).select(col("user_id"),
+          col("wk").as("fw"),
+          when(col("purch"), 1L).otherwise(0L).as("np"))))
+          .last.asInstanceOf[Double]
+      }
+      val runningMin = prefixes.scanLeft(Double.MaxValue)(math.min).tail
+      assert(runningMin.zip(runningMin.tail).forall { case (a, b) =>
+        b <= a }, s"running min rose: $runningMin")
+      assert(runningMin.zip(prefixes).forall { case (m, p) => m <= p })
+    }
+  }
+
   test("s40 seam: per-split stratum top-k union + merged counts " +
       "reproduce the batch stratifiedSample under arbitrary splits") {
     // the s40 carried state: per-batch stratum counts (merge by sum)
