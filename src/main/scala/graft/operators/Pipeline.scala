@@ -1836,6 +1836,56 @@ object Pipeline {
       (col("q_hat").isNull || col("n_test") === 0).as("guarded"))
   }
 
+  /** [[conformalCalibration]]'s publish readout from a merged
+    * (`x`, `cal`, `c`) value histogram — the seam the s45 streaming
+    * mirror and its merge-property spec share. Every quantity is
+    * derived from the histogram EXACTLY: mean from the decimal
+    * Σ(x·c), the k-th smallest residual by weighted rank over the
+    * bounded histogram (the value whose cumulative count first
+    * reaches k — the batch gate's per-doc tiebreak reorders only
+    * EQUAL residuals, so the rank-k VALUE is identical), coverage by
+    * weighted count.
+    */
+  private[graft] def conformalFromHist(hist: DataFrame,
+      alpha: Double = 0.1): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"bad alpha $alpha")
+    val fit = hist.agg(
+      coalesce(sum(when(col("cal"), col("c")).otherwise(0L)),
+        lit(0L)).cast("long").as("n_cal"),
+      coalesce(sum(when(!col("cal"), col("c")).otherwise(0L)),
+        lit(0L)).cast("long").as("n_test"),
+      sum(when(col("cal"),
+        col("x").cast("decimal(38,0)") * col("c"))).as("s_cal"))
+      .withColumn("k_rank", when(col("n_cal") > 0,
+        ceil((col("n_cal") + 1L).cast("double") * lit(1.0 - alpha))
+          .cast("long")))
+      .withColumn("mean_cal", when(col("n_cal") > 0,
+        col("s_cal").cast("double") / col("n_cal").cast("double")))
+    val calHist = hist.filter(col("cal"))
+      .crossJoin(broadcast(fit.select("mean_cal")))
+      .select(col("x"), col("c"),
+        abs(col("x").cast("double") - col("mean_cal")).as("resid"))
+    val ranked = Corpus.withGlobalOrder(calHist,
+      Seq(col("resid"), col("x")), col("c"))
+    val qhat = ranked.crossJoin(broadcast(fit.select("k_rank")))
+      .agg(max(when(col("cum") - col("c") < col("k_rank") &&
+        col("k_rank") <= col("cum"), col("resid"))).as("q_hat"))
+    val cover = hist.filter(!col("cal"))
+      .crossJoin(broadcast(fit.select("mean_cal")))
+      .crossJoin(broadcast(qhat.select(col("q_hat").as("_qh"))))
+      .agg(coalesce(sum(when(abs(col("x").cast("double") -
+        col("mean_cal")) <= col("_qh"), col("c")).otherwise(0L)),
+        lit(0L)).cast("long").as("n_cov"))
+    fit.crossJoin(broadcast(qhat)).crossJoin(broadcast(cover))
+      .select(col("n_cal"), col("n_test"), col("k_rank"),
+        round(col("q_hat"), 6).as("q_hat"),
+        when(col("q_hat").isNotNull, col("n_cov")).as("n_covered"),
+        round(when(col("q_hat").isNotNull && col("n_test") > 0,
+          col("n_cov").cast("double") / col("n_test").cast("double")),
+          6).as("coverage"),
+        (col("q_hat").isNull || col("n_test") === 0).as("guarded"))
+  }
+
   /** Kaplan–Meier retention curve with right-censoring — "what share
     * of users are still active t hours after their first event?", the
     * survival readout behind every retention chart. A user's observed

@@ -2544,6 +2544,204 @@ object Streaming {
         .orderBy("look")
     },
 
+    // Streaming split-conformal calibration (p177 live): the carried
+    // state is a per-batch (n_chars value, split flag, count) HISTOGRAM
+    // — counts merge by sum, and every publish-time quantity derives
+    // from the merged histogram EXACTLY: the calibration mean from the
+    // decimal Σ(x·c), the k-th smallest residual by weighted rank over
+    // the ≤|distinct n_chars| histogram rows (the value at rank k under
+    // (resid, id) order equals the value whose cumulative count first
+    // reaches k — tiebreak ids reorder only EQUAL values), and coverage
+    // by weighted count. No offline fit at all — unlike s41/s46 the
+    // predictor (calibration mean) itself comes out of the merged
+    // state, so the publish readout must equal batch p177 verbatim.
+    // State is bounded by distinct document lengths, not corpus size.
+    QueryDef("s45_stream_conformal",
+      """WITH d AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS x,
+        |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' AS cal
+        |  FROM documents),
+        |f AS (SELECT
+        |    CAST(COALESCE(SUM(CASE WHEN cal THEN 1 ELSE 0 END), 0)
+        |      AS BIGINT) AS n_cal,
+        |    CAST(COALESCE(SUM(CASE WHEN NOT cal THEN 1 ELSE 0 END), 0)
+        |      AS BIGINT) AS n_test,
+        |    SUM(CASE WHEN cal THEN CAST(x AS HUGEINT) END) AS s_cal
+        |  FROM d),
+        |k AS (SELECT *,
+        |    CASE WHEN n_cal > 0 THEN CAST(ceil(
+        |      CAST(n_cal + 1 AS DOUBLE) * 0.9) AS BIGINT) END AS k_rank,
+        |    CASE WHEN n_cal > 0 THEN CAST(s_cal AS DOUBLE) / n_cal
+        |      END AS mean_cal
+        |  FROM f),
+        |r AS (SELECT d.doc_id, abs(CAST(d.x AS DOUBLE) - k.mean_cal)
+        |      AS resid
+        |  FROM d CROSS JOIN k WHERE d.cal),
+        |rr AS (SELECT *, ROW_NUMBER() OVER (ORDER BY resid, doc_id)
+        |      AS pos FROM r),
+        |q AS (SELECT MAX(CASE WHEN rr.pos = k.k_rank THEN rr.resid
+        |      END) AS q_hat
+        |  FROM k LEFT JOIN rr ON true),
+        |c AS (SELECT CAST(COALESCE(SUM(CASE WHEN
+        |      abs(CAST(d.x AS DOUBLE) - k.mean_cal) <= q.q_hat
+        |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_cov
+        |  FROM d CROSS JOIN k CROSS JOIN q WHERE NOT d.cal)
+        |SELECT k.n_cal, k.n_test, k.k_rank,
+        |  round(q.q_hat, 6) AS q_hat,
+        |  CASE WHEN q.q_hat IS NOT NULL THEN COALESCE(c.n_cov, 0)
+        |    END AS n_covered,
+        |  round(CASE WHEN q.q_hat IS NOT NULL AND k.n_test > 0 THEN
+        |    CAST(COALESCE(c.n_cov, 0) AS DOUBLE) / k.n_test END, 6)
+        |    AS coverage,
+        |  q.q_hat IS NULL OR k.n_test = 0 AS guarded
+        |FROM k CROSS JOIN q CROSS JOIN c""".stripMargin) { (s, dir) =>
+      val docs = graft.Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars").cast("long").as("x"),
+          (substring(md5(col("doc_id").cast("string")), 1, 1) < "c")
+            .as("cal"))
+      val base = java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_fmt").toString
+      val srcDir = s"$base/s45_stream_src"
+      val histRoot = s"$base/s45_hist"
+      Seq(srcDir, histRoot).foreach(d => rmTree(new java.io.File(d)))
+      new java.io.File(srcDir).mkdirs()
+      (0 until 4).foreach { b =>
+        writeSingle(docs.filter(col("doc_id") % 4 === b),
+          srcDir, s"batch_$b")
+      }
+      val schema = s.read.parquet(srcDir).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(srcDir)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+            batchId: Long) =>
+          batch.groupBy("x", "cal")
+            .agg(count(lit(1)).cast("long").as("c"))
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$histRoot/b_$batchId")
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val hist = s.read.option("recursiveFileLookup", "true")
+        .parquet(histRoot)
+        .groupBy("x", "cal")
+        .agg(sum("c").cast("long").as("c"))
+      graft.operators.Pipeline.conformalFromHist(hist, alpha = 0.1)
+    },
+
+    // Streaming isotonic calibration (p179 live): the s41 shape —
+    // model fit ONCE up front (offline training, online scoring), each
+    // micro-batch persists its (bin, n, pos) partials, which merge by
+    // sum into exactly the bounded ≤100-row bin table the batch
+    // minimax PAV consumes — so the publish-time fit must equal the
+    // batch p179 oracle verbatim. State: ≤nBins rows per batch.
+    QueryDef("s46_stream_isotonic",
+      """WITH f AS (
+        |  SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+        |    1.0 AS x0,
+        |    ln(1.0 + CAST(nt AS DOUBLE)) AS x1,
+        |    CAST(length(text) AS DOUBLE) / CAST(nt AS DOUBLE) AS x2
+        |  FROM (SELECT lang, text, CASE
+        |      WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g'))
+        |        = 0 THEN 0
+        |      ELSE len(string_split_regex(
+        |        regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'))
+        |      END AS nt
+        |    FROM documents)
+        |  WHERE nt > 0),
+        |n AS (SELECT count(*) AS m FROM f),
+        |ws0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2),
+        |g1 AS (SELECT
+        |    CAST(sum(CAST((1.0/(1.0+exp(-(w0*x0+w1*x1+w2*x2))) - y)*x0
+        |      AS DECIMAL(28,12))) AS DOUBLE) AS g0,
+        |    CAST(sum(CAST((1.0/(1.0+exp(-(w0*x0+w1*x1+w2*x2))) - y)*x1
+        |      AS DECIMAL(28,12))) AS DOUBLE) AS g1,
+        |    CAST(sum(CAST((1.0/(1.0+exp(-(w0*x0+w1*x1+w2*x2))) - y)*x2
+        |      AS DECIMAL(28,12))) AS DOUBLE) AS g2
+        |  FROM f CROSS JOIN ws0),
+        |ws1 AS (SELECT w0 - 1.0*(g0/CAST(m AS DOUBLE)) AS w0,
+        |    w1 - 1.0*(g1/CAST(m AS DOUBLE)) AS w1,
+        |    w2 - 1.0*(g2/CAST(m AS DOUBLE)) AS w2
+        |  FROM g1 CROSS JOIN ws0 CROSS JOIN n),
+        |sc AS (SELECT CAST(y AS BIGINT) AS yl,
+        |    round(1.0/(1.0+exp(-(w0*x0+w1*x1+w2*x2))), 6) AS p
+        |  FROM f CROSS JOIN ws1),
+        |b AS (SELECT CAST(least(floor(p * 100), 99) AS BIGINT)
+        |    AS bin, yl FROM sc),
+        |g AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(COALESCE(SUM(yl), 0) AS BIGINT) AS pos
+        |  FROM b GROUP BY 1),
+        |pr AS (SELECT *, COALESCE(SUM(n) OVER (ORDER BY bin ROWS
+        |      BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS pre_n,
+        |    COALESCE(SUM(pos) OVER (ORDER BY bin ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre_pos
+        |  FROM g),
+        |cu AS (SELECT *, pre_n + n AS cum_n, pre_pos + pos AS cum_pos
+        |  FROM pr),
+        |sp AS (SELECT j.bin AS j, k.bin AS k,
+        |    CASE WHEN k.cum_n - j.pre_n > 0 THEN
+        |      CAST(k.cum_pos - j.pre_pos AS DOUBLE) /
+        |      (k.cum_n - j.pre_n) END AS rate
+        |  FROM cu j JOIN cu k ON j.bin <= k.bin),
+        |mm AS (SELECT i.bin, i.n, i.pos, sp.j, MIN(sp.rate) AS mnr
+        |  FROM cu i JOIN sp ON sp.j <= i.bin AND i.bin <= sp.k
+        |  GROUP BY 1, 2, 3, 4),
+        |ff AS (SELECT bin, n, pos, MAX(mnr) AS fitted
+        |  FROM mm GROUP BY 1, 2, 3)
+        |SELECT bin, n, pos,
+        |  round(CASE WHEN n > 0 THEN CAST(pos AS DOUBLE) / n END, 6)
+        |    AS raw_rate,
+        |  round(fitted, 6) AS fitted_rate
+        |FROM ff ORDER BY 1""".stripMargin) { (s, dir) =>
+      import graft.pipeline.TextAnalysis
+      val docs = graft.Tables.load(s, dir, "documents")
+        .select("doc_id", "lang", "text")
+      // steps=1: the published model the batch p179 gate calibrates
+      val (_, w) = TextAnalysis.logregFit(docs, steps = 1, lr = 1.0,
+        posLang = "en", langCol = "lang", textCol = "text")
+      val base = java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_fmt").toString
+      val srcDir = s"$base/s46_stream_src"
+      val binRoot = s"$base/s46_bins"
+      Seq(srcDir, binRoot).foreach(d => rmTree(new java.io.File(d)))
+      new java.io.File(srcDir).mkdirs()
+      (0 until 4).foreach { b =>
+        writeSingle(docs.filter(col("doc_id") % 4 === b),
+          srcDir, s"batch_$b")
+      }
+      val schema = s.read.parquet(srcDir).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(srcDir)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+            batchId: Long) =>
+          TextAnalysis.logregScore(batch, w)
+            .select(least(floor(col("p") * 100), lit(99L))
+              .cast("long").as("bin"), col("yl"))
+            .groupBy("bin")
+            .agg(count(lit(1)).cast("long").as("n"),
+              coalesce(sum(col("yl")), lit(0L)).cast("long").as("pos"))
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$binRoot/b_$batchId")
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val merged = s.read.option("recursiveFileLookup", "true")
+        .parquet(binRoot)
+        .groupBy("bin")
+        .agg(sum("n").cast("long").as("n"),
+          sum("pos").cast("long").as("pos"))
+      TextAnalysis.pavFit(merged)
+    },
+
     // Streaming stratified sample (p166 over continuous ingest): each
     // micro-batch persists (a) its per-stratum counts — they merge by
     // sum — and (b) its per-stratum k-lowest-(draw, id) candidates via

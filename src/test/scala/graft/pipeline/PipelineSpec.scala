@@ -1967,6 +1967,66 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("s45 seam: per-split (value, split-flag, count) histograms " +
+      "merge to the batch conformal readout under arbitrary splits") {
+    // the s45 carried state: a per-batch n_chars histogram (counts
+    // merge by sum). The publish path — conformalFromHist over the
+    // merged histogram — must equal the batch conformalCalibration
+    // (per-doc ranks vs weighted histogram ranks agree because the
+    // doc tiebreak only reorders EQUAL residuals).
+    import spark.implicits._
+    val rnd = new scala.util.Random(45)
+    (1 to 3).foreach { trial =>
+      // heavy value ties so the histogram rank path is exercised
+      val ds = (1 to 200).map(i =>
+        (i.toLong, (50 + rnd.nextInt(12)).toLong, rnd.nextInt(3)))
+      val want = graft.operators.Pipeline.conformalCalibration(
+        ds.map(d => (d._1, d._2)).toDF("doc_id", "n_chars"))
+        .collect().map(_.toSeq).toSeq
+      val merged = (0 to 2).map { b =>
+        ds.filter(_._3 == b).map(d => (d._1, d._2)).toDF("doc_id", "nc")
+          .select(col("nc").as("x"),
+            (substring(md5(col("doc_id").cast("string")), 1, 1) < "c")
+              .as("cal"))
+          .groupBy("x", "cal").agg(count(lit(1)).cast("long").as("c"))
+      }.reduce(_ unionAll _)
+        .groupBy("x", "cal").agg(sum("c").cast("long").as("c"))
+      val got = graft.operators.Pipeline.conformalFromHist(merged)
+        .collect().map(_.toSeq).toSeq
+      assert(got == want, s"trial $trial:\n got  $got\n want $want")
+    }
+  }
+
+  test("s46 seam: per-split (bin, n, pos) partials merge to the batch " +
+      "isotonic fit under arbitrary splits") {
+    // the s46 carried state: per-batch score-bin partials (merge by
+    // sum); scoring is per-row, so any split must merge to the batch
+    // bin table and hence the identical minimax PAV fit
+    import spark.implicits._
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang", "text").limit(120)
+      .withColumn("b", pmod(xxhash64(col("doc_id")), lit(3)))
+    val (_, w) = graft.pipeline.TextAnalysis.logregFit(
+      d.select("doc_id", "lang", "text"), steps = 1, lr = 1.0,
+      posLang = "en", langCol = "lang", textCol = "text")
+    val want = graft.pipeline.TextAnalysis.isotonicCalibration(
+      d.select("doc_id", "lang", "text"), steps = 1, nBins = 100)
+      .collect().map(_.toSeq).toSeq
+    val merged = (0 to 2).map { b =>
+      graft.pipeline.TextAnalysis.logregScore(
+        d.filter(col("b") === b), w)
+        .select(least(floor(col("p") * 100), lit(99L)).cast("long")
+          .as("bin"), col("yl"))
+        .groupBy("bin").agg(count(lit(1)).cast("long").as("n"),
+          coalesce(sum(col("yl")), lit(0L)).cast("long").as("pos"))
+    }.reduce(_ unionAll _)
+      .groupBy("bin").agg(sum("n").cast("long").as("n"),
+        sum("pos").cast("long").as("pos"))
+    val got = graft.pipeline.TextAnalysis.pavFit(merged)
+      .collect().map(_.toSeq).toSeq
+    assert(got == want, s"\n got  $got\n want $want")
+  }
+
   test("s40 seam: per-split stratum top-k union + merged counts " +
       "reproduce the batch stratifiedSample under arbitrary splits") {
     // the s40 carried state: per-batch stratum counts (merge by sum)
