@@ -8116,9 +8116,14 @@ object Pipeline {
          |FROM m JOIN h USING (scenario)
          |ORDER BY 1""".stripMargin) { (s, dir) =>
       val docs = t(s, dir, "documents")
-      val wts = Corpus.importanceWeights(docs,
-          docs.filter(col("doc_id") % 7 === 0))
-        .select(exp(col("score")).as("w"))
+      // the p91 weight derivation (tokenizing corpus scan) barriers
+      // ONCE at the gate level: scenarios 1 and 3 both consume it, and
+      // without this each weightDiagnostics call re-derived it (the
+      // r12 bench caught p184 at 2.3× after scenario 3 landed)
+      val wts = Dedup.materializeBarrier(
+        Corpus.importanceWeights(docs,
+            docs.filter(col("doc_id") % 7 === 0))
+          .select(exp(col("score")).as("w")), "p184-weights")
       val outCols = Seq("n", "sum_w", "ess", "ess_frac", "max_share",
         "n_heavy", "guarded").map(col)
       val real = Corpus.weightDiagnostics(wts, "w")
