@@ -154,6 +154,7 @@ object Bench {
     "p185_srm_check",     // assignment guardrail, one scalar agg
     "p186_dhash_replay",  // native dHash over arithmetic pixel grids
     "p187_perceptual_neardup", // decode → dHash → hamming pigeonhole
+    "p189_perceptual_dedup", // pairs → components → canonical corpus
     "p188_always_valid",  // mSPRT always-valid p, scalar pivot
     "s44_stream_msprt",   // live always-valid monitor, (fw, np) state
     "s45_stream_conformal", // value-histogram state → conformal readout

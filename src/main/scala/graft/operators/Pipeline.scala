@@ -8275,6 +8275,52 @@ object Pipeline {
         .orderBy("doc_id", "copy_id")
     },
 
+    // Perceptual dedup END-TO-END: the full "one copy of every
+    // picture" pipeline — decode → dHash → multi-block hamming pairs
+    // (p187's plan) → connected components → keep each cluster's
+    // minimum id. Every planted trio (original, 2× resize, JPEG
+    // re-encode) must collapse to ONE surviving row, the original:
+    // cluster labels are exactly predictable because different
+    // pictures sit ≥ 11 bits apart (measured over the full sf0.1 seed
+    // range) while variants sit ≤ 8 — so the oracle replays the
+    // planted structure as a full hash gate, not a boolean one.
+    QueryDef("p189_perceptual_dedup",
+      """SELECT doc_id, doc_id AS comp, true AS kept
+        |FROM documents WHERE doc_id % 4 = 0
+        |UNION ALL
+        |SELECT doc_id + 1000000 AS doc_id, doc_id AS comp,
+        |  false AS kept
+        |FROM documents WHERE doc_id % 4 = 0
+        |UNION ALL
+        |SELECT doc_id + 2000000 AS doc_id, doc_id AS comp,
+        |  false AS kept
+        |FROM documents WHERE doc_id % 4 = 0
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val sel = t(s, dir, "documents")
+        .filter(col("doc_id") % 4 === 0).select("doc_id")
+        .repartition(32)
+      def gen(offset: Long, fmt: String, scale: Int) =
+        Multimodal.withSmoothMedia(
+          sel.select((col("doc_id") + offset).as("doc_id"),
+            col("doc_id").as("seed")), "seed", fmt, scale)
+          .select("doc_id", "media")
+      val media = gen(0L, "png", 1)
+        .unionAll(gen(1000000L, "png", 2))
+        .unionAll(gen(2000000L, "jpg", 1))
+      val pairs = Dedup.perceptualPairs(media, "doc_id", "media",
+        maxHamming = 8)
+      val labels = Dedup.components(pairs)
+      // survivors are the per-cluster minima (comp == own id);
+      // unpaired rows keep themselves — full cluster semantics, the
+      // [[Dedup.components]] contract
+      media.select("doc_id")
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("comp"), col("doc_id")).as("comp"))
+        .withColumn("kept", col("doc_id") === col("comp"))
+        .orderBy("doc_id")
+    },
+
     // Always-valid (mSPRT) experiment readout: the oracle replays the
     // per-user weekly pivot, the 16 exact counters per scenario, the
     // mixture-likelihood Λ term for term, and the running-min

@@ -1524,5 +1524,16 @@ class PlanSpec extends SparkSpec {
     assert(!qf.linesIterator.exists(l =>
       l.contains("Exchange") && l.contains("media#")),
       s"p187: media bytes crossed a shuffle:\n$q")
+    // p189: the end-to-end dedup composition (pairs → components →
+    // canonical corpus) keeps the same guarantees — cluster labels
+    // come back as a broadcastable relation, never a product join
+    val r = executed("p189_perceptual_dedup")
+    assert(!r.contains("CartesianProduct") &&
+      !r.contains("BroadcastNestedLoopJoin"),
+      s"p189: dedup composition fell back to a product join:\n$r")
+    val rf = r.split("== Initial Plan ==").head
+    assert(!rf.linesIterator.exists(l =>
+      l.contains("Exchange") && l.contains("media#")),
+      s"p189: media bytes crossed a shuffle:\n$r")
   }
 }
