@@ -17,6 +17,31 @@ object Pipeline {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
+  /** The planted perceptual-media corpus the p187 and p189 gates share:
+    * every 4th document renders a smooth picture plus two honest
+    * variants under new ids — a 2× resize (+1000000) and a JPEG
+    * re-encode (+2000000). Returns (selected base ids, media). ONE
+    * definition so the planted offsets/formats can never desynchronize
+    * between the two gates. The tiny id list fans out BEFORE the
+    * mapPartitions encoders — a 5000-row parquet is one input split,
+    * which would serialize every render/decode onto one core (measured
+    * 11.4 s → 2.3 s).
+    */
+  private def plantedPerceptualMedia(s: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    val sel = t(s, dir, "documents")
+      .filter(col("doc_id") % 4 === 0).select("doc_id")
+      .repartition(32)
+    def gen(offset: Long, fmt: String, scale: Int) =
+      Multimodal.withSmoothMedia(
+        sel.select((col("doc_id") + offset).as("doc_id"),
+          col("doc_id").as("seed")), "seed", fmt, scale)
+        .select("doc_id", "media")
+    (sel, gen(0L, "png", 1)
+      .unionAll(gen(1000000L, "png", 2))
+      .unionAll(gen(2000000L, "jpg", 1)))
+  }
+
   /** documents ∪ perturbed copies (id + 1e6, one token appended). */
   private def docsWithPlants(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents").select("doc_id", "text")
@@ -8245,20 +8270,7 @@ object Pipeline {
         |  'jpeg' AS kind, true AS found
         |FROM documents WHERE doc_id % 4 = 0
         |ORDER BY doc_id, copy_id""".stripMargin) { (s, dir) =>
-      // the tiny id list fans out BEFORE the mapPartitions encoders —
-      // a 5000-row parquet is one input split, which would serialize
-      // every render/decode onto one core (measured 11.4 s → 2.3 s)
-      val sel = t(s, dir, "documents")
-        .filter(col("doc_id") % 4 === 0).select("doc_id")
-        .repartition(32)
-      def gen(offset: Long, fmt: String, scale: Int) =
-        Multimodal.withSmoothMedia(
-          sel.select((col("doc_id") + offset).as("doc_id"),
-            col("doc_id").as("seed")), "seed", fmt, scale)
-          .select("doc_id", "media")
-      val media = gen(0L, "png", 1)
-        .unionAll(gen(1000000L, "png", 2))
-        .unionAll(gen(2000000L, "jpg", 1))
+      val (sel, media) = plantedPerceptualMedia(s, dir)
       val pairs = Dedup.perceptualPairs(media, "doc_id", "media",
         maxHamming = 8)
       val expected = sel.select(col("doc_id"),
@@ -8296,24 +8308,19 @@ object Pipeline {
         |  false AS kept
         |FROM documents WHERE doc_id % 4 = 0
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val sel = t(s, dir, "documents")
-        .filter(col("doc_id") % 4 === 0).select("doc_id")
-        .repartition(32)
-      def gen(offset: Long, fmt: String, scale: Int) =
-        Multimodal.withSmoothMedia(
-          sel.select((col("doc_id") + offset).as("doc_id"),
-            col("doc_id").as("seed")), "seed", fmt, scale)
-          .select("doc_id", "media")
-      val media = gen(0L, "png", 1)
-        .unionAll(gen(1000000L, "png", 2))
-        .unionAll(gen(2000000L, "jpg", 1))
+      val (sel, media) = plantedPerceptualMedia(s, dir)
       val pairs = Dedup.perceptualPairs(media, "doc_id", "media",
         maxHamming = 8)
       val labels = Dedup.components(pairs)
       // survivors are the per-cluster minima (comp == own id);
       // unpaired rows keep themselves — full cluster semantics, the
-      // [[Dedup.components]] contract
-      media.select("doc_id")
+      // [[Dedup.components]] contract. The id roster is re-derived
+      // ARITHMETICALLY from sel — media.select("doc_id") would
+      // re-execute the whole mapPartitions render a second time
+      // (mapPartitions cannot be column-pruned)
+      sel.select(col("doc_id"))
+        .unionAll(sel.select((col("doc_id") + 1000000L).as("doc_id")))
+        .unionAll(sel.select((col("doc_id") + 2000000L).as("doc_id")))
         .join(labels, Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("comp"), col("doc_id")).as("comp"))

@@ -2518,7 +2518,8 @@ object Streaming {
               lit(cuts(k - 1)).as("wk_cut"),
               col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
               round(theta, 6).as("theta"),
-              round(pNow, 6).as("p_now"))
+              round(pNow, 6).as("p_now"),
+              pNow.as("p_raw"))
             .coalesce(1).write.mode("overwrite")
             .parquet(s"$looksDir/look_$k")
           ()
@@ -2529,18 +2530,21 @@ object Streaming {
       // publish: the always-valid p is the running min over the looks
       // observed so far — the only cross-look state, and it lives in
       // the (bounded, ≤looks-row) look log, not in per-user state.
-      // NOTE the rounding layering: p_always mins the ROUNDED p_now
-      // the look log carries, which equals round(min(raw p_now)) on
-      // the 6-dp grid because round is monotone — same as the oracle
+      // The stop decision compares the RAW running min to α (the batch
+      // gate and the oracle both do) — deciding on the 6-dp ROUNDED
+      // value would flip `rejected` for a raw p in (α, α + 5e-7]; the
+      // REPORTED p_always may round (round is monotone, so
+      // round(min raw) == min(round raw) on the grid)
       val wMin = Window
         .partitionBy(graft.pipeline.Corpus.boundedKey(col("look")))
         .orderBy("look")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       s.read.option("recursiveFileLookup", "true").parquet(looksDir)
-        .withColumn("p_always", min(col("p_now")).over(wMin))
+        .withColumn("p_always", round(min(col("p_raw")).over(wMin), 6))
         .withColumn("rejected",
-          coalesce(col("p_always") <= 0.05, lit(false)))
+          coalesce(min(col("p_raw")).over(wMin) <= 0.05, lit(false)))
         .withColumn("guarded", col("p_now").isNull)
+        .drop("p_raw")
         .orderBy("look")
     },
 

@@ -579,7 +579,11 @@ object Dedup {
     // m-subset exists → its combo key collides). Packing at the widest
     // chunk width keeps the key well under 63 bits for every sane (k, m)
     val maxWidth = (0 until chunks).map(c => bounds(c + 1) - bounds(c)).max
-    require(m * maxWidth <= 63, s"combo key overflows: $m x $maxWidth bits")
+    // m=1 never packs (shift 0), so a full-width single chunk is fine —
+    // maxHamming=0 (exact-signature pairs: 1 chunk, 64 bits) must keep
+    // working; only genuine multi-chunk packing can overflow the key
+    require(m == 1 || m * maxWidth <= 63,
+      s"combo key overflows: $m x $maxWidth bits")
     val comboCols = (0 until chunks).combinations(m).toSeq.map { combo =>
       combo.zipWithIndex.map { case (ci, pos) =>
         call_function("shiftleft", chunkCols(ci), lit(pos * maxWidth))

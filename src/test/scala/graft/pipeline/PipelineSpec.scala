@@ -155,6 +155,18 @@ class PipelineSpec extends SparkSpec {
     assert(got == want,
       s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
     assert(want.size >= 20, "fixture degenerate: too few true pairs")
+    // maxHamming=0 (exact-signature pairs, one full-width chunk) must
+    // keep working — the multi-block require once rejected it
+    val exact = graft.pipeline.Dedup.hammingPairs(
+      all.toDF("id", "sig"), maxHamming = 0)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wantExact = (for {
+      i <- all.indices; j <- 0 until i
+      if all(i)._2 == all(j)._2
+    } yield (math.min(all(i)._1, all(j)._1),
+      math.max(all(i)._1, all(j)._1))).toSet
+    assert(exact == wantExact && wantExact.nonEmpty)
   }
 
   test("perceptualPairs: a 2x resize and a JPEG requantization pair " +
