@@ -554,6 +554,13 @@ object Dedup {
     * over distinct sigs with a p01-style exact collapse in front is the
     * production composition at the extreme end.
     *
+    * Codegen note: at m=3/k=8 the 165-element combo-key array exceeds
+    * janino's 64 KB generated-method limit, so Spark compiles that one
+    * projection interpreted (the logged "Failed to compile" is this
+    * fallback, not an error). The stage is pure long shift/or
+    * arithmetic over one row at a time — measured costs (ledger rows)
+    * include the fallback and the decode stage dominates regardless.
+    *
     * @param sig (`id`, `sig` long) — one signature per id
     * @param multiIndex m — chunks that must jointly agree (key width ×m,
     *   combo count C(maxHamming+m, m))
