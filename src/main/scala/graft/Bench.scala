@@ -159,6 +159,7 @@ object Bench {
     "s44_stream_msprt",   // live always-valid monitor, (fw, np) state
     "s45_stream_conformal", // value-histogram state → conformal readout
     "s46_stream_isotonic", // (bin, n, pos) state → minimax PAV fit
+    "s47_stream_perceptual", // (id, dHash) state → publish-time dedup
     "s43_stream_srm",     // live SRM, distinct-user-set state
     "f07_csv_ingest_cold", // CSV parse + agg, no cache (dsq cold analog)
     "f08_csv_ingest_warm") // cached-parquet + agg (dsq -C warm analog)

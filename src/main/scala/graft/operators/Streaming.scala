@@ -2548,6 +2548,94 @@ object Streaming {
         .orderBy("look")
     },
 
+    // Streaming perceptual dedup (p189 live): images arrive in
+    // micro-batches; each batch decodes its payloads ONCE and persists
+    // only the (id, 64-bit dHash) signature rows — the carried state is
+    // one long per image, never the bytes, and signature computation is
+    // per-row so any batch split merges (by append) to the same table.
+    // Publish runs the multi-block hamming pairs + connected components
+    // + canonical-roster join over the merged signatures, so the report
+    // must equal the batch p189 oracle verbatim. The expensive decode
+    // happens exactly once per image at INGEST — re-publishing after
+    // every batch costs only the pairs path over longs.
+    // Retry-idempotent: batchId-keyed OVERWRITE paths (s39 discipline).
+    QueryDef("s47_stream_perceptual",
+      """SELECT doc_id, doc_id AS comp, true AS kept
+        |FROM documents WHERE doc_id % 4 = 0
+        |UNION ALL
+        |SELECT doc_id + 1000000 AS doc_id, doc_id AS comp,
+        |  false AS kept
+        |FROM documents WHERE doc_id % 4 = 0
+        |UNION ALL
+        |SELECT doc_id + 2000000 AS doc_id, doc_id AS comp,
+        |  false AS kept
+        |FROM documents WHERE doc_id % 4 = 0
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val sel = graft.Tables.load(s, dir, "documents")
+        .filter(col("doc_id") % 4 === 0).select("doc_id")
+        .repartition(32)
+      def gen(offset: Long, fmt: String, scale: Int) =
+        graft.pipeline.Multimodal.withSmoothMedia(
+          sel.select((col("doc_id") + offset).as("doc_id"),
+            col("doc_id").as("seed")), "seed", fmt, scale)
+          .select("doc_id", "media")
+      val media = gen(0L, "png", 1)
+        .unionAll(gen(1000000L, "png", 2))
+        .unionAll(gen(2000000L, "jpg", 1))
+      val base = java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_fmt").toString
+      val srcDir = s"$base/s47_stream_src"
+      val sigRoot = s"$base/s47_sigs"
+      val mediaDir = s"$base/s47_media"
+      Seq(srcDir, sigRoot, mediaDir)
+        .foreach(d => rmTree(new java.io.File(d)))
+      new java.io.File(srcDir).mkdirs()
+      // render the fixture corpus ONCE; the per-batch splits read the
+      // staged parquet back — filtering the mapPartitions render
+      // directly would re-render the whole corpus per split (it can't
+      // be pruned; measured 35.6 s → 15.3 s at sf0.1)
+      media.write.mode("overwrite").parquet(mediaDir)
+      val staged = s.read.parquet(mediaDir)
+      (0 until 4).foreach { b =>
+        writeSingle(staged.filter(pmod(col("doc_id"), lit(4L)) === b),
+          srcDir, s"batch_$b")
+      }
+      val schema = s.read.parquet(srcDir).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(srcDir)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+            batchId: Long) =>
+          val dec = graft.pipeline.Multimodal
+            .withDecodedGray(batch, "media")
+            .filter(col("gray").isNotNull)
+          dec.select(col("doc_id").as("id"),
+              org.apache.spark.sql.graft.VectorExpressions.dhash64(
+                col("gray"), col("img_w"), col("img_h")).as("sig"))
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$sigRoot/b_$batchId")
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val sigs = s.read.option("recursiveFileLookup", "true")
+        .parquet(sigRoot)
+      val pairs = graft.pipeline.Dedup.hammingPairs(sigs,
+        maxHamming = 8, multiIndex = 3)
+      val labels = graft.pipeline.Dedup.components(pairs)
+      sel.select(col("doc_id"))
+        .unionAll(sel.select((col("doc_id") + 1000000L).as("doc_id")))
+        .unionAll(sel.select((col("doc_id") + 2000000L).as("doc_id")))
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("comp"), col("doc_id")).as("comp"))
+        .withColumn("kept", col("doc_id") === col("comp"))
+        .orderBy("doc_id")
+    },
+
     // Streaming split-conformal calibration (p177 live): the carried
     // state is a per-batch (n_chars value, split flag, count) HISTOGRAM
     // — counts merge by sum, and every publish-time quantity derives

@@ -2039,6 +2039,50 @@ class PipelineSpec extends SparkSpec {
     assert(got == want, s"\n got  $got\n want $want")
   }
 
+  test("s47 seam: per-split (id, dHash) signature partials append-merge " +
+      "to the batch perceptual dedup under arbitrary splits") {
+    // the s47 carried state: one 64-bit signature row per image,
+    // computed per-row at ingest — ANY split of the media stream
+    // appends to the same signature table, so pairs/components/roster
+    // over the merged table equal the batch p189 path
+    import spark.implicits._
+    val seeds = (0 until 30).map(i => (i * 4).toLong)
+    def gen(offset: Long, fmt: String, scale: Int) =
+      graft.pipeline.Multimodal.withSmoothMedia(
+        seeds.map(s => (s + offset, s)).toDF("doc_id", "seed"),
+        "seed", fmt, scale).select("doc_id", "media")
+    val media = gen(0L, "png", 1)
+      .unionAll(gen(1000000L, "png", 2))
+      .unionAll(gen(2000000L, "jpg", 1))
+    def sigsOf(df: org.apache.spark.sql.DataFrame) =
+      graft.pipeline.Multimodal.withDecodedGray(df, "media")
+        .filter(col("gray").isNotNull)
+        .select(col("doc_id").as("id"),
+          org.apache.spark.sql.graft.VectorExpressions.dhash64(
+            col("gray"), col("img_w"), col("img_h")).as("sig"))
+    def dedup(sigs: org.apache.spark.sql.DataFrame) = {
+      val labels = graft.pipeline.Dedup.components(
+        graft.pipeline.Dedup.hammingPairs(sigs, 8, multiIndex = 3))
+      sigs.select(col("id").as("doc_id"))
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("comp"), col("doc_id")).as("comp"))
+        .orderBy("doc_id")
+        .collect().map(_.toSeq).toSeq
+    }
+    val want = dedup(sigsOf(media))
+    val merged = (0 to 2).map { b =>
+      sigsOf(media.filter(pmod(col("doc_id"), lit(3L)) === b))
+    }.reduce(_ unionAll _)
+    val got = dedup(merged)
+    assert(got == want)
+    // and every planted trio collapsed to its original
+    want.foreach { r =>
+      assert(r(1) == r.head.asInstanceOf[Long] % 1000000,
+        s"trio did not collapse: $r")
+    }
+  }
+
   test("s40 seam: per-split stratum top-k union + merged counts " +
       "reproduce the batch stratifiedSample under arbitrary splits") {
     // the s40 carried state: per-batch stratum counts (merge by sum)
