@@ -393,12 +393,6 @@ object Bench {
     val recheckRatio = 1.5
     val priorMins: Map[String, Double] = {
       val explicit = sys.env.get("SPARK_GRAFT_BENCH_PRIOR")
-      val path = explicit.orElse {
-        val rs = new java.io.File(".").listFiles()
-        Option(rs).map(_.map(_.getName)
-          .filter(_.matches("BENCH_r\\d+\\.json")).sorted)
-          .filter(_.nonEmpty).map(_.last)
-      }
       // sf guard: an AUTO-discovered prior measured at a different
       // scale factor (a 10× sweep run in the repo cwd picks up the
       // round's sf0.1 file) flags every entry "over prior" and
@@ -412,13 +406,13 @@ object Bench {
       // first UNescaped "queries" is the parsed block's. Bound the scan
       // to that flat object (to the first '}') — spread/recheck maps
       // further down reuse query names and must not override the mins.
-      path.flatMap { p =>
+      def load(p: String, sfGuarded: Boolean): Map[String, Double] =
         scala.util.Try {
           val txt = new String(java.nio.file.Files.readAllBytes(
             java.nio.file.Paths.get(p)), "UTF-8")
           val priorSf = "\"sf\"\\s*:\\s*([0-9.]+)".r
             .findFirstMatchIn(txt).map(_.group(1))
-          if (explicit.isEmpty && priorSf.isDefined && thisSf.isDefined &&
+          if (sfGuarded && priorSf.isDefined && thisSf.isDefined &&
               priorSf != thisSf) Map.empty[String, Double]
           else {
             val qi = txt.indexOf("\"queries\"")
@@ -428,8 +422,29 @@ object Bench {
               .findAllMatchIn(body)
               .map(m => m.group(1) -> m.group(2).toDouble).toMap
           }
-        }.toOption
-      }.getOrElse(Map.empty)
+        }.getOrElse(Map.empty)
+      explicit.map(load(_, sfGuarded = false)).getOrElse {
+        // Curated base overlaid by the latest per-round file: once the
+        // round file falls to the minimal stdout tier it names only the
+        // ~26 rechecked entries (BENCH_r12 did), so auto-discovery alone
+        // leaves ~120 entries with no burst protection AND the named
+        // ones re-trigger forever off stale memo-warm floors (r12
+        // judge). BENCH_PRIOR.json is the full honest-floor ledger
+        // (rebased from the r12 driver sweep); a newer per-round value
+        // overrides it when both carry the same key form (priorOf
+        // checks full names before short-key fallback, so a curated
+        // full-name entry outranks a minimal-tier short key — both are
+        // honest floors, so either serves the burst check).
+        val curated = load("BENCH_PRIOR.json", sfGuarded = true)
+        val latest = {
+          val rs = new java.io.File(".").listFiles()
+          Option(rs).map(_.map(_.getName)
+            .filter(_.matches("BENCH_r\\d+\\.json")).sorted)
+            .filter(_.nonEmpty).map(_.last)
+            .map(load(_, sfGuarded = true)).getOrElse(Map.empty)
+        }
+        curated ++ latest
+      }
     }
     // the compact stdout line may carry SHORT keys (numbering prefix
     // only — "p104_threshold_calibration" ships as "p104") once the

@@ -2596,8 +2596,15 @@ object Streaming {
       // be pruned; measured 35.6 s → 15.3 s at sf0.1)
       media.write.mode("overwrite").parquet(mediaDir)
       val staged = s.read.parquet(mediaDir)
+      // Split on xxhash64(doc_id), NOT doc_id % 4: every fixture id is
+      // ≡ 0 mod 4 (base ids are multiples of 4; the +1e6/+2e6 variant
+      // offsets are too), so a mod-id split would put the whole corpus
+      // in micro-batch 0 and never exercise the cross-batch signature
+      // append-merge this gate exists to cover (r12 advice). The hash
+      // split scatters each planted trio across batches.
       (0 until 4).foreach { b =>
-        writeSingle(staged.filter(pmod(col("doc_id"), lit(4L)) === b),
+        writeSingle(
+          staged.filter(pmod(xxhash64(col("doc_id")), lit(4L)) === b),
           srcDir, s"batch_$b")
       }
       val schema = s.read.parquet(srcDir).schema
