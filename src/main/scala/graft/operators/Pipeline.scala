@@ -42,6 +42,49 @@ object Pipeline {
       .unionAll(gen(2000000L, "jpg", 1)))
   }
 
+  /** The planted perceptual-AUDIO corpus p191/p192 share: every 4th
+    * document renders a smooth synthetic sound as real WAV bytes plus
+    * two honest variants under new ids — the SAME sound sampled at 2×
+    * the rate (+1000000, a true resample) and requantized to 8-bit
+    * (+2000000). Same shape discipline as [[plantedPerceptualMedia]]
+    * (one definition, id fan-out before the mapPartitions encoders).
+    */
+  private def plantedAudioMedia(s: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    val sel = t(s, dir, "documents")
+      .filter(col("doc_id") % 4 === 0).select("doc_id")
+      .repartition(32)
+    def gen(offset: Long, rate: Int, bits: Int) =
+      Multimodal.withSyntheticWav(
+        sel.select((col("doc_id") + offset).as("doc_id"),
+          col("doc_id").as("seed")), "seed", rate, bits)
+        .select("doc_id", "media")
+    (sel, gen(0L, 8000, 16)
+      .unionAll(gen(1000000L, 16000, 16))
+      .unionAll(gen(2000000L, 8000, 8)))
+  }
+
+  /** The planted perceptual-VIDEO corpus p193/p194 share: every 4th
+    * document renders a smooth morphing clip plus three honest variants
+    * under new ids — antialiased half resolution (+1000000), half the
+    * frame rate (+2000000), and a brightness cut to 216/256 (+3000000).
+    */
+  private def plantedVideoMedia(s: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    val sel = t(s, dir, "documents")
+      .filter(col("doc_id") % 4 === 0).select("doc_id")
+      .repartition(32)
+    def gen(offset: Long, resDiv: Int, frameStep: Int, bright: Int) =
+      Multimodal.withSyntheticVideoMedia(
+        sel.select((col("doc_id") + offset).as("doc_id"),
+          col("doc_id").as("seed")), "seed", resDiv, frameStep, bright)
+        .select("doc_id", "media")
+    (sel, gen(0L, 1, 1, 256)
+      .unionAll(gen(1000000L, 2, 1, 256))
+      .unionAll(gen(2000000L, 1, 2, 256))
+      .unionAll(gen(3000000L, 1, 1, 216)))
+  }
+
   /** documents ∪ perturbed copies (id + 1e6, one token appended). */
   private def docsWithPlants(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents").select("doc_id", "text")
@@ -8321,6 +8364,203 @@ object Pipeline {
       sel.select(col("doc_id"))
         .unionAll(sel.select((col("doc_id") + 1000000L).as("doc_id")))
         .unionAll(sel.select((col("doc_id") + 2000000L).as("doc_id")))
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("comp"), col("doc_id")).as("comp"))
+        .withColumn("kept", col("doc_id") === col("comp"))
+        .orderBy("doc_id")
+    },
+
+    // Perceptual AUDIO hash ARITHMETIC replay: the oracle recomputes
+    // the native AudioHash64 expression — 33 equal-count frames over an
+    // arithmetic PCM sequence (s(i) = ((id·31 + i·17) mod 4001) − 2000,
+    // which DuckDB regenerates exactly), int64 sum-of-squares energies
+    // compared by cross-multiplication (HUGEINT on the oracle side,
+    // 128-bit products on the Spark side), and raw zero-crossing counts
+    // — so all 64 bits match exactly; the hash ships as two uint32
+    // halves, the p186 convention. Full hash gate; p191 pins the
+    // end-to-end WAV codec path.
+    QueryDef("p190_audiohash_replay",
+      """WITH d AS (SELECT doc_id,
+        |    CAST(330 + (doc_id % 7) * 33 AS BIGINT) AS n
+        |  FROM documents),
+        |s AS (SELECT doc_id, n, u.i AS i,
+        |    ((doc_id*31 + u.i*17) % 4001) - 2000 AS v
+        |  FROM d, LATERAL (SELECT unnest(range(0, d.n)) AS i) u),
+        |f AS (SELECT doc_id, i // (n // 33) AS k, v,
+        |    lead(v) OVER (PARTITION BY doc_id ORDER BY i) AS nxt,
+        |    (i+1) // (n // 33) AS k_next
+        |  FROM s),
+        |agg AS (SELECT doc_id, k,
+        |    SUM(CAST(v AS HUGEINT) * v) AS e, COUNT(*) AS c,
+        |    SUM(CASE WHEN k_next = k AND v * nxt < 0
+        |      THEN 1 ELSE 0 END) AS z
+        |  FROM f GROUP BY 1, 2),
+        |bits AS (SELECT a.doc_id, a.k,
+        |    CASE WHEN a.e * b.c > b.e * a.c THEN 1 ELSE 0 END AS ebit,
+        |    CASE WHEN a.z > b.z THEN 1 ELSE 0 END AS zbit
+        |  FROM agg a JOIN agg b ON b.doc_id = a.doc_id
+        |    AND b.k = a.k + 1)
+        |SELECT doc_id,
+        |  CAST(SUM(zbit * (1::BIGINT << CAST(k AS INT)))
+        |    AS BIGINT) AS hash_hi,
+        |  CAST(SUM(ebit * (1::BIGINT << CAST(k AS INT)))
+        |    AS BIGINT) AS hash_lo
+        |FROM bits GROUP BY 1 ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+        val d = Multimodal.withArithmeticPcm(
+          t(s, dir, "documents").select(col("doc_id"),
+            (lit(330) + (col("doc_id") % 7) * 33).cast("int").as("n"))
+            .repartition(32))
+        val ah = org.apache.spark.sql.graft.VectorExpressions
+          .audiohash64(col("pcm"))
+        d.select(col("doc_id"),
+          call_function("shiftrightunsigned", ah, lit(32)).as("hash_hi"),
+          ah.bitwiseAND(lit(0xFFFFFFFFL)).as("hash_lo"))
+          .orderBy("doc_id")
+    },
+
+    // Perceptual AUDIO near-dup END-TO-END: every 4th doc renders a
+    // smooth synthetic sound as real RIFF/WAVE bytes, with two honest
+    // variants planted under new ids: the SAME sound sampled at 16 kHz
+    // (true 2× resample, +1000000) and requantized to 8-bit PCM
+    // (+2000000). Byte-level dedup can pair none of these; the WAV
+    // parse → AudioHash64 → hamming-pigeonhole path must find every
+    // pair at hamming ≤ 8 (measured over the full sf0.1 seed range:
+    // resample ≤ 3, requant ≤ 6, different sounds ≥ 13 apart). DuckDB
+    // can't parse WAV, so — the p187 pattern — the oracle recomputes
+    // the planted id set and asserts `found` literally.
+    QueryDef("p191_audio_neardup",
+      """SELECT doc_id, doc_id + 1000000 AS copy_id,
+        |  'resample2x' AS kind, true AS found
+        |FROM documents WHERE doc_id % 4 = 0
+        |UNION ALL
+        |SELECT doc_id, doc_id + 2000000 AS copy_id,
+        |  'requant8' AS kind, true AS found
+        |FROM documents WHERE doc_id % 4 = 0
+        |ORDER BY doc_id, copy_id""".stripMargin) { (s, dir) =>
+      val (sel, media) = plantedAudioMedia(s, dir)
+      val pairs = Dedup.audioPairs(media, "doc_id", "media",
+        maxHamming = 8)
+      val expected = sel.select(col("doc_id"),
+          (col("doc_id") + 1000000L).as("copy_id"),
+          lit("resample2x").as("kind"))
+        .unionAll(sel.select(col("doc_id"),
+          (col("doc_id") + 2000000L).as("copy_id"),
+          lit("requant8").as("kind")))
+      expected.join(pairs.select(col("id_a").as("doc_id"),
+          col("id_b").as("copy_id"), col("hamming")),
+          Seq("doc_id", "copy_id"), "left")
+        .select(col("doc_id"), col("copy_id"), col("kind"),
+          col("hamming").isNotNull.as("found"))
+        .orderBy("doc_id", "copy_id")
+    },
+
+    // Perceptual AUDIO dedup END-TO-END: parse → AudioHash64 → multi-
+    // block hamming pairs → connected components → keep each cluster's
+    // minimum id. Every planted trio (original, 2× resample, 8-bit
+    // requant) collapses to ONE surviving row; cluster labels are
+    // exactly predictable because different sounds sit ≥ 13 bits apart
+    // while variants sit ≤ 6 — a full hash gate, the p189 pattern.
+    QueryDef("p192_audio_dedup",
+      """SELECT doc_id, doc_id AS comp, true AS kept
+        |FROM documents WHERE doc_id % 4 = 0
+        |UNION ALL
+        |SELECT doc_id + 1000000 AS doc_id, doc_id AS comp,
+        |  false AS kept
+        |FROM documents WHERE doc_id % 4 = 0
+        |UNION ALL
+        |SELECT doc_id + 2000000 AS doc_id, doc_id AS comp,
+        |  false AS kept
+        |FROM documents WHERE doc_id % 4 = 0
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val (sel, media) = plantedAudioMedia(s, dir)
+      val pairs = Dedup.audioPairs(media, "doc_id", "media",
+        maxHamming = 8)
+      val labels = Dedup.components(pairs)
+      sel.select(col("doc_id"))
+        .unionAll(sel.select((col("doc_id") + 1000000L).as("doc_id")))
+        .unionAll(sel.select((col("doc_id") + 2000000L).as("doc_id")))
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("comp"), col("doc_id")).as("comp"))
+        .withColumn("kept", col("doc_id") === col("comp"))
+        .orderBy("doc_id")
+    },
+
+    // Perceptual VIDEO near-dup END-TO-END: every 4th doc renders a
+    // smooth MORPHING clip (24 frames, the bilinear lattice surface
+    // drifting 35% toward a second lattice), with three honest variants
+    // planted under new ids: antialiased half resolution (+1000000),
+    // half the frame rate (+2000000 — different nframes, same content
+    // times), and brightness 216/256 (+3000000). The demux → sample 8
+    // frames at fixed time fractions → per-frame dHash → temporal
+    // majority vote → hamming-pigeonhole path must find every
+    // (original, variant) pair at hamming ≤ 8 (measured: halfres ≤ 2,
+    // halfrate ≤ 2, dim ≤ 2; different clips ≥ 16 apart). The oracle
+    // recomputes the planted id set and asserts `found` literally.
+    QueryDef("p193_video_neardup",
+      """SELECT doc_id, doc_id + 1000000 AS copy_id,
+        |  'halfres' AS kind, true AS found
+        |FROM documents WHERE doc_id % 4 = 0
+        |UNION ALL
+        |SELECT doc_id, doc_id + 2000000 AS copy_id,
+        |  'halfrate' AS kind, true AS found
+        |FROM documents WHERE doc_id % 4 = 0
+        |UNION ALL
+        |SELECT doc_id, doc_id + 3000000 AS copy_id,
+        |  'dim' AS kind, true AS found
+        |FROM documents WHERE doc_id % 4 = 0
+        |ORDER BY doc_id, copy_id""".stripMargin) { (s, dir) =>
+      val (sel, media) = plantedVideoMedia(s, dir)
+      val pairs = Dedup.videoPairs(media, "doc_id", "media",
+        maxHamming = 8)
+      val expected = sel.select(col("doc_id"),
+          (col("doc_id") + 1000000L).as("copy_id"),
+          lit("halfres").as("kind"))
+        .unionAll(sel.select(col("doc_id"),
+          (col("doc_id") + 2000000L).as("copy_id"),
+          lit("halfrate").as("kind")))
+        .unionAll(sel.select(col("doc_id"),
+          (col("doc_id") + 3000000L).as("copy_id"),
+          lit("dim").as("kind")))
+      expected.join(pairs.select(col("id_a").as("doc_id"),
+          col("id_b").as("copy_id"), col("hamming")),
+          Seq("doc_id", "copy_id"), "left")
+        .select(col("doc_id"), col("copy_id"), col("kind"),
+          col("hamming").isNotNull.as("found"))
+        .orderBy("doc_id", "copy_id")
+    },
+
+    // Perceptual VIDEO dedup END-TO-END: every planted QUAD (original,
+    // half-res, half-rate, dimmed) collapses to one surviving row, the
+    // original — demux → temporal majority dHash → pairs → components →
+    // per-cluster minimum. Full hash gate (labels exactly predictable:
+    // variants ≤ 2 bits from their source, different clips ≥ 16).
+    QueryDef("p194_video_dedup",
+      """SELECT doc_id, doc_id AS comp, true AS kept
+        |FROM documents WHERE doc_id % 4 = 0
+        |UNION ALL
+        |SELECT doc_id + 1000000 AS doc_id, doc_id AS comp,
+        |  false AS kept
+        |FROM documents WHERE doc_id % 4 = 0
+        |UNION ALL
+        |SELECT doc_id + 2000000 AS doc_id, doc_id AS comp,
+        |  false AS kept
+        |FROM documents WHERE doc_id % 4 = 0
+        |UNION ALL
+        |SELECT doc_id + 3000000 AS doc_id, doc_id AS comp,
+        |  false AS kept
+        |FROM documents WHERE doc_id % 4 = 0
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val (sel, media) = plantedVideoMedia(s, dir)
+      val pairs = Dedup.videoPairs(media, "doc_id", "media",
+        maxHamming = 8)
+      val labels = Dedup.components(pairs)
+      sel.select(col("doc_id"))
+        .unionAll(sel.select((col("doc_id") + 1000000L).as("doc_id")))
+        .unionAll(sel.select((col("doc_id") + 2000000L).as("doc_id")))
+        .unionAll(sel.select((col("doc_id") + 3000000L).as("doc_id")))
         .join(labels, Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("comp"), col("doc_id")).as("comp"))

@@ -647,6 +647,64 @@ object Dedup {
       maxHamming, multiIndex)
   }
 
+  /** Perceptual AUDIO near-dup pairs: parse each WAV payload to PCM
+    * ([[Multimodal.withDecodedPcm]] — the one mapPartitions stage; RIFF
+    * needs no codec, so unlike the image path there is no JDK
+    * dependence), fingerprint with the codegen'd [[org.apache.spark.sql.graft.AudioHash64]]
+    * (33 time frames; energy-contour bits + zero-crossing-contour bits),
+    * and pair via the same [[hammingPairs]] multi-block pigeonhole the
+    * image path rides. Catches what byte dedup cannot: the SAME sound
+    * resampled (2× rate) or requantized (16→8-bit) lands within a few
+    * bits; different sounds sit ~32 apart. Unparseable payloads drop out
+    * before hashing.
+    *
+    * 100 TB shape: identical to [[perceptualPairs]] — decode is
+    * embarrassingly parallel; only (id, sig) longs then (combo-key, id)
+    * pairs ever shuffle, never the audio bytes.
+    */
+  def audioPairs(df: DataFrame, idCol: String, binCol: String,
+      maxHamming: Int = 8, multiIndex: Int = 3): DataFrame = {
+    val dec = graft.pipeline.Multimodal.withDecodedPcm(
+      df.select(col(idCol), col(binCol)), binCol)
+      .filter(col("pcm").isNotNull)
+    hammingPairs(dec.select(col(idCol).as("id"),
+      org.apache.spark.sql.graft.VectorExpressions.audiohash64(
+        col("pcm")).as("sig")),
+      maxHamming, multiIndex)
+  }
+
+  /** Perceptual VIDEO near-dup pairs: demux each clip and sample 8
+    * frames at fixed time fractions ([[Multimodal.withDecodedFrames]] —
+    * the one mapPartitions stage), dHash each sampled frame with the
+    * SAME codegen'd expression the image path uses, vote the per-frame
+    * hashes into one clip signature per id
+    * ([[org.apache.spark.sql.graft.MajorityHash64]] — a near-tie bit
+    * flipped in one frame cannot move the majority), then pair via
+    * [[hammingPairs]]. Catches the SAME clip re-encoded at lower
+    * resolution (per-frame dHash survives resize) or at half the frame
+    * rate (time-fraction sampling re-aligns) or brightness-shifted
+    * (ratio compares); different clips sit ~32 bits apart.
+    *
+    * 100 TB shape: the 8× frame fan-out happens INSIDE the decode stage
+    * and collapses to one (id, sig) long per clip in the very next
+    * aggregation — the groupBy shuffles 8 longs per clip, never pixels,
+    * never clip bytes.
+    */
+  def videoPairs(df: DataFrame, idCol: String, binCol: String,
+      maxHamming: Int = 8, multiIndex: Int = 3): DataFrame = {
+    val frames = graft.pipeline.Multimodal.withDecodedFrames(
+      df.select(col(idCol), col(binCol)), binCol)
+      .filter(col("gray").isNotNull)
+    val sigs = frames
+      .select(col(idCol).as("id"),
+        org.apache.spark.sql.graft.VectorExpressions.dhash64(
+          col("gray"), col("img_w"), col("img_h")).as("fsig"))
+      .groupBy("id")
+      .agg(org.apache.spark.sql.graft.VectorExpressions.majorityhash64(
+        collect_list(col("fsig"))).as("sig"))
+    hammingPairs(sigs, maxHamming, multiIndex)
+  }
+
   /** Materialize a deduplicated corpus from near-dup pairs: drop the
     * higher id of every pair (greedy, one pass — at 100 TB this is a
     * broadcast/semi-join of the pair list against the corpus; for full

@@ -103,7 +103,11 @@ object Multimodal {
     * planted variants are honest near-dups, not byte tricks. Measured
     * over the full sf0.1 seed range (1250 pictures): resize hamming
     * ≤ 6, jpeg ≤ 3, while DIFFERENT seeds sit ≥ 11 apart — the k=8
-    * pigeonhole band with margin on both sides. (A 10×10 lattice
+    * pigeonhole band with margin on both sides. NOTE these margins are
+    * a property of the RUNNING JDK's ImageIO PNG/JPEG codecs (the jpeg
+    * one especially: quantization tables differ across JDK vendors); a
+    * PipelineSpec test re-measures them on every build so codec drift
+    * fails with a diagnostic instead of a bare oracle mismatch. (A 10×10 lattice
     * aliases against the 9×8 pool grid — near-tie bits flipped under
     * box-edge shifts and the resize tail crossed the seed-pair floor;
     * 9×9 plus the antialiased base is the measured sweet spot.)
@@ -365,4 +369,346 @@ object Multimodal {
       transform(sequence(lit(0), lit(dim - 1)),
         i => (xxhash64(i, col(binCol)).cast("double") /
           lit(Long.MaxValue.toDouble)).cast("float")))
+
+  // ---------------------------------------------------------------------
+  // Audio: real WAV bytes in, real RIFF parse out. The container ships no
+  // audio codecs, but PCM WAV needs none — the encoder and parser below
+  // are the actual format, so unlike the image JPEG path there is no
+  // JDK-codec dependence at all.
+  // ---------------------------------------------------------------------
+
+  /** 33 seeded doubles in [0, 1) — the 1-D lattice (splitmix64, same
+    * mixing as [[smoothLattice]]) behind the audio amplitude and
+    * frequency contours. 33 points = one per AudioHash64 frame, so both
+    * contours carry 32 independent slope signs each.
+    */
+  private def seededUnit(seed: Long, n: Int): Array[Double] = {
+    val out = new Array[Double](n)
+    var z = seed
+    var i = 0
+    while (i < n) {
+      z += 0x9E3779B97F4A7C15L
+      var t = z
+      t = (t ^ (t >>> 30)) * 0xBF58476D1CE4E5B9L
+      t = (t ^ (t >>> 27)) * 0x94D049BB133111EBL
+      t = t ^ (t >>> 31)
+      out(i) = (t >>> 11).toDouble / (1L << 53).toDouble
+      i += 1
+    }
+    out
+  }
+
+  private def lerp1d(lat: Array[Double], frac: Double): Double = {
+    val m = lat.length - 1
+    val u = frac * m
+    val i = math.min(m - 1, u.toInt)
+    val f = u - i
+    lat(i) * (1 - f) + lat(i + 1) * f
+  }
+
+  /** Deterministic synthetic SOUND: a sine carrier whose amplitude and
+    * frequency each follow a seeded 33-point lattice over the clip's
+    * 0.66 s — genuinely low-frequency content, the audio analog of
+    * [[syntheticSmoothImage]]. The waveform is DEFINED in continuous
+    * time (phase integrates f(t) per sample step), so rate=16000 is the
+    * SAME sound truly resampled at 2×, and bits=8 a true requantization
+    * of it — honest near-dup variants, not byte tricks. Amplitude floor
+    * 0.2 keeps 8-bit magnitudes ≥ ~24, so quantization never invents
+    * zero crossings.
+    */
+  private[graft] def syntheticWav(seed: Long, rate: Int,
+      bits: Int): Array[Byte] = {
+    require(bits == 8 || bits == 16, s"bad bits $bits")
+    val n = rate * 33 / 50 // 0.66 s; divisible by 33 for 8000/16000
+    val amp = seededUnit(seed, 33).map(0.2 + 0.8 * _)
+    val freq = seededUnit(seed ^ 0x51AB7E1DC0FFEE11L, 33)
+      .map(300.0 + 900.0 * _)
+    val pcm = new Array[Int](n)
+    var phase = 0.0
+    var i = 0
+    while (i < n) {
+      val frac = i.toDouble / n
+      val v = lerp1d(amp, frac) * math.sin(phase)
+      pcm(i) =
+        if (bits == 16) math.round(v * 30000).toInt
+        else 128 + math.max(-120, math.min(120, math.round(v * 120).toInt))
+      phase += 2 * math.Pi * lerp1d(freq, frac) / rate
+      i += 1
+    }
+    wavBytes(pcm, rate, bits)
+  }
+
+  /** RIFF/WAVE PCM encoder (mono; 8-bit unsigned or 16-bit signed LE). */
+  private[graft] def wavBytes(pcm: Array[Int], rate: Int,
+      bits: Int): Array[Byte] = {
+    val bytesPer = bits / 8
+    val dataLen = pcm.length * bytesPer
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(rate)
+      .putInt(rate * bytesPer).putShort(bytesPer.toShort)
+      .putShort(bits.toShort)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < pcm.length) {
+      if (bits == 16) bb.putShort(pcm(i).toShort)
+      else bb.put(pcm(i).toByte)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** Attach a synthetic WAV payload per row (seed from `seedCol` — a
+    * variant row carries its SOURCE's id there, so it renders the same
+    * sound). Same mapPartitions batch shape as the decoders.
+    */
+  private[graft] def withSyntheticWav(df: DataFrame, seedCol: String,
+      rate: Int, bits: Int, outCol: String = "media"): DataFrame = {
+    val outSchema = df.schema.add(outCol, BinaryType)
+    val seedIdx = df.schema.fieldIndex(seedCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        Row.fromSeq(r.toSeq :+ syntheticWav(r.getLong(seedIdx), rate, bits))
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
+  /** Arithmetic PCM "decoder" for the p190 hash-replay gate: emits
+    * s(i) = ((id·31 + i·17) mod 4001) − 2000 over `nCol` samples — a
+    * sequence a SQL oracle can recompute exactly, standing where the
+    * RIFF parse ([[withDecodedPcm]]) stands in production. The
+    * [[withArithmeticGray]] convention for audio.
+    */
+  private[graft] def withArithmeticPcm(df: DataFrame,
+      idCol: String = "doc_id", nCol: String = "n"): DataFrame = {
+    val outSchema = df.schema
+      .add("pcm", ArrayType(IntegerType, containsNull = false))
+    val idI = df.schema.fieldIndex(idCol)
+    val nI = df.schema.fieldIndex(nCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idI)
+        val n = r.getInt(nI)
+        val s = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          s(i) = ((id * 31 + i.toLong * 17) % 4001).toInt - 2000
+          i += 1
+        }
+        Row.fromSeq(r.toSeq :+ s.toSeq)
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
+  /** Decode a RIFF/WAVE PCM payload to its sample array: walks the
+    * chunk list to `fmt ` and `data`, centers 8-bit (unsigned, bias
+    * 128) and reads 16-bit signed LE; multi-channel keeps channel 0.
+    * Unparseable payloads yield nulls (they still flow through
+    * byte-level dedup). The one mapPartitions stage of the audio path —
+    * everything after is codegen'd expressions over (id, sig) longs.
+    */
+  def withDecodedPcm(df: DataFrame, binCol: String = "media"): DataFrame = {
+    val outSchema = df.schema
+      .add("pcm", ArrayType(IntegerType, containsNull = false))
+      .add("sample_rate", IntegerType)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        val parsed = parseWav(bytes)
+        if (parsed == null) Row.fromSeq(r.toSeq ++ Seq(null, null))
+        else Row.fromSeq(r.toSeq ++ Seq(parsed._1.toSeq, parsed._2))
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
+  private[graft] def parseWav(bytes: Array[Byte]): (Array[Int], Int) = {
+    if (bytes == null || bytes.length < 44) return null
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag4(): String = {
+      val t = new Array[Byte](4); bb.get(t); new String(t, "US-ASCII")
+    }
+    try {
+      if (tag4() != "RIFF") return null
+      bb.getInt // riff size (unreliable in the wild; chunk walk instead)
+      if (tag4() != "WAVE") return null
+      var rate = -1; var bits = -1; var channels = -1
+      var data: Array[Byte] = null
+      while (bb.remaining() >= 8 && (rate < 0 || data == null)) {
+        val tag = tag4(); val len = bb.getInt
+        if (len < 0) return null // bogus length: could walk backwards
+        val take = math.min(len, bb.remaining())
+        if (tag == "fmt ") {
+          if (take < 16) return null
+          val fmt = bb.getShort
+          channels = bb.getShort.toInt
+          rate = bb.getInt
+          bb.getInt; bb.getShort // byte rate, block align
+          bits = bb.getShort.toInt
+          if (fmt != 1) return null // PCM only
+          bb.position(bb.position() + take - 16)
+        } else if (tag == "data") {
+          data = new Array[Byte](take); bb.get(data)
+        } else bb.position(bb.position() + take)
+        if (take % 2 == 1 && bb.remaining() > 0)
+          bb.position(bb.position() + 1) // RIFF chunks pad to even
+      }
+      if (rate <= 0 || data == null || channels <= 0 ||
+        (bits != 8 && bits != 16)) return null
+      val stride = channels * (bits / 8)
+      val n = data.length / stride
+      val pcm = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        pcm(i) =
+          if (bits == 16)
+            ((data(i * stride) & 0xFF) |
+              (data(i * stride + 1) << 8)).toShort.toInt
+          else (data(i * stride) & 0xFF) - 128
+        i += 1
+      }
+      (pcm, rate)
+    } catch { case _: Exception => null }
+  }
+
+  // ---------------------------------------------------------------------
+  // Video: an uncompressed grayscale clip format ("GVID" header + w, h,
+  // nframes LE ints + nframes row-major frames of gray bytes). The
+  // container ships no video codecs; this stands where a real demuxer
+  // would, and every plan around it — frame sampling, per-frame dHash,
+  // temporal majority vote — is production-shaped.
+  // ---------------------------------------------------------------------
+
+  /** How far toward the second lattice the clip morphs end-to-end: the
+    * per-frame motion is MorphSpan/nframes of the full lattice range, so
+    * time-misaligned variants (a 2× frame-rate drop sampled at the same
+    * time fractions) differ by ≤ one frame of motion ≈ 1.5% of the
+    * surface — near-tie dHash bits only, and the majority vote damps
+    * even those.
+    */
+  private val MorphSpan = 0.35
+
+  /** Deterministic synthetic CLIP: frame at source index j (on the
+    * 24-frame base timeline) renders the bilinear surface of the lattice
+    * morphed `MorphSpan · j/24` of the way from lattice(seed) toward
+    * lattice(seed'), pixels scaled by bright/256 (a true brightness
+    * change — dHash ratio compares survive it). `frameStep` subsamples
+    * the TIMELINE (step 2 = half the frame rate, same content), so
+    * variants stay time-aligned by construction. `resDiv` downsamples
+    * SPATIALLY the way a production transcoder does — each output pixel
+    * box-averages its resDiv² full-res subpixels, rounded once
+    * (pointwise sampling instead aliased against the 9×8 pool grid and
+    * drifted the clip hash to 11 bits on some seeds; the antialiased
+    * form measures ≤ 2).
+    */
+  private[graft] def syntheticVideo(seed: Long, resDiv: Int,
+      frameStep: Int, bright: Int): Array[Byte] = {
+    val baseFrames = 24
+    val baseW = 36; val baseH = 32
+    val w = baseW / resDiv; val h = baseH / resDiv
+    val nframes = baseFrames / frameStep
+    val latA = smoothLattice(seed)
+    val latB = smoothLattice(seed ^ 0x0DDBA11CAFEB0BA5L)
+    val out = java.nio.ByteBuffer.allocate(16 + nframes * w * h)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("GVID".getBytes("US-ASCII")).putInt(w).putInt(h)
+      .putInt(nframes)
+    val lat = new Array[Int](latA.length)
+    var j = 0
+    while (j < nframes) {
+      val frac = MorphSpan * (j * frameStep).toDouble / baseFrames
+      var i = 0
+      while (i < lat.length) {
+        lat(i) = math.round(latA(i) + (latB(i) - latA(i)) * frac).toInt
+        i += 1
+      }
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          var acc = 0.0
+          var sy = 0
+          while (sy < resDiv) {
+            var sx = 0
+            while (sx < resDiv) {
+              acc += bilinearGray(lat, x * resDiv + sx, y * resDiv + sy,
+                baseW, baseH)
+              sx += 1
+            }
+            sy += 1
+          }
+          val g = math.max(0, math.min(255,
+            math.round(acc / (resDiv * resDiv)).toInt))
+          out.put((g * bright / 256).toByte)
+          x += 1
+        }
+        y += 1
+      }
+      j += 1
+    }
+    out.array()
+  }
+
+  private[graft] def withSyntheticVideoMedia(df: DataFrame,
+      seedCol: String, resDiv: Int, frameStep: Int, bright: Int,
+      outCol: String = "media"): DataFrame = {
+    val outSchema = df.schema.add(outCol, BinaryType)
+    val seedIdx = df.schema.fieldIndex(seedCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        Row.fromSeq(r.toSeq :+ syntheticVideo(r.getLong(seedIdx),
+          resDiv, frameStep, bright))
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
+  /** Parse a GVID payload and emit `nSample` frames per clip, sampled at
+    * fixed TIME fractions (midpoints of `nSample` equal slices:
+    * idx = ⌊(2j+1)·nframes / (2·nSample)⌋) — so a clip at half the frame
+    * rate samples the same content times to within one frame. One row
+    * per sampled frame: (input cols…, frame_pos, gray, img_w, img_h) —
+    * the fan-out is nSample×, but only the SAMPLED frames' pixels leave
+    * the decoder, never the clip bytes. Unparseable payloads emit one
+    * row with nulls.
+    */
+  def withDecodedFrames(df: DataFrame, binCol: String = "media",
+      nSample: Int = 8): DataFrame = {
+    val outSchema = df.schema
+      .add("frame_pos", IntegerType)
+      .add("gray", ArrayType(IntegerType, containsNull = false))
+      .add("img_w", IntegerType).add("img_h", IntegerType)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        val ok = bytes != null && bytes.length >= 16 &&
+          bytes(0) == 'G' && bytes(1) == 'V' && bytes(2) == 'I' &&
+          bytes(3) == 'D'
+        if (!ok) Seq(Row.fromSeq(r.toSeq ++ Seq(null, null, null, null)))
+        else {
+          val bb = java.nio.ByteBuffer.wrap(bytes, 4, 12)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val w = bb.getInt; val h = bb.getInt; val nf = bb.getInt
+          if (w <= 0 || h <= 0 || nf <= 0 ||
+            bytes.length < 16 + nf.toLong * w * h)
+            Seq(Row.fromSeq(r.toSeq ++ Seq(null, null, null, null)))
+          else (0 until nSample).map { j =>
+            val idx = (2 * j + 1) * nf / (2 * nSample)
+            val base = 16 + idx * w * h
+            val gray = new Array[Int](w * h)
+            var i = 0
+            while (i < gray.length) {
+              gray(i) = bytes(base + i) & 0xFF
+              i += 1
+            }
+            Row.fromSeq(r.toSeq ++ Seq(j, gray.toSeq, w, h))
+          }
+        }
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
 }

@@ -172,6 +172,19 @@ object VectorExpressions {
     */
   def dhash64(gray: Column, w: Column, h: Column): Column =
     column(DHash64(expression(gray), expression(w), expression(h)))
+
+  /** 64-bit perceptual audio fingerprint of a PCM sample array — the
+    * dHash analog for sound. See [[AudioHash64]].
+    */
+  def audiohash64(pcm: Column): Column =
+    column(AudioHash64(expression(pcm)))
+
+  /** Per-bit strict-majority vote over an array of 64-bit signatures —
+    * the temporal clip hash over per-frame dHashes. See
+    * [[MajorityHash64]].
+    */
+  def majorityhash64(sigs: Column): Column =
+    column(MajorityHash64(expression(sigs)))
 }
 
 /** Set Jaccard |A∩B|/|A∪B| of two pre-sorted distinct long arrays by
@@ -1817,8 +1830,14 @@ object HtmlMainText {
   * so an external SQL engine replays the hash bit-for-bit from the same
   * pixels. Cell boundaries are floor(b·dim/9|8); a dimension below the
   * grid (w < 9 or h < 8) yields empty cells that compare as (0, 0) —
-  * deterministic, still replayable. Exactness bound: sum·count stays
-  * inside int64 for images up to ~6·10⁸ pixels at luma scale ≤ 255000.
+  * deterministic, still replayable. The cross-multiply is evaluated as
+  * a full 128-bit product (`Math.multiplyHigh` + unsigned-low compare),
+  * so it cannot wrap for ANY representable input: a 64-bit sum·count
+  * would overflow past ~4.3·10⁸ pixels at luma scale 255000 (r12
+  * advice — the old doc claimed ~6·10⁸), and the per-cell sums
+  * themselves stay in int64 because the array is capped at 2³¹
+  * elements and luma values are ints (≤ 2³¹·2³¹ < 2⁶³ never binds;
+  * worst real case 255000·2³¹ ≈ 5.5·10¹⁴).
   *
   * Bit layout: bit (by·8 + bx) for by ∈ [0,8), bx ∈ [0,8) — low bit =
   * top-left compare, matching the reference dHash layout convention.
@@ -1846,6 +1865,19 @@ case class DHash64(first: Expression, second: Expression, third: Expression)
 }
 
 object DHash64 {
+  /** Signed compare of the exact 128-bit products a·b vs c·d: high
+    * halves signed (`Math.multiplyHigh` is two's-complement-correct for
+    * any sign mix), low halves unsigned. Never wraps, whatever the
+    * image size or luma scale. Shared with [[AudioHash64]]'s frame-
+    * energy compares.
+    */
+  private[graft] def cmp128(a: Long, b: Long, c: Long, d: Long): Int = {
+    val hi1 = Math.multiplyHigh(a, b)
+    val hi2 = Math.multiplyHigh(c, d)
+    if (hi1 != hi2) java.lang.Long.compare(hi1, hi2)
+    else java.lang.Long.compareUnsigned(a * b, c * d)
+  }
+
   /** Shared by eval and codegen. Cells are indexed (bx ∈ [0,9), by ∈
     * [0,8)); a pixel (x, y) of a w×h image lands in the cell whose
     * half-open box [bx·w/9, (bx+1)·w/9) × [by·h/8, (by+1)·h/8) contains
@@ -1889,12 +1921,168 @@ object DHash64 {
       while (bx < 8) {
         val l = by * 9 + bx
         // left brighter than right, exactly: sum_l/cnt_l > sum_r/cnt_r
-        // cross-multiplied (empty cells are (0,0): 0 > 0 is false)
-        if (sums(l) * cnts(l + 1) > sums(l + 1) * cnts(l))
+        // cross-multiplied (empty cells are (0,0): 0 > 0 is false).
+        // 128-bit products: a 64-bit sum·count wraps past ~4.3e8 px at
+        // luma scale 255000 and would silently flip compare bits.
+        if (cmp128(sums(l), cnts(l + 1), sums(l + 1), cnts(l)) > 0)
           out |= 1L << (by * 8 + bx)
         bx += 1
       }
       by += 1
+    }
+    out
+  }
+}
+
+/** 64-bit perceptual audio fingerprint (the dHash analog for sound):
+  * the PCM sample array is cut into 33 equal-TIME frames; bit k
+  * (k ∈ [0,32)) compares adjacent frames' mean-square ENERGY — is frame
+  * k louder than frame k+1? — and bit 32+k compares their raw
+  * zero-crossing COUNTS — is frame k's dominant frequency higher? Two
+  * independent low-frequency contours give 64 near-independent bits
+  * (energy alone follows the amplitude envelope's 32 slope signs, which
+  * collide across clips at corpus scale).
+  *
+  * Invariances, each exact or near-exact by construction:
+  *  - gain: s → a·s scales every frame energy by a² and moves no zero
+  *    crossing, so ALL 64 bits survive a volume change exactly;
+  *  - resample: frames are time slices, mean-square energy is per-sample
+  *    (cross-multiplied by counts, like DHash64's pool), and crossings
+  *    per time slice track the waveform's sign pattern, not the rate —
+  *    compares survive a 2× resample up to discretization at frame
+  *    edges;
+  *  - requantization: 16→8-bit adds ≤ 1/2⁸ relative noise — near-tie
+  *    bits only.
+  *
+  * Integer-exact and SQL-replayable: energies are int64 sums of squares
+  * (samples are ints → squares ≤ 2⁶², and a PCM array is ≤ 2³¹
+  * elements of ≤ 16-bit magnitude in practice → sums ≤ 2³¹·2³⁰ < 2⁶³),
+  * compared as 128-bit cross-products; crossing counts are plain ints.
+  * Fewer than 33 samples (no nonempty frames) hashes to 0L — corrupt
+  * rows cluster at zero, the [[DHash64]] convention.
+  */
+case class AudioHash64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(IntegerType))
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  protected override def nullSafeEval(pcm: Any): Any =
+    AudioHash64.hash(
+      pcm.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, pcm =>
+      s"org.apache.spark.sql.graft.AudioHash64.hash($pcm)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
+object AudioHash64 {
+  val Frames = 33
+
+  /** Shared by eval and codegen. Frame k covers samples
+    * [k·n/33, (k+1)·n/33) — equal time slices whatever the rate. A
+    * crossing is a strict sign change between CONSECUTIVE samples both
+    * inside the frame (zeros break a run: sign products with a zero
+    * count as no crossing — deterministic, replayable).
+    */
+  def hash(pcm: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val n = pcm.numElements()
+    if (n < Frames) return 0L
+    val energy = new Array[Long](Frames)
+    val cross = new Array[Int](Frames)
+    val cnt = new Array[Long](Frames)
+    var k = 0
+    while (k < Frames) {
+      val lo = (k.toLong * n / Frames).toInt
+      val hi = ((k + 1).toLong * n / Frames).toInt
+      var e = 0L
+      var z = 0
+      var i = lo
+      while (i < hi) {
+        val s = pcm.getInt(i).toLong
+        e += s * s
+        if (i + 1 < hi) {
+          val t = pcm.getInt(i + 1).toLong
+          if (s * t < 0) z += 1
+        }
+        i += 1
+      }
+      energy(k) = e; cross(k) = z; cnt(k) = hi - lo
+      k += 1
+    }
+    var out = 0L
+    k = 0
+    while (k < Frames - 1) {
+      // louder: e_k/c_k > e_{k+1}/c_{k+1}, cross-multiplied 128-bit
+      if (DHash64.cmp128(energy(k), cnt(k + 1),
+          energy(k + 1), cnt(k)) > 0)
+        out |= 1L << k
+      // higher-pitched: raw crossing counts — frames are equal TIME, so
+      // no normalization (counts differ by rate, crossings don't)
+      if (cross(k) > cross(k + 1))
+        out |= 1L << (32 + k)
+      k += 1
+    }
+    out
+  }
+}
+
+/** Per-bit strict-majority vote over an array of 64-bit signatures: bit
+  * j of the result is set iff MORE than half the input signatures have
+  * bit j set (ties → 0 — deterministic). This is the temporal clip hash:
+  * per-sampled-frame dHashes vote bitwise, so a clip re-encoded at lower
+  * resolution or a different frame rate — where each aligned frame's
+  * dHash drifts a few bits, different bits per frame — still lands
+  * within a few bits of its source, while a near-tie bit flipped in one
+  * frame can't move the majority. Empty/null arrays and null elements
+  * hash to 0L (the corrupt-rows-cluster-at-zero convention).
+  */
+case class MajorityHash64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  protected override def nullSafeEval(sigs: Any): Any =
+    MajorityHash64.hash(
+      sigs.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, sigs =>
+      s"org.apache.spark.sql.graft.MajorityHash64.hash($sigs)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
+object MajorityHash64 {
+  def hash(sigs: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val n = sigs.numElements()
+    if (n == 0) return 0L
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      if (sigs.isNullAt(i)) return 0L
+      val s = sigs.getLong(i)
+      var j = 0
+      while (j < 64) {
+        if ((s & (1L << j)) != 0) counts(j) += 1
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) {
+      if (counts(j) * 2 > n) out |= 1L << j
+      j += 1
     }
     out
   }

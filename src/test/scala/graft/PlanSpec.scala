@@ -1536,4 +1536,47 @@ class PlanSpec extends SparkSpec {
       l.contains("Exchange") && l.contains("media#")),
       s"p189: media bytes crossed a shuffle:\n$r")
   }
+
+  test("p190/p191/p193: audio + video hashes are native expressions; " +
+      "pairs ride the pigeonhole equi-join; media bytes never shuffle") {
+    // p190: straight projection — the codegen'd AudioHash64 per row,
+    // no join, no aggregation (the p186 shape for sound)
+    val p = executed("p190_audiohash_replay")
+    assert(p.contains("audiohash64"),
+      s"p190: native AudioHash64 missing from the plan:\n$p")
+    assert(!p.contains("Join"), s"p190: unexpected join:\n$p")
+    // p191: after the WAV parse only (id, sig) longs flow — a product
+    // join is the all-pairs scale killer this family bans
+    val q = executed("p191_audio_neardup")
+    assert(q.contains("audiohash64"),
+      s"p191: native AudioHash64 missing from the plan:\n$q")
+    assert(!q.contains("CartesianProduct") &&
+      !q.contains("BroadcastNestedLoopJoin"),
+      s"p191: audio pairs fell back to a product join:\n$q")
+    val qf = q.split("== Initial Plan ==").head
+    assert(!qf.linesIterator.exists(l =>
+      l.contains("Exchange") && l.contains("media#")),
+      s"p191: audio bytes crossed a shuffle:\n$q")
+    // p193: per-frame dHash feeds the temporal majority vote; the
+    // groupBy shuffles 8 (id, fsig) longs per clip — never pixels
+    // (gray#) and never the clip bytes (media#)
+    val r = executed("p193_video_neardup")
+    assert(r.contains("dhash64"),
+      s"p193: native DHash64 missing from the plan:\n$r")
+    // the majority vote is evaluated in the aggregate's RESULT
+    // projection, which the physical toString elides — pin it on the
+    // optimized logical plan (planning only, no re-execution)
+    val rl = SparkEntry.queries("p193_video_neardup")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(rl.contains("majorityhash64"),
+      s"p193: native MajorityHash64 missing from the plan:\n$rl")
+    assert(!r.contains("CartesianProduct") &&
+      !r.contains("BroadcastNestedLoopJoin"),
+      s"p193: video pairs fell back to a product join:\n$r")
+    val rf = r.split("== Initial Plan ==").head
+    assert(!rf.linesIterator.exists(l =>
+      l.contains("Exchange") &&
+        (l.contains("media#") || l.contains("gray#"))),
+      s"p193: clip bytes or pixels crossed a shuffle:\n$r")
+  }
 }

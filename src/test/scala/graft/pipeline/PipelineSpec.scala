@@ -197,6 +197,246 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("perceptual margin bands hold under THIS JDK's image codecs " +
+      "(resize<=8, jpeg<=3, cross-seed>=11) — diagnostic on codec drift") {
+    // The p186/p187/p189/s47 gates rest on empirically measured hamming
+    // margins produced by the running JDK's ImageIO PNG/JPEG codecs
+    // (r12 advice): a different JDK's JPEG quantization tables or
+    // chroma handling could shift distances past the ≤8 / ≥11 band.
+    // This spec re-measures the margins on a 60-seed sample so codec
+    // drift fails HERE with the actual numbers, not as a bare oracle
+    // hash mismatch in the driver run.
+    import spark.implicits._
+    val seeds = (0 until 60).map(i => (i * 4).toLong)
+    def sigs(fmt: String, scale: Int): Map[Long, Long] =
+      graft.pipeline.Multimodal.withDecodedGray(
+        graft.pipeline.Multimodal.withSmoothMedia(
+          seeds.map(s => (s, s)).toDF("doc_id", "seed"),
+          "seed", fmt, scale).select("doc_id", "media"), "media")
+        .select(col("doc_id"),
+          org.apache.spark.sql.graft.VectorExpressions.dhash64(
+            col("gray"), col("img_w"), col("img_h")).as("sig"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val base = sigs("png", 1)
+    val resized = sigs("png", 2)
+    val jpeg = sigs("jpg", 1)
+    def d(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val maxResize = seeds.map(s => d(base(s), resized(s))).max
+    val maxJpeg = seeds.map(s => d(base(s), jpeg(s))).max
+    val minCross = (for {
+      i <- seeds.indices; j <- 0 until i
+    } yield d(base(seeds(i)), base(seeds(j)))).min
+    val diag = s"measured margins under JDK " +
+      s"${System.getProperty("java.version")}: maxResize=$maxResize " +
+      s"(gate needs <=8), maxJpeg=$maxJpeg (<=3), minCross=$minCross " +
+      s"(>=11) — if this fails the IMAGE CODEC drifted, not the engine"
+    assert(maxResize <= 8 && maxJpeg <= 3 && minCross >= 11, diag)
+  }
+
+  test("AudioHash64: DataFrame (codegen) path replays the frame " +
+      "energy/crossing arithmetic; invariant to gain; short input is 0") {
+    import spark.implicits._
+    // independent in-test replica of the 33-frame pool
+    def replay(pcm: Array[Int]): Long = {
+      val F = 33
+      if (pcm.length < F) return 0L
+      val e = new Array[BigInt](F); val z = new Array[Int](F)
+      val c = new Array[Long](F)
+      for (k <- 0 until F) {
+        val lo = k * pcm.length / F; val hi = (k + 1) * pcm.length / F
+        e(k) = (lo until hi).map(i => BigInt(pcm(i)) * pcm(i)).sum
+        z(k) = (lo until hi - 1).count(i =>
+          pcm(i).toLong * pcm(i + 1) < 0)
+        c(k) = hi - lo
+      }
+      var out = 0L
+      for (k <- 0 until F - 1) {
+        if (e(k) * c(k + 1) > e(k + 1) * c(k)) out |= 1L << k
+        if (z(k) > z(k + 1)) out |= 1L << (32 + k)
+      }
+      out
+    }
+    def viaDf(pcm: Array[Int]): Long =
+      Seq(Tuple1(pcm.toSeq)).toDF("pcm")
+        .select(org.apache.spark.sql.graft.VectorExpressions
+          .audiohash64(col("pcm")).as("ah"))
+        .head().getLong(0)
+    val rnd = new scala.util.Random(190)
+    val pcm = Array.fill(733)(rnd.nextInt(65536) - 32768)
+    assert(viaDf(pcm) == replay(pcm))
+    // energy compares are ratio compares and crossings are sign
+    // patterns → any positive gain keeps every bit
+    assert(viaDf(pcm.map(_ * 3)) == viaDf(pcm))
+    // out-of-spec input (fewer samples than frames) hashes to 0
+    assert(viaDf(pcm.take(20)) == 0L)
+  }
+
+  test("WAV bytes roundtrip through the RIFF parser at 16 and 8 bit; " +
+      "corrupt payloads parse to null") {
+    val pcm16 = Array.tabulate(500)(i => (math.sin(i * 0.1) * 20000).toInt)
+    val (got16, rate16) = Multimodal.parseWav(
+      Multimodal.wavBytes(pcm16, 8000, 16))
+    assert(rate16 == 8000 && got16.toSeq == pcm16.toSeq)
+    val pcm8 = Array.tabulate(300)(i => 128 + (math.sin(i * 0.2) * 100).toInt)
+    val (got8, rate8) = Multimodal.parseWav(
+      Multimodal.wavBytes(pcm8, 16000, 8))
+    // 8-bit decodes centered (unsigned, bias 128)
+    assert(rate8 == 16000 && got8.toSeq == pcm8.map(_ - 128).toSeq)
+    assert(Multimodal.parseWav(null) == null)
+    assert(Multimodal.parseWav(Array.fill[Byte](100)(7)) == null)
+    val truncated = Multimodal.wavBytes(pcm16, 8000, 16).take(30)
+    assert(Multimodal.parseWav(truncated) == null)
+  }
+
+  test("audio margin bands hold (resample<=4, requant<=6, cross>=13) " +
+      "— all-deterministic synth, no codec dependence") {
+    import spark.implicits._
+    val seeds = (0 until 60).map(i => (i * 4).toLong)
+    def sigs(rate: Int, bits: Int): Map[Long, Long] =
+      Multimodal.withDecodedPcm(
+        Multimodal.withSyntheticWav(
+          seeds.map(s => (s, s)).toDF("doc_id", "seed"),
+          "seed", rate, bits).select("doc_id", "media"), "media")
+        .select(col("doc_id"),
+          org.apache.spark.sql.graft.VectorExpressions.audiohash64(
+            col("pcm")).as("sig"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val base = sigs(8000, 16)
+    val res = sigs(16000, 16)
+    val quant = sigs(8000, 8)
+    def d(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val maxRes = seeds.map(s => d(base(s), res(s))).max
+    val maxQ = seeds.map(s => d(base(s), quant(s))).max
+    val minCross = (for {
+      i <- seeds.indices; j <- 0 until i
+    } yield d(base(seeds(i)), base(seeds(j)))).min
+    assert(maxRes <= 4 && maxQ <= 6 && minCross >= 13,
+      s"audio margins drifted: maxResample=$maxRes (<=4), " +
+        s"maxRequant=$maxQ (<=6), minCross=$minCross (>=13)")
+  }
+
+  test("audioPairs: a 2x resample and an 8-bit requant pair with their " +
+      "source sound; different sounds never pair") {
+    import spark.implicits._
+    val seeds = (0 until 40).map(i => (i * 4).toLong)
+    def gen(offset: Long, rate: Int, bits: Int) =
+      Multimodal.withSyntheticWav(
+        seeds.map(s => (s + offset, s)).toDF("doc_id", "seed"),
+        "seed", rate, bits).select("doc_id", "media")
+    val media = gen(0L, 8000, 16)
+      .unionAll(gen(1000000L, 16000, 16))
+      .unionAll(gen(2000000L, 8000, 8))
+    val pairs = Dedup.audioPairs(media, "doc_id", "media",
+      maxHamming = 8)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    pairs.foreach { case (a, b) =>
+      assert(a % 1000000 == b % 1000000, s"cross-sound pair ($a, $b)")
+    }
+    val set = pairs.toSet
+    seeds.foreach { s =>
+      assert(set.contains((s, s + 1000000)),
+        s"resample pair missing for $s")
+      assert(set.contains((s, s + 2000000)),
+        s"requant pair missing for $s")
+    }
+  }
+
+  test("MajorityHash64: strict per-bit majority, ties drop to 0; " +
+      "empty and null-element arrays hash to 0") {
+    import spark.implicits._
+    def viaDf(sigs: Seq[java.lang.Long]): Long =
+      Seq(Tuple1(sigs)).toDF("sigs")
+        .select(org.apache.spark.sql.graft.VectorExpressions
+          .majorityhash64(col("sigs")).as("mh"))
+        .head().getLong(0)
+    // 3 votes: bit 0 in 2/3 (majority), bit 1 in 1/3, bit 2 in 3/3
+    assert(viaDf(Seq(5L, 4L, 1L)) == 5L) // 101, 100, 001 → 101
+    // 2 votes: bit in 1/2 is a TIE → 0; bit in 2/2 survives
+    assert(viaDf(Seq(3L, 2L)) == 2L)
+    assert(viaDf(Seq.empty[java.lang.Long]) == 0L)
+    assert(viaDf(Seq(7L, null, 7L)) == 0L)
+  }
+
+  test("withDecodedFrames samples fixed time fractions (half-rate " +
+      "clips align within one frame); corrupt clips decode to null") {
+    import spark.implicits._
+    val df = Seq((1L, 1), (2L, 2)).toDF("doc_id", "step")
+    val m24 = Multimodal.withSyntheticVideoMedia(
+      df.filter(col("step") === 1).select(col("doc_id"),
+        col("doc_id").as("seed")), "seed", 1, 1, 256)
+    val frames = Multimodal.withDecodedFrames(
+      m24.select("doc_id", "media"))
+      .select("doc_id", "frame_pos", "img_w", "img_h").collect()
+    assert(frames.length == 8 &&
+      frames.forall(r => r.getInt(2) == 36 && r.getInt(3) == 32))
+    // corrupt payload → one null row, no crash
+    val bad = Seq((9L, Array[Byte](1, 2, 3))).toDF("doc_id", "media")
+    val badRows = Multimodal.withDecodedFrames(bad).collect()
+    assert(badRows.length == 1 && badRows.head.isNullAt(2))
+  }
+
+  test("video margin bands hold (halfres<=8, halfrate<=8, dim<=8, " +
+      "cross>=11) — all-deterministic synth, no codec dependence") {
+    import spark.implicits._
+    val seeds = (0 until 60).map(i => (i * 4).toLong)
+    def sigs(resDiv: Int, step: Int, bright: Int): Map[Long, Long] = {
+      val media = Multimodal.withSyntheticVideoMedia(
+        seeds.map(s => (s, s)).toDF("doc_id", "seed"),
+        "seed", resDiv, step, bright).select("doc_id", "media")
+      val frames = Multimodal.withDecodedFrames(media)
+        .filter(col("gray").isNotNull)
+      frames.select(col("doc_id"),
+          org.apache.spark.sql.graft.VectorExpressions.dhash64(
+            col("gray"), col("img_w"), col("img_h")).as("fsig"))
+        .groupBy("doc_id")
+        .agg(org.apache.spark.sql.graft.VectorExpressions.majorityhash64(
+          collect_list(col("fsig"))).as("sig"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val base = sigs(1, 1, 256)
+    val half = sigs(2, 1, 256)
+    val slow = sigs(1, 2, 256)
+    val dim = sigs(1, 1, 216)
+    def d(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val mh = seeds.map(s => d(base(s), half(s))).max
+    val mt = seeds.map(s => d(base(s), slow(s))).max
+    val md = seeds.map(s => d(base(s), dim(s))).max
+    val minCross = (for {
+      i <- seeds.indices; j <- 0 until i
+    } yield d(base(seeds(i)), base(seeds(j)))).min
+    assert(mh <= 8 && mt <= 8 && md <= 8 && minCross >= 11,
+      s"video margins drifted: halfres=$mh halfrate=$mt dim=$md " +
+        s"(all <=8), minCross=$minCross (>=11)")
+  }
+
+  test("videoPairs: half-res, half-rate and dimmed re-encodes pair " +
+      "with their source clip; different clips never pair") {
+    import spark.implicits._
+    val seeds = (0 until 40).map(i => (i * 4).toLong)
+    def gen(offset: Long, resDiv: Int, step: Int, bright: Int) =
+      Multimodal.withSyntheticVideoMedia(
+        seeds.map(s => (s + offset, s)).toDF("doc_id", "seed"),
+        "seed", resDiv, step, bright).select("doc_id", "media")
+    val media = gen(0L, 1, 1, 256)
+      .unionAll(gen(1000000L, 2, 1, 256))
+      .unionAll(gen(2000000L, 1, 2, 256))
+      .unionAll(gen(3000000L, 1, 1, 216))
+    val pairs = Dedup.videoPairs(media, "doc_id", "media",
+      maxHamming = 8)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    pairs.foreach { case (a, b) =>
+      assert(a % 1000000 == b % 1000000, s"cross-clip pair ($a, $b)")
+    }
+    val set = pairs.toSet
+    seeds.foreach { s =>
+      assert(set.contains((s, s + 1000000)), s"halfres missing for $s")
+      assert(set.contains((s, s + 2000000)), s"halfrate missing for $s")
+      assert(set.contains((s, s + 3000000)), s"dim missing for $s")
+    }
+  }
+
   test("ngram jaccard of identical docs is 1") {
     val planted = docs.limit(10).unionAll(docs.limit(10)
       .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
