@@ -160,6 +160,12 @@ object Bench {
     "s45_stream_conformal", // value-histogram state → conformal readout
     "s46_stream_isotonic", // (bin, n, pos) state → minimax PAV fit
     "s47_stream_perceptual", // (id, dHash) state → publish-time dedup
+    "p190_audiohash_replay", // native AudioHash64 over arithmetic PCM
+    "p191_audio_neardup", // WAV parse → AudioHash64 → pigeonhole
+    "p192_audio_dedup",   // audio pairs → components → canonical corpus
+    "p193_video_neardup", // demux → frame dHash → majority → pairs
+    "p194_video_dedup",   // clip pairs → components → canonical corpus
+    "s48_stream_audio",   // (id, AudioHash64) state → publish dedup
     "s43_stream_srm",     // live SRM, distinct-user-set state
     "f07_csv_ingest_cold", // CSV parse + agg, no cache (dsq cold analog)
     "f08_csv_ingest_warm") // cached-parquet + agg (dsq -C warm analog)

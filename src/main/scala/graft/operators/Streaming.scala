@@ -2643,6 +2643,93 @@ object Streaming {
         .orderBy("doc_id")
     },
 
+    // Streaming perceptual AUDIO dedup (p192 live): WAV payloads arrive
+    // in micro-batches; each batch parses its PCM ONCE and persists only
+    // the (id, 64-bit AudioHash64) signature rows — carried state is one
+    // long per sound, never the bytes, and signatures are per-row so any
+    // batch split append-merges to the same table. Publish runs the
+    // multi-block hamming pairs + connected components + canonical
+    // roster over the merged signatures == the batch p192 oracle
+    // verbatim. Batches split on xxhash64(doc_id) (the s47 lesson: every
+    // fixture id is 0 mod 4, a mod split would never mix the trios).
+    // Retry-idempotent: batchId-keyed OVERWRITE paths (s39 discipline).
+    QueryDef("s48_stream_audio",
+      """SELECT doc_id, doc_id AS comp, true AS kept
+        |FROM documents WHERE doc_id % 4 = 0
+        |UNION ALL
+        |SELECT doc_id + 1000000 AS doc_id, doc_id AS comp,
+        |  false AS kept
+        |FROM documents WHERE doc_id % 4 = 0
+        |UNION ALL
+        |SELECT doc_id + 2000000 AS doc_id, doc_id AS comp,
+        |  false AS kept
+        |FROM documents WHERE doc_id % 4 = 0
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val sel = graft.Tables.load(s, dir, "documents")
+        .filter(col("doc_id") % 4 === 0).select("doc_id")
+        .repartition(32)
+      def gen(offset: Long, rate: Int, bits: Int) =
+        graft.pipeline.Multimodal.withSyntheticWav(
+          sel.select((col("doc_id") + offset).as("doc_id"),
+            col("doc_id").as("seed")), "seed", rate, bits)
+          .select("doc_id", "media")
+      val media = gen(0L, 8000, 16)
+        .unionAll(gen(1000000L, 16000, 16))
+        .unionAll(gen(2000000L, 8000, 8))
+      val base = java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_fmt").toString
+      val srcDir = s"$base/s48_stream_src"
+      val sigRoot = s"$base/s48_sigs"
+      val mediaDir = s"$base/s48_media"
+      Seq(srcDir, sigRoot, mediaDir)
+        .foreach(d => rmTree(new java.io.File(d)))
+      new java.io.File(srcDir).mkdirs()
+      // render the fixture corpus ONCE; per-batch splits read the staged
+      // parquet back (the s47 lesson: filtering the mapPartitions render
+      // directly re-renders the whole corpus per split)
+      media.write.mode("overwrite").parquet(mediaDir)
+      val staged = s.read.parquet(mediaDir)
+      (0 until 4).foreach { b =>
+        writeSingle(
+          staged.filter(pmod(xxhash64(col("doc_id")), lit(4L)) === b),
+          srcDir, s"batch_$b")
+      }
+      val schema = s.read.parquet(srcDir).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(srcDir)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+            batchId: Long) =>
+          val dec = graft.pipeline.Multimodal
+            .withDecodedPcm(batch, "media")
+            .filter(col("pcm").isNotNull)
+          dec.select(col("doc_id").as("id"),
+              org.apache.spark.sql.graft.VectorExpressions.audiohash64(
+                col("pcm")).as("sig"))
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$sigRoot/b_$batchId")
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val sigs = s.read.option("recursiveFileLookup", "true")
+        .parquet(sigRoot)
+      val pairs = graft.pipeline.Dedup.hammingPairs(sigs,
+        maxHamming = 8, multiIndex = 3)
+      val labels = graft.pipeline.Dedup.components(pairs)
+      sel.select(col("doc_id"))
+        .unionAll(sel.select((col("doc_id") + 1000000L).as("doc_id")))
+        .unionAll(sel.select((col("doc_id") + 2000000L).as("doc_id")))
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("comp"), col("doc_id")).as("comp"))
+        .withColumn("kept", col("doc_id") === col("comp"))
+        .orderBy("doc_id")
+    },
+
     // Streaming split-conformal calibration (p177 live): the carried
     // state is a per-batch (n_chars value, split flag, count) HISTOGRAM
     // — counts merge by sum, and every publish-time quantity derives

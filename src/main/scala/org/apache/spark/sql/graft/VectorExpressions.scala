@@ -185,6 +185,12 @@ object VectorExpressions {
     */
   def majorityhash64(sigs: Column): Column =
     column(MajorityHash64(expression(sigs)))
+
+  /** Morton (Z-order) interleave of two 32-bit coordinates — the
+    * space-filling-curve layout key. See [[Interleave64]].
+    */
+  def interleave64(x: Column, y: Column): Column =
+    column(Interleave64(expression(x), expression(y)))
 }
 
 /** Set Jaccard |A∩B|/|A∪B| of two pre-sorted distinct long arrays by
@@ -2086,4 +2092,51 @@ object MajorityHash64 {
     }
     out
   }
+}
+
+/** Morton (Z-order) bit interleave of two 32-bit coordinates: bit 2k of
+  * the result is bit k of `left`, bit 2k+1 is bit k of `right` — the
+  * space-filling-curve clustering key behind multi-dimensional data
+  * layout. Rows sorted by this key land in files whose min/max stats
+  * are TIGHT in BOTH dimensions (a lexicographic sort is tight in the
+  * first dimension only), so scans filtering on either column prune
+  * files. The spread uses the standard mask-doubling ladder (5 shifts
+  * and masks per coordinate — plain &, |, << that an external SQL
+  * engine replays bit-for-bit). Inputs are taken as unsigned 32-bit
+  * (negative ints wrap, the two's-complement bits interleave as-is).
+  */
+case class Interleave64(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(IntegerType, IntegerType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  protected override def nullSafeEval(x: Any, y: Any): Any =
+    Interleave64.interleave(x.asInstanceOf[Int], y.asInstanceOf[Int])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, y) =>
+      s"org.apache.spark.sql.graft.Interleave64.interleave($x, $y)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object Interleave64 {
+  /** Spread the low 32 bits of v to the even bit positions of a long. */
+  def spread(v: Long): Long = {
+    var x = v & 0xFFFFFFFFL
+    x = (x | (x << 16)) & 0x0000FFFF0000FFFFL
+    x = (x | (x << 8)) & 0x00FF00FF00FF00FFL
+    x = (x | (x << 4)) & 0x0F0F0F0F0F0F0F0FL
+    x = (x | (x << 2)) & 0x3333333333333333L
+    x = (x | (x << 1)) & 0x5555555555555555L
+    x
+  }
+
+  def interleave(x: Int, y: Int): Long =
+    spread(x.toLong) | (spread(y.toLong) << 1)
 }

@@ -1537,6 +1537,36 @@ class PlanSpec extends SparkSpec {
       s"p189: media bytes crossed a shuffle:\n$r")
   }
 
+  test("x44: z-order layout — native interleave in the plan; the rank " +
+      "split rides the two-phase global order, never a global window") {
+    val p = executed("x44_zorder_layout")
+    // the z-value is computed inside the global-order BARRIER write (a
+    // separate query execution), so the gate's final plan can't show
+    // it — pin the expression's codegen path on its own plan instead
+    import spark.implicits._
+    // (a literal source constant-folds straight to a LocalTableScan —
+    // range() keeps the projection live)
+    val zPlan = spark.range(2)
+      .select(org.apache.spark.sql.graft.VectorExpressions
+        .interleave64(
+          org.apache.spark.sql.functions.col("id").cast("int"),
+          org.apache.spark.sql.functions.lit(3)).as("z"))
+      .queryExecution.executedPlan.toString
+    assert(zPlan.contains("interleave64"),
+      s"x44: native Interleave64 not in the expression plan:\n$zPlan")
+    val pf = p.split("== Initial Plan ==").head
+    // every window is partitioned by the stage-local _pid (the
+    // withGlobalOrder two-phase rank) — a single-partition window here
+    // would serialize the 100 TB sort onto one task
+    assert(!pf.linesIterator.exists(l =>
+      l.contains("Window") && !l.contains("_pid")),
+      s"x44: a window not keyed by _pid appeared:\n$p")
+    // the min/max/count scalar joins broadcast — never a shuffle of
+    // the fact table against a 1-row relation
+    assert(!pf.contains("CartesianProduct"),
+      s"x44: scalar join fell back to a product:\n$p")
+  }
+
   test("p190/p191/p193: audio + video hashes are native expressions; " +
       "pairs ride the pigeonhole equi-join; media bytes never shuffle") {
     // p190: straight projection — the codegen'd AudioHash64 per row,

@@ -437,6 +437,32 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("Interleave64: bit 2k is x's bit k, bit 2k+1 is y's bit k; " +
+      "shared tiles share z prefixes") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(44)
+    val cases = Seq((0, 0), (65535, 0), (0, 65535), (-1, 1)) ++
+      Seq.fill(50)((rnd.nextInt(), rnd.nextInt()))
+    val got = cases.toDF("x", "y")
+      .select(org.apache.spark.sql.graft.VectorExpressions
+        .interleave64(col("x"), col("y")).as("z"))
+      .collect().map(_.getLong(0))
+    cases.zip(got).foreach { case ((x, y), z) =>
+      (0 until 32).foreach { k =>
+        assert(((z >> (2 * k)) & 1L) == ((x.toLong >> k) & 1L),
+          s"bit ${2 * k} of z($x,$y)")
+        assert(((z >> (2 * k + 1)) & 1L) == ((y.toLong >> k) & 1L),
+          s"bit ${2 * k + 1} of z($x,$y)")
+      }
+    }
+    // locality: two 16-bit points in the same 256x256 tile share the
+    // z prefix above the interleaved low bytes — the property file
+    // min/max pruning rides on
+    def z16(x: Int, y: Int) =
+      org.apache.spark.sql.graft.Interleave64.interleave(x, y)
+    assert(z16(0x1234, 0x4321) >> 16 == z16(0x12FF, 0x43AB) >> 16)
+  }
+
   test("ngram jaccard of identical docs is 1") {
     val planted = docs.limit(10).unionAll(docs.limit(10)
       .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
@@ -2317,6 +2343,51 @@ class PipelineSpec extends SparkSpec {
     val got = dedup(merged)
     assert(got == want)
     // and every planted trio collapsed to its original
+    want.foreach { r =>
+      assert(r(1) == r.head.asInstanceOf[Long] % 1000000,
+        s"trio did not collapse: $r")
+    }
+  }
+
+  test("s48 seam: per-split (id, AudioHash64) signature partials " +
+      "append-merge to the batch audio dedup under arbitrary splits") {
+    // the s48 carried state: one 64-bit signature row per sound,
+    // computed per-row at ingest — ANY split of the media stream
+    // appends to the same signature table, so pairs/components/roster
+    // over the merged table equal the batch p192 path
+    import spark.implicits._
+    val seeds = (0 until 30).map(i => (i * 4).toLong)
+    def gen(offset: Long, rate: Int, bits: Int) =
+      graft.pipeline.Multimodal.withSyntheticWav(
+        seeds.map(s => (s + offset, s)).toDF("doc_id", "seed"),
+        "seed", rate, bits).select("doc_id", "media")
+    val media = gen(0L, 8000, 16)
+      .unionAll(gen(1000000L, 16000, 16))
+      .unionAll(gen(2000000L, 8000, 8))
+    def sigsOf(df: org.apache.spark.sql.DataFrame) =
+      graft.pipeline.Multimodal.withDecodedPcm(df, "media")
+        .filter(col("pcm").isNotNull)
+        .select(col("doc_id").as("id"),
+          org.apache.spark.sql.graft.VectorExpressions.audiohash64(
+            col("pcm")).as("sig"))
+    def dedup(sigs: org.apache.spark.sql.DataFrame) = {
+      val labels = graft.pipeline.Dedup.components(
+        graft.pipeline.Dedup.hammingPairs(sigs, 8, multiIndex = 3))
+      sigs.select(col("id").as("doc_id"))
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("comp"), col("doc_id")).as("comp"))
+        .orderBy("doc_id")
+        .collect().map(_.toSeq).toSeq
+    }
+    val want = dedup(sigsOf(media))
+    // split by a hash, not id arithmetic — mirrors the gate's batch
+    // split and guarantees the trios mix across splits
+    val merged = (0 to 2).map { b =>
+      sigsOf(media.filter(pmod(xxhash64(col("doc_id")), lit(3L)) === b))
+    }.reduce(_ unionAll _)
+    val got = dedup(merged)
+    assert(got == want)
     want.foreach { r =>
       assert(r(1) == r.head.asInstanceOf[Long] % 1000000,
         s"trio did not collapse: $r")
