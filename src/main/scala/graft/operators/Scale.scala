@@ -2477,6 +2477,46 @@ object Scale {
       fileStats("zorder", Seq(col("zv"), col("k")))
         .unionAll(fileStats("linear", Seq(col("bx"), col("k"))))
         .orderBy("layout", "file_id")
+    },
+
+    // Merge-on-read DELETION VECTORS (Iceberg v2 positional deletes /
+    // Delta DVs) — the read-side dual of x40's copy-on-write: deletes
+    // publish as a tiny (file, pos) sidecar, base files are NEVER
+    // rewritten, and every read subtracts the DV with one broadcast
+    // anti-join. Two delete commits (overlapping bands, union'd DV);
+    // each version's visible set must equal the CoW rewrite of the same
+    // predicates (mor_equals_cow), and the base re-read after both
+    // commits must be byte-identical (base_immutable). At 100 TB a DV
+    // commit costs the sidecar write — no data file rewrite — and reads
+    // pay one broadcast anti-join against KB-scale delete lists. The
+    // oracle replays each version's logical state and DV cardinality.
+    QueryDef("x45_deletion_vectors",
+      """WITH b AS (SELECT min(event_id) AS lo0, max(event_id) AS hi0,
+        |    count(*) AS n0, sum(user_id) AS su0 FROM events),
+        |d1 AS (SELECT event_id FROM events, b
+        |  WHERE event_id BETWEEN lo0 + (hi0 - lo0) * 40 // 100
+        |    AND lo0 + (hi0 - lo0) * 45 // 100
+        |    AND event_id % 7 = 0),
+        |d2 AS (SELECT event_id FROM events, b
+        |  WHERE event_id BETWEEN lo0 + (hi0 - lo0) * 43 // 100
+        |    AND lo0 + (hi0 - lo0) * 55 // 100
+        |    AND event_id % 5 = 0),
+        |u AS (SELECT event_id FROM d1 UNION SELECT event_id FROM d2)
+        |SELECT 0 AS version, CAST(n0 AS BIGINT) AS n_rows,
+        |  CAST(su0 AS BIGINT) AS sum_user, CAST(0 AS BIGINT) AS n_dv,
+        |  true AS mor_equals_cow, true AS base_immutable FROM b
+        |UNION ALL
+        |SELECT 1, CAST(count(*) AS BIGINT),
+        |  CAST(sum(user_id) AS BIGINT),
+        |  (SELECT count(*) FROM d1), true, true
+        |FROM events WHERE event_id NOT IN (SELECT event_id FROM d1)
+        |UNION ALL
+        |SELECT 2, CAST(count(*) AS BIGINT),
+        |  CAST(sum(user_id) AS BIGINT),
+        |  (SELECT count(*) FROM u), true, true
+        |FROM events WHERE event_id NOT IN (SELECT event_id FROM u)
+        |ORDER BY version""".stripMargin) { (s, dir) =>
+      deletionVectors(s, dir)
     }
   )
 
@@ -2625,6 +2665,76 @@ object Scale {
     Seq((1, r1._1, r1._2, ok1), (2, r2._1, r2._2, ok2),
       (3, r3._1, r3._2, ok3))
       .toDF("version", "n_rows", "sum_user", "ok")
+      .orderBy("version")
+  }
+
+  /** Merge-on-read deletion vectors (x45). The base lays out as 8
+    * range files; a row's POSITION is its event_id rank within its file
+    * (the files are written sorted, so this is the parquet row index a
+    * real DV addresses). Each commit appends (file, pos) rows to a
+    * sidecar — the base is never touched — and a read is
+    * base ⟕̸ sidecar (broadcast LEFT ANTI on (file, pos)). The gate
+    * cross-checks MOR against the CoW-equivalent predicate filter and
+    * re-reads the base after both commits for immutability.
+    */
+  private[graft] def deletionVectors(s: SparkSession,
+      dir: String): DataFrame = {
+    val root = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_fmt").toString
+    val baseP = s"$root/x45_base"
+    val dvP = s"$root/x45_dv"
+    Seq(baseP, dvP).foreach(p => rmTree(new java.io.File(p)))
+    val events = t(s, dir, "events").select("event_id", "user_id")
+    events.repartitionByRange(8, col("event_id"))
+      .sortWithinPartitions("event_id")
+      .write.mode("overwrite").parquet(baseP)
+    val mm = events.agg(min("event_id"), max("event_id")).head()
+    val (lo0, hi0) = (mm.getLong(0), mm.getLong(1))
+    val base0 = s.read.parquet(baseP)
+    def agg0(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), sum("user_id")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val v0 = agg0(base0)
+    // positional addressing: rank within the (sorted) file — one
+    // per-FILE window, partition-parallel at any scale
+    val wFile = org.apache.spark.sql.expressions.Window
+      .partitionBy("f").orderBy("event_id")
+    val pos = base0.withColumn("f", input_file_name())
+      .withColumn("pos", row_number().over(wFile))
+    def band(fromPct: Long, toPct: Long, modulo: Int) =
+      col("event_id").between(lo0 + (hi0 - lo0) * fromPct / 100,
+        lo0 + (hi0 - lo0) * toPct / 100) &&
+        col("event_id") % modulo === 0
+    val pred1 = band(40, 45, 7)
+    val pred2 = band(43, 55, 5)
+    // commit 1 and commit 2: append-only sidecar writes — the base
+    // files are never opened for write again
+    pos.filter(pred1).select("f", "pos")
+      .coalesce(1).write.mode("append").parquet(dvP)
+    pos.filter(pred2).select("f", "pos")
+      .coalesce(1).write.mode("append").parquet(dvP)
+    val dvAll = s.read.parquet(dvP).distinct()
+    val dv1 = pos.filter(pred1).select("f", "pos").distinct()
+    def morRead(dv: DataFrame): DataFrame =
+      pos.join(broadcast(dv), Seq("f", "pos"), "left_anti")
+    val (n1, su1) = agg0(morRead(dv1))
+    val (n2, su2) = agg0(morRead(dvAll))
+    val nDv1 = dv1.count()
+    val nDv2 = dvAll.count()
+    // CoW equivalence: the same predicates as a rewrite-style filter
+    val cow1 = agg0(base0.filter(!pred1))
+    val cow2 = agg0(base0.filter(!(pred1 || pred2)))
+    val eq1 = (n1, su1) == cow1
+    val eq2 = (n2, su2) == cow2
+    // immutability: the base re-read AFTER both commits is unchanged
+    val immutable = agg0(s.read.parquet(baseP)) == v0
+    import s.implicits._
+    Seq((0, v0._1, v0._2, 0L, true, immutable),
+      (1, n1, su1, nDv1, eq1, immutable),
+      (2, n2, su2, nDv2, eq2, immutable))
+      .toDF("version", "n_rows", "sum_user", "n_dv",
+        "mor_equals_cow", "base_immutable")
       .orderBy("version")
   }
 }
