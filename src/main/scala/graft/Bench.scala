@@ -166,6 +166,7 @@ object Bench {
     "p193_video_neardup", // demux → frame dHash → majority → pairs
     "p194_video_dedup",   // clip pairs → components → canonical corpus
     "s48_stream_audio",   // (id, AudioHash64) state → publish dedup
+    "s49_stream_video",   // (id, MajorityHash64) state → publish dedup
     "x44_zorder_layout",  // Morton interleave + rank-split file stats
     "x45_deletion_vectors", // MOR delete sidecar + broadcast anti-join
     "s43_stream_srm",     // live SRM, distinct-user-set state

@@ -2730,6 +2730,113 @@ object Streaming {
         .orderBy("doc_id")
     },
 
+    // Streaming perceptual VIDEO dedup (p194 live): clips arrive in
+    // micro-batches; each batch demuxes its payloads ONCE — sampling 8
+    // time-fraction frames, dHashing each, and voting them into one
+    // clip signature — and persists only the (id, MajorityHash64) rows.
+    // A clip's frames never span batches (the unit of arrival is the
+    // whole payload), so the per-clip vote is complete within its
+    // batch and the carried state is one long per clip; any batch
+    // split append-merges to the same signature table. Publish =
+    // pairs + components + canonical roster == batch p194 verbatim.
+    // Batches split on xxhash64(doc_id) (the s47 lesson).
+    QueryDef("s49_stream_video",
+      """SELECT doc_id, doc_id AS comp, true AS kept
+        |FROM documents WHERE doc_id % 4 = 0
+        |UNION ALL
+        |SELECT doc_id + 1000000 AS doc_id, doc_id AS comp,
+        |  false AS kept
+        |FROM documents WHERE doc_id % 4 = 0
+        |UNION ALL
+        |SELECT doc_id + 2000000 AS doc_id, doc_id AS comp,
+        |  false AS kept
+        |FROM documents WHERE doc_id % 4 = 0
+        |UNION ALL
+        |SELECT doc_id + 3000000 AS doc_id, doc_id AS comp,
+        |  false AS kept
+        |FROM documents WHERE doc_id % 4 = 0
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val sel = graft.Tables.load(s, dir, "documents")
+        .filter(col("doc_id") % 4 === 0).select("doc_id")
+        .repartition(32)
+      def gen(offset: Long, resDiv: Int, step: Int, bright: Int) =
+        graft.pipeline.Multimodal.withSyntheticVideoMedia(
+          sel.select((col("doc_id") + offset).as("doc_id"),
+            col("doc_id").as("seed")), "seed", resDiv, step, bright)
+          .select("doc_id", "media")
+      val media = gen(0L, 1, 1, 256)
+        .unionAll(gen(1000000L, 2, 1, 256))
+        .unionAll(gen(2000000L, 1, 2, 256))
+        .unionAll(gen(3000000L, 1, 1, 216))
+      val base = java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_fmt").toString
+      val srcDir = s"$base/s49_stream_src"
+      val sigRoot = s"$base/s49_sigs"
+      val mediaDir = s"$base/s49_media"
+      Seq(srcDir, sigRoot, mediaDir)
+        .foreach(d => rmTree(new java.io.File(d)))
+      new java.io.File(srcDir).mkdirs()
+      // render the fixture corpus ONCE; per-batch splits read the staged
+      // parquet back (mapPartitions renders can't be pruned)
+      media.write.mode("overwrite").parquet(mediaDir)
+      // Clips are ~28 KB of binary per row: at the 100× sweep the
+      // vectorized reader's default 4096-row batch tried to reserve
+      // 4096 × 28 KB ≈ 113 MB CONTIGUOUS per task and OOM'd 32-wide
+      // (caught there, invisible at the test SFs — the r12 p187
+      // broadcast lesson again). Scope the documented workaround —
+      // a smaller columnar batch — around the media reads only; the
+      // publish-side (id, sig) long reads restore the default.
+      val batchKey = "spark.sql.parquet.columnarReaderBatchSize"
+      val prevBatchSize = s.conf.get(batchKey, "4096")
+      s.conf.set(batchKey, "256")
+      try {
+        val staged = s.read.parquet(mediaDir)
+        (0 until 4).foreach { b =>
+          writeSingle(
+            staged.filter(pmod(xxhash64(col("doc_id")), lit(4L)) === b),
+            srcDir, s"batch_$b")
+        }
+        val schema = s.read.parquet(srcDir).schema
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("pathGlobFilter", "*.parquet")
+          .parquet(srcDir)
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+              batchId: Long) =>
+            val frames = graft.pipeline.Multimodal
+              .withDecodedFrames(batch, "media")
+              .filter(col("gray").isNotNull)
+            frames.select(col("doc_id").as("id"),
+                org.apache.spark.sql.graft.VectorExpressions.dhash64(
+                  col("gray"), col("img_w"), col("img_h")).as("fsig"))
+              .groupBy("id")
+              .agg(org.apache.spark.sql.graft.VectorExpressions
+                .majorityhash64(collect_list(col("fsig"))).as("sig"))
+              .coalesce(1).write.mode("overwrite")
+              .parquet(s"$sigRoot/b_$batchId")
+            ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set(batchKey, prevBatchSize)
+      val sigs = s.read.option("recursiveFileLookup", "true")
+        .parquet(sigRoot)
+      val pairs = graft.pipeline.Dedup.hammingPairs(sigs,
+        maxHamming = 8, multiIndex = 3)
+      val labels = graft.pipeline.Dedup.components(pairs)
+      sel.select(col("doc_id"))
+        .unionAll(sel.select((col("doc_id") + 1000000L).as("doc_id")))
+        .unionAll(sel.select((col("doc_id") + 2000000L).as("doc_id")))
+        .unionAll(sel.select((col("doc_id") + 3000000L).as("doc_id")))
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("comp"), col("doc_id")).as("comp"))
+        .withColumn("kept", col("doc_id") === col("comp"))
+        .orderBy("doc_id")
+    },
+
     // Streaming split-conformal calibration (p177 live): the carried
     // state is a per-batch (n_chars value, split flag, count) HISTOGRAM
     // — counts merge by sum, and every publish-time quantity derives

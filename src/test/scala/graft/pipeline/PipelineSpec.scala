@@ -2394,6 +2394,52 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("s49 seam: per-split (id, MajorityHash64) clip partials " +
+      "append-merge to the batch video dedup under arbitrary splits") {
+    // the s49 carried state: one 64-bit clip signature per video —
+    // complete within whatever split carries the clip (frames never
+    // span batches), so ANY split appends to the same signature table
+    import spark.implicits._
+    val seeds = (0 until 20).map(i => (i * 4).toLong)
+    def gen(offset: Long, resDiv: Int, step: Int, bright: Int) =
+      graft.pipeline.Multimodal.withSyntheticVideoMedia(
+        seeds.map(s => (s + offset, s)).toDF("doc_id", "seed"),
+        "seed", resDiv, step, bright).select("doc_id", "media")
+    val media = gen(0L, 1, 1, 256)
+      .unionAll(gen(1000000L, 2, 1, 256))
+      .unionAll(gen(2000000L, 1, 2, 256))
+      .unionAll(gen(3000000L, 1, 1, 216))
+    def sigsOf(df: org.apache.spark.sql.DataFrame) =
+      graft.pipeline.Multimodal.withDecodedFrames(df, "media")
+        .filter(col("gray").isNotNull)
+        .select(col("doc_id").as("id"),
+          org.apache.spark.sql.graft.VectorExpressions.dhash64(
+            col("gray"), col("img_w"), col("img_h")).as("fsig"))
+        .groupBy("id")
+        .agg(org.apache.spark.sql.graft.VectorExpressions
+          .majorityhash64(collect_list(col("fsig"))).as("sig"))
+    def dedup(sigs: org.apache.spark.sql.DataFrame) = {
+      val labels = graft.pipeline.Dedup.components(
+        graft.pipeline.Dedup.hammingPairs(sigs, 8, multiIndex = 3))
+      sigs.select(col("id").as("doc_id"))
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("comp"), col("doc_id")).as("comp"))
+        .orderBy("doc_id")
+        .collect().map(_.toSeq).toSeq
+    }
+    val want = dedup(sigsOf(media))
+    val merged = (0 to 2).map { b =>
+      sigsOf(media.filter(pmod(xxhash64(col("doc_id")), lit(3L)) === b))
+    }.reduce(_ unionAll _)
+    val got = dedup(merged)
+    assert(got == want)
+    want.foreach { r =>
+      assert(r(1) == r.head.asInstanceOf[Long] % 1000000,
+        s"quad did not collapse: $r")
+    }
+  }
+
   test("s40 seam: per-split stratum top-k union + merged counts " +
       "reproduce the batch stratifiedSample under arbitrary splits") {
     // the s40 carried state: per-batch stratum counts (merge by sum)
