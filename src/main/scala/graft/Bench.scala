@@ -439,18 +439,28 @@ object Bench {
         // leaves ~120 entries with no burst protection AND the named
         // ones re-trigger forever off stale memo-warm floors (r12
         // judge). BENCH_PRIOR.json is the full honest-floor ledger
-        // (rebased from the r12 driver sweep); a newer per-round value
-        // overrides it when both carry the same key form (priorOf
-        // checks full names before short-key fallback, so a curated
-        // full-name entry outranks a minimal-tier short key — both are
-        // honest floors, so either serves the burst check).
-        val curated = load("BENCH_PRIOR.json", sfGuarded = true)
+        // (rebased from the r12 driver sweep). Short keys expand to
+        // full names BEFORE the overlay so the newest honest floor
+        // always wins: without the expansion a curated full-name entry
+        // would shadow a newer minimal-tier short key in priorOf's
+        // full-name-first lookup, and a legitimately-slower entry would
+        // re-trigger the recheck every sweep until someone refreshed
+        // the curated file (the very failure mode being fixed).
+        def expand(m: Map[String, Double]): Map[String, Double] =
+          m.map { case (k, v) =>
+            headline.find(h => h == k ||
+              (h.takeWhile(_ != '_') == k &&
+                headline.count(_.takeWhile(_ != '_') == k) == 1))
+              .getOrElse(k) -> v
+          }
+        val curated = expand(load("BENCH_PRIOR.json", sfGuarded = true))
         val latest = {
           val rs = new java.io.File(".").listFiles()
           Option(rs).map(_.map(_.getName)
             .filter(_.matches("BENCH_r\\d+\\.json")).sorted)
             .filter(_.nonEmpty).map(_.last)
-            .map(load(_, sfGuarded = true)).getOrElse(Map.empty)
+            .map(p => expand(load(p, sfGuarded = true)))
+            .getOrElse(Map.empty)
         }
         curated ++ latest
       }
@@ -459,7 +469,9 @@ object Bench {
     // only — "p104_threshold_calibration" ships as "p104") once the
     // entry count outgrows the driver's 2000-char tail window, so a
     // prior BENCH file may hold either form: match full first, then
-    // the prefix
+    // the prefix (an explicit SPARK_GRAFT_BENCH_PRIOR skips the
+    // auto-path's short-key expansion, so the fallback still earns
+    // its keep there)
     def shortKey(n: String): String = n.takeWhile(_ != '_')
     def priorOf(name: String): Double =
       priorMins.getOrElse(name, priorMins.getOrElse(shortKey(name), -1.0))

@@ -28,19 +28,7 @@ object Pipeline {
     * 11.4 s → 2.3 s).
     */
   private def plantedPerceptualMedia(s: SparkSession,
-      dir: String): (DataFrame, DataFrame) = {
-    val sel = t(s, dir, "documents")
-      .filter(col("doc_id") % 4 === 0).select("doc_id")
-      .repartition(32)
-    def gen(offset: Long, fmt: String, scale: Int) =
-      Multimodal.withSmoothMedia(
-        sel.select((col("doc_id") + offset).as("doc_id"),
-          col("doc_id").as("seed")), "seed", fmt, scale)
-        .select("doc_id", "media")
-    (sel, gen(0L, "png", 1)
-      .unionAll(gen(1000000L, "png", 2))
-      .unionAll(gen(2000000L, "jpg", 1)))
-  }
+      dir: String): (DataFrame, DataFrame) = Planted.imageMedia(s, dir)
 
   /** The planted perceptual-AUDIO corpus p191/p192 share: every 4th
     * document renders a smooth synthetic sound as real WAV bytes plus
@@ -50,19 +38,7 @@ object Pipeline {
     * (one definition, id fan-out before the mapPartitions encoders).
     */
   private def plantedAudioMedia(s: SparkSession,
-      dir: String): (DataFrame, DataFrame) = {
-    val sel = t(s, dir, "documents")
-      .filter(col("doc_id") % 4 === 0).select("doc_id")
-      .repartition(32)
-    def gen(offset: Long, rate: Int, bits: Int) =
-      Multimodal.withSyntheticWav(
-        sel.select((col("doc_id") + offset).as("doc_id"),
-          col("doc_id").as("seed")), "seed", rate, bits)
-        .select("doc_id", "media")
-    (sel, gen(0L, 8000, 16)
-      .unionAll(gen(1000000L, 16000, 16))
-      .unionAll(gen(2000000L, 8000, 8)))
-  }
+      dir: String): (DataFrame, DataFrame) = Planted.audioMedia(s, dir)
 
   /** The planted perceptual-VIDEO corpus p193/p194 share: every 4th
     * document renders a smooth morphing clip plus three honest variants
@@ -70,20 +46,7 @@ object Pipeline {
     * frame rate (+2000000), and a brightness cut to 216/256 (+3000000).
     */
   private def plantedVideoMedia(s: SparkSession,
-      dir: String): (DataFrame, DataFrame) = {
-    val sel = t(s, dir, "documents")
-      .filter(col("doc_id") % 4 === 0).select("doc_id")
-      .repartition(32)
-    def gen(offset: Long, resDiv: Int, frameStep: Int, bright: Int) =
-      Multimodal.withSyntheticVideoMedia(
-        sel.select((col("doc_id") + offset).as("doc_id"),
-          col("doc_id").as("seed")), "seed", resDiv, frameStep, bright)
-        .select("doc_id", "media")
-    (sel, gen(0L, 1, 1, 256)
-      .unionAll(gen(1000000L, 2, 1, 256))
-      .unionAll(gen(2000000L, 1, 2, 256))
-      .unionAll(gen(3000000L, 1, 1, 216)))
-  }
+      dir: String): (DataFrame, DataFrame) = Planted.videoMedia(s, dir)
 
   /** documents ∪ perturbed copies (id + 1e6, one token appended). */
   private def docsWithPlants(s: SparkSession, dir: String): DataFrame = {
@@ -8361,14 +8324,7 @@ object Pipeline {
       // ARITHMETICALLY from sel — media.select("doc_id") would
       // re-execute the whole mapPartitions render a second time
       // (mapPartitions cannot be column-pruned)
-      sel.select(col("doc_id"))
-        .unionAll(sel.select((col("doc_id") + 1000000L).as("doc_id")))
-        .unionAll(sel.select((col("doc_id") + 2000000L).as("doc_id")))
-        .join(labels, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("comp"), col("doc_id")).as("comp"))
-        .withColumn("kept", col("doc_id") === col("comp"))
-        .orderBy("doc_id")
+      Planted.dedupRoster(sel, Seq(0L, 1000000L, 2000000L), labels)
     },
 
     // Perceptual AUDIO hash ARITHMETIC replay: the oracle recomputes
@@ -8478,14 +8434,7 @@ object Pipeline {
       val pairs = Dedup.audioPairs(media, "doc_id", "media",
         maxHamming = 8)
       val labels = Dedup.components(pairs)
-      sel.select(col("doc_id"))
-        .unionAll(sel.select((col("doc_id") + 1000000L).as("doc_id")))
-        .unionAll(sel.select((col("doc_id") + 2000000L).as("doc_id")))
-        .join(labels, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("comp"), col("doc_id")).as("comp"))
-        .withColumn("kept", col("doc_id") === col("comp"))
-        .orderBy("doc_id")
+      Planted.dedupRoster(sel, Seq(0L, 1000000L, 2000000L), labels)
     },
 
     // Perceptual VIDEO near-dup END-TO-END: every 4th doc renders a
@@ -8557,15 +8506,8 @@ object Pipeline {
       val pairs = Dedup.videoPairs(media, "doc_id", "media",
         maxHamming = 8)
       val labels = Dedup.components(pairs)
-      sel.select(col("doc_id"))
-        .unionAll(sel.select((col("doc_id") + 1000000L).as("doc_id")))
-        .unionAll(sel.select((col("doc_id") + 2000000L).as("doc_id")))
-        .unionAll(sel.select((col("doc_id") + 3000000L).as("doc_id")))
-        .join(labels, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("comp"), col("doc_id")).as("comp"))
-        .withColumn("kept", col("doc_id") === col("comp"))
-        .orderBy("doc_id")
+      Planted.dedupRoster(sel, Seq(0L, 1000000L, 2000000L, 3000000L),
+        labels)
     },
 
     // Always-valid (mSPRT) experiment readout: the oracle replays the

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.pipeline.Multimodal
+
+/** The planted perceptual-media fixtures shared by the batch gates
+  * (p187/p189 image, p191/p192 audio, p193/p194 video) and their
+  * streaming mirrors (s47/s48/s49): every 4th document renders a smooth
+  * synthetic payload, plus honest variants under offset ids. ONE
+  * definition per modality so a margin or offset tweak can never
+  * desynchronize a streaming mirror from the batch oracle it must equal
+  * verbatim (the copy-paste drift the r12/r13 self-reviews flag). The
+  * tiny id list fans out BEFORE the mapPartitions encoders — a
+  * 5000-row parquet is one input split, which would serialize every
+  * render/decode onto one core.
+  */
+private[graft] object Planted {
+
+  /** Every 4th document id, fanned out for the render stages. */
+  private def sel4(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .filter(col("doc_id") % 4 === 0).select("doc_id")
+      .repartition(32)
+
+  /** Images: original PNG, 2× resize (+1000000), JPEG re-encode
+    * (+2000000).
+    */
+  def imageMedia(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val sel = sel4(s, dir)
+    def gen(offset: Long, fmt: String, scale: Int) =
+      Multimodal.withSmoothMedia(
+        sel.select((col("doc_id") + offset).as("doc_id"),
+          col("doc_id").as("seed")), "seed", fmt, scale)
+        .select("doc_id", "media")
+    (sel, gen(0L, "png", 1)
+      .unionAll(gen(1000000L, "png", 2))
+      .unionAll(gen(2000000L, "jpg", 1)))
+  }
+
+  /** Sounds: original 8 kHz/16-bit WAV, true 2× resample (+1000000),
+    * 8-bit requantization (+2000000).
+    */
+  def audioMedia(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val sel = sel4(s, dir)
+    def gen(offset: Long, rate: Int, bits: Int) =
+      Multimodal.withSyntheticWav(
+        sel.select((col("doc_id") + offset).as("doc_id"),
+          col("doc_id").as("seed")), "seed", rate, bits)
+        .select("doc_id", "media")
+    (sel, gen(0L, 8000, 16)
+      .unionAll(gen(1000000L, 16000, 16))
+      .unionAll(gen(2000000L, 8000, 8)))
+  }
+
+  /** Clips: original, antialiased half resolution (+1000000), half
+    * frame rate (+2000000), brightness 216/256 (+3000000).
+    */
+  def videoMedia(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val sel = sel4(s, dir)
+    def gen(offset: Long, resDiv: Int, frameStep: Int, bright: Int) =
+      Multimodal.withSyntheticVideoMedia(
+        sel.select((col("doc_id") + offset).as("doc_id"),
+          col("doc_id").as("seed")), "seed", resDiv, frameStep, bright)
+        .select("doc_id", "media")
+    (sel, gen(0L, 1, 1, 256)
+      .unionAll(gen(1000000L, 2, 1, 256))
+      .unionAll(gen(2000000L, 1, 2, 256))
+      .unionAll(gen(3000000L, 1, 1, 216)))
+  }
+
+  /** The canonical dedup roster every *_dedup gate and streaming mirror
+    * publishes: the full planted id set (re-derived ARITHMETICALLY from
+    * `sel` — selecting ids off the rendered media would re-execute the
+    * whole mapPartitions render, which cannot be column-pruned), left-
+    * joined to the cluster labels; unpaired rows keep themselves.
+    */
+  def dedupRoster(sel: DataFrame, offsets: Seq[Long],
+      labels: DataFrame): DataFrame =
+    offsets.map(o => sel.select((col("doc_id") + o).as("doc_id")))
+      .reduce(_ unionAll _)
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("comp"))
+      .withColumn("kept", col("doc_id") === col("comp"))
+      .orderBy("doc_id")
+}

@@ -2463,8 +2463,13 @@ object Scale {
         .withColumn("zv", org.apache.spark.sql.graft.VectorExpressions
           .interleave64(col("bx").cast("int"), col("by").cast("int")))
         .select("k", "bx", "by", "zv", "n")
-      def fileStats(layout: String, order: Seq[Column]): DataFrame =
-        graft.pipeline.Corpus.withGlobalOrder(c, order, lit(1L))
+      // each branch stages only ITS sort key through the global-order
+      // barrier — the linear branch never reads zv, and mapped-through
+      // extra columns are 8 bytes × every row of barrier I/O at scale
+      def fileStats(layout: String, keep: Seq[String],
+          order: Seq[Column]): DataFrame =
+        graft.pipeline.Corpus.withGlobalOrder(
+          c.select(keep.map(col): _*), order, lit(1L))
           .withColumn("file_id",
             expr("(pos - 1) * 32 DIV n").cast("int"))
           .groupBy("file_id")
@@ -2474,8 +2479,10 @@ object Scale {
           .select(lit(layout).as("layout"), col("file_id"),
             col("n_rows"), col("min_x"), col("max_x"),
             col("min_y"), col("max_y"))
-      fileStats("zorder", Seq(col("zv"), col("k")))
-        .unionAll(fileStats("linear", Seq(col("bx"), col("k"))))
+      fileStats("zorder", Seq("k", "bx", "by", "zv", "n"),
+          Seq(col("zv"), col("k")))
+        .unionAll(fileStats("linear", Seq("k", "bx", "by", "n"),
+          Seq(col("bx"), col("k"))))
         .orderBy("layout", "file_id")
     },
 

@@ -2571,17 +2571,7 @@ object Streaming {
         |  false AS kept
         |FROM documents WHERE doc_id % 4 = 0
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val sel = graft.Tables.load(s, dir, "documents")
-        .filter(col("doc_id") % 4 === 0).select("doc_id")
-        .repartition(32)
-      def gen(offset: Long, fmt: String, scale: Int) =
-        graft.pipeline.Multimodal.withSmoothMedia(
-          sel.select((col("doc_id") + offset).as("doc_id"),
-            col("doc_id").as("seed")), "seed", fmt, scale)
-          .select("doc_id", "media")
-      val media = gen(0L, "png", 1)
-        .unionAll(gen(1000000L, "png", 2))
-        .unionAll(gen(2000000L, "jpg", 1))
+      val (sel, media) = Planted.imageMedia(s, dir)
       val base = java.nio.file.Paths.get(
         sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_fmt").toString
       val srcDir = s"$base/s47_stream_src"
@@ -2633,14 +2623,7 @@ object Streaming {
       val pairs = graft.pipeline.Dedup.hammingPairs(sigs,
         maxHamming = 8, multiIndex = 3)
       val labels = graft.pipeline.Dedup.components(pairs)
-      sel.select(col("doc_id"))
-        .unionAll(sel.select((col("doc_id") + 1000000L).as("doc_id")))
-        .unionAll(sel.select((col("doc_id") + 2000000L).as("doc_id")))
-        .join(labels, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("comp"), col("doc_id")).as("comp"))
-        .withColumn("kept", col("doc_id") === col("comp"))
-        .orderBy("doc_id")
+      Planted.dedupRoster(sel, Seq(0L, 1000000L, 2000000L), labels)
     },
 
     // Streaming perceptual AUDIO dedup (p192 live): WAV payloads arrive
@@ -2665,17 +2648,7 @@ object Streaming {
         |  false AS kept
         |FROM documents WHERE doc_id % 4 = 0
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val sel = graft.Tables.load(s, dir, "documents")
-        .filter(col("doc_id") % 4 === 0).select("doc_id")
-        .repartition(32)
-      def gen(offset: Long, rate: Int, bits: Int) =
-        graft.pipeline.Multimodal.withSyntheticWav(
-          sel.select((col("doc_id") + offset).as("doc_id"),
-            col("doc_id").as("seed")), "seed", rate, bits)
-          .select("doc_id", "media")
-      val media = gen(0L, 8000, 16)
-        .unionAll(gen(1000000L, 16000, 16))
-        .unionAll(gen(2000000L, 8000, 8))
+      val (sel, media) = Planted.audioMedia(s, dir)
       val base = java.nio.file.Paths.get(
         sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_fmt").toString
       val srcDir = s"$base/s48_stream_src"
@@ -2720,14 +2693,7 @@ object Streaming {
       val pairs = graft.pipeline.Dedup.hammingPairs(sigs,
         maxHamming = 8, multiIndex = 3)
       val labels = graft.pipeline.Dedup.components(pairs)
-      sel.select(col("doc_id"))
-        .unionAll(sel.select((col("doc_id") + 1000000L).as("doc_id")))
-        .unionAll(sel.select((col("doc_id") + 2000000L).as("doc_id")))
-        .join(labels, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("comp"), col("doc_id")).as("comp"))
-        .withColumn("kept", col("doc_id") === col("comp"))
-        .orderBy("doc_id")
+      Planted.dedupRoster(sel, Seq(0L, 1000000L, 2000000L), labels)
     },
 
     // Streaming perceptual VIDEO dedup (p194 live): clips arrive in
@@ -2756,18 +2722,7 @@ object Streaming {
         |  false AS kept
         |FROM documents WHERE doc_id % 4 = 0
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val sel = graft.Tables.load(s, dir, "documents")
-        .filter(col("doc_id") % 4 === 0).select("doc_id")
-        .repartition(32)
-      def gen(offset: Long, resDiv: Int, step: Int, bright: Int) =
-        graft.pipeline.Multimodal.withSyntheticVideoMedia(
-          sel.select((col("doc_id") + offset).as("doc_id"),
-            col("doc_id").as("seed")), "seed", resDiv, step, bright)
-          .select("doc_id", "media")
-      val media = gen(0L, 1, 1, 256)
-        .unionAll(gen(1000000L, 2, 1, 256))
-        .unionAll(gen(2000000L, 1, 2, 256))
-        .unionAll(gen(3000000L, 1, 1, 216))
+      val (sel, media) = Planted.videoMedia(s, dir)
       val base = java.nio.file.Paths.get(
         sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_fmt").toString
       val srcDir = s"$base/s49_stream_src"
@@ -2826,15 +2781,8 @@ object Streaming {
       val pairs = graft.pipeline.Dedup.hammingPairs(sigs,
         maxHamming = 8, multiIndex = 3)
       val labels = graft.pipeline.Dedup.components(pairs)
-      sel.select(col("doc_id"))
-        .unionAll(sel.select((col("doc_id") + 1000000L).as("doc_id")))
-        .unionAll(sel.select((col("doc_id") + 2000000L).as("doc_id")))
-        .unionAll(sel.select((col("doc_id") + 3000000L).as("doc_id")))
-        .join(labels, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("comp"), col("doc_id")).as("comp"))
-        .withColumn("kept", col("doc_id") === col("comp"))
-        .orderBy("doc_id")
+      Planted.dedupRoster(sel, Seq(0L, 1000000L, 2000000L, 3000000L),
+        labels)
     },
 
     // Streaming split-conformal calibration (p177 live): the carried

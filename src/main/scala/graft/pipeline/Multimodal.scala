@@ -684,30 +684,39 @@ object Multimodal {
     val binIdx = df.schema.fieldIndex(binCol)
     df.mapPartitions { rows =>
       rows.flatMap { r =>
-        val bytes = r.getAs[Array[Byte]](binIdx)
-        val ok = bytes != null && bytes.length >= 16 &&
-          bytes(0) == 'G' && bytes(1) == 'V' && bytes(2) == 'I' &&
-          bytes(3) == 'D'
-        if (!ok) Seq(Row.fromSeq(r.toSeq ++ Seq(null, null, null, null)))
-        else {
-          val bb = java.nio.ByteBuffer.wrap(bytes, 4, 12)
-            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-          val w = bb.getInt; val h = bb.getInt; val nf = bb.getInt
-          if (w <= 0 || h <= 0 || nf <= 0 ||
-            bytes.length < 16 + nf.toLong * w * h)
-            Seq(Row.fromSeq(r.toSeq ++ Seq(null, null, null, null)))
-          else (0 until nSample).map { j =>
-            val idx = (2 * j + 1) * nf / (2 * nSample)
-            val base = 16 + idx * w * h
-            val gray = new Array[Int](w * h)
-            var i = 0
-            while (i < gray.length) {
-              gray(i) = bytes(base + i) & 0xFF
-              i += 1
+        def nulls = Seq(Row.fromSeq(r.toSeq ++ Seq(null, null, null, null)))
+        // the parseWav discipline: a corrupt or adversarial payload
+        // emits the null row, never a task failure — the size guard
+        // multiplies CHECKED (a crafted header like w=3, h≈2³¹,
+        // nf=2³¹−1 wraps a naive nf·w·h long product past 2⁶³ and
+        // the old guard let it through to an out-of-bounds read)
+        try {
+          val bytes = r.getAs[Array[Byte]](binIdx)
+          val ok = bytes != null && bytes.length >= 16 &&
+            bytes(0) == 'G' && bytes(1) == 'V' && bytes(2) == 'I' &&
+            bytes(3) == 'D'
+          if (!ok) nulls
+          else {
+            val bb = java.nio.ByteBuffer.wrap(bytes, 4, 12)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            val w = bb.getInt; val h = bb.getInt; val nf = bb.getInt
+            if (w <= 0 || h <= 0 || nf <= 0 ||
+              nf.toLong > bytes.length ||
+              w.toLong * h > bytes.length ||
+              bytes.length < 16 + nf.toLong * (w.toLong * h)) nulls
+            else (0 until nSample).map { j =>
+              val idx = ((2 * j + 1).toLong * nf / (2 * nSample)).toInt
+              val base = 16 + idx * w * h
+              val gray = new Array[Int](w * h)
+              var i = 0
+              while (i < gray.length) {
+                gray(i) = bytes(base + i) & 0xFF
+                i += 1
+              }
+              Row.fromSeq(r.toSeq ++ Seq(j, gray.toSeq, w, h))
             }
-            Row.fromSeq(r.toSeq ++ Seq(j, gray.toSeq, w, h))
           }
-        }
+        } catch { case _: Exception => nulls }
       }
     }(RowEncoder.encoderFor(outSchema))
   }
