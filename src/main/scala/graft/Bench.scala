@@ -167,6 +167,7 @@ object Bench {
     "p194_video_dedup",   // clip pairs → components → canonical corpus
     "s48_stream_audio",   // (id, AudioHash64) state → publish dedup
     "s49_stream_video",   // (id, MajorityHash64) state → publish dedup
+    "p195_frame_grab",    // cross-modal still↔clip pigeonhole pairs
     "x44_zorder_layout",  // Morton interleave + rank-split file stats
     "x45_deletion_vectors", // MOR delete sidecar + broadcast anti-join
     "s43_stream_srm",     // live SRM, distinct-user-set state

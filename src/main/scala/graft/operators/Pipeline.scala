@@ -8445,8 +8445,9 @@ object Pipeline {
     // times), and brightness 216/256 (+3000000). The demux → sample 8
     // frames at fixed time fractions → per-frame dHash → temporal
     // majority vote → hamming-pigeonhole path must find every
-    // (original, variant) pair at hamming ≤ 8 (measured: halfres ≤ 2,
-    // halfrate ≤ 2, dim ≤ 2; different clips ≥ 16 apart). The oracle
+    // (original, variant) pair at hamming ≤ 6 (full sf0.1 seed range:
+    // halfres ≤ 2, halfrate ≤ 3, dim ≤ 2; different clips ≥ 9 apart —
+    // the master-grid band, 3-bit margin each way). The oracle
     // recomputes the planted id set and asserts `found` literally.
     QueryDef("p193_video_neardup",
       """SELECT doc_id, doc_id + 1000000 AS copy_id,
@@ -8463,7 +8464,7 @@ object Pipeline {
         |ORDER BY doc_id, copy_id""".stripMargin) { (s, dir) =>
       val (sel, media) = plantedVideoMedia(s, dir)
       val pairs = Dedup.videoPairs(media, "doc_id", "media",
-        maxHamming = 8)
+        maxHamming = 6)
       val expected = sel.select(col("doc_id"),
           (col("doc_id") + 1000000L).as("copy_id"),
           lit("halfres").as("kind"))
@@ -8485,7 +8486,8 @@ object Pipeline {
     // half-res, half-rate, dimmed) collapses to one surviving row, the
     // original — demux → temporal majority dHash → pairs → components →
     // per-cluster minimum. Full hash gate (labels exactly predictable:
-    // variants ≤ 2 bits from their source, different clips ≥ 16).
+    // variants ≤ 3 bits from their source, different clips ≥ 9;
+    // threshold 6 centers the band).
     QueryDef("p194_video_dedup",
       """SELECT doc_id, doc_id AS comp, true AS kept
         |FROM documents WHERE doc_id % 4 = 0
@@ -8504,10 +8506,38 @@ object Pipeline {
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val (sel, media) = plantedVideoMedia(s, dir)
       val pairs = Dedup.videoPairs(media, "doc_id", "media",
-        maxHamming = 8)
+        maxHamming = 6)
       val labels = Dedup.components(pairs)
       Planted.dedupRoster(sel, Seq(0L, 1000000L, 2000000L, 3000000L),
         labels)
+    },
+
+    // CROSS-MODAL frame-grab detection END-TO-END: every 4th doc
+    // renders a clip AND a real PNG still of that clip's source frame
+    // 13 at 2× the clip resolution (+1000000) — the image-that-is-a-
+    // video-frame duplicate no single-modality dedup can see. The clip
+    // demux keeps its 8 sampled frames' dHashes as separate signatures
+    // (a clip-level majority vote blurs a single still past the band;
+    // frame-level sits ≤ 2 own / ≥ 9 cross over the full sf0.1 seed
+    // range), the image pipeline decodes the PNG, and ONE hammingPairs
+    // pass over the packed (id·16 + frame | id·16 + 15) space finds
+    // every planted pair at hamming ≤ 6. The oracle recomputes the
+    // planted id set and
+    // asserts `found` literally (the p187 pattern).
+    QueryDef("p195_frame_grab",
+      """SELECT doc_id AS clip_id, doc_id + 1000000 AS image_id,
+        |  true AS found
+        |FROM documents WHERE doc_id % 4 = 0
+        |ORDER BY clip_id""".stripMargin) { (s, dir) =>
+      val (sel, clips, grabs) = Planted.frameGrabCorpus(s, dir)
+      val pairs = Dedup.frameGrabPairs(grabs, "doc_id", "media",
+        clips, "doc_id", "media", maxHamming = 6)
+      sel.select(col("doc_id").as("clip_id"),
+          (col("doc_id") + 1000000L).as("image_id"))
+        .join(pairs, Seq("image_id", "clip_id"), "left")
+        .select(col("clip_id"), col("image_id"),
+          col("hamming").isNotNull.as("found"))
+        .orderBy("clip_id")
     },
 
     // Always-valid (mSPRT) experiment readout: the oracle replays the

@@ -71,6 +71,23 @@ private[graft] object Planted {
       .unionAll(gen(3000000L, 1, 1, 216)))
   }
 
+  /** Cross-modal corpus (p195): every 4th document renders a base clip
+    * AND, under +1000000, a real PNG frame grab of that clip's source
+    * frame 13 (the middle sampled frame) at 2× the clip resolution —
+    * the still-of-a-video planted pair.
+    */
+  def frameGrabCorpus(s: SparkSession,
+      dir: String): (DataFrame, DataFrame, DataFrame) = {
+    val sel = sel4(s, dir)
+    val clips = Multimodal.withSyntheticVideoMedia(
+      sel.select(col("doc_id"), col("doc_id").as("seed")),
+      "seed", 1, 1, 256).select("doc_id", "media")
+    val grabs = Multimodal.withFrameGrabMedia(
+      sel.select((col("doc_id") + 1000000L).as("doc_id"),
+        col("doc_id").as("seed")), "seed").select("doc_id", "media")
+    (sel, clips, grabs)
+  }
+
   /** The canonical dedup roster every *_dedup gate and streaming mirror
     * publishes: the full planted id set (re-derived ARITHMETICALLY from
     * `sel` — selecting ids off the rendered media would re-execute the

@@ -2779,7 +2779,7 @@ object Streaming {
       val sigs = s.read.option("recursiveFileLookup", "true")
         .parquet(sigRoot)
       val pairs = graft.pipeline.Dedup.hammingPairs(sigs,
-        maxHamming = 8, multiIndex = 3)
+        maxHamming = 6, multiIndex = 3)
       val labels = graft.pipeline.Dedup.components(pairs)
       Planted.dedupRoster(sel, Seq(0L, 1000000L, 2000000L, 3000000L),
         labels)

@@ -683,7 +683,11 @@ object Dedup {
     * [[hammingPairs]]. Catches the SAME clip re-encoded at lower
     * resolution (per-frame dHash survives resize) or at half the frame
     * rate (time-fraction sampling re-aligns) or brightness-shifted
-    * (ratio compares); different clips sit ~32 bits apart.
+    * (ratio compares); different clips sit ~32 bits apart. Threshold 6,
+    * not the image/audio 8: the antialiased master-grid renderer puts
+    * variants at ≤ 3 bits but the nearest cross-clip pair at 9 over the
+    * full sf0.1 seed range — 6 centers the band (3-bit margin each way,
+    * and C(9,3)=84 combo keys instead of 165).
     *
     * 100 TB shape: the 8× frame fan-out happens INSIDE the decode stage
     * and collapses to one (id, sig) long per clip in the very next
@@ -691,7 +695,7 @@ object Dedup {
     * never clip bytes.
     */
   def videoPairs(df: DataFrame, idCol: String, binCol: String,
-      maxHamming: Int = 8, multiIndex: Int = 3): DataFrame = {
+      maxHamming: Int = 6, multiIndex: Int = 3): DataFrame = {
     val frames = graft.pipeline.Multimodal.withDecodedFrames(
       df.select(col(idCol), col(binCol)), binCol)
       .filter(col("gray").isNotNull)
@@ -703,6 +707,58 @@ object Dedup {
       .agg(org.apache.spark.sql.graft.VectorExpressions.majorityhash64(
         collect_list(col("fsig"))).as("sig"))
     hammingPairs(sigs, maxHamming, multiIndex)
+  }
+
+  /** CROSS-MODAL frame-grab detection: find images that are stills of
+    * clips. The clip side keeps its 8 sampled frames' dHashes as
+    * SEPARATE signatures (a clip-level majority vote blurs a single
+    * still past the pigeonhole band — measured max 9 vs the ≤ 8 gate;
+    * frame-level matching measured ≤ 2 own / ≥ 9 cross over the full
+    * sf0.1 seed range under the master-grid renderer — threshold 6,
+    * the video-family band — and it is how production frame-grab
+    * detection works); the image side is one dHash per image. Both ride ONE
+    * [[hammingPairs]] pass over a packed id space — sub-id = id·16 +
+    * frame_pos for clip frames, id·16 + 15 for images — then the
+    * bipartite filter keeps image↔frame hits only and collapses to
+    * (image_id, clip_id, min hamming). Same scale shape as every
+    * perceptual path: decode stages are the only mapPartitions, and
+    * only (sub-id, sig) longs shuffle.
+    *
+    * Ids must fit the packing: |id| < 2⁵⁹ (id·16 stays in int64).
+    */
+  def frameGrabPairs(images: DataFrame, imgIdCol: String,
+      imgBinCol: String, clips: DataFrame, clipIdCol: String,
+      clipBinCol: String, maxHamming: Int = 6,
+      multiIndex: Int = 3): DataFrame = {
+    val frameSigs = graft.pipeline.Multimodal.withDecodedFrames(
+      clips.select(col(clipIdCol), col(clipBinCol)), clipBinCol)
+      .filter(col("gray").isNotNull)
+      .select((col(clipIdCol) * 16 + col("frame_pos")).as("id"),
+        org.apache.spark.sql.graft.VectorExpressions.dhash64(
+          col("gray"), col("img_w"), col("img_h")).as("sig"))
+    val imageSigs = graft.pipeline.Multimodal.withDecodedGray(
+      images.select(col(imgIdCol), col(imgBinCol)), imgBinCol)
+      .filter(col("gray").isNotNull)
+      .select((col(imgIdCol) * 16 + 15).as("id"),
+        org.apache.spark.sql.graft.VectorExpressions.dhash64(
+          col("gray"), col("img_w"), col("img_h")).as("sig"))
+    val sub = hammingPairs(imageSigs.unionAll(frameSigs),
+      maxHamming, multiIndex)
+    // decode the packing; keep image<->frame hits only (frame-frame
+    // pairs within a clip and image-image pairs drop here)
+    val tagged = sub.select(
+      (col("id_a") % 16).as("tag_a"), expr("id_a DIV 16").as("base_a"),
+      (col("id_b") % 16).as("tag_b"), expr("id_b DIV 16").as("base_b"),
+      col("hamming"))
+    tagged.filter((col("tag_a") === 15) =!= (col("tag_b") === 15))
+      .select(
+        when(col("tag_a") === 15, col("base_a"))
+          .otherwise(col("base_b")).as("image_id"),
+        when(col("tag_a") === 15, col("base_b"))
+          .otherwise(col("base_a")).as("clip_id"),
+        col("hamming"))
+      .groupBy("image_id", "clip_id")
+      .agg(min("hamming").as("hamming"))
   }
 
   /** Materialize a deduplicated corpus from near-dup pairs: drop the

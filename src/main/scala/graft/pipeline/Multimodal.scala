@@ -598,51 +598,62 @@ object Multimodal {
     * lattice(seed'), pixels scaled by bright/256 (a true brightness
     * change — dHash ratio compares survive it). `frameStep` subsamples
     * the TIMELINE (step 2 = half the frame rate, same content), so
-    * variants stay time-aligned by construction. `resDiv` downsamples
-    * SPATIALLY the way a production transcoder does — each output pixel
-    * box-averages its resDiv² full-res subpixels, rounded once
-    * (pointwise sampling instead aliased against the 9×8 pool grid and
-    * drifted the clip hash to 11 bits on some seeds; the antialiased
-    * form measures ≤ 2).
+    * variants stay time-aligned by construction. Every resolution is an
+    * antialiased BOX-AVERAGE of one 72×64 "master grid" (the surface
+    * sampled pointwise at 2× the base clip dims): resDiv=1 averages 2×2
+    * master samples per pixel, resDiv=2 averages 4×4 — the production
+    * transcoder relationship, and the SAME one the image family uses.
+    * Pointwise sampling instead aliased against the 9×8 pool grid
+    * (clip-hash drift to 11 bits on some seeds, and the p195 frame
+    * grab — which IS the master grid — sat 9 bits from its own clip's
+    * frames over the full seed range, outside the ≤ 8 band; the
+    * master-grid form measures variants ≤ 2 and grab-vs-own ≤ 1).
     */
+  /** The clip's lattice at source-timeline frame `srcFrame` (on the
+    * 24-frame base timeline): `MorphSpan · srcFrame/24` of the way from
+    * lattice(seed) toward lattice(seed'). ONE definition shared by the
+    * clip renderer and the cross-modal frame-grab — they must sample
+    * the identical surface or the p195 pairing silently breaks.
+    */
+  private def morphedLattice(seed: Long, srcFrame: Int): Array[Int] = {
+    val latA = smoothLattice(seed)
+    val latB = smoothLattice(seed ^ 0x0DDBA11CAFEB0BA5L)
+    val frac = MorphSpan * srcFrame.toDouble / 24
+    Array.tabulate(latA.length)(i =>
+      math.round(latA(i) + (latB(i) - latA(i)) * frac).toInt)
+  }
+
   private[graft] def syntheticVideo(seed: Long, resDiv: Int,
       frameStep: Int, bright: Int): Array[Byte] = {
     val baseFrames = 24
     val baseW = 36; val baseH = 32
     val w = baseW / resDiv; val h = baseH / resDiv
     val nframes = baseFrames / frameStep
-    val latA = smoothLattice(seed)
-    val latB = smoothLattice(seed ^ 0x0DDBA11CAFEB0BA5L)
     val out = java.nio.ByteBuffer.allocate(16 + nframes * w * h)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     out.put("GVID".getBytes("US-ASCII")).putInt(w).putInt(h)
       .putInt(nframes)
-    val lat = new Array[Int](latA.length)
+    val ss = 2 * resDiv // master-grid subsamples per output pixel axis
     var j = 0
     while (j < nframes) {
-      val frac = MorphSpan * (j * frameStep).toDouble / baseFrames
-      var i = 0
-      while (i < lat.length) {
-        lat(i) = math.round(latA(i) + (latB(i) - latA(i)) * frac).toInt
-        i += 1
-      }
+      val lat = morphedLattice(seed, j * frameStep)
       var y = 0
       while (y < h) {
         var x = 0
         while (x < w) {
           var acc = 0.0
           var sy = 0
-          while (sy < resDiv) {
+          while (sy < ss) {
             var sx = 0
-            while (sx < resDiv) {
-              acc += bilinearGray(lat, x * resDiv + sx, y * resDiv + sy,
-                baseW, baseH)
+            while (sx < ss) {
+              acc += bilinearGray(lat, x * ss + sx, y * ss + sy,
+                baseW * 2, baseH * 2)
               sx += 1
             }
             sy += 1
           }
           val g = math.max(0, math.min(255,
-            math.round(acc / (resDiv * resDiv)).toInt))
+            math.round(acc / (ss * ss)).toInt))
           out.put((g * bright / 256).toByte)
           x += 1
         }
@@ -662,6 +673,41 @@ object Multimodal {
       rows.map { r =>
         Row.fromSeq(r.toSeq :+ syntheticVideo(r.getLong(seedIdx),
           resDiv, frameStep, bright))
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
+  /** A frame GRAB: the clip's frame at source index `srcFrame`,
+    * re-rendered at (w, h) from the same continuous surface and encoded
+    * as a real PNG — the cross-modal planted pair (an image that IS a
+    * still of a video, published through the image pipeline). 72×64
+    * against the clip's 36×32 makes it an honest resolution change on
+    * top of the modality change.
+    */
+  private[graft] def withFrameGrabMedia(df: DataFrame, seedCol: String,
+      srcFrame: Int = 13, w: Int = 72, h: Int = 64,
+      outCol: String = "media"): DataFrame = {
+    val outSchema = df.schema.add(outCol, BinaryType)
+    val seedIdx = df.schema.fieldIndex(seedCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val lat = morphedLattice(r.getLong(seedIdx), srcFrame)
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val g = math.max(0, math.min(255,
+              math.round(bilinearGray(lat, x, y, w, h)).toInt))
+            img.setRGB(x, y, (g << 16) | (g << 8) | g)
+            x += 1
+          }
+          y += 1
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", out)
+        Row.fromSeq(r.toSeq :+ out.toByteArray)
       }
     }(RowEncoder.encoderFor(outSchema))
   }

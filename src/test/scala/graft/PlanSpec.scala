@@ -1608,5 +1608,19 @@ class PlanSpec extends SparkSpec {
       l.contains("Exchange") &&
         (l.contains("media#") || l.contains("gray#"))),
       s"p193: clip bytes or pixels crossed a shuffle:\n$r")
+    // p195: cross-modal pairs ride the SAME pigeonhole equi-join over
+    // the packed sub-id space — never a product, never media/pixels
+    // through an exchange
+    val x = executed("p195_frame_grab")
+    assert(x.contains("dhash64"),
+      s"p195: native DHash64 missing from the plan:\n$x")
+    assert(!x.contains("CartesianProduct") &&
+      !x.contains("BroadcastNestedLoopJoin"),
+      s"p195: cross-modal pairs fell back to a product join:\n$x")
+    val xf = x.split("== Initial Plan ==").head
+    assert(!xf.linesIterator.exists(l =>
+      l.contains("Exchange") &&
+        (l.contains("media#") || l.contains("gray#"))),
+      s"p195: media bytes or pixels crossed a shuffle:\n$x")
   }
 }

@@ -376,8 +376,8 @@ class PipelineSpec extends SparkSpec {
     assert(badRows.length == 1 && badRows.head.isNullAt(2))
   }
 
-  test("video margin bands hold (halfres<=8, halfrate<=8, dim<=8, " +
-      "cross>=11) — all-deterministic synth, no codec dependence") {
+  test("video margin bands hold (variants<=4, cross>=9, threshold 6) " +
+      "— all-deterministic synth, no codec dependence") {
     import spark.implicits._
     val seeds = (0 until 60).map(i => (i * 4).toLong)
     def sigs(resDiv: Int, step: Int, bright: Int): Map[Long, Long] = {
@@ -405,9 +405,10 @@ class PipelineSpec extends SparkSpec {
     val minCross = (for {
       i <- seeds.indices; j <- 0 until i
     } yield d(base(seeds(i)), base(seeds(j)))).min
-    assert(mh <= 8 && mt <= 8 && md <= 8 && minCross >= 11,
+    assert(mh <= 4 && mt <= 4 && md <= 4 && minCross >= 9,
       s"video margins drifted: halfres=$mh halfrate=$mt dim=$md " +
-        s"(all <=8), minCross=$minCross (>=11)")
+        s"(all <=4; gate threshold 6), minCross=$minCross (>=9; " +
+        s"full-range floor 9)")
   }
 
   test("videoPairs: half-res, half-rate and dimmed re-encodes pair " +
@@ -423,7 +424,7 @@ class PipelineSpec extends SparkSpec {
       .unionAll(gen(2000000L, 1, 2, 256))
       .unionAll(gen(3000000L, 1, 1, 216))
     val pairs = Dedup.videoPairs(media, "doc_id", "media",
-      maxHamming = 8)
+      maxHamming = 6)
       .select("id_a", "id_b").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     pairs.foreach { case (a, b) =>
@@ -434,6 +435,63 @@ class PipelineSpec extends SparkSpec {
       assert(set.contains((s, s + 1000000)), s"halfres missing for $s")
       assert(set.contains((s, s + 2000000)), s"halfrate missing for $s")
       assert(set.contains((s, s + 3000000)), s"dim missing for $s")
+    }
+  }
+
+  test("cross-modal margin bands hold (grab-vs-own-frames<=4, " +
+      "grab-vs-other-clips>=9) — frame-level, not majority-level") {
+    import spark.implicits._
+    val seeds = (0 until 60).map(i => (i * 4).toLong)
+    def frameSigsOf(df: org.apache.spark.sql.DataFrame) =
+      Multimodal.withDecodedFrames(df, "media")
+        .filter(col("gray").isNotNull)
+        .select(col("doc_id"),
+          org.apache.spark.sql.graft.VectorExpressions.dhash64(
+            col("gray"), col("img_w"), col("img_h")).as("sig"))
+        .collect().groupBy(_.getLong(0))
+        .map { case (k, v) => k -> v.map(_.getLong(1)).toSeq }
+    val clips = frameSigsOf(Multimodal.withSyntheticVideoMedia(
+      seeds.map(s => (s, s)).toDF("doc_id", "seed"),
+      "seed", 1, 1, 256).select("doc_id", "media"))
+    val grabs = Multimodal.withDecodedGray(
+      Multimodal.withFrameGrabMedia(
+        seeds.map(s => (s, s)).toDF("doc_id", "seed"), "seed")
+        .select("doc_id", "media"), "media")
+      .select(col("doc_id"),
+        org.apache.spark.sql.graft.VectorExpressions.dhash64(
+          col("gray"), col("img_w"), col("img_h")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def d(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val own = seeds.map(s => clips(s).map(f => d(grabs(s), f)).min).max
+    val cross = (for {
+      i <- seeds.indices; j <- seeds.indices if i != j
+      f <- clips(seeds(j))
+    } yield d(grabs(seeds(i)), f)).min
+    assert(own <= 4 && cross >= 9,
+      s"cross-modal margins drifted: grabOwnMax=$own (<=4; gate " +
+        s"threshold 6), grabCrossMin=$cross (>=9) — full-range 2 / 9")
+  }
+
+  test("frameGrabPairs: every planted still pairs with its source " +
+      "clip; stills never pair with other clips") {
+    import spark.implicits._
+    val seeds = (0 until 40).map(i => (i * 4).toLong)
+    val clips = Multimodal.withSyntheticVideoMedia(
+      seeds.map(s => (s, s)).toDF("doc_id", "seed"),
+      "seed", 1, 1, 256).select("doc_id", "media")
+    val grabs = Multimodal.withFrameGrabMedia(
+      seeds.map(s => (s + 1000000L, s)).toDF("doc_id", "seed"), "seed")
+      .select("doc_id", "media")
+    val pairs = Dedup.frameGrabPairs(grabs, "doc_id", "media",
+      clips, "doc_id", "media", maxHamming = 6)
+      .select("image_id", "clip_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    pairs.foreach { case (img, clip) =>
+      assert(img - 1000000L == clip, s"cross-clip grab pair ($img, $clip)")
+    }
+    val set = pairs.toSet
+    seeds.foreach { s =>
+      assert(set.contains((s + 1000000L, s)), s"grab pair missing for $s")
     }
   }
 
@@ -2420,7 +2478,7 @@ class PipelineSpec extends SparkSpec {
           .majorityhash64(collect_list(col("fsig"))).as("sig"))
     def dedup(sigs: org.apache.spark.sql.DataFrame) = {
       val labels = graft.pipeline.Dedup.components(
-        graft.pipeline.Dedup.hammingPairs(sigs, 8, multiIndex = 3))
+        graft.pipeline.Dedup.hammingPairs(sigs, 6, multiIndex = 3))
       sigs.select(col("id").as("doc_id"))
         .join(labels, Seq("doc_id"), "left")
         .select(col("doc_id"),
