@@ -168,8 +168,10 @@ object Bench {
     "s48_stream_audio",   // (id, AudioHash64) state → publish dedup
     "s49_stream_video",   // (id, MajorityHash64) state → publish dedup
     "p195_frame_grab",    // cross-modal still↔clip pigeonhole pairs
+    "s50_stream_frame_grab", // packed (sub-id, dHash) state → p195
     "x44_zorder_layout",  // Morton interleave + rank-split file stats
     "x45_deletion_vectors", // MOR delete sidecar + broadcast anti-join
+    "x46_incremental_view", // counting-algorithm IVM, cost ∝ delta
     "s43_stream_srm",     // live SRM, distinct-user-set state
     "f07_csv_ingest_cold", // CSV parse + agg, no cache (dsq cold analog)
     "f08_csv_ingest_warm") // cached-parquet + agg (dsq -C warm analog)

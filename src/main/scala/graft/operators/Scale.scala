@@ -2524,6 +2524,48 @@ object Scale {
         |FROM events WHERE event_id NOT IN (SELECT event_id FROM u)
         |ORDER BY version""".stripMargin) { (s, dir) =>
       deletionVectors(s, dir)
+    },
+
+    // Incremental view maintenance (the Gupta–Mumick counting
+    // algorithm for distributive aggregates) — the CDC-consumer dual
+    // of x40/x45's writer-side commits: a materialized per-key
+    // (count, sum) view absorbs an insert commit and a delete commit
+    // by aggregating ONLY the delta rows (map-side combinable, cost ∝
+    // commit size) and merging into the stored |keys|-row view —
+    // the base table is never rescanned after version 0. Deletes
+    // carry the old row (the CDC payload) and enter with sign −1;
+    // keys whose count reaches 0 drop out, matching GROUP BY
+    // semantics. Each version's maintained view must equal a full
+    // recompute over the reconstructed table (ivm_equals_recompute,
+    // re-derived in-gate), and n_delta records the per-commit row
+    // cost the 100 TB story rides on. The oracle replays every
+    // version's grouped aggregate from scratch.
+    QueryDef("x46_incremental_view",
+      """WITH ins AS (SELECT event_id + 1000000000000 AS event_id,
+        |    user_id, event_type FROM events WHERE event_id % 3 = 0),
+        |del AS (SELECT event_id, user_id, event_type FROM events
+        |  WHERE event_id % 7 = 0),
+        |t1 AS (SELECT event_id, user_id, event_type FROM events
+        |  UNION ALL SELECT * FROM ins),
+        |t2 AS (SELECT * FROM t1 WHERE event_id NOT IN
+        |  (SELECT event_id FROM del))
+        |SELECT 0 AS version, event_type,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(user_id) AS BIGINT) AS sum_user,
+        |  CAST(0 AS BIGINT) AS n_delta, true AS ivm_equals_recompute
+        |FROM events GROUP BY 2
+        |UNION ALL
+        |SELECT 1, event_type, CAST(count(*) AS BIGINT),
+        |  CAST(sum(user_id) AS BIGINT),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM ins), true
+        |FROM t1 GROUP BY 2
+        |UNION ALL
+        |SELECT 2, event_type, CAST(count(*) AS BIGINT),
+        |  CAST(sum(user_id) AS BIGINT),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM del), true
+        |FROM t2 GROUP BY 2
+        |ORDER BY version, event_type""".stripMargin) { (s, dir) =>
+      incrementalView(s, dir)
     }
   )
 
@@ -2743,5 +2785,86 @@ object Scale {
       .toDF("version", "n_rows", "sum_user", "n_dv",
         "mor_equals_cow", "base_immutable")
       .orderBy("version")
+  }
+
+  /** Incremental view maintenance for x46: the per-event_type
+    * (count, sum) view is MATERIALIZED to parquet at every version and
+    * each commit's maintenance plan reads the stored view + the delta
+    * only — never the base. Delta rows aggregate with a sign (+1
+    * insert, −1 delete; the counting algorithm), merge over ≤ 2·|keys|
+    * rows, and zero-count keys drop out. The `ivm_equals_recompute`
+    * flags are re-derived in-gate by full recompute + full-outer
+    * anti-compare, mirroring x45's mor_equals_cow discipline.
+    */
+  /** The x46 view definition: per-event_type (count, sum) — both
+    * distributive, so the counting algorithm maintains them exactly.
+    */
+  private[graft] def ivmViewOf(df: DataFrame): DataFrame =
+    df.groupBy("event_type")
+      .agg(count(lit(1)).as("n_rows"),
+        sum("user_id").cast("long").as("sum_user"))
+
+  /** One x46 maintenance step: aggregate ONLY the delta rows with a
+    * sign (+1 insert, −1 delete), merge into the |keys|-row stored
+    * view, drop keys whose count reaches 0 (GROUP BY semantics).
+    */
+  private[graft] def ivmMaintain(view: DataFrame, delta: DataFrame,
+      sign: Int): DataFrame =
+    view.unionAll(
+        delta.groupBy("event_type")
+          .agg((count(lit(1)) * sign).as("n_rows"),
+            (sum("user_id") * sign).cast("long").as("sum_user")))
+      .groupBy("event_type")
+      .agg(sum("n_rows").as("n_rows"),
+        sum("sum_user").cast("long").as("sum_user"))
+      .filter(col("n_rows") > 0)
+
+  private[graft] def incrementalView(s: SparkSession,
+      dir: String): DataFrame = {
+    val root = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_fmt").toString
+    val viewP = s"$root/x46_view"
+    rmTree(new java.io.File(viewP))
+    val events = t(s, dir, "events")
+      .select("event_id", "user_id", "event_type")
+    // the two CDC commits: inserts are re-keyed copies (offset clears
+    // any realistic id range incl. the 100× sweep corpora); deletes
+    // carry the OLD row — the payload a changelog delete record ships
+    val ins = events.filter(col("event_id") % 3 === 0)
+      .select((col("event_id") + 1000000000000L).as("event_id"),
+        col("user_id"), col("event_type"))
+    val del = events.filter(col("event_id") % 7 === 0)
+    def store(v: DataFrame, tag: String): DataFrame = {
+      v.coalesce(1).write.mode("overwrite").parquet(s"$viewP/$tag")
+      s.read.parquet(s"$viewP/$tag")
+    }
+    // version 0 scans the base ONCE; every later plan starts from the
+    // stored view parquet
+    val v0 = store(ivmViewOf(events), "v0")
+    val v1 = store(ivmMaintain(v0, ins, 1), "v1")
+    val v2 = store(ivmMaintain(v1, del, -1), "v2")
+    def eqViews(a: DataFrame, b: DataFrame): Boolean =
+      a.select(col("event_type"), col("n_rows").as("na"),
+          col("sum_user").as("sa"))
+        .join(b.select(col("event_type"), col("n_rows").as("nb"),
+          col("sum_user").as("sb")), Seq("event_type"), "full")
+        .filter(!(col("na") <=> col("nb")) ||
+          !(col("sa") <=> col("sb")))
+        .isEmpty
+    val eq1 = eqViews(v1, ivmViewOf(events.unionAll(ins)))
+    val eq2 = eqViews(v2, ivmViewOf(events.unionAll(ins)
+      .join(del.select("event_id"), Seq("event_id"), "left_anti")))
+    val nIns = ins.count()
+    val nDel = del.count()
+    def rows(v: DataFrame, version: Int, nDelta: Long,
+        eq: Boolean): DataFrame =
+      v.select(lit(version).as("version"), col("event_type"),
+        col("n_rows"), col("sum_user"), lit(nDelta).as("n_delta"),
+        lit(eq).as("ivm_equals_recompute"))
+    // version 0 IS the recompute — its flag is true by construction
+    rows(v0, 0, 0L, eq = true)
+      .unionAll(rows(v1, 1, nIns, eq1))
+      .unionAll(rows(v2, 2, nDel, eq2))
+      .orderBy("version", "event_type")
   }
 }

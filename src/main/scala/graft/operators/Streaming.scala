@@ -2785,6 +2785,97 @@ object Streaming {
         labels)
     },
 
+    // Streaming cross-modal frame-grab detection (p195 live): clips
+    // AND still images arrive interleaved in micro-batches; each batch
+    // decodes its own payloads once — clip rows demux to 8 per-frame
+    // dHashes under packed sub-ids (id·16 + frame_pos), image rows to
+    // one dHash under id·16 + 15 — and persists only the (sub-id, sig)
+    // longs. The carried state is a pure APPEND merge (every sub-id's
+    // signature derives from exactly one arriving payload, and a
+    // clip's 8 frames come from one row, so no signature ever spans
+    // batches). Publish runs the SAME frameGrabPairsFromSigs seam as
+    // batch p195 (pigeonhole → bipartite filter → min-hamming
+    // collapse) over the merged table — output must equal p195
+    // verbatim even though a grab and its source clip usually land in
+    // DIFFERENT batches (xxhash64 split: ids 1000000 apart never
+    // share a batch systematically — the cross-batch pairing the gate
+    // exists to exercise).
+    QueryDef("s50_stream_frame_grab",
+      """SELECT doc_id AS clip_id, doc_id + 1000000 AS image_id,
+        |  true AS found
+        |FROM documents WHERE doc_id % 4 = 0
+        |ORDER BY clip_id""".stripMargin) { (s, dir) =>
+      val (sel, clips, grabs) = Planted.frameGrabCorpus(s, dir)
+      val base = java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_fmt").toString
+      val srcDir = s"$base/s50_stream_src"
+      val sigRoot = s"$base/s50_sigs"
+      val mediaDir = s"$base/s50_media"
+      Seq(srcDir, sigRoot, mediaDir)
+        .foreach(d => rmTree(new java.io.File(d)))
+      new java.io.File(srcDir).mkdirs()
+      // render BOTH corpora once (the s47 lesson); the kind column
+      // routes each row to its decoder inside the batch
+      clips.withColumn("kind", lit("clip"))
+        .unionAll(grabs.withColumn("kind", lit("grab")))
+        .write.mode("overwrite").parquet(mediaDir)
+      // wide-binary columnar batches: same contiguous-reservation OOM
+      // as s49 at the 100× sweep — shrink around the media reads only
+      val batchKey = "spark.sql.parquet.columnarReaderBatchSize"
+      val prevBatchSize = s.conf.get(batchKey, "4096")
+      s.conf.set(batchKey, "256")
+      try {
+        val staged = s.read.parquet(mediaDir)
+        (0 until 4).foreach { b =>
+          writeSingle(
+            staged.filter(pmod(xxhash64(col("doc_id")), lit(4L)) === b),
+            srcDir, s"batch_$b")
+        }
+        val schema = s.read.parquet(srcDir).schema
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("pathGlobFilter", "*.parquet")
+          .parquet(srcDir)
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+              batchId: Long) =>
+            val frameSigs = graft.pipeline.Multimodal
+              .withDecodedFrames(
+                batch.filter(col("kind") === "clip")
+                  .select("doc_id", "media"), "media")
+              .filter(col("gray").isNotNull)
+              .select((col("doc_id") * 16 + col("frame_pos")).as("id"),
+                org.apache.spark.sql.graft.VectorExpressions.dhash64(
+                  col("gray"), col("img_w"), col("img_h")).as("sig"))
+            val grabSigs = graft.pipeline.Multimodal
+              .withDecodedGray(
+                batch.filter(col("kind") === "grab")
+                  .select("doc_id", "media"), "media")
+              .filter(col("gray").isNotNull)
+              .select((col("doc_id") * 16 + 15).as("id"),
+                org.apache.spark.sql.graft.VectorExpressions.dhash64(
+                  col("gray"), col("img_w"), col("img_h")).as("sig"))
+            frameSigs.unionAll(grabSigs)
+              .coalesce(1).write.mode("overwrite")
+              .parquet(s"$sigRoot/b_$batchId")
+            ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set(batchKey, prevBatchSize)
+      val sigs = s.read.option("recursiveFileLookup", "true")
+        .parquet(sigRoot)
+      val pairs = graft.pipeline.Dedup.frameGrabPairsFromSigs(sigs,
+        maxHamming = 6, multiIndex = 3)
+      sel.select(col("doc_id").as("clip_id"),
+          (col("doc_id") + 1000000L).as("image_id"))
+        .join(pairs, Seq("image_id", "clip_id"), "left")
+        .select(col("clip_id"), col("image_id"),
+          col("hamming").isNotNull.as("found"))
+        .orderBy("clip_id")
+    },
+
     // Streaming split-conformal calibration (p177 live): the carried
     // state is a per-batch (n_chars value, split flag, count) HISTOGRAM
     // — counts merge by sum, and every publish-time quantity derives

@@ -742,8 +742,19 @@ object Dedup {
       .select((col(imgIdCol) * 16 + 15).as("id"),
         org.apache.spark.sql.graft.VectorExpressions.dhash64(
           col("gray"), col("img_w"), col("img_h")).as("sig"))
-    val sub = hammingPairs(imageSigs.unionAll(frameSigs),
+    frameGrabPairsFromSigs(imageSigs.unionAll(frameSigs),
       maxHamming, multiIndex)
+  }
+
+  /** The post-signature stage of [[frameGrabPairs]], factored so the
+    * streaming mirror (s50) publishes through the SAME pigeonhole +
+    * bipartite-collapse definition it equals verbatim: input is the
+    * packed (id, sig) table — sub-id = base·16 + frame_pos for clip
+    * frames, base·16 + 15 for images.
+    */
+  private[graft] def frameGrabPairsFromSigs(sigs: DataFrame,
+      maxHamming: Int, multiIndex: Int): DataFrame = {
+    val sub = hammingPairs(sigs, maxHamming, multiIndex)
     // decode the packing; keep image<->frame hits only (frame-frame
     // pairs within a clip and image-image pairs drop here)
     val tagged = sub.select(

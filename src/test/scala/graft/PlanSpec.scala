@@ -1567,6 +1567,21 @@ class PlanSpec extends SparkSpec {
       s"x44: scalar join fell back to a product:\n$p")
   }
 
+  test("x46: the published plan reads only the materialized view " +
+      "parquet — the base table never appears after version 0") {
+    val p = executed("x46_incremental_view")
+    val pf = p.split("== Initial Plan ==").head
+    // every FileScan in the final plan is a stored x46_view snapshot;
+    // a scan of the events table here would mean maintenance re-read
+    // the base — the exact cost the gate exists to rule out at 100 TB
+    val scans = pf.linesIterator.filter(_.contains("FileScan")).toSeq
+    assert(scans.nonEmpty && scans.forall(_.contains("x46_view")),
+      s"x46: publish read something besides the stored views:\n$p")
+    assert(!pf.contains("CartesianProduct") &&
+      !pf.contains("BroadcastNestedLoopJoin"),
+      s"x46: a product join appeared:\n$p")
+  }
+
   test("p190/p191/p193: audio + video hashes are native expressions; " +
       "pairs ride the pigeonhole equi-join; media bytes never shuffle") {
     // p190: straight projection — the codegen'd AudioHash64 per row,

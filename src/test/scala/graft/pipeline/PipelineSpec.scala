@@ -521,6 +521,33 @@ class PipelineSpec extends SparkSpec {
     assert(z16(0x1234, 0x4321) >> 16 == z16(0x12FF, 0x43AB) >> 16)
   }
 
+  test("x46 seam: counting-algorithm maintenance == recompute after " +
+      "each commit; a fully-deleted key drops from the view") {
+    import spark.implicits._
+    import graft.operators.Scale
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("event_type").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val base = Seq((1L, 10L, "a"), (2L, 20L, "a"), (3L, 30L, "b"),
+      (4L, 40L, "c")).toDF("event_id", "user_id", "event_type")
+    val ins = Seq((10L, 5L, "a"), (11L, 7L, "d"))
+      .toDF("event_id", "user_id", "event_type")
+    val v1 = Scale.ivmMaintain(Scale.ivmViewOf(base), ins, 1)
+    assert(canon(v1) == canon(Scale.ivmViewOf(base.unionAll(ins))))
+    // delete EVERY row of keys b and c (the zero-count branch the
+    // x46 fixture's %7 deletes never reach): both keys must vanish,
+    // exactly as a GROUP BY over the reconstructed table would
+    val del = Seq((3L, 30L, "b"), (4L, 40L, "c"))
+      .toDF("event_id", "user_id", "event_type")
+    val v2 = Scale.ivmMaintain(v1, del, -1)
+    val recomputed = Scale.ivmViewOf(base.unionAll(ins)
+      .join(del.select("event_id"), Seq("event_id"), "left_anti"))
+    assert(canon(v2) == canon(recomputed))
+    assert(!canon(v2).exists(r => r._1 == "b" || r._1 == "c"))
+    // and the counting algorithm is exact on the surviving keys
+    assert(canon(v2) == Seq(("a", 3L, 35L), ("d", 1L, 7L)))
+  }
+
   test("ngram jaccard of identical docs is 1") {
     val planted = docs.limit(10).unionAll(docs.limit(10)
       .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
@@ -2495,6 +2522,63 @@ class PipelineSpec extends SparkSpec {
     want.foreach { r =>
       assert(r(1) == r.head.asInstanceOf[Long] % 1000000,
         s"quad did not collapse: $r")
+    }
+  }
+
+  test("s50 seam: per-split packed (sub-id, dHash) partials " +
+      "append-merge to the batch frame-grab pairs under any split") {
+    // the s50 carried state: packed sub-id signatures (clip frames at
+    // id*16+pos, stills at id*16+15) — each derives from exactly one
+    // arriving payload, so any split of the MIXED corpus appends to
+    // the same table and frameGrabPairsFromSigs over the merge must
+    // equal the batch frameGrabPairs output
+    import spark.implicits._
+    val seeds = (0 until 20).map(i => (i * 4).toLong)
+    val clips = Multimodal.withSyntheticVideoMedia(
+      seeds.map(s => (s, s)).toDF("doc_id", "seed"),
+      "seed", 1, 1, 256).select("doc_id", "media")
+      .withColumn("kind", lit("clip"))
+    val grabs = Multimodal.withFrameGrabMedia(
+      seeds.map(s => (s + 1000000L, s)).toDF("doc_id", "seed"), "seed")
+      .select("doc_id", "media").withColumn("kind", lit("grab"))
+    val mixed = clips.unionAll(grabs)
+    def sigsOf(df: org.apache.spark.sql.DataFrame) = {
+      val f = Multimodal.withDecodedFrames(
+        df.filter(col("kind") === "clip").select("doc_id", "media"),
+        "media")
+        .filter(col("gray").isNotNull)
+        .select((col("doc_id") * 16 + col("frame_pos")).as("id"),
+          org.apache.spark.sql.graft.VectorExpressions.dhash64(
+            col("gray"), col("img_w"), col("img_h")).as("sig"))
+      val g = Multimodal.withDecodedGray(
+        df.filter(col("kind") === "grab").select("doc_id", "media"),
+        "media")
+        .filter(col("gray").isNotNull)
+        .select((col("doc_id") * 16 + 15).as("id"),
+          org.apache.spark.sql.graft.VectorExpressions.dhash64(
+            col("gray"), col("img_w"), col("img_h")).as("sig"))
+      f.unionAll(g)
+    }
+    def publish(sigs: org.apache.spark.sql.DataFrame) =
+      Dedup.frameGrabPairsFromSigs(sigs, maxHamming = 6, multiIndex = 3)
+        .orderBy("image_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = publish(sigsOf(mixed))
+    val merged = (0 to 2).map { b =>
+      sigsOf(mixed.filter(pmod(xxhash64(col("doc_id")), lit(3L)) === b))
+    }.reduce(_ unionAll _)
+    assert(publish(merged) == want)
+    // and the batch operator itself routes through the same seam
+    val direct = Dedup.frameGrabPairs(
+        grabs.select("doc_id", "media"), "doc_id", "media",
+        clips.select("doc_id", "media"), "doc_id", "media",
+        maxHamming = 6)
+      .orderBy("image_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(direct == want)
+    val set = want.toSet
+    seeds.foreach { s =>
+      assert(set.contains((s + 1000000L, s)), s"grab pair missing for $s")
     }
   }
 
