@@ -8524,6 +8524,49 @@ object Pipeline {
     // every planted pair at hamming ≤ 6. The oracle recomputes the
     // planted id set and
     // asserts `found` literally (the p187 pattern).
+    // Distributed BPE tokenizer training: the first 10 merge rules
+    // learned from the corpus (subword-nmt algorithm, no end-of-word
+    // marker). The oracle replays ALL of it independently — word-freq
+    // table, 10 unrolled rounds of pair counting, the (freq DESC, pair)
+    // argmax, and the space-doubling replace() that makes left-to-right
+    // non-overlapping replacement equal BPE's greedy merge application
+    // — so a single divergent merge choice anywhere fails the gate.
+    QueryDef("p196_bpe_train", {
+      def round(k: Int): String =
+        s"""p$k AS (SELECT pair, CAST(sum(cnt) AS BIGINT) AS freq FROM (
+           |    SELECT unnest(list_transform(
+           |        range(1, len(string_split(seq, ' '))),
+           |        i -> string_split(seq, ' ')[i] || ' ' ||
+           |          string_split(seq, ' ')[i+1])) AS pair, cnt
+           |    FROM v${k - 1}
+           |    WHERE len(string_split(seq, ' ')) >= 2)
+           |  GROUP BY 1),
+           |b$k AS (SELECT pair, freq FROM p$k
+           |  ORDER BY freq DESC, pair LIMIT 1),
+           |v$k AS (SELECT trim(replace(replace(
+           |    ' ' || replace(seq, ' ', '  ') || ' ',
+           |    ' ' || replace(pair, ' ', '  ') || ' ',
+           |    ' ' || replace(pair, ' ', '') || ' '),
+           |    '  ', ' ')) AS seq, cnt FROM v${k - 1}, b$k)""".stripMargin
+      val rounds = (1 to 10).map(round).mkString(",\n")
+      val selects = (1 to 10)
+        .map(k => s"SELECT $k AS step, pair, freq FROM b$k")
+        .mkString("\nUNION ALL\n")
+      s"""WITH tok AS (
+         |  SELECT unnest(string_split_regex(w, '\\s+')) AS token
+         |  FROM (SELECT lower(regexp_replace(text, '^\\s+|\\s+$$', '',
+         |      'g')) AS w FROM documents)
+         |  WHERE length(w) > 0),
+         |v0 AS (SELECT trim(regexp_replace(token, '(.)', '\\1 ', 'g'))
+         |    AS seq, CAST(count(*) AS BIGINT) AS cnt FROM tok
+         |  GROUP BY 1),
+         |$rounds
+         |$selects
+         |ORDER BY step""".stripMargin
+    }) { (s, dir) =>
+      graft.pipeline.TextAnalysis.bpeTrain(t(s, dir, "documents"), 10)
+    },
+
     QueryDef("p195_frame_grab",
       """SELECT doc_id AS clip_id, doc_id + 1000000 AS image_id,
         |  true AS found

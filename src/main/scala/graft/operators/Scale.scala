@@ -2787,15 +2787,6 @@ object Scale {
       .orderBy("version")
   }
 
-  /** Incremental view maintenance for x46: the per-event_type
-    * (count, sum) view is MATERIALIZED to parquet at every version and
-    * each commit's maintenance plan reads the stored view + the delta
-    * only — never the base. Delta rows aggregate with a sign (+1
-    * insert, −1 delete; the counting algorithm), merge over ≤ 2·|keys|
-    * rows, and zero-count keys drop out. The `ivm_equals_recompute`
-    * flags are re-derived in-gate by full recompute + full-outer
-    * anti-compare, mirroring x45's mor_equals_cow discipline.
-    */
   /** The x46 view definition: per-event_type (count, sum) — both
     * distributive, so the counting algorithm maintains them exactly.
     */
@@ -2819,6 +2810,13 @@ object Scale {
         sum("sum_user").cast("long").as("sum_user"))
       .filter(col("n_rows") > 0)
 
+  /** Incremental view maintenance for x46: the per-event_type
+    * (count, sum) view is MATERIALIZED to parquet at every version and
+    * each commit's maintenance plan reads the stored view + the delta
+    * only — never the base. The `ivm_equals_recompute` flags are
+    * re-derived in-gate by full recompute + full-outer anti-compare,
+    * mirroring x45's mor_equals_cow discipline.
+    */
   private[graft] def incrementalView(s: SparkSession,
       dir: String): DataFrame = {
     val root = java.nio.file.Paths.get(

@@ -306,6 +306,73 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column =
     aggregate(tokens(text), lit(0L), (acc, t) => xxhash64(acc, t))
+
+  /** The BPE word-frequency table: one corpus pass (map-side
+    * combinable token count), then each distinct word char-splits into
+    * a space-separated symbol sequence — the compact table every merge
+    * round runs on. At 100 TB the corpus pass is the only full scan;
+    * the vocab is orders of magnitude smaller than the corpus.
+    */
+  def bpeVocab(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.select(explode(tokens(lower(col(textCol)))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(trim(regexp_replace(col("w"), "(.)", "$1 ")).as("seq"),
+        col("cnt"))
+
+  /** Distributed BPE tokenizer training (Sennrich/Haddow/Birch ACL'16,
+    * the subword-nmt algorithm; no end-of-word marker): learn the
+    * first `merges` merge rules from the corpus. Each round counts
+    * adjacent symbol pairs over the vocab (weighted by word count,
+    * partial-aggregable), takes the argmax under the deterministic
+    * (freq DESC, pair ASC) order — the one driver-side row per round —
+    * and applies the merge to every sequence with pure string algebra:
+    * double the symbol separators, replace " a b " with " ab ", then
+    * collapse. The doubling makes left-to-right non-overlapping
+    * replace() equal BPE's greedy merge application ("a a a" → "aa a")
+    * because adjacent occurrences never share a separator space.
+    *
+    * Each round's vocab materializes through a barrier (the
+    * [[Dedup.components]] discipline) so round k's plan reads one
+    * compact parquet instead of re-deriving k-1 rewrite rounds; the
+    * previous level releases eagerly. Returns (step, pair, freq) —
+    * the learned merge table in order.
+    */
+  def bpeTrain(df: DataFrame, merges: Int,
+      textCol: String = "text"): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val pairsOf = expr(
+      "transform(sequence(1, size(split(seq, ' ')) - 1), " +
+        "i -> concat(element_at(split(seq, ' '), i), ' ', " +
+        "element_at(split(seq, ' '), i + 1)))")
+    var (vocab, dir) =
+      Dedup.materializeBarrierAt(bpeVocab(df, textCol), "bpe-v0")
+    val learned = Seq.newBuilder[(Int, String, Long)]
+    for (step <- 1 to merges) {
+      val best = vocab
+        .filter(size(split(col("seq"), " ")) >= 2)
+        .select(explode(pairsOf).as("pair"), col("cnt"))
+        .groupBy("pair").agg(sum("cnt").as("freq"))
+        .orderBy(col("freq").desc, col("pair")).limit(1)
+        .head()
+      val (pair, freq) = (best.getString(0), best.getLong(1))
+      learned += ((step, pair, freq))
+      val doubled = concat(lit(" "),
+        replace(col("seq"), lit(" "), lit("  ")), lit(" "))
+      // the search pattern lives in DOUBLED space: "a b" → " a  b "
+      val next = vocab.select(
+        trim(replace(replace(doubled,
+          lit(" " + pair.replace(" ", "  ") + " "),
+          lit(" " + pair.replace(" ", "") + " ")),
+          lit("  "), lit(" "))).as("seq"),
+        col("cnt"))
+      val (nv, nd) = Dedup.materializeBarrierAt(next, s"bpe-v$step")
+      Dedup.releaseBarrier(dir)
+      vocab = nv; dir = nd
+    }
+    Dedup.releaseBarrier(dir)
+    learned.result().toDF("step", "pair", "freq")
+  }
   /** Per-document keyword extraction by tf/df score: tokens frequent IN
     * this doc but rare ACROSS docs rank first (TF-IDF's ordering with a
     * rational score instead of a log — ln(x) is not bit-identical

@@ -548,6 +548,34 @@ class PipelineSpec extends SparkSpec {
     assert(canon(v2) == Seq(("a", 3L, 35L), ("d", 1L, 7L)))
   }
 
+  test("bpeTrain: hand-computed merges on the Sennrich corpus; " +
+      "greedy left-to-right application on overlapping pairs") {
+    // independent of the shared Spark/oracle rewrite formula: these
+    // expectations are derived BY HAND from the BPE definition (the
+    // original p196 rewrite bug — single-space search pattern in the
+    // doubled-space string — passed the oracle because both sides
+    // shared the formula; this spec is the defense)
+    import spark.implicits._
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val docs = words.zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrain(docs, 5).orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    // round 1: es/st tie at 9 → "e s" by pair order; round 2 "es t";
+    // round 3: "w e" is DOWN to 2 (newest now n-e-w-est), lo/ow tie at
+    // 7 → "l o"; round 4 "lo w"; round 5: ew/ne/west tie at 6 → "e w"
+    assert(got == Seq((1, "e s", 9L), (2, "es t", 9L), (3, "l o", 7L),
+      (4, "lo w", 7L), (5, "e w", 6L)))
+    // greedy left-to-right on overlaps: "a a a" merges to "aa a",
+    // never "a aa" — a right-to-left (or regex-anchored) application
+    // would learn "a aa" at step 2
+    val tri = Seq((1L, "aaa aaa aaa")).toDF("doc_id", "text")
+    val got2 = TextAnalysis.bpeTrain(tri, 2).orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got2 == Seq((1, "a a", 6L), (2, "aa a", 3L)))
+  }
+
   test("ngram jaccard of identical docs is 1") {
     val planted = docs.limit(10).unionAll(docs.limit(10)
       .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
