@@ -2438,6 +2438,40 @@ object Pipeline {
       |    AS survival
       |FROM s ORDER BY 1""".stripMargin
 
+  /** Shared BPE oracle CTE chain (p196 / p197 / the s51 streaming
+    * mirror): tok/v0 word-frequency prep plus `merges` unrolled rounds
+    * — p{k} pair counts, b{k} deterministic argmax, v{k} doubled-space
+    * rewrite. Callers append their own final SELECT over b{k} / v{k}.
+    */
+  private[operators] def bpeOracleCtes(merges: Int): String = {
+    def round(k: Int): String =
+      s"""p$k AS (SELECT pair, CAST(sum(cnt) AS BIGINT) AS freq FROM (
+         |    SELECT unnest(list_transform(
+         |        range(1, len(string_split(seq, ' '))),
+         |        i -> string_split(seq, ' ')[i] || ' ' ||
+         |          string_split(seq, ' ')[i+1])) AS pair, cnt
+         |    FROM v${k - 1}
+         |    WHERE len(string_split(seq, ' ')) >= 2)
+         |  GROUP BY 1),
+         |b$k AS (SELECT pair, freq FROM p$k
+         |  ORDER BY freq DESC, pair LIMIT 1),
+         |v$k AS (SELECT trim(replace(replace(
+         |    ' ' || replace(seq, ' ', '  ') || ' ',
+         |    ' ' || replace(pair, ' ', '  ') || ' ',
+         |    ' ' || replace(pair, ' ', '') || ' '),
+         |    '  ', ' ')) AS seq, cnt FROM v${k - 1}, b$k)""".stripMargin
+    val rounds = (1 to merges).map(round).mkString(",\n")
+    s"""WITH tok AS (
+       |  SELECT unnest(string_split_regex(w, '\\s+')) AS token
+       |  FROM (SELECT lower(regexp_replace(text, '^\\s+|\\s+$$', '',
+       |      'g')) AS w FROM documents)
+       |  WHERE length(w) > 0),
+       |v0 AS (SELECT trim(regexp_replace(token, '(.)', '\\1 ', 'g'))
+       |    AS seq, CAST(count(*) AS BIGINT) AS cnt FROM tok
+       |  GROUP BY 1),
+       |$rounds""".stripMargin
+  }
+
   // p91's oracle, split so p184 can re-derive the same weights as a CTE
   private val p91Ctes =
     """tok AS (
@@ -8532,39 +8566,36 @@ object Pipeline {
     // non-overlapping replacement equal BPE's greedy merge application
     // — so a single divergent merge choice anywhere fails the gate.
     QueryDef("p196_bpe_train", {
-      def round(k: Int): String =
-        s"""p$k AS (SELECT pair, CAST(sum(cnt) AS BIGINT) AS freq FROM (
-           |    SELECT unnest(list_transform(
-           |        range(1, len(string_split(seq, ' '))),
-           |        i -> string_split(seq, ' ')[i] || ' ' ||
-           |          string_split(seq, ' ')[i+1])) AS pair, cnt
-           |    FROM v${k - 1}
-           |    WHERE len(string_split(seq, ' ')) >= 2)
-           |  GROUP BY 1),
-           |b$k AS (SELECT pair, freq FROM p$k
-           |  ORDER BY freq DESC, pair LIMIT 1),
-           |v$k AS (SELECT trim(replace(replace(
-           |    ' ' || replace(seq, ' ', '  ') || ' ',
-           |    ' ' || replace(pair, ' ', '  ') || ' ',
-           |    ' ' || replace(pair, ' ', '') || ' '),
-           |    '  ', ' ')) AS seq, cnt FROM v${k - 1}, b$k)""".stripMargin
-      val rounds = (1 to 10).map(round).mkString(",\n")
       val selects = (1 to 10)
         .map(k => s"SELECT $k AS step, pair, freq FROM b$k")
         .mkString("\nUNION ALL\n")
-      s"""WITH tok AS (
-         |  SELECT unnest(string_split_regex(w, '\\s+')) AS token
-         |  FROM (SELECT lower(regexp_replace(text, '^\\s+|\\s+$$', '',
-         |      'g')) AS w FROM documents)
-         |  WHERE length(w) > 0),
-         |v0 AS (SELECT trim(regexp_replace(token, '(.)', '\\1 ', 'g'))
-         |    AS seq, CAST(count(*) AS BIGINT) AS cnt FROM tok
-         |  GROUP BY 1),
-         |$rounds
+      s"""${bpeOracleCtes(10)}
          |$selects
          |ORDER BY step""".stripMargin
     }) { (s, dir) =>
       graft.pipeline.TextAnalysis.bpeTrain(t(s, dir, "documents"), 10)
+    },
+
+    // BPE compression curve: the exact weighted symbol count at every
+    // merge level 0..10 — the tokens-per-word trajectory (integer
+    // numerator/denominator, no float ratio). Rides the same oracle
+    // CTE chain as p196, so the two gates cross-check: a wrong merge
+    // choice breaks p196, a wrong APPLICATION (right pair, wrong
+    // rewrite) shifts these counts even when the next argmax happens
+    // to agree.
+    QueryDef("p197_bpe_curve", {
+      val selects = (0 to 10).map(k =>
+        s"""SELECT $k AS step,
+           |  CAST(sum(cnt * len(string_split(seq, ' '))) AS BIGINT)
+           |    AS n_symbols,
+           |  CAST(sum(cnt) AS BIGINT) AS n_words FROM v$k""".stripMargin)
+        .mkString("\nUNION ALL\n")
+      s"""${bpeOracleCtes(10)}
+         |$selects
+         |ORDER BY step""".stripMargin
+    }) { (s, dir) =>
+      graft.pipeline.TextAnalysis.bpeCompressionCurve(
+        t(s, dir, "documents"), 10)
     },
 
     QueryDef("p195_frame_grab",

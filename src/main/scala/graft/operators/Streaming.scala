@@ -2876,6 +2876,63 @@ object Streaming {
         .orderBy("clip_id")
     },
 
+    // Streaming BPE tokenizer training (p196 live): documents arrive
+    // in micro-batches; the carried state is the per-batch WORD-COUNT
+    // histogram — (w, cnt) rows bounded by vocabulary size, merged by
+    // sum (counts are distributive, so ANY split of the corpus merges
+    // to the same histogram). Publish char-splits the merged vocab
+    // once and runs the SAME bpeTrainFromVocab loop as batch p196 —
+    // merge rules and frequencies must match verbatim. This is how a
+    // production tokenizer trains over a streaming corpus: the heavy
+    // corpus pass amortizes per batch, the merge rounds run once at
+    // publish on the compact vocab.
+    QueryDef("s51_stream_bpe", {
+      val selects = (1 to 10)
+        .map(k => s"SELECT $k AS step, pair, freq FROM b$k")
+        .mkString("\nUNION ALL\n")
+      s"""${Pipeline.bpeOracleCtes(10)}
+         |$selects
+         |ORDER BY step""".stripMargin
+    }) { (s, dir) =>
+      val docs = graft.Tables.load(s, dir, "documents")
+        .select("doc_id", "text")
+      val base = java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_fmt").toString
+      val srcDir = s"$base/s51_stream_src"
+      val histRoot = s"$base/s51_hist"
+      Seq(srcDir, histRoot).foreach(d => rmTree(new java.io.File(d)))
+      new java.io.File(srcDir).mkdirs()
+      (0 until 4).foreach { b =>
+        writeSingle(
+          docs.filter(pmod(xxhash64(col("doc_id")), lit(4L)) === b),
+          srcDir, s"batch_$b")
+      }
+      val schema = s.read.parquet(srcDir).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(srcDir)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+            batchId: Long) =>
+          batch.select(explode(graft.pipeline.TextAnalysis.tokens(
+              lower(col("text")))).as("w"))
+            .groupBy("w").agg(count(lit(1)).as("cnt"))
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$histRoot/b_$batchId")
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val vocab = s.read.option("recursiveFileLookup", "true")
+        .parquet(histRoot)
+        .groupBy("w").agg(sum("cnt").as("cnt"))
+        .select(graft.pipeline.TextAnalysis.bpeSeqOf(col("w")).as("seq"),
+          col("cnt"))
+      graft.pipeline.TextAnalysis.bpeTrainFromVocab(vocab, 10)
+    },
+
     // Streaming split-conformal calibration (p177 live): the carried
     // state is a per-batch (n_chars value, split flag, count) HISTOGRAM
     // — counts merge by sum, and every publish-time quantity derives

@@ -316,8 +316,13 @@ object TextAnalysis {
   def bpeVocab(df: DataFrame, textCol: String = "text"): DataFrame =
     df.select(explode(tokens(lower(col(textCol)))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
-      .select(trim(regexp_replace(col("w"), "(.)", "$1 ")).as("seq"),
-        col("cnt"))
+      .select(bpeSeqOf(col("w")).as("seq"), col("cnt"))
+
+  /** A word's initial BPE symbol sequence: its characters joined by
+    * single spaces (one definition, shared with the s51 mirror).
+    */
+  def bpeSeqOf(w: Column): Column =
+    trim(regexp_replace(w, "(.)", "$1 "))
 
   /** Distributed BPE tokenizer training (Sennrich/Haddow/Birch ACL'16,
     * the subword-nmt algorithm; no end-of-word marker): learn the
@@ -338,15 +343,56 @@ object TextAnalysis {
     * the learned merge table in order.
     */
   def bpeTrain(df: DataFrame, merges: Int,
+      textCol: String = "text"): DataFrame =
+    bpeTrainFromVocab(bpeVocab(df, textCol), merges)
+
+  /** [[bpeTrain]] from a prebuilt (seq, cnt) vocab — the seam the
+    * streaming mirror (s51) publishes through: per-batch word-count
+    * partials sum-merge into exactly this table, so stream == batch
+    * holds by construction of the merge.
+    */
+  private[graft] def bpeTrainFromVocab(vocab0: DataFrame,
+      merges: Int): DataFrame = {
+    val s = vocab0.sparkSession
+    import s.implicits._
+    bpeLoop(vocab0, merges)((_, _) => ()).toDF("step", "pair", "freq")
+  }
+
+  /** BPE compression curve (p197): the exact weighted symbol count of
+    * the vocab at every merge level 0..merges — the tokens-per-word
+    * trajectory a tokenizer-budget decision reads. Integer-exact
+    * (numerator n_symbols and denominator n_words, never a float
+    * ratio); each level costs one tiny aggregate over the already-
+    * barriered vocab.
+    */
+  def bpeCompressionCurve(df: DataFrame, merges: Int,
       textCol: String = "text"): DataFrame = {
     val s = df.sparkSession
     import s.implicits._
+    val levels = Seq.newBuilder[(Int, Long, Long)]
+    bpeLoop(bpeVocab(df, textCol), merges) { (lvl, v) =>
+      val r = v.agg(
+        sum(expr("cnt * size(split(seq, ' '))")).as("ns"),
+        sum("cnt").as("nw")).head()
+      levels += ((lvl, r.getLong(0), r.getLong(1)))
+    }
+    levels.result().toDF("step", "n_symbols", "n_words")
+  }
+
+  /** The shared BPE training loop: barrier-materialized vocab per
+    * level, deterministic argmax, doubled-space merge application.
+    * `onLevel` fires for level 0 and after every merge (the p197
+    * hook); returns the learned (step, pair, freq) merges in order.
+    */
+  private def bpeLoop(vocab0: DataFrame, merges: Int)(
+      onLevel: (Int, DataFrame) => Unit): Seq[(Int, String, Long)] = {
     val pairsOf = expr(
       "transform(sequence(1, size(split(seq, ' ')) - 1), " +
         "i -> concat(element_at(split(seq, ' '), i), ' ', " +
         "element_at(split(seq, ' '), i + 1)))")
     var (vocab, dir) =
-      Dedup.materializeBarrierAt(bpeVocab(df, textCol), "bpe-v0")
+      Dedup.materializeBarrierAt(vocab0, "bpe-v0")
+    onLevel(0, vocab)
     val learned = Seq.newBuilder[(Int, String, Long)]
     for (step <- 1 to merges) {
       val best = vocab
@@ -369,9 +415,10 @@ object TextAnalysis {
       val (nv, nd) = Dedup.materializeBarrierAt(next, s"bpe-v$step")
       Dedup.releaseBarrier(dir)
       vocab = nv; dir = nd
+      onLevel(step, vocab)
     }
     Dedup.releaseBarrier(dir)
-    learned.result().toDF("step", "pair", "freq")
+    learned.result()
   }
   /** Per-document keyword extraction by tf/df score: tokens frequent IN
     * this doc but rare ACROSS docs rank first (TF-IDF's ordering with a

@@ -576,6 +576,54 @@ class PipelineSpec extends SparkSpec {
     assert(got2 == Seq((1, "a a", 6L), (2, "aa a", 3L)))
   }
 
+  test("p197 curve: hand-computed weighted symbol counts on the " +
+      "Sennrich corpus (exact integers, every level)") {
+    import spark.implicits._
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val docs = words.zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val got = TextAnalysis.bpeCompressionCurve(docs, 5)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    // by hand: L0 5·3+2·5+6·6+3·6=79; es→70; est→61; lo→54; low→47;
+    // ew→41 (newest is n-ew-est); 16 words throughout
+    assert(got == Seq((0, 79L, 16L), (1, 70L, 16L), (2, 61L, 16L),
+      (3, 54L, 16L), (4, 47L, 16L), (5, 41L, 16L)))
+  }
+
+  test("s51 seam: per-split word-count histograms sum-merge to the " +
+      "batch BPE vocab; publish == batch merges under any split") {
+    import spark.implicits._
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest") ++
+      Seq("Mixed", "CASE", "mixed case")
+    val docs = words.zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    def hist(df: org.apache.spark.sql.DataFrame) =
+      df.select(explode(TextAnalysis.tokens(lower(col("text"))))
+        .as("w")).groupBy("w").agg(count(lit(1)).as("cnt"))
+    val merged = (0 to 2).map { b =>
+        hist(docs.filter(pmod(xxhash64(col("doc_id")), lit(3L)) === b))
+      }.reduce(_ unionAll _)
+      .groupBy("w").agg(sum("cnt").as("cnt"))
+    // the merged histogram IS the batch vocab
+    val gotVocab = merged
+      .select(TextAnalysis.bpeSeqOf(col("w")).as("seq"), col("cnt"))
+      .orderBy("seq").collect().map(r => (r.getString(0), r.getLong(1)))
+    val wantVocab = TextAnalysis.bpeVocab(docs)
+      .orderBy("seq").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(gotVocab.toSeq == wantVocab.toSeq)
+    // and the publish path equals batch training verbatim
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("step").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    val got = canon(TextAnalysis.bpeTrainFromVocab(
+      merged.select(TextAnalysis.bpeSeqOf(col("w")).as("seq"),
+        col("cnt")), 4))
+    assert(got == canon(TextAnalysis.bpeTrain(docs, 4)))
+  }
+
   test("ngram jaccard of identical docs is 1") {
     val planted = docs.limit(10).unionAll(docs.limit(10)
       .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
