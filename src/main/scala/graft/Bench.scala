@@ -171,6 +171,7 @@ object Bench {
     "s50_stream_frame_grab", // packed (sub-id, dHash) state → p195
     "p196_bpe_train",     // 10 BPE merges: corpus pass + vocab rounds
     "p197_bpe_curve",     // exact tokens-per-word trajectory 0..10
+    "p198_bpe_encode",    // broadcast trained vocab, map-side encode
     "s51_stream_bpe",     // word-histogram state → publish-time BPE
     "x44_zorder_layout",  // Morton interleave + rank-split file stats
     "x45_deletion_vectors", // MOR delete sidecar + broadcast anti-join

@@ -2459,16 +2459,19 @@ object Pipeline {
          |    ' ' || replace(seq, ' ', '  ') || ' ',
          |    ' ' || replace(pair, ' ', '  ') || ' ',
          |    ' ' || replace(pair, ' ', '') || ' '),
-         |    '  ', ' ')) AS seq, cnt FROM v${k - 1}, b$k)""".stripMargin
+         |    '  ', ' ')) AS seq, w, cnt FROM v${k - 1}, b$k)""".stripMargin
     val rounds = (1 to merges).map(round).mkString(",\n")
+    // tok keeps doc_id and v{k} keeps the word key w so p198 can join
+    // documents back to the final vocab level (unused by p196/p197)
     s"""WITH tok AS (
-       |  SELECT unnest(string_split_regex(w, '\\s+')) AS token
-       |  FROM (SELECT lower(regexp_replace(text, '^\\s+|\\s+$$', '',
-       |      'g')) AS w FROM documents)
+       |  SELECT doc_id, unnest(string_split_regex(w, '\\s+')) AS token
+       |  FROM (SELECT doc_id, lower(regexp_replace(text,
+       |      '^\\s+|\\s+$$', '', 'g')) AS w FROM documents)
        |  WHERE length(w) > 0),
-       |v0 AS (SELECT trim(regexp_replace(token, '(.)', '\\1 ', 'g'))
-       |    AS seq, CAST(count(*) AS BIGINT) AS cnt FROM tok
-       |  GROUP BY 1),
+       |v0 AS (SELECT token AS w,
+       |    trim(regexp_replace(token, '(.)', '\\1 ', 'g')) AS seq,
+       |    CAST(count(*) AS BIGINT) AS cnt FROM tok
+       |  GROUP BY 1, 2),
        |$rounds""".stripMargin
   }
 
@@ -8596,6 +8599,27 @@ object Pipeline {
     }) { (s, dir) =>
       graft.pipeline.TextAnalysis.bpeCompressionCurve(
         t(s, dir, "documents"), 10)
+    },
+
+    // BPE ENCODING at corpus scale: the word key rides through the
+    // training rewrites, so the final vocab level IS the word →
+    // subword map; encoding is a BROADCAST of that compact vocab
+    // against the exploded token stream — map-side join, zero extra
+    // corpus passes (the production shape: train once, encode 100 TB).
+    // Per-document exact (n_words, n_bpe) for a deterministic subset.
+    QueryDef("p198_bpe_encode", {
+      s"""${bpeOracleCtes(10)},
+         |enc AS (SELECT w, len(string_split(seq, ' ')) AS n FROM v10)
+         |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(e.n) AS BIGINT) AS n_bpe
+         |FROM tok t JOIN enc e ON t.token = e.w
+         |WHERE t.doc_id % 23 = 0
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    }) { (s, dir) =>
+      graft.pipeline.TextAnalysis.bpeEncodeCounts(
+          t(s, dir, "documents"), 10)
+        .filter(col("doc_id") % 23 === 0)
+        .orderBy("doc_id")
     },
 
     QueryDef("p195_frame_grab",

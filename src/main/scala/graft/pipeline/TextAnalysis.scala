@@ -355,7 +355,33 @@ object TextAnalysis {
       merges: Int): DataFrame = {
     val s = vocab0.sparkSession
     import s.implicits._
-    bpeLoop(vocab0, merges)((_, _) => ()).toDF("step", "pair", "freq")
+    val (learned, _, dir) = bpeLoop(vocab0, merges)((_, _) => ())
+    Dedup.releaseBarrier(dir)
+    learned.toDF("step", "pair", "freq")
+  }
+
+  /** BPE ENCODING at corpus scale (p198): train on the corpus once
+    * (the word key rides through every rewrite, so the final vocab IS
+    * the word → subword-sequence map), then encode by broadcasting the
+    * compact trained vocab against the exploded token stream — a
+    * map-side join, zero extra corpus passes. Returns per-document
+    * (n_words, n_bpe) exact counts.
+    */
+  def bpeEncodeCounts(df: DataFrame, merges: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(tokens(lower(col(textCol)))).as("w"))
+    val vocab0 = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(col("w"), bpeSeqOf(col("w")).as("seq"), col("cnt"))
+    // the final level's barrier backs the returned plan — left live
+    // for the global barrier reset (the components() discipline)
+    val (_, vocabN, _) = bpeLoop(vocab0, merges)((_, _) => ())
+    toks.join(
+        broadcast(vocabN.select(col("w"),
+          size(split(col("seq"), " ")).as("n"))),
+        Seq("w"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_words"), sum("n").as("n_bpe"))
   }
 
   /** BPE compression curve (p197): the exact weighted symbol count of
@@ -370,22 +396,28 @@ object TextAnalysis {
     val s = df.sparkSession
     import s.implicits._
     val levels = Seq.newBuilder[(Int, Long, Long)]
-    bpeLoop(bpeVocab(df, textCol), merges) { (lvl, v) =>
+    val (_, _, dir) = bpeLoop(bpeVocab(df, textCol), merges) { (lvl, v) =>
       val r = v.agg(
         sum(expr("cnt * size(split(seq, ' '))")).as("ns"),
         sum("cnt").as("nw")).head()
       levels += ((lvl, r.getLong(0), r.getLong(1)))
     }
+    Dedup.releaseBarrier(dir)
     levels.result().toDF("step", "n_symbols", "n_words")
   }
 
   /** The shared BPE training loop: barrier-materialized vocab per
     * level, deterministic argmax, doubled-space merge application.
-    * `onLevel` fires for level 0 and after every merge (the p197
-    * hook); returns the learned (step, pair, freq) merges in order.
+    * Columns besides `seq` (word keys, counts) ride through every
+    * rewrite untouched. `onLevel` fires for level 0 and after every
+    * merge (the p197 hook). Returns the learned (step, pair, freq)
+    * merges in order, the final vocab, and its still-live barrier dir
+    * — the CALLER releases it (or leaves it to the global reset when
+    * the returned plan reads it).
     */
   private def bpeLoop(vocab0: DataFrame, merges: Int)(
-      onLevel: (Int, DataFrame) => Unit): Seq[(Int, String, Long)] = {
+      onLevel: (Int, DataFrame) => Unit): (Seq[(Int, String, Long)],
+        DataFrame, org.apache.hadoop.fs.Path) = {
     val pairsOf = expr(
       "transform(sequence(1, size(split(seq, ' ')) - 1), " +
         "i -> concat(element_at(split(seq, ' '), i), ' ', " +
@@ -406,19 +438,18 @@ object TextAnalysis {
       val doubled = concat(lit(" "),
         replace(col("seq"), lit(" "), lit("  ")), lit(" "))
       // the search pattern lives in DOUBLED space: "a b" → " a  b "
+      val others = vocab.columns.filterNot(_ == "seq").map(col)
       val next = vocab.select(
         trim(replace(replace(doubled,
           lit(" " + pair.replace(" ", "  ") + " "),
           lit(" " + pair.replace(" ", "") + " ")),
-          lit("  "), lit(" "))).as("seq"),
-        col("cnt"))
+          lit("  "), lit(" "))).as("seq") +: others.toSeq: _*)
       val (nv, nd) = Dedup.materializeBarrierAt(next, s"bpe-v$step")
       Dedup.releaseBarrier(dir)
       vocab = nv; dir = nd
       onLevel(step, vocab)
     }
-    Dedup.releaseBarrier(dir)
-    learned.result()
+    (learned.result(), vocab, dir)
   }
   /** Per-document keyword extraction by tf/df score: tokens frequent IN
     * this doc but rare ACROSS docs rank first (TF-IDF's ordering with a

@@ -1582,6 +1582,17 @@ class PlanSpec extends SparkSpec {
       s"x46: a product join appeared:\n$p")
   }
 
+  test("p198: BPE encode joins the token stream against a BROADCAST " +
+      "of the trained vocab — never a shuffle of the corpus") {
+    val p = executed("p198_bpe_encode")
+    val pf = p.split("== Initial Plan ==").head
+    assert(pf.contains("BroadcastHashJoin"),
+      s"p198: vocab join is not broadcast:\n$p")
+    assert(!pf.contains("SortMergeJoin") &&
+      !pf.contains("CartesianProduct"),
+      s"p198: corpus-side shuffle join appeared:\n$p")
+  }
+
   test("p190/p191/p193: audio + video hashes are native expressions; " +
       "pairs ride the pigeonhole equi-join; media bytes never shuffle") {
     // p190: straight projection — the codegen'd AudioHash64 per row,

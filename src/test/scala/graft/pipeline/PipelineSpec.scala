@@ -592,6 +592,25 @@ class PipelineSpec extends SparkSpec {
       (3, 54L, 16L), (4, 47L, 16L), (5, 41L, 16L)))
   }
 
+  test("p198 encode: hand-computed subword counts after 5 Sennrich " +
+      "merges (low=1, lower=3, newest=3, widest=4)") {
+    import spark.implicits._
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val docs = words.zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val got = TextAnalysis.bpeEncodeCounts(docs, 5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // after es/est/lo/low/ew: low→[low]; lower→[low,e,r];
+    // newest→[n,ew,est]; widest→[w,i,d,est]
+    val n = Map("low" -> 1L, "lower" -> 3L, "newest" -> 3L,
+      "widest" -> 4L)
+    val want = words.zipWithIndex
+      .map { case (w, i) => (i.toLong, 1L, n(w)) }
+    assert(got == want)
+  }
+
   test("s51 seam: per-split word-count histograms sum-merge to the " +
       "batch BPE vocab; publish == batch merges under any split") {
     import spark.implicits._
