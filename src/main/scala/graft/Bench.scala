@@ -173,6 +173,7 @@ object Bench {
     "p197_bpe_curve",     // exact tokens-per-word trajectory 0..10
     "p198_bpe_encode",    // broadcast trained vocab, map-side encode
     "s51_stream_bpe",     // word-histogram state → publish-time BPE
+    "s52_stream_bpe_encode", // (doc, w, n) state → train + encode
     "x44_zorder_layout",  // Morton interleave + rank-split file stats
     "x45_deletion_vectors", // MOR delete sidecar + broadcast anti-join
     "x46_incremental_view", // counting-algorithm IVM, cost ∝ delta

@@ -2933,6 +2933,76 @@ object Streaming {
       graft.pipeline.TextAnalysis.bpeTrainFromVocab(vocab, 10)
     },
 
+    // Streaming BPE train + encode (p198 live): the carried state adds
+    // the doc key to s51's histogram — per-batch (doc_id, w, n) token
+    // counts, merged by sum (the corpus-sized-but-compact state every
+    // perceptual mirror also carries per doc). Publish trains on the
+    // doc-collapsed histogram (Σ over docs == s51's vocab exactly) and
+    // encodes by broadcasting the trained vocab against the SAME
+    // carried counts — no re-read of the raw corpus at publish, and
+    // the per-doc (n_words, n_bpe) readout must equal batch p198
+    // verbatim.
+    QueryDef("s52_stream_bpe_encode", {
+      s"""${Pipeline.bpeOracleCtes(10)},
+         |enc AS (SELECT w, len(string_split(seq, ' ')) AS n FROM v10)
+         |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(e.n) AS BIGINT) AS n_bpe
+         |FROM tok t JOIN enc e ON t.token = e.w
+         |WHERE t.doc_id % 23 = 0
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    }) { (s, dir) =>
+      val docs = graft.Tables.load(s, dir, "documents")
+        .select("doc_id", "text")
+      val base = java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_fmt").toString
+      val srcDir = s"$base/s52_stream_src"
+      val histRoot = s"$base/s52_hist"
+      Seq(srcDir, histRoot).foreach(d => rmTree(new java.io.File(d)))
+      new java.io.File(srcDir).mkdirs()
+      (0 until 4).foreach { b =>
+        writeSingle(
+          docs.filter(pmod(xxhash64(col("doc_id")), lit(4L)) === b),
+          srcDir, s"batch_$b")
+      }
+      val schema = s.read.parquet(srcDir).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(srcDir)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+            batchId: Long) =>
+          batch.select(col("doc_id"),
+              explode(graft.pipeline.TextAnalysis.tokens(
+                lower(col("text")))).as("w"))
+            .groupBy("doc_id", "w").agg(count(lit(1)).as("n"))
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$histRoot/b_$batchId")
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val state = s.read.option("recursiveFileLookup", "true")
+        .parquet(histRoot)
+        .groupBy("doc_id", "w").agg(sum("n").as("n"))
+      val vocab0 = state.groupBy("w").agg(sum("n").as("cnt"))
+        .select(col("w"),
+          graft.pipeline.TextAnalysis.bpeSeqOf(col("w")).as("seq"),
+          col("cnt"))
+      val vocabN = graft.pipeline.TextAnalysis
+        .bpeFinalVocab(vocab0, 10)
+      state.join(
+          broadcast(vocabN.select(col("w"),
+            size(split(col("seq"), " ")).as("len"))),
+          Seq("w"))
+        .groupBy("doc_id")
+        .agg(sum("n").as("n_words"),
+          sum(col("n") * col("len")).as("n_bpe"))
+        .filter(col("doc_id") % 23 === 0)
+        .orderBy("doc_id")
+    },
+
     // Streaming split-conformal calibration (p177 live): the carried
     // state is a per-batch (n_chars value, split flag, count) HISTOGRAM
     // — counts merge by sum, and every publish-time quantity derives

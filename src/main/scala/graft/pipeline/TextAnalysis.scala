@@ -375,7 +375,7 @@ object TextAnalysis {
       .select(col("w"), bpeSeqOf(col("w")).as("seq"), col("cnt"))
     // the final level's barrier backs the returned plan — left live
     // for the global barrier reset (the components() discipline)
-    val (_, vocabN, _) = bpeLoop(vocab0, merges)((_, _) => ())
+    val vocabN = bpeFinalVocab(vocab0, merges)
     toks.join(
         broadcast(vocabN.select(col("w"),
           size(split(col("seq"), " ")).as("n"))),
@@ -405,6 +405,15 @@ object TextAnalysis {
     Dedup.releaseBarrier(dir)
     levels.result().toDF("step", "n_symbols", "n_words")
   }
+
+  /** Train on a prebuilt (w, seq, cnt) vocab and return the FINAL
+    * vocab level — the word → subword map the s52 mirror broadcasts at
+    * publish. The final barrier stays live behind the returned plan
+    * (global reset reclaims it).
+    */
+  private[graft] def bpeFinalVocab(vocab0: DataFrame,
+      merges: Int): DataFrame =
+    bpeLoop(vocab0, merges)((_, _) => ())._2
 
   /** The shared BPE training loop: barrier-materialized vocab per
     * level, deterministic argmax, doubled-space merge application.

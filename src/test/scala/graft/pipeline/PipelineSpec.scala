@@ -643,6 +643,42 @@ class PipelineSpec extends SparkSpec {
     assert(got == canon(TextAnalysis.bpeTrain(docs, 4)))
   }
 
+  test("s52 seam: per-split (doc, word, n) partials sum-merge; " +
+      "train-on-collapsed + broadcast encode == batch p198") {
+    import spark.implicits._
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val docs = (words.zipWithIndex.map { case (w, i) =>
+      (i.toLong, s"$w $w") } :+ (100L, "low newest"))
+      .toDF("doc_id", "text")
+    def state(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"),
+          explode(TextAnalysis.tokens(lower(col("text")))).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("n"))
+    val merged = (0 to 2).map { b =>
+        state(docs.filter(pmod(xxhash64(col("doc_id")), lit(3L)) === b))
+      }.reduce(_ unionAll _)
+      .groupBy("doc_id", "w").agg(sum("n").as("n"))
+    val vocab0 = merged.groupBy("w").agg(sum("n").as("cnt"))
+      .select(col("w"), TextAnalysis.bpeSeqOf(col("w")).as("seq"),
+        col("cnt"))
+    val vocabN = TextAnalysis.bpeFinalVocab(vocab0, 5)
+    val got = merged.join(
+        broadcast(vocabN.select(col("w"),
+          size(split(col("seq"), " ")).as("len"))), Seq("w"))
+      .groupBy("doc_id")
+      .agg(sum("n").as("n_words"),
+        sum(col("n") * col("len")).as("n_bpe"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = TextAnalysis.bpeEncodeCounts(docs, 5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+    // the doubled-word fixture also pins n per doc: 2 words each
+    assert(want.init.forall(_._2 == 2L) && want.last == (100L, 2L, 4L))
+  }
+
   test("ngram jaccard of identical docs is 1") {
     val planted = docs.limit(10).unionAll(docs.limit(10)
       .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
