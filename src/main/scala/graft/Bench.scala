@@ -172,6 +172,7 @@ object Bench {
     "p196_bpe_train",     // 10 BPE merges: corpus pass + vocab rounds
     "p197_bpe_curve",     // exact tokens-per-word trajectory 0..10
     "p198_bpe_encode",    // broadcast trained vocab, map-side encode
+    "p199_bpe_fertility", // per-language subwords-per-word rollup
     "s51_stream_bpe",     // word-histogram state → publish-time BPE
     "s52_stream_bpe_encode", // (doc, w, n) state → train + encode
     "x44_zorder_layout",  // Morton interleave + rank-split file stats

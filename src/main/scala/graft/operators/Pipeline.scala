@@ -8601,6 +8601,36 @@ object Pipeline {
         t(s, dir, "documents"), 10)
     },
 
+    // BPE fertility by language (the multilingual tokenizer-equity
+    // readout: languages whose fertility — subwords per word — runs
+    // hot are under-served by the learned merges and pay more compute
+    // per token of meaning). Stratifies the trained encode (p198) by
+    // the corpus's language label and rolls up exact integer
+    // (n_words, n_bpe) per language; the division is left to the
+    // reader so the gate stays float-free. (The stopword-vote
+    // PREDICTOR collapses this synthetic corpus to en/unknown — p11
+    // gates that replay — so the ground-truth stratum is the
+    // informative one here.) The doc-keyed join of two per-doc tables
+    // is the right 100 TB shape: both sides are already collapsed far
+    // below corpus size.
+    QueryDef("p199_bpe_fertility", {
+      s"""${bpeOracleCtes(10)},
+         |enc AS (SELECT w, len(string_split(seq, ' ')) AS n FROM v10),
+         |j AS (SELECT t.doc_id, e.n FROM tok t
+         |  JOIN enc e ON t.token = e.w)
+         |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(j.n) AS BIGINT) AS n_bpe
+         |FROM j JOIN documents d ON j.doc_id = d.doc_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    }) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val enc = graft.pipeline.TextAnalysis.bpeEncodeCounts(docs, 10)
+      enc.join(docs.select("doc_id", "lang"), Seq("doc_id"))
+        .groupBy("lang")
+        .agg(sum("n_words").as("n_words"), sum("n_bpe").as("n_bpe"))
+        .orderBy("lang")
+    },
+
     // BPE ENCODING at corpus scale: the word key rides through the
     // training rewrites, so the final vocab level IS the word →
     // subword map; encoding is a BROADCAST of that compact vocab
