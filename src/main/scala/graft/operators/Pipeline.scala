@@ -2475,6 +2475,30 @@ object Pipeline {
        |$rounds""".stripMargin
   }
 
+  /** The full p196 oracle — also s51's verbatim (stream == batch is
+    * enforced by sharing the TEXT, not by keeping two copies equal by
+    * hand).
+    */
+  private[operators] def bpeTrainOracleSql(merges: Int): String = {
+    val selects = (1 to merges)
+      .map(k => s"SELECT $k AS step, pair, freq FROM b$k")
+      .mkString("\nUNION ALL\n")
+    s"""${bpeOracleCtes(merges)}
+       |$selects
+       |ORDER BY step""".stripMargin
+  }
+
+  /** The full p198 oracle — also s52's verbatim. */
+  private[operators] def bpeEncodeOracleSql(merges: Int): String =
+    s"""${bpeOracleCtes(merges)},
+       |enc AS (SELECT w, len(string_split(seq, ' ')) AS n
+       |  FROM v$merges)
+       |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(e.n) AS BIGINT) AS n_bpe
+       |FROM tok t JOIN enc e ON t.token = e.w
+       |WHERE t.doc_id % 23 = 0
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // p91's oracle, split so p184 can re-derive the same weights as a CTE
   private val p91Ctes =
     """tok AS (
@@ -8568,14 +8592,7 @@ object Pipeline {
     // argmax, and the space-doubling replace() that makes left-to-right
     // non-overlapping replacement equal BPE's greedy merge application
     // — so a single divergent merge choice anywhere fails the gate.
-    QueryDef("p196_bpe_train", {
-      val selects = (1 to 10)
-        .map(k => s"SELECT $k AS step, pair, freq FROM b$k")
-        .mkString("\nUNION ALL\n")
-      s"""${bpeOracleCtes(10)}
-         |$selects
-         |ORDER BY step""".stripMargin
-    }) { (s, dir) =>
+    QueryDef("p196_bpe_train", bpeTrainOracleSql(10)) { (s, dir) =>
       graft.pipeline.TextAnalysis.bpeTrain(t(s, dir, "documents"), 10)
     },
 
@@ -8637,15 +8654,7 @@ object Pipeline {
     // against the exploded token stream — map-side join, zero extra
     // corpus passes (the production shape: train once, encode 100 TB).
     // Per-document exact (n_words, n_bpe) for a deterministic subset.
-    QueryDef("p198_bpe_encode", {
-      s"""${bpeOracleCtes(10)},
-         |enc AS (SELECT w, len(string_split(seq, ' ')) AS n FROM v10)
-         |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words,
-         |  CAST(sum(e.n) AS BIGINT) AS n_bpe
-         |FROM tok t JOIN enc e ON t.token = e.w
-         |WHERE t.doc_id % 23 = 0
-         |GROUP BY 1 ORDER BY 1""".stripMargin
-    }) { (s, dir) =>
+    QueryDef("p198_bpe_encode", bpeEncodeOracleSql(10)) { (s, dir) =>
       graft.pipeline.TextAnalysis.bpeEncodeCounts(
           t(s, dir, "documents"), 10)
         .filter(col("doc_id") % 23 === 0)

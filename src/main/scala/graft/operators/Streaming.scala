@@ -2839,22 +2839,10 @@ object Streaming {
           .writeStream
           .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
               batchId: Long) =>
-            val frameSigs = graft.pipeline.Multimodal
-              .withDecodedFrames(
-                batch.filter(col("kind") === "clip")
-                  .select("doc_id", "media"), "media")
-              .filter(col("gray").isNotNull)
-              .select((col("doc_id") * 16 + col("frame_pos")).as("id"),
-                org.apache.spark.sql.graft.VectorExpressions.dhash64(
-                  col("gray"), col("img_w"), col("img_h")).as("sig"))
-            val grabSigs = graft.pipeline.Multimodal
-              .withDecodedGray(
-                batch.filter(col("kind") === "grab")
-                  .select("doc_id", "media"), "media")
-              .filter(col("gray").isNotNull)
-              .select((col("doc_id") * 16 + 15).as("id"),
-                org.apache.spark.sql.graft.VectorExpressions.dhash64(
-                  col("gray"), col("img_w"), col("img_h")).as("sig"))
+            val frameSigs = graft.pipeline.Dedup.frameGrabClipSigs(
+              batch.filter(col("kind") === "clip"), "doc_id", "media")
+            val grabSigs = graft.pipeline.Dedup.frameGrabImageSigs(
+              batch.filter(col("kind") === "grab"), "doc_id", "media")
             frameSigs.unionAll(grabSigs)
               .coalesce(1).write.mode("overwrite")
               .parquet(s"$sigRoot/b_$batchId")
@@ -2886,14 +2874,8 @@ object Streaming {
     // production tokenizer trains over a streaming corpus: the heavy
     // corpus pass amortizes per batch, the merge rounds run once at
     // publish on the compact vocab.
-    QueryDef("s51_stream_bpe", {
-      val selects = (1 to 10)
-        .map(k => s"SELECT $k AS step, pair, freq FROM b$k")
-        .mkString("\nUNION ALL\n")
-      s"""${Pipeline.bpeOracleCtes(10)}
-         |$selects
-         |ORDER BY step""".stripMargin
-    }) { (s, dir) =>
+    QueryDef("s51_stream_bpe",
+        Pipeline.bpeTrainOracleSql(10)) { (s, dir) =>
       val docs = graft.Tables.load(s, dir, "documents")
         .select("doc_id", "text")
       val base = java.nio.file.Paths.get(
@@ -2942,15 +2924,8 @@ object Streaming {
     // carried counts — no re-read of the raw corpus at publish, and
     // the per-doc (n_words, n_bpe) readout must equal batch p198
     // verbatim.
-    QueryDef("s52_stream_bpe_encode", {
-      s"""${Pipeline.bpeOracleCtes(10)},
-         |enc AS (SELECT w, len(string_split(seq, ' ')) AS n FROM v10)
-         |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words,
-         |  CAST(sum(e.n) AS BIGINT) AS n_bpe
-         |FROM tok t JOIN enc e ON t.token = e.w
-         |WHERE t.doc_id % 23 = 0
-         |GROUP BY 1 ORDER BY 1""".stripMargin
-    }) { (s, dir) =>
+    QueryDef("s52_stream_bpe_encode",
+        Pipeline.bpeEncodeOracleSql(10)) { (s, dir) =>
       val docs = graft.Tables.load(s, dir, "documents")
         .select("doc_id", "text")
       val base = java.nio.file.Paths.get(

@@ -729,22 +729,35 @@ object Dedup {
   def frameGrabPairs(images: DataFrame, imgIdCol: String,
       imgBinCol: String, clips: DataFrame, clipIdCol: String,
       clipBinCol: String, maxHamming: Int = 6,
-      multiIndex: Int = 3): DataFrame = {
-    val frameSigs = graft.pipeline.Multimodal.withDecodedFrames(
-      clips.select(col(clipIdCol), col(clipBinCol)), clipBinCol)
-      .filter(col("gray").isNotNull)
-      .select((col(clipIdCol) * 16 + col("frame_pos")).as("id"),
-        org.apache.spark.sql.graft.VectorExpressions.dhash64(
-          col("gray"), col("img_w"), col("img_h")).as("sig"))
-    val imageSigs = graft.pipeline.Multimodal.withDecodedGray(
-      images.select(col(imgIdCol), col(imgBinCol)), imgBinCol)
-      .filter(col("gray").isNotNull)
-      .select((col(imgIdCol) * 16 + 15).as("id"),
-        org.apache.spark.sql.graft.VectorExpressions.dhash64(
-          col("gray"), col("img_w"), col("img_h")).as("sig"))
-    frameGrabPairsFromSigs(imageSigs.unionAll(frameSigs),
+      multiIndex: Int = 3): DataFrame =
+    frameGrabPairsFromSigs(
+      frameGrabImageSigs(images, imgIdCol, imgBinCol)
+        .unionAll(frameGrabClipSigs(clips, clipIdCol, clipBinCol)),
       maxHamming, multiIndex)
-  }
+
+  /** A clip's 8 sampled frames as SEPARATE packed signatures —
+    * sub-id = id·16 + frame_pos. ONE definition shared by the batch
+    * operator and the s50 per-batch ingest (the third copy of this
+    * packing was the r13 self-review's drift flag).
+    */
+  private[graft] def frameGrabClipSigs(clips: DataFrame,
+      idCol: String, binCol: String): DataFrame =
+    graft.pipeline.Multimodal.withDecodedFrames(
+      clips.select(col(idCol), col(binCol)), binCol)
+      .filter(col("gray").isNotNull)
+      .select((col(idCol) * 16 + col("frame_pos")).as("id"),
+        org.apache.spark.sql.graft.VectorExpressions.dhash64(
+          col("gray"), col("img_w"), col("img_h")).as("sig"))
+
+  /** A still image's packed signature — sub-id = id·16 + 15. */
+  private[graft] def frameGrabImageSigs(images: DataFrame,
+      idCol: String, binCol: String): DataFrame =
+    graft.pipeline.Multimodal.withDecodedGray(
+      images.select(col(idCol), col(binCol)), binCol)
+      .filter(col("gray").isNotNull)
+      .select((col(idCol) * 16 + 15).as("id"),
+        org.apache.spark.sql.graft.VectorExpressions.dhash64(
+          col("gray"), col("img_w"), col("img_h")).as("sig"))
 
   /** The post-signature stage of [[frameGrabPairs]], factored so the
     * streaming mirror (s50) publishes through the SAME pigeonhole +

@@ -316,7 +316,7 @@ object TextAnalysis {
   def bpeVocab(df: DataFrame, textCol: String = "text"): DataFrame =
     df.select(explode(tokens(lower(col(textCol)))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
-      .select(bpeSeqOf(col("w")).as("seq"), col("cnt"))
+      .select(col("w"), bpeSeqOf(col("w")).as("seq"), col("cnt"))
 
   /** A word's initial BPE symbol sequence: its characters joined by
     * single spaces (one definition, shared with the s51 mirror).
@@ -371,11 +371,9 @@ object TextAnalysis {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val toks = df.select(col(idCol),
       explode(tokens(lower(col(textCol)))).as("w"))
-    val vocab0 = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
-      .select(col("w"), bpeSeqOf(col("w")).as("seq"), col("cnt"))
     // the final level's barrier backs the returned plan — left live
     // for the global barrier reset (the components() discipline)
-    val vocabN = bpeFinalVocab(vocab0, merges)
+    val vocabN = bpeFinalVocab(bpeVocab(df, textCol), merges)
     toks.join(
         broadcast(vocabN.select(col("w"),
           size(split(col("seq"), " ")).as("n"))),
@@ -400,7 +398,9 @@ object TextAnalysis {
       val r = v.agg(
         sum(expr("cnt * size(split(seq, ' '))")).as("ns"),
         sum("cnt").as("nw")).head()
-      levels += ((lvl, r.getLong(0), r.getLong(1)))
+      // empty corpus → null sums: report exact zeros, don't NPE
+      levels += ((lvl, if (r.isNullAt(0)) 0L else r.getLong(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1)))
     }
     Dedup.releaseBarrier(dir)
     levels.result().toDF("step", "n_symbols", "n_words")
@@ -435,28 +435,38 @@ object TextAnalysis {
       Dedup.materializeBarrierAt(vocab0, "bpe-v0")
     onLevel(0, vocab)
     val learned = Seq.newBuilder[(Int, String, Long)]
-    for (step <- 1 to merges) {
-      val best = vocab
+    var step = 0
+    var exhausted = false
+    while (step < merges && !exhausted) {
+      step += 1
+      val top = vocab
         .filter(size(split(col("seq"), " ")) >= 2)
         .select(explode(pairsOf).as("pair"), col("cnt"))
         .groupBy("pair").agg(sum("cnt").as("freq"))
         .orderBy(col("freq").desc, col("pair")).limit(1)
-        .head()
-      val (pair, freq) = (best.getString(0), best.getLong(1))
-      learned += ((step, pair, freq))
-      val doubled = concat(lit(" "),
-        replace(col("seq"), lit(" "), lit("  ")), lit(" "))
-      // the search pattern lives in DOUBLED space: "a b" → " a  b "
-      val others = vocab.columns.filterNot(_ == "seq").map(col)
-      val next = vocab.select(
-        trim(replace(replace(doubled,
-          lit(" " + pair.replace(" ", "  ") + " "),
-          lit(" " + pair.replace(" ", "") + " ")),
-          lit("  "), lit(" "))).as("seq") +: others.toSeq: _*)
-      val (nv, nd) = Dedup.materializeBarrierAt(next, s"bpe-v$step")
-      Dedup.releaseBarrier(dir)
-      vocab = nv; dir = nd
-      onLevel(step, vocab)
+        .take(1)
+      if (top.isEmpty) {
+        // the pair supply ran dry before `merges` rounds (every word
+        // is one symbol): stop early, exactly like subword-nmt
+        exhausted = true
+      } else {
+        val best = top.head
+        val (pair, freq) = (best.getString(0), best.getLong(1))
+        learned += ((step, pair, freq))
+        val doubled = concat(lit(" "),
+          replace(col("seq"), lit(" "), lit("  ")), lit(" "))
+        // the search pattern lives in DOUBLED space: "a b" → " a  b "
+        val others = vocab.columns.filterNot(_ == "seq").map(col)
+        val next = vocab.select(
+          trim(replace(replace(doubled,
+            lit(" " + pair.replace(" ", "  ") + " "),
+            lit(" " + pair.replace(" ", "") + " ")),
+            lit("  "), lit(" "))).as("seq") +: others.toSeq: _*)
+        val (nv, nd) = Dedup.materializeBarrierAt(next, s"bpe-v$step")
+        Dedup.releaseBarrier(dir)
+        vocab = nv; dir = nd
+        onLevel(step, vocab)
+      }
     }
     (learned.result(), vocab, dir)
   }

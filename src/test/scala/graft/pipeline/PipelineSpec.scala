@@ -611,6 +611,24 @@ class PipelineSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("bpeTrain stops early when the pair supply is exhausted; " +
+      "empty corpus yields a zero curve, not a crash") {
+    import spark.implicits._
+    // all single-character words: no pairs to merge at all
+    val single = Seq((1L, "a b c a")).toDF("doc_id", "text")
+    assert(TextAnalysis.bpeTrain(single, 3).count() == 0)
+    // one learnable merge, then dry — asked for 5, returns 1
+    val short = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val learned = TextAnalysis.bpeTrain(short, 5).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(learned == Seq((1, "a b", 2L)))
+    // blank corpus: curve reports exact zeros at level 0
+    val empty = Seq((1L, "   ")).toDF("doc_id", "text")
+    val curve = TextAnalysis.bpeCompressionCurve(empty, 2).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(curve == Seq((0, 0L, 0L)))
+  }
+
   test("s51 seam: per-split word-count histograms sum-merge to the " +
       "batch BPE vocab; publish == batch merges under any split") {
     import spark.implicits._
@@ -630,7 +648,7 @@ class PipelineSpec extends SparkSpec {
     val gotVocab = merged
       .select(TextAnalysis.bpeSeqOf(col("w")).as("seq"), col("cnt"))
       .orderBy("seq").collect().map(r => (r.getString(0), r.getLong(1)))
-    val wantVocab = TextAnalysis.bpeVocab(docs)
+    val wantVocab = TextAnalysis.bpeVocab(docs).select("seq", "cnt")
       .orderBy("seq").collect().map(r => (r.getString(0), r.getLong(1)))
     assert(gotVocab.toSeq == wantVocab.toSeq)
     // and the publish path equals batch training verbatim
@@ -2673,23 +2691,11 @@ class PipelineSpec extends SparkSpec {
       seeds.map(s => (s + 1000000L, s)).toDF("doc_id", "seed"), "seed")
       .select("doc_id", "media").withColumn("kind", lit("grab"))
     val mixed = clips.unionAll(grabs)
-    def sigsOf(df: org.apache.spark.sql.DataFrame) = {
-      val f = Multimodal.withDecodedFrames(
-        df.filter(col("kind") === "clip").select("doc_id", "media"),
-        "media")
-        .filter(col("gray").isNotNull)
-        .select((col("doc_id") * 16 + col("frame_pos")).as("id"),
-          org.apache.spark.sql.graft.VectorExpressions.dhash64(
-            col("gray"), col("img_w"), col("img_h")).as("sig"))
-      val g = Multimodal.withDecodedGray(
-        df.filter(col("kind") === "grab").select("doc_id", "media"),
-        "media")
-        .filter(col("gray").isNotNull)
-        .select((col("doc_id") * 16 + 15).as("id"),
-          org.apache.spark.sql.graft.VectorExpressions.dhash64(
-            col("gray"), col("img_w"), col("img_h")).as("sig"))
-      f.unionAll(g)
-    }
+    def sigsOf(df: org.apache.spark.sql.DataFrame) =
+      Dedup.frameGrabClipSigs(
+          df.filter(col("kind") === "clip"), "doc_id", "media")
+        .unionAll(Dedup.frameGrabImageSigs(
+          df.filter(col("kind") === "grab"), "doc_id", "media"))
     def publish(sigs: org.apache.spark.sql.DataFrame) =
       Dedup.frameGrabPairsFromSigs(sigs, maxHamming = 6, multiIndex = 3)
         .orderBy("image_id")
