@@ -2540,34 +2540,59 @@ object Scale {
     // re-derived in-gate), and n_delta records the per-commit row
     // cost the 100 TB story rides on. The oracle replays every
     // version's grouped aggregate from scratch.
-    QueryDef("x46_incremental_view",
-      """WITH ins AS (SELECT event_id + 1000000000000 AS event_id,
-        |    user_id, event_type FROM events WHERE event_id % 3 = 0),
-        |del AS (SELECT event_id, user_id, event_type FROM events
-        |  WHERE event_id % 7 = 0),
-        |t1 AS (SELECT event_id, user_id, event_type FROM events
-        |  UNION ALL SELECT * FROM ins),
-        |t2 AS (SELECT * FROM t1 WHERE event_id NOT IN
-        |  (SELECT event_id FROM del))
-        |SELECT 0 AS version, event_type,
-        |  CAST(count(*) AS BIGINT) AS n_rows,
-        |  CAST(sum(user_id) AS BIGINT) AS sum_user,
-        |  CAST(0 AS BIGINT) AS n_delta, true AS ivm_equals_recompute
-        |FROM events GROUP BY 2
-        |UNION ALL
-        |SELECT 1, event_type, CAST(count(*) AS BIGINT),
-        |  CAST(sum(user_id) AS BIGINT),
-        |  (SELECT CAST(count(*) AS BIGINT) FROM ins), true
-        |FROM t1 GROUP BY 2
-        |UNION ALL
-        |SELECT 2, event_type, CAST(count(*) AS BIGINT),
-        |  CAST(sum(user_id) AS BIGINT),
-        |  (SELECT CAST(count(*) AS BIGINT) FROM del), true
-        |FROM t2 GROUP BY 2
-        |ORDER BY version, event_type""".stripMargin) { (s, dir) =>
+    QueryDef("x46_incremental_view", ivmOracleSql("ivm")) { (s, dir) =>
       incrementalView(s, dir)
+    },
+
+    // CDC changelog READ — the storage-side producer x46's consumer
+    // was promised: version deltas are derived from the table's own
+    // commit artifacts, never from re-diffing snapshots. The insert
+    // delta of an append commit is the commit's files (an incremental
+    // scan lists ONLY the appended directory); the delete delta of a
+    // MoR DV commit materializes the deleted ROWS by broadcast
+    // semi-joining the (file, pos) sidecar back onto the base — one
+    // base read, no v1 re-scan, no anti-diff of 100 TB snapshots.
+    // The read deltas then drive the same counting-algorithm view
+    // maintenance, and each version must equal the recompute
+    // (cdc_equals_recompute re-derived in-gate). Same logical states
+    // as x46 → same oracle text; the mechanism under test is where
+    // the deltas CAME FROM.
+    QueryDef("x47_cdc_read", ivmOracleSql("cdc")) { (s, dir) =>
+      cdcRead(s, dir)
     }
   )
+
+  /** The shared x46/x47 oracle: both gates publish the same logical
+    * per-version views (the mechanisms differ — x46 is handed the
+    * deltas, x47 reads them from commit artifacts), so the oracle
+    * text is shared by construction. `flag` names the gate's
+    * equals-recompute column.
+    */
+  private def ivmOracleSql(flag: String): String =
+    s"""WITH ins AS (SELECT event_id + 1000000000000 AS event_id,
+       |    user_id, event_type FROM events WHERE event_id % 3 = 0),
+       |del AS (SELECT event_id, user_id, event_type FROM events
+       |  WHERE event_id % 7 = 0),
+       |t1 AS (SELECT event_id, user_id, event_type FROM events
+       |  UNION ALL SELECT * FROM ins),
+       |t2 AS (SELECT * FROM t1 WHERE event_id NOT IN
+       |  (SELECT event_id FROM del))
+       |SELECT 0 AS version, event_type,
+       |  CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(sum(user_id) AS BIGINT) AS sum_user,
+       |  CAST(0 AS BIGINT) AS n_delta, true AS ${flag}_equals_recompute
+       |FROM events GROUP BY 2
+       |UNION ALL
+       |SELECT 1, event_type, CAST(count(*) AS BIGINT),
+       |  CAST(sum(user_id) AS BIGINT),
+       |  (SELECT CAST(count(*) AS BIGINT) FROM ins), true
+       |FROM t1 GROUP BY 2
+       |UNION ALL
+       |SELECT 2, event_type, CAST(count(*) AS BIGINT),
+       |  CAST(sum(user_id) AS BIGINT),
+       |  (SELECT CAST(count(*) AS BIGINT) FROM del), true
+       |FROM t2 GROUP BY 2
+       |ORDER BY version, event_type""".stripMargin
 
   /** Partition-spec EVOLUTION (the Iceberg v2 feature): a table's early
     * files were written under spec 0 (partitioned by day), a later
@@ -2841,28 +2866,90 @@ object Scale {
     val v0 = store(ivmViewOf(events), "v0")
     val v1 = store(ivmMaintain(v0, ins, 1), "v1")
     val v2 = store(ivmMaintain(v1, del, -1), "v2")
-    def eqViews(a: DataFrame, b: DataFrame): Boolean =
-      a.select(col("event_type"), col("n_rows").as("na"),
-          col("sum_user").as("sa"))
-        .join(b.select(col("event_type"), col("n_rows").as("nb"),
-          col("sum_user").as("sb")), Seq("event_type"), "full")
-        .filter(!(col("na") <=> col("nb")) ||
-          !(col("sa") <=> col("sb")))
-        .isEmpty
-    val eq1 = eqViews(v1, ivmViewOf(events.unionAll(ins)))
-    val eq2 = eqViews(v2, ivmViewOf(events.unionAll(ins)
+    val eq1 = ivmViewsEqual(v1, ivmViewOf(events.unionAll(ins)))
+    val eq2 = ivmViewsEqual(v2, ivmViewOf(events.unionAll(ins)
       .join(del.select("event_id"), Seq("event_id"), "left_anti")))
-    val nIns = ins.count()
-    val nDel = del.count()
-    def rows(v: DataFrame, version: Int, nDelta: Long,
-        eq: Boolean): DataFrame =
+    // version 0 IS the recompute — its flag is true by construction
+    ivmVersionRows("ivm_equals_recompute",
+      Seq((v0, 0, 0L, true), (v1, 1, ins.count(), eq1),
+        (v2, 2, del.count(), eq2)))
+  }
+
+  /** Full-outer anti-compare of two (event_type, n_rows, sum_user)
+    * views — the x46/x47 equals-recompute check.
+    */
+  private def ivmViewsEqual(a: DataFrame, b: DataFrame): Boolean =
+    a.select(col("event_type"), col("n_rows").as("na"),
+        col("sum_user").as("sa"))
+      .join(b.select(col("event_type"), col("n_rows").as("nb"),
+        col("sum_user").as("sb")), Seq("event_type"), "full")
+      .filter(!(col("na") <=> col("nb")) ||
+        !(col("sa") <=> col("sb")))
+      .isEmpty
+
+  /** Assemble the x46/x47 per-version readout. */
+  private def ivmVersionRows(flagCol: String,
+      vs: Seq[(DataFrame, Int, Long, Boolean)]): DataFrame =
+    vs.map { case (v, version, nDelta, eq) =>
       v.select(lit(version).as("version"), col("event_type"),
         col("n_rows"), col("sum_user"), lit(nDelta).as("n_delta"),
-        lit(eq).as("ivm_equals_recompute"))
-    // version 0 IS the recompute — its flag is true by construction
-    rows(v0, 0, 0L, eq = true)
-      .unionAll(rows(v1, 1, nIns, eq1))
-      .unionAll(rows(v2, 2, nDel, eq2))
-      .orderBy("version", "event_type")
+        lit(eq).as(flagCol))
+    }.reduce(_ unionAll _).orderBy("version", "event_type")
+
+  /** CDC changelog read for x47: deltas derive from commit ARTIFACTS —
+    * the appended directory for the insert commit (incremental scan),
+    * the (file, pos) DV sidecar broadcast-semi-joined onto the base
+    * for the delete commit (row materialization) — then drive the
+    * same counting-algorithm maintenance as x46.
+    */
+  private[graft] def cdcRead(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_fmt").toString
+    val baseP = s"$root/x47_base"
+    val appP = s"$root/x47_append"
+    val dvP = s"$root/x47_dv"
+    val viewP = s"$root/x47_view"
+    Seq(baseP, appP, dvP, viewP).foreach(p => rmTree(new java.io.File(p)))
+    val events = t(s, dir, "events")
+      .select("event_id", "user_id", "event_type")
+    events.repartitionByRange(8, col("event_id"))
+      .sortWithinPartitions("event_id")
+      .write.mode("overwrite").parquet(baseP)
+    val base0 = s.read.parquet(baseP)
+    def store(v: DataFrame, tag: String): DataFrame = {
+      v.coalesce(1).write.mode("overwrite").parquet(s"$viewP/$tag")
+      s.read.parquet(s"$viewP/$tag")
+    }
+    val v0 = store(ivmViewOf(base0), "v0")
+    // commit 1: APPEND — new files land in their own directory; the
+    // writer computes the payload, the READER must not
+    events.filter(col("event_id") % 3 === 0)
+      .select((col("event_id") + 1000000000000L).as("event_id"),
+        col("user_id"), col("event_type"))
+      .write.mode("overwrite").parquet(appP)
+    // CDC delta 1 = the appended files, nothing else
+    val delta1 = s.read.parquet(appP)
+    val v1 = store(ivmMaintain(v0, delta1, 1), "v1")
+    // commit 2: MoR deletes — a positional (file, pos) sidecar on the
+    // sorted base files (the x45 addressing)
+    val wFile = org.apache.spark.sql.expressions.Window
+      .partitionBy("f").orderBy("event_id")
+    val pos = base0.withColumn("f", input_file_name())
+      .withColumn("pos", row_number().over(wFile))
+    pos.filter(col("event_id") % 7 === 0).select("f", "pos")
+      .coalesce(1).write.mode("overwrite").parquet(dvP)
+    // CDC delta 2 = the deleted ROWS, materialized from sidecar + base
+    val delta2 = pos
+      .join(broadcast(s.read.parquet(dvP)), Seq("f", "pos"), "left_semi")
+      .select("event_id", "user_id", "event_type")
+    val v2 = store(ivmMaintain(v1, delta2, -1), "v2")
+    val logical1 = base0.unionAll(s.read.parquet(appP))
+    val eq1 = ivmViewsEqual(v1, ivmViewOf(logical1))
+    val eq2 = ivmViewsEqual(v2, ivmViewOf(logical1
+      .filter(col("event_id") % 7 =!= 0 ||
+        col("event_id") >= 1000000000000L)))
+    ivmVersionRows("cdc_equals_recompute",
+      Seq((v0, 0, 0L, true), (v1, 1, delta1.count(), eq1),
+        (v2, 2, delta2.count(), eq2)))
   }
 }

@@ -1593,6 +1593,19 @@ class PlanSpec extends SparkSpec {
       s"p198: corpus-side shuffle join appeared:\n$p")
   }
 
+  test("x47: the published plan reads only the materialized view " +
+      "parquet — deltas were consumed at maintenance time, from " +
+      "commit artifacts") {
+    val p = executed("x47_cdc_read")
+    val pf = p.split("== Initial Plan ==").head
+    val scans = pf.linesIterator.filter(_.contains("FileScan")).toSeq
+    assert(scans.nonEmpty && scans.forall(_.contains("x47_view")),
+      s"x47: publish read something besides the stored views:\n$p")
+    assert(!pf.contains("CartesianProduct") &&
+      !pf.contains("BroadcastNestedLoopJoin"),
+      s"x47: a product join appeared:\n$p")
+  }
+
   test("p190/p191/p193: audio + video hashes are native expressions; " +
       "pairs ride the pigeonhole equi-join; media bytes never shuffle") {
     // p190: straight projection — the codegen'd AudioHash64 per row,
