@@ -179,6 +179,7 @@ object Bench {
     "x45_deletion_vectors", // MOR delete sidecar + broadcast anti-join
     "x46_incremental_view", // counting-algorithm IVM, cost ∝ delta
     "x47_cdc_read",       // deltas read from commit artifacts → IVM
+    "s53_stream_ivm",     // signed view state, anti-matter retraction
     "s43_stream_srm",     // live SRM, distinct-user-set state
     "f07_csv_ingest_cold", // CSV parse + agg, no cache (dsq cold analog)
     "f08_csv_ingest_warm") // cached-parquet + agg (dsq -C warm analog)

@@ -2978,6 +2978,90 @@ object Streaming {
         .orderBy("doc_id")
     },
 
+    // Streaming incremental view maintenance (x46 live): the CDC
+    // changelog arrives as signed micro-batches (+1 inserts, −1
+    // deletes carrying the old row) and the carried state IS the
+    // maintained view — one (event_type, n_rows, sum_user) row per
+    // key, merged per batch by signed sums. Crucially the zero-count
+    // drop does NOT run mid-stream: a delete batch may process before
+    // the batch that inserted its rows (retraction before arrival),
+    // leaving legitimate NEGATIVE intermediate counts that a mid-
+    // stream n>0 filter would destroy; cancellation is exact, so the
+    // filter is sound only at publish. Publish == the full recompute
+    // over the reconstructed table, verbatim.
+    QueryDef("s53_stream_ivm",
+      """WITH ins AS (SELECT event_id + 1000000000000 AS event_id,
+        |    user_id, event_type FROM events WHERE event_id % 3 = 0),
+        |del AS (SELECT event_id FROM events WHERE event_id % 7 = 0),
+        |t1 AS (SELECT event_id, user_id, event_type FROM events
+        |  UNION ALL SELECT * FROM ins),
+        |t2 AS (SELECT * FROM t1 WHERE event_id NOT IN
+        |  (SELECT event_id FROM del))
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(user_id) AS BIGINT) AS sum_user
+        |FROM t2 GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val events = graft.Tables.load(s, dir, "events")
+        .select("event_id", "user_id", "event_type")
+      val base = java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_fmt").toString
+      val srcDir = s"$base/s53_stream_src"
+      val viewRoot = s"$base/s53_view"
+      Seq(srcDir, viewRoot).foreach(d => rmTree(new java.io.File(d)))
+      new java.io.File(srcDir).mkdirs()
+      // the changelog: base rows as three insert batches, then the
+      // insert commit, then the delete commit (old rows, sign −1)
+      (0 until 3).foreach { b =>
+        writeSingle(
+          events.filter(pmod(xxhash64(col("event_id")), lit(3L)) === b)
+            .withColumn("sign", lit(1)),
+          srcDir, s"batch_$b")
+      }
+      writeSingle(
+        events.filter(col("event_id") % 3 === 0)
+          .select((col("event_id") + 1000000000000L).as("event_id"),
+            col("user_id"), col("event_type"))
+          .withColumn("sign", lit(1)),
+        srcDir, "batch_3")
+      writeSingle(
+        events.filter(col("event_id") % 7 === 0)
+          .withColumn("sign", lit(-1)),
+        srcDir, "batch_4")
+      val schema = s.read.parquet(srcDir).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(srcDir)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+            batchId: Long) =>
+          def gen(): Int =
+            Option(new java.io.File(viewRoot).listFiles())
+              .toSeq.flatten.map(_.getName)
+              .filter(_.matches("v\\d+")).map(_.drop(1).toInt)
+              .foldLeft(-1)(_ max _)
+          val deltaView = batch.groupBy("event_type")
+            .agg(sum("sign").cast("long").as("n_rows"),
+              sum(col("user_id") * col("sign")).cast("long")
+                .as("sum_user"))
+          val g = gen()
+          val merged = if (g < 0) deltaView
+          else deltaView.unionAll(
+              s.read.parquet(s"$viewRoot/v$g"))
+            .groupBy("event_type")
+            .agg(sum("n_rows").cast("long").as("n_rows"),
+              sum("sum_user").cast("long").as("sum_user"))
+          merged.coalesce(1).write.mode("overwrite")
+            .parquet(s"$viewRoot/v${g + 1}")
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$viewRoot/v${latestGen(viewRoot)}")
+        .filter(col("n_rows") > 0)
+        .orderBy("event_type")
+    },
+
     // Streaming split-conformal calibration (p177 live): the carried
     // state is a per-batch (n_chars value, split flag, count) HISTOGRAM
     // — counts merge by sum, and every publish-time quantity derives

@@ -697,6 +697,43 @@ class PipelineSpec extends SparkSpec {
     assert(want.init.forall(_._2 == 2L) && want.last == (100L, 2L, 4L))
   }
 
+  test("s53 seam: signed view merge is order-independent — deletes " +
+      "before their inserts leave negative intermediates that cancel") {
+    import spark.implicits._
+    // changelog batches: inserts for keys a/b, a later insert commit,
+    // and deletes that fully cancel key b
+    val batches = Seq(
+      Seq((1L, 10L, "a", 1), (2L, 20L, "a", 1)),
+      Seq((3L, 30L, "b", 1)),
+      Seq((10L, 5L, "a", 1), (11L, 7L, "c", 1)),
+      Seq((3L, 30L, "b", -1), (1L, 10L, "a", -1)))
+    def mergeAll(order: Seq[Int]) = {
+      val view = order.map(i => batches(i)
+          .toDF("event_id", "user_id", "event_type", "sign")
+          .groupBy("event_type")
+          .agg(sum("sign").cast("long").as("n_rows"),
+            sum(col("user_id") * col("sign")).cast("long")
+              .as("sum_user")))
+        .reduce { (acc, d) =>
+          acc.unionAll(d).groupBy("event_type")
+            .agg(sum("n_rows").cast("long").as("n_rows"),
+              sum("sum_user").cast("long").as("sum_user"))
+        }
+      view.filter(col("n_rows") > 0).orderBy("event_type")
+        .collect().map(r =>
+          (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    }
+    val want = Seq(("a", 2L, 25L), ("c", 1L, 7L)) // b cancels to zero
+    assert(mergeAll(Seq(0, 1, 2, 3)) == want)
+    // deletes FIRST: key b goes to (-1, -30) mid-stream, key a to
+    // (-1, -10) — a mid-stream n>0 filter would destroy both
+    assert(mergeAll(Seq(3, 0, 1, 2)) == want)
+    val rnd = new scala.util.Random(53)
+    (1 to 3).foreach { _ =>
+      assert(mergeAll(rnd.shuffle(Seq(0, 1, 2, 3))) == want)
+    }
+  }
+
   test("ngram jaccard of identical docs is 1") {
     val planted = docs.limit(10).unionAll(docs.limit(10)
       .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
