@@ -169,6 +169,7 @@ object Bench {
     "s49_stream_video",   // (id, MajorityHash64) state → publish dedup
     "p195_frame_grab",    // cross-modal still↔clip pigeonhole pairs
     "s50_stream_frame_grab", // packed (sub-id, dHash) state → p195
+    "p200_audio_snippet", // windowed AudioHash64 containment pairs
     "p196_bpe_train",     // 10 BPE merges: corpus pass + vocab rounds
     "p197_bpe_curve",     // exact tokens-per-word trajectory 0..10
     "p198_bpe_encode",    // broadcast trained vocab, map-side encode

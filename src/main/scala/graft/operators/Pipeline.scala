@@ -8661,6 +8661,28 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // Audio snippet containment: a short clip that IS a segment of a
+    // longer recording (rendered independently at 2× the sample rate,
+    // so the pair must match through the AudioHash64 band, never byte
+    // equality). Windowed recording hashes + whole-snippet hash ride
+    // one pigeonhole pass over the packed sub-id space — the audio
+    // analog of p195's frame grab.
+    QueryDef("p200_audio_snippet",
+      """SELECT doc_id AS rec_id, doc_id + 1000000 AS snippet_id,
+        |  true AS found
+        |FROM documents WHERE doc_id % 4 = 0
+        |ORDER BY rec_id""".stripMargin) { (s, dir) =>
+      val (sel, recs, snips) = Planted.audioSnippetCorpus(s, dir)
+      val pairs = Dedup.audioSnippetPairs(snips, "doc_id", "media",
+        recs, "doc_id", "media")
+      sel.select(col("doc_id").as("rec_id"),
+          (col("doc_id") + 1000000L).as("snippet_id"))
+        .join(pairs, Seq("snippet_id", "rec_id"), "left")
+        .select(col("rec_id"), col("snippet_id"),
+          col("hamming").isNotNull.as("found"))
+        .orderBy("rec_id")
+    },
+
     QueryDef("p195_frame_grab",
       """SELECT doc_id AS clip_id, doc_id + 1000000 AS image_id,
         |  true AS found

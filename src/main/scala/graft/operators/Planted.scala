@@ -88,6 +88,28 @@ private[graft] object Planted {
     (sel, clips, grabs)
   }
 
+  /** Audio-containment corpus (p200): every 4th document renders a
+    * long recording — 4 seeded segments (sub-seed doc·16 + j)
+    * concatenated into one WAV — and, under +1000000, a snippet: the
+    * SAME contour as segment j* = (doc div 4) mod 4, independently
+    * rendered at 2× the sample rate (the p191 resample variant), so
+    * the planted pair must match through the hash band, not byte
+    * equality.
+    */
+  def audioSnippetCorpus(s: SparkSession,
+      dir: String): (DataFrame, DataFrame, DataFrame) = {
+    val sel = sel4(s, dir)
+    val recs = Multimodal.withConcatWav(
+      sel.select(col("doc_id"), col("doc_id").as("seed")),
+      "seed", 4, 8000, 16).select("doc_id", "media")
+    val snips = Multimodal.withSyntheticWav(
+      sel.select((col("doc_id") + 1000000L).as("doc_id"),
+        (col("doc_id") * 16 +
+          pmod(expr("doc_id DIV 4"), lit(4L))).as("seed")),
+      "seed", 16000, 16).select("doc_id", "media")
+    (sel, recs, snips)
+  }
+
   /** The canonical dedup roster every *_dedup gate and streaming mirror
     * publishes: the full planted id set (re-derived ARITHMETICALLY from
     * `sel` — selecting ids off the rendered media would re-execute the

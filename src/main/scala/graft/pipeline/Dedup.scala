@@ -749,6 +749,57 @@ object Dedup {
         org.apache.spark.sql.graft.VectorExpressions.dhash64(
           col("gray"), col("img_w"), col("img_h")).as("sig"))
 
+  /** AUDIO CONTAINMENT: find short snippets that are segments of
+    * longer recordings — the audio analog of [[frameGrabPairs]]. Each
+    * recording's PCM slices into `windows` equal spans (a declarative
+    * array slice — bytes decode once, only (sub-id, sig) longs
+    * shuffle), every span gets its own AudioHash64 under packed
+    * sub-id = id·16 + w; snippets hash whole under id·16 + 15. One
+    * [[hammingPairs]] pass + the shared bipartite min-collapse
+    * ([[frameGrabPairsFromSigs]]) yields (snippet_id, rec_id, min
+    * hamming). Window boundaries must align with the content for the
+    * band to hold — production fingerprinting slides overlapping
+    * windows; the fixture plants aligned segments, which exercises
+    * the same plan shape.
+    */
+  def audioSnippetPairs(snippets: DataFrame, snipIdCol: String,
+      snipBinCol: String, recordings: DataFrame, recIdCol: String,
+      recBinCol: String, windows: Int = 4, maxHamming: Int = 8,
+      multiIndex: Int = 3): DataFrame =
+    frameGrabPairsFromSigs(
+      audioSnippetSigs(snippets, snipIdCol, snipBinCol)
+        .unionAll(audioWindowSigs(recordings, recIdCol, recBinCol,
+          windows)),
+      maxHamming, multiIndex)
+      .select(col("image_id").as("snippet_id"),
+        col("clip_id").as("rec_id"), col("hamming"))
+
+  /** A recording's windowed signatures under packed sub-ids
+    * (id·16 + w) — one definition shared with the margin spec.
+    */
+  private[graft] def audioWindowSigs(recordings: DataFrame,
+      idCol: String, binCol: String, windows: Int): DataFrame =
+    graft.pipeline.Multimodal.withDecodedPcm(
+      recordings.select(col(idCol), col(binCol)), binCol)
+      .filter(col("pcm").isNotNull)
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(0, $windows - 1), j -> struct(j AS w, " +
+          s"slice(pcm, j * (size(pcm) DIV $windows) + 1, " +
+          s"size(pcm) DIV $windows) AS seg))")).as("x"))
+      .select((col(idCol) * 16 + col("x.w")).as("id"),
+        org.apache.spark.sql.graft.VectorExpressions.audiohash64(
+          col("x.seg")).as("sig"))
+
+  /** A whole snippet's packed signature — sub-id = id·16 + 15. */
+  private[graft] def audioSnippetSigs(snippets: DataFrame,
+      idCol: String, binCol: String): DataFrame =
+    graft.pipeline.Multimodal.withDecodedPcm(
+      snippets.select(col(idCol), col(binCol)), binCol)
+      .filter(col("pcm").isNotNull)
+      .select((col(idCol) * 16 + 15).as("id"),
+        org.apache.spark.sql.graft.VectorExpressions.audiohash64(
+          col("pcm")).as("sig"))
+
   /** A still image's packed signature — sub-id = id·16 + 15. */
   private[graft] def frameGrabImageSigs(images: DataFrame,
       idCol: String, binCol: String): DataFrame =

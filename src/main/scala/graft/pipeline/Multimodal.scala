@@ -418,6 +418,16 @@ object Multimodal {
     */
   private[graft] def syntheticWav(seed: Long, rate: Int,
       bits: Int): Array[Byte] = {
+    val pcm = syntheticPcm(seed, rate, bits)
+    wavBytes(pcm, rate, bits)
+  }
+
+  /** The seeded tone contour as raw PCM (the body of [[syntheticWav]],
+    * exposed so the p200 fixture can concatenate segments into one
+    * long recording before encoding).
+    */
+  private[graft] def syntheticPcm(seed: Long, rate: Int,
+      bits: Int): Array[Int] = {
     require(bits == 8 || bits == 16, s"bad bits $bits")
     val n = rate * 33 / 50 // 0.66 s; divisible by 33 for 8000/16000
     val amp = seededUnit(seed, 33).map(0.2 + 0.8 * _)
@@ -435,7 +445,27 @@ object Multimodal {
       phase += 2 * math.Pi * lerp1d(freq, frac) / rate
       i += 1
     }
-    wavBytes(pcm, rate, bits)
+    pcm
+  }
+
+  /** A long recording: `windows` seeded segments (sub-seed
+    * seed·16 + j) concatenated into ONE WAV — the p200 fixture. Each
+    * segment is exactly [[syntheticPcm]] of its sub-seed, so an exact
+    * array slice of the decoded recording reproduces the segment.
+    */
+  private[graft] def withConcatWav(df: DataFrame, seedCol: String,
+      windows: Int, rate: Int, bits: Int,
+      outCol: String = "media"): DataFrame = {
+    val outSchema = df.schema.add(outCol, BinaryType)
+    val seedIdx = df.schema.fieldIndex(seedCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val s = r.getLong(seedIdx)
+        val pcm = (0 until windows).toArray
+          .flatMap(j => syntheticPcm(s * 16 + j, rate, bits))
+        Row.fromSeq(r.toSeq :+ wavBytes(pcm, rate, bits))
+      }
+    }(RowEncoder.encoderFor(outSchema))
   }
 
   /** RIFF/WAVE PCM encoder (mono; 8-bit unsigned or 16-bit signed LE). */

@@ -472,6 +472,50 @@ class PipelineSpec extends SparkSpec {
         s"threshold 6), grabCrossMin=$cross (>=9) — full-range 2 / 9")
   }
 
+  test("p200 margins: snippet-vs-own-segment and cross-window bands " +
+      "hold on the sub-seed population; recall and soundness exact") {
+    import spark.implicits._
+    val seeds = (0 until 60).map(i => (i * 4).toLong)
+    val recs = Multimodal.withConcatWav(
+      seeds.map(s => (s, s)).toDF("doc_id", "seed"),
+      "seed", 4, 8000, 16).select("doc_id", "media")
+    val snips = Multimodal.withSyntheticWav(
+      seeds.map(s => (s + 1000000L, s * 16 + (s / 4) % 4))
+        .toDF("doc_id", "seed"),
+      "seed", 16000, 16).select("doc_id", "media")
+    val wins = Dedup.audioWindowSigs(recs, "doc_id", "media", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sn = Dedup.audioSnippetSigs(snips, "doc_id", "media")
+      .collect()
+      .map(r => ((r.getLong(0) - 15) / 16 - 1000000L, r.getLong(1)))
+      .toMap
+    def d(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val own = seeds.map { s =>
+      val j = (s / 4) % 4
+      val w = wins.find(x => x._1 == s * 16 + j).get._2
+      d(sn(s), w)
+    }.max
+    val cross = (for {
+      s <- seeds; (wid, wsig) <- wins
+      if wid != s * 16 + (s / 4) % 4 // every non-matching window
+    } yield d(sn(s), wsig)).min
+    assert(own <= 4 && cross >= 13,
+      s"audio-containment margins drifted: ownMax=$own (<=4; " +
+        s"threshold 8), crossMin=$cross (>=13)")
+    // recall + soundness through the full operator
+    val pairs = Dedup.audioSnippetPairs(snips, "doc_id", "media",
+        recs, "doc_id", "media")
+      .select("snippet_id", "rec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    pairs.foreach { case (sid, rid) =>
+      assert(sid - 1000000L == rid, s"cross-recording pair ($sid, $rid)")
+    }
+    val set = pairs.toSet
+    seeds.foreach { s =>
+      assert(set.contains((s + 1000000L, s)), s"snippet missing for $s")
+    }
+  }
+
   test("frameGrabPairs: every planted still pairs with its source " +
       "clip; stills never pair with other clips") {
     import spark.implicits._
