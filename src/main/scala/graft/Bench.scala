@@ -170,6 +170,7 @@ object Bench {
     "p195_frame_grab",    // cross-modal still↔clip pigeonhole pairs
     "s50_stream_frame_grab", // packed (sub-id, dHash) state → p195
     "p200_audio_snippet", // windowed AudioHash64 containment pairs
+    "s54_stream_audio_snippet", // packed audio-sig state → p200
     "p196_bpe_train",     // 10 BPE merges: corpus pass + vocab rounds
     "p197_bpe_curve",     // exact tokens-per-word trajectory 0..10
     "p198_bpe_encode",    // broadcast trained vocab, map-side encode

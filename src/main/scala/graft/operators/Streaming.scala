@@ -2978,6 +2978,82 @@ object Streaming {
         .orderBy("doc_id")
     },
 
+    // Streaming audio snippet containment (p200 live): recordings AND
+    // snippets arrive interleaved; each batch decodes its own payloads
+    // once — recordings demux to 4 windowed AudioHash64 signatures
+    // under packed sub-ids (id·16 + w), snippets to one signature
+    // under id·16 + 15 — and persists only the (sub-id, sig) longs
+    // (pure append merge; a recording's windows come from one row).
+    // Publish = the shared frameGrabPairsFromSigs collapse == batch
+    // p200 verbatim, with snippet and source recording usually in
+    // different batches under the xxhash64 split.
+    QueryDef("s54_stream_audio_snippet",
+      """SELECT doc_id AS rec_id, doc_id + 1000000 AS snippet_id,
+        |  true AS found
+        |FROM documents WHERE doc_id % 4 = 0
+        |ORDER BY rec_id""".stripMargin) { (s, dir) =>
+      val (sel, recs, snips) = Planted.audioSnippetCorpus(s, dir)
+      val base = java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_fmt").toString
+      val srcDir = s"$base/s54_stream_src"
+      val sigRoot = s"$base/s54_sigs"
+      val mediaDir = s"$base/s54_media"
+      Seq(srcDir, sigRoot, mediaDir)
+        .foreach(d => rmTree(new java.io.File(d)))
+      new java.io.File(srcDir).mkdirs()
+      // wide-binary WRITES have the same contiguous-buffer hazard as
+      // the reads: 32 concurrent writers × a default 128 MB row group
+      // of ~42 KB recordings OOM'd the 8 GB heap at the 100× sweep —
+      // an 8 MB row group bounds the staging buffers at ~256 MB
+      recs.withColumn("kind", lit("rec"))
+        .unionAll(snips.withColumn("kind", lit("snip")))
+        .write.option("parquet.block.size", s"${8 * 1024 * 1024}")
+        .mode("overwrite").parquet(mediaDir)
+      val batchKey = "spark.sql.parquet.columnarReaderBatchSize"
+      val prevBatchSize = s.conf.get(batchKey, "4096")
+      s.conf.set(batchKey, "256")
+      try {
+        val staged = s.read.parquet(mediaDir)
+        (0 until 4).foreach { b =>
+          writeSingle(
+            staged.filter(pmod(xxhash64(col("doc_id")), lit(4L)) === b),
+            srcDir, s"batch_$b")
+        }
+        val schema = s.read.parquet(srcDir).schema
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("pathGlobFilter", "*.parquet")
+          .parquet(srcDir)
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+              batchId: Long) =>
+            val winSigs = graft.pipeline.Dedup.audioWindowSigs(
+              batch.filter(col("kind") === "rec"), "doc_id", "media", 4)
+            val snipSigs = graft.pipeline.Dedup.audioSnippetSigs(
+              batch.filter(col("kind") === "snip"), "doc_id", "media")
+            winSigs.unionAll(snipSigs)
+              .coalesce(1).write.mode("overwrite")
+              .parquet(s"$sigRoot/b_$batchId")
+            ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set(batchKey, prevBatchSize)
+      val sigs = s.read.option("recursiveFileLookup", "true")
+        .parquet(sigRoot)
+      val pairs = graft.pipeline.Dedup.frameGrabPairsFromSigs(sigs,
+        maxHamming = 6, multiIndex = 3)
+        .select(col("image_id").as("snippet_id"),
+          col("clip_id").as("rec_id"), col("hamming"))
+      sel.select(col("doc_id").as("rec_id"),
+          (col("doc_id") + 1000000L).as("snippet_id"))
+        .join(pairs, Seq("snippet_id", "rec_id"), "left")
+        .select(col("rec_id"), col("snippet_id"),
+          col("hamming").isNotNull.as("found"))
+        .orderBy("rec_id")
+    },
+
     // Streaming incremental view maintenance (x46 live): the CDC
     // changelog arrives as signed micro-batches (+1 inserts, −1
     // deletes carrying the old row) and the carried state IS the

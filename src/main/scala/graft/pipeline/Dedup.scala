@@ -764,7 +764,7 @@ object Dedup {
     */
   def audioSnippetPairs(snippets: DataFrame, snipIdCol: String,
       snipBinCol: String, recordings: DataFrame, recIdCol: String,
-      recBinCol: String, windows: Int = 4, maxHamming: Int = 8,
+      recBinCol: String, windows: Int = 4, maxHamming: Int = 6,
       multiIndex: Int = 3): DataFrame =
     frameGrabPairsFromSigs(
       audioSnippetSigs(snippets, snipIdCol, snipBinCol)

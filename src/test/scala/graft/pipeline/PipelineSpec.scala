@@ -501,7 +501,7 @@ class PipelineSpec extends SparkSpec {
     } yield d(sn(s), wsig)).min
     assert(own <= 4 && cross >= 13,
       s"audio-containment margins drifted: ownMax=$own (<=4; " +
-        s"threshold 8), crossMin=$cross (>=13)")
+        s"threshold 6, the video-family band), crossMin=$cross (>=13)")
     // recall + soundness through the full operator
     val pairs = Dedup.audioSnippetPairs(snips, "doc_id", "media",
         recs, "doc_id", "media")
@@ -2797,6 +2797,47 @@ class PipelineSpec extends SparkSpec {
     val set = want.toSet
     seeds.foreach { s =>
       assert(set.contains((s + 1000000L, s)), s"grab pair missing for $s")
+    }
+  }
+
+  test("s54 seam: per-split packed (sub-id, AudioHash64) partials " +
+      "append-merge to the batch snippet-containment pairs") {
+    import spark.implicits._
+    val seeds = (0 until 20).map(i => (i * 4).toLong)
+    val recs = Multimodal.withConcatWav(
+      seeds.map(s => (s, s)).toDF("doc_id", "seed"),
+      "seed", 4, 8000, 16).select("doc_id", "media")
+      .withColumn("kind", lit("rec"))
+    val snips = Multimodal.withSyntheticWav(
+      seeds.map(s => (s + 1000000L, s * 16 + (s / 4) % 4))
+        .toDF("doc_id", "seed"),
+      "seed", 16000, 16).select("doc_id", "media")
+      .withColumn("kind", lit("snip"))
+    val mixed = recs.unionAll(snips)
+    def sigsOf(df: org.apache.spark.sql.DataFrame) =
+      Dedup.audioWindowSigs(
+          df.filter(col("kind") === "rec"), "doc_id", "media", 4)
+        .unionAll(Dedup.audioSnippetSigs(
+          df.filter(col("kind") === "snip"), "doc_id", "media"))
+    def publish(sigs: org.apache.spark.sql.DataFrame) =
+      Dedup.frameGrabPairsFromSigs(sigs, maxHamming = 6, multiIndex = 3)
+        .orderBy("image_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = publish(sigsOf(mixed))
+    val merged = (0 to 2).map { b =>
+      sigsOf(mixed.filter(pmod(xxhash64(col("doc_id")), lit(3L)) === b))
+    }.reduce(_ unionAll _)
+    assert(publish(merged) == want)
+    // and the batch operator routes through the same seams
+    val direct = Dedup.audioSnippetPairs(
+        snips.select("doc_id", "media"), "doc_id", "media",
+        recs.select("doc_id", "media"), "doc_id", "media")
+      .orderBy("snippet_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(direct == want)
+    val set = want.toSet
+    seeds.foreach { s =>
+      assert(set.contains((s + 1000000L, s)), s"snippet missing for $s")
     }
   }
 
