@@ -8604,11 +8604,19 @@ object Pipeline {
     // rewrite) shifts these counts even when the next argmax happens
     // to agree.
     QueryDef("p197_bpe_curve", {
+      // HAVING count(*) > 0: a global aggregate over an empty v_k
+      // (pair supply exhausted before 10 merges) would emit a
+      // (step, NULL, NULL) row while bpeCompressionCurve stops
+      // emitting levels at exhaustion — the guard mirrors the
+      // implementation's early stop (unreachable on the standard
+      // documents fixture, but p196's empty-b_k side already handles
+      // exhaustion and the two gates share the CTE chain)
       val selects = (0 to 10).map(k =>
         s"""SELECT $k AS step,
            |  CAST(sum(cnt * len(string_split(seq, ' '))) AS BIGINT)
            |    AS n_symbols,
-           |  CAST(sum(cnt) AS BIGINT) AS n_words FROM v$k""".stripMargin)
+           |  CAST(sum(cnt) AS BIGINT) AS n_words FROM v$k
+           |HAVING count(*) > 0""".stripMargin)
         .mkString("\nUNION ALL\n")
       s"""${bpeOracleCtes(10)}
          |$selects
@@ -8673,6 +8681,55 @@ object Pipeline {
         |FROM documents WHERE doc_id % 4 = 0
         |ORDER BY rec_id""".stripMargin) { (s, dir) =>
       val (sel, recs, snips) = Planted.audioSnippetCorpus(s, dir)
+      val pairs = Dedup.audioSnippetPairs(snips, "doc_id", "media",
+        recs, "doc_id", "media")
+      sel.select(col("doc_id").as("rec_id"),
+          (col("doc_id") + 1000000L).as("snippet_id"))
+        .join(pairs, Seq("snippet_id", "rec_id"), "left")
+        .select(col("rec_id"), col("snippet_id"),
+          col("hamming").isNotNull.as("found"))
+        .orderBy("rec_id")
+    },
+
+    // Crop-robust image matching: a CROPPED repost (grid cell
+    // q = (doc div 4) mod 4 of a 2×2 grid, independently re-rendered
+    // at 2× the cell's native size — the resize relationship) escapes
+    // the whole-image hash by construction (p187's path finds none of
+    // these: a crop shifts every pool boundary). The two-level
+    // anchor path — HvHash64 candidates over per-cell PoolGrid72
+    // grids through the pigeonhole, exact grid-L1 verify — must find
+    // every planted crop. DuckDB can't decode PNG, so the oracle
+    // recomputes the planted id set and asserts `found` literally
+    // (the p187 pattern); the margin spec re-measures the bands per
+    // build.
+    QueryDef("p201_crop_robust",
+      """SELECT doc_id, doc_id + 1000000 AS copy_id, true AS found
+        |FROM documents WHERE doc_id % 4 = 0
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val (sel, media) = Planted.cropCorpus(s, dir)
+      val pairs = Dedup.cropRobustPairs(media, "doc_id", "media")
+      sel.select(col("doc_id"), (col("doc_id") + 1000000L).as("copy_id"))
+        .join(pairs.select(col("id_a").as("doc_id"),
+            col("id_b").as("copy_id"), col("hamming")),
+          Seq("doc_id", "copy_id"), "left")
+        .select(col("doc_id"), col("copy_id"),
+          col("hamming").isNotNull.as("found"))
+        .orderBy("doc_id")
+    },
+
+    // MISALIGNED audio snippet containment: the snippet's position in
+    // the recording does NOT align with any equal-slice window
+    // boundary (segments planted at half-window offsets), so the
+    // hopDiv=1 form finds none of these by construction — only the
+    // sliding half-hop windows (audioSnippetPairs' default hopDiv=2)
+    // put a span over the snippet content. Same boolean oracle
+    // pattern as p200; the margin spec measures the sliding bands.
+    QueryDef("p202_audio_snippet_misaligned",
+      """SELECT doc_id AS rec_id, doc_id + 1000000 AS snippet_id,
+        |  true AS found
+        |FROM documents WHERE doc_id % 4 = 0
+        |ORDER BY rec_id""".stripMargin) { (s, dir) =>
+      val (sel, recs, snips) = Planted.audioSnippetMisalignedCorpus(s, dir)
       val pairs = Dedup.audioSnippetPairs(snips, "doc_id", "media",
         recs, "doc_id", "media")
       sel.select(col("doc_id").as("rec_id"),

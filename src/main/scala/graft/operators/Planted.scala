@@ -88,6 +88,27 @@ private[graft] object Planted {
     (sel, clips, grabs)
   }
 
+  /** Crop-repost corpus (p201): every 4th document renders its smooth
+    * picture PLUS, under +1000000, a CROPPED repost — grid cell
+    * q = (doc div 4) mod 4 of a 2×2 grid, re-rendered independently
+    * from the same lattice surface at 2× the cell's native size (the
+    * resize relationship, so the pair must match through the hash
+    * band). A crop escapes the whole-image hash by construction; only
+    * the block-anchor path can find these.
+    */
+  def cropCorpus(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val sel = sel4(s, dir)
+    val originals = Multimodal.withSmoothMedia(
+      sel.select(col("doc_id"), col("doc_id").as("seed")),
+      "seed", "png", 1).select("doc_id", "media")
+    val crops = Multimodal.withSmoothCropMedia(
+      sel.select((col("doc_id") + 1000000L).as("doc_id"),
+        col("doc_id").as("seed"),
+        pmod(expr("doc_id DIV 4"), lit(4L)).as("q")),
+      "seed", "q", gridN = 2).select("doc_id", "media")
+    (sel, originals.unionAll(crops))
+  }
+
   /** Audio-containment corpus (p200): every 4th document renders a
     * long recording — 4 seeded segments (sub-seed doc·16 + j)
     * concatenated into one WAV — and, under +1000000, a snippet: the
@@ -106,6 +127,28 @@ private[graft] object Planted {
       sel.select((col("doc_id") + 1000000L).as("doc_id"),
         (col("doc_id") * 16 +
           pmod(expr("doc_id DIV 4"), lit(4L))).as("seed")),
+      "seed", 16000, 16).select("doc_id", "media")
+    (sel, recs, snips)
+  }
+
+  /** MISALIGNED audio-containment corpus (p202): the recording plants
+    * its segments at HALF-WINDOW offsets (a half-segment lead-in, so
+    * segment j ∈ 1..3 starts at (2j−1)·window/2 — every aligned window
+    * straddles two segments), and the snippet under +1000000 is the
+    * SAME contour as segment j* = 1 + (doc div 4) mod 3, independently
+    * rendered at 2× the sample rate. Only the sliding-window (hopDiv
+    * ≥ 2) containment path can find these pairs.
+    */
+  def audioSnippetMisalignedCorpus(s: SparkSession,
+      dir: String): (DataFrame, DataFrame, DataFrame) = {
+    val sel = sel4(s, dir)
+    val recs = Multimodal.withHalfOffsetConcatWav(
+      sel.select(col("doc_id"), col("doc_id").as("seed")),
+      "seed", 8000, 16).select("doc_id", "media")
+    val snips = Multimodal.withSyntheticWav(
+      sel.select((col("doc_id") + 1000000L).as("doc_id"),
+        (col("doc_id") * 16 + lit(1L) +
+          pmod(expr("doc_id DIV 4"), lit(3L))).as("seed")),
       "seed", 16000, 16).select("doc_id", "media")
     (sel, recs, snips)
   }

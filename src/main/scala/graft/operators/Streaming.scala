@@ -3027,8 +3027,12 @@ object Streaming {
           .writeStream
           .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
               batchId: Long) =>
+            // hopDiv=2 mirrors the batch operator's sliding default
+            // (p200/p202) — the streaming ingest must compute the SAME
+            // window signatures the batch path would
             val winSigs = graft.pipeline.Dedup.audioWindowSigs(
-              batch.filter(col("kind") === "rec"), "doc_id", "media", 4)
+              batch.filter(col("kind") === "rec"), "doc_id", "media", 4,
+              hopDiv = 2)
             val snipSigs = graft.pipeline.Dedup.audioSnippetSigs(
               batch.filter(col("kind") === "snip"), "doc_id", "media")
             winSigs.unionAll(snipSigs)
@@ -3102,6 +3106,16 @@ object Streaming {
         events.filter(col("event_id") % 7 === 0)
           .withColumn("sign", lit(-1)),
         srcDir, "batch_4")
+      // seed an EMPTY v0 so generations key off the framework batchId
+      // (the s39/s13 discipline): a retried micro-batch re-reads
+      // v(batchId) and OVERWRITES its own v(batchId+1) — a listing-
+      // derived counter would see the half-committed v(g+1) as current
+      // and apply the signed delta twice (or merge against a partial
+      // write left by a crash mid-write)
+      events.limit(0).groupBy("event_type")
+        .agg(sum("user_id").cast("long").as("n_rows"),
+          sum("user_id").cast("long").as("sum_user"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$viewRoot/v0")
       val schema = s.read.parquet(srcDir).schema
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
@@ -3110,24 +3124,17 @@ object Streaming {
         .writeStream
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
             batchId: Long) =>
-          def gen(): Int =
-            Option(new java.io.File(viewRoot).listFiles())
-              .toSeq.flatten.map(_.getName)
-              .filter(_.matches("v\\d+")).map(_.drop(1).toInt)
-              .foldLeft(-1)(_ max _)
           val deltaView = batch.groupBy("event_type")
             .agg(sum("sign").cast("long").as("n_rows"),
               sum(col("user_id") * col("sign")).cast("long")
                 .as("sum_user"))
-          val g = gen()
-          val merged = if (g < 0) deltaView
-          else deltaView.unionAll(
-              s.read.parquet(s"$viewRoot/v$g"))
+          val merged = deltaView.unionAll(
+              s.read.parquet(s"$viewRoot/v$batchId"))
             .groupBy("event_type")
             .agg(sum("n_rows").cast("long").as("n_rows"),
               sum("sum_user").cast("long").as("sum_user"))
           merged.coalesce(1).write.mode("overwrite")
-            .parquet(s"$viewRoot/v${g + 1}")
+            .parquet(s"$viewRoot/v${batchId + 1}")
           ()
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

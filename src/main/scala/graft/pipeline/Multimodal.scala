@@ -200,9 +200,73 @@ object Multimodal {
     df.mapPartitions { rows =>
       rows.map { r =>
         val seed = r.getLong(seedIdx)
-        val w = (48 + (seed * 7) % 64).toInt
-        val h = (48 + (seed * 13) % 48).toInt
+        val (w, h) = smoothDims(seed)
         Row.fromSeq(r.toSeq :+ syntheticSmoothImage(fmt, w, h, seed, scale))
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
+  /** Base dims of the seed's smooth picture — ONE definition shared by
+    * the full renderer and the crop renderer (drifting copies of the
+    * dims formula would silently unplant the crop pairs).
+    */
+  private def smoothDims(seed: Long): (Int, Int) =
+    ((48 + (seed * 7) % 64).toInt, (48 + (seed * 13) % 48).toInt)
+
+  /** A CROPPED REPOST of one gridN×gridN cell of the seed's smooth
+    * picture, rendered INDEPENDENTLY from the same continuous lattice
+    * surface at 2× the cell's native resolution and encoded as a real
+    * PNG — the planted pair for the crop-robust gate (p201). The cell
+    * box uses the SAME ⌊k·dim/gridN⌋ arithmetic as
+    * [[org.apache.spark.sql.graft.DHashBlock64]]'s anchor bounds, and
+    * the 2× sampling lands on exactly the sub-grid the full scale=2
+    * render would put inside that box — so crop vs anchor is the SAME
+    * honest antialiased-resize relationship the p187 resize variant
+    * exercises (the crop's own 9×8 pool sees the cell region at 2×;
+    * the anchor pools the scale=1 box-averaged render of it). The
+    * whole-image hash of the crop is structurally USELESS against the
+    * original (a crop shifts every full-frame pool boundary) — that is
+    * the hole this fixture plants. `qCol` is the cell index
+    * gy·gridN + gx per row.
+    */
+  private[graft] def withSmoothCropMedia(df: DataFrame, seedCol: String,
+      qCol: String, gridN: Int = 2, fmt: String = "png",
+      outCol: String = "media"): DataFrame = {
+    val outSchema = df.schema.add(outCol, BinaryType)
+    val seedIdx = df.schema.fieldIndex(seedCol)
+    val qIdx = df.schema.fieldIndex(qCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val seed = r.getLong(seedIdx)
+        val q = r.getLong(qIdx).toInt
+        val gx = q % gridN; val gy = q / gridN
+        val (w, h) = smoothDims(seed)
+        val x0 = gx * w / gridN; val x1 = (gx + 1) * w / gridN
+        val y0 = gy * h / gridN; val y1 = (gy + 1) * h / gridN
+        val cw = 2 * (x1 - x0); val ch = 2 * (y1 - y0)
+        val lat = smoothLattice(seed)
+        val img = new java.awt.image.BufferedImage(
+          cw, ch, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val px = new Array[Int](cw * ch)
+        var y = 0
+        while (y < ch) {
+          var x = 0
+          while (x < cw) {
+            // the scale=2 master grid samples the surface at integer
+            // (X, Y) over [0, 2w)×[0, 2h); the cell's sub-grid starts
+            // at (2·x0, 2·y0)
+            val gd = bilinearGray(lat, 2 * x0 + x, 2 * y0 + y,
+              2 * w, 2 * h)
+            val g = math.max(0, math.min(255, math.round(gd).toInt))
+            px(y * cw + x) = (g << 16) | (g << 8) | g
+            x += 1
+          }
+          y += 1
+        }
+        img.setRGB(0, 0, cw, ch, px, 0, cw)
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, fmt, out)
+        Row.fromSeq(r.toSeq :+ out.toByteArray)
       }
     }(RowEncoder.encoderFor(outSchema))
   }
@@ -463,6 +527,35 @@ object Multimodal {
         val s = r.getLong(seedIdx)
         val pcm = (0 until windows).toArray
           .flatMap(j => syntheticPcm(s * 16 + j, rate, bits))
+        Row.fromSeq(r.toSeq :+ wavBytes(pcm, rate, bits))
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
+  /** A long recording whose planted segments sit at HALF-WINDOW
+    * offsets — the p202 fixture: half of segment 0 (its second half),
+    * then segments 1..3 in full, then half of segment 4 (its first
+    * half); total length exactly 4 segment lengths, so with 4 equal
+    * windows every ALIGNED window straddles two planted segments (the
+    * hole the r13 p200 scaladoc conceded) while the half-hop sliding
+    * spans 1/3/5 cover segments 1/2/3 exactly. Sub-seeds seed·16 + j,
+    * the [[withConcatWav]] convention.
+    */
+  private[graft] def withHalfOffsetConcatWav(df: DataFrame,
+      seedCol: String, rate: Int, bits: Int,
+      outCol: String = "media"): DataFrame = {
+    val outSchema = df.schema.add(outCol, BinaryType)
+    val seedIdx = df.schema.fieldIndex(seedCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val s = r.getLong(seedIdx)
+        val seg0 = syntheticPcm(s * 16 + 0, rate, bits)
+        val seg4 = syntheticPcm(s * 16 + 4, rate, bits)
+        val half = seg0.length / 2
+        val pcm = seg0.drop(seg0.length - half) ++
+          (1 to 3).toArray.flatMap(j =>
+            syntheticPcm(s * 16 + j, rate, bits)) ++
+          seg4.take(half)
         Row.fromSeq(r.toSeq :+ wavBytes(pcm, rate, bits))
       }
     }(RowEncoder.encoderFor(outSchema))

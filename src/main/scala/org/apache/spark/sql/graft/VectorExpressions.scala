@@ -173,6 +173,26 @@ object VectorExpressions {
   def dhash64(gray: Column, w: Column, h: Column): Column =
     column(DHash64(expression(gray), expression(w), expression(h)))
 
+  /** 9×8 pooled-mean grid of one gridN×gridN cell of the image — the
+    * crop-anchor feature vector. See [[PoolGrid72]].
+    */
+  def poolGrid72(gray: Column, w: Column, h: Column, gridN: Int,
+      gx: Int, gy: Int): Column =
+    column(PoolGrid72(expression(gray), expression(w), expression(h),
+      gridN, gx, gy))
+
+  /** 64-bit candidate signature over a [[PoolGrid72]] grid (merged-cell
+    * horizontal+vertical compares). See [[HvHash64]].
+    */
+  def hvhash64(grid: Column): Column =
+    column(HvHash64(expression(grid)))
+
+  /** Exact Σ|aᵢ−bᵢ| of two array<bigint> columns — the L1 verify of
+    * crop-robust matching. See [[LongAbsDiffSum]].
+    */
+  def longAbsDiffSum(a: Column, b: Column): Column =
+    column(LongAbsDiffSum(expression(a), expression(b)))
+
   /** 64-bit perceptual audio fingerprint of a PCM sample array — the
     * dHash analog for sound. See [[AudioHash64]].
     */
@@ -1937,6 +1957,211 @@ object DHash64 {
       by += 1
     }
     out
+  }
+}
+
+/** 9×8 pooled-mean grid of ONE gridN×gridN cell of a w×h grayscale
+  * image — the crop-anchor feature vector: 72 floor-div cell means
+  * (luma·1000 scale) over the sub-rectangle [gx·w/gridN,
+  * (gx+1)·w/gridN) × [gy·h/gridN, (gy+1)·h/gridN); gridN=1 is the
+  * whole frame. The cell box uses the SAME ⌊k·dim/gridN⌋ arithmetic
+  * as the crop renderer that plants the gate's reposts, so anchor and
+  * crop pool the same half-open content box to within one pixel at any
+  * dimension parity. The grid placement (gridN, gx, gy) is part of
+  * the OPERATOR, not the data, so it rides as constructor fields —
+  * the expression stays ternary and codegen'd, and all cell grids of
+  * one image reuse the single decoded gray array (zero extra decode).
+  *
+  * This is the input to BOTH levels of crop-robust matching: the
+  * [[HvHash64]] 64-bit candidate signature and the [[LongAbsDiffSum]]
+  * L1 verify (the LSH-then-verify composition minhashPairs uses).
+  * Floor-div means make every downstream bit SQL-replayable integer
+  * arithmetic. Out-of-spec input pools to all-zeros (corrupt rows
+  * cluster at zero, the [[DHash64]] convention).
+  */
+case class PoolGrid72(first: Expression, second: Expression,
+    third: Expression, gridN: Int, gx: Int, gy: Int)
+    extends TernaryExpression with ExpectsInputTypes {
+  require(gridN >= 1 && gx >= 0 && gx < gridN && gy >= 0 && gy < gridN,
+    s"bad grid cell ($gx, $gy) of $gridN")
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(IntegerType), IntegerType, IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  protected override def nullSafeEval(g: Any, w: Any, h: Any): Any =
+    PoolGrid72.grid(
+      g.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      w.asInstanceOf[Int], h.asInstanceOf[Int], gridN, gx, gy)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (g, w, h) =>
+      s"org.apache.spark.sql.graft.PoolGrid72.grid($g, $w, $h, " +
+        s"$gridN, $gx, $gy)")
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object PoolGrid72 {
+  def grid(gray: org.apache.spark.sql.catalyst.util.ArrayData,
+      w: Int, h: Int, gridN: Int, gx: Int,
+      gy: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val out = new Array[Long](72)
+    if (w > 0 && h > 0 && gray.numElements() >= w.toLong * h) {
+      val x0 = gx * w / gridN; val rw = (gx + 1) * w / gridN - x0
+      val y0 = gy * h / gridN; val rh = (gy + 1) * h / gridN - y0
+      var by = 0
+      while (by < 8) {
+        val yLo = y0 + by * rh / 8
+        val yHi = y0 + (by + 1) * rh / 8
+        var bx = 0
+        while (bx < 9) {
+          val xLo = x0 + bx * rw / 9
+          val xHi = x0 + (bx + 1) * rw / 9
+          var s = 0L
+          var y = yLo
+          while (y < yHi) {
+            val rowBase = y * w
+            var x = xLo
+            while (x < xHi) { s += gray.getInt(rowBase + x); x += 1 }
+            y += 1
+          }
+          val n = (yHi - yLo).toLong * (xHi - xLo)
+          out(by * 9 + bx) = if (n == 0) 0L else s / n
+          bx += 1
+        }
+        by += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+}
+
+/** 64-bit candidate signature over a [[PoolGrid72]] grid, built for
+  * LOW-FREQUENCY content where the classic adjacent-cell dHash
+  * degenerates: on a smooth monotone ramp (a 2×2 crop cell of the
+  * corpus spans only ~4×4 lattice cells) adjacent-cell gradient signs
+  * are spatially correlated and near-tie — measured over the full
+  * sf0.1 planted range, plain dHash on crop cells produced 0xF0F0…
+  * patterns repeated 155×, min cross-image distance 0, and 583k cross
+  * pairs within 9 bits. Merging cell PAIRS before comparing halves the
+  * tie rate and mixes in the orthogonal gradient axis:
+  *  - bits 0..31: horizontal compares of TALL cells (two stacked rows
+  *    summed) — 4 row-pairs × 8 adjacent-column compares;
+  *  - bits 32..63: vertical compares of WIDE cells (two adjacent
+  *    columns summed, columns 0..7) — 4 column-pairs × 8 row compares
+  *    with row 7 wrapping to row 0 (the wrap compare spans the whole
+  *    cell height — a deliberately long-range, decorrelated bit).
+  * Measured bands (same range): planted 2× crop vs its anchor ≤ 8
+  * bits, min cross 3 with 847 cross pairs ≤ 9 — still too collided to
+  * decide alone, which is why this hash is only the CANDIDATE level;
+  * [[LongAbsDiffSum]] over the same grids separates cleanly (own L1 ≤
+  * 5290/cell vs cross-candidate min 18897/cell — a 3.6× gap).
+  * Integer-exact and SQL-replayable: sums of two ≤255000 means never
+  * overflow, compares are plain `>`.
+  */
+case class HvHash64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  protected override def nullSafeEval(g: Any): Any =
+    HvHash64.hash(
+      g.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, g =>
+      s"org.apache.spark.sql.graft.HvHash64.hash($g)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
+object HvHash64 {
+  def hash(grid: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    if (grid.numElements() < 72) return 0L
+    var out = 0L
+    var by = 0
+    while (by < 4) {
+      var bx = 0
+      while (bx < 8) {
+        val l = grid.getLong(2 * by * 9 + bx) +
+          grid.getLong((2 * by + 1) * 9 + bx)
+        val r = grid.getLong(2 * by * 9 + bx + 1) +
+          grid.getLong((2 * by + 1) * 9 + bx + 1)
+        if (l > r) out |= 1L << (by * 8 + bx)
+        bx += 1
+      }
+      by += 1
+    }
+    var bc = 0
+    while (bc < 4) {
+      var row = 0
+      while (row < 8) {
+        val t = grid.getLong(row * 9 + 2 * bc) +
+          grid.getLong(row * 9 + 2 * bc + 1)
+        val nrow = (row + 1) % 8
+        val b = grid.getLong(nrow * 9 + 2 * bc) +
+          grid.getLong(nrow * 9 + 2 * bc + 1)
+        if (t > b) out |= 1L << (32 + bc * 8 + row)
+        row += 1
+      }
+      bc += 1
+    }
+    out
+  }
+}
+
+/** Exact Σ|aᵢ − bᵢ| of two equal-length array<bigint> columns — the
+  * verify level of crop-robust matching (L1 over [[PoolGrid72]]
+  * grids). Length mismatch returns Long.MaxValue (never verifies)
+  * rather than throwing — the corrupt-row discipline of this file.
+  * Runs only on CANDIDATE pairs (a few hundred per million images at
+  * the measured band), so cost is irrelevant; it is native for the
+  * same reason as [[LongDot]] — the `zip_with`+`aggregate` form
+  * evaluates as interpreted lambdas.
+  */
+case class LongAbsDiffSum(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    LongAbsDiffSum.sum(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"org.apache.spark.sql.graft.LongAbsDiffSum.sum($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object LongAbsDiffSum {
+  def sum(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val n = a.numElements()
+    if (n != b.numElements()) return Long.MaxValue
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      s += math.abs(a.getLong(i) - b.getLong(i))
+      i += 1
+    }
+    s
   }
 }
 

@@ -1537,6 +1537,36 @@ class PlanSpec extends SparkSpec {
       s"p189: media bytes crossed a shuffle:\n$r")
   }
 
+  test("p201: crop anchors are native PoolGrid72/HvHash64 behind the " +
+      "barrier; candidates ride the pigeonhole; the verify is the " +
+      "native L1; media/pixels never shuffle") {
+    val p = executed("p201_crop_robust")
+    // the verify level must be the native expression, applied AFTER
+    // the candidate equi-join (never to all pairs)
+    assert(p.contains("longabsdiffsum"),
+      s"p201: native LongAbsDiffSum verify missing from the plan:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"p201: crop pairs fell back to a product join:\n$p")
+    val pf = p.split("== Initial Plan ==").head
+    assert(!pf.linesIterator.exists(l =>
+      l.contains("Exchange") &&
+        (l.contains("media#") || l.contains("gray#"))),
+      s"p201: media bytes or pixels crossed a shuffle:\n$p")
+    // the signature stage runs inside the barrier write (a separate
+    // query execution, the x44 convention) — pin the native grid+hash
+    // expressions on its own plan
+    val sigPlan = graft.pipeline.Dedup.cropAnchorSigs(
+      graft.pipeline.Multimodal.withSmoothMedia(
+        spark.range(2).selectExpr("id AS doc_id", "id AS seed"),
+        "seed", "png", 1).select("doc_id", "media"),
+      "doc_id", "media", 2)
+      .queryExecution.executedPlan.toString
+    assert(sigPlan.contains("poolgrid72") && sigPlan.contains("hvhash64"),
+      s"p201: native PoolGrid72/HvHash64 missing from the sig plan:\n" +
+        sigPlan)
+  }
+
   test("x44: z-order layout — native interleave in the plan; the rank " +
       "split rides the two-phase global order, never a global window") {
     val p = executed("x44_zorder_layout")

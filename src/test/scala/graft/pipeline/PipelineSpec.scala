@@ -483,7 +483,10 @@ class PipelineSpec extends SparkSpec {
       seeds.map(s => (s + 1000000L, s * 16 + (s / 4) % 4))
         .toDF("doc_id", "seed"),
       "seed", 16000, 16).select("doc_id", "media")
-    val wins = Dedup.audioWindowSigs(recs, "doc_id", "media", 4)
+    // the sliding-window population the operator actually hashes
+    // (hopDiv=2, 7 spans): an aligned segment j is covered by span 2j
+    val wins = Dedup.audioWindowSigs(recs, "doc_id", "media", 4,
+        hopDiv = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val sn = Dedup.audioSnippetSigs(snips, "doc_id", "media")
       .collect()
@@ -492,16 +495,207 @@ class PipelineSpec extends SparkSpec {
     def d(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     val own = seeds.map { s =>
       val j = (s / 4) % 4
-      val w = wins.find(x => x._1 == s * 16 + j).get._2
+      val w = wins.find(x => x._1 == s * 16 + 2 * j).get._2
       d(sn(s), w)
     }.max
+    // every span that is NOT the covering one — including the
+    // half-offset straddle spans the sliding form adds
     val cross = (for {
       s <- seeds; (wid, wsig) <- wins
-      if wid != s * 16 + (s / 4) % 4 // every non-matching window
+      if wid != s * 16 + 2 * ((s / 4) % 4)
     } yield d(sn(s), wsig)).min
     assert(own <= 4 && cross >= 13,
       s"audio-containment margins drifted: ownMax=$own (<=4; " +
         s"threshold 6, the video-family band), crossMin=$cross (>=13)")
+    // recall + soundness through the full operator
+    val pairs = Dedup.audioSnippetPairs(snips, "doc_id", "media",
+        recs, "doc_id", "media")
+      .select("snippet_id", "rec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    pairs.foreach { case (sid, rid) =>
+      assert(sid - 1000000L == rid, s"cross-recording pair ($sid, $rid)")
+    }
+    val set = pairs.toSet
+    seeds.foreach { s =>
+      assert(set.contains((s + 1000000L, s)), s"snippet missing for $s")
+    }
+  }
+
+  test("PoolGrid72 / HvHash64 / LongAbsDiffSum: hand-checkable " +
+      "arithmetic — exact cell means on a 9x8 image, in-test hash " +
+      "replica, L1 incl. the length-mismatch sentinel") {
+    import spark.implicits._
+    val V = org.apache.spark.sql.graft.VectorExpressions
+    // 9x8 image at gridN=1: every pool cell is exactly one pixel, so
+    // the grid IS the pixel array
+    val px = Array.tabulate(72)(i => i * 1000 + 7)
+    val got = Seq((px.toSeq, 9, 8)).toDF("gray", "w", "h")
+      .select(V.poolGrid72(col("gray"), col("w"), col("h"), 1, 0, 0)
+        .as("g")).head().getSeq[Long](0)
+    assert(got == px.map(_.toLong).toSeq)
+    // 18x16 at gridN=2, cell (1,0): grid = the top-right 9x8 pixel
+    // block (each pool cell one pixel again)
+    val big = Array.tabulate(18 * 16)(i => i)
+    val tr = Seq((big.toSeq, 18, 16)).toDF("gray", "w", "h")
+      .select(V.poolGrid72(col("gray"), col("w"), col("h"), 2, 1, 0)
+        .as("g")).head().getSeq[Long](0)
+    assert(tr == (for (y <- 0 until 8; x <- 9 until 18)
+      yield (y * 18 + x).toLong))
+    // floor-div mean: a 2x2-per-cell image (18x16 at gridN=1)
+    val m = Seq((big.toSeq, 18, 16)).toDF("gray", "w", "h")
+      .select(V.poolGrid72(col("gray"), col("w"), col("h"), 1, 0, 0)
+        .as("g")).head().getSeq[Long](0)
+    assert(m(0) == (0 + 1 + 18 + 19) / 4)
+    // HvHash64 vs an in-test replica on a random grid
+    val rnd = new scala.util.Random(201)
+    val grid = Array.fill(72)(rnd.nextInt(255000).toLong)
+    def replica(g: Array[Long]): Long = {
+      var out = 0L
+      for (by <- 0 until 4; bx <- 0 until 8)
+        if (g(2 * by * 9 + bx) + g((2 * by + 1) * 9 + bx) >
+          g(2 * by * 9 + bx + 1) + g((2 * by + 1) * 9 + bx + 1))
+          out |= 1L << (by * 8 + bx)
+      for (bc <- 0 until 4; row <- 0 until 8)
+        if (g(row * 9 + 2 * bc) + g(row * 9 + 2 * bc + 1) >
+          g(((row + 1) % 8) * 9 + 2 * bc) +
+            g(((row + 1) % 8) * 9 + 2 * bc + 1))
+          out |= 1L << (32 + bc * 8 + row)
+      out
+    }
+    val hv = Seq(Tuple1(grid.toSeq)).toDF("g")
+      .select(V.hvhash64(col("g")).as("h")).head().getLong(0)
+    assert(hv == replica(grid))
+    // short grid hashes to 0 (corrupt-row convention)
+    assert(Seq(Tuple1(Seq(1L, 2L))).toDF("g")
+      .select(V.hvhash64(col("g")).as("h")).head().getLong(0) == 0L)
+    // L1: exact sum; mismatched lengths -> MaxValue (never verifies)
+    val l1 = Seq((Seq(1L, 5L, 10L), Seq(3L, 5L, 4L)))
+      .toDF("a", "b")
+      .select(V.longAbsDiffSum(col("a"), col("b")).as("s"))
+      .head().getLong(0)
+    assert(l1 == 8L)
+    assert(Seq((Seq(1L, 2L), Seq(1L)))
+      .toDF("a", "b")
+      .select(V.longAbsDiffSum(col("a"), col("b")).as("s"))
+      .head().getLong(0) == Long.MaxValue)
+  }
+
+  test("crop margin bands hold (candidate own<=8, own L1/cell<=10000, " +
+      "cross candidates L1/cell>=10000) — diagnostic on codec drift") {
+    // The p201 gate rests on the measured two-level band (full sf0.1
+    // range: candidate own <= 8 bits; own L1 <= 5290/cell vs nearest
+    // cross-image CANDIDATE 18897/cell). This spec re-measures on a
+    // 60-seed sample so PNG-codec or renderer drift fails HERE with
+    // numbers, not as a bare oracle mismatch.
+    import spark.implicits._
+    val seeds = (0 until 60).map(i => (i * 4).toLong)
+    val originals = Multimodal.withSmoothMedia(
+      seeds.map(s => (s, s)).toDF("doc_id", "seed"),
+      "seed", "png", 1).select("doc_id", "media")
+    val crops = Multimodal.withSmoothCropMedia(
+      seeds.map(s => (s + 1000000L, s, (s / 4) % 4))
+        .toDF("doc_id", "seed", "q"),
+      "seed", "q", gridN = 2).select("doc_id", "media")
+    val sigs = Dedup.cropAnchorSigs(originals.unionAll(crops),
+      "doc_id", "media", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Long](2).toArray))
+    val byKey = sigs.map(s => (s._1, (s._2, s._3))).toMap
+    def d(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    def l1(a: Array[Long], b: Array[Long]) =
+      (0 until 72).map(i => math.abs(a(i) - b(i))).sum / 72
+    val own = seeds.map { s =>
+      val q = (s / 4) % 4
+      val (cs, cg) = byKey((s + 1000000L) * 16 + 15)
+      val (as_, ag) = byKey(s * 16 + q)
+      (d(cs, as_), l1(cg, ag))
+    }
+    val ownHam = own.map(_._1).max
+    val ownL1 = own.map(_._2).max
+    // nearest cross-SOURCE candidate (hamming <= 8) by L1
+    val arr = sigs.map { case (sub, sg, gr) =>
+      ((sub / 16) % 1000000L, sg, gr) }
+    val crossL1 = (for {
+      i <- arr.indices; j <- 0 until i
+      if arr(i)._1 != arr(j)._1 && d(arr(i)._2, arr(j)._2) <= 8
+    } yield l1(arr(i)._3, arr(j)._3))
+    val crossMin = if (crossL1.isEmpty) Long.MaxValue else crossL1.min
+    assert(ownHam <= 8 && ownL1 <= 10000 && crossMin >= 10000,
+      s"crop margins drifted under JDK " +
+        s"${System.getProperty("java.version")}: ownHamMax=$ownHam " +
+        s"(<=8), ownL1Max=$ownL1 (<=10000/cell; full-range 5290), " +
+        s"crossCandMinL1=$crossMin (>=10000/cell; full-range 18897)")
+  }
+
+  test("cropRobustPairs: every planted crop pairs with its source; " +
+      "no cross-source pair survives the L1 verify") {
+    import spark.implicits._
+    val seeds = (0 until 40).map(i => (i * 4).toLong)
+    val originals = Multimodal.withSmoothMedia(
+      seeds.map(s => (s, s)).toDF("doc_id", "seed"),
+      "seed", "png", 1).select("doc_id", "media")
+    val crops = Multimodal.withSmoothCropMedia(
+      seeds.map(s => (s + 1000000L, s, (s / 4) % 4))
+        .toDF("doc_id", "seed", "q"),
+      "seed", "q", gridN = 2).select("doc_id", "media")
+    val pairs = Dedup.cropRobustPairs(originals.unionAll(crops),
+      "doc_id", "media")
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    pairs.foreach { case (a, b) =>
+      assert(b - 1000000L == a, s"cross-source pair ($a, $b)")
+    }
+    val set = pairs.toSet
+    seeds.foreach { s =>
+      assert(set.contains((s, s + 1000000L)), s"crop missing for $s")
+    }
+  }
+
+  test("p202 margins: a half-window-offset snippet is INVISIBLE to " +
+      "aligned windows but <= 4 bits from its sliding span; sliding " +
+      "recall exact, soundness held") {
+    import spark.implicits._
+    val seeds = (0 until 60).map(i => (i * 4).toLong)
+    val recs = Multimodal.withHalfOffsetConcatWav(
+      seeds.map(s => (s, s)).toDF("doc_id", "seed"),
+      "seed", 8000, 16).select("doc_id", "media")
+    val snips = Multimodal.withSyntheticWav(
+      seeds.map(s => (s + 1000000L, s * 16 + 1 + (s / 4) % 3))
+        .toDF("doc_id", "seed"),
+      "seed", 16000, 16).select("doc_id", "media")
+    def d(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val sn = Dedup.audioSnippetSigs(snips, "doc_id", "media")
+      .collect()
+      .map(r => ((r.getLong(0) - 15) / 16 - 1000000L, r.getLong(1)))
+      .toMap
+    // the hole, measured: under ALIGNED windows (hopDiv=1) every
+    // window straddles two planted segments — no window comes inside
+    // the threshold-6 band of its snippet
+    val aligned = Dedup.audioWindowSigs(recs, "doc_id", "media", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val alignedBest = seeds.map { s =>
+      aligned.filter(_._1 / 16 == s).map(w => d(sn(s), w._2)).min
+    }.min
+    assert(alignedBest > 6,
+      s"aligned windows unexpectedly see the misaligned snippet " +
+        s"(best=$alignedBest <= 6) — the p202 hole closed itself?")
+    // sliding spans: segment j* = 1 + (s/4) % 3 is covered exactly by
+    // span 2j*−1
+    val sliding = Dedup.audioWindowSigs(recs, "doc_id", "media", 4,
+        hopDiv = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val own = seeds.map { s =>
+      val j = 1 + (s / 4) % 3
+      val w = sliding.find(x => x._1 == s * 16 + (2 * j - 1)).get._2
+      d(sn(s), w)
+    }.max
+    val cross = (for {
+      s <- seeds; (wid, wsig) <- sliding
+      if wid != s * 16 + (2 * (1 + (s / 4) % 3) - 1)
+    } yield d(sn(s), wsig)).min
+    assert(own <= 4 && cross >= 13,
+      s"misaligned-containment margins drifted: ownMax=$own (<=4; " +
+        s"threshold 6), crossMin=$cross (>=13)")
     // recall + soundness through the full operator
     val pairs = Dedup.audioSnippetPairs(snips, "doc_id", "media",
         recs, "doc_id", "media")
