@@ -8740,6 +8740,44 @@ object Pipeline {
         .orderBy("rec_id")
     },
 
+    // Exact-signature pre-collapse at work (the production composition
+    // for re-post-heavy corpora): 3 byte-identical re-posts per
+    // picture plus one honest 2× resize. The pigeonhole pair join runs
+    // over DISTINCT signatures (PlanSpec pins the sig-keyed aggregate
+    // under it), and the expansion accounting is exact and
+    // oracle-checkable: per source, C(3,2) = 3 within-group pairs at
+    // hamming 0 and 3 expanded member×resize pairs — classified by id
+    // OFFSET, not hamming, so a seed whose resize lands at distance 0
+    // (joining the exact group: 6 within-group pairs, 3 of which touch
+    // the resize id) counts identically.
+    QueryDef("p203_exact_precollapse",
+      """SELECT doc_id, CAST(3 AS BIGINT) AS n_exact_pairs,
+        |  CAST(3 AS BIGINT) AS n_near_pairs
+        |FROM documents WHERE doc_id % 4 = 0
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val (sel, media) = Planted.exactRepostCorpus(s, dir)
+      val dec = Multimodal.withDecodedGray(media, "media")
+        .filter(col("gray").isNotNull)
+      val sigs = dec.select(col("doc_id").as("id"),
+        org.apache.spark.sql.graft.VectorExpressions.dhash64(
+          col("gray"), col("img_w"), col("img_h")).as("sig"))
+      val pairs = Dedup.hammingPairsCollapsed(sigs, maxHamming = 8,
+        multiIndex = 3)
+      val counted = pairs
+        .select(pmod(col("id_a"), lit(1000000L)).as("doc_id"),
+          (col("id_a") >= 3000000L || col("id_b") >= 3000000L)
+            .as("near"))
+        .groupBy("doc_id")
+        .agg(sum(when(col("near"), 0L).otherwise(1L))
+            .as("n_exact_pairs"),
+          sum(when(col("near"), 1L).otherwise(0L)).as("n_near_pairs"))
+      sel.select("doc_id").join(counted, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_exact_pairs"), lit(0L)).as("n_exact_pairs"),
+          coalesce(col("n_near_pairs"), lit(0L)).as("n_near_pairs"))
+        .orderBy("doc_id")
+    },
+
     QueryDef("p195_frame_grab",
       """SELECT doc_id AS clip_id, doc_id + 1000000 AS image_id,
         |  true AS found

@@ -88,6 +88,26 @@ private[graft] object Planted {
     (sel, clips, grabs)
   }
 
+  /** Re-post-heavy corpus (p203): every 4th document renders its
+    * smooth picture THREE times byte-identically (offsets 0, +1000000,
+    * +2000000 — same seed, same codec, same scale ⇒ identical PNG
+    * bytes ⇒ identical signature, the exact-group) plus ONE honest 2×
+    * resize (+3000000, a distinct near signature). The pre-collapse
+    * composition must find all 3 within-group pairs and expand the
+    * single representative near-pair to all 3 member pairs.
+    */
+  def exactRepostCorpus(s: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    val sel = sel4(s, dir)
+    def gen(offset: Long, scale: Int) =
+      Multimodal.withSmoothMedia(
+        sel.select((col("doc_id") + offset).as("doc_id"),
+          col("doc_id").as("seed")), "seed", "png", scale)
+        .select("doc_id", "media")
+    (sel, gen(0L, 1).unionAll(gen(1000000L, 1))
+      .unionAll(gen(2000000L, 1)).unionAll(gen(3000000L, 2)))
+  }
+
   /** Crop-repost corpus (p201): every 4th document renders its smooth
     * picture PLUS, under +1000000, a CROPPED repost — grid cell
     * q = (doc div 4) mod 4 of a 2×2 grid, re-rendered independently

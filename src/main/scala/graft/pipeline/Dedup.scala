@@ -620,6 +620,56 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** [[hammingPairs]] with the EXACT-SIGNATURE PRE-COLLAPSE in front —
+    * the production composition for re-post-heavy corpora that the
+    * hammingPairs scaladoc argues and this operator finally provides
+    * (gated by p203): real image corpora collapse hard on exact sig
+    * equality (byte-identical re-posts of the same file hash
+    * identically), and feeding e copies of one signature through the
+    * pigeonhole multiplies its exploded index rows AND its candidate
+    * pairs by e (e² for the pair join) for zero information. Instead:
+    *  - group by `sig`, keep the min-id representative — the pair
+    *    join's input is |distinct sigs|, not |rows| (a plan spec pins
+    *    the aggregate under the pigeonhole);
+    *  - run the pigeonhole over representatives only;
+    *  - expand each representative pair through both exact groups
+    *    (every member inherits the representatives' hamming — equal
+    *    sigs ⇒ equal distance), and emit each group's internal pairs
+    *    at hamming 0 — exactly what the uncollapsed plan would have
+    *    produced, row for row (a spec asserts equality).
+    * The expansion joins are keyed by sig (8 bytes); group membership
+    * never materializes driver-side, so a viral million-copy re-post
+    * costs a shuffle, not memory. Output cardinality is inherent to
+    * the pair contract — re-post-heavy corpora usually follow with
+    * [[components]]/[[applyPairs]], which consume pairs streamwise.
+    */
+  def hammingPairsCollapsed(sig: DataFrame, maxHamming: Int,
+      multiIndex: Int = 1): DataFrame = {
+    val (s, _) = materializeBarrierAt(sig.select("id", "sig"),
+      "hamming-collapse")
+    val reps = s.groupBy("sig").agg(min("id").as("id"))
+    val repPairs = hammingPairs(reps, maxHamming, multiIndex)
+    // re-attach each representative's sig (reps is id-unique), then
+    // expand through both groups' memberships by sig equality
+    val near = repPairs
+      .join(reps.select(col("id").as("id_a"), col("sig").as("sig_a")),
+        Seq("id_a"))
+      .join(reps.select(col("id").as("id_b"), col("sig").as("sig_b")),
+        Seq("id_b"))
+      .join(s.select(col("sig").as("sig_a"), col("id").as("ma")),
+        Seq("sig_a"))
+      .join(s.select(col("sig").as("sig_b"), col("id").as("mb")),
+        Seq("sig_b"))
+      .select(least(col("ma"), col("mb")).as("id_a"),
+        greatest(col("ma"), col("mb")).as("id_b"), col("hamming"))
+    val intra = s.select(col("sig"), col("id").as("id_a"))
+      .join(s.select(col("sig"), col("id").as("id_b")), Seq("sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        lit(0).cast("int").as("hamming"))
+    intra.unionAll(near)
+  }
+
   /** Perceptual image near-dup pairs: decode each binary image to its
     * grayscale pixel grid ([[Multimodal.withDecodedGray]] — the one
     * mapPartitions stage, codec work with no Catalyst form), fingerprint

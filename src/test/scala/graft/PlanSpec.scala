@@ -1567,6 +1567,26 @@ class PlanSpec extends SparkSpec {
         sigPlan)
   }
 
+  test("p203: the pigeonhole pair join's input is |distinct sigs| — " +
+      "the sig-keyed pre-collapse aggregate sits under it; no product " +
+      "join anywhere") {
+    val p = executed("p203_exact_precollapse")
+    // the representative aggregate (groupBy sig → min id) must feed
+    // the exploded candidate join — THE point of the composition: e
+    // exact copies cost 1 pigeonhole row, not e (and not e² candidate
+    // pairs)
+    assert(p.contains("keys=[sig"),
+      s"p203: sig-keyed pre-collapse aggregate missing:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"p203: a product join appeared:\n$p")
+    val pf = p.split("== Initial Plan ==").head
+    assert(!pf.linesIterator.exists(l =>
+      l.contains("Exchange") &&
+        (l.contains("media#") || l.contains("gray#"))),
+      s"p203: media bytes or pixels crossed a shuffle:\n$p")
+  }
+
   test("x44: z-order layout — native interleave in the plan; the rank " +
       "split rides the two-phase global order, never a global window") {
     val p = executed("x44_zorder_layout")

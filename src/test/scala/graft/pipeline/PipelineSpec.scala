@@ -710,6 +710,33 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("hammingPairsCollapsed == hammingPairs row for row on a " +
+      "re-post-heavy signature table (incl. singletons and a " +
+      "distance-0-but-distinct-id group)") {
+    import spark.implicits._
+    // exact groups of size 1/2/4, two near sigs (1 and 3 bits off the
+    // big group), one far sig
+    val sigs = Seq(
+      (1L, 0x5555AAAA12345678L), (2L, 0x5555AAAA12345678L),
+      (3L, 0x5555AAAA12345678L), (4L, 0x5555AAAA12345678L),
+      (10L, 0x5555AAAA12345679L), // 1 bit from the group
+      (20L, 0x5555AAAA1234567FL), // 3 bits
+      (30L, 0x0F0F0F0F0F0F0F0FL), (31L, 0x0F0F0F0F0F0F0F0FL),
+      (40L, -1L)).toDF("id", "sig")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "hamming").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    for (m <- Seq(1, 3)) {
+      val plain = canon(Dedup.hammingPairs(sigs, 4, m))
+      val collapsed = canon(Dedup.hammingPairsCollapsed(sigs, 4, m))
+      assert(collapsed == plain,
+        s"m=$m: collapsed ${collapsed.size} != plain ${plain.size}: " +
+          s"missing=${plain -- collapsed} extra=${collapsed -- plain}")
+      // sanity: the group of 4 alone contributes C(4,2)=6 exact pairs
+      assert(plain.count(_._3 == 0) == 6 + 1)
+    }
+  }
+
   test("frameGrabPairs: every planted still pairs with its source " +
       "clip; stills never pair with other clips") {
     import spark.implicits._
