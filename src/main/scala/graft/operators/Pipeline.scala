@@ -8778,6 +8778,30 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // Video snippet containment: a short clip that IS one segment of a
+    // 4-segment long video, re-rendered at half resolution — the p200
+    // analog for video. The long side's 32 time-fraction samples land
+    // on exactly the source frames the snippet's own 8 samples pick
+    // (the congruence in videoSnippetPairs' scaladoc), both sides'
+    // per-frame dHashes ride one pigeonhole pass over the 64-slot
+    // packed sub-id space, and the bipartite collapse yields
+    // (snippet, video, min hamming). Boolean oracle, the p200 pattern.
+    QueryDef("p204_video_snippet",
+      """SELECT doc_id AS video_id, doc_id + 1000000 AS snippet_id,
+        |  true AS found
+        |FROM documents WHERE doc_id % 4 = 0
+        |ORDER BY video_id""".stripMargin) { (s, dir) =>
+      val (sel, longs, snips) = Planted.videoSnippetCorpus(s, dir)
+      val pairs = Dedup.videoSnippetPairs(snips, "doc_id", "media",
+        longs, "doc_id", "media")
+      sel.select(col("doc_id").as("video_id"),
+          (col("doc_id") + 1000000L).as("snippet_id"))
+        .join(pairs, Seq("snippet_id", "video_id"), "left")
+        .select(col("video_id"), col("snippet_id"),
+          col("hamming").isNotNull.as("found"))
+        .orderBy("video_id")
+    },
+
     QueryDef("p195_frame_grab",
       """SELECT doc_id AS clip_id, doc_id + 1000000 AS image_id,
         |  true AS found

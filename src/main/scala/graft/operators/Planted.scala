@@ -173,6 +173,27 @@ private[graft] object Planted {
     (sel, recs, snips)
   }
 
+  /** Video-containment corpus (p204): every 4th document renders a
+    * LONG video — 4 seeded 24-frame segments (sub-seed doc·16 + j)
+    * concatenated into one GVID — and, under +1000000, a snippet: the
+    * SAME segment j* = (doc div 4) mod 4 independently re-rendered at
+    * HALF resolution (the p193 half-res variant), so the planted pair
+    * must match through the per-frame dHash band, never byte equality.
+    */
+  def videoSnippetCorpus(s: SparkSession,
+      dir: String): (DataFrame, DataFrame, DataFrame) = {
+    val sel = sel4(s, dir)
+    val longs = Multimodal.withConcatVideoMedia(
+      sel.select(col("doc_id"), col("doc_id").as("seed")),
+      "seed", 4).select("doc_id", "media")
+    val snips = Multimodal.withSyntheticVideoMedia(
+      sel.select((col("doc_id") + 1000000L).as("doc_id"),
+        (col("doc_id") * 16 +
+          pmod(expr("doc_id DIV 4"), lit(4L))).as("seed")),
+      "seed", 2, 1, 256).select("doc_id", "media")
+    (sel, longs, snips)
+  }
+
   /** The canonical dedup roster every *_dedup gate and streaming mirror
     * publishes: the full planted id set (re-derived ARITHMETICALLY from
     * `sel` — selecting ids off the rendered media would re-execute the

@@ -697,18 +697,25 @@ object Dedup {
       maxHamming, multiIndex)
   }
 
-  /** Checked packing for the shared sub-id space (base·16 + tag): the
-    * scaladocs document |id| < 2⁵⁹ but nothing used to ENFORCE it — an
-    * out-of-range id would silently mis-pair (its packed value aliases
-    * another id's) which the r13 verdict flagged; now it raises. The
-    * branch is one comparison per signature row, noise next to the
-    * decode that produced it.
+  /** Checked packing for the shared sub-id spaces (base·slots + tag):
+    * the scaladocs document the |id| bound but nothing used to ENFORCE
+    * it — an out-of-range id would silently mis-pair (its packed value
+    * aliases another id's) which the r13 verdict flagged; now it
+    * raises. `slots` must be a power of two (16 for the frame-grab /
+    * audio-window space, 64 for the video-containment space → bounds
+    * 2⁵⁹ / 2⁵⁷). The branch is one comparison per signature row, noise
+    * next to the decode that produced it.
     */
-  private def packedSubId(base: Column, tag: Column): Column =
-    when(abs(base) >= lit(1L << 59),
+  private def packedSubId(base: Column, tag: Column,
+      slots: Int = 16): Column = {
+    require(slots > 0 && (slots & (slots - 1)) == 0, s"bad slots $slots")
+    val shift = 63 - java.lang.Long.numberOfTrailingZeros(slots.toLong)
+    when(abs(base) >= lit(1L << shift),
       raise_error(format_string(
-        "packed sub-id overflow: |%s| >= 2^59", base.cast("string"))))
-      .otherwise(base * 16 + tag)
+        s"packed sub-id overflow: |%s| >= 2^$shift",
+        base.cast("string"))))
+      .otherwise(base * slots + tag)
+  }
 
   /** CROP-ROBUST perceptual image pairs: the whole-image dHash is
     * structurally blind to crops (cutting a margin shifts every 9×8
@@ -964,6 +971,63 @@ object Dedup {
       .select(packedSubId(col(idCol), col("x.w")).as("id"),
         org.apache.spark.sql.graft.VectorExpressions.audiohash64(
           col("x.seg")).as("sig"))
+  }
+
+  /** VIDEO CONTAINMENT: find short clips that are sub-segments of
+    * longer videos — the video analog of [[audioSnippetPairs]], and
+    * the per-frame discipline of [[frameGrabPairs]] (a clip-level
+    * majority vote over a 96-frame long video would blur any one
+    * segment past the band). The long side samples `longSamples`
+    * frames at fixed time fractions (32 for a 4-segment video puts 8
+    * sampled frames inside each segment at exactly the local
+    * positions an 8-sample decode of that segment alone would pick —
+    * ⌊(2j+1)·96/64⌋ ≡ ⌊(2j+1)·24/16⌋ (mod 24) — so snippet and long
+    * sample the IDENTICAL source frames); the snippet side keeps its 8
+    * frame dHashes. Both ride ONE [[hammingPairs]] pass over a packed
+    * 64-slot sub-id space (long frames id·64 + pos, pos < 32; snippet
+    * frames id·64 + 32 + pos; |id| < 2⁵⁷ enforced), then the bipartite
+    * filter keeps snippet↔long hits only and collapses to
+    * (snippet_id, video_id, min hamming).
+    *
+    * 100 TB shape: identical to every perceptual path — demux is the
+    * one mapPartitions stage; 32 + 8 (sub-id, sig) longs per video
+    * pair through the pigeonhole, never pixels, never clip bytes.
+    */
+  def videoSnippetPairs(snippets: DataFrame, snipIdCol: String,
+      snipBinCol: String, longs: DataFrame, longIdCol: String,
+      longBinCol: String, longSamples: Int = 32, maxHamming: Int = 6,
+      multiIndex: Int = 3): DataFrame = {
+    require(longSamples >= 1 && longSamples <= 32,
+      s"longSamples $longSamples overflows the 64-slot tag space")
+    val V = org.apache.spark.sql.graft.VectorExpressions
+    val longSigs = graft.pipeline.Multimodal.withDecodedFrames(
+      longs.select(col(longIdCol), col(longBinCol)), longBinCol,
+      nSample = longSamples)
+      .filter(col("gray").isNotNull)
+      .select(packedSubId(col(longIdCol), col("frame_pos"), 64)
+          .as("id"),
+        V.dhash64(col("gray"), col("img_w"), col("img_h")).as("sig"))
+    val snipSigs = graft.pipeline.Multimodal.withDecodedFrames(
+      snippets.select(col(snipIdCol), col(snipBinCol)), snipBinCol)
+      .filter(col("gray").isNotNull)
+      .select(packedSubId(col(snipIdCol), col("frame_pos") + 32, 64)
+          .as("id"),
+        V.dhash64(col("gray"), col("img_w"), col("img_h")).as("sig"))
+    val sub = hammingPairs(longSigs.unionAll(snipSigs), maxHamming,
+      multiIndex)
+    val tagged = sub.select(
+      (col("id_a") % 64).as("tag_a"), expr("id_a DIV 64").as("base_a"),
+      (col("id_b") % 64).as("tag_b"), expr("id_b DIV 64").as("base_b"),
+      col("hamming"))
+    tagged.filter((col("tag_a") >= 32) =!= (col("tag_b") >= 32))
+      .select(
+        when(col("tag_a") >= 32, col("base_a"))
+          .otherwise(col("base_b")).as("snippet_id"),
+        when(col("tag_a") >= 32, col("base_b"))
+          .otherwise(col("base_a")).as("video_id"),
+        col("hamming"))
+      .groupBy("snippet_id", "video_id")
+      .agg(min("hamming").as("hamming"))
   }
 
   /** A whole snippet's packed signature — sub-id = id·16 + 15. */

@@ -747,11 +747,32 @@ object Multimodal {
   }
 
   private[graft] def syntheticVideo(seed: Long, resDiv: Int,
-      frameStep: Int, bright: Int): Array[Byte] = {
-    val baseFrames = 24
+      frameStep: Int, bright: Int): Array[Byte] =
+    renderGvid(resDiv, 24 / frameStep, bright,
+      j => morphedLattice(seed, j * frameStep))
+
+  /** A LONG video: `segments` seeded 24-frame segments (sub-seed
+    * seed·16 + j, each restarting its own morph timeline) concatenated
+    * into ONE GVID payload — the p204 fixture, the video analog of
+    * [[withConcatWav]]'s recording. A [[syntheticVideo]] of sub-seed
+    * seed·16 + j IS segment j re-rendered (at any resolution), so a
+    * planted sub-clip samples the identical surface.
+    */
+  private[graft] def syntheticConcatVideo(seed: Long,
+      segments: Int): Array[Byte] =
+    renderGvid(1, segments * 24, 256,
+      j => morphedLattice(seed * 16 + j / 24, j % 24))
+
+  /** The shared GVID frame renderer: `nframes` frames at baseW/resDiv ×
+    * baseH/resDiv, each antialiased from the 2× master grid of
+    * `latAt(frame)` — ONE pixel loop for the single-clip and
+    * concatenated forms (a drifting copy would silently unplant the
+    * p204 pairs).
+    */
+  private def renderGvid(resDiv: Int, nframes: Int, bright: Int,
+      latAt: Int => Array[Int]): Array[Byte] = {
     val baseW = 36; val baseH = 32
     val w = baseW / resDiv; val h = baseH / resDiv
-    val nframes = baseFrames / frameStep
     val out = java.nio.ByteBuffer.allocate(16 + nframes * w * h)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     out.put("GVID".getBytes("US-ASCII")).putInt(w).putInt(h)
@@ -759,7 +780,7 @@ object Multimodal {
     val ss = 2 * resDiv // master-grid subsamples per output pixel axis
     var j = 0
     while (j < nframes) {
-      val lat = morphedLattice(seed, j * frameStep)
+      val lat = latAt(j)
       var y = 0
       while (y < h) {
         var x = 0
@@ -785,6 +806,23 @@ object Multimodal {
       j += 1
     }
     out.array()
+  }
+
+  /** Attach a concatenated long-video payload per row (sub-seeds from
+    * `seedCol`·16 + segment). Same mapPartitions batch shape as the
+    * other synthetic encoders.
+    */
+  private[graft] def withConcatVideoMedia(df: DataFrame,
+      seedCol: String, segments: Int,
+      outCol: String = "media"): DataFrame = {
+    val outSchema = df.schema.add(outCol, BinaryType)
+    val seedIdx = df.schema.fieldIndex(seedCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        Row.fromSeq(r.toSeq :+
+          syntheticConcatVideo(r.getLong(seedIdx), segments))
+      }
+    }(RowEncoder.encoderFor(outSchema))
   }
 
   private[graft] def withSyntheticVideoMedia(df: DataFrame,

@@ -1587,6 +1587,22 @@ class PlanSpec extends SparkSpec {
       s"p203: media bytes or pixels crossed a shuffle:\n$p")
   }
 
+  test("p204: video containment rides the pigeonhole over the packed " +
+      "64-slot space — per-frame dHash native, no product join, no " +
+      "media/pixels through an exchange") {
+    val p = executed("p204_video_snippet")
+    assert(p.contains("dhash64"),
+      s"p204: native DHash64 missing from the plan:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"p204: containment pairs fell back to a product join:\n$p")
+    val pf = p.split("== Initial Plan ==").head
+    assert(!pf.linesIterator.exists(l =>
+      l.contains("Exchange") &&
+        (l.contains("media#") || l.contains("gray#"))),
+      s"p204: media bytes or pixels crossed a shuffle:\n$p")
+  }
+
   test("x44: z-order layout — native interleave in the plan; the rank " +
       "split rides the two-phase global order, never a global window") {
     val p = executed("x44_zorder_layout")

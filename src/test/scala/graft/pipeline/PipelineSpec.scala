@@ -737,6 +737,73 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("p204 margins: snippet frames <= 4 bits from their aligned " +
+      "long-video samples, >= 9 from everything else; recall and " +
+      "soundness exact through the operator") {
+    import spark.implicits._
+    val seeds = (0 until 60).map(i => (i * 4).toLong)
+    val longs = Multimodal.withConcatVideoMedia(
+      seeds.map(s => (s, s)).toDF("doc_id", "seed"),
+      "seed", 4).select("doc_id", "media")
+    val snips = Multimodal.withSyntheticVideoMedia(
+      seeds.map(s => (s + 1000000L, s * 16 + (s / 4) % 4))
+        .toDF("doc_id", "seed"),
+      "seed", 2, 1, 256).select("doc_id", "media")
+    def frameSigs(df: org.apache.spark.sql.DataFrame, n: Int) =
+      Multimodal.withDecodedFrames(df, "media", nSample = n)
+        .filter(col("gray").isNotNull)
+        .select(col("doc_id"), col("frame_pos"),
+          org.apache.spark.sql.graft.VectorExpressions.dhash64(
+            col("gray"), col("img_w"), col("img_h")).as("sig"))
+        .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2)))
+    val lf = frameSigs(longs, 32).toMap
+    val sf_ = frameSigs(snips, 8)
+    def d(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // own: snippet frame k vs the long's sample 8·j* + k (the aligned
+    // source frame, per the congruence)
+    val own = sf_.map { case ((sid, k), sig) =>
+      val s = sid - 1000000L
+      val j = (s / 4) % 4
+      d(sig, lf((s, (8 * j + k).toInt)))
+    }.max
+    // cross: snippet frames vs every long sample that is NOT in its
+    // own source segment
+    val cross = sf_.flatMap { case ((sid, k), sig) =>
+      val s = sid - 1000000L
+      val j = (s / 4) % 4
+      for {
+        s2 <- seeds; p <- 0 until 32
+        if s2 != s || p / 8 != j
+      } yield d(sig, lf((s2, p)))
+    }.min
+    assert(own <= 4 && cross >= 9,
+      s"video-containment margins drifted: ownMax=$own (<=4; " +
+        s"threshold 6, the video-family band), crossMin=$cross (>=9)")
+    // recall + soundness through the full operator
+    val pairs = Dedup.videoSnippetPairs(snips, "doc_id", "media",
+        longs, "doc_id", "media")
+      .select("snippet_id", "video_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    pairs.foreach { case (sid, vid) =>
+      assert(sid - 1000000L == vid, s"cross-video pair ($sid, $vid)")
+    }
+    val set = pairs.toSet
+    seeds.foreach { s =>
+      assert(set.contains((s + 1000000L, s)), s"snippet missing for $s")
+    }
+  }
+
+  test("syntheticConcatVideo segment j == syntheticVideo of sub-seed " +
+      "j, frame for frame (the shared renderer cannot drift)") {
+    val long = Multimodal.syntheticConcatVideo(12L, 4)
+    val w = 36; val h = 32
+    for (j <- 0 until 4) {
+      val seg = Multimodal.syntheticVideo(12L * 16 + j, 1, 1, 256)
+      val got = long.slice(16 + j * 24 * w * h, 16 + (j + 1) * 24 * w * h)
+      assert(got.sameElements(seg.drop(16)), s"segment $j drifted")
+    }
+  }
+
   test("frameGrabPairs: every planted still pairs with its source " +
       "clip; stills never pair with other clips") {
     import spark.implicits._
