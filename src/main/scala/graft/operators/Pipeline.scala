@@ -2438,6 +2438,69 @@ object Pipeline {
       |    AS survival
       |FROM s ORDER BY 1""".stripMargin
 
+  /** Single-scenario (censorHours = 12) log-rank oracle — the s55
+    * streaming mirror's replay: the p180 CTE chain without the
+    * scenario axis, term-for-term the same E/V decimal-pinned
+    * formulas.
+    */
+  private[graft] val logRankOracleSql =
+    """WITH mx AS (SELECT MAX(epoch_us(ts)) AS mxu FROM events),
+      |u AS (SELECT user_id, MIN(epoch_us(ts)) AS fw,
+      |    MAX(epoch_us(ts)) AS lw FROM events GROUP BY 1),
+      |d AS (SELECT (lw - fw) // 3600000000 AS dur,
+      |    lw > mxu - 43200000000 AS cens,
+      |    substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+      |      AS arm_a
+      |  FROM u CROSS JOIN mx),
+      |g AS (SELECT dur,
+      |    CAST(SUM(CASE WHEN arm_a THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS all_a,
+      |    CAST(SUM(CASE WHEN NOT arm_a THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS all_b,
+      |    CAST(SUM(CASE WHEN arm_a AND NOT cens THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS churn_a,
+      |    CAST(SUM(CASE WHEN NOT arm_a AND NOT cens THEN 1 ELSE 0
+      |      END) AS BIGINT) AS churn_b
+      |  FROM d GROUP BY 1),
+      |c AS (SELECT *,
+      |    CAST(SUM(all_a) OVER () -
+      |      COALESCE(SUM(all_a) OVER (ORDER BY dur ROWS BETWEEN
+      |        UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS r_a,
+      |    CAST(SUM(all_b) OVER () -
+      |      COALESCE(SUM(all_b) OVER (ORDER BY dur ROWS BETWEEN
+      |        UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS r_b
+      |  FROM g),
+      |t AS (SELECT *, churn_a + churn_b AS d_tot, r_a + r_b AS n_tot
+      |  FROM c),
+      |e AS (SELECT
+      |    CAST(COALESCE(SUM(all_a), 0) AS BIGINT) AS n_a,
+      |    CAST(COALESCE(SUM(all_b), 0) AS BIGINT) AS n_b,
+      |    CAST(COALESCE(SUM(churn_a), 0) AS BIGINT) AS o_a,
+      |    CAST(COALESCE(SUM(churn_b), 0) AS BIGINT) AS o_b,
+      |    CAST(SUM(CASE WHEN d_tot > 0 AND n_tot > 0 THEN
+      |      CAST(CAST(d_tot AS DOUBLE) * CAST(r_a AS DOUBLE) /
+      |        CAST(n_tot AS DOUBLE) AS DECIMAL(38,12))
+      |      ELSE CAST(0 AS DECIMAL(38,12)) END) AS DOUBLE) AS e_a,
+      |    CAST(SUM(CASE WHEN d_tot > 0 AND n_tot > 1 THEN
+      |      CAST(CAST(d_tot AS DOUBLE) *
+      |        (CAST(r_a AS DOUBLE) / CAST(n_tot AS DOUBLE)) *
+      |        (1.0 - CAST(r_a AS DOUBLE) / CAST(n_tot AS DOUBLE)) *
+      |        (CAST(n_tot AS DOUBLE) - CAST(d_tot AS DOUBLE)) /
+      |        (CAST(n_tot AS DOUBLE) - 1.0) AS DECIMAL(38,12))
+      |      ELSE CAST(0 AS DECIMAL(38,12)) END) AS DOUBLE) AS v
+      |  FROM t)
+      |SELECT n_a, n_b, o_a, o_b,
+      |  round(e_a, 6) AS e_a, round(v, 6) AS v,
+      |  round(CASE WHEN v > 0 THEN
+      |    (CAST(o_a AS DOUBLE) - e_a) / sqrt(v) END, 6) AS z,
+      |  round(CASE WHEN v > 0 THEN
+      |    ((CAST(o_a AS DOUBLE) - e_a) / sqrt(v)) *
+      |    ((CAST(o_a AS DOUBLE) - e_a) / sqrt(v)) END, 6) AS chi_sq,
+      |  NOT (v > 0) AS guarded
+      |FROM e""".stripMargin
+
   /** Shared BPE oracle CTE chain (p196 / p197 / the s51 streaming
     * mirror): tok/v0 word-frequency prep plus `merges` unrolled rounds
     * — p{k} pair counts, b{k} deterministic argmax, v{k} doubled-space

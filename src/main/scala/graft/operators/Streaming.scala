@@ -3624,6 +3624,64 @@ object Streaming {
       graft.operators.Pipeline.kaplanMeier(twoEv)
     },
 
+    // Streaming log-rank (p180 live, the r12 task the r13 verdict
+    // carried): the retention A/B readout maintained over continuous
+    // ingest. Batches split by EVENT, so a user's lifetime spans
+    // micro-batches; the carried state is per-batch (user, min ts,
+    // max ts) partials — the s42 shape, min/max-merge associative AND
+    // idempotent (a replayed partial cannot move either bound), under
+    // batchId-keyed overwrite paths (the s39 discipline; the s42 seam
+    // spec proves this exact state's split-merge invariance). Publish
+    // reconstructs each user's two boundary events from the merged
+    // state and runs the BATCH Pipeline.logRank on them verbatim —
+    // first/last collapse, broadcast corpus max, censor cut, E/V
+    // decimal-pinned terms all shared, so publish == p180's real
+    // scenario by construction. At 100 TB: state is one narrow row
+    // per user, events are never re-read, the readout is a
+    // duration-bounded aggregate + scalar.
+    QueryDef("s55_stream_log_rank",
+      graft.operators.Pipeline.logRankOracleSql) { (s, dir) =>
+      val ev = graft.Tables.load(s, dir, "events")
+        .select("event_id", "user_id", "ts")
+      val base = java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_fmt").toString
+      val srcDir = s"$base/s55_stream_src"
+      val stateRoot = s"$base/s55_spans"
+      Seq(srcDir, stateRoot).foreach(d => rmTree(new java.io.File(d)))
+      new java.io.File(srcDir).mkdirs()
+      (0 until 4).foreach { b =>
+        writeSingle(ev.filter(col("event_id") % 4 === b),
+          srcDir, s"batch_$b")
+      }
+      val schema = s.read.parquet(srcDir).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(srcDir)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+            batchId: Long) =>
+          batch.groupBy("user_id")
+            .agg(min(unix_micros(col("ts"))).cast("long").as("fw"),
+              max(unix_micros(col("ts"))).cast("long").as("lw"))
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$stateRoot/b_$batchId")
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val merged = s.read.option("recursiveFileLookup", "true")
+        .parquet(stateRoot)
+        .groupBy("user_id")
+        .agg(min("fw").cast("long").as("fw"),
+          max("lw").cast("long").as("lw"))
+      val twoEv = merged.select(col("user_id"), col("fw").as("us"))
+        .unionAll(merged.select(col("user_id"), col("lw").as("us")))
+        .select(col("user_id"), timestamp_micros(col("us")).as("ts"))
+      graft.operators.Pipeline.logRank(twoEv)
+    },
+
     // Live sample-ratio-mismatch monitor (p185's guardrail over
     // continuous ingest — production SRM runs DURING the ramp, not
     // after): batches split by EVENT, so a user recurs across

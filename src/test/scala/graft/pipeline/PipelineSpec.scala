@@ -2724,6 +2724,25 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("s55 publish: log-rank over the reconstructed two-boundary-" +
+      "event table equals log-rank over the raw events verbatim") {
+    // the s55 carried state keeps only (user, first ts, last ts);
+    // publish feeds each user's two boundary events to the BATCH
+    // logRank — equality here is what makes "publish == p180's real
+    // scenario" a construction, not a hope
+    val events = graft.Tables.load(spark, sf, "events")
+      .select("user_id", "ts")
+    val merged = events.groupBy("user_id")
+      .agg(min(unix_micros(col("ts"))).cast("long").as("fw"),
+        max(unix_micros(col("ts"))).cast("long").as("lw"))
+    val twoEv = merged.select(col("user_id"), col("fw").as("us"))
+      .unionAll(merged.select(col("user_id"), col("lw").as("us")))
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"))
+    val got = graft.operators.Pipeline.logRank(twoEv).collect().toSeq
+    val want = graft.operators.Pipeline.logRank(events).collect().toSeq
+    assert(got == want, s"reconstruction drift: got=$got want=$want")
+  }
+
   test("s42 seam: per-split (user, min, max) partials merge to the " +
       "batch Kaplan-Meier under arbitrary splits; merge is idempotent") {
     // the s42 carried state: one (user, fw, lw) row per user per
