@@ -8659,6 +8659,19 @@ object Pipeline {
       graft.pipeline.TextAnalysis.bpeTrain(t(s, dir, "documents"), 10)
     },
 
+    // BPE training with INCREMENTAL pair-count maintenance (the x46
+    // counting-IVM discipline applied to BPE's own loop — subword-nmt's
+    // production form: one full count, then per-merge neighborhood
+    // deltas over the AFFECTED words only). Must learn bit-identical
+    // merges to p196's recount form, against the SAME unrolled DuckDB
+    // oracle — a divergent maintained count anywhere shifts an argmax
+    // and fails the gate.
+    QueryDef("p205_bpe_train_incremental", bpeTrainOracleSql(10)) {
+      (s, dir) =>
+        graft.pipeline.TextAnalysis.bpeTrainIncremental(
+          t(s, dir, "documents"), 10)
+    },
+
     // BPE compression curve: the exact weighted symbol count at every
     // merge level 0..10 — the tokens-per-word trajectory (integer
     // numerator/denominator, no float ratio). Rides the same oracle

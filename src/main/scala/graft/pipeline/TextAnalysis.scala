@@ -360,6 +360,123 @@ object TextAnalysis {
     learned.toDF("step", "pair", "freq")
   }
 
+  /** [[bpeTrain]] with INCREMENTAL pair-count maintenance — the
+    * production form of subword-nmt's loop (its `get_pair_statistics`
+    * runs once; every merge after updates counts from the merged
+    * pair's neighborhoods only), re-expressed as the x46 counting-IVM
+    * discipline applied to BPE's own training loop: the (pair, freq)
+    * table is a maintained VIEW over the vocab, and each round costs
+    * a signed delta derived from the AFFECTED words alone.
+    *
+    * Per round, against the recount form's full explode (every
+    * adjacent pair of every word, shuffled and re-aggregated — the
+    * dominant cost, repeated `merges` times):
+    *  1. argmax reads the maintained pair table (no recount);
+    *  2. affected words are found by a SUBSTRING SCAN of the barriered
+    *     vocab (the doubled-space pattern " a  b " — exactly the
+    *     rewrite's own match, so "affected" and "rewritten" cannot
+    *     disagree), no explode, no shuffle;
+    *  3. only affected words explode: old pairs at −cnt, new pairs at
+    *     +cnt, sum-merged into the pair view with exact integer
+    *     cancellation (zero rows drop — counts are non-negative by
+    *     construction, so the x46 retraction-ordering caveat does not
+    *     arise inside one synchronous loop);
+    *  4. the next vocab is unchanged ∪ rewritten — unchanged words are
+    *     never rewritten, re-encoded, or shuffled.
+    * A production 32k-merge run is 32k sequential rounds either way;
+    * what this form removes is the full-corpus pair recount and
+    * full-vocab rewrite from every one of them (the r13 verdict's
+    * task 4). Learned merges are BIT-IDENTICAL to [[bpeTrain]]'s — the
+    * maintained counts equal the recount by induction, so the
+    * deterministic (freq DESC, pair ASC) argmax picks the same pair
+    * every round (a spec asserts sequence equality; p205 pins it
+    * against the same unrolled DuckDB oracle as p196).
+    */
+  def bpeTrainIncremental(df: DataFrame, merges: Int,
+      textCol: String = "text"): DataFrame =
+    bpeTrainIncrementalFromVocab(bpeVocab(df, textCol), merges)
+
+  private[graft] def bpeTrainIncrementalFromVocab(vocab0: DataFrame,
+      merges: Int): DataFrame = {
+    val s = vocab0.sparkSession
+    import s.implicits._
+    val pairsOf = expr(
+      "transform(sequence(1, size(split(seq, ' ')) - 1), " +
+        "i -> concat(element_at(split(seq, ' '), i), ' ', " +
+        "element_at(split(seq, ' '), i + 1)))")
+    var (vocab, vdir) = Dedup.materializeBarrierAt(vocab0, "bpei-v0")
+    // the one full pair count — paid once, like get_pair_statistics
+    var (pc, pdir) = Dedup.materializeBarrierAt(
+      vocab.filter(size(split(col("seq"), " ")) >= 2)
+        .select(explode(pairsOf).as("pair"), col("cnt"))
+        .groupBy("pair").agg(sum("cnt").as("freq")),
+      "bpei-pc0")
+    val learned = Seq.newBuilder[(Int, String, Long)]
+    var step = 0
+    var exhausted = false
+    while (step < merges && !exhausted) {
+      step += 1
+      val top = pc.filter(col("freq") > 0)
+        .orderBy(col("freq").desc, col("pair")).limit(1).take(1)
+      if (top.isEmpty) exhausted = true
+      else {
+        val best = top.head
+        val (pair, freq) = (best.getString(0), best.getLong(1))
+        learned += ((step, pair, freq))
+        val doubled = concat(lit(" "),
+          replace(col("seq"), lit(" "), lit("  ")), lit(" "))
+        val pattern = " " + pair.replace(" ", "  ") + " "
+        val hit = instr(doubled, lit(pattern)) > 0
+        // rewrite IN PLACE in the original column order — the
+        // unchanged ∪ rewritten union below is positional, so a
+        // seq-first projection would silently swap columns
+        val rewritten = vocab.filter(hit).select(
+          vocab.columns.toSeq.map {
+            case "seq" => trim(replace(replace(doubled, lit(pattern),
+              lit(" " + pair.replace(" ", "") + " ")),
+              lit("  "), lit(" "))).as("seq")
+            case c => col(c)
+          }: _*)
+        // next vocab = unchanged ∪ rewritten, IN PLACE in the original
+        // column order (the union is positional) — one barrier per
+        // round, the recount form's own budget; the rewritten rows'
+        // delta below reads them back from THIS barrier rather than
+        // paying a second rewrite barrier
+        val (nv, nvdir) = Dedup.materializeBarrierAt(
+          vocab.filter(!hit)
+            .withColumn("_rw", lit(false))
+            .unionAll(rewritten.withColumn("_rw", lit(true))),
+          s"bpei-v$step")
+        // signed neighborhood delta: old pairs retract, new pairs
+        // assert — only affected words explode
+        val delta = vocab.filter(hit)
+          .filter(size(split(col("seq"), " ")) >= 2)
+          .select(explode(pairsOf).as("pair"), (-col("cnt")).as("cnt"))
+          .unionAll(nv.filter(col("_rw"))
+            .filter(size(split(col("seq"), " ")) >= 2)
+            .select(explode(pairsOf).as("pair"), col("cnt")))
+        // the maintained view is vocab-bounded and shrinks as merges
+        // consume pairs — compact files keep the per-round barrier
+        // overhead flat (32 shard files dominated the round cost at
+        // small SF)
+        val pcNext = pc.select(col("pair"), col("freq").as("cnt"))
+          .unionAll(delta)
+          .groupBy("pair").agg(sum("cnt").as("freq"))
+          .filter(col("freq") =!= 0)
+          .coalesce(4)
+        val (npc, npdir) = Dedup.materializeBarrierAt(pcNext,
+          s"bpei-pc$step")
+        Dedup.releaseBarrier(pdir)
+        pc = npc; pdir = npdir
+        Dedup.releaseBarrier(vdir)
+        vocab = nv.drop("_rw"); vdir = nvdir
+      }
+    }
+    Dedup.releaseBarrier(pdir)
+    Dedup.releaseBarrier(vdir)
+    learned.result().toDF("step", "pair", "freq")
+  }
+
   /** BPE ENCODING at corpus scale (p198): train on the corpus once
     * (the word key rides through every rewrite, so the final vocab IS
     * the word → subword-sequence map), then encode by broadcasting the

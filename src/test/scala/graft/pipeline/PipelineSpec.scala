@@ -908,6 +908,44 @@ class PipelineSpec extends SparkSpec {
     assert(got2 == Seq((1, "a a", 6L), (2, "aa a", 3L)))
   }
 
+  test("bpeTrainIncremental == bpeTrain merge for merge — Sennrich " +
+      "corpus (ties, count drops), the overlap triple, exhaustion, " +
+      "and the sf0.001 documents at 12 merges") {
+    import spark.implicits._
+    def learned(df: org.apache.spark.sql.DataFrame, m: Int,
+        inc: Boolean) =
+      (if (inc) TextAnalysis.bpeTrainIncremental(df, m)
+       else TextAnalysis.bpeTrain(df, m))
+        .orderBy("step").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val sennrich = words.zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    assert(learned(sennrich, 5, inc = true) ==
+      learned(sennrich, 5, inc = false))
+    // the hand-derived expectation directly, so the incremental form
+    // is pinned to the DEFINITION, not just to the recount twin
+    assert(learned(sennrich, 5, inc = true) ==
+      Seq((1, "e s", 9L), (2, "es t", 9L), (3, "l o", 7L),
+        (4, "lo w", 7L), (5, "e w", 6L)))
+    // overlapping "a a a": the delta of a self-overlapping merge is
+    // the hardest case for count maintenance (the merged pair's own
+    // occurrences overlap)
+    val tri = Seq((1L, "aaa aaa aaa")).toDF("doc_id", "text")
+    assert(learned(tri, 2, inc = true) == learned(tri, 2, inc = false))
+    // exhaustion: stops early like the recount form
+    assert(TextAnalysis.bpeTrainIncremental(
+      Seq((1L, "a b c a")).toDF("doc_id", "text"), 3).count() == 0)
+    assert(learned(Seq((1L, "ab ab")).toDF("doc_id", "text"), 5,
+      inc = true) == Seq((1, "a b", 2L)))
+    // real corpus, deeper than the gate's 10 rounds
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    assert(learned(docs, 12, inc = true) ==
+      learned(docs, 12, inc = false))
+  }
+
   test("p197 curve: hand-computed weighted symbol counts on the " +
       "Sennrich corpus (exact integers, every level)") {
     import spark.implicits._
