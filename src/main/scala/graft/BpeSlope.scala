@@ -41,10 +41,14 @@ object BpeSlope {
             graft.pipeline.TextAnalysis.bpeSeqOf(lower(col("w")))
               .as("seq"), col("cnt"))
           .select("w", "seq", "cnt")
+        // localBound = 0: this tool measures the DISTRIBUTED loops'
+        // slope (the small-vocab fast path would otherwise absorb the
+        // 30k case and the comparison would time the driver loop)
         val tInc = time(graft.pipeline.TextAnalysis
-          .bpeTrainIncrementalFromVocab(vocab0, m).count())
+          .bpeTrainIncrementalFromVocab(vocab0, m, localBound = 0L)
+          .count())
         val tRec = time(graft.pipeline.TextAnalysis
-          .bpeTrainFromVocab(vocab0, m).count())
+          .bpeTrainFromVocab(vocab0, m, localBound = 0L).count())
         println(f"VOCAB=$w MERGES=$m incremental=$tInc%.1f s " +
           f"recount=$tRec%.1f s ratio=${tRec / tInc}%.2f")
       }
@@ -54,10 +58,12 @@ object BpeSlope {
       val merges =
         if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(10, 100)
       for (m <- merges) {
-        val tInc = time(
-          graft.pipeline.TextAnalysis.bpeTrainIncremental(docs, m).count())
-        val tRec = time(
-          graft.pipeline.TextAnalysis.bpeTrain(docs, m).count())
+        // distributed forms forced (see the vocab-mode note)
+        val v0 = graft.pipeline.TextAnalysis.bpeVocab(docs)
+        val tInc = time(graft.pipeline.TextAnalysis
+          .bpeTrainIncrementalFromVocab(v0, m, localBound = 0L).count())
+        val tRec = time(graft.pipeline.TextAnalysis
+          .bpeTrainFromVocab(v0, m, localBound = 0L).count())
         println(f"MERGES=$m incremental=$tInc%.1f s recount=$tRec%.1f s " +
           f"ratio=${tRec / tInc}%.2f")
       }

@@ -4624,8 +4624,13 @@ object Pipeline {
       """SELECT doc_id, doc_id + 1000000 AS copy_id, true AS found
         |FROM documents WHERE doc_id % 20 = 0 ORDER BY doc_id""".stripMargin) {
       (s, dir) =>
-        val media = Multimodal.withSyntheticMedia(
-          t(s, dir, "documents").select("doc_id", "text"))
+        // the render barriers ONCE: the union's plant branch otherwise
+        // re-executes the whole mapPartitions render for its 5% slice
+        // (a filter cannot push below an opaque render; guide §1.2)
+        val media = Dedup.materializeBarrier(
+          Multimodal.withSyntheticMedia(
+            t(s, dir, "documents").select("doc_id", "text")),
+          "p50-media")
         val plants = media.filter(col("doc_id") % 20 === 0)
           .select((col("doc_id") + 1000000).as("doc_id"), col("text"),
             col("media"))
@@ -4635,7 +4640,11 @@ object Pipeline {
           feats.select(col("doc_id").as("vec_id"),
             col("features").as("embedding")),
           threshold = 0.9999, bands = 8, rowsPerBand = 16)
-        media.filter(col("doc_id") % 20 === 0)
+        // roster ids re-derived ARITHMETICALLY from the documents table
+        // (the Planted.dedupRoster lesson): selecting ids off `media`
+        // re-executed the whole mapPartitions render — a third full
+        // image-encode pass that column pruning cannot remove
+        t(s, dir, "documents").filter(col("doc_id") % 20 === 0)
           .select(col("doc_id"), (col("doc_id") + 1000000).as("copy_id"))
           .join(pairs.select(col("id_a").as("doc_id"),
             col("id_b").as("copy_id"), col("cos")),
@@ -5877,9 +5886,15 @@ object Pipeline {
         |FROM b JOIN su USING (scenario)
         |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
       val docs = t(s, dir, "documents")
+      // ONE tokenizing corpus pass shared by all three scenarios (the
+      // p184 gate-level-barrier lesson; guide §1.2): each scenario's
+      // label derives from the barrier's raw lang column, so the
+      // per-scenario fit/readout is unchanged while the corpus is
+      // scanned once instead of three times
+      val lf = TextAnalysis.logregLangFeats(docs, "lang", "text")
       def run(steps: Int, posLang: String, label: String): DataFrame =
-        TextAnalysis.classifierEval(docs, steps = steps,
-            posLang = posLang)
+        TextAnalysis.classifierEvalFromLangFeats(lf, steps = steps,
+            lr = 1.0, nBins = 10, posLang = posLang)
           .select(lit(label).as("scenario"), col("bin"), col("n_bin"),
             col("mean_p"), col("frac_pos"), col("n_pos"), col("n_neg"),
             col("auc"), col("guarded"))

@@ -37,6 +37,43 @@ object Streaming {
     rmTree(new java.io.File(tmp))
   }
 
+  /** Single-pass ingest staging (optimization guide §2.4 — remove
+    * redundant passes): the old `(0 until n).foreach(writeSingle(
+    * df.filter(batchExpr === b)))` loop rescanned the WHOLE source once
+    * per batch (n jobs, each collapsed to one task by its coalesce(1)).
+    * This lands the SAME n single-file batches in ONE pass: partition
+    * the rows by the batch key on write (one writer task — no less
+    * parallel than the old per-batch coalesce(1)) and move each
+    * partition's file to its `batch_<b>.parquet` name. Batch CONTENTS
+    * are row-for-row identical to the old loop (same predicate value →
+    * same batch); file mtimes are stamped ascending in b so the
+    * file-stream source (which orders by modification time) replays
+    * the batches in the same sequence as before. A batch key absent
+    * from the data (possible at the smallest SFs) still lands a
+    * schema-only parquet file, exactly like the old empty-filter write.
+    */
+  private def writeSplitSingle(df: org.apache.spark.sql.DataFrame,
+      batchExpr: org.apache.spark.sql.Column, n: Int,
+      srcDir: String, lo: Int = 0): Unit = {
+    val tmp = s"$srcDir/_split"
+    df.withColumn("bsplit", batchExpr.cast("long")).coalesce(1)
+      .write.mode("overwrite").partitionBy("bsplit").parquet(tmp)
+    val t0 = System.currentTimeMillis()
+    (lo until lo + n).foreach { b =>
+      val dst = java.nio.file.Paths.get(srcDir, s"batch_$b.parquet")
+      Option(new java.io.File(tmp, s"bsplit=$b").listFiles()).toSeq
+        .flatten.find(_.getName.endsWith(".parquet")) match {
+        case Some(part) => java.nio.file.Files.move(part.toPath, dst)
+        case None =>
+          writeSingle(df.filter(batchExpr.cast("long") === b).limit(0),
+            srcDir, s"batch_$b")
+      }
+      dst.toFile.setLastModified(t0 + b * 1000L)
+      ()
+    }
+    rmTree(new java.io.File(tmp))
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     QueryDef("s01_stream_hourly",
@@ -607,11 +644,10 @@ object Streaming {
       rmTree(new java.io.File(statsDir))
       new java.io.File(srcDir).mkdirs()
       val t0 = System.currentTimeMillis() - 3600000L
+      writeSplitSingle(docs,
+        expr(s"CAST(doc_id AS BIGINT) * 4 div ${maxId + 1}"), 4, srcDir)
+      // pin processing order: file source sorts by (mtime, path)
       (0 until 4).foreach { b =>
-        writeSingle(docs.filter(
-          expr(s"CAST(doc_id AS BIGINT) * 4 div ${maxId + 1}") === b),
-          srcDir, s"batch_$b")
-        // pin processing order: file source sorts by (mtime, path)
         new java.io.File(srcDir, s"batch_$b.parquet")
           .setLastModified(t0 + b * 60000L)
         ()
@@ -780,10 +816,9 @@ object Streaming {
         rmTree(new java.io.File(srcDir)); rmTree(new java.io.File(storeBase))
         new java.io.File(srcDir).mkdirs()
         val t0 = System.currentTimeMillis() - 3600000L
+        writeSplitSingle(docs,
+          expr(s"CAST(doc_id AS BIGINT) * 4 div ${maxId + 1}"), 4, srcDir)
         (0 until 4).foreach { b =>
-          writeSingle(docs.filter(
-            expr(s"CAST(doc_id AS BIGINT) * 4 div ${maxId + 1}") === b),
-            srcDir, s"batch_$b")
           new java.io.File(srcDir, s"batch_$b.parquet")
             .setLastModified(t0 + b * 60000L)
           ()
@@ -840,10 +875,9 @@ object Streaming {
       rmTree(new java.io.File(srcDir)); rmTree(new java.io.File(storeDir))
       new java.io.File(srcDir).mkdirs()
       val t0 = System.currentTimeMillis() - 3600000L
+      writeSplitSingle(docs,
+        expr(s"CAST(doc_id AS BIGINT) * 4 div ${maxId + 1}"), 4, srcDir)
       (0 until 4).foreach { b =>
-        writeSingle(docs.filter(
-          expr(s"CAST(doc_id AS BIGINT) * 4 div ${maxId + 1}") === b),
-          srcDir, s"batch_$b")
         new java.io.File(srcDir, s"batch_$b.parquet")
           .setLastModified(t0 + b * 60000L)
         ()
@@ -1450,10 +1484,8 @@ object Streaming {
       val keysDir = s"$base/s31_keys"
       Seq(srcDir, statsDir, keysDir).foreach(d => rmTree(new java.io.File(d)))
       new java.io.File(srcDir).mkdirs()
-      (0 until 4).foreach { b =>
-        writeSingle(orders.filter(col("o_orderkey") % 4 === b),
-          srcDir, s"batch_$b")
-      }
+      writeSplitSingle(orders, col("o_orderkey") % 4, 4,
+        srcDir)
       val schema = s.read.parquet(srcDir).schema
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
@@ -1557,10 +1589,8 @@ object Streaming {
       val cntDir = s"$base/s33_counts"
       Seq(srcDir, cntDir).foreach(d => rmTree(new java.io.File(d)))
       new java.io.File(srcDir).mkdirs()
-      (0 until 4).foreach { b =>
-        writeSingle(ev.filter(col("event_id") % 4 === b),
-          srcDir, s"batch_$b")
-      }
+      writeSplitSingle(ev, col("event_id") % 4, 4,
+        srcDir)
       val schema = s.read.parquet(srcDir).schema
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
@@ -1668,11 +1698,18 @@ object Streaming {
       // at ms granularity and fall back to listing order — pin the
       // event-time processing order with explicit increasing mtimes
       val t0 = System.currentTimeMillis() - 3600000L
+      // batch index 1 + #cuts-below == the old (bounds(b-1), bounds(b)]
+      // range filter, computed in ONE pass (bounds(0)/bounds(4) are the
+      // +/-inf sentinels every row clears)
+      writeSplitSingle(ev,
+        lit(1) + (col("us") > bounds(1)).cast("int") +
+          (col("us") > bounds(2)).cast("int") +
+          (col("us") > bounds(3)).cast("int"),
+        4, srcDir, lo = 1)
       (1 to 4).foreach { b =>
-        writeSingle(ev.filter(col("us") > bounds(b - 1) &&
-          col("us") <= bounds(b)), srcDir, s"batch_$b")
         new java.io.File(srcDir, s"batch_$b.parquet")
           .setLastModified(t0 + b * 60000L)
+        ()
       }
       val nullA = lit(null).cast("long")
       s.range(0).select(col("id").as("user_id"), nullA.as("a1"),
@@ -1764,10 +1801,8 @@ object Streaming {
       val barDir = s"$base/s34_bars"
       Seq(srcDir, barDir).foreach(d => rmTree(new java.io.File(d)))
       new java.io.File(srcDir).mkdirs()
-      (0 until 4).foreach { b =>
-        writeSingle(ev.filter(col("event_id") % 4 === b),
-          srcDir, s"batch_$b")
-      }
+      writeSplitSingle(ev, col("event_id") % 4, 4,
+        srcDir)
       val schema = s.read.parquet(srcDir).schema
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
@@ -1845,11 +1880,18 @@ object Streaming {
       // FileStreamSource's mtime ordering ties at ms granularity for
       // back-to-back writes (ADVICE r9)
       val t0 = System.currentTimeMillis() - 3600000L
+      // batch index 1 + #cuts-below == the old (bounds(b-1), bounds(b)]
+      // range filter, computed in ONE pass (bounds(0)/bounds(4) are the
+      // +/-inf sentinels every row clears)
+      writeSplitSingle(ev,
+        lit(1) + (col("us") > bounds(1)).cast("int") +
+          (col("us") > bounds(2)).cast("int") +
+          (col("us") > bounds(3)).cast("int"),
+        4, srcDir, lo = 1)
       (1 to 4).foreach { b =>
-        writeSingle(ev.filter(col("us") > bounds(b - 1) &&
-          col("us") <= bounds(b)), srcDir, s"batch_$b")
         new java.io.File(srcDir, s"batch_$b.parquet")
           .setLastModified(t0 + b * 60000L)
+        ()
       }
       s.range(0).select(col("id").as("user_id"),
           lit(null).cast("long").as("us"),
@@ -1935,10 +1977,8 @@ object Streaming {
       val keyDir = s"$base/s36_tombstones"
       Seq(srcDir, keyDir).foreach(d => rmTree(new java.io.File(d)))
       new java.io.File(srcDir).mkdirs()
-      (0 until 4).foreach { b =>
-        writeSingle(reqs.filter(col("event_id") % 4 === b),
-          srcDir, s"batch_$b")
-      }
+      writeSplitSingle(reqs, col("event_id") % 4, 4,
+        srcDir)
       val schema = s.read.parquet(srcDir).schema
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
@@ -2024,10 +2064,8 @@ object Streaming {
       val cntDir = s"$base/s37_counts"
       Seq(srcDir, cntDir).foreach(d => rmTree(new java.io.File(d)))
       new java.io.File(srcDir).mkdirs()
-      (0 until 4).foreach { b =>
-        writeSingle(ev.filter(col("event_id") % 4 === b),
-          srcDir, s"batch_$b")
-      }
+      writeSplitSingle(ev, col("event_id") % 4, 4,
+        srcDir)
       val schema = s.read.parquet(srcDir).schema
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
@@ -2136,10 +2174,8 @@ object Streaming {
       val cntDir = s"$base/s38_counts"
       Seq(srcDir, cntDir).foreach(d => rmTree(new java.io.File(d)))
       new java.io.File(srcDir).mkdirs()
-      (0 until 4).foreach { b =>
-        writeSingle(ev.filter(col("event_id") % 4 === b),
-          srcDir, s"batch_$b")
-      }
+      writeSplitSingle(ev, col("event_id") % 4, 4,
+        srcDir)
       val schema = s.read.parquet(srcDir).schema
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
@@ -2305,11 +2341,19 @@ object Streaming {
       new java.io.File(srcDir).mkdirs()
       val lows = Long.MinValue +: cuts.init
       val t0 = System.currentTimeMillis() - 3600000L
+      // batch index 1 + #cuts-below == the old (lows(b-1), cuts(b-1)]
+      // range filter in ONE pass; rows above cuts(3) index to 5 and are
+      // dropped, exactly as the old loop's filters dropped them
+      writeSplitSingle(ev,
+        lit(1) + (col("wk") > cuts(0)).cast("int") +
+          (col("wk") > cuts(1)).cast("int") +
+          (col("wk") > cuts(2)).cast("int") +
+          (col("wk") > cuts(3)).cast("int"),
+        4, srcDir, lo = 1)
       (1 to 4).foreach { b =>
-        writeSingle(ev.filter(col("wk") > lows(b - 1) &&
-          col("wk") <= cuts(b - 1)), srcDir, s"batch_$b")
         new java.io.File(srcDir, s"batch_$b.parquet")
           .setLastModified(t0 + b * 60000L)
+        ()
       }
       s.range(0).select(col("id").as("user_id"),
           lit(null).cast("long").as("fw"),
@@ -2468,11 +2512,19 @@ object Streaming {
       new java.io.File(srcDir).mkdirs()
       val lows = Long.MinValue +: cuts.init
       val t0 = System.currentTimeMillis() - 3600000L
+      // batch index 1 + #cuts-below == the old (lows(b-1), cuts(b-1)]
+      // range filter in ONE pass; rows above cuts(3) index to 5 and are
+      // dropped, exactly as the old loop's filters dropped them
+      writeSplitSingle(ev,
+        lit(1) + (col("wk") > cuts(0)).cast("int") +
+          (col("wk") > cuts(1)).cast("int") +
+          (col("wk") > cuts(2)).cast("int") +
+          (col("wk") > cuts(3)).cast("int"),
+        4, srcDir, lo = 1)
       (1 to 4).foreach { b =>
-        writeSingle(ev.filter(col("wk") > lows(b - 1) &&
-          col("wk") <= cuts(b - 1)), srcDir, s"batch_$b")
         new java.io.File(srcDir, s"batch_$b.parquet")
           .setLastModified(t0 + b * 60000L)
+        ()
       }
       s.range(0).select(col("id").as("user_id"),
           lit(null).cast("long").as("fw"),
@@ -2592,11 +2644,8 @@ object Streaming {
       // in micro-batch 0 and never exercise the cross-batch signature
       // append-merge this gate exists to cover (r12 advice). The hash
       // split scatters each planted trio across batches.
-      (0 until 4).foreach { b =>
-        writeSingle(
-          staged.filter(pmod(xxhash64(col("doc_id")), lit(4L)) === b),
-          srcDir, s"batch_$b")
-      }
+      writeSplitSingle(staged,
+        pmod(xxhash64(col("doc_id")), lit(4L)), 4, srcDir)
       val schema = s.read.parquet(srcDir).schema
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
@@ -2662,11 +2711,8 @@ object Streaming {
       // directly re-renders the whole corpus per split)
       media.write.mode("overwrite").parquet(mediaDir)
       val staged = s.read.parquet(mediaDir)
-      (0 until 4).foreach { b =>
-        writeSingle(
-          staged.filter(pmod(xxhash64(col("doc_id")), lit(4L)) === b),
-          srcDir, s"batch_$b")
-      }
+      writeSplitSingle(staged,
+        pmod(xxhash64(col("doc_id")), lit(4L)), 4, srcDir)
       val schema = s.read.parquet(srcDir).schema
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
@@ -2746,11 +2792,8 @@ object Streaming {
       s.conf.set(batchKey, "256")
       try {
         val staged = s.read.parquet(mediaDir)
-        (0 until 4).foreach { b =>
-          writeSingle(
-            staged.filter(pmod(xxhash64(col("doc_id")), lit(4L)) === b),
-            srcDir, s"batch_$b")
-        }
+        writeSplitSingle(staged,
+          pmod(xxhash64(col("doc_id")), lit(4L)), 4, srcDir)
         val schema = s.read.parquet(srcDir).schema
         val q = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1")
@@ -2826,11 +2869,8 @@ object Streaming {
       s.conf.set(batchKey, "256")
       try {
         val staged = s.read.parquet(mediaDir)
-        (0 until 4).foreach { b =>
-          writeSingle(
-            staged.filter(pmod(xxhash64(col("doc_id")), lit(4L)) === b),
-            srcDir, s"batch_$b")
-        }
+        writeSplitSingle(staged,
+          pmod(xxhash64(col("doc_id")), lit(4L)), 4, srcDir)
         val schema = s.read.parquet(srcDir).schema
         val q = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1")
@@ -2884,11 +2924,8 @@ object Streaming {
       val histRoot = s"$base/s51_hist"
       Seq(srcDir, histRoot).foreach(d => rmTree(new java.io.File(d)))
       new java.io.File(srcDir).mkdirs()
-      (0 until 4).foreach { b =>
-        writeSingle(
-          docs.filter(pmod(xxhash64(col("doc_id")), lit(4L)) === b),
-          srcDir, s"batch_$b")
-      }
+      writeSplitSingle(docs,
+        pmod(xxhash64(col("doc_id")), lit(4L)), 4, srcDir)
       val schema = s.read.parquet(srcDir).schema
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
@@ -2934,11 +2971,8 @@ object Streaming {
       val histRoot = s"$base/s52_hist"
       Seq(srcDir, histRoot).foreach(d => rmTree(new java.io.File(d)))
       new java.io.File(srcDir).mkdirs()
-      (0 until 4).foreach { b =>
-        writeSingle(
-          docs.filter(pmod(xxhash64(col("doc_id")), lit(4L)) === b),
-          srcDir, s"batch_$b")
-      }
+      writeSplitSingle(docs,
+        pmod(xxhash64(col("doc_id")), lit(4L)), 4, srcDir)
       val schema = s.read.parquet(srcDir).schema
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
@@ -3014,11 +3048,8 @@ object Streaming {
       s.conf.set(batchKey, "256")
       try {
         val staged = s.read.parquet(mediaDir)
-        (0 until 4).foreach { b =>
-          writeSingle(
-            staged.filter(pmod(xxhash64(col("doc_id")), lit(4L)) === b),
-            srcDir, s"batch_$b")
-        }
+        writeSplitSingle(staged,
+          pmod(xxhash64(col("doc_id")), lit(4L)), 4, srcDir)
         val schema = s.read.parquet(srcDir).schema
         val q = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1")
@@ -3090,12 +3121,8 @@ object Streaming {
       new java.io.File(srcDir).mkdirs()
       // the changelog: base rows as three insert batches, then the
       // insert commit, then the delete commit (old rows, sign −1)
-      (0 until 3).foreach { b =>
-        writeSingle(
-          events.filter(pmod(xxhash64(col("event_id")), lit(3L)) === b)
-            .withColumn("sign", lit(1)),
-          srcDir, s"batch_$b")
-      }
+      writeSplitSingle(events.withColumn("sign", lit(1)),
+        pmod(xxhash64(col("event_id")), lit(3L)), 3, srcDir)
       writeSingle(
         events.filter(col("event_id") % 3 === 0)
           .select((col("event_id") + 1000000000000L).as("event_id"),
@@ -3205,10 +3232,8 @@ object Streaming {
       val histRoot = s"$base/s45_hist"
       Seq(srcDir, histRoot).foreach(d => rmTree(new java.io.File(d)))
       new java.io.File(srcDir).mkdirs()
-      (0 until 4).foreach { b =>
-        writeSingle(docs.filter(col("doc_id") % 4 === b),
-          srcDir, s"batch_$b")
-      }
+      writeSplitSingle(docs, col("doc_id") % 4, 4,
+        srcDir)
       val schema = s.read.parquet(srcDir).schema
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
@@ -3310,10 +3335,8 @@ object Streaming {
       val binRoot = s"$base/s46_bins"
       Seq(srcDir, binRoot).foreach(d => rmTree(new java.io.File(d)))
       new java.io.File(srcDir).mkdirs()
-      (0 until 4).foreach { b =>
-        writeSingle(docs.filter(col("doc_id") % 4 === b),
-          srcDir, s"batch_$b")
-      }
+      writeSplitSingle(docs, col("doc_id") % 4, 4,
+        srcDir)
       val schema = s.read.parquet(srcDir).schema
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
@@ -3390,10 +3413,8 @@ object Streaming {
       Seq(srcDir, cntRoot, candRoot)
         .foreach(d => rmTree(new java.io.File(d)))
       new java.io.File(srcDir).mkdirs()
-      (0 until 4).foreach { b =>
-        writeSingle(docs.filter(col("doc_id") % 4 === b),
-          srcDir, s"batch_$b")
-      }
+      writeSplitSingle(docs, col("doc_id") % 4, 4,
+        srcDir)
       val schema = s.read.parquet(srcDir).schema
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
@@ -3535,10 +3556,8 @@ object Streaming {
       val cntRoot = s"$base/s41_hist"
       Seq(srcDir, cntRoot).foreach(d => rmTree(new java.io.File(d)))
       new java.io.File(srcDir).mkdirs()
-      (0 until 4).foreach { b =>
-        writeSingle(docs.filter(col("doc_id") % 4 === b),
-          srcDir, s"batch_$b")
-      }
+      writeSplitSingle(docs, col("doc_id") % 4, 4,
+        srcDir)
       val schema = s.read.parquet(srcDir).schema
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
@@ -3591,10 +3610,8 @@ object Streaming {
       val stateRoot = s"$base/s42_spans"
       Seq(srcDir, stateRoot).foreach(d => rmTree(new java.io.File(d)))
       new java.io.File(srcDir).mkdirs()
-      (0 until 4).foreach { b =>
-        writeSingle(ev.filter(col("event_id") % 4 === b),
-          srcDir, s"batch_$b")
-      }
+      writeSplitSingle(ev, col("event_id") % 4, 4,
+        srcDir)
       val schema = s.read.parquet(srcDir).schema
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
@@ -3649,10 +3666,8 @@ object Streaming {
       val stateRoot = s"$base/s55_spans"
       Seq(srcDir, stateRoot).foreach(d => rmTree(new java.io.File(d)))
       new java.io.File(srcDir).mkdirs()
-      (0 until 4).foreach { b =>
-        writeSingle(ev.filter(col("event_id") % 4 === b),
-          srcDir, s"batch_$b")
-      }
+      writeSplitSingle(ev, col("event_id") % 4, 4,
+        srcDir)
       val schema = s.read.parquet(srcDir).schema
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
@@ -3722,10 +3737,8 @@ object Streaming {
       val stateRoot = s"$base/s43_users"
       Seq(srcDir, stateRoot).foreach(d => rmTree(new java.io.File(d)))
       new java.io.File(srcDir).mkdirs()
-      (0 until 4).foreach { b =>
-        writeSingle(ev.filter(col("event_id") % 4 === b),
-          srcDir, s"batch_$b")
-      }
+      writeSplitSingle(ev, col("event_id") % 4, 4,
+        srcDir)
       val schema = s.read.parquet(srcDir).schema
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")

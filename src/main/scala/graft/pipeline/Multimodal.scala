@@ -77,15 +77,20 @@ object Multimodal {
       seed: Long): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    // bulk store — per-pixel setRGB goes through the color model and
+    // sync machinery per call (the syntheticSmoothImage lesson; same
+    // pixel values, same encoder)
+    val px = new Array[Int](w * h)
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        img.setRGB(x, y, ((x * 31 + y * 7 + seed).toInt) & 0xFFFFFF)
+        px(y * w + x) = ((x * 31 + y * 7 + seed).toInt) & 0xFFFFFF
         x += 1
       }
       y += 1
     }
+    img.setRGB(0, 0, w, h, px, 0, w)
     val out = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, fmt, out)
     out.toByteArray
@@ -116,6 +121,10 @@ object Multimodal {
       seed: Long, scale: Int): Array[Byte] = {
     require(scale == 1 || scale == 2, s"bad scale $scale")
     val lat = smoothLattice(seed)
+    // one master-grid pass ([[bilinearGrid]] — bit-identical samples);
+    // scale=1 box-averages 2×2 master samples in the same order as the
+    // old per-pixel form, so the rounded pixel is unchanged
+    val master = bilinearGrid(lat, 2 * w, 2 * h)
     val img = new java.awt.image.BufferedImage(
       w * scale, h * scale, java.awt.image.BufferedImage.TYPE_INT_RGB)
     val px = new Array[Int](w * scale * h * scale)
@@ -124,11 +133,11 @@ object Multimodal {
       var x = 0
       while (x < w * scale) {
         val gd =
-          if (scale == 2) bilinearGray(lat, x, y, 2 * w, 2 * h)
-          else (bilinearGray(lat, 2 * x, 2 * y, 2 * w, 2 * h) +
-            bilinearGray(lat, 2 * x + 1, 2 * y, 2 * w, 2 * h) +
-            bilinearGray(lat, 2 * x, 2 * y + 1, 2 * w, 2 * h) +
-            bilinearGray(lat, 2 * x + 1, 2 * y + 1, 2 * w, 2 * h)) / 4.0
+          if (scale == 2) master(y * 2 * w + x)
+          else (master(2 * y * 2 * w + 2 * x) +
+            master(2 * y * 2 * w + 2 * x + 1) +
+            master((2 * y + 1) * 2 * w + 2 * x) +
+            master((2 * y + 1) * 2 * w + 2 * x + 1)) / 4.0
         val g = math.max(0, math.min(255, math.round(gd).toInt))
         px(y * w * scale + x) = (g << 16) | (g << 8) | g
         x += 1
@@ -185,6 +194,49 @@ object Multimodal {
     (lat(j * n + i) * (1 - fu) + lat(j * n + i + 1) * fu) * (1 - fv) +
       (lat((j + 1) * n + i) * (1 - fu) +
         lat((j + 1) * n + i + 1) * fu) * fv
+  }
+
+  /** The full w×h grid of [[bilinearGray]] samples in one pass with the
+    * per-axis (cell index, fraction) tables hoisted out of the pixel
+    * loop (optimization guide §1.2 per-task work: the per-sample
+    * divisions/min/truncations are identical for every pixel in a row
+    * or column). Every value is BIT-IDENTICAL to bilinearGray(lat, x,
+    * y, w, h): the hoisted u/v/i/j/fu/fv are the same IEEE expressions,
+    * and the blend below is the same expression in the same order.
+    */
+  private def bilinearGrid(lat: Array[Int], w: Int,
+      h: Int): Array[Double] = {
+    val m = LatticeN - 1; val n = LatticeN
+    val xi = new Array[Int](w); val xf = new Array[Double](w)
+    var x = 0
+    while (x < w) {
+      val u = x * m.toDouble / w
+      val i = math.min(m - 1, u.toInt)
+      xi(x) = i; xf(x) = u - i; x += 1
+    }
+    val yj = new Array[Int](h); val yf = new Array[Double](h)
+    var y = 0
+    while (y < h) {
+      val v = y * m.toDouble / h
+      val j = math.min(m - 1, v.toInt)
+      yj(y) = j; yf(y) = v - j; y += 1
+    }
+    val out = new Array[Double](w * h)
+    y = 0
+    while (y < h) {
+      val j = yj(y); val fv = yf(y)
+      x = 0
+      while (x < w) {
+        val i = xi(x); val fu = xf(x)
+        out(y * w + x) =
+          (lat(j * n + i) * (1 - fu) + lat(j * n + i + 1) * fu) * (1 - fv) +
+            (lat((j + 1) * n + i) * (1 - fu) +
+              lat((j + 1) * n + i + 1) * fu) * fv
+        x += 1
+      }
+      y += 1
+    }
+    out
   }
 
   /** Attach a smooth synthetic media payload per row: lattice and base
@@ -781,6 +833,11 @@ object Multimodal {
     var j = 0
     while (j < nframes) {
       val lat = latAt(j)
+      // one master-grid pass per frame ([[bilinearGrid]] —
+      // bit-identical samples); the ss×ss accumulation below walks the
+      // same (sy, sx) order as the old per-sample form, so the rounded
+      // pixel is unchanged
+      val master = bilinearGrid(lat, baseW * 2, baseH * 2)
       var y = 0
       while (y < h) {
         var x = 0
@@ -790,8 +847,7 @@ object Multimodal {
           while (sy < ss) {
             var sx = 0
             while (sx < ss) {
-              acc += bilinearGray(lat, x * ss + sx, y * ss + sy,
-                baseW * 2, baseH * 2)
+              acc += master((y * ss + sy) * baseW * 2 + x * ss + sx)
               sx += 1
             }
             sy += 1
@@ -855,17 +911,19 @@ object Multimodal {
         val lat = morphedLattice(r.getLong(seedIdx), srcFrame)
         val img = new java.awt.image.BufferedImage(
           w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val g = math.max(0, math.min(255,
-              math.round(bilinearGray(lat, x, y, w, h)).toInt))
-            img.setRGB(x, y, (g << 16) | (g << 8) | g)
-            x += 1
-          }
-          y += 1
+        // one bilinearGrid pass (bit-identical samples) + bulk setRGB
+        // (per-pixel setRGB pays color-model + sync cost per call — the
+        // syntheticSmoothImage lesson applied here)
+        val master = bilinearGrid(lat, w, h)
+        val px = new Array[Int](w * h)
+        var i = 0
+        while (i < px.length) {
+          val g = math.max(0, math.min(255,
+            math.round(master(i)).toInt))
+          px(i) = (g << 16) | (g << 8) | g
+          i += 1
         }
+        img.setRGB(0, 0, w, h, px, 0, w)
         val out = new java.io.ByteArrayOutputStream()
         javax.imageio.ImageIO.write(img, "png", out)
         Row.fromSeq(r.toSeq :+ out.toByteArray)

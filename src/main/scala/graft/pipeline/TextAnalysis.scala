@@ -352,10 +352,11 @@ object TextAnalysis {
     * holds by construction of the merge.
     */
   private[graft] def bpeTrainFromVocab(vocab0: DataFrame,
-      merges: Int): DataFrame = {
+      merges: Int, localBound: Long = LocalBpeBound): DataFrame = {
     val s = vocab0.sparkSession
     import s.implicits._
-    val (learned, _, dir) = bpeLoop(vocab0, merges)((_, _) => ())
+    val (learned, _, dir) =
+      bpeLoop(vocab0, merges, localBound)((_, _) => ())
     Dedup.releaseBarrier(dir)
     learned.toDF("step", "pair", "freq")
   }
@@ -397,7 +398,7 @@ object TextAnalysis {
     bpeTrainIncrementalFromVocab(bpeVocab(df, textCol), merges)
 
   private[graft] def bpeTrainIncrementalFromVocab(vocab0: DataFrame,
-      merges: Int): DataFrame = {
+      merges: Int, localBound: Long = LocalBpeBound): DataFrame = {
     val s = vocab0.sparkSession
     import s.implicits._
     val pairsOf = expr(
@@ -405,6 +406,15 @@ object TextAnalysis {
         "i -> concat(element_at(split(seq, ' '), i), ' ', " +
         "element_at(split(seq, ' '), i + 1)))")
     var (vocab, vdir) = Dedup.materializeBarrierAt(vocab0, "bpei-v0")
+    // small-vocab fast path (see [[LocalBpeBound]]): the maintained-
+    // count induction makes the incremental and recount argmax
+    // sequences identical, so the local loop IS both forms' result;
+    // the distributed incremental delta below is the at-scale path
+    if (Dedup.barrierRowCount(vdir) <= localBound) {
+      val (learned, _, d) = bpeLoopLocal(vocab, vdir, merges)((_, _) => ())
+      Dedup.releaseBarrier(d)
+      return learned.toDF("step", "pair", "freq")
+    }
     // the one full pair count — paid once, like get_pair_statistics
     var (pc, pdir) = Dedup.materializeBarrierAt(
       vocab.filter(size(split(col("seq"), " ")) >= 2)
@@ -528,9 +538,9 @@ object TextAnalysis {
     * publish. The final barrier stays live behind the returned plan
     * (global reset reclaims it).
     */
-  private[graft] def bpeFinalVocab(vocab0: DataFrame,
-      merges: Int): DataFrame =
-    bpeLoop(vocab0, merges)((_, _) => ())._2
+  private[graft] def bpeFinalVocab(vocab0: DataFrame, merges: Int,
+      localBound: Long = LocalBpeBound): DataFrame =
+    bpeLoop(vocab0, merges, localBound)((_, _) => ())._2
 
   /** The shared BPE training loop: barrier-materialized vocab per
     * level, deterministic argmax, doubled-space merge application.
@@ -541,7 +551,121 @@ object TextAnalysis {
     * — the CALLER releases it (or leaves it to the global reset when
     * the returned plan reads it).
     */
-  private def bpeLoop(vocab0: DataFrame, merges: Int)(
+  /** Vocab-row bound under which the BPE merge loop runs DRIVER-LOCAL
+    * (the [[Dedup.components]] LocalCcBound discipline): the vocab is
+    * bounded by |distinct words|, orders of magnitude below corpus
+    * size, and each distributed round costs 2+ whole Spark jobs
+    * (argmax + barrier) of pure scheduling overhead when the vocab is
+    * small — measured 3–6 s per BPE gate at sf0.1 for work a single
+    * thread finishes in milliseconds (optimization guide §1.2: fix the
+    * algorithm's constant passes before per-task work). The local loop
+    * reproduces the distributed semantics BIT-EXACTLY: same pair
+    * counting, same (freq DESC, pair ASC) argmax under UTF8 binary
+    * order (Spark's string ordering — NOT Java String order, which
+    * diverges on supplementary characters), same doubled-separator
+    * left-to-right replace, same space-only trim. A spec asserts
+    * local == forced-distributed merge-for-merge. Production vocabs
+    * past the bound (a 100 TB corpus's ~10M-word vocab) keep the
+    * distributed loop.
+    */
+  private[graft] val LocalBpeBound = 200000L
+
+  /** Unsigned UTF-8 byte order — Spark's UTF8String binary comparison,
+    * which the distributed argmax's `pair ASC` tiebreak uses.
+    */
+  private def utf8Less(a: String, b: String): Boolean = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val d = (x(i) & 0xFF) - (y(i) & 0xFF)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** Space-only trim (Spark's `trim` default trims ' ' alone; Java
+    * String.trim strips all chars <= U+0020 and would corrupt a word
+    * whose first char is a control character).
+    */
+  private def trimSpaces(s: String): String = {
+    var i = 0; var j = s.length
+    while (i < j && s.charAt(i) == ' ') i += 1
+    while (j > i && s.charAt(j - 1) == ' ') j -= 1
+    s.substring(i, j)
+  }
+
+  /** The driver-local BPE loop behind [[bpeLoop]]'s small-vocab fast
+    * path: operates on the collected vocab rows, rewriting only `seq`
+    * (all other columns ride through, as in the distributed form) and
+    * re-surfacing each level to `onLevel` as a local DataFrame so the
+    * p197 curve hook runs unchanged.
+    */
+  private def bpeLoopLocal(vocab: DataFrame,
+      dir: org.apache.hadoop.fs.Path, merges: Int)(
+      onLevel: (Int, DataFrame) => Unit): (Seq[(Int, String, Long)],
+        DataFrame, org.apache.hadoop.fs.Path) = {
+    val s = vocab.sparkSession
+    val schema = vocab.schema
+    val seqIdx = schema.fieldIndex("seq")
+    val cntIdx = schema.fieldIndex("cnt")
+    var rows: Array[org.apache.spark.sql.Row] = vocab.collect()
+    def df(rs: Array[org.apache.spark.sql.Row]): DataFrame =
+      s.createDataFrame(java.util.Arrays.asList(rs: _*), schema)
+    onLevel(0, df(rows))
+    val learned = Seq.newBuilder[(Int, String, Long)]
+    var step = 0
+    var exhausted = false
+    while (step < merges && !exhausted) {
+      step += 1
+      val counts = new scala.collection.mutable.HashMap[String, Long]
+      rows.foreach { r =>
+        val syms = r.getString(seqIdx).split(" ", -1)
+        if (syms.length >= 2) {
+          val c = r.getAs[Number](cntIdx).longValue()
+          var i = 0
+          while (i < syms.length - 1) {
+            val p = syms(i) + " " + syms(i + 1)
+            counts.update(p, counts.getOrElse(p, 0L) + c)
+            i += 1
+          }
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        var bestPair: String = null
+        var bestFreq = 0L
+        counts.foreach { case (p, f) =>
+          if (bestPair == null || f > bestFreq ||
+            (f == bestFreq && utf8Less(p, bestPair))) {
+            bestPair = p; bestFreq = f
+          }
+        }
+        learned += ((step, bestPair, bestFreq))
+        // the distributed rewrite verbatim: double every separator,
+        // replace the doubled pattern left-to-right non-overlapping
+        // (Java String.replace == Spark StringReplace semantics),
+        // collapse, space-trim
+        val pattern = " " + bestPair.replace(" ", "  ") + " "
+        val mergedRep = " " + bestPair.replace(" ", "") + " "
+        rows = rows.map { r =>
+          val doubled =
+            " " + r.getString(seqIdx).replace(" ", "  ") + " "
+          val out = trimSpaces(
+            doubled.replace(pattern, mergedRep).replace("  ", " "))
+          if (out == r.getString(seqIdx)) r
+          else org.apache.spark.sql.Row.fromSeq(
+            r.toSeq.updated(seqIdx, out))
+        }
+        onLevel(step, df(rows))
+      }
+    }
+    (learned.result(), df(rows), dir)
+  }
+
+  private def bpeLoop(vocab0: DataFrame, merges: Int,
+      localBound: Long = LocalBpeBound)(
       onLevel: (Int, DataFrame) => Unit): (Seq[(Int, String, Long)],
         DataFrame, org.apache.hadoop.fs.Path) = {
     val pairsOf = expr(
@@ -550,6 +674,8 @@ object TextAnalysis {
         "element_at(split(seq, ' '), i + 1)))")
     var (vocab, dir) =
       Dedup.materializeBarrierAt(vocab0, "bpe-v0")
+    if (Dedup.barrierRowCount(dir) <= localBound)
+      return bpeLoopLocal(vocab, dir, merges)(onLevel)
     onLevel(0, vocab)
     val learned = Seq.newBuilder[(Int, String, Long)]
     var step = 0
@@ -847,19 +973,40 @@ object TextAnalysis {
     * cast to DECIMAL(28,12) BEFORE summing (decimal addition is
     * associative → partition-order-independent and engine-portable).
     */
-  private[graft] def logregFit(docs: DataFrame, steps: Int, lr: Double,
-      posLang: String, langCol: String,
-      textCol: String): (DataFrame, DataFrame) = {
-    val spark = docs.sparkSession
+  /** The tokenizing corpus pass of [[logregFit]], materialized ONCE as
+    * a (lang, x0, x1, x2) barrier: the label column is kept raw so
+    * DIFFERENT scenarios (posLang values) can derive their y from the
+    * same barrier instead of re-tokenizing the corpus per scenario
+    * (optimization guide §1.2 — p169's three scenarios paid three
+    * regexp-tokenization passes for one corpus; measured in r14).
+    */
+  private[graft] def logregLangFeats(docs: DataFrame, langCol: String,
+      textCol: String): DataFrame = {
     val nt = tokenCount(col(textCol))
-    val feats = Dedup.materializeBarrier(
+    Dedup.materializeBarrier(
       docs.filter(nt > 0).select(
-        when(col(langCol) === posLang, 1.0).otherwise(0.0).as("y"),
+        col(langCol).as("_lang"),
         lit(1.0).as("x0"),
         log(lit(1.0) + nt.cast("double")).as("x1"),
         (length(col(textCol)).cast("double") / nt.cast("double"))
           .as("x2")),
       "logreg-feats")
+  }
+
+  private[graft] def logregFit(docs: DataFrame, steps: Int, lr: Double,
+      posLang: String, langCol: String,
+      textCol: String): (DataFrame, DataFrame) =
+    logregFitFromLangFeats(logregLangFeats(docs, langCol, textCol),
+      steps, lr, posLang)
+
+  private[graft] def logregFitFromLangFeats(langFeats: DataFrame,
+      steps: Int, lr: Double, posLang: String): (DataFrame, DataFrame) = {
+    val spark = langFeats.sparkSession
+    // y is a cheap projection over the barrier — bit-identical to the
+    // old barrier-held y (same when() expression over the same lang)
+    val feats = langFeats.select(
+      when(col("_lang") === posLang, 1.0).otherwise(0.0).as("y"),
+      col("x0"), col("x1"), col("x2"))
     val m = feats.agg(count(lit(1)).as("m"))
     import spark.implicits._
     var w: DataFrame = broadcast(
@@ -934,9 +1081,18 @@ object TextAnalysis {
     */
   def classifierEval(docs: DataFrame, steps: Int = 3, lr: Double = 1.0,
       nBins: Int = 10, posLang: String = "en",
-      langCol: String = "lang", textCol: String = "text"): DataFrame = {
+      langCol: String = "lang", textCol: String = "text"): DataFrame =
+    classifierEvalFromLangFeats(
+      logregLangFeats(docs, langCol, textCol), steps, lr, nBins, posLang)
+
+  /** [[classifierEval]] over a PRE-TOKENIZED [[logregLangFeats]] barrier
+    * — the multi-scenario entry point (p169 runs three scenarios over
+    * ONE corpus pass; each scenario's y/fit/readout is unchanged).
+    */
+  private[graft] def classifierEvalFromLangFeats(langFeats: DataFrame,
+      steps: Int, lr: Double, nBins: Int, posLang: String): DataFrame = {
     require(nBins >= 2 && nBins <= 1000, s"bad nBins $nBins")
-    val (feats, w) = logregFit(docs, steps, lr, posLang, langCol, textCol)
+    val (feats, w) = logregFitFromLangFeats(langFeats, steps, lr, posLang)
     val z = col("w0") * col("x0") + col("w1") * col("x1") +
       col("w2") * col("x2")
     // 6-decimal rounding BEFORE ranking/binning: the comparison and

@@ -946,6 +946,36 @@ class PipelineSpec extends SparkSpec {
       learned(docs, 12, inc = false))
   }
 
+  test("bpe small-vocab local fast path == forced-distributed loop " +
+      "merge for merge (multi-byte symbols, ties) and same final vocab") {
+    // the r14 optimization runs the merge loop driver-local under
+    // LocalBpeBound; this pins local == distributed on a corpus whose
+    // argmax ties exercise the UTF8-binary pair tiebreak (multi-byte
+    // characters order differently under Java String comparison)
+    import spark.implicits._
+    val words = Seq.fill(3)("héllo") ++ Seq.fill(3)("hęllo") ++
+      Seq.fill(2)("日本語本") ++ Seq.fill(2)("low") ++
+      Seq.fill(2)("lower") ++ Seq.fill(2)("zz")
+    val docs = words.zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val v0 = TextAnalysis.bpeVocab(docs)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("step").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    val local = canon(TextAnalysis.bpeTrainFromVocab(v0, 6))
+    assert(local.nonEmpty)
+    assert(local == canon(
+      TextAnalysis.bpeTrainFromVocab(v0, 6, localBound = 0L)))
+    assert(local == canon(TextAnalysis
+      .bpeTrainIncrementalFromVocab(v0, 6, localBound = 0L)))
+    def vocabCanon(df: org.apache.spark.sql.DataFrame) =
+      df.select("w", "seq", "cnt").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSeq.sorted
+    assert(vocabCanon(TextAnalysis.bpeFinalVocab(v0, 6)) ==
+      vocabCanon(TextAnalysis.bpeFinalVocab(v0, 6, localBound = 0L)))
+  }
+
   test("p197 curve: hand-computed weighted symbol counts on the " +
       "Sennrich corpus (exact integers, every level)") {
     import spark.implicits._
