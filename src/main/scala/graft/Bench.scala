@@ -354,6 +354,10 @@ object Bench {
     headline.foreach { name =>
       try materialize(name) catch { case _: Throwable => () }
     }
+    // drop warmup scratch before timing — the warmup loop materializes
+    // every entry without releasing, so its barrier dirs would
+    // otherwise sit on disk until the first timed release
+    graft.pipeline.Dedup.releaseAllBarriers()
     try ensureIngestFixtures(spark, sfDir) catch {
       case e: Throwable =>
         System.err.println(s"[bench] ingest fixtures failed: ${e.getMessage}")

@@ -5,11 +5,11 @@ import org.apache.spark.sql.SparkSession
 /** Optimization-round harness (not part of the driver contract): dumps
   * `explain("formatted")` for named queries to files, so before/after
   * plan claims in OPTIMIZATION_r*.md are checkable without running
-  * Spark. Usage: runMain graft.PlanDump <outDir> <name1> [name2 ...]
+  * Spark. Usage: runMain graft.PlanDumpFmt <outDir> <name1> [name2 ...]
   * (or "ALL" for every declared query). Reads SPARK_GRAFT_SF_DIR /
   * SPARK_GRAFT_CPUS like Bench so the dumped plan is the bench plan.
   */
-object PlanDump {
+object PlanDumpFmt {
   def main(args: Array[String]): Unit = {
     val outDir = args.head
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -36,10 +36,10 @@ object PlanDump {
           org.apache.spark.sql.execution.FormattedMode)
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get(outDir, s"$n.txt"), txt)
-        println(s"[plandump] wrote $n (${txt.length} chars)")
+        println(s"[plandumpfmt] wrote $n (${txt.length} chars)")
       } catch {
         case e: Throwable =>
-          System.err.println(s"[plandump] $n failed: ${e.getMessage}")
+          System.err.println(s"[plandumpfmt] $n failed: ${e.getMessage}")
       }
       graft.pipeline.Dedup.releaseAllBarriers()
     }

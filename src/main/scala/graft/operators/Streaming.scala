@@ -14,6 +14,31 @@ object Streaming {
     Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
   }
 
+  /** Run `body` (a streaming query start + await) with
+    * `spark.sql.shuffle.partitions` bounded to the streaming default
+    * the memory-sink gates already use (Streams.runToMemory's setting,
+    * extended to the foreachBatch gates): AQE partition coalescing is
+    * DISABLED inside Structured Streaming, so each micro-batch's
+    * aggregations otherwise run the session's full 32 reduce tasks
+    * over a few thousand rows — pure scheduler overhead × shuffles ×
+    * batches (optimization guide §2.2; AQE would coalesce these to 1-2
+    * partitions in a batch job). Partition count never changes any
+    * gate's RESULT (every carried state is partition-order-independent
+    * by construction — the split-merge seam fuzz specs). Production
+    * streams size this by expected per-batch volume; the bound is the
+    * gate-scale value, restored after the stream completes so
+    * publish-time batch plans keep the session's parallelism (and AQE).
+    */
+  private def withStreamShuffle[T](s: org.apache.spark.sql.SparkSession)(
+      body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    // gate-scale default 4 (the runToMemory value); overridable for
+    // production volumes / A-B measurement via -Dgraft.stream.parts=N
+    s.conf.set("spark.sql.shuffle.partitions",
+      sys.props.getOrElse("graft.stream.parts", "4"))
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Highest vN generation under a batchId-keyed state root — the
     * publish-time read after a retry-idempotent state chain (a
     * Spark-retried micro-batch overwrites its OWN generation, so the
@@ -247,6 +272,7 @@ object Streaming {
         srcDir, "batch_b")
       val schema = s.read.parquet(srcDir).schema
       val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+      withStreamShuffle(s) {
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
@@ -260,7 +286,7 @@ object Streaming {
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      q.awaitTermination() }
       DedupIndex.read(s, idxDir)
         .select(col("h"), col("keep_id"),
           lit(nBatches.get() >= 2).as("multi_batch"))
@@ -296,6 +322,7 @@ object Streaming {
         srcDir, "batch_b")
       val schema = s.read.parquet(srcDir).schema
       val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+      withStreamShuffle(s) {
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
@@ -309,7 +336,7 @@ object Streaming {
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      q.awaitTermination() }
       val sigs = s.read.parquet(sigDir)
       Dedup.lshCollapsedPairs(sigs, "sh", bands = 16, r = 4,
         threshold = 0.5)
@@ -400,6 +427,7 @@ object Streaming {
       writeSingle(train.filter(col("doc_id") % 2 === 0), srcDir, "batch_a")
       writeSingle(train.filter(col("doc_id") % 2 === 1), srcDir, "batch_b")
       val schema = s.read.parquet(srcDir).schema
+      withStreamShuffle(s) {
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
@@ -412,7 +440,7 @@ object Streaming {
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      q.awaitTermination() }
       s.read.parquet(outDir)
     },
 
@@ -456,6 +484,7 @@ object Streaming {
       val stats = Retrieval.bm25StatsFromTerms(
         s.read.parquet(statsDir), docs.count())
       val schema = s.read.parquet(srcDir).schema
+      withStreamShuffle(s) {
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
@@ -469,7 +498,7 @@ object Streaming {
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      q.awaitTermination() }
       s.read.parquet(outDir)
     },
 
@@ -501,6 +530,7 @@ object Streaming {
         .sortWithinPartitions("event_id")
         .write.mode("overwrite").parquet(srcDir)
       val schema = s.read.parquet(srcDir).schema
+      withStreamShuffle(s) {
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "2")
         .option("pathGlobFilter", "*.parquet")
@@ -516,7 +546,7 @@ object Streaming {
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      q.awaitTermination() }
       val nStaged = new java.io.File(srcDir).listFiles()
         .count(_.getName.endsWith(".parquet"))
       val m = s.read.parquet(maniDir)
@@ -567,6 +597,7 @@ object Streaming {
       writeSingle(corpus.filter(col("vec_id") % 2 === 0), srcDir, "batch_a")
       writeSingle(corpus.filter(col("vec_id") % 2 === 1), srcDir, "batch_b")
       val schema = s.read.parquet(srcDir).schema
+      withStreamShuffle(s) {
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
@@ -581,7 +612,7 @@ object Streaming {
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      q.awaitTermination() }
       val stored = s.read.parquet(layoutDir)
       val qc = queries.withColumn("cell_l",
           explode(Similarity.ivfProbeCells(cents, col("qvec"), 4)
@@ -653,6 +684,7 @@ object Streaming {
         ()
       }
       val schema = s.read.parquet(srcDir).schema
+      withStreamShuffle(s) {
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
@@ -682,7 +714,7 @@ object Streaming {
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      q.awaitTermination() }
       s.read.parquet(statsDir)
         .select(col("batch").cast("long").as("batch"),
           col("n_docs").cast("long").as("n_docs"),
@@ -776,6 +808,7 @@ object Streaming {
       writeSingle(docs.filter(col("doc_id") % 2 === 0), srcDir, "batch_a")
       writeSingle(docs.filter(col("doc_id") % 2 === 1), srcDir, "batch_b")
       val schema = s.read.parquet(srcDir).schema
+      withStreamShuffle(s) {
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
@@ -788,7 +821,7 @@ object Streaming {
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      q.awaitTermination() }
       s.read.parquet(outDir)
     },
 
@@ -824,6 +857,7 @@ object Streaming {
           ()
         }
         val schema = s.read.parquet(srcDir).schema
+        withStreamShuffle(s) {
         val q = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1")
           .option("pathGlobFilter", "*.parquet")
@@ -846,7 +880,7 @@ object Streaming {
           }
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-        q.awaitTermination()
+        q.awaitTermination() }
         s.read.parquet(s"$storeBase/v3")
           .select(col("canonical_url"),
             col("n_occurrences").cast("long").as("n_occurrences"),
@@ -883,6 +917,7 @@ object Streaming {
         ()
       }
       val schema = s.read.parquet(srcDir).schema
+      withStreamShuffle(s) {
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
@@ -899,7 +934,7 @@ object Streaming {
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      q.awaitTermination() }
       val merged = s.read.parquet(storeDir).groupBy("col_name")
         .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
           .as("est_merged"))
@@ -963,6 +998,7 @@ object Streaming {
       writeSingle(delta.filter(col("doc_id") % 2 === 1), srcDir, "batch_b")
       v1.write.mode("overwrite").parquet(s"$storeRoot/v0")
       val schema = s.read.parquet(srcDir).schema
+      withStreamShuffle(s) {
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
@@ -985,7 +1021,7 @@ object Streaming {
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      q.awaitTermination() }
       s.read.parquet(s"$storeRoot/v${latestGen(storeRoot)}")
         .select(col("doc_id"), md5(col("text")).as("dg"))
         .orderBy("doc_id")
@@ -1033,6 +1069,7 @@ object Streaming {
       writeSingle(docs.filter(col("doc_id") % 2 === 0), srcDir, "batch_a")
       writeSingle(docs.filter(col("doc_id") % 2 === 1), srcDir, "batch_b")
       val schema = s.read.parquet(srcDir).schema
+      withStreamShuffle(s) {
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
@@ -1048,7 +1085,7 @@ object Streaming {
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      q.awaitTermination() }
       s.read.parquet(outDir).orderBy("grp")
     },
 
@@ -1130,6 +1167,7 @@ object Streaming {
         rmTree(new java.io.File(tmp))
       }
       def runOnce(): Unit = {
+        withStreamShuffle(s) {
         val q = s.readStream.format("graft-logfmt").load(src)
           .groupBy("event_type")
           .agg(count(lit(1)).as("n"),
@@ -1141,7 +1179,7 @@ object Streaming {
           .option("checkpointLocation", ckpt)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-        q.awaitTermination()
+        q.awaitTermination() }
       }
       stage("batch-000.logfmt", 0)
       runOnce()
@@ -1316,6 +1354,7 @@ object Streaming {
       writeSingle(clicks.filter(col("event_id") % 2 === 0), srcDir, "batch_a")
       writeSingle(clicks.filter(col("event_id") % 2 === 1), srcDir, "batch_b")
       val schema = s.read.parquet(srcDir).schema
+      withStreamShuffle(s) {
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
@@ -1331,7 +1370,7 @@ object Streaming {
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      q.awaitTermination() }
       s.read.parquet(outDir)
     },
 
@@ -1366,6 +1405,7 @@ object Streaming {
       writeSingle(corpus.filter(col("vec_id") % 2 === 0), srcDir, "batch_a")
       writeSingle(corpus.filter(col("vec_id") % 2 === 1), srcDir, "batch_b")
       val schema = s.read.parquet(srcDir).schema
+      withStreamShuffle(s) {
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
@@ -1378,7 +1418,7 @@ object Streaming {
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      q.awaitTermination() }
       val streamTop = Similarity.pqTopKFromCodes(
         s.read.parquet(idxDir), corpus, queries, cbs,
         k = 10, shortlistFactor = 10,
@@ -1430,6 +1470,7 @@ object Streaming {
       writeSingle(docs.filter(col("doc_id") % 3 === 1), srcDir, "batch_b")
       writeSingle(docs.filter(col("doc_id") % 3 === 2), srcDir, "batch_c")
       val schema = s.read.parquet(srcDir).schema
+      withStreamShuffle(s) {
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
@@ -1442,7 +1483,7 @@ object Streaming {
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      q.awaitTermination() }
       s.read.parquet(resDir)
         .orderBy(col("key").desc, col("doc_id"))
         .limit(500)
@@ -1487,6 +1528,7 @@ object Streaming {
       writeSplitSingle(orders, col("o_orderkey") % 4, 4,
         srcDir)
       val schema = s.read.parquet(srcDir).schema
+      withStreamShuffle(s) {
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
@@ -1511,7 +1553,7 @@ object Streaming {
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      q.awaitTermination() }
       val decomposable = s.read.parquet(statsDir)
         .groupBy("check_name")
         .agg(sum(col("checked")).cast("long").as("checked"),
@@ -1592,6 +1634,7 @@ object Streaming {
       writeSplitSingle(ev, col("event_id") % 4, 4,
         srcDir)
       val schema = s.read.parquet(srcDir).schema
+      withStreamShuffle(s) {
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
@@ -1605,7 +1648,7 @@ object Streaming {
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      q.awaitTermination() }
       val merged = s.read.parquet(cntDir).groupBy("series", "hr")
         .agg(sum("n").cast("long").as("n0"))
       val bounds = merged.agg(min("hr").as("mn"), max("hr").as("mx"))
@@ -1716,6 +1759,7 @@ object Streaming {
         nullA.as("a2"), nullA.as("a3"))
         .write.mode("overwrite").parquet(s"$stateRoot/v0")
       val schema = s.read.parquet(srcDir).schema
+      withStreamShuffle(s) {
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
@@ -1752,7 +1796,7 @@ object Streaming {
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      q.awaitTermination() }
       graft.operators.Pipeline.funnelRates(
         s.read.parquet(s"$stateRoot/v${latestGen(stateRoot)}").agg(
           count(col("a1")).cast("long").as("n1"),
@@ -1804,6 +1848,7 @@ object Streaming {
       writeSplitSingle(ev, col("event_id") % 4, 4,
         srcDir)
       val schema = s.read.parquet(srcDir).schema
+      withStreamShuffle(s) {
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
@@ -1822,7 +1867,7 @@ object Streaming {
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      q.awaitTermination() }
       s.read.parquet(barDir).groupBy("event_type", "hr")
         .agg(min(col("o")).getField("v").as("open"),
           max(col("hi")).as("high"), min(col("lo")).as("low"),
@@ -1899,6 +1944,7 @@ object Streaming {
           lit(null).cast("string").as("event_type"))
         .write.mode("overwrite").parquet(s"$stateRoot/v0")
       val schema = s.read.parquet(srcDir).schema
+      withStreamShuffle(s) {
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
@@ -1934,7 +1980,7 @@ object Streaming {
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      q.awaitTermination() }
       s.read.option("recursiveFileLookup", "true").parquet(cntDir)
         .groupBy("from_type", "to_type")
         .agg(sum(col("n")).cast("long").as("n"))
@@ -1980,6 +2026,7 @@ object Streaming {
       writeSplitSingle(reqs, col("event_id") % 4, 4,
         srcDir)
       val schema = s.read.parquet(srcDir).schema
+      withStreamShuffle(s) {
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
@@ -1992,7 +2039,7 @@ object Streaming {
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      q.awaitTermination() }
       graft.pipeline.Contracts.deletionAudit(ev, "user_id",
         s.read.parquet(keyDir))
     },
@@ -2067,6 +2114,7 @@ object Streaming {
       writeSplitSingle(ev, col("event_id") % 4, 4,
         srcDir)
       val schema = s.read.parquet(srcDir).schema
+      withStreamShuffle(s) {
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
@@ -2085,7 +2133,7 @@ object Streaming {
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      q.awaitTermination() }
       // merge the accumulated partials back into per-hour events-shaped
       // rows? No — run p160's exact report pipeline over the merged
       // counts via the SHARED cusumFromCounts stage (one arithmetic
@@ -2177,6 +2225,7 @@ object Streaming {
       writeSplitSingle(ev, col("event_id") % 4, 4,
         srcDir)
       val schema = s.read.parquet(srcDir).schema
+      withStreamShuffle(s) {
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
@@ -2195,7 +2244,7 @@ object Streaming {
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      q.awaitTermination() }
       val flags = s.read.option("recursiveFileLookup", "true")
         .parquet(cntDir).groupBy("user_id")
         .agg(when(sum(col("nc")) >= 14, 1L).otherwise(0L).as("conv"))
@@ -2360,6 +2409,7 @@ object Streaming {
           lit(null).cast("long").as("np"))
         .write.mode("overwrite").parquet(s"$stateRoot/v0")
       val schema = s.read.parquet(srcDir).schema
+      withStreamShuffle(s) {
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
@@ -2410,7 +2460,7 @@ object Streaming {
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      q.awaitTermination() }
       val wPrev = Window
         .partitionBy(graft.pipeline.Corpus.boundedKey(col("look")))
         .orderBy("look")
@@ -2531,6 +2581,7 @@ object Streaming {
           lit(null).cast("long").as("np"))
         .write.mode("overwrite").parquet(s"$stateRoot/v0")
       val schema = s.read.parquet(srcDir).schema
+      withStreamShuffle(s) {
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
@@ -2578,7 +2629,7 @@ object Streaming {
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      q.awaitTermination() }
       // publish: the always-valid p is the running min over the looks
       // observed so far — the only cross-look state, and it lives in
       // the (bounded, ≤looks-row) look log, not in per-user state.
@@ -2647,6 +2698,7 @@ object Streaming {
       writeSplitSingle(staged,
         pmod(xxhash64(col("doc_id")), lit(4L)), 4, srcDir)
       val schema = s.read.parquet(srcDir).schema
+      withStreamShuffle(s) {
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
@@ -2666,7 +2718,7 @@ object Streaming {
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      q.awaitTermination() }
       val sigs = s.read.option("recursiveFileLookup", "true")
         .parquet(sigRoot)
       val pairs = graft.pipeline.Dedup.hammingPairs(sigs,
@@ -2714,6 +2766,7 @@ object Streaming {
       writeSplitSingle(staged,
         pmod(xxhash64(col("doc_id")), lit(4L)), 4, srcDir)
       val schema = s.read.parquet(srcDir).schema
+      withStreamShuffle(s) {
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
@@ -2733,7 +2786,7 @@ object Streaming {
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      q.awaitTermination() }
       val sigs = s.read.option("recursiveFileLookup", "true")
         .parquet(sigRoot)
       val pairs = graft.pipeline.Dedup.hammingPairs(sigs,
@@ -2795,6 +2848,7 @@ object Streaming {
         writeSplitSingle(staged,
           pmod(xxhash64(col("doc_id")), lit(4L)), 4, srcDir)
         val schema = s.read.parquet(srcDir).schema
+        withStreamShuffle(s) {
         val q = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1")
           .option("pathGlobFilter", "*.parquet")
@@ -2817,7 +2871,7 @@ object Streaming {
           }
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-        q.awaitTermination()
+        q.awaitTermination() }
       } finally s.conf.set(batchKey, prevBatchSize)
       val sigs = s.read.option("recursiveFileLookup", "true")
         .parquet(sigRoot)
@@ -2872,6 +2926,7 @@ object Streaming {
         writeSplitSingle(staged,
           pmod(xxhash64(col("doc_id")), lit(4L)), 4, srcDir)
         val schema = s.read.parquet(srcDir).schema
+        withStreamShuffle(s) {
         val q = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1")
           .option("pathGlobFilter", "*.parquet")
@@ -2890,7 +2945,7 @@ object Streaming {
           }
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-        q.awaitTermination()
+        q.awaitTermination() }
       } finally s.conf.set(batchKey, prevBatchSize)
       val sigs = s.read.option("recursiveFileLookup", "true")
         .parquet(sigRoot)
@@ -2927,6 +2982,7 @@ object Streaming {
       writeSplitSingle(docs,
         pmod(xxhash64(col("doc_id")), lit(4L)), 4, srcDir)
       val schema = s.read.parquet(srcDir).schema
+      withStreamShuffle(s) {
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
@@ -2943,7 +2999,7 @@ object Streaming {
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      q.awaitTermination() }
       val vocab = s.read.option("recursiveFileLookup", "true")
         .parquet(histRoot)
         .groupBy("w").agg(sum("cnt").as("cnt"))
@@ -2974,6 +3030,7 @@ object Streaming {
       writeSplitSingle(docs,
         pmod(xxhash64(col("doc_id")), lit(4L)), 4, srcDir)
       val schema = s.read.parquet(srcDir).schema
+      withStreamShuffle(s) {
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
@@ -2991,7 +3048,7 @@ object Streaming {
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      q.awaitTermination() }
       val state = s.read.option("recursiveFileLookup", "true")
         .parquet(histRoot)
         .groupBy("doc_id", "w").agg(sum("n").as("n"))
@@ -3051,6 +3108,7 @@ object Streaming {
         writeSplitSingle(staged,
           pmod(xxhash64(col("doc_id")), lit(4L)), 4, srcDir)
         val schema = s.read.parquet(srcDir).schema
+        withStreamShuffle(s) {
         val q = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1")
           .option("pathGlobFilter", "*.parquet")
@@ -3073,7 +3131,7 @@ object Streaming {
           }
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-        q.awaitTermination()
+        q.awaitTermination() }
       } finally s.conf.set(batchKey, prevBatchSize)
       val sigs = s.read.option("recursiveFileLookup", "true")
         .parquet(sigRoot)
@@ -3144,6 +3202,7 @@ object Streaming {
           sum("user_id").cast("long").as("sum_user"))
         .coalesce(1).write.mode("overwrite").parquet(s"$viewRoot/v0")
       val schema = s.read.parquet(srcDir).schema
+      withStreamShuffle(s) {
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
@@ -3166,7 +3225,7 @@ object Streaming {
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      q.awaitTermination() }
       s.read.parquet(s"$viewRoot/v${latestGen(viewRoot)}")
         .filter(col("n_rows") > 0)
         .orderBy("event_type")
@@ -3235,6 +3294,7 @@ object Streaming {
       writeSplitSingle(docs, col("doc_id") % 4, 4,
         srcDir)
       val schema = s.read.parquet(srcDir).schema
+      withStreamShuffle(s) {
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
@@ -3250,7 +3310,7 @@ object Streaming {
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      q.awaitTermination() }
       val hist = s.read.option("recursiveFileLookup", "true")
         .parquet(histRoot)
         .groupBy("x", "cal")
@@ -3338,6 +3398,7 @@ object Streaming {
       writeSplitSingle(docs, col("doc_id") % 4, 4,
         srcDir)
       val schema = s.read.parquet(srcDir).schema
+      withStreamShuffle(s) {
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
@@ -3357,7 +3418,7 @@ object Streaming {
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      q.awaitTermination() }
       val merged = s.read.option("recursiveFileLookup", "true")
         .parquet(binRoot)
         .groupBy("bin")
@@ -3416,6 +3477,7 @@ object Streaming {
       writeSplitSingle(docs, col("doc_id") % 4, 4,
         srcDir)
       val schema = s.read.parquet(srcDir).schema
+      withStreamShuffle(s) {
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
@@ -3434,7 +3496,7 @@ object Streaming {
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      q.awaitTermination() }
       // recursiveFileLookup instead of b_* globs: see the s39 note
       val counts = s.read.option("recursiveFileLookup", "true")
         .parquet(cntRoot)
@@ -3559,6 +3621,7 @@ object Streaming {
       writeSplitSingle(docs, col("doc_id") % 4, 4,
         srcDir)
       val schema = s.read.parquet(srcDir).schema
+      withStreamShuffle(s) {
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
@@ -3576,7 +3639,7 @@ object Streaming {
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      q.awaitTermination() }
       val merged = s.read.option("recursiveFileLookup", "true")
         .parquet(cntRoot)
         .groupBy("p")
@@ -3613,6 +3676,7 @@ object Streaming {
       writeSplitSingle(ev, col("event_id") % 4, 4,
         srcDir)
       val schema = s.read.parquet(srcDir).schema
+      withStreamShuffle(s) {
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
@@ -3629,7 +3693,7 @@ object Streaming {
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      q.awaitTermination() }
       val merged = s.read.option("recursiveFileLookup", "true")
         .parquet(stateRoot)
         .groupBy("user_id")
@@ -3669,6 +3733,7 @@ object Streaming {
       writeSplitSingle(ev, col("event_id") % 4, 4,
         srcDir)
       val schema = s.read.parquet(srcDir).schema
+      withStreamShuffle(s) {
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
@@ -3685,7 +3750,7 @@ object Streaming {
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      q.awaitTermination() }
       val merged = s.read.option("recursiveFileLookup", "true")
         .parquet(stateRoot)
         .groupBy("user_id")
@@ -3740,6 +3805,7 @@ object Streaming {
       writeSplitSingle(ev, col("event_id") % 4, 4,
         srcDir)
       val schema = s.read.parquet(srcDir).schema
+      withStreamShuffle(s) {
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
@@ -3754,7 +3820,7 @@ object Streaming {
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      q.awaitTermination() }
       val population = s.read.option("recursiveFileLookup", "true")
         .parquet(stateRoot).distinct()
       graft.operators.Pipeline.srmCheck(population, "8", 0.5)

@@ -596,6 +596,17 @@ object Dedup {
         call_function("shiftleft", chunkCols(ci), lit(pos * maxWidth))
       }.reduce(_ bitwiseOR _)
     }
+    // NOTE (r14, measured): persist()-ing the (id, sig) frame here so
+    // the self-join's two branches share one upstream execution was
+    // tried and REVERTED — concurrent scans of the not-yet-built cache
+    // serialize on per-block locks and the components() consumers
+    // (which additionally scan `pairs` twice through their
+    // bidirectional edge union) measured 3× SLOWER (p192 4.95 → 15.0 s
+    // at sf0.1), while plain re-execution lets all branch tasks run
+    // fully parallel and AQE reuses the exchange stage where plans
+    // canonicalize equal. Callers for whom the upstream truly dominates
+    // stage their signatures through a barrier instead (the
+    // cropRobustPairs / hammingPairsCollapsed shape).
     val chunked = sig.select(col("id"), col("sig"),
       posexplode(array(comboCols: _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ckey")

@@ -1700,9 +1700,11 @@ class PlanSpec extends SparkSpec {
       s"p193: native DHash64 missing from the plan:\n$r")
     // the majority vote is evaluated in the aggregate's RESULT
     // projection, which the physical toString elides — pin it on the
-    // optimized logical plan (planning only, no re-execution)
+    // ANALYZED logical plan (planning only, no re-execution; analyzed
+    // rather than optimized so the pin also survives any future cache
+    // substitution, which runs before optimization).
     val rl = SparkEntry.queries("p193_video_neardup")(spark, sf)
-      .queryExecution.optimizedPlan.toString
+      .queryExecution.analyzed.toString
     assert(rl.contains("majorityhash64"),
       s"p193: native MajorityHash64 missing from the plan:\n$rl")
     assert(!r.contains("CartesianProduct") &&
