@@ -2948,8 +2948,14 @@ object Scale {
     val eq2 = ivmViewsEqual(v2, ivmViewOf(logical1
       .filter(col("event_id") % 7 =!= 0 ||
         col("event_id") >= 1000000000000L)))
+    // delta cardinalities from the COMMIT ARTIFACTS' parquet footers
+    // (no Spark job): delta1 IS the appended files; delta2 has exactly
+    // one base row per (file, pos) sidecar entry — positions were
+    // derived from the base, so |delta2| == |sidecar| by construction
+    def footerCount(p: String): Long = graft.pipeline.Dedup
+      .barrierRowCount(new org.apache.hadoop.fs.Path(p))
     ivmVersionRows("cdc_equals_recompute",
-      Seq((v0, 0, 0L, true), (v1, 1, delta1.count(), eq1),
-        (v2, 2, delta2.count(), eq2)))
+      Seq((v0, 0, 0L, true), (v1, 1, footerCount(appP), eq1),
+        (v2, 2, footerCount(dvP), eq2)))
   }
 }

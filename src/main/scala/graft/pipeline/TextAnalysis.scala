@@ -521,7 +521,23 @@ object TextAnalysis {
     val s = df.sparkSession
     import s.implicits._
     val levels = Seq.newBuilder[(Int, Long, Long)]
-    val (_, _, dir) = bpeLoop(bpeVocab(df, textCol), merges) { (lvl, v) =>
+    // local-path hook: the same exact integer sums computed from the
+    // rows directly (size(split(seq, ' ')) == split(" ", -1).length —
+    // no leading/trailing/double separators by construction), skipping
+    // a per-level LocalRelation aggregate job
+    val rowsHook = (lvl: Int, rows: Array[org.apache.spark.sql.Row],
+        seqIdx: Int, cntIdx: Int) => {
+      var ns = 0L; var nw = 0L
+      rows.foreach { r =>
+        val c = r.getAs[Number](cntIdx).longValue()
+        ns += c * r.getString(seqIdx).split(" ", -1).length
+        nw += c
+      }
+      levels += ((lvl, ns, nw))
+      ()
+    }
+    val (_, _, dir) = bpeLoop(bpeVocab(df, textCol), merges,
+      onLevelRows = rowsHook) { (lvl, v) =>
       val r = v.agg(
         sum(expr("cnt * size(split(seq, ' '))")).as("ns"),
         sum("cnt").as("nw")).head()
@@ -603,7 +619,9 @@ object TextAnalysis {
     * p197 curve hook runs unchanged.
     */
   private def bpeLoopLocal(vocab: DataFrame,
-      dir: org.apache.hadoop.fs.Path, merges: Int)(
+      dir: org.apache.hadoop.fs.Path, merges: Int,
+      onLevelRows: (Int, Array[org.apache.spark.sql.Row], Int, Int)
+        => Unit = null)(
       onLevel: (Int, DataFrame) => Unit): (Seq[(Int, String, Long)],
         DataFrame, org.apache.hadoop.fs.Path) = {
     val s = vocab.sparkSession
@@ -613,7 +631,13 @@ object TextAnalysis {
     var rows: Array[org.apache.spark.sql.Row] = vocab.collect()
     def df(rs: Array[org.apache.spark.sql.Row]): DataFrame =
       s.createDataFrame(java.util.Arrays.asList(rs: _*), schema)
-    onLevel(0, df(rows))
+    // the level hook: driver-side consumers (the p197 curve) take the
+    // rows directly — a per-level LocalRelation aggregate job would
+    // otherwise cost ~0.1 s × (merges + 1) of pure scheduling
+    def fire(lvl: Int): Unit =
+      if (onLevelRows != null) onLevelRows(lvl, rows, seqIdx, cntIdx)
+      else onLevel(lvl, df(rows))
+    fire(0)
     val learned = Seq.newBuilder[(Int, String, Long)]
     var step = 0
     var exhausted = false
@@ -658,14 +682,16 @@ object TextAnalysis {
           else org.apache.spark.sql.Row.fromSeq(
             r.toSeq.updated(seqIdx, out))
         }
-        onLevel(step, df(rows))
+        fire(step)
       }
     }
     (learned.result(), df(rows), dir)
   }
 
   private def bpeLoop(vocab0: DataFrame, merges: Int,
-      localBound: Long = LocalBpeBound)(
+      localBound: Long = LocalBpeBound,
+      onLevelRows: (Int, Array[org.apache.spark.sql.Row], Int, Int)
+        => Unit = null)(
       onLevel: (Int, DataFrame) => Unit): (Seq[(Int, String, Long)],
         DataFrame, org.apache.hadoop.fs.Path) = {
     val pairsOf = expr(
@@ -675,7 +701,7 @@ object TextAnalysis {
     var (vocab, dir) =
       Dedup.materializeBarrierAt(vocab0, "bpe-v0")
     if (Dedup.barrierRowCount(dir) <= localBound)
-      return bpeLoopLocal(vocab, dir, merges)(onLevel)
+      return bpeLoopLocal(vocab, dir, merges, onLevelRows)(onLevel)
     onLevel(0, vocab)
     val learned = Seq.newBuilder[(Int, String, Long)]
     var step = 0
