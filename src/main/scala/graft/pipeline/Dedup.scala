@@ -554,12 +554,12 @@ object Dedup {
     * over distinct sigs with a p01-style exact collapse in front is the
     * production composition at the extreme end.
     *
-    * Codegen note: at m=3/k=8 the 165-element combo-key array exceeds
-    * janino's 64 KB generated-method limit, so Spark compiles that one
-    * projection interpreted (the logged "Failed to compile" is this
-    * fallback, not an error). The stage is pure long shift/or
-    * arithmetic over one row at a time — measured costs (ledger rows)
-    * include the fallback and the decode stage dominates regardless.
+    * Codegen note: the combo keys are built by a `transform` over a
+    * literal array of chunk-index m-tuples (constant generated-code
+    * size), NOT by unrolling C(c,m) expression trees — the unrolled
+    * 165-element array at m=3/k=8 exceeded janino's 64 KB method limit
+    * and silently fell back to interpreted projection (r13 verdict
+    * watch item 2; fixed r14, bit-identical keys in the same order).
     *
     * @param sig (`id`, `sig` long) — one signature per id
     * @param multiIndex m — chunks that must jointly agree (key width ×m,
@@ -591,11 +591,26 @@ object Dedup {
     // working; only genuine multi-chunk packing can overflow the key
     require(m == 1 || m * maxWidth <= 63,
       s"combo key overflows: $m x $maxWidth bits")
-    val comboCols = (0 until chunks).combinations(m).toSeq.map { combo =>
-      combo.zipWithIndex.map { case (ci, pos) =>
-        call_function("shiftleft", chunkCols(ci), lit(pos * maxWidth))
-      }.reduce(_ bitwiseOR _)
-    }
+    // Combo keys are built by a `transform` over a LITERAL array of
+    // chunk-index m-tuples (1-based for element_at), indexing the small
+    // chunk-value array — NOT by materializing C(c,m) expression trees:
+    // at m=3/k=8 the old 165-element array() of inlined shift/mask
+    // trees exceeded janino's 64 KB method limit and the whole
+    // projection fell back to interpreted evaluation (the r13 verdict's
+    // watch item 2). As a constant-size loop over a literal, the
+    // generated code no longer grows with C(c,m), restoring whole-stage
+    // codegen. Values and order are bit-identical to the unrolled form:
+    // `combinations` emits the same sequence, element_at(chunkArr, ci)
+    // IS chunkCols(ci), and the shift/or packing is unchanged.
+    val chunkArr = array(chunkCols: _*)
+    val comboIdx: Seq[Seq[Int]] = (0 until chunks).combinations(m)
+      .map(_.map(_ + 1).toSeq).toSeq
+    val comboKeys = transform(typedLit(comboIdx), c =>
+      (0 until m).map { pos =>
+        call_function("shiftleft",
+          element_at(chunkArr, element_at(c, pos + 1)),
+          lit(pos * maxWidth))
+      }.reduce(_ bitwiseOR _))
     // NOTE (r14, measured): persist()-ing the (id, sig) frame here so
     // the self-join's two branches share one upstream execution was
     // tried and REVERTED — concurrent scans of the not-yet-built cache
@@ -608,7 +623,7 @@ object Dedup {
     // stage their signatures through a barrier instead (the
     // cropRobustPairs / hammingPairsCollapsed shape).
     val chunked = sig.select(col("id"), col("sig"),
-      posexplode(array(comboCols: _*)))
+      posexplode(comboKeys))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ckey")
     val a = chunked.select(col("chunk"), col("ckey"),
       col("id").as("id_a"), col("sig").as("sig_a"))
