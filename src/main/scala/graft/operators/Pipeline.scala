@@ -1223,15 +1223,26 @@ object Pipeline {
       steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
     val ev = events.select(col("user_id"), col("event_type"),
       unix_micros(col("ts")).as("us"))
+    // each anchor frame is consumed by BOTH adjacent step pairs (and by
+    // the next anchor's derivation), and as a lazy plan every consumer
+    // would re-execute the whole upstream chain — the last anchor's
+    // subtree alone scans `events` once per preceding step, ~8 scans
+    // total for 3 steps. Stage each anchor behind a tiny (user_id, a)
+    // barrier as it is derived, so `events` is scanned exactly once per
+    // step and the pair joins read KB-scale parquet.
     val anchors = steps.tail.scanLeft(
-      ev.filter(col("event_type") === steps.head)
-        .groupBy("user_id").agg(min(col("us")).as("a"))) { (prev, st) =>
-      ev.filter(col("event_type") === st)
-        .join(prev.select(col("user_id"), col("a").as("pa")), "user_id")
-        .filter(col("us") > col("pa"))
-        .groupBy("user_id").agg(min(col("us")).as("a"),
-          min(col("pa")).as("pa0"))
-        .select(col("user_id"), col("a"))
+      graft.pipeline.Dedup.materializeBarrier(
+        ev.filter(col("event_type") === steps.head)
+          .groupBy("user_id").agg(min(col("us")).as("a")),
+        "funnel-anchor")) { (prev, st) =>
+      graft.pipeline.Dedup.materializeBarrier(
+        ev.filter(col("event_type") === st)
+          .join(prev.select(col("user_id"), col("a").as("pa")), "user_id")
+          .filter(col("us") > col("pa"))
+          .groupBy("user_id").agg(min(col("us")).as("a"),
+            min(col("pa")).as("pa0"))
+          .select(col("user_id"), col("a")),
+        "funnel-anchor")
     }
     val pairs = steps.zip(steps.tail).zip(anchors.zip(anchors.tail))
     pairs.map { case ((s1, s2), (f1, f2)) =>
