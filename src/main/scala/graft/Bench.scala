@@ -653,10 +653,19 @@ object Bench {
         .mkString("{", ",", "}")},"prior_mins_loaded":${priorMins.size}}"""
     // Belt and braces for the driver's parser: the compact line goes to raw
     // stdout (build.sbt routes forked output past sbt's logger); the
-    // full-detail line goes to a file.
+    // full-detail line goes to a file. The stdout line truncates past
+    // ~150 entries (tiers above), which blinded the r14 cross-round
+    // per-query comparison — so ALSO write a per-(sf, cpus) sidecar that
+    // successive sweeps at other core counts don't overwrite; committing
+    // these gives round-over-round and scaling comparisons a full-detail
+    // artifact independent of the 1.9 kB stdout window.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outPath), fullLine + "\n")
+    catch { case _: Throwable => () }
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"bench_out_sf${sfNum}_c$cpus.json"),
+      fullLine + "\n")
     catch { case _: Throwable => () }
     println(line)
     spark.stop()

@@ -1230,12 +1230,12 @@ object Pipeline {
     // total for 3 steps. Stage each anchor behind a tiny (user_id, a)
     // barrier as it is derived, so `events` is scanned exactly once per
     // step and the pair joins read KB-scale parquet.
-    val anchors = steps.tail.scanLeft(
-      graft.pipeline.Dedup.materializeBarrier(
+    val anchorsAt = steps.tail.scanLeft(
+      graft.pipeline.Dedup.materializeBarrierAt(
         ev.filter(col("event_type") === steps.head)
           .groupBy("user_id").agg(min(col("us")).as("a")),
-        "funnel-anchor")) { (prev, st) =>
-      graft.pipeline.Dedup.materializeBarrier(
+        "funnel-anchor")) { case ((prev, _), st) =>
+      graft.pipeline.Dedup.materializeBarrierAt(
         ev.filter(col("event_type") === st)
           .join(prev.select(col("user_id"), col("a").as("pa")), "user_id")
           .filter(col("us") > col("pa"))
@@ -1244,8 +1244,9 @@ object Pipeline {
           .select(col("user_id"), col("a")),
         "funnel-anchor")
     }
+    val anchors = anchorsAt.map(_._1)
     val pairs = steps.zip(steps.tail).zip(anchors.zip(anchors.tail))
-    pairs.map { case ((s1, s2), (f1, f2)) =>
+    val out = pairs.map { case ((s1, s2), (f1, f2)) =>
       val deltas = f1.select(col("user_id"), col("a").as("a1"))
         .join(f2.select(col("user_id"), col("a").as("a2")), "user_id")
         .select(col("user_id"), (col("a2") - col("a1")).as("d"))
@@ -1289,6 +1290,16 @@ object Pipeline {
             col("p50_us"), col("p90_us"), lit(maxUs).as("max_us"))
       }
     }.reduce(_ unionAll _).orderBy("step_pair")
+    // every consumer of the anchor barriers (the next anchor's write,
+    // the delta barriers inside withGlobalOrderStaged) has executed
+    // eagerly by here — the returned plan reads only the staged-order
+    // barriers and driver-side literals, so the anchor scratch is dead;
+    // reclaim it now instead of at JVM exit (ADVICE r14: repeated
+    // construction in bench loops accumulated the dirs), mirroring the
+    // zero-conversion reclaim above.
+    anchorsAt.foreach { case (_, d) =>
+      graft.pipeline.Dedup.releaseBarrier(d) }
+    out
   }
 
   /** Seasonal (hour-of-day) anomaly baseline — the third member of the

@@ -29,13 +29,19 @@ object Streaming {
     * gate-scale value, restored after the stream completes so
     * publish-time batch plans keep the session's parallelism (and AQE).
     */
-  private def withStreamShuffle[T](s: org.apache.spark.sql.SparkSession)(
-      body: => T): T = {
+  private def withStreamShuffle[T](s: org.apache.spark.sql.SparkSession,
+      srcDir: String)(body: => T): T = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
-    // gate-scale default 4 (the runToMemory value); overridable for
-    // production volumes / A-B measurement via -Dgraft.stream.parts=N
+    // VOLUME-ADAPTIVE (r15, guide §2.2): partitions derive from the
+    // largest staged batch file under `srcDir` — clamp(ceil(bytes /
+    // 64 MB), 4, session value) via Streams.streamShufflePartitions —
+    // instead of the r14 constant 4, which was right for sf0.1
+    // micro-batches but a scale-killer at production volumes (every
+    // foreachBatch reduce stage bottlenecked on 4 tasks). At gate scale
+    // the clamp floor reproduces 4 exactly; -Dgraft.stream.parts=N
+    // still overrides for A/B measurement.
     s.conf.set("spark.sql.shuffle.partitions",
-      sys.props.getOrElse("graft.stream.parts", "4"))
+      graft.streaming.Streams.streamShufflePartitions(s, srcDir).toString)
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
@@ -108,7 +114,7 @@ object Streaming {
         |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
       Streams.runToMemory(s,
         Streams.hourlyCounts(Streams.eventsStream(s, dir)),
-        "s01_hourly")
+        "s01_hourly", srcPath = s"$dir/events.parquet")
     },
 
     QueryDef("s02_stream_sessions",
@@ -131,7 +137,7 @@ object Streaming {
         |FROM sess GROUP BY user_id, sess_id""".stripMargin) { (s, dir) =>
       Streams.runToMemory(s,
         Streams.userSessions(Streams.eventsStream(s, dir)),
-        "s02_sessions")
+        "s02_sessions", srcPath = s"$dir/events.parquet")
     },
 
     // streaming exact dedup: the stream unioned with itself (every event
@@ -143,7 +149,8 @@ object Streaming {
       val doubled = Streams.eventsStream(s, dir)
         .unionAll(Streams.eventsStream(s, dir))
       Streams.runToMemory(s, Streams.dedupStream(doubled),
-        "s04_dedup", outputMode = "append")
+        "s04_dedup", outputMode = "append",
+        srcPath = s"$dir/events.parquet")
         .groupBy("event_type").agg(count(lit(1)).as("n"))
     },
 
@@ -158,7 +165,8 @@ object Streaming {
         |     BETWEEN 1 AND 300000000""".stripMargin) { (s, dir) =>
       Streams.runToMemory(s,
         Streams.clickPurchaseJoin(Streams.eventsStream(s, dir)),
-        "s05_interval_join", outputMode = "append")
+        "s05_interval_join", outputMode = "append",
+        srcPath = s"$dir/events.parquet")
     },
 
     // stream-static broadcast enrichment (stateless; the static profile
@@ -175,7 +183,8 @@ object Streaming {
       val profile = Streams.userProfile(graft.Tables.load(s, dir, "events"))
       Streams.runToMemory(s,
         Streams.enrichWithUserProfile(Streams.eventsStream(s, dir), profile),
-        "s06_enrich", outputMode = "append")
+        "s06_enrich", outputMode = "append",
+        srcPath = s"$dir/events.parquet")
     },
 
     // streaming incremental dedup vs a static history: stateless bloom
@@ -198,7 +207,8 @@ object Streaming {
         Streams.dedupAgainstHistory(
           Streams.eventsStream(s, dir).filter(col("event_id") >= 5000),
           hashes, bytes),
-        "s07_bloom_dedup", outputMode = "append")
+        "s07_bloom_dedup", outputMode = "append",
+        srcPath = s"$dir/events.parquet")
     },
 
     // Streaming trending top-k: the stream maintains the windowed
@@ -221,7 +231,7 @@ object Streaming {
       import org.apache.spark.sql.expressions.Window
       val counts = Streams.runToMemory(s,
         Streams.hourlyCounts(Streams.eventsStream(s, dir)),
-        "s08_trending")
+        "s08_trending", srcPath = s"$dir/events.parquet")
       counts
         .withColumn("rank", row_number().over(
           Window.partitionBy("hour")
@@ -272,7 +282,7 @@ object Streaming {
         srcDir, "batch_b")
       val schema = s.read.parquet(srcDir).schema
       val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
-      withStreamShuffle(s) {
+      withStreamShuffle(s, srcDir) {
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
@@ -322,7 +332,7 @@ object Streaming {
         srcDir, "batch_b")
       val schema = s.read.parquet(srcDir).schema
       val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
-      withStreamShuffle(s) {
+      withStreamShuffle(s, srcDir) {
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
@@ -370,7 +380,7 @@ object Streaming {
         .option("pathGlobFilter", "*.parquet")
         .parquet(srcDir)
       Streams.runToMemory(s, Clustering.assignWith(stream, cents),
-        "s11_route", outputMode = "append")
+        "s11_route", outputMode = "append", srcPath = srcDir)
     },
 
     // streaming quality filter at ingest: the p67 cascade applied to a
@@ -401,7 +411,7 @@ object Streaming {
         .option("pathGlobFilter", "*.parquet")
         .parquet(srcDir)
       Streams.runToMemory(s, TextAnalysis.qualityCascade(stream),
-        "s12_quality_gate", outputMode = "append")
+        "s12_quality_gate", outputMode = "append", srcPath = srcDir)
     },
 
     // Streaming benchmark scrub: p82's span removal applied to the
@@ -427,7 +437,7 @@ object Streaming {
       writeSingle(train.filter(col("doc_id") % 2 === 0), srcDir, "batch_a")
       writeSingle(train.filter(col("doc_id") % 2 === 1), srcDir, "batch_b")
       val schema = s.read.parquet(srcDir).schema
-      withStreamShuffle(s) {
+      withStreamShuffle(s, srcDir) {
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
@@ -484,7 +494,7 @@ object Streaming {
       val stats = Retrieval.bm25StatsFromTerms(
         s.read.parquet(statsDir), docs.count())
       val schema = s.read.parquet(srcDir).schema
-      withStreamShuffle(s) {
+      withStreamShuffle(s, srcDir) {
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
@@ -530,7 +540,7 @@ object Streaming {
         .sortWithinPartitions("event_id")
         .write.mode("overwrite").parquet(srcDir)
       val schema = s.read.parquet(srcDir).schema
-      withStreamShuffle(s) {
+      withStreamShuffle(s, srcDir) {
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "2")
         .option("pathGlobFilter", "*.parquet")
@@ -597,7 +607,7 @@ object Streaming {
       writeSingle(corpus.filter(col("vec_id") % 2 === 0), srcDir, "batch_a")
       writeSingle(corpus.filter(col("vec_id") % 2 === 1), srcDir, "batch_b")
       val schema = s.read.parquet(srcDir).schema
-      withStreamShuffle(s) {
+      withStreamShuffle(s, srcDir) {
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
@@ -684,7 +694,7 @@ object Streaming {
         ()
       }
       val schema = s.read.parquet(srcDir).schema
-      withStreamShuffle(s) {
+      withStreamShuffle(s, srcDir) {
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
@@ -808,7 +818,7 @@ object Streaming {
       writeSingle(docs.filter(col("doc_id") % 2 === 0), srcDir, "batch_a")
       writeSingle(docs.filter(col("doc_id") % 2 === 1), srcDir, "batch_b")
       val schema = s.read.parquet(srcDir).schema
-      withStreamShuffle(s) {
+      withStreamShuffle(s, srcDir) {
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
@@ -857,7 +867,7 @@ object Streaming {
           ()
         }
         val schema = s.read.parquet(srcDir).schema
-        withStreamShuffle(s) {
+        withStreamShuffle(s, srcDir) {
         val q = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1")
           .option("pathGlobFilter", "*.parquet")
@@ -917,7 +927,7 @@ object Streaming {
         ()
       }
       val schema = s.read.parquet(srcDir).schema
-      withStreamShuffle(s) {
+      withStreamShuffle(s, srcDir) {
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
@@ -998,7 +1008,7 @@ object Streaming {
       writeSingle(delta.filter(col("doc_id") % 2 === 1), srcDir, "batch_b")
       v1.write.mode("overwrite").parquet(s"$storeRoot/v0")
       val schema = s.read.parquet(srcDir).schema
-      withStreamShuffle(s) {
+      withStreamShuffle(s, srcDir) {
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
@@ -1069,7 +1079,7 @@ object Streaming {
       writeSingle(docs.filter(col("doc_id") % 2 === 0), srcDir, "batch_a")
       writeSingle(docs.filter(col("doc_id") % 2 === 1), srcDir, "batch_b")
       val schema = s.read.parquet(srcDir).schema
-      withStreamShuffle(s) {
+      withStreamShuffle(s, srcDir) {
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
@@ -1098,7 +1108,8 @@ object Streaming {
         |FROM events GROUP BY user_id""".stripMargin) { (s, dir) =>
       Streams.runToMemory(s,
         Streams.userRunningStats(Streams.eventsStream(s, dir)),
-        "s03_custom_state", outputMode = "append")
+        "s03_custom_state", outputMode = "append",
+        srcPath = s"$dir/events.parquet")
     },
 
     // LEFT OUTER stream-stream interval join: null rows flush only when
@@ -1123,7 +1134,8 @@ object Streaming {
       (s, dir) =>
       val joined = Streams.runToMemory(s,
         Streams.clickPurchaseLeftJoin(Streams.eventsStream(s, dir)),
-        "s23_left_outer", outputMode = "append")
+        "s23_left_outer", outputMode = "append",
+        srcPath = s"$dir/events.parquet")
       // the global watermark is min over BOTH inputs' (max ts − delay),
       // so the certainty cutoff keys off the SMALLER side maximum —
       // one bounded 2-row agg over the batch table
@@ -1167,7 +1179,7 @@ object Streaming {
         rmTree(new java.io.File(tmp))
       }
       def runOnce(): Unit = {
-        withStreamShuffle(s) {
+        withStreamShuffle(s, src) {
         val q = s.readStream.format("graft-logfmt").load(src)
           .groupBy("event_type")
           .agg(count(lit(1)).as("n"),
@@ -1354,7 +1366,7 @@ object Streaming {
       writeSingle(clicks.filter(col("event_id") % 2 === 0), srcDir, "batch_a")
       writeSingle(clicks.filter(col("event_id") % 2 === 1), srcDir, "batch_b")
       val schema = s.read.parquet(srcDir).schema
-      withStreamShuffle(s) {
+      withStreamShuffle(s, srcDir) {
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
@@ -1405,7 +1417,7 @@ object Streaming {
       writeSingle(corpus.filter(col("vec_id") % 2 === 0), srcDir, "batch_a")
       writeSingle(corpus.filter(col("vec_id") % 2 === 1), srcDir, "batch_b")
       val schema = s.read.parquet(srcDir).schema
-      withStreamShuffle(s) {
+      withStreamShuffle(s, srcDir) {
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
@@ -1470,7 +1482,7 @@ object Streaming {
       writeSingle(docs.filter(col("doc_id") % 3 === 1), srcDir, "batch_b")
       writeSingle(docs.filter(col("doc_id") % 3 === 2), srcDir, "batch_c")
       val schema = s.read.parquet(srcDir).schema
-      withStreamShuffle(s) {
+      withStreamShuffle(s, srcDir) {
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
@@ -1528,7 +1540,7 @@ object Streaming {
       writeSplitSingle(orders, col("o_orderkey") % 4, 4,
         srcDir)
       val schema = s.read.parquet(srcDir).schema
-      withStreamShuffle(s) {
+      withStreamShuffle(s, srcDir) {
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
@@ -1634,7 +1646,7 @@ object Streaming {
       writeSplitSingle(ev, col("event_id") % 4, 4,
         srcDir)
       val schema = s.read.parquet(srcDir).schema
-      withStreamShuffle(s) {
+      withStreamShuffle(s, srcDir) {
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
@@ -1759,7 +1771,7 @@ object Streaming {
         nullA.as("a2"), nullA.as("a3"))
         .write.mode("overwrite").parquet(s"$stateRoot/v0")
       val schema = s.read.parquet(srcDir).schema
-      withStreamShuffle(s) {
+      withStreamShuffle(s, srcDir) {
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
@@ -1848,7 +1860,7 @@ object Streaming {
       writeSplitSingle(ev, col("event_id") % 4, 4,
         srcDir)
       val schema = s.read.parquet(srcDir).schema
-      withStreamShuffle(s) {
+      withStreamShuffle(s, srcDir) {
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
@@ -1944,7 +1956,7 @@ object Streaming {
           lit(null).cast("string").as("event_type"))
         .write.mode("overwrite").parquet(s"$stateRoot/v0")
       val schema = s.read.parquet(srcDir).schema
-      withStreamShuffle(s) {
+      withStreamShuffle(s, srcDir) {
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
@@ -2026,7 +2038,7 @@ object Streaming {
       writeSplitSingle(reqs, col("event_id") % 4, 4,
         srcDir)
       val schema = s.read.parquet(srcDir).schema
-      withStreamShuffle(s) {
+      withStreamShuffle(s, srcDir) {
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
@@ -2114,7 +2126,7 @@ object Streaming {
       writeSplitSingle(ev, col("event_id") % 4, 4,
         srcDir)
       val schema = s.read.parquet(srcDir).schema
-      withStreamShuffle(s) {
+      withStreamShuffle(s, srcDir) {
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
@@ -2225,7 +2237,7 @@ object Streaming {
       writeSplitSingle(ev, col("event_id") % 4, 4,
         srcDir)
       val schema = s.read.parquet(srcDir).schema
-      withStreamShuffle(s) {
+      withStreamShuffle(s, srcDir) {
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
@@ -2409,7 +2421,7 @@ object Streaming {
           lit(null).cast("long").as("np"))
         .write.mode("overwrite").parquet(s"$stateRoot/v0")
       val schema = s.read.parquet(srcDir).schema
-      withStreamShuffle(s) {
+      withStreamShuffle(s, srcDir) {
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
@@ -2581,7 +2593,7 @@ object Streaming {
           lit(null).cast("long").as("np"))
         .write.mode("overwrite").parquet(s"$stateRoot/v0")
       val schema = s.read.parquet(srcDir).schema
-      withStreamShuffle(s) {
+      withStreamShuffle(s, srcDir) {
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
@@ -2698,7 +2710,7 @@ object Streaming {
       writeSplitSingle(staged,
         pmod(xxhash64(col("doc_id")), lit(4L)), 4, srcDir)
       val schema = s.read.parquet(srcDir).schema
-      withStreamShuffle(s) {
+      withStreamShuffle(s, srcDir) {
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
@@ -2707,12 +2719,16 @@ object Streaming {
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
             batchId: Long) =>
           val dec = graft.pipeline.Multimodal
-            .withDecodedGray(batch, "media")
+            .withDecodedGray(graft.streaming.Streams.fanOutBatch(batch),
+              "media")
             .filter(col("gray").isNotNull)
+          // repartition(1), NOT coalesce(1): coalesce is narrow and
+          // would collapse the fanned-out decode back into the single
+          // writer task; the exchange ships only (id, sig) longs
           dec.select(col("doc_id").as("id"),
               org.apache.spark.sql.graft.VectorExpressions.dhash64(
                 col("gray"), col("img_w"), col("img_h")).as("sig"))
-            .coalesce(1).write.mode("overwrite")
+            .repartition(1).write.mode("overwrite")
             .parquet(s"$sigRoot/b_$batchId")
           ()
         }
@@ -2766,7 +2782,7 @@ object Streaming {
       writeSplitSingle(staged,
         pmod(xxhash64(col("doc_id")), lit(4L)), 4, srcDir)
       val schema = s.read.parquet(srcDir).schema
-      withStreamShuffle(s) {
+      withStreamShuffle(s, srcDir) {
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
@@ -2775,12 +2791,14 @@ object Streaming {
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
             batchId: Long) =>
           val dec = graft.pipeline.Multimodal
-            .withDecodedPcm(batch, "media")
+            .withDecodedPcm(graft.streaming.Streams.fanOutBatch(batch),
+              "media")
             .filter(col("pcm").isNotNull)
+          // repartition(1), NOT coalesce(1) — the s47 note
           dec.select(col("doc_id").as("id"),
               org.apache.spark.sql.graft.VectorExpressions.audiohash64(
                 col("pcm")).as("sig"))
-            .coalesce(1).write.mode("overwrite")
+            .repartition(1).write.mode("overwrite")
             .parquet(s"$sigRoot/b_$batchId")
           ()
         }
@@ -2848,7 +2866,7 @@ object Streaming {
         writeSplitSingle(staged,
           pmod(xxhash64(col("doc_id")), lit(4L)), 4, srcDir)
         val schema = s.read.parquet(srcDir).schema
-        withStreamShuffle(s) {
+        withStreamShuffle(s, srcDir) {
         val q = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1")
           .option("pathGlobFilter", "*.parquet")
@@ -2857,15 +2875,19 @@ object Streaming {
           .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
               batchId: Long) =>
             val frames = graft.pipeline.Multimodal
-              .withDecodedFrames(batch, "media")
+              .withDecodedFrames(
+                graft.streaming.Streams.fanOutBatch(batch), "media")
               .filter(col("gray").isNotNull)
+            // repartition(1), NOT coalesce(1) — the s47 note (the
+            // groupBy exchange sits between, but coalesce(1) would
+            // still collapse the vote stage onto one core)
             frames.select(col("doc_id").as("id"),
                 org.apache.spark.sql.graft.VectorExpressions.dhash64(
                   col("gray"), col("img_w"), col("img_h")).as("fsig"))
               .groupBy("id")
               .agg(org.apache.spark.sql.graft.VectorExpressions
                 .majorityhash64(collect_list(col("fsig"))).as("sig"))
-              .coalesce(1).write.mode("overwrite")
+              .repartition(1).write.mode("overwrite")
               .parquet(s"$sigRoot/b_$batchId")
             ()
           }
@@ -2926,7 +2948,7 @@ object Streaming {
         writeSplitSingle(staged,
           pmod(xxhash64(col("doc_id")), lit(4L)), 4, srcDir)
         val schema = s.read.parquet(srcDir).schema
-        withStreamShuffle(s) {
+        withStreamShuffle(s, srcDir) {
         val q = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1")
           .option("pathGlobFilter", "*.parquet")
@@ -2934,12 +2956,14 @@ object Streaming {
           .writeStream
           .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
               batchId: Long) =>
+            val fanned = graft.streaming.Streams.fanOutBatch(batch)
             val frameSigs = graft.pipeline.Dedup.frameGrabClipSigs(
-              batch.filter(col("kind") === "clip"), "doc_id", "media")
+              fanned.filter(col("kind") === "clip"), "doc_id", "media")
             val grabSigs = graft.pipeline.Dedup.frameGrabImageSigs(
-              batch.filter(col("kind") === "grab"), "doc_id", "media")
+              fanned.filter(col("kind") === "grab"), "doc_id", "media")
+            // repartition(1), NOT coalesce(1) — the s47 note
             frameSigs.unionAll(grabSigs)
-              .coalesce(1).write.mode("overwrite")
+              .repartition(1).write.mode("overwrite")
               .parquet(s"$sigRoot/b_$batchId")
             ()
           }
@@ -2982,7 +3006,7 @@ object Streaming {
       writeSplitSingle(docs,
         pmod(xxhash64(col("doc_id")), lit(4L)), 4, srcDir)
       val schema = s.read.parquet(srcDir).schema
-      withStreamShuffle(s) {
+      withStreamShuffle(s, srcDir) {
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
@@ -3030,7 +3054,7 @@ object Streaming {
       writeSplitSingle(docs,
         pmod(xxhash64(col("doc_id")), lit(4L)), 4, srcDir)
       val schema = s.read.parquet(srcDir).schema
-      withStreamShuffle(s) {
+      withStreamShuffle(s, srcDir) {
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
@@ -3108,7 +3132,7 @@ object Streaming {
         writeSplitSingle(staged,
           pmod(xxhash64(col("doc_id")), lit(4L)), 4, srcDir)
         val schema = s.read.parquet(srcDir).schema
-        withStreamShuffle(s) {
+        withStreamShuffle(s, srcDir) {
         val q = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1")
           .option("pathGlobFilter", "*.parquet")
@@ -3119,13 +3143,15 @@ object Streaming {
             // hopDiv=2 mirrors the batch operator's sliding default
             // (p200/p202) — the streaming ingest must compute the SAME
             // window signatures the batch path would
+            val fanned = graft.streaming.Streams.fanOutBatch(batch)
             val winSigs = graft.pipeline.Dedup.audioWindowSigs(
-              batch.filter(col("kind") === "rec"), "doc_id", "media", 4,
+              fanned.filter(col("kind") === "rec"), "doc_id", "media", 4,
               hopDiv = 2)
             val snipSigs = graft.pipeline.Dedup.audioSnippetSigs(
-              batch.filter(col("kind") === "snip"), "doc_id", "media")
+              fanned.filter(col("kind") === "snip"), "doc_id", "media")
+            // repartition(1), NOT coalesce(1) — the s47 note
             winSigs.unionAll(snipSigs)
-              .coalesce(1).write.mode("overwrite")
+              .repartition(1).write.mode("overwrite")
               .parquet(s"$sigRoot/b_$batchId")
             ()
           }
@@ -3202,7 +3228,7 @@ object Streaming {
           sum("user_id").cast("long").as("sum_user"))
         .coalesce(1).write.mode("overwrite").parquet(s"$viewRoot/v0")
       val schema = s.read.parquet(srcDir).schema
-      withStreamShuffle(s) {
+      withStreamShuffle(s, srcDir) {
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
@@ -3294,7 +3320,7 @@ object Streaming {
       writeSplitSingle(docs, col("doc_id") % 4, 4,
         srcDir)
       val schema = s.read.parquet(srcDir).schema
-      withStreamShuffle(s) {
+      withStreamShuffle(s, srcDir) {
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
@@ -3398,7 +3424,7 @@ object Streaming {
       writeSplitSingle(docs, col("doc_id") % 4, 4,
         srcDir)
       val schema = s.read.parquet(srcDir).schema
-      withStreamShuffle(s) {
+      withStreamShuffle(s, srcDir) {
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
@@ -3477,7 +3503,7 @@ object Streaming {
       writeSplitSingle(docs, col("doc_id") % 4, 4,
         srcDir)
       val schema = s.read.parquet(srcDir).schema
-      withStreamShuffle(s) {
+      withStreamShuffle(s, srcDir) {
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
@@ -3621,7 +3647,7 @@ object Streaming {
       writeSplitSingle(docs, col("doc_id") % 4, 4,
         srcDir)
       val schema = s.read.parquet(srcDir).schema
-      withStreamShuffle(s) {
+      withStreamShuffle(s, srcDir) {
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
@@ -3676,7 +3702,7 @@ object Streaming {
       writeSplitSingle(ev, col("event_id") % 4, 4,
         srcDir)
       val schema = s.read.parquet(srcDir).schema
-      withStreamShuffle(s) {
+      withStreamShuffle(s, srcDir) {
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
@@ -3733,7 +3759,7 @@ object Streaming {
       writeSplitSingle(ev, col("event_id") % 4, 4,
         srcDir)
       val schema = s.read.parquet(srcDir).schema
-      withStreamShuffle(s) {
+      withStreamShuffle(s, srcDir) {
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
@@ -3805,7 +3831,7 @@ object Streaming {
       writeSplitSingle(ev, col("event_id") % 4, 4,
         srcDir)
       val schema = s.read.parquet(srcDir).schema
-      withStreamShuffle(s) {
+      withStreamShuffle(s, srcDir) {
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")

@@ -93,7 +93,7 @@ object Dedup {
   private[graft] def materializeBarrier(df: DataFrame, tag: String): DataFrame =
     materializeBarrierAt(df, tag)._1
 
-  private[pipeline] def materializeBarrierAt(
+  private[graft] def materializeBarrierAt(
       df: DataFrame, tag: String): (DataFrame, org.apache.hadoop.fs.Path) = {
     barrierHook
     val spark = df.sparkSession
@@ -597,9 +597,13 @@ object Dedup {
     // at m=3/k=8 the old 165-element array() of inlined shift/mask
     // trees exceeded janino's 64 KB method limit and the whole
     // projection fell back to interpreted evaluation (the r13 verdict's
-    // watch item 2). As a constant-size loop over a literal, the
-    // generated code no longer grows with C(c,m), restoring whole-stage
-    // codegen. Values and order are bit-identical to the unrolled form:
+    // watch item 2). The lambda body of a higher-order function still
+    // evaluates via CodegenFallback inside the compiled stage — the win
+    // is that the generated code stays CONSTANT-SIZE regardless of
+    // C(c,m), so the surrounding projection no longer blows the method
+    // limit and falls back to interpreted mode wholesale (that fallback,
+    // not the key expression's own codegen, was the measured cost).
+    // Values and order are bit-identical to the unrolled form:
     // `combinations` emits the same sequence, element_at(chunkArr, ci)
     // IS chunkCols(ci), and the shift/or packing is unchanged.
     val chunkArr = array(chunkCols: _*)
@@ -642,8 +646,16 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
-      .dropDuplicates("id_a", "id_b")
+      // hamming cut BEFORE the dedup shuffle (r15, guide §2.3 — shuffle
+      // fewer bytes): a random combo-key collision pairs signatures
+      // ~32 bits apart, and the old order shuffled every such candidate
+      // into dropDuplicates' exchange only to discard it afterwards.
+      // Each (id_a, id_b) has exactly ONE sig pair (one signature per
+      // id — the input contract), so every duplicate candidate row
+      // carries the same hamming and the filter commutes with the
+      // dedup row-for-row.
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** [[hammingPairs]] with the EXACT-SIGNATURE PRE-COLLAPSE in front —
@@ -790,6 +802,15 @@ object Dedup {
       cropAnchorSigs(df, idCol, binCol, gridN), "crop-sigs")
     val cand = hammingPairs(sigs.select("id", "sig"), maxHamming,
       multiIndex)
+      // SAME-IMAGE candidates die here, not after the verify (r15,
+      // guide §1.2 — don't compute things you throw away): adjacent
+      // anchors of one smooth image hash close together, so the
+      // pigeonhole emits plenty of within-image pairs, and the old
+      // plan dragged each through BOTH 576-byte grid joins and the
+      // 72-cell L1 only for the final base_a =!= base_b filter to
+      // discard it. The predicate depends only on the pair ids, so
+      // hoisting it above the verify joins is row-identical.
+      .filter(expr("id_a DIV 16") =!= expr("id_b DIV 16"))
     val grids = sigs.select("id", "grid")
     val V = org.apache.spark.sql.graft.VectorExpressions
     val verified = cand

@@ -222,10 +222,62 @@ object Streams {
     * would spin up 32 stores per stateful operator, dominating small-SF
     * runtime — bound it for the gate run and restore after.
     */
+  /** Micro-batch shuffle-partition bound, derived from the staged
+    * source's per-batch volume (optimization guide §2.2): AQE partition
+    * coalescing is DISABLED inside Structured Streaming, so the reduce
+    * partition count must be right up front — clamp(ceil(largest staged
+    * file / 64 MB), 4, session value). One staged file IS one
+    * micro-batch for every gate source (maxFilesPerTrigger=1, or
+    * AvailableNow's per-file batching), so the largest file bounds any
+    * single batch's input; 64 MB of (compressed) source per reduce task
+    * keeps post-shuffle partitions inside the guide's 100 MB–1 GB band.
+    * The floor 4 preserves the gate-scale value (state-store count
+    * stays partition-order-invariant by the split-merge fuzz
+    * contracts); the ceiling is the session's batch parallelism.
+    * `-Dgraft.stream.parts=N` still overrides for A/B measurement.
+    */
+  def streamShufflePartitions(spark: SparkSession,
+      srcPath: String): Int =
+    sys.props.get("graft.stream.parts").map(_.toInt).getOrElse {
+      val sess = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      val f = new java.io.File(srcPath)
+      val batchBytes: Long =
+        if (f.isFile) f.length()
+        else Option(f.listFiles()).toSeq.flatten
+          .filter(x => x.isFile && !x.getName.startsWith("_") &&
+            !x.getName.startsWith("."))
+          .map(_.length()).reduceOption(_ max _).getOrElse(0L)
+      val target = 64L << 20
+      val need = ((batchBytes + target - 1) / target).toInt
+      math.max(4, math.min(if (sess <= 0) 4 else sess, need))
+    }
+
+  /** Fan a staged micro-batch out to the session's cores BEFORE
+    * per-row decode/tokenize work (optimization guide §2.6 — idle
+    * capacity): the gate fixtures stage each micro-batch as ONE small
+    * parquet file, so the batch arrives as a single input split and a
+    * downstream mapPartitions decoder (ImageIO, RIFF parse, GVID
+    * demux) runs its whole batch on ONE core while 31 sit idle — and
+    * the single-file sig writes previously used coalesce(1), which is
+    * narrow and dragged the decode into the writer task too. The
+    * round-robin exchange moves each payload exactly once (§8: a
+    * payload shuffle is fine when it is the move that feeds idle
+    * cores; decode throughput is MB/s, shuffle is GB/s). A batch that
+    * already has at least as many splits as cores is left alone — a
+    * production-volume micro-batch of many files never pays a payload
+    * shuffle. Row sets are unchanged (order-independence is the
+    * split-merge fuzz contract every streaming gate pins).
+    */
+  def fanOutBatch(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+  }
+
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,
-      outputMode: String = "complete"): DataFrame = {
+      outputMode: String = "complete", srcPath: String = ""): DataFrame = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      streamShufflePartitions(spark, srcPath).toString)
     try {
       val q = df.writeStream
         .format("memory")
