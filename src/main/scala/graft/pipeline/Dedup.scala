@@ -591,30 +591,25 @@ object Dedup {
     // working; only genuine multi-chunk packing can overflow the key
     require(m == 1 || m * maxWidth <= 63,
       s"combo key overflows: $m x $maxWidth bits")
-    // Combo keys are built by a `transform` over a LITERAL array of
-    // chunk-index m-tuples (1-based for element_at), indexing the small
-    // chunk-value array — NOT by materializing C(c,m) expression trees:
-    // at m=3/k=8 the old 165-element array() of inlined shift/mask
+    // Combo keys: posexplode a LITERAL array of chunk-index m-tuples
+    // (1-based for element_at) and pack the key from m element_at terms
+    // over the small chunk-value array — NOT C(c,m) unrolled expression
+    // trees (at m=3/k=8 the 165-element array() of inlined shift/mask
     // trees exceeded janino's 64 KB method limit and the whole
-    // projection fell back to interpreted evaluation (the r13 verdict's
-    // watch item 2). The lambda body of a higher-order function still
-    // evaluates via CodegenFallback inside the compiled stage — the win
-    // is that the generated code stays CONSTANT-SIZE regardless of
-    // C(c,m), so the surrounding projection no longer blows the method
-    // limit and falls back to interpreted mode wholesale (that fallback,
-    // not the key expression's own codegen, was the measured cost).
-    // Values and order are bit-identical to the unrolled form:
-    // `combinations` emits the same sequence, element_at(chunkArr, ci)
-    // IS chunkCols(ci), and the shift/or packing is unchanged.
+    // projection fell back to interpreted evaluation — the r13
+    // verdict's watch item 2), and NOT a `transform` lambda over that
+    // literal (the r14 fix): a higher-order function's
+    // NamedLambdaVariable never canonicalizes, so the self-join's two
+    // exploded sides compared UNEQUAL and each materialized its own
+    // exchange — the r15 JobProf showed two full explode shuffles where
+    // ReusedExchange should fire. The m shift/or terms below are a
+    // constant-size, genuinely codegen'd projection with the exact same
+    // key values in the exact same order (`combinations` emits the same
+    // sequence; element_at(chunkArr, ci) IS chunkCols(ci); the packing
+    // is unchanged).
     val chunkArr = array(chunkCols: _*)
     val comboIdx: Seq[Seq[Int]] = (0 until chunks).combinations(m)
       .map(_.map(_ + 1).toSeq).toSeq
-    val comboKeys = transform(typedLit(comboIdx), c =>
-      (0 until m).map { pos =>
-        call_function("shiftleft",
-          element_at(chunkArr, element_at(c, pos + 1)),
-          lit(pos * maxWidth))
-      }.reduce(_ bitwiseOR _))
     // NOTE (r14, measured): persist()-ing the (id, sig) frame here so
     // the self-join's two branches share one upstream execution was
     // tried and REVERTED — concurrent scans of the not-yet-built cache
@@ -627,8 +622,14 @@ object Dedup {
     // stage their signatures through a barrier instead (the
     // cropRobustPairs / hammingPairsCollapsed shape).
     val chunked = sig.select(col("id"), col("sig"),
-      posexplode(comboKeys))
-      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ckey")
+      posexplode(typedLit(comboIdx)))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "trip")
+      .select(col("id"), col("sig"), col("chunk"),
+        (0 until m).map { pos =>
+          call_function("shiftleft",
+            element_at(chunkArr, element_at(col("trip"), pos + 1)),
+            lit(pos * maxWidth))
+        }.reduce(_ bitwiseOR _).as("ckey"))
     val a = chunked.select(col("chunk"), col("ckey"),
       col("id").as("id_a"), col("sig").as("sig_a"))
     val b = chunked.select(col("chunk"), col("ckey"),

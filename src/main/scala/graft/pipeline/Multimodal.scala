@@ -404,7 +404,7 @@ object Multimodal {
               587 * ((rgb >> 8) & 0xFF) + 114 * (rgb & 0xFF)
             i += 1
           }
-          Row.fromSeq(r.toSeq ++ Seq(gray.toSeq, w, h))
+          Row.fromSeq(r.toSeq ++ Seq(gray, w, h))
         }
       }
     }(RowEncoder.encoderFor(outSchema))
@@ -439,7 +439,7 @@ object Multimodal {
             (v & 255) * 114).toInt
           i += 1
         }
-        Row.fromSeq(r.toSeq :+ g.toSeq)
+        Row.fromSeq(r.toSeq :+ g)
       }
     }(RowEncoder.encoderFor(outSchema))
   }
@@ -673,7 +673,7 @@ object Multimodal {
           s(i) = ((id * 31 + i.toLong * 17) % 4001).toInt - 2000
           i += 1
         }
-        Row.fromSeq(r.toSeq :+ s.toSeq)
+        Row.fromSeq(r.toSeq :+ s)
       }
     }(RowEncoder.encoderFor(outSchema))
   }
@@ -695,7 +695,7 @@ object Multimodal {
         val bytes = r.getAs[Array[Byte]](binIdx)
         val parsed = parseWav(bytes)
         if (parsed == null) Row.fromSeq(r.toSeq ++ Seq(null, null))
-        else Row.fromSeq(r.toSeq ++ Seq(parsed._1.toSeq, parsed._2))
+        else Row.fromSeq(r.toSeq ++ Seq(parsed._1, parsed._2))
       }
     }(RowEncoder.encoderFor(outSchema))
   }
@@ -978,7 +978,7 @@ object Multimodal {
                 gray(i) = bytes(base + i) & 0xFF
                 i += 1
               }
-              Row.fromSeq(r.toSeq ++ Seq(j, gray.toSeq, w, h))
+              Row.fromSeq(r.toSeq ++ Seq(j, gray, w, h))
             }
           }
         } catch { case _: Exception => nulls }
