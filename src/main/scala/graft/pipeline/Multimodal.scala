@@ -125,8 +125,6 @@ object Multimodal {
     // scale=1 box-averages 2×2 master samples in the same order as the
     // old per-pixel form, so the rounded pixel is unchanged
     val master = bilinearGrid(lat, 2 * w, 2 * h)
-    val img = new java.awt.image.BufferedImage(
-      w * scale, h * scale, java.awt.image.BufferedImage.TYPE_INT_RGB)
     val px = new Array[Int](w * scale * h * scale)
     var y = 0
     while (y < h * scale) {
@@ -144,6 +142,14 @@ object Multimodal {
       }
       y += 1
     }
+    // PNG goes through the exact fast codec (identical pixels, cheaper
+    // container — MediaMicro measured ImageIO's max-deflate writer at
+    // ~68% of the per-image pipeline); JPEG stays on ImageIO: it is
+    // lossy, so its exact bytes ARE the gate margins' ground truth
+    if (fmt == "png")
+      return PngCodec.encodeGrayRgb(px, w * scale, h * scale)
+    val img = new java.awt.image.BufferedImage(
+      w * scale, h * scale, java.awt.image.BufferedImage.TYPE_INT_RGB)
     // bulk store — per-pixel setRGB goes through the color model and
     // sync machinery per call and dominated the encode stage
     img.setRGB(0, 0, w * scale, h * scale, px, 0, w * scale)
@@ -297,8 +303,6 @@ object Multimodal {
         val y0 = gy * h / gridN; val y1 = (gy + 1) * h / gridN
         val cw = 2 * (x1 - x0); val ch = 2 * (y1 - y0)
         val lat = smoothLattice(seed)
-        val img = new java.awt.image.BufferedImage(
-          cw, ch, java.awt.image.BufferedImage.TYPE_INT_RGB)
         val px = new Array[Int](cw * ch)
         var y = 0
         while (y < ch) {
@@ -315,10 +319,19 @@ object Multimodal {
           }
           y += 1
         }
-        img.setRGB(0, 0, cw, ch, px, 0, cw)
-        val out = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, fmt, out)
-        Row.fromSeq(r.toSeq :+ out.toByteArray)
+        // PNG through the exact fast codec (identical pixels; the
+        // syntheticSmoothImage note); other formats via ImageIO
+        val bytes =
+          if (fmt == "png") PngCodec.encodeGrayRgb(px, cw, ch)
+          else {
+            val img = new java.awt.image.BufferedImage(
+              cw, ch, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            img.setRGB(0, 0, cw, ch, px, 0, cw)
+            val out = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, fmt, out)
+            out.toByteArray
+          }
+        Row.fromSeq(r.toSeq :+ bytes)
       }
     }(RowEncoder.encoderFor(outSchema))
   }
@@ -384,6 +397,14 @@ object Multimodal {
     df.mapPartitions { rows =>
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](binIdx)
+        // 8-bit truecolor non-interlaced PNG takes the exact fast path
+        // (inflate + spec unfilter, no BufferedImage/color-model pass;
+        // gray values bit-identical — spec-pinned against ImageIO);
+        // everything else (JPEG, exotic PNG shapes) keeps ImageIO
+        val fast = if (bytes == null) null else PngCodec.decodeGray(bytes)
+        if (fast != null) {
+          Row.fromSeq(r.toSeq ++ Seq(fast._1, fast._2, fast._3))
+        } else {
         val img =
           if (bytes == null) null
           else
@@ -405,6 +426,7 @@ object Multimodal {
             i += 1
           }
           Row.fromSeq(r.toSeq ++ Seq(gray, w, h))
+        }
         }
       }
     }(RowEncoder.encoderFor(outSchema))
@@ -909,11 +931,9 @@ object Multimodal {
     df.mapPartitions { rows =>
       rows.map { r =>
         val lat = morphedLattice(r.getLong(seedIdx), srcFrame)
-        val img = new java.awt.image.BufferedImage(
-          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-        // one bilinearGrid pass (bit-identical samples) + bulk setRGB
-        // (per-pixel setRGB pays color-model + sync cost per call — the
-        // syntheticSmoothImage lesson applied here)
+        // one bilinearGrid pass (bit-identical samples); PNG through
+        // the exact fast codec (identical pixels — the
+        // syntheticSmoothImage note)
         val master = bilinearGrid(lat, w, h)
         val px = new Array[Int](w * h)
         var i = 0
@@ -923,10 +943,7 @@ object Multimodal {
           px(i) = (g << 16) | (g << 8) | g
           i += 1
         }
-        img.setRGB(0, 0, w, h, px, 0, w)
-        val out = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", out)
-        Row.fromSeq(r.toSeq :+ out.toByteArray)
+        Row.fromSeq(r.toSeq :+ PngCodec.encodeGrayRgb(px, w, h))
       }
     }(RowEncoder.encoderFor(outSchema))
   }

@@ -233,6 +233,60 @@ class PipelineSpec extends SparkSpec {
     assert(maxResize <= 8 && maxJpeg <= 3 && minCross >= 11, diag)
   }
 
+  test("PngCodec: fast encode and decode are BIT-IDENTICAL to the " +
+      "ImageIO path — both encoders, all shapes, adaptive filters") {
+    // the r15 codec swap rests on PNG being lossless and exactly
+    // specified; this pins it empirically: (1) the fast-encoded bytes
+    // decode (via ImageIO's own reader) to the same gray grid the fast
+    // decoder returns, and (2) an ImageIO-WRITTEN png (adaptive
+    // Sub/Up/Avg/Paeth filters) decodes identically through the fast
+    // path — so neither direction can drift from the reference codec.
+    def imageIOGray(bytes: Array[Byte]): (Array[Int], Int, Int) = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      val w = img.getWidth; val h = img.getHeight
+      val px = img.getRGB(0, 0, w, h, null, 0, w)
+      val gray = px.map(rgb => 299 * ((rgb >> 16) & 0xFF) +
+        587 * ((rgb >> 8) & 0xFF) + 114 * (rgb & 0xFF))
+      (gray, w, h)
+    }
+    val seeds = (0 until 25).map(i => (i * 4).toLong)
+    for (seed <- seeds; scale <- Seq(1, 2)) {
+      val w = (48 + (seed * 7) % 64).toInt
+      val h = (48 + (seed * 13) % 48).toInt
+      val fastBytes = graft.pipeline.Multimodal
+        .syntheticSmoothImage("png", w, h, seed, scale)
+      val viaFast = graft.pipeline.PngCodec.decodeGray(fastBytes)
+      assert(viaFast != null, s"fast decode bailed on own bytes ($seed)")
+      val viaIio = imageIOGray(fastBytes)
+      assert(viaFast._2 == viaIio._2 && viaFast._3 == viaIio._3,
+        s"dims drifted for seed $seed scale $scale")
+      assert(java.util.Arrays.equals(viaFast._1, viaIio._1),
+        s"fast-encoded gray drifted vs ImageIO decode ($seed, $scale)")
+      // round-trip through ImageIO's adaptive-filter writer
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(fastBytes))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      val iioBytes = out.toByteArray
+      val fastOfIio = graft.pipeline.PngCodec.decodeGray(iioBytes)
+      if (fastOfIio != null) {
+        assert(java.util.Arrays.equals(fastOfIio._1, viaIio._1),
+          s"fast decode of ImageIO-written png drifted ($seed, $scale)")
+      } else {
+        // ImageIO chose a non-truecolor layout — the production
+        // fallback covers it; still must decode equal via ImageIO
+        val g2 = imageIOGray(iioBytes)
+        assert(java.util.Arrays.equals(g2._1, viaIio._1))
+      }
+    }
+    // corrupt/truncated payloads bail to the caller's fallback
+    assert(graft.pipeline.PngCodec.decodeGray(Array[Byte](1, 2, 3)) == null)
+    val good = graft.pipeline.Multimodal
+      .syntheticSmoothImage("png", 50, 50, 8L, 1)
+    assert(graft.pipeline.PngCodec.decodeGray(good.take(60)) == null)
+  }
+
   test("AudioHash64: DataFrame (codegen) path replays the frame " +
       "energy/crossing arithmetic; invariant to gain; short input is 0") {
     import spark.implicits._
