@@ -730,9 +730,18 @@ object Dedup {
     val dec = graft.pipeline.Multimodal.withDecodedGray(
       df.select(col(idCol), col(binCol)), binCol)
       .filter(col("gray").isNotNull)
-    hammingPairs(dec.select(col(idCol).as("id"),
-      org.apache.spark.sql.graft.VectorExpressions.dhash64(
-        col("gray"), col("img_w"), col("img_h")).as("sig")),
+    // stage the (id, sig) longs behind a barrier (r15): the pigeonhole
+    // self-join references its input on BOTH sides and Spark does not
+    // CSE across join branches, so the decode pipeline above otherwise
+    // executes twice (JobProf: two full decode jobs per gate) — and
+    // persist() is the measured anti-pattern (the hammingPairs note);
+    // the barrier is the scaladoc's own prescription for callers whose
+    // upstream dominates. n 8-byte rows, KB-scale at any corpus size.
+    hammingPairs(materializeBarrier(
+      dec.select(col(idCol).as("id"),
+        org.apache.spark.sql.graft.VectorExpressions.dhash64(
+          col("gray"), col("img_w"), col("img_h")).as("sig")),
+      "perceptual-sigs"),
       maxHamming, multiIndex)
   }
 
@@ -877,9 +886,12 @@ object Dedup {
     val dec = graft.pipeline.Multimodal.withDecodedPcm(
       df.select(col(idCol), col(binCol)), binCol)
       .filter(col("pcm").isNotNull)
-    hammingPairs(dec.select(col(idCol).as("id"),
-      org.apache.spark.sql.graft.VectorExpressions.audiohash64(
-        col("pcm")).as("sig")),
+    // barrier the (id, sig) longs — the perceptualPairs note
+    hammingPairs(materializeBarrier(
+      dec.select(col(idCol).as("id"),
+        org.apache.spark.sql.graft.VectorExpressions.audiohash64(
+          col("pcm")).as("sig")),
+      "audio-sigs"),
       maxHamming, multiIndex)
   }
 
@@ -916,7 +928,9 @@ object Dedup {
       .groupBy("id")
       .agg(org.apache.spark.sql.graft.VectorExpressions.majorityhash64(
         collect_list(col("fsig"))).as("sig"))
-    hammingPairs(sigs, maxHamming, multiIndex)
+    // barrier the (id, sig) longs — the perceptualPairs note
+    hammingPairs(materializeBarrier(sigs, "video-sigs"),
+      maxHamming, multiIndex)
   }
 
   /** CROSS-MODAL frame-grab detection: find images that are stills of
