@@ -190,12 +190,19 @@ object Clustering {
     * Σ n_c², bounded because k grows with the corpus (SemDeDup's whole
     * point); the quantized-code payload rides the same shuffle.
     */
-  def semanticDedupPairs(df: DataFrame, k: Int, iters: Int = 2,
+  def semanticDedupPairs(df0: DataFrame, k: Int, iters: Int = 2,
       threshold: Double = 0.92, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    // fan out ONLY the quantize branch (r15, guide §2.6): the pair
+    // join's per-row quantization starved on 2 input splits, but
+    // kmeansAssign scans its input once per iteration, and fanning THAT
+    // side turned each small iteration job into 32 tiny tasks
+    // (measured +26% on the gate) — so the iterate input stays as-is
+    val df = df0
     val assign = kmeansAssign(df, k, iters, idCol, vecCol)
       .select(col(idCol).as("id"), col("cluster"))
-    val q = df.select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"))
+    val q = graft.pipeline.Dedup.fanOutScan(df)
+      .select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"))
       .withColumn("ss", longDot(col("qv"), col("qv")))
       .join(assign, "id")
     val a = q.select(col("cluster"), col("id").as("id_a"),

@@ -90,6 +90,22 @@ object Dedup {
         new java.io.File(sys.props.getOrElse("java.io.tmpdir", "/tmp"))
           .toURI.toString))
 
+  /** Fan a parallelism-starved scan out to the session's cores before
+    * per-row-heavy work (optimization guide §2.6 — idle capacity): a
+    * gate-scale parquet table is ONE input split, so an expensive
+    * first stage fused with the scan (regex tokenization, vector
+    * quantization, PQ encoding) runs its whole input on one core while
+    * the rest sit idle. Inputs that already have at least as many
+    * splits as cores pass through untouched — a production-volume
+    * table never pays the extra exchange; the shuffled bytes are the
+    * small input rows, moved once, and row sets (hence results) are
+    * unchanged.
+    */
+  private[graft] def fanOutScan(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+  }
+
   private[graft] def materializeBarrier(df: DataFrame, tag: String): DataFrame =
     materializeBarrierAt(df, tag)._1
 

@@ -353,8 +353,12 @@ object Retrieval {
     // (the Dedup signature-barrier pattern: parquet scratch,
     // scheme-agnostic via graft.barrier.dir); downstream gram hashing is
     // then cheap array arithmetic over a stored attribute.
+    // fan the gate-scale single-split docs scan out before the regex
+    // split+tokenize (r15, guide §2.6): the barrier write otherwise
+    // runs the whole tokenization on one core (JobProf: 1-task jobs)
     val toks = Dedup.materializeBarrier(
-      paragraphToks(docs, minTokens, idCol, textCol), "paratoks")
+      paragraphToks(Dedup.fanOutScan(docs), minTokens, idCol, textCol),
+      "paratoks")
     val paras = toks
       .select(col("doc"), col("pos"), gramHashes(col("tk"), n).as("grams"))
       .filter(size(col("grams")) > 0)

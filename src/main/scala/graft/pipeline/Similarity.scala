@@ -702,6 +702,10 @@ object Similarity {
     require(centroids.zipWithIndex.forall { case ((cid, _), i) =>
       cid == i.toLong }, "centroid ids must be positional")
     val nSub = codebooks.length
+    // fan the gate-scale single-split corpus scan out before the
+    // per-row PQ encode (r15, guide §2.6 — JobProf showed the encode
+    // stage starved on 2 input splits)
+    val corpusF = graft.pipeline.Dedup.fanOutScan(corpus)
     val centMatrix = typedlit(centroids.map(_._2.toArray).toSeq)
     // lookup tables: rnorm² = cnormSq[cell] + 2·Σ_m cross[cell][m][cm]
     //                        + Σ_m resNormSq[m][cm]
@@ -716,7 +720,7 @@ object Similarity {
     }.toSeq)
     val resNormSq = typedlit(codebooks.map(_.map(cv =>
       cv.map(x => x.toDouble * x.toDouble).sum).toSeq).toSeq)
-    corpus
+    corpusF
       .withColumn("cell",
         ivfProbeCells(centroids, col(vecCol), 1).getItem(0).getField("cid"))
       .withColumn("codes", pqEncode(codebooks,

@@ -1009,6 +1009,11 @@ object TextAnalysis {
   private[graft] def logregLangFeats(docs: DataFrame, langCol: String,
       textCol: String): DataFrame = {
     val nt = tokenCount(col(textCol))
+    // NOT fanned out (r15, measured): the write-side tokenize gains
+    // from parallelism, but the fit loop scans this barrier once per
+    // gradient step — a 32-file barrier made every step a 32-task job
+    // and the family read 13-28% slower; the single-split write keeps
+    // the barrier one file, which is what the iterative consumer wants
     Dedup.materializeBarrier(
       docs.filter(nt > 0).select(
         col(langCol).as("_lang"),

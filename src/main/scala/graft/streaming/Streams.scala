@@ -268,10 +268,8 @@ object Streams {
     * shuffle. Row sets are unchanged (order-independence is the
     * split-merge fuzz contract every streaming gate pins).
     */
-  def fanOutBatch(df: DataFrame): DataFrame = {
-    val cores = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
-  }
+  def fanOutBatch(df: DataFrame): DataFrame =
+    graft.pipeline.Dedup.fanOutScan(df)
 
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,
       outputMode: String = "complete", srcPath: String = ""): DataFrame = {
