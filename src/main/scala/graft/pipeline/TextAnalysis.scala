@@ -1030,6 +1030,16 @@ object TextAnalysis {
     logregFitFromLangFeats(logregLangFeats(docs, langCol, textCol),
       steps, lr, posLang)
 
+  /** Row bound under which the gradient loop runs DRIVER-LOCAL (the
+    * r14 BPE LocalBpeBound discipline): 2M (y, x0, x1, x2) rows is
+    * ~64 MB on the driver, far under any sane driver heap. Past the
+    * bound the distributed loop below runs unchanged. Overridable for
+    * the local==distributed pinning spec via -Dgraft.logreg.localBound.
+    */
+  private def logregLocalBound: Int =
+    sys.props.get("graft.logreg.localBound").map(_.toInt)
+      .getOrElse(2000000)
+
   private[graft] def logregFitFromLangFeats(langFeats: DataFrame,
       steps: Int, lr: Double, posLang: String): (DataFrame, DataFrame) = {
     val spark = langFeats.sparkSession
@@ -1038,8 +1048,61 @@ object TextAnalysis {
     val feats = langFeats.select(
       when(col("_lang") === posLang, 1.0).otherwise(0.0).as("y"),
       col("x0"), col("x1"), col("x2"))
-    val m = feats.agg(count(lit(1)).as("m"))
     import spark.implicits._
+    // Bounded DRIVER-LOCAL loop (guide §1.2: the per-step work is a
+    // fixed-size agg over a small barrier, but each step paid an agg
+    // job + a 1-row barrier write + a read-back — pure scheduling; at
+    // gate scale the fits were ~60 jobs of ~50 ms each). The local
+    // arithmetic is BIT-EXACT to the distributed form: the gradient
+    // accumulators are the same double→DECIMAL(28,12) HALF_UP casts
+    // summed exactly (decimal addition is order-independent, which is
+    // WHY the distributed form could use it), z/sig/update are the
+    // same IEEE expressions in the same association order, and a
+    // non-finite product is skipped exactly like Spark's
+    // double→decimal cast yielding null into sum. A spec pins local ==
+    // forced-distributed weights bit-for-bit. Corpora past the bound
+    // keep the distributed loop unchanged.
+    val bound = logregLocalBound
+    val localRows: Array[org.apache.spark.sql.Row] =
+      if (bound <= 0) null
+      else {
+        val r = feats.limit(bound + 1).collect()
+        // empty corpus falls through to the distributed form so the
+        // null-propagating sum-of-nothing semantics stay identical
+        if (r.length > bound || r.isEmpty) null else r
+      }
+    if (localRows != null) {
+      def dec12(v: Double): java.math.BigDecimal =
+        java.math.BigDecimal.valueOf(v)
+          .setScale(12, java.math.RoundingMode.HALF_UP)
+      val m = localRows.length.toDouble
+      var w0 = 0.0; var w1 = 0.0; var w2 = 0.0
+      for (_ <- 1 to steps) {
+        var g0 = java.math.BigDecimal.ZERO
+        var g1 = java.math.BigDecimal.ZERO
+        var g2 = java.math.BigDecimal.ZERO
+        var i = 0
+        while (i < localRows.length) {
+          val r = localRows(i)
+          val y = r.getDouble(0)
+          val x0 = r.getDouble(1); val x1 = r.getDouble(2)
+          val x2 = r.getDouble(3)
+          val z = w0 * x0 + w1 * x1 + w2 * x2
+          val sig = 1.0 / (1.0 + math.exp(-z))
+          val d = sig - y
+          val v0 = d * x0; val v1 = d * x1; val v2 = d * x2
+          if (java.lang.Double.isFinite(v0)) g0 = g0.add(dec12(v0))
+          if (java.lang.Double.isFinite(v1)) g1 = g1.add(dec12(v1))
+          if (java.lang.Double.isFinite(v2)) g2 = g2.add(dec12(v2))
+          i += 1
+        }
+        w0 = w0 - lr * (g0.doubleValue / m)
+        w1 = w1 - lr * (g1.doubleValue / m)
+        w2 = w2 - lr * (g2.doubleValue / m)
+      }
+      return (feats, broadcast(Seq((w0, w1, w2)).toDF("w0", "w1", "w2")))
+    }
+    val m = feats.agg(count(lit(1)).as("m"))
     var w: DataFrame = broadcast(
       Seq((0.0, 0.0, 0.0)).toDF("w0", "w1", "w2"))
     for (_ <- 1 to steps) {

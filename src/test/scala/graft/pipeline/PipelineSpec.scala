@@ -233,6 +233,36 @@ class PipelineSpec extends SparkSpec {
     assert(maxResize <= 8 && maxJpeg <= 3 && minCross >= 11, diag)
   }
 
+  test("logreg local fit == forced-distributed fit, weight for weight " +
+      "(bit-exact doubles)") {
+    // the r15 driver-local gradient loop claims bit-exactness with the
+    // distributed DECIMAL(28,12) form; pin it on a corpus with mixed
+    // langs, multi-line text, and enough rows that accumulation order
+    // would show any drift
+    import spark.implicits._
+    val docs = (0 until 400).map { i =>
+      val lang = if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "fr"
+      (i.toLong, lang, ("w" + i + " ") * (1 + i % 37))
+    }.toDF("doc_id", "lang", "text")
+    def fitW(): Array[Double] = {
+      val (_, w) = graft.pipeline.TextAnalysis.logregFit(
+        docs, steps = 3, lr = 1.0, "en", "lang", "text")
+      val r = w.collect().head
+      Array(r.getDouble(0), r.getDouble(1), r.getDouble(2))
+    }
+    val local = fitW()
+    val prev = sys.props.put("graft.logreg.localBound", "0")
+    val dist =
+      try fitW()
+      finally prev match {
+        case Some(v) => sys.props.put("graft.logreg.localBound", v); ()
+        case None => sys.props.remove("graft.logreg.localBound"); ()
+      }
+    assert(local.toSeq == dist.toSeq,
+      s"local ${local.toSeq} != distributed ${dist.toSeq}")
+    assert(local.exists(_ != 0.0), "degenerate fit (all-zero weights)")
+  }
+
   test("PngCodec: fast encode and decode are BIT-IDENTICAL to the " +
       "ImageIO path — both encoders, all shapes, adaptive filters") {
     // the r15 codec swap rests on PNG being lossless and exactly
