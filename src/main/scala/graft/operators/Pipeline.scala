@@ -1063,13 +1063,22 @@ object Pipeline {
     val piv = lookCounterPivot(events, convType, looks, minConv, minConv)
     def zExpr(k: Int): Column = twoPropZ(col(s"na_$k"), col(s"ca_$k"),
       col(s"nb_$k"), col(s"cb_$k"))
+    // stage z_k ONCE in a projection under the explode (r15): the old
+    // form re-inlined the z expression into every struct field AND
+    // k-quadratically into the first_crossing folds, blowing the
+    // generated method past janino's 64 KB limit (the r14 verdict's
+    // test-tail stack) — the whole 1-row explode then ran interpreted.
+    // Same expressions, same values; the explode now references plain
+    // attributes.
+    val pivZ = (1 to looks).foldLeft(piv)((d, k) =>
+      d.withColumn(s"z_$k", zExpr(k)))
     val crossed = (1 to looks).map(k =>
-      coalesce(abs(zExpr(k)) >= boundaries(k - 1), lit(false)))
-    piv.select(explode(array((1 to looks).map { k =>
+      coalesce(abs(col(s"z_$k")) >= boundaries(k - 1), lit(false)))
+    pivZ.select(explode(array((1 to looks).map { k =>
         struct(lit(k).as("look"), col(s"cut_$k").as("wk_cut"),
           col(s"na_$k").as("n_a"), col(s"ca_$k").as("conv_a"),
           col(s"nb_$k").as("n_b"), col(s"cb_$k").as("conv_b"),
-          round(zExpr(k), 6).as("z"),
+          round(col(s"z_$k"), 6).as("z"),
           lit(boundaries(k - 1)).as("boundary"),
           crossed(k - 1).as("crossed"),
           (1 until k).map(j => !crossed(j - 1))
@@ -1135,17 +1144,23 @@ object Pipeline {
       when(col(s"na_$k") > 0 && col(s"nb_$k") > 0,
         col(s"ca_$k").cast("double") / col(s"na_$k").cast("double") -
           col(s"cb_$k").cast("double") / col(s"nb_$k").cast("double"))
+    // stage pnow_k ONCE under the explode — the sequentialReadout
+    // janino note above; the running-min pAv otherwise re-inlines the
+    // full mSPRT expression k-quadratically
+    val pivP = (1 to looks).foldLeft(piv)((d, k) =>
+      d.withColumn(s"pnow_$k", pNow(k)))
     def pAv(k: Int): Column =
-      if (k == 1) pNow(1) else least((1 to k).map(pNow): _*)
-    piv.select(explode(array((1 to looks).map { k =>
+      if (k == 1) col("pnow_1")
+      else least((1 to k).map(j => col(s"pnow_$j")): _*)
+    pivP.select(explode(array((1 to looks).map { k =>
         struct(lit(k).as("look"), col(s"cut_$k").as("wk_cut"),
           col(s"na_$k").as("n_a"), col(s"ca_$k").as("conv_a"),
           col(s"nb_$k").as("n_b"), col(s"cb_$k").as("conv_b"),
           round(theta(k), 6).as("theta"),
-          round(pNow(k), 6).as("p_now"),
+          round(col(s"pnow_$k"), 6).as("p_now"),
           round(pAv(k), 6).as("p_always"),
           coalesce(pAv(k) <= alpha, lit(false)).as("rejected"),
-          pNow(k).isNull.as("guarded"))
+          col(s"pnow_$k").isNull.as("guarded"))
       }: _*)).as("r"))
       .select(col("r.*"))
       .orderBy("look")

@@ -1514,8 +1514,21 @@ class PlanSpec extends SparkSpec {
     // join here is the all-pairs scale killer this gate exists to ban.
     // The planted-pair readout joins broadcast (bounded id lists).
     val q = executed("p187_perceptual_neardup")
-    assert(q.contains("dhash64"),
-      s"p187: native DHash64 missing from the plan:\n$q")
+    // r15: the signature stage runs inside the (id, sig) barrier write
+    // (a separate query execution — the p201 cropAnchorSigs
+    // convention), so the native dHash is pinned on the sig-stage plan
+    val sigPlan187 = graft.pipeline.Multimodal.withDecodedGray(
+      graft.pipeline.Multimodal.withSmoothMedia(
+        spark.range(2).selectExpr("id AS doc_id", "id AS seed"),
+        "seed", "png", 1).select("doc_id", "media"), "media")
+      .filter(org.apache.spark.sql.functions.col("gray").isNotNull)
+      .select(org.apache.spark.sql.graft.VectorExpressions.dhash64(
+        org.apache.spark.sql.functions.col("gray"),
+        org.apache.spark.sql.functions.col("img_w"),
+        org.apache.spark.sql.functions.col("img_h")).as("sig"))
+      .queryExecution.executedPlan.toString
+    assert(sigPlan187.contains("dhash64"),
+      s"p187: native DHash64 missing from the sig plan:\n$sigPlan187")
     assert(!q.contains("CartesianProduct") &&
       !q.contains("BroadcastNestedLoopJoin"),
       s"p187: perceptual pairs fell back to a product join:\n$q")
@@ -1683,8 +1696,18 @@ class PlanSpec extends SparkSpec {
     // p191: after the WAV parse only (id, sig) longs flow — a product
     // join is the all-pairs scale killer this family bans
     val q = executed("p191_audio_neardup")
-    assert(q.contains("audiohash64"),
-      s"p191: native AudioHash64 missing from the plan:\n$q")
+    // r15: the sig stage runs inside the barrier write — pin the
+    // native hash on the sig-stage plan (the p187/p201 convention)
+    val sigPlan191 = graft.pipeline.Multimodal.withDecodedPcm(
+      graft.pipeline.Multimodal.withSyntheticWav(
+        spark.range(2).selectExpr("id AS doc_id", "id AS seed"),
+        "seed", 8000, 16).select("doc_id", "media"), "media")
+      .filter(org.apache.spark.sql.functions.col("pcm").isNotNull)
+      .select(org.apache.spark.sql.graft.VectorExpressions.audiohash64(
+        org.apache.spark.sql.functions.col("pcm")).as("sig"))
+      .queryExecution.executedPlan.toString
+    assert(sigPlan191.contains("audiohash64"),
+      s"p191: native AudioHash64 missing from the sig plan:\n$sigPlan191")
     assert(!q.contains("CartesianProduct") &&
       !q.contains("BroadcastNestedLoopJoin"),
       s"p191: audio pairs fell back to a product join:\n$q")
@@ -1696,17 +1719,31 @@ class PlanSpec extends SparkSpec {
     // groupBy shuffles 8 (id, fsig) longs per clip — never pixels
     // (gray#) and never the clip bytes (media#)
     val r = executed("p193_video_neardup")
-    assert(r.contains("dhash64"),
-      s"p193: native DHash64 missing from the plan:\n$r")
-    // the majority vote is evaluated in the aggregate's RESULT
-    // projection, which the physical toString elides — pin it on the
-    // ANALYZED logical plan (planning only, no re-execution; analyzed
-    // rather than optimized so the pin also survives any future cache
-    // substitution, which runs before optimization).
-    val rl = SparkEntry.queries("p193_video_neardup")(spark, sf)
-      .queryExecution.analyzed.toString
+    // r15: the per-frame dHash + majority vote run inside the (id,
+    // sig) barrier write — pin both on the sig-stage plan (the
+    // p187/p201 convention); the majority vote sits in the aggregate's
+    // RESULT projection, which the physical toString elides, so it is
+    // pinned on the ANALYZED logical plan (planning only).
+    val sigFrames = graft.pipeline.Multimodal.withDecodedFrames(
+      graft.pipeline.Multimodal.withSyntheticVideoMedia(
+        spark.range(2).selectExpr("id AS doc_id", "id AS seed"),
+        "seed", 1, 1, 256).select("doc_id", "media"), "media")
+      .filter(org.apache.spark.sql.functions.col("gray").isNotNull)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.graft.VectorExpressions.dhash64(
+          org.apache.spark.sql.functions.col("gray"),
+          org.apache.spark.sql.functions.col("img_w"),
+          org.apache.spark.sql.functions.col("img_h")).as("fsig"))
+      .groupBy("doc_id")
+      .agg(org.apache.spark.sql.graft.VectorExpressions.majorityhash64(
+        org.apache.spark.sql.functions.collect_list(
+          org.apache.spark.sql.functions.col("fsig"))).as("sig"))
+    val sigPlan193 = sigFrames.queryExecution.executedPlan.toString
+    assert(sigPlan193.contains("dhash64"),
+      s"p193: native DHash64 missing from the sig plan:\n$sigPlan193")
+    val rl = sigFrames.queryExecution.analyzed.toString
     assert(rl.contains("majorityhash64"),
-      s"p193: native MajorityHash64 missing from the plan:\n$rl")
+      s"p193: native MajorityHash64 missing from the sig plan:\n$rl")
     assert(!r.contains("CartesianProduct") &&
       !r.contains("BroadcastNestedLoopJoin"),
       s"p193: video pairs fell back to a product join:\n$r")
